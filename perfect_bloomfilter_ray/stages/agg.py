@@ -1,0 +1,185 @@
+"""Sketch UDAF adapters — MergeableSketch → Ray Data aggregation.
+
+Two build paths, both shuffle-minimal:
+
+- ``sketch_global(ds, col, factory)`` — ``Dataset.aggregate(SketchAgg)``:
+  Ray computes one partial sketch per block (``aggregate_block``) and
+  tree-merges them (``combine``). No row shuffle at all — only small pickled
+  sketches move.
+
+- ``sketch_grouped(ds, key, col, factory)`` — the explicit two-phase
+  hash-partitioned groupby-merge shuffle tree (SURVEY §2.3 "shuffle /
+  partitioning ops"): phase 1 collapses each batch to ONE partial sketch per key
+  inside ``map_batches`` (so the subsequent shuffle moves |keys|×|batches|
+  tiny partials instead of every row — this per-batch pre-aggregation is also
+  the skew mitigation: a key with 99% of rows still contributes exactly one
+  partial per batch); phase 2 ``groupby(key).aggregate(SketchMergeAgg)``
+  merges partials. An optional ``salt`` adds an intermediate
+  ``(key, salt)`` merge level for the case of very few distinct keys ×
+  very many partials, so no single reducer merges them all (jump-hash salted,
+  then unsalted re-merge — valid because every sketch merge is
+  associative/commutative).
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Any, Callable
+
+import numpy as np
+import pyarrow as pa
+
+from ray.data import Dataset
+from ray.data.aggregate import AggregateFnV2
+from ray.data.block import Block, BlockAccessor
+
+from perfect_bloomfilter_ray.state.base import dumps_sketch, loads_sketch
+
+
+class SketchAgg(AggregateFnV2):
+    """Aggregate a column into one mergeable sketch (global or per group).
+
+    The accumulator type is **serialized sketch bytes** (``dumps_sketch``), not
+    the sketch object: Ray stores partial accumulators inside Arrow blocks
+    between the map and reduce stages of an aggregation, and a raw Python
+    object there takes a raised-and-caught ArrowConversionError + pickle
+    fallback per block. Bytes are a first-class Arrow type — no fallback, and
+    no extra cost since the object would be pickled at block boundaries anyway.
+
+    ``finalize_fn`` maps the final sketch to the output cell value (default:
+    the sketch's own ``to_bytes`` — pass e.g. ``lambda s: s.estimate()`` for HLL).
+    """
+
+    def __init__(
+        self,
+        factory: Callable[[], Any],
+        on: str,
+        name: str | None = None,
+        finalize_fn: Callable[[Any], Any] | None = None,
+    ):
+        self._factory = factory
+        self._finalize_fn = finalize_fn
+        super().__init__(
+            name or f"sketch({on})",
+            zero_factory=lambda: dumps_sketch(factory()),
+            on=on,
+            ignore_nulls=True,
+        )
+
+    def aggregate_block(self, block: Block) -> bytes:
+        t = BlockAccessor.for_block(block).to_arrow()
+        col = t.column(self.get_target_column())
+        if col.null_count:
+            col = col.drop_null()
+        s = self._factory()
+        s.update_column(col)
+        return dumps_sketch(s)
+
+    def combine(self, current: bytes, new: bytes) -> bytes:
+        return dumps_sketch(loads_sketch(current).merge(loads_sketch(new)))
+
+    def finalize(self, acc: bytes) -> Any:
+        s = loads_sketch(acc)
+        return self._finalize_fn(s) if self._finalize_fn is not None else s.to_bytes()
+
+
+class SketchMergeAgg(AggregateFnV2):
+    """Merge a column of serialized partial sketches (phase 2 of the tree)."""
+
+    def __init__(
+        self,
+        factory: Callable[[], Any],
+        on: str = "partial",
+        name: str = "sketch",
+        finalize_fn: Callable[[Any], Any] | None = None,
+        serialized_output: bool = False,
+    ):
+        self._factory = factory
+        self._finalize_fn = finalize_fn
+        self._serialized_output = serialized_output
+        super().__init__(
+            name, zero_factory=lambda: dumps_sketch(factory()), on=on, ignore_nulls=True
+        )
+
+    def aggregate_block(self, block: Block) -> bytes:
+        t = BlockAccessor.for_block(block).to_arrow()
+        s = self._factory()
+        for raw in t.column(self.get_target_column()):
+            b = raw.as_py()
+            if b is not None:
+                s.merge(loads_sketch(b))
+        return dumps_sketch(s)
+
+    def combine(self, current: bytes, new: bytes) -> bytes:
+        return dumps_sketch(loads_sketch(current).merge(loads_sketch(new)))
+
+    def finalize(self, acc: bytes) -> Any:
+        if self._serialized_output:
+            return acc
+        s = loads_sketch(acc)
+        return self._finalize_fn(s) if self._finalize_fn is not None else s.to_bytes()
+
+
+def sketch_global(ds: Dataset, col: str, factory: Callable[[], Any], name: str = "sketch") -> Any:
+    """Build one sketch over a whole Dataset column. Returns the sketch object."""
+    res = ds.aggregate(SketchAgg(factory, on=col, name=name))
+    zero = factory()
+    if res is None or res.get(name) is None:  # empty dataset → empty sketch
+        return zero
+    return type(zero).from_bytes(res[name])
+
+
+def _partials_fn(key: str, col: str, factory: Callable[[], Any]):
+    """Phase-1 batch fn: one serialized partial sketch per distinct key in batch."""
+    import polars as pl
+
+    def partials(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(pa.table({key: t.column(key), col: t.column(col)}))
+        keys_out: list = []
+        parts_out: list = []
+        # python loop over *distinct keys per batch* (small), values vectorized
+        for kv, g in df.group_by(key):
+            s = factory()
+            s.update_column(g[col].to_arrow())
+            keys_out.append(kv[0])
+            parts_out.append(dumps_sketch(s))
+        kt = t.schema.field(key).type
+        return pa.table({key: pa.array(keys_out, type=kt), "partial": pa.array(parts_out, pa.binary())})
+
+    return partials
+
+
+def sketch_grouped(
+    ds: Dataset,
+    key: str,
+    col: str,
+    factory: Callable[[], Any],
+    name: str = "sketch",
+    finalize_fn: Callable[[Any], Any] | None = None,
+    batch_size: int = 64 * 1024,
+    salt: int | None = None,
+) -> Dataset:
+    """Per-key sketches via the two-phase partial/merge shuffle tree.
+
+    Output columns: ``[key, name]`` where ``name`` holds ``finalize_fn(sketch)``
+    (default: serialized sketch bytes).
+    """
+    partial_ds = ds.map_batches(
+        _partials_fn(key, col, factory), batch_format="pyarrow", batch_size=batch_size
+    )
+    if salt and salt > 1:
+        # intermediate salted merge level: bounds any single reducer's fan-in
+        from perfect_bloomfilter_ray.functions.hashing import hash64, jump_hash
+
+        def add_salt(t: pa.Table) -> pa.Table:
+            h = hash64(t.column("partial"), 0x5A17) ^ np.arange(len(t), dtype=np.uint64)
+            return t.append_column("_salt", pa.array(jump_hash(h, salt), pa.int32()))
+
+        salted = partial_ds.map_batches(add_salt, batch_format="pyarrow")
+        level1 = salted.groupby([key, "_salt"]).aggregate(
+            SketchMergeAgg(factory, on="partial", name="partial", serialized_output=True)
+        )
+        partial_ds = level1.drop_columns(["_salt"])
+    return partial_ds.groupby(key).aggregate(
+        SketchMergeAgg(factory, on="partial", name=name, finalize_fn=finalize_fn)
+    )

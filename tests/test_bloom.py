@@ -1,0 +1,121 @@
+"""BloomCascade conformance tests — port of the reference's test strategy.
+
+The reference ships one end-to-end check→insert→check conformance loop
+(tests/sync_test.rs:24-68: 0 false positives on fresh keys, 0 false negatives
+after insert, at Accuracy::Medium). We run the same contract batch-wise at
+100k keys (the 3.1e-13 AND-of-4 bound makes any FP at this scale a real bug),
+plus growth, merge, serialization and FPR-bound tests.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from perfect_bloomfilter_ray import BloomCascade, BloomConfig
+from perfect_bloomfilter_ray.config import expected_n, optimal_k
+
+
+N = 100_000
+
+
+def _keys(lo, hi, prefix=""):
+    return pa.array([f"{prefix}{i}" for i in range(lo, hi)])
+
+
+def test_sync_conformance_check_insert_check():
+    """sync_test.rs semantics: fresh keys absent, inserted keys present."""
+    bc = BloomCascade(BloomConfig(initial_bits=1 << 14))
+    keys = _keys(0, N)
+    assert not bc.contains_column(keys).any(), "false positive on empty filter"
+    bc.update_column(keys)
+    assert bc.contains_column(keys).all(), "false negative after insert"
+    fresh = _keys(N, 2 * N)
+    fp = int(bc.contains_column(fresh).sum())
+    assert fp == 0, f"{fp} false positives over {N} fresh keys (bound ~3e-13)"
+
+
+def test_growth_keeps_bits_per_key_above_threshold():
+    cfg = BloomConfig(initial_bits=1 << 12)
+    bc = BloomCascade(cfg)
+    bc.update_column(_keys(0, 50_000))
+    assert len(bc.layers) > 1, "cascade should have grown"
+    for layer in bc.layers[:-1]:  # frozen layers exactly at capacity bound
+        assert layer.key_count <= expected_n(layer.m, cfg.threshold)
+        assert layer.m / max(1, layer.key_count) >= cfg.threshold
+    # m doubles per layer, k follows optimal_k for the doubled size
+    for a, b in zip(bc.layers, bc.layers[1:]):
+        assert b.m == 2 * a.m
+        assert b.k == optimal_k(b.m, expected_n(b.m, cfg.threshold))
+
+
+def test_grow_false_disables_growth():
+    """Documented divergence: reference with_rehash(false) is a no-op
+    (REHASH_SWITCH written filter.rs:175, never read); our grow=False works."""
+    bc = BloomCascade(BloomConfig(initial_bits=1 << 12, grow=False))
+    bc.update_column(_keys(0, 20_000))
+    assert len(bc.layers) == 1
+
+
+def test_duplicate_inserts_inflate_key_count():
+    """key_count counts update calls incl. duplicates (filter.rs:326)."""
+    bc = BloomCascade(BloomConfig(initial_bits=1 << 14))
+    dup = pa.array(["same"] * 1000)
+    bc.update_column(dup)
+    assert bc.key_count == 1000
+
+
+def test_merge_equals_sequential_and_no_false_negatives():
+    cfg = BloomConfig(initial_bits=1 << 13)
+    seq = BloomCascade(cfg)
+    seq.update_column(_keys(0, 30_000))
+
+    a = BloomCascade(cfg)
+    b = BloomCascade(cfg)
+    a.update_column(_keys(0, 15_000))
+    b.update_column(_keys(15_000, 30_000))
+    merged = a.merge(b)
+    assert merged.contains_column(_keys(0, 30_000)).all()
+    assert merged.key_count == seq.key_count
+
+
+def test_for_capacity_merge_preserves_fpr_bound():
+    """Capacity-planned partials: OR-merge stays within the bits/key budget,
+    so the measured post-merge FPR still meets the configured bound."""
+    cfg = BloomConfig()
+    parts = []
+    for j in range(8):
+        s = BloomCascade.for_capacity(80_000, cfg)
+        s.update_column(_keys(j * 10_000, (j + 1) * 10_000))
+        parts.append(s)
+    merged = parts[0]
+    for p in parts[1:]:
+        merged.merge(p)
+    assert merged.contains_column(_keys(0, 80_000)).all()
+    assert len(merged.layers) == 1  # planned capacity → no rollover
+    bound = cfg.per_lookup_fpr_bound(len(merged.layers))
+    assert merged.effective_fpr() <= bound * 1.5
+    fresh = _keys(80_000, 180_000)
+    assert int(merged.contains_column(fresh).sum()) == 0
+
+
+def test_serialization_roundtrip_exact():
+    bc = BloomCascade(BloomConfig(initial_bits=1 << 13))
+    bc.update_column(_keys(0, 20_000))
+    rt = BloomCascade.from_bytes(bc.to_bytes())
+    assert rt.state_equal(bc)
+    assert rt.contains_column(_keys(0, 20_000)).all()
+
+
+def test_merge_rejects_mismatched_geometry():
+    a = BloomCascade(BloomConfig(initial_bits=1 << 12))
+    b = BloomCascade(BloomConfig(initial_bits=1 << 13))
+    with pytest.raises(ValueError):
+        a.merge(b)
+
+
+def test_accuracy_enums_match_reference_constants():
+    """threshold 12/15/19 → k 8/10/13 (filter.rs:156-160, 381-383; §2.2)."""
+    for acc, thr, k in (("low", 12.0, 8), ("medium", 15.0, 10), ("high", 19.0, 13)):
+        cfg = BloomConfig.from_enums(accuracy=acc)
+        assert cfg.threshold == thr
+        assert cfg.k_for(cfg.initial_bits) == k

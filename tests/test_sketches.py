@@ -1,0 +1,93 @@
+"""Error-bound tests for HLL / CMS / KLL / t-digest vs exact numpy oracles."""
+
+import numpy as np
+import pyarrow as pa
+
+from perfect_bloomfilter_ray import CountMinSketch, HyperLogLog, KLLSketch, TDigest
+
+
+def test_hll_error_within_3_sigma():
+    for true_n in (100, 10_000, 200_000):
+        h = HyperLogLog(p=12)
+        h.update_column(pa.array([f"k{i}" for i in range(true_n)]))
+        est = h.estimate()
+        assert abs(est - true_n) <= 3 * h.rel_error * true_n + 3, (true_n, est)
+
+
+def test_hll_duplicates_do_not_change_estimate():
+    h1 = HyperLogLog(12)
+    h1.update_column(pa.array([f"k{i}" for i in range(1000)]))
+    h2 = HyperLogLog(12)
+    h2.update_column(pa.array([f"k{i % 1000}" for i in range(10_000)]))
+    assert h1.state_equal(h2)
+
+
+def test_cms_overestimates_within_eps_n():
+    rng = np.random.default_rng(7)
+    # zipf-ish frequencies
+    keys = [f"u{int(z)}" for z in rng.zipf(1.3, 50_000)]
+    c = CountMinSketch(eps=1e-3, delta=1e-3)
+    c.update_column(pa.array(keys))
+    import collections
+
+    exact = collections.Counter(keys)
+    probes = [k for k, _ in exact.most_common(50)]
+    est = c.estimate_column(pa.array(probes))
+    for k, e in zip(probes, est):
+        assert e >= exact[k], "CMS must never underestimate"
+        assert e <= exact[k] + c.eps * c.total, "CMS overshoot beyond eps*N"
+
+
+def test_kll_rank_error():
+    rng = np.random.default_rng(1)
+    data = rng.lognormal(3, 1, 300_000)
+    s = KLLSketch(k=200)
+    for chunk in np.array_split(data, 10):
+        s.update_column(chunk)
+    srt = np.sort(data)
+    for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+        v = s.quantile(q)
+        true_rank = np.searchsorted(srt, v) / len(srt)
+        assert abs(true_rank - q) < 0.02, (q, v, true_rank)
+
+
+def test_tdigest_rank_error_tail_accurate():
+    rng = np.random.default_rng(2)
+    data = rng.normal(0, 1, 300_000)
+    t = TDigest(200)
+    for chunk in np.array_split(data, 7):
+        t.update_column(chunk)
+    srt = np.sort(data)
+    for q, tol in ((0.001, 0.002), (0.01, 0.005), (0.5, 0.02), (0.99, 0.005), (0.999, 0.002)):
+        v = t.quantile(q)
+        true_rank = np.searchsorted(srt, v) / len(srt)
+        assert abs(true_rank - q) < tol, (q, v, true_rank)
+
+
+def test_tdigest_extremes_exact():
+    t = TDigest(100)
+    data = np.arange(10_000, dtype=float)
+    t.update_column(data)
+    assert t.quantile(0.0) == 0.0
+    assert t.quantile(1.0) == 9999.0
+
+
+def test_serialization_roundtrips():
+    data = np.random.default_rng(3).normal(size=5000)
+    keys = pa.array([f"k{i}" for i in range(5000)])
+    sketches = []
+    h = HyperLogLog(10)
+    h.update_column(keys)
+    sketches.append((h, lambda s: s.estimate()))
+    c = CountMinSketch(1e-3, 1e-3)
+    c.update_column(keys)
+    sketches.append((c, lambda s: s.counts.sum()))
+    k = KLLSketch(128)
+    k.update_column(data)
+    sketches.append((k, lambda s: s.quantile(0.5)))
+    t = TDigest(100)
+    t.update_column(data)
+    sketches.append((t, lambda s: s.quantile(0.5)))
+    for s, probe in sketches:
+        rt = type(s).from_bytes(s.to_bytes())
+        assert probe(rt) == probe(s)
