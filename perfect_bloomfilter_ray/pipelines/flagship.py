@@ -1,0 +1,110 @@
+"""Flagship pipeline: one streaming pass over a web-page corpus → all sketches.
+
+read_parquet (pruned columns) → map_batches invariant check + host extraction
+→ ONE multi-aggregate pass building every sketch family at once (each block
+visited once; Ray tree-merges the five accumulator sets independently) plus
+grouped per-lang sketches via the two-phase shuffle tree.
+
+This is the pipeline `entry()` smoke-runs at sf0.001, `bench.py` times at
+scale, and the scaling benchmark runs at two parallelism levels.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+
+from perfect_bloomfilter_ray.config import BloomConfig
+from perfect_bloomfilter_ray.functions.text import extract_text, host_of
+from perfect_bloomfilter_ray.state.bloom import BloomCascade
+from perfect_bloomfilter_ray.state.cms import CountMinSketch
+from perfect_bloomfilter_ray.state.hll import HyperLogLog
+from perfect_bloomfilter_ray.state.kll import KLLSketch
+from perfect_bloomfilter_ray.state.tdigest import TDigest
+from perfect_bloomfilter_ray.stages.agg import SketchAgg, sketch_grouped
+
+
+def prepare_pages(ds: Dataset, check_invariant: bool = True) -> Dataset:
+    """Add host + text_len columns; optionally verify the row invariant
+    (text byte-identical to extract_text(html), BASELINE.json input_hint)."""
+
+    def prep(t: pa.Table) -> pa.Table:
+        if check_invariant and "html" in t.column_names:
+            recomputed = extract_text(t.column("html"))
+            bad = pc.sum(
+                pc.cast(pc.not_equal(recomputed, t.column("text")), pa.int64())
+            ).as_py()
+            if bad:
+                raise ValueError(f"text invariant violated for {bad} rows in batch")
+        out = t.append_column("host", host_of(t.column("url")))
+        return out.append_column("text_len", pc.utf8_length(t.column("text")))
+
+    return ds.map_batches(prep, batch_format="pyarrow")
+
+
+def build_all_sketches(pages: Dataset, expected_urls: int) -> dict:
+    """One pass, five sketch families. Returns {name: sketch object}."""
+    res = pages.aggregate(
+        SketchAgg(lambda: BloomCascade.for_capacity(expected_urls, BloomConfig()), on="url", name="bloom_url"),
+        SketchAgg(lambda: HyperLogLog(14), on="url", name="hll_url"),
+        SketchAgg(lambda: CountMinSketch(1e-4, 1e-3), on="host", name="cms_host"),
+        SketchAgg(lambda: KLLSketch(256), on="text_len", name="kll_text_len"),
+        SketchAgg(lambda: TDigest(200), on="text_len", name="tdigest_text_len"),
+    )
+    return {
+        "bloom_url": BloomCascade.from_bytes(res["bloom_url"]),
+        "hll_url": HyperLogLog.from_bytes(res["hll_url"]),
+        "cms_host": CountMinSketch.from_bytes(res["cms_host"]),
+        "kll_text_len": KLLSketch.from_bytes(res["kll_text_len"]),
+        "tdigest_text_len": TDigest.from_bytes(res["tdigest_text_len"]),
+    }
+
+
+def per_lang_summary(pages: Dataset) -> Dataset:
+    """Grouped sketches per lang (two-phase partial/merge, salted for skew)."""
+    return sketch_grouped(
+        pages,
+        key="lang",
+        col="url",
+        factory=lambda: HyperLogLog(12),
+        name="distinct_urls_est",
+        finalize_fn=lambda s: float(s.estimate()),
+        salt=8,
+    )
+
+
+def flagship(sf_dir_or_pages, expected_urls: int | None = None) -> pd.DataFrame:
+    """End-to-end: prepare → build global sketches → per-lang summary.
+
+    Accepts a pages Dataset or a directory containing pages parquet. Returns
+    a one-row-per-lang DataFrame plus global sketch stats as attrs.
+    """
+    import ray.data as rd
+
+    if isinstance(sf_dir_or_pages, str):
+        ds = rd.read_parquet(sf_dir_or_pages)
+    else:
+        ds = sf_dir_or_pages
+    n = expected_urls or max(1024, ds.count())
+    pages = prepare_pages(ds)
+    sketches = build_all_sketches(pages, n)
+    per_lang = per_lang_summary(pages).to_pandas().sort_values("lang").reset_index(drop=True)
+
+    bloom = sketches["bloom_url"]
+    summary = {
+        "rows": n,
+        "distinct_urls_est": sketches["hll_url"].estimate(),
+        "bloom_layers": len(bloom.layers),
+        "bloom_key_count": bloom.key_count,
+        "bloom_effective_fpr": bloom.effective_fpr(),
+        "text_len_p50_kll": sketches["kll_text_len"].quantile(0.5),
+        "text_len_p99_kll": sketches["kll_text_len"].quantile(0.99),
+        "text_len_p50_tdigest": sketches["tdigest_text_len"].quantile(0.5),
+        "cms_total": sketches["cms_host"].total,
+    }
+    per_lang.attrs["summary"] = summary
+    return per_lang

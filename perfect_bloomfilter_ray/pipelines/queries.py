@@ -1,0 +1,627 @@
+"""Driver-facing analytics suite: Ray pipelines + DuckDB oracle SQL pairs.
+
+Every entry is registered with ``@q(name, sql=...)``: the Ray callable takes
+``sf_dir`` and returns a Dataset / DataFrame / Table; ``sql`` is the ANSI-SQL
+equivalent DuckDB runs on the same parquet (views pre-registered by the
+driver). Column names match EXACTLY between both sides; float aggregates are
+rounded identically on both sides (addition order differs between engines).
+
+Entries without ``sql`` are genuinely non-SQL-expressible (sketch estimates,
+LSH candidates) — the driver records a rows-only check and pytest holds the
+error-bound tests instead.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+QUERIES: dict[str, Callable[[str], Any]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE_SQL[name] = sql
+        return fn
+
+    return deco
+
+
+def _t(sf_dir: str, name: str, columns: list[str] | None = None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def _round(df: pd.DataFrame, spec: dict[str, int]) -> pd.DataFrame:
+    for c, d in spec.items():
+        df[c] = df[c].astype(float).round(d)
+    return df
+
+
+# ---------------------------------------------------------------------------
+# Exact aggregates / joins / sorts (SQL-oracle-backed)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "q1_pricing_summary",
+    sql="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                  AS sum_qty,
+           round(sum(l_extendedprice), 2)                             AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)          AS sum_disc_price,
+           round(avg(l_quantity), 4)                                  AS avg_qty,
+           count(*)                                                   AS count_order
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(sf_dir: str):
+    ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"])
+
+    def revenue(t: pa.Table) -> pa.Table:
+        disc = pc.multiply(t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        return t.append_column("disc_price", disc)
+
+    out = (
+        ds.map_batches(revenue, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Mean("l_quantity", alias_name="avg_qty"),
+            Count(alias_name="count_order"),
+        )
+        .to_pandas()
+        .sort_values(["l_returnflag", "l_linestatus"])
+        .reset_index(drop=True)
+    )
+    return _round(out, {"sum_qty": 2, "sum_base_price": 2, "sum_disc_price": 2, "avg_qty": 4})
+
+
+@q(
+    "top_orders_by_revenue",
+    sql="""
+    SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem GROUP BY l_orderkey
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def top_orders_by_revenue(sf_dir: str):
+    ds = _t(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def revenue(t: pa.Table) -> pa.Table:
+        r = pc.multiply(t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        return pa.table({"l_orderkey": t.column("l_orderkey"), "revenue": r})
+
+    out = (
+        ds.map_batches(revenue, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+        .to_pandas()
+    )
+    out = _round(out, {"revenue": 2})
+    out = out.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).head(10)
+    return out.reset_index(drop=True)
+
+
+@q(
+    "order_priority_count",
+    sql="""
+    SELECT o_orderpriority, count(*) AS n FROM orders
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def order_priority_count(sf_dir: str):
+    return (
+        _t(sf_dir, "orders", ["o_orderpriority"])
+        .groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n"))
+        .sort("o_orderpriority")
+    )
+
+
+@q(
+    "nation_customer_balance",
+    sql="""
+    SELECT n.n_name, count(*) AS n_customers, round(sum(c.c_acctbal), 2) AS total_acctbal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name ORDER BY n.n_name
+    """,
+)
+def nation_customer_balance(sf_dir: str):
+    cust = _t(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+    nation = _t(sf_dir, "nation", ["n_nationkey", "n_name"])
+    joined = cust.join(nation, "inner", num_partitions=4, on=("c_nationkey",), right_on=("n_nationkey",))
+    out = (
+        joined.groupby("n_name")
+        .aggregate(Count(alias_name="n_customers"), Sum("c_acctbal", alias_name="total_acctbal"))
+        .to_pandas()
+        .sort_values("n_name")
+        .reset_index(drop=True)
+    )
+    return _round(out, {"total_acctbal": 2})
+
+
+@q(
+    "region_supplier_balance",
+    sql="""
+    SELECT r.r_name, count(*) AS n_suppliers, round(sum(s.s_acctbal), 2) AS total_acctbal
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name ORDER BY r.r_name
+    """,
+)
+def region_supplier_balance(sf_dir: str):
+    sup = _t(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+    nation = _t(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
+    region = _t(sf_dir, "region", ["r_regionkey", "r_name"])
+    j1 = sup.join(nation, "inner", num_partitions=2, on=("s_nationkey",), right_on=("n_nationkey",))
+    j2 = j1.join(region, "inner", num_partitions=2, on=("n_regionkey",), right_on=("r_regionkey",))
+    out = (
+        j2.groupby("r_name")
+        .aggregate(Count(alias_name="n_suppliers"), Sum("s_acctbal", alias_name="total_acctbal"))
+        .to_pandas()
+        .sort_values("r_name")
+        .reset_index(drop=True)
+    )
+    return _round(out, {"total_acctbal": 2})
+
+
+@q(
+    "events_hourly",
+    sql="""
+    SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY event_type, hour ORDER BY event_type, hour
+    """,
+)
+def events_hourly(sf_dir: str):
+    ds = _t(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def trunc(t: pa.Table) -> pa.Table:
+        return t.append_column("hour", pc.floor_temporal(t.column("ts"), unit="hour"))
+
+    out = (
+        ds.map_batches(trunc, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+        .to_pandas()
+        .sort_values(["event_type", "hour"])
+        .reset_index(drop=True)
+    )
+    return _round(out, {"sum_value": 2})
+
+
+@q(
+    "heavy_hitter_users_exact",
+    sql="""
+    SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+    ORDER BY n DESC, user_id LIMIT 20
+    """,
+)
+def heavy_hitter_users_exact(sf_dir: str):
+    out = (
+        _t(sf_dir, "events", ["user_id"])
+        .groupby("user_id")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .sort_values(["n", "user_id"], ascending=[False, True])
+        .head(20)
+        .reset_index(drop=True)
+    )
+    return out
+
+
+@q(
+    "distinct_users_per_type",
+    sql="""
+    SELECT event_type, count(DISTINCT user_id) AS distinct_users
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def distinct_users_per_type(sf_dir: str):
+    ds = _t(sf_dir, "events", ["event_type", "user_id"])
+    pairs = ds.groupby(["event_type", "user_id"]).aggregate(Count(alias_name="_c"))
+    return (
+        pairs.groupby("event_type")
+        .aggregate(Count(alias_name="distinct_users"))
+        .sort("event_type")
+    )
+
+
+@q(
+    "docs_stats_per_lang",
+    sql="""
+    SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars,
+           min(n_chars) AS min_chars, max(n_chars) AS max_chars
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def docs_stats_per_lang(sf_dir: str):
+    out = (
+        _t(sf_dir, "documents", ["lang", "n_chars"])
+        .groupby("lang")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Mean("n_chars", alias_name="avg_chars"),
+            Min("n_chars", alias_name="min_chars"),
+            Max("n_chars", alias_name="max_chars"),
+        )
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    return _round(out, {"avg_chars": 4})
+
+
+@q(
+    "dedup_exact_docs",
+    sql="""
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+    ORDER BY doc_id
+    """,
+)
+def dedup_exact_docs(sf_dir: str):
+    from perfect_bloomfilter_ray.stages.dedup import exact_dedup
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
+    out = exact_dedup(ds, "text", "doc_id").select_columns(["doc_id", "lang", "n_chars"])
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+@q(
+    "doc_token_stats",
+    sql="""
+    SELECT lang,
+           sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS total_tokens,
+           round(avg(CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END), 4) AS avg_tokens
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def doc_token_stats(sf_dir: str):
+    from perfect_bloomfilter_ray.functions.text import token_count
+
+    ds = _t(sf_dir, "documents", ["lang", "text"])
+
+    def tok(t: pa.Table) -> pa.Table:
+        return pa.table({"lang": t.column("lang"), "tokens": token_count(t.column("text"))})
+
+    out = (
+        ds.map_batches(tok, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("tokens", alias_name="total_tokens"), Mean("tokens", alias_name="avg_tokens"))
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    return _round(out, {"avg_tokens": 4})
+
+
+@q(
+    "part_brand_stats",
+    sql="""
+    SELECT p_brand, count(*) AS n_parts, round(avg(p_retailprice), 4) AS avg_price
+    FROM part GROUP BY p_brand ORDER BY p_brand
+    """,
+)
+def part_brand_stats(sf_dir: str):
+    out = (
+        _t(sf_dir, "part", ["p_brand", "p_retailprice"])
+        .groupby("p_brand")
+        .aggregate(Count(alias_name="n_parts"), Mean("p_retailprice", alias_name="avg_price"))
+        .to_pandas()
+        .sort_values("p_brand")
+        .reset_index(drop=True)
+    )
+    return _round(out, {"avg_price": 4})
+
+
+@q(
+    "monthly_shipments",
+    sql="""
+    SELECT date_trunc('month', l_shipdate) AS month, count(*) AS n,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem GROUP BY month ORDER BY month
+    """,
+)
+def monthly_shipments(sf_dir: str):
+    ds = _t(sf_dir, "lineitem", ["l_shipdate", "l_quantity"])
+
+    def trunc(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"month": pc.floor_temporal(t.column("l_shipdate"), unit="month"), "l_quantity": t.column("l_quantity")}
+        )
+
+    out = (
+        ds.map_batches(trunc, batch_format="pyarrow")
+        .groupby("month")
+        .aggregate(Count(alias_name="n"), Sum("l_quantity", alias_name="sum_qty"))
+        .to_pandas()
+        .sort_values("month")
+        .reset_index(drop=True)
+    )
+    return _round(out, {"sum_qty": 2})
+
+
+@q(
+    "events_value_histogram",
+    sql="""
+    SELECT CAST(floor(value / 50) AS BIGINT) AS bucket, count(*) AS n
+    FROM events GROUP BY bucket ORDER BY bucket
+    """,
+)
+def events_value_histogram(sf_dir: str):
+    ds = _t(sf_dir, "events", ["value"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.floor(pc.divide(t.column("value"), pa.scalar(50.0))), pa.int64())
+        return pa.table({"bucket": b})
+
+    return ds.map_batches(bucket, batch_format="pyarrow").groupby("bucket").aggregate(Count(alias_name="n")).sort("bucket")
+
+
+@q(
+    "median_nchars_per_lang",
+    sql="""
+    SELECT lang, round(quantile_cont(n_chars, 0.5), 4) AS median_chars
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def median_nchars_per_lang(sf_dir: str):
+    ds = _t(sf_dir, "documents", ["lang", "n_chars"])
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"lang": [g["lang"].iloc[0]], "median_chars": [round(float(np.percentile(g["n_chars"], 50)), 4)]}
+        )
+
+    return ds.groupby("lang").map_groups(med, batch_format="pandas").sort("lang")
+
+
+# ---------------------------------------------------------------------------
+# Bloom semi/anti joins (SQL-backed: FPR ~3e-13 makes them exact in practice)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "bloom_semijoin_building_orders",
+    sql="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    ORDER BY o_orderkey
+    """,
+)
+def bloom_semijoin_building_orders(sf_dir: str):
+    from perfect_bloomfilter_ray.stages.membership import bloom_semi_join
+
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).filter(
+        expr="c_mktsegment == 'BUILDING'"
+    )
+    out = bloom_semi_join(orders, cust, "o_custkey", "c_custkey", expected_keys=200_000)
+    return (
+        out.select_columns(["o_orderkey", "o_totalprice"]).to_pandas().sort_values("o_orderkey").reset_index(drop=True)
+    )
+
+
+@q(
+    "bloom_antijoin_customers_without_f_orders",
+    sql="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    ORDER BY c_custkey
+    """,
+)
+def bloom_antijoin_customers_without_f_orders(sf_dir: str):
+    from perfect_bloomfilter_ray.stages.membership import bloom_semi_join
+
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_name"])
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_orderstatus"]).filter(expr="o_orderstatus == 'F'")
+    out = bloom_semi_join(cust, orders, "c_custkey", "o_custkey", expected_keys=2_000_000, anti=True)
+    df = out.select_columns(["c_custkey", "c_name"]).to_pandas()
+    if df.empty:
+        df = pd.DataFrame({"c_custkey": pd.Series(dtype="int64"), "c_name": pd.Series(dtype="object")})
+    return df.sort_values("c_custkey").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "ann_topk_bruteforce",
+    sql="""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 4)
+    SELECT query_id, vec_id FROM (
+        SELECT q.query_id, e.vec_id,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id
+               ) AS rk
+        FROM q CROSS JOIN embeddings e
+    ) WHERE rk <= 10 ORDER BY query_id, vec_id
+    """,
+)
+def ann_topk_bruteforce(sf_dir: str):
+    from perfect_bloomfilter_ray.stages.ann import brute_force_topk
+
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrows = emb.filter(expr="vec_id < 4").take_all()
+    dim = len(qrows[0]["embedding"])
+    queries = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in sorted(qrows, key=lambda r: r["vec_id"])])
+    df = brute_force_topk(emb, queries, "embedding", "vec_id", dim, k=10)
+    out = df[["query_id", "vec_id"]].astype({"query_id": "int64", "vec_id": "int64"})
+    return out.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Sketch estimates + dedup/LSH candidates (rows-only checks; bounds in pytest)
+# ---------------------------------------------------------------------------
+
+
+@q("hll_distinct_users_per_type")
+def hll_distinct_users_per_type(sf_dir: str):
+    from perfect_bloomfilter_ray.state.hll import HyperLogLog
+    from perfect_bloomfilter_ray.stages.agg import sketch_grouped
+
+    ds = _t(sf_dir, "events", ["event_type", "user_id"])
+    out = sketch_grouped(
+        ds, "event_type", "user_id", lambda: HyperLogLog(12),
+        name="distinct_users_est", finalize_fn=lambda s: float(s.estimate()),
+    )
+    return out.to_pandas().sort_values("event_type").reset_index(drop=True)
+
+
+@q("cms_heavy_hitter_users")
+def cms_heavy_hitter_users(sf_dir: str):
+    from perfect_bloomfilter_ray.state.cms import CountMinSketch
+    from perfect_bloomfilter_ray.stages.agg import sketch_global
+
+    ds = _t(sf_dir, "events", ["user_id"])
+    cms = sketch_global(ds, "user_id", lambda: CountMinSketch(eps=1e-4, delta=1e-3), name="cms")
+    exact_top = (
+        ds.groupby("user_id").aggregate(Count(alias_name="n")).to_pandas()
+        .sort_values(["n", "user_id"], ascending=[False, True]).head(20)
+    )
+    probes = pa.array(exact_top["user_id"].to_numpy())
+    est = cms.estimate_column(probes)
+    return pd.DataFrame(
+        {"user_id": exact_top["user_id"].to_numpy(), "est_count": est.astype("int64")}
+    ).reset_index(drop=True)
+
+
+@q("kll_nchars_quantiles")
+def kll_nchars_quantiles(sf_dir: str):
+    from perfect_bloomfilter_ray.state.kll import KLLSketch
+    from perfect_bloomfilter_ray.stages.agg import sketch_global
+
+    ds = _t(sf_dir, "documents", ["n_chars"])
+    s = sketch_global(ds, "n_chars", lambda: KLLSketch(256), name="kll")
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    return pd.DataFrame({"q": qs, "n_chars_quantile": [s.quantile(x) for x in qs]})
+
+
+@q("tdigest_value_quantiles")
+def tdigest_value_quantiles(sf_dir: str):
+    from perfect_bloomfilter_ray.state.tdigest import TDigest
+    from perfect_bloomfilter_ray.stages.agg import sketch_global
+
+    ds = _t(sf_dir, "events", ["value"])
+    s = sketch_global(ds, "value", lambda: TDigest(200), name="td")
+    qs = [0.01, 0.1, 0.5, 0.9, 0.99]
+    return pd.DataFrame({"q": qs, "value_quantile": [s.quantile(x) for x in qs]})
+
+
+@q("bloom_membership_roundtrip")
+def bloom_membership_roundtrip(sf_dir: str):
+    """check→insert→check conformance over the events user space (the
+    sync_test.rs contract, distributed): 0 FP on fresh, 0 FN on inserted."""
+    from perfect_bloomfilter_ray.stages.membership import build_filter, membership_column
+
+    ds = _t(sf_dir, "events", ["event_id", "user_id"])
+    filt = build_filter(ds, "event_id", expected_keys=max(1024, ds.count()))
+    checked = membership_column(ds, filt, "event_id", "member")
+    n_member = checked.filter(expr="member == True").count()
+    n_total = ds.count()
+    fresh = pa.array(np.arange(10_000_000, 10_100_000))
+    fp = int(filt.contains_column(fresh).sum())
+    return pd.DataFrame(
+        {"inserted": [n_total], "members": [n_member], "false_negatives": [n_total - n_member], "fresh_probes": [100_000], "false_positives": [fp]}
+    )
+
+
+@q("minhash_dedup_pairs")
+def minhash_dedup_pairs(sf_dir: str):
+    from perfect_bloomfilter_ray.stages.dedup import minhash_lsh_pairs
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = minhash_lsh_pairs(ds, "text", "doc_id", num_perms=128, bands=16, threshold=0.5)
+    df = out.to_pandas()
+    if len(df):
+        df = df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        df["est_jaccard"] = df["est_jaccard"].round(4)
+    return df
+
+
+@q("simhash_dedup_pairs")
+def simhash_dedup_pairs(sf_dir: str):
+    from perfect_bloomfilter_ray.stages.dedup import simhash_pairs
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    df = simhash_pairs(ds, "text", "doc_id", max_hamming=3).to_pandas()
+    return df.sort_values(["id_a", "id_b"]).reset_index(drop=True) if len(df) else df
+
+
+@q("embedding_neardup_pairs")
+def embedding_neardup_pairs_q(sf_dir: str):
+    from perfect_bloomfilter_ray.stages.dedup import embedding_neardup_pairs
+
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    dim = len(emb.take(1)[0]["embedding"])
+    df = embedding_neardup_pairs(emb, "embedding", "vec_id", dim, cos_threshold=0.95).to_pandas()
+    if len(df):
+        df = df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        df["cos"] = df["cos"].round(4)
+    return df
+
+
+@q("lang_id_documents")
+def lang_id_documents(sf_dir: str):
+    """Heuristic language-ID vs the labeled lang column (accuracy report)."""
+    from perfect_bloomfilter_ray.functions.text import lang_id
+
+    ds = _t(sf_dir, "documents", ["lang", "text"])
+
+    def ident(t: pa.Table) -> pa.Table:
+        return pa.table({"lang": t.column("lang"), "pred": lang_id(t.column("text"))})
+
+    out = ds.map_batches(ident, batch_format="pyarrow").groupby(["lang", "pred"]).aggregate(Count(alias_name="n"))
+    return out.to_pandas().sort_values(["lang", "pred"]).reset_index(drop=True)
+
+
+@q("doc_quality_scores")
+def doc_quality_scores(sf_dir: str):
+    from perfect_bloomfilter_ray.functions.text import quality_score
+
+    ds = _t(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def score(t: pa.Table) -> pa.Table:
+        return pa.table({"lang": t.column("lang"), "score": quality_score(t.column("text"))})
+
+    out = (
+        ds.map_batches(score, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Mean("score", alias_name="avg_quality"), Count(alias_name="n"))
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    return _round(out, {"avg_quality": 4})
+
+
+@q("ann_topk_lsh")
+def ann_topk_lsh(sf_dir: str):
+    from perfect_bloomfilter_ray.stages.ann import lsh_topk
+
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrows = emb.filter(expr="vec_id < 4").take_all()
+    dim = len(qrows[0]["embedding"])
+    queries = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in sorted(qrows, key=lambda r: r["vec_id"])])
+    df = lsh_topk(emb, queries, "embedding", "vec_id", dim, k=10)
+    return df[["query_id", "vec_id"]].astype({"query_id": "int64", "vec_id": "int64"}).sort_values(["query_id", "vec_id"]).reset_index(drop=True)

@@ -1,0 +1,131 @@
+"""Checkpointed, resumable sketch builds with per-partition lineage + metrics.
+
+Replaces the reference's WAL (filter.rs:347-371 drain / 490-524 rebuild) with
+the batch-native equivalent (SURVEY §2.1 op #12, §4.2): the input partition IS
+the durable key log, so a checkpoint is just the partial sketch of one input
+partition, written atomically (tmp + rename) and named by
+``(dataset_fingerprint, stage, partition_id)``. A manifest JSON accumulates
+lineage (input file, rows, bytes) and metrics (wall seconds) per partition.
+On resume, finished partitions load from disk and only the rest recompute —
+re-merging is safe because every sketch merge is associative/commutative.
+
+This stage uses raw ``@ray.remote`` tasks deliberately: per-partition durable
+side outputs + skip-if-done scheduling is the one semantics Dataset.aggregate
+cannot express (its partials are transient). Partition granularity = one
+input Parquet file (at 100 TB: one file ≈ one block-sized shard; pass a
+fragment list instead to subdivide).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Callable
+
+import ray
+
+from perfect_bloomfilter_ray.state.base import dumps_sketch, loads_sketch
+
+
+def _fingerprint(files: list[str]) -> str:
+    import hashlib
+
+    h = hashlib.sha256()
+    for f in sorted(files):
+        st = os.stat(f)
+        h.update(f"{f}:{st.st_size}:{int(st.st_mtime)}".encode())
+    return h.hexdigest()[:16]
+
+
+@ray.remote
+def _build_partition(
+    file: str, col: str, factory_bytes: bytes, part_path: str, columns: list[str] | None
+) -> dict:
+    import pyarrow.parquet as pq
+    from ray import cloudpickle
+
+    t0 = time.time()
+    factory = cloudpickle.loads(factory_bytes)
+    sketch = factory()
+    pf = pq.ParquetFile(file)
+    rows = 0
+    for batch in pf.iter_batches(batch_size=64 * 1024, columns=columns or [col]):
+        c = batch.column(col)
+        if c.null_count:
+            c = c.drop_null()
+        sketch.update_column(c)
+        rows += len(batch)
+    tmp = part_path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(dumps_sketch(sketch))
+    os.replace(tmp, part_path)  # atomic publish
+    return {
+        "file": file,
+        "rows": rows,
+        "bytes": os.path.getsize(file),
+        "seconds": round(time.time() - t0, 3),
+        "resumed": False,
+    }
+
+
+def checkpointed_build(
+    input_files: list[str],
+    col: str,
+    factory: Callable[[], Any],
+    ckpt_dir: str,
+    stage: str = "sketch",
+) -> tuple[Any, dict]:
+    """Build factory() over ``col`` of all files, resumable per partition.
+
+    Returns (merged_sketch, manifest). Re-running after a partial failure
+    skips every partition whose checkpoint file already exists and produces a
+    byte-identical final sketch (tested in tests/test_checkpoint.py).
+    """
+    from ray import cloudpickle
+
+    os.makedirs(ckpt_dir, exist_ok=True)
+    fp = _fingerprint(input_files)
+    factory_bytes = cloudpickle.dumps(factory)  # lambdas/closures must survive
+
+
+    part_paths = [os.path.join(ckpt_dir, f"{fp}_{stage}_part-{i:05d}.sketch") for i in range(len(input_files))]
+    pending, done = [], []
+    for i, (f, p) in enumerate(zip(input_files, part_paths)):
+        (done if os.path.exists(p) else pending).append(i)
+
+    futures = {
+        i: _build_partition.remote(input_files[i], col, factory_bytes, part_paths[i], None)
+        for i in pending
+    }
+    entries: dict[int, dict] = {}
+    for i in done:
+        entries[i] = {
+            "file": input_files[i],
+            "rows": None,
+            "bytes": os.path.getsize(input_files[i]),
+            "seconds": 0.0,
+            "resumed": True,
+        }
+    for i, fut in futures.items():
+        entries[i] = ray.get(fut)
+
+    merged = None
+    for p in part_paths:
+        with open(p, "rb") as fh:
+            s = loads_sketch(fh.read())
+        merged = s if merged is None else merged.merge(s)
+
+    manifest = {
+        "fingerprint": fp,
+        "stage": stage,
+        "column": col,
+        "partitions": [
+            {"partition_id": i, "checkpoint": part_paths[i], **entries[i]} for i in range(len(input_files))
+        ],
+        "num_resumed": len(done),
+        "num_built": len(pending),
+    }
+    with open(os.path.join(ckpt_dir, f"{fp}_{stage}_manifest.json"), "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    return merged, manifest

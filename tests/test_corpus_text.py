@@ -1,0 +1,70 @@
+"""Corpus generator + text kernel tests (FIXTURES.md F1 invariants)."""
+
+import numpy as np
+import polars as pl
+import pyarrow as pa
+
+from perfect_bloomfilter_ray.functions.text import (
+    extract_text,
+    fingerprint64,
+    host_of,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from perfect_bloomfilter_ray.sources.corpus import DUP_FRAC, LANGS, gen_pages_table
+
+
+def test_generation_deterministic_and_layout_independent():
+    a = gen_pages_table(np.arange(0, 300))
+    b = gen_pages_table(np.arange(100, 300))
+    assert a.slice(100).equals(b)  # same rows regardless of block layout
+    again = gen_pages_table(np.arange(0, 300))
+    assert a.equals(again)
+
+
+def test_text_invariant_byte_identical():
+    t = gen_pages_table(np.arange(2000))
+    assert t.column("text").to_pylist() == extract_text(t.column("html")).to_pylist()
+
+
+def test_schema_matches_input_hint():
+    t = gen_pages_table(np.arange(10))
+    assert t.schema.names == ["url", "warc_ts", "html", "text", "lang"]
+    assert t.schema.field("url").type == pa.string()
+    assert t.schema.field("warc_ts").type == pa.timestamp("us")
+    assert t.schema.field("html").type == pa.binary()
+    assert t.schema.field("lang").type == pa.string()
+
+
+def test_dup_and_skew_profile():
+    t = gen_pages_table(np.arange(10_000))
+    texts = t.column("text").to_pylist()
+    dup_rate = 1 - len(set(texts)) / len(texts)
+    assert 0.5 * DUP_FRAC < dup_rate < 2 * DUP_FRAC
+    langs = t.column("lang").to_pylist()
+    assert max(set(langs), key=langs.count) == "en"  # zipf skew, en-heavy
+    assert set(langs) <= set(LANGS)
+
+
+def test_extract_text_rules():
+    html = pa.array([b"<html><body><p>Hello &amp; <b>world</b></p>\n<p>again</p></body></html>"])
+    assert extract_text(html).to_pylist() == ["Hello & world again"]
+
+
+def test_host_and_tokens():
+    assert host_of(pa.array(["https://a.example/x/y"])).to_pylist() == ["a.example"]
+    assert token_count(pa.array(["one  two three", "", " x "])).to_pylist() == [3, 0, 1]
+
+
+def test_lang_id_on_marker_text():
+    out = lang_id(pa.array(["the cat and the dog is here", "der Hund und die Katze ist", "xyzzy"]))
+    assert out.to_pylist() == ["en", "de", "und"]
+
+
+def test_quality_and_fingerprint():
+    scores = quality_score(pa.array(["the quick brown fox, and the lazy dog." * 20, "x"]))
+    assert scores[0].as_py() > scores[1].as_py()
+    fp = fingerprint64(pa.array(["Hello,   World!", "hello world", "different"]))
+    assert fp[0].as_py() == fp[1].as_py()  # normalization collapses formatting
+    assert fp[0].as_py() != fp[2].as_py()

@@ -1,0 +1,165 @@
+"""Ray-integration tests: UDAF adapters, membership, dedup, ANN, checkpoint."""
+
+import glob
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from perfect_bloomfilter_ray import BloomCascade, BloomConfig, CountMinSketch, HyperLogLog, KLLSketch
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session, sf_dir):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_sketch_global_matches_local(docs_ds, sf_dir):
+    import pyarrow.parquet as pq
+
+    from perfect_bloomfilter_ray.stages.agg import sketch_global
+
+    h = sketch_global(docs_ds, "text", lambda: HyperLogLog(12), name="hll")
+    local = HyperLogLog(12)
+    local.update_column(pq.read_table(f"{sf_dir}/documents.parquet").column("text"))
+    assert h.state_equal(local)  # distributed build == sequential build, exactly
+
+
+def test_sketch_grouped_matches_local(docs_ds, sf_dir):
+    import pyarrow.parquet as pq
+
+    from perfect_bloomfilter_ray.stages.agg import sketch_grouped
+
+    out = sketch_grouped(
+        docs_ds, "lang", "text", lambda: HyperLogLog(10),
+        name="est", finalize_fn=lambda s: float(s.estimate()), batch_size=64, salt=4,
+    ).to_pandas()
+    t = pq.read_table(f"{sf_dir}/documents.parquet")
+    for lang in out["lang"]:
+        mask = pa.compute.equal(t.column("lang"), lang)
+        local = HyperLogLog(10)
+        local.update_column(t.filter(mask).column("text"))
+        got = float(out.loc[out["lang"] == lang, "est"].iloc[0])
+        assert got == pytest.approx(local.estimate())
+
+
+def test_membership_semi_join_exact(ray_session, sf_dir):
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.membership import bloom_semi_join
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]).filter(
+        expr="c_mktsegment == 'BUILDING'"
+    )
+    got = sorted(r["o_orderkey"] for r in bloom_semi_join(orders, cust, "o_custkey", "c_custkey", 10_000).take_all())
+
+    import duckdb
+
+    want = duckdb.sql(
+        f"SELECT o_orderkey FROM '{sf_dir}/orders.parquet' WHERE o_custkey IN "
+        f"(SELECT c_custkey FROM '{sf_dir}/customer.parquet' WHERE c_mktsegment='BUILDING') ORDER BY 1"
+    ).df()["o_orderkey"].tolist()
+    assert got == want
+
+
+def test_sharded_filter_roundtrip(ray_session, sf_dir):
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.membership import ShardedBloomFilter, build_sharded_filter
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    f = build_sharded_filter(ev, "event_id", num_shards=8, expected_keys=2000)
+    keys = pa.array(np.arange(1000))
+    assert f.contains_column(keys).all()
+    fresh = pa.array(np.arange(5_000_000, 5_050_000))
+    assert int(f.contains_column(fresh).sum()) == 0
+    rt = ShardedBloomFilter.from_bytes(f.to_bytes())
+    assert rt.contains_column(keys).all()
+
+
+def test_exact_dedup_keeps_min_id(docs_ds, ray_session):
+    import duckdb
+
+    from perfect_bloomfilter_ray.stages.dedup import exact_dedup
+
+    out = exact_dedup(docs_ds, "text", "doc_id").select_columns(["doc_id"]).to_pandas()
+    want = duckdb.sql(
+        "SELECT min(doc_id) AS doc_id FROM '/root/testdata/sf0.001/documents.parquet' GROUP BY text ORDER BY 1"
+    ).df()
+    assert sorted(out["doc_id"]) == want["doc_id"].tolist()
+
+
+def test_minhash_finds_planted_duplicates(ray_session):
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.dedup import minhash_lsh_pairs
+
+    base = " ".join(f"token{i}" for i in range(60))  # 60 words; one edit → J≈0.84
+    texts = [base, base, base.replace("token30", "changed"), "completely different words about sketches and filters and rays"]
+    more = [f"filler document number {i} with some unique words {i*7} {i*13} inside padding text" for i in range(50)]
+    ds = rd.from_arrow(pa.table({"doc_id": list(range(len(texts + more))), "text": texts + more}))
+    pairs = minhash_lsh_pairs(ds, "text", "doc_id", threshold=0.5).to_pandas()
+    found = {(int(a), int(b)) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert (0, 1) in found  # exact dup
+    assert (0, 2) in found or (1, 2) in found  # near dup
+    assert all(b <= 2 for _, b in found)  # no false pairs among fillers
+
+
+def test_simhash_pairs_planted(ray_session):
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.dedup import simhash_pairs
+
+    base = "word" + " word".join(str(i) for i in range(60))
+    texts = [base, base + " tail", "a b c d e f g h i j k l m n o p q r s t u v w x y z"]
+    ds = rd.from_arrow(pa.table({"doc_id": [0, 1, 2], "text": texts}))
+    pairs = simhash_pairs(ds, "text", "doc_id", max_hamming=3).to_pandas()
+    found = {(int(a), int(b)) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert (0, 1) in found
+    assert (0, 2) not in found and (1, 2) not in found
+
+
+def test_ann_bruteforce_and_lsh_recall(ray_session, sf_dir):
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.ann import brute_force_topk, lsh_topk
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    rows = emb.take(2)
+    dim = len(rows[0]["embedding"])
+    q = np.stack([np.asarray(r["embedding"]) for r in rows])
+    exact = brute_force_topk(emb, q, "embedding", "vec_id", dim, k=10)
+    assert len(exact) == 20
+    # each query's own vector must be its top hit (cos == 1)
+    top = exact.groupby("query_id").first()
+    assert top.loc[0, "vec_id"] == rows[0]["vec_id"]
+    assert top.loc[1, "vec_id"] == rows[1]["vec_id"]
+    approx = lsh_topk(emb, q, "embedding", "vec_id", dim, k=10, num_tables=16, num_planes=6)
+    recall = len(set(map(tuple, approx[["query_id", "vec_id"]].values)) & set(map(tuple, exact[["query_id", "vec_id"]].values))) / len(exact)
+    assert recall >= 0.5, recall
+
+
+def test_checkpoint_resume_byte_identical(ray_session, tmp_path, sf_dir):
+    from perfect_bloomfilter_ray.stages.checkpoint import checkpointed_build
+
+    files = [f"{sf_dir}/documents.parquet", "/root/testdata/sf0.01/documents.parquet"]
+    ck = str(tmp_path / "ck")
+    s1, m1 = checkpointed_build(files, "text", lambda: HyperLogLog(12), ck)
+    assert m1["num_built"] == 2 and m1["num_resumed"] == 0
+    parts = sorted(glob.glob(ck + "/*part-*.sketch"))
+    os.remove(parts[1])
+    s2, m2 = checkpointed_build(files, "text", lambda: HyperLogLog(12), ck)
+    assert m2["num_built"] == 1 and m2["num_resumed"] == 1
+    assert s1.to_bytes() == s2.to_bytes()
+
+
+def test_flagship_pipeline_runs(ray_session):
+    from perfect_bloomfilter_ray.pipelines.flagship import flagship
+    from perfect_bloomfilter_ray.sources.corpus import pages_dataset
+
+    out = flagship(pages_dataset(500, seed=1), expected_urls=500)
+    assert len(out) >= 5 and "distinct_urls_est" in out.columns
