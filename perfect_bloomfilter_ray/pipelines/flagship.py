@@ -25,7 +25,7 @@ from perfect_bloomfilter_ray.state.cms import CountMinSketch
 from perfect_bloomfilter_ray.state.hll import HyperLogLog
 from perfect_bloomfilter_ray.state.kll import KLLSketch
 from perfect_bloomfilter_ray.state.tdigest import TDigest
-from perfect_bloomfilter_ray.stages.agg import SketchAgg, sketch_grouped
+from perfect_bloomfilter_ray.stages.agg import multi_sketch_global, sketch_grouped
 
 
 def prepare_pages(ds: Dataset, check_invariant: bool = True) -> Dataset:
@@ -47,21 +47,18 @@ def prepare_pages(ds: Dataset, check_invariant: bool = True) -> Dataset:
 
 
 def build_all_sketches(pages: Dataset, expected_urls: int) -> dict:
-    """One pass, five sketch families. Returns {name: sketch object}."""
-    res = pages.aggregate(
-        SketchAgg(lambda: BloomCascade.for_capacity(expected_urls, BloomConfig()), on="url", name="bloom_url"),
-        SketchAgg(lambda: HyperLogLog(14), on="url", name="hll_url"),
-        SketchAgg(lambda: CountMinSketch(1e-4, 1e-3), on="host", name="cms_host"),
-        SketchAgg(lambda: KLLSketch(256), on="text_len", name="kll_text_len"),
-        SketchAgg(lambda: TDigest(200), on="text_len", name="tdigest_text_len"),
+    """One streaming pass, five sketch families (partial-per-batch + tree
+    merge — see ``multi_sketch_global``). Returns {name: sketch object}."""
+    return multi_sketch_global(
+        pages,
+        {
+            "bloom_url": ("url", lambda: BloomCascade.for_capacity(expected_urls, BloomConfig())),
+            "hll_url": ("url", lambda: HyperLogLog(14)),
+            "cms_host": ("host", lambda: CountMinSketch(1e-4, 1e-3)),
+            "kll_text_len": ("text_len", lambda: KLLSketch(256)),
+            "tdigest_text_len": ("text_len", lambda: TDigest(200)),
+        },
     )
-    return {
-        "bloom_url": BloomCascade.from_bytes(res["bloom_url"]),
-        "hll_url": HyperLogLog.from_bytes(res["hll_url"]),
-        "cms_host": CountMinSketch.from_bytes(res["cms_host"]),
-        "kll_text_len": KLLSketch.from_bytes(res["kll_text_len"]),
-        "tdigest_text_len": TDigest.from_bytes(res["tdigest_text_len"]),
-    }
 
 
 def per_lang_summary(pages: Dataset) -> Dataset:
@@ -92,7 +89,11 @@ def flagship(sf_dir_or_pages, expected_urls: int | None = None) -> pd.DataFrame:
     n = expected_urls or max(1024, ds.count())
     pages = prepare_pages(ds)
     sketches = build_all_sketches(pages, n)
-    per_lang = per_lang_summary(pages).to_pandas().sort_values("lang").reset_index(drop=True)
+    # Per-lang pass only needs (lang, url): project at the read so the heavy
+    # html/text columns never enter this pipeline (the invariant check already
+    # ran in the global pass above).
+    slim = ds.select_columns(["lang", "url"])
+    per_lang = per_lang_summary(slim).to_pandas().sort_values("lang").reset_index(drop=True)
 
     bloom = sketches["bloom_url"]
     summary = {
