@@ -615,6 +615,81 @@ def doc_quality_scores(sf_dir: str):
     return _round(out, {"avg_quality": 4})
 
 
+@q(
+    "fingerprint_distinct_per_lang",
+    sql="""
+    SELECT lang,
+           count(DISTINCT trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9_ \t\n]', '', 'g'), '[ \t\n]+', ' ', 'g'))) AS distinct_norm
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def fingerprint_distinct_per_lang(sf_dir: str):
+    """64-bit content-fingerprint dedup key: distinct normalized docs per
+    lang. Oracle counts distinct normalized text directly — equal unless the
+    64-bit hash collides (P ~ n^2/2^64)."""
+    from perfect_bloomfilter_ray.functions.text import fingerprint64
+
+    ds = _t(sf_dir, "documents", ["lang", "text"])
+
+    def fp(t: pa.Table) -> pa.Table:
+        return pa.table({"lang": t.column("lang"), "fp": fingerprint64(t.column("text"))})
+
+    pairs = ds.map_batches(fp, batch_format="pyarrow").groupby(["lang", "fp"]).aggregate(Count(alias_name="_c"))
+    return pairs.groupby("lang").aggregate(Count(alias_name="distinct_norm")).sort("lang")
+
+
+@q("ngram_jaccard_verified_pairs")
+def ngram_jaccard_verified_pairs(sf_dir: str):
+    """MinHash-LSH candidates exactly verified by n-gram Jaccard (the
+    candidate→verify dedup pattern at scale: cheap sketch recall, exact
+    precision on the tiny candidate set)."""
+    from perfect_bloomfilter_ray.stages.dedup import minhash_lsh_pairs, ngram_jaccard
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    cand = minhash_lsh_pairs(ds, "text", "doc_id", threshold=0.4).to_pandas()
+    if not len(cand):
+        return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+    # fetch ONLY the candidate docs' texts: broadcast the (small) id set and
+    # stream-filter the corpus — never materialize the full table
+    need = set(cand["id_a"]) | set(cand["id_b"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t.column("doc_id"), value_set=pa.array(list(need)))
+        return t.filter(mask)
+
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in ds.map_batches(keep, batch_format="pyarrow").take_all()
+    }
+    jac = ngram_jaccard(
+        [texts[i] for i in cand["id_a"]], [texts[i] for i in cand["id_b"]], n_words=5
+    )
+    out = pd.DataFrame({"id_a": cand["id_a"], "id_b": cand["id_b"], "jaccard": np.round(jac, 4)})
+    out = out[out["jaccard"] >= 0.5]
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+@q("image_feature_stats")
+def image_feature_stats(sf_dir: str):
+    """Multimodal pipeline smoke: binary payloads → actor-pool decode (fake)
+    → feature extraction → global stats. Rows-only (no SQL equivalent)."""
+    from perfect_bloomfilter_ray.stages.multimodal import image_pipeline
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_bin(t: pa.Table) -> pa.Table:
+        return pa.table({"blob": pc.cast(t.column("text"), pa.binary())})
+
+    media = ds.map_batches(to_bin, batch_format="pyarrow")
+    feats = image_pipeline(media, "blob", decode_hw=(32, 32), concurrency=(1, 4), batch_size=128)
+    out = feats.aggregate(
+        Count(alias_name="n_media"),
+        Mean("px_mean", alias_name="avg_px_mean"),
+        Mean("row_energy", alias_name="avg_row_energy"),
+    )
+    return pd.DataFrame([out]).round(4)
+
+
 @q("ann_topk_lsh")
 def ann_topk_lsh(sf_dir: str):
     from perfect_bloomfilter_ray.stages.ann import lsh_topk

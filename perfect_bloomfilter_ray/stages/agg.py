@@ -123,7 +123,7 @@ class SketchMergeAgg(AggregateFnV2):
 def multi_sketch_global(
     ds: Dataset,
     specs: dict[str, tuple[str, Callable[[], Any]]],
-    batch_size: int = 64 * 1024,
+    batch_size: int = 8192,
     fanin: int = 64,
     tree_levels: int = 2,
 ) -> dict[str, Any]:

@@ -305,15 +305,30 @@ def minhash_lsh_pairs(
 def simhash64(texts: pl.Series) -> np.ndarray:
     """64-bit simhash over word-token hashes (unweighted).
 
-    Bit-column reduceat keeps memory at O(total_words) regardless of 64 bits
-    (no (words × 64) intermediate)."""
+    Bit-plane reduceat keeps memory at O(total_words) regardless of 64 bits.
+    The word hashes are first transposed into 8 contiguous byte planes so
+    each bit pass reads 1 B/word instead of 8 (memory-bandwidth matters: 32
+    concurrent workers on one node saturate the bus long before the ALUs),
+    and the per-pass temporaries are preallocated once — no multi-MB
+    malloc/munmap churn (mmap'd temporaries cause TLB-shootdown storms at
+    high worker counts)."""
     flat, offsets = _word_hashes(texts, 0x51A4)
     counts = np.diff(offsets)
     n = len(counts)
+    if n == 0:
+        return np.zeros(0, dtype=_U64)
+    planes = np.ascontiguousarray(flat.view(np.uint8).reshape(-1, 8).T)  # (8, W)
+    starts = offsets[:-1]
+    w = len(flat)
+    bit = np.empty(w, dtype=np.uint8)
+    acc = np.empty(w, dtype=np.int32)
     sig = np.zeros(n, dtype=_U64)
     for b in range(64):
-        ones = np.add.reduceat(((flat >> _U64(b)) & _U64(1)).astype(np.int64), offsets[:-1])
-        sig |= ((2 * ones > counts).astype(_U64)) << _U64(b)
+        np.right_shift(planes[b >> 3], b & 7, out=bit)
+        np.bitwise_and(bit, 1, out=bit)
+        np.copyto(acc, bit)  # int32 accumulator: reduceat on uint8 would wrap
+        ones = np.add.reduceat(acc, starts)
+        sig |= (2 * ones > counts).astype(_U64) << _U64(b)
     return sig
 
 

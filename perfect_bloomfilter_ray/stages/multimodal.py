@@ -1,0 +1,229 @@
+"""Multimodal (image/audio/video) processing stages — Ray plumbing is real,
+codec decode is stubbed.
+
+Media payloads are opaque ``binary`` columns with typed metadata columns
+alongside (``media_type``, ``width``/``height``/``sample_rate``/...). All
+stages are actor-pool ``map_batches`` classes: decoder/model state is built
+once per actor in ``__init__`` (the expensive part at scale), work happens
+per batch in ``__call__``. Batch sizes default small — media bytes are large,
+and ``batch_size × concurrency × decoded_size`` must fit the worker heap.
+
+This container has no image/audio codec libraries, so ``RealCodecDecoder``
+raises ``NotImplementedError`` by construction and the default
+``DeterministicFakeDecoder`` derives pixel/sample arrays from a splitmix64
+counter stream keyed on the payload hash — deterministic, so downstream
+feature/resize/frame-sample stages are REAL and testable end-to-end.
+
+Usage::
+
+    ds = media_dataset_from_binary(ds, payload_col="html")  # any binary col
+    decoded = ds.map_batches(ImageDecodeStage(64, 64), batch_size=64,
+                             concurrency=(2, 8), num_cpus=1,
+                             batch_format="pyarrow")
+    feats = decoded.map_batches(ImageFeatureStage(), batch_size=64,
+                                concurrency=(2, 8), batch_format="pyarrow")
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+
+from perfect_bloomfilter_ray.functions.hashing import hash64, splitmix64
+
+_U64 = np.uint64
+
+
+def media_dataset_from_binary(
+    ds: Dataset, payload_col: str, media_type: str = "image/x-fake"
+) -> Dataset:
+    """Attach typed media metadata to an opaque binary payload column."""
+
+    def tag(t: pa.Table) -> pa.Table:
+        n = len(t)
+        payload = t.column(payload_col)
+        if payload.type not in (pa.binary(), pa.large_binary()):
+            payload = pc.cast(payload, pa.large_binary())
+        return pa.table(
+            {
+                "media_id": pa.array(hash64(t.column(payload_col), 0x3D1A).astype(np.uint64)),
+                "media_type": pa.array([media_type] * n, pa.string()),
+                "payload": payload,
+                "payload_bytes": pc.cast(pc.binary_length(payload), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(tag, batch_format="pyarrow")
+
+
+class RealCodecDecoder:
+    """Placeholder for a real codec (PIL / libvips / ffmpeg). STUB.
+
+    The container ships no codec libraries; at deployment, replace
+    ``DeterministicFakeDecoder`` with this class backed by the real library
+    loaded ONCE here in ``__init__`` (never per batch).
+    """
+
+    def __init__(self) -> None:
+        raise NotImplementedError(
+            "no image/audio codec libraries in this environment; "
+            "use DeterministicFakeDecoder for the pipeline plumbing"
+        )
+
+
+class DeterministicFakeDecoder:
+    """Derives a (h, w) uint8 'pixel' array per payload from a counter-based
+    splitmix64 stream keyed on the payload hash — stable across runs/workers."""
+
+    def __init__(self, height: int, width: int) -> None:
+        self.height = height
+        self.width = width
+
+    def decode_batch(self, payload: pa.Array) -> np.ndarray:
+        keys = hash64(payload, 0xDECD)
+        n = len(keys)
+        px_per = self.height * self.width
+        # counter stream: pixel[i, j] = mix(key_i + j); vectorized in one shot
+        with np.errstate(over="ignore"):
+            ctr = keys[:, None].astype(_U64) + np.arange(px_per, dtype=_U64)[None, :]
+        return (splitmix64(ctr.ravel()) & _U64(0xFF)).astype(np.uint8).reshape(n, self.height, self.width)
+
+
+class ImageDecodeStage:
+    """Actor-pool stage: payload binary → fixed-size grayscale pixel tensor.
+
+    Decoder state is constructed once per actor (``__init__``), per-batch work
+    is vectorized. Output: ``pixels`` fixed_size_list<uint8>[h*w] + dims.
+    """
+
+    def __init__(self, height: int = 64, width: int = 64, decoder_cls=DeterministicFakeDecoder):
+        self.decoder = decoder_cls(height, width)
+        self.height, self.width = height, width
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        pixels = self.decoder.decode_batch(t.column("payload"))
+        n = len(t)
+        return pa.table(
+            {
+                "media_id": t.column("media_id"),
+                "height": pa.array(np.full(n, self.height, dtype=np.int32)),
+                "width": pa.array(np.full(n, self.width, dtype=np.int32)),
+                "pixels": pa.FixedSizeListArray.from_arrays(
+                    pa.array(pixels.reshape(n, -1).ravel()), self.height * self.width
+                ),
+            }
+        )
+
+
+class ImageResizeStage:
+    """Actor-pool stage: block-mean downsample (real math, no codec needed)."""
+
+    def __init__(self, out_height: int = 16, out_width: int = 16):
+        self.oh, self.ow = out_height, out_width
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n = len(t)
+        h = int(t.column("height")[0].as_py())
+        w = int(t.column("width")[0].as_py())
+        px = np.asarray(t.column("pixels").combine_chunks().flatten()).reshape(n, h, w)
+        fh, fw = h // self.oh, w // self.ow
+        small = px[:, : fh * self.oh, : fw * self.ow].reshape(n, self.oh, fh, self.ow, fw).mean(axis=(2, 4))
+        small8 = np.clip(small, 0, 255).astype(np.uint8)
+        return pa.table(
+            {
+                "media_id": t.column("media_id"),
+                "height": pa.array(np.full(n, self.oh, dtype=np.int32)),
+                "width": pa.array(np.full(n, self.ow, dtype=np.int32)),
+                "pixels": pa.FixedSizeListArray.from_arrays(
+                    pa.array(small8.reshape(n, -1).ravel()), self.oh * self.ow
+                ),
+            }
+        )
+
+
+class ImageFeatureStage:
+    """Actor-pool stage: pixel tensor → feature vector (mean/std/quartiles,
+    row/col profile energies, dHash-style 64-bit perceptual hash)."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n = len(t)
+        h = int(t.column("height")[0].as_py())
+        w = int(t.column("width")[0].as_py())
+        px = np.asarray(t.column("pixels").combine_chunks().flatten()).reshape(n, h, w).astype(np.float64)
+        flat = px.reshape(n, -1)
+        # dHash: 8x8 block-mean then horizontal gradient sign → 64 bits
+        fh, fw = max(h // 8, 1), max(w // 9, 1)
+        blocks = px[:, : fh * 8, : fw * 9].reshape(n, 8, fh, 9, fw).mean(axis=(2, 4))
+        bits = (blocks[:, :, 1:] > blocks[:, :, :-1]).reshape(n, 64)
+        dhash = (bits.astype(_U64) << np.arange(64, dtype=_U64)[None, :]).sum(axis=1, dtype=_U64)
+        return pa.table(
+            {
+                "media_id": t.column("media_id"),
+                "px_mean": pa.array(flat.mean(axis=1)),
+                "px_std": pa.array(flat.std(axis=1)),
+                "px_p25": pa.array(np.percentile(flat, 25, axis=1)),
+                "px_p75": pa.array(np.percentile(flat, 75, axis=1)),
+                "row_energy": pa.array(np.abs(np.diff(px, axis=1)).mean(axis=(1, 2))),
+                "col_energy": pa.array(np.abs(np.diff(px, axis=2)).mean(axis=(1, 2))),
+                "dhash": pa.array(dhash),
+            }
+        )
+
+
+class AudioFrameSampleStage:
+    """Actor-pool stage: payload binary → K sampled 'frames' of N samples each
+    (deterministic fake decode), with per-frame RMS — the video/audio
+    frame-sampling layout (one output row per (media, frame))."""
+
+    def __init__(self, frames: int = 4, frame_samples: int = 256, decoder_cls=DeterministicFakeDecoder):
+        self.frames = frames
+        self.frame_samples = frame_samples
+        self.decoder = decoder_cls(frames, frame_samples)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n = len(t)
+        raw = self.decoder.decode_batch(t.column("payload"))  # (n, frames, samples)
+        x = raw.astype(np.float64) - 127.5
+        rms = np.sqrt((x**2).mean(axis=2))  # (n, frames)
+        ids = np.asarray(t.column("media_id")).repeat(self.frames)
+        frame_idx = np.tile(np.arange(self.frames, dtype=np.int32), n)
+        return pa.table(
+            {
+                "media_id": pa.array(ids),
+                "frame": pa.array(frame_idx),
+                "samples": pa.FixedSizeListArray.from_arrays(
+                    pa.array(raw.reshape(n * self.frames, -1).ravel()), self.frame_samples
+                ),
+                "rms": pa.array(rms.ravel()),
+            }
+        )
+
+
+def image_pipeline(
+    ds: Dataset,
+    payload_col: str,
+    decode_hw: tuple[int, int] = (64, 64),
+    concurrency: tuple[int, int] = (2, 8),
+    batch_size: int = 64,
+) -> Dataset:
+    """tag → decode (actor pool) → features (actor pool). Small batches:
+    decoded tensors are ``batch × h × w`` bytes and must fit the heap."""
+    tagged = media_dataset_from_binary(ds, payload_col)
+    # actor pools: pass the CLASS + constructor args — state built once per
+    # actor in __init__, not per batch (and not per task)
+    decoded = tagged.map_batches(
+        ImageDecodeStage,
+        fn_constructor_kwargs={"height": decode_hw[0], "width": decode_hw[1]},
+        batch_size=batch_size,
+        concurrency=concurrency,
+        batch_format="pyarrow",
+    )
+    return decoded.map_batches(
+        ImageFeatureStage,
+        batch_size=batch_size,
+        concurrency=concurrency,
+        batch_format="pyarrow",
+    )

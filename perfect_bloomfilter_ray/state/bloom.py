@@ -113,7 +113,35 @@ class BloomCascade:
                 max_layers=self.config.max_layers,
             )
         m0 = self.config.initial_bits
-        self.layers: list[_Layer] = [_Layer.empty(m0, self.config.k_for(m0), self.config.num_views)]
+        # Sparse phase (cf. sparse HyperLogLog): until enough keys justify the
+        # dense bit arrays, buffer the raw 128-bit key hashes (16 B/key). A
+        # per-block partial in a distributed build holds only batch_size keys,
+        # so capacity-planned partials would otherwise each allocate + ship
+        # the FULL planned m0 bit array (MBs of mostly-zero words per block).
+        # Densification replays the buffer through the normal insert path, so
+        # semantics (layer rollover order, duplicate counting) are identical.
+        self._sparse_lo: list[np.ndarray] | None = []
+        self._sparse_hi: list[np.ndarray] = []
+        self._sparse_count = 0
+        self.layers: list[_Layer] = []
+
+    # -- sparse phase ---------------------------------------------------------
+
+    @property
+    def _dense_bytes(self) -> int:
+        return self.config.initial_bits // 8 * self.config.num_views
+
+    def _densify(self) -> None:
+        if self._sparse_lo is None:
+            return
+        lo_chunks, hi_chunks = self._sparse_lo, self._sparse_hi
+        self._sparse_lo = None
+        self._sparse_hi = []
+        self._sparse_count = 0
+        m0 = self.config.initial_bits
+        self.layers = [_Layer.empty(m0, self.config.k_for(m0), self.config.num_views)]
+        for lo, hi in zip(lo_chunks, hi_chunks):
+            self.update_hashes(lo, hi)
 
     # -- construction helpers -------------------------------------------------
 
@@ -149,6 +177,13 @@ class BloomCascade:
         Chunked so every layer respects the threshold (the reference checks
         rehash_check per insert, filter.rs:104-112; we check per chunk).
         """
+        if self._sparse_lo is not None:
+            self._sparse_lo.append(np.asarray(lo, dtype=_U64))
+            self._sparse_hi.append(np.asarray(hi, dtype=_U64))
+            self._sparse_count += len(lo)
+            if 16 * self._sparse_count >= self._dense_bytes:
+                self._densify()
+            return
         n = len(lo)
         i = 0
         while i < n:
@@ -172,6 +207,7 @@ class BloomCascade:
 
     def contains_hashes(self, lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
         """OR over layers of (AND over views) — vectorized, short-circuiting."""
+        self._densify()
         found = np.zeros(len(lo), dtype=bool)
         for layer in self.layers:
             if layer.key_count == 0:
@@ -192,6 +228,18 @@ class BloomCascade:
             or other.config.num_views != self.config.num_views
         ):
             raise ValueError("cannot merge BloomCascades with different geometry")
+        if self._sparse_lo is not None and other._sparse_lo is not None:
+            self._sparse_lo.extend(other._sparse_lo)
+            self._sparse_hi.extend(other._sparse_hi)
+            self._sparse_count += other._sparse_count
+            if 16 * self._sparse_count >= self._dense_bytes:
+                self._densify()
+            return self
+        self._densify()
+        if other._sparse_lo is not None:
+            for lo, hi in zip(other._sparse_lo, other._sparse_hi):
+                self.update_hashes(lo, hi)
+            return self
         for i, ol in enumerate(other.layers):
             if i < len(self.layers):
                 sl = self.layers[i]
@@ -214,7 +262,7 @@ class BloomCascade:
 
     @property
     def key_count(self) -> int:
-        return sum(l.key_count for l in self.layers)
+        return self._sparse_count + sum(l.key_count for l in self.layers)
 
     @property
     def total_bits(self) -> int:
@@ -222,6 +270,7 @@ class BloomCascade:
 
     def effective_fpr(self) -> float:
         """Measured post-merge FPR: Σ_layers Π_views fill_v^k (fill = popcount/m)."""
+        self._densify()
         total = 0.0
         for layer in self.layers:
             if layer.key_count == 0:
@@ -241,6 +290,8 @@ class BloomCascade:
         }
 
     def state_equal(self, other: "BloomCascade") -> bool:
+        self._densify()
+        other._densify()
         return (
             len(self.layers) == len(other.layers)
             and all(
@@ -250,6 +301,16 @@ class BloomCascade:
         )
 
     def to_bytes(self) -> bytes:
+        if self._sparse_lo is not None:
+            return dumps_sketch(
+                {
+                    "config": self.config,
+                    "sparse": (
+                        np.concatenate(self._sparse_lo) if self._sparse_lo else np.empty(0, _U64),
+                        np.concatenate(self._sparse_hi) if self._sparse_hi else np.empty(0, _U64),
+                    ),
+                }
+            )
         return dumps_sketch(
             {
                 "config": self.config,
@@ -262,5 +323,15 @@ class BloomCascade:
         d = loads_sketch(data)
         out = cls.__new__(cls)
         out.config = d["config"]
-        out.layers = [_Layer(m=m, k=k, key_count=c, frozen=f, words=w) for (m, k, c, f, w) in d["layers"]]
+        if "sparse" in d:
+            lo, hi = d["sparse"]
+            out._sparse_lo = [lo] if len(lo) else []
+            out._sparse_hi = [hi] if len(hi) else []
+            out._sparse_count = len(lo)
+            out.layers = []
+        else:
+            out._sparse_lo = None
+            out._sparse_hi = []
+            out._sparse_count = 0
+            out.layers = [_Layer(m=m, k=k, key_count=c, frozen=f, words=w) for (m, k, c, f, w) in d["layers"]]
         return out
