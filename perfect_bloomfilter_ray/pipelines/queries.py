@@ -165,11 +165,16 @@ def nation_customer_balance(sf_dir: str):
     """,
 )
 def region_supplier_balance(sf_dir: str):
+    """Dimension joins via broadcast lookup (no shuffle of the fact side —
+    the nation/region tables are tiny; Ray-native hash join coverage lives in
+    nation_customer_balance)."""
+    from perfect_bloomfilter_ray.stages.joins import broadcast_lookup_join
+
     sup = _t(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
     nation = _t(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
     region = _t(sf_dir, "region", ["r_regionkey", "r_name"])
-    j1 = sup.join(nation, "inner", num_partitions=2, on=("s_nationkey",), right_on=("n_nationkey",))
-    j2 = j1.join(region, "inner", num_partitions=2, on=("n_regionkey",), right_on=("r_regionkey",))
+    j1 = broadcast_lookup_join(sup, nation, on="s_nationkey", right_on="n_nationkey")
+    j2 = broadcast_lookup_join(j1, region, on="n_regionkey", right_on="r_regionkey")
     out = (
         j2.groupby("r_name")
         .aggregate(Count(alias_name="n_suppliers"), Sum("s_acctbal", alias_name="total_acctbal"))
@@ -437,6 +442,31 @@ def bloom_antijoin_customers_without_f_orders(sf_dir: str):
     if df.empty:
         df = pd.DataFrame({"c_custkey": pd.Series(dtype="int64"), "c_name": pd.Series(dtype="object")})
     return df.sort_values("c_custkey").reset_index(drop=True)
+
+
+@q(
+    "semijoin_exact_auto_parts",
+    sql="""
+    SELECT p_partkey, p_name FROM part
+    WHERE p_partkey IN (SELECT p_partkey FROM part WHERE p_type LIKE 'STANDARD%')
+      AND p_size >= 30
+    ORDER BY p_partkey
+    """,
+)
+def semijoin_exact_auto_parts(sf_dir: str):
+    """Exact broadcast semi-join (small key set shipped via ray.put; no
+    shuffle — contrast with bloom_semijoin_* for unbounded build sides)."""
+    from perfect_bloomfilter_ray.stages.joins import broadcast_semi_join
+
+    part = _t(sf_dir, "part", ["p_partkey", "p_name", "p_size"]).filter(expr="p_size >= 30")
+    std = _t(sf_dir, "part", ["p_partkey", "p_type"]).map_batches(
+        lambda t: t.filter(pc.starts_with(t.column("p_type"), "STANDARD")),
+        batch_format="pyarrow",
+    )
+    out = broadcast_semi_join(part, std, on="p_partkey")
+    return (
+        out.select_columns(["p_partkey", "p_name"]).to_pandas().sort_values("p_partkey").reset_index(drop=True)
+    )
 
 
 # ---------------------------------------------------------------------------
