@@ -445,6 +445,75 @@ def bloom_antijoin_customers_without_f_orders(sf_dir: str):
 
 
 @q(
+    "props_k_stats",
+    sql="""
+    SELECT event_type,
+           round(avg(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)), 4) AS avg_k,
+           max(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS max_k
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def props_k_stats(sf_dir: str):
+    """JSON property parser (vectorized polars json_decode inside
+    map_batches) + grouped aggregate over the extracted field."""
+    import polars as pl
+
+    ds = _t(sf_dir, "events", ["event_type", "props"])
+
+    def parse(t: pa.Table) -> pa.Table:
+        s = pl.from_arrow(t.column("props").combine_chunks())
+        k = s.str.json_path_match("$.k").cast(pl.Int64)
+        return pa.table({"event_type": t.column("event_type"), "k": k.to_arrow()})
+
+    out = (
+        ds.map_batches(parse, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Mean("k", alias_name="avg_k"), Max("k", alias_name="max_k"))
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    return _round(out, {"avg_k": 4})
+
+
+@q(
+    "user_sessions",
+    sql="""
+    WITH d AS (
+        SELECT user_id,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+        FROM events
+    )
+    SELECT user_id, 1 + sum(new_sess) AS n_sessions, count(*) AS n_events
+    FROM d GROUP BY user_id ORDER BY user_id
+    """,
+)
+def user_sessions(sf_dir: str):
+    """Gap-based session windows (30 min) per user — groupby.map_groups with
+    per-group event-time sort (stages/windows.py)."""
+    from perfect_bloomfilter_ray.stages.windows import sessionize
+
+    ds = _t(sf_dir, "events", ["user_id", "ts"])
+    out = sessionize(ds, "user_id", "ts", gap="30min").to_pandas()
+    out["n_sessions"] = out["n_sessions"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+@q("neardup_removed_docs")
+def neardup_removed_docs(sf_dir: str):
+    """End-to-end near-dup removal: MinHash-LSH pairs → union-find clusters →
+    broadcast drop-set filter. Rows-only (sketch-dependent membership)."""
+    from perfect_bloomfilter_ray.stages.dedup import drop_near_duplicates
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text", "lang"])
+    kept = drop_near_duplicates(ds, "text", "doc_id", threshold=0.6)
+    return (
+        kept.select_columns(["doc_id", "lang"]).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+
+@q(
     "semijoin_exact_auto_parts",
     sql="""
     SELECT p_partkey, p_name FROM part

@@ -384,6 +384,63 @@ def simhash_pairs(
     return pairs.groupby(["id_a", "id_b"]).map_groups(lambda g: g.head(1), batch_format="pandas")
 
 
+# ------------------------------------------------- near-dup cluster + removal
+
+def pairs_to_clusters(id_a, id_b) -> dict:
+    """Union-find over candidate pairs → {id: cluster_root} (root = min id).
+
+    The pair set is tiny relative to the corpus (only near-dups surface), so
+    driver-side union-find is the right altitude; the expensive parts —
+    signatures and candidate generation — stay distributed.
+    """
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(id_a, id_b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra <= rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in parent}
+
+
+def drop_near_duplicates(
+    ds: Dataset,
+    text_col: str,
+    id_col: str,
+    num_perms: int = 128,
+    bands: int = 16,
+    threshold: float = 0.7,
+) -> Dataset:
+    """Remove near-duplicate documents, keeping the min-id doc per cluster.
+
+    minhash→LSH candidate pairs (distributed) → union-find clusters (driver,
+    tiny) → broadcast the drop set → streaming filter. The corpus itself is
+    never materialized."""
+    import ray
+
+    pairs = minhash_lsh_pairs(ds, text_col, id_col, num_perms, bands, threshold=threshold).to_pandas()
+    if not len(pairs):
+        return ds
+    clusters = pairs_to_clusters(pairs["id_a"].tolist(), pairs["id_b"].tolist())
+    drop = pa.array([k for k, r in clusters.items() if k != r])
+    drop_ref = ray.put(drop)
+
+    def keep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.invert(pc.is_in(t.column(id_col), value_set=ray.get(drop_ref))))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 # ------------------------------------------------- exact n-gram Jaccard verify
 
 def ngram_jaccard(texts_a: list[str], texts_b: list[str], n_words: int = 5) -> np.ndarray:

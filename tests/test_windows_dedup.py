@@ -1,0 +1,60 @@
+"""Gap-session windows and near-dup cluster removal."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def test_sessionize_gap_splits(ray_session):
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.windows import sessionize
+
+    base = pd.Timestamp("2026-01-01")
+    rows = []
+    # user 1: three events 5 min apart (1 session), then a 2h gap + one (2nd)
+    for m in (0, 5, 10, 130):
+        rows.append({"user_id": 1, "ts": base + pd.Timedelta(minutes=m)})
+    # user 2: single event
+    rows.append({"user_id": 2, "ts": base})
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    out = sessionize(ds, "user_id", "ts", gap="30min").to_pandas().sort_values("user_id")
+    assert out[out.user_id == 1]["n_sessions"].iloc[0] == 2
+    assert out[out.user_id == 1]["n_events"].iloc[0] == 4
+    assert out[out.user_id == 2]["n_sessions"].iloc[0] == 1
+
+
+def test_sessionize_event_level_ids(ray_session):
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.windows import sessionize
+
+    base = pd.Timestamp("2026-01-01")
+    df = pd.DataFrame(
+        {"user_id": [7] * 3, "ts": [base, base + pd.Timedelta("1h"), base + pd.Timedelta("1h5min")]}
+    )
+    out = sessionize(rd.from_pandas(df), "user_id", "ts", gap="30min", stats=False).to_pandas()
+    out = out.sort_values("ts")
+    assert out["session_id"].tolist() == [0, 1, 1]
+
+
+def test_pairs_to_clusters_union_find():
+    from perfect_bloomfilter_ray.stages.dedup import pairs_to_clusters
+
+    # chain 1-2, 2-3 plus isolated pair 10-11 → clusters {1,2,3}, {10,11}
+    c = pairs_to_clusters([1, 2, 10], [2, 3, 11])
+    assert c[2] == 1 and c[3] == 1 and c[11] == 10
+
+
+def test_drop_near_duplicates_keeps_canonical(ray_session):
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.dedup import drop_near_duplicates
+
+    text = "the quick brown fox jumps over the lazy dog and runs far away " * 8
+    near = text.replace("lazy", "sleepy")
+    other = "completely different content about distributed sketching systems " * 8
+    df = pd.DataFrame({"doc_id": [1, 2, 3], "text": [text, near, other]})
+    kept = drop_near_duplicates(rd.from_pandas(df), "text", "doc_id", threshold=0.5).to_pandas()
+    assert sorted(kept["doc_id"]) == [1, 3]  # min-id canonical survives
