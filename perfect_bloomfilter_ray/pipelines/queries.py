@@ -445,6 +445,38 @@ def bloom_antijoin_customers_without_f_orders(sf_dir: str):
 
 
 @q(
+    "union_distinct_custkeys",
+    sql="""
+    SELECT custkey FROM (
+        SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        UNION
+        SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
+    ) ORDER BY custkey
+    """,
+)
+def union_distinct_custkeys(sf_dir: str):
+    """Set op coverage: Dataset.union of two filtered streams + distinct."""
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).filter(
+        expr="c_mktsegment == 'BUILDING'"
+    )
+    ords = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"]).filter(
+        expr="o_totalprice > 400000"
+    )
+
+    def pick(col):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({"custkey": t.column(col)})
+
+        return f
+
+    u = cust.map_batches(pick("c_custkey"), batch_format="pyarrow").union(
+        ords.map_batches(pick("o_custkey"), batch_format="pyarrow")
+    )
+    out = u.groupby("custkey").aggregate(Count(alias_name="_c")).drop_columns(["_c"]).sort("custkey")
+    return out
+
+
+@q(
     "props_k_stats",
     sql="""
     SELECT event_type,

@@ -119,3 +119,57 @@ def test_accuracy_enums_match_reference_constants():
         cfg = BloomConfig.from_enums(accuracy=acc)
         assert cfg.threshold == thr
         assert cfg.k_for(cfg.initial_bits) == k
+
+
+def test_sparse_dense_merge_paths_equivalent():
+    """All three merge paths (sparse x sparse w/ auto-densify, sparse x dense,
+    dense x dense) produce the same state as one sequential dense build."""
+    import pyarrow as pa
+
+    from perfect_bloomfilter_ray.config import BloomConfig
+    from perfect_bloomfilter_ray.state.bloom import BloomCascade
+
+    keys = pa.array([f"k{i}" for i in range(5000)])
+    a_keys, b_keys = keys.slice(0, 2500), keys.slice(2500)
+
+    ref = BloomCascade.for_capacity(5000, BloomConfig())
+    ref.update_column(keys)
+    ref._densify()
+
+    sxs = BloomCascade.for_capacity(5000, BloomConfig())
+    sxs.update_column(a_keys)
+    other = BloomCascade.for_capacity(5000, BloomConfig())
+    other.update_column(b_keys)
+    assert sxs._sparse_lo is not None and other._sparse_lo is not None
+    sxs.merge(other)
+    assert sxs.state_equal(ref)
+
+    sxd = BloomCascade.for_capacity(5000, BloomConfig())
+    sxd.update_column(a_keys)
+    dense_b = BloomCascade.for_capacity(5000, BloomConfig())
+    dense_b.update_column(b_keys)
+    dense_b._densify()
+    sxd.merge(dense_b)
+    assert sxd.state_equal(ref)
+
+    dxd = BloomCascade.for_capacity(5000, BloomConfig())
+    dxd.update_column(a_keys)
+    dxd._densify()
+    dxd.merge(dense_b)
+    assert dxd.state_equal(ref)
+
+
+def test_sparse_serialization_roundtrip():
+    import numpy as np
+    import pyarrow as pa
+
+    from perfect_bloomfilter_ray.config import BloomConfig
+    from perfect_bloomfilter_ray.state.bloom import BloomCascade
+
+    s = BloomCascade.for_capacity(100000, BloomConfig())
+    s.update_column(pa.array([f"u{i}" for i in range(300)]))
+    assert s._sparse_lo is not None  # far below densify threshold
+    blob = s.to_bytes()
+    rt = BloomCascade.from_bytes(blob)
+    assert rt._sparse_count == 300
+    assert bool(rt.contains_column(pa.array(["u5", "u299", "nope"])).tolist() == [True, True, False])
