@@ -139,6 +139,10 @@ def fingerprint64(col, normalize: bool = True) -> pa.Array:
     Normalization = lowercase + collapse whitespace + strip punctuation, so
     near-identical formatting variants collide (rolling-hash-style content
     fingerprint; exact-dedup key).
+
+    Emitted as int64 (same 64 bits, reinterpreted): Ray's groupby/aggregate
+    key path round-trips group keys through Python ints and overflows on
+    uint64 values above 2^63, so every shuffle-key consumer gets int64.
     """
     s = _pl(col)
     if normalize:
@@ -148,4 +152,4 @@ def fingerprint64(col, normalize: bool = True) -> pa.Array:
             .str.replace_all(r"\s+", " ")
             .str.strip_chars()
         )
-    return pa.array(s.hash(seed=0xF1A9).to_numpy().astype(np.uint64))
+    return pa.array(s.hash(seed=0xF1A9).to_numpy().astype(np.uint64).view(np.int64))
