@@ -831,3 +831,152 @@ def ann_topk_lsh(sf_dir: str):
     queries = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in sorted(qrows, key=lambda r: r["vec_id"])])
     df = lsh_topk(emb, queries, "embedding", "vec_id", dim, k=10)
     return df[["query_id", "vec_id"]].astype({"query_id": "int64", "vec_id": "int64"}).sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+
+# ---------------------------------------------------------------------------
+# Multi-way joins, grouped top-k, as-of join, IVF ANN
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "q3_shipping_priority",
+    sql="""
+    SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate  > TIMESTAMP '1998-01-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def q3_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape: small dimension (filtered customers) broadcast-semi
+    onto orders — no shuffle of the order stream — then one Ray-native hash
+    join orders⨝lineitem on the order key (the only big-big exchange), with
+    both fact sides filter-pruned before the shuffle."""
+    from perfect_bloomfilter_ray.stages.joins import broadcast_semi_join
+
+    cutoff = pd.Timestamp("1998-01-01")
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).filter(
+        expr="c_mktsegment == 'BUILDING'"
+    )
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"])
+    bldg_orders = broadcast_semi_join(
+        orders.map_batches(
+            lambda t: t.filter(pc.less(t.column("o_orderdate"), pa.scalar(cutoff))), batch_format="pyarrow"
+        ),
+        cust,
+        on="o_custkey",
+        right_on="c_custkey",
+    )
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def li_rev(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t.column("l_shipdate"), pa.scalar(cutoff)))
+        rev = pc.multiply(t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        return pa.table({"l_orderkey": t.column("l_orderkey"), "rev": rev})
+
+    joined = li.map_batches(li_rev, batch_format="pyarrow").join(
+        bldg_orders.map_batches(lambda t: t.drop_columns(["o_custkey"]), batch_format="pyarrow"),
+        "inner",
+        num_partitions=8,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    out = (
+        joined.groupby(["l_orderkey", "o_orderdate", "o_orderpriority"])
+        .aggregate(Sum("rev", alias_name="revenue"))
+        .to_pandas()
+    )
+    out = _round(out, {"revenue": 2})
+    out = out.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).head(10)
+    return out[["l_orderkey", "revenue", "o_orderdate", "o_orderpriority"]].reset_index(drop=True)
+
+
+@q(
+    "top_orders_per_priority",
+    sql="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               row_number() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderkey
+               ) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey
+    """,
+)
+def top_orders_per_priority(sf_dir: str):
+    """Grouped top-k (top 3 orders by price per priority class) via the
+    partial-top-k combiner stage — the shuffle moves ≤ k rows per key per
+    block, never the whole table."""
+    from perfect_bloomfilter_ray.stages.topk import grouped_top_k
+
+    ds = _t(sf_dir, "orders", ["o_orderpriority", "o_orderkey", "o_totalprice"])
+    out = grouped_top_k(ds, "o_orderpriority", "o_totalprice", k=3, tie_cols=["o_orderkey"]).to_pandas()
+    out = out.sort_values(
+        ["o_orderpriority", "o_totalprice", "o_orderkey"], ascending=[True, False, True]
+    ).reset_index(drop=True)
+    return out[["o_orderpriority", "o_orderkey", "o_totalprice"]]
+
+
+@q(
+    "events_asof_last_order",
+    sql="""
+    WITH ded AS (
+        SELECT o_custkey, o_orderdate, max(o_orderkey) AS last_orderkey
+        FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id,
+           d.last_orderkey, d.o_orderdate AS last_orderdate
+    FROM events e
+    ASOF LEFT JOIN ded d ON e.user_id = d.o_custkey AND e.ts >= d.o_orderdate
+    ORDER BY e.event_id
+    """,
+)
+def events_asof_last_order(sf_dir: str):
+    """As-of join: each event matched to the user's most recent order at or
+    before the event time (build side deduped per (key, ts) by max orderkey so
+    the payload is deterministic). Broadcast + packed searchsorted — no
+    shuffle of the event stream."""
+    from perfect_bloomfilter_ray.stages.joins import asof_join_broadcast
+
+    events = _t(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_orderkey"])
+    ded = (
+        orders.groupby(["o_custkey", "o_orderdate"])
+        .aggregate(Max("o_orderkey", alias_name="last_orderkey"))
+    )
+    joined = asof_join_broadcast(
+        events,
+        ded,
+        on="user_id",
+        big_ts="ts",
+        right_on="o_custkey",
+        small_ts="o_orderdate",
+        how="left",
+        prefix="",
+    )
+    out = joined.to_pandas().rename(columns={"o_orderdate": "last_orderdate"})
+    out = out[["event_id", "user_id", "last_orderkey", "last_orderdate"]]
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+@q("ann_topk_ivf")
+def ann_topk_ivf(sf_dir: str):
+    """IVF-partitioned approximate top-k (the ANN scale path next to LSH):
+    spherical-k-means cells, probe the 6 nearest cells per query. Rows-only;
+    recall vs brute force is asserted in tests."""
+    from perfect_bloomfilter_ray.stages.ann import ivf_topk
+
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrows = emb.filter(expr="vec_id < 4").take_all()
+    dim = len(qrows[0]["embedding"])
+    queries = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in sorted(qrows, key=lambda r: r["vec_id"])])
+    df = ivf_topk(emb, queries, "embedding", "vec_id", dim, k=10, nlist=16, nprobe=6)
+    return df[["query_id", "vec_id"]].astype({"query_id": "int64", "vec_id": "int64"}).sort_values(["query_id", "vec_id"]).reset_index(drop=True)

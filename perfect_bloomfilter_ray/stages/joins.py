@@ -15,6 +15,7 @@ this; for key sets too large to broadcast exactly, use
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -96,5 +97,114 @@ def broadcast_semi_join(
         if anti:
             mask = pc.invert(mask)
         return t.filter(mask)
+
+    return big.map_batches(probe, batch_format="pyarrow")
+
+
+def asof_join_broadcast(
+    big: Dataset,
+    small: Dataset | pa.Table,
+    on: str,
+    big_ts: str,
+    right_on: str | None = None,
+    small_ts: str | None = None,
+    how: str = "left",
+    strict: bool = False,
+    tie_col: str | None = None,
+    prefix: str = "asof_",
+) -> Dataset:
+    """As-of join: for each ``big`` row, the ``small`` row with equal key and
+    the greatest ``small_ts`` ≤ ``big_ts`` (< when ``strict``).
+
+    Ray Data has no native as-of join; this is the broadcast variant — the
+    build side is materialized once, sorted by (key, ts), shipped via
+    ``ray.put``, and each map task resolves matches with one vectorized
+    ``np.searchsorted`` over a packed (key-code, ts) composite. No shuffle of
+    the probe side; streaming execution preserved.
+
+    Determinism with duplicate (key, ts) on the build side: rows are sorted by
+    (key, ts, ``tie_col``) and the LAST wins — pass a unique ``tie_col``
+    (e.g. the build side's primary key) for reproducible payloads.
+
+    Partitioning assumption / scale path: the build side must fit in one
+    object-store entry (dimension-scale). For big-big as-of joins, hash both
+    sides on the key (`repartition(keys=[on])`), sort within partitions, and
+    run this same searchsorted kernel per co-partition — the composite-key
+    kernel below is partition-agnostic, so only the routing changes.
+
+    ``how``: "left" (null-fill payload) or "inner" (drop unmatched).
+    Output: big's columns + ``prefix``-renamed small payload columns.
+    """
+    import ray
+
+    right_on = right_on or on
+    small_ts = small_ts or big_ts
+    t_small = _small_side_table(small)
+
+    import polars as pl
+
+    sdf = pl.from_arrow(t_small)
+    sort_by = [right_on, small_ts] + ([tie_col] if tie_col else [])
+    sdf = sdf.sort(sort_by)
+    t_small = sdf.to_arrow()
+
+    skeys = t_small.column(right_on)
+    if isinstance(skeys, pa.ChunkedArray):
+        skeys = skeys.combine_chunks()
+    uniq = pc.unique(skeys)
+    # code each build key 0..K-1 (positions in `uniq`); build rows are sorted
+    # by key so codes are non-decreasing
+    scodes = pc.index_in(skeys, value_set=uniq).to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def _ts_i64(col) -> np.ndarray:
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_timestamp(col.type):
+            col = col.cast(pa.timestamp("us")).cast(pa.int64())
+        else:
+            col = col.cast(pa.int64())
+        return col.to_numpy(zero_copy_only=False)
+
+    sts = _ts_i64(t_small.column(small_ts))
+    ts_min = int(sts.min()) if len(sts) else 0
+    # pack (code, ts) into one int64: ts offset to min, down-shifted until the
+    # span fits the bits left under the key code
+    span = int(sts.max()) - ts_min + 1 if len(sts) else 1
+    code_bits = max(int(np.int64(len(uniq) - 1)).bit_length(), 1) if len(uniq) else 1
+    ts_bits = 63 - code_bits
+    if span >= (1 << ts_bits):
+        # packing would coarsen timestamps and break exact as-of semantics;
+        # only reachable with >2^52 µs span (~143 years) at 2^11 keys
+        raise ValueError("as-of ts span too large for packed search; coarsen ts upstream or reduce key cardinality")
+    shift = 0
+    s_comp = (scodes << ts_bits) | (sts - ts_min)
+
+    payload_cols = [c for c in t_small.column_names if c not in (right_on, small_ts)] + [small_ts]
+    bundle = ray.put((uniq, s_comp, t_small.select(payload_cols), ts_bits, ts_min, shift))
+
+    def probe(t: pa.Table) -> pa.Table:
+        u, comp, payload, tbits, tmin, sh = ray.get(bundle)
+        bcodes = pc.index_in(t.column(on), value_set=u).to_numpy(zero_copy_only=False)
+        valid_key = ~pd.isna(bcodes)
+        bcodes_i = np.where(valid_key, bcodes, 0).astype(np.int64)
+        bts = _ts_i64(t.column(big_ts))
+        off = np.maximum(bts - tmin, -1)  # probe ts below every build ts → no match
+        b_comp = (bcodes_i << tbits) | np.maximum(off >> sh, 0)
+        side = "left" if strict else "right"
+        idx = np.searchsorted(comp, b_comp, side=side) - 1
+        matched = valid_key & (off >= 0) & (idx >= 0)
+        # the found row must belong to the same key (searchsorted may land in
+        # the previous key's range when this key has no early-enough row)
+        safe_idx = np.where(matched, idx, 0)
+        matched &= (comp[safe_idx] >> tbits) == bcodes_i
+        if how == "inner":
+            t = t.filter(pa.array(matched))
+            safe_idx = safe_idx[matched]
+            matched = np.ones(len(safe_idx), dtype=bool)
+        take_idx = pa.array(np.where(matched, safe_idx, -1), type=pa.int64())
+        take_idx = pc.if_else(pc.greater_equal(take_idx, 0), take_idx, pa.scalar(None, type=pa.int64()))
+        for c in payload.column_names:
+            t = t.append_column(prefix + c, pc.take(payload.column(c), take_idx))
+        return t
 
     return big.map_batches(probe, batch_format="pyarrow")

@@ -1,0 +1,73 @@
+"""Grouped top-k — per-key top-k rows without a global sort.
+
+The scale-correct shape for "top k rows per group" over a huge fact table:
+
+1. **Partial top-k per block** (`map_batches`, vectorized via polars): each
+   block keeps at most ``k`` rows per key it has seen, so the shuffle that
+   follows moves ≤ ``k × distinct_keys_per_block`` rows instead of the whole
+   table. This is the combiner pattern from SURVEY.md §2.3 applied to order
+   statistics (top-k of a group is mergeable: topk(A ∪ B) = topk(topk(A) ∪
+   topk(B))).
+2. **Final top-k per key** (`groupby(keys).map_groups`): the residual shuffle
+   is tiny, and each group fits trivially in one task.
+
+Compare `Dataset.sort(...).limit(k)` (global top-k, see
+queries.top_orders_by_revenue): a per-group limit cannot be expressed with
+sort+limit, and a full sort would be an all-to-all over the whole table.
+
+Reference parity note: the reference engine has no grouped operators at all
+(single Bloom accumulator, /root/reference/src/filter.rs); this operator is
+part of the [RULE] analytics surface (SURVEY.md §2.3 "Sorts / limits /
+top-k").
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import polars as pl
+import pyarrow as pa
+
+from ray.data import Dataset
+
+
+def _partial_topk(keys: list[str], order_col: str, k: int, descending: bool, tie_cols: list[str]):
+    by = [order_col, *tie_cols]
+    desc = [descending] + [False] * len(tie_cols)
+
+    def fn(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        out = df.sort(by, descending=desc).group_by(keys, maintain_order=True).head(k)
+        return out.to_arrow()
+
+    return fn
+
+
+def grouped_top_k(
+    ds: Dataset,
+    keys: list[str] | str,
+    order_col: str,
+    k: int,
+    descending: bool = True,
+    tie_cols: list[str] | None = None,
+) -> Dataset:
+    """Top ``k`` rows per ``keys`` group ordered by ``order_col``.
+
+    ``tie_cols`` (ascending) make the result deterministic when ``order_col``
+    has duplicates — always pass a unique-ish column here; the matching SQL
+    oracle is ``row_number() OVER (PARTITION BY keys ORDER BY order_col
+    [DESC], tie_cols)``.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    tie_cols = list(tie_cols or [])
+    part = _partial_topk(keys, order_col, k, descending, tie_cols)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        by = [order_col, *tie_cols]
+        asc = [not descending] + [True] * len(tie_cols)
+        return g.sort_values(by, ascending=asc).head(k)
+
+    return (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby(keys)
+        .map_groups(final, batch_format="pandas")
+    )

@@ -1,0 +1,210 @@
+"""Grouped top-k, as-of join, and IVF ANN stages."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+# --------------------------------------------------------------------------
+# grouped_top_k
+# --------------------------------------------------------------------------
+
+
+def _topk_oracle(df: pd.DataFrame, keys, order_col, k, tie_cols):
+    return (
+        df.sort_values([order_col, *tie_cols], ascending=[False] + [True] * len(tie_cols))
+        .groupby(keys, sort=False)
+        .head(k)
+    )
+
+
+def test_grouped_top_k_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.topk import grouped_top_k
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 7, 500),
+            "x": rng.integers(0, 50, 500).astype(float),  # many ties
+            "id": np.arange(500),
+        }
+    )
+    # many blocks so partial top-k actually runs per block
+    ds = rd.from_pandas(df).repartition(8)
+    got = grouped_top_k(ds, "g", "x", k=5, tie_cols=["id"]).to_pandas()
+    got = got.sort_values(["g", "x", "id"], ascending=[True, False, True]).reset_index(drop=True)
+    want = _topk_oracle(df, ["g"], "x", 5, ["id"])
+    want = want.sort_values(["g", "x", "id"], ascending=[True, False, True]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["g", "x", "id"]], want[["g", "x", "id"]], check_dtype=False)
+
+
+def test_grouped_top_k_group_smaller_than_k(ray_session):
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.topk import grouped_top_k
+
+    df = pd.DataFrame({"g": ["a", "a", "b"], "x": [1.0, 2.0, 9.0], "id": [0, 1, 2]})
+    got = grouped_top_k(rd.from_pandas(df), "g", "x", k=10, tie_cols=["id"]).to_pandas()
+    assert len(got) == 3
+
+
+# --------------------------------------------------------------------------
+# asof_join_broadcast
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def asof_sides(ray_session):
+    import ray.data as rd
+
+    # interleaved event/build timestamps, a key with no build rows (k=3),
+    # an event before every build ts (t=5), and exact-equality hits (t=10)
+    events = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 2, 2, 3],
+            "t": pd.to_datetime([10, 25, 5, 10, 40, 10], unit="s"),
+            "eid": [0, 1, 2, 3, 4, 5],
+        }
+    )
+    build = pd.DataFrame(
+        {
+            "bk": [1, 1, 1, 2, 2],
+            "bt": pd.to_datetime([10, 20, 30, 10, 30], unit="s"),
+            "payload": [100, 200, 300, 110, 310],
+        }
+    )
+    return rd.from_pandas(events).repartition(3), pa.Table.from_pandas(build)
+
+
+def test_asof_inclusive(ray_session, asof_sides):
+    from perfect_bloomfilter_ray.stages.joins import asof_join_broadcast
+
+    events, build = asof_sides
+    out = (
+        asof_join_broadcast(events, build, on="k", big_ts="t", right_on="bk", small_ts="bt")
+        .to_pandas()
+        .sort_values("eid")
+        .reset_index(drop=True)
+    )
+    # eid0: k=1 t=10 → bt=10 (inclusive); eid1: t=25 → bt=20; eid2: t=5 → none
+    # eid3: k=2 t=10 → bt=10; eid4: t=40 → bt=30; eid5: k=3 → none
+    assert out["asof_payload"].tolist() == [100.0, 200.0, None, 110.0, 310.0, None] or (
+        [None if pd.isna(v) else v for v in out["asof_payload"]] == [100, 200, None, 110, 310, None]
+    )
+
+
+def test_asof_strict_and_inner(ray_session, asof_sides):
+    from perfect_bloomfilter_ray.stages.joins import asof_join_broadcast
+
+    events, build = asof_sides
+    out = (
+        asof_join_broadcast(
+            events, build, on="k", big_ts="t", right_on="bk", small_ts="bt", strict=True, how="inner"
+        )
+        .to_pandas()
+        .sort_values("eid")
+        .reset_index(drop=True)
+    )
+    # strict: t=10 events no longer match bt=10
+    assert out["eid"].tolist() == [1, 4]
+    assert out["asof_payload"].tolist() == [200, 310]
+
+
+def test_asof_duplicate_ts_tiebreak(ray_session):
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.joins import asof_join_broadcast
+
+    events = pd.DataFrame({"k": [1], "t": pd.to_datetime([50], unit="s"), "eid": [0]})
+    build = pa.Table.from_pandas(
+        pd.DataFrame(
+            {
+                "bk": [1, 1],
+                "bt": pd.to_datetime([10, 10], unit="s"),
+                "pid": [7, 3],
+            }
+        )
+    )
+    out = asof_join_broadcast(
+        rd.from_pandas(events), build, on="k", big_ts="t", right_on="bk", small_ts="bt", tie_col="pid"
+    ).to_pandas()
+    # deterministic: last row in (bk, bt, pid) sort order wins → pid=7
+    assert out["asof_pid"].tolist() == [7]
+
+
+def test_asof_matches_duckdb(ray_session, sf_dir):
+    """Full-table cross-check vs DuckDB ASOF JOIN on the sf0.001 tables."""
+    import duckdb
+    import ray.data as rd
+
+    from ray.data.aggregate import Max
+
+    from perfect_bloomfilter_ray.stages.joins import asof_join_broadcast
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate", "o_orderkey"])
+    ded = orders.groupby(["o_custkey", "o_orderdate"]).aggregate(Max("o_orderkey", alias_name="ok"))
+    got = (
+        asof_join_broadcast(
+            events, ded, on="user_id", big_ts="ts", right_on="o_custkey", small_ts="o_orderdate"
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        f"""
+        WITH ded AS (
+            SELECT o_custkey, o_orderdate, max(o_orderkey) AS ok
+            FROM read_parquet('{sf_dir}/orders.parquet') GROUP BY 1, 2
+        )
+        SELECT e.event_id, d.ok
+        FROM read_parquet('{sf_dir}/events.parquet') e
+        ASOF LEFT JOIN ded d ON e.user_id = d.o_custkey AND e.ts >= d.o_orderdate
+        ORDER BY e.event_id
+        """
+    ).fetchdf()
+    assert got["asof_ok"].fillna(-1).tolist() == want["ok"].fillna(-1).tolist()
+
+
+# --------------------------------------------------------------------------
+# ivf_topk
+# --------------------------------------------------------------------------
+
+
+def test_ivf_recall_vs_brute_force(ray_session, sf01_dir):
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.ann import brute_force_topk, ivf_topk
+
+    emb = rd.read_parquet(f"{sf01_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qrows = sorted(emb.filter(expr="vec_id < 4").take_all(), key=lambda r: r["vec_id"])
+    dim = len(qrows[0]["embedding"])
+    queries = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in qrows])
+
+    exact = brute_force_topk(emb, queries, "embedding", "vec_id", dim, k=10)
+    approx = ivf_topk(emb, queries, "embedding", "vec_id", dim, k=10, nlist=16, nprobe=6)
+
+    recalls = []
+    for qid in range(len(queries)):
+        e = set(exact[exact["query_id"] == qid]["vec_id"])
+        a = set(approx[approx["query_id"] == qid]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.8, recalls
+
+
+def test_ivf_deterministic(ray_session, sf01_dir):
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.ann import ivf_topk
+
+    emb = rd.read_parquet(f"{sf01_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qrows = sorted(emb.filter(expr="vec_id < 2").take_all(), key=lambda r: r["vec_id"])
+    dim = len(qrows[0]["embedding"])
+    queries = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in qrows])
+    a = ivf_topk(emb, queries, "embedding", "vec_id", dim, k=5)
+    b = ivf_topk(emb, queries, "embedding", "vec_id", dim, k=5)
+    pd.testing.assert_frame_equal(a, b)
