@@ -980,3 +980,70 @@ def ann_topk_ivf(sf_dir: str):
     queries = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in sorted(qrows, key=lambda r: r["vec_id"])])
     df = ivf_topk(emb, queries, "embedding", "vec_id", dim, k=10, nlist=16, nprobe=6)
     return df[["query_id", "vec_id"]].astype({"query_id": "int64", "vec_id": "int64"}).sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+
+
+@q(
+    "user_sliding_5min_activity",
+    sql="""
+    SELECT event_id,
+           count(*) OVER w            AS w_count,
+           round(sum(value) OVER w, 2) AS w_sum
+    FROM events
+    WINDOW w AS (
+        PARTITION BY user_id ORDER BY ts
+        RANGE BETWEEN INTERVAL 5 MINUTE PRECEDING AND CURRENT ROW
+    )
+    ORDER BY event_id
+    """,
+)
+def user_sliding_5min_activity(sf_dir: str):
+    """Per-event sliding 5-minute window (count + value sum over the same
+    user's trailing window) — SQL RANGE-frame semantics via one hash shuffle
+    and a vectorized searchsorted per group."""
+    from perfect_bloomfilter_ray.stages.windows import sliding_window_agg
+
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    out = sliding_window_agg(
+        ds, "user_id", "ts", value_col="value", window="5min", out_sum="w_sum"
+    ).to_pandas()
+    out = out[["event_id", "w_count", "w_sum"]].sort_values("event_id").reset_index(drop=True)
+    return _round(out, {"w_sum": 2})
+
+
+@q(
+    "orders_price_band_totals",
+    sql="""
+    WITH bands(band, lo, hi) AS (VALUES
+        ('p00_10k',        0.0,  10000.0),
+        ('p10_50k',    10000.0,  50000.0),
+        ('p50_150k',   50000.0, 150000.0),
+        ('p150k_inf', 150000.0,      1e18)
+    )
+    SELECT b.band, count(*) AS n_orders, round(sum(o.o_totalprice), 2) AS total
+    FROM orders o JOIN bands b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY b.band ORDER BY b.band
+    """,
+)
+def orders_price_band_totals(sf_dir: str):
+    """Inequality (range) join: each order matched to its price band via the
+    broadcast interval-lookup stage (a BETWEEN join hash engines can't do
+    without a cross product), then a tiny groupby."""
+    from perfect_bloomfilter_ray.stages.joins import range_join_broadcast
+
+    bands = pa.table(
+        {
+            "band": ["p00_10k", "p10_50k", "p50_150k", "p150k_inf"],
+            "lo": [0.0, 10000.0, 50000.0, 150000.0],
+            "hi": [10000.0, 50000.0, 150000.0, 1e18],
+        }
+    )
+    ds = _t(sf_dir, "orders", ["o_totalprice"])
+    joined = range_join_broadcast(ds, bands, "o_totalprice", "lo", "hi", how="inner")
+    out = (
+        joined.groupby("band")
+        .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total"))
+        .to_pandas()
+        .sort_values("band")
+        .reset_index(drop=True)
+    )
+    return _round(out, {"total": 2})

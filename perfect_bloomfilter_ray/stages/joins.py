@@ -208,3 +208,66 @@ def asof_join_broadcast(
         return t
 
     return big.map_batches(probe, batch_format="pyarrow")
+
+
+def range_join_broadcast(
+    big: Dataset,
+    intervals: Dataset | pa.Table,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    how: str = "left",
+    closed: str = "left",
+    prefix: str = "",
+) -> Dataset:
+    """Interval-lookup join: each ``big`` row matched to the interval row with
+    ``lo <= value < hi`` ("left", default) or ``lo <= value <= hi`` ("both").
+
+    The SQL equivalent is ``JOIN ... ON value BETWEEN lo AND hi`` — an
+    inequality join that hash-join engines (Ray's included) cannot express
+    without a cross product. Here intervals are broadcast sorted by ``lo`` and
+    each map task resolves matches with one vectorized ``np.searchsorted`` —
+    O(batch × log #intervals), probe side streams, no shuffle.
+
+    Intervals must be non-overlapping (validated at build; overlap raises) —
+    the bucketing/banding shape: histogram bins, price bands, date epochs,
+    IP→geo ranges. ``how``: "left" (null payload on no match) or "inner".
+    """
+    import ray
+
+    t_int = _small_side_table(intervals)
+    import polars as pl
+
+    sdf = pl.from_arrow(t_int).sort(lo_col)
+    t_int = sdf.to_arrow()
+    lo = t_int.column(lo_col).to_numpy(zero_copy_only=False).astype(np.float64)
+    hi = t_int.column(hi_col).to_numpy(zero_copy_only=False).astype(np.float64)
+    overlap = np.any(hi[:-1] > lo[1:]) if closed == "left" else np.any(hi[:-1] >= lo[1:])
+    if overlap:
+        raise ValueError("range join intervals overlap")
+    if np.any(lo > hi):
+        raise ValueError("range join has lo > hi")
+    bundle = ray.put((lo, hi, t_int))
+
+    def probe(t: pa.Table) -> pa.Table:
+        l, h, payload = ray.get(bundle)
+        v = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        idx = np.searchsorted(l, v, side="right") - 1
+        safe = np.maximum(idx, 0)
+        if closed == "left":
+            matched = (idx >= 0) & (v < h[safe])
+        else:
+            matched = (idx >= 0) & (v <= h[safe])
+        if how == "inner":
+            t = t.filter(pa.array(matched))
+            safe = safe[matched]
+            matched = np.ones(len(safe), dtype=bool)
+        take_idx = pa.array(np.where(matched, safe, -1), type=pa.int64())
+        take_idx = pc.if_else(pc.greater_equal(take_idx, 0), take_idx, pa.scalar(None, type=pa.int64()))
+        for c in payload.column_names:
+            if c in (lo_col, hi_col):
+                continue
+            t = t.append_column(prefix + c, pc.take(payload.column(c), take_idx))
+        return t
+
+    return big.map_batches(probe, batch_format="pyarrow")

@@ -64,3 +64,43 @@ def sessionize(
         return out
 
     return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+
+
+def sliding_window_agg(
+    ds: Dataset,
+    key_col: str,
+    ts_col: str,
+    value_col: str | None = None,
+    window: pd.Timedelta | str = "5min",
+    out_count: str = "w_count",
+    out_sum: str | None = None,
+) -> Dataset:
+    """Per-row sliding event-time window: for each row, count (and optionally
+    sum ``value_col``) over the same key's rows in ``[ts - window, ts]``.
+
+    The SQL equivalent is a range window frame (``... OVER (PARTITION BY key
+    ORDER BY ts RANGE BETWEEN <window> PRECEDING AND CURRENT ROW)``). Ray Data
+    has no window functions; this is ``groupby(key).map_groups`` with a
+    vectorized two-pointer (searchsorted over the sorted ts array) per group —
+    O(n log n) per key, one hash shuffle total.
+
+    Rows with identical (key, ts) all receive the same frame (every peer row
+    included), matching SQL RANGE frame semantics. Partitioning assumption:
+    one key's rows fit one group task (salt + merge if a key is pathological).
+    """
+    window = pd.Timedelta(window)
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col], kind="mergesort").reset_index(drop=True)
+        ts = g[ts_col].to_numpy()
+        lo = np.searchsorted(ts, ts - window.to_numpy(), side="left")
+        # RANGE frames include ts-peers: frame end = last index with equal ts
+        hi = np.searchsorted(ts, ts, side="right")
+        out = g.copy()
+        out[out_count] = (hi - lo).astype(np.int64)
+        if value_col is not None and out_sum is not None:
+            csum = np.concatenate([[0.0], np.cumsum(g[value_col].to_numpy(dtype=np.float64))])
+            out[out_sum] = csum[hi] - csum[lo]
+        return out
+
+    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")

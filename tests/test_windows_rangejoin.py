@@ -1,0 +1,119 @@
+"""Sliding-window aggregate and broadcast range join stages."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def test_sliding_window_counts_and_peers(ray_session):
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.windows import sliding_window_agg
+
+    # key 1: ts 0s, 60s, 60s (peers), 400s; window 2min
+    df = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 1, 2],
+            "ts": pd.to_datetime([0, 60, 60, 400, 0], unit="s"),
+            "v": [1.0, 2.0, 3.0, 4.0, 10.0],
+            "rid": [0, 1, 2, 3, 4],
+        }
+    )
+    out = (
+        sliding_window_agg(rd.from_pandas(df).repartition(2), "k", "ts", value_col="v", window="2min", out_sum="w_sum")
+        .to_pandas()
+        .sort_values(["k", "ts", "rid"])
+        .reset_index(drop=True)
+    )
+    k1 = out[out["k"] == 1]
+    # peers at ts=60 both see {0,60,60}: count 3; ts=400 sees only itself
+    assert k1["w_count"].tolist() == [1, 3, 3, 1]
+    assert k1["w_sum"].tolist() == [1.0, 6.0, 6.0, 4.0]
+    assert out[out["k"] == 2]["w_count"].tolist() == [1]
+
+
+def test_sliding_window_matches_duckdb(ray_session, sf_dir):
+    import duckdb
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.windows import sliding_window_agg
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"])
+    got = (
+        sliding_window_agg(events, "user_id", "ts", value_col="value", window="10min", out_sum="w_sum")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        f"""
+        SELECT event_id, count(*) OVER w AS w_count, sum(value) OVER w AS w_sum
+        FROM read_parquet('{sf_dir}/events.parquet')
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING AND CURRENT ROW)
+        ORDER BY event_id
+        """
+    ).fetchdf()
+    assert got["w_count"].tolist() == want["w_count"].tolist()
+    np.testing.assert_allclose(got["w_sum"].to_numpy(), want["w_sum"].to_numpy(), rtol=1e-9)
+
+
+@pytest.fixture()
+def bands():
+    return pa.table(
+        {
+            "name": ["low", "mid", "high"],
+            "lo": [0.0, 10.0, 100.0],
+            "hi": [10.0, 100.0, 1000.0],
+        }
+    )
+
+
+def test_range_join_left_and_inner(ray_session, bands):
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.joins import range_join_broadcast
+
+    df = pd.DataFrame({"x": [-5.0, 0.0, 9.999, 10.0, 99.0, 100.0, 999.0, 1000.0]})
+    ds = rd.from_pandas(df).repartition(2)
+    left = range_join_broadcast(ds, bands, "x", "lo", "hi").to_pandas().sort_values("x").reset_index(drop=True)
+    # half-open [lo, hi): -5 and 1000 unmatched; boundaries go to upper band
+    assert [None if pd.isna(v) else v for v in left["name"]] == [
+        None, "low", "low", "mid", "mid", "high", "high", None,
+    ]
+    inner = range_join_broadcast(ds, bands, "x", "lo", "hi", how="inner").to_pandas()
+    assert len(inner) == 6
+
+
+def test_range_join_closed_both(ray_session, bands):
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.joins import range_join_broadcast
+
+    # disjoint closed intervals
+    iv = pa.table({"name": ["a", "b"], "lo": [0.0, 20.0], "hi": [10.0, 30.0]})
+    df = pd.DataFrame({"x": [10.0, 15.0, 20.0]})
+    out = (
+        range_join_broadcast(ray_dataset(df), iv, "x", "lo", "hi", closed="both")
+        .to_pandas()
+        .sort_values("x")
+        .reset_index(drop=True)
+    )
+    assert [None if pd.isna(v) else v for v in out["name"]] == ["a", None, "b"]
+
+
+def ray_dataset(df):
+    import ray.data as rd
+
+    return rd.from_pandas(df)
+
+
+def test_range_join_rejects_overlap(ray_session):
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.joins import range_join_broadcast
+
+    iv = pa.table({"name": ["a", "b"], "lo": [0.0, 5.0], "hi": [6.0, 10.0]})
+    with pytest.raises(ValueError, match="overlap"):
+        range_join_broadcast(rd.from_pandas(pd.DataFrame({"x": [1.0]})), iv, "x", "lo", "hi")
