@@ -173,6 +173,7 @@ def run_headline(num_cpus: int, rows: int | None = None) -> dict:
 
 
 def run_suite(num_cpus: int) -> dict:
+    _pin_affinity(num_cpus)
     _init_ray(num_cpus)
     corpus = _ensure_corpus(PAGES_ROWS)
     _warmup()

@@ -27,6 +27,7 @@ import numpy as np
 import pandas as pd
 import polars as pl
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ray.data import Dataset
 
@@ -38,7 +39,9 @@ _U64 = np.uint64
 
 # ---------------------------------------------------------------- exact dedup
 
-def exact_dedup(ds: Dataset, text_col: str, id_col: str, normalize: bool = False) -> Dataset:
+def exact_dedup(
+    ds: Dataset, text_col: str, id_col: str, normalize: bool = False, num_blocks: int = 64
+) -> Dataset:
     """Keep the lowest-id row per distinct text (hash-partitioned).
 
     The shuffle key is the 64-bit content fingerprint, not the text itself —
@@ -46,17 +49,25 @@ def exact_dedup(ds: Dataset, text_col: str, id_col: str, normalize: bool = False
     so a fingerprint collision cannot merge two distinct texts.
     """
 
-    def add_fp(t: pa.Table) -> pa.Table:
-        return t.append_column("_fp", fingerprint64(t.column(text_col), normalize=normalize))
+    # Coarse hash partition (fp % num_blocks) so equal texts co-locate, then
+    # ONE vectorized keep-first per partition group. groupby on the raw
+    # fingerprint would pay a Python map_groups call per distinct text;
+    # num_blocks groups keep the per-group overhead at O(num_blocks) while
+    # the inside stays polars-vectorized. Raise num_blocks with cluster size.
+    def add_part(t: pa.Table) -> pa.Table:
+        fp = fingerprint64(t.column(text_col), normalize=normalize)
+        part = (fp.to_numpy().view(np.uint64) % _U64(num_blocks)).astype(np.int32)
+        return t.append_column("_part", pa.array(part))
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(id_col).groupby(text_col, sort=False).head(1)
+    def keep_first_block(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        out = df.sort(id_col).unique(subset=[text_col], keep="first", maintain_order=True)
+        return out.to_arrow().drop_columns(["_part"])
 
     return (
-        ds.map_batches(add_fp, batch_format="pyarrow")
-        .groupby("_fp")
-        .map_groups(keep_first, batch_format="pandas")
-        .drop_columns(["_fp"])
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(keep_first_block, batch_format="pyarrow")
     )
 
 
@@ -242,6 +253,7 @@ def minhash_lsh_pairs(
     shingle_words: int = 5,
     threshold: float = 0.7,
     max_bucket: int = 64,
+    num_blocks: int = 64,
 ) -> Dataset:
     """Near-duplicate candidate pairs with minhash-estimated Jaccard ≥ threshold.
 
@@ -249,55 +261,130 @@ def minhash_lsh_pairs(
     Shuffle moves only (band, band_hash, id, sig) rows.
     """
     assert num_perms % bands == 0
-    sigs = minhash_signatures(ds, text_col, id_col, num_perms, shingle_words)
+    import ray
 
+    # Materialized once because two consumers read it (banding now, candidate
+    # verification later) — recomputing would shingle+hash every document
+    # twice. The signature table is ~P·8 B/doc (~1 KB), ≈1% of corpus bytes;
+    # it lives in the object store and spills, never the driver heap.
+    sigs = minhash_signatures(ds, text_col, id_col, num_perms, shingle_words).materialize()
+
+    # Bucket with ID-ONLY rows: the shuffle moves 16 B/row, not the full
+    # 128x8 B signature replicated per band (a 60x payload cut — at 100 TB
+    # the difference between a groupby that fits and one that doesn't).
+    # The band index is mixed INTO the bucket hash so one uniform int64 key
+    # both partitions and groups; a cross-band 64-bit collision merely adds a
+    # candidate pair that verification discards.
     def band_rows(t: pa.Table) -> pa.Table:
         n = len(t)
         sig = np.asarray(t.column("sig").combine_chunks().flatten()).reshape(n, num_perms)
         ids = t.column(id_col).to_numpy()
         bh_all = band_hashes(sig, bands)  # (n, bands)
-        out_band, out_hash, out_id, out_sig = [], [], [], []
-        for b in range(bands):
-            out_band.append(np.full(n, b, dtype=np.int32))
-            bh = bh_all[:, b]
-            out_hash.append(bh)
-            out_id.append(ids)
-            out_sig.append(sig)
+        with np.errstate(over="ignore"):
+            mixed = splitmix64(
+                bh_all.T + (np.arange(bands, dtype=_U64) * _U64(0x9E3779B97F4A7C15))[:, None]
+            )
         return pa.table(
             {
-                "band": pa.array(np.concatenate(out_band)),
-                "bhash": pa.array(np.concatenate(out_hash)),
-                id_col: pa.array(np.concatenate(out_id)),
-                "sig": pa.FixedSizeListArray.from_arrays(
-                    pa.array(np.concatenate(out_sig).ravel()), num_perms
-                ),
+                # int64 bit-view: Ray's aggregate key path overflows on uint64
+                "bhash": pa.array(mixed.ravel().view(np.int64)),
+                # coarse partition id: the groupby key (num_blocks groups,
+                # vectorized bucket logic inside — not one Python call per
+                # 64-bit bucket)
+                "_part": pa.array((mixed.ravel() % _U64(num_blocks)).astype(np.int32)),
+                id_col: pa.array(np.tile(ids, bands)),
             }
         )
 
     banded = sigs.map_batches(band_rows, batch_format="pyarrow")
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
-        g = g.nsmallest(max_bucket, id_col) if len(g) > max_bucket else g
-        ids = g[id_col].to_numpy()
-        sig = np.stack(g["sig"].to_numpy())
-        order = np.argsort(ids)
-        ids, sig = ids[order], sig[order]
-        ii, jj = np.triu_indices(len(ids), k=1)
-        est = (sig[ii] == sig[jj]).mean(axis=1)
-        keep = est >= threshold
-        return pd.DataFrame(
-            {"id_a": ids[ii[keep]], "id_b": ids[jj[keep]], "est_jaccard": est[keep]}
+    # Pair generation runs once per coarse partition (complete buckets per
+    # partition by construction), vectorized inside — NOT one map_groups call
+    # per 64-bit bucket, whose per-group Python overhead dominates when there
+    # are ~#docs×bands tiny buckets.
+    def pairs_in_block(t: pa.Table) -> pa.Table:
+        id_type = t.schema.field(id_col).type
+        empty = pa.table({"id_a": pa.array([], id_type), "id_b": pa.array([], id_type)})
+        if len(t) < 2:
+            return empty
+        bh = t.column("bhash").to_numpy()
+        ids = t.column(id_col).to_numpy()
+        order = np.argsort(bh, kind="stable")  # cheap insurance: group slices below need contiguity
+        bh, ids = bh[order], ids[order]
+        _, starts, counts = np.unique(bh, return_index=True, return_counts=True)
+        out_a, out_b = [], []
+        for gi in np.nonzero(counts > 1)[0]:  # only real collisions — rare
+            s = starts[gi]
+            c = min(int(counts[gi]), max_bucket)
+            gids = np.sort(ids[s : s + c])
+            ii, jj = np.triu_indices(c, k=1)
+            out_a.append(gids[ii])
+            out_b.append(gids[jj])
+        if not out_a:
+            return empty
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate(out_a), id_type),
+                "id_b": pa.array(np.concatenate(out_b), id_type),
+            }
         )
 
-    pairs = banded.groupby(["band", "bhash"]).map_groups(bucket_pairs, batch_format="pandas")
+    pairs = banded.groupby("_part").map_groups(pairs_in_block, batch_format="pyarrow")
 
-    # same pair can surface from several bands → dedup on (id_a, id_b)
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    # a pair surfaces once per colliding band → dedup with a combiner
+    # aggregate (partial per block, small shuffle), not a map_groups pass
+    from ray.data.aggregate import Count
 
-    return pairs.groupby(["id_a", "id_b"]).map_groups(first, batch_format="pandas")
+    cand = pairs.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="_nb")).drop_columns(["_nb"])
+
+    # Verify: estimated Jaccard = matching signature fraction, computed only
+    # for candidate pairs. Candidate ids are collected (size ∝ near-dup pairs,
+    # bounded by max_bucket — NOT corpus size), their signatures semi-filtered
+    # out of the signature stream and broadcast to a final map over the pairs.
+    cand_tbl = pa.concat_tables(
+        b if isinstance(b, pa.Table) else pa.Table.from_pydict(b)
+        for b in cand.iter_batches(batch_format="pyarrow")
+    )
+    if len(cand_tbl) == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "id_a": pa.array([], cand_tbl.schema.field("id_a").type if cand_tbl.num_columns else pa.int64()),
+                    "id_b": pa.array([], cand_tbl.schema.field("id_b").type if cand_tbl.num_columns else pa.int64()),
+                    "est_jaccard": pa.array([], pa.float64()),
+                }
+            )
+        )
+    need = pc.unique(
+        pa.concat_arrays(
+            [cand_tbl.column("id_a").combine_chunks(), cand_tbl.column("id_b").combine_chunks()]
+        )
+    )
+    need_ref = ray.put(need)
+
+    def keep_needed(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t.column(id_col), value_set=ray.get(need_ref)))
+
+    sig_small = pa.concat_tables(
+        b if isinstance(b, pa.Table) else pa.Table.from_pydict(b)
+        for b in sigs.map_batches(keep_needed, batch_format="pyarrow").iter_batches(batch_format="pyarrow")
+    )
+    sig_ref = ray.put(sig_small)
+
+    import ray.data as rd
+
+    def verify(t: pa.Table) -> pa.Table:
+        s = ray.get(sig_ref)
+        mat = np.asarray(s.column("sig").combine_chunks().flatten()).reshape(len(s), num_perms)
+        ia = pc.index_in(t.column("id_a"), value_set=s.column(id_col)).to_numpy(zero_copy_only=False).astype(np.int64)
+        ib = pc.index_in(t.column("id_b"), value_set=s.column(id_col)).to_numpy(zero_copy_only=False).astype(np.int64)
+        est = (mat[ia] == mat[ib]).mean(axis=1)
+        out = t.append_column("est_jaccard", pa.array(est))
+        return out.filter(pa.array(est >= threshold))
+
+    return rd.from_arrow(cand_tbl).map_batches(verify, batch_format="pyarrow")
 
 
 # ------------------------------------------------------------------- simhash
@@ -333,13 +420,22 @@ def simhash64(texts: pl.Series) -> np.ndarray:
 
 
 def simhash_pairs(
-    ds: Dataset, text_col: str, id_col: str, max_hamming: int = 3, bands: int = 4, max_bucket: int = 256
+    ds: Dataset,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_bucket: int = 256,
+    num_blocks: int = 64,
 ) -> Dataset:
     """Near-dup pairs by simhash Hamming distance ≤ max_hamming.
 
     Pigeonhole: split 64 bits into ``bands`` bands (must be > max_hamming);
-    any pair within distance shares at least one exact band → bucket groupby,
-    verify Hamming within buckets. Output: (id_a, id_b, hamming).
+    any pair within distance shares at least one exact band. Buckets are
+    routed by a coarse partition of the (band, band-bits) key and verified
+    with one vectorized Hamming pass per partition — per-group Python calls
+    on millions of tiny buckets would dominate otherwise.
+    Output: (id_a, id_b, hamming).
     """
     assert bands > max_hamming
     width = 64 // bands
@@ -347,41 +443,74 @@ def simhash_pairs(
     def sig(t: pa.Table) -> pa.Table:
         s = simhash64(pl.from_arrow(t.column(text_col).combine_chunks() if isinstance(t.column(text_col), pa.ChunkedArray) else t.column(text_col)))
         n = len(s)
-        out_band = np.repeat(np.arange(bands, dtype=np.int32), n)
         mask = _U64((1 << width) - 1)
-        out_key = np.concatenate([(s >> _U64(b * width)) & mask for b in range(bands)])
+        with np.errstate(over="ignore"):
+            bkey = np.concatenate(
+                [
+                    splitmix64(((s >> _U64(b * width)) & mask) + _U64(b) * _U64(0x9E3779B97F4A7C15))
+                    for b in range(bands)
+                ]
+            )
         return pa.table(
             {
-                "band": pa.array(out_band),
-                "bkey": pa.array(out_key),
+                "bkey": pa.array(bkey.view(np.int64)),
+                "_part": pa.array((bkey % _U64(num_blocks)).astype(np.int32)),
                 id_col: pa.array(np.tile(t.column(id_col).to_numpy(), bands)),
-                "simhash": pa.array(np.tile(s, bands)),
+                "simhash": pa.array(np.tile(s, bands).view(np.int64)),
             }
         )
 
     banded = ds.map_batches(sig, batch_format="pyarrow")
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
-        g = g.nsmallest(max_bucket, id_col) if len(g) > max_bucket else g
-        ids = g[id_col].to_numpy()
-        sh = g["simhash"].to_numpy().astype(_U64)
-        order = np.argsort(ids)
-        ids, sh = ids[order], sh[order]
-        ii, jj = np.triu_indices(len(ids), k=1)
-        x = sh[ii] ^ sh[jj]
-        ham = np.zeros(len(x), dtype=np.int64)
-        for _ in range(64):
-            ham += (x & _U64(1)).astype(np.int64)
-            x >>= _U64(1)
-            if not x.any():
-                break
-        keep = ham <= max_hamming
-        return pd.DataFrame({"id_a": ids[ii[keep]], "id_b": ids[jj[keep]], "hamming": ham[keep]})
+    def verify_part(t: pa.Table) -> pa.Table:
+        id_type = t.schema.field(id_col).type
+        empty = pa.table(
+            {"id_a": pa.array([], id_type), "id_b": pa.array([], id_type), "hamming": pa.array([], pa.int64())}
+        )
+        if len(t) < 2:
+            return empty
+        bk = t.column("bkey").to_numpy()
+        ids = t.column(id_col).to_numpy()
+        sh = t.column("simhash").to_numpy().view(_U64)
+        order = np.argsort(bk, kind="stable")
+        bk, ids, sh = bk[order], ids[order], sh[order]
+        _, starts, counts = np.unique(bk, return_index=True, return_counts=True)
+        out_a, out_b, out_h = [], [], []
+        for gi in np.nonzero(counts > 1)[0]:
+            st = starts[gi]
+            c = min(int(counts[gi]), max_bucket)
+            gids, gsh = ids[st : st + c], sh[st : st + c]
+            o = np.argsort(gids)
+            gids, gsh = gids[o], gsh[o]
+            ii, jj = np.triu_indices(c, k=1)
+            x = gsh[ii] ^ gsh[jj]
+            ham = np.zeros(len(x), dtype=np.int64)
+            for _ in range(64):
+                ham += (x & _U64(1)).astype(np.int64)
+                x >>= _U64(1)
+                if not x.any():
+                    break
+            keep = ham <= max_hamming
+            out_a.append(gids[ii[keep]])
+            out_b.append(gids[jj[keep]])
+            out_h.append(ham[keep])
+        if not out_a:
+            return empty
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate(out_a), id_type),
+                "id_b": pa.array(np.concatenate(out_b), id_type),
+                "hamming": pa.array(np.concatenate(out_h)),
+            }
+        )
 
-    pairs = banded.groupby(["band", "bkey"]).map_groups(verify, batch_format="pandas")
-    return pairs.groupby(["id_a", "id_b"]).map_groups(lambda g: g.head(1), batch_format="pandas")
+    pairs = banded.groupby("_part").map_groups(verify_part, batch_format="pyarrow")
+
+    # a pair can surface from several bands -> combiner-style dedup (hamming
+    # identical for every surfacing; Min keeps schema + value)
+    from ray.data.aggregate import Min
+
+    return pairs.groupby(["id_a", "id_b"]).aggregate(Min("hamming", alias_name="hamming"))
 
 
 # ------------------------------------------------- near-dup cluster + removal
@@ -482,6 +611,7 @@ def embedding_neardup_pairs(
     """
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((num_tables, num_planes, dim)).astype(np.float32)
+    num_blocks = 64
 
     def bucket(t: pa.Table) -> pa.Table:
         n = len(t)
@@ -489,18 +619,19 @@ def embedding_neardup_pairs(
         norm = np.linalg.norm(vecs, axis=1, keepdims=True)
         vecs = vecs / np.maximum(norm, 1e-12)
         ids = t.column(id_col).to_numpy()
-        tbls, keys, out_ids, out_vecs = [], [], [], []
+        keys, out_ids, out_vecs = [], [], []
         for tb in range(num_tables):
             bits = (vecs @ planes[tb].T) > 0  # (n, planes)
             key = (bits.astype(np.uint64) << np.arange(num_planes, dtype=_U64)[None, :]).sum(axis=1, dtype=np.uint64)
-            tbls.append(np.full(n, tb, dtype=np.int32))
-            keys.append(key)
+            with np.errstate(over="ignore"):
+                keys.append(splitmix64(key + _U64(tb) * _U64(0x9E3779B97F4A7C15)))
             out_ids.append(ids)
             out_vecs.append(vecs)
+        bkey = np.concatenate(keys)
         return pa.table(
             {
-                "tbl": pa.array(np.concatenate(tbls)),
-                "bkey": pa.array(np.concatenate(keys)),
+                "bkey": pa.array(bkey.view(np.int64)),
+                "_part": pa.array((bkey % _U64(num_blocks)).astype(np.int32)),
                 id_col: pa.array(np.concatenate(out_ids)),
                 "vec": pa.FixedSizeListArray.from_arrays(
                     pa.array(np.concatenate(out_vecs).ravel()), dim
@@ -510,19 +641,46 @@ def embedding_neardup_pairs(
 
     banded = ds.map_batches(bucket, batch_format="pyarrow")
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
-        g = g.nsmallest(max_bucket, id_col) if len(g) > max_bucket else g
-        ids = g[id_col].to_numpy()
-        vecs = np.stack(g["vec"].to_numpy())
-        order = np.argsort(ids)
-        ids, vecs = ids[order], vecs[order]
-        sims = vecs @ vecs.T
-        ii, jj = np.triu_indices(len(ids), k=1)
-        cos = sims[ii, jj]
-        keep = cos >= cos_threshold
-        return pd.DataFrame({"id_a": ids[ii[keep]], "id_b": ids[jj[keep]], "cos": cos[keep]})
+    # one vectorized verification pass per coarse partition (not per bucket)
+    def verify_part(t: pa.Table) -> pa.Table:
+        id_type = t.schema.field(id_col).type
+        empty = pa.table(
+            {"id_a": pa.array([], id_type), "id_b": pa.array([], id_type), "cos": pa.array([], pa.float64())}
+        )
+        if len(t) < 2:
+            return empty
+        bk = t.column("bkey").to_numpy()
+        ids = t.column(id_col).to_numpy()
+        vecs = np.asarray(t.column("vec").combine_chunks().flatten()).reshape(len(t), dim)
+        order = np.argsort(bk, kind="stable")
+        bk, ids, vecs = bk[order], ids[order], vecs[order]
+        _, starts, counts = np.unique(bk, return_index=True, return_counts=True)
+        out_a, out_b, out_c = [], [], []
+        for gi in np.nonzero(counts > 1)[0]:
+            st = starts[gi]
+            c = min(int(counts[gi]), max_bucket)
+            gids, gv = ids[st : st + c], vecs[st : st + c]
+            o = np.argsort(gids)
+            gids, gv = gids[o], gv[o]
+            ii, jj = np.triu_indices(c, k=1)
+            cos = (gv @ gv.T)[ii, jj]
+            keep = cos >= cos_threshold
+            out_a.append(gids[ii[keep]])
+            out_b.append(gids[jj[keep]])
+            out_c.append(cos[keep].astype(np.float64))
+        if not out_a:
+            return empty
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate(out_a), id_type),
+                "id_b": pa.array(np.concatenate(out_b), id_type),
+                "cos": pa.array(np.concatenate(out_c)),
+            }
+        )
 
-    pairs = banded.groupby(["tbl", "bkey"]).map_groups(verify, batch_format="pandas")
-    return pairs.groupby(["id_a", "id_b"]).map_groups(lambda g: g.head(1), batch_format="pandas")
+    pairs = banded.groupby("_part").map_groups(verify_part, batch_format="pyarrow")
+
+    from ray.data.aggregate import Max
+
+    # same pair from several tables -> combiner dedup (cos identical; Max keeps it)
+    return pairs.groupby(["id_a", "id_b"]).aggregate(Max("cos", alias_name="cos"))
