@@ -1047,3 +1047,161 @@ def orders_price_band_totals(sf_dir: str):
         .reset_index(drop=True)
     )
     return _round(out, {"total": 2})
+
+
+@q(
+    "q5_local_supplier_volume",
+    sql="""
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name ORDER BY n_name
+    """,
+)
+def q5_local_supplier_volume(sf_dir: str):
+    """TPC-H Q5 shape (6 tables): ONE big-big hash join (orders⨝lineitem on
+    the order key); every other table is dimension-scale and resolves as a
+    broadcast lookup on the streaming side — the local-supplier condition
+    (c_nationkey = s_nationkey) becomes a vectorized filter after two lookups.
+    """
+    from perfect_bloomfilter_ray.stages.joins import broadcast_lookup_join
+
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1998-01-01")
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.greater_equal(t.column("o_orderdate"), pa.scalar(lo)),
+                pc.less(t.column("o_orderdate"), pa.scalar(hi)),
+            )
+        ).drop_columns(["o_orderdate"]),
+        batch_format="pyarrow",
+    )
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]).map_batches(
+        lambda t: pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "l_suppkey": t.column("l_suppkey"),
+                "rev": pc.multiply(
+                    t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount"))
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    joined = li.join(orders, "inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",))
+    j1 = broadcast_lookup_join(
+        joined, _t(sf_dir, "customer", ["c_custkey", "c_nationkey"]), on="o_custkey", right_on="c_custkey"
+    )
+    j2 = broadcast_lookup_join(
+        j1, _t(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]), on="l_suppkey", right_on="s_suppkey"
+    )
+
+    def local_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t.column("c_nationkey"), t.column("s_nationkey")))
+
+    j3 = broadcast_lookup_join(
+        j2.map_batches(local_only, batch_format="pyarrow"),
+        _t(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]),
+        on="s_nationkey",
+        right_on="n_nationkey",
+    )
+    j4 = broadcast_lookup_join(
+        j3, _t(sf_dir, "region", ["r_regionkey", "r_name"]), on="n_regionkey", right_on="r_regionkey"
+    )
+
+    def asia(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t.column("r_name"), pa.scalar("ASIA")))
+
+    out = (
+        j4.map_batches(asia, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Sum("rev", alias_name="revenue"))
+        .to_pandas()
+        .sort_values("n_name")
+        .reset_index(drop=True)
+    )
+    return _round(out, {"revenue": 2})
+
+
+@q(
+    "user_event_type_pivot",
+    sql="""
+    SELECT user_id,
+           round(sum(CASE WHEN event_type = 'click'    THEN value ELSE 0 END), 2) AS click_value,
+           round(sum(CASE WHEN event_type = 'view'     THEN value ELSE 0 END), 2) AS view_value,
+           round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2) AS purchase_value,
+           count(*) AS n_events
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def user_event_type_pivot(sf_dir: str):
+    """Pivot via conditional aggregation: event types become columns inside
+    one map_batches (vectorized if_else), then a single groupby — no
+    per-type scan, no second shuffle."""
+    ds = _t(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def widen(t: pa.Table) -> pa.Table:
+        v, et = t.column("value"), t.column("event_type")
+        zero = pa.scalar(0.0)
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "click_value": pc.if_else(pc.equal(et, pa.scalar("click")), v, zero),
+                "view_value": pc.if_else(pc.equal(et, pa.scalar("view")), v, zero),
+                "purchase_value": pc.if_else(pc.equal(et, pa.scalar("purchase")), v, zero),
+            }
+        )
+
+    out = (
+        ds.map_batches(widen, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            Sum("click_value", alias_name="click_value"),
+            Sum("view_value", alias_name="view_value"),
+            Sum("purchase_value", alias_name="purchase_value"),
+            Count(alias_name="n_events"),
+        )
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    return _round(out, {"click_value": 2, "view_value": 2, "purchase_value": 2})
+
+
+@q(
+    "docs_hash_sample_stats",
+    sql="""
+    SELECT lang, count(*) AS n, round(sum(n_chars), 2) AS total_chars
+    FROM documents
+    WHERE (doc_id * 2654435761) % 10 = 0
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def docs_hash_sample_stats(sf_dir: str):
+    """Deterministic hash-based sampling (Knuth multiplicative residue on the
+    id): the reproducible, engine-portable alternative to random_sample —
+    the same rows are selected on every engine and every run, so sampled
+    pipelines stay oracle-comparable and resumable."""
+    ds = _t(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def sample(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        keep = (ids.astype(np.int64) * 2654435761) % 10 == 0
+        return t.filter(pa.array(keep))
+
+    out = (
+        ds.map_batches(sample, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Count(alias_name="n"), Sum("n_chars", alias_name="total_chars"))
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    return _round(out, {"total_chars": 2})
