@@ -1205,3 +1205,31 @@ def docs_hash_sample_stats(sf_dir: str):
         .reset_index(drop=True)
     )
     return _round(out, {"total_chars": 2})
+
+
+@q("video_frame_stats")
+def video_frame_stats(sf_dir: str):
+    """Multimodal video path smoke: binary payloads → actor-pool frame
+    sampling (stub codec) → per-frame image features → per-frame-index
+    stats. Rows-only (no SQL equivalent for the stubbed codec)."""
+    from perfect_bloomfilter_ray.stages.multimodal import video_pipeline
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_bin(t: pa.Table) -> pa.Table:
+        return pa.table({"blob": pc.cast(t.column("text"), pa.binary())})
+
+    media = ds.map_batches(to_bin, batch_format="pyarrow")
+    feats = video_pipeline(media, "blob", frames=4, frame_hw=(16, 16), concurrency=(1, 4), batch_size=128)
+    out = (
+        feats.groupby("frame")
+        .aggregate(
+            Count(alias_name="n_frames"),
+            Mean("px_mean", alias_name="avg_px_mean"),
+            Mean("row_energy", alias_name="avg_row_energy"),
+        )
+        .to_pandas()
+        .sort_values("frame")
+        .reset_index(drop=True)
+    )
+    return _round(out, {"avg_px_mean": 4, "avg_row_energy": 4})

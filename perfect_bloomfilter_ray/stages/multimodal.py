@@ -49,7 +49,9 @@ def media_dataset_from_binary(
             payload = pc.cast(payload, pa.large_binary())
         return pa.table(
             {
-                "media_id": pa.array(hash64(t.column(payload_col), 0x3D1A).astype(np.uint64)),
+                # int64 bit-view: media_id is a groupby key downstream and
+                # Ray's aggregate key path overflows on uint64 above 2^63
+                "media_id": pa.array(hash64(t.column(payload_col), 0x3D1A).astype(np.uint64).view(np.int64)),
                 "media_type": pa.array([media_type] * n, pa.string()),
                 "payload": payload,
                 "payload_bytes": pc.cast(pc.binary_length(payload), pa.int64()),
@@ -159,18 +161,19 @@ class ImageFeatureStage:
         blocks = px[:, : fh * 8, : fw * 9].reshape(n, 8, fh, 9, fw).mean(axis=(2, 4))
         bits = (blocks[:, :, 1:] > blocks[:, :, :-1]).reshape(n, 64)
         dhash = (bits.astype(_U64) << np.arange(64, dtype=_U64)[None, :]).sum(axis=1, dtype=_U64)
-        return pa.table(
-            {
-                "media_id": t.column("media_id"),
-                "px_mean": pa.array(flat.mean(axis=1)),
-                "px_std": pa.array(flat.std(axis=1)),
-                "px_p25": pa.array(np.percentile(flat, 25, axis=1)),
-                "px_p75": pa.array(np.percentile(flat, 75, axis=1)),
-                "row_energy": pa.array(np.abs(np.diff(px, axis=1)).mean(axis=(1, 2))),
-                "col_energy": pa.array(np.abs(np.diff(px, axis=2)).mean(axis=(1, 2))),
-                "dhash": pa.array(dhash),
-            }
-        )
+        cols = {
+            "media_id": t.column("media_id"),
+            "px_mean": pa.array(flat.mean(axis=1)),
+            "px_std": pa.array(flat.std(axis=1)),
+            "px_p25": pa.array(np.percentile(flat, 25, axis=1)),
+            "px_p75": pa.array(np.percentile(flat, 75, axis=1)),
+            "row_energy": pa.array(np.abs(np.diff(px, axis=1)).mean(axis=(1, 2))),
+            "col_energy": pa.array(np.abs(np.diff(px, axis=2)).mean(axis=(1, 2))),
+            "dhash": pa.array(dhash),
+        }
+        if "frame" in t.column_names:  # video path: keep the frame index
+            cols["frame"] = t.column("frame")
+        return pa.table(cols)
 
 
 class AudioFrameSampleStage:
@@ -200,6 +203,64 @@ class AudioFrameSampleStage:
                 "rms": pa.array(rms.ravel()),
             }
         )
+
+
+class VideoFrameSampleStage:
+    """Actor-pool stage: payload binary → K sampled 2-D frames per video
+    (decoder stubbed per module policy), one output row per (media, frame)
+    with the same (pixels, height, width) layout the image stages consume —
+    so per-frame feature extraction is the UNCHANGED ImageFeatureStage."""
+
+    def __init__(self, frames: int = 4, height: int = 32, width: int = 32, decoder_cls=DeterministicFakeDecoder):
+        self.frames, self.h, self.w = frames, height, width
+        self.decoder = decoder_cls(frames, height * width)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n = len(t)
+        raw = self.decoder.decode_batch(t.column("payload"))  # (n, frames, h*w)
+        ids = np.asarray(t.column("media_id")).repeat(self.frames)
+        rows = n * self.frames
+        return pa.table(
+            {
+                "media_id": pa.array(ids),
+                "frame": pa.array(np.tile(np.arange(self.frames, dtype=np.int32), n)),
+                "pixels": pa.FixedSizeListArray.from_arrays(
+                    pa.array(raw.reshape(rows, -1).ravel()), self.h * self.w
+                ),
+                "height": pa.array(np.full(rows, self.h, dtype=np.int32)),
+                "width": pa.array(np.full(rows, self.w, dtype=np.int32)),
+            }
+        )
+
+
+def video_pipeline(
+    ds: Dataset,
+    payload_col: str,
+    frames: int = 4,
+    frame_hw: tuple[int, int] = (32, 32),
+    concurrency: tuple[int, int] = (1, 4),
+    batch_size: int = 64,
+) -> Dataset:
+    """tag → frame-sample (actor pool) → per-frame features (actor pool).
+
+    Output: one row per (media_id, frame) with the image feature columns.
+    Batch sizing: a batch decodes to ``batch × frames × h × w`` bytes — keep
+    ``batch_size`` small enough that this times the pool size fits the heap.
+    """
+    tagged = media_dataset_from_binary(ds, payload_col)
+    sampled = tagged.map_batches(
+        VideoFrameSampleStage,
+        fn_constructor_kwargs={"frames": frames, "height": frame_hw[0], "width": frame_hw[1]},
+        batch_size=batch_size,
+        concurrency=concurrency,
+        batch_format="pyarrow",
+    )
+    return sampled.map_batches(
+        ImageFeatureStage,
+        batch_size=batch_size * frames,
+        concurrency=concurrency,
+        batch_format="pyarrow",
+    )
 
 
 def image_pipeline(

@@ -94,3 +94,26 @@ def test_real_codec_is_explicit_stub():
 
     with pytest.raises(NotImplementedError):
         RealCodecDecoder()
+
+
+def test_video_pipeline_frame_layout(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.multimodal import video_pipeline
+
+    blobs = pa.table({"blob": [f"video-{i}".encode() for i in range(20)]})
+    out = video_pipeline(rd.from_arrow(blobs), "blob", frames=3, frame_hw=(16, 16), batch_size=8).to_pandas()
+    # one row per (media, frame)
+    assert len(out) == 60
+    assert sorted(out["frame"].unique()) == [0, 1, 2]
+    assert out.groupby("media_id").size().eq(3).all()
+    # per-frame features present and finite
+    for c in ["px_mean", "px_std", "row_energy", "col_energy"]:
+        assert np.isfinite(out[c]).all()
+    # deterministic: same payloads -> same features
+    out2 = video_pipeline(rd.from_arrow(blobs), "blob", frames=3, frame_hw=(16, 16), batch_size=8).to_pandas()
+    a = out.sort_values(["media_id", "frame"]).reset_index(drop=True)
+    b = out2.sort_values(["media_id", "frame"]).reset_index(drop=True)
+    assert (a["dhash"] == b["dhash"]).all()
