@@ -61,8 +61,13 @@ def build_all_sketches(pages: Dataset, expected_urls: int) -> dict:
     )
 
 
-def per_lang_summary(pages: Dataset) -> Dataset:
-    """Grouped sketches per lang (two-phase partial/merge, salted for skew)."""
+def per_lang_summary(pages: Dataset, salt: int | None = None) -> Dataset:
+    """Grouped sketches per lang (two-phase partial/merge shuffle tree).
+
+    ``salt`` adds the intermediate salted merge level (see ``sketch_grouped``)
+    — needed when partial count per key is huge (10^5+ blocks over few keys);
+    at benchmark scale (~10^2 partials) the extra all-to-all costs more than
+    it saves, so it is off by default and exercised in tests/docs."""
     return sketch_grouped(
         pages,
         key="lang",
@@ -70,7 +75,7 @@ def per_lang_summary(pages: Dataset) -> Dataset:
         factory=lambda: HyperLogLog(12),
         name="distinct_urls_est",
         finalize_fn=lambda s: float(s.estimate()),
-        salt=8,
+        salt=salt,
     )
 
 
