@@ -1233,3 +1233,36 @@ def video_frame_stats(sf_dir: str):
         .reset_index(drop=True)
     )
     return _round(out, {"avg_px_mean": 4, "avg_row_energy": 4})
+
+
+@q(
+    "curated_corpus_stats",
+    sql="""
+    WITH filtered AS (
+        SELECT doc_id, lang, text, n_chars FROM documents
+        WHERE lang IN ('en', 'de') AND length(text) >= 200
+    ), ded AS (
+        SELECT min(doc_id) AS keep_id FROM filtered GROUP BY text
+    )
+    SELECT f.lang, count(*) AS n_docs, sum(f.n_chars) AS total_chars
+    FROM filtered f JOIN ded d ON f.doc_id = d.keep_id
+    GROUP BY f.lang ORDER BY f.lang
+    """,
+)
+def curated_corpus_stats(sf_dir: str):
+    """End-to-end curation chain (lang allowlist + length floor + exact
+    dedup keeping the lowest id) — the oracle-checkable core of the
+    training-data preparation pipeline; near-dup removal layers on top
+    (see neardup_removed_docs)."""
+    from perfect_bloomfilter_ray.pipelines.curate import curate
+
+    ds = _t(sf_dir, "documents", ["doc_id", "lang", "text", "n_chars"])
+    out = (
+        curate(ds, langs=("en", "de"), min_chars=200)
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars"))
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    return out

@@ -61,6 +61,19 @@ def exact_dedup(
 
     def keep_first_block(t: pa.Table) -> pa.Table:
         df = pl.from_arrow(t)
+        if normalize:
+            # dedup key = normalized text (same normalization the routing
+            # fingerprint uses), so formatting variants collapse to one doc
+            df = df.with_columns(
+                pl.col(text_col)
+                .str.to_lowercase()
+                .str.replace_all(r"[^\w\s]", "")
+                .str.replace_all(r"\s+", " ")
+                .str.strip_chars()
+                .alias("_norm")
+            )
+            out = df.sort(id_col).unique(subset=["_norm"], keep="first", maintain_order=True)
+            return out.to_arrow().drop_columns(["_part", "_norm"])
         out = df.sort(id_col).unique(subset=[text_col], keep="first", maintain_order=True)
         return out.to_arrow().drop_columns(["_part"])
 

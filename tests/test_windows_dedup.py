@@ -58,3 +58,46 @@ def test_drop_near_duplicates_keeps_canonical(ray_session):
     df = pd.DataFrame({"doc_id": [1, 2, 3], "text": [text, near, other]})
     kept = drop_near_duplicates(rd.from_pandas(df), "text", "doc_id", threshold=0.5).to_pandas()
     assert sorted(kept["doc_id"]) == [1, 3]  # min-id canonical survives
+
+
+def test_exact_dedup_normalized_key(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.dedup import exact_dedup
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [3, 1, 2, 4],
+            "text": ["Hello,  World!", "hello world", "totally different", "HELLO WORLD"],
+        }
+    )
+    # raw dedup: all four distinct
+    raw = exact_dedup(rd.from_pandas(df), "text", "doc_id").to_pandas()
+    assert len(raw) == 4
+    # normalized dedup: the three formatting variants collapse to min id (1)
+    norm = exact_dedup(rd.from_pandas(df), "text", "doc_id", normalize=True).to_pandas()
+    assert sorted(norm["doc_id"]) == [1, 2]
+
+
+def test_curate_pipeline(ray_session, sf_dir):
+    import duckdb
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.pipelines.curate import curate
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"])
+    got = sorted(r["doc_id"] for r in curate(ds, langs=("en",), min_chars=100).take_all())
+    want = [
+        r[0]
+        for r in duckdb.sql(
+            f"""
+            WITH filtered AS (
+                SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')
+                WHERE lang = 'en' AND length(text) >= 100
+            )
+            SELECT min(doc_id) AS keep FROM filtered GROUP BY text ORDER BY keep
+            """
+        ).fetchall()
+    ]
+    assert got == want
