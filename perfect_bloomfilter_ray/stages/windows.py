@@ -6,11 +6,17 @@ equivalents used by training-data/event pipelines:
 
 - ``time_bucket``: truncate timestamps to fixed windows (map-only, no shuffle;
   aggregate with a normal groupby afterwards).
-- ``sessionize``: gap-based session windows per key — the one windowing shape
-  that genuinely needs co-located per-key ordering. Implemented as
-  ``groupby(key).map_groups`` (hash shuffle on the key, per-group sort);
-  partitioning assumption: one key's events fit one group task (true for
-  user-event data; salt + two-phase merge if a key is pathological).
+- ``sessionize``: gap-based session windows per key.
+- ``sliding_window_agg``: per-row trailing window count/sum (SQL RANGE frame).
+
+The keyed operators share one execution shape: a coarse hash partition on the
+key (``hash(key) % num_blocks`` — NOT one group per key: Ray's map_groups
+pays a Python call per group, catastrophic at millions of keys) and ONE
+vectorized pass per partition, with per-key boundaries resolved by sorting on
+a packed ``(key-code << ts_bits) | ts`` int64 composite so every kernel is a
+``searchsorted``/``reduceat`` over contiguous key runs. Partitioning
+assumption: one partition's rows fit one task (num_blocks scales with the
+cluster; a pathological single hot key can be salted upstream).
 """
 
 from __future__ import annotations
@@ -22,6 +28,8 @@ import pyarrow.compute as pc
 
 from ray.data import Dataset
 
+from perfect_bloomfilter_ray.functions.hashing import hash64
+
 
 def time_bucket(ds: Dataset, ts_col: str, unit: str = "hour", out_col: str = "bucket") -> Dataset:
     """Add a truncated-timestamp window column (map-only)."""
@@ -32,38 +40,95 @@ def time_bucket(ds: Dataset, ts_col: str, unit: str = "hour", out_col: str = "bu
     return ds.map_batches(trunc, batch_format="pyarrow")
 
 
+def _add_part(ds: Dataset, key_col: str, num_blocks: int) -> Dataset:
+    def part(t: pa.Table) -> pa.Table:
+        h = hash64(t.column(key_col), 0x5E55)
+        return t.append_column("_part", pa.array((h % np.uint64(num_blocks)).astype(np.int32)))
+
+    return ds.map_batches(part, batch_format="pyarrow")
+
+
+def _ts_i64(col) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_timestamp(col.type):
+        col = col.cast(pa.timestamp("us")).cast(pa.int64())
+    else:
+        col = col.cast(pa.int64())
+    return col.to_numpy(zero_copy_only=False)
+
+
+def _key_runs(t: pa.Table, key_col: str, ts_col: str):
+    """Sort one partition by (key, ts) and return (order, ts_sorted,
+    run_starts, run_ids) where runs are contiguous per-key slices."""
+    keys = t.column(key_col)
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    codes = pc.index_in(keys, value_set=pc.unique(keys)).to_numpy(zero_copy_only=False).astype(np.int64)
+    ts = _ts_i64(t.column(ts_col))
+    order = np.lexsort((ts, codes))
+    codes_s, ts_s = codes[order], ts[order]
+    starts = np.concatenate([[0], np.nonzero(np.diff(codes_s))[0] + 1]) if len(codes_s) else np.array([], np.int64)
+    return order, codes_s, ts_s, starts
+
+
 def sessionize(
     ds: Dataset,
     key_col: str,
     ts_col: str,
     gap: pd.Timedelta | str = "30min",
     stats: bool = True,
+    num_blocks: int = 64,
 ) -> Dataset:
     """Gap-based sessions per key.
 
     stats=True → one row per key: ``(key, n_sessions, n_events)``.
     stats=False → one row per event with a ``session_id`` column
-    (``<key>#<session_index>``) for downstream joins.
+    (session index within the key) for downstream joins.
     """
-    gap = pd.Timedelta(gap)
+    gap_us = int(pd.Timedelta(gap).value // 1000)
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col, kind="mergesort")
-        new_sess = g[ts_col].diff() > gap
-        sess_idx = new_sess.cumsum()
+    def per_part(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            t = t.drop_columns(["_part"])
+            if stats:
+                return pa.table(
+                    {
+                        key_col: pa.array([], t.schema.field(key_col).type),
+                        "n_sessions": pa.array([], pa.int64()),
+                        "n_events": pa.array([], pa.int64()),
+                    }
+                )
+            return t.append_column("session_id", pa.array([], pa.int64()))
+        order, codes_s, ts_s, starts = _key_runs(t, key_col, ts_col)
+        n = len(order)
+        new_key = np.zeros(n, dtype=bool)
+        new_key[starts] = True
+        gap_break = np.empty(n, dtype=bool)
+        gap_break[0] = True
+        gap_break[1:] = (ts_s[1:] - ts_s[:-1]) > gap_us
+        new_sess = new_key | gap_break
         if stats:
-            return pd.DataFrame(
+            sess_counts = np.add.reduceat(new_sess.astype(np.int64), starts)
+            run_lens = np.diff(np.concatenate([starts, [n]]))
+            keys_sorted = pc.take(t.column(key_col), pa.array(order[starts], pa.int64()))
+            return pa.table(
                 {
-                    key_col: [g[key_col].iloc[0]],
-                    "n_sessions": [int(sess_idx.iloc[-1]) + 1],
-                    "n_events": [len(g)],
+                    key_col: keys_sorted,
+                    "n_sessions": pa.array(sess_counts),
+                    "n_events": pa.array(run_lens),
                 }
             )
-        out = g.copy()
-        out["session_id"] = sess_idx.astype(np.int64)
-        return out
+        # session index within key = running count of new_sess minus the
+        # running count at the key's first row
+        cum = np.cumsum(new_sess.astype(np.int64)) - 1
+        key_first_cum = np.repeat(cum[starts], np.diff(np.concatenate([starts, [n]])))
+        sess_idx_sorted = cum - key_first_cum
+        sess_idx = np.empty(n, dtype=np.int64)
+        sess_idx[order] = sess_idx_sorted
+        return t.drop_columns(["_part"]).append_column("session_id", pa.array(sess_idx))
 
-    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+    return _add_part(ds, key_col, num_blocks).groupby("_part").map_groups(per_part, batch_format="pyarrow")
 
 
 def sliding_window_agg(
@@ -74,33 +139,49 @@ def sliding_window_agg(
     window: pd.Timedelta | str = "5min",
     out_count: str = "w_count",
     out_sum: str | None = None,
+    num_blocks: int = 64,
 ) -> Dataset:
     """Per-row sliding event-time window: for each row, count (and optionally
     sum ``value_col``) over the same key's rows in ``[ts - window, ts]``.
 
-    The SQL equivalent is a range window frame (``... OVER (PARTITION BY key
-    ORDER BY ts RANGE BETWEEN <window> PRECEDING AND CURRENT ROW)``). Ray Data
-    has no window functions; this is ``groupby(key).map_groups`` with a
-    vectorized two-pointer (searchsorted over the sorted ts array) per group —
-    O(n log n) per key, one hash shuffle total.
-
-    Rows with identical (key, ts) all receive the same frame (every peer row
-    included), matching SQL RANGE frame semantics. Partitioning assumption:
-    one key's rows fit one group task (salt + merge if a key is pathological).
+    SQL equivalent: a RANGE window frame (``... OVER (PARTITION BY key ORDER
+    BY ts RANGE BETWEEN <window> PRECEDING AND CURRENT ROW)``); rows with
+    identical (key, ts) all receive the same frame (RANGE peer semantics).
+    One vectorized searchsorted over a packed (key-code, ts) composite per
+    coarse partition — no per-key Python, windows cannot cross keys because
+    the key code dominates the composite ordering.
     """
-    window = pd.Timedelta(window)
+    window_us = int(pd.Timedelta(window).value // 1000)
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts_col], kind="mergesort").reset_index(drop=True)
-        ts = g[ts_col].to_numpy()
-        lo = np.searchsorted(ts, ts - window.to_numpy(), side="left")
-        # RANGE frames include ts-peers: frame end = last index with equal ts
-        hi = np.searchsorted(ts, ts, side="right")
-        out = g.copy()
-        out[out_count] = (hi - lo).astype(np.int64)
+    def per_part(t: pa.Table) -> pa.Table:
+        t_out = t.drop_columns(["_part"])
+        if len(t) == 0:
+            out = t_out.append_column(out_count, pa.array([], pa.int64()))
+            if value_col is not None and out_sum is not None:
+                out = out.append_column(out_sum, pa.array([], pa.float64()))
+            return out
+        order, codes_s, ts_s, starts = _key_runs(t, key_col, ts_col)
+        n = len(order)
+        tmin = int(ts_s.min())
+        span = int(ts_s.max()) - tmin + 1
+        code_bits = max(int(codes_s.max() + 1).bit_length(), 1)
+        ts_bits = 63 - code_bits
+        if span + window_us >= (1 << ts_bits):
+            raise ValueError("sliding window ts span too large for packed search")
+        comp = (codes_s << ts_bits) | (ts_s - tmin)
+        lo = np.searchsorted(comp, (codes_s << ts_bits) | np.maximum(ts_s - tmin - window_us, 0), side="left")
+        hi = np.searchsorted(comp, comp, side="right")
+        counts = (hi - lo).astype(np.int64)
+        out_cnt = np.empty(n, dtype=np.int64)
+        out_cnt[order] = counts
+        t_out = t_out.append_column(out_count, pa.array(out_cnt))
         if value_col is not None and out_sum is not None:
-            csum = np.concatenate([[0.0], np.cumsum(g[value_col].to_numpy(dtype=np.float64))])
-            out[out_sum] = csum[hi] - csum[lo]
-        return out
+            vals = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)[order]
+            csum = np.concatenate([[0.0], np.cumsum(vals)])
+            sums = csum[hi] - csum[lo]
+            out_s = np.empty(n, dtype=np.float64)
+            out_s[order] = sums
+            t_out = t_out.append_column(out_sum, pa.array(out_s))
+        return t_out
 
-    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+    return _add_part(ds, key_col, num_blocks).groupby("_part").map_groups(per_part, batch_format="pyarrow")
