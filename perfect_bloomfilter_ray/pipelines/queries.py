@@ -1266,3 +1266,26 @@ def curated_corpus_stats(sf_dir: str):
         .reset_index(drop=True)
     )
     return out
+
+
+@q(
+    "stratified_sample_docs",
+    sql="""
+    SELECT lang, doc_id FROM (
+        SELECT lang, doc_id,
+               row_number() OVER (
+                   PARTITION BY lang ORDER BY (doc_id * 2654435761) % 1000000007, doc_id
+               ) AS rn
+        FROM documents
+    ) WHERE rn <= 20 ORDER BY lang, doc_id
+    """,
+)
+def stratified_sample_docs(sf_dir: str):
+    """Deterministic k-per-group sampling (smallest multiplicative-hash
+    residue per lang) — reproducible fixture/eval sampling that any engine
+    can replicate exactly, built on the grouped top-k combiner."""
+    from perfect_bloomfilter_ray.stages.topk import stratified_sample
+
+    ds = _t(sf_dir, "documents", ["doc_id", "lang"])
+    out = stratified_sample(ds, "lang", "doc_id", k=20).to_pandas()
+    return out[["lang", "doc_id"]].sort_values(["lang", "doc_id"]).reset_index(drop=True)

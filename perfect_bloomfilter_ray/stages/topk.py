@@ -71,3 +71,32 @@ def grouped_top_k(
         .groupby(keys)
         .map_groups(final, batch_format="pandas")
     )
+
+
+def stratified_sample(
+    ds: Dataset,
+    keys: list[str] | str,
+    id_col: str,
+    k: int,
+    mult: int = 2654435761,
+    mod: int = 1_000_000_007,
+) -> Dataset:
+    """Deterministic k-per-group sample: the k rows with the smallest
+    multiplicative-hash residue of ``id_col`` within each group.
+
+    Engine-portable and reproducible (same rows every run and on every
+    engine — the SQL equivalent is ``row_number() OVER (PARTITION BY keys
+    ORDER BY (id*mult) % mod, id) <= k``), unlike ``Dataset.random_sample``.
+    Runs as a grouped top-k, so the shuffle moves at most k rows per group
+    per block. The ``_sample_key`` column is retained in the output for
+    oracle comparison; drop it downstream if unwanted.
+    """
+    import numpy as np
+
+    def add_key(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy()
+        hk = (ids.astype(np.int64) * mult) % mod
+        return t.append_column("_sample_key", pa.array(hk))
+
+    keyed = ds.map_batches(add_key, batch_format="pyarrow")
+    return grouped_top_k(keyed, keys, "_sample_key", k, descending=False, tie_cols=[id_col])

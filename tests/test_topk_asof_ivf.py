@@ -208,3 +208,26 @@ def test_ivf_deterministic(ray_session, sf01_dir):
     a = ivf_topk(emb, queries, "embedding", "vec_id", dim, k=5)
     b = ivf_topk(emb, queries, "embedding", "vec_id", dim, k=5)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_stratified_sample_deterministic_k_per_group(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.topk import stratified_sample
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({"g": rng.integers(0, 5, 300), "id": np.arange(300)})
+    ds = rd.from_pandas(df).repartition(6)
+    a = stratified_sample(ds, "g", "id", k=7).to_pandas().sort_values(["g", "id"]).reset_index(drop=True)
+    assert a.groupby("g").size().le(7).all()
+    assert a.groupby("g").size().eq(7).all()  # every group has >=7 members here
+    # deterministic across runs and partitionings
+    b = (
+        stratified_sample(rd.from_pandas(df).repartition(2), "g", "id", k=7)
+        .to_pandas()
+        .sort_values(["g", "id"])
+        .reset_index(drop=True)
+    )
+    assert a[["g", "id"]].equals(b[["g", "id"]])
