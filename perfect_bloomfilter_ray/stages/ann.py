@@ -35,30 +35,31 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 
 
-class _TopKScorer:
-    """Actor-pool batch fn: query matrix loaded once per actor (broadcast)."""
+def _topk_scorer(queries_ref, vec_col: str, id_col: str, dim: int, k: int):
+    """Stateless task fn: the query matrix is broadcast once (``ray.put``)
+    and resolved zero-copy from the object store in every task — cheaper than
+    an actor pool for state this small (actor pools respawn per execution,
+    ~2 s of spin-up that dwarfs the matmul on dimension-scale inputs)."""
 
-    def __init__(self, queries_ref, vec_col: str, id_col: str, dim: int, k: int):
-        q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
-        self._q = _normalize(np.asarray(q))  # (Q, dim)
-        self._vec_col, self._id_col, self._dim, self._k = vec_col, id_col, dim, k
-
-    def __call__(self, t: pa.Table) -> pa.Table:
-        vecs = _normalize(_vecs_of(t, self._vec_col, self._dim))
-        sims = vecs @ self._q.T  # (n, Q)
+    def score(t: pa.Table) -> pa.Table:
+        q = _normalize(np.asarray(ray.get(queries_ref)))  # (Q, dim)
+        vecs = _normalize(_vecs_of(t, vec_col, dim))
+        sims = vecs @ q.T  # (n, Q)
         n, Q = sims.shape
-        k = min(self._k, n)
-        part = np.argpartition(-sims, k - 1, axis=0)[:k]  # (k, Q) row indices
-        ids = t.column(self._id_col).to_numpy()
-        out_q = np.repeat(np.arange(Q, dtype=np.int32), k)
+        kk = min(k, n)
+        part = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, Q) row indices
+        ids = t.column(id_col).to_numpy()
+        out_q = np.repeat(np.arange(Q, dtype=np.int32), kk)
         out_idx = part.T.ravel()
         return pa.table(
             {
                 "query_id": pa.array(out_q),
-                self._id_col: pa.array(ids[out_idx]),
+                id_col: pa.array(ids[out_idx]),
                 "cos": pa.array(sims[out_idx, out_q].astype(np.float64)),
             }
         )
+
+    return score
 
 
 def brute_force_topk(
@@ -68,17 +69,14 @@ def brute_force_topk(
     id_col: str,
     dim: int,
     k: int = 10,
-    concurrency: int | tuple[int, int] = (2, 8),
 ) -> pd.DataFrame:
     """Exact cosine top-k for each query row. Returns a small pandas frame
     (query_id, id, cos) with k rows per query, sorted by cos desc, ties by id.
     """
     ref = ray.put(np.asarray(queries, dtype=np.float32))
     partials = ds.map_batches(
-        _TopKScorer,
-        fn_constructor_args=(ref, vec_col, id_col, dim, k),
+        _topk_scorer(ref, vec_col, id_col, dim, k),
         batch_format="pyarrow",
-        concurrency=concurrency,
     )
     # final reduce over ≤ k·Q·num_batches candidate rows — tiny
     df = partials.to_pandas()
@@ -112,37 +110,33 @@ def lsh_topk(
     qkeys_ref = ray.put(qkeys)
     q_ref = ray.put(qm)
 
-    class Scorer:
-        def __init__(self):
-            self._q = ray.get(q_ref)
-            self._qk = ray.get(qkeys_ref)
+    def score(t: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        qk = ray.get(qkeys_ref)
+        vecs = _normalize(_vecs_of(t, vec_col, dim))
+        n = len(vecs)
+        cand = np.zeros((n, q.shape[0]), dtype=bool)
+        for tb in range(num_tables):
+            bits = (vecs @ planes[tb].T) > 0
+            keys = bits.astype(np.uint64) @ (np.uint64(1) << np.arange(num_planes, dtype=np.uint64))
+            cand |= keys[:, None] == qk[tb][None, :]
+        sims = vecs @ q.T
+        sims[~cand] = -2.0  # outside every bucket → never in top-k
+        kk = min(k, n)
+        part = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+        ids = t.column(id_col).to_numpy()
+        Q = q.shape[0]
+        out_q = np.repeat(np.arange(Q, dtype=np.int32), kk)
+        out_idx = part.T.ravel()
+        return pa.table(
+            {
+                "query_id": pa.array(out_q),
+                id_col: pa.array(ids[out_idx]),
+                "cos": pa.array(sims[out_idx, out_q].astype(np.float64)),
+            }
+        )
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            vecs = _normalize(_vecs_of(t, vec_col, dim))
-            n = len(vecs)
-            cand = np.zeros((n, self._q.shape[0]), dtype=bool)
-            for tb in range(num_tables):
-                bits = (vecs @ planes[tb].T) > 0
-                keys = bits.astype(np.uint64) @ (np.uint64(1) << np.arange(num_planes, dtype=np.uint64))
-                cand |= keys[:, None] == self._qk[tb][None, :]
-            sims = vecs @ self._q.T
-            sims[~cand] = -2.0  # outside every bucket → never in top-k
-            kk = min(k, n)
-            part = np.argpartition(-sims, kk - 1, axis=0)[:kk]
-            ids = t.column(id_col).to_numpy()
-            Q = self._q.shape[0]
-            out_q = np.repeat(np.arange(Q, dtype=np.int32), kk)
-            out_idx = part.T.ravel()
-            res = pa.table(
-                {
-                    "query_id": pa.array(out_q),
-                    id_col: pa.array(ids[out_idx]),
-                    "cos": pa.array(sims[out_idx, out_q].astype(np.float64)),
-                }
-            )
-            return res
-
-    partials = ds.map_batches(Scorer, batch_format="pyarrow", concurrency=(2, 8))
+    partials = ds.map_batches(score, batch_format="pyarrow")
     df = partials.to_pandas()
     df = df[df["cos"] > -1.5]
     df = df.sort_values(["query_id", "cos", id_col], ascending=[True, False, True])
@@ -204,34 +198,31 @@ def ivf_topk(
     q_ref = ray.put(qm)
     p_ref = ray.put(probed)
 
-    class Scorer:
-        def __init__(self):
-            self._c = ray.get(c_ref)
-            self._q = ray.get(q_ref)
-            self._probed = ray.get(p_ref)
+    def score(t: pa.Table) -> pa.Table:
+        c = ray.get(c_ref)
+        q = ray.get(q_ref)
+        probed = ray.get(p_ref)
+        vecs = _normalize(_vecs_of(t, vec_col, dim))
+        cells = np.argmax(vecs @ c.T, axis=1)  # (n,)
+        cand = probed[cells]  # (n, Q): query probes this row's cell
+        sims = vecs @ q.T
+        sims[~cand] = -2.0
+        n = len(vecs)
+        kk = min(k, n)
+        part = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+        ids = t.column(id_col).to_numpy()
+        Q = q.shape[0]
+        out_q = np.repeat(np.arange(Q, dtype=np.int32), kk)
+        out_idx = part.T.ravel()
+        return pa.table(
+            {
+                "query_id": pa.array(out_q),
+                id_col: pa.array(ids[out_idx]),
+                "cos": pa.array(sims[out_idx, out_q].astype(np.float64)),
+            }
+        )
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            vecs = _normalize(_vecs_of(t, vec_col, dim))
-            cells = np.argmax(vecs @ self._c.T, axis=1)  # (n,)
-            cand = self._probed[cells]  # (n, Q): query probes this row's cell
-            sims = vecs @ self._q.T
-            sims[~cand] = -2.0
-            n = len(vecs)
-            kk = min(k, n)
-            part = np.argpartition(-sims, kk - 1, axis=0)[:kk]
-            ids = t.column(id_col).to_numpy()
-            Q = self._q.shape[0]
-            out_q = np.repeat(np.arange(Q, dtype=np.int32), kk)
-            out_idx = part.T.ravel()
-            return pa.table(
-                {
-                    "query_id": pa.array(out_q),
-                    id_col: pa.array(ids[out_idx]),
-                    "cos": pa.array(sims[out_idx, out_q].astype(np.float64)),
-                }
-            )
-
-    partials = ds.map_batches(Scorer, batch_format="pyarrow", concurrency=(2, 8))
+    partials = ds.map_batches(score, batch_format="pyarrow")
     df = partials.to_pandas()
     df = df[df["cos"] > -1.5]
     df = df.sort_values(["query_id", "cos", id_col], ascending=[True, False, True])
