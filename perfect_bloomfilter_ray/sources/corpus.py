@@ -142,7 +142,12 @@ def write_pages(out_dir: str, n_rows: int, seed: int = 42, num_blocks: int | Non
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
     ds = pages_dataset(n_rows, seed, override_num_blocks=num_blocks)
-    ds.write_parquet(out_dir)
+    if num_blocks:
+        # honor the requested shard count even when Ray's writer would
+        # coalesce small blocks into one file (resumable layouts need >1)
+        ds.write_parquet(out_dir, max_rows_per_file=max(1, n_rows // num_blocks))
+    else:
+        ds.write_parquet(out_dir)
     with open(marker, "w") as f:
         f.write("ok")
     return out_dir

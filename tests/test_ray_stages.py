@@ -163,3 +163,34 @@ def test_flagship_pipeline_runs(ray_session):
 
     out = flagship(pages_dataset(500, seed=1), expected_urls=500)
     assert len(out) >= 5 and "distinct_urls_est" in out.columns
+
+
+def test_resumable_etl_skips_done_shards(ray_session, tmp_path):
+    import glob
+    import json
+    import os
+
+    from perfect_bloomfilter_ray.pipelines.enrich import enrich_pages
+    from perfect_bloomfilter_ray.sources.corpus import write_pages
+    from perfect_bloomfilter_ray.stages.checkpoint import resumable_etl
+
+    corpus = write_pages(str(tmp_path / "corpus"), 2000, seed=3, num_blocks=4)
+    files = sorted(glob.glob(os.path.join(corpus, "*.parquet")))
+    assert len(files) >= 4
+    out = str(tmp_path / "etl_out")
+
+    m1 = resumable_etl(files, out, enrich_pages, shard_files=1)
+    assert m1["num_built"] == len(files) and m1["num_resumed"] == 0
+    # simulate a crashed run: nuke one shard's marker
+    victim = os.path.join(out, "shard-00001", "_SUCCESS")
+    os.remove(victim)
+    m2 = resumable_etl(files, out, enrich_pages, shard_files=1)
+    assert m2["num_built"] == 1 and m2["num_resumed"] == len(files) - 1
+    # total output rows = corpus rows
+    import ray.data as rd
+
+    n = rd.read_parquet(
+        [p for p in glob.glob(os.path.join(out, "shard-*", "*.parquet"))]
+    ).count()
+    assert n == 2000
+    assert json.load(open(os.path.join(out, "manifest.json")))["num_shards"] == len(files)
