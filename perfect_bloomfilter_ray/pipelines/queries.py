@@ -1289,3 +1289,70 @@ def stratified_sample_docs(sf_dir: str):
     ds = _t(sf_dir, "documents", ["doc_id", "lang"])
     out = stratified_sample(ds, "lang", "doc_id", k=20).to_pandas()
     return out[["lang", "doc_id"]].sort_values(["lang", "doc_id"]).reset_index(drop=True)
+
+
+@q("theta_user_overlap")
+def theta_user_overlap(sf_dir: str):
+    """Theta/KMV set-operation sketches: estimated distinct-user union,
+    intersection, difference, and Jaccard between 'click' and 'purchase'
+    event streams — the audience-overlap query HLL cannot answer. Rows-only;
+    error bounds + exact counterpart checked in tests and
+    user_overlap_exact."""
+    from perfect_bloomfilter_ray.stages.agg import sketch_global
+    from perfect_bloomfilter_ray.state.theta import ThetaSketch
+
+    def users_of(event_type: str):
+        ds = _t(sf_dir, "events", ["event_type", "user_id"]).filter(
+            expr=f"event_type == '{event_type}'"
+        )
+        return sketch_global(ds, "user_id", lambda: ThetaSketch(4096), "theta")
+
+    a, b = users_of("click"), users_of("purchase")
+    union = ThetaSketch(4096).merge(a).merge(b)
+    return pd.DataFrame(
+        [
+            {
+                "click_users_est": round(a.estimate(), 1),
+                "purchase_users_est": round(b.estimate(), 1),
+                "union_est": round(union.estimate(), 1),
+                "intersect_est": round(a.intersect_estimate(b), 1),
+                "click_not_purchase_est": round(a.a_not_b_estimate(b), 1),
+                "jaccard_est": round(a.jaccard_estimate(b), 4),
+            }
+        ]
+    )
+
+
+@q(
+    "user_overlap_exact",
+    sql="""
+    SELECT
+        (SELECT count(DISTINCT user_id) FROM events WHERE event_type = 'click') AS click_users,
+        (SELECT count(DISTINCT user_id) FROM events WHERE event_type = 'purchase') AS purchase_users,
+        (SELECT count(*) FROM (
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+            INTERSECT
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')) AS n_both
+    """,
+)
+def user_overlap_exact(sf_dir: str):
+    """Exact set-op counterpart of theta_user_overlap: distinct user sets per
+    event type intersected via broadcast semi-join (INTERSECT in SQL)."""
+    from perfect_bloomfilter_ray.stages.joins import broadcast_semi_join
+
+    def distinct_users(event_type: str):
+        return (
+            _t(sf_dir, "events", ["event_type", "user_id"])
+            .filter(expr=f"event_type == '{event_type}'")
+            .groupby("user_id")
+            .aggregate(Count(alias_name="_c"))
+            .drop_columns(["_c"])
+        )
+
+    click, purchase = distinct_users("click"), distinct_users("purchase")
+    n_click = click.count()
+    n_purchase = purchase.count()
+    n_both = broadcast_semi_join(click, purchase, on="user_id").count()
+    return pd.DataFrame(
+        [{"click_users": n_click, "purchase_users": n_purchase, "n_both": n_both}]
+    )
