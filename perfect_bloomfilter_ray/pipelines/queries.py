@@ -1356,3 +1356,62 @@ def user_overlap_exact(sf_dir: str):
     return pd.DataFrame(
         [{"click_users": n_click, "purchase_users": n_purchase, "n_both": n_both}]
     )
+
+
+@q(
+    "customers_order_counts_outer",
+    sql="""
+    SELECT c.c_custkey, count(o.o_orderkey) AS n_orders,
+           round(coalesce(sum(o.o_totalprice), 0), 2) AS total_spent
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey ORDER BY c.c_custkey
+    """,
+)
+def customers_order_counts_outer(sf_dir: str):
+    """LEFT OUTER join coverage (Ray-native hash join): every customer kept,
+    zero-filled aggregates for customers with no orders."""
+    cust = _t(sf_dir, "customer", ["c_custkey"])
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+    joined = cust.join(
+        orders, "left_outer", num_partitions=8, on=("c_custkey",), right_on=("o_custkey",)
+    )
+
+    def widen(t: pa.Table) -> pa.Table:
+        has = pc.is_valid(t.column("o_orderkey"))
+        return pa.table(
+            {
+                "c_custkey": t.column("c_custkey"),
+                "has_order": pc.cast(has, pa.int64()),
+                "spend": pc.if_else(has, t.column("o_totalprice"), pa.scalar(0.0)),
+            }
+        )
+
+    out = (
+        joined.map_batches(widen, batch_format="pyarrow")
+        .groupby("c_custkey")
+        .aggregate(Sum("has_order", alias_name="n_orders"), Sum("spend", alias_name="total_spent"))
+        .to_pandas()
+        .sort_values("c_custkey")
+        .reset_index(drop=True)
+    )
+    return _round(out, {"total_spent": 2})
+
+
+@q("sharded_bloom_roundtrip")
+def sharded_bloom_roundtrip(sf_dir: str):
+    """Reference shard geometry end-to-end: build a jump-hash-routed sharded
+    filter over order keys, probe inserted + fresh keys through the actor-pool
+    membership stage. Rows-only (membership is the sketch's own semantics;
+    FP/FN bounds asserted in tests)."""
+    from perfect_bloomfilter_ray.stages.membership import build_sharded_filter
+
+    orders = _t(sf_dir, "orders", ["o_orderkey"])
+    filt = build_sharded_filter(orders, "o_orderkey", num_shards=16, expected_keys=20000)
+
+    import numpy as np_
+
+    inserted = _t(sf_dir, "orders", ["o_orderkey"]).limit(2000).to_pandas()["o_orderkey"].to_numpy()
+    fresh = np_.arange(10_000_000, 10_002_000)
+    hits = int(filt.contains_column(pa.array(inserted)).sum())
+    fps = int(filt.contains_column(pa.array(fresh)).sum())
+    return pd.DataFrame([{"inserted_probed": len(inserted), "hits": hits, "fresh_probed": len(fresh), "false_positives": fps}])
