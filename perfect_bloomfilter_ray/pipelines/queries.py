@@ -1415,3 +1415,63 @@ def sharded_bloom_roundtrip(sf_dir: str):
     hits = int(filt.contains_column(pa.array(inserted)).sum())
     fps = int(filt.contains_column(pa.array(fresh)).sum())
     return pd.DataFrame([{"inserted_probed": len(inserted), "hits": hits, "fresh_probed": len(fresh), "false_positives": fps}])
+
+
+@q(
+    "user_event_lag_cum",
+    sql="""
+    SELECT event_id,
+           lag(value)  OVER w AS lag_value,
+           lead(value) OVER w AS lead_value,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, value
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)
+    ORDER BY event_id
+    """,
+)
+def user_event_lag_cum(sf_dir: str):
+    """lag/lead/running-sum window functions per user (ORDER BY ts) — the
+    ordered-window trio via one vectorized pass per coarse key partition."""
+    from perfect_bloomfilter_ray.stages.windows import lag_lead_cum
+
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    out = lag_lead_cum(ds, "user_id", "ts", "value").to_pandas()
+    out = out[["event_id", "lag_value", "lead_value", "cum_value"]].sort_values("event_id").reset_index(drop=True)
+    return _round(out, {"cum_value": 2})
+
+
+@q("hll_distinct_user_type_pairs")
+def hll_distinct_user_type_pairs(sf_dir: str):
+    """Composite-key sketching: HLL over the canonical byte encoding of
+    (user_id, event_type) pairs — the reference's 'consistent binary
+    representation per type' rule applied to multi-column keys. Rows-only;
+    exact counterpart below."""
+    from perfect_bloomfilter_ray.functions.keys import key_bytes
+    from perfect_bloomfilter_ray.stages.agg import sketch_global
+    from perfect_bloomfilter_ray.state.hll import HyperLogLog
+
+    ds = _t(sf_dir, "events", ["user_id", "event_type"])
+
+    def composite(t: pa.Table) -> pa.Table:
+        a = key_bytes(t.column("user_id"))
+        b = key_bytes(t.column("event_type"))
+        return pa.table({"pair": pc.binary_join_element_wise(a, b, pa.scalar(b"\x1f", pa.binary()))})
+
+    pairs = ds.map_batches(composite, batch_format="pyarrow")
+    s = sketch_global(pairs, "pair", lambda: HyperLogLog(14), "hll")
+    return pd.DataFrame([{"distinct_pairs_est": round(s.estimate(), 1)}])
+
+
+@q(
+    "distinct_user_type_pairs_exact",
+    sql="SELECT count(DISTINCT (user_id, event_type)) AS n_pairs FROM events",
+)
+def distinct_user_type_pairs_exact(sf_dir: str):
+    out = (
+        _t(sf_dir, "events", ["user_id", "event_type"])
+        .groupby(["user_id", "event_type"])
+        .aggregate(Count(alias_name="_c"))
+        .count()
+    )
+    return pd.DataFrame([{"n_pairs": out}])

@@ -131,6 +131,69 @@ def sessionize(
     return _add_part(ds, key_col, num_blocks).groupby("_part").map_groups(per_part, batch_format="pyarrow")
 
 
+def lag_lead_cum(
+    ds: Dataset,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    lag_col: str = "lag_value",
+    lead_col: str = "lead_value",
+    cum_col: str = "cum_value",
+    num_blocks: int = 64,
+) -> Dataset:
+    """Per-key ordered window functions: previous value (lag 1), next value
+    (lead 1), and running sum — the SQL ``lag()/lead()/sum() OVER (PARTITION
+    BY key ORDER BY ts ROWS UNBOUNDED PRECEDING)`` trio. Deterministic order:
+    (ts, value) within each key, mirroring an ORDER BY ts, value frame.
+
+    Same execution shape as the other keyed window ops: coarse hash
+    partition, one vectorized pass per partition (shift + cumsum over
+    contiguous key runs), no per-key Python.
+    """
+
+    def per_part(t: pa.Table) -> pa.Table:
+        t_out = t.drop_columns(["_part"])
+        if len(t) == 0:
+            for c in (lag_col, lead_col, cum_col):
+                t_out = t_out.append_column(c, pa.array([], pa.float64()))
+            return t_out
+        keys = t.column(key_col)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        codes = pc.index_in(keys, value_set=pc.unique(keys)).to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = _ts_i64(t.column(ts_col))
+        vals = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.lexsort((vals, ts, codes))
+        codes_s, vals_s = codes[order], vals[order]
+        n = len(order)
+        first = np.zeros(n, dtype=bool)
+        first[0] = True
+        first[1:] = codes_s[1:] != codes_s[:-1]
+        last = np.roll(first, -1)
+
+        lag = np.empty(n)
+        lag[0] = np.nan
+        lag[1:] = vals_s[:-1]
+        lag[first] = np.nan
+        lead = np.empty(n)
+        lead[-1] = np.nan
+        lead[:-1] = vals_s[1:]
+        lead[last] = np.nan
+        csum = np.cumsum(vals_s)
+        # running sum within key = global cumsum minus cumsum before key start
+        starts = np.nonzero(first)[0]
+        base = np.repeat(csum[starts] - vals_s[starts], np.diff(np.concatenate([starts, [n]])))
+        cum = csum - base
+
+        inv = np.empty(n, dtype=np.int64)
+        inv[order] = np.arange(n)
+        for name, arr in ((lag_col, lag), (lead_col, lead), (cum_col, cum)):
+            t_out = t_out.append_column(name, pa.array(arr[inv]))
+        return t_out
+
+    return _add_part(ds, key_col, num_blocks).groupby("_part").map_groups(per_part, batch_format="pyarrow")
+
+
 def sliding_window_agg(
     ds: Dataset,
     key_col: str,

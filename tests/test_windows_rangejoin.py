@@ -117,3 +117,28 @@ def test_range_join_rejects_overlap(ray_session):
     iv = pa.table({"name": ["a", "b"], "lo": [0.0, 5.0], "hi": [6.0, 10.0]})
     with pytest.raises(ValueError, match="overlap"):
         range_join_broadcast(rd.from_pandas(pd.DataFrame({"x": [1.0]})), iv, "x", "lo", "hi")
+
+
+def test_lag_lead_cum_matches_duckdb(ray_session, sf_dir):
+    import duckdb
+    import numpy as np
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.windows import lag_lead_cum
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"])
+    got = lag_lead_cum(events, "user_id", "ts", "value").to_pandas().sort_values("event_id").reset_index(drop=True)
+    want = duckdb.sql(
+        f"""
+        SELECT event_id, lag(value) OVER w AS lag_value, lead(value) OVER w AS lead_value,
+               sum(value) OVER (PARTITION BY user_id ORDER BY ts, value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_value
+        FROM read_parquet('{sf_dir}/events.parquet')
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)
+        ORDER BY event_id
+        """
+    ).fetchdf()
+    for c in ["lag_value", "lead_value", "cum_value"]:
+        np.testing.assert_allclose(
+            got[c].to_numpy(dtype=float), want[c].to_numpy(dtype=float), rtol=1e-9, equal_nan=True
+        )
