@@ -1475,3 +1475,29 @@ def distinct_user_type_pairs_exact(sf_dir: str):
         .count()
     )
     return pd.DataFrame([{"n_pairs": out}])
+
+
+@q(
+    "events_type_rollup",
+    sql="""
+    SELECT coalesce(event_type, 'ALL') AS event_type,
+           count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY ROLLUP (event_type)
+    ORDER BY event_type
+    """,
+)
+def events_type_rollup(sf_dir: str):
+    """ROLLUP emulation: per-type aggregates plus the grand total in one
+    result — the leaf groupby runs once and the total folds from the leaf
+    rows (combiner reuse), not from a second scan of the table."""
+    ds = _t(sf_dir, "events", ["event_type", "value"])
+    leaf = (
+        ds.groupby("event_type")
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+        .to_pandas()
+    )
+    total = pd.DataFrame(
+        [{"event_type": "ALL", "n": int(leaf["n"].sum()), "sum_value": float(leaf["sum_value"].sum())}]
+    )
+    out = pd.concat([leaf, total], ignore_index=True).sort_values("event_type").reset_index(drop=True)
+    return _round(out, {"sum_value": 2})

@@ -231,3 +231,14 @@ def test_stratified_sample_deterministic_k_per_group(ray_session):
         .reset_index(drop=True)
     )
     assert a[["g", "id"]].equals(b[["g", "id"]])
+
+
+def test_grouped_top_k_empty_input(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.topk import grouped_top_k
+
+    df = pd.DataFrame({"g": pd.Series([], dtype="int64"), "x": pd.Series([], dtype="float64"), "id": pd.Series([], dtype="int64")})
+    out = grouped_top_k(rd.from_pandas(df), "g", "x", k=3, tie_cols=["id"]).to_pandas()
+    assert len(out) == 0
