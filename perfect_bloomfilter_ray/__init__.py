@@ -23,6 +23,7 @@ from perfect_bloomfilter_ray.state.hll import HyperLogLog
 from perfect_bloomfilter_ray.state.cms import CountMinSketch
 from perfect_bloomfilter_ray.state.kll import KLLSketch
 from perfect_bloomfilter_ray.state.tdigest import TDigest
+from perfect_bloomfilter_ray.state.theta import ThetaSketch
 
 __all__ = [
     "BloomConfig",
@@ -31,4 +32,5 @@ __all__ = [
     "CountMinSketch",
     "KLLSketch",
     "TDigest",
+    "ThetaSketch",
 ]
