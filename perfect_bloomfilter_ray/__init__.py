@@ -18,6 +18,7 @@ the caller (driver, bench.py, or the pytest fixture).
 """
 
 from perfect_bloomfilter_ray.config import BloomConfig
+from perfect_bloomfilter_ray.facade import PerfectBloomFilter
 from perfect_bloomfilter_ray.state.bloom import BloomCascade
 from perfect_bloomfilter_ray.state.hll import HyperLogLog
 from perfect_bloomfilter_ray.state.cms import CountMinSketch
@@ -27,6 +28,7 @@ from perfect_bloomfilter_ray.state.theta import ThetaSketch
 
 __all__ = [
     "BloomConfig",
+    "PerfectBloomFilter",
     "BloomCascade",
     "HyperLogLog",
     "CountMinSketch",
