@@ -213,6 +213,11 @@ def sliding_window_agg(
     One vectorized searchsorted over a packed (key-code, ts) composite per
     coarse partition — no per-key Python, windows cannot cross keys because
     the key code dominates the composite ordering.
+
+    Precision: ``out_sum`` is a prefix-sum difference, so its absolute error
+    is bounded by eps × (running-sum magnitude) rather than eps × (frame
+    sum) — values spanning >15 orders of magnitude within one key can lose
+    the small ones. Counts are exact.
     """
     window_us = int(pd.Timedelta(window).value // 1000)
 

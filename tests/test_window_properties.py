@@ -1,0 +1,124 @@
+"""Property tests: keyed window/join kernels vs brute-force oracles.
+
+The packed-composite searchsorted kernels (asof join, sliding windows) and
+the run-based sessionizer have key-boundary edge cases that example tests
+can miss; hypothesis drives random keys/timestamps through them and checks
+against O(n^2) per-row oracles.
+"""
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+
+_keys = st.integers(min_value=0, max_value=4)
+_ts = st.integers(min_value=0, max_value=50)
+
+
+@st.composite
+def events_and_build(draw):
+    n_e = draw(st.integers(1, 25))
+    n_b = draw(st.integers(0, 25))
+    events = [(draw(_keys), draw(_ts)) for _ in range(n_e)]
+    build = sorted({(draw(_keys), draw(_ts)) for _ in range(n_b)})
+    return events, build
+
+
+@settings(max_examples=30, deadline=None)
+@given(events_and_build())
+def test_asof_matches_bruteforce(ray_session, data):
+    import ray.data as rd
+    import pyarrow as pa
+
+    from perfect_bloomfilter_ray.stages.joins import asof_join_broadcast
+
+    events, build = data
+    edf = pd.DataFrame(
+        {
+            "k": [k for k, _ in events],
+            "t": pd.to_datetime([t for _, t in events], unit="s"),
+            "eid": range(len(events)),
+        }
+    )
+    if not build:
+        build = [(99, 0)]  # non-empty build side; key 99 matches nothing
+    bdf = pd.DataFrame(
+        {
+            "bk": [k for k, _ in build],
+            "bt": pd.to_datetime([t for _, t in build], unit="s"),
+            "payload": range(len(build)),
+        }
+    )
+    got = (
+        asof_join_broadcast(
+            rd.from_pandas(edf).repartition(2), pa.Table.from_pandas(bdf), on="k", big_ts="t", right_on="bk", small_ts="bt"
+        )
+        .to_pandas()
+        .sort_values("eid")
+        .reset_index(drop=True)
+    )
+    for _, row in got.iterrows():
+        cand = bdf[(bdf["bk"] == row["k"]) & (bdf["bt"] <= row["t"])]
+        if len(cand):
+            want = cand.sort_values(["bt", "payload"]).iloc[-1]["payload"]
+            assert row["asof_payload"] == want, (row.to_dict(), want)
+        else:
+            assert pd.isna(row["asof_payload"]), row.to_dict()
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.tuples(_keys, _ts, st.floats(0.125, 10, width=32)), min_size=1, max_size=40))
+def test_sliding_window_matches_bruteforce(ray_session, rows):
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.windows import sliding_window_agg
+
+    df = pd.DataFrame(
+        {
+            "k": [r[0] for r in rows],
+            "ts": pd.to_datetime([r[1] for r in rows], unit="s"),
+            "v": [float(r[2]) for r in rows],
+            "rid": range(len(rows)),
+        }
+    )
+    W = pd.Timedelta("10s")
+    got = (
+        sliding_window_agg(rd.from_pandas(df).repartition(2), "k", "ts", value_col="v", window="10s", out_sum="w_sum")
+        .to_pandas()
+        .sort_values("rid")
+        .reset_index(drop=True)
+    )
+    for _, row in got.iterrows():
+        frame = df[(df["k"] == row["k"]) & (df["ts"] >= row["ts"] - W) & (df["ts"] <= row["ts"])]
+        assert row["w_count"] == len(frame), row.to_dict()
+        # prefix-sum difference: absolute error ~ eps * running-sum magnitude
+        # (documented in the stage docstring), hence atol
+        np.testing.assert_allclose(row["w_sum"], frame["v"].sum(), rtol=1e-9, atol=1e-7)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.tuples(_keys, _ts), min_size=1, max_size=40))
+def test_sessionize_matches_bruteforce(ray_session, rows):
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.windows import sessionize
+
+    df = pd.DataFrame(
+        {
+            "k": [r[0] for r in rows],
+            "ts": pd.to_datetime([r[1] for r in rows], unit="s"),
+        }
+    )
+    GAP = pd.Timedelta("7s")
+    got = (
+        sessionize(rd.from_pandas(df).repartition(2), "k", "ts", gap="7s")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    for k, g in df.groupby("k"):
+        ts = g["ts"].sort_values()
+        n_sessions = int((ts.diff() > GAP).sum()) + 1
+        row = got[got["k"] == k].iloc[0]
+        assert row["n_sessions"] == n_sessions, (k, n_sessions, row.to_dict())
+        assert row["n_events"] == len(g)
