@@ -1501,3 +1501,65 @@ def events_type_rollup(sf_dir: str):
     )
     out = pd.concat([leaf, total], ignore_index=True).sort_values("event_type").reset_index(drop=True)
     return _round(out, {"sum_value": 2})
+
+
+@q(
+    "embedding_dim_stats",
+    sql="""
+    SELECT d.dim,
+           round(avg(CAST(e.embedding[d.dim + 1] AS DOUBLE)), 6) AS mean_v,
+           round(min(CAST(e.embedding[d.dim + 1] AS DOUBLE)), 6) AS min_v,
+           round(max(CAST(e.embedding[d.dim + 1] AS DOUBLE)), 6) AS max_v
+    FROM embeddings e, (SELECT unnest(range(8)) AS dim) d
+    GROUP BY d.dim ORDER BY d.dim
+    """,
+)
+def embedding_dim_stats(sf_dir: str):
+    """List-column unnest: explode the embedding vectors to (dim, value)
+    rows inside map_batches (one reshape, no Python loop) and aggregate the
+    first 8 dimensions — the UNNEST WITH ORDINALITY shape."""
+    ds = _t(sf_dir, "embeddings", ["embedding"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        col = t.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        dim = len(col[0])
+        mat = np.asarray(col.flatten(), dtype=np.float64).reshape(len(t), dim)[:, :8]
+        n, d = mat.shape
+        return pa.table(
+            {
+                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), n)),
+                "v": pa.array(mat.ravel()),
+            }
+        )
+
+    out = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("dim")
+        .aggregate(Mean("v", alias_name="mean_v"), Min("v", alias_name="min_v"), Max("v", alias_name="max_v"))
+        .to_pandas()
+        .sort_values("dim")
+        .reset_index(drop=True)
+    )
+    return _round(out, {"mean_v": 6, "min_v": 6, "max_v": 6})
+
+
+@q("kll_nchars_quantiles_per_lang")
+def kll_nchars_quantiles_per_lang(sf_dir: str):
+    """Grouped quantile sketches: one KLL per lang via the two-phase
+    partial/merge shuffle tree (the grouped path for a non-HLL sketch).
+    Rows-only; the exact grouped median lives in median_nchars_per_lang."""
+    from perfect_bloomfilter_ray.stages.agg import sketch_grouped
+    from perfect_bloomfilter_ray.state.kll import KLLSketch
+
+    ds = _t(sf_dir, "documents", ["lang", "n_chars"])
+    out = sketch_grouped(
+        ds,
+        key="lang",
+        col="n_chars",
+        factory=lambda: KLLSketch(256),
+        name="p50_est",
+        finalize_fn=lambda s: float(s.quantile(0.5)),
+    )
+    return out.to_pandas().sort_values("lang").reset_index(drop=True)
