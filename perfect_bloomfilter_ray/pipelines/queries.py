@@ -1563,3 +1563,39 @@ def kll_nchars_quantiles_per_lang(sf_dir: str):
         finalize_fn=lambda s: float(s.quantile(0.5)),
     )
     return out.to_pandas().sort_values("lang").reset_index(drop=True)
+
+
+@q(
+    "bloom_prefiltered_join_revenue",
+    sql="""
+    SELECT o.o_orderpriority, count(*) AS n_lines,
+           round(sum(l.l_extendedprice), 2) AS total_price
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderdate >= TIMESTAMP '2001-01-01'
+    GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+    """,
+)
+def bloom_prefiltered_join_revenue(sf_dir: str):
+    """Runtime-filter pushdown: the selective side (recent orders) builds a
+    compact Bloom cascade; lineitem is stream-filtered against it BEFORE the
+    join's all-to-all shuffle, so the exchange moves only matching lines.
+    Result is exact — the hash join discards Bloom false positives."""
+    from perfect_bloomfilter_ray.stages.membership import bloom_prefiltered_join
+
+    cutoff = pd.Timestamp("2001-01-01")
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_orderdate"]).map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("o_orderdate"), pa.scalar(cutoff))).drop_columns(
+            ["o_orderdate"]
+        ),
+        batch_format="pyarrow",
+    )
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"])
+    joined = bloom_prefiltered_join(orders, li, on="o_orderkey", right_on="l_orderkey", expected_keys=1 << 16)
+    out = (
+        joined.groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n_lines"), Sum("l_extendedprice", alias_name="total_price"))
+        .to_pandas()
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+    return _round(out, {"total_price": 2})

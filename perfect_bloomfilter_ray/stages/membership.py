@@ -84,13 +84,14 @@ def membership_column(
 
 def bloom_semi_join(
     big: Dataset,
-    small: Dataset,
+    small: Dataset | None,
     big_key: str,
-    small_key: str,
-    expected_keys: int,
+    small_key: str | None = None,
+    expected_keys: int = 1 << 20,
     anti: bool = False,
     config: BloomConfig | None = None,
     concurrency: int | tuple[int, int] = (2, 8),
+    prebuilt=None,
 ) -> Dataset:
     """Semi (or anti) join: filter ``big`` to rows whose key is (not) in
     ``small`` — the flagship Bloom use (tests/sync_test.rs:49-66 is exactly a
@@ -101,7 +102,7 @@ def bloom_semi_join(
     SURVEY §2.2) makes the semi join *exact in practice*; the driver's DuckDB
     oracle comparison relies on that.
     """
-    filt = build_filter(small, small_key, expected_keys, config)
+    filt = prebuilt if prebuilt is not None else build_filter(small, small_key, expected_keys, config)
     ref = ray.put(filt.to_bytes())
     out = big.map_batches(
         MembershipChecker,
@@ -115,6 +116,33 @@ def bloom_semi_join(
         lambda t: t.filter(pc.equal(t.column("_member"), True)).drop_columns(["_member"]),
         batch_format="pyarrow",
     )
+
+
+def bloom_prefiltered_join(
+    left,
+    right,
+    on: str,
+    right_on: str | None = None,
+    num_partitions: int = 8,
+    expected_keys: int = 1 << 20,
+    config=None,
+):
+    """Exact inner hash join with a Bloom runtime filter pushed below the
+    shuffle: build a compact cascade over the LEFT side's keys, stream-filter
+    the RIGHT side against it BEFORE the all-to-all exchange, then run the
+    exact Ray-native join.
+
+    This is the classic distributed-join runtime-filter optimization: when
+    the join is selective (most right rows match nothing), the shuffle moves
+    only ~(matching + FPR·non-matching) right rows instead of all of them.
+    Results are EXACT — the Bloom filter only admits false positives, and the
+    hash join discards those. Cost: one extra streaming pass over the left
+    keys (the filter build); skip it when the join is not selective.
+    """
+    right_on = right_on or on
+    filt = build_filter(left, on, expected_keys=expected_keys, config=config)
+    right_small = bloom_semi_join(right, None, right_on, prebuilt=filt)
+    return left.join(right_small, "inner", num_partitions=num_partitions, on=(on,), right_on=(right_on,))
 
 
 def build_sharded_filter(
