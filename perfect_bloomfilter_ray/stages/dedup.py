@@ -285,13 +285,32 @@ def minhash_lsh_pairs(
     # Bucket with ID-ONLY rows: the shuffle moves 16 B/row, not the full
     # 128x8 B signature replicated per band (a 60x payload cut — at 100 TB
     # the difference between a groupby that fits and one that doesn't).
+    # Ids travel as int64 (hash64 of the id column when it is not already an
+    # integer): pair generation + dedup shuffle fixed-width ints instead of
+    # e.g. url strings (measured 10x+ on a near-dup-heavy 1M-doc corpus);
+    # original ids are restored from the candidate signature table at the
+    # end. A 64-bit id collision (P ~ n^2/2^64) could alias two docs into one
+    # pair — the est-jaccard verify then scores the wrong signature pair and
+    # the pair is dropped or kept per that score; no corruption beyond that.
     # The band index is mixed INTO the bucket hash so one uniform int64 key
     # both partitions and groups; a cross-band 64-bit collision merely adds a
     # candidate pair that verification discards.
+    from perfect_bloomfilter_ray.functions.hashing import hash64
+
+    id_field = sigs.schema().base_schema.field(id_col)
+    ids_are_ints = pa.types.is_integer(id_field.type)
+
+    def _id64_of(col) -> np.ndarray:
+        if ids_are_ints:
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            return col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return hash64(col, 0x1D64).view(np.int64)
+
     def band_rows(t: pa.Table) -> pa.Table:
         n = len(t)
         sig = np.asarray(t.column("sig").combine_chunks().flatten()).reshape(n, num_perms)
-        ids = t.column(id_col).to_numpy()
+        id64 = _id64_of(t.column(id_col))
         bh_all = band_hashes(sig, bands)  # (n, bands)
         with np.errstate(over="ignore"):
             mixed = splitmix64(
@@ -305,7 +324,7 @@ def minhash_lsh_pairs(
                 # vectorized bucket logic inside — not one Python call per
                 # 64-bit bucket)
                 "_part": pa.array((mixed.ravel() % _U64(num_blocks)).astype(np.int32)),
-                id_col: pa.array(np.tile(ids, bands)),
+                "_id64": pa.array(np.tile(id64, bands)),
             }
         )
 
@@ -316,39 +335,69 @@ def minhash_lsh_pairs(
     # per 64-bit bucket, whose per-group Python overhead dominates when there
     # are ~#docs×bands tiny buckets.
     def pairs_in_block(t: pa.Table) -> pa.Table:
-        id_type = t.schema.field(id_col).type
-        empty = pa.table({"id_a": pa.array([], id_type), "id_b": pa.array([], id_type)})
+        empty = pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
         if len(t) < 2:
             return empty
         bh = t.column("bhash").to_numpy()
-        ids = t.column(id_col).to_numpy()
+        ids = t.column("_id64").to_numpy()
         order = np.argsort(bh, kind="stable")  # cheap insurance: group slices below need contiguity
         bh, ids = bh[order], ids[order]
         _, starts, counts = np.unique(bh, return_index=True, return_counts=True)
+        # vectorize by bucket SIZE class: one gather + one triu per distinct
+        # clipped size (<= max_bucket iterations total) — a per-bucket Python
+        # loop dominates on near-dup-heavy corpora with 10^5+ hot buckets
+        big = np.nonzero(counts > 1)[0]
+        if not len(big):
+            return empty
+        cl = np.minimum(counts[big], max_bucket).astype(np.int64)
         out_a, out_b = [], []
-        for gi in np.nonzero(counts > 1)[0]:  # only real collisions — rare
-            s = starts[gi]
-            c = min(int(counts[gi]), max_bucket)
-            gids = np.sort(ids[s : s + c])
-            ii, jj = np.triu_indices(c, k=1)
-            out_a.append(gids[ii])
-            out_b.append(gids[jj])
+        for c in np.unique(cl):
+            sel = big[cl == c]
+            idx = starts[sel][:, None] + np.arange(c)[None, :]
+            gmat = ids[idx]
+            gmat.sort(axis=1)
+            ii, jj = np.triu_indices(int(c), k=1)
+            out_a.append(gmat[:, ii].ravel())
+            out_b.append(gmat[:, jj].ravel())
         if not out_a:
             return empty
         return pa.table(
             {
-                "id_a": pa.array(np.concatenate(out_a), id_type),
-                "id_b": pa.array(np.concatenate(out_b), id_type),
+                "id_a": pa.array(np.concatenate(out_a)),
+                "id_b": pa.array(np.concatenate(out_b)),
             }
         )
 
     pairs = banded.groupby("_part").map_groups(pairs_in_block, batch_format="pyarrow")
 
-    # a pair surfaces once per colliding band → dedup with a combiner
-    # aggregate (partial per block, small shuffle), not a map_groups pass
-    from ray.data.aggregate import Count
+    # a pair surfaces once per colliding band → dedup on a coarse partition
+    # of the pair hash with one vectorized lexsort+diff per partition (a
+    # two-key sort-based groupby over millions of pair rows measured 4x
+    # slower on a near-dup-heavy corpus)
+    def add_pair_part(t: pa.Table) -> pa.Table:
+        a = t.column("id_a").to_numpy().view(_U64)
+        b = t.column("id_b").to_numpy().view(_U64)
+        with np.errstate(over="ignore"):
+            mix = splitmix64(a * _U64(0x9E3779B97F4A7C15) + b)
+        return t.append_column("_ppart", pa.array((mix % _U64(num_blocks)).astype(np.int32)))
 
-    cand = pairs.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="_nb")).drop_columns(["_nb"])
+    def dedup_part(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
+        a = t.column("id_a").to_numpy()
+        b = t.column("id_b").to_numpy()
+        o = np.lexsort((b, a))
+        a, b = a[o], b[o]
+        keep = np.empty(len(a), dtype=bool)
+        keep[0] = True
+        keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        return pa.table({"id_a": pa.array(a[keep]), "id_b": pa.array(b[keep])})
+
+    cand = (
+        pairs.map_batches(add_pair_part, batch_format="pyarrow")
+        .groupby("_ppart")
+        .map_groups(dedup_part, batch_format="pyarrow")
+    )
 
     # Verify: estimated Jaccard = matching signature fraction, computed only
     # for candidate pairs. Candidate ids are collected (size ∝ near-dup pairs,
@@ -358,14 +407,15 @@ def minhash_lsh_pairs(
         b if isinstance(b, pa.Table) else pa.Table.from_pydict(b)
         for b in cand.iter_batches(batch_format="pyarrow")
     )
-    if len(cand_tbl) == 0:
-        import ray.data as rd
+    import ray.data as rd
 
+    out_id_type = id_field.type
+    if len(cand_tbl) == 0:
         return rd.from_arrow(
             pa.table(
                 {
-                    "id_a": pa.array([], cand_tbl.schema.field("id_a").type if cand_tbl.num_columns else pa.int64()),
-                    "id_b": pa.array([], cand_tbl.schema.field("id_b").type if cand_tbl.num_columns else pa.int64()),
+                    "id_a": pa.array([], out_id_type),
+                    "id_b": pa.array([], out_id_type),
                     "est_jaccard": pa.array([], pa.float64()),
                 }
             )
@@ -378,26 +428,58 @@ def minhash_lsh_pairs(
     need_ref = ray.put(need)
 
     def keep_needed(t: pa.Table) -> pa.Table:
-        return t.filter(pc.is_in(t.column(id_col), value_set=ray.get(need_ref)))
+        id64 = pa.array(_id64_of(t.column(id_col)))
+        t = t.append_column("_id64", id64)
+        return t.filter(pc.is_in(id64, value_set=ray.get(need_ref)))
 
     sig_small = pa.concat_tables(
         b if isinstance(b, pa.Table) else pa.Table.from_pydict(b)
         for b in sigs.map_batches(keep_needed, batch_format="pyarrow").iter_batches(batch_format="pyarrow")
     )
-    sig_ref = ray.put(sig_small)
-
-    import ray.data as rd
+    # Broadcast plain numpy (sorted by id64) rather than the Arrow table:
+    # numpy rides the object store zero-copy, and tasks resolve pair ids with
+    # searchsorted — no per-task combine_chunks copy of the (potentially
+    # hundreds of MB) signature matrix and no per-call index_in hash build
+    # (measured 5x on a 1.7M-candidate corpus).
+    id64_all = sig_small.column("_id64").to_numpy(zero_copy_only=False)
+    sort_order = np.argsort(id64_all, kind="stable")
+    id64_sorted = np.ascontiguousarray(id64_all[sort_order])
+    mat_sorted = np.ascontiguousarray(
+        np.asarray(sig_small.column("sig").combine_chunks().flatten())
+        .reshape(len(sig_small), num_perms)[sort_order]
+    )
+    orig_sorted = (
+        sig_small.column(id_col).combine_chunks()
+        if isinstance(sig_small.column(id_col), pa.ChunkedArray)
+        else sig_small.column(id_col)
+    ).take(pa.array(sort_order))
+    id64_ref = ray.put(id64_sorted)
+    mat_ref = ray.put(mat_sorted)
+    orig_ref = ray.put(orig_sorted)
 
     def verify(t: pa.Table) -> pa.Table:
-        s = ray.get(sig_ref)
-        mat = np.asarray(s.column("sig").combine_chunks().flatten()).reshape(len(s), num_perms)
-        ia = pc.index_in(t.column("id_a"), value_set=s.column(id_col)).to_numpy(zero_copy_only=False).astype(np.int64)
-        ib = pc.index_in(t.column("id_b"), value_set=s.column(id_col)).to_numpy(zero_copy_only=False).astype(np.int64)
+        id64s = ray.get(id64_ref)
+        mat = ray.get(mat_ref)
+        ia = np.searchsorted(id64s, t.column("id_a").to_numpy())
+        ib = np.searchsorted(id64s, t.column("id_b").to_numpy())
         est = (mat[ia] == mat[ib]).mean(axis=1)
-        out = t.append_column("est_jaccard", pa.array(est))
-        return out.filter(pa.array(est >= threshold))
+        keep = est >= threshold
+        ia, ib, est = ia[keep], ib[keep], est[keep]
+        # map back to original ids; enforce id_a < id_b on the ORIGINAL ids
+        orig = ray.get(orig_ref)
+        a = orig.take(pa.array(ia))
+        b = orig.take(pa.array(ib))
+        swap = pc.greater(a, b)
+        out_a = pc.if_else(swap, b, a)
+        out_b = pc.if_else(swap, a, b)
+        return pa.table({"id_a": out_a, "id_b": out_b, "est_jaccard": pa.array(est)})
 
-    return rd.from_arrow(cand_tbl).map_batches(verify, batch_format="pyarrow")
+    # parallelize verification: cand_tbl arrives as one block; split it so
+    # the signature-gather compare runs across the pool
+    cand_ds = rd.from_arrow(cand_tbl)
+    if len(cand_tbl) > 10_000:
+        cand_ds = cand_ds.repartition(min(64, 1 + len(cand_tbl) // 10_000))
+    return cand_ds.map_batches(verify, batch_format="pyarrow")
 
 
 # ------------------------------------------------------------------- simhash
