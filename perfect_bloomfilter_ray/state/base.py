@@ -8,8 +8,12 @@ pipelines for free.
 
 Contract (property-tested in tests/test_merge_properties.py):
   - merge is associative and commutative up to estimate error bounds
-    (exact-state-equal for Bloom/HLL/CMS; estimate-equal within bound for
-    KLL/t-digest, whose internal state is merge-order-dependent by design);
+    (exact-state-equal for capacity-planned Bloom, HLL, CMS, Theta;
+    estimate-equal within bound for KLL/t-digest, whose internal state is
+    merge-order-dependent by design; a GROWING Bloom cascade assigns keys to
+    layers by arrival order — like the reference's rehash timing — so across
+    merge orders it guarantees membership equality + the FPR bound, not
+    byte-equal state);
   - update_column accepts a pyarrow Array/ChunkedArray (or numpy) and is
     vectorized — NO per-row Python in the hot path;
   - to_bytes/from_bytes round-trips exactly (used for checkpoints, the Ray

@@ -2,7 +2,13 @@
 
 Ray's AggregateFnV2.combine tree is pairwise and order-nondeterministic, so
 these properties are load-bearing, not decorative (SURVEY §7 hard part (e)):
-- Bloom / HLL / CMS: merge is *state-exact* associative + commutative.
+- Bloom (capacity-planned) / HLL / CMS: merge is *state-exact* associative +
+  commutative. Capacity-planned is the distributed-build contract
+  (BloomCascade.for_capacity): a cascade whose layers ROLL OVER mid-stream
+  assigns keys to layers by arrival order — like the reference's rehash
+  timing (filter.rs:104-112) — so exact state equality cannot survive
+  arbitrary merge orders; what growth preserves instead is membership (no
+  false negatives) + the FPR bound, asserted separately below.
 - KLL / t-digest: internal state is merge-order-dependent by design; their
   property is estimate-stability — any merge tree's quantiles stay within the
   sketch's rank-error bound of the exact answer.
@@ -38,7 +44,9 @@ def _mk(factory, chunks):
 @given(a=key_lists, b=key_lists, c=key_lists)
 def test_exact_state_merge_properties(a, b, c):
     for factory in (
-        lambda: BloomCascade(BloomConfig(initial_bits=1 << 10)),
+        # capacity-planned: no layer rollover inside the test inputs (the
+        # distributed-build contract; growth-path properties tested below)
+        lambda: BloomCascade.for_capacity(1024, BloomConfig()),
         lambda: HyperLogLog(8),
         lambda: CountMinSketch(1e-2, 1e-2),
     ):
@@ -53,6 +61,26 @@ def test_exact_state_merge_properties(a, b, c):
         r1, r2 = _mk(factory, [a, b])
         s1, s2 = _mk(factory, [a, b])
         assert r1.merge(r2).state_equal(s2.merge(s1))
+
+
+@settings(max_examples=25, deadline=None)
+@given(a=key_lists, b=key_lists, c=key_lists)
+def test_growing_cascade_merge_membership_invariant(a, b, c):
+    """A cascade that rolls layers mid-stream is NOT state-equal across merge
+    orders (layer assignment follows arrival order, like the reference's
+    rehash timing) — but every merge order must answer membership identically
+    on the inserted keys (no false negatives) and keep the same key_count."""
+    factory = lambda: BloomCascade(BloomConfig(initial_bits=1 << 10))  # noqa: E731
+    p1, p2, p3 = _mk(factory, [a, b, c])
+    left = p1.merge(p2).merge(p3)
+    q1, q2, q3 = _mk(factory, [a, b, c])
+    right = q1.merge(q2.merge(q3))
+    assert left.key_count == right.key_count == len(a) + len(b) + len(c)
+    all_keys = a + b + c
+    if all_keys:
+        col = pa.array(all_keys, pa.binary())
+        assert left.contains_column(col).all()
+        assert right.contains_column(col).all()
 
 
 @settings(max_examples=15, deadline=None)
