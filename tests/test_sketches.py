@@ -91,3 +91,29 @@ def test_serialization_roundtrips():
     for s, probe in sketches:
         rt = type(s).from_bytes(s.to_bytes())
         assert probe(rt) == probe(s)
+
+
+def test_hll_sparse_phase_exact_and_compact():
+    import numpy as np
+
+    from perfect_bloomfilter_ray.state.hll import HyperLogLog
+
+    import pyarrow as pa
+
+    s = HyperLogLog(14)  # dense registers would be 16 KB
+    s.update_column(pa.array([f"k{i}" for i in range(100)]))
+    assert s._sparse is not None  # still sparse
+    assert s.estimate() == 100.0  # exact below the densify threshold
+    assert len(s.to_bytes()) < 2000  # ~8 B/key + envelope, not 16 KB
+
+    # sparse+sparse, sparse+dense, dense+dense merges all agree
+    a = HyperLogLog(12)
+    b = HyperLogLog(12)
+    a.update_column(pa.array([f"x{i}" for i in range(50)]))
+    b.update_column(pa.array([f"x{i}" for i in range(25, 4000)]))  # densifies
+    assert b._sparse is None
+    merged = HyperLogLog.from_bytes(a.to_bytes()).merge(HyperLogLog.from_bytes(b.to_bytes()))
+    ref = HyperLogLog(12)
+    ref.update_column(pa.array([f"x{i}" for i in range(4000)]))
+    assert merged.state_equal(ref)
+    np.testing.assert_allclose(merged.estimate(), ref.estimate())
