@@ -3,6 +3,14 @@
 Cormode & Muthukrishnan 2005: d = ⌈ln(1/δ)⌉ rows × w = ⌈e/ε⌉ counters.
 Point estimate = min over rows; overestimates by ≤ ε·N with prob ≥ 1-δ.
 Merge = elementwise add → associative and commutative.
+
+Sparse phase (mirroring the Bloom/HLL partials, SURVEY §2.3): a tight-ε CMS
+table is MBs of mostly-zero counters, but a per-block partial in a
+distributed build holds only batch_size keys — so partials buffer raw
+(hash, weight) pairs (16 B/key, exact counts) until the buffer outgrows the
+table, then densify through the normal counter path. Identical estimates
+after densification; far smaller partial-shuffle bytes and no per-batch
+multi-MB zero allocation.
 """
 
 from __future__ import annotations
@@ -26,51 +34,139 @@ class CountMinSketch:
         self.depth = max(1, math.ceil(math.log(1.0 / delta)))
         self.width = max(16, math.ceil(math.e / eps))
         self.total = 0
+        self.counts: np.ndarray | None = None
+        self._sparse_h: list[np.ndarray] | None = []
+        self._sparse_w: list[np.ndarray] = []
+        self._sparse_n = 0
+
+    # -- phases ---------------------------------------------------------------
+
+    @property
+    def _dense_bytes(self) -> int:
+        return self.depth * self.width * 8
+
+    def _densify(self) -> None:
+        if self._sparse_h is None:
+            return
+        hs, ws = self._sparse_h, self._sparse_w
+        self._sparse_h = None
+        self._sparse_w = []
+        self._sparse_n = 0
         self.counts = np.zeros((self.depth, self.width), dtype=np.int64)
+        for h, w in zip(hs, ws):
+            self._update_dense(h, w)
 
     def _indices(self, h: np.ndarray) -> np.ndarray:
         """(depth, n) column indices — one salted splitmix per row."""
         return np.stack([(splitmix64(h ^ _ROW_SALTS[r]) % _U64(self.width)).astype(np.int64) for r in range(self.depth)])
 
+    def _update_dense(self, h: np.ndarray, w: np.ndarray) -> None:
+        idx = self._indices(h)
+        for r in range(self.depth):
+            np.add.at(self.counts[r], idx[r], w)
+
+    def _sparse_agg(self) -> tuple[np.ndarray, np.ndarray]:
+        """(sorted unique hashes, summed weights) of the sparse buffer."""
+        if not self._sparse_h:
+            return np.empty(0, _U64), np.empty(0, np.int64)
+        h = np.concatenate(self._sparse_h)
+        w = np.concatenate(self._sparse_w)
+        uh, inv = np.unique(h, return_inverse=True)
+        uw = np.zeros(len(uh), dtype=np.int64)
+        np.add.at(uw, inv, w)
+        return uh, uw
+
+    # -- updates --------------------------------------------------------------
+
     def update_column(self, col, weights: np.ndarray | None = None) -> None:
         h = splitmix64(hash64(col, _CMS_SEED))
-        idx = self._indices(h)
-        if weights is None:
-            for r in range(self.depth):
-                np.add.at(self.counts[r], idx[r], 1)
-            self.total += len(h)
-        else:
-            w = np.asarray(weights, dtype=np.int64)
-            for r in range(self.depth):
-                np.add.at(self.counts[r], idx[r], w)
-            self.total += int(w.sum())
+        w = np.ones(len(h), dtype=np.int64) if weights is None else np.asarray(weights, dtype=np.int64)
+        self.total += int(w.sum())
+        if self._sparse_h is not None:
+            self._sparse_h.append(h)
+            self._sparse_w.append(w)
+            self._sparse_n += len(h)
+            if 16 * self._sparse_n >= self._dense_bytes:
+                self._densify()
+            return
+        self._update_dense(h, w)
+
+    # -- queries --------------------------------------------------------------
 
     def estimate_column(self, col) -> np.ndarray:
-        """Vectorized point estimates (min over rows) for a column of keys."""
+        """Vectorized point estimates (min over rows) for a column of keys.
+
+        Sparse phase answers exactly from the buffered (hash, weight) pairs.
+        """
         h = splitmix64(hash64(col, _CMS_SEED))
+        if self._sparse_h is not None:
+            uh, uw = self._sparse_agg()
+            pos = np.searchsorted(uh, h)
+            pos_c = np.minimum(pos, max(len(uh) - 1, 0))
+            if len(uh):
+                hit = uh[pos_c] == h
+                return np.where(hit, uw[pos_c], 0)
+            return np.zeros(len(h), dtype=np.int64)
         idx = self._indices(h)
         ests = np.stack([self.counts[r][idx[r]] for r in range(self.depth)])
         return ests.min(axis=0)
 
+    # -- merge ----------------------------------------------------------------
+
     def merge(self, other: "CountMinSketch") -> "CountMinSketch":
-        if other.counts.shape != self.counts.shape:
+        if (self.depth, self.width) != (other.depth, other.width):
             raise ValueError("cannot merge CMS with different geometry")
-        self.counts += other.counts
         self.total += other.total
+        if self._sparse_h is not None and other._sparse_h is not None:
+            self._sparse_h.extend(other._sparse_h)
+            self._sparse_w.extend(other._sparse_w)
+            self._sparse_n += other._sparse_n
+            if 16 * self._sparse_n >= self._dense_bytes:
+                self._densify()
+            return self
+        self._densify()
+        if other._sparse_h is not None:
+            for h, w in zip(other._sparse_h, other._sparse_w):
+                self._update_dense(h, w)
+            return self
+        self.counts += other.counts
         return self
 
+    # -- introspection / serialization ---------------------------------------
+
     def state_equal(self, other: "CountMinSketch") -> bool:
-        return self.counts.shape == other.counts.shape and np.array_equal(self.counts, other.counts)
+        if (self.depth, self.width) != (other.depth, other.width):
+            return False
+        a, b = self, other
+        if (a._sparse_h is None) != (b._sparse_h is None):
+            a = CountMinSketch.from_bytes(a.to_bytes())
+            b = CountMinSketch.from_bytes(b.to_bytes())
+            a._densify()
+            b._densify()
+        if a._sparse_h is not None:
+            ah, aw = a._sparse_agg()
+            bh, bw = b._sparse_agg()
+            return np.array_equal(ah, bh) and np.array_equal(aw, bw)
+        return np.array_equal(a.counts, b.counts)
 
     def to_bytes(self) -> bytes:
-        return dumps_sketch(
-            {"eps": self.eps, "delta": self.delta, "total": self.total, "counts": self.counts}
-        )
+        base = {"eps": self.eps, "delta": self.delta, "total": self.total}
+        if self._sparse_h is not None:
+            uh, uw = self._sparse_agg()
+            return dumps_sketch(base | {"sparse_h": uh, "sparse_w": uw})
+        return dumps_sketch(base | {"counts": self.counts})
 
     @classmethod
     def from_bytes(cls, data: bytes) -> "CountMinSketch":
         d = loads_sketch(data)
         out = cls(d["eps"], d["delta"])
         out.total = d["total"]
-        out.counts = d["counts"]
+        if "sparse_h" in d:
+            h, w = d["sparse_h"], d["sparse_w"]
+            out._sparse_h = [h] if len(h) else []
+            out._sparse_w = [w] if len(w) else []
+            out._sparse_n = len(h)
+        else:
+            out._sparse_h = None
+            out.counts = d["counts"]
         return out

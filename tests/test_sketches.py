@@ -81,7 +81,7 @@ def test_serialization_roundtrips():
     sketches.append((h, lambda s: s.estimate()))
     c = CountMinSketch(1e-3, 1e-3)
     c.update_column(keys)
-    sketches.append((c, lambda s: s.counts.sum()))
+    sketches.append((c, lambda s: s.total))
     k = KLLSketch(128)
     k.update_column(data)
     sketches.append((k, lambda s: s.quantile(0.5)))
@@ -117,3 +117,28 @@ def test_hll_sparse_phase_exact_and_compact():
     ref.update_column(pa.array([f"x{i}" for i in range(4000)]))
     assert merged.state_equal(ref)
     np.testing.assert_allclose(merged.estimate(), ref.estimate())
+
+
+def test_cms_sparse_phase_exact_and_compact():
+    from perfect_bloomfilter_ray.state.cms import CountMinSketch
+
+    s = CountMinSketch(1e-4, 1e-3)  # dense table would be ~1.5 MB
+    keys = pa.array([f"k{i % 50}" for i in range(500)])  # 50 keys x10 each
+    s.update_column(keys)
+    assert s._sparse_h is not None
+    np.testing.assert_array_equal(s.estimate_column(pa.array(["k0", "k49"])), [10, 10])
+    assert s.estimate_column(pa.array(["missing"]))[0] == 0
+    assert len(s.to_bytes()) < 5000  # not 1.5 MB
+
+    # sparse+dense merge agrees with the all-at-once dense build
+    big = CountMinSketch(1e-3, 1e-3)
+    big.update_column(pa.array([f"x{i % 100}" for i in range(40_000)]))  # densifies
+    assert big._sparse_h is None
+    small = CountMinSketch(1e-3, 1e-3)
+    small.update_column(pa.array([f"x{i % 100}" for i in range(1000)]))
+    merged = CountMinSketch.from_bytes(big.to_bytes()).merge(CountMinSketch.from_bytes(small.to_bytes()))
+    ref = CountMinSketch(1e-3, 1e-3)
+    ref.update_column(pa.array([f"x{i % 100}" for i in range(40_000)]))
+    ref.update_column(pa.array([f"x{i % 100}" for i in range(1000)]))
+    assert merged.state_equal(ref)
+    assert merged.total == ref.total
