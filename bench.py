@@ -52,16 +52,25 @@ CORPUS_BASE = os.environ.get("GRAFT_CORPUS_DIR", "/dev/shm/pbf_bench_corpus")
 # dedup, KLL, CMS, brute-force ANN) without dominating the round's wall time.
 SUITE = [
     "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
     "nation_customer_balance",
     "bloom_semijoin_building_orders",
+    "bloom_prefiltered_join_revenue",
     "bloom_membership_roundtrip",
     "hll_distinct_users_per_type",
     "cms_heavy_hitter_users",
     "kll_nchars_quantiles",
     "tdigest_value_quantiles",
+    "theta_user_overlap",
     "minhash_dedup_pairs",
     "dedup_exact_docs",
+    "curated_corpus_stats",
+    "events_asof_last_order",
+    "user_sliding_5min_activity",
+    "top_orders_per_priority",
     "ann_topk_bruteforce",
+    "ann_topk_ivf",
     "doc_token_stats",
 ]
 
