@@ -244,7 +244,7 @@ def run_scaling(lo: int, hi: int) -> dict:
     )
     if gen.returncode != 0:
         raise RuntimeError(f"corpus pre-generation failed: {gen.stderr[-2000:]}")
-    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
+    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "3"))
     results = {}
     for cpus in (lo, hi):
         env["RAY_GRAFT_CPUS"] = str(cpus)
@@ -303,11 +303,13 @@ def main() -> None:
     ap.add_argument("--headline-only", action="store_true")
     ap.add_argument("--gen-only", action="store_true")
     # N vs 4N parallelism (sandbox stand-in for N- vs 4N-node clusters).
-    # 4/16 rather than 8/32: this VM's host reliably parallelizes ~16 vCPUs;
-    # beyond that, host-level contention inverts scaling regardless of the
-    # workload (see BASELINE.md "scaling" notes).
-    ap.add_argument("--lo", type=int, default=4)
-    ap.add_argument("--hi", type=int, default=16)
+    # 2/8 rather than 8/32: this VM's host throughput ceiling (~34k docs/s
+    # for the headline job; BASELINE.md "scaling" notes) caps any leg that
+    # asks for more — 2 and 8 CPUs both sit below it, so the ratio measures
+    # the engine, not the host. 4/16 measured 0.80 before the round-1 speed
+    # optimizations pushed the 16-CPU leg into the ceiling.
+    ap.add_argument("--lo", type=int, default=2)
+    ap.add_argument("--hi", type=int, default=8)
     args = ap.parse_args()
 
     if args.scaling:
