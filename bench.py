@@ -10,10 +10,10 @@ deterministic synthetic web-page corpus, and print ONE JSON line::
      "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
      "pages_rows": R, "docs_per_sec": D}
 
-``--scaling``: run the flagship build twice in FRESH processes at
-``num_cpus=8`` and ``num_cpus=32`` (sandbox stand-in for N vs 4N nodes) on the
-same materialized corpus, and report throughput at both plus scaling
-efficiency ``(docs_s_hi / docs_s_lo) / (hi_cpus / lo_cpus)``.
+``--scaling``: run the headline job in FRESH processes at ``num_cpus=2`` and
+``num_cpus=8`` (sandbox stand-in for N- vs 4N-node clusters; see BASELINE.md
+for the level choice) on the same materialized corpus, and report throughput
+at both plus scaling efficiency ``(docs_s_hi / docs_s_lo) / (hi_cpus / lo_cpus)``.
 
 ``--headline-only``: internal mode used by --scaling subprocesses — times only
 the flagship build and prints the same one-line JSON.
