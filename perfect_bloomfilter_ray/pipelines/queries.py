@@ -1599,3 +1599,24 @@ def bloom_prefiltered_join_revenue(sf_dir: str):
         .reset_index(drop=True)
     )
     return _round(out, {"total_price": 2})
+
+
+@q("embed_ann_pipeline")
+def embed_ann_pipeline(sf_dir: str):
+    """Text → deterministic embedding (actor pool, weights-once-per-actor) →
+    IVF ANN top-k, end to end over the documents table. Rows-only (the
+    embedding kernel has no SQL equivalent); determinism + recall asserted
+    in tests/test_embed.py."""
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.functions.embed import embed_pages
+    from perfect_bloomfilter_ray.stages.ann import ivf_topk
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    emb = embed_pages(docs).drop_columns(["text"]).materialize()
+    qrows = sorted(emb.filter(expr="doc_id < 4").take_all(), key=lambda r: r["doc_id"])
+    queries = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in qrows])
+    df = ivf_topk(emb, queries, "embedding", "doc_id", 64, k=10, nlist=16, nprobe=6)
+    return df[["query_id", "doc_id"]].astype({"query_id": "int64", "doc_id": "int64"}).sort_values(
+        ["query_id", "doc_id"]
+    ).reset_index(drop=True)
