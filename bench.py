@@ -71,6 +71,8 @@ SUITE = [
     "top_orders_per_priority",
     "ann_topk_bruteforce",
     "ann_topk_ivf",
+    "embed_ann_pipeline",
+    "video_frame_stats",
     "doc_token_stats",
 ]
 
