@@ -31,7 +31,7 @@ import pyarrow.compute as pc
 
 from ray.data import Dataset
 
-from perfect_bloomfilter_ray.functions.hashing import splitmix64
+from perfect_bloomfilter_ray.functions.hashing import hash64, splitmix64
 from perfect_bloomfilter_ray.functions.text import fingerprint64
 
 _U64 = np.uint64
@@ -482,6 +482,32 @@ def minhash_lsh_pairs(
     return cand_ds.map_batches(verify, batch_format="pyarrow")
 
 
+
+def _dedup_pairs(pairs: Dataset, value_col: str, num_blocks: int = 64) -> Dataset:
+    """Drop duplicate (id_a, id_b) rows (same pair surfacing from several
+    bands/tables; its value column is identical on every surfacing). Coarse
+    hash partition + one vectorized lexsort/diff per partition — a two-key
+    sort-based groupby measured 4x slower at millions of pair rows."""
+
+    def add_part(t: pa.Table) -> pa.Table:
+        a = hash64(t.column("id_a"), 0xDE0) 
+        b = hash64(t.column("id_b"), 0xDE1)
+        with np.errstate(over="ignore"):
+            mix = splitmix64(a * _U64(0x9E3779B97F4A7C15) + b)
+        return t.append_column("_ppart", pa.array((mix % _U64(num_blocks)).astype(np.int32)))
+
+    def dedup_part(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["_ppart"])
+        if len(t) < 2:
+            return t
+        df = pl.from_arrow(t)
+        return df.unique(subset=["id_a", "id_b"], keep="first", maintain_order=False).to_arrow()
+
+    return pairs.map_batches(add_part, batch_format="pyarrow").groupby("_ppart").map_groups(
+        dedup_part, batch_format="pyarrow"
+    )
+
+
 # ------------------------------------------------------------------- simhash
 
 def simhash64(texts: pl.Series) -> np.ndarray:
@@ -600,12 +626,8 @@ def simhash_pairs(
         )
 
     pairs = banded.groupby("_part").map_groups(verify_part, batch_format="pyarrow")
-
-    # a pair can surface from several bands -> combiner-style dedup (hamming
-    # identical for every surfacing; Min keeps schema + value)
-    from ray.data.aggregate import Min
-
-    return pairs.groupby(["id_a", "id_b"]).aggregate(Min("hamming", alias_name="hamming"))
+    # a pair can surface from several bands; hamming is identical each time
+    return _dedup_pairs(pairs, "hamming")
 
 
 # ------------------------------------------------- near-dup cluster + removal
@@ -774,8 +796,5 @@ def embedding_neardup_pairs(
         )
 
     pairs = banded.groupby("_part").map_groups(verify_part, batch_format="pyarrow")
-
-    from ray.data.aggregate import Max
-
-    # same pair from several tables -> combiner dedup (cos identical; Max keeps it)
-    return pairs.groupby(["id_a", "id_b"]).aggregate(Max("cos", alias_name="cos"))
+    # same pair from several tables; cos is identical each time
+    return _dedup_pairs(pairs, "cos")
