@@ -1620,3 +1620,100 @@ def embed_ann_pipeline(sf_dir: str):
     return df[["query_id", "doc_id"]].astype({"query_id": "int64", "doc_id": "int64"}).sort_values(
         ["query_id", "doc_id"]
     ).reset_index(drop=True)
+
+
+@q("cms_revenue_heavy_users")
+def cms_revenue_heavy_users(sf_dir: str):
+    """WEIGHTED count-min: top users by total event value (each update adds
+    the row's value, not 1) — approximate top-k via CMS estimates over the
+    exact candidate id set. Rows-only; exact counterpart below."""
+    from perfect_bloomfilter_ray.stages.agg import multi_sketch_global
+    from perfect_bloomfilter_ray.state.cms import CountMinSketch
+
+    import ray
+
+    ds = _t(sf_dir, "events", ["user_id", "value"])
+
+    # weighted updates need the weight column alongside the key: use a
+    # per-batch partial + the UDAF merge path via multi_sketch_global's
+    # machinery is unweighted, so build partials explicitly here
+    from perfect_bloomfilter_ray.state.base import dumps_sketch, loads_sketch
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = CountMinSketch(1e-3, 1e-3)
+        w = np.round(t.column("value").to_numpy(zero_copy_only=False) * 100).astype(np.int64)  # cents
+        s.update_column(t.column("user_id"), weights=w)
+        return pa.table({"p": pa.array([dumps_sketch(s)], pa.binary())})
+
+    merged = CountMinSketch(1e-3, 1e-3)
+    for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        merged.merge(loads_sketch(row["p"]))
+
+    users = _t(sf_dir, "events", ["user_id"]).groupby("user_id").aggregate(Count(alias_name="_c")).to_pandas()
+    uids = pa.array(users["user_id"].to_numpy())
+    est = merged.estimate_column(uids) / 100.0
+    out = pd.DataFrame({"user_id": users["user_id"], "est_total_value": np.round(est, 2)})
+    return out.sort_values(["est_total_value", "user_id"], ascending=[False, True]).head(10).reset_index(drop=True)
+
+
+@q(
+    "revenue_heavy_users_exact",
+    sql="""
+    SELECT user_id, round(sum(value), 2) AS total_value
+    FROM events GROUP BY user_id
+    ORDER BY total_value DESC, user_id LIMIT 10
+    """,
+)
+def revenue_heavy_users_exact(sf_dir: str):
+    out = (
+        _t(sf_dir, "events", ["user_id", "value"])
+        .groupby("user_id")
+        .aggregate(Sum("value", alias_name="total_value"))
+        .to_pandas()
+    )
+    out = _round(out, {"total_value": 2})
+    return out.sort_values(["total_value", "user_id"], ascending=[False, True]).head(10).reset_index(drop=True)
+
+
+@q(
+    "q10_returned_item_customers",
+    sql="""
+    SELECT c.c_custkey, c.c_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY revenue DESC, c.c_custkey LIMIT 20
+    """,
+)
+def q10_returned_item_customers(sf_dir: str):
+    """TPC-H Q10 shape: returned-lineitem revenue per customer — one
+    big-big hash join (pre-filtered lineitem ⨝ orders), broadcast customer
+    dimension, then grouped revenue + top-20."""
+    from perfect_bloomfilter_ray.stages.joins import broadcast_lookup_join
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"]).map_batches(
+        lambda t: (lambda f: pa.table(
+            {
+                "l_orderkey": f.column("l_orderkey"),
+                "rev": pc.multiply(f.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), f.column("l_discount"))),
+            }
+        ))(t.filter(pc.equal(t.column("l_returnflag"), pa.scalar("R")))),
+        batch_format="pyarrow",
+    )
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    joined = li.join(orders, "inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",))
+    j2 = broadcast_lookup_join(
+        joined, _t(sf_dir, "customer", ["c_custkey", "c_name"]), on="o_custkey", right_on="c_custkey"
+    )
+    out = (
+        j2.groupby(["o_custkey", "c_name"])
+        .aggregate(Sum("rev", alias_name="revenue"))
+        .to_pandas()
+        .rename(columns={"o_custkey": "c_custkey"})
+    )
+    out = _round(out, {"revenue": 2})
+    out = out.sort_values(["revenue", "c_custkey"], ascending=[False, True]).head(20)
+    return out[["c_custkey", "c_name", "revenue"]].reset_index(drop=True)
