@@ -194,3 +194,21 @@ def test_resumable_etl_skips_done_shards(ray_session, tmp_path):
     ).count()
     assert n == 2000
     assert json.load(open(os.path.join(out, "manifest.json")))["num_shards"] == len(files)
+
+
+def test_checkpointed_build_works_for_all_sketch_families(ray_session, tmp_path):
+    import glob
+    import os
+
+    from perfect_bloomfilter_ray.sources.corpus import write_pages
+    from perfect_bloomfilter_ray.stages.checkpoint import checkpointed_build
+    from perfect_bloomfilter_ray.state.hll import HyperLogLog
+    from perfect_bloomfilter_ray.state.theta import ThetaSketch
+
+    corpus = write_pages(str(tmp_path / "c"), 1000, seed=5, num_blocks=4)
+    files = sorted(glob.glob(os.path.join(corpus, "*.parquet")))
+    for factory in (lambda: HyperLogLog(12), lambda: ThetaSketch(1024)):
+        merged, manifest = checkpointed_build(files, "url", factory, str(tmp_path / "ck"), stage=type(factory()).__name__)
+        assert manifest["num_built"] == len(files)
+        # ~980 distinct urls (2% dup frac); sketch estimate must be in range
+        assert 900 <= merged.estimate() <= 1100
