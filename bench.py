@@ -45,7 +45,8 @@ SCALING_ROWS = int(os.environ.get("GRAFT_PAGES_ROWS_SCALING", "1000000"))
 # corpus + outputs live on tmpfs: on a real cluster input shards and output
 # partitions sit on per-node-scaling distributed storage; the sandbox's
 # single virtio disk would add a non-scaling, high-variance IO floor
-CORPUS_BASE = os.environ.get("GRAFT_CORPUS_DIR", "/dev/shm/pbf_bench_corpus")
+_SCRATCH = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+CORPUS_BASE = os.environ.get("GRAFT_CORPUS_DIR", f"{_SCRATCH}/pbf_bench_corpus")
 
 # Headline suite: the subset of queries() that exercises every major engine
 # path (exact agg + join, bloom semi-join, grouped HLL shuffle, minhash LSH
@@ -161,7 +162,7 @@ def run_headline(num_cpus: int, rows: int | None = None) -> dict:
     from perfect_bloomfilter_ray.pipelines.enrich import enrich_to_parquet
     from perfect_bloomfilter_ray.pipelines.flagship import flagship
 
-    out_dir = f"/dev/shm/pbf_bench_out/enriched_{rows}_{num_cpus}"
+    out_dir = f"{_SCRATCH}/pbf_bench_out/enriched_{rows}_{num_cpus}"
     shutil.rmtree(out_dir, ignore_errors=True)
 
     t0 = time.time()
