@@ -11,7 +11,6 @@ scale, and the scaling benchmark runs at two parallelism levels.
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc

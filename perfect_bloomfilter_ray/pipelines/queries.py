@@ -1627,10 +1627,7 @@ def cms_revenue_heavy_users(sf_dir: str):
     """WEIGHTED count-min: top users by total event value (each update adds
     the row's value, not 1) — approximate top-k via CMS estimates over the
     exact candidate id set. Rows-only; exact counterpart below."""
-    from perfect_bloomfilter_ray.stages.agg import multi_sketch_global
     from perfect_bloomfilter_ray.state.cms import CountMinSketch
-
-    import ray
 
     ds = _t(sf_dir, "events", ["user_id", "value"])
 

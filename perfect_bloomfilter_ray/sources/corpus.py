@@ -135,8 +135,6 @@ def write_pages(out_dir: str, n_rows: int, seed: int = 42, num_blocks: int | Non
     skip generation entirely if the directory already holds the right rows)."""
     import os
 
-    import pyarrow.parquet as pq
-
     marker = os.path.join(out_dir, f"_SUCCESS_{n_rows}_{seed}")
     if os.path.exists(marker):
         return out_dir

@@ -23,7 +23,6 @@ Two build paths, both shuffle-minimal:
 
 from __future__ import annotations
 
-import pickle
 from typing import Any, Callable
 
 import numpy as np

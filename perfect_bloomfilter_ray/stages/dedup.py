@@ -24,7 +24,6 @@ are capped by ``max_bucket`` with a log line, the standard web-dedup practice.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import polars as pl
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -483,7 +482,7 @@ def minhash_lsh_pairs(
 
 
 
-def _dedup_pairs(pairs: Dataset, value_col: str, num_blocks: int = 64) -> Dataset:
+def _dedup_pairs(pairs: Dataset, num_blocks: int = 64) -> Dataset:
     """Drop duplicate (id_a, id_b) rows (same pair surfacing from several
     bands/tables; its value column is identical on every surfacing). Coarse
     hash partition + one vectorized lexsort/diff per partition — a two-key
@@ -627,7 +626,7 @@ def simhash_pairs(
 
     pairs = banded.groupby("_part").map_groups(verify_part, batch_format="pyarrow")
     # a pair can surface from several bands; hamming is identical each time
-    return _dedup_pairs(pairs, "hamming")
+    return _dedup_pairs(pairs)
 
 
 # ------------------------------------------------- near-dup cluster + removal
@@ -797,4 +796,4 @@ def embedding_neardup_pairs(
 
     pairs = banded.groupby("_part").map_groups(verify_part, batch_format="pyarrow")
     # same pair from several tables; cos is identical each time
-    return _dedup_pairs(pairs, "cos")
+    return _dedup_pairs(pairs)

@@ -21,8 +21,6 @@ capacity each, built in one grouped aggregation.
 
 from __future__ import annotations
 
-from typing import Any
-
 import numpy as np
 import pyarrow as pa
 
@@ -33,7 +31,7 @@ from perfect_bloomfilter_ray.config import BloomConfig
 from perfect_bloomfilter_ray.functions.hashing import SEED_ROUTE_A, hash64, jump_hash
 from perfect_bloomfilter_ray.state.base import loads_sketch
 from perfect_bloomfilter_ray.state.bloom import BloomCascade
-from perfect_bloomfilter_ray.stages.agg import SketchAgg, SketchMergeAgg, sketch_global
+from perfect_bloomfilter_ray.stages.agg import SketchAgg, sketch_global
 
 
 def build_filter(ds: Dataset, col: str, expected_keys: int, config: BloomConfig | None = None) -> BloomCascade:

@@ -36,7 +36,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from perfect_bloomfilter_ray.config import BloomConfig, expected_n, optimal_k
+from perfect_bloomfilter_ray.config import BloomConfig, expected_n
 from perfect_bloomfilter_ray.functions.hashing import key_hash128, km_positions, splitmix64
 from perfect_bloomfilter_ray.state.base import dumps_sketch, loads_sketch
 
