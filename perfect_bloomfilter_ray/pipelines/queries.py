@@ -1714,3 +1714,30 @@ def q10_returned_item_customers(sf_dir: str):
     out = _round(out, {"revenue": 2})
     out = out.sort_values(["revenue", "c_custkey"], ascending=[False, True]).head(20)
     return out[["c_custkey", "c_name", "revenue"]].reset_index(drop=True)
+
+
+@q(
+    "event_session_ids",
+    sql="""
+    SELECT event_id,
+           sum(CASE WHEN gap THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    FROM (
+        SELECT event_id, user_id, ts,
+               coalesce(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                        > INTERVAL 30 MINUTE, FALSE) AS gap
+        FROM events
+    )
+    ORDER BY event_id
+    """,
+)
+def event_session_ids(sf_dir: str):
+    """Event-level sessionization: every event tagged with its gap-session
+    index within the user (30-minute gap) — the stats=False sessionize path,
+    verified against the SQL window-function formulation."""
+    from perfect_bloomfilter_ray.stages.windows import sessionize
+
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts"])
+    out = sessionize(ds, "user_id", "ts", gap="30min", stats=False).to_pandas()
+    return out[["event_id", "session_id"]].sort_values("event_id").reset_index(drop=True)
