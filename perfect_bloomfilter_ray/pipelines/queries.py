@@ -1741,3 +1741,49 @@ def event_session_ids(sf_dir: str):
     ds = _t(sf_dir, "events", ["event_id", "user_id", "ts"])
     out = sessionize(ds, "user_id", "ts", gap="30min", stats=False).to_pandas()
     return out[["event_id", "session_id"]].sort_values("event_id").reset_index(drop=True)
+
+
+@q(
+    "latest_event_per_user",
+    sql="""
+    SELECT user_id, event_id AS last_event_id, event_type AS last_event_type
+    FROM (
+        SELECT user_id, event_id, event_type,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1 ORDER BY user_id
+    """,
+)
+def latest_event_per_user(sf_dir: str):
+    """Grouped argmax (last_value per key): each user's most recent event via
+    grouped top-k with k=1 — no global sort, combiner-bounded shuffle."""
+    from perfect_bloomfilter_ray.stages.topk import grouped_top_k
+
+    ds = _t(sf_dir, "events", ["user_id", "event_id", "event_type", "ts"])
+
+    def ts_i64(t: pa.Table) -> pa.Table:
+        return t.append_column("_ts", pc.cast(t.column("ts"), pa.int64())).drop_columns(["ts"])
+
+    keyed = ds.map_batches(ts_i64, batch_format="pyarrow")
+    # order by ts desc with event_id desc tiebreak: use a combined desc sort
+    # key (ts,event_id are both int64; top-1 by _ts then event_id)
+    def rank_key(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_neg_eid", pc.negate(pc.cast(t.column("event_id"), pa.int64()))
+        )
+
+    out = (
+        grouped_top_k(
+            keyed.map_batches(rank_key, batch_format="pyarrow"),
+            "user_id",
+            "_ts",
+            k=1,
+            descending=True,
+            tie_cols=["_neg_eid"],
+        )
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    out = out.rename(columns={"event_id": "last_event_id", "event_type": "last_event_type"})
+    return out[["user_id", "last_event_id", "last_event_type"]]
