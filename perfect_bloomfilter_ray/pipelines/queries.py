@@ -1787,3 +1787,35 @@ def latest_event_per_user(sf_dir: str):
     )
     out = out.rename(columns={"event_id": "last_event_id", "event_type": "last_event_type"})
     return out[["user_id", "last_event_id", "last_event_type"]]
+
+
+@q("audio_frame_rms_stats")
+def audio_frame_rms_stats(sf_dir: str):
+    """Multimodal audio path: binary payloads → actor-pool frame sampling
+    (stub codec) → per-frame RMS → per-frame-index stats. Rows-only."""
+    from perfect_bloomfilter_ray.stages.multimodal import (
+        AudioFrameSampleStage,
+        media_dataset_from_binary,
+    )
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_bin(t: pa.Table) -> pa.Table:
+        return pa.table({"blob": pc.cast(t.column("text"), pa.binary())})
+
+    media = media_dataset_from_binary(ds.map_batches(to_bin, batch_format="pyarrow"), "blob")
+    frames = media.map_batches(
+        AudioFrameSampleStage,
+        fn_constructor_kwargs={"frames": 4, "frame_samples": 128},
+        batch_size=256,
+        concurrency=(1, 4),
+        batch_format="pyarrow",
+    )
+    out = (
+        frames.groupby("frame")
+        .aggregate(Count(alias_name="n"), Mean("rms", alias_name="avg_rms"))
+        .to_pandas()
+        .sort_values("frame")
+        .reset_index(drop=True)
+    )
+    return _round(out, {"avg_rms": 4})

@@ -178,13 +178,32 @@ def ivf_topk(
     map task assigns its batch to cells with one matmul and scores only rows
     whose cell is probed by ≥1 query.
 
-    At 100 TB the training sample comes from a bounded prefix (``limit``), the
+    At 100 TB the training sample is a deterministic hash-sample of the id
+    column (unbiased even when storage order correlates with content), the
     centroid matmul is O(batch × nlist), and scored work drops by roughly
     nprobe/nlist vs brute force. Recall vs ``brute_force_topk`` is measured in
     tests; raise ``nprobe`` for higher recall. Same output shape as
     ``brute_force_topk``.
     """
-    sample_tbl = ds.limit(train_sample).to_pandas()
+    # deterministic UNBIASED training sample: hash-filter on the id column
+    # (limit() would take the first rows — biased whenever storage order
+    # correlates with content, e.g. time- or crawl-ordered corpora), then cap
+    import pyarrow as _pa
+
+    from perfect_bloomfilter_ray.functions.hashing import hash64
+
+    total = ds.count()
+    if total > train_sample:
+        keep_mod = max(2, total // train_sample)
+
+        def keep(t: _pa.Table) -> _pa.Table:
+            h = hash64(t.column(id_col), 0x5A3) % np.uint64(keep_mod)
+            return t.filter(_pa.array(h == 0))
+
+        sample_ds = ds.map_batches(keep, batch_format="pyarrow").limit(train_sample)
+    else:
+        sample_ds = ds
+    sample_tbl = sample_ds.to_pandas()
     sample = _normalize(np.stack([np.asarray(v, dtype=np.float32) for v in sample_tbl[vec_col]]))
     centroids = _kmeans_fit(sample, nlist, kmeans_iters, seed)
 
