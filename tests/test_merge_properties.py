@@ -25,6 +25,7 @@ from perfect_bloomfilter_ray import (
     HyperLogLog,
     KLLSketch,
     TDigest,
+    ThetaSketch,
 )
 
 key_lists = st.lists(st.binary(min_size=0, max_size=64), min_size=0, max_size=200)
@@ -49,6 +50,7 @@ def test_exact_state_merge_properties(a, b, c):
         lambda: BloomCascade.for_capacity(1024, BloomConfig()),
         lambda: HyperLogLog(8),
         lambda: CountMinSketch(1e-2, 1e-2),
+        lambda: ThetaSketch(64),
     ):
         # associativity: (a+b)+c == a+(b+c)
         p1, p2, p3 = _mk(factory, [a, b, c])
