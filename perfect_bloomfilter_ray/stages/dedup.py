@@ -32,6 +32,7 @@ from ray.data import Dataset
 
 from perfect_bloomfilter_ray.functions.hashing import hash64, splitmix64
 from perfect_bloomfilter_ray.functions.text import fingerprint64
+from perfect_bloomfilter_ray.stages.partitioning import choose_num_blocks
 
 _U64 = np.uint64
 
@@ -39,7 +40,7 @@ _U64 = np.uint64
 # ---------------------------------------------------------------- exact dedup
 
 def exact_dedup(
-    ds: Dataset, text_col: str, id_col: str, normalize: bool = False, num_blocks: int = 64
+    ds: Dataset, text_col: str, id_col: str, normalize: bool = False, num_blocks: int | None = None
 ) -> Dataset:
     """Keep the lowest-id row per distinct text (hash-partitioned).
 
@@ -47,6 +48,7 @@ def exact_dedup(
     groups co-locate by hash; the group fn then verifies on the real column
     so a fingerprint collision cannot merge two distinct texts.
     """
+    num_blocks = choose_num_blocks(ds, num_blocks)
 
     # Coarse hash partition (fp % num_blocks) so equal texts co-locate, then
     # ONE vectorized keep-first per partition group. groupby on the raw
@@ -265,15 +267,24 @@ def minhash_lsh_pairs(
     shingle_words: int = 5,
     threshold: float = 0.7,
     max_bucket: int = 64,
-    num_blocks: int = 64,
+    num_blocks: int | None = None,
+    broadcast_max_pairs: int = 500_000,
 ) -> Dataset:
     """Near-duplicate candidate pairs with minhash-estimated Jaccard ≥ threshold.
 
     Output columns: (id_a, id_b, est_jaccard), id_a < id_b, deduplicated.
     Shuffle moves only (band, band_hash, id, sig) rows.
+
+    Verification is size-gated: candidate pair sets up to
+    ``broadcast_max_pairs`` resolve signatures via one broadcast (fast path,
+    driver footprint bounded by the threshold); larger sets stay Datasets
+    end-to-end and resolve signatures with a distributed hash-join — at a
+    web-corpus dup rate the pair set is O(corpus) and must never be collected.
     """
     assert num_perms % bands == 0
     import ray
+
+    num_blocks = choose_num_blocks(ds, num_blocks)
 
     # Materialized once because two consumers read it (banding now, candidate
     # verification later) — recomputing would shingle+hash every document
@@ -339,7 +350,10 @@ def minhash_lsh_pairs(
             return empty
         bh = t.column("bhash").to_numpy()
         ids = t.column("_id64").to_numpy()
-        order = np.argsort(bh, kind="stable")  # cheap insurance: group slices below need contiguity
+        # sort by (bucket, id): group slices below need bucket contiguity, and
+        # id-order within a bucket makes the max_bucket cap deterministic
+        # (lowest ids kept) regardless of block arrival order
+        order = np.lexsort((ids, bh))
         bh, ids = bh[order], ids[order]
         _, starts, counts = np.unique(bh, return_index=True, return_counts=True)
         # vectorize by bucket SIZE class: one gather + one triu per distinct
@@ -353,8 +367,7 @@ def minhash_lsh_pairs(
         for c in np.unique(cl):
             sel = big[cl == c]
             idx = starts[sel][:, None] + np.arange(c)[None, :]
-            gmat = ids[idx]
-            gmat.sort(axis=1)
+            gmat = ids[idx]  # rows already ascending (lexsort by id above)
             ii, jj = np.triu_indices(int(c), k=1)
             out_a.append(gmat[:, ii].ravel())
             out_b.append(gmat[:, jj].ravel())
@@ -399,17 +412,14 @@ def minhash_lsh_pairs(
     )
 
     # Verify: estimated Jaccard = matching signature fraction, computed only
-    # for candidate pairs. Candidate ids are collected (size ∝ near-dup pairs,
-    # bounded by max_bucket — NOT corpus size), their signatures semi-filtered
-    # out of the signature stream and broadcast to a final map over the pairs.
-    cand_tbl = pa.concat_tables(
-        b if isinstance(b, pa.Table) else pa.Table.from_pydict(b)
-        for b in cand.iter_batches(batch_format="pyarrow")
-    )
+    # for candidate pairs. The pair set size is what gates the strategy:
+    # count it (cand is materialized by the groupby) and never collect it.
     import ray.data as rd
 
+    cand = cand.materialize()
+    n_cand = cand.count()
     out_id_type = id_field.type
-    if len(cand_tbl) == 0:
+    if n_cand == 0:
         return rd.from_arrow(
             pa.table(
                 {
@@ -419,6 +429,33 @@ def minhash_lsh_pairs(
                 }
             )
         )
+
+    if n_cand <= broadcast_max_pairs:
+        return _verify_pairs_broadcast(
+            cand, sigs, id_col, _id64_of, num_perms, threshold, n_cand
+        )
+    return _verify_pairs_join(cand, sigs, id_col, _id64_of, num_perms, threshold, num_blocks)
+
+
+def _verify_pairs_broadcast(
+    cand: Dataset,
+    sigs: Dataset,
+    id_col: str,
+    _id64_of,
+    num_perms: int,
+    threshold: float,
+    n_cand: int,
+) -> Dataset:
+    """Small-pair-set verify: candidate ids collected (bounded by the
+    broadcast gate, NOT corpus size), their signatures semi-filtered out of
+    the signature stream and broadcast to a final map over the pairs."""
+    import ray
+    import ray.data as rd
+
+    cand_tbl = pa.concat_tables(
+        b if isinstance(b, pa.Table) else pa.Table.from_pydict(b)
+        for b in cand.iter_batches(batch_format="pyarrow")
+    )
     need = pc.unique(
         pa.concat_arrays(
             [cand_tbl.column("id_a").combine_chunks(), cand_tbl.column("id_b").combine_chunks()]
@@ -476,17 +513,184 @@ def minhash_lsh_pairs(
     # parallelize verification: cand_tbl arrives as one block; split it so
     # the signature-gather compare runs across the pool
     cand_ds = rd.from_arrow(cand_tbl)
-    if len(cand_tbl) > 10_000:
-        cand_ds = cand_ds.repartition(min(64, 1 + len(cand_tbl) // 10_000))
+    if n_cand > 10_000:
+        cand_ds = cand_ds.repartition(min(64, 1 + n_cand // 10_000))
     return cand_ds.map_batches(verify, batch_format="pyarrow")
 
 
+def _verify_pairs_join(
+    cand: Dataset,
+    sigs: Dataset,
+    id_col: str,
+    _id64_of,
+    num_perms: int,
+    threshold: float,
+    num_blocks: int,
+) -> Dataset:
+    """Large-pair-set verify: resolve each pair side's signature with a
+    distributed equi-join (two passes, one per pair side — the necessary
+    shuffle cost at O(corpus) pair counts), then compare signatures
+    vectorized per partition. The pair set never touches the driver.
 
-def _dedup_pairs(pairs: Dataset, num_blocks: int = 64) -> Dataset:
+    The join is the repo's coarse-hash-partition shape (union both sides
+    tagged, groupby hash(key) % num_blocks, searchsorted resolve inside) —
+    NOT ``Dataset.join``: Acero rejects fixed_size_list payload columns
+    (the signature), and concurrent join-aggregator actor pools deadlock on
+    small CPU counts."""
+    sig_type = pa.list_(pa.uint64(), num_perms)
+    orig_type = sigs.schema().base_schema.field(id_col).type
+
+    def part_of(k: np.ndarray) -> pa.Array:
+        return pa.array((splitmix64(k.view(_U64)) % _U64(num_blocks)).astype(np.int32))
+
+    # ---- pass 1: resolve sig/orig of id_a, re-key rows by id_b ----
+    def sig_rows(t: pa.Table) -> pa.Table:
+        k = _id64_of(t.column(id_col))
+        n = len(t)
+        return pa.table(
+            {
+                "_k": pa.array(k),
+                "_other": pa.nulls(n, pa.int64()),
+                "_sig": t.column("sig").combine_chunks() if isinstance(t.column("sig"), pa.ChunkedArray) else t.column("sig"),
+                "_orig": t.column(id_col),
+                "_sig_a": pa.nulls(n, sig_type),
+                "_orig_a": pa.nulls(n, orig_type),
+                "_part": part_of(k),
+                "_tag": pa.array(np.zeros(n, dtype=np.int8)),
+            }
+        )
+
+    def cand_rows(t: pa.Table) -> pa.Table:
+        a = t.column("id_a").to_numpy()
+        n = len(t)
+        return pa.table(
+            {
+                "_k": pa.array(a),
+                "_other": t.column("id_b"),
+                "_sig": pa.nulls(n, sig_type),
+                "_orig": pa.nulls(n, orig_type),
+                "_sig_a": pa.nulls(n, sig_type),
+                "_orig_a": pa.nulls(n, orig_type),
+                "_part": part_of(a),
+                "_tag": pa.array(np.ones(n, dtype=np.int8)),
+            }
+        )
+
+    def resolve(t: pa.Table, rekey: bool) -> pa.Table:
+        """Within one partition: probe rows (_tag=1) gather _sig/_orig of the
+        sig rows (_tag=0) matching their _k; emit probe rows only, with the
+        gathered values in _sig_a/_orig_a and (when rekey) _k := _other."""
+        tag = t.column("_tag").to_numpy()
+        sig_mask, probe_mask = tag == 0, tag == 1
+        probe = t.filter(pa.array(probe_mask))
+        n = len(probe)
+        if n == 0:
+            return probe
+        st = t.filter(pa.array(sig_mask))
+        skeys = st.column("_k").to_numpy()
+        order = np.argsort(skeys, kind="stable")
+        skeys_s = skeys[order]
+        pos = np.searchsorted(skeys_s, probe.column("_k").to_numpy())
+        pos = np.minimum(pos, max(len(skeys_s) - 1, 0))
+        found = len(skeys_s) > 0
+        hit = (skeys_s[pos] == probe.column("_k").to_numpy()) if found else np.zeros(n, bool)
+        probe = probe.filter(pa.array(hit))  # inner-join semantics
+        take = pa.array(order[pos[hit]], pa.int64())
+        sig_src = st.column("_sig")
+        orig_src = st.column("_orig")
+        if isinstance(sig_src, pa.ChunkedArray):
+            sig_src = sig_src.combine_chunks()
+        if isinstance(orig_src, pa.ChunkedArray):
+            orig_src = orig_src.combine_chunks()
+        new_k = probe.column("_other") if rekey else probe.column("_k")
+        return pa.table(
+            {
+                "_k": new_k,
+                "_other": probe.column("_k") if rekey else probe.column("_other"),
+                "_sig": probe.column("_sig"),
+                "_orig": probe.column("_orig"),
+                "_sig_a": sig_src.take(take),
+                "_orig_a": orig_src.take(take),
+                "_part": probe.column("_part"),
+                "_tag": probe.column("_tag"),
+            }
+        )
+
+    def repart(t: pa.Table) -> pa.Table:
+        k = t.column("_k").to_numpy()
+        return t.set_column(t.schema.get_field_index("_part"), "_part", part_of(k))
+
+    pass1 = (
+        sigs.map_batches(sig_rows, batch_format="pyarrow")
+        .union(cand.map_batches(cand_rows, batch_format="pyarrow"))
+        .groupby("_part")
+        .map_groups(lambda t: resolve(t, rekey=True), batch_format="pyarrow")
+        .map_batches(repart, batch_format="pyarrow")
+    )
+
+    # ---- pass 2: rows now keyed by id_b; resolve its sig/orig and verify ----
+    def verify_part(t: pa.Table) -> pa.Table:
+        tag = t.column("_tag").to_numpy()
+        probe = t.filter(pa.array(tag == 1))
+        st = t.filter(pa.array(tag == 0))
+        empty = pa.table(
+            {
+                "id_a": pa.array([], orig_type),
+                "id_b": pa.array([], orig_type),
+                "est_jaccard": pa.array([], pa.float64()),
+            }
+        )
+        n = len(probe)
+        if n == 0 or len(st) == 0:
+            return empty
+        skeys = st.column("_k").to_numpy()
+        order = np.argsort(skeys, kind="stable")
+        skeys_s = skeys[order]
+        pos = np.minimum(np.searchsorted(skeys_s, probe.column("_k").to_numpy()), len(skeys_s) - 1)
+        hit = skeys_s[pos] == probe.column("_k").to_numpy()
+        probe = probe.filter(pa.array(hit))
+        take = pa.array(order[pos[hit]], pa.int64())
+        smat = np.asarray(
+            (st.column("_sig").combine_chunks() if isinstance(st.column("_sig"), pa.ChunkedArray) else st.column("_sig")).flatten()
+        ).reshape(len(st), num_perms)
+        A = np.asarray(
+            (probe.column("_sig_a").combine_chunks() if isinstance(probe.column("_sig_a"), pa.ChunkedArray) else probe.column("_sig_a")).flatten()
+        ).reshape(len(probe), num_perms)
+        B = smat[order[pos[hit]]]
+        est = (A == B).mean(axis=1) if len(probe) else np.empty(0)
+        keep = est >= threshold
+        probe = probe.filter(pa.array(keep))
+        orig_src = st.column("_orig")
+        if isinstance(orig_src, pa.ChunkedArray):
+            orig_src = orig_src.combine_chunks()
+        b = orig_src.take(take.filter(pa.array(keep)))
+        a = probe.column("_orig_a")
+        if isinstance(a, pa.ChunkedArray):
+            a = a.combine_chunks()
+        swap = pc.greater(a, b)
+        return pa.table(
+            {
+                "id_a": pc.if_else(swap, b, a),
+                "id_b": pc.if_else(swap, a, b),
+                "est_jaccard": pa.array(est[keep]),
+            }
+        )
+
+    return (
+        sigs.map_batches(sig_rows, batch_format="pyarrow")
+        .union(pass1)
+        .groupby("_part")
+        .map_groups(verify_part, batch_format="pyarrow")
+    )
+
+
+
+def _dedup_pairs(pairs: Dataset, num_blocks: int | None = None) -> Dataset:
     """Drop duplicate (id_a, id_b) rows (same pair surfacing from several
     bands/tables; its value column is identical on every surfacing). Coarse
     hash partition + one vectorized lexsort/diff per partition — a two-key
     sort-based groupby measured 4x slower at millions of pair rows."""
+    num_blocks = choose_num_blocks(pairs, num_blocks)
 
     def add_part(t: pa.Table) -> pa.Table:
         a = hash64(t.column("id_a"), 0xDE0) 
@@ -546,7 +750,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     bands: int = 4,
     max_bucket: int = 256,
-    num_blocks: int = 64,
+    num_blocks: int | None = None,
 ) -> Dataset:
     """Near-dup pairs by simhash Hamming distance ≤ max_hamming.
 
@@ -559,6 +763,7 @@ def simhash_pairs(
     """
     assert bands > max_hamming
     width = 64 // bands
+    num_blocks = choose_num_blocks(ds, num_blocks)
 
     def sig(t: pa.Table) -> pa.Table:
         s = simhash64(pl.from_arrow(t.column(text_col).combine_chunks() if isinstance(t.column(text_col), pa.ChunkedArray) else t.column(text_col)))
@@ -631,12 +836,124 @@ def simhash_pairs(
 
 # ------------------------------------------------- near-dup cluster + removal
 
+def connected_components_pairs(
+    pairs: Dataset,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    num_blocks: int | None = None,
+    max_rounds: int = 25,
+) -> Dataset:
+    """Distributed connected components over an int64 edge Dataset.
+
+    Returns a ``(node, root)`` Dataset covering every endpoint; ``root`` is
+    the component minimum. Algorithm: iterated **hash-to-min** star
+    contraction (Rastogi et al. 2013 "Finding Connected Components in
+    Map-Reduce"): each round, every node's full neighborhood lands in one
+    coarse partition (hash(src) % num_blocks → complete per-src groups), the
+    neighborhood minimum ``m = min(N(u) ∪ u)`` is one reduceat, and every
+    member reconnects to ``m`` — minima propagate two hops per round, so
+    rounds = O(log diameter). Each round is a groupby shuffle of id-only
+    edges; the pair set NEVER touches the driver (union-find over a
+    web-corpus dup rate's O(corpus) pair set is a driver OOM).
+
+    Fixpoint = every component a star; detected by (count, checksum) of the
+    deduped edge set being stable across a round.
+    """
+    nb = choose_num_blocks(pairs, num_blocks)
+
+    def norm(t: pa.Table) -> pa.Table:
+        a = t.column(id_a).to_numpy().astype(np.int64)
+        b = t.column(id_b).to_numpy().astype(np.int64)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        keep = lo != hi
+        return pa.table({"id_a": pa.array(lo[keep]), "id_b": pa.array(hi[keep])})
+
+    edges = _dedup_pairs(pairs.map_batches(norm, batch_format="pyarrow"), nb).materialize()
+
+    def edge_sig(e: Dataset) -> tuple:
+        def chk(t: pa.Table) -> pa.Table:
+            a = t.column("id_a").to_numpy().view(_U64)
+            b = t.column("id_b").to_numpy().view(_U64)
+            with np.errstate(over="ignore"):
+                m = splitmix64(a * _U64(0x9E3779B97F4A7C15) + b)
+            # mod 2^40 so a sum over any realistic block count fits int64
+            return pa.table({"n": pa.array([len(t)]), "s": pa.array([int(m.sum() % (1 << 40))])})
+
+        r = e.map_batches(chk, batch_format="pyarrow").sum(["n", "s"])
+        return (r["sum(n)"], r["sum(s)"])
+
+    def directed_part(t: pa.Table) -> pa.Table:
+        a = t.column("id_a").to_numpy()
+        b = t.column("id_b").to_numpy()
+        src = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        h = splitmix64(src.view(_U64))
+        return pa.table(
+            {
+                "src": pa.array(src),
+                "dst": pa.array(dst),
+                "_part": pa.array((h % _U64(nb)).astype(np.int32)),
+            }
+        )
+
+    def contract(t: pa.Table) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
+        if len(t) == 0:
+            return empty
+        src = t.column("src").to_numpy()
+        dst = t.column("dst").to_numpy()
+        order = np.lexsort((dst, src))
+        src, dst = src[order], dst[order]
+        uniq_src, starts = np.unique(src, return_index=True)
+        m = np.minimum(np.minimum.reduceat(dst, starts), uniq_src)  # per-src neighborhood min
+        m_rep = np.repeat(m, np.diff(np.concatenate([starts, [len(src)]])))
+        # reconnect: (m, dst) for every neighbor, (m, src) for the node itself
+        out_a = np.concatenate([m_rep, m])
+        out_b = np.concatenate([dst, uniq_src])
+        keep = out_a != out_b
+        return pa.table({"id_a": pa.array(out_a[keep]), "id_b": pa.array(out_b[keep])})
+
+    sig = edge_sig(edges)
+    for _ in range(max_rounds):
+        new_edges = _dedup_pairs(
+            edges.map_batches(directed_part, batch_format="pyarrow")
+            .groupby("_part")
+            .map_groups(contract, batch_format="pyarrow"),
+            nb,
+        ).materialize()
+        new_sig = edge_sig(new_edges)
+        edges = new_edges
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:  # pragma: no cover - needs diameter > 2^25
+        import warnings
+
+        warnings.warn("connected_components_pairs hit max_rounds before fixpoint")
+
+    # star edges: (root, member). Labels = members → root plus roots → self.
+    def labels(t: pa.Table) -> pa.Table:
+        a = t.column("id_a").to_numpy()
+        b = t.column("id_b").to_numpy()
+        roots = np.unique(a)
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([b, roots])),
+                "root": pa.array(np.concatenate([a, roots])),
+            }
+        )
+
+    # roots surface once per partition → dedup (node, root) rows
+    return _dedup_pairs(
+        edges.map_batches(labels, batch_format="pyarrow").rename_columns(["id_a", "id_b"]), nb
+    ).rename_columns(["node", "root"])
+
+
 def pairs_to_clusters(id_a, id_b) -> dict:
     """Union-find over candidate pairs → {id: cluster_root} (root = min id).
 
-    The pair set is tiny relative to the corpus (only near-dups surface), so
-    driver-side union-find is the right altitude; the expensive parts —
-    signatures and candidate generation — stay distributed.
+    Driver-side reference implementation, kept for tests and small pair sets;
+    the distributed path is ``connected_components_pairs`` above.
     """
     parent: dict = {}
 
@@ -666,22 +983,57 @@ def drop_near_duplicates(
 ) -> Dataset:
     """Remove near-duplicate documents, keeping the min-id doc per cluster.
 
-    minhash→LSH candidate pairs (distributed) → union-find clusters (driver,
-    tiny) → broadcast the drop set → streaming filter. The corpus itself is
-    never materialized."""
+    minhash→LSH candidate pairs (distributed) → hash-to-min connected
+    components (distributed, ``connected_components_pairs``) → broadcast ONLY
+    the drop set (non-root members, O(#near-dup docs)) → streaming filter.
+    Neither the corpus nor the pair set is ever materialized on the driver.
+
+    Cluster representative: the minimum id (int id columns) / minimum 64-bit
+    id-hash (other id types — deterministic, but not the lexicographic-min
+    original id)."""
     import ray
 
-    pairs = minhash_lsh_pairs(ds, text_col, id_col, num_perms, bands, threshold=threshold).to_pandas()
-    if not len(pairs):
+    pairs = minhash_lsh_pairs(ds, text_col, id_col, num_perms, bands, threshold=threshold)
+
+    id_type = pairs.schema().base_schema.field("id_a").type
+    ids_are_ints = pa.types.is_integer(id_type)
+
+    def col64(col) -> np.ndarray:
+        if ids_are_ints:
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            return col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return hash64(col, 0x1D64).view(np.int64)
+
+    def to64(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id_a": pa.array(col64(t.column("id_a"))),
+                "id_b": pa.array(col64(t.column("id_b"))),
+            }
+        )
+
+    labels = connected_components_pairs(pairs.map_batches(to64, batch_format="pyarrow"))
+
+    def non_roots(t: pa.Table) -> pa.Table:
+        return t.filter(pc.invert(pc.equal(t.column("node"), t.column("root")))).select(["node"])
+
+    drop_parts = [
+        b if isinstance(b, pa.Table) else pa.Table.from_pydict(b)
+        for b in labels.map_batches(non_roots, batch_format="pyarrow").iter_batches(batch_format="pyarrow")
+    ]
+    drop = (
+        pa.concat_tables(drop_parts).column("node").combine_chunks()
+        if drop_parts
+        else pa.array([], pa.int64())
+    )
+    if len(drop) == 0:
         return ds
-    clusters = pairs_to_clusters(pairs["id_a"].tolist(), pairs["id_b"].tolist())
-    drop = pa.array([k for k, r in clusters.items() if k != r])
     drop_ref = ray.put(drop)
 
     def keep(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        return t.filter(pc.invert(pc.is_in(t.column(id_col), value_set=ray.get(drop_ref))))
+        id64 = pa.array(col64(t.column(id_col)))
+        return t.filter(pc.invert(pc.is_in(id64, value_set=ray.get(drop_ref))))
 
     return ds.map_batches(keep, batch_format="pyarrow")
 
@@ -727,7 +1079,7 @@ def embedding_neardup_pairs(
     """
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((num_tables, num_planes, dim)).astype(np.float32)
-    num_blocks = 64
+    num_blocks = choose_num_blocks(ds)
 
     def bucket(t: pa.Table) -> pa.Table:
         n = len(t)

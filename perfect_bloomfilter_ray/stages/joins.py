@@ -188,7 +188,11 @@ def asof_join_broadcast(
         valid_key = ~pd.isna(bcodes)
         bcodes_i = np.where(valid_key, bcodes, 0).astype(np.int64)
         bts = _ts_i64(t.column(big_ts))
-        off = np.maximum(bts - tmin, -1)  # probe ts below every build ts → no match
+        # clamp below (ts before every build ts → no match) AND above: a probe
+        # ts past the packed span must not overflow the OR into the key-code
+        # bits — clamping to the max packable offset makes it correctly match
+        # the key's last build row instead of corrupting the composite.
+        off = np.minimum(np.maximum(bts - tmin, -1), (1 << tbits) - 1)
         b_comp = (bcodes_i << tbits) | np.maximum(off >> sh, 0)
         side = "left" if strict else "right"
         idx = np.searchsorted(comp, b_comp, side=side) - 1

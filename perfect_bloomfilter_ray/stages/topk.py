@@ -8,8 +8,11 @@ The scale-correct shape for "top k rows per group" over a huge fact table:
    table. This is the combiner pattern from SURVEY.md §2.3 applied to order
    statistics (top-k of a group is mergeable: topk(A ∪ B) = topk(topk(A) ∪
    topk(B))).
-2. **Final top-k per key** (`groupby(keys).map_groups`): the residual shuffle
-   is tiny, and each group fits trivially in one task.
+2. **Final top-k per coarse partition** (`groupby(hash(keys) % num_blocks)
+   .map_groups`): the residual shuffle is tiny, and the per-partition pass is
+   ONE vectorized polars sort + group_by().head(k) — not one Python call per
+   distinct key, which would dominate at millions of keys (e.g.
+   latest_event_per_user) despite the combiner.
 
 Compare `Dataset.sort(...).limit(k)` (global top-k, see
 queries.top_orders_by_revenue): a per-group limit cannot be expressed with
@@ -23,11 +26,25 @@ top-k").
 
 from __future__ import annotations
 
-import pandas as pd
+import numpy as np
 import polars as pl
 import pyarrow as pa
 
 from ray.data import Dataset
+
+from perfect_bloomfilter_ray.functions.hashing import hash64
+from perfect_bloomfilter_ray.stages.partitioning import choose_num_blocks
+
+_U64 = np.uint64
+
+
+def _multi_key_part(t: pa.Table, keys: list[str], num_blocks: int, seed: int = 0x709C) -> pa.Table:
+    """Append a ``_part`` column = combined hash of ``keys`` mod num_blocks."""
+    h = hash64(t.column(keys[0]), seed)
+    with np.errstate(over="ignore"):
+        for i, c in enumerate(keys[1:], 1):
+            h = h * _U64(0x9E3779B97F4A7C15) + hash64(t.column(c), seed + i)
+    return t.append_column("_part", pa.array((h % _U64(num_blocks)).astype(np.int32)))
 
 
 def _partial_topk(keys: list[str], order_col: str, k: int, descending: bool, tie_cols: list[str]):
@@ -49,6 +66,7 @@ def grouped_top_k(
     k: int,
     descending: bool = True,
     tie_cols: list[str] | None = None,
+    num_blocks: int | None = None,
 ) -> Dataset:
     """Top ``k`` rows per ``keys`` group ordered by ``order_col``.
 
@@ -60,16 +78,22 @@ def grouped_top_k(
     keys = [keys] if isinstance(keys, str) else list(keys)
     tie_cols = list(tie_cols or [])
     part = _partial_topk(keys, order_col, k, descending, tie_cols)
+    nb = choose_num_blocks(ds, num_blocks)
+    by = [order_col, *tie_cols]
+    desc = [descending] + [False] * len(tie_cols)
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        by = [order_col, *tie_cols]
-        asc = [not descending] + [True] * len(tie_cols)
-        return g.sort_values(by, ascending=asc).head(k)
+    def add_part(t: pa.Table) -> pa.Table:
+        return _multi_key_part(t, keys, nb)
+
+    def final_block(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.drop_columns(["_part"]))
+        return df.sort(by, descending=desc).group_by(keys, maintain_order=True).head(k).to_arrow()
 
     return (
         ds.map_batches(part, batch_format="pyarrow")
-        .groupby(keys)
-        .map_groups(final, batch_format="pandas")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(final_block, batch_format="pyarrow")
     )
 
 
@@ -90,12 +114,20 @@ def stratified_sample(
     Runs as a grouped top-k, so the shuffle moves at most k rows per group
     per block. The ``_sample_key`` column is retained in the output for
     oracle comparison; drop it downstream if unwanted.
+
+    Supported id range: non-negative int64. The residue is computed as
+    ``((id % mod) * (mult % mod)) % mod`` — both factors < 2^31, product
+    < 2^62 — so it equals the unbounded-arithmetic SQL expression for ALL
+    non-negative ids (a plain int64 ``id * mult`` would wrap above ~3.5e9
+    and silently diverge from the oracle). Negative ids raise: C-style and
+    floored ``%`` disagree there, so portability would be a lie.
     """
-    import numpy as np
 
     def add_key(t: pa.Table) -> pa.Table:
-        ids = t.column(id_col).to_numpy()
-        hk = (ids.astype(np.int64) * mult) % mod
+        ids = t.column(id_col).to_numpy().astype(np.int64)
+        if len(ids) and ids.min() < 0:
+            raise ValueError("stratified_sample requires non-negative ids (see docstring)")
+        hk = ((ids % mod) * (mult % mod)) % mod
         return t.append_column("_sample_key", pa.array(hk))
 
     keyed = ds.map_batches(add_key, batch_format="pyarrow")

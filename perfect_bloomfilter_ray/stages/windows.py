@@ -29,6 +29,7 @@ import pyarrow.compute as pc
 from ray.data import Dataset
 
 from perfect_bloomfilter_ray.functions.hashing import hash64
+from perfect_bloomfilter_ray.stages.partitioning import choose_num_blocks
 
 
 def time_bucket(ds: Dataset, ts_col: str, unit: str = "hour", out_col: str = "bucket") -> Dataset:
@@ -78,7 +79,7 @@ def sessionize(
     ts_col: str,
     gap: pd.Timedelta | str = "30min",
     stats: bool = True,
-    num_blocks: int = 64,
+    num_blocks: int | None = None,
 ) -> Dataset:
     """Gap-based sessions per key.
 
@@ -128,7 +129,7 @@ def sessionize(
         sess_idx[order] = sess_idx_sorted
         return t.drop_columns(["_part"]).append_column("session_id", pa.array(sess_idx))
 
-    return _add_part(ds, key_col, num_blocks).groupby("_part").map_groups(per_part, batch_format="pyarrow")
+    return _add_part(ds, key_col, choose_num_blocks(ds, num_blocks)).groupby("_part").map_groups(per_part, batch_format="pyarrow")
 
 
 def lag_lead_cum(
@@ -139,7 +140,7 @@ def lag_lead_cum(
     lag_col: str = "lag_value",
     lead_col: str = "lead_value",
     cum_col: str = "cum_value",
-    num_blocks: int = 64,
+    num_blocks: int | None = None,
 ) -> Dataset:
     """Per-key ordered window functions: previous value (lag 1), next value
     (lead 1), and running sum — the SQL ``lag()/lead()/sum() OVER (PARTITION
@@ -191,7 +192,7 @@ def lag_lead_cum(
             t_out = t_out.append_column(name, pa.array(arr[inv]))
         return t_out
 
-    return _add_part(ds, key_col, num_blocks).groupby("_part").map_groups(per_part, batch_format="pyarrow")
+    return _add_part(ds, key_col, choose_num_blocks(ds, num_blocks)).groupby("_part").map_groups(per_part, batch_format="pyarrow")
 
 
 def sliding_window_agg(
@@ -202,7 +203,7 @@ def sliding_window_agg(
     window: pd.Timedelta | str = "5min",
     out_count: str = "w_count",
     out_sum: str | None = None,
-    num_blocks: int = 64,
+    num_blocks: int | None = None,
 ) -> Dataset:
     """Per-row sliding event-time window: for each row, count (and optionally
     sum ``value_col``) over the same key's rows in ``[ts - window, ts]``.
@@ -252,4 +253,4 @@ def sliding_window_agg(
             t_out = t_out.append_column(out_sum, pa.array(out_s))
         return t_out
 
-    return _add_part(ds, key_col, num_blocks).groupby("_part").map_groups(per_part, batch_format="pyarrow")
+    return _add_part(ds, key_col, choose_num_blocks(ds, num_blocks)).groupby("_part").map_groups(per_part, batch_format="pyarrow")

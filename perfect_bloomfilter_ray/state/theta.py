@@ -3,12 +3,15 @@ supporting SET OPERATIONS (union / intersection / difference estimates), the
 one capability HLL lacks.
 
 Standard KMV theta sketch (Beyer et al. 2007 "On Synopses for Distinct-Value
-Estimation"; Dasgupta et al. 2016 theta-sketch framework): keep the k smallest
-64-bit key hashes; theta = the k-th smallest (as a fraction of hash space);
-every retained hash is a uniform sample of the key space below theta.
+Estimation"; Dasgupta et al. 2016 theta-sketch framework): keep the k
+smallest 64-bit key hashes, all strictly below theta = the (k+1)-th smallest
+hash seen (as a fraction of hash space); every retained hash is a uniform
+sample of the key space below theta.
 
-- estimate()                ≈ (|S| into full space): (k-1)/theta when
-                            saturated, exact count when not. RSE ≈ 1/√(k-2).
+- estimate()                |retained| / theta — the theta-sketch framework
+                            estimator (Dasgupta et al. §2) with theta the
+                            (k+1)-th smallest hash when saturated; exact
+                            count when not. RSE ≈ 1/√(k-2).
 - union  = merge            keep k smallest of the multiset union (assoc+comm).
 - intersect / a_not_b       intersect/diff the retained sample sets at
                             theta = min(theta_a, theta_b), scale by 1/theta.

@@ -113,6 +113,49 @@ def test_asof_strict_and_inner(ray_session, asof_sides):
     assert out["asof_payload"].tolist() == [200, 310]
 
 
+def test_asof_probe_ts_beyond_packed_span(ray_session):
+    """A probe ts offset >= 2^ts_bits must not overflow the packed composite.
+
+    Pre-fix, the OR of an oversized offset leaked into the key-code bits and
+    the key-equality check rejected a real match (null/left, dropped/inner).
+    The clamp makes any far-future probe ts match the key's LAST build row.
+    """
+    import ray.data as rd
+    from perfect_bloomfilter_ray.stages.joins import asof_join_broadcast
+
+    # 9 keys → code_bits=4, ts_bits=59; int64 ts passes through _ts_i64 uncast
+    build = pa.table(
+        {
+            "bk": list(range(9)) + [4],
+            "bt": [0] * 9 + [100],
+            "payload": list(range(9)) + [999],
+        }
+    )
+    events = rd.from_items(
+        [
+            {"k": 4, "t": (1 << 59) + 7, "eid": 0},  # offset far past 2^59
+            {"k": 4, "t": 50, "eid": 1},  # in-span control
+        ]
+    )
+    out = (
+        asof_join_broadcast(events, build, on="k", big_ts="t", right_on="bk", small_ts="bt")
+        .to_pandas()
+        .sort_values("eid")
+        .reset_index(drop=True)
+    )
+    assert out["asof_payload"].tolist() == [999, 4]
+    # strict variant: far-future probe still matches the last row
+    out_s = (
+        asof_join_broadcast(
+            events, build, on="k", big_ts="t", right_on="bk", small_ts="bt", strict=True, how="inner"
+        )
+        .to_pandas()
+        .sort_values("eid")
+        .reset_index(drop=True)
+    )
+    assert out_s["asof_payload"].tolist() == [999, 4]
+
+
 def test_asof_duplicate_ts_tiebreak(ray_session):
     import ray.data as rd
 

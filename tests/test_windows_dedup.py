@@ -47,6 +47,70 @@ def test_pairs_to_clusters_union_find():
     assert c[2] == 1 and c[3] == 1 and c[11] == 10
 
 
+def test_connected_components_distributed_matches_union_find(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.dedup import connected_components_pairs, pairs_to_clusters
+
+    rng = np.random.default_rng(42)
+    # 300 nodes, random chains/cliques of varied diameter (incl. a 40-long path)
+    edges = []
+    node = 0
+    for size in [2, 3, 5, 40, 7, 2, 11, 30]:
+        members = list(range(node, node + size))
+        for a, b in zip(members, members[1:]):  # path → worst-case diameter
+            edges.append((a, b))
+        node += size
+    extra = rng.integers(200, 300, size=(30, 2))
+    edges += [(int(a), int(b)) for a, b in extra if a != b]
+    id_a = [a for a, b in edges]
+    id_b = [b for a, b in edges]
+
+    expected = pairs_to_clusters(id_a, id_b)
+
+    out = (
+        connected_components_pairs(
+            rd.from_items([{"id_a": a, "id_b": b} for a, b in edges]).repartition(5),
+            num_blocks=8,
+        )
+        .to_pandas()
+        .set_index("node")["root"]
+        .to_dict()
+    )
+    # every endpoint labeled; roots equal the union-find min-roots
+    for n in set(id_a) | set(id_b):
+        assert out[n] == expected.get(n, n), n
+
+
+def test_minhash_join_verify_path_matches_broadcast(ray_session):
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.dedup import minhash_lsh_pairs
+
+    base = "the quick brown fox jumps over the lazy dog and runs very far away today "
+    docs = []
+    for i in range(30):
+        docs.append({"doc_id": i, "text": base * 6 + f"suffix {i % 3}"})
+    docs.append({"doc_id": 100, "text": "completely different text about sketches " * 10})
+    ds = rd.from_items(docs).repartition(4)
+
+    broadcast = (
+        minhash_lsh_pairs(ds, "text", "doc_id", threshold=0.5)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    joined = (
+        minhash_lsh_pairs(ds, "text", "doc_id", threshold=0.5, broadcast_max_pairs=0)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    assert len(broadcast) > 0
+    pd.testing.assert_frame_equal(broadcast, joined[broadcast.columns])
+
+
 def test_drop_near_duplicates_keeps_canonical(ray_session):
     import ray.data as rd
 
