@@ -291,8 +291,8 @@ def dedup_exact_docs(sf_dir: str):
     "doc_token_stats",
     sql="""
     SELECT lang,
-           sum(CASE WHEN length(trim(text)) = 0 THEN 0
-                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS total_tokens,
+           CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) AS total_tokens,
            round(avg(CASE WHEN length(trim(text)) = 0 THEN 0
                     ELSE len(regexp_split_to_array(trim(text), '\\s+')) END), 4) AS avg_tokens
     FROM documents GROUP BY lang ORDER BY lang
@@ -517,7 +517,7 @@ def props_k_stats(sf_dir: str):
                          > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
         FROM events
     )
-    SELECT user_id, 1 + sum(new_sess) AS n_sessions, count(*) AS n_events
+    SELECT user_id, CAST(1 + sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events
     FROM d GROUP BY user_id ORDER BY user_id
     """,
 )
@@ -1244,7 +1244,7 @@ def video_frame_stats(sf_dir: str):
     ), ded AS (
         SELECT min(doc_id) AS keep_id FROM filtered GROUP BY text
     )
-    SELECT f.lang, count(*) AS n_docs, sum(f.n_chars) AS total_chars
+    SELECT f.lang, count(*) AS n_docs, CAST(sum(f.n_chars) AS BIGINT) AS total_chars
     FROM filtered f JOIN ded d ON f.doc_id = d.keep_id
     GROUP BY f.lang ORDER BY f.lang
     """,
@@ -1720,9 +1720,9 @@ def q10_returned_item_customers(sf_dir: str):
     "event_session_ids",
     sql="""
     SELECT event_id,
-           sum(CASE WHEN gap THEN 1 ELSE 0 END)
+           CAST(sum(CASE WHEN gap THEN 1 ELSE 0 END)
                OVER (PARTITION BY user_id ORDER BY ts
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
     FROM (
         SELECT event_id, user_id, ts,
                coalesce(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)

@@ -35,16 +35,21 @@ def to_df(res) -> pd.DataFrame:
 
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
+    """Canonicalize like the driver: columns sorted by name, rows sorted by
+    all columns, integer widths collapsed to int64 / float widths to float64 /
+    timestamps to us. NO float rounding — the driver hashes exact values, so
+    a lenient local compare would mask real hash-fails (this is what hid the
+    three r1 failures)."""
     df = df.reindex(sorted(df.columns), axis=1)
-    df = df.sort_values(list(df.columns)).reset_index(drop=True)
+    df = df.copy()
     for c in df.columns:
-        if df[c].dtype == object:
-            continue
-        if np.issubdtype(df[c].dtype, np.floating):
-            df[c] = df[c].round(6)
         if np.issubdtype(df[c].dtype, np.integer):
             df[c] = df[c].astype("int64")
-    return df
+        elif np.issubdtype(df[c].dtype, np.floating):
+            df[c] = df[c].astype("float64")
+        elif np.issubdtype(df[c].dtype, np.datetime64):
+            df[c] = df[c].astype("datetime64[us]")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
 def main():
@@ -69,6 +74,7 @@ def main():
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        msg = None
         t0 = time.time()
         try:
             mine = norm(to_df(fn(sf_dir)))
@@ -88,10 +94,19 @@ def main():
             n_fail += 1
             continue
         ok_shape = list(mine.columns) == list(oracle.columns) and len(mine) == len(oracle)
+        # dtype KIND must match too (int result vs float oracle = driver
+        # schema/hash fail even when values are numerically equal)
+        if ok_shape:
+            kinds_m = [mine[c].dtype.kind for c in mine.columns]
+            kinds_o = [oracle[c].dtype.kind for c in oracle.columns]
+            if kinds_m != kinds_o:
+                ok_shape = False
+                msg = f"dtype kinds differ: {kinds_m} vs {kinds_o}"
         ok_vals = False
         if ok_shape:
             try:
-                pd.testing.assert_frame_equal(mine, oracle, check_dtype=False, check_exact=False, rtol=0, atol=1e-9)
+                # exact values — bitwise for floats, like a value hash
+                pd.testing.assert_frame_equal(mine, oracle, check_dtype=True, check_exact=True)
                 ok_vals = True
             except AssertionError as ex:
                 msg = str(ex).splitlines()[0]
@@ -101,11 +116,15 @@ def main():
         else:
             n_fail += 1
             print(f"FAIL {name}: cols {list(mine.columns)} vs {list(oracle.columns)}; rows {len(mine)} vs {len(oracle)}")
-            if ok_shape:
-                print("   value mismatch:", msg)
-                merged = mine.compare(oracle) if mine.shape == oracle.shape else None
-                if merged is not None and len(merged):
-                    print(merged.head(5).to_string())
+            if msg:
+                print("   mismatch:", msg)
+            if mine.shape == oracle.shape and list(mine.columns) == list(oracle.columns):
+                try:
+                    merged = mine.compare(oracle)
+                    if len(merged):
+                        print(merged.head(5).to_string())
+                except Exception:
+                    pass
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
     ray.shutdown()
 
