@@ -27,6 +27,33 @@ ACCURACY_THRESHOLDS = {"low": 12.0, "medium": 15.0, "high": 19.0}
 CAPACITY_BITS = {"low": 1 << 11, "medium": 1 << 12, "high": 1 << 13, "very_high": 1 << 15}
 # Throughput enum → shards per tier (filter.rs:143-147)
 THROUGHPUT_SHARDS = {"low": 1 << 11, "medium": 1 << 12, "high": 1 << 13}
+# Workers enum → worker-core count (config.rs:38-45; resolved filter.rs:162-172).
+# In the reference these are rehashing threads; here the same knob is the
+# actor-pool ``concurrency`` default for stateful membership stages.
+WORKER_CORES = {"cores1": 1, "cores4": 4, "cores8": 8}
+
+
+def resolve_workers(workers: str | int | None) -> int | None:
+    """Reference ``Workers`` → concurrency. ``"half_sys_max"`` = half the
+    cluster CPUs (filter.rs:166-171's num_cpus/2, cluster-wide here); ints
+    pass through; None = let the stage pick."""
+    if workers is None or isinstance(workers, int):
+        return workers
+    w = workers.lower()
+    if w in WORKER_CORES:
+        return WORKER_CORES[w]
+    if w == "half_sys_max":
+        try:
+            import ray
+
+            if ray.is_initialized():
+                return max(1, int(ray.cluster_resources().get("CPU", 2)) // 2)
+        except Exception:  # pragma: no cover
+            pass
+        import os
+
+        return max(1, (os.cpu_count() or 2) // 2)
+    raise ValueError(f"unknown workers setting {workers!r}")
 
 
 def optimal_k(m: int, n: int) -> int:
@@ -50,6 +77,12 @@ class BloomConfig:
                reference's AND-of-4 geometry (2 tiers × 2 shards,
                filter.rs:45-55, 71-90) and its ~(per-filter FPR)^4 bound.
     grow: dynamic capacity growth (frozen-layer cascade) on/off.
+    workers: reference ``Workers`` knob (config.rs:38-45) — default actor-pool
+             concurrency for stateful membership stages ("cores1"/"cores4"/
+             "cores8"/"half_sys_max", an int, or None = stage default).
+             The reference spends these cores on background rehashing;
+             the frozen-layer design has no rehash, so the equivalent
+             parallelism dial here is probe/build concurrency.
     """
 
     threshold: float = ACCURACY_THRESHOLDS["medium"]
@@ -57,6 +90,7 @@ class BloomConfig:
     num_views: int = 4
     grow: bool = True
     max_layers: int = 48
+    workers: str | int | None = None
 
     def __post_init__(self):
         if self.initial_bits & (self.initial_bits - 1):
@@ -70,12 +104,20 @@ class BloomConfig:
         accuracy: str = "medium",
         capacity: str = "medium",
         grow: bool = True,
+        workers: str | int | None = None,
     ) -> "BloomConfig":
         return cls(
             threshold=ACCURACY_THRESHOLDS[accuracy],
             initial_bits=CAPACITY_BITS[capacity],
             grow=grow,
+            workers=workers,
         )
+
+    @property
+    def concurrency(self) -> int | None:
+        """Resolved worker count (None when unset — stages use their own
+        default pool size)."""
+        return resolve_workers(self.workers)
 
     def k_for(self, m: int) -> int:
         """k for a layer of m bits filled to capacity at this threshold."""

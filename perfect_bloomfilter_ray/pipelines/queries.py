@@ -663,13 +663,24 @@ def tdigest_value_quantiles(sf_dir: str):
 def bloom_membership_roundtrip(sf_dir: str):
     """check→insert→check conformance over the events user space (the
     sync_test.rs contract, distributed): 0 FP on fresh, 0 FN on inserted."""
-    from perfect_bloomfilter_ray.stages.membership import build_filter, membership_column
+    import ray
 
-    ds = _t(sf_dir, "events", ["event_id", "user_id"])
-    filt = build_filter(ds, "event_id", expected_keys=max(1024, ds.count()))
-    checked = membership_column(ds, filt, "event_id", "member")
-    n_member = checked.filter(expr="member == True").count()
+    from perfect_bloomfilter_ray.stages.membership import build_filter
+    from perfect_bloomfilter_ray.state.bloom import BloomCascade
+
+    # materialize the slim projection once: count comes from block metadata
+    # and the build + check passes re-read object-store blocks instead of
+    # scanning parquet three more times (was 8.1 s of the bench suite)
+    ds = _t(sf_dir, "events", ["event_id"]).materialize()
     n_total = ds.count()
+    filt = build_filter(ds, "event_id", expected_keys=max(1024, n_total))
+    ref = ray.put(filt.to_bytes())
+
+    def member_partial(t: pa.Table) -> pa.Table:
+        f = BloomCascade.from_bytes(ray.get(ref))
+        return pa.table({"m": pa.array([int(f.contains_column(t.column("event_id")).sum())])})
+
+    n_member = int(ds.map_batches(member_partial, batch_format="pyarrow").sum("m"))
     fresh = pa.array(np.arange(10_000_000, 10_100_000))
     fp = int(filt.contains_column(fresh).sum())
     return pd.DataFrame(

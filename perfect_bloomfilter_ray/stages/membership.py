@@ -88,7 +88,7 @@ def bloom_semi_join(
     expected_keys: int = 1 << 20,
     anti: bool = False,
     config: BloomConfig | None = None,
-    concurrency: int | tuple[int, int] = (2, 8),
+    concurrency: int | tuple[int, int] | None = None,
     prebuilt=None,
 ) -> Dataset:
     """Semi (or anti) join: filter ``big`` to rows whose key is (not) in
@@ -100,6 +100,11 @@ def bloom_semi_join(
     SURVEY §2.2) makes the semi join *exact in practice*; the driver's DuckDB
     oracle comparison relies on that.
     """
+    if concurrency is None:
+        # reference Workers knob (config.rs:38-45) → probe actor-pool size;
+        # unset → autoscaling pool
+        cfg_workers = config.concurrency if config is not None else None
+        concurrency = cfg_workers if cfg_workers is not None else (2, 8)
     filt = prebuilt if prebuilt is not None else build_filter(small, small_key, expected_keys, config)
     ref = ray.put(filt.to_bytes())
     out = big.map_batches(
@@ -121,7 +126,7 @@ def bloom_prefiltered_join(
     right,
     on: str,
     right_on: str | None = None,
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
     expected_keys: int = 1 << 20,
     config=None,
 ):
@@ -138,6 +143,13 @@ def bloom_prefiltered_join(
     keys (the filter build); skip it when the join is not selective.
     """
     right_on = right_on or on
+    if num_partitions is None:
+        # one join partition per CPU (one aggregator actor each, ≤1 CPU);
+        # scales the exchange with the cluster instead of a static 8
+        try:
+            num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8))) if ray.is_initialized() else 8
+        except Exception:  # pragma: no cover
+            num_partitions = 8
     filt = build_filter(left, on, expected_keys=expected_keys, config=config)
     right_small = bloom_semi_join(right, None, right_on, prebuilt=filt)
     return left.join(right_small, "inner", num_partitions=num_partitions, on=(on,), right_on=(right_on,))

@@ -49,3 +49,29 @@ def test_new_with_config_and_interop():
     again = PerfectBloomFilter.from_sketch(pbf.sketch)
     assert again.contains("123") and not again.contains("999999")
     assert again.key_count == 5000
+
+
+def test_workers_knob_reference_parity(ray_session):
+    """Reference Workers enum (config.rs:38-45) → concurrency resolution and
+    end-to-end use as the membership actor-pool size."""
+    from perfect_bloomfilter_ray.config import resolve_workers
+
+    assert resolve_workers("cores1") == 1
+    assert resolve_workers("cores4") == 4
+    assert resolve_workers("cores8") == 8
+    assert resolve_workers(3) == 3
+    assert resolve_workers(None) is None
+    assert resolve_workers("half_sys_max") >= 1
+    cfg = BloomConfig.from_enums(workers="cores1")
+    assert cfg.concurrency == 1
+    assert BloomConfig().concurrency is None
+
+    import pandas as pd
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.membership import bloom_semi_join
+
+    big = rd.from_pandas(pd.DataFrame({"k": list(range(100))}))
+    small = rd.from_pandas(pd.DataFrame({"k": list(range(0, 100, 2))}))
+    out = bloom_semi_join(big, small, "k", "k", expected_keys=1024, config=cfg)
+    assert sorted(out.to_pandas()["k"]) == list(range(0, 100, 2))
