@@ -723,7 +723,43 @@ def embedding_neardup_pairs_q(sf_dir: str):
     return df
 
 
-@q("lang_id_documents")
+@q(
+    "lang_id_documents",
+    # mirror of functions.text.lang_id: per-lang marker-hit counts, argmax
+    # with first-max tie-break in marker-dict order (the CASE order below),
+    # 'und' when no marker hits. ASCII corpus → RE2 \b == Rust-regex \b.
+    sql="""
+    WITH s AS (
+        SELECT lang,
+            len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is)\\b')) AS s_en,
+            len(regexp_extract_all(lower(text), '\\b(der|und|die|nicht|ist)\\b')) AS s_de,
+            len(regexp_extract_all(lower(text), '\\b(le|et|les|des|est)\\b')) AS s_fr,
+            len(regexp_extract_all(lower(text), '\\b(el|los|que|es|una)\\b')) AS s_es,
+            len(regexp_extract_all(lower(text), '\\b(il|che|di|per|una)\\b')) AS s_it,
+            len(regexp_extract_all(lower(text), '\\b(o|que|um|para|com)\\b')) AS s_pt,
+            len(regexp_extract_all(lower(text), '\\b(de|het|een|niet|van)\\b')) AS s_nl,
+            len(regexp_extract_all(lower(text), '\\b(i|v|ne|na|chto)\\b')) AS s_ru,
+            len(regexp_extract_all(lower(text), '\\b(de|shi|le|zai|you)\\b')) AS s_zh,
+            len(regexp_extract_all(lower(text), '\\b(no|ni|wa|wo|ga)\\b')) AS s_ja
+        FROM documents
+    ), p AS (
+        SELECT lang,
+            CASE WHEN greatest(s_en,s_de,s_fr,s_es,s_it,s_pt,s_nl,s_ru,s_zh,s_ja) = 0 THEN 'und'
+                 WHEN s_en = greatest(s_en,s_de,s_fr,s_es,s_it,s_pt,s_nl,s_ru,s_zh,s_ja) THEN 'en'
+                 WHEN s_de = greatest(s_de,s_fr,s_es,s_it,s_pt,s_nl,s_ru,s_zh,s_ja) THEN 'de'
+                 WHEN s_fr = greatest(s_fr,s_es,s_it,s_pt,s_nl,s_ru,s_zh,s_ja) THEN 'fr'
+                 WHEN s_es = greatest(s_es,s_it,s_pt,s_nl,s_ru,s_zh,s_ja) THEN 'es'
+                 WHEN s_it = greatest(s_it,s_pt,s_nl,s_ru,s_zh,s_ja) THEN 'it'
+                 WHEN s_pt = greatest(s_pt,s_nl,s_ru,s_zh,s_ja) THEN 'pt'
+                 WHEN s_nl = greatest(s_nl,s_ru,s_zh,s_ja) THEN 'nl'
+                 WHEN s_ru = greatest(s_ru,s_zh,s_ja) THEN 'ru'
+                 WHEN s_zh = greatest(s_zh,s_ja) THEN 'zh'
+                 ELSE 'ja' END AS pred
+        FROM s
+    )
+    SELECT lang, pred, count(*) AS n FROM p GROUP BY lang, pred ORDER BY lang, pred
+    """,
+)
 def lang_id_documents(sf_dir: str):
     """Heuristic language-ID vs the labeled lang column (accuracy report)."""
     from perfect_bloomfilter_ray.functions.text import lang_id
@@ -737,7 +773,30 @@ def lang_id_documents(sf_dir: str):
     return out.to_pandas().sort_values(["lang", "pred"]).reset_index(drop=True)
 
 
-@q("doc_quality_scores")
+@q(
+    "doc_quality_scores",
+    # mirror of functions.text.quality_score (length / punctuation / stopword
+    # heuristic, clip == least∘greatest), per-doc round(6) then avg round(4)
+    # on both sides so summation-order ulps cannot flip the hash
+    sql="""
+    WITH f AS (
+        SELECT lang,
+            CAST(length(text) AS DOUBLE) AS nc,
+            CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) AS nt,
+            CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) AS np,
+            CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is|in|a|for)\\b')) AS DOUBLE) AS ns
+        FROM documents
+    ), s AS (
+        SELECT lang,
+            least(greatest(nc / 500.0, 0), 1) * least(greatest((20000.0 - nc) / 20000.0, 0), 1) AS ls,
+            1.0 - least(greatest(abs(np / greatest(nc, 1.0) - 0.03) * 10.0, 0), 1) AS ps,
+            least(greatest((ns / greatest(nt, 1.0)) * 5.0, 0), 1) AS ss
+        FROM f
+    )
+    SELECT lang, round(avg(round((ls + ps + ss) / 3.0, 6)), 4) AS avg_quality, count(*) AS n
+    FROM s GROUP BY lang ORDER BY lang
+    """,
+)
 def doc_quality_scores(sf_dir: str):
     from perfect_bloomfilter_ray.functions.text import quality_score
 
