@@ -25,6 +25,7 @@ from perfect_bloomfilter_ray.state.cms import CountMinSketch
 from perfect_bloomfilter_ray.state.kll import KLLSketch
 from perfect_bloomfilter_ray.state.tdigest import TDigest
 from perfect_bloomfilter_ray.state.theta import ThetaSketch
+from perfect_bloomfilter_ray.state.spacesaving import MisraGries
 
 __all__ = [
     "BloomConfig",
@@ -35,4 +36,5 @@ __all__ = [
     "KLLSketch",
     "TDigest",
     "ThetaSketch",
+    "MisraGries",
 ]

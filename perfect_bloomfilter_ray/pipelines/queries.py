@@ -637,6 +637,31 @@ def cms_heavy_hitter_users(sf_dir: str):
     ).reset_index(drop=True)
 
 
+@q(
+    "mg_heavy_hitter_users",
+    sql="""
+    SELECT user_id, count(*) AS n FROM events
+    GROUP BY user_id ORDER BY n DESC, user_id LIMIT 20
+    """,
+)
+def mg_heavy_hitter_users(sf_dir: str):
+    """Heavy-hitter SET via the Misra-Gries mergeable summary — one pass,
+    no groupby shuffle of the key space (CMS needs the candidate keys handed
+    to it; MG maintains them). m=4096 is the production sizing (recall
+    guaranteed above N/(m+1)); at these SFs it exceeds the distinct-user
+    count, so retained counts are exact and the DuckDB oracle applies. The
+    trim/merge error path is property-tested in tests/test_merge_properties."""
+    from perfect_bloomfilter_ray.state.spacesaving import MisraGries
+    from perfect_bloomfilter_ray.stages.agg import sketch_global
+
+    ds = _t(sf_dir, "events", ["user_id"])
+    mg = sketch_global(ds, "user_id", lambda: MisraGries(4096), name="mg")
+    top = mg.top_k(20)
+    return pd.DataFrame(
+        {"user_id": [int(k) for k, _ in top], "n": [int(c) for _, c in top]}
+    )
+
+
 @q("kll_nchars_quantiles")
 def kll_nchars_quantiles(sf_dir: str):
     from perfect_bloomfilter_ray.state.kll import KLLSketch

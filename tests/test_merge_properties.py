@@ -120,3 +120,36 @@ def _mk_f(factory, chunks):
             s.update_column(chunk)
         parts.append(s)
     return parts
+
+
+@settings(max_examples=25, deadline=None)
+@given(a=key_lists, b=key_lists, c=key_lists)
+def test_misra_gries_merge_bound_invariant(a, b, c):
+    """Misra-Gries state is merge-order-dependent (trim timing), but every
+    merge tree must keep the mergeable-summaries guarantee: estimates are
+    under-counts by at most the tracked err, and err <= total/(m+1)."""
+    from collections import Counter
+
+    from perfect_bloomfilter_ray import MisraGries
+
+    m = 16
+    factory = lambda: MisraGries(m)  # noqa: E731
+    truth = Counter(a) + Counter(b) + Counter(c)
+    total = sum(truth.values())
+
+    p1, p2, p3 = _mk(factory, [a, b, c])
+    left = p1.merge(p2).merge(p3)
+    q1, q2, q3 = _mk(factory, [a, b, c])
+    right = q1.merge(q2.merge(q3))
+
+    for s in (left, right):
+        assert s.total == total
+        assert s.err <= total // (m + 1)
+        for key, true_n in truth.items():
+            est = s.estimate(key)
+            assert est <= true_n
+            assert true_n - est <= s.err
+        # guarantee: anything heavier than total/(m+1) is retained
+        for key, true_n in truth.items():
+            if true_n > total / (m + 1):
+                assert s.estimate(key) > 0
