@@ -318,6 +318,37 @@ def doc_token_stats(sf_dir: str):
 
 
 @q(
+    "doc_bpe_token_stats",
+    sql="""
+    SELECT lang,
+           CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))) AS BIGINT) AS total_bpe_tokens,
+           round(avg(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))), 4) AS avg_bpe_tokens
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def doc_bpe_token_stats(sf_dir: str):
+    """GPT-style pre-tokenizer counting (letter runs + digit singles +
+    punctuation singles) per language — the second token-counting mode next
+    to whitespace tokens (doc_token_stats)."""
+    from perfect_bloomfilter_ray.functions.text import bpe_ish_token_count
+
+    ds = _t(sf_dir, "documents", ["lang", "text"])
+
+    def tok(t: pa.Table) -> pa.Table:
+        return pa.table({"lang": t.column("lang"), "tokens": bpe_ish_token_count(t.column("text"))})
+
+    out = (
+        ds.map_batches(tok, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("tokens", alias_name="total_bpe_tokens"), Mean("tokens", alias_name="avg_bpe_tokens"))
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    return _round(out, {"avg_bpe_tokens": 4})
+
+
+@q(
     "part_brand_stats",
     sql="""
     SELECT p_brand, count(*) AS n_parts, round(avg(p_retailprice), 4) AS avg_price
@@ -635,6 +666,43 @@ def cms_heavy_hitter_users(sf_dir: str):
     return pd.DataFrame(
         {"user_id": exact_top["user_id"].to_numpy(), "est_count": est.astype("int64")}
     ).reset_index(drop=True)
+
+
+@q(
+    "order_rank_per_customer",
+    sql="""
+    SELECT o_orderkey,
+           rank()       OVER w AS price_rank,
+           dense_rank() OVER w AS price_dense_rank,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey) AS price_rn
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC)
+    ORDER BY o_orderkey
+    """,
+)
+def order_rank_per_customer(sf_dir: str):
+    """Ranking window functions (rank/dense_rank/row_number per customer by
+    price) via the coarse-partition vectorized kernel — no per-key Python."""
+    from perfect_bloomfilter_ray.stages.windows import ranked
+
+    ds = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    out = (
+        ranked(
+            ds,
+            "o_custkey",
+            "o_totalprice",
+            descending=True,
+            tie_cols=["o_orderkey"],
+            rank_col="price_rank",
+            dense_rank_col="price_dense_rank",
+            row_number_col="price_rn",
+        )
+        .to_pandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    return out[["o_orderkey", "price_rank", "price_dense_rank", "price_rn"]]
 
 
 @q(
@@ -1532,6 +1600,49 @@ def customers_order_counts_outer(sf_dir: str):
         .reset_index(drop=True)
     )
     return _round(out, {"total_spent": 2})
+
+
+@q(
+    "orders_events_full_outer",
+    sql="""
+    SELECT coalesce(o.k, e.k) AS custkey, o.n_orders, e.n_events
+    FROM (SELECT o_custkey AS k, count(*) AS n_orders FROM orders GROUP BY 1) o
+    FULL OUTER JOIN (SELECT user_id AS k, count(*) AS n_events FROM events GROUP BY 1) e
+      ON o.k = e.k
+    ORDER BY custkey
+    """,
+)
+def orders_events_full_outer(sf_dir: str):
+    """FULL OUTER join coverage (Ray-native hash join): per-customer order
+    counts against per-user event counts — keys present on either side
+    survive, the missing side's count is null."""
+    orders = (
+        _t(sf_dir, "orders", ["o_custkey"]).groupby("o_custkey").aggregate(Count(alias_name="n_orders"))
+    )
+    events = (
+        _t(sf_dir, "events", ["user_id"]).groupby("user_id").aggregate(Count(alias_name="n_events"))
+    )
+    joined = orders.join(
+        events, "full_outer", num_partitions=8, on=("o_custkey",), right_on=("user_id",)
+    )
+
+    def fuse(t: pa.Table) -> pa.Table:
+        # Ray's full_outer coalesces both key columns into the LEFT key name
+        return pa.table(
+            {
+                "custkey": t.column("o_custkey"),
+                "n_orders": t.column("n_orders"),
+                "n_events": t.column("n_events"),
+            }
+        )
+
+    out = (
+        joined.map_batches(fuse, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("custkey")
+        .reset_index(drop=True)
+    )
+    return out
 
 
 @q("sharded_bloom_roundtrip")

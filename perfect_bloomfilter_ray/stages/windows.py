@@ -195,6 +195,83 @@ def lag_lead_cum(
     return _add_part(ds, key_col, choose_num_blocks(ds, num_blocks)).groupby("_part").map_groups(per_part, batch_format="pyarrow")
 
 
+def ranked(
+    ds: Dataset,
+    key_col: str,
+    order_col: str,
+    descending: bool = False,
+    tie_cols: list[str] | None = None,
+    rank_col: str = "rank",
+    dense_rank_col: str | None = None,
+    row_number_col: str | None = None,
+    num_blocks: int | None = None,
+) -> Dataset:
+    """Per-key ranking window functions: SQL ``rank() / dense_rank() /
+    row_number() OVER (PARTITION BY key ORDER BY order_col [DESC])``.
+
+    ``rank``/``dense_rank`` tie on equal ``order_col`` values;
+    ``row_number`` breaks ties by ``tie_cols`` (pass a unique column for a
+    deterministic, oracle-comparable result). Same execution shape as the
+    other keyed window ops: coarse hash partition, ONE vectorized pass per
+    partition (lexsort + run-boundary cumsums), no per-key Python.
+    """
+    tie_cols = list(tie_cols or [])
+
+    def per_part(t: pa.Table) -> pa.Table:
+        t_out = t.drop_columns(["_part"])
+        if len(t) == 0:
+            for c in (rank_col, dense_rank_col, row_number_col):
+                if c:
+                    t_out = t_out.append_column(c, pa.array([], pa.int64()))
+            return t_out
+        keys = t.column(key_col)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        codes = pc.index_in(keys, value_set=pc.unique(keys)).to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = t.column(order_col)
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        # order values by dictionary code so any orderable dtype works and
+        # DESC is a code negation, not a dtype-specific negation
+        val_uniq = pc.unique(vals).sort(order="descending" if descending else "ascending")
+        vcodes = pc.index_in(vals, value_set=val_uniq).to_numpy(zero_copy_only=False).astype(np.int64)
+        tie_arrays = []
+        for c in tie_cols:
+            col = t.column(c)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            tie_arrays.append(
+                pc.index_in(col, value_set=pc.unique(col).sort()).to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+        order = np.lexsort(tuple(reversed(tie_arrays)) + (vcodes, codes))
+        codes_s, vcodes_s = codes[order], vcodes[order]
+        n = len(order)
+        first = np.zeros(n, dtype=bool)
+        first[0] = True
+        first[1:] = codes_s[1:] != codes_s[:-1]
+        starts = np.nonzero(first)[0]
+        run_lens = np.diff(np.concatenate([starts, [n]]))
+        pos = np.arange(n, dtype=np.int64) - np.repeat(starts, run_lens)  # 0-based row_number
+        new_val = np.empty(n, dtype=bool)
+        new_val[0] = True
+        new_val[1:] = (vcodes_s[1:] != vcodes_s[:-1]) | first[1:]
+        # rank = row_number of the first row of the current value-run; the
+        # accumulate tracks that run's global start index, and key starts are
+        # always value-run starts, so it can never leak across keys
+        gidx = np.maximum.accumulate(np.where(new_val, np.arange(n, dtype=np.int64), -1))
+        rank_s = pos[gidx] + 1
+        dense_cum = np.cumsum(new_val.astype(np.int64))
+        dense_s = dense_cum - np.repeat(dense_cum[starts] - 1, run_lens)
+        inv = np.empty(n, dtype=np.int64)
+        inv[order] = np.arange(n)
+        for name, arr in ((rank_col, rank_s), (dense_rank_col, dense_s), (row_number_col, pos + 1)):
+            if name:
+                t_out = t_out.append_column(name, pa.array(arr[inv].astype(np.int64)))
+        return t_out
+
+    return _add_part(ds, key_col, choose_num_blocks(ds, num_blocks)).groupby("_part").map_groups(per_part, batch_format="pyarrow")
+
+
 def sliding_window_agg(
     ds: Dataset,
     key_col: str,

@@ -142,3 +142,46 @@ def test_lag_lead_cum_matches_duckdb(ray_session, sf_dir):
         np.testing.assert_allclose(
             got[c].to_numpy(dtype=float), want[c].to_numpy(dtype=float), rtol=1e-9, equal_nan=True
         )
+
+
+def test_ranked_window_matches_pandas(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.windows import ranked
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 9, 400),
+            "v": rng.integers(0, 12, 400),  # heavy ties
+            "id": np.arange(400),
+        }
+    )
+    out = (
+        ranked(
+            rd.from_pandas(df).repartition(6),
+            "k",
+            "v",
+            descending=True,
+            tie_cols=["id"],
+            rank_col="r",
+            dense_rank_col="dr",
+            row_number_col="rn",
+            num_blocks=4,
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    exp = df.copy()
+    exp["r"] = df.groupby("k")["v"].rank(method="min", ascending=False).astype(int)
+    exp["dr"] = df.groupby("k")["v"].rank(method="dense", ascending=False).astype(int)
+    exp["rn"] = (
+        df.sort_values(["v", "id"], ascending=[False, True]).groupby("k").cumcount() + 1
+    )
+    merged = out.merge(exp[["id", "r", "dr", "rn"]], on="id", suffixes=("", "_exp"))
+    assert (merged["r"] == merged["r_exp"]).all()
+    assert (merged["dr"] == merged["dr_exp"]).all()
+    assert (merged["rn"] == merged["rn_exp"]).all()
