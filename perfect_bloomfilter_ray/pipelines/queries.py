@@ -1496,6 +1496,32 @@ def stratified_sample_docs(sf_dir: str):
     return out[["lang", "doc_id"]].sort_values(["lang", "doc_id"]).reset_index(drop=True)
 
 
+@q(
+    "weighted_sample_docs",
+    sql="""
+    SELECT lang, doc_id, n_chars FROM (
+        SELECT lang, doc_id, n_chars,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY pow(((doc_id % 1000000007) * (2654435761 % 1000000007) % 1000000007 + 1)
+                                 / 1000000008.0,
+                             1.0 / greatest(n_chars, 1)) DESC, doc_id
+               ) AS rn
+        FROM documents
+    ) WHERE rn <= 10 ORDER BY lang, doc_id
+    """,
+)
+def weighted_sample_docs(sf_dir: str):
+    """Weight-proportional deterministic sampling (Efraimidis-Spirakis A-ES,
+    weight = document length): the training-data mixing primitive —
+    length-biased doc selection per language, reproducible on any engine."""
+    from perfect_bloomfilter_ray.stages.topk import weighted_sample
+
+    ds = _t(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    out = weighted_sample(ds, "lang", "doc_id", "n_chars", k=10).to_pandas()
+    return out[["lang", "doc_id", "n_chars"]].sort_values(["lang", "doc_id"]).reset_index(drop=True)
+
+
 @q("theta_user_overlap")
 def theta_user_overlap(sf_dir: str):
     """Theta/KMV set-operation sketches: estimated distinct-user union,

@@ -132,3 +132,39 @@ def stratified_sample(
 
     keyed = ds.map_batches(add_key, batch_format="pyarrow")
     return grouped_top_k(keyed, keys, "_sample_key", k, descending=False, tie_cols=[id_col])
+
+
+def weighted_sample(
+    ds: Dataset,
+    keys: list[str] | str,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    mult: int = 2654435761,
+    mod: int = 1_000_000_007,
+) -> Dataset:
+    """Deterministic weight-proportional k-per-group sample
+    (Efraimidis & Spirakis 2006, A-ES): each row gets a reproducible uniform
+    ``u`` from a multiplicative hash of its id, sample key = ``u^(1/w)``, and
+    the k largest keys per group win — inclusion probability proportional to
+    ``weight_col`` (the training-data mixing primitive: sample documents by
+    quality/length score, reproducibly across engines and runs).
+
+    Same portability contract as ``stratified_sample``: non-negative int64
+    ids, modular hash arithmetic, SQL equivalent ``row_number() OVER
+    (PARTITION BY keys ORDER BY pow(u, 1.0/greatest(w,1)) DESC, id) <= k``
+    with ``u = ((id % mod)*(mult % mod) % mod + 1) / (mod + 1.0)``.
+    Weights are floored at 1 (zero/negative weights would degenerate).
+    The ``_es_key`` column is retained for oracle comparison.
+    """
+
+    def add_key(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy().astype(np.int64)
+        if len(ids) and ids.min() < 0:
+            raise ValueError("weighted_sample requires non-negative ids (see docstring)")
+        w = np.maximum(t.column(weight_col).to_numpy(zero_copy_only=False).astype(np.float64), 1.0)
+        u = (((ids % mod) * (mult % mod)) % mod + 1) / (mod + 1.0)
+        return t.append_column("_es_key", pa.array(u ** (1.0 / w)))
+
+    keyed = ds.map_batches(add_key, batch_format="pyarrow")
+    return grouped_top_k(keyed, keys, "_es_key", k, descending=True, tie_cols=[id_col])

@@ -340,3 +340,25 @@ def test_asof_partitioned_empty_sides(ray_session):
         events, build, on="k", big_ts="t", right_on="bk", small_ts="bt", how="inner", num_blocks=3
     ).to_pandas()
     assert len(inner) == 0
+
+
+def test_weighted_sample_biases_toward_heavy_rows(ray_session):
+    import ray.data as rd
+    from perfect_bloomfilter_ray.stages.topk import weighted_sample
+
+    n = 2000
+    # two strata of weights: heavy rows (w=1000) vs light rows (w=1)
+    df = pd.DataFrame(
+        {
+            "g": ["a"] * n,
+            "id": np.arange(n),
+            "w": np.where(np.arange(n) % 2 == 0, 1000, 1),
+        }
+    )
+    out = weighted_sample(rd.from_pandas(df).repartition(4), "g", "id", "w", k=100).to_pandas()
+    assert len(out) == 100
+    heavy_frac = (out["w"] == 1000).mean()
+    assert heavy_frac > 0.9  # 1000x weight → overwhelmingly heavy rows
+    # deterministic across runs
+    out2 = weighted_sample(rd.from_pandas(df).repartition(7), "g", "id", "w", k=100).to_pandas()
+    assert sorted(out2["id"]) == sorted(out["id"])
