@@ -75,6 +75,11 @@ SUITE = [
     "embed_ann_pipeline",
     "video_frame_stats",
     "doc_token_stats",
+    "events_asof_last_order_partitioned",
+    "mg_heavy_hitter_users",
+    "order_rank_per_customer",
+    "weighted_sample_docs",
+    "neardup_removed_docs",
 ]
 
 
