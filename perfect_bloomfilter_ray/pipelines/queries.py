@@ -1522,6 +1522,63 @@ def weighted_sample_docs(sf_dir: str):
     return out[["lang", "doc_id", "n_chars"]].sort_values(["lang", "doc_id"]).reset_index(drop=True)
 
 
+@q(
+    "user_event_chain_components",
+    sql="""
+    WITH g AS (
+        SELECT event_id,
+               min(event_id) OVER (PARTITION BY user_id, event_type) AS root,
+               count(*)      OVER (PARTITION BY user_id, event_type) AS n
+        FROM events
+    )
+    SELECT event_id AS node, root FROM g WHERE n > 1 ORDER BY node
+    """,
+)
+def user_event_chain_components(sf_dir: str):
+    """Distributed connected components, oracle-checked: edges CHAIN the
+    event ids of each (user, event_type) group — consecutive ids only, so a
+    component's diameter equals its size and the hash-to-min propagation is
+    genuinely exercised (tens of rounds' worth of hops collapsed in
+    O(log d)); the component root must equal min(event_id) per group, which
+    SQL states directly with a window function."""
+    from perfect_bloomfilter_ray.functions.hashing import hash64
+    from perfect_bloomfilter_ray.stages.dedup import connected_components_pairs
+
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "event_type"])
+
+    def add_part(t: pa.Table) -> pa.Table:
+        h = hash64(t.column("user_id"), 0xCC01)
+        return t.append_column("_part", pa.array((h % np.uint64(64)).astype(np.int32)))
+
+    def chain_edges(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        empty = pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
+        if len(t) < 2:
+            return empty
+        df = pl.from_arrow(t.drop_columns(["_part"])).sort(["user_id", "event_type", "event_id"])
+        ids = df["event_id"].to_numpy()
+        u = df["user_id"].to_numpy()
+        et = df["event_type"].to_numpy()
+        same = (u[1:] == u[:-1]) & (et[1:] == et[:-1])
+        if not same.any():
+            return empty
+        return pa.table(
+            {
+                "id_a": pa.array(ids[:-1][same].astype(np.int64)),
+                "id_b": pa.array(ids[1:][same].astype(np.int64)),
+            }
+        )
+
+    edges = (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(chain_edges, batch_format="pyarrow")
+    )
+    out = connected_components_pairs(edges).to_pandas()
+    return out.sort_values("node").reset_index(drop=True)
+
+
 @q("theta_user_overlap")
 def theta_user_overlap(sf_dir: str):
     """Theta/KMV set-operation sketches: estimated distinct-user union,

@@ -962,15 +962,23 @@ def connected_components_pairs(
         out_a = np.concatenate([m_rep, m])
         out_b = np.concatenate([dst, uniq_src])
         keep = out_a != out_b
-        return pa.table({"id_a": pa.array(out_a[keep]), "id_b": pa.array(out_b[keep])})
+        out_a, out_b = out_a[keep], out_b[keep]
+        # dedup within the partition (one lexsort) — saves a whole groupby
+        # shuffle per round vs a separate _dedup_pairs pass. Cross-partition
+        # duplicates survive, which is fine: hash-to-min is idempotent over a
+        # multiset and the fixpoint signature compares multisets.
+        o = np.lexsort((out_b, out_a))
+        out_a, out_b = out_a[o], out_b[o]
+        first = np.ones(len(out_a), dtype=bool)
+        first[1:] = (out_a[1:] != out_a[:-1]) | (out_b[1:] != out_b[:-1])
+        return pa.table({"id_a": pa.array(out_a[first]), "id_b": pa.array(out_b[first])})
 
     sig = edge_sig(edges)
     for _ in range(max_rounds):
-        new_edges = _dedup_pairs(
+        new_edges = (
             edges.map_batches(directed_part, batch_format="pyarrow")
             .groupby("_part")
-            .map_groups(contract, batch_format="pyarrow"),
-            nb,
+            .map_groups(contract, batch_format="pyarrow")
         ).materialize()
         new_sig = edge_sig(new_edges)
         edges = new_edges
