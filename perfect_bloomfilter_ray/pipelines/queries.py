@@ -2150,3 +2150,66 @@ def audio_frame_rms_stats(sf_dir: str):
         .reset_index(drop=True)
     )
     return _round(out, {"avg_rms": 4})
+
+
+@q(
+    "decontaminated_docs",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM documents
+    ),
+    bench AS (SELECT * FROM toks WHERE (doc_id * 2654435761) % 10 = 3),
+    corp  AS (SELECT * FROM toks WHERE (doc_id * 2654435761) % 10 <> 3),
+    bgrams AS (
+      SELECT DISTINCT array_to_string(t[i:i+4], ' ') AS g
+      FROM (SELECT t, unnest(generate_series(1, len(t) - 4)) AS i
+            FROM bench WHERE len(t) >= 5)
+    ),
+    cg AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS g
+      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i
+            FROM corp WHERE len(t) >= 5)
+    ),
+    contaminated AS (SELECT DISTINCT c.doc_id FROM cg c JOIN bgrams b USING (g))
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM contaminated)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+    FROM corp GROUP BY lang ORDER BY lang
+    """,
+)
+def decontaminated_docs(sf_dir: str):
+    """Benchmark decontamination (GPT-3 appendix-C style n-gram filter): a
+    deterministic 10% hash-slice of documents plays the held-out benchmark;
+    the rest is the corpus. The benchmark's 5-gram fingerprints are built
+    once, broadcast via ray.put, and the corpus streams through one
+    shuffle-free map_batches membership pass (stages/decontam.py). The SQL
+    oracle re-derives the same contaminated set with string n-grams."""
+    from perfect_bloomfilter_ray.stages.decontam import build_blocklist, decontaminate
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def split(bench_side: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy().astype(np.int64)
+            m = (ids * 2654435761) % 10 == 3
+            return t.filter(pa.array(m if bench_side else ~m))
+
+        return fn
+
+    bench = docs.map_batches(split(True), batch_format="pyarrow")
+    corp = docs.map_batches(split(False), batch_format="pyarrow")
+    blocklist = build_blocklist(bench, "text", n=5)
+    flagged = decontaminate(corp, blocklist, n=5, drop=False)
+
+    def to_int(t: pa.Table) -> pa.Table:
+        return t.append_column("c_int", pc.cast(t.column("contaminated"), pa.int64()))
+
+    return (
+        flagged.map_batches(to_int, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_docs"), Sum("c_int", alias_name="n_contaminated"))
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )

@@ -1,0 +1,141 @@
+"""Benchmark decontamination: drop corpus documents containing any word
+n-gram that also appears in a benchmark ("held-out test set") document.
+
+The standard LLM training-data hygiene step (GPT-3 appendix C's 13-gram
+filter; The Pile / Dolma decontamination): benchmarks are tiny next to the
+corpus, so the blocklist of benchmark n-gram fingerprints is built once,
+broadcast through the object store (``ray.put``), and the corpus streams
+through ONE ``map_batches`` pass doing a vectorized rolling-hash membership
+check — no shuffle anywhere, which is the only shape that survives 100 TB.
+
+Matching semantics: tokens are ``[a-z0-9]+`` runs of the lowercased text; a
+document is contaminated iff any of its ``n`` consecutive tokens equal some
+``n`` consecutive tokens of a benchmark document. Fingerprints are 64-bit
+(collision odds ~2^-64 per comparison), so the result is exact for any
+realistic corpus and is oracle-checked against a string-containment SQL
+formulation (`decontaminated_docs` in pipelines/queries.py).
+
+For blocklists too large to broadcast exactly (hundreds of benchmarks), feed
+the same hashes through a BloomCascade (state/bloom.py) and exact-verify only
+the hits; the sorted-array check here IS the reference semantics.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import polars as pl
+import pyarrow as pa
+from ray.data import Dataset
+
+from perfect_bloomfilter_ray.functions.hashing import splitmix64
+
+_U64 = np.uint64
+_GOLD = _U64(0x9E3779B97F4A7C15)
+_TOKEN_RE = r"[a-z0-9]+"
+
+
+def _ngram_hashes(texts: pl.Series, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Rolling 64-bit hashes of all word n-grams in a batch of texts.
+
+    Returns ``(hashes, doc_idx)``: one entry per n-gram occurrence, tagged
+    with the row index it came from. One polars tokenize + explode and
+    ``n - 1`` vectorized mix steps over the flattened token stream — no
+    per-document Python loop.
+    """
+    toks = texts.str.to_lowercase().str.extract_all(_TOKEN_RE)
+    lens = toks.list.len().fill_null(0).to_numpy().astype(np.int64)
+    flat = toks.explode().drop_nulls()
+    if len(flat) == 0:
+        return np.empty(0, _U64), np.empty(0, np.int64)
+    h = flat.hash(seed=0xDEC0).to_numpy().astype(_U64, copy=True)
+    # combined[i] = mix over tokens i .. i+n-1 (order-sensitive)
+    c = h.copy()
+    with np.errstate(over="ignore"):
+        for k in range(1, n):
+            c[: len(c) - k] = splitmix64(c[: len(c) - k] * _GOLD + h[k:])
+    # valid starts: the window must not cross a document boundary
+    doc_of = np.repeat(np.arange(len(lens)), lens)
+    starts = np.flatnonzero(lens >= n)
+    if len(starts) == 0:
+        return np.empty(0, _U64), np.empty(0, np.int64)
+    ends = np.cumsum(lens)
+    begins = ends - lens
+    # per-doc valid start positions in the flat array
+    counts = np.maximum(lens - n + 1, 0)
+    idx = np.repeat(begins, counts) + _ranges(counts)
+    return c[idx], doc_of[idx]
+
+
+def _ranges(counts: np.ndarray) -> np.ndarray:
+    """Concatenated [0..c) ranges for each c in counts (vectorized)."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, np.int64)
+    out = np.ones(total, np.int64)
+    ends = np.cumsum(counts)
+    starts = ends - counts
+    out[0] = 0
+    nz = counts > 0
+    first = starts[nz]
+    out[first[1:]] = 1 - counts[nz][:-1]
+    return np.cumsum(out)
+
+
+def build_blocklist(
+    benchmark: Dataset, text_col: str = "text", n: int = 5
+) -> np.ndarray:
+    """Sorted unique n-gram fingerprints of the benchmark set.
+
+    The benchmark is the SMALL side by contract (test sets, not the corpus) —
+    per-batch unique hashes stream back to the driver and are deduped once;
+    the result is meant to be ``ray.put`` once and shared by every task.
+    """
+
+    def grams(t: pa.Table) -> pa.Table:
+        hs, _ = _ngram_hashes(pl.from_arrow(t.column(text_col)), n)
+        return pa.table({"h": pa.array(np.unique(hs).view(np.int64))})
+
+    parts = [
+        b.column("h").to_numpy()
+        for b in benchmark.select_columns([text_col])
+        .map_batches(grams, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    ]
+    if not parts:
+        return np.empty(0, _U64)
+    return np.unique(np.concatenate(parts).view(_U64))
+
+
+def decontaminate(
+    docs: Dataset,
+    blocklist: "np.ndarray | object",
+    text_col: str = "text",
+    n: int = 5,
+    drop: bool = True,
+    flag_col: str = "contaminated",
+) -> Dataset:
+    """Filter (or flag) corpus documents containing a blocklisted n-gram.
+
+    ``blocklist`` is the sorted uint64 array from :func:`build_blocklist`, or
+    a ``ray.ObjectRef`` to one (preferred: ``ray.put`` it once so every task
+    on a node reads the same shared-memory copy instead of re-shipping it
+    per task through the closure).
+    """
+    import ray
+
+    ref = blocklist if isinstance(blocklist, ray.ObjectRef) else ray.put(blocklist)
+
+    def check(t: pa.Table) -> pa.Table:
+        bl = ray.get(ref)
+        hs, doc_idx = _ngram_hashes(pl.from_arrow(t.column(text_col)), n)
+        hit = np.zeros(len(t), dtype=bool)
+        if len(hs) and len(bl):
+            pos = np.searchsorted(bl, hs)
+            pos[pos == len(bl)] = 0
+            m = bl[pos] == hs
+            hit[doc_idx[m]] = True
+        if drop:
+            return t.filter(pa.array(~hit))
+        return t.append_column(flag_col, pa.array(hit))
+
+    return docs.map_batches(check, batch_format="pyarrow")
