@@ -80,6 +80,9 @@ SUITE = [
     "order_rank_per_customer",
     "weighted_sample_docs",
     "neardup_removed_docs",
+    "decontaminated_docs",
+    "pii_redaction_stats",
+    "repetition_filter_stats",
 ]
 
 

@@ -2213,3 +2213,162 @@ def decontaminated_docs(sf_dir: str):
         .sort_values("lang")
         .reset_index(drop=True)
     )
+
+
+@q(
+    "pii_redaction_stats",
+    sql=r"""
+    WITH aug AS (
+      SELECT lang,
+             text || ' contact user' || doc_id || '@' || source ||
+             '.org or 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+             ' at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' ||
+             CAST((doc_id * 7) % 256 AS VARCHAR) AS t
+      FROM documents
+    ),
+    r1 AS (
+      SELECT lang, len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+             regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+      FROM aug
+    ),
+    r2 AS (
+      SELECT lang, n_email,
+             len(regexp_extract_all(t, '\b\+?[0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{4}\b')) AS n_phone,
+             regexp_replace(t, '\b\+?[0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{4}\b', '<PHONE>', 'g') AS t
+      FROM r1
+    ),
+    r3 AS (
+      SELECT lang, n_email, n_phone,
+             len(regexp_extract_all(t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ipv4,
+             regexp_replace(t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS t
+      FROM r2
+    )
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_email) AS BIGINT) AS emails,
+           CAST(sum(n_phone) AS BIGINT) AS phones,
+           CAST(sum(n_ipv4) AS BIGINT) AS ipv4s,
+           CAST(sum(len(t)) AS BIGINT) AS redacted_chars
+    FROM r3 GROUP BY lang ORDER BY lang
+    """,
+)
+def pii_redaction_stats(sf_dir: str):
+    """PII scrubbing (stages/pii.py): the corpus text is augmented with a
+    deterministic contact string derived from (doc_id, source) — the
+    synthetic table has no organic PII — then streamed through the
+    email→phone→IPv4 redaction chain; per-lang match counts and redacted
+    lengths are oracle-checked against nested DuckDB regexp_replace."""
+    import polars as pl
+
+    from perfect_bloomfilter_ray.stages.pii import scrub_pii
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+
+    def augment(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        aug = df.with_columns(
+            (
+                pl.col("text")
+                + pl.lit(" contact user")
+                + pl.col("doc_id").cast(pl.Utf8)
+                + pl.lit("@")
+                + pl.col("source")
+                + pl.lit(".org or 555-123-")
+                + (pl.col("doc_id") % 10000).cast(pl.Utf8).str.zfill(4)
+                + pl.lit(" at 10.0.")
+                + (pl.col("doc_id") % 256).cast(pl.Utf8)
+                + pl.lit(".")
+                + ((pl.col("doc_id") * 7) % 256).cast(pl.Utf8)
+            ).alias("t")
+        ).select(["lang", "t"])
+        return aug.to_arrow()
+
+    red = scrub_pii(ds.map_batches(augment, batch_format="pyarrow"), text_col="t")
+
+    def lens(t: pa.Table) -> pa.Table:
+        return t.append_column("t_len", pc.utf8_length(t.column("t")).cast(pa.int64()))
+
+    return (
+        red.map_batches(lens, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_email", alias_name="emails"),
+            Sum("n_phone", alias_name="phones"),
+            Sum("n_ipv4", alias_name="ipv4s"),
+            Sum("t_len", alias_name="redacted_chars"),
+        )
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+
+
+@q(
+    "repetition_filter_stats",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, lang, len(t) AS n,
+             CASE WHEN len(t) > 0
+                  THEN 1.0 - len(list_distinct(t)) * 1.0 / len(t) ELSE 0.0 END AS fd,
+             CASE WHEN len(t) > 0
+                  THEN list_aggregate(list_transform(t, x -> len(x)), 'sum') * 1.0 / len(t)
+                  ELSE 0.0 END AS mwl,
+             t
+      FROM toks
+    ),
+    bg AS (
+      SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+            FROM m WHERE n >= 2)
+    ),
+    bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+    mx AS (SELECT doc_id, max(c) AS mc FROM bc GROUP BY doc_id),
+    f AS (
+      SELECT lang, n, fd, mwl,
+             CASE WHEN n >= 2 THEN mc * 1.0 / (n - 1) ELSE 0.0 END AS tbf
+      FROM m LEFT JOIN mx USING (doc_id)
+    )
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(CASE WHEN fd <= 0.6 AND tbf <= 0.10 AND mwl >= 3.0 AND mwl <= 10.0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           round(avg(fd), 4)  AS avg_frac_dup,
+           round(avg(mwl), 4) AS avg_word_len,
+           round(avg(tbf), 4) AS avg_top_bigram
+    FROM f GROUP BY lang ORDER BY lang
+    """,
+)
+def repetition_filter_stats(sf_dir: str):
+    """Gopher-style repetition filter (stages/quality.py): per-doc duplicate
+    -word fraction, mean word length and top-bigram fraction in one
+    shuffle-free pass; keep decision + metric averages per lang are
+    oracle-checked against a list-function SQL formulation (identical IEEE
+    expressions on both sides make the float threshold comparisons exact)."""
+    import polars as pl
+
+    from perfect_bloomfilter_ray.stages.quality import gopher_filter
+
+    ds = _t(sf_dir, "documents", ["text", "lang"])
+    flagged = gopher_filter(ds, "text", drop=False, metrics_cols=True)
+
+    def to_int(t: pa.Table) -> pa.Table:
+        return t.append_column("k_int", pc.cast(t.column("keep"), pa.int64()))
+
+    out = (
+        flagged.map_batches(to_int, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("k_int", alias_name="n_kept"),
+            Mean("frac_dup_words", alias_name="avg_frac_dup"),
+            Mean("mean_word_len", alias_name="avg_word_len"),
+            Mean("top_bigram_frac", alias_name="avg_top_bigram"),
+        )
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    return _round(out, {"avg_frac_dup": 4, "avg_word_len": 4, "avg_top_bigram": 4})

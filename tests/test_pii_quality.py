@@ -1,0 +1,109 @@
+"""PII scrubbing (stages/pii.py) and Gopher-style repetition filtering
+(stages/quality.py): kernel parity with brute-force Python, and the Dataset
+paths."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import numpy as np
+import polars as pl
+import pyarrow as pa
+import pytest
+
+
+def test_scrub_batch_redacts_and_counts():
+    from perfect_bloomfilter_ray.stages.pii import scrub_batch
+
+    texts = pl.Series(
+        [
+            "mail a.b+c@ex-1.org now",
+            "call 555-123-4567 or +01 555.123.4567 from 10.0.0.1",
+            "two mails x@y.io z@w.co and none",
+            "nothing here",
+        ]
+    )
+    red, counts = scrub_batch(texts)
+    assert red.to_list() == [
+        "mail <EMAIL> now",
+        "call <PHONE> or +01 <PHONE> from <IP>",
+        "two mails <EMAIL> <EMAIL> and none",
+        "nothing here",
+    ]
+    assert counts["email"].to_list() == [1, 0, 2, 0]
+    assert counts["phone"].to_list() == [0, 2, 0, 0]
+    assert counts["ipv4"].to_list() == [0, 1, 0, 0]
+
+
+def test_scrub_order_email_consumes_dotted_quad():
+    from perfect_bloomfilter_ray.stages.pii import scrub_batch
+
+    # the dotted quad inside the email host must be eaten by the email rule
+    red, counts = scrub_batch(pl.Series(["root@10.0.0.1.example.com pinged 10.1.2.3"]))
+    assert red.to_list() == ["<EMAIL> pinged <IP>"]
+    assert counts["email"].to_list() == [1] and counts["ipv4"].to_list() == [1]
+
+
+def test_scrub_pii_dataset_path(ray_session):
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.pii import scrub_pii
+
+    ds = rd.from_arrow(pa.table({"text": ["a@b.co", "clean", "10.2.3.4"]}))
+    out = scrub_pii(ds, "text", out_col="red").to_pandas().sort_values("text")
+    assert list(out.columns) == ["text", "red", "n_email", "n_phone", "n_ipv4"]
+    assert out.set_index("text")["red"].to_dict() == {
+        "a@b.co": "<EMAIL>",
+        "clean": "clean",
+        "10.2.3.4": "<IP>",
+    }
+
+
+def _brute_metrics(text: str) -> tuple[int, float, float, float]:
+    toks = re.findall(r"[a-z0-9]+", text.lower())
+    n = len(toks)
+    if n == 0:
+        return 0, 0.0, 0.0, 0.0
+    fd = 1.0 - len(set(toks)) / n
+    mwl = sum(len(t) for t in toks) / n
+    if n < 2:
+        return n, fd, mwl, 0.0
+    top = Counter(zip(toks, toks[1:])).most_common(1)[0][1]
+    return n, fd, mwl, top / (n - 1)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_repetition_metrics_match_bruteforce(seed):
+    from perfect_bloomfilter_ray.stages.quality import repetition_metrics
+
+    rng = np.random.default_rng(seed)
+    vocab = ["aa", "bee", "cccc", "dd1", "e"]
+    texts = [
+        " ".join(rng.choice(vocab, size=int(k)))
+        for k in rng.integers(0, 30, size=50)
+    ] + ["", "solo", "x x x x x x", "Ab ab AB ab"]
+    m = repetition_metrics(pl.Series(texts))
+    for i, t in enumerate(texts):
+        n, fd, mwl, tbf = _brute_metrics(t)
+        assert m["n_tokens"][i] == n
+        assert m["frac_dup_words"][i] == pytest.approx(fd, abs=1e-12)
+        assert m["mean_word_len"][i] == pytest.approx(mwl, abs=1e-12)
+        assert m["top_bigram_frac"][i] == pytest.approx(tbf, abs=1e-12), t
+
+
+def test_gopher_filter_drop_matches_flag(ray_session):
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.quality import gopher_filter
+
+    texts = [
+        " ".join(f"word{j}" for j in range(40)),  # varied, long enough to keep
+        "x x x x x x x x",
+        "ok ok ok fine fine",
+    ]
+    ds = rd.from_arrow(pa.table({"i": [0, 1, 2], "text": texts}))
+    flagged = gopher_filter(ds, "text", drop=False).to_pandas().sort_values("i")
+    kept = gopher_filter(ds, "text", drop=True).to_pandas()
+    assert set(kept["i"]) == set(flagged[flagged["keep"]]["i"])
+    assert 1 not in set(kept["i"])  # pure repetition must be dropped
