@@ -2372,3 +2372,56 @@ def repetition_filter_stats(sf_dir: str):
         .reset_index(drop=True)
     )
     return _round(out, {"avg_frac_dup": 4, "avg_word_len": 4, "avg_top_bigram": 4})
+
+
+@q(
+    "top_tokens_per_lang",
+    sql="""
+    WITH toks AS (
+      SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+      FROM documents
+    ),
+    c AS (SELECT lang, token, count(*) AS cnt FROM toks GROUP BY lang, token),
+    r AS (SELECT lang, token, cnt,
+                 row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS rnk
+          FROM c)
+    SELECT lang, token, CAST(cnt AS BIGINT) AS cnt, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 10 ORDER BY lang, rnk
+    """,
+)
+def top_tokens_per_lang(sf_dir: str):
+    """Vocabulary building: exact token frequencies per language. The scale
+    shape is map-side pre-aggregation — each batch explodes to tokens and
+    collapses to per-batch (lang, token) partial counts BEFORE the shuffle,
+    so the exchange carries one row per distinct pair per block, not one per
+    token occurrence — then a global groupby-sum and a grouped top-k."""
+    import polars as pl
+
+    from perfect_bloomfilter_ray.stages.topk import grouped_top_k
+
+    ds = _t(sf_dir, "documents", ["text", "lang"])
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        return (
+            df.with_columns(
+                pl.col("text").str.to_lowercase().str.extract_all(r"[a-z0-9]+").alias("token")
+            )
+            .drop("text")
+            .explode("token")
+            .drop_nulls("token")
+            .group_by(["lang", "token"])
+            .len(name="pcnt")
+            .with_columns(pl.col("pcnt").cast(pl.Int64))
+            .to_arrow()
+        )
+
+    counts = (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby(["lang", "token"])
+        .aggregate(Sum("pcnt", alias_name="cnt"))
+    )
+    top = grouped_top_k(counts, "lang", "cnt", k=10, descending=True, tie_cols=["token"])
+    out = top.to_pandas().sort_values(["lang", "cnt", "token"], ascending=[True, False, True]).reset_index(drop=True)
+    out["rnk"] = out.groupby("lang").cumcount() + 1
+    return out
