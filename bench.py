@@ -83,6 +83,10 @@ SUITE = [
     "decontaminated_docs",
     "pii_redaction_stats",
     "repetition_filter_stats",
+    "top_tokens_per_lang",
+    "tfidf_doc_scores",
+    "packed_shard_stats",
+    "lang_balanced_sample",
 ]
 
 

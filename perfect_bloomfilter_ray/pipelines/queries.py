@@ -2425,3 +2425,163 @@ def top_tokens_per_lang(sf_dir: str):
     out = top.to_pandas().sort_values(["lang", "cnt", "token"], ascending=[True, False, True]).reset_index(drop=True)
     out["rnk"] = out.groupby("lang").cumcount() + 1
     return out
+
+
+@q(
+    "tfidf_doc_scores",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+      FROM documents
+    ),
+    df AS (
+      SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY token
+      HAVING count(DISTINCT doc_id) >= 5
+    ),
+    n AS (SELECT count(*) AS n FROM documents),
+    samp AS (SELECT doc_id, lang FROM documents WHERE doc_id % 7 = 0),
+    st AS (SELECT t.doc_id, t.token FROM toks t JOIN samp USING (doc_id)),
+    sc AS (
+      SELECT st.doc_id, sum(ln(CAST(n.n AS DOUBLE) / df.df)) AS vscore
+      FROM st JOIN df USING (token) CROSS JOIN n GROUP BY st.doc_id
+    ),
+    nt AS (SELECT doc_id, count(*) AS n_toks FROM st GROUP BY doc_id)
+    SELECT s.doc_id, s.lang,
+           CAST(coalesce(nt.n_toks, 0) AS BIGINT) AS n_toks,
+           round(coalesce(sc.vscore, 0), 4) AS score
+    FROM samp s LEFT JOIN sc USING (doc_id) LEFT JOIN nt USING (doc_id)
+    ORDER BY s.doc_id
+    """,
+)
+def tfidf_doc_scores(sf_dir: str):
+    """Corpus-wide TF-IDF featurization (stages/vocab.py): document
+    frequencies via map-side pre-aggregated groupby, a min_df-bounded IDF
+    vocabulary broadcast as sorted hashes + weights (16 B/term), then one
+    shuffle-free scoring pass where sum_t tf*idf is a segment-sum of idf
+    over token occurrences. A deterministic ~1% doc_id slice is scored so
+    the oracle row set stays engine-portable; df/N always cover the FULL
+    corpus."""
+    from perfect_bloomfilter_ray.stages.vocab import (
+        document_frequency,
+        idf_broadcast,
+        tfidf_score,
+    )
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text", "lang"])
+    n_docs = docs.count()  # parquet metadata, no scan
+    dfreq = document_frequency(docs, "text", min_df=5)
+    ref = idf_broadcast(dfreq, n_docs)
+    def slice7(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        return t.filter(pa.array(ids % 7 == 0))
+
+    sample = docs.map_batches(slice7, batch_format="pyarrow")
+    scored = tfidf_score(sample, ref, "text")
+    out = (
+        scored.select_columns(["doc_id", "lang", "n_toks", "score"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return _round(out, {"score": 4})
+
+
+@q(
+    "packed_shard_stats",
+    sql="""
+    WITH p AS (
+      SELECT doc_id, n_chars, (doc_id * 2654435761) % 1000003 AS okey,
+             ((doc_id * 2654435761) % 1000003) % 16 AS shard_part
+      FROM documents
+    ),
+    c AS (
+      SELECT shard_part, n_chars,
+             coalesce(sum(n_chars) OVER (PARTITION BY shard_part
+                 ORDER BY okey, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      FROM p
+    )
+    SELECT shard_part, CAST(cum // 4096 AS BIGINT) AS shard_seq,
+           count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM c GROUP BY shard_part, shard_seq ORDER BY shard_part, shard_seq
+    """,
+)
+def packed_shard_stats(sf_dir: str):
+    """Training-shard packing (stages/shards.py): greedy fixed-budget
+    packing made scalable by hash-partitioning docs into coarse partitions
+    and taking one vectorized exclusive running sum per partition; a shard
+    is (part, seq) and is also the resume/lineage unit. Engine-portable
+    multiplicative-hash part/order keys let the SQL oracle reproduce the
+    exact assignment with a window running-sum."""
+    from perfect_bloomfilter_ray.stages.shards import pack_shards
+
+    docs = _t(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        okey = (ids * 2654435761) % 1000003
+        return t.append_column("okey", pa.array(okey)).append_column(
+            "shard_part", pa.array(okey % 16)
+        )
+
+    packed = pack_shards(
+        docs.map_batches(keyed, batch_format="pyarrow"),
+        cost_col="n_chars",
+        budget=4096,
+        part_col="shard_part",
+        order_col="okey",
+        id_col="doc_id",
+    )
+    out = (
+        packed.groupby(["shard_part", "shard_seq"])
+        .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars"))
+        .to_pandas()
+        .sort_values(["shard_part", "shard_seq"])
+        .reset_index(drop=True)
+    )
+    return out
+
+
+@q(
+    "lang_balanced_sample",
+    sql="""
+    WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+    m AS (SELECT min(cnt) AS mn FROM c),
+    thr AS (SELECT lang, (mn * 1000000) // cnt AS thr FROM c CROSS JOIN m),
+    k AS (
+      SELECT d.lang, d.n_chars FROM documents d JOIN thr USING (lang)
+      WHERE (d.doc_id * 2654435761) % 1000000 < thr.thr
+    )
+    SELECT lang, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS kept_chars
+    FROM k GROUP BY lang ORDER BY lang
+    """,
+)
+def lang_balanced_sample(sf_dir: str):
+    """Domain/language mixture rebalancing: downsample every language to the
+    smallest language's count with a deterministic hash threshold. Pass 1 is
+    a language-cardinality groupby (tiny result on the driver); pass 2 is a
+    shuffle-free vectorized filter keeping rows whose multiplicative-hash
+    residue clears the per-language integer rate — reproducible across
+    engines and runs, no RNG state."""
+    docs = _t(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    counts = docs.groupby("lang").aggregate(Count(alias_name="cnt")).to_pandas()
+    mn = int(counts["cnt"].min())
+    langs = counts["lang"].tolist()
+    thr = np.array([(mn * 1000000) // int(c) for c in counts["cnt"]], np.int64)
+    lang_arr = pa.array(langs)
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        codes = pc.index_in(t.column("lang"), value_set=lang_arr).to_numpy(zero_copy_only=False)
+        mask = (ids * 2654435761) % 1000000 < thr[codes.astype(np.int64)]
+        return t.filter(pa.array(mask))
+
+    out = (
+        docs.map_batches(keep, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_kept"), Sum("n_chars", alias_name="kept_chars"))
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    return out

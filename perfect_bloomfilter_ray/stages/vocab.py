@@ -1,0 +1,134 @@
+"""Corpus vocabulary statistics and TF-IDF scoring.
+
+The featurization step of a classifier-based quality filter (CCNet / Dolma
+style): build document frequencies over the whole corpus, derive IDF weights
+for the retained vocabulary, then score every document in one streaming pass.
+
+Scale shape (the part that matters at 100 TB):
+
+- **Document frequency** is a map-side pre-aggregated groupby: each batch
+  collapses to distinct ``(doc, token)`` pairs and emits one partial count
+  per distinct token per batch, so the shuffle carries vocabulary-sized
+  rows, never one row per token occurrence. A document never spans batches,
+  so summing per-batch distinct counts is exactly df.
+- **The vocabulary is bounded by ``min_df``** before it leaves the cluster:
+  web-scale corpora have power-law vocabularies, and a df threshold keeps
+  the broadcast in the hundreds of MB even at 10^12 docs. The broadcast is
+  a sorted uint64 hash array + aligned float idf array (16 B/term, shared
+  zero-copy from the object store by every task on a node) — not a Python
+  dict of strings.
+- **Scoring is shuffle-free**: one ``map_batches`` pass per document batch;
+  ``sum_t tf(t) * idf(t)`` is computed as a segment-sum of idf over token
+  *occurrences* (``np.bincount``), so no per-document tf grouping is ever
+  materialized.
+
+Oracle: `tfidf_doc_scores` in pipelines/queries.py re-derives df/idf/score
+in DuckDB SQL on the same tokenization.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import polars as pl
+import pyarrow as pa
+from ray.data import Dataset
+from ray.data.aggregate import Sum
+
+TOKEN_RE = r"[a-z0-9]+"
+
+
+def _tokens(texts: pl.Series) -> pl.Series:
+    return texts.str.to_lowercase().str.extract_all(TOKEN_RE)
+
+
+def document_frequency(ds: Dataset, text_col: str, min_df: int = 1) -> Dataset:
+    """``(token, df)`` over the corpus; tokens appearing in < min_df docs cut.
+
+    Map-side partial aggregation: per-batch distinct (doc, token) counts,
+    then one vocabulary-sized groupby-sum.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select([text_col]))
+        out = (
+            df.with_row_index("_doc")
+            .with_columns(_tokens(pl.col(text_col)).alias("token"))
+            .drop(text_col)
+            .explode("token")
+            .drop_nulls("token")
+            .unique(["_doc", "token"])
+            .group_by("token")
+            .len(name="pdf")
+            .with_columns(pl.col("pdf").cast(pl.Int64))
+        )
+        return out.to_arrow()
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("pdf", alias_name="df"))
+    )
+    if min_df > 1:
+        out = out.filter(expr=f"df >= {min_df}")
+    return out
+
+
+def idf_broadcast(df_ds: Dataset, n_docs: int, seed: int = 0x1DF) -> "ray.ObjectRef":  # noqa: F821
+    """Collapse a (token, df) Dataset into a broadcast IDF lookup.
+
+    Returns an ObjectRef to ``(sorted_hashes: uint64[V], idf: float64[V])``
+    with ``idf = ln(n_docs / df)``. The vocabulary must already be bounded
+    (min_df) — this is the one intentional driver materialization, and it is
+    vocabulary-sized, not corpus-sized.
+    """
+    import ray
+
+    hs, idfs = [], []
+    for t in df_ds.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
+        s = pl.from_arrow(t.column("token")).hash(seed=seed).to_numpy().astype(np.uint64, copy=True)
+        hs.append(s)
+        idfs.append(np.log(float(n_docs) / t.column("df").to_numpy().astype(np.float64)))
+    if hs:
+        h = np.concatenate(hs)
+        v = np.concatenate(idfs)
+    else:
+        h, v = np.empty(0, np.uint64), np.empty(0, np.float64)
+    order = np.argsort(h, kind="stable")
+    return ray.put((h[order], v[order]))
+
+
+def tfidf_score(
+    ds: Dataset,
+    idf_ref,
+    text_col: str,
+    score_col: str = "score",
+    ntoks_col: str = "n_toks",
+    seed: int = 0x1DF,
+) -> Dataset:
+    """Append ``sum_t tf*idf`` and total-token-count columns, streaming.
+
+    ``sum_t tf(t)*idf(t) == sum over token occurrences of idf`` — so the
+    kernel is: tokenize, hash, searchsorted into the broadcast vocabulary,
+    segment-sum per row. Out-of-vocabulary tokens contribute 0.
+    """
+
+    def score(t: pa.Table) -> pa.Table:
+        import ray
+
+        vh, vi = ray.get(idf_ref)
+        toks = _tokens(pl.from_arrow(t.column(text_col)))
+        lens = toks.list.len().fill_null(0).to_numpy().astype(np.int64)
+        flat = toks.explode().drop_nulls()
+        scores = np.zeros(len(t), np.float64)
+        if len(flat) and len(vh):
+            h = flat.hash(seed=seed).to_numpy().astype(np.uint64, copy=False)
+            pos = np.searchsorted(vh, h)
+            pos[pos == len(vh)] = 0
+            idf = np.where(vh[pos] == h, vi[pos], 0.0)
+            doc_of = np.repeat(np.arange(len(lens)), lens)
+            scores = np.bincount(doc_of, weights=idf, minlength=len(t))
+        return t.append_column(score_col, pa.array(scores)).append_column(
+            ntoks_col, pa.array(lens)
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -1,0 +1,119 @@
+"""TF-IDF featurization (stages/vocab.py) and shard packing
+(stages/shards.py): brute-force parity and packing invariants."""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(60)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(0, 30), p=None))
+        for _ in range(200)
+    ]
+    texts[3] = ""  # empty doc
+    texts[7] = "!!! ??? ..."  # no tokens after normalization
+    return texts
+
+
+def _brute_tfidf(texts: list[str], min_df: int):
+    tok = lambda s: re.findall(r"[a-z0-9]+", s.lower())
+    df = Counter()
+    for t in texts:
+        df.update(set(tok(t)))
+    n = len(texts)
+    idf = {w: math.log(n / c) for w, c in df.items() if c >= min_df}
+    scores = [sum(idf.get(w, 0.0) for w in tok(t)) for t in texts]
+    ntoks = [len(tok(t)) for t in texts]
+    return df, idf, scores, ntoks
+
+
+def test_tfidf_matches_bruteforce(ray_session, corpus):
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.vocab import (
+        document_frequency,
+        idf_broadcast,
+        tfidf_score,
+    )
+
+    ds = rd.from_arrow(
+        pa.table({"doc_id": list(range(len(corpus))), "text": corpus})
+    ).repartition(6)
+    bdf, bidf, bscores, bntoks = _brute_tfidf(corpus, min_df=3)
+
+    dfreq = {r["token"]: r["df"] for r in document_frequency(ds, "text", min_df=3).take_all()}
+    assert dfreq == {w: c for w, c in bdf.items() if c >= 3}
+
+    ref = idf_broadcast(rd.from_items([{"token": w, "df": c} for w, c in sorted(dfreq.items())]), len(corpus))
+    out = (
+        tfidf_score(ds, ref, "text")
+        .select_columns(["doc_id", "score", "n_toks"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    np.testing.assert_allclose(out["score"].to_numpy(), np.array(bscores), rtol=1e-12, atol=1e-12)
+    assert out["n_toks"].tolist() == bntoks
+
+
+def test_pack_shards_matches_sequential_greedy(ray_session):
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.shards import pack_shards
+
+    rng = np.random.default_rng(5)
+    n, budget = 500, 1000
+    ids = np.arange(n, dtype=np.int64)
+    cost = rng.integers(1, 400, size=n).astype(np.int64)
+    okey = (ids * 2654435761) % 1000003
+    part = okey % 8
+    t = pa.table(
+        {"doc_id": ids, "cost": cost, "okey": okey, "part": part}
+    )
+    out = (
+        pack_shards(rd.from_arrow(t).repartition(5), "cost", budget, "part", "okey", "doc_id")
+        .to_pandas()
+        .sort_values(["part", "okey", "doc_id"])
+        .reset_index(drop=True)
+    )
+    # brute force: per part, order by (okey, id), exclusive cumsum // budget
+    df = pd.DataFrame({"doc_id": ids, "cost": cost, "okey": okey, "part": part})
+    df = df.sort_values(["part", "okey", "doc_id"]).reset_index(drop=True)
+    exp = []
+    for _, g in df.groupby("part", sort=True):
+        cum = np.concatenate([[0], np.cumsum(g["cost"].to_numpy())[:-1]])
+        exp.append(pd.Series(cum // budget, index=g.index))
+    df["shard_seq"] = pd.concat(exp).sort_index()
+    assert out["shard_seq"].tolist() == df["shard_seq"].tolist()
+
+    # packing invariants: seqs start at 0 and are contiguous per part; every
+    # shard but the last in a part ends because adding its successor's first
+    # doc would cross the budget — equivalently each non-final shard's total
+    # plus the next doc exceeds budget only via a doc, so shard totals are
+    # < budget + max single cost.
+    g = df.groupby(["part", "shard_seq"])["cost"].sum()
+    assert (g < budget + cost.max()).all()
+    for _, grp in df.groupby("part"):
+        seqs = sorted(grp["shard_seq"].unique())
+        assert seqs == list(range(len(seqs)))
+
+
+def test_pack_shards_empty_and_single(ray_session):
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.shards import pack_shards
+
+    one = pa.table({"doc_id": [1], "cost": [10**7], "okey": [0], "part": [0]})
+    out = pack_shards(rd.from_arrow(one), "cost", 100, "part", "okey", "doc_id").take_all()
+    assert out[0]["shard_seq"] == 0  # oversized doc still lands in shard 0
