@@ -87,6 +87,7 @@ SUITE = [
     "tfidf_doc_scores",
     "packed_shard_stats",
     "lang_balanced_sample",
+    "line_dedup_stats",
 ]
 
 

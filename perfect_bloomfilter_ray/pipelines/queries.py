@@ -2585,3 +2585,85 @@ def lang_balanced_sample(sf_dir: str):
         .reset_index(drop=True)
     )
     return out
+
+
+@q(
+    "line_dedup_stats",
+    sql="""
+    WITH t AS (
+      SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM documents
+    ),
+    u AS (
+      SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS i
+      FROM t
+    ),
+    l AS (
+      SELECT doc_id, (i - 1) // 8 AS chunk,
+             string_agg(tok, ' ' ORDER BY i) AS line
+      FROM u GROUP BY doc_id, (i - 1) // 8
+    ),
+    c AS (SELECT line, count(*) AS cnt FROM l GROUP BY line),
+    k AS (
+      SELECT l.doc_id, count(*) AS n_lines,
+             count(*) FILTER (WHERE c.cnt < 2) AS n_kept,
+             coalesce(sum(length(l.line)) FILTER (WHERE c.cnt < 2), 0) AS kept_chars
+      FROM l JOIN c USING (line) GROUP BY l.doc_id
+    )
+    SELECT d.lang,
+           count(*) AS n_docs,
+           CAST(coalesce(sum(k.n_lines), 0) AS BIGINT) AS lines_total,
+           CAST(coalesce(sum(k.n_kept), 0) AS BIGINT) AS lines_kept,
+           CAST(coalesce(sum(k.kept_chars), 0) AS BIGINT) AS chars_kept,
+           count(*) FILTER (WHERE coalesce(k.n_kept, 0) = 0) AS docs_emptied
+    FROM documents d LEFT JOIN k USING (doc_id)
+    GROUP BY d.lang ORDER BY d.lang
+    """,
+)
+def line_dedup_stats(sf_dir: str):
+    """CCNet-style line-level dedup (stages/linededup.py): count line
+    occurrences corpus-wide via map-side partial groupby, broadcast the
+    sorted common-line hash set once, then one shuffle-free drop pass.
+    Lines here are 8-token chunks (TokenChunkSplitter) because the
+    synthetic corpus has no newlines; the SQL oracle groups the exact
+    line STRINGS, so a 64-bit hash collision would surface as a hash-fail."""
+    from perfect_bloomfilter_ray.stages.linededup import (
+        TokenChunkSplitter,
+        common_line_hashes,
+        common_lines_broadcast,
+        drop_common_lines,
+    )
+
+    docs = _t(sf_dir, "documents", ["doc_id", "lang", "text"])
+    sp = TokenChunkSplitter(8)
+    common = common_line_hashes(docs, "text", min_count=2, splitter=sp)
+    ref = common_lines_broadcast(common)
+    dropped = drop_common_lines(docs, ref, "text", splitter=sp, rebuild_text=False)
+
+    def stats(t: pa.Table) -> pa.Table:
+        emptied = pc.equal(t.column("n_lines_kept"), 0)
+        return pa.table(
+            {
+                "lang": t.column("lang"),
+                "n_lines": t.column("n_lines"),
+                "n_lines_kept": t.column("n_lines_kept"),
+                "kept_chars": t.column("kept_chars"),
+                "emptied": pc.cast(emptied, pa.int64()),
+            }
+        )
+
+    out = (
+        dropped.map_batches(stats, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_lines", alias_name="lines_total"),
+            Sum("n_lines_kept", alias_name="lines_kept"),
+            Sum("kept_chars", alias_name="chars_kept"),
+            Sum("emptied", alias_name="docs_emptied"),
+        )
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    return out
