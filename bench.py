@@ -88,6 +88,7 @@ SUITE = [
     "packed_shard_stats",
     "lang_balanced_sample",
     "line_dedup_stats",
+    "unigram_perplexity_scores",
 ]
 
 

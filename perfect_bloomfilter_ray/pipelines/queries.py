@@ -2667,3 +2667,76 @@ def line_dedup_stats(sf_dir: str):
         .reset_index(drop=True)
     )
     return out
+
+
+@q(
+    "unigram_perplexity_scores",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+      FROM documents
+    ),
+    cnt AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+    v AS (SELECT token, c FROM cnt WHERE c >= 5),
+    tot AS (SELECT count(*) AS n FROM toks),
+    samp AS (SELECT doc_id, lang FROM documents WHERE doc_id % 5 = 0),
+    st AS (SELECT t.doc_id, t.token FROM toks t JOIN samp USING (doc_id)),
+    s AS (
+      SELECT st.doc_id, count(*) AS n_toks,
+             sum(-ln(coalesce(v.c, 0.5) / tot.n)) AS nll
+      FROM st LEFT JOIN v USING (token) CROSS JOIN tot GROUP BY st.doc_id
+    )
+    SELECT sa.doc_id, sa.lang,
+           CAST(coalesce(s.n_toks, 0) AS BIGINT) AS n_toks,
+           round(coalesce(s.nll / s.n_toks, 0), 4) AS nll_per_tok
+    FROM samp sa LEFT JOIN s USING (doc_id)
+    ORDER BY sa.doc_id
+    """,
+)
+def unigram_perplexity_scores(sf_dir: str):
+    """CCNet-style LM quality scoring (stages/vocab.py): corpus unigram
+    counts via map-side partial groupby, a min_count-bounded logprob
+    vocabulary broadcast (16 B/term), then one shuffle-free pass scoring
+    mean per-token negative log-likelihood (OOV floored at half a count).
+    A deterministic 20% doc_id slice is scored; counts always cover the
+    FULL corpus."""
+    from perfect_bloomfilter_ray.stages.vocab import (
+        token_counts,
+        unigram_logprob_broadcast,
+        unigram_nll_score,
+    )
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text", "lang"])
+    cnts = token_counts(docs, "text", min_count=5)
+
+    def ntok(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        n = (
+            pl.from_arrow(t.column("text"))
+            .str.to_lowercase()
+            .str.extract_all("[a-z0-9]+")
+            .list.len()
+            .fill_null(0)
+            .sum()
+        )
+        return pa.table({"n": pa.array([int(n)], pa.int64())})
+
+    total = int(
+        docs.map_batches(ntok, batch_format="pyarrow").aggregate(Sum("n", alias_name="n"))["n"]
+    )
+    ref = unigram_logprob_broadcast(cnts, total)
+
+    def slice5(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        return t.filter(pa.array(ids % 5 == 0))
+
+    sample = docs.map_batches(slice5, batch_format="pyarrow")
+    out = (
+        unigram_nll_score(sample, ref, "text")
+        .select_columns(["doc_id", "lang", "n_toks", "nll_per_tok"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return _round(out, {"nll_per_tok": 4})

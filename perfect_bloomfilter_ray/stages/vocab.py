@@ -97,6 +97,30 @@ def idf_broadcast(df_ds: Dataset, n_docs: int, seed: int = 0x1DF) -> "ray.Object
     return ray.put((h[order], v[order]))
 
 
+def _segment_sum(
+    t: pa.Table, text_col: str, vh: np.ndarray, vals: np.ndarray, oov: float, seed: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row ``sum over token occurrences of weight(token)`` where weight
+    comes from the sorted broadcast vocabulary (``oov`` for misses), plus the
+    per-row token counts. The shared kernel of TF-IDF and unigram-LM scoring:
+    tokenize, hash, searchsorted, one ``np.bincount`` segment-sum."""
+    toks = _tokens(pl.from_arrow(t.column(text_col)))
+    lens = toks.list.len().fill_null(0).to_numpy().astype(np.int64)
+    flat = toks.explode().drop_nulls()
+    sums = np.zeros(len(t), np.float64)
+    if len(flat):
+        h = flat.hash(seed=seed).to_numpy().astype(np.uint64, copy=False)
+        if len(vh):
+            pos = np.searchsorted(vh, h)
+            pos[pos == len(vh)] = 0
+            w = np.where(vh[pos] == h, vals[pos], oov)
+        else:
+            w = np.full(len(h), oov)
+        doc_of = np.repeat(np.arange(len(lens)), lens)
+        sums = np.bincount(doc_of, weights=w, minlength=len(t))
+    return sums, lens
+
+
 def tfidf_score(
     ds: Dataset,
     idf_ref,
@@ -116,18 +140,90 @@ def tfidf_score(
         import ray
 
         vh, vi = ray.get(idf_ref)
-        toks = _tokens(pl.from_arrow(t.column(text_col)))
-        lens = toks.list.len().fill_null(0).to_numpy().astype(np.int64)
-        flat = toks.explode().drop_nulls()
-        scores = np.zeros(len(t), np.float64)
-        if len(flat) and len(vh):
-            h = flat.hash(seed=seed).to_numpy().astype(np.uint64, copy=False)
-            pos = np.searchsorted(vh, h)
-            pos[pos == len(vh)] = 0
-            idf = np.where(vh[pos] == h, vi[pos], 0.0)
-            doc_of = np.repeat(np.arange(len(lens)), lens)
-            scores = np.bincount(doc_of, weights=idf, minlength=len(t))
+        scores, lens = _segment_sum(t, text_col, vh, vi, 0.0, seed)
         return t.append_column(score_col, pa.array(scores)).append_column(
+            ntoks_col, pa.array(lens)
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def token_counts(ds: Dataset, text_col: str, min_count: int = 1) -> Dataset:
+    """``(token, cnt)`` occurrence counts over the corpus (not doc counts).
+
+    Same map-side pre-aggregation shape as :func:`document_frequency`: the
+    shuffle carries per-batch distinct-token partial counts, one row per
+    distinct token per batch.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select([text_col]))
+        out = (
+            df.select(_tokens(pl.col(text_col)).alias("token"))
+            .explode("token")
+            .drop_nulls("token")
+            .group_by("token")
+            .len(name="pcnt")
+            .with_columns(pl.col("pcnt").cast(pl.Int64))
+        )
+        return out.to_arrow()
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("pcnt", alias_name="cnt"))
+    )
+    if min_count > 1:
+        out = out.filter(expr=f"cnt >= {min_count}")
+    return out
+
+
+def unigram_logprob_broadcast(
+    cnt_ds: Dataset, total_tokens: int, seed: int = 0x1DF
+) -> "ray.ObjectRef":  # noqa: F821
+    """Collapse a ``(token, cnt)`` Dataset into a broadcast negative-log-prob
+    lookup: ``nll(t) = -ln(cnt / total)``; out-of-vocabulary tokens are
+    scored downstream with the floor ``-ln(0.5 / total)`` (half a count).
+
+    Same 16 B/term sorted-hash layout and min_count-bounded size contract as
+    :func:`idf_broadcast`.
+    """
+    import ray
+
+    hs, nls = [], []
+    for t in cnt_ds.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
+        s = pl.from_arrow(t.column("token")).hash(seed=seed).to_numpy().astype(np.uint64, copy=True)
+        hs.append(s)
+        nls.append(-np.log(t.column("cnt").to_numpy().astype(np.float64) / float(total_tokens)))
+    h = np.concatenate(hs) if hs else np.empty(0, np.uint64)
+    v = np.concatenate(nls) if nls else np.empty(0, np.float64)
+    order = np.argsort(h, kind="stable")
+    oov = -np.log(0.5 / float(total_tokens))
+    return ray.put((h[order], v[order], oov))
+
+
+def unigram_nll_score(
+    ds: Dataset,
+    lp_ref,
+    text_col: str,
+    nll_col: str = "nll_per_tok",
+    ntoks_col: str = "n_toks",
+    seed: int = 0x1DF,
+) -> Dataset:
+    """Append per-token negative log-likelihood under the corpus unigram LM
+    (the CCNet §4.2 quality signal, with a unigram model in place of KenLM —
+    an honest stand-in: no external LM is available, and the scoring plumbing
+    is identical). Low nll = head-heavy/common text; high = rare/noisy.
+    Tokenless documents score 0. One shuffle-free ``map_batches`` pass.
+    """
+
+    def score(t: pa.Table) -> pa.Table:
+        import ray
+
+        vh, vn, oov = ray.get(lp_ref)
+        sums, lens = _segment_sum(t, text_col, vh, vn, oov, seed)
+        nll = np.divide(sums, lens, out=np.zeros_like(sums), where=lens > 0)
+        return t.append_column(nll_col, pa.array(nll)).append_column(
             ntoks_col, pa.array(lens)
         )
 

@@ -117,3 +117,39 @@ def test_pack_shards_empty_and_single(ray_session):
     one = pa.table({"doc_id": [1], "cost": [10**7], "okey": [0], "part": [0]})
     out = pack_shards(rd.from_arrow(one), "cost", 100, "part", "okey", "doc_id").take_all()
     assert out[0]["shard_seq"] == 0  # oversized doc still lands in shard 0
+
+
+def test_unigram_nll_matches_bruteforce(ray_session, corpus):
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.vocab import (
+        token_counts,
+        unigram_logprob_broadcast,
+        unigram_nll_score,
+    )
+
+    tok = lambda s: re.findall(r"[a-z0-9]+", s.lower())
+    cnt = Counter(w for t in corpus for w in tok(t))
+    total = sum(cnt.values())
+    vocab = {w: c for w, c in cnt.items() if c >= 4}
+    exp = []
+    for t in corpus:
+        ws = tok(t)
+        nll = sum(-math.log(vocab.get(w, 0.5) / total) for w in ws)
+        exp.append(nll / len(ws) if ws else 0.0)
+
+    ds = rd.from_arrow(
+        pa.table({"doc_id": list(range(len(corpus))), "text": corpus})
+    ).repartition(6)
+    cds = token_counts(ds, "text", min_count=4)
+    got_cnt = {r["token"]: r["cnt"] for r in cds.take_all()}
+    assert got_cnt == vocab
+    ref = unigram_logprob_broadcast(cds, total)
+    out = (
+        unigram_nll_score(ds, ref, "text")
+        .select_columns(["doc_id", "nll_per_tok"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    np.testing.assert_allclose(out["nll_per_tok"].to_numpy(), np.array(exp), rtol=1e-12, atol=1e-12)
