@@ -89,6 +89,11 @@ SUITE = [
     "lang_balanced_sample",
     "line_dedup_stats",
     "unigram_perplexity_scores",
+    "exact_value_quantiles_per_type",
+    "value_trimmed_stats_per_type",
+    "global_shuffle_head",
+    "normalized_text_stats",
+    "incremental_ingest_new_docs",
 ]
 
 

@@ -41,6 +41,20 @@ def extract_text(col) -> pa.Array:
     return expr.to_arrow()
 
 
+def normalize_text(col) -> pa.Array:
+    """Curation-standard text normalization: lowercase → collapse internal
+    whitespace runs to one space → trim spaces. Engine-portable — exactly
+    ``trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))`` in ANSI/DuckDB
+    SQL (``strip_chars(" ")`` strips spaces only, matching SQL ``trim``)."""
+    return (
+        _pl(col)
+        .str.to_lowercase()
+        .str.replace_all(r"\s+", " ")
+        .str.strip_chars(" ")
+        .to_arrow()
+    )
+
+
 def host_of(col) -> pa.Array:
     """Host part of a URL column."""
     return _pl(col).str.extract(r"^[a-z]+://([^/]+)", 1).to_arrow()

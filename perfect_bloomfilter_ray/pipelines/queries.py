@@ -2740,3 +2740,238 @@ def unigram_perplexity_scores(sf_dir: str):
         .reset_index(drop=True)
     )
     return _round(out, {"nll_per_tok": 4})
+
+
+# ---------------------------------------------------------------------------
+# Exact quantiles / trimming / training order / cube / normalization /
+# incremental ingest (round-2 batch 2, all SQL-oracle-backed)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "exact_value_quantiles_per_type",
+    sql="""
+    SELECT event_type,
+           quantile_disc(value, 0.25) AS p25,
+           quantile_disc(value, 0.50) AS p50,
+           quantile_disc(value, 0.90) AS p90,
+           count(*) AS n
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def exact_value_quantiles_per_type(sf_dir: str):
+    """Exact grouped quantiles (discrete — actual data values, so equality
+    with the SQL oracle is bitwise, no rounding). stages/quantiles.py."""
+    from perfect_bloomfilter_ray.stages.quantiles import exact_grouped_quantiles
+
+    ds = _t(sf_dir, "events", ["event_type", "value"])
+    qds = exact_grouped_quantiles(
+        ds, "event_type", "value", [0.25, 0.5, 0.9], kind="disc", names=["p25", "p50", "p90"]
+    )
+    counts = ds.groupby("event_type").aggregate(Count(alias_name="n"))
+    out = (
+        qds.to_pandas()
+        .merge(counts.to_pandas(), on="event_type")
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    return out[["event_type", "p25", "p50", "p90", "n"]]
+
+
+@q(
+    "value_trimmed_stats_per_type",
+    sql="""
+    WITH b AS (
+      SELECT event_type,
+             quantile_disc(value, 0.05) AS lo,
+             quantile_disc(value, 0.95) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, count(*) AS n,
+           round(sum(e.value), 4) AS sum_value,
+           round(avg(e.value), 6) AS avg_value
+    FROM events e JOIN b USING (event_type)
+    WHERE e.value BETWEEN b.lo AND b.hi
+    GROUP BY e.event_type ORDER BY e.event_type
+    """,
+)
+def value_trimmed_stats_per_type(sf_dir: str):
+    """Winsor-style per-group outlier trim ([p05, p95] discrete bounds are
+    data values — the boundary comparison is engine-exact) then streamed
+    re-aggregation. stages/quantiles.quantile_trim."""
+    from perfect_bloomfilter_ray.stages.quantiles import quantile_trim
+
+    ds = _t(sf_dir, "events", ["event_type", "value"])
+    trimmed = quantile_trim(ds, "event_type", "value", 0.05, 0.95)
+    agg = trimmed.groupby("event_type").aggregate(
+        Count(alias_name="n"),
+        Sum("value", alias_name="sum_value"),
+        Mean("value", alias_name="avg_value"),
+    )
+    out = agg.to_pandas().sort_values("event_type").reset_index(drop=True)
+    return _round(out, {"sum_value": 4, "avg_value": 6})
+
+
+@q(
+    "global_shuffle_head",
+    sql="""
+    SELECT doc_id,
+           (doc_id % 1000000007) * (2654435761 % 1000000007) % 1000000007 AS shuffle_key
+    FROM documents ORDER BY shuffle_key, doc_id LIMIT 100
+    """,
+)
+def global_shuffle_head(sf_dir: str):
+    """Deterministic global training-order shuffle (range-partitioned
+    distributed sort on a modular-hash residue); first 100 docs in shuffle
+    order. stages/shards.deterministic_shuffle."""
+    from perfect_bloomfilter_ray.stages.shards import deterministic_shuffle
+
+    ds = _t(sf_dir, "documents", ["doc_id"])
+    return deterministic_shuffle(ds, "doc_id").limit(100)
+
+
+@q(
+    "orders_cube",
+    sql="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus, o_orderpriority
+    """,
+)
+def orders_cube(sf_dir: str):
+    """CUBE grouping: ONE distributed pass computes the finest grouping;
+    the three coarser levels aggregate that tiny result driver-side (the
+    standard cube optimization — never re-scan the fact table per level)."""
+    ds = _t(sf_dir, "orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+    finest = (
+        ds.groupby(["o_orderstatus", "o_orderpriority"])
+        .aggregate(Count(alias_name="n"), Sum("o_totalprice", alias_name="total"))
+        .to_pandas()
+    )
+    levels = [finest.copy()]
+    for keys in (["o_orderstatus"], ["o_orderpriority"], []):
+        if keys:
+            g = finest.groupby(keys, as_index=False)[["n", "total"]].sum()
+        else:
+            g = pd.DataFrame({"n": [finest["n"].sum()], "total": [finest["total"].sum()]})
+        for missing in ("o_orderstatus", "o_orderpriority"):
+            if missing not in keys:
+                g[missing] = None
+        levels.append(g[["o_orderstatus", "o_orderpriority", "n", "total"]])
+    out = pd.concat(levels, ignore_index=True)
+    out["n"] = out["n"].astype("int64")
+    return _round(out, {"total": 2})
+
+
+@q(
+    "normalized_text_stats",
+    sql="""
+    WITH n AS (
+      SELECT lang, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+      FROM documents
+    )
+    SELECT lang, count(DISTINCT norm) AS n_distinct,
+           CAST(sum(len(norm)) AS BIGINT) AS total_len
+    FROM n GROUP BY lang ORDER BY lang
+    """,
+)
+def normalized_text_stats(sf_dir: str):
+    """Text normalization (functions/text.normalize_text, SQL-portable) +
+    exact per-lang distinct count. Distinct shuffles only batch-deduped
+    (lang, norm) pairs routed by content fingerprint (collision-safe: the
+    per-partition unique compares real strings); total_len is a map-side
+    partial sum — the full text never shuffles for it."""
+    import polars as pl
+
+    from perfect_bloomfilter_ray.functions.text import fingerprint64, normalize_text
+    from perfect_bloomfilter_ray.stages.partitioning import choose_num_blocks
+
+    ds = _t(sf_dir, "documents", ["lang", "text"])
+    nb = choose_num_blocks(ds)
+
+    def pairs(t: pa.Table) -> pa.Table:
+        norm = normalize_text(t.column("text"))
+        tbl = pa.table({"lang": t.column("lang"), "norm": norm})
+        uniq = pl.from_arrow(tbl).unique().to_arrow()
+        fp = fingerprint64(uniq.column("norm"), normalize=False)
+        part = (fp.to_numpy().view(np.uint64) % np.uint64(nb)).astype(np.int32)
+        return uniq.append_column("_part", pa.array(part))
+
+    def distinct_block(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.drop_columns(["_part"])).unique()
+        out = df.group_by("lang").len(name="part_n")
+        return out.with_columns(pl.col("part_n").cast(pl.Int64)).to_arrow()
+
+    distinct = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(distinct_block, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("part_n", alias_name="n_distinct"))
+    )
+
+    def len_partial(t: pa.Table) -> pa.Table:
+        norm = pl.from_arrow(pa.table({"x": normalize_text(t.column("text"))}))
+        lens = norm["x"].str.len_chars().cast(pl.Int64)
+        return (
+            pl.DataFrame({"lang": pl.from_arrow(t.column("lang")), "plen": lens})
+            .group_by("lang")
+            .agg(pl.col("plen").sum())
+            .to_arrow()
+        )
+
+    lens = (
+        ds.map_batches(len_partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("plen", alias_name="total_len"))
+    )
+    out = (
+        distinct.to_pandas()
+        .merge(lens.to_pandas(), on="lang")
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    out["n_distinct"] = out["n_distinct"].astype("int64")
+    out["total_len"] = out["total_len"].astype("int64")
+    return out[["lang", "n_distinct", "total_len"]]
+
+
+@q(
+    "incremental_ingest_new_docs",
+    sql="""
+    WITH old AS (SELECT text FROM documents WHERE doc_id % 10 < 8),
+         new AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 10 >= 8)
+    SELECT lang, count(*) AS n_new
+    FROM new WHERE NOT EXISTS (SELECT 1 FROM old WHERE old.text = new.text)
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def incremental_ingest_new_docs(sf_dir: str):
+    """Incremental-ingest dedup: the 'new crawl slice' (doc_id % 10 >= 8)
+    anti-joined by content against the standing corpus — one union +
+    fingerprint-partitioned shuffle, old side slimmed to text only.
+    stages/dedup.incremental_new_rows."""
+    from perfect_bloomfilter_ray.stages.dedup import incremental_new_rows
+
+    docs = _t(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def _slice(old: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy()
+            m = (ids % 10 < 8) if old else (ids % 10 >= 8)
+            return t.filter(pa.array(m))
+
+        return fn
+
+    old = docs.map_batches(_slice(True), batch_format="pyarrow")
+    new = docs.map_batches(_slice(False), batch_format="pyarrow")
+    surviving = incremental_new_rows(old, new, "text", "doc_id", keep_cols=["lang"])
+    out = (
+        surviving.groupby("lang")
+        .aggregate(Count(alias_name="n_new"))
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    return out

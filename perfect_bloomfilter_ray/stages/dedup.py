@@ -1208,3 +1208,85 @@ def embedding_neardup_pairs(
     pairs = banded.groupby("_part").map_groups(verify_part, batch_format="pyarrow")
     # same pair from several tables; cos is identical each time
     return _dedup_pairs(pairs)
+
+
+# ------------------------------------------------------- incremental ingest
+
+def incremental_new_rows(
+    old: Dataset,
+    new: Dataset,
+    text_col: str,
+    id_col: str,
+    keep_cols: list[str] | None = None,
+    normalize: bool = False,
+    num_blocks: int | None = None,
+) -> Dataset:
+    """Incremental-ingest dedup: rows of ``new`` whose text does NOT already
+    appear in ``old`` (SQL ``NOT EXISTS`` on the text column).
+
+    The standing 100-TB use case: a fresh crawl slice lands and must be
+    deduplicated against the existing corpus WITHOUT rescanning old×new
+    pairwise. Shape (same contract as exact_dedup above): both sides are
+    slimmed to ``(fingerprint-partition, text, id, keep_cols)`` — the old
+    side ships ONLY its text + null id (never its payload columns) — then
+    one union + coarse hash partition co-locates equal texts, and each
+    partition runs ONE vectorized polars anti-join of new-vs-old. The
+    shuffle key is the 64-bit content fingerprint; matching happens on the
+    real text, so a fingerprint collision cannot drop a genuinely new row.
+
+    Output: the surviving ``new`` rows (columns ``[id_col, text_col,
+    *keep_cols]``). Old rows whose only difference is formatting are still
+    distinct unless ``normalize=True`` (then both sides compare on the
+    exact_dedup normalization).
+    """
+    keep_cols = list(keep_cols or [])
+    nb = choose_num_blocks(new, num_blocks)
+    sch = new.schema().base_schema
+    if isinstance(sch, pa.Schema):
+        types = {n: sch.field(n).type for n in (id_col, *keep_cols)}
+    else:  # pandas-backed input: numpy dtypes (object == string)
+        np_types = dict(zip(sch.names, sch.types))
+        types = {
+            n: (pa.string() if np_types[n] == np.dtype(object) else pa.from_numpy_dtype(np_types[n]))
+            for n in (id_col, *keep_cols)
+        }
+
+    def slim(is_old: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            fp = fingerprint64(t.column(text_col), normalize=normalize)
+            part = (fp.to_numpy().view(np.uint64) % _U64(nb)).astype(np.int32)
+            cols: dict[str, pa.Array | pa.ChunkedArray] = {
+                "_part": pa.array(part),
+                text_col: t.column(text_col),
+                "_is_old": pa.array(np.full(len(t), is_old, dtype=np.bool_)),
+            }
+            for c in (id_col, *keep_cols):
+                cols[c] = pa.nulls(len(t), type=types[c]) if is_old else t.column(c)
+            return pa.table(cols)
+
+        return fn
+
+    def block(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.drop_columns(["_part"]))
+        if normalize:
+            df = df.with_columns(
+                pl.col(text_col)
+                .str.to_lowercase()
+                .str.replace_all(r"[^\w\s]", "")
+                .str.replace_all(r"\s+", " ")
+                .str.strip_chars()
+                .alias("_key")
+            )
+        else:
+            df = df.with_columns(pl.col(text_col).alias("_key"))
+        olds = df.filter(pl.col("_is_old")).select("_key").unique()
+        news = df.filter(~pl.col("_is_old"))
+        return (
+            news.join(olds, on="_key", how="anti")
+            .drop(["_is_old", "_key"])
+            .to_arrow()
+        )
+
+    slim_old = old.map_batches(slim(True), batch_format="pyarrow")
+    slim_new = new.map_batches(slim(False), batch_format="pyarrow")
+    return slim_old.union(slim_new).groupby("_part").map_groups(block, batch_format="pyarrow")

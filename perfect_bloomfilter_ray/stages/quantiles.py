@@ -1,0 +1,161 @@
+"""Exact grouped quantiles and quantile-based trimming (outlier clipping).
+
+The sketch quantiles (state/kll.py, state/tdigest.py) are the 100-TB default:
+mergeable partials, one narrow shuffle, bounded error. This module is their
+EXACT counterpart for when downstream needs bit-reproducible cut points (e.g.
+winsorizing a reward-model feature, trimming per-language length outliers
+before packing training shards):
+
+1. ``exact_grouped_quantiles`` — coarse hash-partition by the group keys
+   (every group's rows land in exactly one partition), then ONE vectorized
+   pass per partition: a single polars multi-key sort + numpy segment math
+   picks all requested quantiles for all groups at once. No per-group Python
+   calls (the map_groups-per-key trap, see topk.py), no global sort. The
+   partition-per-task memory assumption is the same as windows.py and is
+   sized by ``choose_num_blocks``.
+2. ``quantile_trim`` — computes per-group [lo, hi] **discrete** quantile
+   bounds (actual data values, so engine-portable: DuckDB ``quantile_disc``
+   picks the identical element), collects that small one-row-per-group table
+   to the driver (post-aggregation altitude, same contract as broadcast
+   joins) and filters the stream with one broadcast polars join per batch.
+
+Quantile conventions, verified against DuckDB 1.x:
+
+- ``kind="disc"``: index ``ceil(q*n) - 1`` into the sorted group values ==
+  DuckDB ``quantile_disc`` — an element of the multiset, exact float
+  equality across engines.
+- ``kind="cont"``: linear interpolation at position ``(n-1)*q`` == DuckDB
+  ``quantile_cont`` / numpy default up to float addition order — round
+  before hash-comparing.
+
+NULL values in ``value_col`` are dropped first (SQL aggregate semantics);
+a group whose values are ALL null is absent from the output (SQL would
+return NULL — document mismatch, not hit by the test tables).
+
+Reference parity: the reference engine (/root/reference/src/filter.rs) has
+no aggregate surface; this is part of the [RULE] analytics inventory
+(SURVEY.md §2.3 "Grouped quantile sketches" — exact twin).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import polars as pl
+import pyarrow as pa
+
+from ray.data import Dataset
+
+from perfect_bloomfilter_ray.stages.partitioning import choose_num_blocks
+from perfect_bloomfilter_ray.stages.topk import _multi_key_part
+
+
+def _quantiles_block(
+    keys: list[str], value_col: str, qs: list[float], kind: str, names: list[str]
+):
+    def fn(t: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(t.drop_columns(["_part"]))
+            .drop_nulls([value_col])
+            .sort([*keys, value_col])
+        )
+        v = df[value_col].to_numpy()
+        n = len(v)
+        change = np.zeros(n, dtype=bool)
+        if n:
+            change[0] = True
+        for k in keys:
+            a = df[k].to_numpy()
+            change[1:] |= a[1:] != a[:-1]
+        starts = np.flatnonzero(change)
+        counts = np.diff(np.append(starts, n))
+        idx = pl.Series("_i", starts, dtype=pl.UInt32)
+        out = df.select([pl.col(k).gather(idx) for k in keys])
+        cols = []
+        for q, name in zip(qs, names):
+            if kind == "disc":
+                pick = starts + np.maximum(np.ceil(q * counts).astype(np.int64) - 1, 0)
+                vals = v[pick] if n else np.empty(0, dtype=np.float64)
+            else:
+                pos = (counts - 1) * q
+                lo = np.floor(pos).astype(np.int64)
+                hi = np.ceil(pos).astype(np.int64)
+                if n:
+                    vlo, vhi = v[starts + lo], v[starts + hi]
+                    vals = vlo + (vhi - vlo) * (pos - lo)
+                else:
+                    vals = np.empty(0, dtype=np.float64)
+            cols.append(pl.Series(name, vals.astype(np.float64)))
+        return out.with_columns(cols).to_arrow()
+
+    return fn
+
+
+def exact_grouped_quantiles(
+    ds: Dataset,
+    keys: list[str] | str,
+    value_col: str,
+    qs: list[float],
+    kind: str = "disc",
+    names: list[str] | None = None,
+    num_blocks: int | None = None,
+) -> Dataset:
+    """One row per ``keys`` group with an exact quantile column per ``q``.
+
+    ``kind="disc"`` == DuckDB ``quantile_disc`` (element of the data, exact
+    across engines); ``kind="cont"`` == ``quantile_cont`` (interpolated —
+    round before comparing). See module docstring for the scale shape.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    if kind not in ("disc", "cont"):
+        raise ValueError(f"kind must be 'disc' or 'cont', got {kind!r}")
+    names = names or [f"q{str(q).replace('0.', '')}" for q in qs]
+    if len(names) != len(qs):
+        raise ValueError("names must match qs")
+    nb = choose_num_blocks(ds, num_blocks)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        return _multi_key_part(t, keys, nb)
+
+    cols = [*keys, value_col]
+    return (
+        ds.select_columns(cols)
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(_quantiles_block(keys, value_col, qs, kind, names), batch_format="pyarrow")
+    )
+
+
+def quantile_trim(
+    ds: Dataset,
+    keys: list[str] | str,
+    value_col: str,
+    lo_q: float,
+    hi_q: float,
+    num_blocks: int | None = None,
+) -> Dataset:
+    """Keep rows whose ``value_col`` lies within the group's discrete
+    [``lo_q``, ``hi_q``] quantiles (winsor-style outlier trim, inclusive).
+
+    Bounds use ``kind="disc"`` so both cut points are actual data values —
+    the boundary comparison is then bit-identical in any engine (the SQL
+    oracle joins ``quantile_disc`` bounds and applies the same BETWEEN).
+
+    The bounds table is one row per distinct group; collecting it to the
+    driver and re-broadcasting is the same small-side contract as
+    joins.lookup_join (documented driver-side materialization, NOT a
+    full-data collect).
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    bounds = exact_grouped_quantiles(
+        ds, keys, value_col, [lo_q, hi_q], kind="disc", names=["_lo", "_hi"],
+        num_blocks=num_blocks,
+    )
+    bounds_df = pl.from_arrow(pa.Table.from_pandas(bounds.to_pandas(), preserve_index=False))
+
+    def trim(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        j = df.join(bounds_df, on=keys, how="left")
+        keep = (pl.col(value_col) >= pl.col("_lo")) & (pl.col(value_col) <= pl.col("_hi"))
+        return j.filter(keep).drop(["_lo", "_hi"]).to_arrow()
+
+    return ds.map_batches(trim, batch_format="pyarrow")

@@ -58,3 +58,36 @@ def pack_shards(
         return t.append_column(seq_col, pa.array(seq[inv]))
 
     return ds.groupby(part_col).map_groups(per_part, batch_format="pyarrow")
+
+
+def deterministic_shuffle(
+    ds: Dataset,
+    id_col: str,
+    mult: int = 2654435761,
+    mod: int = 1_000_000_007,
+    key_col: str = "shuffle_key",
+) -> Dataset:
+    """Deterministic global training-order shuffle: sort by the
+    multiplicative-hash residue of ``id_col``.
+
+    Training runs need a corpus-wide pseudo-random document order that is
+    (a) reproducible across engines and re-runs and (b) resumable —
+    `random_shuffle(seed=...)` satisfies neither across engine versions.
+    The residue ``((id % mod) * (mult % mod)) % mod`` is computed in uint64
+    modular arithmetic (explicitly reduced so it cannot wrap — the id range
+    is unbounded), emitted as int64 (< mod, always positive), and the sort
+    is Ray's range-partitioned distributed sort — the honest all-to-all at
+    100 TB, pipelined block-wise rather than materialized.
+
+    SQL-portable: ``ORDER BY (id % 1000000007) * (2654435761 % 1000000007)
+    % 1000000007, id`` (BIGINT-safe: the product is < 2^63).
+    """
+    u_mod = np.uint64(mod)
+    u_mult = np.uint64(mult % mod)
+
+    def add_key(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        r = ((ids % u_mod) * u_mult) % u_mod
+        return t.append_column(key_col, pa.array(r.view(np.int64)))
+
+    return ds.map_batches(add_key, batch_format="pyarrow").sort([key_col, id_col])

@@ -1,0 +1,186 @@
+"""Exact grouped quantiles / quantile trim (stages/quantiles.py),
+deterministic shuffle (stages/shards.py) and incremental-ingest dedup
+(stages/dedup.incremental_new_rows): brute-force parity + invariants."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _rand_events(n=5000, seed=3):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame(
+        {
+            "k1": rng.choice(["a", "b", "c", "dd"], size=n),
+            "k2": rng.integers(0, 3, size=n).astype(np.int64),
+            "v": np.round(rng.normal(100, 40, size=n), 3),  # ties after round
+            "rid": np.arange(n, dtype=np.int64),
+        }
+    )
+
+
+def _disc_brute(df, keys, qs):
+    def per_group(g):
+        v = np.sort(g["v"].to_numpy())
+        n = len(v)
+        return pd.Series({f"q{i}": v[max(int(np.ceil(q * n)) - 1, 0)] for i, q in enumerate(qs)})
+
+    return df.groupby(keys).apply(per_group, include_groups=False).reset_index()
+
+
+@pytest.mark.parametrize("num_blocks", [1, 7])
+@pytest.mark.parametrize("keys", [["k1"], ["k1", "k2"]])
+def test_exact_grouped_quantiles_disc_parity(ray_session, keys, num_blocks):
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.quantiles import exact_grouped_quantiles
+
+    df = _rand_events()
+    qs = [0.0, 0.1, 0.5, 0.9, 1.0]
+    names = [f"q{i}" for i in range(len(qs))]
+    got = (
+        exact_grouped_quantiles(
+            rd.from_pandas(df).repartition(5), keys, "v", qs, kind="disc",
+            names=names, num_blocks=num_blocks,
+        )
+        .to_pandas()
+        .sort_values(keys)
+        .reset_index(drop=True)
+    )
+    want = _disc_brute(df, keys, qs).sort_values(keys).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False, check_exact=True)
+
+
+def test_exact_grouped_quantiles_cont_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.quantiles import exact_grouped_quantiles
+
+    df = _rand_events(seed=11)
+    got = (
+        exact_grouped_quantiles(rd.from_pandas(df), "k1", "v", [0.25, 0.75], kind="cont",
+                                names=["a", "b"])
+        .to_pandas()
+        .sort_values("k1")
+        .reset_index(drop=True)
+    )
+    want = (
+        df.groupby("k1")["v"]
+        .agg(a=lambda s: np.quantile(s, 0.25), b=lambda s: np.quantile(s, 0.75))
+        .reset_index()
+    )
+    np.testing.assert_allclose(got[["a", "b"]].to_numpy(), want[["a", "b"]].to_numpy(), rtol=1e-12)
+
+
+def test_quantile_trim_parity(ray_session):
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.quantiles import quantile_trim
+
+    df = _rand_events(seed=5)
+    got = (
+        quantile_trim(rd.from_pandas(df).repartition(4), "k1", "v", 0.1, 0.9)
+        .to_pandas()
+        .sort_values("rid")
+        .reset_index(drop=True)
+    )
+
+    def bounds(g):
+        v = np.sort(g["v"].to_numpy())
+        n = len(v)
+        lo = v[max(int(np.ceil(0.1 * n)) - 1, 0)]
+        hi = v[max(int(np.ceil(0.9 * n)) - 1, 0)]
+        return g[(g["v"] >= lo) & (g["v"] <= hi)]
+
+    want = (
+        df.groupby("k1", group_keys=False)[df.columns]
+        .apply(bounds)
+        .sort_values("rid")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns], want, check_exact=True)
+
+
+def test_deterministic_shuffle_order_and_reproducibility(ray_session):
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.shards import deterministic_shuffle
+
+    ids = np.arange(0, 4000, dtype=np.int64) * 7919  # sparse ids
+    df = pd.DataFrame({"doc_id": ids})
+    out = deterministic_shuffle(rd.from_pandas(df).repartition(6), "doc_id").to_pandas()
+    mod, mult = 1_000_000_007, 2654435761
+    want_key = (ids.astype(object) % mod) * (mult % mod) % mod  # unbounded python ints
+    assert sorted(out["doc_id"]) == sorted(ids)
+    # keys match the engine-portable formula exactly
+    got = out.sort_values("doc_id")["shuffle_key"].to_numpy()
+    np.testing.assert_array_equal(got, want_key.astype(np.int64))  # ids already ascending
+    # globally sorted by (key, id)
+    k = out["shuffle_key"].to_numpy()
+    i = out["doc_id"].to_numpy()
+    assert np.all((k[:-1] < k[1:]) | ((k[:-1] == k[1:]) & (i[:-1] < i[1:])))
+    # a second run yields the identical order
+    out2 = deterministic_shuffle(rd.from_pandas(df).repartition(3), "doc_id").to_pandas()
+    pd.testing.assert_frame_equal(out, out2)
+
+
+def test_incremental_new_rows_parity(ray_session):
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.dedup import incremental_new_rows
+
+    rng = np.random.default_rng(9)
+    texts = [f"doc body {i % 220}" for i in range(600)]  # heavy cross-slice dup
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(600, dtype=np.int64),
+            "text": texts,
+            "lang": rng.choice(["en", "fr"], size=600),
+        }
+    )
+    old_df, new_df = df[df.doc_id % 10 < 8], df[df.doc_id % 10 >= 8]
+    got = (
+        incremental_new_rows(
+            rd.from_pandas(old_df).repartition(4),
+            rd.from_pandas(new_df).repartition(3),
+            "text",
+            "doc_id",
+            keep_cols=["lang"],
+            num_blocks=5,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        new_df[~new_df["text"].isin(set(old_df["text"]))]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    assert list(got["lang"]) == list(want["lang"])
+    assert len(got) > 0  # slice boundaries leave genuinely new docs
+
+
+def test_incremental_new_rows_normalized(ray_session):
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.dedup import incremental_new_rows
+
+    old = pd.DataFrame({"doc_id": [0], "text": ["Hello,   World!"]})
+    new = pd.DataFrame({"doc_id": [1, 2], "text": ["hello world", "brand new"]})
+    got = incremental_new_rows(
+        rd.from_pandas(old), rd.from_pandas(new), "text", "doc_id", normalize=True, num_blocks=2
+    ).to_pandas()
+    assert list(got["doc_id"]) == [2]
+
+
+def test_normalize_text_kernel():
+    import pyarrow as pa
+
+    from perfect_bloomfilter_ray.functions.text import normalize_text
+
+    got = normalize_text(pa.array(["  A  b\t c ", "", "X"])).to_pylist()
+    assert got == ["a b c", "", "x"]
