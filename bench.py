@@ -94,6 +94,7 @@ SUITE = [
     "global_shuffle_head",
     "normalized_text_stats",
     "incremental_ingest_new_docs",
+    "word_jaccard_source_pairs",
 ]
 
 

@@ -2975,3 +2975,34 @@ def incremental_ingest_new_docs(sf_dir: str):
         .reset_index(drop=True)
     )
     return out
+
+
+@q(
+    "word_jaccard_source_pairs",
+    sql="""
+    WITH w AS (
+      SELECT doc_id, source,
+             list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS words
+      FROM documents
+    ), p AS (
+      SELECT a.source, a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.words, b.words)) AS DOUBLE) /
+             (len(a.words) + len(b.words) - len(list_intersect(a.words, b.words))) AS jaccard
+      FROM w a JOIN w b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE len(a.words) + len(b.words) > 0
+    )
+    SELECT source, id_a, id_b, jaccard FROM p WHERE jaccard >= 0.8
+    ORDER BY source, id_a, id_b
+    """,
+)
+def word_jaccard_source_pairs(sf_dir: str):
+    """Exact word-set Jaccard over all intra-source pairs — the
+    oracle-checkable member of the Jaccard dedup family (the LSH variants
+    are rows-only because their candidate sets depend on LSH parameters).
+    One incidence-matrix matmul per source group; Jaccard is a float64
+    division of exact ints, bitwise identical to the SQL oracle.
+    stages/dedup.word_jaccard_pairs_grouped."""
+    from perfect_bloomfilter_ray.stages.dedup import word_jaccard_pairs_grouped
+
+    docs = _t(sf_dir, "documents", ["doc_id", "source", "text"])
+    return word_jaccard_pairs_grouped(docs, "source", "text", "doc_id", threshold=0.8)

@@ -1290,3 +1290,91 @@ def incremental_new_rows(
     slim_old = old.map_batches(slim(True), batch_format="pyarrow")
     slim_new = new.map_batches(slim(False), batch_format="pyarrow")
     return slim_old.union(slim_new).groupby("_part").map_groups(block, batch_format="pyarrow")
+
+
+# ----------------------------------------------- grouped exact word Jaccard
+
+def word_jaccard_pairs_grouped(
+    ds: Dataset,
+    group_col: str,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+) -> Dataset:
+    """All intra-group document pairs with exact word-set Jaccard ≥
+    ``threshold``. Output columns: ``[group_col, "id_a", "id_b", "jaccard"]``
+    with ``id_a < id_b``.
+
+    This is the EXACT, oracle-checkable member of the Jaccard family —
+    ngram_jaccard above verifies LSH *candidates* (pair set depends on LSH
+    parameters), whereas here the candidate set is "every pair sharing
+    ``group_col``", reproducible in SQL with ``list_intersect`` on distinct
+    word arrays. Pairwise-within-group is quadratic BY DESIGN: callers bound
+    group sizes (a source/domain bucket, an LSH bucket after max_bucket
+    capping) exactly like the verify stages above — this is verify-altitude,
+    not corpus-altitude.
+
+    Shape: groups co-locate via the groupby shuffle; each group runs one
+    vectorized pass — tokenize (polars), factorize words (np.unique), build
+    a docs×vocab incidence matrix, and get ALL pairwise intersection sizes
+    from ONE integer matmul. No per-pair Python.
+
+    Jaccard = |A∩B| / (|A|+|B|-|A∩B|) as a float64 division of exact small
+    ints — bitwise identical across engines. Pairs where both word sets are
+    empty are excluded (0/0).
+    """
+    empty = pa.table(
+        {
+            group_col: pa.array([], pa.string()),
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        }
+    )
+
+    def block(t: pa.Table) -> pa.Table:
+        n = len(t)
+        if n < 2:
+            return empty
+        df = pl.from_arrow(t.select([group_col, id_col, text_col]))
+        ids = df[id_col].to_numpy().astype(np.int64)
+        toks = (
+            df.select(
+                pl.int_range(pl.len()).alias("_i"),
+                pl.col(text_col).str.to_lowercase().str.extract_all(r"[a-z0-9]+").alias("_w"),
+            )
+            .explode("_w")
+            .drop_nulls("_w")
+            .unique()
+        )
+        rows = toks["_i"].to_numpy()
+        words = toks["_w"].to_numpy()
+        if len(words) == 0:
+            return empty
+        _, codes = np.unique(words, return_inverse=True)
+        m = np.zeros((n, codes.max() + 1), dtype=np.int64)
+        m[rows, codes] = 1
+        sizes = m.sum(axis=1)
+        inter = m @ m.T
+        ii, jj = np.triu_indices(n, k=1)
+        union = sizes[ii] + sizes[jj] - inter[ii, jj]
+        ok = union > 0
+        ii, jj, un = ii[ok], jj[ok], union[ok]
+        jac = inter[ii, jj].astype(np.float64) / un.astype(np.float64)
+        keep = jac >= threshold
+        ii, jj, jac = ii[keep], jj[keep], jac[keep]
+        a, b = ids[ii], ids[jj]
+        swap = a > b
+        a2 = np.where(swap, b, a)
+        b2 = np.where(swap, a, b)
+        o = np.lexsort((b2, a2))
+        return pa.table(
+            {
+                group_col: pa.array(np.asarray(df[group_col].to_numpy())[ii[o]]),
+                "id_a": pa.array(a2[o]),
+                "id_b": pa.array(b2[o]),
+                "jaccard": pa.array(jac[o]),
+            }
+        )
+
+    return ds.groupby(group_col).map_groups(block, batch_format="pyarrow")

@@ -91,3 +91,75 @@ def deterministic_shuffle(
         return t.append_column(key_col, pa.array(r.view(np.int64)))
 
     return ds.map_batches(add_key, batch_format="pyarrow").sort([key_col, id_col])
+
+
+def write_jsonl_shards(
+    ds: Dataset,
+    out_dir: str,
+    part_col: str = "part",
+    seq_col: str = "shard_seq",
+    order_cols: list[str] | None = None,
+) -> dict:
+    """Write one JSONL file per ``(part, seq)`` training shard — the trainer-
+    facing sink for pack_shards output. Returns (and persists) a manifest.
+
+    Layout/resume contract (same as checkpoint.resumable_etl, at shard
+    granularity): file ``part-PPPPP-seq-SSSSS.jsonl``, written to a temp
+    name and published with an atomic rename; a re-run SKIPS every (part,
+    seq) whose file already exists, so a failed 100-TB export loses at most
+    the shards in flight. Each shard is written by the task that owns its
+    group — the driver never sees record data, only the one-row-per-shard
+    manifest.
+
+    ``order_cols`` fixes the record order inside each file (pass the pack
+    ordering columns to make files byte-reproducible across runs).
+    """
+    import json
+    import os
+
+    import polars as pl
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_group(t: pa.Table) -> pa.Table:
+        part = t.column(part_col)[0].as_py()
+        seq = t.column(seq_col)[0].as_py()
+        name = f"part-{part:05d}-seq-{seq:05d}.jsonl"
+        path = os.path.join(out_dir, name)
+        rows = len(t)
+        if os.path.exists(path):
+            return pa.table(
+                {"part": pa.array([part], pa.int64()), "seq": pa.array([seq], pa.int64()),
+                 "rows": pa.array([rows], pa.int64()), "path": pa.array([path]),
+                 "resumed": pa.array([True])}
+            )
+        df = pl.from_arrow(t.drop_columns([part_col, seq_col]))
+        if order_cols:
+            df = df.sort(order_cols)
+        tmp = path + ".tmp"
+        df.write_ndjson(tmp)
+        os.replace(tmp, path)
+        return pa.table(
+            {"part": pa.array([part], pa.int64()), "seq": pa.array([seq], pa.int64()),
+             "rows": pa.array([rows], pa.int64()), "path": pa.array([path]),
+             "resumed": pa.array([False])}
+        )
+
+    shard_rows = (
+        ds.groupby([part_col, seq_col])
+        .map_groups(write_group, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["part", "seq"])
+        .reset_index(drop=True)
+    )
+    manifest = {
+        "out_dir": out_dir,
+        "num_shards": int(len(shard_rows)),
+        "num_resumed": int(shard_rows["resumed"].sum()),
+        "num_written": int((~shard_rows["resumed"]).sum()),
+        "total_rows": int(shard_rows["rows"].sum()),
+        "shards": shard_rows.to_dict("records"),
+    }
+    with open(os.path.join(out_dir, "manifest.json"), "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    return manifest

@@ -184,3 +184,51 @@ def test_normalize_text_kernel():
 
     got = normalize_text(pa.array(["  A  b\t c ", "", "X"])).to_pylist()
     assert got == ["a b c", "", "x"]
+
+
+def test_word_jaccard_pairs_grouped_parity(ray_session):
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.dedup import word_jaccard_pairs_grouped
+
+    rng = np.random.default_rng(21)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(0, 25))) for _ in range(80)]
+    texts[5] = ""  # empty doc: excluded from any pair (union>0 guard pairs it only with non-empty)
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(80, dtype=np.int64),
+            "g": rng.choice(["s1", "s2", "s3"], size=80),
+            "text": texts,
+        }
+    )
+    got = (
+        word_jaccard_pairs_grouped(rd.from_pandas(df).repartition(4), "g", "text", "doc_id", 0.3)
+        .to_pandas()
+        .sort_values(["g", "id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+
+    import re
+
+    rows = []
+    for g, sub in df.groupby("g"):
+        recs = list(sub.itertuples())
+        for x in range(len(recs)):
+            for y in range(x + 1, len(recs)):
+                a, b = recs[x], recs[y]
+                wa = set(re.findall(r"[a-z0-9]+", a.text.lower()))
+                wb = set(re.findall(r"[a-z0-9]+", b.text.lower()))
+                if not wa and not wb:
+                    continue
+                jac = len(wa & wb) / len(wa | wb)
+                if jac >= 0.3:
+                    lo, hi = sorted((a.doc_id, b.doc_id))
+                    rows.append((g, lo, hi, jac))
+    want = (
+        pd.DataFrame(rows, columns=["g", "id_a", "id_b", "jaccard"])
+        .sort_values(["g", "id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) and len(want) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)

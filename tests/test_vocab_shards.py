@@ -153,3 +153,43 @@ def test_unigram_nll_matches_bruteforce(ray_session, corpus):
         .reset_index(drop=True)
     )
     np.testing.assert_allclose(out["nll_per_tok"].to_numpy(), np.array(exp), rtol=1e-12, atol=1e-12)
+
+
+def test_write_jsonl_shards_roundtrip_and_resume(ray_session, tmp_path):
+    import json
+    import os
+
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.shards import pack_shards, write_jsonl_shards
+
+    n = 400
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "text": [f"doc {i}" for i in range(n)],
+            "cost": np.full(n, 7, dtype=np.int64),
+            "part": (np.arange(n) % 3).astype(np.int64),
+        }
+    )
+    packed = pack_shards(
+        rd.from_pandas(df).repartition(4), "cost", budget=100, part_col="part",
+        order_col="doc_id", id_col="doc_id",
+    )
+    out = str(tmp_path / "shards")
+    man = write_jsonl_shards(packed, out, part_col="part", order_cols=["doc_id"])
+    assert man["num_written"] == man["num_shards"] > 3 and man["num_resumed"] == 0
+    assert man["total_rows"] == n
+
+    # every record round-trips; files are internally ordered
+    back = rd.read_json([s["path"] for s in man["shards"]]).to_pandas()
+    assert len(back) == n
+    assert sorted(back["doc_id"]) == list(range(n))
+
+    # re-run: nothing rewritten, same manifest shape
+    mtimes = {s["path"]: os.path.getmtime(s["path"]) for s in man["shards"]}
+    man2 = write_jsonl_shards(packed, out, part_col="part", order_cols=["doc_id"])
+    assert man2["num_resumed"] == man["num_shards"] and man2["num_written"] == 0
+    assert {s["path"]: os.path.getmtime(s["path"]) for s in man2["shards"]} == mtimes
+    with open(os.path.join(out, "manifest.json")) as fh:
+        assert json.load(fh)["total_rows"] == n
