@@ -95,6 +95,9 @@ SUITE = [
     "normalized_text_stats",
     "incremental_ingest_new_docs",
     "word_jaccard_source_pairs",
+    "corr_qty_price_per_flag",
+    "orders_ntile_by_custkey",
+    "documents_profile",
 ]
 
 

@@ -3006,3 +3006,95 @@ def word_jaccard_source_pairs(sf_dir: str):
 
     docs = _t(sf_dir, "documents", ["doc_id", "source", "text"])
     return word_jaccard_pairs_grouped(docs, "source", "text", "doc_id", threshold=0.8)
+
+
+# ---------------------------------------------------------------------------
+# Correlation / ntile / table profiling
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "corr_qty_price_per_flag",
+    sql="""
+    SELECT l_returnflag,
+           count(*)                                           AS n,
+           round(covar_samp(l_quantity, l_extendedprice), 2)  AS covar_samp,
+           round(corr(l_quantity, l_extendedprice), 6)        AS corr
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def corr_qty_price_per_flag(sf_dir: str):
+    """Per-group Pearson correlation + sample covariance via centered
+    partial moments (Chan et al. parallel-variance merge) — exact in one
+    map pass + one slim partial shuffle. stages/agg.grouped_corr."""
+    from perfect_bloomfilter_ray.stages.agg import grouped_corr
+
+    ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"])
+    out = (
+        grouped_corr(ds, "l_returnflag", "l_quantity", "l_extendedprice")
+        .to_pandas()
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
+    )
+    out["covar_samp"] = out["covar_samp"].round(2)
+    out["corr"] = out["corr"].round(6)
+    return out[["l_returnflag", "n", "covar_samp", "corr"]]
+
+
+@q(
+    "orders_ntile_by_custkey",
+    sql="""
+    SELECT o_orderkey,
+           ntile(4) OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey) AS nt
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def orders_ntile_by_custkey(sf_dir: str):
+    """NTILE(4) window over each customer's orders by date — same coarse
+    hash-partition + single vectorized pass as rank/dense_rank
+    (stages/windows.ranked); tie broken by o_orderkey so the bucket
+    assignment is engine-portable."""
+    from perfect_bloomfilter_ray.stages.windows import ranked
+
+    ds = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    out = ranked(
+        ds,
+        "o_custkey",
+        "o_orderdate",
+        tie_cols=["o_orderkey"],
+        rank_col=None,
+        ntile=4,
+        ntile_col="nt",
+    )
+    return out.select_columns(["o_orderkey", "nt"]).sort("o_orderkey")
+
+
+@q(
+    "documents_profile",
+    sql="""
+    SELECT 'doc_id' AS col_name, count(doc_id) AS n,
+           count(*) - count(doc_id) AS n_null, count(DISTINCT doc_id) AS n_distinct,
+           CAST(min(doc_id) AS DOUBLE) AS min_num, CAST(max(doc_id) AS DOUBLE) AS max_num
+    FROM documents
+    UNION ALL
+    SELECT 'n_chars', count(n_chars), count(*) - count(n_chars), count(DISTINCT n_chars),
+           CAST(min(n_chars) AS DOUBLE), CAST(max(n_chars) AS DOUBLE)
+    FROM documents
+    UNION ALL
+    SELECT 'lang', count(lang), count(*) - count(lang), count(DISTINCT lang), NULL, NULL
+    FROM documents
+    UNION ALL
+    SELECT 'source', count(source), count(*) - count(source), count(DISTINCT source), NULL, NULL
+    FROM documents
+    ORDER BY col_name
+    """,
+)
+def documents_profile(sf_dir: str):
+    """Per-column table profile (n / nulls / exact distinct / numeric
+    min-max) in two streaming passes; all profiled columns share ONE slim
+    deduped value shuffle. stages/profile.profile_table."""
+    from perfect_bloomfilter_ray.stages.profile import profile_table
+
+    ds = _t(sf_dir, "documents", ["doc_id", "n_chars", "lang", "source"])
+    return profile_table(ds, num_cols=["doc_id", "n_chars"], str_cols=["lang", "source"])

@@ -26,12 +26,14 @@ from __future__ import annotations
 from typing import Any, Callable
 
 import numpy as np
+import polars as pl
 import pyarrow as pa
 
 from ray.data import Dataset
 from ray.data.aggregate import AggregateFnV2
 from ray.data.block import Block, BlockAccessor
 
+from perfect_bloomfilter_ray.stages.partitioning import choose_num_blocks
 from perfect_bloomfilter_ray.state.base import dumps_sketch, loads_sketch
 
 
@@ -237,4 +239,120 @@ def sketch_grouped(
         partial_ds = level1.drop_columns(["_salt"])
     return partial_ds.groupby(key).aggregate(
         SketchMergeAgg(factory, on="partial", name=name, finalize_fn=finalize_fn)
+    )
+
+
+# ---------------------------------------------------------- corr / covariance
+
+def grouped_corr(
+    ds: Dataset,
+    key: str,
+    x_col: str,
+    y_col: str,
+    num_blocks: int | None = None,
+) -> Dataset:
+    """Per-key Pearson correlation + sample covariance of two numeric
+    columns — exact two-column sufficient statistics, numerically stable.
+
+    Naive Σx²/Σxy sums cancel catastrophically at 100-TB magnitudes, so the
+    partials are CENTERED per block (n, mean_x, mean_y, M2x, M2y, Cxy —
+    the parallel-variance formulation of Chan et al. 1983) and merged with
+    the weighted one-level combine: ``M2 = Σ M2_i + Σ n_i·(mean_i − mean)²``
+    (exact for any partition of the rows, vectorized over keys with
+    reduceat). Rows where either column is null are excluded (SQL corr /
+    covar_samp semantics).
+
+    Output per key: ``n`` (int64), ``covar_samp`` (= Cxy / (n−1)), ``corr``
+    (= Cxy / √(M2x·M2y)); null when n < 2 or a variance is 0. Shape: one
+    map_batches partial pass (a few rows per key per block), one slim
+    shuffle of partials, one vectorized merge per coarse partition.
+    """
+    from perfect_bloomfilter_ray.functions.hashing import hash64
+
+    nb = choose_num_blocks(ds, num_blocks)
+
+    def partials(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select([key, x_col, y_col])).drop_nulls([x_col, y_col])
+        if len(df) == 0:
+            return pa.table(
+                {
+                    key: pa.array([], t.schema.field(key).type),
+                    "pn": pa.array([], pa.int64()),
+                    "mx": pa.array([], pa.float64()),
+                    "my": pa.array([], pa.float64()),
+                    "m2x": pa.array([], pa.float64()),
+                    "m2y": pa.array([], pa.float64()),
+                    "cxy": pa.array([], pa.float64()),
+                }
+            )
+        df = df.sort(key)
+        keys_np = df[key].to_numpy()
+        x = df[x_col].to_numpy().astype(np.float64)
+        y = df[y_col].to_numpy().astype(np.float64)
+        change = np.zeros(len(df), dtype=bool)
+        change[0] = True
+        change[1:] = keys_np[1:] != keys_np[:-1]
+        starts = np.flatnonzero(change)
+        n_g = np.diff(np.append(starts, len(df)))
+        sx = np.add.reduceat(x, starts)
+        sy = np.add.reduceat(y, starts)
+        mx, my = sx / n_g, sy / n_g
+        dx = x - np.repeat(mx, n_g)
+        dy = y - np.repeat(my, n_g)
+        m2x = np.add.reduceat(dx * dx, starts)
+        m2y = np.add.reduceat(dy * dy, starts)
+        cxy = np.add.reduceat(dx * dy, starts)
+        kt = df[key].to_arrow()
+        return pa.table(
+            {
+                key: kt.take(pa.array(starts, pa.int64())),
+                "pn": pa.array(n_g, pa.int64()),
+                "mx": pa.array(mx),
+                "my": pa.array(my),
+                "m2x": pa.array(m2x),
+                "m2y": pa.array(m2y),
+                "cxy": pa.array(cxy),
+            }
+        )
+
+    def add_part(t: pa.Table) -> pa.Table:
+        h = hash64(t.column(key), 0xC0FF)
+        return t.append_column("_part", pa.array((h % np.uint64(nb)).astype(np.int32)))
+
+    def merge_block(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.drop_columns(["_part"])).sort(key)
+        keys_np = df[key].to_numpy()
+        change = np.zeros(len(df), dtype=bool)
+        change[0] = True
+        change[1:] = keys_np[1:] != keys_np[:-1]
+        starts = np.flatnonzero(change)
+        pn = df["pn"].to_numpy().astype(np.float64)
+        n = np.add.reduceat(pn, starts)
+        mx = np.add.reduceat(pn * df["mx"].to_numpy(), starts) / n
+        my = np.add.reduceat(pn * df["my"].to_numpy(), starts) / n
+        ex = df["mx"].to_numpy() - np.repeat(mx, np.diff(np.append(starts, len(df))))
+        ey = df["my"].to_numpy() - np.repeat(my, np.diff(np.append(starts, len(df))))
+        m2x = np.add.reduceat(df["m2x"].to_numpy() + pn * ex * ex, starts)
+        m2y = np.add.reduceat(df["m2y"].to_numpy() + pn * ey * ey, starts)
+        cxy = np.add.reduceat(df["cxy"].to_numpy() + pn * ex * ey, starts)
+        n_i = n.astype(np.int64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            covar = np.where(n_i > 1, cxy / np.maximum(n - 1.0, 1.0), np.nan)
+            denom = np.sqrt(m2x * m2y)
+            corr = np.where((n_i > 1) & (denom > 0), cxy / np.where(denom > 0, denom, 1.0), np.nan)
+        kt = df[key].to_arrow()
+        return pa.table(
+            {
+                key: kt.take(pa.array(starts, pa.int64())),
+                "n": pa.array(n_i),
+                "covar_samp": pa.array(covar),
+                "corr": pa.array(corr),
+            }
+        )
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(merge_block, batch_format="pyarrow")
     )

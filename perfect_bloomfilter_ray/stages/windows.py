@@ -204,15 +204,20 @@ def ranked(
     rank_col: str = "rank",
     dense_rank_col: str | None = None,
     row_number_col: str | None = None,
+    ntile: int | None = None,
+    ntile_col: str = "ntile",
     num_blocks: int | None = None,
 ) -> Dataset:
     """Per-key ranking window functions: SQL ``rank() / dense_rank() /
-    row_number() OVER (PARTITION BY key ORDER BY order_col [DESC])``.
+    row_number() / ntile(B) OVER (PARTITION BY key ORDER BY order_col
+    [DESC])``.
 
     ``rank``/``dense_rank`` tie on equal ``order_col`` values;
-    ``row_number`` breaks ties by ``tie_cols`` (pass a unique column for a
-    deterministic, oracle-comparable result). Same execution shape as the
-    other keyed window ops: coarse hash partition, ONE vectorized pass per
+    ``row_number``/``ntile`` break ties by ``tie_cols`` (pass a unique
+    column for a deterministic, oracle-comparable result). ``ntile`` uses
+    the SQL sizing rule: with m rows and B buckets the first ``m % B``
+    buckets get ``m // B + 1`` rows. Same execution shape as the other
+    keyed window ops: coarse hash partition, ONE vectorized pass per
     partition (lexsort + run-boundary cumsums), no per-key Python.
     """
     tie_cols = list(tie_cols or [])
@@ -220,7 +225,7 @@ def ranked(
     def per_part(t: pa.Table) -> pa.Table:
         t_out = t.drop_columns(["_part"])
         if len(t) == 0:
-            for c in (rank_col, dense_rank_col, row_number_col):
+            for c in (rank_col, dense_rank_col, row_number_col, ntile_col if ntile else None):
                 if c:
                     t_out = t_out.append_column(c, pa.array([], pa.int64()))
             return t_out
@@ -264,7 +269,19 @@ def ranked(
         dense_s = dense_cum - np.repeat(dense_cum[starts] - 1, run_lens)
         inv = np.empty(n, dtype=np.int64)
         inv[order] = np.arange(n)
-        for name, arr in ((rank_col, rank_s), (dense_rank_col, dense_s), (row_number_col, pos + 1)):
+        outputs = [(rank_col, rank_s), (dense_rank_col, dense_s), (row_number_col, pos + 1)]
+        if ntile:
+            # SQL sizing: first (m % B) buckets get m//B + 1 rows
+            m = np.repeat(run_lens, run_lens)
+            qq, rr = m // ntile, m % ntile
+            thresh = rr * (qq + 1)
+            nt = np.where(
+                pos < thresh,
+                pos // np.maximum(qq + 1, 1),
+                rr + (pos - thresh) // np.maximum(qq, 1),
+            )
+            outputs.append((ntile_col, nt + 1))
+        for name, arr in outputs:
             if name:
                 t_out = t_out.append_column(name, pa.array(arr[inv].astype(np.int64)))
         return t_out
