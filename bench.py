@@ -98,6 +98,7 @@ SUITE = [
     "corr_qty_price_per_flag",
     "orders_ntile_by_custkey",
     "documents_profile",
+    "dup_ngram_doc_stats",
 ]
 
 

@@ -3098,3 +3098,37 @@ def documents_profile(sf_dir: str):
 
     ds = _t(sf_dir, "documents", ["doc_id", "n_chars", "lang", "source"])
     return profile_table(ds, num_cols=["doc_id", "n_chars"], str_cols=["lang", "source"])
+
+
+@q(
+    "dup_ngram_doc_stats",
+    sql="""
+    WITH w AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS words FROM documents
+    ), g AS (
+      SELECT doc_id, array_to_string(words[i:i+4], ' ') AS gram
+      FROM w, UNNEST(range(1, len(words) - 3)) AS t(i)
+    ), d AS (
+      SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+    ), per AS (
+      SELECT g.doc_id,
+             count(*) AS n_grams,
+             sum(CASE WHEN d.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_dup
+      FROM g LEFT JOIN d USING (gram) GROUP BY g.doc_id
+    )
+    SELECT doc_id, n_grams, CAST(n_dup AS BIGINT) AS n_dup,
+           CAST(n_dup AS DOUBLE) / n_grams AS dup_frac
+    FROM per ORDER BY doc_id
+    """,
+)
+def dup_ngram_doc_stats(sf_dir: str):
+    """Inter-document duplicated-n-gram fraction (Lee et al. 2021 dedup
+    signal): per doc, the share of its word 5-gram positions whose 5-gram
+    appears in >= 2 distinct docs corpus-wide. Distinct (doc,gram) rows
+    shuffle once by gram hash; the fraction is an exact int/int float64
+    division. stages/ngramdup.dup_ngram_stats."""
+    from perfect_bloomfilter_ray.stages.ngramdup import dup_ngram_stats
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = dup_ngram_stats(docs, "text", "doc_id", n=5, min_docs=2)
+    return out.sort("doc_id")
