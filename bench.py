@@ -99,6 +99,8 @@ SUITE = [
     "orders_ntile_by_custkey",
     "documents_profile",
     "dup_ngram_doc_stats",
+    "order_price_percentiles_per_cust",
+    "event_value_zscores",
 ]
 
 

@@ -3132,3 +3132,61 @@ def dup_ngram_doc_stats(sf_dir: str):
     docs = _t(sf_dir, "documents", ["doc_id", "text"])
     out = dup_ngram_stats(docs, "text", "doc_id", n=5, min_docs=2)
     return out.sort("doc_id")
+
+
+@q(
+    "order_price_percentiles_per_cust",
+    sql="""
+    SELECT o_orderkey,
+           percent_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice) AS pr,
+           cume_dist()    OVER (PARTITION BY o_custkey ORDER BY o_totalprice) AS cd
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def order_price_percentiles_per_cust(sf_dir: str):
+    """percent_rank / cume_dist windows — value-run arithmetic shared with
+    rank/dense_rank in the same single vectorized pass; both are exact
+    int/int float64 divisions, bitwise equal to any SQL engine.
+    stages/windows.ranked."""
+    from perfect_bloomfilter_ray.stages.windows import ranked
+
+    ds = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    out = ranked(
+        ds,
+        "o_custkey",
+        "o_totalprice",
+        rank_col=None,
+        percent_rank_col="pr",
+        cume_dist_col="cd",
+    )
+    return out.select_columns(["o_orderkey", "pr", "cd"]).sort("o_orderkey")
+
+
+@q(
+    "event_value_zscores",
+    sql="""
+    SELECT event_id,
+           round((value - avg(value)    OVER (PARTITION BY event_type))
+                 / stddev_samp(value)   OVER (PARTITION BY event_type), 4) AS z
+    FROM events ORDER BY event_id
+    """,
+)
+def event_value_zscores(sf_dir: str):
+    """Per-category z-score feature normalization: grouped mean/std via
+    centered-moment partials reduced to one row per key, broadcast once
+    (ray.put), then one shuffle-free map pass applies the affine transform.
+    stages/agg.zscore_normalize."""
+    from perfect_bloomfilter_ray.stages.agg import zscore_normalize
+
+    ds = _t(sf_dir, "events", ["event_id", "event_type", "value"])
+    out = zscore_normalize(ds, "event_type", "value", out_col="z")
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "z": pc.round(t.column("z"), ndigits=4),
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow").sort("event_id")

@@ -356,3 +356,129 @@ def grouped_corr(
         .groupby("_part")
         .map_groups(merge_block, batch_format="pyarrow")
     )
+
+
+def grouped_mean_std(
+    ds: Dataset,
+    key: str,
+    col: str,
+    num_blocks: int | None = None,
+) -> Dataset:
+    """Per-key count / mean / sample stddev — same centered-moment partials
+    and Chan-style weighted merge as :func:`grouped_corr`, one column.
+    Output per key: ``n`` (int64), ``mean``, ``std`` (ddof=1; null when
+    n < 2). Nulls in ``col`` are excluded (SQL avg/stddev_samp)."""
+    from perfect_bloomfilter_ray.functions.hashing import hash64
+
+    nb = choose_num_blocks(ds, num_blocks)
+
+    def partials(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select([key, col])).drop_nulls([col])
+        if len(df) == 0:
+            return pa.table(
+                {
+                    key: pa.array([], t.schema.field(key).type),
+                    "pn": pa.array([], pa.int64()),
+                    "mx": pa.array([], pa.float64()),
+                    "m2x": pa.array([], pa.float64()),
+                }
+            )
+        df = df.sort(key)
+        keys_np = df[key].to_numpy()
+        x = df[col].to_numpy().astype(np.float64)
+        change = np.zeros(len(df), dtype=bool)
+        change[0] = True
+        change[1:] = keys_np[1:] != keys_np[:-1]
+        starts = np.flatnonzero(change)
+        n_g = np.diff(np.append(starts, len(df)))
+        mx = np.add.reduceat(x, starts) / n_g
+        dx = x - np.repeat(mx, n_g)
+        m2x = np.add.reduceat(dx * dx, starts)
+        kt = df[key].to_arrow()
+        return pa.table(
+            {
+                key: kt.take(pa.array(starts, pa.int64())),
+                "pn": pa.array(n_g, pa.int64()),
+                "mx": pa.array(mx),
+                "m2x": pa.array(m2x),
+            }
+        )
+
+    def add_part(t: pa.Table) -> pa.Table:
+        h = hash64(t.column(key), 0xC0FF)
+        return t.append_column("_part", pa.array((h % np.uint64(nb)).astype(np.int32)))
+
+    def merge_block(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.drop_columns(["_part"])).sort(key)
+        keys_np = df[key].to_numpy()
+        change = np.zeros(len(df), dtype=bool)
+        change[0] = True
+        change[1:] = keys_np[1:] != keys_np[:-1]
+        starts = np.flatnonzero(change)
+        pn = df["pn"].to_numpy().astype(np.float64)
+        n = np.add.reduceat(pn, starts)
+        mx = np.add.reduceat(pn * df["mx"].to_numpy(), starts) / n
+        ex = df["mx"].to_numpy() - np.repeat(mx, np.diff(np.append(starts, len(df))))
+        m2x = np.add.reduceat(df["m2x"].to_numpy() + pn * ex * ex, starts)
+        n_i = n.astype(np.int64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            std = np.where(n_i > 1, np.sqrt(m2x / np.maximum(n - 1.0, 1.0)), np.nan)
+        kt = df[key].to_arrow()
+        return pa.table(
+            {
+                key: kt.take(pa.array(starts, pa.int64())),
+                "n": pa.array(n_i),
+                "mean": pa.array(mx),
+                "std": pa.array(std),
+            }
+        )
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(merge_block, batch_format="pyarrow")
+    )
+
+
+def zscore_normalize(
+    ds: Dataset,
+    key: str,
+    col: str,
+    out_col: str = "z",
+    num_blocks: int | None = None,
+) -> Dataset:
+    """Per-key z-score normalization: ``z = (x − mean_key) / std_key``
+    (sample stddev), the feature-scaling step before training.
+
+    Two streaming passes: (1) :func:`grouped_mean_std` reduces the table to
+    one stats row per key — keys are bounded (categories / shards / langs),
+    so the stats table is broadcast ONCE via ``ray.put`` and every map task
+    reads it zero-copy; (2) one ``map_batches`` pass applies the affine
+    transform. No shuffle of data rows at any point. Rows whose key has
+    n < 2 or zero variance get null ``z`` (SQL division by a null/0 stddev).
+    For unbounded key domains (per-user at 100 TB), route both sides by
+    ``hash(key) % nb`` and apply per partition instead of broadcasting.
+    """
+    import ray
+
+    stats = grouped_mean_std(ds, key, col, num_blocks=num_blocks).to_pandas()
+    keys = stats[key].to_numpy()
+    order = np.argsort(keys)
+    lut_ref = ray.put(
+        (keys[order], stats["mean"].to_numpy()[order], stats["std"].to_numpy()[order])
+    )
+
+    def apply(t: pa.Table) -> pa.Table:
+        k_sorted, mean_a, std_a = ray.get(lut_ref)
+        kv = t.column(key).to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(k_sorted, kv)
+        idx = np.clip(idx, 0, len(k_sorted) - 1)
+        hit = k_sorted[idx] == kv
+        x = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            z = (x - mean_a[idx]) / std_a[idx]
+        z = np.where(hit & (std_a[idx] > 0), z, np.nan)
+        return t.append_column(out_col, pa.array(z))
+
+    return ds.map_batches(apply, batch_format="pyarrow")

@@ -206,6 +206,8 @@ def ranked(
     row_number_col: str | None = None,
     ntile: int | None = None,
     ntile_col: str = "ntile",
+    percent_rank_col: str | None = None,
+    cume_dist_col: str | None = None,
     num_blocks: int | None = None,
 ) -> Dataset:
     """Per-key ranking window functions: SQL ``rank() / dense_rank() /
@@ -219,6 +221,10 @@ def ranked(
     buckets get ``m // B + 1`` rows. Same execution shape as the other
     keyed window ops: coarse hash partition, ONE vectorized pass per
     partition (lexsort + run-boundary cumsums), no per-key Python.
+
+    ``percent_rank`` = (rank−1)/(m−1) (0 when m == 1) and ``cume_dist`` =
+    (# peers ≤ current value)/m are float64 — each an exact IEEE division
+    of small ints, so they compare bitwise against a SQL engine.
     """
     tie_cols = list(tie_cols or [])
 
@@ -228,6 +234,9 @@ def ranked(
             for c in (rank_col, dense_rank_col, row_number_col, ntile_col if ntile else None):
                 if c:
                     t_out = t_out.append_column(c, pa.array([], pa.int64()))
+            for c in (percent_rank_col, cume_dist_col):
+                if c:
+                    t_out = t_out.append_column(c, pa.array([], pa.float64()))
             return t_out
         keys = t.column(key_col)
         if isinstance(keys, pa.ChunkedArray):
@@ -284,6 +293,17 @@ def ranked(
         for name, arr in outputs:
             if name:
                 t_out = t_out.append_column(name, pa.array(arr[inv].astype(np.int64)))
+        if percent_rank_col or cume_dist_col:
+            m = np.repeat(run_lens, run_lens).astype(np.float64)
+            if percent_rank_col:
+                pr = np.where(m > 1, (rank_s - 1) / np.maximum(m - 1.0, 1.0), 0.0)
+                t_out = t_out.append_column(percent_rank_col, pa.array(pr[inv]))
+            if cume_dist_col:
+                vstarts = np.flatnonzero(new_val)
+                vlens = np.diff(np.append(vstarts, n))
+                vend = np.repeat(vstarts + vlens, vlens)  # exclusive end of value-run
+                cd = (vend - np.repeat(starts, run_lens)) / m
+                t_out = t_out.append_column(cume_dist_col, pa.array(cd[inv]))
         return t_out
 
     return _add_part(ds, key_col, choose_num_blocks(ds, num_blocks)).groupby("_part").map_groups(per_part, batch_format="pyarrow")

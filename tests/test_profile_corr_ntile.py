@@ -125,3 +125,65 @@ def test_profile_table_matches_pandas(ray_session):
     assert by["s"].n == int(df["s"].notna().sum())
     assert by["s"].n_distinct == 4
     assert np.isnan(by["s"].min_num)
+
+
+def test_percent_rank_cume_dist_match_duckdb(ray_session):
+    from perfect_bloomfilter_ray.stages.windows import ranked
+
+    rng = np.random.default_rng(23)
+    n = 2000
+    df = pd.DataFrame(
+        {
+            "rid": np.arange(n, dtype=np.int64),
+            "k": rng.integers(0, 40, n),
+            "v": rng.integers(0, 15, n),  # heavy ties → real cume_dist peers
+        }
+    )
+    # singleton key → percent_rank 0 branch
+    df.loc[0, "k"] = 999
+    out = (
+        ranked(
+            rd.from_pandas(df).repartition(5),
+            "k",
+            "v",
+            rank_col=None,
+            percent_rank_col="pr",
+            cume_dist_col="cd",
+            num_blocks=4,
+        )
+        .to_pandas()
+        .sort_values("rid")
+        .reset_index(drop=True)
+    )
+    ref = duckdb.sql(
+        "SELECT rid, percent_rank() OVER (PARTITION BY k ORDER BY v) AS pr, "
+        "cume_dist() OVER (PARTITION BY k ORDER BY v) AS cd FROM df ORDER BY rid"
+    ).df()
+    np.testing.assert_array_equal(out["pr"].to_numpy(), ref["pr"].to_numpy())
+    np.testing.assert_array_equal(out["cd"].to_numpy(), ref["cd"].to_numpy())
+
+
+def test_zscore_normalize_matches_pandas(ray_session):
+    from perfect_bloomfilter_ray.stages.agg import zscore_normalize
+
+    rng = np.random.default_rng(31)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "rid": np.arange(n, dtype=np.int64),
+            "k": rng.integers(0, 25, n),
+            "x": rng.normal(50.0, 9.0, n),
+        }
+    )
+    df.loc[0, "k"] = 77  # singleton key → null z
+    df.loc[df["k"] == 3, "x"] = 1.25  # constant key → zero std → null z
+    out = (
+        zscore_normalize(rd.from_pandas(df).repartition(8), "k", "x", num_blocks=4)
+        .to_pandas()
+        .sort_values("rid")
+        .reset_index(drop=True)
+    )
+    ref = df.groupby("k")["x"].transform(lambda s: (s - s.mean()) / s.std(ddof=1))
+    mask = df["k"].isin([77, 3]).to_numpy()
+    assert np.isnan(out["z"].to_numpy()[mask]).all()
+    np.testing.assert_allclose(out["z"].to_numpy()[~mask], ref.to_numpy()[~mask], rtol=1e-9)
