@@ -101,6 +101,7 @@ SUITE = [
     "dup_ngram_doc_stats",
     "order_price_percentiles_per_cust",
     "event_value_zscores",
+    "embedding_centroid_cosine",
 ]
 
 

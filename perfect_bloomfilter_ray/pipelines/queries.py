@@ -3190,3 +3190,41 @@ def event_value_zscores(sf_dir: str):
         )
 
     return out.map_batches(fin, batch_format="pyarrow").sort("event_id")
+
+
+@q(
+    "embedding_centroid_cosine",
+    sql="""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding[i] AS DOUBLE) AS x, i
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    ), c AS (
+      SELECT label, i, avg(x) AS cx FROM e GROUP BY label, i
+    ), dots AS (
+      SELECT e.vec_id,
+             sum(e.x * c.cx) AS dot, sum(e.x * e.x) AS nx, sum(c.cx * c.cx) AS nc
+      FROM e JOIN c ON e.label = c.label AND e.i = c.i GROUP BY e.vec_id
+    )
+    SELECT vec_id, round(dot / (sqrt(nx) * sqrt(nc)), 4) AS cos_centroid
+    FROM dots ORDER BY vec_id
+    """,
+)
+def embedding_centroid_cosine(sf_dir: str):
+    """Semantic-outlier scoring: per-label embedding centroid (one partial
+    row per key per block, driver merge of labels x blocks tiny partials,
+    broadcast once), then a shuffle-free cosine pass.
+    stages/centroids.cosine_to_centroid."""
+    from perfect_bloomfilter_ray.stages.centroids import cosine_to_centroid
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "label", "embedding"])
+    out = cosine_to_centroid(ds, "label", "embedding")
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vec_id": t.column("vec_id"),
+                "cos_centroid": pc.round(t.column("cos_centroid"), ndigits=4),
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow").sort("vec_id")
