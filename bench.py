@@ -102,6 +102,7 @@ SUITE = [
     "order_price_percentiles_per_cust",
     "event_value_zscores",
     "embedding_centroid_cosine",
+    "dup_span_removed_docs",
 ]
 
 

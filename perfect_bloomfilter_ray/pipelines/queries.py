@@ -3228,3 +3228,41 @@ def embedding_centroid_cosine(sf_dir: str):
         )
 
     return out.map_batches(fin, batch_format="pyarrow").sort("vec_id")
+
+
+@q(
+    "dup_span_removed_docs",
+    sql="""
+    WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS words
+               FROM documents),
+    g AS (SELECT doc_id, i, array_to_string(words[i:i+4], ' ') AS gram
+          FROM w, UNNEST(range(1, len(words) - 3)) t(i)),
+    d AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+    cov AS (SELECT DISTINCT g.doc_id, j
+            FROM g JOIN d USING (gram), UNNEST(range(g.i, g.i + 5)) t(j)),
+    tok AS (SELECT doc_id, j, words[j] AS word
+            FROM w, UNNEST(range(1, len(words) + 1)) t(j)),
+    kept AS (
+      SELECT tok.doc_id, string_agg(tok.word, ' ' ORDER BY tok.j) AS text_clean
+      FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.j = cov.j
+      WHERE cov.j IS NULL GROUP BY tok.doc_id
+    ),
+    rem AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed FROM cov GROUP BY doc_id)
+    SELECT w.doc_id, len(w.words) AS n_tokens,
+           COALESCE(rem.n_removed, 0) AS n_removed,
+           COALESCE(kept.text_clean, '') AS text_clean
+    FROM w LEFT JOIN rem USING (doc_id) LEFT JOIN kept USING (doc_id)
+    WHERE len(w.words) > 0 ORDER BY doc_id
+    """,
+)
+def dup_span_removed_docs(sf_dir: str):
+    """Span-level dedup transform (Lee et al. 2021 removal step): tokens
+    covered by any corpus-duplicated 5-gram are deleted and the doc rebuilt
+    from survivors. Duplicate detection shuffles slim (doc,pos,hash) rows
+    by gram hash; the rebuild co-partitions doc payloads with surviving
+    positions by doc-id hash (manual union join). The full rebuilt text is
+    oracle-compared string-for-string. stages/ngramdup.remove_dup_spans."""
+    from perfect_bloomfilter_ray.stages.ngramdup import remove_dup_spans
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    return remove_dup_spans(docs, "text", "doc_id", n=5, min_docs=2).sort("doc_id")

@@ -135,3 +135,163 @@ def dup_ngram_stats(
         .aggregate(Sum("pg", alias_name="n_grams"), Sum("pd", alias_name="n_dup"))
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def remove_dup_spans(
+    docs: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_docs: int = 2,
+    num_blocks: int | None = None,
+    clean_col: str = "text_clean",
+) -> Dataset:
+    """Span-level dedup (the removal step of Lee et al. 2021): delete every
+    token covered by a word n-gram that occurs in ≥ ``min_docs`` distinct
+    documents, and rebuild the document from the surviving tokens.
+
+    Output per doc (docs with ≥ 1 token): ``(id_col, n_tokens, n_removed,
+    clean_col)``. The rebuilt text is the NORMALIZED token stream — lowercase
+    ``[a-z0-9]+`` tokens joined by single spaces — i.e. exactly the token
+    sequence the n-gram analysis ran on (and what the SQL oracle rebuilds).
+
+    Two shuffles, both slim:
+
+    1. n-gram occurrences ``(doc, pos, gram-hash)`` route by gram hash;
+       inside each partition docs-per-gram is a boundary count over the
+       (hash, doc)-sorted run, and only occurrences of duplicated grams
+       survive — output volume is proportional to duplicated content.
+    2. surviving ``(doc, pos)`` rows and the doc payload rows union (padded
+       to one schema, the repo's manual-union join idiom — Acero joins
+       choke on list payloads and chained-join plans) and route by doc-id
+       hash; each partition rebuilds its docs in one vectorized pass
+       (interval-delta cumsum for span coverage, one polars group_by join
+       for the text). The doc text crosses the exchange exactly once.
+
+    The input Dataset is consumed twice (occurrence pass + payload pass) —
+    two scans of the source, no materialization.
+    """
+    from perfect_bloomfilter_ray.functions.hashing import splitmix64
+
+    nb = choose_num_blocks(docs, num_blocks)
+    tok_re = r"[a-z0-9]+"
+
+    def _id_part(ids: np.ndarray) -> np.ndarray:
+        return (splitmix64(ids.astype(_U64)) % _U64(nb)).astype(np.int32)
+
+    def occurrences(t: pa.Table) -> pa.Table:
+        texts = pl.from_arrow(t.column(text_col))
+        hs, di = _ngram_hashes(texts, n)
+        if len(hs) == 0:
+            return pa.table(
+                {
+                    "_id64": pa.array([], pa.int64()),
+                    "_text": pa.array([], pa.string()),
+                    "_pos": pa.array([], pa.int32()),
+                    "_part": pa.array([], pa.int32()),
+                    "_h": pa.array([], pa.int64()),
+                }
+            )
+        ids = t.column(id_col).to_numpy()
+        # _ngram_hashes emits per doc in position order → pos is the offset
+        # within the doc's run
+        new = np.ones(len(di), dtype=bool)
+        new[1:] = di[1:] != di[:-1]
+        starts = np.flatnonzero(new)
+        pos = np.arange(len(di), dtype=np.int64) - np.repeat(
+            starts, np.diff(np.append(starts, len(di)))
+        )
+        return pa.table(
+            {
+                "_id64": pa.array(ids[di].astype(np.int64)),
+                "_text": pa.nulls(len(di), pa.string()),
+                "_pos": pa.array(pos.astype(np.int32)),
+                "_part": pa.array((hs % _U64(nb)).astype(np.int32)),
+                "_h": pa.array(hs.view(np.int64)),
+            }
+        )
+
+    def dup_positions(t: pa.Table) -> pa.Table:
+        h = t.column("_h").to_numpy()
+        ids = t.column("_id64").to_numpy()
+        pos = t.column("_pos").to_numpy()
+        o = np.lexsort((ids, h))
+        h_s, id_s = h[o], ids[o]
+        new_h = np.ones(len(o), dtype=bool)
+        new_h[1:] = h_s[1:] != h_s[:-1]
+        new_pair = new_h.copy()
+        new_pair[1:] |= id_s[1:] != id_s[:-1]
+        h_starts = np.flatnonzero(new_h)
+        run_lens = np.diff(np.append(h_starts, len(o)))
+        docs_per = np.add.reduceat(new_pair.astype(np.int64), h_starts)
+        dup = np.repeat(docs_per >= min_docs, run_lens)
+        keep_ids = id_s[dup]
+        return pa.table(
+            {
+                "_id64": pa.array(keep_ids),
+                "_text": pa.nulls(int(dup.sum()), pa.string()),
+                "_pos": pa.array(pos[o][dup]),
+                "_part": pa.array(_id_part(keep_ids)),
+            }
+        )
+
+    def payload(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "_id64": pa.array(ids),
+                "_text": t.column(text_col),
+                "_pos": pa.nulls(len(t), pa.int32()),
+                "_part": pa.array(_id_part(ids)),
+            }
+        )
+
+    def rebuild(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.drop_columns(["_part"]))
+        d = df.filter(pl.col("_text").is_not_null()).sort("_id64")
+        p = df.filter(pl.col("_text").is_null())
+        ids_d = d["_id64"].to_numpy()
+        toks = d["_text"].str.to_lowercase().str.extract_all(tok_re)
+        lens = toks.list.len().fill_null(0).to_numpy().astype(np.int64)
+        flat = toks.explode().drop_nulls()
+        total = int(lens.sum())
+        begins = np.cumsum(lens) - lens
+        delta = np.zeros(total + 1, dtype=np.int64)
+        if len(p):
+            di = np.searchsorted(ids_d, p["_id64"].to_numpy())
+            pp = p["_pos"].to_numpy().astype(np.int64)
+            s = begins[di] + pp
+            e = begins[di] + np.minimum(pp + n, lens[di])
+            np.add.at(delta, s, 1)
+            np.add.at(delta, e, -1)
+        cov = np.cumsum(delta[:total]) > 0
+        doc_of = np.repeat(np.arange(len(ids_d)), lens)
+        n_removed = np.bincount(doc_of[cov], minlength=len(ids_d)).astype(np.int64)
+        kept_doc = doc_of[~cov]
+        joined = (
+            pl.DataFrame({"_doc": kept_doc, "tok": flat.filter(pl.Series(~cov))})
+            .group_by("_doc", maintain_order=True)
+            .agg(pl.col("tok").str.join(" ").alias("_new"))
+        )
+        clean = np.full(len(ids_d), "", object)
+        clean[joined["_doc"].to_numpy()] = joined["_new"].to_numpy()
+        has_tok = lens > 0
+        return pa.table(
+            {
+                id_col: pa.array(ids_d[has_tok]),
+                "n_tokens": pa.array(lens[has_tok]),
+                "n_removed": pa.array(n_removed[has_tok]),
+                clean_col: pa.array(clean[has_tok], pa.string()),
+            }
+        )
+
+    occ = (
+        docs.select_columns([id_col, text_col])
+        .map_batches(occurrences, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(dup_positions, batch_format="pyarrow")
+    )
+    pay = docs.select_columns([id_col, text_col]).map_batches(
+        payload, batch_format="pyarrow"
+    )
+    return pay.union(occ).groupby("_part").map_groups(rebuild, batch_format="pyarrow")

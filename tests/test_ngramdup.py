@@ -57,3 +57,58 @@ def test_dup_ngram_stats_matches_brute(ray_session):
         )
         ref = _brute(texts, n, min_docs)
         pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+
+
+def _brute_removal(texts: dict[int, str], n: int, min_docs: int) -> pd.DataFrame:
+    toks = {
+        i: re.findall(r"[a-z0-9]+", t.lower()) for i, t in texts.items()
+    }
+    docs_of = Counter()
+    for i, ts in toks.items():
+        for g in {" ".join(ts[j : j + n]) for j in range(len(ts) - n + 1)}:
+            docs_of[g] += 1
+    rows = []
+    for i, ts in toks.items():
+        if not ts:
+            continue
+        cov = [False] * len(ts)
+        for j in range(len(ts) - n + 1):
+            if docs_of[" ".join(ts[j : j + n])] >= min_docs:
+                for k in range(j, j + n):
+                    cov[k] = True
+        kept = [w for w, c in zip(ts, cov) if not c]
+        rows.append(
+            {
+                "doc_id": i,
+                "n_tokens": len(ts),
+                "n_removed": sum(cov),
+                "text_clean": " ".join(kept),
+            }
+        )
+    return pd.DataFrame(rows).sort_values("doc_id").reset_index(drop=True)
+
+
+def test_remove_dup_spans_matches_brute(ray_session):
+    from perfect_bloomfilter_ray.stages.ngramdup import remove_dup_spans
+
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = {}
+    for i in range(100):
+        texts[i] = " ".join(rng.choice(vocab, rng.integers(2, 25)))
+    boiler = "subscribe to our newsletter for daily updates and offers"
+    for i in range(0, 100, 4):
+        texts[i] = boiler + " " + texts[i] + " " + boiler
+    texts[3] = texts[9]  # full duplicates → fully removed
+    df = pd.DataFrame({"doc_id": list(texts), "text": [texts[i] for i in texts]})
+    got = (
+        remove_dup_spans(
+            rd.from_pandas(df).repartition(6), "text", "doc_id", n=5, min_docs=2, num_blocks=4
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    ref = _brute_removal(texts, 5, 2)
+    pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+    assert got.loc[got.doc_id == 3, "text_clean"].iloc[0] == ""
