@@ -103,6 +103,9 @@ SUITE = [
     "event_value_zscores",
     "embedding_centroid_cosine",
     "dup_span_removed_docs",
+    "event_value_histogram",
+    "chunked_documents",
+    "user_funnel_view_click_purchase",
 ]
 
 

@@ -3266,3 +3266,81 @@ def dup_span_removed_docs(sf_dir: str):
 
     docs = _t(sf_dir, "documents", ["doc_id", "text"])
     return remove_dup_spans(docs, "text", "doc_id", n=5, min_docs=2).sort("doc_id")
+
+
+@q(
+    "event_value_histogram",
+    sql="""
+    WITH b AS (
+      SELECT CAST(least(floor((value - 0.0) / 25.0), 19) AS BIGINT) AS bin
+      FROM events WHERE value IS NOT NULL AND value >= 0.0 AND value < 500.0
+    )
+    SELECT bin, 0.0 + bin * 25.0 AS bin_lo, 0.0 + (bin + 1) * 25.0 AS bin_hi,
+           count(*) AS n
+    FROM b GROUP BY bin ORDER BY bin
+    """,
+)
+def event_value_histogram(sf_dir: str):
+    """Fixed-width histogram: per-block np.bincount partials (<= nbins rows
+    per block), tiny groupby merge, float64 binning bit-identical to the SQL
+    floor. stages/quantiles.histogram."""
+    from perfect_bloomfilter_ray.stages.quantiles import histogram
+
+    ds = _t(sf_dir, "events", ["value"])
+    return histogram(ds, "value", 0.0, 500.0, 20).sort("bin")
+
+
+@q(
+    "chunked_documents",
+    sql="""
+    WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS words
+               FROM documents),
+    c AS (
+      SELECT doc_id, k AS chunk_idx,
+             least(k*48 + 64, len(words)) - k*48 AS n_tokens,
+             array_to_string(words[k*48 + 1 : least(k*48 + 64, len(words))], ' ') AS chunk
+      FROM w, UNNEST(range(0, greatest(1, (len(words) - 64 + 47) // 48 + 1))) t(k)
+      WHERE len(words) > 0
+    )
+    SELECT doc_id, chunk_idx, n_tokens, chunk FROM c ORDER BY doc_id, chunk_idx
+    """,
+)
+def chunked_documents(sf_dir: str):
+    """Fixed-size token chunking with overlap (size=64, overlap=16) — the
+    context-window prep expansion; one shuffle-free map_batches pass, all
+    chunk strings oracle-compared. stages/shards.chunk_documents."""
+    from perfect_bloomfilter_ray.stages.shards import chunk_documents
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    return chunk_documents(docs, "text", "doc_id", size=64, overlap=16).sort(
+        ["doc_id", "chunk_idx"]
+    )
+
+
+@q(
+    "user_funnel_view_click_purchase",
+    sql="""
+    WITH a AS (
+      SELECT user_id, min(ts) AS t0 FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), b AS (
+      SELECT e.user_id, min(e.ts) AS t1 FROM events e JOIN a ON e.user_id = a.user_id
+      WHERE e.event_type = 'click' AND e.ts > a.t0 GROUP BY e.user_id
+    ), c AS (
+      SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN b ON e.user_id = b.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > b.t1 GROUP BY e.user_id
+    )
+    SELECT 0 AS stage_idx, 'view' AS stage, count(*) AS users FROM a
+    UNION ALL SELECT 1, 'click', count(*) FROM b
+    UNION ALL SELECT 2, 'purchase', count(*) FROM c
+    ORDER BY stage_idx
+    """,
+)
+def user_funnel_view_click_purchase(sf_dir: str):
+    """Greedy ordered funnel (earliest view, then earliest later click, then
+    earliest later purchase) — per-key segment-min passes inside coarse hash
+    partitions, one tiny count row per stage per partition.
+    stages/windows.funnel_counts."""
+    from perfect_bloomfilter_ray.stages.windows import funnel_counts
+
+    ds = _t(sf_dir, "events", ["user_id", "ts", "event_type"])
+    return funnel_counts(ds, "user_id", "ts", "event_type", ["view", "click", "purchase"])

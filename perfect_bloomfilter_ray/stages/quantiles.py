@@ -159,3 +159,58 @@ def quantile_trim(
         return j.filter(keep).drop(["_lo", "_hi"]).to_arrow()
 
     return ds.map_batches(trim, batch_format="pyarrow")
+
+
+def histogram(
+    ds: Dataset,
+    col: str,
+    lo: float,
+    hi: float,
+    nbins: int,
+) -> Dataset:
+    """Fixed-width histogram of ``col`` over ``[lo, hi)`` — the profiling /
+    feature-binning primitive. Values outside the range (and nulls) are
+    excluded, SQL-filter style; empty bins are omitted (GROUP BY semantics).
+
+    Binning is ``floor((v − lo) / w)`` in float64 — bit-identical across
+    engines, so the oracle compare is exact. One ``map_batches`` pass emits
+    ≤ ``nbins`` partial-count rows per block (np.bincount); a tiny groupby
+    sums them. No data-row shuffle. Output: ``(bin, bin_lo, bin_hi, n)``.
+    """
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    w = (float(hi) - float(lo)) / int(nbins)
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        v = v[(v >= lo) & (v < hi)]
+        if len(v) == 0:
+            return pa.table({"bin": pa.array([], pa.int64()), "pn": pa.array([], pa.int64())})
+        b = np.floor((v - lo) / w).astype(np.int64)
+        # float edge: v just below hi can round to nbins — clamp like SQL's
+        # floor on the same double op would (it can't, bins are [0, nbins))
+        b = np.minimum(b, nbins - 1)
+        counts = np.bincount(b, minlength=0)
+        nz = np.flatnonzero(counts)
+        return pa.table({"bin": pa.array(nz.astype(np.int64)), "pn": pa.array(counts[nz].astype(np.int64))})
+
+    def finish(t: pa.Table) -> pa.Table:
+        b = t.column("bin").to_numpy()
+        return pa.table(
+            {
+                "bin": t.column("bin"),
+                "bin_lo": pa.array(lo + b * w),
+                "bin_hi": pa.array(lo + (b + 1) * w),
+                "n": t.column("n"),
+            }
+        )
+
+    return (
+        ds.select_columns([col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("pn", alias_name="n"))
+        .map_batches(finish, batch_format="pyarrow")
+    )

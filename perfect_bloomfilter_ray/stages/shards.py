@@ -163,3 +163,77 @@ def write_jsonl_shards(
     with open(os.path.join(out_dir, "manifest.json"), "w") as fh:
         json.dump(manifest, fh, indent=1)
     return manifest
+
+
+def chunk_documents(
+    ds: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 64,
+    overlap: int = 16,
+) -> Dataset:
+    """Split each document into fixed-size token chunks with overlap — the
+    context-window prep step for training / retrieval indexing.
+
+    Tokens are the normalized ``[a-z0-9]+`` stream (lowercased); chunk ``k``
+    covers tokens ``[k·step, min(k·step + size, n))`` with
+    ``step = size − overlap``; a doc with ``n ≤ size`` tokens yields exactly
+    one chunk. Output: ``(id_col, chunk_idx, n_tokens, chunk)``.
+
+    Pure per-batch expansion — ONE ``map_batches`` pass, no shuffle; rows
+    multiply by ~``1/(1 − overlap/size)``. Everything is vectorized: chunk
+    counts → flat (doc, k) index arithmetic, one polars explode for tokens
+    and one group_by join for the chunk strings.
+    """
+    if not 0 <= overlap < size:
+        raise ValueError("need 0 <= overlap < size")
+    step = size - overlap
+
+    import polars as pl
+
+    def chunks(t: pa.Table) -> pa.Table:
+        texts = pl.from_arrow(t.column(text_col))
+        toks = texts.str.to_lowercase().str.extract_all(r"[a-z0-9]+")
+        lens = toks.list.len().fill_null(0).to_numpy().astype(np.int64)
+        ids = t.column(id_col).to_numpy()
+        keep = lens > 0
+        n_chunks = np.where(
+            keep, np.maximum(1, (np.maximum(lens - size, 0) + step - 1) // step + 1), 0
+        )
+        total = int(n_chunks.sum())
+        if total == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], t.schema.field(id_col).type),
+                    "chunk_idx": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "chunk": pa.array([], pa.string()),
+                }
+            )
+        from perfect_bloomfilter_ray.stages.decontam import _ranges
+
+        doc_of = np.repeat(np.arange(len(lens)), n_chunks)
+        k = _ranges(n_chunks)
+        c_start = k * step
+        c_len = np.minimum(c_start + size, lens[doc_of]) - c_start
+        # flat token gather: chunk rows expand to token index runs
+        begins = np.cumsum(lens) - lens
+        flat_start = begins[doc_of] + c_start
+        tok_idx = np.repeat(flat_start, c_len) + _ranges(c_len)
+        flat = toks.explode().drop_nulls()
+        chunk_of = np.repeat(np.arange(total), c_len)
+        joined = (
+            pl.DataFrame({"_c": chunk_of, "tok": flat.gather(tok_idx)})
+            .group_by("_c", maintain_order=True)
+            .agg(pl.col("tok").str.join(" ").alias("chunk"))
+        )
+        return pa.table(
+            {
+                id_col: pa.array(ids[doc_of]),
+                "chunk_idx": pa.array(k.astype(np.int64)),
+                "n_tokens": pa.array(c_len.astype(np.int64)),
+                "chunk": joined["chunk"].to_arrow(),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(chunks, batch_format="pyarrow")

@@ -368,3 +368,79 @@ def sliding_window_agg(
         return t_out
 
     return _add_part(ds, key_col, choose_num_blocks(ds, num_blocks)).groupby("_part").map_groups(per_part, batch_format="pyarrow")
+
+
+def funnel_counts(
+    ds: Dataset,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    stages: list[str],
+    num_blocks: int | None = None,
+) -> "pd.DataFrame":
+    """Ordered-sequence funnel: how many keys (users) reached each stage,
+    where stage k requires an event of type ``stages[k]`` STRICTLY after
+    the earliest qualifying stage-(k−1) event (the standard greedy funnel —
+    earliest A, then earliest B after it, …).
+
+    Keys co-locate via the usual coarse hash partition; each partition
+    resolves every stage with vectorized segment-min passes (masked
+    ``minimum.reduceat`` per stage — O(stages × rows), no per-key Python).
+    Partitions emit one tiny count row per stage; the driver sums them.
+    Returns a small pandas frame ``(stage_idx, stage, users)``.
+    """
+    from ray.data.aggregate import Sum
+
+    nb = choose_num_blocks(ds, num_blocks)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        h = hash64(t.column(key_col), 0xF0E1)
+        return t.append_column("_part", pa.array((h % np.uint64(nb)).astype(np.int32)))
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "stage_idx": pa.array(np.arange(len(stages), dtype=np.int64)),
+                    "pn": pa.array(np.zeros(len(stages), dtype=np.int64)),
+                }
+            )
+        k = t.column(key_col).to_numpy(zero_copy_only=False)
+        ts = t.column(ts_col).to_numpy(zero_copy_only=False).astype("datetime64[us]").view(np.int64)
+        ty = t.column(type_col).to_numpy(zero_copy_only=False)
+        order = np.argsort(k, kind="stable")
+        k_s, ts_s, ty_s = k[order], ts[order], ty[order]
+        new = np.ones(len(k_s), dtype=bool)
+        new[1:] = k_s[1:] != k_s[:-1]
+        starts = np.flatnonzero(new)
+        run_lens = np.diff(np.append(starts, len(k_s)))
+        seg = np.repeat(np.arange(len(starts)), run_lens)
+        INF = np.iinfo(np.int64).max
+        prev = np.full(len(starts), np.iinfo(np.int64).min, dtype=np.int64)  # stage 0: no lower bound
+        counts = []
+        for s in stages:
+            cand = np.where((ty_s == s) & (ts_s > prev[seg]), ts_s, INF)
+            cur = np.minimum.reduceat(cand, starts)
+            counts.append(int((cur < INF).sum()))
+            prev = cur  # keys that missed this stage hold INF → never match later
+        return pa.table(
+            {
+                "stage_idx": pa.array(np.arange(len(stages), dtype=np.int64)),
+                "pn": pa.array(np.array(counts, dtype=np.int64)),
+            }
+        )
+
+    parts = (
+        ds.select_columns([key_col, ts_col, type_col])
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(per_part, batch_format="pyarrow")
+        .groupby("stage_idx")
+        .aggregate(Sum("pn", alias_name="users"))
+        .to_pandas()
+        .sort_values("stage_idx")
+        .reset_index(drop=True)
+    )
+    parts["stage"] = [stages[i] for i in parts["stage_idx"]]
+    parts["users"] = parts["users"].astype("int64")
+    return parts[["stage_idx", "stage", "users"]]

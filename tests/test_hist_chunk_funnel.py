@@ -1,0 +1,98 @@
+"""histogram (stages/quantiles), chunk_documents (stages/shards) and
+funnel_counts (stages/windows) vs brute-force references."""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+
+def test_histogram_matches_numpy(ray_session):
+    from perfect_bloomfilter_ray.stages.quantiles import histogram
+
+    rng = np.random.default_rng(2)
+    v = np.concatenate([rng.uniform(-10, 110, 5000), [np.nan, -10.0, 110.0, 0.0]])
+    df = pd.DataFrame({"value": v})
+    out = (
+        histogram(rd.from_pandas(df).repartition(9), "value", 0.0, 100.0, 10)
+        .to_pandas()
+        .sort_values("bin")
+        .reset_index(drop=True)
+    )
+    inr = v[~np.isnan(v)]
+    inr = inr[(inr >= 0.0) & (inr < 100.0)]
+    ref, _ = np.histogram(inr, bins=10, range=(0.0, 100.0))
+    assert list(out["bin"]) == list(np.flatnonzero(ref))
+    assert list(out["n"]) == list(ref[ref > 0])
+    assert out["bin_lo"].iloc[0] == 0.0 and out["bin_hi"].iloc[-1] == 100.0
+    assert int(out["n"].sum()) == len(inr)
+
+
+def test_chunk_documents_matches_brute(ray_session):
+    from perfect_bloomfilter_ray.stages.shards import chunk_documents
+
+    rng = np.random.default_rng(9)
+    texts = {
+        i: " ".join(f"t{x}" for x in rng.integers(0, 50, rng.integers(1, 40)))
+        for i in range(60)
+    }
+    texts[58] = "one two"  # < size → single chunk
+    texts[59] = "!!! ..."  # no tokens → no chunks
+    df = pd.DataFrame({"doc_id": list(texts), "text": [texts[i] for i in texts]})
+    size, overlap = 10, 3
+    step = size - overlap
+    got = (
+        chunk_documents(rd.from_pandas(df).repartition(5), "text", "doc_id", size, overlap)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    rows = []
+    for i, t in texts.items():
+        toks = re.findall(r"[a-z0-9]+", t.lower())
+        if not toks:
+            continue
+        k = 0
+        while True:
+            chunk = toks[k * step : k * step + size]
+            rows.append(
+                {"doc_id": i, "chunk_idx": k, "n_tokens": len(chunk), "chunk": " ".join(chunk)}
+            )
+            if k * step + size >= len(toks):
+                break
+            k += 1
+    ref = pd.DataFrame(rows).sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+    assert 59 not in set(got["doc_id"])
+
+
+def test_funnel_counts_matches_brute(ray_session):
+    from perfect_bloomfilter_ray.stages.windows import funnel_counts
+
+    rng = np.random.default_rng(21)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "u": rng.integers(0, 150, n),
+            "ts": pd.to_datetime(rng.integers(0, 10**6, n), unit="s"),
+            "et": np.array(["A", "B", "C", "X"])[rng.integers(0, 4, n)],
+        }
+    )
+    got = funnel_counts(
+        rd.from_pandas(df).repartition(7), "u", "ts", "et", ["A", "B", "C"], num_blocks=4
+    )
+    ref = [0, 0, 0]
+    for _, g in df.groupby("u"):
+        g = g.sort_values("ts")
+        prev = pd.Timestamp.min
+        for si, s in enumerate(["A", "B", "C"]):
+            cand = g[(g["et"] == s) & (g["ts"] > prev)]
+            if len(cand) == 0:
+                break
+            prev = cand["ts"].min()
+            ref[si] += 1
+    assert list(got["users"]) == ref
+    assert list(got["stage"]) == ["A", "B", "C"]
