@@ -106,6 +106,7 @@ SUITE = [
     "event_value_histogram",
     "chunked_documents",
     "user_funnel_view_click_purchase",
+    "lang_source_intersect",
 ]
 
 

@@ -3344,3 +3344,55 @@ def user_funnel_view_click_purchase(sf_dir: str):
 
     ds = _t(sf_dir, "events", ["user_id", "ts", "event_type"])
     return funnel_counts(ds, "user_id", "ts", "event_type", ["view", "click", "purchase"])
+
+
+def _docs_parity_slice(sf_dir: str, even: bool):
+    # alternating blocks of 20 consecutive docs: both halves see every
+    # source (source cycles with doc_id), so INTERSECT is non-trivial
+    docs = _t(sf_dir, "documents", ["doc_id", "lang", "source"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        m = ((ids // 20) % 2 == 0) if even else ((ids // 20) % 2 == 1)
+        return t.filter(pa.array(m)).drop_columns(["doc_id"])
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+@q(
+    "lang_source_intersect",
+    sql="""
+    SELECT lang, source FROM documents WHERE (doc_id // 20) % 2 = 0
+    INTERSECT
+    SELECT lang, source FROM documents WHERE (doc_id // 20) % 2 = 1
+    ORDER BY lang, source
+    """,
+)
+def lang_source_intersect(sf_dir: str):
+    """SQL INTERSECT: distinct (lang, source) pairs present in both corpus
+    halves (alternating 20-doc blocks) — batch-side dedup, one slim tagged shuffle, value-equality
+    inside partitions. stages/setops.intersect_distinct."""
+    from perfect_bloomfilter_ray.stages.setops import intersect_distinct
+
+    a = _docs_parity_slice(sf_dir, True)
+    b = _docs_parity_slice(sf_dir, False)
+    return intersect_distinct(a, b, ["lang", "source"]).sort(["lang", "source"])
+
+
+@q(
+    "lang_source_except",
+    sql="""
+    SELECT lang, source FROM documents WHERE (doc_id // 20) % 2 = 0
+    EXCEPT
+    SELECT lang, source FROM documents WHERE (doc_id // 20) % 2 = 1
+    ORDER BY lang, source
+    """,
+)
+def lang_source_except(sf_dir: str):
+    """SQL EXCEPT: distinct (lang, source) pairs only in the even half.
+    stages/setops.except_distinct (same exchange as intersect)."""
+    from perfect_bloomfilter_ray.stages.setops import except_distinct
+
+    a = _docs_parity_slice(sf_dir, True)
+    b = _docs_parity_slice(sf_dir, False)
+    return except_distinct(a, b, ["lang", "source"]).sort(["lang", "source"])

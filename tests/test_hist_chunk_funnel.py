@@ -96,3 +96,24 @@ def test_funnel_counts_matches_brute(ray_session):
             ref[si] += 1
     assert list(got["users"]) == ref
     assert list(got["stage"]) == ["A", "B", "C"]
+
+
+def test_setops_match_pandas(ray_session):
+    from perfect_bloomfilter_ray.stages.setops import except_distinct, intersect_distinct
+
+    rng = np.random.default_rng(6)
+    a = pd.DataFrame({"x": rng.integers(0, 30, 800), "y": np.array(list("pqrs"))[rng.integers(0, 4, 800)]})
+    b = pd.DataFrame({"x": rng.integers(15, 45, 700), "y": np.array(list("pqrs"))[rng.integers(0, 4, 700)]})
+    da, db = rd.from_pandas(a).repartition(5), rd.from_pandas(b).repartition(4)
+    got_i = (
+        intersect_distinct(da, db, ["x", "y"]).to_pandas().sort_values(["x", "y"]).reset_index(drop=True)
+    )
+    got_e = (
+        except_distinct(da, db, ["x", "y"]).to_pandas().sort_values(["x", "y"]).reset_index(drop=True)
+    )
+    sa = set(map(tuple, a.drop_duplicates().values))
+    sb = set(map(tuple, b.drop_duplicates().values))
+    ref_i = pd.DataFrame(sorted(sa & sb), columns=["x", "y"])
+    ref_e = pd.DataFrame(sorted(sa - sb), columns=["x", "y"])
+    pd.testing.assert_frame_equal(got_i, ref_i, check_dtype=False)
+    pd.testing.assert_frame_equal(got_e, ref_e, check_dtype=False)
