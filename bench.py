@@ -107,6 +107,7 @@ SUITE = [
     "chunked_documents",
     "user_funnel_view_click_purchase",
     "lang_source_intersect",
+    "user_event_paths",
 ]
 
 

@@ -3396,3 +3396,23 @@ def lang_source_except(sf_dir: str):
     a = _docs_parity_slice(sf_dir, True)
     b = _docs_parity_slice(sf_dir, False)
     return except_distinct(a, b, ["lang", "source"]).sort(["lang", "source"])
+
+
+@q(
+    "user_event_paths",
+    sql="""
+    SELECT user_id, count(*) AS n_steps,
+           string_agg(event_type, '->' ORDER BY ts, event_id) AS path
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def user_event_paths(sf_dir: str):
+    """Clickstream path extraction: SQL string_agg(... ORDER BY ts) per
+    user — one polars sort + group_by join per coarse key partition.
+    stages/windows.grouped_path_string."""
+    from perfect_bloomfilter_ray.stages.windows import grouped_path_string
+
+    ds = _t(sf_dir, "events", ["user_id", "ts", "event_type", "event_id"])
+    return grouped_path_string(
+        ds, "user_id", "ts", "event_type", sep="->", tie_cols=["event_id"]
+    ).sort("user_id")

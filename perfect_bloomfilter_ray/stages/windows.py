@@ -444,3 +444,45 @@ def funnel_counts(
     parts["stage"] = [stages[i] for i in parts["stage_idx"]]
     parts["users"] = parts["users"].astype("int64")
     return parts[["stage_idx", "stage", "users"]]
+
+
+def grouped_path_string(
+    ds: Dataset,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    sep: str = "->",
+    tie_cols: list[str] | None = None,
+    out_col: str = "path",
+    max_steps: int | None = None,
+    num_blocks: int | None = None,
+) -> Dataset:
+    """Per-key ordered concatenation — SQL ``string_agg(val, sep ORDER BY
+    ts[, ties])`` — the path-mining / clickstream-sequence primitive.
+
+    Output: one row per key ``(key_col, n_steps, out_col)``. ``max_steps``
+    truncates to the first k events (keeps row width bounded when a bot key
+    has millions of events). Same shape as every keyed op here: coarse hash
+    partition, ONE vectorized polars sort + group_by + str.join per
+    partition.
+    """
+    import polars as pl
+
+    tie_cols = list(tie_cols or [])
+
+    def per_part(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.drop_columns(["_part"]))
+        df = df.sort([key_col, ts_col, *tie_cols])
+        g = df.group_by(key_col, maintain_order=True).agg(
+            pl.col(val_col).len().cast(pl.Int64).alias("n_steps"),
+            (
+                pl.col(val_col).head(max_steps) if max_steps else pl.col(val_col)
+            ).str.join(sep).alias(out_col),
+        )
+        return g.to_arrow()
+
+    return (
+        _add_part(ds.select_columns([key_col, ts_col, val_col, *tie_cols]), key_col, choose_num_blocks(ds, num_blocks))
+        .groupby("_part")
+        .map_groups(per_part, batch_format="pyarrow")
+    )

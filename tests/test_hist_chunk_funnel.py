@@ -117,3 +117,47 @@ def test_setops_match_pandas(ray_session):
     ref_e = pd.DataFrame(sorted(sa - sb), columns=["x", "y"])
     pd.testing.assert_frame_equal(got_i, ref_i, check_dtype=False)
     pd.testing.assert_frame_equal(got_e, ref_e, check_dtype=False)
+
+
+def test_grouped_path_string_truncation(ray_session):
+    from perfect_bloomfilter_ray.stages.windows import grouped_path_string
+
+    rng = np.random.default_rng(12)
+    n = 1500
+    df = pd.DataFrame(
+        {
+            "u": rng.integers(0, 60, n),
+            "ts": pd.to_datetime(rng.integers(0, 10**6, n), unit="s"),
+            "eid": np.arange(n, dtype=np.int64),
+            "et": np.array(["a", "b", "c"])[rng.integers(0, 3, n)],
+        }
+    )
+    got = (
+        grouped_path_string(
+            rd.from_pandas(df).repartition(6), "u", "ts", "et", sep="|", tie_cols=["eid"], num_blocks=4
+        )
+        .to_pandas()
+        .sort_values("u")
+        .reset_index(drop=True)
+    )
+    ref = (
+        df.sort_values(["u", "ts", "eid"])
+        .groupby("u")["et"]
+        .agg(n_steps="size", path=lambda s: "|".join(s))
+        .reset_index()
+    )
+    assert list(got["u"]) == list(ref["u"])
+    assert list(got["n_steps"]) == list(ref["n_steps"])
+    assert list(got["path"]) == list(ref["path"])
+    # truncation keeps the first k steps but reports the true count
+    got3 = (
+        grouped_path_string(
+            rd.from_pandas(df), "u", "ts", "et", sep="|", tie_cols=["eid"], max_steps=3
+        )
+        .to_pandas()
+        .sort_values("u")
+        .reset_index(drop=True)
+    )
+    assert list(got3["n_steps"]) == list(ref["n_steps"])
+    assert all(p.count("|") <= 2 for p in got3["path"])
+    assert all(full.startswith(p) for full, p in zip(ref["path"], got3["path"]))
