@@ -108,6 +108,7 @@ SUITE = [
     "user_funnel_view_click_purchase",
     "lang_source_intersect",
     "user_event_paths",
+    "event_value_robust_zscores",
 ]
 
 

@@ -3416,3 +3416,34 @@ def user_event_paths(sf_dir: str):
     return grouped_path_string(
         ds, "user_id", "ts", "event_type", sep="->", tie_cols=["event_id"]
     ).sort("user_id")
+
+
+@q(
+    "event_value_robust_zscores",
+    sql="""
+    WITH m AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY event_type
+    ), d AS (
+      SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+      FROM events e JOIN m USING (event_type) GROUP BY e.event_type
+    )
+    SELECT event_id, round((value - med) / (1.4826 * mad), 4) AS rz
+    FROM events JOIN m USING (event_type) JOIN d USING (event_type)
+    ORDER BY event_id
+    """,
+)
+def event_value_robust_zscores(sf_dir: str):
+    """Robust (median/MAD) outlier scores per category — two exact-quantile
+    passes + broadcast LUT scoring, no data-row shuffle beyond the quantile
+    exchanges. stages/quantiles.robust_zscore."""
+    from perfect_bloomfilter_ray.stages.quantiles import robust_zscore
+
+    ds = _t(sf_dir, "events", ["event_id", "event_type", "value"])
+    out = robust_zscore(ds, "event_type", "value", out_col="rz")
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"event_id": t.column("event_id"), "rz": pc.round(t.column("rz"), ndigits=4)}
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow").sort("event_id")

@@ -214,3 +214,71 @@ def histogram(
         .aggregate(Sum("pn", alias_name="n"))
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def robust_zscore(
+    ds: Dataset,
+    key: str,
+    col: str,
+    out_col: str = "rz",
+    scale: float = 1.4826,
+    num_blocks: int | None = None,
+) -> Dataset:
+    """Per-key robust z-score: ``(x − median) / (scale · MAD)`` with
+    ``MAD = median(|x − median|)`` — the outlier score that (unlike
+    mean/std) is immune to the outliers it is hunting. ``scale`` defaults
+    to the normal-consistency constant 1.4826.
+
+    Three streaming passes: exact grouped median (one slim value shuffle),
+    a shuffle-free map computing ``|x − med|`` against the broadcast median
+    LUT feeding the exact grouped MAD (second value shuffle), then a final
+    shuffle-free scoring map against the broadcast (med, mad) LUT. The LUTs
+    are one row per key — bounded-key contract, same as zscore_normalize.
+    Keys with MAD == 0 (or unseen) get null.
+    """
+    import ray
+
+    med = (
+        exact_grouped_quantiles(ds, key, col, [0.5], kind="cont", names=["med"], num_blocks=num_blocks)
+        .to_pandas()
+        .sort_values(key)
+    )
+    med_keys = med[key].to_numpy()
+    med_vals = med["med"].to_numpy().astype(np.float64)
+    med_ref = ray.put((med_keys, med_vals))
+
+    def absdev(t: pa.Table) -> pa.Table:
+        k_sorted, m = ray.get(med_ref)
+        kv = t.column(key).to_numpy(zero_copy_only=False)
+        idx = np.clip(np.searchsorted(k_sorted, kv), 0, len(k_sorted) - 1)
+        x = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({key: t.column(key), "_ad": pa.array(np.abs(x - m[idx]))})
+
+    mad = (
+        exact_grouped_quantiles(
+            ds.map_batches(absdev, batch_format="pyarrow"),
+            key,
+            "_ad",
+            [0.5],
+            kind="cont",
+            names=["mad"],
+            num_blocks=num_blocks,
+        )
+        .to_pandas()
+        .sort_values(key)
+    )
+    lut_ref = ray.put((med_keys, med_vals, mad["mad"].to_numpy().astype(np.float64)))
+
+    def score(t: pa.Table) -> pa.Table:
+        k_sorted, m, s = ray.get(lut_ref)
+        kv = t.column(key).to_numpy(zero_copy_only=False)
+        idx = np.clip(np.searchsorted(k_sorted, kv), 0, len(k_sorted) - 1)
+        hit = k_sorted[idx] == kv
+        x = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        denom = scale * s[idx]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            rz = (x - m[idx]) / denom
+        rz = np.where(hit & (denom > 0), rz, np.nan)
+        return t.append_column(out_col, pa.array(rz))
+
+    return ds.map_batches(score, batch_format="pyarrow")

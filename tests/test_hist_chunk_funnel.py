@@ -161,3 +161,34 @@ def test_grouped_path_string_truncation(ray_session):
     assert list(got3["n_steps"]) == list(ref["n_steps"])
     assert all(p.count("|") <= 2 for p in got3["path"])
     assert all(full.startswith(p) for full, p in zip(ref["path"], got3["path"]))
+
+
+def test_robust_zscore_matches_pandas(ray_session):
+    from perfect_bloomfilter_ray.stages.quantiles import robust_zscore
+
+    rng = np.random.default_rng(41)
+    n = 2500
+    df = pd.DataFrame(
+        {
+            "rid": np.arange(n, dtype=np.int64),
+            "k": rng.integers(0, 12, n),
+            "x": rng.normal(10.0, 3.0, n),
+        }
+    )
+    df.loc[df["k"] == 5, "x"] = 7.0  # constant group → MAD 0 → null
+    got = (
+        robust_zscore(rd.from_pandas(df).repartition(7), "k", "x", num_blocks=4)
+        .to_pandas()
+        .sort_values("rid")
+        .reset_index(drop=True)
+    )
+
+    def rz(s):
+        med = s.median()
+        mad = (s - med).abs().median()
+        return (s - med) / (1.4826 * mad) if mad > 0 else pd.Series(np.nan, index=s.index)
+
+    ref = df.groupby("k")["x"].transform(rz)
+    m = df["k"].eq(5).to_numpy()
+    assert np.isnan(got["rz"].to_numpy()[m]).all()
+    np.testing.assert_allclose(got["rz"].to_numpy()[~m], ref.to_numpy()[~m], rtol=1e-9)
