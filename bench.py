@@ -109,6 +109,7 @@ SUITE = [
     "lang_source_intersect",
     "user_event_paths",
     "event_value_robust_zscores",
+    "event_type_cooccurrence",
 ]
 
 

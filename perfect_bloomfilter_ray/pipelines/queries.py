@@ -3447,3 +3447,30 @@ def event_value_robust_zscores(sf_dir: str):
         )
 
     return out.map_batches(fin, batch_format="pyarrow").sort("event_id")
+
+
+@q(
+    "event_type_cooccurrence",
+    sql="""
+    WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+    SELECT a.event_type AS item_a, b.event_type AS item_b, count(*) AS n
+    FROM d a JOIN d b ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def event_type_cooccurrence(sf_dir: str):
+    """Market-basket support counts: for each unordered event-type pair, how
+    many distinct users exhibit both — batch-side dedup, key-co-located
+    vectorized self-join per partition, tiny pair-count merge.
+    stages/cooccur.cooccurrence_counts."""
+    from perfect_bloomfilter_ray.stages.cooccur import cooccurrence_counts
+
+    ds = _t(sf_dir, "events", ["user_id", "event_type"])
+    out = (
+        cooccurrence_counts(ds, "user_id", "event_type")
+        .to_pandas()
+        .sort_values(["item_a", "item_b"])
+        .reset_index(drop=True)
+    )
+    out["n"] = out["n"].astype("int64")
+    return out

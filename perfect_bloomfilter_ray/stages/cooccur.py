@@ -1,0 +1,76 @@
+"""Item co-occurrence counts (market-basket / association-mining support).
+
+``cooccurrence_counts``: over (key, item) observations — e.g. (user,
+event_type), (session, product), (doc, shingle-class) — count, for every
+unordered item pair, how many distinct keys exhibit both. The support table
+behind association rules, co-click graphs and item-similarity models.
+
+Shape: batch-side dedup of (key, item), coarse hash partition on key (all of
+a key's items co-locate), ONE vectorized partition pass (polars unique +
+self-join on key, ``item_a < item_b``), emitting partial pair counts; a
+final small groupby sums partials. The pair exchange is
+O(keys × k²/2) for k items per key — the ``max_items`` cap drops keys with
+more items than that (bots / power keys), the standard support-mining guard,
+and counts them out deterministically.
+"""
+
+from __future__ import annotations
+
+import polars as pl
+import pyarrow as pa
+from ray.data import Dataset
+from ray.data.aggregate import Sum
+
+from perfect_bloomfilter_ray.functions.hashing import hash64
+from perfect_bloomfilter_ray.stages.partitioning import choose_num_blocks
+
+import numpy as np
+
+
+def cooccurrence_counts(
+    ds: Dataset,
+    key: str,
+    item_col: str,
+    max_items: int | None = None,
+    num_blocks: int | None = None,
+) -> Dataset:
+    """Support counts for unordered item pairs: ``(item_a, item_b, n)`` with
+    ``item_a < item_b`` and ``n`` = number of distinct keys having both.
+    Keys with more than ``max_items`` distinct items are dropped entirely
+    (deterministic — by distinct-item count, not arrival order)."""
+    nb = choose_num_blocks(ds, num_blocks)
+
+    def dedup_route(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select([key, item_col])).unique()
+        h = hash64(df[key], 0xC00C)
+        return df.with_columns(
+            pl.Series("_part", (h % np.uint64(nb)).astype(np.int32))
+        ).to_arrow()
+
+    def pairs_block(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.drop_columns(["_part"])).unique()
+        if max_items is not None:
+            small = (
+                df.group_by(key).len(name="_k").filter(pl.col("_k") <= max_items)
+            ).select(key)
+            df = df.join(small, on=key, how="semi")
+        p = (
+            df.join(df, on=key, suffix="_b")
+            .filter(pl.col(item_col) < pl.col(f"{item_col}_b"))
+            .group_by([item_col, f"{item_col}_b"])
+            .len(name="pn")
+        )
+        return (
+            p.rename({item_col: "item_a", f"{item_col}_b": "item_b"})
+            .with_columns(pl.col("pn").cast(pl.Int64))
+            .to_arrow()
+        )
+
+    return (
+        ds.select_columns([key, item_col])
+        .map_batches(dedup_route, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(pairs_block, batch_format="pyarrow")
+        .groupby(["item_a", "item_b"])
+        .aggregate(Sum("pn", alias_name="n"))
+    )

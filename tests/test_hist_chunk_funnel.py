@@ -192,3 +192,45 @@ def test_robust_zscore_matches_pandas(ray_session):
     m = df["k"].eq(5).to_numpy()
     assert np.isnan(got["rz"].to_numpy()[m]).all()
     np.testing.assert_allclose(got["rz"].to_numpy()[~m], ref.to_numpy()[~m], rtol=1e-9)
+
+
+def test_cooccurrence_counts_matches_brute(ray_session):
+    from itertools import combinations
+
+    from perfect_bloomfilter_ray.stages.cooccur import cooccurrence_counts
+
+    rng = np.random.default_rng(8)
+    n = 3000
+    # ~7 obs per key over 9 items → distinct-item counts straddle the cap
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 400, n),
+            "it": np.array([f"i{j}" for j in range(9)])[rng.integers(0, 9, n)],
+        }
+    )
+    for cap in (None, 4):
+        got = (
+            cooccurrence_counts(
+                rd.from_pandas(df).repartition(6), "k", "it", max_items=cap, num_blocks=4
+            )
+            .to_pandas()
+            .sort_values(["item_a", "item_b"])
+            .reset_index(drop=True)
+        )
+        from collections import Counter
+
+        ref = Counter()
+        for _, g in df.groupby("k"):
+            items = sorted(set(g["it"]))
+            if cap is not None and len(items) > cap:
+                continue
+            for a, b in combinations(items, 2):
+                ref[(a, b)] += 1
+        ref_df = (
+            pd.DataFrame(
+                [{"item_a": a, "item_b": b, "n": c} for (a, b), c in sorted(ref.items())]
+            )
+            .sort_values(["item_a", "item_b"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, ref_df, check_dtype=False)
