@@ -3474,3 +3474,43 @@ def event_type_cooccurrence(sf_dir: str):
     )
     out["n"] = out["n"].astype("int64")
     return out
+
+
+@q(
+    "lang_categorical_codes",
+    sql="""
+    WITH v AS (SELECT lang, count(*) AS _c FROM documents GROUP BY lang),
+    codes AS (
+        SELECT lang,
+               CAST(row_number() OVER (ORDER BY _c DESC, lang) - 1 AS BIGINT) AS lang_code
+        FROM v WHERE _c >= 10
+    )
+    SELECT d.doc_id, d.lang, c.lang_code
+    FROM documents d LEFT JOIN codes c USING (lang)
+    WHERE d.doc_id % 7 = 0
+    ORDER BY d.doc_id
+    """,
+)
+def lang_categorical_codes(sf_dir: str):
+    """Frequency-ordered label encoding (stages/vocab.categorical_encode):
+    one category-sized groupby builds the code book (code 0 = most frequent,
+    ties by value), broadcast once, then a shuffle-free searchsorted map
+    pass; categories under min_count=10 encode as null. A deterministic
+    1-in-7 doc slice keeps the checked output small while the code book
+    always covers the full corpus."""
+    from perfect_bloomfilter_ray.stages.vocab import categorical_encode
+
+    docs = _t(sf_dir, "documents", ["doc_id", "lang"])
+    enc = categorical_encode(docs, "lang", out_col="lang_code", min_count=10)
+
+    def slice7(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        return t.filter(pa.array(ids % 7 == 0))
+
+    return (
+        enc.map_batches(slice7, batch_format="pyarrow")
+        .select_columns(["doc_id", "lang", "lang_code"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )

@@ -32,7 +32,7 @@ import numpy as np
 import polars as pl
 import pyarrow as pa
 from ray.data import Dataset
-from ray.data.aggregate import Sum
+from ray.data.aggregate import Count, Sum
 
 TOKEN_RE = r"[a-z0-9]+"
 
@@ -228,3 +228,53 @@ def unigram_nll_score(
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def categorical_encode(
+    ds: Dataset,
+    col: str,
+    out_col: str | None = None,
+    min_count: int = 1,
+) -> Dataset:
+    """Frequency-ordered label encoding: map each category to a dense int
+    code (0 = most frequent; ties broken by value, so the code book is
+    deterministic and engine-reproducible). The feature-engineering step
+    before embedding tables / gradient boosting.
+
+    One small groupby builds the (value, count) vocabulary; the sorted code
+    book broadcasts once via ``ray.put`` (bounded-category contract — same
+    as idf_broadcast); encoding is a shuffle-free searchsorted map pass.
+    Categories below ``min_count`` (or unseen) get null.
+    """
+    import ray
+
+    out_col = out_col or f"{col}_code"
+    vocab = (
+        ds.select_columns([col])
+        .groupby(col)
+        .aggregate(Count(alias_name="_c"))
+        .to_pandas()
+    )
+    vocab = vocab[vocab["_c"] >= min_count]
+    vocab = vocab.sort_values(["_c", col], ascending=[False, True]).reset_index(drop=True)
+    vals = vocab[col].to_numpy()
+    order = np.argsort(vals)
+    lut_ref = ray.put((vals[order], np.arange(len(vals), dtype=np.int64)[order]))
+
+    def encode(t: pa.Table) -> pa.Table:
+        v_sorted, codes = ray.get(lut_ref)
+        c = t.column(col)
+        if len(v_sorted) == 0:
+            return t.append_column(out_col, pa.nulls(len(t), pa.int64()))
+        x = c.to_numpy(zero_copy_only=False)
+        valid = ~c.is_null().to_numpy(zero_copy_only=False) if c.null_count else None
+        if valid is not None:
+            x = np.where(valid, x, v_sorted[0])  # sentinel; masked out below
+        idx = np.clip(np.searchsorted(v_sorted, x), 0, len(v_sorted) - 1)
+        hit = v_sorted[idx] == x
+        if valid is not None:
+            hit &= valid
+        out = np.where(hit, codes[idx], 0)
+        return t.append_column(out_col, pa.array(out, pa.int64(), mask=~hit))
+
+    return ds.map_batches(encode, batch_format="pyarrow")

@@ -193,3 +193,24 @@ def test_write_jsonl_shards_roundtrip_and_resume(ray_session, tmp_path):
     assert {s["path"]: os.path.getmtime(s["path"]) for s in man2["shards"]} == mtimes
     with open(os.path.join(out, "manifest.json")) as fh:
         assert json.load(fh)["total_rows"] == n
+
+
+def test_categorical_encode_freq_order_nulls_mincount(ray_session):
+    import ray
+
+    from perfect_bloomfilter_ray.stages.vocab import categorical_encode
+
+    vals = ["b"] * 50 + ["a"] * 50 + ["c"] * 30 + ["rare"] * 2 + [None] * 3
+    ds = ray.data.from_pandas(pd.DataFrame({"k": vals, "i": range(len(vals))}))
+    out = (
+        categorical_encode(ds, "k", min_count=5)
+        .to_pandas()
+        .sort_values("i")
+        .reset_index(drop=True)
+    )
+    code = dict(zip(out["k"], out["k_code"]))
+    # ties on count=50 break by value: a before b; c next; rare/null -> null
+    assert code["a"] == 0 and code["b"] == 1 and code["c"] == 2
+    assert out.loc[out["k"] == "rare", "k_code"].isna().all()
+    assert out.loc[out["k"].isna(), "k_code"].isna().all()
+    assert str(out["k_code"].dtype) in ("Int64", "float64", "object")
