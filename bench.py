@@ -110,6 +110,7 @@ SUITE = [
     "user_event_paths",
     "event_value_robust_zscores",
     "event_type_cooccurrence",
+    "lang_categorical_codes",
 ]
 
 

@@ -3514,3 +3514,35 @@ def lang_categorical_codes(sf_dir: str):
         .sort_values("doc_id")
         .reset_index(drop=True)
     )
+
+
+@q(
+    "user_value_rolling_mean",
+    sql="""
+    SELECT event_id,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+               AS roll_mean3
+    FROM events ORDER BY event_id
+    """,
+)
+def user_value_rolling_mean(sf_dir: str):
+    """Row-count-frame rolling mean (stages/windows.rolling_row_agg): each
+    event's mean value over the same user's last 3 events ordered by
+    (ts, event_id) — the ROWS-frame twin of the RANGE-frame sliding window.
+    Coarse hash partition on user, one vectorized lexsort + prefix-sum pass
+    per partition."""
+    from perfect_bloomfilter_ray.stages.windows import rolling_row_agg
+
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    out = rolling_row_agg(
+        ds, "user_id", "ts", "value", n_rows=3, tie_cols=["event_id"], out_mean="roll_mean3"
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        # np.round matches DuckDB's round(DOUBLE) (nearest double to the
+        # 4-dp decimal); pc.round can keep a 1-ulp offset from the input
+        m = np.round(t.column("roll_mean3").to_numpy(zero_copy_only=False), 4)
+        return pa.table({"event_id": t.column("event_id"), "roll_mean3": pa.array(m)})
+
+    return out.map_batches(fin, batch_format="pyarrow").sort("event_id")

@@ -370,6 +370,75 @@ def sliding_window_agg(
     return _add_part(ds, key_col, choose_num_blocks(ds, num_blocks)).groupby("_part").map_groups(per_part, batch_format="pyarrow")
 
 
+def rolling_row_agg(
+    ds: Dataset,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    n_rows: int = 5,
+    tie_cols: list[str] | None = None,
+    out_mean: str | None = "roll_mean",
+    out_sum: str | None = None,
+    num_blocks: int | None = None,
+) -> Dataset:
+    """Per-row trailing ROWS-frame aggregate: mean / sum of ``value_col``
+    over the same key's last ``n_rows`` rows (current included), ordered by
+    ``(ts, *tie_cols)`` — SQL ``avg(v) OVER (PARTITION BY key ORDER BY ts,
+    ties ROWS BETWEEN n-1 PRECEDING AND CURRENT ROW)``. The row-count frame
+    complements :func:`sliding_window_agg`'s RANGE (time) frame; pass a
+    unique tie column for a deterministic, oracle-comparable result.
+
+    Same execution shape as the other keyed window ops: coarse hash
+    partition, ONE vectorized pass per partition (lexsort + prefix-sum
+    difference over contiguous key runs), no per-key Python. Precision
+    caveat matches sliding_window_agg: sums are prefix-sum differences.
+    """
+    tie_cols = list(tie_cols or [])
+
+    def per_part(t: pa.Table) -> pa.Table:
+        t_out = t.drop_columns(["_part"])
+        if len(t) == 0:
+            for c in (out_mean, out_sum):
+                if c:
+                    t_out = t_out.append_column(c, pa.array([], pa.float64()))
+            return t_out
+        keys = t.column(key_col)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        codes = pc.index_in(keys, value_set=pc.unique(keys)).to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = _ts_i64(t.column(ts_col))
+        ties = []
+        for c in tie_cols:
+            col = t.column(c)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            ties.append(
+                pc.index_in(col, value_set=pc.unique(col).sort()).to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+        order = np.lexsort(tuple(reversed(ties)) + (ts, codes))
+        codes_s = codes[order]
+        vals_s = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)[order]
+        n = len(order)
+        first = np.zeros(n, dtype=bool)
+        first[0] = True
+        first[1:] = codes_s[1:] != codes_s[:-1]
+        starts = np.flatnonzero(first)
+        pos = np.arange(n, dtype=np.int64) - np.repeat(starts, np.diff(np.append(starts, n)))
+        lo = np.arange(n, dtype=np.int64) - np.minimum(pos, n_rows - 1)
+        csum = np.concatenate([[0.0], np.cumsum(vals_s)])
+        sums = csum[np.arange(1, n + 1)] - csum[lo]
+        cnts = (np.arange(n, dtype=np.int64) + 1 - lo).astype(np.float64)
+        inv = np.empty(n, dtype=np.int64)
+        inv[order] = np.arange(n)
+        if out_mean:
+            t_out = t_out.append_column(out_mean, pa.array((sums / cnts)[inv]))
+        if out_sum:
+            t_out = t_out.append_column(out_sum, pa.array(sums[inv]))
+        return t_out
+
+    return _add_part(ds, key_col, choose_num_blocks(ds, num_blocks)).groupby("_part").map_groups(per_part, batch_format="pyarrow")
+
+
 def funnel_counts(
     ds: Dataset,
     key_col: str,

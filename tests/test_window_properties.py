@@ -122,3 +122,37 @@ def test_sessionize_matches_bruteforce(ray_session, rows):
         row = got[got["k"] == k].iloc[0]
         assert row["n_sessions"] == n_sessions, (k, n_sessions, row.to_dict())
         assert row["n_events"] == len(g)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(_keys, _ts, st.integers(-100, 100)), min_size=1, max_size=40
+    ),
+    st.integers(1, 5),
+)
+def test_rolling_row_agg_matches_pandas(ray_session, rows, n_rows):
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.windows import rolling_row_agg
+
+    df = pd.DataFrame(rows, columns=["k", "t", "v"])
+    df["t"] = pd.to_datetime(df["t"], unit="s")
+    df["rid"] = range(len(df))
+    df["v"] = df["v"].astype(float)
+    out = (
+        rolling_row_agg(
+            rd.from_pandas(df), "k", "t", "v", n_rows=n_rows,
+            tie_cols=["rid"], out_mean="m", out_sum="s", num_blocks=3,
+        )
+        .to_pandas()
+        .sort_values("rid")
+        .reset_index(drop=True)
+    )
+    exp = df.sort_values(["k", "t", "rid"]).copy()
+    g = exp.groupby("k")["v"]
+    exp["m"] = g.transform(lambda s: s.rolling(n_rows, min_periods=1).mean())
+    exp["s"] = g.transform(lambda s: s.rolling(n_rows, min_periods=1).sum())
+    exp = exp.sort_values("rid").reset_index(drop=True)
+    np.testing.assert_allclose(out["m"].to_numpy(), exp["m"].to_numpy(), rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(out["s"].to_numpy(), exp["s"].to_numpy(), rtol=1e-9, atol=1e-9)
