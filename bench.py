@@ -111,6 +111,8 @@ SUITE = [
     "event_value_robust_zscores",
     "event_type_cooccurrence",
     "lang_categorical_codes",
+    "user_value_rolling_mean",
+    "skew_join_event_order_revenue",
 ]
 
 

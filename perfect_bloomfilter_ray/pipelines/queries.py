@@ -3546,3 +3546,36 @@ def user_value_rolling_mean(sf_dir: str):
         return pa.table({"event_id": t.column("event_id"), "roll_mean3": pa.array(m)})
 
     return out.map_batches(fin, batch_format="pyarrow").sort("event_id")
+
+
+@q(
+    "skew_join_event_order_revenue",
+    sql="""
+    SELECT e.event_type, count(*) AS n_pairs, round(sum(o.o_totalprice), 2) AS total
+    FROM events e JOIN orders o ON e.user_id = o.o_custkey
+    GROUP BY e.event_type ORDER BY e.event_type
+    """,
+)
+def skew_join_event_order_revenue(sf_dir: str):
+    """Skew-aware hybrid big-big join (stages/joins.skew_join): hot left
+    keys (≥80 events here) resolve against a broadcast right slice with a
+    vectorized many-to-many expansion — never entering the shuffle — while
+    the de-skewed remainder takes the ordinary hash join; the union is
+    row-identical to a plain inner join (the SQL oracle)."""
+    from perfect_bloomfilter_ray.stages.joins import skew_join
+
+    events = _t(sf_dir, "events", ["user_id", "event_type"])
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    joined = skew_join(
+        events, orders, on="user_id", right_on="o_custkey",
+        hot_count_threshold=80, hot_top_k=16,
+    )
+    out = (
+        joined.groupby("event_type")
+        .aggregate(Count(alias_name="n_pairs"), Sum("o_totalprice", alias_name="total"))
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    out["n_pairs"] = out["n_pairs"].astype("int64")
+    return _round(out, {"total": 2})

@@ -389,3 +389,135 @@ def range_join_broadcast(
         return t
 
     return big.map_batches(probe, batch_format="pyarrow")
+
+
+def skew_join(
+    left: Dataset,
+    right: Dataset,
+    on: str,
+    right_on: str | None = None,
+    hot_count_threshold: int = 100_000,
+    hot_top_k: int = 64,
+    num_partitions: int = 8,
+) -> Dataset:
+    """Skew-aware hybrid inner join of two large Datasets.
+
+    A plain hash join routes every row of a hot key to ONE reducer; with a
+    zipfian left side (a bot user, an empty-string key) that single task
+    gets an O(corpus) partition and the join stalls or OOMs. The classic
+    fix, implemented here:
+
+    1. **Detect hot keys** with a map-side pre-aggregated count (one row per
+       distinct key per batch leaves each task — vocabulary-sized shuffle,
+       never row-sized) and keep the ≤ ``hot_top_k`` keys whose left count
+       ≥ ``hot_count_threshold``.
+    2. **Hot slice → broadcast join**: the right side's rows for hot keys
+       ship once via ``ray.put`` and every left task expands matches
+       vectorized (searchsorted ranges + ``np.repeat``) — hot keys never
+       enter a shuffle, so the skew cannot concentrate on one reducer.
+       Assumption (documented contract): the RIGHT side's hot-key payload is
+       broadcastable (skew lives on the left); both-sides-hot would need
+       salted replication instead.
+    3. **Cold remainder → ordinary hash join** (``Dataset.join``), now free
+       of the keys that would have skewed it.
+    4. Union of the two legs; columns = left's + right's non-key payload.
+
+    The whole operator is streaming except the bounded hot-key count table
+    and hot right slice. Output row set equals the plain inner join's.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    right_on = right_on or on
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        tv = pc.value_counts(t.column(on).combine_chunks() if isinstance(t.column(on), pa.ChunkedArray) else t.column(on))
+        return pa.table({on: tv.field("values"), "pcnt": tv.field("counts").cast(pa.int64())})
+
+    counts = (
+        left.select_columns([on])
+        .map_batches(partial_counts, batch_format="pyarrow")
+        .groupby(on)
+        .aggregate(Sum("pcnt", alias_name="cnt"))
+        .sort("cnt", descending=True)
+        .limit(hot_top_k)
+        .to_pandas()
+    )
+    hot_vals = counts.loc[counts["cnt"] >= hot_count_threshold, on].to_numpy()
+    base = getattr(right.schema(), "base_schema", None)
+    if isinstance(base, pa.Schema):
+        hot_arr = pa.array(hot_vals, type=base.field(right_on).type)
+    else:  # pandas-block datasets: infer the Arrow type from the values
+        hot_arr = pa.array(hot_vals)
+    hot_ref = ray.put(hot_arr)
+
+    payload_cols = [c for c in right.schema().names if c != right_on]
+    out_cols = list(left.schema().names) + payload_cols
+
+    def split(t: pa.Table, keep_hot: bool, col: str) -> pa.Table:
+        ks = ray.get(hot_ref)
+        if len(ks) == 0:
+            return t if not keep_hot else t.slice(0, 0)
+        mask = pc.is_in(t.column(col), value_set=ks)
+        return t.filter(mask if keep_hot else pc.invert(mask))
+
+    def cold_join(l: Dataset, r: Dataset) -> Dataset:
+        return l.join(
+            r, "inner", num_partitions=num_partitions, on=(on,), right_on=(right_on,)
+        ).map_batches(
+            lambda t: (
+                t.drop_columns([right_on]) if right_on != on and right_on in t.column_names else t
+            ).select(out_cols),
+            batch_format="pyarrow",
+        )
+
+    if len(hot_arr) == 0:
+        return cold_join(left, right)
+
+    # hot leg: broadcast the right side's hot rows, sorted by key
+    rh_batches = [
+        b
+        for b in right.map_batches(lambda t: split(t, True, right_on), batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+        if len(b)
+    ]
+    if not rh_batches:
+        # hot keys have no right-side rows → no matches; keep them out of the
+        # shuffle anyway (that's the whole point) and join the remainder
+        return cold_join(
+            left.map_batches(lambda t: split(t, False, on), batch_format="pyarrow"), right
+        )
+    right_hot_t = pa.concat_tables(rh_batches).sort_by(right_on)
+    rh_keys = right_hot_t.column(right_on).to_numpy(zero_copy_only=False)
+    rh_ref = ray.put((rh_keys, right_hot_t.select(payload_cols)))
+
+    def probe_hot(t: pa.Table) -> pa.Table:
+        rk, payload = ray.get(rh_ref)
+        x = t.column(on).to_numpy(zero_copy_only=False)
+        lo = np.searchsorted(rk, x, side="left")
+        hi = np.searchsorted(rk, x, side="right")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        li = np.repeat(np.arange(len(t), dtype=np.int64), cnt)
+        csum = np.concatenate([[0], np.cumsum(cnt)])
+        within = np.arange(total, dtype=np.int64) - np.repeat(csum[:-1], cnt)
+        ri = np.repeat(lo, cnt) + within
+        out = t.take(pa.array(li, type=pa.int64()))
+        for c in payload_cols:
+            out = out.append_column(c, pc.take(payload.column(c), pa.array(ri, type=pa.int64())))
+        return out.select(out_cols)
+
+    hot_leg = left.map_batches(lambda t: split(t, True, on), batch_format="pyarrow").map_batches(
+        probe_hot, batch_format="pyarrow"
+    )
+
+    # cold leg: ordinary hash join on the de-skewed remainder. An all-empty
+    # side would reach Ray's hash-join aggregator schemaless (ArrowInvalid),
+    # and inner-join semantics make it a no-op anyway — probe with take(1)
+    # (streaming short-circuit; with real data the first batch has cold rows)
+    left_cold = left.map_batches(lambda t: split(t, False, on), batch_format="pyarrow")
+    right_cold = right.map_batches(lambda t: split(t, False, right_on), batch_format="pyarrow")
+    if not left_cold.take(1) or not right_cold.take(1):
+        return hot_leg
+    return hot_leg.union(cold_join(left_cold, right_cold))

@@ -75,3 +75,58 @@ def test_matches_duckdb_on_tables(ray_session, sf_dir):
             ORDER BY c_custkey"""
     ).df()
     pd.testing.assert_frame_equal(mine, oracle, check_dtype=False)
+
+
+def _skew_frames(seed=7, n_left=4000, n_right=300):
+    rng = np.random.default_rng(seed)
+    # zipf-ish: key 0 is scorching hot, a few warm, long uniform tail
+    keys = np.concatenate(
+        [
+            np.zeros(n_left // 2, np.int64),
+            np.full(n_left // 4, 1, np.int64),
+            rng.integers(2, 80, n_left // 4),
+        ]
+    )
+    rng.shuffle(keys)
+    left = pd.DataFrame({"k": keys, "lv": np.arange(len(keys), dtype=np.int64)})
+    right = pd.DataFrame(
+        {
+            "rk": rng.integers(0, 80, n_right),
+            "rv": np.arange(n_right, dtype=np.int64),
+        }
+    )
+    return left, right
+
+
+@pytest.mark.parametrize("threshold", [100, 10**9])  # hybrid and all-cold paths
+def test_skew_join_matches_pandas_merge(ray_session, threshold):
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.joins import skew_join
+
+    left, right = _skew_frames()
+    out = skew_join(
+        rd.from_pandas(left), rd.from_pandas(right),
+        on="k", right_on="rk",
+        hot_count_threshold=threshold, hot_top_k=8, num_partitions=4,
+    ).to_pandas()
+    exp = left.merge(right, left_on="k", right_on="rk")[["k", "lv", "rv"]]
+    assert list(out.columns) == ["k", "lv", "rv"]
+    key = lambda d: d.sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(key(out), key(exp))
+
+
+def test_skew_join_all_hot(ray_session):
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.joins import skew_join
+
+    left = pd.DataFrame({"k": [5] * 50 + [6] * 50, "lv": range(100)})
+    right = pd.DataFrame({"rk": [5, 5, 6, 7], "rv": [10, 11, 12, 13]})
+    out = skew_join(
+        rd.from_pandas(left), rd.from_pandas(right),
+        on="k", right_on="rk", hot_count_threshold=1, hot_top_k=8,
+    ).to_pandas()
+    exp = left.merge(right, left_on="k", right_on="rk")[["k", "lv", "rv"]]
+    key = lambda d: d.sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(key(out), key(exp))
