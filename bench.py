@@ -113,6 +113,7 @@ SUITE = [
     "lang_categorical_codes",
     "user_value_rolling_mean",
     "skew_join_event_order_revenue",
+    "contamination_fraction_docs",
 ]
 
 

@@ -3579,3 +3579,70 @@ def skew_join_event_order_revenue(sf_dir: str):
     )
     out["n_pairs"] = out["n_pairs"].astype("int64")
     return _round(out, {"total": 2})
+
+
+@q(
+    "contamination_fraction_docs",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM documents
+    ),
+    bench AS (SELECT * FROM toks WHERE (doc_id * 2654435761) % 10 = 3),
+    corp  AS (SELECT * FROM toks WHERE (doc_id * 2654435761) % 10 <> 3),
+    bgrams AS (
+      SELECT DISTINCT array_to_string(t[i:i+4], ' ') AS g
+      FROM (SELECT t, unnest(generate_series(1, len(t) - 4)) AS i
+            FROM bench WHERE len(t) >= 5)
+    ),
+    cg AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS g
+      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i
+            FROM corp WHERE len(t) >= 5)
+    )
+    SELECT cg.doc_id,
+           count(*) AS n_grams,
+           round(CAST(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 4) AS contam_frac
+    FROM cg LEFT JOIN bgrams b ON cg.g = b.g
+    GROUP BY cg.doc_id ORDER BY cg.doc_id
+    """,
+)
+def contamination_fraction_docs(sf_dir: str):
+    """Graded decontamination (stages/decontam.contamination_fraction): per
+    corpus doc, the fraction of its distinct 5-grams found in the benchmark
+    slice's blocklist — broadcast blocklist, one shuffle-free scoring pass.
+    Same deterministic 10% benchmark split as `decontaminated_docs`."""
+    from perfect_bloomfilter_ray.stages.decontam import (
+        build_blocklist,
+        contamination_fraction,
+    )
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def split(bench_side: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy().astype(np.int64)
+            m = (ids * 2654435761) % 10 == 3
+            return t.filter(pa.array(m if bench_side else ~m))
+
+        return fn
+
+    bench = docs.map_batches(split(True), batch_format="pyarrow")
+    corp = docs.map_batches(split(False), batch_format="pyarrow")
+    blocklist = build_blocklist(bench, "text", n=5)
+    scored = contamination_fraction(corp, blocklist, n=5)
+
+    def fin(t: pa.Table) -> pa.Table:
+        keep = pc.greater(t.column("n_grams"), 0)
+        t = t.filter(keep)
+        frac = np.round(t.column("contam_frac").to_numpy(zero_copy_only=False), 4)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_grams": t.column("n_grams"),
+                "contam_frac": pa.array(frac),
+            }
+        )
+
+    return scored.map_batches(fin, batch_format="pyarrow").sort("doc_id")

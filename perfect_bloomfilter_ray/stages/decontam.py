@@ -139,3 +139,51 @@ def decontaminate(
         return t.append_column(flag_col, pa.array(hit))
 
     return docs.map_batches(check, batch_format="pyarrow")
+
+
+def contamination_fraction(
+    docs: Dataset,
+    blocklist: "np.ndarray | object",
+    text_col: str = "text",
+    n: int = 5,
+    frac_col: str = "contam_frac",
+    ngrams_col: str = "n_grams",
+) -> Dataset:
+    """Per-document containment score against a benchmark blocklist: the
+    fraction of the document's DISTINCT word n-grams that appear in the
+    benchmark set (Dolma/The-Pile-style graded decontamination — a 0/1
+    any-hit flag treats one boilerplate overlap like a verbatim test-set
+    copy; the fraction lets the pipeline threshold instead of hard-drop).
+
+    Same scale shape as :func:`decontaminate`: blocklist broadcast once,
+    one shuffle-free ``map_batches`` pass, per-doc distinct + membership
+    resolved with one lexsort + searchsorted + bincount per batch. Docs
+    with no n-gram (fewer than ``n`` tokens) score 0 over 0 grams.
+    """
+    import ray
+
+    ref = blocklist if isinstance(blocklist, ray.ObjectRef) else ray.put(blocklist)
+
+    def score(t: pa.Table) -> pa.Table:
+        bl = ray.get(ref)
+        hs, doc_idx = _ngram_hashes(pl.from_arrow(t.column(text_col)), n)
+        ngr = np.zeros(len(t), np.int64)
+        hits = np.zeros(len(t), np.int64)
+        if len(hs):
+            order = np.lexsort((hs, doc_idx))
+            d_s, h_s = doc_idx[order], hs[order]
+            keep = np.ones(len(h_s), dtype=bool)
+            keep[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+            d_u, h_u = d_s[keep], h_s[keep]
+            ngr = np.bincount(d_u, minlength=len(t)).astype(np.int64)
+            if len(bl):
+                pos = np.searchsorted(bl, h_u)
+                pos[pos == len(bl)] = 0
+                m = bl[pos] == h_u
+                hits = np.bincount(d_u[m], minlength=len(t)).astype(np.int64)
+        frac = hits / np.maximum(ngr, 1)
+        return t.append_column(ngrams_col, pa.array(ngr)).append_column(
+            frac_col, pa.array(frac, pa.float64())
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")

@@ -76,3 +76,45 @@ def test_decontaminate_short_docs_and_empty_blocklist(ray_session):
     # an empty blocklist must keep everything even for long docs
     long = rd.from_arrow(pa.table({"text": [" ".join("x" * 3 for _ in range(30))]}))
     assert len(decontaminate(long, bl, n=5, drop=True).to_pandas()) == 1
+
+
+def test_contamination_fraction_matches_bruteforce(ray_session):
+    import re
+
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.decontam import (
+        build_blocklist,
+        contamination_fraction,
+    )
+
+    n = 3
+    bench = ["the quick brown fox jumps", "hello world again and again"]
+    corpus = [
+        "the quick brown fox jumps over the lazy dog",  # shares grams
+        "completely different text with no overlap at all here",
+        "hello world again and AGAIN yes",  # case-insensitive overlap
+        "too short",  # < n tokens -> 0 grams
+    ]
+
+    def grams(s):
+        t = re.findall(r"[a-z0-9]+", s.lower())
+        return {" ".join(t[i : i + n]) for i in range(len(t) - n + 1)}
+
+    bgrams = set().union(*(grams(b) for b in bench))
+    bl = build_blocklist(rd.from_arrow(pa.table({"text": bench})), "text", n=n)
+    out = (
+        contamination_fraction(
+            rd.from_arrow(pa.table({"text": corpus, "i": list(range(len(corpus)))})),
+            bl,
+            n=n,
+        )
+        .to_pandas()
+        .sort_values("i")
+        .reset_index(drop=True)
+    )
+    for i, doc in enumerate(corpus):
+        g = grams(doc)
+        assert out["n_grams"][i] == len(g)
+        exp = (len(g & bgrams) / len(g)) if g else 0.0
+        assert abs(out["contam_frac"][i] - exp) < 1e-12
