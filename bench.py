@@ -114,6 +114,7 @@ SUITE = [
     "user_value_rolling_mean",
     "skew_join_event_order_revenue",
     "contamination_fraction_docs",
+    "event_value_quantile_bins",
 ]
 
 

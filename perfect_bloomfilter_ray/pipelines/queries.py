@@ -3646,3 +3646,37 @@ def contamination_fraction_docs(sf_dir: str):
         )
 
     return scored.map_batches(fin, batch_format="pyarrow").sort("doc_id")
+
+
+@q(
+    "event_value_quantile_bins",
+    sql="""
+    WITH th AS (
+      SELECT event_type,
+             quantile_disc(value, 0.25) AS t1,
+             quantile_disc(value, 0.50) AS t2,
+             quantile_disc(value, 0.75) AS t3
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id,
+           CAST((e.value > t1)::INT + (e.value > t2)::INT + (e.value > t3)::INT
+                AS BIGINT) AS bin
+    FROM events e JOIN th USING (event_type)
+    ORDER BY e.event_id
+    """,
+)
+def event_value_quantile_bins(sf_dir: str):
+    """Equi-depth feature binning (stages/quantiles.quantile_bin): per event
+    type, exact discrete quartile cut points (one coarse-partitioned
+    vectorized pass), broadcast one row per group, then a shuffle-free
+    threshold-count map assigns each event its 0-3 bin code."""
+    from perfect_bloomfilter_ray.stages.quantiles import quantile_bin
+
+    ds = _t(sf_dir, "events", ["event_id", "event_type", "value"])
+    out = quantile_bin(ds, "event_type", "value", n_bins=4, bin_col="bin")
+    return (
+        out.select_columns(["event_id", "bin"])
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )

@@ -161,6 +161,46 @@ def quantile_trim(
     return ds.map_batches(trim, batch_format="pyarrow")
 
 
+def quantile_bin(
+    ds: Dataset,
+    keys: list[str] | str,
+    value_col: str,
+    n_bins: int = 4,
+    bin_col: str = "bin",
+    num_blocks: int | None = None,
+) -> Dataset:
+    """Equi-depth quantile binning: add a 0-based bin code per row, where
+    bin ``b`` means the value exceeds exactly ``b`` of the group's
+    ``n_bins - 1`` interior discrete quantile cut points — the standard
+    feature-bucketing transform before gradient boosting / embedding-table
+    lookup. Unlike ``ntile`` (equal ROW counts, order-dependent), bins are
+    value-threshold based: equal values always land in the same bin.
+
+    Cut points come from :func:`exact_grouped_quantiles` (``disc`` kind, so
+    thresholds are actual data values and the comparison is engine-exact);
+    the one-row-per-group threshold table broadcasts like
+    :func:`quantile_trim`'s bounds. Null values bin as null.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    qs = [i / n_bins for i in range(1, n_bins)]
+    names = [f"_t{i}" for i in range(1, n_bins)]
+    th = exact_grouped_quantiles(
+        ds, keys, value_col, qs, kind="disc", names=names, num_blocks=num_blocks
+    )
+    th_df = pl.from_arrow(pa.Table.from_pandas(th.to_pandas(), preserve_index=False))
+
+    def binfn(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        j = df.join(th_df, on=keys, how="left")
+        if names:
+            expr = sum((pl.col(value_col) > pl.col(nm)).cast(pl.Int64) for nm in names)
+        else:  # n_bins == 1: everything is bin 0
+            expr = pl.lit(0, dtype=pl.Int64)
+        return j.with_columns(expr.alias(bin_col)).drop(names).to_arrow()
+
+    return ds.map_batches(binfn, batch_format="pyarrow")
+
+
 def histogram(
     ds: Dataset,
     col: str,

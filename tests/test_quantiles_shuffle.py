@@ -232,3 +232,32 @@ def test_word_jaccard_pairs_grouped_parity(ray_session):
     )
     assert len(got) == len(want) and len(want) > 0
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
+def test_quantile_bin_equi_depth(ray_session):
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.quantiles import quantile_bin
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame(
+        {
+            "g": np.repeat(["a", "b"], 500),
+            "v": np.concatenate([rng.normal(0, 1, 500), rng.normal(5, 2, 500)]),
+            "i": np.arange(1000),
+        }
+    )
+    out = (
+        quantile_bin(rd.from_pandas(df), "g", "v", n_bins=4)
+        .to_pandas()
+        .sort_values("i")
+        .reset_index(drop=True)
+    )
+    for g, sub in out.groupby("g"):
+        # equi-depth: each quartile bin holds ~250 rows (ties may shift a few)
+        counts = sub["bin"].value_counts()
+        assert set(counts.index) == {0, 1, 2, 3}
+        assert counts.min() >= 115 and counts.max() <= 135  # 500 rows / 4 bins
+        # bins are monotone in value
+        order = sub.sort_values("v")["bin"].to_numpy()
+        assert (np.diff(order) >= 0).all()
