@@ -3568,11 +3568,28 @@ def skew_join_event_order_revenue(sf_dir: str):
     orders = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     joined = skew_join(
         events, orders, on="user_id", right_on="o_custkey",
-        hot_count_threshold=80, hot_top_k=16,
+        hot_count_threshold=80, hot_top_k=16, num_partitions=4,
     )
+    # map-side partial aggregation: the 1M-row join output collapses to a
+    # few rows per block before the (tiny) groupby — without this the
+    # sort-shuffle pays one giant map-side sort over the whole union
+    def partial(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(t.select(["event_type", "o_totalprice"]))
+            .group_by("event_type")
+            .agg(
+                pl.len().cast(pl.Int64).alias("pn"),
+                pl.col("o_totalprice").sum().alias("ps"),
+            )
+            .to_arrow()
+        )
+
     out = (
-        joined.groupby("event_type")
-        .aggregate(Count(alias_name="n_pairs"), Sum("o_totalprice", alias_name="total"))
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("pn", alias_name="n_pairs"), Sum("ps", alias_name="total"))
         .to_pandas()
         .sort_values("event_type")
         .reset_index(drop=True)

@@ -434,16 +434,23 @@ def skew_join(
         tv = pc.value_counts(t.column(on).combine_chunks() if isinstance(t.column(on), pa.ChunkedArray) else t.column(on))
         return pa.table({on: tv.field("values"), "pcnt": tv.field("counts").cast(pa.int64())})
 
+    # threshold filter BEFORE the sort: the sort input shrinks from the full
+    # key vocabulary to just the hot candidates (at web scale: 10^9 distinct
+    # keys → a handful of rows). limit(k+1): an overflow row proves keys
+    # beyond the cap exist, so the cold leg is known-nonempty without a probe
     counts = (
         left.select_columns([on])
         .map_batches(partial_counts, batch_format="pyarrow")
         .groupby(on)
         .aggregate(Sum("pcnt", alias_name="cnt"))
+        .filter(expr=f"cnt >= {int(hot_count_threshold)}")
         .sort("cnt", descending=True)
-        .limit(hot_top_k)
+        .limit(hot_top_k + 1)
         .to_pandas()
     )
-    hot_vals = counts.loc[counts["cnt"] >= hot_count_threshold, on].to_numpy()
+    cold_known_nonempty = len(counts) > hot_top_k
+    # an all-filtered Dataset comes back as a 0-column frame — treat as no hot keys
+    hot_vals = counts[on].to_numpy()[:hot_top_k] if len(counts) else np.empty(0)
     base = getattr(right.schema(), "base_schema", None)
     if isinstance(base, pa.Schema):
         hot_arr = pa.array(hot_vals, type=base.field(right_on).type)
@@ -518,6 +525,8 @@ def skew_join(
     # (streaming short-circuit; with real data the first batch has cold rows)
     left_cold = left.map_batches(lambda t: split(t, False, on), batch_format="pyarrow")
     right_cold = right.map_batches(lambda t: split(t, False, right_on), batch_format="pyarrow")
-    if not left_cold.take(1) or not right_cold.take(1):
+    if not cold_known_nonempty and not left_cold.take(1):
+        return hot_leg
+    if not right_cold.take(1):
         return hot_leg
     return hot_leg.union(cold_join(left_cold, right_cold))
