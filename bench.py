@@ -115,6 +115,7 @@ SUITE = [
     "skew_join_event_order_revenue",
     "contamination_fraction_docs",
     "event_value_quantile_bins",
+    "bigram_perplexity_scores",
 ]
 
 

@@ -3697,3 +3697,92 @@ def event_value_quantile_bins(sf_dir: str):
         .sort_values("event_id")
         .reset_index(drop=True)
     )
+
+
+@q(
+    "bigram_perplexity_scores",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+    ),
+    ut AS (SELECT doc_id, unnest(t) AS token FROM toks),
+    cnt AS (SELECT token, count(*) AS c1 FROM ut GROUP BY token),
+    uni AS (SELECT token, c1 FROM cnt WHERE c1 >= 5),
+    tot AS (SELECT count(*) AS n FROM ut),
+    bg AS (
+      SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i+1] AS g
+      FROM toks, UNNEST(range(1, len(t))) AS r(i)
+      WHERE len(t) >= 2
+    ),
+    bgc AS (SELECT w1, g, count(*) AS c2 FROM bg GROUP BY 1, 2 HAVING count(*) >= 3),
+    vocab AS (
+      SELECT bgc.g, ln(uni.c1) - ln(bgc.c2) AS nll
+      FROM bgc JOIN uni ON bgc.w1 = uni.token
+    ),
+    samp AS (SELECT doc_id, lang FROM documents WHERE doc_id % 5 = 0),
+    sb AS (SELECT b.doc_id, b.g FROM bg b JOIN samp USING (doc_id)),
+    s AS (
+      SELECT sb.doc_id, count(*) AS n_bigrams,
+             sum(coalesce(v.nll, -ln(0.5 / tot.n))) AS nll
+      FROM sb LEFT JOIN vocab v ON sb.g = v.g CROSS JOIN tot GROUP BY sb.doc_id
+    )
+    SELECT sa.doc_id, sa.lang,
+           CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           round(coalesce(s.nll / s.n_bigrams, 0), 4) AS nll2_per_tok
+    FROM samp sa LEFT JOIN s USING (doc_id)
+    ORDER BY sa.doc_id
+    """,
+)
+def bigram_perplexity_scores(sf_dir: str):
+    """Bigram conditional-LM quality scoring (stages/vocab.py): corpus
+    bigram counts via map-side partial groupby, conditional nll(w1 w2) =
+    -ln(c2/c1) resolved against the unigram vocabulary at broadcast-build
+    time, then one shuffle-free pass scoring mean per-bigram nll over a
+    deterministic 20% doc slice (OOV / sub-min_count bigrams floored at
+    half a count over the corpus). One step closer to CCNet's KenLM than
+    the unigram model."""
+    from perfect_bloomfilter_ray.stages.vocab import (
+        bigram_counts,
+        bigram_logprob_broadcast,
+        bigram_nll_score,
+        token_counts,
+        unigram_count_broadcast,
+    )
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text", "lang"])
+    uni = token_counts(docs, "text", min_count=5)
+
+    def ntok(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        n = (
+            pl.from_arrow(t.column("text"))
+            .str.to_lowercase()
+            .str.extract_all("[a-z0-9]+")
+            .list.len()
+            .fill_null(0)
+            .sum()
+        )
+        return pa.table({"n": pa.array([int(n)], pa.int64())})
+
+    total = int(
+        docs.map_batches(ntok, batch_format="pyarrow").aggregate(Sum("n", alias_name="n"))["n"]
+    )
+    uref = unigram_count_broadcast(uni)
+    big = bigram_counts(docs, "text", min_count=3)
+    lp = bigram_logprob_broadcast(big, uref, total)
+
+    def slice5(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        return t.filter(pa.array(ids % 5 == 0))
+
+    sample = docs.map_batches(slice5, batch_format="pyarrow")
+    out = (
+        bigram_nll_score(sample, lp, "text")
+        .select_columns(["doc_id", "lang", "n_bigrams", "nll2_per_tok"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    out["nll2_per_tok"] = np.round(out["nll2_per_tok"].to_numpy(), 4)
+    return out

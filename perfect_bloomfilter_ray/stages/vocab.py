@@ -278,3 +278,154 @@ def categorical_encode(
         return t.append_column(out_col, pa.array(out, pa.int64(), mask=~hit))
 
     return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def bigram_counts(ds: Dataset, text_col: str, min_count: int = 1) -> Dataset:
+    """``(w1, gram, cnt)`` counts of consecutive-token bigrams over the
+    corpus (``gram`` = ``"w1 w2"``; ``w1`` kept so the conditional
+    probability ``cnt(w1 w2) / cnt(w1)`` can be resolved at broadcast-build
+    time without a second shuffle). Same map-side pre-aggregation shape as
+    :func:`token_counts`: one partial row per distinct bigram per batch.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select([text_col]))
+        toks = _tokens(pl.col(text_col))
+        out = (
+            df.select(
+                toks.list.slice(0, toks.list.len() - 1).alias("w1"),
+                toks.list.slice(1).alias("w2"),
+            )
+            .explode(["w1", "w2"])
+            .drop_nulls()
+            .select(
+                pl.col("w1"),
+                (pl.col("w1") + " " + pl.col("w2")).alias("gram"),
+            )
+            .group_by(["w1", "gram"])
+            .len(name="pcnt")
+            .with_columns(pl.col("pcnt").cast(pl.Int64))
+        )
+        return out.to_arrow()
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("gram")
+        .aggregate(Sum("pcnt", alias_name="cnt"))
+    )
+    # groupby drops non-key columns; re-derive w1 from the gram string
+    def add_w1(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        return df.with_columns(
+            pl.col("gram").str.split(" ").list.first().alias("w1")
+        ).to_arrow()
+
+    out = out.map_batches(add_w1, batch_format="pyarrow")
+    if min_count > 1:
+        out = out.filter(expr=f"cnt >= {min_count}")
+    return out
+
+
+def bigram_logprob_broadcast(
+    big_ds: Dataset,
+    uni_counts: "ray.ObjectRef | tuple",  # noqa: F821
+    total_tokens: int,
+    seed: int = 0x1DF,
+) -> "ray.ObjectRef":  # noqa: F821
+    """Collapse ``(w1, gram, cnt)`` bigram counts into a broadcast
+    conditional negative-log-prob lookup: ``nll(w1 w2) = -ln(cnt(w1 w2) /
+    cnt(w1))`` with ``cnt(w1)`` resolved from the unigram vocabulary
+    (``uni_counts`` = the ``(sorted_hashes, counts)`` pair or an ObjectRef
+    to one — see :func:`unigram_count_broadcast`). Bigrams whose ``w1``
+    fell below the unigram vocabulary's min_count floor are skipped (they
+    would need a count the broadcast no longer has); scoring treats them as
+    OOV with the global floor ``-ln(0.5 / total_tokens)``.
+
+    Same 16 B/term sorted-hash layout as :func:`idf_broadcast`.
+    """
+    import ray
+
+    uh, ucnt = ray.get(uni_counts) if isinstance(uni_counts, ray.ObjectRef) else uni_counts
+    hs, nls = [], []
+    for t in big_ds.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
+        gh = pl.from_arrow(t.column("gram")).hash(seed=seed).to_numpy().astype(np.uint64, copy=True)
+        w1h = pl.from_arrow(t.column("w1")).hash(seed=seed).to_numpy().astype(np.uint64, copy=False)
+        c2 = t.column("cnt").to_numpy().astype(np.float64)
+        if len(uh):
+            pos = np.searchsorted(uh, w1h)
+            pos[pos == len(uh)] = 0
+            c1 = np.where(uh[pos] == w1h, ucnt[pos].astype(np.float64), np.nan)
+        else:
+            c1 = np.full(len(gh), np.nan)
+        ok = np.isfinite(c1)
+        hs.append(gh[ok])
+        nls.append(np.log(c1[ok]) - np.log(c2[ok]))
+    h = np.concatenate(hs) if hs else np.empty(0, np.uint64)
+    v = np.concatenate(nls) if nls else np.empty(0, np.float64)
+    order = np.argsort(h, kind="stable")
+    oov = -np.log(0.5 / float(total_tokens))
+    return ray.put((h[order], v[order], oov))
+
+
+def unigram_count_broadcast(cnt_ds: Dataset, seed: int = 0x1DF) -> "ray.ObjectRef":  # noqa: F821
+    """``(sorted_hashes, counts)`` broadcast of a ``(token, cnt)`` Dataset —
+    the raw-count sibling of :func:`unigram_logprob_broadcast`, shared by
+    the bigram conditional model."""
+    import ray
+
+    hs, cs = [], []
+    for t in cnt_ds.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
+        s = pl.from_arrow(t.column("token")).hash(seed=seed).to_numpy().astype(np.uint64, copy=True)
+        hs.append(s)
+        cs.append(t.column("cnt").to_numpy().astype(np.int64))
+    h = np.concatenate(hs) if hs else np.empty(0, np.uint64)
+    c = np.concatenate(cs) if cs else np.empty(0, np.int64)
+    order = np.argsort(h, kind="stable")
+    return ray.put((h[order], c[order]))
+
+
+def bigram_nll_score(
+    ds: Dataset,
+    lp_ref,
+    text_col: str,
+    nll_col: str = "nll2_per_tok",
+    nbigrams_col: str = "n_bigrams",
+    seed: int = 0x1DF,
+) -> Dataset:
+    """Append per-bigram conditional negative log-likelihood under the
+    corpus bigram LM (one step closer to CCNet's KenLM scoring than the
+    unigram model: fluent common phrasing scores low even when individual
+    tokens are rare). Documents with < 2 tokens score 0 over 0 bigrams.
+    One shuffle-free ``map_batches`` pass.
+    """
+
+    def score(t: pa.Table) -> pa.Table:
+        import ray
+
+        vh, vn, oov = ray.get(lp_ref)
+        df = pl.from_arrow(t.select([text_col]))
+        toks = _tokens(pl.col(text_col))
+        pairs = df.select(
+            toks.list.slice(0, toks.list.len() - 1).alias("w1"),
+            toks.list.slice(1).alias("w2"),
+        )
+        lens = pairs["w1"].list.len().fill_null(0).to_numpy().astype(np.int64)
+        flat = pairs.explode(["w1", "w2"]).drop_nulls()
+        sums = np.zeros(len(t), np.float64)
+        if len(flat):
+            grams = (flat["w1"] + " " + flat["w2"]).rename("gram")
+            gh = grams.hash(seed=seed).to_numpy().astype(np.uint64, copy=False)
+            if len(vh):
+                pos = np.searchsorted(vh, gh)
+                pos[pos == len(vh)] = 0
+                w = np.where(vh[pos] == gh, vn[pos], oov)
+            else:
+                w = np.full(len(gh), oov)
+            doc_of = np.repeat(np.arange(len(lens)), lens)
+            sums = np.bincount(doc_of, weights=w, minlength=len(t))
+        nll = np.divide(sums, lens, out=np.zeros_like(sums), where=lens > 0)
+        return t.append_column(nll_col, pa.array(nll)).append_column(
+            nbigrams_col, pa.array(lens)
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -214,3 +214,53 @@ def test_categorical_encode_freq_order_nulls_mincount(ray_session):
     assert out.loc[out["k"] == "rare", "k_code"].isna().all()
     assert out.loc[out["k"].isna(), "k_code"].isna().all()
     assert str(out["k_code"].dtype) in ("Int64", "float64", "object")
+
+
+def test_bigram_nll_matches_bruteforce(ray_session, corpus):
+    import math
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.vocab import (
+        bigram_counts,
+        bigram_logprob_broadcast,
+        bigram_nll_score,
+        token_counts,
+        unigram_count_broadcast,
+    )
+
+    tok = lambda s: re.findall(r"[a-z0-9]+", s.lower())
+    uni_min, big_min = 3, 2
+    c1 = Counter()
+    c2 = Counter()
+    total = 0
+    for s in corpus:
+        t = tok(s)
+        total += len(t)
+        c1.update(t)
+        c2.update(zip(t, t[1:]))
+    vocab = {
+        (a, b): math.log(c1[a]) - math.log(n)
+        for (a, b), n in c2.items()
+        if n >= big_min and c1[a] >= uni_min
+    }
+    floor = -math.log(0.5 / total)
+
+    ds = rd.from_pandas(pd.DataFrame({"text": corpus, "i": range(len(corpus))}))
+    uni = token_counts(ds, "text", min_count=uni_min)
+    uref = unigram_count_broadcast(uni)
+    big = bigram_counts(ds, "text", min_count=big_min)
+    lp = bigram_logprob_broadcast(big, uref, total)
+    out = (
+        bigram_nll_score(ds, lp, "text")
+        .to_pandas()
+        .sort_values("i")
+        .reset_index(drop=True)
+    )
+    for i, s in enumerate(corpus):
+        t = tok(s)
+        pairs = list(zip(t, t[1:]))
+        assert out["n_bigrams"][i] == len(pairs)
+        exp = (
+            sum(vocab.get(p, floor) for p in pairs) / len(pairs) if pairs else 0.0
+        )
+        assert abs(out["nll2_per_tok"][i] - exp) < 1e-9
