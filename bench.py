@@ -116,6 +116,9 @@ SUITE = [
     "contamination_fraction_docs",
     "event_value_quantile_bins",
     "bigram_perplexity_scores",
+    "user_modal_event_type",
+    "event_type_association_scores",
+    "hourly_distinct_users",
 ]
 
 

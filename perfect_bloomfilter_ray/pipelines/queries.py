@@ -3786,3 +3786,158 @@ def bigram_perplexity_scores(sf_dir: str):
     )
     out["nll2_per_tok"] = np.round(out["nll2_per_tok"].to_numpy(), 4)
     return out
+
+
+@q(
+    "user_modal_event_type",
+    sql="""
+    WITH c AS (
+      SELECT user_id, event_type, count(*) AS cnt FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT user_id, event_type, cnt,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY cnt DESC, event_type) AS rn
+      FROM c
+    )
+    SELECT user_id, event_type AS event_type_mode, CAST(cnt AS BIGINT) AS mode_count
+    FROM r WHERE rn = 1 ORDER BY user_id
+    """,
+)
+def user_modal_event_type(sf_dir: str):
+    """Grouped mode (stages/topk.grouped_mode): each user's most frequent
+    event type with deterministic tie-breaking (count desc, value asc) —
+    per-batch partial pair counts, one coarse-partitioned vectorized
+    sum + argmax pass."""
+    from perfect_bloomfilter_ray.stages.topk import grouped_mode
+
+    ds = _t(sf_dir, "events", ["user_id", "event_type"])
+    out = (
+        grouped_mode(ds, "user_id", "event_type", mode_col="event_type_mode")
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    out["mode_count"] = out["mode_count"].astype("int64")
+    return out[["user_id", "event_type_mode", "mode_count"]]
+
+
+@q(
+    "event_type_association_scores",
+    sql="""
+    WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
+    p AS (
+      SELECT a.event_type AS item_a, b.event_type AS item_b, count(*) AS n
+      FROM d a JOIN d b ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    ),
+    m AS (SELECT event_type, count(*) AS nk FROM d GROUP BY 1),
+    tot AS (SELECT count(DISTINCT user_id) AS nu FROM events)
+    SELECT item_a, item_b, n,
+           round(CAST(n AS DOUBLE) * nu / (ma.nk * mb.nk), 4) AS lift,
+           round(ln(CAST(n AS DOUBLE) * nu / (ma.nk * mb.nk)), 4) AS pmi
+    FROM p
+    JOIN m ma ON p.item_a = ma.event_type
+    JOIN m mb ON p.item_b = mb.event_type
+    CROSS JOIN tot
+    ORDER BY item_a, item_b
+    """,
+)
+def event_type_association_scores(sf_dir: str):
+    """Association-rule scoring (stages/cooccur): pair support counts +
+    per-item marginal distinct-key counts + total distinct keys → lift
+    = n·N/(n_a·n_b) and PMI = ln(lift) per unordered event-type pair.
+    All three inputs are distributed aggregates; the scoring join runs on
+    the items²-bounded pair table (driver post-agg altitude)."""
+    from perfect_bloomfilter_ray.stages.cooccur import (
+        cooccurrence_counts,
+        item_marginals,
+    )
+
+    ds = _t(sf_dir, "events", ["user_id", "event_type"])
+    pairs = cooccurrence_counts(ds, "user_id", "event_type").to_pandas()
+    marg = item_marginals(ds, "user_id", "event_type").to_pandas()
+
+    def pdist(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return pl.from_arrow(t.select(["user_id"])).unique().to_arrow()
+
+    n_users = (
+        _t(sf_dir, "events", ["user_id"])
+        .map_batches(pdist, batch_format="pyarrow")
+        .groupby("user_id")
+        .count()
+        .count()
+    )
+
+    mk = dict(zip(marg["item"], marg["nk"]))
+    out = pairs.sort_values(["item_a", "item_b"]).reset_index(drop=True)
+    na = out["item_a"].map(mk).to_numpy().astype(np.int64)
+    nb = out["item_b"].map(mk).to_numpy().astype(np.int64)
+    lift = out["n"].to_numpy().astype(np.float64) * n_users / (na * nb)
+    out["n"] = out["n"].astype("int64")
+    out["lift"] = np.round(lift, 4)
+    out["pmi"] = np.round(np.log(lift), 4)
+    return out
+
+
+@q(
+    "hourly_distinct_users",
+    sql="""
+    SELECT date_trunc('hour', ts) AS bucket,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def hourly_distinct_users(sf_dir: str):
+    """Exact COUNT(DISTINCT) per time window: map-only hour truncation
+    (stages/windows.time_bucket), per-batch distinct (bucket, user) partials
+    so the dedup shuffle carries pair-distinct rows only, a pair groupby,
+    then a tiny per-bucket count merged with the plain event counts. The
+    exact twin of the HLL-per-window pattern."""
+    from perfect_bloomfilter_ray.stages.windows import time_bucket
+
+    ds = time_bucket(
+        _t(sf_dir, "events", ["ts", "user_id"]), "ts", "hour", out_col="bucket"
+    )
+
+    def pdist(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return pl.from_arrow(t.select(["bucket", "user_id"])).unique().to_arrow()
+
+    users = (
+        ds.map_batches(pdist, batch_format="pyarrow")
+        .groupby(["bucket", "user_id"])
+        .count()
+    )
+
+    def bucket_partial(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(t.select(["bucket"]))
+            .group_by("bucket")
+            .len(name="pn")
+            .with_columns(pl.col("pn").cast(pl.Int64))
+            .to_arrow()
+        )
+
+    n_users = (
+        users.map_batches(bucket_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("pn", alias_name="n_users"))
+        .to_pandas()
+    )
+    n_events = (
+        ds.map_batches(bucket_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("pn", alias_name="n_events"))
+        .to_pandas()
+    )
+    out = n_users.merge(n_events, on="bucket").sort_values("bucket").reset_index(drop=True)
+    out["n_users"] = out["n_users"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    return out

@@ -74,3 +74,44 @@ def cooccurrence_counts(
         .groupby(["item_a", "item_b"])
         .aggregate(Sum("pn", alias_name="n"))
     )
+
+
+def item_marginals(
+    ds: Dataset,
+    key: str,
+    item_col: str,
+    num_blocks: int | None = None,
+) -> Dataset:
+    """``(item, nk)`` — number of distinct keys exhibiting each item: the
+    marginal counts that turn :func:`cooccurrence_counts` support into
+    lift / PMI association scores. Same partition contract: all of a key's
+    rows co-locate, so per-partition ``unique()`` is global dedup and the
+    final groupby sums exact partials.
+    """
+    nb = choose_num_blocks(ds, num_blocks)
+
+    def dedup_route(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select([key, item_col])).unique()
+        h = hash64(df[key], 0xC00C)
+        return df.with_columns(
+            pl.Series("_part", (h % np.uint64(nb)).astype(np.int32))
+        ).to_arrow()
+
+    def marg_block(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.drop_columns(["_part"])).unique()
+        return (
+            df.group_by(item_col)
+            .len(name="pn")
+            .rename({item_col: "item"})
+            .with_columns(pl.col("pn").cast(pl.Int64))
+            .to_arrow()
+        )
+
+    return (
+        ds.select_columns([key, item_col])
+        .map_batches(dedup_route, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(marg_block, batch_format="pyarrow")
+        .groupby("item")
+        .aggregate(Sum("pn", alias_name="nk"))
+    )

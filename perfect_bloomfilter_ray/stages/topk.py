@@ -168,3 +168,58 @@ def weighted_sample(
 
     keyed = ds.map_batches(add_key, batch_format="pyarrow")
     return grouped_top_k(keyed, keys, "_es_key", k, descending=True, tie_cols=[id_col])
+
+
+def grouped_mode(
+    ds: Dataset,
+    key_col: str,
+    value_col: str,
+    mode_col: str | None = None,
+    cnt_col: str = "mode_count",
+    num_blocks: int | None = None,
+) -> Dataset:
+    """Most frequent ``value_col`` per ``key_col`` group, with its count —
+    deterministic ties (highest count wins, equal counts break to the
+    smallest value), so the result is engine-reproducible (SQL oracle:
+    ``row_number() OVER (PARTITION BY key ORDER BY cnt DESC, value)``,
+    NOT SQL ``mode()`` whose tie rule is unspecified).
+
+    Scale shape: per-batch ``(key, value, pcnt)`` partial counts (the
+    shuffle carries one row per distinct pair per batch), then ONE
+    vectorized polars pass per coarse key partition summing partials and
+    taking the per-key argmax. No per-key Python, one shuffle.
+    """
+    mode_col = mode_col or f"{value_col}_mode"
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select([key_col, value_col]))
+        return (
+            df.group_by([key_col, value_col])
+            .len(name="pcnt")
+            .with_columns(pl.col("pcnt").cast(pl.Int64))
+            .to_arrow()
+        )
+
+    nb = choose_num_blocks(ds, num_blocks)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        return _multi_key_part(t, [key_col], nb)
+
+    def final_block(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.drop_columns(["_part"]))
+        out = (
+            df.group_by([key_col, value_col])
+            .agg(pl.col("pcnt").sum().alias(cnt_col))
+            .sort([cnt_col, value_col], descending=[True, False])
+            .group_by(key_col, maintain_order=True)
+            .head(1)
+            .rename({value_col: mode_col})
+        )
+        return out.to_arrow()
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(final_block, batch_format="pyarrow")
+    )

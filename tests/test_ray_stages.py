@@ -212,3 +212,27 @@ def test_checkpointed_build_works_for_all_sketch_families(ray_session, tmp_path)
         assert manifest["num_built"] == len(files)
         # ~980 distinct urls (2% dup frac); sketch estimate must be in range
         assert 900 <= merged.estimate() <= 1100
+
+
+def test_grouped_mode_ties_and_counts(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.topk import grouped_mode
+
+    df = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 2, 2, 2, 2, 3],
+            "v": ["b", "a", "b", "x", "y", "x", "y", "z"],
+        }
+    )
+    out = (
+        grouped_mode(rd.from_pandas(df), "k", "v", num_blocks=2)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    got = {r.k: (r.v_mode, r.mode_count) for r in out.itertuples()}
+    assert got[1] == ("b", 2)
+    assert got[2] == ("x", 2)  # tie x/y at 2 -> smallest value wins
+    assert got[3] == ("z", 1)
