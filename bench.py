@@ -119,6 +119,7 @@ SUITE = [
     "user_modal_event_type",
     "event_type_association_scores",
     "hourly_distinct_users",
+    "ann_topk_quantized",
 ]
 
 

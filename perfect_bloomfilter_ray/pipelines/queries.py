@@ -3941,3 +3941,29 @@ def hourly_distinct_users(sf_dir: str):
     out["n_users"] = out["n_users"].astype("int64")
     out["n_events"] = out["n_events"].astype("int64")
     return out
+
+
+@q("ann_topk_quantized")
+def ann_topk_quantized(sf_dir: str):
+    """Int8-quantized cosine top-k (stages/ann.quantize_embeddings +
+    quantized_topk): per-vector symmetric scalar quantization to a
+    fixed_size_list<int8> column (4x less scan bandwidth), block-level
+    candidate top-(rescore*k), exact driver merge. Recall vs the float
+    brute force is property-tested (rows-only query, like the LSH/IVF
+    variants)."""
+    from perfect_bloomfilter_ray.stages.ann import quantize_embeddings, quantized_topk
+
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrows = emb.filter(expr="vec_id < 4").take_all()
+    dim = len(qrows[0]["embedding"])
+    queries = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in sorted(qrows, key=lambda r: r["vec_id"])]
+    )
+    qds = quantize_embeddings(emb, "embedding", dim)
+    df = quantized_topk(qds, queries, "qvec", "qscale", "vec_id", dim, k=10)
+    return (
+        df[["query_id", "vec_id"]]
+        .astype({"query_id": "int64", "vec_id": "int64"})
+        .sort_values(["query_id", "vec_id"])
+        .reset_index(drop=True)
+    )

@@ -246,3 +246,79 @@ def ivf_topk(
     df = df[df["cos"] > -1.5]
     df = df.sort_values(["query_id", "cos", id_col], ascending=[True, False, True])
     return df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+
+
+def quantize_embeddings(
+    ds: Dataset,
+    vec_col: str,
+    dim: int,
+    code_col: str = "qvec",
+    scale_col: str = "qscale",
+) -> Dataset:
+    """Per-vector symmetric int8 scalar quantization: ``code = round(v /
+    scale)`` with ``scale = max|v| / 127``, appended as a
+    ``fixed_size_list<int8>[dim]`` column plus a float32 scale. 4× smaller
+    than float32 — at 10^12 rows the embedding column is the dominant
+    storage/shuffle cost, and int8 codes keep brute-force scans
+    memory-bandwidth-bound instead of capacity-bound. Zero vectors quantize
+    to all-zero codes with scale 0.
+    """
+
+    def q(t: pa.Table) -> pa.Table:
+        v = _vecs_of(t, vec_col, dim)
+        scale = np.abs(v).max(axis=1) / 127.0 if len(v) else np.empty(0, np.float32)
+        safe = np.where(scale > 0, scale, 1.0)
+        codes = np.clip(np.round(v / safe[:, None]), -127, 127).astype(np.int8) if len(v) else np.empty((0, dim), np.int8)
+        arr = pa.FixedSizeListArray.from_arrays(pa.array(codes.ravel(), pa.int8()), dim)
+        return t.append_column(code_col, arr).append_column(
+            scale_col, pa.array(scale.astype(np.float32))
+        )
+
+    return ds.map_batches(q, batch_format="pyarrow")
+
+
+def quantized_topk(
+    ds: Dataset,
+    queries: np.ndarray,
+    code_col: str,
+    scale_col: str,
+    id_col: str,
+    dim: int,
+    k: int = 10,
+    rescore: int = 4,
+) -> pd.DataFrame:
+    """Approximate cosine top-k over int8-quantized vectors: each block
+    dequantizes codes to float32 (reading 4× less memory than float32
+    vectors — the win at scale is bandwidth, the arithmetic is identical),
+    keeps ``rescore × k`` candidates per block so quantization-rank jitter
+    near the cut survives to the final exact merge, and the driver takes
+    the global top-k. Same output shape as :func:`brute_force_topk`;
+    recall vs the float baseline is property-tested.
+    """
+    qn = _normalize(np.asarray(queries, dtype=np.float32))
+    ref = ray.put(qn)
+
+    def score(t: pa.Table) -> pa.Table:
+        q = np.asarray(ray.get(ref))  # (Q, dim), normalized
+        codes = _vecs_of(t, code_col, dim)
+        scales = t.column(scale_col).to_numpy(zero_copy_only=False).astype(np.float32)
+        v = codes.astype(np.float32) * scales[:, None]
+        vn = _normalize(v)
+        sims = vn @ q.T
+        n, Q = sims.shape
+        kk = min(rescore * k, n)
+        part = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+        ids = t.column(id_col).to_numpy()
+        out_q = np.repeat(np.arange(Q, dtype=np.int32), kk)
+        out_idx = part.T.ravel()
+        return pa.table(
+            {
+                "query_id": pa.array(out_q),
+                id_col: pa.array(ids[out_idx]),
+                "cos": pa.array(sims[out_idx, out_q].astype(np.float64)),
+            }
+        )
+
+    df = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    df = df.sort_values(["query_id", "cos", id_col], ascending=[True, False, True])
+    return df.groupby("query_id", sort=True).head(k).reset_index(drop=True)

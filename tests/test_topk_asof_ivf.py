@@ -362,3 +362,37 @@ def test_weighted_sample_biases_toward_heavy_rows(ray_session):
     # deterministic across runs
     out2 = weighted_sample(rd.from_pandas(df).repartition(7), "g", "id", "w", k=100).to_pandas()
     assert sorted(out2["id"]) == sorted(out["id"])
+
+
+def test_quantized_topk_recall(ray_session):
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.ann import (
+        brute_force_topk,
+        quantize_embeddings,
+        quantized_topk,
+    )
+
+    rng = np.random.default_rng(17)
+    dim, n, k = 32, 4000, 10
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    vecs[7] = 0.0  # zero vector edge case
+    queries = rng.normal(size=(5, dim)).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(vecs.ravel(), pa.float32()), dim
+            ),
+        }
+    )
+    ds = rd.from_arrow(tbl)
+    qds = quantize_embeddings(ds, "embedding", dim)
+    approx = quantized_topk(qds, queries, "qvec", "qscale", "vec_id", dim, k=k)
+    exact = brute_force_topk(ds, queries, "embedding", "vec_id", dim, k=k)
+    recalls = []
+    for qid in range(5):
+        a = set(approx.loc[approx.query_id == qid, "vec_id"])
+        e = set(exact.loc[exact.query_id == qid, "vec_id"])
+        recalls.append(len(a & e) / k)
+    assert np.mean(recalls) >= 0.9  # int8 keeps cosine ranks nearly intact
