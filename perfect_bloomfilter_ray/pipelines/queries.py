@@ -3967,3 +3967,32 @@ def ann_topk_quantized(sf_dir: str):
         .sort_values(["query_id", "vec_id"])
         .reset_index(drop=True)
     )
+
+
+@q("ann_topk_ivf_persisted")
+def ann_topk_ivf_persisted(sf_dir: str):
+    """Persisted IVF index (stages/ann.ivf_build_index / ivf_query_index):
+    the embeddings table is re-written once as cell-partitioned Parquet +
+    a centroid table; queries load the tiny centroids and read ONLY their
+    probed cells' files (path-level pruning — at 10^12 rows a query scans
+    ~nprobe/nlist of the corpus from storage). Rows-only like the other
+    approximate ANN variants; recall + self-hit property-tested."""
+    import tempfile
+
+    from perfect_bloomfilter_ray.stages.ann import ivf_build_index, ivf_query_index
+
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrows = emb.filter(expr="vec_id < 4").take_all()
+    dim = len(qrows[0]["embedding"])
+    queries = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in sorted(qrows, key=lambda r: r["vec_id"])]
+    )
+    idx = tempfile.mkdtemp(prefix="pbf_ivf_idx_", dir="/tmp")
+    ivf_build_index(emb, "embedding", "vec_id", dim, idx, nlist=16)
+    df = ivf_query_index(idx, queries, k=10, nprobe=4)
+    return (
+        df[["query_id", "vec_id"]]
+        .astype({"query_id": "int64", "vec_id": "int64"})
+        .sort_values(["query_id", "vec_id"])
+        .reset_index(drop=True)
+    )

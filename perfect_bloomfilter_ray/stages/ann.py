@@ -322,3 +322,116 @@ def quantized_topk(
     df = ds.map_batches(score, batch_format="pyarrow").to_pandas()
     df = df.sort_values(["query_id", "cos", id_col], ascending=[True, False, True])
     return df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+
+
+def ivf_build_index(
+    ds: Dataset,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    index_dir: str,
+    nlist: int = 16,
+    train_sample: int = 4096,
+    kmeans_iters: int = 8,
+    seed: int = 5,
+) -> dict:
+    """Build and PERSIST an IVF index: spherical-k-means centroids plus the
+    corpus re-written as cell-partitioned Parquet (``index_dir/vectors/
+    cell=N/``). Queries then touch only their probed cells' files — the
+    read itself is pruned, so at 10^12 rows a query scans ~nprobe/nlist of
+    the corpus from storage instead of filtering after a full scan (the
+    difference between an index and a cache). Returns (and writes) a
+    manifest dict; the build is a one-pass ``map_batches`` + partitioned
+    ``write_parquet`` and is re-runnable (overwrite semantics).
+    """
+    import json
+    import os
+
+    from perfect_bloomfilter_ray.functions.hashing import hash64
+
+    total = ds.count()
+    if total > train_sample:
+        keep_mod = max(2, total // train_sample)
+
+        def keep(t: pa.Table) -> pa.Table:
+            h = hash64(t.column(id_col), 0x5A3) % np.uint64(keep_mod)
+            return t.filter(pa.array(h == 0))
+
+        sample_ds = ds.map_batches(keep, batch_format="pyarrow").limit(train_sample)
+    else:
+        sample_ds = ds
+    sample_tbl = sample_ds.to_pandas()
+    sample = _normalize(np.stack([np.asarray(v, dtype=np.float32) for v in sample_tbl[vec_col]]))
+    centroids = _kmeans_fit(sample, nlist, kmeans_iters, seed)
+    c_ref = ray.put(centroids)
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = np.asarray(ray.get(c_ref))
+        vecs = _normalize(_vecs_of(t, vec_col, dim))
+        cells = np.argmax(vecs @ c.T, axis=1).astype(np.int32)
+        return t.append_column("cell", pa.array(cells))
+
+    os.makedirs(index_dir, exist_ok=True)
+    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        os.path.join(index_dir, "vectors"), partition_cols=["cell"]
+    )
+    cent_tbl = pa.table(
+        {
+            "cell": pa.array(np.arange(len(centroids), dtype=np.int32)),
+            "centroid": pa.FixedSizeListArray.from_arrays(
+                pa.array(centroids.ravel(), pa.float32()), dim
+            ),
+        }
+    )
+    import pyarrow.parquet as pq
+
+    pq.write_table(cent_tbl, os.path.join(index_dir, "centroids.parquet"))
+    manifest = {"dim": dim, "nlist": int(len(centroids)), "vec_col": vec_col, "id_col": id_col}
+    with open(os.path.join(index_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f)
+    return manifest
+
+
+def ivf_query_index(
+    index_dir: str,
+    queries: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+) -> pd.DataFrame:
+    """Query a persisted IVF index: load the (tiny) centroid table, pick
+    each query's ``nprobe`` nearest cells, and ``read_parquet`` ONLY those
+    cells' directories (path-level partition pruning — the scan never
+    touches unprobed cells). Scoring is the shared brute-force kernel over
+    the pruned read; a row outside a query's probed cells can only add
+    recall. Same output shape as :func:`brute_force_topk`.
+    """
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        man = json.load(f)
+    dim, vec_col, id_col = man["dim"], man["vec_col"], man["id_col"]
+    cent = pq.read_table(os.path.join(index_dir, "centroids.parquet"))
+    centroids = _vecs_of(cent, "centroid", dim)
+    qm = _normalize(np.asarray(queries))
+    q_cells = np.argsort(-(qm @ centroids.T), axis=1)[:, : min(nprobe, len(centroids))]
+    cells = sorted(set(int(c) for c in q_cells.ravel()))
+    paths = []
+    for c in cells:
+        d = os.path.join(index_dir, "vectors", f"cell={c}")
+        if os.path.isdir(d):
+            paths.extend(
+                os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")
+            )
+    import ray.data as rd
+
+    pruned = rd.read_parquet(paths, columns=[id_col, vec_col])
+    ref = ray.put(np.asarray(queries, dtype=np.float32))
+    partials = pruned.map_batches(
+        _topk_scorer(ref, vec_col, id_col, dim, k), batch_format="pyarrow"
+    )
+    df = partials.to_pandas()
+    df = df.sort_values(["query_id", "cos", id_col], ascending=[True, False, True])
+    return df.groupby("query_id", sort=True).head(k).reset_index(drop=True)

@@ -396,3 +396,45 @@ def test_quantized_topk_recall(ray_session):
         e = set(exact.loc[exact.query_id == qid, "vec_id"])
         recalls.append(len(a & e) / k)
     assert np.mean(recalls) >= 0.9  # int8 keeps cosine ranks nearly intact
+
+
+def test_ivf_persisted_index_roundtrip(ray_session, tmp_path):
+    import os
+
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.ann import (
+        brute_force_topk,
+        ivf_build_index,
+        ivf_query_index,
+    )
+
+    rng = np.random.default_rng(23)
+    dim, n, k = 16, 3000, 10
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(vecs.ravel(), pa.float32()), dim
+            ),
+        }
+    )
+    ds = rd.from_arrow(tbl)
+    idx = str(tmp_path / "ivf")
+    man = ivf_build_index(ds, "embedding", "vec_id", dim, idx, nlist=8)
+    assert man["nlist"] == 8
+    # the persisted layout is cell-partitioned: one dir per cell
+    cells = [d for d in os.listdir(os.path.join(idx, "vectors")) if d.startswith("cell=")]
+    assert len(cells) == 8
+    queries = vecs[:4]
+    out = ivf_query_index(idx, queries, k=k, nprobe=3)
+    exact = brute_force_topk(ds, queries, "embedding", "vec_id", dim, k=k)
+    recalls = []
+    for qid in range(4):
+        a = set(out.loc[out.query_id == qid, "vec_id"])
+        e = set(exact.loc[exact.query_id == qid, "vec_id"])
+        recalls.append(len(a & e) / k)
+    assert np.mean(recalls) >= 0.7  # nprobe=3/8 cells
+    # self-vector always found (its own cell is the nearest probed cell)
+    assert all(qid in set(out.loc[out.query_id == qid, "vec_id"]) for qid in range(4))
