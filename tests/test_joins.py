@@ -130,3 +130,30 @@ def test_skew_join_all_hot(ray_session):
     exp = left.merge(right, left_on="k", right_on="rk")[["k", "lv", "rv"]]
     key = lambda d: d.sort_values(["k", "lv", "rv"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(key(out), key(exp))
+
+
+def test_skew_join_string_keys(ray_session):
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.joins import skew_join
+
+    left = pd.DataFrame(
+        {
+            "host": ["spam.com"] * 300 + ["a.org", "b.net", "c.io"] * 20,
+            "lv": range(360),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "rhost": ["spam.com", "spam.com", "a.org", "b.net", "d.gov"],
+            "rv": [1, 2, 3, 4, 5],
+        }
+    )
+    out = skew_join(
+        rd.from_pandas(left), rd.from_pandas(right),
+        on="host", right_on="rhost",
+        hot_count_threshold=100, hot_top_k=4, num_partitions=2,
+    ).to_pandas()
+    exp = left.merge(right, left_on="host", right_on="rhost")[["host", "lv", "rv"]]
+    key = lambda d: d.sort_values(["host", "lv", "rv"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(key(out), key(exp))
