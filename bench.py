@@ -120,6 +120,7 @@ SUITE = [
     "event_type_association_scores",
     "hourly_distinct_users",
     "ann_topk_quantized",
+    "budget_selected_docs",
 ]
 
 

@@ -3996,3 +3996,56 @@ def ann_topk_ivf_persisted(sf_dir: str):
         .sort_values(["query_id", "vec_id"])
         .reset_index(drop=True)
     )
+
+
+@q(
+    "budget_selected_docs",
+    sql="""
+    WITH t AS (
+      SELECT doc_id, n_chars,
+             len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS toks
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, n_chars, toks,
+             sum(toks) OVER (ORDER BY n_chars DESC, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT doc_id, n_chars, CAST(toks AS BIGINT) AS toks
+    FROM r WHERE cum <= 12000 ORDER BY doc_id
+    """,
+)
+def budget_selected_docs(sf_dir: str):
+    """Token-budget corpus selection (stages/shards.select_within_budget):
+    keep the best documents (here: longest by n_chars, ties by doc_id)
+    whose cumulative token cost fits a global budget — implemented as a
+    distributed threshold search (per-batch cost histograms over score
+    buckets, boundary bucket refined then resolved row-exactly), never a
+    global sort + prefix scan. Integer costs make the result row-identical
+    to the SQL window-cumsum rule."""
+    from perfect_bloomfilter_ray.stages.shards import select_within_budget
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+
+    def add_toks(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        toks = (
+            pl.from_arrow(t.column("text"))
+            .str.to_lowercase()
+            .str.extract_all("[a-z0-9]+")
+            .list.len()
+            .fill_null(0)
+            .cast(pl.Int64)
+        )
+        return t.drop_columns(["text"]).append_column("toks", toks.to_arrow())
+
+    ds = docs.map_batches(add_toks, batch_format="pyarrow")
+    out = (
+        select_within_budget(ds, "n_chars", "toks", "doc_id", 12000.0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return out[["doc_id", "n_chars", "toks"]]

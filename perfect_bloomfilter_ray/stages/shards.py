@@ -237,3 +237,139 @@ def chunk_documents(
         )
 
     return ds.select_columns([id_col, text_col]).map_batches(chunks, batch_format="pyarrow")
+
+
+def select_within_budget(
+    ds: Dataset,
+    score_col: str,
+    cost_col: str,
+    id_col: str,
+    budget: float,
+    bins: int = 512,
+    refine_rounds: int = 4,
+    boundary_limit: int = 500_000,
+) -> Dataset:
+    """Keep the best-scoring rows whose cumulative ``cost_col`` fits a global
+    ``budget``, rows ordered by ``(score desc, id asc)`` — the "top documents
+    up to a token budget" corpus-selection step. SQL equivalent:
+    ``WHERE sum(cost) OVER (ORDER BY score DESC, id) <= budget``.
+
+    A global sort + prefix sum would range-shuffle the whole corpus; this is
+    a distributed THRESHOLD SEARCH instead (the top-k-by-weight trick):
+
+    1. one aggregate pass for the score range;
+    2. per-batch cost histograms over ``bins`` score buckets (``bins`` rows
+       leave each task; one tiny groupby-sum): walking buckets best-first,
+       every bucket that fully fits is kept wholesale and the first bucket
+       that crosses the budget becomes the BOUNDARY window;
+    3. the boundary window re-histograms (``refine_rounds``× max, each round
+       shrinking it ~``bins``-fold) until it holds ≤ ``boundary_limit`` rows
+       or stops shrinking (all-tied scores);
+    4. the final boundary slice is collected (bounded by step 3) and the
+       exact ``(score desc, id)`` prefix rule resolves it against the
+       remaining budget; the output is a streaming filter — full-keep score
+       region OR broadcast boundary-id set.
+
+    Exactness contract: costs should be integer-valued (token/char counts) —
+    then every partial sum here and the SQL window cumsum are exact in
+    float64 (< 2^53) and the result is row-identical to the SQL definition
+    regardless of summation order. A corpus where one exact score value
+    alone exceeds ``boundary_limit`` rows falls back to collecting that tied
+    slice (documented driver-size cap).
+    """
+    import ray
+    from ray.data.aggregate import Max, Min, Sum
+
+    stats = ds.aggregate(Min(score_col, alias_name="lo"), Max(score_col, alias_name="hi"))
+    if stats["lo"] is None:
+        return ds  # empty input
+    w_lo, w_hi = float(stats["lo"]), float(stats["hi"])
+    w_inc = True  # window upper edge inclusive?
+    kept_cost = 0.0
+    full_keep_min = np.inf  # rows with score >= this are fully kept
+
+    def window_mask(s: np.ndarray, lo, hi, inc):
+        m = s >= lo
+        return m & ((s <= hi) if inc else (s < hi))
+
+    def hist(lo, hi, inc):
+        edges = np.linspace(lo, hi, bins + 1)
+
+        def part(t: pa.Table) -> pa.Table:
+            s = t.column(score_col).to_numpy(zero_copy_only=False).astype(np.float64)
+            c = t.column(cost_col).to_numpy(zero_copy_only=False).astype(np.float64)
+            m = window_mask(s, lo, hi, inc)
+            if not m.any():
+                return pa.table(
+                    {"b": pa.array([], pa.int64()), "pc": pa.array([], pa.float64()), "pn": pa.array([], pa.int64())}
+                )
+            b = np.clip(np.digitize(s[m], edges) - 1, 0, bins - 1)
+            pc = np.bincount(b, weights=c[m], minlength=bins)
+            pn = np.bincount(b, minlength=bins)
+            nz = np.flatnonzero(pn)
+            return pa.table({"b": pa.array(nz), "pc": pa.array(pc[nz]), "pn": pa.array(pn[nz])})
+
+        h = (
+            ds.map_batches(part, batch_format="pyarrow")
+            .groupby("b")
+            .aggregate(Sum("pc", alias_name="cost"), Sum("pn", alias_name="n"))
+            .to_pandas()
+        )
+        h = h.set_index("b").sort_index(ascending=False)  # best (highest score) first
+        return edges, h
+
+    done = False
+    for _ in range(refine_rounds):
+        edges, h = hist(w_lo, w_hi, w_inc)
+        boundary_b = None
+        for b, row in h.iterrows():
+            c, n = float(row["cost"]), int(row["n"])
+            if kept_cost + c <= budget:
+                kept_cost += c
+                continue
+            boundary_b = (int(b), n)
+            break
+        if boundary_b is None:  # whole window fits → keep it all, no boundary
+            full_keep_min = min(full_keep_min, w_lo)
+            done = True
+            break
+        b, n = boundary_b
+        # buckets above b are fully kept: their scores are >= edges[b+1]
+        # (bucket b is [edges[b], edges[b+1]), top bucket inclusive)
+        if b + 1 <= bins - 1:
+            full_keep_min = min(full_keep_min, edges[b + 1])
+        new_lo, new_hi = edges[b], edges[b + 1]
+        new_inc = w_inc if b == bins - 1 else False
+        if n <= boundary_limit or (new_lo == w_lo and new_hi == w_hi and new_inc == w_inc):
+            w_lo, w_hi, w_inc = new_lo, new_hi, new_inc
+            break  # small enough, or stopped shrinking (tied scores)
+        w_lo, w_hi, w_inc = new_lo, new_hi, new_inc
+
+    # resolve the boundary slice exactly on the driver
+    keep_ids = np.empty(0, dtype=object)
+    if not done:
+        remaining = budget - kept_cost
+
+        def pick(t: pa.Table) -> pa.Table:
+            s = t.column(score_col).to_numpy(zero_copy_only=False).astype(np.float64)
+            m = window_mask(s, w_lo, w_hi, w_inc)
+            return t.filter(pa.array(m)).select([id_col, score_col, cost_col])
+
+        rows = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
+        if len(rows):
+            rows = rows.sort_values([score_col, id_col], ascending=[False, True])
+            cum = rows[cost_col].to_numpy(dtype=np.float64).cumsum()
+            keep_ids = rows.loc[cum <= remaining, id_col].to_numpy()
+
+    ids_ref = ray.put(keep_ids)
+    floor = full_keep_min
+
+    def final(t: pa.Table) -> pa.Table:
+        ks = ray.get(ids_ref)
+        s = t.column(score_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        m = s >= floor
+        if len(ks):
+            m |= np.isin(t.column(id_col).to_numpy(zero_copy_only=False), ks)
+        return t.filter(pa.array(m))
+
+    return ds.map_batches(final, batch_format="pyarrow")

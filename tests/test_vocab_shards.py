@@ -264,3 +264,54 @@ def test_bigram_nll_matches_bruteforce(ray_session, corpus):
             sum(vocab.get(p, floor) for p in pairs) / len(pairs) if pairs else 0.0
         )
         assert abs(out["nll2_per_tok"][i] - exp) < 1e-9
+
+
+def _budget_brute(df, budget):
+    d = df.sort_values(["score", "id"], ascending=[False, True])
+    cum = d["cost"].cumsum()
+    return set(d.loc[cum <= budget, "id"])
+
+
+@pytest.mark.parametrize("budget_frac", [0.0, 0.1, 0.5, 0.9, 1.5])
+def test_select_within_budget_matches_prefix_rule(ray_session, budget_frac):
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.shards import select_within_budget
+
+    rng = np.random.default_rng(int(budget_frac * 10) + 1)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            # heavy ties: scores drawn from a small set of values
+            "score": rng.choice([0.1, 0.5, 0.5, 2.0, 3.25, 7.0], size=n),
+            "cost": rng.integers(1, 50, size=n).astype(np.int64),
+        }
+    )
+    budget = float(df["cost"].sum()) * budget_frac
+    out = select_within_budget(
+        rd.from_pandas(df), "score", "cost", "id", budget,
+        bins=8, refine_rounds=3, boundary_limit=64,
+    ).to_pandas()
+    got = set(out["id"]) if "id" in out.columns else set()  # all-empty loses schema
+    assert got == _budget_brute(df, budget)
+
+
+def test_select_within_budget_all_tied_scores(ray_session):
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.shards import select_within_budget
+
+    df = pd.DataFrame(
+        {
+            "id": np.arange(500, dtype=np.int64),
+            "score": np.full(500, 4.2),
+            "cost": np.full(500, 10, dtype=np.int64),
+        }
+    )
+    out = select_within_budget(
+        rd.from_pandas(df), "score", "cost", "id", 1005.0,
+        bins=8, refine_rounds=3, boundary_limit=64,
+    ).to_pandas()
+    # ties broken by id: first 100 ids fit (100*10 = 1000 <= 1005)
+    assert sorted(out["id"]) == list(range(100))
