@@ -121,6 +121,7 @@ SUITE = [
     "hourly_distinct_users",
     "ann_topk_quantized",
     "budget_selected_docs",
+    "user_retention_cohorts",
 ]
 
 

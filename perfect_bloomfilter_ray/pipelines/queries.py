@@ -4049,3 +4049,88 @@ def budget_selected_docs(sf_dir: str):
         .reset_index(drop=True)
     )
     return out[["doc_id", "n_chars", "toks"]]
+
+
+@q(
+    "user_retention_cohorts",
+    sql="""
+    WITH f AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort
+      FROM events GROUP BY user_id
+    ),
+    e AS (
+      SELECT DISTINCT e.user_id, f.cohort,
+             CAST(date_diff('week', f.cohort, date_trunc('week', e.ts)) AS BIGINT)
+                 AS offset_w
+      FROM events e JOIN f USING (user_id)
+    )
+    SELECT strftime(cohort, '%Y-%m-%d') AS cohort, offset_w, count(*) AS n_users
+    FROM e GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def user_retention_cohorts(sf_dir: str):
+    """Cohort retention matrix: each user's cohort = the Monday of their
+    first event's week; for every (cohort, week-offset) cell, how many
+    distinct users were active. First-event per user is a groupby-min, the
+    cohort resolves back onto the event stream with a co-partitioned hash
+    join (big-big — the user map is corpus-cardinality, never broadcast),
+    and the distinct-user count uses the pair-distinct partial pattern."""
+    from ray.data.aggregate import Min
+
+    WEEK_US = 7 * 86400 * 1_000_000
+
+    def wk(t: pa.Table) -> pa.Table:
+        w = pc.floor_temporal(t.column("ts"), unit="week")
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "wk": pc.cast(pc.cast(w, pa.timestamp("us")), pa.int64()),
+            }
+        )
+
+    weeks = _t(sf_dir, "events", ["user_id", "ts"]).map_batches(wk, batch_format="pyarrow")
+    first = weeks.groupby("user_id").aggregate(Min("wk", alias_name="cohort_us"))
+    joined = weeks.join(first, "inner", num_partitions=4, on=("user_id",))
+
+    def pdist(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(t)
+        return (
+            df.with_columns(((pl.col("wk") - pl.col("cohort_us")) // WEEK_US).alias("offset_w"))
+            .select(["user_id", "cohort_us", "offset_w"])
+            .unique()
+            .to_arrow()
+        )
+
+    cells = (
+        joined.map_batches(pdist, batch_format="pyarrow")
+        .groupby(["user_id", "cohort_us", "offset_w"])
+        .count()
+    )
+
+    def cell_partial(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(t.select(["cohort_us", "offset_w"]))
+            .group_by(["cohort_us", "offset_w"])
+            .len(name="pn")
+            .with_columns(pl.col("pn").cast(pl.Int64))
+            .to_arrow()
+        )
+
+    out = (
+        cells.map_batches(cell_partial, batch_format="pyarrow")
+        .groupby(["cohort_us", "offset_w"])
+        .aggregate(Sum("pn", alias_name="n_users"))
+        .to_pandas()
+    )
+    out["cohort"] = pd.to_datetime(out["cohort_us"], unit="us").dt.strftime("%Y-%m-%d")
+    out["n_users"] = out["n_users"].astype("int64")
+    out["offset_w"] = out["offset_w"].astype("int64")
+    return (
+        out[["cohort", "offset_w", "n_users"]]
+        .sort_values(["cohort", "offset_w"])
+        .reset_index(drop=True)
+    )
