@@ -3864,7 +3864,7 @@ def event_type_association_scores(sf_dir: str):
         return pl.from_arrow(t.select(["user_id"])).unique().to_arrow()
 
     n_users = (
-        _t(sf_dir, "events", ["user_id"])
+        ds.select_columns(["user_id"])  # reuse the loaded dataset, no re-scan
         .map_batches(pdist, batch_format="pyarrow")
         .groupby("user_id")
         .count()

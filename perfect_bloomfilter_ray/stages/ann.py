@@ -35,6 +35,19 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 
 
+def _empty_topk_table(t: pa.Table, id_col: str) -> pa.Table:
+    """Zero-row result with the scorer's output schema (empty input blocks
+    reach every scorer via empty parquet fragments / upstream filters;
+    np.argpartition on a size-0 axis would raise)."""
+    return pa.table(
+        {
+            "query_id": pa.array([], pa.int32()),
+            id_col: pa.array([], t.schema.field(id_col).type),
+            "cos": pa.array([], pa.float64()),
+        }
+    )
+
+
 def _topk_scorer(queries_ref, vec_col: str, id_col: str, dim: int, k: int):
     """Stateless task fn: the query matrix is broadcast once (``ray.put``)
     and resolved zero-copy from the object store in every task — cheaper than
@@ -42,6 +55,8 @@ def _topk_scorer(queries_ref, vec_col: str, id_col: str, dim: int, k: int):
     ~2 s of spin-up that dwarfs the matmul on dimension-scale inputs)."""
 
     def score(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _empty_topk_table(t, id_col)
         q = _normalize(np.asarray(ray.get(queries_ref)))  # (Q, dim)
         vecs = _normalize(_vecs_of(t, vec_col, dim))
         sims = vecs @ q.T  # (n, Q)
@@ -111,6 +126,8 @@ def lsh_topk(
     q_ref = ray.put(qm)
 
     def score(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _empty_topk_table(t, id_col)
         q = ray.get(q_ref)
         qk = ray.get(qkeys_ref)
         vecs = _normalize(_vecs_of(t, vec_col, dim))
@@ -141,6 +158,38 @@ def lsh_topk(
     df = df[df["cos"] > -1.5]
     df = df.sort_values(["query_id", "cos", id_col], ascending=[True, False, True])
     return df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+
+
+def _train_centroids(
+    ds: Dataset,
+    vec_col: str,
+    id_col: str,
+    nlist: int,
+    train_sample: int,
+    kmeans_iters: int,
+    seed: int,
+) -> np.ndarray:
+    """Deterministic UNBIASED k-means training sample + fit, shared by
+    ``ivf_topk`` and ``ivf_build_index``: hash-filter on the id column
+    (``limit()`` alone would take the first rows — biased whenever storage
+    order correlates with content, e.g. time- or crawl-ordered corpora),
+    cap at ``train_sample``, fit spherical k-means."""
+    from perfect_bloomfilter_ray.functions.hashing import hash64
+
+    total = ds.count()
+    if total > train_sample:
+        keep_mod = max(2, total // train_sample)
+
+        def keep(t: pa.Table) -> pa.Table:
+            h = hash64(t.column(id_col), 0x5A3) % np.uint64(keep_mod)
+            return t.filter(pa.array(h == 0))
+
+        sample_ds = ds.map_batches(keep, batch_format="pyarrow").limit(train_sample)
+    else:
+        sample_ds = ds
+    sample_tbl = sample_ds.to_pandas()
+    sample = _normalize(np.stack([np.asarray(v, dtype=np.float32) for v in sample_tbl[vec_col]]))
+    return _kmeans_fit(sample, nlist, kmeans_iters, seed)
 
 
 def _kmeans_fit(sample: np.ndarray, nlist: int, iters: int, seed: int) -> np.ndarray:
@@ -185,27 +234,7 @@ def ivf_topk(
     tests; raise ``nprobe`` for higher recall. Same output shape as
     ``brute_force_topk``.
     """
-    # deterministic UNBIASED training sample: hash-filter on the id column
-    # (limit() would take the first rows — biased whenever storage order
-    # correlates with content, e.g. time- or crawl-ordered corpora), then cap
-    import pyarrow as _pa
-
-    from perfect_bloomfilter_ray.functions.hashing import hash64
-
-    total = ds.count()
-    if total > train_sample:
-        keep_mod = max(2, total // train_sample)
-
-        def keep(t: _pa.Table) -> _pa.Table:
-            h = hash64(t.column(id_col), 0x5A3) % np.uint64(keep_mod)
-            return t.filter(_pa.array(h == 0))
-
-        sample_ds = ds.map_batches(keep, batch_format="pyarrow").limit(train_sample)
-    else:
-        sample_ds = ds
-    sample_tbl = sample_ds.to_pandas()
-    sample = _normalize(np.stack([np.asarray(v, dtype=np.float32) for v in sample_tbl[vec_col]]))
-    centroids = _kmeans_fit(sample, nlist, kmeans_iters, seed)
+    centroids = _train_centroids(ds, vec_col, id_col, nlist, train_sample, kmeans_iters, seed)
 
     qm = _normalize(np.asarray(queries))
     q_cells = np.argsort(-(qm @ centroids.T), axis=1)[:, : min(nprobe, len(centroids))]  # (Q, nprobe)
@@ -218,6 +247,8 @@ def ivf_topk(
     p_ref = ray.put(probed)
 
     def score(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _empty_topk_table(t, id_col)
         c = ray.get(c_ref)
         q = ray.get(q_ref)
         probed = ray.get(p_ref)
@@ -299,6 +330,8 @@ def quantized_topk(
     ref = ray.put(qn)
 
     def score(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _empty_topk_table(t, id_col)
         q = np.asarray(ray.get(ref))  # (Q, dim), normalized
         codes = _vecs_of(t, code_col, dim)
         scales = t.column(scale_col).to_numpy(zero_copy_only=False).astype(np.float32)
@@ -346,23 +379,9 @@ def ivf_build_index(
     """
     import json
     import os
+    import shutil
 
-    from perfect_bloomfilter_ray.functions.hashing import hash64
-
-    total = ds.count()
-    if total > train_sample:
-        keep_mod = max(2, total // train_sample)
-
-        def keep(t: pa.Table) -> pa.Table:
-            h = hash64(t.column(id_col), 0x5A3) % np.uint64(keep_mod)
-            return t.filter(pa.array(h == 0))
-
-        sample_ds = ds.map_batches(keep, batch_format="pyarrow").limit(train_sample)
-    else:
-        sample_ds = ds
-    sample_tbl = sample_ds.to_pandas()
-    sample = _normalize(np.stack([np.asarray(v, dtype=np.float32) for v in sample_tbl[vec_col]]))
-    centroids = _kmeans_fit(sample, nlist, kmeans_iters, seed)
+    centroids = _train_centroids(ds, vec_col, id_col, nlist, train_sample, kmeans_iters, seed)
     c_ref = ray.put(centroids)
 
     def assign(t: pa.Table) -> pa.Table:
@@ -372,8 +391,12 @@ def ivf_build_index(
         return t.append_column("cell", pa.array(cells))
 
     os.makedirs(index_dir, exist_ok=True)
+    vec_dir = os.path.join(index_dir, "vectors")
+    # true overwrite: Ray's write_parquet APPENDS into existing partition
+    # dirs, which would silently duplicate every vector on a rebuild
+    shutil.rmtree(vec_dir, ignore_errors=True)
     ds.map_batches(assign, batch_format="pyarrow").write_parquet(
-        os.path.join(index_dir, "vectors"), partition_cols=["cell"]
+        vec_dir, partition_cols=["cell"]
     )
     cent_tbl = pa.table(
         {
@@ -425,6 +448,13 @@ def ivf_query_index(
             paths.extend(
                 os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")
             )
+    if not paths:
+        # every probed cell was empty (k-means leaves empty cells; an
+        # out-of-distribution query can probe only those) — empty result,
+        # not a read_parquet([]) ValueError
+        return pd.DataFrame({"query_id": pd.Series([], dtype="int32"),
+                             id_col: pd.Series([], dtype="int64"),
+                             "cos": pd.Series([], dtype="float64")})
     import ray.data as rd
 
     pruned = rd.read_parquet(paths, columns=[id_col, vec_col])

@@ -450,12 +450,16 @@ def skew_join(
     )
     cold_known_nonempty = len(counts) > hot_top_k
     # an all-filtered Dataset comes back as a 0-column frame — treat as no hot keys
-    hot_vals = counts[on].to_numpy()[:hot_top_k] if len(counts) else np.empty(0)
     base = getattr(right.schema(), "base_schema", None)
-    if isinstance(base, pa.Schema):
-        hot_arr = pa.array(hot_vals, type=base.field(right_on).type)
-    else:  # pandas-block datasets: infer the Arrow type from the values
-        hot_arr = pa.array(hot_vals)
+    key_type = base.field(right_on).type if isinstance(base, pa.Schema) else None
+    if len(counts) == 0:
+        # an all-filtered counts Dataset comes back 0-column; a plain Python
+        # [] keeps pa.array from fighting a float64 np.empty over string keys
+        hot_arr = pa.array([], type=key_type or pa.null())
+    else:
+        hot_vals = counts[on].to_numpy()[:hot_top_k]
+        # key_type None → pandas-block input: infer the Arrow type from values
+        hot_arr = pa.array(hot_vals, type=key_type) if key_type else pa.array(hot_vals)
     hot_ref = ray.put(hot_arr)
 
     payload_cols = [c for c in right.schema().names if c != right_on]

@@ -282,10 +282,13 @@ def categorical_encode(
 
 def bigram_counts(ds: Dataset, text_col: str, min_count: int = 1) -> Dataset:
     """``(w1, gram, cnt)`` counts of consecutive-token bigrams over the
-    corpus (``gram`` = ``"w1 w2"``; ``w1`` kept so the conditional
-    probability ``cnt(w1 w2) / cnt(w1)`` can be resolved at broadcast-build
-    time without a second shuffle). Same map-side pre-aggregation shape as
-    :func:`token_counts`: one partial row per distinct bigram per batch.
+    corpus (``gram`` = ``"w1 w2"``; the ``w1`` output column lets the
+    conditional probability ``cnt(w1 w2) / cnt(w1)`` resolve at
+    broadcast-build time). Same map-side pre-aggregation shape as
+    :func:`token_counts`: one partial row per distinct bigram per batch —
+    only (gram, pcnt) crosses the shuffle; ``w1`` is re-derived from the
+    gram string afterwards (tokens contain no spaces, so the split is
+    lossless) rather than shipped as a redundant extra string column.
     """
 
     def partial(t: pa.Table) -> pa.Table:
@@ -298,11 +301,8 @@ def bigram_counts(ds: Dataset, text_col: str, min_count: int = 1) -> Dataset:
             )
             .explode(["w1", "w2"])
             .drop_nulls()
-            .select(
-                pl.col("w1"),
-                (pl.col("w1") + " " + pl.col("w2")).alias("gram"),
-            )
-            .group_by(["w1", "gram"])
+            .select((pl.col("w1") + " " + pl.col("w2")).alias("gram"))
+            .group_by("gram")
             .len(name="pcnt")
             .with_columns(pl.col("pcnt").cast(pl.Int64))
         )
@@ -313,7 +313,7 @@ def bigram_counts(ds: Dataset, text_col: str, min_count: int = 1) -> Dataset:
         .groupby("gram")
         .aggregate(Sum("pcnt", alias_name="cnt"))
     )
-    # groupby drops non-key columns; re-derive w1 from the gram string
+    # re-derive w1 from the gram string (only (gram, pcnt) crossed the shuffle)
     def add_w1(t: pa.Table) -> pa.Table:
         df = pl.from_arrow(t)
         return df.with_columns(

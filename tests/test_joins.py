@@ -157,3 +157,22 @@ def test_skew_join_string_keys(ray_session):
     exp = left.merge(right, left_on="host", right_on="rhost")[["host", "lv", "rv"]]
     key = lambda d: d.sort_values(["host", "lv", "rv"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(key(out), key(exp))
+
+
+def test_skew_join_string_keys_none_hot(ray_session):
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.joins import skew_join
+
+    # regression: zero hot keys + string key type used to crash building the
+    # broadcast array (float64 np.empty vs string Arrow type)
+    left = pd.DataFrame({"host": ["a.org", "b.net", "c.io"] * 5, "lv": range(15)})
+    right = pd.DataFrame({"rhost": ["a.org", "d.gov"], "rv": [1, 2]})
+    out = skew_join(
+        rd.from_pandas(left), rd.from_pandas(right),
+        on="host", right_on="rhost",
+        hot_count_threshold=10**9, hot_top_k=4, num_partitions=2,
+    ).to_pandas()
+    exp = left.merge(right, left_on="host", right_on="rhost")[["host", "lv", "rv"]]
+    key = lambda d: d.sort_values(["host", "lv", "rv"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(key(out), key(exp))

@@ -438,3 +438,34 @@ def test_ivf_persisted_index_roundtrip(ray_session, tmp_path):
     assert np.mean(recalls) >= 0.7  # nprobe=3/8 cells
     # self-vector always found (its own cell is the nearest probed cell)
     assert all(qid in set(out.loc[out.query_id == qid, "vec_id"]) for qid in range(4))
+
+
+def test_ivf_persisted_rebuild_overwrites(ray_session, tmp_path):
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.ann import ivf_build_index, ivf_query_index
+
+    rng = np.random.default_rng(5)
+    dim, n = 8, 400
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(vecs.ravel(), pa.float32()), dim
+            ),
+        }
+    )
+    ds = rd.from_arrow(tbl)
+    idx = str(tmp_path / "ivf")
+    ivf_build_index(ds, "embedding", "vec_id", dim, idx, nlist=4)
+    out1 = ivf_query_index(idx, vecs[:2], k=5, nprobe=2)
+    # regression: a rebuild used to APPEND, duplicating every vector
+    ivf_build_index(ds, "embedding", "vec_id", dim, idx, nlist=4)
+    out2 = ivf_query_index(idx, vecs[:2], k=5, nprobe=2)
+    for qid in (0, 1):
+        ids = out2.loc[out2.query_id == qid, "vec_id"].tolist()
+        assert len(ids) == len(set(ids))  # no duplicated neighbors
+    pd.testing.assert_frame_equal(
+        out1.reset_index(drop=True), out2.reset_index(drop=True)
+    )
