@@ -122,6 +122,7 @@ SUITE = [
     "ann_topk_quantized",
     "budget_selected_docs",
     "user_retention_cohorts",
+    "event_type_transitions",
 ]
 
 

@@ -4134,3 +4134,36 @@ def user_retention_cohorts(sf_dir: str):
         .sort_values(["cohort", "offset_w"])
         .reset_index(drop=True)
     )
+
+
+@q(
+    "event_type_transitions",
+    sql="""
+    WITH s AS (
+      SELECT event_type AS state_from,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS state_to
+      FROM events
+    )
+    SELECT state_from, state_to, count(*) AS n
+    FROM s WHERE state_to IS NOT NULL
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def event_type_transitions(sf_dir: str):
+    """First-order Markov transition matrix
+    (stages/windows.transition_counts): consecutive event-type pairs within
+    each user's (ts, event_id)-ordered stream, counted across users — one
+    vectorized sort + within-key shift per coarse partition, partial pair
+    counts, tiny final groupby-sum."""
+    from perfect_bloomfilter_ray.stages.windows import transition_counts
+
+    ds = _t(sf_dir, "events", ["user_id", "ts", "event_type", "event_id"])
+    out = (
+        transition_counts(ds, "user_id", "ts", "event_type", tie_cols=["event_id"])
+        .to_pandas()
+        .sort_values(["state_from", "state_to"])
+        .reset_index(drop=True)
+    )
+    out["n"] = out["n"].astype("int64")
+    return out

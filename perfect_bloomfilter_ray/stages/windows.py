@@ -555,3 +555,61 @@ def grouped_path_string(
         .groupby("_part")
         .map_groups(per_part, batch_format="pyarrow")
     )
+
+
+def transition_counts(
+    ds: Dataset,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+    tie_cols: list[str] | None = None,
+    num_blocks: int | None = None,
+) -> Dataset:
+    """First-order Markov transition counts: for each ordered pair of
+    consecutive ``state_col`` values within a key's ``(ts, *tie_cols)``
+    ordered event sequence, the number of occurrences across all keys —
+    ``(state_from, state_to, n)``, the sequence-mining / next-event-model
+    input. SQL equivalent: ``lead(state) OVER (PARTITION BY key ORDER BY
+    ts, ties)`` then a pair count.
+
+    Same shape as every keyed window op here: coarse hash partition, one
+    vectorized polars sort + within-key shift per partition, partial pair
+    counts out (the shuffle carries one row per distinct pair per
+    partition), tiny final groupby-sum.
+    """
+    import polars as pl
+    from ray.data.aggregate import Sum
+
+    tie_cols = list(tie_cols or [])
+
+    def per_part(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.drop_columns(["_part"]))
+        if not len(df):
+            return pa.table(
+                {
+                    "state_from": pa.array([], t.schema.field(state_col).type),
+                    "state_to": pa.array([], t.schema.field(state_col).type),
+                    "pn": pa.array([], pa.int64()),
+                }
+            )
+        df = df.sort([key_col, ts_col, *tie_cols])
+        out = (
+            df.select(
+                pl.col(state_col).alias("state_from"),
+                pl.col(state_col).shift(-1).over(key_col).alias("state_to"),
+            )
+            .drop_nulls("state_to")
+            .group_by(["state_from", "state_to"])
+            .len(name="pn")
+            .with_columns(pl.col("pn").cast(pl.Int64))
+        )
+        return out.to_arrow()
+
+    cols = [key_col, ts_col, state_col, *tie_cols]
+    return (
+        _add_part(ds.select_columns(cols), key_col, choose_num_blocks(ds, num_blocks))
+        .groupby("_part")
+        .map_groups(per_part, batch_format="pyarrow")
+        .groupby(["state_from", "state_to"])
+        .aggregate(Sum("pn", alias_name="n"))
+    )

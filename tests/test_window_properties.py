@@ -156,3 +156,29 @@ def test_rolling_row_agg_matches_pandas(ray_session, rows, n_rows):
     exp = exp.sort_values("rid").reset_index(drop=True)
     np.testing.assert_allclose(out["m"].to_numpy(), exp["m"].to_numpy(), rtol=1e-9, atol=1e-9)
     np.testing.assert_allclose(out["s"].to_numpy(), exp["s"].to_numpy(), rtol=1e-9, atol=1e-9)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(st.tuples(_keys, _ts, st.sampled_from("abc")), min_size=1, max_size=40)
+)
+def test_transition_counts_matches_bruteforce(ray_session, rows):
+    from collections import Counter
+
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.windows import transition_counts
+
+    df = pd.DataFrame(rows, columns=["k", "t", "s"])
+    df["t"] = pd.to_datetime(df["t"], unit="s")
+    df["rid"] = range(len(df))
+    exp = Counter()
+    for _, g in df.sort_values(["t", "rid"]).groupby("k"):
+        seq = g["s"].tolist()
+        exp.update(zip(seq, seq[1:]))
+    out = (
+        transition_counts(rd.from_pandas(df), "k", "t", "s", tie_cols=["rid"], num_blocks=3)
+        .to_pandas()
+    )
+    got = {(r.state_from, r.state_to): r.n for r in out.itertuples()}
+    assert got == dict(exp)
