@@ -123,6 +123,7 @@ SUITE = [
     "budget_selected_docs",
     "user_retention_cohorts",
     "event_type_transitions",
+    "embedding_moment_stats",
 ]
 
 

@@ -4167,3 +4167,65 @@ def event_type_transitions(sf_dir: str):
     )
     out["n"] = out["n"].astype("int64")
     return out
+
+
+@q(
+    "embedding_moment_stats",
+    sql="""
+    WITH e AS (
+      SELECT CAST(embedding[i] AS DOUBLE) AS x, i
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    )
+    SELECT CAST(i AS BIGINT) AS dim_i,
+           round(avg(x), 4) AS mean,
+           round(var_samp(x), 4) AS var
+    FROM e GROUP BY i ORDER BY i
+    """,
+)
+def embedding_moment_stats(sf_dir: str):
+    """The distributed sufficient statistics behind PCA
+    (state/moments.EmbeddingMoments via the shared sketch partial/tree-merge
+    path): per-dimension mean and sample variance from one (n, Σx, ΣxxT)
+    reduction — the shuffle carries (dim + dim²)-float partials, never
+    vectors. The eigen step on top is pure driver numpy (pytest parity)."""
+    from perfect_bloomfilter_ray.stages.agg import sketch_global
+    from perfect_bloomfilter_ray.state.moments import EmbeddingMoments
+
+    emb = _t(sf_dir, "embeddings", ["embedding"])
+    dim = len(emb.take(1)[0]["embedding"])
+    m = sketch_global(emb, "embedding", lambda: EmbeddingMoments(dim))
+    var = np.diag(m.covariance())
+    return pd.DataFrame(
+        {
+            "dim_i": np.arange(1, dim + 1, dtype=np.int64),
+            "mean": np.round(m.mean(), 4),
+            "var": np.round(var, 4),
+        }
+    )
+
+
+@q("embedding_pca_projections")
+def embedding_pca_projections(sf_dir: str):
+    """Distributed PCA (stages/pca.py): fit top-2 components from the
+    mergeable moments sketch, then one shuffle-free projection pass.
+    Rows-only (eigensolver output; numpy parity in pytest), deterministic
+    via fixed component signs."""
+    from perfect_bloomfilter_ray.stages.pca import pca_fit, pca_transform
+
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    dim = len(emb.take(1)[0]["embedding"])
+    model = pca_fit(emb, "embedding", dim, k=2)
+    out = (
+        pca_transform(emb, model, "embedding", dim)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    proj = np.stack(out["pca"].to_numpy())
+    return pd.DataFrame(
+        {
+            "vec_id": out["vec_id"].astype("int64"),
+            "p1": np.round(proj[:, 0], 4),
+            "p2": np.round(proj[:, 1], 4),
+        }
+    )
