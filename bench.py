@@ -124,6 +124,7 @@ SUITE = [
     "user_retention_cohorts",
     "event_type_transitions",
     "embedding_moment_stats",
+    "events_band_window_activity",
 ]
 
 

@@ -4229,3 +4229,55 @@ def embedding_pca_projections(sf_dir: str):
             "p2": np.round(proj[:, 1], 4),
         }
     )
+
+
+@q(
+    "events_band_window_activity",
+    sql="""
+    SELECT e.event_id,
+           count(*) AS n_window,
+           round(sum(b.value), 4) AS window_value
+    FROM events e JOIN events b
+      ON e.user_id = b.user_id
+     AND b.ts BETWEEN e.ts - INTERVAL 10 MINUTE AND e.ts
+    GROUP BY e.event_id ORDER BY e.event_id
+    """,
+)
+def events_band_window_activity(sf_dir: str):
+    """Big-big temporal band join (stages/joins.band_join_partitioned): for
+    each event, EVERY event by the same user in the trailing 10 minutes
+    (self included) — both sides co-partitioned on the key in one shuffle,
+    per-partition packed searchsorted 1:N expansion. The per-event
+    aggregation stays inside the partition block (an event's matches never
+    span blocks), so no second shuffle. The 1:N twin of the RANGE-frame
+    sliding window (which returns only count/sum, not match rows)."""
+    from perfect_bloomfilter_ray.stages.joins import band_join_partitioned
+
+    left = _t(sf_dir, "events", ["event_id", "user_id", "ts"])
+    right = _t(sf_dir, "events", ["user_id", "ts", "value"])
+    joined = band_join_partitioned(
+        left, right, on="user_id", big_ts="ts", window="10min",
+        right_on="user_id", small_ts="ts",
+    )
+
+    def agg(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(t.select(["event_id", "band_value"]))
+            .group_by("event_id")
+            .agg(
+                pl.len().cast(pl.Int64).alias("n_window"),
+                pl.col("band_value").sum().alias("window_value"),
+            )
+            .to_arrow()
+        )
+
+    out = (
+        joined.map_batches(agg, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    out["window_value"] = np.round(out["window_value"].to_numpy(dtype=np.float64), 4)
+    return out

@@ -223,6 +223,63 @@ def _asof_probe(
     return t
 
 
+def _arrow_schema_of(ds: Dataset) -> pa.Schema:
+    base = ds.schema().base_schema
+    if isinstance(base, pa.Schema):
+        return base
+    # PandasBlockSchema (from_pandas inputs): names + numpy dtypes
+    fields = []
+    for n, t in zip(base.names, base.types):
+        if isinstance(t, pa.DataType):
+            fields.append((n, t))
+        else:
+            try:
+                fields.append((n, pa.from_numpy_dtype(t)))
+            except (pa.ArrowNotImplementedError, TypeError):
+                fields.append((n, pa.string()))
+    return pa.schema(fields)
+
+
+def _tagged_union(big: Dataset, build: Dataset, on: str, right_on: str, nb: int):
+    """Co-partition machinery shared by the big-big as-of and band joins:
+    tag probe rows (_side=0) and build rows (_side=1) with a unified
+    null-padded schema (build columns prefixed ``_b_``) plus a ``_part``
+    hash-of-key column, and union them — ONE shuffle moves each row once.
+    Returns (tagged_ds, probe_cols, build_cols, probe_schema, build_schema).
+    """
+    from perfect_bloomfilter_ray.functions.hashing import hash64
+
+    probe_schema = _arrow_schema_of(big)
+    build_schema = _arrow_schema_of(build)
+    probe_cols = probe_schema.names
+    build_cols = build_schema.names
+
+    def tag_probe(t: pa.Table) -> pa.Table:
+        h = hash64(t.column(on), 0xA50F)
+        cols = {c: t.column(c) for c in probe_cols}
+        n = len(t)
+        for c in build_cols:
+            cols["_b_" + c] = pa.nulls(n, build_schema.field(c).type)
+        cols["_part"] = pa.array((h % np.uint64(nb)).astype(np.int32))
+        cols["_side"] = pa.array(np.zeros(n, dtype=np.int8))
+        return pa.table(cols)
+
+    def tag_build(t: pa.Table) -> pa.Table:
+        h = hash64(t.column(right_on), 0xA50F)
+        n = len(t)
+        cols = {c: pa.nulls(n, probe_schema.field(c).type) for c in probe_cols}
+        for c in build_cols:
+            cols["_b_" + c] = t.column(c)
+        cols["_part"] = pa.array((h % np.uint64(nb)).astype(np.int32))
+        cols["_side"] = pa.array(np.ones(n, dtype=np.int8))
+        return pa.table(cols)
+
+    tagged = big.map_batches(tag_probe, batch_format="pyarrow").union(
+        build.map_batches(tag_build, batch_format="pyarrow")
+    )
+    return tagged, probe_cols, build_cols, probe_schema, build_schema
+
+
 def asof_join_partitioned(
     big: Dataset,
     build: Dataset,
@@ -250,53 +307,14 @@ def asof_join_partitioned(
     Semantics identical to ``asof_join_broadcast`` (greatest build ts ≤ probe
     ts, < when ``strict``; ties broken by ``tie_col``, last wins).
     """
-    from perfect_bloomfilter_ray.functions.hashing import hash64
     from perfect_bloomfilter_ray.stages.partitioning import choose_num_blocks
 
     right_on = right_on or on
     small_ts = small_ts or big_ts
     nb = choose_num_blocks(big, num_blocks)
-
-    def _arrow_schema(ds: Dataset) -> pa.Schema:
-        base = ds.schema().base_schema
-        if isinstance(base, pa.Schema):
-            return base
-        # PandasBlockSchema (from_pandas inputs): names + numpy dtypes
-        fields = []
-        for n, t in zip(base.names, base.types):
-            if isinstance(t, pa.DataType):
-                fields.append((n, t))
-            else:
-                try:
-                    fields.append((n, pa.from_numpy_dtype(t)))
-                except (pa.ArrowNotImplementedError, TypeError):
-                    fields.append((n, pa.string()))
-        return pa.schema(fields)
-
-    probe_schema = _arrow_schema(big)
-    build_schema = _arrow_schema(build)
-    probe_cols = probe_schema.names
-    build_cols = build_schema.names
-
-    def tag_probe(t: pa.Table) -> pa.Table:
-        h = hash64(t.column(on), 0xA50F)
-        cols = {c: t.column(c) for c in probe_cols}
-        n = len(t)
-        for c in build_cols:
-            cols["_b_" + c] = pa.nulls(n, build_schema.field(c).type)
-        cols["_part"] = pa.array((h % np.uint64(nb)).astype(np.int32))
-        cols["_side"] = pa.array(np.zeros(n, dtype=np.int8))
-        return pa.table(cols)
-
-    def tag_build(t: pa.Table) -> pa.Table:
-        h = hash64(t.column(right_on), 0xA50F)
-        n = len(t)
-        cols = {c: pa.nulls(n, probe_schema.field(c).type) for c in probe_cols}
-        for c in build_cols:
-            cols["_b_" + c] = t.column(c)
-        cols["_part"] = pa.array((h % np.uint64(nb)).astype(np.int32))
-        cols["_side"] = pa.array(np.ones(n, dtype=np.int8))
-        return pa.table(cols)
+    tagged, probe_cols, build_cols, probe_schema, build_schema = _tagged_union(
+        big, build, on, right_on, nb
+    )
 
     def resolve(t: pa.Table) -> pa.Table:
         side = t.column("_side").to_numpy()
@@ -320,12 +338,7 @@ def asof_join_partitioned(
         packed = _asof_pack_build(b_tbl, right_on, small_ts, tie_col)
         return _asof_probe(probe, on, big_ts, packed, how, strict, prefix)
 
-    return (
-        big.map_batches(tag_probe, batch_format="pyarrow")
-        .union(build.map_batches(tag_build, batch_format="pyarrow"))
-        .groupby("_part")
-        .map_groups(resolve, batch_format="pyarrow")
-    )
+    return tagged.groupby("_part").map_groups(resolve, batch_format="pyarrow")
 
 
 def range_join_broadcast(
@@ -534,3 +547,89 @@ def skew_join(
     if not right_cold.take(1):
         return hot_leg
     return hot_leg.union(cold_join(left_cold, right_cold))
+
+
+def band_join_partitioned(
+    big: Dataset,
+    build: Dataset,
+    on: str,
+    big_ts: str,
+    window,
+    right_on: str | None = None,
+    small_ts: str | None = None,
+    prefix: str = "band_",
+    num_blocks: int | None = None,
+) -> Dataset:
+    """Big-big temporal band join: for each ``big`` row, ALL ``build`` rows
+    with equal key and ``small_ts`` in ``[big_ts - window, big_ts]`` — the
+    feature-generation join ("every order in the 7 days before this event"),
+    1:N where the as-of join is 1:1. SQL: ``JOIN ... ON key = key AND
+    r.ts BETWEEN l.ts - window AND l.ts`` (inclusive both ends). Inner
+    semantics: probe rows with no build row in the band are dropped.
+
+    Same scale shape as ``asof_join_partitioned`` (shared ``_tagged_union``
+    machinery): both sides hash-co-partitioned on the key in ONE shuffle;
+    within a partition the build side is packed into a sorted (key-code, ts)
+    int64 composite and each probe row expands to its matches with two
+    ``searchsorted`` calls + one ``np.repeat`` — no per-key Python, no
+    cross product. Band width × per-key build density bounds the output
+    blow-up; a single key's rows must fit one task (windows.py contract).
+    """
+    import pandas as _pd
+
+    from perfect_bloomfilter_ray.stages.partitioning import choose_num_blocks
+
+    right_on = right_on or on
+    small_ts = small_ts or big_ts
+    window_us = int(_pd.Timedelta(window).value // 1000)
+    nb = choose_num_blocks(big, num_blocks)
+    tagged, probe_cols, build_cols, probe_schema, build_schema = _tagged_union(
+        big, build, on, right_on, nb
+    )
+    payload_cols = [c for c in build_cols if c not in (right_on, small_ts)] + [small_ts]
+
+    def resolve(t: pa.Table) -> pa.Table:
+        side = t.column("_side").to_numpy()
+        probe = t.filter(pa.array(side == 0)).select(probe_cols)
+        bt = t.filter(pa.array(side == 1))
+        b_tbl = pa.table({c: bt.column("_b_" + c) for c in build_cols})
+
+        def empty() -> pa.Table:
+            out = probe.slice(0, 0)
+            for c in payload_cols:
+                out = out.append_column(prefix + c, pa.nulls(0, build_schema.field(c).type))
+            return out
+
+        if len(probe) == 0 or len(b_tbl) == 0:
+            return empty()
+        uniq, s_comp, payload, ts_bits, ts_min = _asof_pack_build(b_tbl, right_on, small_ts, None)
+        pcodes = pc.index_in(
+            probe.column(on).combine_chunks()
+            if isinstance(probe.column(on), pa.ChunkedArray)
+            else probe.column(on),
+            value_set=uniq,
+        ).to_numpy(zero_copy_only=False)
+        known = ~np.isnan(pcodes.astype(np.float64)) if pcodes.dtype.kind == "f" else pcodes != None  # noqa: E711
+        pcodes = np.where(known, pcodes, 0).astype(np.int64)
+        bts = _asof_ts_i64(probe.column(big_ts))
+        max_off = (1 << ts_bits) - 1
+        off_hi = np.clip(bts - ts_min, -1, max_off)
+        off_lo = np.clip(bts - window_us - ts_min, 0, max_off)
+        base = pcodes << ts_bits
+        lo = np.searchsorted(s_comp, base | off_lo, side="left")
+        hi = np.searchsorted(s_comp, base | np.maximum(off_hi, 0), side="right")
+        hi = np.where(off_hi < 0, lo, hi)  # probe ts before every build ts
+        cnt = np.where(known, hi - lo, 0)
+        total = int(cnt.sum())
+        li = np.repeat(np.arange(len(probe), dtype=np.int64), cnt)
+        csum = np.concatenate([[0], np.cumsum(cnt)])
+        within = np.arange(total, dtype=np.int64) - np.repeat(csum[:-1], cnt)
+        ri = np.repeat(lo, cnt) + within
+        out = probe.take(pa.array(li, type=pa.int64()))
+        for c in payload_cols:
+            out = out.append_column(
+                prefix + c, pc.take(payload.column(c), pa.array(ri, type=pa.int64()))
+            )
+        return out
+
+    return tagged.groupby("_part").map_groups(resolve, batch_format="pyarrow")

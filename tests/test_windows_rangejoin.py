@@ -185,3 +185,43 @@ def test_ranked_window_matches_pandas(ray_session):
     assert (merged["r"] == merged["r_exp"]).all()
     assert (merged["dr"] == merged["dr_exp"]).all()
     assert (merged["rn"] == merged["rn_exp"]).all()
+
+
+def test_band_join_partitioned_matches_bruteforce(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.joins import band_join_partitioned
+
+    rng = np.random.default_rng(31)
+    ne, nb = 400, 300
+    events = pd.DataFrame(
+        {
+            "k": rng.integers(0, 20, ne),
+            "ts": pd.to_datetime(rng.integers(0, 1000, ne), unit="s"),
+            "eid": np.arange(ne, dtype=np.int64),
+        }
+    )
+    build = pd.DataFrame(
+        {
+            "bk": rng.integers(0, 22, nb),
+            "bts": pd.to_datetime(rng.integers(0, 1000, nb), unit="s"),
+            "bid": np.arange(nb, dtype=np.int64),
+        }
+    )
+    out = (
+        band_join_partitioned(
+            rd.from_pandas(events), rd.from_pandas(build),
+            on="k", big_ts="ts", window="100s",
+            right_on="bk", small_ts="bts", num_blocks=3,
+        )
+        .to_pandas()
+        .sort_values(["eid", "band_bid"])
+        .reset_index(drop=True)
+    )
+    m = events.merge(build, left_on="k", right_on="bk")
+    m = m[(m["bts"] >= m["ts"] - pd.Timedelta("100s")) & (m["bts"] <= m["ts"])]
+    exp = set(zip(m["eid"], m["bid"]))
+    got = set(zip(out["eid"], out["band_bid"]))
+    assert got == exp
