@@ -125,6 +125,7 @@ SUITE = [
     "event_type_transitions",
     "embedding_moment_stats",
     "events_band_window_activity",
+    "event_zorder_keys",
 ]
 
 

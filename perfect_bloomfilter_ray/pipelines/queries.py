@@ -4281,3 +4281,40 @@ def events_band_window_activity(sf_dir: str):
     )
     out["window_value"] = np.round(out["window_value"].to_numpy(dtype=np.float64), 4)
     return out
+
+
+@q(
+    "event_zorder_keys",
+    sql="""
+    WITH t AS (
+      SELECT event_id,
+             user_id & 65535 AS u,
+             CAST(floor(value) AS BIGINT) & 65535 AS v
+      FROM events
+    )
+    SELECT event_id, CAST((((u >> 0) & 1) << 0) + (((v >> 0) & 1) << 1) + (((u >> 1) & 1) << 2) + (((v >> 1) & 1) << 3) + (((u >> 2) & 1) << 4) + (((v >> 2) & 1) << 5) + (((u >> 3) & 1) << 6) + (((v >> 3) & 1) << 7) + (((u >> 4) & 1) << 8) + (((v >> 4) & 1) << 9) + (((u >> 5) & 1) << 10) + (((v >> 5) & 1) << 11) + (((u >> 6) & 1) << 12) + (((v >> 6) & 1) << 13) + (((u >> 7) & 1) << 14) + (((v >> 7) & 1) << 15) + (((u >> 8) & 1) << 16) + (((v >> 8) & 1) << 17) + (((u >> 9) & 1) << 18) + (((v >> 9) & 1) << 19) + (((u >> 10) & 1) << 20) + (((v >> 10) & 1) << 21) + (((u >> 11) & 1) << 22) + (((v >> 11) & 1) << 23) + (((u >> 12) & 1) << 24) + (((v >> 12) & 1) << 25) + (((u >> 13) & 1) << 26) + (((v >> 13) & 1) << 27) + (((u >> 14) & 1) << 28) + (((v >> 14) & 1) << 29) + (((u >> 15) & 1) << 30) + (((v >> 15) & 1) << 31) AS BIGINT) AS zkey
+    FROM t ORDER BY event_id
+    """,
+)
+def event_zorder_keys(sf_dir: str):
+    """Z-order (Morton) clustering keys (stages/partitioning.zorder_key2):
+    interleave (user_id, floor(value)) bits into one int64 key — sort or
+    range-partition by it before writing and readers filtering on EITHER
+    column prune files (the Delta/Iceberg OPTIMIZE ZORDER trick). The magic-
+    mask expansion is vectorized; the SQL oracle spells out all 32 bit
+    shifts explicitly."""
+    from perfect_bloomfilter_ray.stages.partitioning import zorder_key2
+
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def zk(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = np.floor(t.column("value").to_numpy(zero_copy_only=False)).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "zkey": pa.array(zorder_key2(u, v, 16)),
+            }
+        )
+
+    return ds.map_batches(zk, batch_format="pyarrow").sort("event_id")

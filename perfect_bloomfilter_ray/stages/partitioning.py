@@ -55,3 +55,37 @@ def choose_num_blocks(
         except Exception:
             pass
     return min(n, max_blocks)
+
+
+def _part1by1(x: "np.ndarray") -> "np.ndarray":
+    """Spread each of the low 32 bits of x to the even bit positions
+    (classic Morton-code magic-mask expansion, fully vectorized)."""
+    import numpy as np
+
+    x = x.astype(np.uint64) & np.uint64(0xFFFFFFFF)
+    x = (x | (x << np.uint64(16))) & np.uint64(0x0000FFFF0000FFFF)
+    x = (x | (x << np.uint64(8))) & np.uint64(0x00FF00FF00FF00FF)
+    x = (x | (x << np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    x = (x | (x << np.uint64(2))) & np.uint64(0x3333333333333333)
+    x = (x | (x << np.uint64(1))) & np.uint64(0x5555555555555555)
+    return x
+
+
+def zorder_key2(a, b, bits: int = 16) -> "np.ndarray":
+    """Interleaved Z-order (Morton) key of two non-negative integer columns,
+    ``bits`` low bits each → a single int64 clustering key whose sort order
+    keeps rows close in BOTH dimensions close on disk. The write-time
+    clustering trick behind multi-column range pruning (Delta/Iceberg
+    OPTIMIZE ZORDER): sort or range-partition by this key before writing and
+    a reader filtering on either column touches a fraction of the files.
+
+    Bit k of ``a`` lands at position 2k, bit k of ``b`` at 2k+1 — matching
+    the SQL oracle's explicit shift-and-add formulation. Values are masked
+    to ``bits`` low bits (caller buckets/clamps first).
+    """
+    import numpy as np
+
+    mask = np.uint64((1 << bits) - 1)
+    a = np.asarray(a).astype(np.uint64) & mask
+    b = np.asarray(b).astype(np.uint64) & mask
+    return (_part1by1(a) | (_part1by1(b) << np.uint64(1))).astype(np.int64)

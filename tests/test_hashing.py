@@ -87,3 +87,23 @@ def test_key_bytes_canonical():
     assert i.to_pylist() == [(1).to_bytes(8, "little"), (256).to_bytes(8, "little")]
     f = key_bytes(pa.array([1.5], pa.float32()))
     assert f.to_pylist() == [np.float64(1.5).tobytes()]
+
+
+def test_zorder_key_interleave_and_locality():
+    import numpy as np
+
+    from perfect_bloomfilter_ray.stages.partitioning import zorder_key2
+
+    rng = np.random.default_rng(2)
+    a = rng.integers(0, 1 << 16, 2000)
+    b = rng.integers(0, 1 << 16, 2000)
+    z = zorder_key2(a, b, 16)
+    ref = np.zeros(len(a), np.int64)
+    for k in range(16):
+        ref |= (((a >> k) & 1) << (2 * k)) | (((b >> k) & 1) << (2 * k + 1))
+    assert (z == ref).all()
+    # locality: rows in one quadrant (high bits equal) form a contiguous
+    # z-range — the property that makes file-level pruning work
+    qa, qb = a % 256, b % 256  # same high byte = 0
+    zq = zorder_key2(qa, qb, 16)
+    assert zq.max() < (1 << 16)  # quadrant stays inside its own key range
