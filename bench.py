@@ -126,6 +126,7 @@ SUITE = [
     "embedding_moment_stats",
     "events_band_window_activity",
     "event_zorder_keys",
+    "sliding_distinct_users_exact",
 ]
 
 

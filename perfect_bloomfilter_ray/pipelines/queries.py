@@ -4318,3 +4318,128 @@ def event_zorder_keys(sf_dir: str):
         )
 
     return ds.map_batches(zk, batch_format="pyarrow").sort("event_id")
+
+
+@q(
+    "sliding_distinct_users_exact",
+    sql="""
+    WITH p AS (
+      SELECT DISTINCT date_trunc('hour', ts) AS b, user_id FROM events
+    ),
+    x AS (
+      SELECT DISTINCT b + to_hours(o) AS bucket, user_id
+      FROM p, UNNEST([0, 1, 2]) AS t(o)
+    ),
+    hours AS (SELECT DISTINCT date_trunc('hour', ts) AS bucket FROM events)
+    SELECT h.bucket, count(*) AS n_users
+    FROM x JOIN hours h USING (bucket)
+    GROUP BY h.bucket ORDER BY h.bucket
+    """,
+)
+def sliding_distinct_users_exact(sf_dir: str):
+    """Trailing 3-hour sliding DISTINCT user count per hour, exact: each
+    distinct (hour, user) pair fans out to the 3 target buckets it covers
+    (flat expansion, bounded ×window), pair-distinct partials dedup across
+    source hours, and a tiny per-bucket count finishes. Only buckets that
+    actually occur are reported (matching the SQL hour list)."""
+    from perfect_bloomfilter_ray.stages.windows import time_bucket
+
+    ds = time_bucket(
+        _t(sf_dir, "events", ["ts", "user_id"]), "ts", "hour", out_col="b"
+    )
+
+    HOUR_US = 3_600_000_000
+
+    def expand(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = (
+            pl.from_arrow(t.select(["b", "user_id"]))
+            .unique()
+            .with_columns(pl.col("b").cast(pl.Int64).alias("bus"))
+        )
+        out = (
+            df.join(pl.DataFrame({"o": [0, 1, 2]}), how="cross")
+            .with_columns((pl.col("bus") + pl.col("o") * HOUR_US).alias("bucket_us"))
+            .select(["bucket_us", "user_id"])
+            .unique()
+        )
+        return out.to_arrow()
+
+    pairs = (
+        ds.map_batches(expand, batch_format="pyarrow")
+        .groupby(["bucket_us", "user_id"])
+        .count()
+    )
+
+    def bucket_partial(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(t.select(["bucket_us"]))
+            .group_by("bucket_us")
+            .len(name="pn")
+            .with_columns(pl.col("pn").cast(pl.Int64))
+            .to_arrow()
+        )
+
+    counts = (
+        pairs.map_batches(bucket_partial, batch_format="pyarrow")
+        .groupby("bucket_us")
+        .aggregate(Sum("pn", alias_name="n_users"))
+        .to_pandas()
+    )
+    # restrict to hours that actually occur (targets past the last event
+    # hour exist only as fan-out artifacts)
+    real = set(
+        int(b)
+        for batch in ds.select_columns(["b"]).map_batches(
+            lambda t: pa.table({"b": pc.unique(pc.cast(t.column("b"), pa.int64()))}),
+            batch_format="pyarrow",
+        ).iter_batches(batch_format="pyarrow")
+        for b in batch.column("b").to_pylist()
+    )
+    counts = counts[counts["bucket_us"].isin(real)]
+    counts["bucket"] = pd.to_datetime(counts["bucket_us"], unit="us")
+    counts["n_users"] = counts["n_users"].astype("int64")
+    return counts[["bucket", "n_users"]].sort_values("bucket").reset_index(drop=True)
+
+
+@q("sliding_distinct_users_theta")
+def sliding_distinct_users_theta(sf_dir: str):
+    """Theta-sketch twin of `sliding_distinct_users_exact`: one mergeable
+    theta sketch per hour (two-phase partial/merge tree), then the trailing
+    3-hour estimate per hour is a driver-side union of 3 tiny sketches —
+    the classic sliding-distinct-at-scale shape (per-bucket sketches are
+    built once and reused by every overlapping window). Rows-only; error
+    vs the exact twin is bounded by the sketch's published rel_error."""
+    from perfect_bloomfilter_ray.stages.agg import sketch_grouped
+    from perfect_bloomfilter_ray.stages.windows import time_bucket
+    from perfect_bloomfilter_ray.state.theta import ThetaSketch
+
+    ds = time_bucket(
+        _t(sf_dir, "events", ["ts", "user_id"]), "ts", "hour", out_col="b"
+    )
+
+    def to_i64(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"b": pc.cast(pc.cast(t.column("b"), pa.timestamp("us")), pa.int64()),
+             "user_id": t.column("user_id")}
+        )
+
+    per_hour = sketch_grouped(
+        ds.map_batches(to_i64, batch_format="pyarrow"),
+        "b", "user_id", lambda: ThetaSketch(4096),
+        name="skb", finalize_fn=lambda s: s.to_bytes(),
+    ).to_pandas()
+    HOUR_US = 3_600_000_000
+    sk = {int(r.b): ThetaSketch.from_bytes(r.skb) for r in per_hour.itertuples()}
+    rows = []
+    for b in sorted(sk):
+        m = ThetaSketch(4096)
+        for o in (0, 1, 2):
+            prev = b - o * HOUR_US
+            if prev in sk:
+                m.merge(sk[prev])  # merge copies hashes in; sources unchanged
+        rows.append((pd.to_datetime(b, unit="us"), int(round(m.estimate()))))
+    return pd.DataFrame(rows, columns=["bucket", "n_users_est"])

@@ -142,3 +142,15 @@ def test_cms_sparse_phase_exact_and_compact():
     ref.update_column(pa.array([f"x{i % 100}" for i in range(1000)]))
     assert merged.state_equal(ref)
     assert merged.total == ref.total
+
+
+def test_sliding_distinct_theta_tracks_exact(ray_session):
+    from perfect_bloomfilter_ray.pipelines.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    exact = QUERIES["sliding_distinct_users_exact"](sf).set_index("bucket")["n_users"]
+    est = QUERIES["sliding_distinct_users_theta"](sf).set_index("bucket")["n_users_est"]
+    assert set(exact.index) == set(est.index)
+    # k=4096 theta over <=150 users is exact (below sampling threshold)
+    for b in exact.index:
+        assert abs(int(est[b]) - int(exact[b])) <= max(1, 0.05 * exact[b])
