@@ -127,6 +127,7 @@ SUITE = [
     "events_band_window_activity",
     "event_zorder_keys",
     "sliding_distinct_users_exact",
+    "component_best_representatives",
 ]
 
 

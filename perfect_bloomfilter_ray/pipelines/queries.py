@@ -4443,3 +4443,83 @@ def sliding_distinct_users_theta(sf_dir: str):
                 m.merge(sk[prev])  # merge copies hashes in; sources unchanged
         rows.append((pd.to_datetime(b, unit="us"), int(round(m.estimate()))))
     return pd.DataFrame(rows, columns=["bucket", "n_users_est"])
+
+
+@q(
+    "component_best_representatives",
+    sql="""
+    WITH g AS (
+      SELECT event_id, value,
+             min(event_id) OVER (PARTITION BY user_id, event_type) AS root,
+             count(*)      OVER (PARTITION BY user_id, event_type) AS n
+      FROM events
+    ),
+    r AS (
+      SELECT root, event_id, value,
+             row_number() OVER (PARTITION BY root ORDER BY value DESC, event_id) AS rn
+      FROM g WHERE n > 1
+    )
+    SELECT root, event_id AS rep, round(value, 4) AS rep_value
+    FROM r WHERE rn = 1 ORDER BY root
+    """,
+)
+def component_best_representatives(sf_dir: str):
+    """Keep-best-per-cluster representative selection: the curation step
+    after near-dup clustering that keeps the HIGHEST-quality member of each
+    duplicate cluster (not the arbitrary min-id). Components come from the
+    same oracle-checked chain graph as `user_event_chain_components`
+    (distributed hash-to-min CC); members resolve their score via a
+    co-partitioned hash join; the winner per component is a grouped top-1
+    (partial-top-k combiner, ties to the smallest id)."""
+    from perfect_bloomfilter_ray.functions.hashing import hash64
+    from perfect_bloomfilter_ray.stages.dedup import connected_components_pairs
+    from perfect_bloomfilter_ray.stages.topk import grouped_top_k
+
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "event_type", "value"])
+
+    def add_part(t: pa.Table) -> pa.Table:
+        h = hash64(t.column("user_id"), 0xCC01)
+        return t.append_column("_part", pa.array((h % np.uint64(64)).astype(np.int32)))
+
+    def chain_edges(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        empty = pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
+        if len(t) < 2:
+            return empty
+        df = pl.from_arrow(t.drop_columns(["_part"])).sort(["user_id", "event_type", "event_id"])
+        ids = df["event_id"].to_numpy()
+        u = df["user_id"].to_numpy()
+        et = df["event_type"].to_numpy()
+        same = (u[1:] == u[:-1]) & (et[1:] == et[:-1])
+        if not same.any():
+            return empty
+        return pa.table(
+            {
+                "id_a": pa.array(ids[:-1][same].astype(np.int64)),
+                "id_b": pa.array(ids[1:][same].astype(np.int64)),
+            }
+        )
+
+    edges = (
+        ds.select_columns(["event_id", "user_id", "event_type"])
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(chain_edges, batch_format="pyarrow")
+    )
+    comp = connected_components_pairs(edges)  # (node, root)
+    scored = comp.join(
+        ds.select_columns(["event_id", "value"]),
+        "inner", num_partitions=4, on=("node",), right_on=("event_id",),
+    )
+    best = grouped_top_k(
+        scored, "root", "value", k=1, descending=True, tie_cols=["node"]
+    ).to_pandas()
+    out = pd.DataFrame(
+        {
+            "root": best["root"].astype("int64"),
+            "rep": best["node"].astype("int64"),
+            "rep_value": np.round(best["value"].to_numpy(dtype=np.float64), 4),
+        }
+    )
+    return out.sort_values("root").reset_index(drop=True)
