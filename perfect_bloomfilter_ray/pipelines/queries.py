@@ -1522,29 +1522,12 @@ def weighted_sample_docs(sf_dir: str):
     return out[["lang", "doc_id", "n_chars"]].sort_values(["lang", "doc_id"]).reset_index(drop=True)
 
 
-@q(
-    "user_event_chain_components",
-    sql="""
-    WITH g AS (
-        SELECT event_id,
-               min(event_id) OVER (PARTITION BY user_id, event_type) AS root,
-               count(*)      OVER (PARTITION BY user_id, event_type) AS n
-        FROM events
-    )
-    SELECT event_id AS node, root FROM g WHERE n > 1 ORDER BY node
-    """,
-)
-def user_event_chain_components(sf_dir: str):
-    """Distributed connected components, oracle-checked: edges CHAIN the
-    event ids of each (user, event_type) group — consecutive ids only, so a
-    component's diameter equals its size and the hash-to-min propagation is
-    genuinely exercised (tens of rounds' worth of hops collapsed in
-    O(log d)); the component root must equal min(event_id) per group, which
-    SQL states directly with a window function."""
+def _user_event_chain_edges(ds):
+    """Chain-graph edges shared by the connected-components queries: within
+    each (user, event_type) group, consecutive event ids are linked — a
+    component's diameter equals its size, genuinely exercising hash-to-min
+    propagation. Keys co-locate via a coarse hash partition."""
     from perfect_bloomfilter_ray.functions.hashing import hash64
-    from perfect_bloomfilter_ray.stages.dedup import connected_components_pairs
-
-    ds = _t(sf_dir, "events", ["event_id", "user_id", "event_type"])
 
     def add_part(t: pa.Table) -> pa.Table:
         h = hash64(t.column("user_id"), 0xCC01)
@@ -1570,12 +1553,37 @@ def user_event_chain_components(sf_dir: str):
             }
         )
 
-    edges = (
-        ds.map_batches(add_part, batch_format="pyarrow")
+    return (
+        ds.select_columns(["event_id", "user_id", "event_type"])
+        .map_batches(add_part, batch_format="pyarrow")
         .groupby("_part")
         .map_groups(chain_edges, batch_format="pyarrow")
     )
-    out = connected_components_pairs(edges).to_pandas()
+
+
+@q(
+    "user_event_chain_components",
+    sql="""
+    WITH g AS (
+        SELECT event_id,
+               min(event_id) OVER (PARTITION BY user_id, event_type) AS root,
+               count(*)      OVER (PARTITION BY user_id, event_type) AS n
+        FROM events
+    )
+    SELECT event_id AS node, root FROM g WHERE n > 1 ORDER BY node
+    """,
+)
+def user_event_chain_components(sf_dir: str):
+    """Distributed connected components, oracle-checked: edges CHAIN the
+    event ids of each (user, event_type) group — consecutive ids only, so a
+    component's diameter equals its size and the hash-to-min propagation is
+    genuinely exercised (tens of rounds' worth of hops collapsed in
+    O(log d)); the component root must equal min(event_id) per group, which
+    SQL states directly with a window function."""
+    from perfect_bloomfilter_ray.stages.dedup import connected_components_pairs
+
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "event_type"])
+    out = connected_components_pairs(_user_event_chain_edges(ds)).to_pandas()
     return out.sort_values("node").reset_index(drop=True)
 
 
@@ -4247,10 +4255,11 @@ def events_band_window_activity(sf_dir: str):
     """Big-big temporal band join (stages/joins.band_join_partitioned): for
     each event, EVERY event by the same user in the trailing 10 minutes
     (self included) — both sides co-partitioned on the key in one shuffle,
-    per-partition packed searchsorted 1:N expansion. The per-event
-    aggregation stays inside the partition block (an event's matches never
-    span blocks), so no second shuffle. The 1:N twin of the RANGE-frame
-    sliding window (which returns only count/sum, not match rows)."""
+    per-partition packed searchsorted 1:N expansion, then per-event partial
+    aggregates re-merged by a tiny groupby (oversized join blocks can be
+    sliced mid-event by Ray's output buffer, so partials alone would
+    duplicate events). The 1:N twin of the RANGE-frame sliding window
+    (which returns only count/sum, not match rows)."""
     from perfect_bloomfilter_ray.stages.joins import band_join_partitioned
 
     left = _t(sf_dir, "events", ["event_id", "user_id", "ts"])
@@ -4260,25 +4269,31 @@ def events_band_window_activity(sf_dir: str):
         right_on="user_id", small_ts="ts",
     )
 
-    def agg(t: pa.Table) -> pa.Table:
+    # per-batch PARTIALS + a groupby re-aggregation: Ray slices oversized
+    # map_groups output blocks mid-table, so an event's matches CAN straddle
+    # blocks at scale — partials alone would emit duplicate per-event rows
+    def agg_partial(t: pa.Table) -> pa.Table:
         import polars as pl
 
         return (
             pl.from_arrow(t.select(["event_id", "band_value"]))
             .group_by("event_id")
             .agg(
-                pl.len().cast(pl.Int64).alias("n_window"),
-                pl.col("band_value").sum().alias("window_value"),
+                pl.len().cast(pl.Int64).alias("pn"),
+                pl.col("band_value").sum().alias("ps"),
             )
             .to_arrow()
         )
 
     out = (
-        joined.map_batches(agg, batch_format="pyarrow")
+        joined.map_batches(agg_partial, batch_format="pyarrow")
+        .groupby("event_id")
+        .aggregate(Sum("pn", alias_name="n_window"), Sum("ps", alias_name="window_value"))
         .to_pandas()
         .sort_values("event_id")
         .reset_index(drop=True)
     )
+    out["n_window"] = out["n_window"].astype("int64")
     out["window_value"] = np.round(out["window_value"].to_numpy(dtype=np.float64), 4)
     return out
 
@@ -4339,9 +4354,12 @@ def event_zorder_keys(sf_dir: str):
 def sliding_distinct_users_exact(sf_dir: str):
     """Trailing 3-hour sliding DISTINCT user count per hour, exact: each
     distinct (hour, user) pair fans out to the 3 target buckets it covers
-    (flat expansion, bounded ×window), pair-distinct partials dedup across
-    source hours, and a tiny per-bucket count finishes. Only buckets that
-    actually occur are reported (matching the SQL hour list)."""
+    (flat expansion, bounded ×window) carrying its fan-out offset; the pair
+    groupby keeps the MIN offset, so "bucket really occurs" (some pair has
+    offset 0) falls out of the same shuffle — no second scan of the input.
+    A tiny per-bucket count finishes."""
+    from ray.data.aggregate import Min
+
     from perfect_bloomfilter_ray.stages.windows import time_bucket
 
     ds = time_bucket(
@@ -4361,45 +4379,39 @@ def sliding_distinct_users_exact(sf_dir: str):
         out = (
             df.join(pl.DataFrame({"o": [0, 1, 2]}), how="cross")
             .with_columns((pl.col("bus") + pl.col("o") * HOUR_US).alias("bucket_us"))
-            .select(["bucket_us", "user_id"])
-            .unique()
+            .group_by(["bucket_us", "user_id"])
+            .agg(pl.col("o").min().cast(pl.Int64).alias("po"))
         )
         return out.to_arrow()
 
     pairs = (
         ds.map_batches(expand, batch_format="pyarrow")
         .groupby(["bucket_us", "user_id"])
-        .count()
+        .aggregate(Min("po", alias_name="mo"))
     )
 
     def bucket_partial(t: pa.Table) -> pa.Table:
         import polars as pl
 
         return (
-            pl.from_arrow(t.select(["bucket_us"]))
+            pl.from_arrow(t.select(["bucket_us", "mo"]))
             .group_by("bucket_us")
-            .len(name="pn")
-            .with_columns(pl.col("pn").cast(pl.Int64))
+            .agg(
+                pl.len().cast(pl.Int64).alias("pn"),
+                pl.col("mo").min().cast(pl.Int64).alias("pmo"),
+            )
             .to_arrow()
         )
 
     counts = (
         pairs.map_batches(bucket_partial, batch_format="pyarrow")
         .groupby("bucket_us")
-        .aggregate(Sum("pn", alias_name="n_users"))
+        .aggregate(Sum("pn", alias_name="n_users"), Min("pmo", alias_name="mo"))
         .to_pandas()
     )
-    # restrict to hours that actually occur (targets past the last event
-    # hour exist only as fan-out artifacts)
-    real = set(
-        int(b)
-        for batch in ds.select_columns(["b"]).map_batches(
-            lambda t: pa.table({"b": pc.unique(pc.cast(t.column("b"), pa.int64()))}),
-            batch_format="pyarrow",
-        ).iter_batches(batch_format="pyarrow")
-        for b in batch.column("b").to_pylist()
-    )
-    counts = counts[counts["bucket_us"].isin(real)]
+    # a bucket is real iff some event actually occurred in it (offset 0);
+    # pure fan-out targets past the last event hour are dropped
+    counts = counts[counts["mo"] == 0]
     counts["bucket"] = pd.to_datetime(counts["bucket_us"], unit="us")
     counts["n_users"] = counts["n_users"].astype("int64")
     return counts[["bucket", "n_users"]].sort_values("bucket").reset_index(drop=True)
@@ -4471,43 +4483,11 @@ def component_best_representatives(sf_dir: str):
     (distributed hash-to-min CC); members resolve their score via a
     co-partitioned hash join; the winner per component is a grouped top-1
     (partial-top-k combiner, ties to the smallest id)."""
-    from perfect_bloomfilter_ray.functions.hashing import hash64
     from perfect_bloomfilter_ray.stages.dedup import connected_components_pairs
     from perfect_bloomfilter_ray.stages.topk import grouped_top_k
 
     ds = _t(sf_dir, "events", ["event_id", "user_id", "event_type", "value"])
-
-    def add_part(t: pa.Table) -> pa.Table:
-        h = hash64(t.column("user_id"), 0xCC01)
-        return t.append_column("_part", pa.array((h % np.uint64(64)).astype(np.int32)))
-
-    def chain_edges(t: pa.Table) -> pa.Table:
-        import polars as pl
-
-        empty = pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
-        if len(t) < 2:
-            return empty
-        df = pl.from_arrow(t.drop_columns(["_part"])).sort(["user_id", "event_type", "event_id"])
-        ids = df["event_id"].to_numpy()
-        u = df["user_id"].to_numpy()
-        et = df["event_type"].to_numpy()
-        same = (u[1:] == u[:-1]) & (et[1:] == et[:-1])
-        if not same.any():
-            return empty
-        return pa.table(
-            {
-                "id_a": pa.array(ids[:-1][same].astype(np.int64)),
-                "id_b": pa.array(ids[1:][same].astype(np.int64)),
-            }
-        )
-
-    edges = (
-        ds.select_columns(["event_id", "user_id", "event_type"])
-        .map_batches(add_part, batch_format="pyarrow")
-        .groupby("_part")
-        .map_groups(chain_edges, batch_format="pyarrow")
-    )
-    comp = connected_components_pairs(edges)  # (node, root)
+    comp = connected_components_pairs(_user_event_chain_edges(ds))  # (node, root)
     scored = comp.join(
         ds.select_columns(["event_id", "value"]),
         "inner", num_partitions=4, on=("node",), right_on=("event_id",),

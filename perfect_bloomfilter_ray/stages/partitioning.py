@@ -85,6 +85,10 @@ def zorder_key2(a, b, bits: int = 16) -> "np.ndarray":
     """
     import numpy as np
 
+    if not 1 <= bits <= 31:
+        # 2×32 interleaved bits would set bit 63 and wrap the int64 key
+        # negative, destroying the sort-order locality the key exists for
+        raise ValueError(f"zorder_key2 supports 1..31 bits per column, got {bits}")
     mask = np.uint64((1 << bits) - 1)
     a = np.asarray(a).astype(np.uint64) & mask
     b = np.asarray(b).astype(np.uint64) & mask

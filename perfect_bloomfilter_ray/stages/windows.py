@@ -541,7 +541,7 @@ def grouped_path_string(
 
     def per_part(t: pa.Table) -> pa.Table:
         df = pl.from_arrow(t.drop_columns(["_part"]))
-        df = df.sort([key_col, ts_col, *tie_cols])
+        df = df.sort([key_col, ts_col, *tie_cols], nulls_last=True)  # match SQL NULLS LAST
         g = df.group_by(key_col, maintain_order=True).agg(
             pl.col(val_col).len().cast(pl.Int64).alias("n_steps"),
             (
@@ -592,7 +592,7 @@ def transition_counts(
                     "pn": pa.array([], pa.int64()),
                 }
             )
-        df = df.sort([key_col, ts_col, *tie_cols])
+        df = df.sort([key_col, ts_col, *tie_cols], nulls_last=True)  # match SQL NULLS LAST
         out = (
             df.select(
                 pl.col(state_col).alias("state_from"),
