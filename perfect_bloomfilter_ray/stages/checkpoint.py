@@ -196,3 +196,51 @@ def resumable_etl(
     with open(os.path.join(out_dir, "manifest.json"), "w") as fh:
         json.dump(manifest, fh, indent=1)
     return manifest
+
+
+def compact_parquet(
+    in_dir: str,
+    out_dir: str,
+    target_rows_per_file: int = 1 << 20,
+    columns: list[str] | None = None,
+) -> dict:
+    """Small-file compaction: read every ``*.parquet`` under ``in_dir``
+    (recursively — partitioned layouts included) and rewrite as
+    ``ceil(rows / target_rows_per_file)`` right-sized files.
+
+    The small-files problem is the standard failure mode of per-shard
+    resumable writes at scale (10^5 tasks × small outputs → metadata-bound
+    reads); compaction is the fix, run as its own resumable job. The
+    repartition is the non-shuffling split/coalesce (no all-to-all — row
+    order within blocks is preserved, global order is not guaranteed, same
+    as any parquet directory). Published atomically via a ``_SUCCESS``
+    manifest; re-runs with an existing marker are skipped.
+    """
+    import ray.data as rd
+
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            return json.load(fh) | {"resumed": True}
+    files = []
+    for root, _dirs, names in os.walk(in_dir):
+        files.extend(os.path.join(root, n) for n in sorted(names) if n.endswith(".parquet"))
+    if not files:
+        raise ValueError(f"no parquet files under {in_dir}")
+    ds = rd.read_parquet(files, columns=columns)
+    total = ds.count()
+    n_out = max(1, -(-total // target_rows_per_file))
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.time()
+    ds.repartition(n_out).write_parquet(out_dir)
+    manifest = {
+        "in_files": len(files),
+        "out_files": n_out,
+        "rows": int(total),
+        "seconds": round(time.time() - t0, 3),
+    }
+    with open(marker, "w") as fh:
+        json.dump(manifest, fh)
+    return manifest

@@ -236,3 +236,32 @@ def test_grouped_mode_ties_and_counts(ray_session):
     assert got[1] == ("b", 2)
     assert got[2] == ("x", 2)  # tie x/y at 2 -> smallest value wins
     assert got[3] == ("z", 1)
+
+
+def test_compact_parquet_coalesces_small_files(ray_session, tmp_path):
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from perfect_bloomfilter_ray.stages.checkpoint import compact_parquet
+
+    src = tmp_path / "many"
+    (src / "part=a").mkdir(parents=True)
+    (src / "part=b").mkdir(parents=True)
+    n = 0
+    for i in range(20):
+        sub = "part=a" if i % 2 else "part=b"
+        t = pa.table({"x": list(range(i * 10, i * 10 + 10))})
+        pq.write_table(t, str(src / sub / f"f{i}.parquet"))
+        n += 10
+    out = tmp_path / "compact"
+    man = compact_parquet(str(src), str(out), target_rows_per_file=100)
+    assert man["in_files"] == 20 and man["rows"] == n and man["out_files"] == 2
+    got = pq.read_table(str(out)).column("x").to_pylist()
+    assert sorted(got) == list(range(200))
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(files) <= 4  # coalesced (ray may emit one file per block)
+    # re-run resumes from the marker
+    man2 = compact_parquet(str(src), str(out), target_rows_per_file=100)
+    assert man2.get("resumed") is True
