@@ -128,6 +128,7 @@ SUITE = [
     "event_zorder_keys",
     "sliding_distinct_users_exact",
     "component_best_representatives",
+    "events_data_quality",
 ]
 
 

@@ -4503,3 +4503,50 @@ def component_best_representatives(sf_dir: str):
         }
     )
     return out.sort_values("root").reset_index(drop=True)
+
+
+@q(
+    "events_data_quality",
+    sql="""
+    SELECT * FROM (
+      SELECT 0 AS rule_id, 'not_null' AS rule, 'user_id' AS col,
+             CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_violations FROM events
+      UNION ALL
+      SELECT 1, 'in_range', 'value',
+             CAST(sum(CASE WHEN value IS NOT NULL
+                            AND NOT (value >= 0 AND value <= 50)
+                           THEN 1 ELSE 0 END) AS BIGINT) FROM events
+      UNION ALL
+      SELECT 2, 'in_set', 'event_type',
+             CAST(sum(CASE WHEN event_type IS NOT NULL
+                            AND event_type NOT IN ('view', 'click', 'purchase')
+                           THEN 1 ELSE 0 END) AS BIGINT) FROM events
+      UNION ALL
+      SELECT 3, 'matches', 'props',
+             CAST(sum(CASE WHEN props IS NOT NULL
+                            AND NOT regexp_matches(props, '"k": [0-9]+')
+                           THEN 1 ELSE 0 END) AS BIGINT) FROM events
+      UNION ALL
+      SELECT 4, 'unique', 'event_id',
+             (SELECT count(*) - count(DISTINCT event_id) FROM events)
+    ) ORDER BY rule_id
+    """,
+)
+def events_data_quality(sf_dir: str):
+    """Data-contract gate (stages/validate.validate_rules): violation
+    counts for a rule list — null checks, ranges, enums, regex format,
+    uniqueness — in one streaming vectorized pass (uniqueness adds one
+    pre-aggregated distinct shuffle). The accept/reject step before an
+    ingest batch enters the corpus."""
+    from perfect_bloomfilter_ray.stages.validate import validate_rules
+
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "event_type", "value", "props"])
+    rules = [
+        {"rule": "not_null", "col": "user_id"},
+        {"rule": "in_range", "col": "value", "lo": 0.0, "hi": 50.0},
+        {"rule": "in_set", "col": "event_type", "values": ["view", "click", "purchase"]},
+        {"rule": "matches", "col": "props", "pattern": '"k": [0-9]+'},
+        {"rule": "unique", "col": "event_id"},
+    ]
+    return validate_rules(ds, rules)

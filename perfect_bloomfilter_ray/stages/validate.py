@@ -1,0 +1,122 @@
+"""Data-quality expectation checks (great-expectations-lite).
+
+``validate_rules`` evaluates a rule list over a Dataset in ONE streaming
+pass (plus one tiny groupby for uniqueness rules) and returns a violation
+count per rule — the data-contract gate a training-data pipeline runs
+before accepting an ingest batch. Rules are pure-Arrow predicates, so the
+pass is vectorized and shuffle-free; only `unique` needs a shuffle, and it
+ships per-batch pre-aggregated (value, count) partials like every distinct
+pattern in this repo.
+
+Rule forms (dicts):
+  {"rule": "not_null", "col": c}
+  {"rule": "in_range", "col": c, "lo": x, "hi": y}   # inclusive, nulls skip
+  {"rule": "in_set",   "col": c, "values": [...]}
+  {"rule": "matches",  "col": c, "pattern": r"..."}  # RE2-portable regex
+  {"rule": "unique",   "col": c}                     # violations = extra copies
+
+No reference counterpart (membership-only engine); part of the [RULE]
+pipeline-hygiene surface next to stages/pii.py and stages/quality.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+from ray.data.aggregate import Sum
+
+
+def validate_rules(ds: Dataset, rules: list[dict]) -> pd.DataFrame:
+    """Violation counts per rule: ``(rule_id, rule, col, n_violations)``.
+
+    ``unique`` counts rows minus distinct values (number of surplus
+    copies); all other rules count rows failing the predicate. One
+    streaming pass evaluates every non-unique rule together.
+    """
+    scalar_rules = [(i, r) for i, r in enumerate(rules) if r["rule"] != "unique"]
+    unique_rules = [(i, r) for i, r in enumerate(rules) if r["rule"] == "unique"]
+
+    def check(t: pa.Table) -> pa.Table:
+        ids, viols = [], []
+        for i, r in enumerate(rules):
+            col_name = r["col"]
+            if r["rule"] == "unique":
+                continue
+            c = t.column(col_name)
+            if r["rule"] == "not_null":
+                bad = c.null_count
+            else:
+                if r["rule"] == "in_range":
+                    ok = pc.and_(
+                        pc.greater_equal(c, pa.scalar(r["lo"])),
+                        pc.less_equal(c, pa.scalar(r["hi"])),
+                    )
+                elif r["rule"] == "in_set":
+                    ok = pc.is_in(c, value_set=pa.array(r["values"]))
+                elif r["rule"] == "matches":
+                    ok = pc.match_substring_regex(c, r["pattern"])
+                else:
+                    raise ValueError(f"unknown rule {r['rule']!r}")
+                # violation = non-null value failing the predicate; nulls skip
+                # (pc.is_in yields False — not null — for null inputs, so the
+                # null-skip must be explicit)
+                bad_mask = pc.and_(pc.is_valid(c), pc.invert(pc.fill_null(ok, False)))
+                bad = pc.sum(bad_mask).as_py() or 0
+            ids.append(i)
+            viols.append(int(bad))
+        return pa.table(
+            {"rid": pa.array(ids, pa.int64()), "pv": pa.array(viols, pa.int64())}
+        )
+
+    out = {i: 0 for i, _ in scalar_rules}
+    if scalar_rules:
+        agg = (
+            ds.map_batches(check, batch_format="pyarrow")
+            .groupby("rid")
+            .aggregate(Sum("pv", alias_name="v"))
+            .to_pandas()
+        )
+        for r in agg.itertuples():
+            out[int(r.rid)] = int(r.v)
+
+    for i, r in unique_rules:
+        col = r["col"]
+
+        def partial(t: pa.Table, col=col) -> pa.Table:
+            import polars as pl
+
+            return (
+                pl.from_arrow(t.select([col]))
+                .group_by(col)
+                .len(name="pc")
+                .with_columns(pl.col("pc").cast(pl.Int64))
+                .to_arrow()
+            )
+
+        counts = (
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(col)
+            .aggregate(Sum("pc", alias_name="c"))
+        )
+
+        def surplus(t: pa.Table) -> pa.Table:
+            c = t.column("c").to_numpy(zero_copy_only=False)
+            return pa.table({"s": pa.array([int((c - 1).sum())], pa.int64())})
+
+        tot = counts.map_batches(surplus, batch_format="pyarrow").aggregate(
+            Sum("s", alias_name="s")
+        )
+        out[i] = int(tot["s"] or 0)
+
+    return pd.DataFrame(
+        {
+            "rule_id": np.arange(len(rules), dtype=np.int64),
+            "rule": [r["rule"] for r in rules],
+            "col": [r["col"] for r in rules],
+            "n_violations": np.array([out[i] for i in range(len(rules))], dtype=np.int64),
+        }
+    )

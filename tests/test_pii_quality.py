@@ -107,3 +107,32 @@ def test_gopher_filter_drop_matches_flag(ray_session):
     kept = gopher_filter(ds, "text", drop=True).to_pandas()
     assert set(kept["i"]) == set(flagged[flagged["keep"]]["i"])
     assert 1 not in set(kept["i"])  # pure repetition must be dropped
+
+
+def test_validate_rules_bruteforce(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.validate import validate_rules
+
+    df = pd.DataFrame(
+        {
+            "id": [1, 2, 2, 3, 4],
+            "v": [0.5, -1.0, 2.0, None, 9.0],
+            "s": ["a", "b", "zz", None, "a"],
+            "txt": ["k: 1", "nope", "k: 22", None, "k: x"],
+        }
+    )
+    rules = [
+        {"rule": "unique", "col": "id"},
+        {"rule": "in_range", "col": "v", "lo": 0.0, "hi": 5.0},
+        {"rule": "in_set", "col": "s", "values": ["a", "b"]},
+        {"rule": "not_null", "col": "v"},
+        {"rule": "matches", "col": "txt", "pattern": r"k: [0-9]+"},
+    ]
+    out = validate_rules(rd.from_pandas(df), rules).set_index("rule_id")
+    assert out.loc[0, "n_violations"] == 1  # one surplus copy of id=2
+    assert out.loc[1, "n_violations"] == 2  # -1.0 and 9.0 (null skips)
+    assert out.loc[2, "n_violations"] == 1  # "zz" (null skips)
+    assert out.loc[3, "n_violations"] == 1  # one null v
+    assert out.loc[4, "n_violations"] == 2  # "nope", "k: x" (null skips)
