@@ -23,6 +23,7 @@ import os
 import time
 from typing import Any, Callable
 
+import pyarrow as pa
 import ray
 
 from perfect_bloomfilter_ray.state.base import dumps_sketch, loads_sketch
@@ -244,3 +245,73 @@ def compact_parquet(
     with open(marker, "w") as fh:
         json.dump(manifest, fh)
     return manifest
+
+
+def delete_keys_from_partitioned(
+    root: str,
+    key_col: str,
+    keys,
+    batch_size: int = 1,
+) -> dict:
+    """Surgical key deletion across a partitioned Parquet output tree (the
+    right-to-be-forgotten / retract-bad-ingest maintenance job): every
+    ``*.parquet`` file under ``root`` is probed by reading ONLY its key
+    column against the broadcast delete set; files with no hit are left
+    byte-identical (no rewrite, no mtime churn — at 10^5 files the probe is
+    a column-pruned metadata-speed scan and the rewrite cost is proportional
+    to CONTAMINATED files only). Hit files are rewritten atomically
+    (tmp + ``os.replace``); a file deleted down to zero rows keeps its
+    schema (empty table) so directory readers stay valid.
+
+    The per-file work runs as a Ray Data pipeline over the file list
+    (one file per task), so deletion parallelizes like any other stage.
+    Returns a manifest: files probed / rewritten, rows deleted.
+    """
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    keys_arr = keys if isinstance(keys, pa.Array) else pa.array(sorted(set(keys)))
+    key_ref = ray.put(keys_arr)
+    files = []
+    for r, _d, names in os.walk(root):
+        files.extend(os.path.join(r, n) for n in sorted(names) if n.endswith(".parquet"))
+    if not files:
+        return {"files": 0, "rewritten": 0, "rows_deleted": 0}
+
+    def process(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ks = ray.get(key_ref)
+        out = {"path": [], "rewritten": [], "deleted": []}
+        for path in batch.column("path").to_pylist():
+            kcol = pq.read_table(path, columns=[key_col]).column(key_col)
+            hit = pc.is_in(kcol, value_set=ks)
+            n_hit = pc.sum(pc.fill_null(hit, False)).as_py() or 0
+            if n_hit:
+                t = pq.read_table(path)
+                keep = pc.invert(pc.fill_null(pc.is_in(t.column(key_col), value_set=ks), False))
+                tmp = path + ".tmp"
+                pq.write_table(t.filter(keep), tmp)
+                os.replace(tmp, path)
+            out["path"].append(path)
+            out["rewritten"].append(bool(n_hit))
+            out["deleted"].append(int(n_hit))
+        return pa.table(
+            {
+                "path": pa.array(out["path"]),
+                "rewritten": pa.array(out["rewritten"]),
+                "deleted": pa.array(out["deleted"], pa.int64()),
+            }
+        )
+
+    stats = (
+        rd.from_items([{"path": p} for p in files])
+        .map_batches(process, batch_format="pyarrow", batch_size=batch_size)
+        .to_pandas()
+    )
+    return {
+        "files": len(stats),
+        "rewritten": int(stats["rewritten"].sum()),
+        "rows_deleted": int(stats["deleted"].sum()),
+    }

@@ -265,3 +265,34 @@ def test_compact_parquet_coalesces_small_files(ray_session, tmp_path):
     # re-run resumes from the marker
     man2 = compact_parquet(str(src), str(out), target_rows_per_file=100)
     assert man2.get("resumed") is True
+
+
+def test_delete_keys_surgical_rewrite(ray_session, tmp_path):
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from perfect_bloomfilter_ray.stages.checkpoint import delete_keys_from_partitioned
+
+    root = tmp_path / "out"
+    (root / "shard-0").mkdir(parents=True)
+    (root / "shard-1").mkdir(parents=True)
+    pq.write_table(pa.table({"uid": [1, 2, 3], "x": ["a", "b", "c"]}),
+                   str(root / "shard-0" / "f0.parquet"))
+    pq.write_table(pa.table({"uid": [10, 11], "x": ["d", "e"]}),
+                   str(root / "shard-1" / "f1.parquet"))
+    clean_path = str(root / "shard-1" / "f1.parquet")
+    mtime_before = os.path.getmtime(clean_path)
+
+    man = delete_keys_from_partitioned(str(root), "uid", [2, 99])
+    assert man == {"files": 2, "rewritten": 1, "rows_deleted": 1}
+    left = pq.read_table(str(root / "shard-0" / "f0.parquet"))
+    assert left.column("uid").to_pylist() == [1, 3]
+    assert os.path.getmtime(clean_path) == mtime_before  # untouched file
+
+    # deleting everything in a file keeps an empty, schema-bearing file
+    man2 = delete_keys_from_partitioned(str(root), "uid", [10, 11])
+    assert man2["rows_deleted"] == 2
+    t = pq.read_table(clean_path)
+    assert len(t) == 0 and t.schema.names == ["uid", "x"]
