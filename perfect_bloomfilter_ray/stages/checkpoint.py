@@ -199,6 +199,13 @@ def resumable_etl(
     return manifest
 
 
+def _list_parquet_files(root: str) -> list[str]:
+    files = []
+    for r, _d, names in os.walk(root):
+        files.extend(os.path.join(r, n) for n in sorted(names) if n.endswith(".parquet"))
+    return files
+
+
 def compact_parquet(
     in_dir: str,
     out_dir: str,
@@ -219,13 +226,16 @@ def compact_parquet(
     """
     import ray.data as rd
 
+    # in-place compaction would rmtree the INPUT before the lazy read runs —
+    # unrecoverable data loss; require a non-overlapping output directory
+    a, b = os.path.abspath(in_dir), os.path.abspath(out_dir)
+    if a == b or os.path.commonpath([a, b]) in (a, b):
+        raise ValueError("compact_parquet requires a non-overlapping out_dir (write to a sibling, then swap)")
     marker = os.path.join(out_dir, "_SUCCESS")
     if os.path.exists(marker):
         with open(marker) as fh:
             return json.load(fh) | {"resumed": True}
-    files = []
-    for root, _dirs, names in os.walk(in_dir):
-        files.extend(os.path.join(root, n) for n in sorted(names) if n.endswith(".parquet"))
+    files = _list_parquet_files(in_dir)
     if not files:
         raise ValueError(f"no parquet files under {in_dir}")
     ds = rd.read_parquet(files, columns=columns)
@@ -238,12 +248,14 @@ def compact_parquet(
     ds.repartition(n_out).write_parquet(out_dir)
     manifest = {
         "in_files": len(files),
-        "out_files": n_out,
+        "out_files": len(_list_parquet_files(out_dir)),  # actual, not requested
         "rows": int(total),
         "seconds": round(time.time() - t0, 3),
     }
-    with open(marker, "w") as fh:
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as fh:
         json.dump(manifest, fh)
+    os.replace(tmp, marker)  # atomic publish, same as resumable_etl
     return manifest
 
 
@@ -271,11 +283,13 @@ def delete_keys_from_partitioned(
     import ray
     import ray.data as rd
 
-    keys_arr = keys if isinstance(keys, pa.Array) else pa.array(sorted(set(keys)))
+    import pyarrow.compute as _pc
+
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    keys_arr = _pc.unique(keys) if isinstance(keys, pa.Array) else pa.array(sorted(set(keys)))
     key_ref = ray.put(keys_arr)
-    files = []
-    for r, _d, names in os.walk(root):
-        files.extend(os.path.join(r, n) for n in sorted(names) if n.endswith(".parquet"))
+    files = _list_parquet_files(root)
     if not files:
         return {"files": 0, "rewritten": 0, "rows_deleted": 0}
 

@@ -1,7 +1,8 @@
 """Data-quality expectation checks (great-expectations-lite).
 
 ``validate_rules`` evaluates a rule list over a Dataset in ONE streaming
-pass (plus one tiny groupby for uniqueness rules) and returns a violation
+pass for all scalar rules (plus one pre-aggregated pass + tiny groupby
+per uniqueness rule) and returns a violation
 count per rule — the data-contract gate a training-data pipeline runs
 before accepting an ingest batch. Rules are pure-Arrow predicates, so the
 pass is vectorized and shuffle-free; only `unique` needs a shuffle, and it
@@ -13,7 +14,9 @@ Rule forms (dicts):
   {"rule": "in_range", "col": c, "lo": x, "hi": y}   # inclusive, nulls skip
   {"rule": "in_set",   "col": c, "values": [...]}
   {"rule": "matches",  "col": c, "pattern": r"..."}  # RE2-portable regex
-  {"rule": "unique",   "col": c}                     # violations = extra copies
+  {"rule": "unique",   "col": c}   # violations = n_rows - n_distinct_non_null
+                                   # (SQL count(*) - count(DISTINCT c): every
+                                   # null row counts as a violation)
 
 No reference counterpart (membership-only engine); part of the [RULE]
 pipeline-hygiene surface next to stages/pii.py and stages/quality.py.
@@ -33,9 +36,10 @@ from ray.data.aggregate import Sum
 def validate_rules(ds: Dataset, rules: list[dict]) -> pd.DataFrame:
     """Violation counts per rule: ``(rule_id, rule, col, n_violations)``.
 
-    ``unique`` counts rows minus distinct values (number of surplus
-    copies); all other rules count rows failing the predicate. One
-    streaming pass evaluates every non-unique rule together.
+    ``unique`` counts ``n_rows - n_distinct_non_null`` (exactly SQL
+    ``count(*) - count(DISTINCT col)`` — null keys are always violations);
+    all other rules count rows failing the predicate. One streaming pass
+    evaluates every non-unique rule together.
     """
     scalar_rules = [(i, r) for i, r in enumerate(rules) if r["rule"] != "unique"]
     unique_rules = [(i, r) for i, r in enumerate(rules) if r["rule"] == "unique"]
@@ -103,9 +107,14 @@ def validate_rules(ds: Dataset, rules: list[dict]) -> pd.DataFrame:
             .aggregate(Sum("pc", alias_name="c"))
         )
 
-        def surplus(t: pa.Table) -> pa.Table:
+        def surplus(t: pa.Table, col=col) -> pa.Table:
+            # rows - distinct_non_null == SQL count(*) - count(DISTINCT col):
+            # a null group contributes ALL its rows (distinct ignores nulls)
             c = t.column("c").to_numpy(zero_copy_only=False)
-            return pa.table({"s": pa.array([int((c - 1).sum())], pa.int64())})
+            valid = pc.is_valid(t.column(col)).to_numpy(zero_copy_only=False)
+            return pa.table(
+                {"s": pa.array([int(c.sum()) - int(valid.sum())], pa.int64())}
+            )
 
         tot = counts.map_batches(surplus, batch_format="pyarrow").aggregate(
             Sum("s", alias_name="s")

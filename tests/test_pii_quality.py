@@ -136,3 +136,9 @@ def test_validate_rules_bruteforce(ray_session):
     assert out.loc[2, "n_violations"] == 1  # "zz" (null skips)
     assert out.loc[3, "n_violations"] == 1  # one null v
     assert out.loc[4, "n_violations"] == 2  # "nope", "k: x" (null skips)
+
+    # unique with NULL keys matches SQL count(*) - count(DISTINCT): every
+    # null row is a violation
+    df2 = pd.DataFrame({"id": [1.0, None, None, 2.0]})
+    out2 = validate_rules(rd.from_pandas(df2), [{"rule": "unique", "col": "id"}])
+    assert out2["n_violations"][0] == 2

@@ -296,3 +296,31 @@ def test_delete_keys_surgical_rewrite(ray_session, tmp_path):
     assert man2["rows_deleted"] == 2
     t = pq.read_table(clean_path)
     assert len(t) == 0 and t.schema.names == ["uid", "x"]
+
+
+def test_compact_parquet_rejects_inplace(ray_session, tmp_path):
+    import pytest as _pytest
+
+    from perfect_bloomfilter_ray.stages.checkpoint import compact_parquet
+
+    d = tmp_path / "data"
+    d.mkdir()
+    with _pytest.raises(ValueError, match="non-overlapping"):
+        compact_parquet(str(d), str(d))
+    with _pytest.raises(ValueError, match="non-overlapping"):
+        compact_parquet(str(d), str(d / "sub"))
+
+
+def test_delete_keys_accepts_chunked_array(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from perfect_bloomfilter_ray.stages.checkpoint import delete_keys_from_partitioned
+
+    root = tmp_path / "o"
+    root.mkdir()
+    pq.write_table(pa.table({"uid": [1, 2, 3]}), str(root / "f.parquet"))
+    keys = pa.chunked_array([pa.array([2]), pa.array([3])])
+    man = delete_keys_from_partitioned(str(root), "uid", keys)
+    assert man["rows_deleted"] == 2
+    assert pq.read_table(str(root / "f.parquet")).column("uid").to_pylist() == [1]
