@@ -129,6 +129,7 @@ SUITE = [
     "sliding_distinct_users_exact",
     "component_best_representatives",
     "events_data_quality",
+    "event_type_pagerank",
 ]
 
 

@@ -4550,3 +4550,63 @@ def events_data_quality(sf_dir: str):
         {"rule": "unique", "col": "event_id"},
     ]
     return validate_rules(ds, rules)
+
+
+@q(
+    "event_type_pagerank",
+    sql="""
+    WITH raw AS (
+      SELECT event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      FROM events
+    ),
+    e AS (SELECT DISTINCT src, dst FROM raw WHERE dst IS NOT NULL),
+    deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+    nodes AS (SELECT DISTINCT node FROM
+              (SELECT src AS node FROM e UNION SELECT dst FROM e)),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    r0 AS (SELECT node, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),
+    r1 AS (
+      SELECT nd.node, (1 - 0.85) / nn.n + 0.85 * coalesce(s.w, 0) AS r
+      FROM nodes nd CROSS JOIN nn LEFT JOIN (
+        SELECT e.dst AS node, sum(r0.r / deg.outdeg) AS w
+        FROM e JOIN r0 ON e.src = r0.node JOIN deg ON e.src = deg.src
+        GROUP BY e.dst) s USING (node)
+    ),
+    r2 AS (
+      SELECT nd.node, (1 - 0.85) / nn.n + 0.85 * coalesce(s.w, 0) AS r
+      FROM nodes nd CROSS JOIN nn LEFT JOIN (
+        SELECT e.dst AS node, sum(r1.r / deg.outdeg) AS w
+        FROM e JOIN r1 ON e.src = r1.node JOIN deg ON e.src = deg.src
+        GROUP BY e.dst) s USING (node)
+    ),
+    r3 AS (
+      SELECT nd.node, (1 - 0.85) / nn.n + 0.85 * coalesce(s.w, 0) AS r
+      FROM nodes nd CROSS JOIN nn LEFT JOIN (
+        SELECT e.dst AS node, sum(r2.r / deg.outdeg) AS w
+        FROM e JOIN r2 ON e.src = r2.node JOIN deg ON e.src = deg.src
+        GROUP BY e.dst) s USING (node)
+    )
+    SELECT node, round(r, 6) AS rank FROM r3 ORDER BY node
+    """,
+)
+def event_type_pagerank(sf_dir: str):
+    """Iterative PageRank (stages/graph.pagerank) over the directed
+    event-type transition graph: 3 power iterations, damping 0.85, no
+    dangling redistribution — each iteration streams the edge list through
+    one pre-aggregated contribution pass + dst groupby while the
+    node-cardinality rank vector broadcasts. The SQL oracle unrolls the
+    same recurrence through 3 CTE join rounds."""
+    from perfect_bloomfilter_ray.stages.graph import pagerank
+    from perfect_bloomfilter_ray.stages.windows import transition_counts
+
+    ds = _t(sf_dir, "events", ["user_id", "ts", "event_type", "event_id"])
+    edges = transition_counts(
+        ds, "user_id", "ts", "event_type", tie_cols=["event_id"]
+    ).map_batches(
+        lambda t: pa.table({"src": t.column("state_from"), "dst": t.column("state_to")}),
+        batch_format="pyarrow",
+    )
+    out = pagerank(edges, iters=3, damping=0.85)
+    out["rank"] = np.round(out["rank"].to_numpy(dtype=np.float64), 6)
+    return out.rename(columns={"node": "node"})
