@@ -127,7 +127,6 @@ SUITE = [
     "events_band_window_activity",
     "event_zorder_keys",
     "sliding_distinct_users_exact",
-    "component_best_representatives",
     "events_data_quality",
     "event_type_pagerank",
 ]
