@@ -46,7 +46,10 @@ def pagerank(
             pl.from_arrow(t.select([src_col, dst_col])).unique().to_arrow()
         )
 
-    e = edges.map_batches(dedup, batch_format="pyarrow")
+    # the edge list is loop-invariant: cache it in the object store once
+    # (spillable) — a lazy Dataset would re-execute its whole upstream
+    # lineage (shuffles included) on EVERY iteration's contribution pass
+    e = edges.map_batches(dedup, batch_format="pyarrow").materialize()
 
     def deg_partial(t: pa.Table) -> pa.Table:
         return (
