@@ -129,6 +129,7 @@ SUITE = [
     "sliding_distinct_users_exact",
     "events_data_quality",
     "event_type_pagerank",
+    "events_grouping_sets",
 ]
 
 

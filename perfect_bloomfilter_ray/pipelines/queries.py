@@ -4610,3 +4610,57 @@ def event_type_pagerank(sf_dir: str):
     out = pagerank(edges, iters=3, damping=0.85)
     out["rank"] = np.round(out["rank"].to_numpy(dtype=np.float64), 6)
     return out.rename(columns={"node": "node"})
+
+
+@q(
+    "events_grouping_sets",
+    sql="""
+    SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           count(*) AS n, round(sum(value), 2) AS total
+    FROM events
+    GROUP BY GROUPING SETS ((event_type, day), (event_type), (day))
+    ORDER BY event_type NULLS FIRST, day NULLS FIRST
+    """,
+)
+def events_grouping_sets(sf_dir: str):
+    """GROUPING SETS (the general form behind the existing CUBE/ROLLUP
+    queries): ONE distributed pass computes the finest (event_type, day)
+    aggregate; every requested coarser set re-aggregates the tiny finest
+    table driver-side — the fact table is never re-scanned per set."""
+    from ray.data.aggregate import Count, Sum
+
+    def prep(t: pa.Table) -> pa.Table:
+        day = pc.strftime(pc.floor_temporal(t.column("ts"), unit="day"), format="%Y-%m-%d")
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "day": day,
+                "value": t.column("value"),
+            }
+        )
+
+    finest = (
+        _t(sf_dir, "events", ["event_type", "ts", "value"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="total"))
+        .to_pandas()
+    )
+    sets = [["event_type", "day"], ["event_type"], ["day"]]
+    levels = []
+    for keys in sets:
+        if keys == ["event_type", "day"]:
+            g = finest.copy()
+        else:
+            g = finest.groupby(keys, as_index=False)[["n", "total"]].sum()
+        for missing in ("event_type", "day"):
+            if missing not in keys:
+                g[missing] = None
+        levels.append(g[["event_type", "day", "n", "total"]])
+    out = pd.concat(levels, ignore_index=True)
+    out["n"] = out["n"].astype("int64")
+    out = _round(out, {"total": 2})
+    return (
+        out.sort_values(["event_type", "day"], na_position="first")
+        .reset_index(drop=True)
+    )
