@@ -130,6 +130,7 @@ SUITE = [
     "events_data_quality",
     "event_type_pagerank",
     "events_grouping_sets",
+    "docs_train_val_test_split",
 ]
 
 

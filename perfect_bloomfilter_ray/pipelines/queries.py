@@ -4664,3 +4664,43 @@ def events_grouping_sets(sf_dir: str):
         out.sort_values(["event_type", "day"], na_position="first")
         .reset_index(drop=True)
     )
+
+
+@q(
+    "docs_train_val_test_split",
+    sql="""
+    WITH s AS (
+      SELECT lang, n_chars,
+             CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+                  WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT split, lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+    FROM s GROUP BY split, lang ORDER BY split, lang
+    """,
+)
+def docs_train_val_test_split(sf_dir: str):
+    """Deterministic 80/10/10 train/val/test split (multiplicative-hash
+    residue on the id — engine-portable, rerun-stable, leakage-free because
+    assignment depends only on the id): a map-only pass tags every row, a
+    tiny groupby reports the per-(split, lang) composition. The assignment
+    column is what a shard writer partitions by."""
+    ds = _t(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        r = (t.column("doc_id").to_numpy().astype(np.int64) * 2654435761) % 100
+        split = np.where(r < 80, "train", np.where(r < 90, "val", "test"))
+        return t.append_column("split", pa.array(split))
+
+    out = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby(["split", "lang"])
+        .aggregate(Count(alias_name="n"), Sum("n_chars", alias_name="chars"))
+        .to_pandas()
+        .sort_values(["split", "lang"])
+        .reset_index(drop=True)
+    )
+    out["n"] = out["n"].astype("int64")
+    out["chars"] = out["chars"].astype("int64")
+    return out
