@@ -131,6 +131,7 @@ SUITE = [
     "event_type_pagerank",
     "events_grouping_sets",
     "docs_train_val_test_split",
+    "user_value_ewma",
 ]
 
 

@@ -4704,3 +4704,28 @@ def docs_train_val_test_split(sf_dir: str):
     out["n"] = out["n"].astype("int64")
     out["chars"] = out["chars"].astype("int64")
     return out
+
+
+@q("user_value_ewma")
+def user_value_ewma(sf_dir: str):
+    """Per-user EWMA of event values (stages/windows.ewma, α=0.3, pandas
+    adjust=False semantics) — rows-only: the recursion has no portable SQL
+    form; pandas parity is property-tested. A deterministic 1-in-11 event
+    slice keeps the checked output small (smoothing always runs over the
+    full per-user stream before slicing)."""
+    from perfect_bloomfilter_ray.stages.windows import ewma
+
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    out = ewma(ds, "user_id", "ts", "value", alpha=0.3, tie_cols=["event_id"])
+
+    def fin(t: pa.Table) -> pa.Table:
+        ids = t.column("event_id").to_numpy().astype(np.int64)
+        t = t.filter(pa.array(ids % 11 == 0))
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "ewma": pa.array(np.round(t.column("ewma").to_numpy(zero_copy_only=False), 6)),
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow").sort("event_id")

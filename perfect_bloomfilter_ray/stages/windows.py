@@ -613,3 +613,42 @@ def transition_counts(
         .groupby(["state_from", "state_to"])
         .aggregate(Sum("pn", alias_name="n"))
     )
+
+
+def ewma(
+    ds: Dataset,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    tie_cols: list[str] | None = None,
+    out_col: str = "ewma",
+    num_blocks: int | None = None,
+) -> Dataset:
+    """Per-key exponential moving average over the ``(ts, *tie_cols)``
+    ordered stream: ``e_0 = x_0; e_t = (1-α)·e_{t-1} + α·x_t`` (pandas
+    ``ewm(alpha, adjust=False)`` semantics). No SQL oracle — the recursion
+    is not portably expressible in SQL; pandas parity is property-tested.
+
+    Same coarse-partition shape as every keyed window op; the per-key
+    recursion itself runs in polars' native ``ewm_mean(...).over(key)``
+    (Rust, no per-key Python).
+    """
+    import polars as pl
+
+    tie_cols = list(tie_cols or [])
+
+    def per_part(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.drop_columns(["_part"]))
+        if not len(df):
+            return df.with_columns(pl.Series(out_col, [], dtype=pl.Float64)).to_arrow()
+        df = df.sort([key_col, ts_col, *tie_cols], nulls_last=True)
+        df = df.with_columns(
+            pl.col(value_col)
+            .ewm_mean(alpha=alpha, adjust=False)
+            .over(key_col)
+            .alias(out_col)
+        )
+        return df.to_arrow()
+
+    return _add_part(ds, key_col, choose_num_blocks(ds, num_blocks)).groupby("_part").map_groups(per_part, batch_format="pyarrow")

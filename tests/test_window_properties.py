@@ -182,3 +182,35 @@ def test_transition_counts_matches_bruteforce(ray_session, rows):
     )
     got = {(r.state_from, r.state_to): r.n for r in out.itertuples()}
     assert got == dict(exp)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(_keys, _ts, st.floats(-100, 100, allow_nan=False)),
+        min_size=1, max_size=60,
+    ),
+    st.floats(0.05, 0.95),
+)
+def test_ewma_matches_pandas(ray_session, rows, alpha):
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.windows import ewma
+
+    df = pd.DataFrame(rows, columns=["k", "t", "v"])
+    df["t"] = pd.to_datetime(df["t"], unit="s")
+    df["rid"] = range(len(df))
+    out = (
+        ewma(rd.from_pandas(df), "k", "t", "v", alpha=alpha,
+             tie_cols=["rid"], num_blocks=3)
+        .to_pandas()
+        .sort_values("rid")
+        .reset_index(drop=True)
+    )
+    exp = df.sort_values(["k", "t", "rid"]).copy()
+    exp["e"] = exp.groupby("k")["v"].transform(
+        lambda s: s.ewm(alpha=alpha, adjust=False).mean()
+    )
+    exp = exp.sort_values("rid").reset_index(drop=True)
+    np.testing.assert_allclose(out["ewma"].to_numpy(), exp["e"].to_numpy(),
+                               rtol=1e-9, atol=1e-9)
