@@ -1708,13 +1708,21 @@ def orders_events_full_outer(sf_dir: str):
     counts against per-user event counts — keys present on either side
     survive, the missing side's count is null."""
     orders = (
-        _t(sf_dir, "orders", ["o_custkey"]).groupby("o_custkey").aggregate(Count(alias_name="n_orders"))
+        _t(sf_dir, "orders", ["o_custkey"])
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="n_orders"))
+        .materialize()
     )
     events = (
         _t(sf_dir, "events", ["user_id"]).groupby("user_id").aggregate(Count(alias_name="n_events"))
     )
+    # size the exchange from key cardinality: a hash partition that receives
+    # ZERO rows from one side crashes Ray's join finalize (schemaless empty
+    # table); >=64 expected keys per partition makes that statistically
+    # impossible, and tiny inputs collapse to one partition (always safe)
+    nparts = max(1, min(8, orders.count() // 64))
     joined = orders.join(
-        events, "full_outer", num_partitions=8, on=("o_custkey",), right_on=("user_id",)
+        events, "full_outer", num_partitions=nparts, on=("o_custkey",), right_on=("user_id",)
     )
 
     def fuse(t: pa.Table) -> pa.Table:
