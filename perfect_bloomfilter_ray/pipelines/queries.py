@@ -1526,12 +1526,16 @@ def _user_event_chain_edges(ds):
     """Chain-graph edges shared by the connected-components queries: within
     each (user, event_type) group, consecutive event ids are linked — a
     component's diameter equals its size, genuinely exercising hash-to-min
-    propagation. Keys co-locate via a coarse hash partition."""
+    propagation. Keys co-locate via a coarse hash partition sized from the
+    cluster (``choose_num_blocks``), not a static constant."""
     from perfect_bloomfilter_ray.functions.hashing import hash64
+    from perfect_bloomfilter_ray.stages.partitioning import choose_num_blocks
+
+    nb = np.uint64(choose_num_blocks(ds))
 
     def add_part(t: pa.Table) -> pa.Table:
         h = hash64(t.column("user_id"), 0xCC01)
-        return t.append_column("_part", pa.array((h % np.uint64(64)).astype(np.int32)))
+        return t.append_column("_part", pa.array((h % nb).astype(np.int32)))
 
     def chain_edges(t: pa.Table) -> pa.Table:
         import polars as pl

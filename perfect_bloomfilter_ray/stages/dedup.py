@@ -920,6 +920,14 @@ def connected_components_pairs(
         return pa.table({"id_a": pa.array(lo[keep]), "id_b": pa.array(hi[keep])})
 
     edges = _dedup_pairs(pairs.map_batches(norm, batch_format="pyarrow"), nb).materialize()
+    if edges.count() == 0:
+        # rename_columns / schema inference need at least one block; an empty
+        # edge set has a well-defined answer anyway
+        import ray.data as _rd
+
+        return _rd.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()), "root": pa.array([], pa.int64())})
+        )
 
     def edge_sig(e: Dataset) -> tuple:
         def chk(t: pa.Table) -> pa.Table:
@@ -1039,13 +1047,25 @@ def drop_near_duplicates(
     num_perms: int = 128,
     bands: int = 16,
     threshold: float = 0.7,
+    broadcast_max_drop: int = 2_000_000,
+    num_blocks: int | None = None,
 ) -> Dataset:
     """Remove near-duplicate documents, keeping the min-id doc per cluster.
 
     minhash→LSH candidate pairs (distributed) → hash-to-min connected
-    components (distributed, ``connected_components_pairs``) → broadcast ONLY
-    the drop set (non-root members, O(#near-dup docs)) → streaming filter.
-    Neither the corpus nor the pair set is ever materialized on the driver.
+    components (distributed, ``connected_components_pairs``) → resolve the
+    drop set (non-root members) against the corpus. Neither the corpus, the
+    pair set, nor the drop set is ever materialized on the driver: the drop
+    ids stay a Dataset, and the resolve is **size-gated** (the same gate
+    shape as ``minhash_lsh_pairs`` verification):
+
+    - ≤ ``broadcast_max_drop`` drop ids → one object-store broadcast
+      (``ray.put`` of an int64 array, read zero-copy by every filter task);
+    - above the gate → a hash-co-partitioned anti-join: corpus rows and drop
+      ids are tagged with ``hash(id64) % num_blocks`` and unioned, so ONE
+      groupby shuffle co-locates each corpus row with exactly the drop ids
+      that could match it. At a web corpus's dup rate (~10^11 drop ids at
+      10^12 docs) no single process ever holds the drop set.
 
     Cluster representative: the minimum id (int id columns) / minimum 64-bit
     id-hash (other id types — deterministic, but not the lexicographic-min
@@ -1077,24 +1097,65 @@ def drop_near_duplicates(
     def non_roots(t: pa.Table) -> pa.Table:
         return t.filter(pc.invert(pc.equal(t.column("node"), t.column("root")))).select(["node"])
 
-    drop_parts = [
-        b if isinstance(b, pa.Table) else pa.Table.from_pydict(b)
-        for b in labels.map_batches(non_roots, batch_format="pyarrow").iter_batches(batch_format="pyarrow")
-    ]
-    drop = (
-        pa.concat_tables(drop_parts).column("node").combine_chunks()
-        if drop_parts
-        else pa.array([], pa.int64())
-    )
-    if len(drop) == 0:
+    # O(#near-dup docs) rows, held in the (spillable) object store — never
+    # concatenated on the driver. count() is exact and already-distributed.
+    drop_ds = labels.map_batches(non_roots, batch_format="pyarrow").materialize()
+    n_drop = drop_ds.count()
+    if n_drop == 0:
         return ds
-    drop_ref = ray.put(drop)
 
-    def keep(t: pa.Table) -> pa.Table:
-        id64 = pa.array(col64(t.column(id_col)))
-        return t.filter(pc.invert(pc.is_in(id64, value_set=ray.get(drop_ref))))
+    if n_drop <= broadcast_max_drop:
+        # small drop set: single shared-memory broadcast beats a shuffle
+        drop = pa.concat_tables(
+            ray.get(ref) for ref in drop_ds.to_arrow_refs()
+        ).column("node").combine_chunks()
+        drop_ref = ray.put(drop)
 
-    return ds.map_batches(keep, batch_format="pyarrow")
+        def keep(t: pa.Table) -> pa.Table:
+            id64 = pa.array(col64(t.column(id_col)))
+            return t.filter(pc.invert(pc.is_in(id64, value_set=ray.get(drop_ref))))
+
+        return ds.map_batches(keep, batch_format="pyarrow")
+
+    # large drop set: hash-co-partitioned anti-join (drop ids never leave
+    # the cluster). Corpus rows tagged _side=0 carry their real columns;
+    # drop rows tagged _side=1 carry nulls — the union's schema is stable.
+    from perfect_bloomfilter_ray.stages.joins import _arrow_schema_of
+    from perfect_bloomfilter_ray.stages.partitioning import choose_num_blocks
+
+    nb = choose_num_blocks(ds, num_blocks)
+    corpus_schema = _arrow_schema_of(ds)
+    corpus_cols = corpus_schema.names
+
+    def tag_corpus(t: pa.Table) -> pa.Table:
+        id64 = col64(t.column(id_col))
+        cols = {c: t.column(c) for c in corpus_cols}
+        cols["_id64"] = pa.array(id64)
+        cols["_part"] = pa.array((splitmix64(id64.view(_U64)) % _U64(nb)).astype(np.int32))
+        cols["_side"] = pa.array(np.zeros(len(t), dtype=np.int8))
+        return pa.table(cols)
+
+    def tag_drop(t: pa.Table) -> pa.Table:
+        id64 = t.column("node").to_numpy()
+        n = len(t)
+        cols = {c: pa.nulls(n, corpus_schema.field(c).type) for c in corpus_cols}
+        cols["_id64"] = pa.array(id64)
+        cols["_part"] = pa.array((splitmix64(id64.view(_U64)) % _U64(nb)).astype(np.int32))
+        cols["_side"] = pa.array(np.ones(n, dtype=np.int8))
+        return pa.table(cols)
+
+    tagged = ds.map_batches(tag_corpus, batch_format="pyarrow").union(
+        drop_ds.map_batches(tag_drop, batch_format="pyarrow")
+    )
+
+    def anti(t: pa.Table) -> pa.Table:
+        side = t.column("_side").to_numpy()
+        rows = t.filter(pa.array(side == 0))
+        dropped = np.unique(t.column("_id64").to_numpy()[side == 1])
+        keep_mask = ~np.isin(rows.column("_id64").to_numpy(), dropped, assume_unique=False)
+        return rows.filter(pa.array(keep_mask)).select(corpus_cols)
+
+    return tagged.groupby("_part").map_groups(anti, batch_format="pyarrow")
 
 
 # ------------------------------------------------- exact n-gram Jaccard verify

@@ -411,7 +411,7 @@ def skew_join(
     right_on: str | None = None,
     hot_count_threshold: int = 100_000,
     hot_top_k: int = 64,
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
 ) -> Dataset:
     """Skew-aware hybrid inner join of two large Datasets.
 
@@ -441,7 +441,11 @@ def skew_join(
     import ray
     from ray.data.aggregate import Sum
 
+    from perfect_bloomfilter_ray.stages.partitioning import choose_join_partitions
+
     right_on = right_on or on
+    if num_partitions is None:
+        num_partitions = choose_join_partitions()
 
     def partial_counts(t: pa.Table) -> pa.Table:
         tv = pc.value_counts(t.column(on).combine_chunks() if isinstance(t.column(on), pa.ChunkedArray) else t.column(on))

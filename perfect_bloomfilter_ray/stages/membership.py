@@ -142,16 +142,13 @@ def bloom_prefiltered_join(
     hash join discards those. Cost: one extra streaming pass over the left
     keys (the filter build); skip it when the join is not selective.
     """
+    from perfect_bloomfilter_ray.stages.partitioning import choose_join_partitions
+
     right_on = right_on or on
     if num_partitions is None:
-        # scale the exchange with the cluster instead of a static 8, but
-        # coarsely: each partition costs an aggregator actor spin-up, and a
-        # runtime-filtered right side is small by construction — measured
-        # 2x slower at one-partition-per-CPU on a 32-CPU single node
-        try:
-            num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)) // 4) if ray.is_initialized() else 8
-        except Exception:  # pragma: no cover
-            num_partitions = 8
+        # a runtime-filtered right side is small by construction; coarse
+        # cluster-derived sizing (see choose_join_partitions) is enough
+        num_partitions = choose_join_partitions()
     filt = build_filter(left, on, expected_keys=expected_keys, config=config)
     right_small = bloom_semi_join(right, None, right_on, prebuilt=filt)
     return left.join(right_small, "inner", num_partitions=num_partitions, on=(on,), right_on=(right_on,))

@@ -124,6 +124,67 @@ def test_drop_near_duplicates_keeps_canonical(ray_session):
     assert sorted(kept["doc_id"]) == [1, 3]  # min-id canonical survives
 
 
+def test_drop_near_duplicates_join_path_matches_broadcast(ray_session):
+    """broadcast_max_drop=0 forces the hash-co-partitioned anti-join; the
+    kept set must be identical to the broadcast path's on a corpus with
+    many dup clusters (and the corpus columns must survive unchanged)."""
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.dedup import drop_near_duplicates
+
+    rng = np.random.default_rng(11)
+    words = [f"tok{i}" for i in range(200)]
+    rows = []
+    doc_id = 0
+    for g in range(40):
+        base = " ".join(rng.choice(words, size=60))
+        copies = int(rng.integers(1, 4))
+        for c in range(copies):
+            # near-copy: flip a couple of tokens
+            toks = base.split()
+            for _ in range(c):
+                toks[int(rng.integers(0, len(toks)))] = str(rng.choice(words))
+            rows.append({"doc_id": doc_id, "text": " ".join(toks), "extra": f"e{doc_id}"})
+            doc_id += 1
+    df = pd.DataFrame(rows)
+
+    def run(gate):
+        return (
+            drop_near_duplicates(
+                rd.from_pandas(df), "text", "doc_id", threshold=0.5, broadcast_max_drop=gate
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    bcast = run(10**6)
+    joined = run(0)
+    assert len(bcast) < len(df)  # something was actually dropped
+    pd.testing.assert_frame_equal(bcast, joined[bcast.columns])
+
+
+def test_drop_near_duplicates_join_path_string_ids(ray_session):
+    """Anti-join path with non-int ids (64-bit id-hash representative)."""
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.dedup import drop_near_duplicates
+
+    # distinct tokens → many distinct shingles, so one swapped token keeps
+    # Jaccard high (a periodic text collapses to ~10 distinct shingles and
+    # never crosses the threshold)
+    text = " ".join(f"w{i}" for i in range(120))
+    near = text.replace("w60 ", "zz ")
+    other = " ".join(f"v{i}" for i in range(120))
+    df = pd.DataFrame({"doc_id": ["a", "b", "c"], "text": [text, near, other]})
+    kept = drop_near_duplicates(
+        rd.from_pandas(df), "text", "doc_id", threshold=0.5, broadcast_max_drop=0
+    ).to_pandas()
+    assert len(kept) == 2
+    assert "c" in set(kept["doc_id"])  # the non-dup always survives
+    assert set(kept["doc_id"]) <= {"a", "b", "c"}
+
+
 def test_exact_dedup_normalized_key(ray_session):
     import pandas as pd
     import ray.data as rd
