@@ -4741,3 +4741,14 @@ def user_value_ewma(sf_dir: str):
         )
 
     return out.map_batches(fin, batch_format="pyarrow").sort("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Registration order: the driver spends its correctness slots in this order,
+# so surface SQL-oracle-backed queries (exact hash-verifiable) before
+# rows-only sketch/LSH/stub entries — each group keeps its relative order.
+# ---------------------------------------------------------------------------
+_ordered = {n: QUERIES[n] for n in QUERIES if n in ORACLE_SQL}
+_ordered.update({n: QUERIES[n] for n in QUERIES if n not in ORACLE_SQL})
+QUERIES = _ordered
+del _ordered
