@@ -7,12 +7,18 @@ oracle states the same recurrence, so results compare exactly).
 
 Scale shape: the EDGE LIST is the big side and streams through one
 ``map_batches`` + dst-groupby per iteration (pre-aggregated per batch —
-the shuffle carries one partial row per distinct dst per batch); the RANK
-vector is node-cardinality and is broadcast each iteration (``ray.put``),
-the same bounded-small-side contract as every lookup join in this repo.
-For web-graph node counts that exceed broadcast, swap the rank resolve
-for a co-partitioned join (the asof/band `_tagged_union` machinery) — the
-iteration structure is unchanged.
+the shuffle carries one partial row per distinct dst per batch). The RANK
+vector has two resolves, gated on node count (``broadcast_max_nodes``):
+
+- bounded node count → broadcast each iteration (``ray.put``), the same
+  bounded-small-side contract as every lookup join in this repo;
+- web-graph node counts → ``pagerank_dataset``: ranks stay a Dataset and
+  each iteration is exactly two co-partitioning shuffles — a tagged-union
+  groupby that co-locates each node's (rank, outdeg) state with the edges
+  leaving it (share resolve, hash(src) partitions), then a dst-keyed sum
+  that simultaneously rebuilds the full node state (state rows re-emitted
+  as zero contributions, so no third pass for rankless nodes). No stage
+  ever holds the node set in one process.
 
 Connected components (hash-to-min label propagation) lives in
 stages/dedup.connected_components_pairs; this module adds the weighted /
@@ -34,10 +40,16 @@ def pagerank(
     dst_col: str = "dst",
     iters: int = 3,
     damping: float = 0.85,
+    broadcast_max_nodes: int = 5_000_000,
 ) -> pd.DataFrame:
     """PageRank after ``iters`` power iterations. Returns a small pandas
     frame ``(node, rank)`` (node-cardinality — the documented driver
-    altitude). Edges are directed and deduplicated before use."""
+    altitude). Edges are directed and deduplicated before use.
+
+    Node counts above ``broadcast_max_nodes`` switch to the fully
+    distributed ``pagerank_dataset`` resolve (the caller still asked for a
+    DataFrame, so the final ranks do come back to the driver — use
+    ``pagerank_dataset`` directly to keep them distributed)."""
     import polars as pl
     import ray
 
@@ -82,6 +94,13 @@ def pagerank(
     n = len(nodes)
     if n == 0:
         return pd.DataFrame({"node": [], "rank": []})
+    if n > broadcast_max_nodes and nodes.dtype.kind in "iu":
+        # string ids above the gate would need an upstream hash64 — a graph
+        # that big is always hashed-id in this repo's pipelines
+        out = pagerank_dataset(
+            e, src_col=src_col, dst_col=dst_col, iters=iters, damping=damping, _deduped=True
+        ).to_pandas()
+        return out.sort_values("node").reset_index(drop=True)
     ranks = pd.Series(np.full(n, 1.0 / n), index=nodes)
     outdeg = pd.Series(deg["outdeg"].to_numpy(), index=deg[src_col].to_numpy())
 
@@ -118,3 +137,178 @@ def pagerank(
 
     out = pd.DataFrame({"node": ranks.index, "rank": ranks.to_numpy()})
     return out.sort_values("node").reset_index(drop=True)
+
+
+def pagerank_dataset(
+    edges: Dataset,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 3,
+    damping: float = 0.85,
+    num_blocks: int | None = None,
+    _deduped: bool = False,
+) -> Dataset:
+    """Fully distributed PageRank: ranks stay a ``(node, rank)`` Dataset.
+
+    Node ids must be int64-castable (hash string urls upstream with
+    ``functions.hashing.hash64`` — the id space is already hashed in every
+    dedup pipeline here). Per iteration exactly two shuffles:
+
+    1. **share resolve** — node state ``(node, outdeg, rank)`` and edges
+       ``(src, dst)`` are tagged with ``hash(key) % num_blocks`` (key =
+       node / src) and unioned; one groupby co-locates each node's state
+       with every edge leaving it, so the per-group searchsorted maps
+       ``src → rank/outdeg`` with no broadcast. Contributions are
+       pre-aggregated per dst inside the group (one row per distinct dst).
+    2. **state rebuild** — the same group ALSO re-emits each state row as a
+       zero contribution carrying its outdeg, so one dst-keyed
+       ``groupby(node).aggregate(Sum, Max)`` both sums incoming mass and
+       reconstitutes the full node set (nodes with no incoming mass
+       included). New rank = (1-d)/n + d·Σ.
+
+    The state is materialized per iteration (spillable object store), never
+    on the driver. Same recurrence as ``pagerank`` — dangling nodes leak
+    mass; float sums differ from the broadcast path only by addition order.
+    """
+    import polars as pl
+    import ray.data as rd
+    from ray.data.aggregate import Max
+
+    from perfect_bloomfilter_ray.functions.hashing import splitmix64
+    from perfect_bloomfilter_ray.stages.partitioning import choose_num_blocks
+
+    _u64 = np.uint64
+
+    if _deduped:
+        e = edges
+    else:
+
+        def dedup(t: pa.Table) -> pa.Table:
+            return pl.from_arrow(t.select([src_col, dst_col])).unique().to_arrow()
+
+        e = edges.map_batches(dedup, batch_format="pyarrow").materialize()
+
+    nb = choose_num_blocks(e, num_blocks)
+
+    # initial state: node set with out-degrees (map-side partials → one sum)
+    def state_partial(t: pa.Table) -> pa.Table:
+        s = t.column(src_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t.column(dst_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        us, cnt = np.unique(s, return_counts=True)
+        ud = np.unique(d)
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([us, ud])),
+                "od": pa.array(np.concatenate([cnt.astype(np.int64), np.zeros(len(ud), np.int64)])),
+            }
+        )
+
+    state = (
+        e.map_batches(state_partial, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("od", alias_name="outdeg"))
+        .materialize()
+    )
+    n = state.count()
+    if n == 0:
+        return rd.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()), "rank": pa.array([], pa.float64())})
+        )
+    r0 = 1.0 / n
+    base = (1.0 - damping) / n
+
+    def init_rank(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": t.column("node"),
+                "outdeg": t.column("outdeg").cast(pa.int64()),
+                "rank": pa.array(np.full(len(t), r0)),
+            }
+        )
+
+    state = state.map_batches(init_rank, batch_format="pyarrow").materialize()
+
+    def part_of(keys: np.ndarray) -> pa.Array:
+        return pa.array((splitmix64(keys.view(_u64)) % _u64(nb)).astype(np.int32))
+
+    def tag_state(t: pa.Table) -> pa.Table:
+        node = t.column("node").to_numpy()
+        zeros = np.zeros(len(t), np.int64)
+        return pa.table(
+            {
+                "_part": part_of(node),
+                "side": pa.array(np.ones(len(t), np.int8)),
+                "key": pa.array(node),
+                "dst": pa.array(zeros),
+                "outdeg": t.column("outdeg"),
+                "rank": t.column("rank"),
+            }
+        )
+
+    def tag_edges(t: pa.Table) -> pa.Table:
+        s = t.column(src_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t.column(dst_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "_part": part_of(s),
+                "side": pa.array(np.zeros(len(t), np.int8)),
+                "key": pa.array(s),
+                "dst": pa.array(d),
+                "outdeg": pa.array(np.zeros(len(t), np.int64)),
+                "rank": pa.array(np.zeros(len(t))),
+            }
+        )
+
+    tagged_edges = e.map_batches(tag_edges, batch_format="pyarrow").materialize()
+
+    def resolve(t: pa.Table) -> pa.Table:
+        side = t.column("side").to_numpy()
+        key = t.column("key").to_numpy()
+        st = side == 1
+        order = np.argsort(key[st])
+        ks = key[st][order]
+        od = t.column("outdeg").to_numpy()[st][order]
+        share = np.where(od > 0, t.column("rank").to_numpy()[st][order] / np.maximum(od, 1), 0.0)
+        src = key[~st]
+        dst = t.column("dst").to_numpy()[~st]
+        if len(ks) and len(src):
+            pos = np.clip(np.searchsorted(ks, src), 0, len(ks) - 1)
+            w = np.where(ks[pos] == src, share[pos], 0.0)
+        else:
+            w = np.zeros(len(src))
+        ud, inv = np.unique(dst, return_inverse=True)
+        pw = np.bincount(inv, weights=w) if len(dst) else np.zeros(0)
+        # contributions (od = -1 sentinel) + re-emitted state rows (pw = 0)
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([ud, ks])),
+                "pw": pa.array(np.concatenate([pw, np.zeros(len(ks))])),
+                "od": pa.array(np.concatenate([np.full(len(ud), -1, np.int64), od])),
+            }
+        )
+
+    def new_rank(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": t.column("node"),
+                "outdeg": t.column("outdeg").cast(pa.int64()),
+                "rank": pa.array(base + damping * t.column("pw").to_numpy(zero_copy_only=False)),
+            }
+        )
+
+    for _ in range(iters):
+        state = (
+            state.map_batches(tag_state, batch_format="pyarrow")
+            .union(tagged_edges)
+            .groupby("_part")
+            .map_groups(resolve, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Sum("pw", alias_name="pw"), Max("od", alias_name="outdeg"))
+            .map_batches(new_rank, batch_format="pyarrow")
+            .materialize()
+        )
+
+    def final(t: pa.Table) -> pa.Table:
+        return t.select(["node", "rank"])
+
+    return state.map_batches(final, batch_format="pyarrow")

@@ -42,3 +42,49 @@ def test_pagerank_matches_numpy(ray_session):
         assert abs(got[v] - exp[v]) < 1e-12
     # ranks are a (leaky, due to dangling) distribution: bounded by 1
     assert 0 < sum(got.values()) <= 1.0 + 1e-9
+
+def test_pagerank_dataset_matches_broadcast(ray_session):
+    """The co-partitioned Dataset resolve must agree with the broadcast
+    path on the same graph (float tolerance: addition order differs)."""
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.graph import pagerank, pagerank_dataset
+
+    rng = np.random.default_rng(7)
+    edges = rng.integers(0, 300, size=(2500, 2))
+    t = pa.table(
+        {
+            "src": pa.array(edges[:, 0], pa.int64()),
+            "dst": pa.array(edges[:, 1], pa.int64()),
+        }
+    )
+    bcast = pagerank(rd.from_arrow(t), iters=3, damping=0.85)
+    dist = (
+        pagerank_dataset(rd.from_arrow(t), iters=3, damping=0.85)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    assert list(dist["node"]) == list(bcast["node"])
+    np.testing.assert_allclose(dist["rank"].to_numpy(), bcast["rank"].to_numpy(), rtol=1e-9)
+
+
+def test_pagerank_gate_delegates_above_broadcast_budget(ray_session):
+    """broadcast_max_nodes below the node count must route through the
+    Dataset path and still produce the same ranks."""
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.graph import pagerank
+
+    rng = np.random.default_rng(3)
+    edges = rng.integers(0, 50, size=(400, 2))
+    t = pa.table(
+        {
+            "src": pa.array(edges[:, 0], pa.int64()),
+            "dst": pa.array(edges[:, 1], pa.int64()),
+        }
+    )
+    full = pagerank(rd.from_arrow(t), iters=3)
+    gated = pagerank(rd.from_arrow(t), iters=3, broadcast_max_nodes=10)
+    assert list(gated["node"]) == list(full["node"])
+    np.testing.assert_allclose(gated["rank"].to_numpy(), full["rank"].to_numpy(), rtol=1e-9)
