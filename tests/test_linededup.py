@@ -105,3 +105,57 @@ def test_token_chunk_splitter_matches_bruteforce(ray_session):
     assert out["n_lines"].tolist() == [len(chunks(t)) for t in docs]
     assert out["n_lines_kept"].tolist() == [len(k) for k in kept]
     assert out["text"].tolist() == [" ".join(k) for k in kept]
+
+
+def test_line_dedup_gate_join_path_matches_broadcast(ray_session, newline_corpus):
+    """A pathological corpus where EVERY line is common: broadcast_max_lines=0
+    forces the co-partitioned join path; output must be bit-identical to
+    the broadcast path (shared _rebuild assembly)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.linededup import SepSplitter, line_dedup
+
+    # adversarial: machine-generated corpus where the duplicated-line
+    # vocabulary is the whole corpus (every line appears >= 2 times)
+    lines = [f"generated boilerplate line {i}" for i in range(300)]
+    rng = np.random.default_rng(5)
+    docs = ["\n".join(rng.choice(lines, size=6)) for _ in range(200)]
+    docs += docs[:100]  # guarantee every line repeats
+    ds = lambda: rd.from_arrow(
+        pa.table({"doc_id": list(range(len(docs))), "text": docs})
+    ).repartition(5)
+
+    sp = SepSplitter("\n")
+    bcast = (
+        line_dedup(ds(), "text", "doc_id", min_count=2, splitter=sp)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    joined = (
+        line_dedup(ds(), "text", "doc_id", min_count=2, splitter=sp, broadcast_max_lines=0)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert (bcast["n_lines_kept"] < bcast["n_lines"]).any()
+    pd.testing.assert_frame_equal(bcast, joined[bcast.columns])
+
+
+def test_line_dedup_join_path_mixed_corpus(ray_session, newline_corpus):
+    """Join path on the regular mixed corpus (string rebuild + empty docs),
+    against the brute-force reference."""
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.linededup import SepSplitter, line_dedup
+
+    ds = rd.from_arrow(
+        pa.table({"doc_id": list(range(len(newline_corpus))), "text": newline_corpus})
+    ).repartition(5)
+    out = (
+        line_dedup(ds, "text", "doc_id", min_count=2, splitter=SepSplitter("\n"),
+                   broadcast_max_lines=0)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    bn, bk, bc, btxt = _brute_sep(newline_corpus, 2)
+    assert out["n_lines"].tolist() == bn
+    assert out["n_lines_kept"].tolist() == bk
+    assert out["kept_chars"].tolist() == bc
+    assert out["text"].tolist() == btxt
