@@ -117,3 +117,94 @@ def test_video_pipeline_frame_layout(ray_session):
     a = out.sort_values(["media_id", "frame"]).reset_index(drop=True)
     b = out2.sort_values(["media_id", "frame"]).reset_index(drop=True)
     assert (a["dhash"] == b["dhash"]).all()
+
+
+def _fake_decode(payloads, h, w):
+    """Driver-side numpy reference of DeterministicFakeDecoder (recomputed
+    from the primitives, no Ray): pixel[i,j] = splitmix64(hash(payload_i)+j)."""
+    import numpy as np
+
+    from perfect_bloomfilter_ray.functions.hashing import hash64, splitmix64
+
+    import pyarrow as pa
+
+    keys = hash64(pa.array(payloads, pa.binary()), 0xDECD)
+    with np.errstate(over="ignore"):
+        ctr = keys[:, None].astype(np.uint64) + np.arange(h * w, dtype=np.uint64)[None, :]
+    return (splitmix64(ctr.ravel()) & np.uint64(0xFF)).astype(np.uint8).reshape(len(payloads), h, w)
+
+
+def test_image_feature_stats_expected_exact(ray_session):
+    """The stub codec is deterministic, so the query's aggregate has ONE
+    exact expected table — computed here driver-side in pure numpy."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from perfect_bloomfilter_ray.pipelines.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    texts = pq.read_table(f"{sf}/documents.parquet", columns=["text"]).column("text").to_pylist()
+    px = _fake_decode([t.encode() for t in texts], 32, 32).astype(np.float64)
+    exp = pd.DataFrame(
+        [
+            {
+                "n_media": len(texts),
+                "avg_px_mean": px.reshape(len(texts), -1).mean(axis=1).mean(),
+                "avg_row_energy": np.abs(np.diff(px, axis=1)).mean(axis=(1, 2)).mean(),
+            }
+        ]
+    ).round(4)
+    got = QUERIES["image_feature_stats"](sf).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[exp.columns], exp)
+
+
+def test_video_frame_stats_expected_exact(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from perfect_bloomfilter_ray.pipelines.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    texts = pq.read_table(f"{sf}/documents.parquet", columns=["text"]).column("text").to_pylist()
+    frames, h, w = 4, 16, 16
+    raw = _fake_decode([t.encode() for t in texts], frames, h * w)  # (n, frames, h*w)
+    rows = []
+    for f in range(frames):
+        px = raw[:, f, :].reshape(len(texts), h, w).astype(np.float64)
+        rows.append(
+            {
+                "frame": f,
+                "n_frames": len(texts),
+                "avg_px_mean": px.reshape(len(texts), -1).mean(axis=1).mean(),
+                "avg_row_energy": np.abs(np.diff(px, axis=1)).mean(axis=(1, 2)).mean(),
+            }
+        )
+    exp = pd.DataFrame(rows)
+    exp[["avg_px_mean", "avg_row_energy"]] = exp[["avg_px_mean", "avg_row_energy"]].round(4)
+    got = QUERIES["video_frame_stats"](sf).reset_index(drop=True)
+    got["frame"] = got["frame"].astype(int)
+    pd.testing.assert_frame_equal(got[exp.columns], exp, check_dtype=False)
+
+
+def test_audio_frame_rms_stats_expected_exact(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from perfect_bloomfilter_ray.pipelines.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    texts = pq.read_table(f"{sf}/documents.parquet", columns=["text"]).column("text").to_pylist()
+    frames, n_samples = 4, 128
+    raw = _fake_decode([t.encode() for t in texts], frames, n_samples)
+    x = raw.astype(np.float64) - 127.5
+    rms = np.sqrt((x**2).mean(axis=2))  # (n, frames)
+    exp = pd.DataFrame(
+        {"frame": np.arange(frames), "n": len(texts), "avg_rms": rms.mean(axis=0)}
+    )
+    got = QUERIES["audio_frame_rms_stats"](sf).reset_index(drop=True)
+    got["frame"] = got["frame"].astype(int)
+    exp["avg_rms"] = exp["avg_rms"].round(4)
+    pd.testing.assert_frame_equal(got[exp.columns], exp, check_dtype=False)
