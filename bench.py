@@ -306,6 +306,7 @@ def run_scaling(lo: int, hi: int) -> dict:
         raise RuntimeError(f"corpus pre-generation failed: {gen.stderr[-2000:]}")
     repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "3"))
     results = {}
+    samples: dict[int, list[float]] = {}
     for cpus in (lo, hi):
         env["RAY_GRAFT_CPUS"] = str(cpus)
         best = None
@@ -314,7 +315,10 @@ def run_scaling(lo: int, hi: int) -> dict:
         # co-tenant bursts hit it far harder than the narrow run (measured:
         # the 4-CPU leg repeats within ±2%, the 16-CPU leg swings ±30%).
         # Doubling the wide level's repeats measures capability, not luck.
+        # Every sample is recorded and a median efficiency is reported
+        # alongside the best-of, so the artifact shows typical AND capability.
         level_repeats = repeats if cpus == lo else 2 * repeats
+        samples[cpus] = []
         for _ in range(level_repeats):
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--headline-only"],
@@ -329,11 +333,20 @@ def run_scaling(lo: int, hi: int) -> dict:
                     f"scaling run at {cpus} cpus produced no JSON: {out.stderr[-2000:]}"
                 )
             r = json.loads(line[-1])
+            samples[cpus].append(r["docs_per_sec"])
             if best is None or r["docs_per_sec"] > best["docs_per_sec"]:
                 best = r
         results[cpus] = best
+
+    def _median(xs: list[float]) -> float:
+        s = sorted(xs)
+        m = len(s) // 2
+        return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
+
     d_lo, d_hi = results[lo]["docs_per_sec"], results[hi]["docs_per_sec"]
     eff = (d_hi / d_lo) / (hi / lo)
+    med_lo, med_hi = _median(samples[lo]), _median(samples[hi])
+    eff_median = (med_hi / med_lo) / (hi / lo)
     return {
         "metric": f"scaling efficiency, headline sketch-build+enrich job, num_cpus {lo} -> {hi} (fresh processes)",
         "value": round(eff, 4),
@@ -353,6 +366,9 @@ def run_scaling(lo: int, hi: int) -> dict:
             "docs_per_sec_lo": d_lo,
             "docs_per_sec_hi": d_hi,
             "efficiency": round(eff, 4),
+            "efficiency_median": round(eff_median, 4),
+            "docs_per_sec_median": {str(lo): round(med_lo, 1), str(hi): round(med_hi, 1)},
+            "samples_docs_per_sec": {str(c): samples[c] for c in (lo, hi)},
         },
     }
 
