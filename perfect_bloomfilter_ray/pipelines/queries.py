@@ -4744,6 +4744,399 @@ def user_value_ewma(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Round-3 additions
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "selfjoin_size_users_exact",
+    sql="""
+    SELECT CAST(sum(c * c) AS BIGINT) AS f2, CAST(count(*) AS BIGINT) AS n_keys
+    FROM (SELECT count(*) AS c FROM events GROUP BY user_id)
+    """,
+)
+def selfjoin_size_users_exact(sf_dir: str):
+    """Exact self-join size F2 = Σ count(key)² — the quantity a planner
+    needs to size a self-equi-join's exchange and detect skew. Per-batch
+    partial counts collapse the shuffle to one row per (batch, key); the
+    exact twin of `f2_selfjoin_size_est`'s AMS sketch."""
+    import polars as pl
+
+    ds = _t(sf_dir, "events", ["user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pl.from_arrow(t).group_by("user_id").len(name="c").to_arrow()
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("c", alias_name="c"))
+    )
+
+    def square(t: pa.Table) -> pa.Table:
+        c = t.column("c").to_numpy().astype(np.int64)
+        return pa.table({"f2p": pa.array([int((c * c).sum())]), "kp": pa.array([len(c)])})
+
+    agg = counts.map_batches(square, batch_format="pyarrow")
+    row = agg.sum(["f2p", "kp"])
+    return pd.DataFrame({"f2": [int(row["sum(f2p)"])], "n_keys": [int(row["sum(kp)"])]})
+
+
+@q("f2_selfjoin_size_est")
+def f2_selfjoin_size_est(sf_dir: str):
+    """AMS/Fast-AMS F2 sketch estimate of the events.user_id self-join size
+    (state/ams.py: linear Count-Sketch counters, byte-exact mergeable) —
+    rows-only: the estimate is error-bounded in pytest against the exact F2;
+    `selfjoin_size_users_exact` is the SQL twin."""
+    from perfect_bloomfilter_ray.stages.agg import sketch_global
+    from perfect_bloomfilter_ray.state.ams import AMSSketch
+
+    ds = _t(sf_dir, "events", ["user_id"])
+    s = sketch_global(ds, "user_id", lambda: AMSSketch(width=2048, depth=5), name="ams")
+    return pd.DataFrame(
+        {
+            "f2_est": [s.estimate_f2()],
+            "rel_error_bound": [s.rel_error],
+            "total_updates": [s.total],
+        }
+    )
+
+
+@q(
+    "user_event_entropy",
+    sql="""
+    WITH c AS (
+      SELECT user_id, event_type, count(*) AS c FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_types,
+           round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy
+    FROM c GROUP BY user_id ORDER BY user_id
+    """,
+)
+def user_event_entropy(sf_dir: str):
+    """Per-user Shannon entropy of the event-type distribution (nats) — the
+    behavioral-diversity signal (bot detection: near-zero entropy; mixture
+    monitoring per corpus slice). H = ln(tot) − Σ c·ln(c)/tot over the
+    grouped counts, so one pair-count shuffle + one tiny per-user groupby —
+    the per-term ln is vectorized, never per-row Python."""
+    import polars as pl
+
+    ds = _t(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pl.from_arrow(t).group_by(["user_id", "event_type"]).len(name="c").to_arrow()
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["user_id", "event_type"])
+        .aggregate(Sum("c", alias_name="c"))
+    )
+
+    def terms(t: pa.Table) -> pa.Table:
+        c = t.column("c").to_numpy().astype(np.float64)
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "c": t.column("c"),
+                "clnc": pa.array(c * np.log(c)),
+            }
+        )
+
+    out = (
+        counts.map_batches(terms, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            Count(alias_name="n_types"),
+            Sum("c", alias_name="tot"),
+            Sum("clnc", alias_name="clnc"),
+        )
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    ent = np.log(out["tot"].to_numpy(dtype=np.float64)) - out["clnc"].to_numpy() / out[
+        "tot"
+    ].to_numpy(dtype=np.float64)
+    res = pd.DataFrame(
+        {
+            "user_id": out["user_id"],
+            "n_types": out["n_types"].astype("int64"),
+            "entropy": np.round(ent, 6),
+        }
+    )
+    return res
+
+
+@q(
+    "value_psi_train_val",
+    sql="""
+    WITH s AS (
+      SELECT CASE WHEN value < 10 THEN 0 WHEN value < 25 THEN 1 WHEN value < 50 THEN 2
+                  WHEN value < 100 THEN 3 WHEN value < 200 THEN 4 ELSE 5 END AS bin,
+             CASE WHEN (user_id * 2654435761) % 10 < 8 THEN 1 ELSE 0 END AS tr
+      FROM events
+    ),
+    b AS (SELECT bin, CAST(sum(tr) AS DOUBLE) AS na, CAST(sum(1 - tr) AS DOUBLE) AS nb
+          FROM s GROUP BY bin),
+    t AS (SELECT sum(na) AS ta, sum(nb) AS tb, count(*) AS k FROM b)
+    SELECT bin, CAST(na AS BIGINT) AS n_train, CAST(nb AS BIGINT) AS n_val,
+           round(((na+1)/(ta+k) - (nb+1)/(tb+k)) * ln(((na+1)/(ta+k)) / ((nb+1)/(tb+k))), 8)
+             AS psi_term
+    FROM b, t ORDER BY bin
+    """,
+)
+def value_psi_train_val(sf_dir: str):
+    """Population-stability-index drift check between the deterministic
+    train/val user split: fixed-width value bins, Laplace-smoothed per-split
+    shares, per-bin PSI term (Σ terms = the PSI). The distribution-drift
+    gate a 100 TB ingest pipeline runs between corpus snapshots — one
+    map-only binning pass + a 6-row groupby; no row ever leaves its block."""
+    ds = _t(sf_dir, "events", ["user_id", "value"])
+    edges = np.array([10.0, 25.0, 50.0, 100.0, 200.0])
+
+    def tag(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        b = np.searchsorted(edges, v, side="right").astype(np.int64)
+        tr = ((t.column("user_id").to_numpy() * 2654435761) % 10 < 8).astype(np.int64)
+        return pa.table({"bin": pa.array(b), "tr": pa.array(tr)})
+
+    out = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Count(alias_name="n"), Sum("tr", alias_name="na"))
+        .to_pandas()
+        .sort_values("bin")
+        .reset_index(drop=True)
+    )
+    na = out["na"].to_numpy(dtype=np.float64)
+    nb = out["n"].to_numpy(dtype=np.float64) - na
+    ta, tb, k = na.sum(), nb.sum(), float(len(out))
+    p, qq = (na + 1) / (ta + k), (nb + 1) / (tb + k)
+    return pd.DataFrame(
+        {
+            "bin": out["bin"].astype("int64"),
+            "n_train": na.astype("int64"),
+            "n_val": nb.astype("int64"),
+            "psi_term": np.round((p - qq) * np.log(p / qq), 8),
+        }
+    )
+
+
+@q(
+    "priority_sample_docs",
+    sql="""
+    SELECT doc_id, lang, n_chars, (doc_id * 2654435761) % 1000000007 AS pri
+    FROM documents ORDER BY pri, doc_id LIMIT 100
+    """,
+)
+def priority_sample_docs(sf_dir: str):
+    """Exact-size uniform sample without replacement (bottom-k priority
+    sampling): order every row by a deterministic key hash, keep the global
+    k smallest via per-block partial top-k + one merge task
+    (stages/topk.global_top_k) — no full sort, no range shuffle, mergeable
+    and rerun-stable, unlike reservoir sampling under re-partitioning."""
+    from perfect_bloomfilter_ray.stages.topk import global_top_k
+
+    ds = _t(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def pri(t: pa.Table) -> pa.Table:
+        p = (t.column("doc_id").to_numpy() * 2654435761) % 1000000007
+        return t.append_column("pri", pa.array(p.astype(np.int64)))
+
+    out = global_top_k(
+        ds.map_batches(pri, batch_format="pyarrow"), "pri", 100, tie_cols=["doc_id"]
+    )
+    return out.to_pandas().sort_values(["pri", "doc_id"]).reset_index(drop=True)
+
+
+@q(
+    "bloom_decontaminated_docs",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM documents
+    ),
+    bench AS (SELECT * FROM toks WHERE (doc_id * 2654435761) % 10 = 3),
+    corp  AS (SELECT * FROM toks WHERE (doc_id * 2654435761) % 10 <> 3),
+    bgrams AS (
+      SELECT DISTINCT array_to_string(t[i:i+4], ' ') AS g
+      FROM (SELECT t, unnest(generate_series(1, len(t) - 4)) AS i
+            FROM bench WHERE len(t) >= 5)
+    ),
+    cg AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS g
+      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i
+            FROM corp WHERE len(t) >= 5)
+    ),
+    contaminated AS (SELECT DISTINCT c.doc_id FROM cg c JOIN bgrams b USING (g))
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM contaminated)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+    FROM corp GROUP BY lang ORDER BY lang
+    """,
+)
+def bloom_decontaminated_docs(sf_dir: str):
+    """`decontaminated_docs` through the BLOOM-PREFILTER scale path
+    (stages/decontam.decontaminate_bloom): the cascading Bloom filter is
+    built over the benchmark's n-gram fingerprints by tree-reduce, corpus
+    n-grams probe it shuffle-free, and only Bloom-positive (doc, gram) pairs
+    are exact-verified by a distributed hash join — false positives die in
+    the join, so the result (and the SQL oracle) is IDENTICAL to the exact
+    broadcast path while broadcasting ~4x fewer bytes."""
+    from perfect_bloomfilter_ray.stages.decontam import decontaminate_bloom
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def split(bench_side: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy().astype(np.int64)
+            m = (ids * 2654435761) % 10 == 3
+            return t.filter(pa.array(m if bench_side else ~m))
+
+        return fn
+
+    bench = docs.map_batches(split(True), batch_format="pyarrow")
+    corp = docs.map_batches(split(False), batch_format="pyarrow")
+    flagged = decontaminate_bloom(corp, bench, n=5, drop=False)
+
+    def to_int(t: pa.Table) -> pa.Table:
+        return t.append_column("c_int", pc.cast(t.column("contaminated"), pa.int64()))
+
+    return (
+        flagged.map_batches(to_int, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_docs"), Sum("c_int", alias_name="n_contaminated"))
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+
+
+@q(
+    "prefix_hamming_pairs",
+    sql="""
+    WITH d AS (
+      SELECT doc_id, source, n_chars // 64 AS lb,
+             rpad(substr(lower(text), 1, 24), 24, '~') AS pfx
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(hamming(a.pfx, b.pfx) AS BIGINT) AS dist
+    FROM d a JOIN d b ON a.source = b.source AND a.lb = b.lb AND a.doc_id < b.doc_id
+    WHERE hamming(a.pfx, b.pfx) <= 3
+    ORDER BY id_a, id_b
+    """,
+)
+def prefix_hamming_pairs(sf_dir: str):
+    """Blocked fuzzy-match pair join (stages/fuzzy.py): within
+    (source, length-bucket) blocks, emit document pairs whose 24-char
+    lowercased text prefixes differ in ≤ 3 positions — entity-resolution
+    blocking; the block keys are the documented recall/partitioning
+    assumption. Exact SQL oracle via DuckDB's hamming()."""
+    from perfect_bloomfilter_ray.stages.fuzzy import blocked_hamming_pairs
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text", "source", "n_chars"])
+
+    def lb(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "lb", pa.array(t.column("n_chars").to_numpy() // 64, pa.int64())
+        )
+
+    out = blocked_hamming_pairs(
+        ds.map_batches(lb, batch_format="pyarrow"),
+        id_col="doc_id",
+        text_col="text",
+        block_cols=["source", "lb"],
+        prefix_len=24,
+        max_dist=3,
+    )
+    df = out.to_pandas()
+    return df.sort_values(["id_a", "id_b"]).reset_index(drop=True) if len(df) else df
+
+
+@q(
+    "token_posting_lists",
+    sql="""
+    WITH n AS (SELECT count(*) AS nd FROM documents),
+    toks AS (
+      SELECT DISTINCT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+      FROM documents
+    ),
+    df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM toks GROUP BY token),
+    sel AS (SELECT token, df FROM df, n WHERE df * 10 BETWEEN 5 * nd AND 9 * nd),
+    r AS (
+      SELECT t.token, t.doc_id,
+             row_number() OVER (PARTITION BY t.token ORDER BY t.doc_id) AS rn
+      FROM toks t JOIN sel USING (token)
+    )
+    SELECT r.token, s.df,
+           string_agg(CAST(r.doc_id AS VARCHAR), ',' ORDER BY r.doc_id) AS postings
+    FROM r JOIN sel s ON r.token = s.token
+    WHERE r.rn <= 8
+    GROUP BY r.token, s.df ORDER BY r.token
+    """,
+)
+def token_posting_lists(sf_dir: str):
+    """Inverted-index build (search-index shape): distinct (token, doc)
+    postings, document frequency per token, and the first 8 doc ids as the
+    stored posting prefix — restricted to a RELATIVE df band [0.5n, 0.9n]
+    (too-common and too-rare tokens are index noise; relative so the band is
+    scale-invariant). One distinct-pair shuffle + a broadcast of the
+    selected-token dictionary + the partial-top-k combiner; the full posting
+    lists never materialize anywhere."""
+    import polars as pl
+
+    from perfect_bloomfilter_ray.stages.joins import broadcast_lookup_join
+    from perfect_bloomfilter_ray.stages.topk import grouped_top_k
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def toks(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        out = (
+            df.with_columns(
+                pl.col("text").str.to_lowercase().str.extract_all("[a-z0-9]+").alias("token")
+            )
+            .drop("text")
+            .explode("token")
+            .drop_nulls()
+            .unique()
+        )
+        return out.select(["token", "doc_id"]).to_arrow()
+
+    pairs = (
+        docs.map_batches(toks, batch_format="pyarrow")
+        .groupby(["token", "doc_id"])
+        .aggregate(Count(alias_name="_c"))
+        .drop_columns(["_c"])
+    )
+    pairs = pairs.materialize()  # reused by the df count AND the top-k pass
+    nd = docs.count()
+    dfc = pairs.groupby("token").aggregate(Count(alias_name="df"))
+
+    def band(t: pa.Table) -> pa.Table:
+        d = t.column("df").to_numpy().astype(np.int64)
+        return t.filter(pa.array((d * 10 >= 5 * nd) & (d * 10 <= 9 * nd)))
+
+    sel = dfc.map_batches(band, batch_format="pyarrow")
+    in_band = broadcast_lookup_join(pairs, sel, on="token")
+    top = grouped_top_k(in_band, ["token"], "doc_id", 8, descending=False, tie_cols=[])
+    df = top.to_pandas()
+    if not len(df):
+        return pd.DataFrame({"token": [], "df": [], "postings": []})
+    out = (
+        df.sort_values(["token", "doc_id"])
+        .groupby(["token", "df"], as_index=False)
+        .agg(postings=("doc_id", lambda s: ",".join(str(x) for x in s)))
+        [["token", "df", "postings"]]
+        .sort_values("token")
+        .reset_index(drop=True)
+    )
+    out["df"] = out["df"].astype("int64")
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Registration order: the driver spends its correctness slots in this order,
 # so surface SQL-oracle-backed queries (exact hash-verifiable) before
 # rows-only sketch/LSH/stub entries — each group keeps its relative order.

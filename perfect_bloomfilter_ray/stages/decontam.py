@@ -187,3 +187,110 @@ def contamination_fraction(
         )
 
     return docs.map_batches(score, batch_format="pyarrow")
+
+
+def build_blocklist_dataset(
+    benchmark: Dataset, text_col: str = "text", n: int = 5
+) -> Dataset:
+    """Benchmark n-gram fingerprints as a DATASET (one ``h`` int64 column).
+
+    The scale path for blocklists too large to ``ray.put`` exactly (hundreds
+    of benchmarks, or decontaminating one corpus slice against another):
+    fingerprints stay distributed in the object store and are joined, never
+    concatenated on the driver. Per-batch unique only — cross-batch
+    duplicates are harmless for membership and not worth a shuffle.
+    """
+
+    def grams(t: pa.Table) -> pa.Table:
+        hs, _ = _ngram_hashes(pl.from_arrow(t.column(text_col)), n)
+        return pa.table({"h": pa.array(np.unique(hs).view(np.int64))})
+
+    return benchmark.select_columns([text_col]).map_batches(grams, batch_format="pyarrow")
+
+
+def decontaminate_bloom(
+    docs: Dataset,
+    benchmark: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    expected_grams: int | None = None,
+    drop: bool = True,
+    flag_col: str = "contaminated",
+) -> Dataset:
+    """Decontamination with a Bloom-cascade prefilter — EXACT result.
+
+    The sketch library powering a pipeline op (the shape ``decontaminate``'s
+    docstring names): instead of broadcasting the full 8-bytes-per-gram exact
+    blocklist, build the cascading Bloom filter over the benchmark's n-gram
+    fingerprints (~2 bytes/gram at the default budgets — 4x less broadcast
+    traffic, and the filter is mergeable so the build is one tree-reduce),
+    probe every corpus n-gram against it in a shuffle-free ``map_batches``
+    pass, and exact-verify ONLY the Bloom-positive (doc, gram) pairs with a
+    distributed hash join against the blocklist Dataset. False positives die
+    in the join, so the output equals :func:`decontaminate` bit-for-bit
+    (oracle-checked by ``bloom_decontaminated_docs``); the near-zero-FP
+    cascade keeps the verify join's input a sliver of the corpus.
+
+    The final contaminated-id set is broadcast — it is O(#contaminated docs),
+    tiny by the decontamination contract (if a large corpus fraction is
+    contaminated, the blocklist is wrong, not the broadcast). For an
+    unbounded variant, swap the filter pass for the co-partitioned anti-join
+    used by ``stages/dedup.incremental_new_rows``.
+    """
+    import ray
+
+    from perfect_bloomfilter_ray.config import BloomConfig
+    from perfect_bloomfilter_ray.stages.agg import sketch_global
+    from perfect_bloomfilter_ray.stages.partitioning import choose_join_partitions
+    from perfect_bloomfilter_ray.state.bloom import BloomCascade
+
+    bl = build_blocklist_dataset(benchmark, text_col, n).materialize()
+    cap = expected_grams or max(1024, bl.count())
+    bloom = sketch_global(bl, "h", lambda: BloomCascade.for_capacity(cap, BloomConfig()))
+    bloom_ref = ray.put(bloom.to_bytes())
+
+    def probe(t: pa.Table) -> pa.Table:
+        from perfect_bloomfilter_ray.state.bloom import BloomCascade as BC
+
+        f = BC.from_bytes(ray.get(bloom_ref))
+        hs, doc_idx = _ngram_hashes(pl.from_arrow(t.column(text_col)), n)
+        ids = t.column(id_col).to_numpy()
+        if len(hs) == 0:
+            return pa.table(
+                {id_col: pa.array([], t.schema.field(id_col).type), "h": pa.array([], pa.int64())}
+            )
+        # distinct (doc, gram) before probing: repeated boilerplate grams
+        # inside one doc probe once
+        order = np.lexsort((hs, doc_idx))
+        d_s, h_s = doc_idx[order], hs[order]
+        keep = np.ones(len(h_s), dtype=bool)
+        keep[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+        d_u, h_u = d_s[keep], h_s[keep]
+        hit = f.contains_column(pa.array(h_u.view(np.int64)))
+        return pa.table({id_col: pa.array(ids[d_u[hit]]), "h": pa.array(h_u[hit].view(np.int64))})
+
+    cand = docs.select_columns([id_col, text_col]).map_batches(probe, batch_format="pyarrow")
+    verified = cand.join(
+        bl, "inner", num_partitions=choose_join_partitions(), on=("h",), right_on=("h",)
+    )
+    bad_parts = [
+        b.column(id_col).to_numpy()
+        for b in verified.select_columns([id_col]).iter_batches(batch_format="pyarrow")
+    ]
+    bad = np.unique(np.concatenate(bad_parts)) if bad_parts else np.empty(0, np.int64)
+    bad_ref = ray.put(bad)
+
+    def finish(t: pa.Table) -> pa.Table:
+        b = ray.get(bad_ref)
+        ids = t.column(id_col).to_numpy()
+        hit = np.zeros(len(t), dtype=bool)
+        if len(b):
+            pos = np.searchsorted(b, ids)
+            pos[pos == len(b)] = 0
+            hit = b[pos] == ids
+        if drop:
+            return t.filter(pa.array(~hit))
+        return t.append_column(flag_col, pa.array(hit))
+
+    return docs.map_batches(finish, batch_format="pyarrow")

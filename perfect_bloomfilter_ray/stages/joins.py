@@ -26,9 +26,21 @@ def _small_side_table(small: Dataset | pa.Table, columns: list[str] | None = Non
     if isinstance(small, pa.Table):
         t = small
     else:
-        t = pa.concat_tables(
-            [pa.Table.from_pydict(b) if isinstance(b, dict) else b for b in small.iter_batches(batch_format="pyarrow")]
-        )
+        batches = [
+            pa.Table.from_pydict(b) if isinstance(b, dict) else b
+            for b in small.iter_batches(batch_format="pyarrow")
+        ]
+        # an empty small side is a valid degenerate input (e.g. a filter that
+        # matched nothing) — keep the schema so the probe still types out
+        if batches:
+            t = pa.concat_tables(batches)
+        elif small.schema() is not None:
+            t = _arrow_schema_of(small).empty_table()
+        else:
+            raise ValueError(
+                "broadcast join small side is empty AND schema-less (a row-based "
+                "filter erased it) — produce it via map_batches so the schema survives"
+            )
     return t.select(columns) if columns else t
 
 

@@ -223,3 +223,37 @@ def grouped_mode(
         .groupby("_part")
         .map_groups(final_block, batch_format="pyarrow")
     )
+
+
+def global_top_k(
+    ds: Dataset,
+    order_col: str,
+    k: int,
+    descending: bool = False,
+    tie_cols: list[str] | None = None,
+) -> Dataset:
+    """Exact global top-``k`` without a full sort.
+
+    Per-block partial head-k (``map_batches``) shrinks every block to ≤ k
+    rows, then ONE final task merges the ≤ blocks×k survivors — the
+    priority-queue shape that replaces ``Dataset.sort().limit(k)``'s
+    all-to-all range shuffle with a tree-reduce. For k × num_blocks too big
+    for one merge task, chain an extra ``repartition(√blocks)`` + head level;
+    at sane k (≤10^5) the single merge is the right call even at 10^12 rows.
+
+    With ``order_col`` = a deterministic key hash this is exact-size uniform
+    sampling without replacement (bottom-k / priority sampling) — mergeable
+    and rerun-stable, unlike reservoir sampling under re-partitioning.
+    """
+    tie_cols = list(tie_cols or [])
+    by = [order_col, *tie_cols]
+    desc = [descending] + [False] * len(tie_cols)
+
+    def head(t: pa.Table) -> pa.Table:
+        return pl.from_arrow(t).sort(by, descending=desc).head(k).to_arrow()
+
+    return (
+        ds.map_batches(head, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(head, batch_format="pyarrow", batch_size=None)
+    )

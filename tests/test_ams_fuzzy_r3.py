@@ -1,0 +1,223 @@
+"""Round-3 operators: AMS F2 sketch, blocked hamming pairs, global top-k,
+Bloom-prefiltered decontamination, empty-small-side broadcast join."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from perfect_bloomfilter_ray.state.ams import AMSSketch
+
+
+def _skewed_keys(n: int, seed: int = 7) -> np.ndarray:
+    """Zipf-ish keys: heavy hitters + a long tail (the F2-hard shape)."""
+    rng = np.random.default_rng(seed)
+    return (rng.zipf(1.3, n) % 5000).astype(np.int64)
+
+
+def _exact_f2(keys: np.ndarray) -> int:
+    _, counts = np.unique(keys, return_counts=True)
+    return int((counts.astype(np.int64) ** 2).sum())
+
+
+class TestAMS:
+    def test_estimate_within_bound(self):
+        keys = _skewed_keys(50_000)
+        s = AMSSketch(width=2048, depth=5)
+        s.update_column(pa.array(keys))
+        f2 = _exact_f2(keys)
+        est = s.estimate_f2()
+        assert abs(est - f2) <= 5 * s.rel_error * f2
+        assert s.total == len(keys)
+
+    def test_merge_exact_state_any_order(self):
+        keys = _skewed_keys(30_000, seed=11)
+        chunks = np.array_split(keys, 7)
+
+        def build(order):
+            parts = []
+            for c in chunks:
+                p = AMSSketch(width=512, depth=4)
+                p.update_column(pa.array(c))
+                parts.append(p)
+            acc = AMSSketch(width=512, depth=4)
+            for i in order:
+                acc.merge(parts[i])
+            return acc
+
+        a = build(range(7))
+        b = build(reversed(range(7)))
+        # linear sketch: merge is elementwise add -> byte-exact in ANY order
+        assert np.array_equal(a.counters, b.counters)
+        whole = AMSSketch(width=512, depth=4)
+        whole.update_column(pa.array(keys))
+        assert np.array_equal(a.counters, whole.counters)
+
+    def test_weighted_updates_match_repetition(self):
+        keys = np.array([1, 2, 3, 2], dtype=np.int64)
+        w = np.array([3, 1, 2, 1], dtype=np.int64)
+        a = AMSSketch(width=256, depth=3)
+        a.update_column(pa.array(keys), weights=w)
+        b = AMSSketch(width=256, depth=3)
+        b.update_column(pa.array(np.repeat(keys, w)))
+        assert np.array_equal(a.counters, b.counters)
+
+    def test_roundtrip_and_shape_guard(self):
+        s = AMSSketch(width=256, depth=3)
+        s.update_column(pa.array([1, 2, 3]))
+        r = AMSSketch.from_bytes(s.to_bytes())
+        assert np.array_equal(r.counters, s.counters) and r.total == s.total
+        with pytest.raises(ValueError):
+            s.merge(AMSSketch(width=512, depth=3))
+        with pytest.raises(ValueError):
+            AMSSketch(width=100)
+
+
+class TestBlockedHammingPairs:
+    def _brute(self, df: pd.DataFrame, prefix_len=8, max_dist=2):
+        pad = "~"
+        pfx = (
+            df["text"]
+            .fillna("")
+            .str.lower()
+            .str.slice(0, prefix_len)
+            .str.pad(prefix_len, side="right", fillchar=pad)
+        )
+        out = []
+        rows = list(zip(df["doc_id"], df["blk"], pfx))
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                if rows[i][1] != rows[j][1]:
+                    continue
+                d = sum(a != b for a, b in zip(rows[i][2], rows[j][2]))
+                if d <= max_dist:
+                    a, b = sorted((rows[i][0], rows[j][0]))
+                    out.append((a, b, d))
+        return sorted(out)
+
+    def test_matches_bruteforce(self, ray_session):
+        import ray.data as rd
+
+        from perfect_bloomfilter_ray.stages.fuzzy import blocked_hamming_pairs
+
+        rng = np.random.default_rng(3)
+        base = ["hello world document", "hellp world document", "açai bérry smoothie",
+                "açaí bérry smoothie", "totally different text", "hello worle document"]
+        n = 120
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(n, dtype=np.int64),
+                "text": [base[rng.integers(len(base))] + str(rng.integers(3)) for _ in range(n)],
+                "blk": rng.integers(0, 3, n).astype(np.int64),
+            }
+        )
+        df.loc[5, "text"] = None  # null text -> all-pad prefix
+        ds = rd.from_pandas(df).repartition(6)
+        got = (
+            blocked_hamming_pairs(ds, "doc_id", "text", ["blk"], prefix_len=8, max_dist=2)
+            .to_pandas()
+            .sort_values(["id_a", "id_b"])
+        )
+        got_t = sorted(zip(got["id_a"], got["id_b"], got["dist"]))
+        assert got_t == self._brute(df)
+
+    def test_multibyte_chars_count_one_position(self, ray_session):
+        import ray.data as rd
+
+        from perfect_bloomfilter_ray.stages.fuzzy import blocked_hamming_pairs
+
+        df = pd.DataFrame(
+            {
+                "doc_id": np.array([1, 2], dtype=np.int64),
+                "text": ["日本語のテキスト", "日本語のテキスl"],
+                "blk": np.array([0, 0], dtype=np.int64),
+            }
+        )
+        out = blocked_hamming_pairs(
+            rd.from_pandas(df), "doc_id", "text", ["blk"], prefix_len=8, max_dist=3
+        ).to_pandas()
+        assert len(out) == 1 and int(out["dist"].iloc[0]) == 1
+
+
+class TestGlobalTopK:
+    def test_matches_sorted_head(self, ray_session):
+        import ray.data as rd
+
+        from perfect_bloomfilter_ray.stages.topk import global_top_k
+
+        rng = np.random.default_rng(5)
+        df = pd.DataFrame(
+            {
+                "id": np.arange(500, dtype=np.int64),
+                "v": rng.integers(0, 40, 500).astype(np.int64),  # heavy ties
+            }
+        )
+        ds = rd.from_pandas(df).repartition(8)
+        got = global_top_k(ds, "v", 25, descending=True, tie_cols=["id"]).to_pandas()
+        exp = df.sort_values(["v", "id"], ascending=[False, True]).head(25)
+        pd.testing.assert_frame_equal(
+            got.sort_values(["v", "id"], ascending=[False, True]).reset_index(drop=True),
+            exp.reset_index(drop=True),
+        )
+
+    def test_k_larger_than_input(self, ray_session):
+        import ray.data as rd
+
+        from perfect_bloomfilter_ray.stages.topk import global_top_k
+
+        df = pd.DataFrame({"id": np.arange(7, dtype=np.int64), "v": np.arange(7)[::-1].astype(np.int64)})
+        got = global_top_k(rd.from_pandas(df).repartition(3), "v", 100).to_pandas()
+        assert len(got) == 7
+
+
+class TestBloomDecontaminate:
+    def test_matches_exact_path(self, ray_session, sf_dir):
+        import ray.data as rd
+
+        from perfect_bloomfilter_ray.stages.decontam import (
+            build_blocklist,
+            decontaminate,
+            decontaminate_bloom,
+        )
+
+        docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        ids = docs.to_pandas()
+        bench_mask = (ids["doc_id"] * 2654435761) % 10 == 3
+        bench = rd.from_pandas(ids[bench_mask])
+        corp = rd.from_pandas(ids[~bench_mask])
+
+        exact = decontaminate(corp, build_blocklist(bench, "text", n=5), n=5, drop=False)
+        bloom = decontaminate_bloom(corp, bench, n=5, drop=False)
+        e = exact.to_pandas().sort_values("doc_id").reset_index(drop=True)
+        b = bloom.to_pandas().sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_series_equal(e["contaminated"], b["contaminated"])
+        assert e["contaminated"].any()  # the fixture corpus has real hits
+
+    def test_drop_variant(self, ray_session, sf_dir):
+        import ray.data as rd
+
+        from perfect_bloomfilter_ray.stages.decontam import decontaminate_bloom
+
+        docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        df = docs.to_pandas()
+        bench = rd.from_pandas(df[(df["doc_id"] * 2654435761) % 10 == 3])
+        corp = rd.from_pandas(df[(df["doc_id"] * 2654435761) % 10 != 3])
+        flagged = decontaminate_bloom(corp, bench, n=5, drop=False).to_pandas()
+        dropped = decontaminate_bloom(corp, bench, n=5, drop=True).to_pandas()
+        assert len(dropped) == int((~flagged["contaminated"]).sum())
+
+
+def test_broadcast_join_empty_small_side(ray_session):
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.joins import broadcast_lookup_join
+
+    big = rd.from_pandas(pd.DataFrame({"k": np.arange(10, dtype=np.int64)}))
+    small = rd.from_pandas(
+        pd.DataFrame({"k": np.array([7], dtype=np.int64), "v": np.array([1], dtype=np.int64)})
+    ).map_batches(lambda t: t.slice(0, 0), batch_format="pyarrow")
+    assert len(broadcast_lookup_join(big, small, on="k").to_pandas()) == 0
+    left = broadcast_lookup_join(big, small, on="k", how="left").to_pandas()
+    assert len(left) == 10 and left["v"].isna().all()
