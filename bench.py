@@ -132,6 +132,19 @@ SUITE = [
     "events_grouping_sets",
     "docs_train_val_test_split",
     "user_value_ewma",
+    "selfjoin_size_users_exact",
+    "f2_selfjoin_size_est",
+    "user_event_entropy",
+    "value_psi_train_val",
+    "priority_sample_docs",
+    "bloom_decontaminated_docs",
+    "prefix_hamming_pairs",
+    "token_posting_lists",
+    "geo_mean_value_per_type",
+    "temperature_sampled_langs",
+    "importance_sampled_docs",
+    "trending_event_types_hourly",
+    "schema_evolution_union",
 ]
 
 

@@ -5136,6 +5136,231 @@ def token_posting_lists(sf_dir: str):
     return out
 
 
+@q(
+    "geo_mean_value_per_type",
+    sql="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           round(exp(avg(ln(value))), 6) AS geo_mean,
+           round(count(*) / sum(1.0 / value), 6) AS harm_mean
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def geo_mean_value_per_type(sf_dir: str):
+    """Grouped geometric + harmonic means — the log-domain aggregate family
+    (rate/ratio metrics where the arithmetic mean lies). Partials are plain
+    Σln(v) and Σ1/v per group, so the whole thing is one map + one tiny
+    groupby, same cost as an avg."""
+    ds = _t(sf_dir, "events", ["event_type", "value"])
+
+    def terms(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "lnv": pa.array(np.log(v)),
+                "inv": pa.array(1.0 / v),
+            }
+        )
+
+    out = (
+        ds.map_batches(terms, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("lnv", alias_name="lnv"),
+            Sum("inv", alias_name="inv"),
+        )
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    n = out["n"].to_numpy(dtype=np.float64)
+    res = pd.DataFrame(
+        {
+            "event_type": out["event_type"],
+            "n": out["n"].astype("int64"),
+            "geo_mean": np.round(np.exp(out["lnv"].to_numpy() / n), 6),
+            "harm_mean": np.round(n / out["inv"].to_numpy(), 6),
+        }
+    )
+    return res
+
+
+@q(
+    "temperature_sampled_langs",
+    sql="""
+    WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    m AS (SELECT max(pow(n, 0.5)) AS mx FROM c),
+    p AS (SELECT lang, pow(n, 0.5) / mx AS keep_p FROM c, m)
+    SELECT d.lang, CAST(count(*) AS BIGINT) AS n_kept
+    FROM documents d JOIN p USING (lang)
+    WHERE ((d.doc_id * 2654435761) % 1000000) / 1000000.0 < p.keep_p
+    GROUP BY d.lang ORDER BY d.lang
+    """,
+)
+def temperature_sampled_langs(sf_dir: str):
+    """Temperature-scaled language mixing (mT5/XLM-R α-sampling, α=0.5):
+    per-language keep probability ∝ n_lang^α normalized by the largest, so
+    low-resource languages are up-weighted relative to their share. The
+    per-row decision is a deterministic hash threshold (rerun-stable,
+    leakage-free); the language histogram is a tiny groupby broadcast back
+    as a keep_p lookup — no shuffle touches the corpus rows."""
+    ds = _t(sf_dir, "documents", ["doc_id", "lang"])
+    counts = ds.groupby("lang").aggregate(Count(alias_name="n")).to_pandas()
+    pw = np.power(counts["n"].to_numpy(dtype=np.float64), 0.5)
+    lang_keys = pa.array(counts["lang"].tolist())
+    lang_p = pw / pw.max()
+
+    def keep(t: pa.Table) -> pa.Table:
+        u = ((t.column("doc_id").to_numpy() * 2654435761) % 1000000) / 1000000.0
+        idx = pc.index_in(t.column("lang"), value_set=lang_keys).to_numpy(zero_copy_only=False)
+        p = lang_p[idx]
+        return t.filter(pa.array(u < p))
+
+    out = (
+        ds.map_batches(keep, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_kept"))
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    out["n_kept"] = out["n_kept"].astype("int64")
+    return out
+
+
+@q(
+    "importance_sampled_docs",
+    sql="""
+    WITH m AS (SELECT max(n_chars) AS mx FROM documents)
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS chars_kept
+    FROM documents, m
+    WHERE ((doc_id * 2654435761) % 1000000) / 1000000.0 < CAST(n_chars AS DOUBLE) / mx
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def importance_sampled_docs(sf_dir: str):
+    """Per-document importance resampling (DSIR shape): keep probability
+    proportional to a per-doc weight (here length; in production a quality
+    or domain-relevance score), decided by the same deterministic hash
+    threshold as every sampler in the library. One tiny global max broadcast
+    + one map-only pass."""
+    ds = _t(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    mx = float(ds.max("n_chars"))
+
+    def keep(t: pa.Table) -> pa.Table:
+        u = ((t.column("doc_id").to_numpy() * 2654435761) % 1000000) / 1000000.0
+        w = t.column("n_chars").to_numpy().astype(np.float64) / mx
+        return t.filter(pa.array(u < w))
+
+    out = (
+        ds.map_batches(keep, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_kept"), Sum("n_chars", alias_name="chars_kept"))
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    out["n_kept"] = out["n_kept"].astype("int64")
+    out["chars_kept"] = out["chars_kept"].astype("int64")
+    return out
+
+
+@q(
+    "trending_event_types_hourly",
+    sql="""
+    WITH h AS (
+      SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (SELECT hour, event_type, n,
+                 row_number() OVER (PARTITION BY hour ORDER BY n DESC, event_type) AS rnk
+          FROM h)
+    SELECT hour, event_type, CAST(n AS BIGINT) AS n, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 3 ORDER BY hour, rnk
+    """,
+)
+def trending_event_types_hourly(sf_dir: str):
+    """Trending items per time window: hourly (bucket, type) counts, then
+    top-3 types per hour through the partial-top-k combiner — the
+    leaderboard query every event pipeline runs; composition of the
+    time-bucket and grouped-top-k operators."""
+    from perfect_bloomfilter_ray.stages.topk import grouped_top_k
+
+    ds = _t(sf_dir, "events", ["ts", "event_type"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t.column("ts"), unit="hour")
+        return pa.table({"hour": hour, "event_type": t.column("event_type")})
+
+    counts = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby(["hour", "event_type"])
+        .aggregate(Count(alias_name="n"))
+    )
+    top = grouped_top_k(counts, ["hour"], "n", 3, descending=True, tie_cols=["event_type"])
+    df = top.to_pandas().sort_values(["hour", "n", "event_type"], ascending=[True, False, True])
+    df["rnk"] = df.groupby("hour").cumcount() + 1
+    df["n"] = df["n"].astype("int64")
+    df["rnk"] = df["rnk"].astype("int64")
+    return df.reset_index(drop=True)
+
+
+@q(
+    "schema_evolution_union",
+    sql="""
+    WITH a AS (SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 0),
+    b AS (SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 2 = 1),
+    u AS (SELECT * FROM a UNION ALL BY NAME SELECT * FROM b)
+    SELECT CAST(count(*) AS BIGINT) AS n, CAST(count(lang) AS BIGINT) AS n_lang,
+           CAST(count(source) AS BIGINT) AS n_source, CAST(sum(n_chars) AS BIGINT) AS chars
+    FROM u
+    """,
+)
+def schema_evolution_union(sf_dir: str):
+    """Schema-evolution-tolerant ingest: two corpus snapshots whose schemas
+    drifted (one kept `lang`, the other added `source`) concatenated with
+    UNION ALL BY NAME semantics (stages/setops.union_by_name — typed null
+    padding inside map_batches, no shuffle), then profiled. The everyday
+    shape of multi-vintage data lakes."""
+    from perfect_bloomfilter_ray.stages.setops import union_by_name
+
+    def half(even: bool, cols: list[str]):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy()
+            return t.filter(pa.array((ids % 2 == 0) == even)).select(cols)
+
+        return fn
+
+    a = _t(sf_dir, "documents", ["doc_id", "lang", "n_chars"]).map_batches(
+        half(True, ["doc_id", "lang", "n_chars"]), batch_format="pyarrow"
+    )
+    b = _t(sf_dir, "documents", ["doc_id", "source", "n_chars"]).map_batches(
+        half(False, ["doc_id", "source", "n_chars"]), batch_format="pyarrow"
+    )
+    u = union_by_name(a, b)
+
+    def profile(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "np": pa.array([len(t)]),
+                "nl": pa.array([len(t) - t.column("lang").null_count]),
+                "ns": pa.array([len(t) - t.column("source").null_count]),
+                "ch": pa.array([int(pc.sum(t.column("n_chars")).as_py() or 0)]),
+            }
+        )
+
+    row = u.map_batches(profile, batch_format="pyarrow").sum(["np", "nl", "ns", "ch"])
+    return pd.DataFrame(
+        {
+            "n": [int(row["sum(np)"])],
+            "n_lang": [int(row["sum(nl)"])],
+            "n_source": [int(row["sum(ns)"])],
+            "chars": [int(row["sum(ch)"])],
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order: the driver spends its correctness slots in this order,
 # so surface SQL-oracle-backed queries (exact hash-verifiable) before

@@ -22,7 +22,7 @@ from ray.data import Dataset
 
 from perfect_bloomfilter_ray.stages.partitioning import choose_num_blocks
 
-__all__ = ["intersect_distinct", "except_distinct"]
+__all__ = ["intersect_distinct", "except_distinct", "union_by_name"]
 
 
 def _tagged(ds: Dataset, cols: list[str], src: int, nb: int) -> Dataset:
@@ -67,3 +67,37 @@ def intersect_distinct(a: Dataset, b: Dataset, cols: list[str]) -> Dataset:
 def except_distinct(a: Dataset, b: Dataset, cols: list[str]) -> Dataset:
     """SQL ``a EXCEPT b`` over ``cols`` (distinct rows of a absent from b)."""
     return _setop(a, b, cols, "a_only")
+
+
+def union_by_name(a: Dataset, b: Dataset) -> Dataset:
+    """UNION ALL BY NAME — schema-evolution-tolerant concatenation.
+
+    Ray's ``Dataset.union`` requires identical schemas; real ingest unions
+    snapshots whose schemas drifted (a column added, one retired). This pads
+    each side with typed nulls for the other side's missing columns and
+    aligns column order, all inside ``map_batches`` (no shuffle, no
+    materialization) — DuckDB's ``UNION ALL BY NAME`` semantics. A column
+    present in both sides with conflicting Arrow types raises (silent casts
+    corrupt at scale; evolve explicitly upstream).
+    """
+    sa, sb = a.schema(), b.schema()
+    fa = {n: t for n, t in zip(sa.names, sa.types)}
+    fb = {n: t for n, t in zip(sb.names, sb.types)}
+    for n in set(fa) & set(fb):
+        if fa[n] != fb[n]:
+            raise ValueError(f"union_by_name type conflict on {n!r}: {fa[n]} vs {fb[n]}")
+    names = list(sa.names) + [n for n in sb.names if n not in fa]
+    types = {**fb, **fa}
+
+    def pad(t: pa.Table) -> pa.Table:
+        cols = {}
+        for n in names:
+            if n in t.column_names:
+                cols[n] = t.column(n)
+            else:
+                cols[n] = pa.nulls(len(t), types[n])
+        return pa.table(cols)
+
+    return a.map_batches(pad, batch_format="pyarrow").union(
+        b.map_batches(pad, batch_format="pyarrow")
+    )

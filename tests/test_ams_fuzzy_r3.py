@@ -221,3 +221,29 @@ def test_broadcast_join_empty_small_side(ray_session):
     assert len(broadcast_lookup_join(big, small, on="k").to_pandas()) == 0
     left = broadcast_lookup_join(big, small, on="k", how="left").to_pandas()
     assert len(left) == 10 and left["v"].isna().all()
+
+
+class TestUnionByName:
+    def test_pads_missing_columns(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from perfect_bloomfilter_ray.stages.setops import union_by_name
+
+        a = rd.from_arrow(pa.table({"id": pa.array([1, 2], pa.int64()), "x": pa.array(["a", "b"])}))
+        b = rd.from_arrow(pa.table({"id": pa.array([3], pa.int64()), "y": pa.array([9.5])}))
+        u = union_by_name(a, b).to_pandas().sort_values("id").reset_index(drop=True)
+        assert list(u.columns) == ["id", "x", "y"]
+        assert u["x"].isna().tolist() == [False, False, True]
+        assert u["y"].isna().tolist() == [True, True, False]
+
+    def test_type_conflict_raises(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from perfect_bloomfilter_ray.stages.setops import union_by_name
+
+        a = rd.from_arrow(pa.table({"id": pa.array([1], pa.int64())}))
+        b = rd.from_arrow(pa.table({"id": pa.array(["1"])}))
+        with pytest.raises(ValueError, match="type conflict"):
+            union_by_name(a, b)
