@@ -752,10 +752,25 @@ def tdigest_value_quantiles(sf_dir: str):
     return pd.DataFrame({"q": qs, "value_quantile": [s.quantile(x) for x in qs]})
 
 
-@q("bloom_membership_roundtrip")
+@q(
+    "bloom_membership_roundtrip",
+    sql="""
+    SELECT CAST(count(*) AS BIGINT) AS inserted, CAST(count(*) AS BIGINT) AS members,
+           CAST(0 AS BIGINT) AS false_negatives, CAST(100000 AS BIGINT) AS fresh_probes,
+           CAST(0 AS BIGINT) AS false_positives
+    FROM events
+    """,
+)
 def bloom_membership_roundtrip(sf_dir: str):
     """check→insert→check conformance over the events user space (the
-    sync_test.rs contract, distributed): 0 FP on fresh, 0 FN on inserted."""
+    sync_test.rs contract, distributed): 0 FP on fresh, 0 FN on inserted.
+
+    The SQL oracle encodes the CONTRACT, not a recomputation: members ==
+    inserted (a Bloom filter admits no false negatives by construction) and
+    zero observed false positives over the 100k fresh probes (expected FPs ≈
+    3e-8 at the cascade's ~3.1e-13/lookup bound — the reference observed 0
+    over 100M probes, tests/sync_test.rs:49-55). A hash-mismatch on this row
+    is a real conformance regression, exactly what the gate should catch."""
     import ray
 
     from perfect_bloomfilter_ray.stages.membership import build_filter
@@ -1748,12 +1763,23 @@ def orders_events_full_outer(sf_dir: str):
     return out
 
 
-@q("sharded_bloom_roundtrip")
+@q(
+    "sharded_bloom_roundtrip",
+    sql="""
+    SELECT CAST(least(2000, count(*)) AS BIGINT) AS inserted_probed,
+           CAST(least(2000, count(*)) AS BIGINT) AS hits,
+           CAST(2000 AS BIGINT) AS fresh_probed,
+           CAST(0 AS BIGINT) AS false_positives
+    FROM orders
+    """,
+)
 def sharded_bloom_roundtrip(sf_dir: str):
     """Reference shard geometry end-to-end: build a jump-hash-routed sharded
     filter over order keys, probe inserted + fresh keys through the actor-pool
-    membership stage. Rows-only (membership is the sketch's own semantics;
-    FP/FN bounds asserted in tests)."""
+    membership stage. The SQL oracle encodes the conformance contract (see
+    bloom_membership_roundtrip): hits == probes (no false negatives), zero
+    observed false positives over 2000 fresh probes (expected ≈ 6e-10 under
+    the per-lookup bound)."""
     from perfect_bloomfilter_ray.stages.membership import build_sharded_filter
 
     orders = _t(sf_dir, "orders", ["o_orderkey"])
