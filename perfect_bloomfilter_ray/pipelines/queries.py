@@ -5168,21 +5168,24 @@ def token_posting_lists(sf_dir: str):
     SELECT event_type, CAST(count(*) AS BIGINT) AS n,
            round(exp(avg(ln(value))), 6) AS geo_mean,
            round(count(*) / sum(1.0 / value), 6) AS harm_mean
-    FROM events GROUP BY event_type ORDER BY event_type
+    FROM events WHERE value > 0 GROUP BY event_type ORDER BY event_type
     """,
 )
 def geo_mean_value_per_type(sf_dir: str):
     """Grouped geometric + harmonic means — the log-domain aggregate family
     (rate/ratio metrics where the arithmetic mean lies). Partials are plain
     Σln(v) and Σ1/v per group, so the whole thing is one map + one tiny
-    groupby, same cost as an avg."""
+    groupby, same cost as an avg. Non-positive values are excluded (both
+    means are undefined there), matching the oracle's WHERE."""
     ds = _t(sf_dir, "events", ["event_type", "value"])
 
     def terms(t: pa.Table) -> pa.Table:
         v = t.column("value").to_numpy(zero_copy_only=False)
+        pos = v > 0
+        v = v[pos]
         return pa.table(
             {
-                "event_type": t.column("event_type"),
+                "event_type": t.column("event_type").filter(pa.array(pos)),
                 "lnv": pa.array(np.log(v)),
                 "inv": pa.array(1.0 / v),
             }
@@ -5383,6 +5386,134 @@ def schema_evolution_union(sf_dir: str):
             "n_lang": [int(row["sum(nl)"])],
             "n_source": [int(row["sum(ns)"])],
             "chars": [int(row["sum(ch)"])],
+        }
+    )
+
+
+@q(
+    "value_trend_per_type",
+    sql="""
+    WITH s AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01') AS DOUBLE)
+               / 3600000000.0 AS x,
+             value AS y
+      FROM events
+    ),
+    a AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+                 sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy
+          FROM s GROUP BY event_type)
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope,
+           round((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n, 6) AS intercept,
+           round(pow(n*sxy - sx*sy, 2) / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2
+    FROM a ORDER BY event_type
+    """,
+)
+def value_trend_per_type(sf_dir: str):
+    """Grouped OLS trend (stages/agg.grouped_ols): slope of value over time
+    (per hour) per event type, from mergeable raw power sums — the
+    drift/trend detector a monitoring pipeline runs per slice. x is hours
+    since a fixed origin on BOTH sides (raw epoch-µs squared would leave
+    float64's exact-integer range)."""
+    from perfect_bloomfilter_ray.stages.agg import grouped_ols, ols_finalize
+
+    ds = _t(sf_dir, "events", ["event_type", "ts", "value"])
+    origin_us = pd.Timestamp("2024-01-01").value // 1000
+
+    def xy(t: pa.Table) -> pa.Table:
+        x = (t.column("ts").cast(pa.int64()).to_numpy() - origin_us) / 3.6e9
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "x": pa.array(x),
+                "y": t.column("value"),
+            }
+        )
+
+    sums = (
+        grouped_ols(ds.map_batches(xy, batch_format="pyarrow"), "event_type", "x", "y")
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    fin = ols_finalize(sums, ndigits=6)
+    return pd.concat([sums[["event_type"]], fin], axis=1)
+
+
+@q(
+    "value_shape_stats_per_type",
+    sql="""
+    WITH a AS (
+      SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+             sum(value) AS s1, sum(value*value) AS s2,
+             sum(value*value*value) AS s3, sum(value*value*value*value) AS s4
+      FROM events GROUP BY event_type
+    ),
+    m AS (SELECT event_type, n, s1/n AS mu,
+                 s2/n - (s1/n)*(s1/n) AS m2,
+                 s3/n - 3*(s1/n)*(s2/n) + 2*(s1/n)*(s1/n)*(s1/n) AS m3,
+                 s4/n - 4*(s1/n)*(s3/n) + 6*(s1/n)*(s1/n)*(s2/n)
+                      - 3*(s1/n)*(s1/n)*(s1/n)*(s1/n) AS m4
+          FROM a)
+    SELECT event_type, CAST(n AS BIGINT) AS n, round(mu, 6) AS mean_value,
+           round(m3 / pow(m2, 1.5), 6) AS skew,
+           round(m4 / (m2 * m2) - 3, 6) AS excess_kurtosis
+    FROM m ORDER BY event_type
+    """,
+)
+def value_shape_stats_per_type(sf_dir: str):
+    """Grouped distribution-shape moments (population skewness + excess
+    kurtosis) from raw power sums Σv..Σv⁴ — mergeable one-pass partials,
+    the tail-shape signal for outlier policies. The oracle computes the
+    IDENTICAL central-moment expansion, so only summation order differs."""
+    import polars as pl
+
+    ds = _t(sf_dir, "events", ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        v = pl.col("value")
+        return (
+            df.group_by("event_type")
+            .agg(
+                pl.len().alias("n"),
+                v.sum().alias("s1"),
+                (v**2).sum().alias("s2"),
+                (v**3).sum().alias("s3"),
+                (v**4).sum().alias("s4"),
+            )
+            .to_arrow()
+        )
+
+    sums = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("s1", alias_name="s1"),
+            Sum("s2", alias_name="s2"),
+            Sum("s3", alias_name="s3"),
+            Sum("s4", alias_name="s4"),
+        )
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    n = sums["n"].to_numpy(dtype=np.float64)
+    s1, s2 = sums["s1"].to_numpy(), sums["s2"].to_numpy()
+    s3, s4 = sums["s3"].to_numpy(), sums["s4"].to_numpy()
+    mu = s1 / n
+    m2 = s2 / n - mu * mu
+    m3 = s3 / n - 3 * mu * (s2 / n) + 2 * mu * mu * mu
+    m4 = s4 / n - 4 * mu * (s3 / n) + 6 * mu * mu * (s2 / n) - 3 * mu * mu * mu * mu
+    return pd.DataFrame(
+        {
+            "event_type": sums["event_type"],
+            "n": sums["n"].astype("int64"),
+            "mean_value": np.round(mu, 6),
+            "skew": np.round(m3 / np.power(m2, 1.5), 6),
+            "excess_kurtosis": np.round(m4 / (m2 * m2) - 3, 6),
         }
     )
 

@@ -482,3 +482,80 @@ def zscore_normalize(
         return t.append_column(out_col, pa.array(z))
 
     return ds.map_batches(apply, batch_format="pyarrow")
+
+
+def grouped_ols(ds: Dataset, key: str, x_col: str, y_col: str) -> "Dataset":
+    """Grouped simple linear regression (slope / intercept / r²) from raw
+    power sums — per-batch polars partials (n, Σx, Σy, Σxy, Σx², Σy²) then
+    one tiny groupby-Sum, so the corpus is scanned once and only 6 doubles
+    per (batch, key) move. The caller is responsible for centering/scaling
+    ``x`` to a sane magnitude (raw epoch-µs squared overflows float64's
+    exact-integer range; hours-since-origin is the convention the
+    `value_trend_per_type` oracle uses on both sides).
+
+    Returns a Dataset of (key, n, sx, sy, sxy, sxx, syy) partial sums —
+    finalize with :func:`ols_finalize` (kept separate so callers can also
+    derive correlation/forecast bands from the same sums).
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select([key, x_col, y_col]))
+        x, y = pl.col(x_col), pl.col(y_col)
+        out = df.group_by(key).agg(
+            pl.len().alias("n"),
+            x.sum().alias("sx"),
+            y.sum().alias("sy"),
+            (x * y).sum().alias("sxy"),
+            (x * x).sum().alias("sxx"),
+            (y * y).sum().alias("syy"),
+        )
+        return out.to_arrow()
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key)
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"),
+            Sum("sxy", alias_name="sxy"),
+            Sum("sxx", alias_name="sxx"),
+            Sum("syy", alias_name="syy"),
+        )
+    )
+
+
+def ols_finalize(sums: "pd.DataFrame", ndigits: int | None = 6) -> "pd.DataFrame":
+    """(n, sx, sy, sxy, sxx, syy) → slope / intercept / r² per group.
+
+    Explicit normal-equation formula — the SQL oracle computes the SAME
+    expression from the same sums, so only float summation order differs.
+    Degenerate groups (zero x-variance or y-variance) yield NaN, matching
+    SQL division semantics under `round`.
+    """
+    import pandas as pd
+
+    n = sums["n"].to_numpy(dtype=np.float64)
+    sx, sy = sums["sx"].to_numpy(), sums["sy"].to_numpy()
+    sxy, sxx, syy = sums["sxy"].to_numpy(), sums["sxx"].to_numpy(), sums["syy"].to_numpy()
+    with np.errstate(invalid="ignore", divide="ignore"):
+        cov_n = n * sxy - sx * sy
+        var_x = n * sxx - sx * sx
+        var_y = n * syy - sy * sy
+        slope = cov_n / var_x
+        intercept = (sy - slope * sx) / n
+        r2 = (cov_n * cov_n) / (var_x * var_y)
+    out = pd.DataFrame(
+        {
+            "n": sums["n"].astype("int64"),
+            "slope": slope,
+            "intercept": intercept,
+            "r2": r2,
+        }
+    )
+    if ndigits is not None:
+        for c in ("slope", "intercept", "r2"):
+            out[c] = out[c].round(ndigits)
+    return out
