@@ -145,6 +145,11 @@ SUITE = [
     "importance_sampled_docs",
     "trending_event_types_hourly",
     "schema_evolution_union",
+    "value_trend_per_type",
+    "value_shape_stats_per_type",
+    "nation_revenue_share",
+    "cumulative_user_adoption",
+    "weighted_avg_price_per_flag",
 ]
 
 

@@ -5518,6 +5518,155 @@ def value_shape_stats_per_type(sf_dir: str):
     )
 
 
+@q(
+    "nation_revenue_share",
+    sql="""
+    WITH r AS (
+      SELECT n.n_name AS nation, sum(o.o_totalprice) AS revenue
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name
+    )
+    SELECT nation, round(revenue, 2) AS revenue,
+           round(revenue / sum(revenue) OVER (), 6) AS share
+    FROM r ORDER BY nation
+    """,
+)
+def nation_revenue_share(sf_dir: str):
+    """Percent-of-total contribution analysis: revenue per nation and its
+    share of the global total. Fact-to-dim resolution via the broadcast
+    lookup join (customer→nation never shuffles the orders stream); the
+    window-over-aggregate total is computed on the 25-row result."""
+    from perfect_bloomfilter_ray.stages.joins import broadcast_lookup_join
+
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nation = _t(sf_dir, "nation", ["n_nationkey", "n_name"])
+    j = broadcast_lookup_join(orders, cust, on="o_custkey", right_on="c_custkey")
+    j = broadcast_lookup_join(j, nation, on="c_nationkey", right_on="n_nationkey")
+    out = (
+        j.groupby("n_name")
+        .aggregate(Sum("o_totalprice", alias_name="revenue"))
+        .to_pandas()
+        .rename(columns={"n_name": "nation"})
+        .sort_values("nation")
+        .reset_index(drop=True)
+    )
+    total = out["revenue"].sum()
+    out["share"] = np.round(out["revenue"] / total, 6)
+    out["revenue"] = out["revenue"].round(2)
+    return out
+
+
+@q(
+    "cumulative_user_adoption",
+    sql="""
+    WITH f AS (SELECT user_id, min(date_trunc('day', ts)) AS d FROM events GROUP BY user_id),
+    c AS (SELECT d, count(*) AS new_users FROM f GROUP BY d)
+    SELECT d, CAST(new_users AS BIGINT) AS new_users,
+           CAST(sum(new_users) OVER (ORDER BY d) AS BIGINT) AS cum_users
+    FROM c ORDER BY d
+    """,
+)
+def cumulative_user_adoption(sf_dir: str):
+    """Adoption curve: first-touch day per user (groupby-min), new users per
+    day, running cumulative total. The first-touch pass is the only shuffle
+    (per-batch min partials); the cumsum runs over the ~30-row daily series
+    on the driver."""
+    import polars as pl
+
+    ds = _t(sf_dir, "events", ["user_id", "ts"])
+
+    def day_partial(t: pa.Table) -> pa.Table:
+        d = pc.floor_temporal(t.column("ts"), unit="day")
+        return (
+            pl.from_arrow(pa.table({"user_id": t.column("user_id"), "d": d}))
+            .group_by("user_id")
+            .agg(pl.col("d").min())
+            .to_arrow()
+        )
+
+    first = (
+        ds.map_batches(day_partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Min("d", alias_name="d"))
+    )
+    daily = (
+        first.groupby("d")
+        .aggregate(Count(alias_name="new_users"))
+        .to_pandas()
+        .sort_values("d")
+        .reset_index(drop=True)
+    )
+    daily["new_users"] = daily["new_users"].astype("int64")
+    daily["cum_users"] = daily["new_users"].cumsum().astype("int64")
+    return daily
+
+
+@q(
+    "weighted_avg_price_per_flag",
+    sql="""
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 6) AS wavg_price,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def weighted_avg_price_per_flag(sf_dir: str):
+    """Frequency-weighted grouped mean (weight = quantity): the aggregate
+    shape for unit-price-over-volume metrics. Partials are Σw·x and Σw —
+    mergeable, one scan, one tiny groupby."""
+    ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice", "l_quantity"])
+
+    def wterms(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "wx": pc.multiply(t.column("l_extendedprice"), t.column("l_quantity")),
+                "w": t.column("l_quantity"),
+            }
+        )
+
+    out = (
+        ds.map_batches(wterms, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("wx", alias_name="wx"), Sum("w", alias_name="w"), Count(alias_name="n")
+        )
+        .to_pandas()
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
+    )
+    res = pd.DataFrame(
+        {
+            "l_returnflag": out["l_returnflag"],
+            "wavg_price": np.round(out["wx"] / out["w"], 6),
+            "n": out["n"].astype("int64"),
+        }
+    )
+    return res
+
+
+@q(
+    "region_nation_cross",
+    sql="""
+    SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n
+    ORDER BY r_name, n_name
+    """,
+)
+def region_nation_cross(sf_dir: str):
+    """Cartesian dimension enumeration via the broadcast cross join
+    (stages/joins.cross_join_broadcast): every row × every variant — the
+    shape for config/bucket expansion before a coverage check."""
+    from perfect_bloomfilter_ray.stages.joins import cross_join_broadcast
+
+    region = _t(sf_dir, "region", ["r_name"])
+    nation = _t(sf_dir, "nation", ["n_name"])
+    out = cross_join_broadcast(region, nation).to_pandas()
+    return out.sort_values(["r_name", "n_name"]).reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # Registration order: the driver spends its correctness slots in this order,
 # so surface SQL-oracle-backed queries (exact hash-verifiable) before

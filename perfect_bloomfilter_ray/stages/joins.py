@@ -649,3 +649,34 @@ def band_join_partitioned(
         return out
 
     return tagged.groupby("_part").map_groups(resolve, batch_format="pyarrow")
+
+
+def cross_join_broadcast(
+    big: Dataset, small: Dataset | pa.Table, small_columns: list[str] | None = None
+) -> Dataset:
+    """Cartesian product with a broadcast small side (dimension enumeration:
+    every row × every variant/config/date-bucket). The ONLY sane distributed
+    cross-join shape — the small side is ``ray.put`` once and tiled per
+    batch with numpy repeat/take; output rows = |big| × |small|, so callers
+    must keep the small side genuinely small (it is validated ≤ 64k rows)."""
+    import ray
+
+    t_small = _small_side_table(small, small_columns)
+    if len(t_small) > 65536:
+        raise ValueError(f"cross join small side has {len(t_small)} rows (cap 65536)")
+    small_ref = ray.put(t_small)
+
+    def expand(t: pa.Table) -> pa.Table:
+        s: pa.Table = ray.get(small_ref)
+        n, m = len(t), len(s)
+        if n == 0 or m == 0:
+            cols = {c: t.column(c).take(pa.array([], pa.int64())) for c in t.column_names}
+            cols.update({c: s.column(c).take(pa.array([], pa.int64())) for c in s.column_names})
+            return pa.table(cols)
+        big_idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), m))
+        small_idx = pa.array(np.tile(np.arange(m, dtype=np.int64), n))
+        cols = {c: t.column(c).take(big_idx) for c in t.column_names}
+        cols.update({c: s.column(c).take(small_idx) for c in s.column_names})
+        return pa.table(cols)
+
+    return big.map_batches(expand, batch_format="pyarrow")

@@ -247,3 +247,33 @@ class TestUnionByName:
         b = rd.from_arrow(pa.table({"id": pa.array(["1"])}))
         with pytest.raises(ValueError, match="type conflict"):
             union_by_name(a, b)
+
+
+class TestCrossJoinBroadcast:
+    def test_matches_pandas_cross(self, ray_session):
+        import ray.data as rd
+
+        from perfect_bloomfilter_ray.stages.joins import cross_join_broadcast
+
+        a = pd.DataFrame({"x": np.arange(7, dtype=np.int64), "s": [f"r{i}" for i in range(7)]})
+        b = pd.DataFrame({"y": np.arange(3, dtype=np.int64)})
+        got = (
+            cross_join_broadcast(rd.from_pandas(a).repartition(3), rd.from_pandas(b))
+            .to_pandas()
+            .sort_values(["x", "y"])
+            .reset_index(drop=True)
+        )
+        exp = a.merge(b, how="cross").sort_values(["x", "y"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp)
+
+    def test_size_cap(self, ray_session):
+        import ray.data as rd
+
+        from perfect_bloomfilter_ray.stages.joins import cross_join_broadcast
+
+        big = rd.from_pandas(pd.DataFrame({"x": [1]}))
+        small = pd.DataFrame({"y": np.arange(70000, dtype=np.int64)})
+        import pyarrow as pa_
+
+        with pytest.raises(ValueError, match="cap"):
+            cross_join_broadcast(big, pa_.Table.from_pandas(small))
