@@ -150,6 +150,8 @@ SUITE = [
     "nation_revenue_share",
     "cumulative_user_adoption",
     "weighted_avg_price_per_flag",
+    "region_nation_cross",
+    "user_interarrival_stats",
 ]
 
 

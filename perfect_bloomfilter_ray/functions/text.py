@@ -167,3 +167,24 @@ def fingerprint64(col, normalize: bool = True) -> pa.Array:
             .str.strip_chars()
         )
     return pa.array(s.hash(seed=0xF1A9).to_numpy().astype(np.uint64).view(np.int64))
+
+
+def compression_ratio(col) -> pa.Array:
+    """Per-document zlib compression ratio (compressed/raw bytes) — the
+    classic cheap redundancy signal (Dolma/Gopher family: boilerplate and
+    template spam compress far below prose; near-random noise compresses
+    above it). zlib level 1 keeps this ~100 MB/s/core; the loop is
+    per-DOCUMENT (a codec call per row, like any decode stage), with all
+    framing vectorized. Empty docs score 1.0. Deterministic for a given
+    zlib, so tests pin exact values."""
+    import zlib
+
+    from perfect_bloomfilter_ray.functions.hashing import _to_polars
+
+    s = _to_polars(col)
+    raw = s.fill_null("").cast(pl.Binary).to_list()
+    out = np.ones(len(raw), dtype=np.float64)
+    for i, b in enumerate(raw):
+        if b:
+            out[i] = len(zlib.compress(b, 1)) / len(b)
+    return pa.array(out)

@@ -5667,6 +5667,82 @@ def region_nation_cross(sf_dir: str):
     return out.sort_values(["r_name", "n_name"]).reset_index(drop=True)
 
 
+@q(
+    "user_interarrival_stats",
+    sql="""
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    )
+    SELECT user_id, CAST(count(gap_us) AS BIGINT) AS n_gaps,
+           CAST(sum(gap_us) // count(gap_us) AS BIGINT) AS mean_gap_us,
+           CAST(max(gap_us) AS BIGINT) AS max_gap_us
+    FROM g WHERE gap_us IS NOT NULL GROUP BY user_id ORDER BY user_id
+    """,
+)
+def user_interarrival_stats(sf_dir: str):
+    """Per-user inter-arrival gap statistics (activity cadence / bot
+    signal): consecutive-event time deltas within each user's ordered
+    stream, aggregated to count / mean / max. Same co-partitioned window
+    shape as the lag/lead trio: coarse hash partition on user, one
+    vectorized lexsort+diff pass per partition, then a tiny per-user
+    groupby of gap partials. The mean is floor-division microseconds —
+    integer-exact on both sides (a float mean can land on an exact .5 and
+    split between banker's and half-away rounding)."""
+    from perfect_bloomfilter_ray.stages.partitioning import choose_num_blocks
+    from perfect_bloomfilter_ray.stages.windows import _add_part
+
+    ds = _t(sf_dir, "events", ["user_id", "ts", "event_id"])
+    nb = choose_num_blocks(ds)
+
+    def gaps(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["_part"])
+        if len(t) == 0:
+            return pa.table(
+                {"user_id": pa.array([], pa.int64()), "gap_us": pa.array([], pa.int64())}
+            )
+        uid = t.column("user_id").to_numpy()
+        ts = t.column("ts").cast(pa.int64()).to_numpy()
+        eid = t.column("event_id").to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        uid_s, ts_s = uid[order], ts[order]
+        same = np.zeros(len(uid_s), dtype=bool)
+        same[1:] = uid_s[1:] == uid_s[:-1]
+        gap = np.empty(len(ts_s), dtype=np.int64)
+        gap[1:] = ts_s[1:] - ts_s[:-1]
+        keep = same
+        return pa.table({"user_id": pa.array(uid_s[keep]), "gap_us": pa.array(gap[keep])})
+
+    out = (
+        _add_part(ds, "user_id", nb)
+        .groupby("_part")
+        .map_groups(gaps, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            Count(alias_name="n_gaps"),
+            Sum("gap_us", alias_name="sum_gap"),
+            Max("gap_us", alias_name="max_gap_us"),
+        )
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    res = pd.DataFrame(
+        {
+            "user_id": out["user_id"],
+            "n_gaps": out["n_gaps"].astype("int64"),
+            "mean_gap_us": (
+                out["sum_gap"].to_numpy().astype(np.int64)
+                // out["n_gaps"].to_numpy().astype(np.int64)
+            ),
+            "max_gap_us": out["max_gap_us"].astype("int64"),
+        }
+    )
+    return res
+
+
 # ---------------------------------------------------------------------------
 # Registration order: the driver spends its correctness slots in this order,
 # so surface SQL-oracle-backed queries (exact hash-verifiable) before

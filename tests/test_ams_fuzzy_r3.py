@@ -277,3 +277,20 @@ class TestCrossJoinBroadcast:
 
         with pytest.raises(ValueError, match="cap"):
             cross_join_broadcast(big, pa_.Table.from_pandas(small))
+
+
+def test_compression_ratio_quality_signal():
+    from perfect_bloomfilter_ray.functions.text import compression_ratio
+
+    rep = "spam template line " * 120
+    prose = (
+        "A different thought each clause: rivers bend, markets clear, gulls "
+        "wheel over the harbor while the ferry horn argues with the fog. "
+        "Numbers 4821 and 977 anchor novelty; zephyr quartz vex jumbo glyph."
+    )
+    r = compression_ratio(pa.array([rep, prose, ""])).to_pylist()
+    assert r[0] < 0.1          # boilerplate repetition compresses hard
+    assert 0.3 < r[1] < 1.0    # prose sits in the normal band
+    assert r[2] == 1.0         # empty doc: defined as 1.0
+    # deterministic: same input, same exact floats
+    assert compression_ratio(pa.array([rep, prose, ""])).to_pylist() == r
