@@ -5743,6 +5743,90 @@ def user_interarrival_stats(sf_dir: str):
     return res
 
 
+@q(
+    "knn_join_sampled",
+    sql="""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 100 = 7),
+    p AS (SELECT q.qid, e.vec_id, q.qe, e.embedding AS ee
+          FROM q, embeddings e WHERE e.vec_id <> q.qid),
+    t AS (SELECT qid, vec_id,
+                 list_sum(list_transform(list_zip(qe, ee),
+                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS dot,
+                 list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS qq,
+                 list_sum(list_transform(ee, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS cc
+          FROM p),
+    r AS (SELECT qid, vec_id, round(dot / (sqrt(qq) * sqrt(cc)), 6) AS cos,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY round(dot / (sqrt(qq) * sqrt(cc)), 6) DESC, vec_id) AS rnk
+          FROM t WHERE qq > 0 AND cc > 0)
+    SELECT qid, vec_id, cos, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 3 ORDER BY qid, rnk
+    """,
+)
+def knn_join_sampled(sf_dir: str):
+    """Exact kNN JOIN: a deterministic query slice of the embedding table
+    joined to its own top-3 cosine neighbors (self excluded) — the
+    similarity-search shape as a JOIN (dedup candidate mining, related-item
+    retrieval) rather than a point lookup. Queries broadcast once; each
+    block scores float64 cosine against every query, keeps a per-block
+    partial top-k, the driver merges blocks×k rows. Ranking uses the
+    ROUNDED cosine (6dp) + vec_id on both sides, so float 1-ulp noise can
+    never flip a rank."""
+    import ray
+
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def is_q(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id").to_numpy()
+        return t.filter(pa.array(ids % 100 == 7))
+
+    qt = pa.concat_tables(
+        emb.map_batches(is_q, batch_format="pyarrow").iter_batches(batch_format="pyarrow")
+    )
+    q_ids = qt.column("vec_id").to_numpy()
+    q_mat = np.array(qt.column("embedding").to_pylist(), dtype=np.float64)
+    q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+    ref = ray.put((q_ids, q_mat, q_norm))
+    k = 3
+
+    def score(t: pa.Table) -> pa.Table:
+        qi, qm, qn = ray.get(ref)
+        ids = t.column("vec_id").to_numpy()
+        emb_col = t.column("embedding")
+        if isinstance(emb_col, pa.ChunkedArray):
+            emb_col = emb_col.combine_chunks()
+        flat = emb_col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        v = flat.reshape(len(t), -1)
+        vn = np.sqrt((v * v).sum(axis=1))
+        ok = vn > 0
+        cos = np.round((v @ qm.T) / (vn[:, None] * qn[None, :]), 6)
+        rows_q, rows_id, rows_cos = [], [], []
+        for j in range(len(qi)):
+            c = np.where(ok & (ids != qi[j]), cos[:, j], -np.inf)
+            # tie-aware partial top-k: rounded cos desc, vec_id asc — keeps
+            # the same rows the global rank would, even across equal scores
+            order = np.lexsort((ids, -c))
+            top = order[: min(k, len(order))]
+            top = top[np.isfinite(c[top])]
+            rows_q.append(np.full(len(top), qi[j], dtype=np.int64))
+            rows_id.append(ids[top])
+            rows_cos.append(c[top])
+        return pa.table(
+            {
+                "qid": pa.array(np.concatenate(rows_q)),
+                "vec_id": pa.array(np.concatenate(rows_id)),
+                "cos": pa.array(np.concatenate(rows_cos)),
+            }
+        )
+
+    df = emb.map_batches(score, batch_format="pyarrow").to_pandas()
+    df = df.sort_values(["qid", "cos", "vec_id"], ascending=[True, False, True])
+    df = df.groupby("qid", sort=True).head(k).reset_index(drop=True)
+    df["rnk"] = df.groupby("qid").cumcount() + 1
+    df["rnk"] = df["rnk"].astype("int64")
+    return df
+
+
 # ---------------------------------------------------------------------------
 # Registration order: the driver spends its correctness slots in this order,
 # so surface SQL-oracle-backed queries (exact hash-verifiable) before
