@@ -78,8 +78,104 @@ def per_lang_summary(pages: Dataset, salt: int | None = None) -> Dataset:
     )
 
 
+def build_flagship_combined(pages: Dataset, expected_urls: int) -> tuple:
+    """ONE streaming scan → global 5-family partials AND per-lang HLL
+    partials from the same batch visit (the corpus is never read twice).
+
+    Each batch emits 1 global-partial row (lang NULL) plus one row per
+    distinct lang in the batch (global columns NULL). The partials table is
+    tiny (batches × (1 + langs/batch) rows of compressed sketch bytes), so
+    it is materialized once and consumed twice: a fanin-bounded merge tree
+    for the global sketches, and a groupby(lang) merge for the grouped HLLs
+    — identical estimates to the two-pass build (merges are state-exact),
+    minus a full parquet re-read and one pipeline's fixed overhead per run.
+    """
+    from perfect_bloomfilter_ray.stages.agg import SketchMergeAgg
+    from perfect_bloomfilter_ray.state.base import dumps_sketch, loads_sketch
+
+    specs = {
+        "bloom_url": ("url", lambda: BloomCascade.for_capacity(expected_urls, BloomConfig())),
+        "hll_url": ("url", lambda: HyperLogLog(14)),
+        "cms_host": ("host", lambda: CountMinSketch(1e-4, 1e-3)),
+        "kll_text_len": ("text_len", lambda: KLLSketch(256)),
+        "tdigest_text_len": ("text_len", lambda: TDigest(200)),
+    }
+    names = list(specs)
+
+    def partials(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        cols: dict[str, list] = {}
+        for name in names:
+            col_name, factory = specs[name]
+            col = t.column(col_name)
+            if col.null_count:
+                col = col.drop_null()
+            s = factory()
+            s.update_column(col)
+            cols[name] = [dumps_sketch(s)]
+        df = pl.from_arrow(pa.table({"lang": t.column("lang"), "url": t.column("url")}))
+        langs: list = []
+        parts: list = []
+        for kv, g in df.group_by("lang"):
+            h = HyperLogLog(12)
+            h.update_column(g["url"].to_arrow())
+            langs.append(kv[0])
+            parts.append(dumps_sketch(h))
+        k = len(langs)
+        out = {name: pa.array(cols[name] + [None] * k, pa.binary()) for name in names}
+        out["lang"] = pa.array([None] + langs, pa.string())
+        out["lang_partial"] = pa.array([None] + parts, pa.binary())
+        return pa.table(out)
+
+    pds = pages.map_batches(partials, batch_format="pyarrow", batch_size=8192).materialize()
+
+    def only_global(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_null(t.column("lang"))).select(names)
+
+    def merge_rows(t: pa.Table) -> pa.Table:
+        out = {}
+        for name in names:
+            _, factory = specs[name]
+            s = factory()
+            for raw in t.column(name):
+                b = raw.as_py()
+                if b is not None:
+                    s.merge(loads_sketch(b))
+            out[name] = pa.array([dumps_sketch(s)], pa.binary())
+        return pa.table(out)
+
+    gl = pds.map_batches(only_global, batch_format="pyarrow")
+    for _ in range(2):
+        gl = gl.map_batches(merge_rows, batch_format="pyarrow", batch_size=64)
+    sketches: dict = {name: specs[name][1]() for name in names}
+    for row in gl.take_all():
+        for name in names:
+            if row[name] is not None:
+                sketches[name].merge(loads_sketch(row[name]))
+
+    def only_lang(t: pa.Table) -> pa.Table:
+        keep = pc.is_valid(t.column("lang"))
+        return t.filter(keep).select(["lang", "lang_partial"])
+
+    per_lang = (
+        pds.map_batches(only_lang, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            SketchMergeAgg(
+                lambda: HyperLogLog(12),
+                on="lang_partial",
+                name="distinct_urls_est",
+                finalize_fn=lambda s: float(s.estimate()),
+            )
+        )
+    )
+    return sketches, per_lang
+
+
 def flagship(sf_dir_or_pages, expected_urls: int | None = None) -> pd.DataFrame:
-    """End-to-end: prepare → build global sketches → per-lang summary.
+    """End-to-end: prepare → ONE combined scan (global sketches + per-lang
+    grouped HLLs from the same batch visit) → summary.
 
     Accepts a pages Dataset or a directory containing pages parquet. Returns
     a one-row-per-lang DataFrame plus global sketch stats as attrs.
@@ -92,12 +188,8 @@ def flagship(sf_dir_or_pages, expected_urls: int | None = None) -> pd.DataFrame:
         ds = sf_dir_or_pages
     n = expected_urls or max(1024, ds.count())
     pages = prepare_pages(ds)
-    sketches = build_all_sketches(pages, n)
-    # Per-lang pass only needs (lang, url): project at the read so the heavy
-    # html/text columns never enter this pipeline (the invariant check already
-    # ran in the global pass above).
-    slim = ds.select_columns(["lang", "url"])
-    per_lang = per_lang_summary(slim).to_pandas().sort_values("lang").reset_index(drop=True)
+    sketches, per_lang_ds = build_flagship_combined(pages, n)
+    per_lang = per_lang_ds.to_pandas().sort_values("lang").reset_index(drop=True)
 
     bloom = sketches["bloom_url"]
     summary = {
