@@ -153,6 +153,7 @@ SUITE = [
     "region_nation_cross",
     "user_interarrival_stats",
     "knn_join_sampled",
+    "orders_snapshot_diff",
 ]
 
 

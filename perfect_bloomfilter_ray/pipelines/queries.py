@@ -5827,6 +5827,79 @@ def knn_join_sampled(sf_dir: str):
     return df
 
 
+@q(
+    "orders_snapshot_diff",
+    sql="""
+    WITH a AS (SELECT o_orderkey AS k, round(o_totalprice, 2) AS v
+               FROM orders WHERE o_orderkey % 11 <> 0),
+    b AS (SELECT o_orderkey AS k,
+                 round(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1
+                            ELSE o_totalprice END, 2) AS v
+          FROM orders WHERE o_orderkey % 13 <> 0),
+    j AS (SELECT a.v AS va, b.v AS vb FROM a FULL OUTER JOIN b ON a.k = b.k)
+    SELECT CAST(sum(CASE WHEN va IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS added,
+           CAST(sum(CASE WHEN vb IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS removed,
+           CAST(sum(CASE WHEN va IS NOT NULL AND vb IS NOT NULL AND va <> vb
+                         THEN 1 ELSE 0 END) AS BIGINT) AS changed,
+           CAST(sum(CASE WHEN va = vb THEN 1 ELSE 0 END) AS BIGINT) AS unchanged
+    FROM j
+    """,
+)
+def orders_snapshot_diff(sf_dir: str):
+    """Snapshot reconciliation (table diff by key): two deterministic
+    'versions' of the orders table — one with rows missing, one with rows
+    modified — full-outer-joined on the key, classified per row into
+    added / removed / changed / unchanged, and counted. The nightly
+    data-integrity diff between ingest snapshots; the join is Ray's hash
+    join, the classification one vectorized pass of partials."""
+
+    def version(bench: str):
+        def fn(t: pa.Table) -> pa.Table:
+            k = t.column("o_orderkey").to_numpy()
+            v = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+            if bench == "a":
+                keep = k % 11 != 0
+                vv = np.round(v, 2)
+            else:
+                keep = k % 13 != 0
+                vv = np.round(np.where(k % 7 == 0, v + 1, v), 2)
+            return pa.table({"k": pa.array(k[keep]), "v": pa.array(vv[keep])})
+
+        return fn
+
+    base = _t(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    a = base.map_batches(version("a"), batch_format="pyarrow").materialize()
+    b = base.map_batches(version("b"), batch_format="pyarrow")
+    nparts = max(1, min(8, a.count() // 64))
+    j = a.join(b, "full_outer", num_partitions=nparts, on=("k",), right_on=("k",), right_suffix="_b")
+
+    def classify(t: pa.Table) -> pa.Table:
+        va = t.column("v").to_numpy(zero_copy_only=False)
+        vb = t.column("v_b").to_numpy(zero_copy_only=False)
+        a_null, b_null = np.isnan(va), np.isnan(vb)
+        both = ~a_null & ~b_null
+        return pa.table(
+            {
+                "added": pa.array([int(a_null.sum())]),
+                "removed": pa.array([int(b_null.sum())]),
+                "changed": pa.array([int((both & (va != vb)).sum())]),
+                "unchanged": pa.array([int((both & (va == vb)).sum())]),
+            }
+        )
+
+    row = j.map_batches(classify, batch_format="pyarrow").sum(
+        ["added", "removed", "changed", "unchanged"]
+    )
+    return pd.DataFrame(
+        {
+            "added": [int(row["sum(added)"])],
+            "removed": [int(row["sum(removed)"])],
+            "changed": [int(row["sum(changed)"])],
+            "unchanged": [int(row["sum(unchanged)"])],
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order: the driver spends its correctness slots in this order,
 # so surface SQL-oracle-backed queries (exact hash-verifiable) before
