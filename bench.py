@@ -154,6 +154,7 @@ SUITE = [
     "user_interarrival_stats",
     "knn_join_sampled",
     "orders_snapshot_diff",
+    "decayed_user_scores_exact",
 ]
 
 

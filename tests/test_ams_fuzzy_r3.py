@@ -294,3 +294,24 @@ def test_compression_ratio_quality_signal():
     assert r[2] == 1.0         # empty doc: defined as 1.0
     # deterministic: same input, same exact floats
     assert compression_ratio(pa.array([rep, prose, ""])).to_pylist() == r
+
+
+def test_decayed_cms_tracks_exact(ray_session, sf01_dir):
+    """CMS with integer micro-unit decay weights answers within eps*total of
+    the exact decayed scores (the cms_decayed_heavy_users contract)."""
+    from perfect_bloomfilter_ray.pipelines.queries import (
+        cms_decayed_heavy_users,
+        decayed_user_scores_exact,
+    )
+
+    exact = decayed_user_scores_exact(sf01_dir).set_index("user_id")["decayed_score"]
+    est = cms_decayed_heavy_users(sf01_dir).set_index("user_id")["decayed_score_est"]
+    # eps=1e-4 of the total weight: total <= n_events (weights <= 1)
+    import pyarrow.parquet as pq
+
+    n_events = pq.read_metadata(f"{sf01_dir}/events.parquet").num_rows
+    bound = 1e-4 * n_events + 1e-3  # sketch eps*total + micro-unit rounding
+    for uid, score in exact.items():
+        if uid in est.index:
+            assert est.loc[uid] >= score - 1e-3  # CMS never underestimates (mod rounding)
+            assert est.loc[uid] <= score + bound
