@@ -155,6 +155,8 @@ SUITE = [
     "knn_join_sampled",
     "orders_snapshot_diff",
     "decayed_user_scores_exact",
+    "user_peak_minute_rate",
+    "weekly_value_change_per_type",
 ]
 
 

@@ -5986,6 +5986,92 @@ def cms_decayed_heavy_users(sf_dir: str):
     )
 
 
+@q(
+    "user_peak_minute_rate",
+    sql="""
+    WITH m AS (
+      SELECT user_id, date_trunc('minute', ts) AS minute, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (SELECT user_id, minute, n,
+                 row_number() OVER (PARTITION BY user_id ORDER BY n DESC, minute) AS rnk
+          FROM m)
+    SELECT user_id, minute AS peak_minute, CAST(n AS BIGINT) AS peak_rate
+    FROM r WHERE rnk = 1 AND n >= 2 ORDER BY user_id
+    """,
+)
+def user_peak_minute_rate(sf_dir: str):
+    """Peak per-minute request rate per user (crawler politeness / burst
+    detection): (user, minute) bucket counts, then the grouped top-1 via the
+    partial-top-k combiner with a deterministic earliest-minute tie-break.
+    Only bursty users (peak ≥ 2) surface."""
+    from perfect_bloomfilter_ray.stages.topk import grouped_top_k
+
+    ds = _t(sf_dir, "events", ["user_id", "ts"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "minute": pc.floor_temporal(t.column("ts"), unit="minute"),
+            }
+        )
+
+    counts = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby(["user_id", "minute"])
+        .aggregate(Count(alias_name="n"))
+    )
+    top = grouped_top_k(counts, ["user_id"], "n", 1, descending=True, tie_cols=["minute"])
+    df = top.to_pandas()
+    df = df[df["n"] >= 2].rename(columns={"minute": "peak_minute", "n": "peak_rate"})
+    df["peak_rate"] = df["peak_rate"].astype("int64")
+    return df.sort_values("user_id").reset_index(drop=True)[
+        ["user_id", "peak_minute", "peak_rate"]
+    ]
+
+
+@q(
+    "weekly_value_change_per_type",
+    sql="""
+    WITH w AS (
+      SELECT event_type, date_trunc('week', ts) AS week, round(sum(value), 2) AS total
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, week, total,
+           round(total - lag(total) OVER (PARTITION BY event_type ORDER BY week), 2)
+             AS wow_change
+    FROM w ORDER BY event_type, week
+    """,
+)
+def weekly_value_change_per_type(sf_dir: str):
+    """Period-over-period trend report: weekly value totals per event type
+    with week-over-week deltas. The heavy part (weekly sums) is one
+    distributed groupby; the lag runs over the tiny (type × week) result."""
+    ds = _t(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "week": pc.floor_temporal(t.column("ts"), unit="week"),
+                "value": t.column("value"),
+            }
+        )
+
+    out = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby(["event_type", "week"])
+        .aggregate(Sum("value", alias_name="total"))
+        .to_pandas()
+        .sort_values(["event_type", "week"])
+        .reset_index(drop=True)
+    )
+    out["total"] = out["total"].round(2)
+    out["wow_change"] = (out["total"] - out.groupby("event_type")["total"].shift(1)).round(2)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Registration order: the driver spends its correctness slots in this order,
 # so surface SQL-oracle-backed queries (exact hash-verifiable) before
