@@ -4117,58 +4117,55 @@ def budget_selected_docs(sf_dir: str):
 def user_retention_cohorts(sf_dir: str):
     """Cohort retention matrix: each user's cohort = the Monday of their
     first event's week; for every (cohort, week-offset) cell, how many
-    distinct users were active. First-event per user is a groupby-min, the
-    cohort resolves back onto the event stream with a co-partitioned hash
-    join (big-big — the user map is corpus-cardinality, never broadcast),
-    and the distinct-user count uses the pair-distinct partial pattern."""
-    from ray.data.aggregate import Min
+    distinct users were active. ONE all-to-all: batch-local distinct
+    (user, week) pairs are hash-co-partitioned by user, so each partition
+    holds every week of its users — cohort (min week) and offsets resolve
+    inside the block and only tiny per-partition cell counts leave it.
+    Replaces the earlier groupby-min + hash-join + pair-distinct plan
+    (4 exchanges) with 1 big + 1 tiny exchange."""
+    from perfect_bloomfilter_ray.functions.hashing import hash64
+    from perfect_bloomfilter_ray.stages.partitioning import choose_num_blocks
 
     WEEK_US = 7 * 86400 * 1_000_000
 
+    ds = _t(sf_dir, "events", ["user_id", "ts"])
+    nb = np.uint64(choose_num_blocks(ds))
+
     def wk(t: pa.Table) -> pa.Table:
+        import polars as pl
+
         w = pc.floor_temporal(t.column("ts"), unit="week")
-        return pa.table(
+        tbl = pa.table(
             {
                 "user_id": t.column("user_id"),
                 "wk": pc.cast(pc.cast(w, pa.timestamp("us")), pa.int64()),
             }
         )
+        tbl = pl.from_arrow(tbl).unique().to_arrow()
+        h = hash64(tbl.column("user_id"), 0x5E55)
+        return tbl.append_column("_part", pa.array((h % nb).astype(np.int32)))
 
-    weeks = _t(sf_dir, "events", ["user_id", "ts"]).map_batches(wk, batch_format="pyarrow")
-    first = weeks.groupby("user_id").aggregate(Min("wk", alias_name="cohort_us"))
-    joined = weeks.join(first, "inner", num_partitions=4, on=("user_id",))
-
-    def pdist(t: pa.Table) -> pa.Table:
+    def per_part(t: pa.Table) -> pa.Table:
         import polars as pl
 
-        df = pl.from_arrow(t)
+        df = pl.from_arrow(t.select(["user_id", "wk"])).unique()
+        df = df.with_columns(pl.col("wk").min().over("user_id").alias("cohort_us"))
+        df = df.with_columns(((pl.col("wk") - pl.col("cohort_us")) // WEEK_US).alias("offset_w"))
         return (
-            df.with_columns(((pl.col("wk") - pl.col("cohort_us")) // WEEK_US).alias("offset_w"))
-            .select(["user_id", "cohort_us", "offset_w"])
-            .unique()
-            .to_arrow()
-        )
-
-    cells = (
-        joined.map_batches(pdist, batch_format="pyarrow")
-        .groupby(["user_id", "cohort_us", "offset_w"])
-        .count()
-    )
-
-    def cell_partial(t: pa.Table) -> pa.Table:
-        import polars as pl
-
-        return (
-            pl.from_arrow(t.select(["cohort_us", "offset_w"]))
-            .group_by(["cohort_us", "offset_w"])
+            df.group_by(["cohort_us", "offset_w"])
             .len(name="pn")
             .with_columns(pl.col("pn").cast(pl.Int64))
             .to_arrow()
         )
 
+    cells = (
+        _t(sf_dir, "events", ["user_id", "ts"])
+        .map_batches(wk, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(per_part, batch_format="pyarrow")
+    )
     out = (
-        cells.map_batches(cell_partial, batch_format="pyarrow")
-        .groupby(["cohort_us", "offset_w"])
+        cells.groupby(["cohort_us", "offset_w"])
         .aggregate(Sum("pn", alias_name="n_users"))
         .to_pandas()
     )
