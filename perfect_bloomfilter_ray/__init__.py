@@ -23,6 +23,7 @@ from perfect_bloomfilter_ray.state.bloom import BloomCascade
 from perfect_bloomfilter_ray.state.hll import HyperLogLog
 from perfect_bloomfilter_ray.state.cms import CountMinSketch
 from perfect_bloomfilter_ray.state.kll import KLLSketch
+from perfect_bloomfilter_ray.state.ddsketch import DDSketch
 from perfect_bloomfilter_ray.state.tdigest import TDigest
 from perfect_bloomfilter_ray.state.theta import ThetaSketch
 from perfect_bloomfilter_ray.state.spacesaving import MisraGries
@@ -34,6 +35,7 @@ __all__ = [
     "HyperLogLog",
     "CountMinSketch",
     "KLLSketch",
+    "DDSketch",
     "TDigest",
     "ThetaSketch",
     "MisraGries",

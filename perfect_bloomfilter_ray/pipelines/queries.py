@@ -13,6 +13,7 @@ error-bound tests instead.
 
 from __future__ import annotations
 
+import math
 from typing import Any, Callable
 
 import numpy as np
@@ -6067,6 +6068,261 @@ def weekly_value_change_per_type(sf_dir: str):
     out["total"] = out["total"].round(2)
     out["wow_change"] = (out["total"] - out.groupby("event_type")["total"].shift(1)).round(2)
     return out
+
+
+@q("dd_value_quantiles_per_type")
+def dd_value_quantiles_per_type(sf_dir: str):
+    """Grouped DDSketch (relative-error quantiles, Masson et al. VLDB'19) per
+    event type via the two-phase partial/merge shuffle tree. Rows-only; the
+    exact twin is exact_value_quantiles_per_type, and the guarantee differs
+    from KLL/t-digest: value error <= alpha RELATIVE, the right contract for
+    long-tailed metrics. Merge is per-bucket addition — exactly
+    associative/commutative, the best fit for Ray's pairwise combine tree."""
+    from perfect_bloomfilter_ray.stages.agg import sketch_grouped
+    from perfect_bloomfilter_ray.state.ddsketch import DDSketch
+
+    ds = _t(sf_dir, "events", ["event_type", "value"])
+    out = sketch_grouped(
+        ds, key="event_type", col="value", factory=lambda: DDSketch(0.01), name="dd"
+    ).to_pandas()
+    sk = [DDSketch.from_bytes(b) for b in out["dd"]]
+    return pd.DataFrame(
+        {
+            "event_type": out["event_type"],
+            "p50_est": [s.quantile(0.5) for s in sk],
+            "p95_est": [s.quantile(0.95) for s in sk],
+            "p99_est": [s.quantile(0.99) for s in sk],
+        }
+    ).sort_values("event_type").reset_index(drop=True)
+
+
+@q(
+    "join_size_users_exact",
+    sql="""
+    WITH pu AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a_n,
+             CAST(sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b_n
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(sum(a_n) AS BIGINT) AS a_rows, CAST(sum(b_n) AS BIGINT) AS b_rows,
+           CAST(sum(a_n * b_n) AS BIGINT) AS join_size
+    FROM pu
+    """,
+)
+def join_size_users_exact(sf_dir: str):
+    """Exact equi-join cardinality |A ⋈ B| between the two deterministic
+    event halves, WITHOUT running the join: per-key count partials on both
+    sides in one pass, then Σ a_n·b_n. One groupby exchange over (user, 2
+    ints) instead of materializing the (possibly quadratic) join output —
+    the planner-statistics shape. Sketch twin: cms_join_size_users."""
+    ds = _t(sf_dir, "events", ["event_id", "user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(pa.table({"user_id": t.column("user_id"), "eid": t.column("event_id")}))
+        return (
+            df.group_by("user_id")
+            .agg(
+                (pl.col("eid") % 2 == 0).sum().cast(pl.Int64).alias("a_n"),
+                (pl.col("eid") % 2 == 1).sum().cast(pl.Int64).alias("b_n"),
+            )
+            .to_arrow()
+        )
+
+    per_user = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("a_n", alias_name="a_n"), Sum("b_n", alias_name="b_n"))
+    )
+
+    def prod(t: pa.Table) -> pa.Table:
+        a = t.column("a_n").to_numpy()
+        b = t.column("b_n").to_numpy()
+        return pa.table(
+            {
+                "a_rows": pa.array([int(a.sum())], pa.int64()),
+                "b_rows": pa.array([int(b.sum())], pa.int64()),
+                "join_size": pa.array([int((a * b).sum())], pa.int64()),
+            }
+        )
+
+    parts = per_user.map_batches(prod, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame(
+        {
+            "a_rows": [int(parts["a_rows"].sum())],
+            "b_rows": [int(parts["b_rows"].sum())],
+            "join_size": [int(parts["join_size"].sum())],
+        }
+    )
+
+
+@q("cms_join_size_users")
+def cms_join_size_users(sf_dir: str):
+    """Join-size ESTIMATION from two independently-built CMS sketches
+    (Cormode & Muthukrishnan 2005 inner product): each event half builds its
+    own count-min over user_id by tree-reduce; the estimate is min over rows
+    of the counter dot product — never under, over by <= ε·N_A·N_B w.p.
+    1-δ. Rows-only; exact twin join_size_users_exact. This is the shape a
+    distributed optimizer uses to size a join it has not run."""
+    from perfect_bloomfilter_ray.stages.agg import sketch_global
+    from perfect_bloomfilter_ray.state.cms import CountMinSketch
+
+    ds = _t(sf_dir, "events", ["event_id", "user_id"])
+
+    def half(parity: int):
+        def fn(t: pa.Table) -> pa.Table:
+            m = pc.equal(pc.bit_wise_and(t.column("event_id"), pa.scalar(1)), pa.scalar(parity))
+            return t.filter(m)
+
+        return fn
+
+    mk = lambda: CountMinSketch(eps=3e-5, delta=0.01)  # noqa: E731
+    a = sketch_global(ds.map_batches(half(0), batch_format="pyarrow"), "user_id", mk)
+    b = sketch_global(ds.map_batches(half(1), batch_format="pyarrow"), "user_id", mk)
+    return pd.DataFrame(
+        {
+            "a_rows": [a.total],
+            "b_rows": [b.total],
+            "join_size_est": [a.inner_product(b)],
+        }
+    )
+
+
+@q(
+    "doc_length_ols_coeffs",
+    sql="""
+    WITH f AS (
+      SELECT CAST(n_chars AS BIGINT) AS y,
+             CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS x1,
+             CAST(len(regexp_extract_all(text, '[a-z]{7,}')) AS BIGINT) AS x2
+      FROM documents
+    ),
+    s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(x1) AS DOUBLE) AS s1, CAST(sum(x2) AS DOUBLE) AS s2,
+             CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x1*x1) AS DOUBLE) AS s11, CAST(sum(x2*x2) AS DOUBLE) AS s22,
+             CAST(sum(x1*x2) AS DOUBLE) AS s12,
+             CAST(sum(x1*y) AS DOUBLE) AS s1y, CAST(sum(x2*y) AS DOUBLE) AS s2y,
+             CAST(sum(y*y) AS DOUBLE) AS syy
+      FROM f
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           round((sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y) + s2*(s1y*s12 - s11*s2y))
+                 / (n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2)), 8) AS b0,
+           round((n*(s1y*s22 - s2y*s12) - sy*(s1*s22 - s12*s2) + s2*(s1*s2y - s1y*s2))
+                 / (n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2)), 8) AS b1,
+           round((n*(s11*s2y - s12*s1y) - s1*(s1*s2y - s1y*s2) + sy*(s1*s12 - s11*s2))
+                 / (n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2)), 8) AS b2
+    FROM s
+    """,
+)
+def doc_length_ols_coeffs(sf_dir: str):
+    """Multi-feature linear regression (n_chars ~ ws_tokens + long_tokens)
+    fit distributively from MERGEABLE integer power sums: each batch emits
+    exact int64 partial sums of (1, x1, x2, y, x1², x2², x1x2, x1y, x2y);
+    the normal equations are solved once on the driver by Cramer's rule.
+    Every input to the float math is an exactly-reproducible integer, and
+    both sides evaluate the identical cofactor expression — so the oracle
+    hash-matches bit-for-bit despite the 3×3 solve. Generalizes
+    grouped_ols (1 feature) to the multi-feature case."""
+    ds = _t(sf_dir, "documents", ["text", "n_chars"])
+
+    def sums(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        txt = pl.from_arrow(pa.table({"text": t.column("text")}))["text"]
+        y = t.column("n_chars").to_numpy().astype(np.int64)
+        x1 = txt.str.count_matches(r"\S+").cast(pl.Int64).to_numpy().astype(np.int64)
+        x2 = txt.str.count_matches(r"[a-z]{7,}").cast(pl.Int64).to_numpy().astype(np.int64)
+        cols = {
+            "n": np.int64(len(y)),
+            "s1": x1.sum(),
+            "s2": x2.sum(),
+            "sy": y.sum(),
+            "s11": (x1 * x1).sum(),
+            "s22": (x2 * x2).sum(),
+            "s12": (x1 * x2).sum(),
+            "s1y": (x1 * y).sum(),
+            "s2y": (x2 * y).sum(),
+        }
+        return pa.table({k: pa.array([int(v)], pa.int64()) for k, v in cols.items()})
+
+    p = ds.map_batches(sums, batch_format="pyarrow").to_pandas().sum()
+    n, s1, s2, sy = float(p["n"]), float(p["s1"]), float(p["s2"]), float(p["sy"])
+    s11, s22, s12 = float(p["s11"]), float(p["s22"]), float(p["s12"])
+    s1y, s2y = float(p["s1y"]), float(p["s2y"])
+    det = n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2)
+    b0 = (sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) + s2 * (s1y * s12 - s11 * s2y)) / det
+    b1 = (n * (s1y * s22 - s2y * s12) - sy * (s1 * s22 - s12 * s2) + s2 * (s1 * s2y - s1y * s2)) / det
+    b2 = (n * (s11 * s2y - s12 * s1y) - s1 * (s1 * s2y - s1y * s2) + sy * (s1 * s12 - s11 * s2)) / det
+    return pd.DataFrame(
+        {"n": [int(p["n"])], "b0": [round(b0, 8)], "b1": [round(b1, 8)], "b2": [round(b2, 8)]}
+    )
+
+
+@q(
+    "value_ttest_click_purchase",
+    sql="""
+    WITH s AS (
+      SELECT
+        CAST(sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+        sum(CASE WHEN event_type='click' THEN value ELSE 0 END) AS sx1,
+        sum(CASE WHEN event_type='click' THEN value*value ELSE 0 END) AS sq1,
+        CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS DOUBLE) AS n2,
+        sum(CASE WHEN event_type='purchase' THEN value ELSE 0 END) AS sx2,
+        sum(CASE WHEN event_type='purchase' THEN value*value ELSE 0 END) AS sq2
+      FROM events WHERE event_type IN ('click','purchase')
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_click, CAST(n2 AS BIGINT) AS n_purchase,
+           round(sx1/n1 - sx2/n2, 4) AS mean_diff,
+           round((sx1/n1 - sx2/n2) /
+                 sqrt(((sq1 - sx1*sx1/n1)/(n1-1))/n1 + ((sq2 - sx2*sx2/n2)/(n2-1))/n2), 4)
+               AS t_stat,
+           round(pow(((sq1 - sx1*sx1/n1)/(n1-1))/n1 + ((sq2 - sx2*sx2/n2)/(n2-1))/n2, 2) /
+                 (pow(((sq1 - sx1*sx1/n1)/(n1-1))/n1, 2)/(n1-1)
+                  + pow(((sq2 - sx2*sx2/n2)/(n2-1))/n2, 2)/(n2-1)), 2) AS welch_df
+    FROM s
+    """,
+)
+def value_ttest_click_purchase(sf_dir: str):
+    """Two-sample Welch t-test between click and purchase event values,
+    computed from one distributed pass of conditional (n, Σx, Σx²) partials
+    — the A/B-test primitive. Both sides evaluate the identical
+    sum-of-squares formula from the same aggregates, rounded to absorb
+    addition-order ulps."""
+    ds = _t(sf_dir, "events", ["event_type", "value"])
+
+    def part(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(pa.table({"et": t.column("event_type"), "v": t.column("value")}))
+        out = {}
+        for tag, name in (("click", "1"), ("purchase", "2")):
+            g = df.filter(pl.col("et") == tag)["v"]
+            out[f"n{name}"] = float(len(g))
+            out[f"sx{name}"] = float(g.sum()) if len(g) else 0.0
+            out[f"sq{name}"] = float((g * g).sum()) if len(g) else 0.0
+        return pa.table({k: pa.array([v], pa.float64()) for k, v in out.items()})
+
+    p = ds.map_batches(part, batch_format="pyarrow").to_pandas().sum()
+    n1, sx1, sq1 = p["n1"], p["sx1"], p["sq1"]
+    n2, sx2, sq2 = p["n2"], p["sx2"], p["sq2"]
+    se1 = ((sq1 - sx1 * sx1 / n1) / (n1 - 1)) / n1
+    se2 = ((sq2 - sx2 * sx2 / n2) / (n2 - 1)) / n2
+    t_stat = (sx1 / n1 - sx2 / n2) / math.sqrt(se1 + se2)
+    df_w = (se1 + se2) ** 2 / (se1**2 / (n1 - 1) + se2**2 / (n2 - 1))
+    return pd.DataFrame(
+        {
+            "n_click": [int(n1)],
+            "n_purchase": [int(n2)],
+            "mean_diff": [round(sx1 / n1 - sx2 / n2, 4)],
+            "t_stat": [round(t_stat, 4)],
+            "welch_df": [round(df_w, 2)],
+        }
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -111,6 +111,34 @@ class CountMinSketch:
         ests = np.stack([self.counts[r][idx[r]] for r in range(self.depth)])
         return ests.min(axis=0)
 
+    def inner_product(self, other: "CountMinSketch") -> int:
+        """Join-size estimate |A ⋈ B| = Σ_k f_A(k)·f_B(k) (Cormode &
+        Muthukrishnan 2005 §4.2): min over rows of the row dot product.
+        Overestimates by ≤ ε·N_A·N_B with prob ≥ 1-δ; never underestimates.
+        Both sketches share the class-level seed family, so identical
+        geometry ⇒ aligned counters. Non-mutating (densifies copies)."""
+        if (self.depth, self.width) != (other.depth, other.width):
+            raise ValueError("cannot inner-product CMS with different geometry")
+        a, b = self, other
+        if a._sparse_h is not None and b._sparse_h is not None:
+            # both sparse: exact join of the buffered (hash, weight) pairs
+            ah, aw = a._sparse_agg()
+            bh, bw = b._sparse_agg()
+            if len(ah) == 0 or len(bh) == 0:
+                return 0
+            pos = np.searchsorted(ah, bh)
+            pos_c = np.minimum(pos, len(ah) - 1)
+            hit = ah[pos_c] == bh
+            return int((aw[pos_c][hit] * bw[hit]).sum())
+        if a._sparse_h is not None:
+            a = CountMinSketch.from_bytes(a.to_bytes())
+            a._densify()
+        if b._sparse_h is not None:
+            b = CountMinSketch.from_bytes(b.to_bytes())
+            b._densify()
+        rows = (a.counts * b.counts).sum(axis=1)
+        return int(rows.min())
+
     # -- merge ----------------------------------------------------------------
 
     def merge(self, other: "CountMinSketch") -> "CountMinSketch":
