@@ -24,6 +24,7 @@ from perfect_bloomfilter_ray.state.hll import HyperLogLog
 from perfect_bloomfilter_ray.state.cms import CountMinSketch
 from perfect_bloomfilter_ray.state.kll import KLLSketch
 from perfect_bloomfilter_ray.state.ddsketch import DDSketch
+from perfect_bloomfilter_ray.state.cuckoo import CuckooFilter
 from perfect_bloomfilter_ray.state.tdigest import TDigest
 from perfect_bloomfilter_ray.state.theta import ThetaSketch
 from perfect_bloomfilter_ray.state.spacesaving import MisraGries
@@ -36,6 +37,7 @@ __all__ = [
     "CountMinSketch",
     "KLLSketch",
     "DDSketch",
+    "CuckooFilter",
     "TDigest",
     "ThetaSketch",
     "MisraGries",

@@ -6070,6 +6070,59 @@ def weekly_value_change_per_type(sf_dir: str):
     return out
 
 
+@q(
+    "cuckoo_membership_roundtrip",
+    sql="""
+    SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS inserted,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS members,
+           CAST(0 AS BIGINT) AS false_negatives,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS deleted,
+           CAST(0 AS BIGINT) AS post_delete_members
+    FROM events
+    """,
+)
+def cuckoo_membership_roundtrip(sf_dir: str):
+    """Cuckoo-filter conformance (Fan et al. 2014): insert→check→DELETE→check
+    over the distinct event users. The SQL oracle encodes the deterministic
+    contract: members == inserted (a cuckoo filter has no false negatives),
+    and after deleting every inserted key the table is EMPTY — post-delete
+    membership is exactly 0, the capability the reference's Bloom tiers
+    (`filter.rs`, add-only bits) cannot express at all. The distinct-key set
+    and the distributed build/check run as Dataset stages; deletion mutates
+    ONE filter object and therefore streams id-only batches through it
+    sequentially (a shared-mutable-state op by nature, documented)."""
+    import ray
+
+    from perfect_bloomfilter_ray.stages.agg import sketch_global
+    from perfect_bloomfilter_ray.state.cuckoo import CuckooFilter
+
+    distinct = (
+        _t(sf_dir, "events", ["user_id"]).groupby("user_id").count().drop_columns(["count()"])
+    ).materialize()
+    n = distinct.count()
+    filt = sketch_global(distinct, "user_id", lambda: CuckooFilter.for_capacity(max(1024, n)))
+    ref = ray.put(filt.to_bytes())
+
+    def member_partial(t: pa.Table) -> pa.Table:
+        f = CuckooFilter.from_bytes(ray.get(ref))
+        return pa.table({"m": pa.array([int(f.contains_column(t.column("user_id")).sum())])})
+
+    n_member = int(distinct.map_batches(member_partial, batch_format="pyarrow").sum("m"))
+    n_deleted = 0
+    for b in distinct.iter_batches(batch_format="pyarrow", batch_size=65536):
+        n_deleted += int(filt.delete_column(b.column("user_id")).sum())
+    post = int((filt.buckets != 0).sum())  # empty table => 0 members for ANY probe
+    return pd.DataFrame(
+        {
+            "inserted": [n],
+            "members": [n_member],
+            "false_negatives": [n - n_member],
+            "deleted": [n_deleted],
+            "post_delete_members": [post],
+        }
+    )
+
+
 @q("dd_value_quantiles_per_type")
 def dd_value_quantiles_per_type(sf_dir: str):
     """Grouped DDSketch (relative-error quantiles, Masson et al. VLDB'19) per
