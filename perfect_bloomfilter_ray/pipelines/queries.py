@@ -6378,6 +6378,20 @@ def value_ttest_click_purchase(sf_dir: str):
     )
 
 
+@q("bpe_vocab_merges")
+def bpe_vocab_merges(sf_dir: str):
+    """Distributed BPE tokenizer training (Sennrich et al. 2016): corpus word
+    frequencies by map-side partial counts + one groupby exchange, then the
+    greedy merge loop over the BOUNDED top-words table (the standard trainer
+    architecture — driver state is O(top_words), corpus-size-independent).
+    Rows-only (iterative, not SQL-expressible); exactness pinned in
+    tests/test_bpe.py against a naive full-recount reference."""
+    from perfect_bloomfilter_ray.stages.bpe import bpe_merge_table
+
+    ds = _t(sf_dir, "documents", ["text"])
+    return bpe_merge_table(ds, "text", num_merges=60, top_words=20_000).to_pandas()
+
+
 # ---------------------------------------------------------------------------
 # Registration order: the driver spends its correctness slots in this order,
 # so surface SQL-oracle-backed queries (exact hash-verifiable) before

@@ -1,0 +1,82 @@
+"""BPE trainer: incremental pair maintenance must equal a naive full-recount
+reference; merges are deterministic; the distributed word count is exact."""
+
+from collections import Counter
+
+import pyarrow as pa
+
+from perfect_bloomfilter_ray.stages.bpe import _EOW, train_bpe
+
+
+def _naive_bpe(words, counts, num_merges):
+    """Reference: recount every pair from scratch each round."""
+    syms = [list(w) + [_EOW] for w in words]
+    merges = []
+    for _ in range(num_merges):
+        pc = Counter()
+        for s, c in zip(syms, counts):
+            for p in zip(s, s[1:]):
+                pc[p] += c
+        best = None
+        for p, c in pc.items():
+            if best is None or c > best[1] or (c == best[1] and p < best[0]):
+                best = (p, c)
+        if best is None or best[1] <= 0:
+            break
+        (l, r), support = best
+        merges.append((l, r, support))
+        for wi, s in enumerate(syms):
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[wi] = out
+    return merges
+
+
+def test_classic_sennrich_example():
+    merges = train_bpe(["low", "lower", "newest", "widest"], [5, 2, 6, 3], 3)
+    assert merges[0] == ("e", "s", 9)
+    assert merges[1] == ("es", "t", 9)
+    assert merges[2] == ("est", _EOW, 9)
+
+
+def test_incremental_equals_naive_recount():
+    import random
+
+    rng = random.Random(13)
+    vocab = ["".join(rng.choices("abcdef", k=rng.randint(1, 8))) for _ in range(300)]
+    words = sorted(set(vocab))
+    counts = [rng.randint(1, 50) for _ in words]
+    assert train_bpe(words, counts, 40) == _naive_bpe(words, counts, 40)
+
+
+def test_deterministic_across_input_order():
+    words = ["abc", "abd", "bcd", "cde"]
+    counts = [4, 3, 2, 1]
+    a = train_bpe(words, counts, 10)
+    order = [2, 0, 3, 1]
+    b = train_bpe([words[i] for i in order], [counts[i] for i in order], 10)
+    assert a == b
+
+
+def test_exhausts_gracefully():
+    merges = train_bpe(["ab"], [1], 100)
+    # "ab</w>" has 2 pairs -> at most 2 merges, then stop
+    assert len(merges) == 2
+
+
+def test_distributed_word_count_exact(ray_session):
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.bpe import word_frequencies
+
+    rows = [{"text": "the cat sat"}, {"text": "the cat"}, {"text": "the"}]
+    ds = rd.from_items(rows)
+    wf = word_frequencies(ds, "text", top_words=10)
+    got = {w: c for w, c in zip(wf.column("w").to_pylist(), wf.column("cnt").to_pylist())}
+    assert got == {"the": 3, "cat": 2, "sat": 1}
