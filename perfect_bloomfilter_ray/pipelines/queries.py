@@ -6378,6 +6378,119 @@ def value_ttest_click_purchase(sf_dir: str):
     )
 
 
+@q(
+    "user_value_rolling_median",
+    sql="""
+    SELECT event_id,
+           round(median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6)
+               AS roll_med5
+    FROM events ORDER BY event_id
+    """,
+)
+def user_value_rolling_median(sf_dir: str):
+    """ROWS-frame rolling MEDIAN per key (robust rolling statistic — the
+    outlier-resistant twin of user_value_rolling_mean): each event's median
+    value over the same user's last 5 events. Same single vectorized pass
+    per coarse partition; the median comes from a masked sliding-window
+    view + nanmedian, no per-key Python."""
+    from perfect_bloomfilter_ray.stages.windows import rolling_row_agg
+
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    out = rolling_row_agg(
+        ds,
+        "user_id",
+        "ts",
+        "value",
+        n_rows=5,
+        tie_cols=["event_id"],
+        out_mean=None,
+        out_median="roll_med5",
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        m = np.round(t.column("roll_med5").to_numpy(zero_copy_only=False), 6)
+        return pa.table({"event_id": t.column("event_id"), "roll_med5": pa.array(m)})
+
+    return out.map_batches(fin, batch_format="pyarrow").sort("event_id")
+
+
+@q(
+    "lang_readability_profile",
+    sql="""
+    WITH f AS (
+      SELECT lang,
+             CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS words,
+             CAST(length(text) - len(regexp_extract_all(text, '\\s')) AS BIGINT) AS word_chars,
+             CAST(len(regexp_extract_all(text, '[aeiou]+')) AS BIGINT) AS syls,
+             CAST(len(regexp_extract_all(text, '[a-z0-9]{7,}')) AS BIGINT) AS long_words
+      FROM documents
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           round(CAST(sum(word_chars) AS DOUBLE) / sum(words), 6) AS avg_word_len,
+           round(CAST(sum(syls) AS DOUBLE) / sum(words), 6) AS avg_syllables_per_word,
+           round(CAST(sum(long_words) AS DOUBLE) / sum(words), 6) AS long_word_ratio
+    FROM f GROUP BY lang ORDER BY lang
+    """,
+)
+def lang_readability_profile(sf_dir: str):
+    """Readability / lexical-complexity profile per language (Flesch-family
+    signals: word length, vowel-group syllable approximation, long-word
+    ratio). All per-batch partials are exact int64 sums, so the final
+    ratios are bit-reproducible against the oracle."""
+    ds = _t(sf_dir, "documents", ["lang", "text"])
+
+    def part(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(pa.table({"lang": t.column("lang"), "text": t.column("text")}))
+        return (
+            df.with_columns(
+                pl.col("text").str.count_matches(r"[a-z0-9]+").cast(pl.Int64).alias("words"),
+                (
+                    pl.col("text").str.len_chars().cast(pl.Int64)
+                    - pl.col("text").str.count_matches(r"\s").cast(pl.Int64)
+                ).alias("word_chars"),
+                pl.col("text").str.count_matches(r"[aeiou]+").cast(pl.Int64).alias("syls"),
+                pl.col("text").str.count_matches(r"[a-z0-9]{7,}").cast(pl.Int64).alias("long_words"),
+            )
+            .group_by("lang")
+            .agg(
+                pl.len().cast(pl.Int64).alias("n_docs"),
+                pl.col("words").sum(),
+                pl.col("word_chars").sum(),
+                pl.col("syls").sum(),
+                pl.col("long_words").sum(),
+            )
+            .to_arrow()
+        )
+
+    out = (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("words", alias_name="words"),
+            Sum("word_chars", alias_name="word_chars"),
+            Sum("syls", alias_name="syls"),
+            Sum("long_words", alias_name="long_words"),
+        )
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    res = pd.DataFrame(
+        {
+            "lang": out["lang"],
+            "n_docs": out["n_docs"].astype("int64"),
+            "avg_word_len": (out["word_chars"].astype(float) / out["words"]).round(6),
+            "avg_syllables_per_word": (out["syls"].astype(float) / out["words"]).round(6),
+            "long_word_ratio": (out["long_words"].astype(float) / out["words"]).round(6),
+        }
+    )
+    return res
+
+
 @q("bpe_vocab_merges")
 def bpe_vocab_merges(sf_dir: str):
     """Distributed BPE tokenizer training (Sennrich et al. 2016): corpus word

@@ -379,26 +379,30 @@ def rolling_row_agg(
     tie_cols: list[str] | None = None,
     out_mean: str | None = "roll_mean",
     out_sum: str | None = None,
+    out_median: str | None = None,
     num_blocks: int | None = None,
 ) -> Dataset:
-    """Per-row trailing ROWS-frame aggregate: mean / sum of ``value_col``
-    over the same key's last ``n_rows`` rows (current included), ordered by
-    ``(ts, *tie_cols)`` — SQL ``avg(v) OVER (PARTITION BY key ORDER BY ts,
-    ties ROWS BETWEEN n-1 PRECEDING AND CURRENT ROW)``. The row-count frame
-    complements :func:`sliding_window_agg`'s RANGE (time) frame; pass a
-    unique tie column for a deterministic, oracle-comparable result.
+    """Per-row trailing ROWS-frame aggregate: mean / sum / median of
+    ``value_col`` over the same key's last ``n_rows`` rows (current
+    included), ordered by ``(ts, *tie_cols)`` — SQL ``avg(v) OVER (PARTITION
+    BY key ORDER BY ts, ties ROWS BETWEEN n-1 PRECEDING AND CURRENT ROW)``.
+    The row-count frame complements :func:`sliding_window_agg`'s RANGE
+    (time) frame; pass a unique tie column for a deterministic,
+    oracle-comparable result.
 
     Same execution shape as the other keyed window ops: coarse hash
     partition, ONE vectorized pass per partition (lexsort + prefix-sum
-    difference over contiguous key runs), no per-key Python. Precision
-    caveat matches sliding_window_agg: sums are prefix-sum differences.
+    difference over contiguous key runs; the median via a masked
+    sliding-window view + nanmedian — O(n·n_rows) memory, no per-key
+    Python). Precision caveat matches sliding_window_agg: sums are
+    prefix-sum differences.
     """
     tie_cols = list(tie_cols or [])
 
     def per_part(t: pa.Table) -> pa.Table:
         t_out = t.drop_columns(["_part"])
         if len(t) == 0:
-            for c in (out_mean, out_sum):
+            for c in (out_mean, out_sum, out_median):
                 if c:
                     t_out = t_out.append_column(c, pa.array([], pa.float64()))
             return t_out
@@ -434,6 +438,12 @@ def rolling_row_agg(
             t_out = t_out.append_column(out_mean, pa.array((sums / cnts)[inv]))
         if out_sum:
             t_out = t_out.append_column(out_sum, pa.array(sums[inv]))
+        if out_median:
+            ext = np.concatenate([np.full(n_rows - 1, np.nan), vals_s])
+            win = np.lib.stride_tricks.sliding_window_view(ext, n_rows)
+            gidx = np.arange(n)[:, None] - (n_rows - 1) + np.arange(n_rows)[None, :]
+            med = np.nanmedian(np.where(gidx >= lo[:, None], win, np.nan), axis=1)
+            t_out = t_out.append_column(out_median, pa.array(med[inv]))
         return t_out
 
     return _add_part(ds, key_col, choose_num_blocks(ds, num_blocks)).groupby("_part").map_groups(per_part, batch_format="pyarrow")

@@ -143,7 +143,7 @@ def test_rolling_row_agg_matches_pandas(ray_session, rows, n_rows):
     out = (
         rolling_row_agg(
             rd.from_pandas(df), "k", "t", "v", n_rows=n_rows,
-            tie_cols=["rid"], out_mean="m", out_sum="s", num_blocks=3,
+            tie_cols=["rid"], out_mean="m", out_sum="s", out_median="md", num_blocks=3,
         )
         .to_pandas()
         .sort_values("rid")
@@ -153,9 +153,11 @@ def test_rolling_row_agg_matches_pandas(ray_session, rows, n_rows):
     g = exp.groupby("k")["v"]
     exp["m"] = g.transform(lambda s: s.rolling(n_rows, min_periods=1).mean())
     exp["s"] = g.transform(lambda s: s.rolling(n_rows, min_periods=1).sum())
+    exp["md"] = g.transform(lambda s: s.rolling(n_rows, min_periods=1).median())
     exp = exp.sort_values("rid").reset_index(drop=True)
     np.testing.assert_allclose(out["m"].to_numpy(), exp["m"].to_numpy(), rtol=1e-9, atol=1e-9)
     np.testing.assert_allclose(out["s"].to_numpy(), exp["s"].to_numpy(), rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(out["md"].to_numpy(), exp["md"].to_numpy(), rtol=1e-9, atol=1e-9)
 
 
 @settings(max_examples=20, deadline=None)
