@@ -4088,7 +4088,11 @@ def budget_selected_docs(sf_dir: str):
         )
         return t.drop_columns(["text"]).append_column("toks", toks.to_arrow())
 
-    ds = docs.map_batches(add_toks, batch_format="pyarrow")
+    # materialize the 24 B/row (id, score, cost) projection ONCE: the
+    # threshold search re-scans its input per histogram round, and without
+    # this the regex tokenization would re-execute on every round (was ~9 s
+    # of the bench suite, ~3.5 s after). Slim + spillable at scale.
+    ds = docs.map_batches(add_toks, batch_format="pyarrow").materialize()
     out = (
         select_within_budget(ds, "n_chars", "toks", "doc_id", 12000.0)
         .to_pandas()
