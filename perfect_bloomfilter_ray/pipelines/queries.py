@@ -6495,6 +6495,31 @@ def lang_readability_profile(sf_dir: str):
     return res
 
 
+@q(
+    "vocab_edit_distance_pairs",
+    sql="""
+    WITH tok AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w FROM documents
+    ),
+    cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+    v AS (SELECT w FROM cnt ORDER BY c DESC, w LIMIT 5000)
+    SELECT a.w AS wa, b.w AS wb, CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist
+    FROM v a, v b
+    WHERE a.w < b.w AND levenshtein(a.w, b.w) <= 2
+    ORDER BY wa, wb
+    """,
+)
+def vocab_edit_distance_pairs(sf_dir: str):
+    """Spell-correction candidate mining: all edit-distance-≤2 pairs within
+    the top-5000 corpus vocabulary, found by SymSpell deletion-neighborhood
+    blocking (O(V·L²) keys, tiny buckets) instead of the oracle's O(V²)
+    levenshtein cross join — identical rows, structurally cheaper."""
+    from perfect_bloomfilter_ray.stages.fuzzy import edit_vocab_pairs
+
+    ds = _t(sf_dir, "documents", ["text"])
+    return edit_vocab_pairs(ds, "text", top_words=5000, max_distance=2).to_pandas()
+
+
 @q("bpe_vocab_merges")
 def bpe_vocab_merges(sf_dir: str):
     """Distributed BPE tokenizer training (Sennrich et al. 2016): corpus word

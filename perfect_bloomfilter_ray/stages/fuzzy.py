@@ -105,3 +105,91 @@ def blocked_hamming_pairs(
         .groupby("_part")
         .map_groups(pairs_block, batch_format="pyarrow")
     )
+
+
+def levenshtein(a: str, b: str, cap: int | None = None) -> int:
+    """Plain Levenshtein DP (matches DuckDB's ``levenshtein``). With ``cap``,
+    early-exits once the distance provably exceeds it (banded row minimum)."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return max(la, lb)
+    if cap is not None and abs(la - lb) > cap:
+        return cap + 1
+    prev = list(range(lb + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i] + [0] * lb
+        for j, cb in enumerate(b, 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+        if cap is not None and min(cur) > cap:
+            return cap + 1
+        prev = cur
+    return prev[lb]
+
+
+def edit_vocab_pairs(
+    ds: Dataset, text_col: str = "text", top_words: int = 5000, max_distance: int = 2
+) -> pa.Table:
+    """Edit-distance-≤``max_distance`` pairs within the corpus vocabulary —
+    SymSpell deletion-neighborhood blocking (Garbe 2012), the
+    spell-correction / query-rewrite candidate miner.
+
+    The corpus-sized work (exact word frequencies + top-``top_words`` cut)
+    runs distributed via :func:`stages.bpe.word_frequencies`; the blocking
+    then runs on the BOUNDED vocabulary: every word emits itself plus every
+    deletion variant up to depth ``max_distance`` as block keys; two words
+    within edit distance d share a depth-≤d deletion key (the SymSpell
+    superset property), and an exact Levenshtein verify (capped DP) keeps
+    true pairs only. All-pairs is O(V²·L²); deletion blocking is O(V·L^d)
+    keys with tiny buckets — the same scheme scales to unbounded vocab as
+    an explode + groupby if ``top_words`` is lifted. The verify loops
+    Python over CANDIDATES (bounded by construction), not over the corpus.
+
+    Returns (wa, wb, dist) with wa < wb, sorted — row-identical to the SQL
+    ``levenshtein(a, b) <= d`` cross-join oracle over the same top-V rule.
+    """
+    from collections import defaultdict
+
+    from perfect_bloomfilter_ray.stages.bpe import word_frequencies
+
+    wf = word_frequencies(ds, text_col, top_words)
+    words = wf.column("w").to_pylist()
+
+    def deletions(w: str, depth: int) -> set[str]:
+        out = {w}
+        frontier = {w}
+        for _ in range(depth):
+            nxt = set()
+            for v in frontier:
+                for i in range(len(v)):
+                    nxt.add(v[:i] + v[i + 1 :])
+            nxt -= out
+            out |= nxt
+            frontier = nxt
+        return out
+
+    buckets: defaultdict[str, list[int]] = defaultdict(list)
+    for wi, w in enumerate(words):
+        for k in deletions(w, max_distance):
+            buckets[k].append(wi)
+    cand = set()
+    for members in buckets.values():
+        if len(members) > 1:
+            for x in range(len(members)):
+                for y in range(x + 1, len(members)):
+                    a, b = words[members[x]], words[members[y]]
+                    if a != b:
+                        cand.add((min(a, b), max(a, b)))
+    verified = []
+    for a, b in sorted(cand):
+        d = levenshtein(a, b, cap=max_distance)
+        if d <= max_distance:
+            verified.append((a, b, d))
+    return pa.table(
+        {
+            "wa": pa.array([p[0] for p in verified]),
+            "wb": pa.array([p[1] for p in verified]),
+            "dist": pa.array([p[2] for p in verified], pa.int64()),
+        }
+    )

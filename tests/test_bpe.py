@@ -80,3 +80,34 @@ def test_distributed_word_count_exact(ray_session):
     wf = word_frequencies(ds, "text", top_words=10)
     got = {w: c for w, c in zip(wf.column("w").to_pylist(), wf.column("cnt").to_pylist())}
     assert got == {"the": 3, "cat": 2, "sat": 1}
+
+
+def test_levenshtein_matches_reference():
+    from perfect_bloomfilter_ray.stages.fuzzy import levenshtein
+
+    cases = [("abc", "abc", 0), ("abc", "axc", 1), ("abc", "ab", 1),
+             ("kitten", "sitting", 3), ("", "abc", 3), ("ab", "cd", 2),
+             ("flaw", "lawn", 2)]
+    for a, b, d in cases:
+        assert levenshtein(a, b) == d, (a, b)
+        assert levenshtein(b, a) == d
+    assert levenshtein("kitten", "sitting", cap=2) == 3  # cap+1 on overflow
+
+
+def test_edit_vocab_pairs_blocking_is_exact(ray_session):
+    import itertools
+
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.fuzzy import edit_vocab_pairs, levenshtein
+
+    words = ["cat", "cart", "card", "cap", "dog", "dot", "do", "ab", "cd", "abc"]
+    ds = rd.from_items([{"text": " ".join(words)} for _ in range(3)])
+    got = edit_vocab_pairs(ds, "text", top_words=100, max_distance=2)
+    got_pairs = set(zip(got.column("wa").to_pylist(), got.column("wb").to_pylist(), got.column("dist").to_pylist()))
+    exp = set()
+    for a, b in itertools.combinations(sorted(words), 2):
+        d = levenshtein(a, b)
+        if d <= 2:
+            exp.add((a, b, d))
+    assert got_pairs == exp
