@@ -6520,6 +6520,133 @@ def vocab_edit_distance_pairs(sf_dir: str):
     return edit_vocab_pairs(ds, "text", top_words=5000, max_distance=2).to_pandas()
 
 
+@q(
+    "weekly_stickiness",
+    sql="""
+    WITH du AS (SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events),
+    dau AS (SELECT d, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY d),
+    wau AS (SELECT date_trunc('week', d) AS w, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+            FROM du GROUP BY 1)
+    SELECT strftime(wau.w, '%Y-%m-%d') AS week,
+           CAST(count(*) AS BIGINT) AS n_days,
+           wau.wau,
+           round(CAST(sum(dau.dau) AS DOUBLE) / count(*), 6) AS avg_dau,
+           round(CAST(sum(dau.dau) AS DOUBLE) / (count(*) * wau.wau), 6) AS stickiness
+    FROM dau JOIN wau ON date_trunc('week', dau.d) = wau.w
+    GROUP BY wau.w, wau.wau ORDER BY week
+    """,
+)
+def weekly_stickiness(sf_dir: str):
+    """Product-analytics stickiness (avg DAU / WAU per week): ONE
+    pair-distinct exchange over (day, user) — the corpus-sized step — then
+    the week-level dedup and counts run over the already-deduped pair set
+    (orders of magnitude smaller). Integer sums → bit-exact ratios."""
+    ds = _t(sf_dir, "events", ["ts", "user_id"])
+
+    def day_pairs(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        d = pc.cast(pc.cast(pc.floor_temporal(t.column("ts"), unit="day"), pa.timestamp("us")), pa.int64())
+        return pl.from_arrow(pa.table({"d": d, "user_id": t.column("user_id")})).unique().to_arrow()
+
+    pairs = (
+        ds.map_batches(day_pairs, batch_format="pyarrow").groupby(["d", "user_id"]).count()
+    ).materialize()  # deduped (day,user) set: reused by BOTH counts below
+
+    def dau_partial(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(t.select(["d"])).group_by("d").len(name="pn")
+            .with_columns(pl.col("pn").cast(pl.Int64)).to_arrow()
+        )
+
+    WEEK_US = 7 * 86400 * 1_000_000
+    EPOCH_MON_SHIFT = 3 * 86400 * 1_000_000  # 1970-01-01 is a Thursday
+
+    def week_pairs(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        d = t.column("d").to_numpy()
+        w = (d + EPOCH_MON_SHIFT) // WEEK_US * WEEK_US - EPOCH_MON_SHIFT
+        return pl.from_arrow(pa.table({"w": pa.array(w), "user_id": t.column("user_id")})).unique().to_arrow()
+
+    dau = (
+        pairs.map_batches(dau_partial, batch_format="pyarrow")
+        .groupby("d").aggregate(Sum("pn", alias_name="dau")).to_pandas()
+    )
+    wau = (
+        pairs.map_batches(week_pairs, batch_format="pyarrow")
+        .groupby(["w", "user_id"]).count()
+    )
+
+    def wau_partial(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(t.select(["w"])).group_by("w").len(name="pn")
+            .with_columns(pl.col("pn").cast(pl.Int64)).to_arrow()
+        )
+
+    wau_df = (
+        wau.map_batches(wau_partial, batch_format="pyarrow")
+        .groupby("w").aggregate(Sum("pn", alias_name="wau")).to_pandas()
+    )
+    dau["w"] = (dau["d"] + EPOCH_MON_SHIFT) // WEEK_US * WEEK_US - EPOCH_MON_SHIFT
+    agg = dau.groupby("w").agg(n_days=("d", "count"), sum_dau=("dau", "sum")).reset_index()
+    out = agg.merge(wau_df, on="w")
+    out["week"] = pd.to_datetime(out["w"], unit="us").dt.strftime("%Y-%m-%d")
+    out["avg_dau"] = (out["sum_dau"].astype(float) / out["n_days"]).round(6)
+    out["stickiness"] = (out["sum_dau"].astype(float) / (out["n_days"] * out["wau"])).round(6)
+    out["n_days"] = out["n_days"].astype("int64")
+    out["wau"] = out["wau"].astype("int64")
+    return (
+        out[["week", "n_days", "wau", "avg_dau", "stickiness"]]
+        .sort_values("week")
+        .reset_index(drop=True)
+    )
+
+
+@q(
+    "event_value_skyline",
+    sql="""
+    WITH s AS (
+      SELECT event_id, value, epoch_us(ts) AS ts_us FROM events
+      WHERE (event_id * 2654435761) % 100 = 7
+    )
+    SELECT event_id, round(value, 6) AS value, ts_us FROM s p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM s q
+      WHERE q.value >= p.value AND q.ts_us >= p.ts_us
+        AND (q.value > p.value OR q.ts_us > p.ts_us)
+    )
+    ORDER BY event_id
+    """,
+)
+def event_value_skyline(sf_dir: str):
+    """Skyline / Pareto frontier (Börzsönyi ICDE'01): the non-dominated
+    events under (maximize value, maximize recency) — 'no later event was
+    also more valuable'. Block-local frontier pass + one exact merge over
+    the tiny union; the oracle is the quadratic NOT-EXISTS dominance
+    definition over the same deterministic hash slice."""
+    from perfect_bloomfilter_ray.stages.skyline import skyline_2d
+
+    ds = _t(sf_dir, "events", ["event_id", "value", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy()
+        keep = (eid * 2654435761) % 100 == 7
+        ts_us = pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64())
+        return pa.table(
+            {"event_id": t.column("event_id"), "value": t.column("value"), "ts_us": ts_us}
+        ).filter(pa.array(keep))
+
+    sky = skyline_2d(ds.map_batches(prep, batch_format="pyarrow"), "value", "ts_us")
+    out = sky.to_pandas().sort_values("event_id").reset_index(drop=True)
+    out["value"] = out["value"].round(6)
+    return out[["event_id", "value", "ts_us"]]
+
+
 @q("bpe_vocab_merges")
 def bpe_vocab_merges(sf_dir: str):
     """Distributed BPE tokenizer training (Sennrich et al. 2016): corpus word

@@ -111,3 +111,31 @@ def test_edit_vocab_pairs_blocking_is_exact(ray_session):
         if d <= 2:
             exp.add((a, b, d))
     assert got_pairs == exp
+
+
+def test_skyline_matches_bruteforce(ray_session):
+    import ray.data as rd
+    from hypothesis import given, settings, strategies as st
+
+    from perfect_bloomfilter_ray.stages.skyline import skyline_2d
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        pts=st.lists(
+            st.tuples(st.integers(0, 12), st.integers(0, 12)), min_size=1, max_size=60
+        )
+    )
+    def inner(pts):
+        ds = rd.from_items([{"x": float(a), "y": float(b), "i": i} for i, (a, b) in enumerate(pts)])
+        got = skyline_2d(ds, "x", "y")
+        got_ids = sorted(got.column("i").to_pylist())
+        exp = []
+        for i, (a, b) in enumerate(pts):
+            dominated = any(
+                (c >= a and d >= b and (c > a or d > b)) for j, (c, d) in enumerate(pts) if j != i
+            )
+            if not dominated:
+                exp.append(i)
+        assert got_ids == sorted(exp), (pts, got_ids, exp)
+
+    inner()
