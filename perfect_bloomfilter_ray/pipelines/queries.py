@@ -6647,6 +6647,74 @@ def event_value_skyline(sf_dir: str):
     return out[["event_id", "value", "ts_us"]]
 
 
+@q(
+    "purchase_attribution",
+    sql="""
+    WITH s AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN event_type IN ('view','click') THEN event_type END AS touch,
+             CASE WHEN event_type IN ('view','click') THEN epoch_us(ts) END AS touch_us
+      FROM events WHERE event_type IN ('view','click','purchase')
+    ),
+    w AS (
+      SELECT event_id, event_type, epoch_us(ts) AS ts_us,
+             last_value(touch IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                                  ROWS UNBOUNDED PRECEDING) AS last_touch,
+             last_value(touch_us IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                                     ROWS UNBOUNDED PRECEDING) AS lt_us
+      FROM s
+    )
+    SELECT event_id, last_touch, CAST((ts_us - lt_us) // 1000000 AS BIGINT) AS lag_s
+    FROM w WHERE event_type = 'purchase' ORDER BY event_id
+    """,
+)
+def purchase_attribution(sf_dir: str):
+    """Last-touch marketing attribution: each purchase is credited to the
+    same user's most recent preceding view/click (purchases with no prior
+    touch stay null). Built on the grouped forward-fill window
+    (stages/windows.grouped_ffill — last_value IGNORE NULLS semantics):
+    tag touch rows, carry (touch, touch_ts) forward per user in one
+    vectorized co-partitioned pass, filter to purchases. Integer lag
+    seconds → bit-exact oracle."""
+    from perfect_bloomfilter_ray.stages.windows import grouped_ffill
+
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        et = t.column("event_type")
+        keep = pc.is_in(et, value_set=pa.array(["view", "click", "purchase"]))
+        t = t.filter(keep)
+        et = t.column("event_type")
+        is_touch = pc.is_in(et, value_set=pa.array(["view", "click"]))
+        ts_us = pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64())
+        return (
+            t.append_column("touch", pc.if_else(is_touch, et, pa.nulls(len(t), pa.string())))
+            .append_column("touch_us", pc.if_else(is_touch, ts_us, pa.nulls(len(t), pa.int64())))
+            .append_column("ts_us", ts_us)
+        )
+
+    filled = grouped_ffill(
+        ds.map_batches(tag, batch_format="pyarrow"),
+        "user_id",
+        "ts",
+        ["touch", "touch_us"],
+        tie_cols=["event_id"],
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("event_type"), pa.scalar("purchase")))
+        lag = pc.divide(pc.subtract(t.column("ts_us"), t.column("touch_us")), pa.scalar(1_000_000))
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "last_touch": t.column("touch"),
+                "lag_s": pc.cast(lag, pa.int64()),
+            }
+        )
+
+    return filled.map_batches(fin, batch_format="pyarrow").sort("event_id")
+
+
 @q("bpe_vocab_merges")
 def bpe_vocab_merges(sf_dir: str):
     """Distributed BPE tokenizer training (Sennrich et al. 2016): corpus word

@@ -662,3 +662,85 @@ def ewma(
         return df.to_arrow()
 
     return _add_part(ds, key_col, choose_num_blocks(ds, num_blocks)).groupby("_part").map_groups(per_part, batch_format="pyarrow")
+
+
+def grouped_ffill(
+    ds: Dataset,
+    key_col: str,
+    ts_col: str,
+    fill_cols: list[str],
+    tie_cols: list[str] | None = None,
+    num_blocks: int | None = None,
+) -> Dataset:
+    """Per-key forward fill: carry the last non-null value of each
+    ``fill_cols`` column forward along ``(ts, *tie_cols)`` order within each
+    key — SQL ``last_value(col IGNORE NULLS) OVER (PARTITION BY key ORDER BY
+    ts, ties ROWS UNBOUNDED PRECEDING)``. The state-propagation primitive
+    behind attribution (last touch), gap-filling sensor streams, and
+    slowly-changing dimensions.
+
+    Same execution shape as the other keyed windows: coarse hash partition,
+    one vectorized pass per partition (lexsort; fill source = running
+    ``maximum.accumulate`` of valid row indices, nulled where the source
+    falls before the key run's start). Fill columns keep their dtype; rows
+    before a key's first non-null stay null.
+    """
+    tie_cols = list(tie_cols or [])
+    # remember the declared fill-column types: Ray's sort exchange degrades a
+    # partition whose column is ALL null to arrow `null` type, which would
+    # otherwise leak into the output schema
+    in_schema = ds.schema()
+    fill_types = dict(zip(in_schema.names, in_schema.types))
+
+    def _typed(col: pa.ChunkedArray | pa.Array, name: str):
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_null(col.type) and not pa.types.is_null(fill_types[name]):
+            col = pa.nulls(len(col), fill_types[name])
+        return col
+
+    def per_part(t: pa.Table) -> pa.Table:
+        t_out = t.drop_columns(["_part"])
+        if len(t) == 0:
+            for c in fill_cols:
+                t_out = t_out.set_column(
+                    t_out.schema.get_field_index(c), c, _typed(t_out.column(c), c)
+                )
+            return t_out
+        keys = t.column(key_col)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        codes = pc.index_in(keys, value_set=pc.unique(keys)).to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = _ts_i64(t.column(ts_col))
+        ties = []
+        for c in tie_cols:
+            col = t.column(c)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            ties.append(
+                pc.index_in(col, value_set=pc.unique(col).sort()).to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+        order = np.lexsort(tuple(reversed(ties)) + (ts, codes))
+        codes_s = codes[order]
+        n = len(order)
+        first = np.zeros(n, dtype=bool)
+        first[0] = True
+        first[1:] = codes_s[1:] != codes_s[:-1]
+        starts = np.flatnonzero(first)
+        run_start = np.repeat(starts, np.diff(np.append(starts, n)))
+        inv = np.empty(n, dtype=np.int64)
+        inv[order] = np.arange(n)
+        for c in fill_cols:
+            col = _typed(t.column(c), c)
+            valid = pc.is_valid(col).to_numpy(zero_copy_only=False)[order]
+            src = np.maximum.accumulate(np.where(valid, np.arange(n), -1))
+            ok = src >= run_start
+            src_c = np.where(ok, src, 0)
+            filled_sorted = col.take(pa.array(order[src_c]))
+            filled_sorted = pc.if_else(pa.array(ok), filled_sorted, pa.nulls(n, col.type))
+            t_out = t_out.set_column(
+                t_out.schema.get_field_index(c), c, filled_sorted.take(pa.array(inv))
+            )
+        return t_out
+
+    return _add_part(ds, key_col, choose_num_blocks(ds, num_blocks)).groupby("_part").map_groups(per_part, batch_format="pyarrow")

@@ -216,3 +216,32 @@ def test_ewma_matches_pandas(ray_session, rows, alpha):
     exp = exp.sort_values("rid").reset_index(drop=True)
     np.testing.assert_allclose(out["ewma"].to_numpy(), exp["e"].to_numpy(),
                                rtol=1e-9, atol=1e-9)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(_keys, _ts, st.one_of(st.none(), st.integers(-50, 50))),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_grouped_ffill_matches_pandas(ray_session, rows):
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.windows import grouped_ffill
+
+    df = pd.DataFrame(rows, columns=["k", "t", "v"])
+    df["t"] = pd.to_datetime(df["t"], unit="s")
+    df["rid"] = range(len(df))
+    df["v"] = df["v"].astype("float64")
+    out = (
+        grouped_ffill(rd.from_pandas(df), "k", "t", ["v"], tie_cols=["rid"], num_blocks=3)
+        .to_pandas()
+        .sort_values("rid")
+        .reset_index(drop=True)
+    )
+    exp = df.sort_values(["k", "t", "rid"]).copy()
+    exp["v"] = exp.groupby("k")["v"].ffill()
+    exp = exp.sort_values("rid").reset_index(drop=True)
+    pd.testing.assert_series_equal(out["v"], exp["v"], check_names=False)
