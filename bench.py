@@ -157,6 +157,20 @@ SUITE = [
     "decayed_user_scores_exact",
     "user_peak_minute_rate",
     "weekly_value_change_per_type",
+    "dd_value_quantiles_per_type",
+    "join_size_users_exact",
+    "cms_join_size_users",
+    "doc_length_ols_coeffs",
+    "value_ttest_click_purchase",
+    "cuckoo_membership_roundtrip",
+    "user_value_rolling_median",
+    "lang_readability_profile",
+    "bpe_vocab_merges",
+    "vocab_edit_distance_pairs",
+    "weekly_stickiness",
+    "event_value_skyline",
+    "purchase_attribution",
+    "user_coverage_intervals",
 ]
 
 

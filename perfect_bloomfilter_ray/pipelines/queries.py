@@ -6715,6 +6715,109 @@ def purchase_attribution(sf_dir: str):
     return filled.map_batches(fin, batch_format="pyarrow").sort("event_id")
 
 
+@q(
+    "user_coverage_intervals",
+    sql="""
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) AS s,
+             greatest(epoch_us(ts) + CAST(trunc(value * 60000000) AS BIGINT), epoch_us(ts)) AS e
+      FROM events
+    ),
+    o AS (
+      SELECT user_id, s, e,
+             max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      FROM iv
+    ),
+    fl AS (SELECT *, CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS ni FROM o),
+    isl AS (
+      SELECT user_id, s, e,
+             sum(ni) OVER (PARTITION BY user_id ORDER BY s, e ROWS UNBOUNDED PRECEDING)
+                 AS island
+      FROM fl
+    ),
+    agg AS (SELECT user_id, island, min(s) AS i_s, max(e) AS i_e FROM isl GROUP BY 1, 2)
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(i_e - i_s) AS BIGINT) AS covered_us
+    FROM agg GROUP BY user_id ORDER BY user_id
+    """,
+)
+def user_coverage_intervals(sf_dir: str):
+    """Gaps-and-islands interval union per key: each event spans
+    [ts, ts + value minutes]; overlapping spans merge into islands and the
+    per-user covered time is the union length — the classic uptime /
+    watch-time / coverage aggregate. One coarse co-partitioned exchange,
+    then a single vectorized pass per partition: per-key running max of
+    interval ends (key-offset trick keeps accumulate from crossing keys),
+    island starts where start > previous running max, per-island extents by
+    reduceat. Integer microseconds → bit-exact oracle."""
+    from perfect_bloomfilter_ray.functions.hashing import hash64
+    from perfect_bloomfilter_ray.stages.partitioning import choose_num_blocks
+
+    ds = _t(sf_dir, "events", ["user_id", "ts", "value"])
+    nb = np.uint64(choose_num_blocks(ds))
+
+    def prep(t: pa.Table) -> pa.Table:
+        s = pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64()).to_numpy()
+        dur = (t.column("value").to_numpy(zero_copy_only=False) * 60000000.0).astype(np.int64)
+        e = np.maximum(s + dur, s)
+        out = pa.table({"user_id": t.column("user_id"), "s": pa.array(s), "e": pa.array(e)})
+        h = hash64(out.column("user_id"), 0x5E55)
+        return out.append_column("_part", pa.array((h % nb).astype(np.int32)))
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], t.schema.field("user_id").type),
+                    "n_islands": pa.array([], pa.int64()),
+                    "covered_us": pa.array([], pa.int64()),
+                }
+            )
+        uid = t.column("user_id").to_numpy()
+        s = t.column("s").to_numpy()
+        e = t.column("e").to_numpy()
+        order = np.lexsort((e, s, uid))
+        u_s, s_s, e_s = uid[order], s[order], e[order]
+        n = len(order)
+        first = np.zeros(n, dtype=bool)
+        first[0] = True
+        first[1:] = u_s[1:] != u_s[:-1]
+        # key-offset trick: a per-key monotone offset larger than the global
+        # span makes one global maximum.accumulate respect key boundaries
+        span = int(e_s.max() - s_s.min()) + 1
+        kidx = np.cumsum(first) - 1
+        off = kidx * np.int64(span + 1)
+        runmax = np.maximum.accumulate(e_s - s_s.min() + off)
+        new_island = np.ones(n, dtype=bool)
+        new_island[1:] = (s_s[1:] - s_s.min() + off[1:]) > runmax[:-1]
+        isl_starts = np.flatnonzero(new_island)
+        isl_end = np.maximum.reduceat(e_s, isl_starts)
+        isl_len = isl_end - s_s[isl_starts]
+        isl_key = kidx[isl_starts]
+        key_starts = np.flatnonzero(np.concatenate([[True], isl_key[1:] != isl_key[:-1]]))
+        n_isl = np.diff(np.append(key_starts, len(isl_starts)))
+        covered = np.add.reduceat(isl_len, key_starts)
+        keys_out = pc.take(t.column("user_id"), pa.array(order[np.flatnonzero(first)], pa.int64()))
+        return pa.table(
+            {
+                "user_id": keys_out,
+                "n_islands": pa.array(n_isl.astype(np.int64)),
+                "covered_us": pa.array(covered.astype(np.int64)),
+            }
+        )
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(per_part, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    return out
+
+
 @q("bpe_vocab_merges")
 def bpe_vocab_merges(sf_dir: str):
     """Distributed BPE tokenizer training (Sennrich et al. 2016): corpus word
