@@ -171,6 +171,7 @@ SUITE = [
     "event_value_skyline",
     "purchase_attribution",
     "user_coverage_intervals",
+    "orders_scd2_history",
 ]
 
 

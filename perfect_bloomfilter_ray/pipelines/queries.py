@@ -6818,6 +6818,93 @@ def user_coverage_intervals(sf_dir: str):
     return out
 
 
+@q(
+    "orders_scd2_history",
+    sql="""
+    WITH a AS (SELECT o_orderkey AS k, round(o_totalprice, 2) AS v
+               FROM orders WHERE o_orderkey % 11 <> 0),
+    b AS (SELECT o_orderkey AS k,
+                 round(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1
+                            ELSE o_totalprice END, 2) AS v
+          FROM orders WHERE o_orderkey % 13 <> 0),
+    j AS (SELECT coalesce(a.k, b.k) AS k, a.v AS va, b.v AS vb
+          FROM a FULL OUTER JOIN b ON a.k = b.k)
+    SELECT k, va AS v, CAST(1 AS BIGINT) AS valid_from,
+           CASE WHEN vb IS NULL OR va <> vb THEN CAST(2 AS BIGINT) END AS valid_to
+    FROM j WHERE va IS NOT NULL
+    UNION ALL
+    SELECT k, vb, CAST(2 AS BIGINT), CAST(NULL AS BIGINT)
+    FROM j WHERE vb IS NOT NULL AND (va IS NULL OR va <> vb)
+    ORDER BY k, valid_from
+    """,
+)
+def orders_scd2_history(sf_dir: str):
+    """Slowly-changing-dimension (SCD type 2) history build: the two
+    deterministic order snapshots become a versioned dimension — unchanged
+    rows stay open (valid_to null), changed rows close at version 2 and
+    reopen with the new value, removals close, additions open at 2. The
+    warehouse-ETL sibling of orders_snapshot_diff: same full-outer join,
+    but the classification EMITS history rows instead of counting."""
+
+    def version(which: str):
+        def fn(t: pa.Table) -> pa.Table:
+            k = t.column("o_orderkey").to_numpy()
+            v = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+            if which == "a":
+                keep = k % 11 != 0
+                vv = np.round(v, 2)
+            else:
+                keep = k % 13 != 0
+                vv = np.round(np.where(k % 7 == 0, v + 1, v), 2)
+            return pa.table({"k": pa.array(k[keep]), "v": pa.array(vv[keep])})
+
+        return fn
+
+    base = _t(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    a = base.map_batches(version("a"), batch_format="pyarrow").materialize()
+    b = base.map_batches(version("b"), batch_format="pyarrow")
+    nparts = max(1, min(8, a.count() // 64))
+    j = a.join(b, "full_outer", num_partitions=nparts, on=("k",), right_on=("k",), right_suffix="_b")
+
+    def emit(t: pa.Table) -> pa.Table:
+        k = t.column("k").to_numpy(zero_copy_only=False)
+        va = t.column("v").to_numpy(zero_copy_only=False)
+        vb = t.column("v_b").to_numpy(zero_copy_only=False)
+        a_has, b_has = ~np.isnan(va), ~np.isnan(vb)
+        closed = a_has & (~b_has | (va != vb))  # v1 rows that end at version 2
+        new_open = b_has & (~a_has | (va != vb))  # v2 rows opening at version 2
+        ks, vs, vf, vt = [], [], [], []
+        # v1 rows (valid_from 1): closed ones get valid_to 2, others stay open
+        ks.append(k[a_has])
+        vs.append(va[a_has])
+        vf.append(np.full(int(a_has.sum()), 1, dtype=np.int64))
+        vt.append(np.where(closed[a_has], 2.0, np.nan))
+        # v2 rows (valid_from 2, open)
+        ks.append(k[new_open])
+        vs.append(vb[new_open])
+        vf.append(np.full(int(new_open.sum()), 2, dtype=np.int64))
+        vt.append(np.full(int(new_open.sum()), np.nan))
+        vt_arr = np.concatenate(vt)
+        return pa.table(
+            {
+                "k": pa.array(np.concatenate(ks)),
+                "v": pa.array(np.concatenate(vs)),
+                "valid_from": pa.array(np.concatenate(vf)),
+                "valid_to": pa.array(
+                    np.where(np.isnan(vt_arr), 0, vt_arr).astype(np.int64),
+                    mask=np.isnan(vt_arr),
+                ),
+            }
+        )
+
+    return (
+        j.map_batches(emit, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["k", "valid_from"])
+        .reset_index(drop=True)
+    )
+
+
 @q("bpe_vocab_merges")
 def bpe_vocab_merges(sf_dir: str):
     """Distributed BPE tokenizer training (Sennrich et al. 2016): corpus word
