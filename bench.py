@@ -172,6 +172,7 @@ SUITE = [
     "purchase_attribution",
     "user_coverage_intervals",
     "orders_scd2_history",
+    "user_key_skew_report",
 ]
 
 

@@ -6905,6 +6905,70 @@ def orders_scd2_history(sf_dir: str):
     )
 
 
+@q(
+    "user_key_skew_report",
+    sql="""
+    WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+    r AS (SELECT cnt, row_number() OVER (ORDER BY cnt) AS i FROM c)
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(cnt) AS BIGINT) AS total,
+           CAST(max(cnt) AS BIGINT) AS max_cnt,
+           round((2.0 * sum(i * cnt) - (count(*) + 1) * sum(cnt))
+                 / (count(*) * sum(cnt)), 8) AS gini,
+           round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 8) AS top1_share
+    FROM r
+    """,
+)
+def user_key_skew_report(sf_dir: str):
+    """Shuffle-skew diagnostic for a groupby key: Gini coefficient and
+    top-key share of the per-user event counts — the number an engine
+    checks before choosing salting. Computed WITHOUT collecting the
+    per-key counts: a count-of-counts table (distinct count value ->
+    multiplicity, tiny by construction) fully determines the rank-weighted
+    Gini sum (consecutive-rank blocks), so the driver sees O(distinct
+    counts) rows even at 10^9 keys. Integer sums -> bit-exact oracle."""
+    ds = _t(sf_dir, "events", ["user_id"])
+    per_user = ds.groupby("user_id").count()
+
+    def coc(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(t.select(["count()"]))
+            .rename({"count()": "cnt"})
+            .group_by("cnt")
+            .len(name="m")
+            .with_columns(pl.col("m").cast(pl.Int64))
+            .to_arrow()
+        )
+
+    cc = (
+        per_user.map_batches(coc, batch_format="pyarrow")
+        .groupby("cnt")
+        .aggregate(Sum("m", alias_name="m"))
+        .to_pandas()
+        .sort_values("cnt")
+        .reset_index(drop=True)
+    )
+    v = cc["cnt"].to_numpy().astype(np.int64)
+    m = cc["m"].to_numpy().astype(np.int64)
+    n = int(m.sum())
+    total = int((v * m).sum())
+    rank_base = np.concatenate([[0], np.cumsum(m)[:-1]])  # ranks before each block
+    sum_i = m * rank_base + m * (m + 1) // 2  # Σ ranks inside each block
+    s_icnt = int((v * sum_i).sum())
+    gini = (2.0 * s_icnt - (n + 1) * total) / (n * total)
+    return pd.DataFrame(
+        {
+            "n_keys": [n],
+            "total": [total],
+            "max_cnt": [int(v.max())],
+            "gini": [round(gini, 8)],
+            "top1_share": [round(float(v.max()) / total, 8)],
+        }
+    )
+
+
 @q("bpe_vocab_merges")
 def bpe_vocab_merges(sf_dir: str):
     """Distributed BPE tokenizer training (Sennrich et al. 2016): corpus word
