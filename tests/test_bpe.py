@@ -139,3 +139,54 @@ def test_skyline_matches_bruteforce(ray_session):
         assert got_ids == sorted(exp), (pts, got_ids, exp)
 
     inner()
+
+
+def test_interval_coverage_matches_bruteforce(ray_session):
+    """The gaps-and-islands kernel inside user_coverage_intervals, via the
+    registered query on a scratch parquet dir shaped like the testdata."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from perfect_bloomfilter_ray.pipelines.queries import QUERIES
+
+    rng = np.random.default_rng(21)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n),
+            "ts": pd.to_datetime(rng.integers(0, 10_000, n), unit="s"),
+            "user_id": rng.integers(0, 12, n),
+            "event_type": "view",
+            "value": np.round(rng.uniform(-1, 30, n), 2),
+            "props": "{}",
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False), os.path.join(d, "events.parquet"))
+        got = QUERIES["user_coverage_intervals"](d)
+    # brute force: merge intervals per user
+    exp = {}
+    for uid, g in df.groupby("user_id"):
+        s = (g["ts"].astype("int64") // 1000).to_numpy()
+        dur = np.trunc(g["value"].to_numpy() * 60000000.0).astype(np.int64)
+        e = np.maximum(s + dur, s)
+        order = np.lexsort((e, s))
+        covered, islands = 0, 0
+        cur_s, cur_e = None, None
+        for i in order:
+            if cur_e is None or s[i] > cur_e:
+                if cur_e is not None:
+                    covered += cur_e - cur_s
+                cur_s, cur_e = s[i], e[i]
+                islands += 1
+            else:
+                cur_e = max(cur_e, e[i])
+        covered += cur_e - cur_s
+        exp[uid] = (islands, covered)
+    for row in got.itertuples():
+        assert exp[row.user_id] == (row.n_islands, row.covered_us), row
