@@ -173,6 +173,7 @@ SUITE = [
     "user_coverage_intervals",
     "orders_scd2_history",
     "user_key_skew_report",
+    "label_centroid_similarity",
 ]
 
 

@@ -6969,6 +6969,42 @@ def user_key_skew_report(sf_dir: str):
     )
 
 
+@q(
+    "label_centroid_similarity",
+    sql="""
+    WITH e AS (
+      SELECT label, CAST(embedding[i] AS DOUBLE) AS x, i
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    c AS (SELECT label, i, avg(x) AS cx FROM e GROUP BY label, i)
+    SELECT a.label AS label_a, b.label AS label_b,
+           round(sum(a.cx * b.cx)
+                 / (sqrt(sum(a.cx * a.cx)) * sqrt(sum(b.cx * b.cx))), 4) AS cos_sim
+    FROM c a JOIN c b ON a.i = b.i AND a.label < b.label
+    GROUP BY a.label, b.label ORDER BY label_a, label_b
+    """,
+)
+def label_centroid_similarity(sf_dir: str):
+    """Label-confusability matrix for embedding spaces: pairwise cosine
+    between per-label centroids — near-1 pairs are candidate label merges /
+    mislabeling hotspots. Reuses the grouped-centroid partials (one tiny
+    (label, n, sum-vector) row per key per block); the pairwise cosine runs
+    on the labels × dim table, driver-side small."""
+    from perfect_bloomfilter_ray.stages.centroids import grouped_centroids
+
+    ds = _t(sf_dir, "embeddings", ["label", "embedding"])
+    cents = grouped_centroids(ds, "label", "embedding")
+    labels = sorted(cents)
+    rows = []
+    for i, a in enumerate(labels):
+        ca = cents[a]
+        for b in labels[i + 1 :]:
+            cb = cents[b]
+            cos = float(np.dot(ca, cb) / (np.sqrt(np.dot(ca, ca)) * np.sqrt(np.dot(cb, cb))))
+            rows.append((a, b, round(cos, 4)))
+    return pd.DataFrame(rows, columns=["label_a", "label_b", "cos_sim"])
+
+
 @q("bpe_vocab_merges")
 def bpe_vocab_merges(sf_dir: str):
     """Distributed BPE tokenizer training (Sennrich et al. 2016): corpus word
