@@ -174,6 +174,8 @@ SUITE = [
     "orders_scd2_history",
     "user_key_skew_report",
     "label_centroid_similarity",
+    "nb_event_type_confusion",
+    "source_quality_wilson_ranking",
 ]
 
 

@@ -7005,6 +7005,170 @@ def label_centroid_similarity(sf_dir: str):
     return pd.DataFrame(rows, columns=["label_a", "label_b", "cos_sim"])
 
 
+@q(
+    "nb_event_type_confusion",
+    sql="""
+    WITH f AS (
+      SELECT event_id, event_type AS actual,
+             CAST(extract(hour FROM ts) AS BIGINT) AS h,
+             CAST(extract(dow FROM ts) AS BIGINT) AS d
+      FROM events
+    ),
+    pri AS (SELECT actual AS t, CAST(count(*) AS BIGINT) AS n FROM f GROUP BY 1),
+    ph AS (SELECT actual AS t, h, CAST(count(*) AS BIGINT) AS n FROM f GROUP BY 1, 2),
+    pd_ AS (SELECT actual AS t, d, CAST(count(*) AS BIGINT) AS n FROM f GROUP BY 1, 2),
+    types AS (SELECT DISTINCT actual AS t FROM f),
+    scored AS (
+      SELECT f.event_id, f.actual, ty.t,
+             CAST(pri.n * (coalesce(ph.n, 0) + 1) * (coalesce(pd_.n, 0) + 1) AS DOUBLE)
+               / ((pri.n + 24.0) * (pri.n + 7.0)) AS score
+      FROM f CROSS JOIN types ty
+      JOIN pri ON pri.t = ty.t
+      LEFT JOIN ph ON ph.t = ty.t AND ph.h = f.h
+      LEFT JOIN pd_ ON pd_.t = ty.t AND pd_.d = f.d
+    ),
+    pred AS (
+      SELECT event_id, actual, t AS pred,
+             row_number() OVER (PARTITION BY event_id ORDER BY score DESC, t) AS rk
+      FROM scored
+    )
+    SELECT actual, pred, CAST(count(*) AS BIGINT) AS n
+    FROM pred WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def nb_event_type_confusion(sf_dir: str):
+    """Naive Bayes classifier trained AND applied distributed: predict the
+    event type from (hour-of-day, day-of-week) with add-1 smoothing; output
+    the confusion matrix. Training = three tiny count groupbys (types,
+    types×24, types×7) broadcast as lookup tables; inference = one
+    shuffle-free vectorized scoring pass. Scores are exact rationals
+    (integer products / integer-valued doubles, no transcendental log), so
+    the argmax — ties broken by type name — is bit-identical to the SQL
+    oracle on any platform."""
+    ds = _t(sf_dir, "events", ["event_id", "event_type", "ts"])
+
+    def feats(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t.column("ts"), pa.timestamp("us"))
+        return pa.table(
+            {
+                "actual": t.column("event_type"),
+                "h": pc.cast(pc.hour(ts), pa.int64()),
+                "d": pc.cast(pc.day_of_week(ts, count_from_zero=True, week_start=7), pa.int64()),
+            }
+        )
+
+    fds = ds.map_batches(feats, batch_format="pyarrow").materialize()
+    pri = fds.groupby("actual").count().to_pandas().rename(columns={"count()": "n"})
+    ph = fds.groupby(["actual", "h"]).count().to_pandas().rename(columns={"count()": "n"})
+    pdw = fds.groupby(["actual", "d"]).count().to_pandas().rename(columns={"count()": "n"})
+    types = sorted(pri["actual"])
+    tix = {t: i for i, t in enumerate(types)}
+    k = len(types)
+    pri_n = np.zeros(k, dtype=np.int64)
+    for r in pri.itertuples():
+        pri_n[tix[r.actual]] = r.n
+    h_n = np.zeros((k, 24), dtype=np.int64)
+    for r in ph.itertuples():
+        h_n[tix[r.actual], r.h] = r.n
+    d_n = np.zeros((k, 7), dtype=np.int64)
+    for r in pdw.itertuples():
+        d_n[tix[r.actual], r.d] = r.n
+    import ray
+
+    lut = ray.put((types, pri_n, h_n, d_n))
+
+    def classify(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        types_, pri_, h_, d_ = ray.get(lut)
+        h = t.column("h").to_numpy()
+        d = t.column("d").to_numpy()
+        # scores: (rows, k) exact-rational doubles
+        num = pri_[None, :] * (h_.T[h] + 1) * (d_.T[d] + 1)
+        den = (pri_ + 24.0) * (pri_ + 7.0)
+        score = num.astype(np.float64) / den[None, :]
+        pred_ix = np.argmax(score, axis=1)  # first max == smallest type name
+        pred = np.array(types_, dtype=object)[pred_ix]
+        return (
+            pl.from_arrow(pa.table({"actual": t.column("actual"), "pred": pa.array(pred.tolist())}))
+            .group_by(["actual", "pred"])
+            .len(name="pn")
+            .with_columns(pl.col("pn").cast(pl.Int64))
+            .to_arrow()
+        )
+
+    out = (
+        fds.map_batches(classify, batch_format="pyarrow")
+        .groupby(["actual", "pred"])
+        .aggregate(Sum("pn", alias_name="n"))
+        .to_pandas()
+        .sort_values(["actual", "pred"])
+        .reset_index(drop=True)
+    )
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+@q(
+    "source_quality_wilson_ranking",
+    sql="""
+    WITH s AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN n_chars >= 1000 THEN 1 ELSE 0 END) AS BIGINT) AS pos
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, n, pos,
+             (CAST(pos AS DOUBLE) / n + 1.9208 / n
+              - 1.96 * sqrt((CAST(pos AS DOUBLE) / n) * (1 - CAST(pos AS DOUBLE) / n) / n
+                            + 0.9604 / (n * CAST(n AS DOUBLE))))
+             / (1 + 3.8416 / n) AS lb
+      FROM s
+    )
+    SELECT source, n, pos, round(lb, 8) AS wilson_lb
+    FROM w ORDER BY round(lb, 8) DESC, source
+    """,
+)
+def source_quality_wilson_ranking(sf_dir: str):
+    """Ranking under uncertainty: sources ordered by the Wilson score lower
+    bound (z=1.96) of their high-quality-document fraction — the
+    small-sample-safe leaderboard (a 3/3 source does NOT outrank a 950/1000
+    one). One count groupby; the interval math is a deterministic float
+    expression over integer counts, identical on both sides."""
+    ds = _t(sf_dir, "documents", ["source", "n_chars"])
+
+    def part(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(pa.table({"source": t.column("source"), "nc": t.column("n_chars")}))
+            .group_by("source")
+            .agg(
+                pl.len().cast(pl.Int64).alias("n"),
+                (pl.col("nc") >= 1000).sum().cast(pl.Int64).alias("pos"),
+            )
+            .to_arrow()
+        )
+
+    out = (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n", alias_name="n"), Sum("pos", alias_name="pos"))
+        .to_pandas()
+    )
+    n = out["n"].to_numpy().astype(np.float64)
+    p = out["pos"].to_numpy().astype(np.float64) / n
+    lb = (p + 1.9208 / n - 1.96 * np.sqrt(p * (1 - p) / n + 0.9604 / (n * n))) / (1 + 3.8416 / n)
+    out["wilson_lb"] = np.round(lb, 8)
+    out["n"] = out["n"].astype("int64")
+    out["pos"] = out["pos"].astype("int64")
+    return (
+        out[["source", "n", "pos", "wilson_lb"]]
+        .sort_values(["wilson_lb", "source"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+
+
 @q("bpe_vocab_merges")
 def bpe_vocab_merges(sf_dir: str):
     """Distributed BPE tokenizer training (Sennrich et al. 2016): corpus word
