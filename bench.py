@@ -176,6 +176,7 @@ SUITE = [
     "label_centroid_similarity",
     "nb_event_type_confusion",
     "source_quality_wilson_ranking",
+    "embedding_kmeans_clusters",
 ]
 
 

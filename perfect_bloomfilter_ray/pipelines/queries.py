@@ -7169,6 +7169,22 @@ def source_quality_wilson_ranking(sf_dir: str):
     )
 
 
+@q("embedding_kmeans_clusters")
+def embedding_kmeans_clusters(sf_dir: str):
+    """Full distributed k-means (Lloyd's) over the embeddings table —
+    per-iteration broadcast centroids + one (cluster, n, sum) partial row
+    per cluster per block; assignments never leave the tasks. Rows-only
+    (iterative, not SQL-expressible); convergence + reference-parity
+    pinned in tests/test_bpe.py."""
+    from perfect_bloomfilter_ray.stages.kmeans import kmeans_full
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    _, stats = kmeans_full(ds, "embedding", "vec_id", k=8, iters=6, seed=11)
+    out = stats.to_pandas()
+    out["inertia"] = out["inertia"].round(4)
+    return out.sort_values("cluster").reset_index(drop=True)
+
+
 @q("bpe_vocab_merges")
 def bpe_vocab_merges(sf_dir: str):
     """Distributed BPE tokenizer training (Sennrich et al. 2016): corpus word

@@ -190,3 +190,46 @@ def test_interval_coverage_matches_bruteforce(ray_session):
         exp[uid] = (islands, covered)
     for row in got.itertuples():
         assert exp[row.user_id] == (row.n_islands, row.covered_us), row
+
+
+def test_kmeans_matches_local_lloyd(ray_session):
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.kmeans import _assign, kmeans_full
+
+    import numpy as np2
+
+    rng = np2.random.default_rng(5)
+    vecs = np2.concatenate(
+        [np2.array([5.0, 0.0]) + rng.normal(0, 0.3, (60, 2)),
+         np2.array([-5.0, 0.0]) + rng.normal(0, 0.3, (60, 2)),
+         np2.array([0.0, 6.0]) + rng.normal(0, 0.3, (60, 2))]
+    )
+    rows = [{"vec_id": i, "embedding": vecs[i].astype("float32").tolist()} for i in range(len(vecs))]
+    ds = rd.from_items(rows).repartition(4)
+    cents, stats = kmeans_full(ds, "embedding", "vec_id", k=3, iters=8, seed=3)
+    # three well-separated blobs -> perfect recovery regardless of init
+    sizes = sorted(stats.column("n").to_pylist())
+    assert sizes == [60, 60, 60]
+    a = _assign(vecs.astype(np2.float64), cents)
+    # each blob uniform
+    for blk in range(3):
+        blob = a[blk * 60:(blk + 1) * 60]
+        assert len(set(blob.tolist())) == 1
+    # inertia ~ per-point noise variance, far below separated-cluster scale
+    assert sum(stats.column("inertia").to_pylist()) < 60.0
+
+
+def test_kmeans_deterministic_rerun(ray_session):
+    import numpy as np2
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.kmeans import kmeans_full
+
+    rng = np2.random.default_rng(9)
+    rows = [{"vec_id": i, "embedding": rng.normal(0, 1, 4).astype("float32").tolist()} for i in range(200)]
+    ds = rd.from_items(rows).repartition(3)
+    c1, s1 = kmeans_full(ds, "embedding", "vec_id", k=4, iters=5, seed=7)
+    c2, s2 = kmeans_full(ds, "embedding", "vec_id", k=4, iters=5, seed=7)
+    assert np2.array_equal(c1, c2)
+    assert s1.equals(s2)
