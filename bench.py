@@ -177,6 +177,8 @@ SUITE = [
     "nb_event_type_confusion",
     "source_quality_wilson_ranking",
     "embedding_kmeans_clusters",
+    "doc_rank_fusion",
+    "shard_rebalance_report",
 ]
 
 

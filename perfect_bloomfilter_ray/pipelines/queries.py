@@ -7185,6 +7185,124 @@ def embedding_kmeans_clusters(sf_dir: str):
     return out.sort_values("cluster").reset_index(drop=True)
 
 
+@q(
+    "doc_rank_fusion",
+    sql="""
+    WITH f AS (
+      SELECT doc_id, n_chars,
+             CAST(len(regexp_extract_all(text, '[a-z]{7,}')) AS BIGINT) AS lw
+      FROM documents
+    ),
+    l1 AS (SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS r1
+           FROM f ORDER BY n_chars DESC, doc_id LIMIT 200),
+    l2 AS (SELECT doc_id, row_number() OVER (ORDER BY lw DESC, doc_id) AS r2
+           FROM f ORDER BY lw DESC, doc_id LIMIT 200),
+    u AS (SELECT coalesce(l1.doc_id, l2.doc_id) AS doc_id, l1.r1, l2.r2
+          FROM l1 FULL OUTER JOIN l2 ON l1.doc_id = l2.doc_id)
+    SELECT doc_id, CAST(coalesce(r1, 0) AS BIGINT) AS r1,
+           CAST(coalesce(r2, 0) AS BIGINT) AS r2,
+           round(coalesce(1.0 / (60 + r1), 0) + coalesce(1.0 / (60 + r2), 0), 8) AS rrf
+    FROM u
+    ORDER BY round(coalesce(1.0 / (60 + r1), 0) + coalesce(1.0 / (60 + r2), 0), 8) DESC, doc_id
+    LIMIT 25
+    """,
+)
+def doc_rank_fusion(sf_dir: str):
+    """Reciprocal-rank fusion (Cormack et al. 2009): fuse two top-200
+    retrieval lists (docs by length, docs by long-word count) with
+    score = Σ 1/(60+rank), rank 0 contribution for lists a doc missed —
+    the standard multi-retriever result-merging step. Each list is an
+    exact distributed tree-reduce top-k (per-block partial heads, one
+    merge); the fusion runs on the 2×200-row union. Fully corpus-size
+    independent."""
+    from perfect_bloomfilter_ray.stages.topk import global_top_k
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+
+    def slim(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        lw = (
+            pl.from_arrow(pa.table({"t": t.column("text")}))["t"]
+            .str.count_matches(r"[a-z]{7,}")
+            .cast(pl.Int64)
+        )
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "n_chars": t.column("n_chars"), "lw": lw.to_arrow()}
+        )
+
+    sl = ds.map_batches(slim, batch_format="pyarrow").materialize()
+    l1 = (
+        global_top_k(sl, "n_chars", 200, descending=True, tie_cols=["doc_id"])
+        .to_pandas()
+        .sort_values(["n_chars", "doc_id"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    l1["r1"] = np.arange(1, len(l1) + 1)
+    l2 = (
+        global_top_k(sl, "lw", 200, descending=True, tie_cols=["doc_id"])
+        .to_pandas()
+        .sort_values(["lw", "doc_id"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    l2["r2"] = np.arange(1, len(l2) + 1)
+    u = l1[["doc_id", "r1"]].merge(l2[["doc_id", "r2"]], on="doc_id", how="outer")
+    s1 = np.where(u["r1"].notna(), 1.0 / (60 + u["r1"].fillna(0)), 0.0)
+    s2 = np.where(u["r2"].notna(), 1.0 / (60 + u["r2"].fillna(0)), 0.0)
+    u["rrf"] = np.round(s1 + s2, 8)
+    u["r1"] = u["r1"].fillna(0).astype("int64")
+    u["r2"] = u["r2"].fillna(0).astype("int64")
+    return (
+        u.sort_values(["rrf", "doc_id"], ascending=[False, True])
+        .head(25)[["doc_id", "r1", "r2", "rrf"]]
+        .reset_index(drop=True)
+    )
+
+
+@q("shard_rebalance_report")
+def shard_rebalance_report(sf_dir: str):
+    """Cluster-resize movement report for the reference's jump-consistent-
+    hash router (filter.rs:467-483 / Lamping & Veach 2014): route every
+    distinct user to S=16 and S+1=17 shards, count keys that move. Jump
+    hash's contract: movers relocate ONLY to the new shard (monotone
+    resize) and the moved fraction ≈ 1/(S+1). One distinct pass + a
+    vectorized double-routing map; per-shard partial counts merge in a
+    tiny groupby. Rows-only (the router is not SQL-expressible); the
+    monotonicity contract is asserted as output columns and pinned in
+    tests/test_hashing.py."""
+    from perfect_bloomfilter_ray.functions.hashing import hash64, jump_hash
+
+    distinct = _t(sf_dir, "events", ["user_id"]).groupby("user_id").count()
+    S = 16
+
+    def route(t: pa.Table) -> pa.Table:
+        h = hash64(t.column("user_id"), 0xBEEF)
+        s_old = jump_hash(h, S)
+        s_new = jump_hash(h, S + 1)
+        moved = s_old != s_new
+        return pa.table(
+            {
+                "n_keys": pa.array([len(h)], pa.int64()),
+                "moved": pa.array([int(moved.sum())], pa.int64()),
+                "moved_not_to_new": pa.array([int((moved & (s_new != S)).sum())], pa.int64()),
+            }
+        )
+
+    p = distinct.map_batches(route, batch_format="pyarrow").to_pandas().sum()
+    n, moved = int(p["n_keys"]), int(p["moved"])
+    return pd.DataFrame(
+        {
+            "shards_before": [S],
+            "shards_after": [S + 1],
+            "n_keys": [n],
+            "moved": [moved],
+            "moved_not_to_new": [int(p["moved_not_to_new"])],  # contract: 0
+            "moved_fraction": [round(moved / n, 6)],
+            "ideal_fraction": [round(1.0 / (S + 1), 6)],
+        }
+    )
+
+
 @q("bpe_vocab_merges")
 def bpe_vocab_merges(sf_dir: str):
     """Distributed BPE tokenizer training (Sennrich et al. 2016): corpus word

@@ -107,3 +107,21 @@ def test_zorder_key_interleave_and_locality():
     qa, qb = a % 256, b % 256  # same high byte = 0
     zq = zorder_key2(qa, qb, 16)
     assert zq.max() < (1 << 16)  # quadrant stays inside its own key range
+
+
+def test_jump_hash_resize_monotone_and_balanced():
+    """Lamping-Veach contract: on S -> S+1 resize, movers relocate ONLY to
+    the new shard, and the moved fraction concentrates around 1/(S+1)."""
+    import numpy as np
+
+    from perfect_bloomfilter_ray.functions.hashing import jump_hash, splitmix64
+
+    h = splitmix64(np.arange(200_000, dtype=np.uint64))
+    for S in (4, 16, 64):
+        a = jump_hash(h, S)
+        b = jump_hash(h, S + 1)
+        moved = a != b
+        assert ((b[moved]) == S).all(), "jump hash must move keys only to the new shard"
+        frac = moved.mean()
+        ideal = 1.0 / (S + 1)
+        assert abs(frac - ideal) < 0.2 * ideal, (S, frac, ideal)
