@@ -179,6 +179,8 @@ SUITE = [
     "embedding_kmeans_clusters",
     "doc_rank_fusion",
     "shard_rebalance_report",
+    "event_type_dow_chi2",
+    "hourly_volume_autocorr",
 ]
 
 

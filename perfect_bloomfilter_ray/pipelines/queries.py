@@ -7303,6 +7303,115 @@ def shard_rebalance_report(sf_dir: str):
     )
 
 
+@q(
+    "event_type_dow_chi2",
+    sql="""
+    WITH f AS (
+      SELECT event_type AS t, CAST(extract(dow FROM ts) AS BIGINT) AS d FROM events
+    ),
+    o AS (SELECT t, d, CAST(count(*) AS BIGINT) AS o FROM f GROUP BY 1, 2),
+    rm AS (SELECT t, CAST(count(*) AS BIGINT) AS rn FROM f GROUP BY 1),
+    cm AS (SELECT d, CAST(count(*) AS BIGINT) AS cn FROM f GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f),
+    cells AS (
+      SELECT rm.t, cm.d, coalesce(o.o, 0) AS o,
+             CAST(rm.rn AS DOUBLE) * cm.cn / tot.n AS e
+      FROM rm CROSS JOIN cm CROSS JOIN tot
+      LEFT JOIN o ON o.t = rm.t AND o.d = cm.d
+    )
+    SELECT CAST((SELECT count(*) FROM rm) - 1 AS BIGINT)
+             * CAST((SELECT count(*) FROM cm) - 1 AS BIGINT) AS dof,
+           round(sum((o - e) * (o - e) / e), 4) AS chi2
+    FROM cells
+    """,
+)
+def event_type_dow_chi2(sf_dir: str):
+    """Chi-squared independence test (event type × day-of-week): the
+    categorical-drift / seasonality detector. One contingency groupby
+    (types × 7 tiny), margins derived from it, χ² on the driver from exact
+    integer counts — both sides evaluate the identical expected-count
+    formula."""
+    ds = _t(sf_dir, "events", ["event_type", "ts"])
+
+    def feats(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t.column("ts"), pa.timestamp("us"))
+        return pa.table(
+            {
+                "t": t.column("event_type"),
+                "d": pc.cast(pc.day_of_week(ts, count_from_zero=True, week_start=7), pa.int64()),
+            }
+        )
+
+    o = (
+        ds.map_batches(feats, batch_format="pyarrow")
+        .groupby(["t", "d"])
+        .count()
+        .to_pandas()
+        .rename(columns={"count()": "o"})
+    )
+    piv = o.pivot_table(index="t", columns="d", values="o", fill_value=0, aggfunc="sum")
+    obs = piv.to_numpy().astype(np.float64)
+    rn = obs.sum(axis=1, keepdims=True)
+    cn = obs.sum(axis=0, keepdims=True)
+    n = obs.sum()
+    e = rn * cn / n
+    chi2 = float(((obs - e) ** 2 / e).sum())
+    dof = (obs.shape[0] - 1) * (obs.shape[1] - 1)
+    return pd.DataFrame({"dof": [dof], "chi2": [round(chi2, 4)]})
+
+
+@q(
+    "hourly_volume_autocorr",
+    sql="""
+    WITH h AS (
+      SELECT date_trunc('hour', ts) AS b, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ),
+    r AS (SELECT c, row_number() OVER (ORDER BY b) AS i FROM h),
+    p AS (SELECT a.c AS x, b.c AS y FROM r a JOIN r b ON b.i = a.i + 1),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy,
+             CAST(sum(x*y) AS BIGINT) AS sxy
+      FROM p
+    )
+    SELECT n AS n_pairs,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6) AS lag1_corr
+    FROM s
+    """,
+)
+def hourly_volume_autocorr(sf_dir: str):
+    """Lag-1 autocorrelation of hourly event volume — the burstiness /
+    periodicity signal. The corpus-sized step is one hour-bucket count
+    groupby; the lag pairing and Pearson formula run on the tiny hourly
+    series from exact integer sums."""
+    ds = _t(sf_dir, "events", ["ts"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        return pa.table({"b": pc.floor_temporal(pc.cast(t.column("ts"), pa.timestamp("us")), unit="hour")})
+
+    h = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("b")
+        .count()
+        .to_pandas()
+        .sort_values("b")
+        .reset_index(drop=True)
+    )
+    c = h["count()"].to_numpy().astype(np.int64)
+    x, y = c[:-1], c[1:]
+    n = len(x)
+    sx, sy = int(x.sum()), int(y.sum())
+    sxx, syy, sxy = int((x * x).sum()), int((y * y).sum()), int((x * y).sum())
+    r = (float(n) * sxy - float(sx) * sy) / (
+        np.sqrt(float(n) * sxx - float(sx) * sx) * np.sqrt(float(n) * syy - float(sy) * sy)
+    )
+    return pd.DataFrame({"n_pairs": [n], "lag1_corr": [round(r, 6)]})
+
+
 @q("bpe_vocab_merges")
 def bpe_vocab_merges(sf_dir: str):
     """Distributed BPE tokenizer training (Sennrich et al. 2016): corpus word
