@@ -181,6 +181,7 @@ SUITE = [
     "shard_rebalance_report",
     "event_type_dow_chi2",
     "hourly_volume_autocorr",
+    "bloom_incremental_ingest",
 ]
 
 

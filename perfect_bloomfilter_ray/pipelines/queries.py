@@ -7412,6 +7412,102 @@ def hourly_volume_autocorr(sf_dir: str):
     return pd.DataFrame({"n_pairs": [n], "lag1_corr": [round(r, 6)]})
 
 
+@q(
+    "bloom_incremental_ingest",
+    sql="""
+    WITH old AS (SELECT DISTINCT text FROM documents WHERE doc_id % 3 <> 0),
+    new_slice AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0)
+    SELECT CAST((SELECT count(DISTINCT text) FROM old) AS BIGINT) AS standing_texts,
+           CAST(count(*) AS BIGINT) AS probed,
+           CAST(sum(CASE WHEN text IN (SELECT text FROM old) THEN 1 ELSE 0 END) AS BIGINT)
+               AS flagged_seen,
+           CAST(sum(CASE WHEN text IN (SELECT text FROM old) THEN 0 ELSE 1 END) AS BIGINT)
+               AS admitted_new
+    FROM new_slice
+    """,
+)
+def bloom_incremental_ingest(sf_dir: str):
+    """The reference's continuous-service story, batch-native: a standing
+    corpus builds the cascading Bloom filter ONCE and checkpoints it
+    (pickle state, the WAL replacement); a later session LOADS the
+    checkpoint and screens an incoming slice — seen texts are flagged,
+    unseen admitted. The SQL oracle is the exact set semantics; it hashes
+    identically because the cascade's FP bound (~3e-13/probe) makes an
+    observed false flag a ~1e-8 event at this probe count — a mismatch
+    here is a real conformance regression (cf. bloom_membership_roundtrip).
+    Unlike the exact anti-join twin (incremental_ingest_new_docs), the
+    standing side here is a FIXED-SIZE filter, not the corpus."""
+    import ray
+
+    from perfect_bloomfilter_ray.state.bloom import BloomCascade
+    from perfect_bloomfilter_ray.stages.membership import build_filter
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def split(new_side: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy()
+            m = ids % 3 == 0
+            return t.filter(pa.array(m if new_side else ~m))
+
+        return fn
+
+    old = docs.map_batches(split(False), batch_format="pyarrow")
+    n_old = old.count()
+    filt = build_filter(old, "text", expected_keys=max(1024, n_old))
+    blob = filt.to_bytes()  # checkpoint: state crosses sessions as bytes
+    loaded = BloomCascade.from_bytes(blob)
+    ref = ray.put(loaded.to_bytes())
+
+    def probe(t: pa.Table) -> pa.Table:
+        f = BloomCascade.from_bytes(ray.get(ref))
+        seen = f.contains_column(t.column("text"))
+        return pa.table(
+            {
+                "probed": pa.array([len(t)], pa.int64()),
+                "flagged_seen": pa.array([int(seen.sum())], pa.int64()),
+            }
+        )
+
+    p = docs.map_batches(split(True), batch_format="pyarrow").map_batches(
+        probe, batch_format="pyarrow"
+    ).to_pandas().sum()
+    # standing distinct count: per-batch distinct partials + pair groupby
+    def tx(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return pl.from_arrow(t.select(["text"])).unique().to_arrow()
+
+    n_texts = old.map_batches(tx, batch_format="pyarrow").groupby("text").count().count()
+    probed, seen = int(p["probed"]), int(p["flagged_seen"])
+    return pd.DataFrame(
+        {
+            "standing_texts": [n_texts],
+            "probed": [probed],
+            "flagged_seen": [seen],
+            "admitted_new": [probed - seen],
+        }
+    )
+
+
+@q("mmr_diverse_topk")
+def mmr_diverse_topk(sf_dir: str):
+    """Diversity-aware retrieval: MMR-select 15 embeddings for a
+    deterministic query vector (the label-0 centroid) — relevance traded
+    against redundancy to already-picked results. k broadcast+scan rounds,
+    one best-candidate row per block per round. Rows-only (greedy
+    iterative); exact local-reference parity pinned in tests."""
+    from perfect_bloomfilter_ray.stages.centroids import grouped_centroids
+    from perfect_bloomfilter_ray.stages.mmr import mmr_select
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "label", "embedding"])
+    cents = grouped_centroids(ds, "label", "embedding")
+    q0 = cents[sorted(cents)[0]]
+    return mmr_select(
+        ds.select_columns(["vec_id", "embedding"]), "embedding", "vec_id", q0, k=15, lam=0.7
+    ).to_pandas()
+
+
 @q("bpe_vocab_merges")
 def bpe_vocab_merges(sf_dir: str):
     """Distributed BPE tokenizer training (Sennrich et al. 2016): corpus word

@@ -233,3 +233,34 @@ def test_kmeans_deterministic_rerun(ray_session):
     c2, s2 = kmeans_full(ds, "embedding", "vec_id", k=4, iters=5, seed=7)
     assert np2.array_equal(c1, c2)
     assert s1.equals(s2)
+
+
+def test_mmr_matches_local_reference(ray_session):
+    import numpy as np2
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.mmr import mmr_select
+
+    rng = np2.random.default_rng(17)
+    vecs = rng.normal(0, 1, (120, 8)).astype("float32")
+    rows = [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(len(vecs))]
+    ds = rd.from_items(rows).repartition(4)
+    q = rng.normal(0, 1, 8)
+    got = mmr_select(ds, "embedding", "vec_id", q, k=10, lam=0.6)
+    got_ids = got.column("vec_id").to_pylist()
+
+    # local greedy reference (identical float ops)
+    qq = q / np2.linalg.norm(q)
+    v = vecs.astype(np2.float64)
+    unit = v / np2.maximum(np2.linalg.norm(v, axis=1), 1e-12)[:, None]
+    rel = unit @ qq
+    picked = []
+    for _ in range(10):
+        red = (unit @ unit[picked].T).max(axis=1) if picked else np2.zeros(len(unit))
+        score = 0.6 * rel - 0.4 * red
+        score[picked] = -np2.inf
+        order = np2.lexsort((np2.arange(len(unit)), -score))
+        picked.append(int(order[0]))
+    assert got_ids == picked
+    # first pick is the most relevant; later picks trade relevance for diversity
+    assert got_ids[0] == int(np2.lexsort((np2.arange(len(unit)), -rel))[0])
