@@ -182,6 +182,7 @@ SUITE = [
     "event_type_dow_chi2",
     "hourly_volume_autocorr",
     "bloom_incremental_ingest",
+    "keyword_context_bigrams",
 ]
 
 

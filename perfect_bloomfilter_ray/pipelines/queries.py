@@ -7508,6 +7508,67 @@ def mmr_diverse_topk(sf_dir: str):
     ).to_pandas()
 
 
+@q(
+    "keyword_context_bigrams",
+    sql="""
+    WITH m AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+ hash [a-z0-9]+')) AS ctx
+      FROM documents
+    )
+    SELECT split_part(ctx, ' ', 1) AS left_word, split_part(ctx, ' ', 3) AS right_word,
+           CAST(count(*) AS BIGINT) AS n
+    FROM m GROUP BY 1, 2
+    ORDER BY n DESC, left_word, right_word LIMIT 20
+    """,
+)
+def keyword_context_bigrams(sf_dir: str):
+    """Keyword-in-context concordance mining: the words flanking 'hash'
+    across the corpus, top-20 contexts — the collocation/terminology probe.
+    Map-side per-batch context counts (non-overlapping leftmost regex —
+    identical semantics in polars and the oracle's RE2), one tiny pair
+    groupby, tree-reduce top-k."""
+    from perfect_bloomfilter_ray.stages.topk import global_top_k
+
+    ds = _t(sf_dir, "documents", ["text"])
+
+    def ctx(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(pa.table({"text": t.column("text")}))
+        return (
+            df.with_columns(
+                pl.col("text")
+                .str.to_lowercase()
+                .str.extract_all(r"[a-z0-9]+ hash [a-z0-9]+")
+                .alias("ctx")
+            )
+            .explode("ctx")
+            .drop_nulls("ctx")
+            .with_columns(
+                pl.col("ctx").str.split(" ").list.get(0).alias("left_word"),
+                pl.col("ctx").str.split(" ").list.get(2).alias("right_word"),
+            )
+            .group_by(["left_word", "right_word"])
+            .len(name="pn")
+            .with_columns(pl.col("pn").cast(pl.Int64))
+            .to_arrow()
+        )
+
+    counts = (
+        ds.map_batches(ctx, batch_format="pyarrow")
+        .groupby(["left_word", "right_word"])
+        .aggregate(Sum("pn", alias_name="n"))
+    )
+    out = (
+        global_top_k(counts, "n", 20, descending=True, tie_cols=["left_word", "right_word"])
+        .to_pandas()
+        .sort_values(["n", "left_word", "right_word"], ascending=[False, True, True])
+        .reset_index(drop=True)
+    )
+    out["n"] = out["n"].astype("int64")
+    return out[["left_word", "right_word", "n"]]
+
+
 @q("bpe_vocab_merges")
 def bpe_vocab_merges(sf_dir: str):
     """Distributed BPE tokenizer training (Sennrich et al. 2016): corpus word
