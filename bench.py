@@ -183,6 +183,7 @@ SUITE = [
     "hourly_volume_autocorr",
     "bloom_incremental_ingest",
     "keyword_context_bigrams",
+    "range_pruned_scan_revenue",
 ]
 
 

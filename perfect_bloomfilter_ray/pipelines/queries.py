@@ -7569,6 +7569,58 @@ def keyword_context_bigrams(sf_dir: str):
     return out[["left_word", "right_word", "n"]]
 
 
+@q(
+    "range_pruned_scan_revenue",
+    sql="""
+    WITH r AS (
+      SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi
+      FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(l_extendedprice), 2) AS total_price
+    FROM lineitem, r WHERE l_orderkey BETWEEN r.lo AND r.hi
+    """,
+)
+def range_pruned_scan_revenue(sf_dir: str):
+    """Runtime filter pushdown INTO THE SCAN: a small aggregate derives the
+    qualifying key range, which is pushed into ``read_parquet(filter=...)``
+    as a pyarrow dataset expression — row groups outside [lo, hi] never
+    leave storage (the zone-map/min-max pruning every lakehouse engine
+    does). Two-phase plan: tiny range aggregate, then the pruned fact
+    scan."""
+    import pyarrow.dataset as pds
+    import ray.data as rd
+
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def recent(t: pa.Table) -> pa.Table:
+        m = pc.greater_equal(t.column("o_orderdate"), pa.scalar(pd.Timestamp("2001-01-01")))
+        k = t.filter(m).column("o_orderkey")
+        if len(k) == 0:
+            return pa.table({"lo": pa.array([], pa.int64()), "hi": pa.array([], pa.int64())})
+        return pa.table(
+            {"lo": pa.array([pc.min(k).as_py()]), "hi": pa.array([pc.max(k).as_py()])}
+        )
+
+    rng = orders.map_batches(recent, batch_format="pyarrow").to_pandas()
+    lo, hi = int(rng["lo"].min()), int(rng["hi"].max())
+    expr = (pds.field("l_orderkey") >= lo) & (pds.field("l_orderkey") <= hi)
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice"], filter=expr
+    )
+
+    def part(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n": pa.array([len(t)], pa.int64()),
+                "s": pa.array([pc.sum(t.column("l_extendedprice")).as_py() or 0.0], pa.float64()),
+            }
+        )
+
+    p = li.map_batches(part, batch_format="pyarrow").to_pandas().sum()
+    return pd.DataFrame({"n_rows": [int(p["n"])], "total_price": [round(float(p["s"]), 2)]})
+
+
 @q("bpe_vocab_merges")
 def bpe_vocab_merges(sf_dir: str):
     """Distributed BPE tokenizer training (Sennrich et al. 2016): corpus word
