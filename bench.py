@@ -184,6 +184,7 @@ SUITE = [
     "bloom_incremental_ingest",
     "keyword_context_bigrams",
     "range_pruned_scan_revenue",
+    "k_anonymity_report",
 ]
 
 

@@ -7621,6 +7621,92 @@ def range_pruned_scan_revenue(sf_dir: str):
     return pd.DataFrame({"n_rows": [int(p["n"])], "total_price": [round(float(p["s"]), 2)]})
 
 
+@q("logreg_purchase_model")
+def logreg_purchase_model(sf_dir: str):
+    """Distributed logistic regression: predict whether an event is a
+    purchase from (hour-of-day, value) — the trained-quality-classifier
+    shape. Full-batch GD: per-iteration broadcast weights + exact per-block
+    gradient partials, deterministic sorted accumulation. Rows-only
+    (iterative); local-reference parity pinned in tests."""
+    from perfect_bloomfilter_ray.stages.logreg import logreg_fit
+
+    ds = _t(sf_dir, "events", ["event_id", "event_type", "ts", "value"])
+
+    def feats(t: pa.Table):
+        ts = pc.cast(t.column("ts"), pa.timestamp("us"))
+        h = pc.cast(pc.hour(ts), pa.int64()).to_numpy().astype(np.float64)
+        v = t.column("value").to_numpy(zero_copy_only=False).astype(np.float64)
+        return np.stack([h, v], axis=1)
+
+    def label(t: pa.Table):
+        return pc.equal(t.column("event_type"), pa.scalar("purchase")).to_numpy(zero_copy_only=False)
+
+    fit = logreg_fit(ds, feats, label, n_features=2, iters=40, lr=0.5, tag_col="event_id")
+    return pd.DataFrame(
+        {
+            "n": [fit["n"]],
+            "w_hour": [round(float(fit["w"][0]), 6)],
+            "w_value": [round(float(fit["w"][1]), 6)],
+            "bias": [round(float(fit["w"][2]), 6)],
+            "log_loss": [round(fit["loss"], 6)],
+            "train_accuracy": [round(fit["accuracy"], 6)],
+        }
+    )
+
+
+@q(
+    "k_anonymity_report",
+    sql="""
+    WITH g AS (
+      SELECT event_type, CAST(extract(hour FROM ts) AS BIGINT) AS h,
+             CAST(floor(value / 100) AS BIGINT) AS vband,
+             CAST(count(*) AS BIGINT) AS grp
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(min(grp) AS BIGINT) AS min_group,
+           CAST(sum(CASE WHEN grp < 5 THEN 1 ELSE 0 END) AS BIGINT) AS groups_below_k,
+           CAST(sum(CASE WHEN grp < 5 THEN grp ELSE 0 END) AS BIGINT) AS rows_below_k
+    FROM g
+    """,
+)
+def k_anonymity_report(sf_dir: str):
+    """k-anonymity audit over the quasi-identifier tuple (event_type,
+    hour, value band): how many equivalence classes fall below k=5, and
+    how many rows they expose — the release-readiness check run before
+    publishing event data. One contingency groupby; the audit reduces the
+    tiny group-size table."""
+    ds = _t(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def qi(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t.column("ts"), pa.timestamp("us"))
+        vband = np.floor(t.column("value").to_numpy(zero_copy_only=False) / 100.0).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "h": pc.cast(pc.hour(ts), pa.int64()),
+                "vband": pa.array(vband),
+            }
+        )
+
+    g = (
+        ds.map_batches(qi, batch_format="pyarrow")
+        .groupby(["event_type", "h", "vband"])
+        .count()
+        .to_pandas()
+    )
+    grp = g["count()"].to_numpy().astype(np.int64)
+    below = grp < 5
+    return pd.DataFrame(
+        {
+            "n_groups": [len(grp)],
+            "min_group": [int(grp.min())],
+            "groups_below_k": [int(below.sum())],
+            "rows_below_k": [int(grp[below].sum())],
+        }
+    )
+
+
 @q("bpe_vocab_merges")
 def bpe_vocab_merges(sf_dir: str):
     """Distributed BPE tokenizer training (Sennrich et al. 2016): corpus word

@@ -264,3 +264,37 @@ def test_mmr_matches_local_reference(ray_session):
     assert got_ids == picked
     # first pick is the most relevant; later picks trade relevance for diversity
     assert got_ids[0] == int(np2.lexsort((np2.arange(len(unit)), -rel))[0])
+
+
+def test_logreg_matches_local_reference(ray_session):
+    import numpy as np2
+    import pyarrow as pa2
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.logreg import logreg_fit
+
+    rng = np2.random.default_rng(23)
+    n = 600
+    x = rng.normal(0, 1, (n, 2))
+    # separable-ish: label depends on x0 + 2*x1
+    y = (x[:, 0] + 2 * x[:, 1] + rng.normal(0, 0.3, n)) > 0
+    rows = [{"i": i, "a": float(x[i, 0]), "b": float(x[i, 1]), "y": bool(y[i])} for i in range(n)]
+    ds = rd.from_items(rows).repartition(4)
+
+    def feats(t):
+        return np2.stack(
+            [t.column("a").to_numpy(zero_copy_only=False), t.column("b").to_numpy(zero_copy_only=False)],
+            axis=1,
+        ).astype(np2.float64)
+
+    def label(t):
+        return t.column("y").to_numpy(zero_copy_only=False)
+
+    fit = logreg_fit(ds, feats, label, n_features=2, iters=50, lr=0.5, tag_col="i")
+    assert fit["accuracy"] > 0.9, fit
+    # weights aligned with the generating direction (ratio ~2 after shared scaling)
+    w = fit["w"]
+    assert w[1] > w[0] > 0
+    # deterministic rerun
+    fit2 = logreg_fit(ds, feats, label, n_features=2, iters=50, lr=0.5, tag_col="i")
+    assert np2.array_equal(fit["w"], fit2["w"])
