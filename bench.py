@@ -185,6 +185,7 @@ SUITE = [
     "keyword_context_bigrams",
     "range_pruned_scan_revenue",
     "k_anonymity_report",
+    "user_churn_km_curve",
 ]
 
 

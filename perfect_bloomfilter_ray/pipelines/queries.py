@@ -7707,6 +7707,94 @@ def k_anonymity_report(sf_dir: str):
     )
 
 
+@q(
+    "user_churn_km_curve",
+    sql="""
+    WITH u AS (SELECT user_id, min(epoch_us(ts)) AS f, max(epoch_us(ts)) AS l
+               FROM events GROUP BY 1),
+    h AS (SELECT max(epoch_us(ts)) AS mx FROM events),
+    d AS (
+      SELECT (l - f) // 86400000000 AS dur,
+             CASE WHEN (SELECT mx FROM h) - l > 86400000000 THEN 1 ELSE 0 END AS ev
+      FROM u
+    ),
+    t AS (SELECT dur, CAST(sum(ev) AS BIGINT) AS d_i, CAST(count(*) AS BIGINT) AS c_i
+          FROM d GROUP BY dur),
+    r AS (SELECT dur, d_i,
+                 CAST(sum(c_i) OVER (ORDER BY dur DESC ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                     AS n_i
+          FROM t),
+    k AS (SELECT dur, d_i, n_i,
+                 product(1 - CAST(d_i AS DOUBLE) / n_i)
+                     OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) AS s
+          FROM r)
+    SELECT CAST(dur AS BIGINT) AS dur_days, d_i, n_i, round(s, 6) AS survival
+    FROM k WHERE d_i > 0 ORDER BY dur_days
+    """,
+)
+def user_churn_km_curve(sf_dir: str):
+    """Kaplan-Meier survival curve for user retention: per-user observed
+    lifetime (first→last event, floor days); users quiet for >1 day before
+    the horizon are churn events, the rest censored. S(t) = Π(1 − d_i/n_i)
+    over event durations. The corpus-sized step is ONE per-user min/max
+    groupby; the KM table runs over the tiny distinct-duration series with
+    the identical left-to-right product as the windowed-product oracle."""
+    from ray.data.aggregate import Max, Min
+
+    ds = _t(sf_dir, "events", ["user_id", "ts"])
+
+    def us(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "ts_us": pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64()),
+            }
+        )
+
+    tagged = ds.map_batches(us, batch_format="pyarrow")
+    per_user = tagged.groupby("user_id").aggregate(
+        Min("ts_us", alias_name="f"), Max("ts_us", alias_name="l")
+    )
+    horizon = int(tagged.max("ts_us"))
+    DAY = 86_400_000_000
+
+    def dur_partial(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        f = t.column("f").to_numpy()
+        l = t.column("l").to_numpy()
+        dur = (l - f) // DAY
+        ev = (horizon - l) > DAY
+        return (
+            pl.from_arrow(pa.table({"dur": pa.array(dur), "ev": pa.array(ev.astype(np.int64))}))
+            .group_by("dur")
+            .agg(pl.col("ev").sum().alias("d_i"), pl.len().cast(pl.Int64).alias("c_i"))
+            .to_arrow()
+        )
+
+    t = (
+        per_user.map_batches(dur_partial, batch_format="pyarrow")
+        .groupby("dur")
+        .aggregate(Sum("d_i", alias_name="d_i"), Sum("c_i", alias_name="c_i"))
+        .to_pandas()
+        .sort_values("dur")
+        .reset_index(drop=True)
+    )
+    c = t["c_i"].to_numpy().astype(np.int64)
+    d = t["d_i"].to_numpy().astype(np.int64)
+    n_at_risk = c[::-1].cumsum()[::-1]
+    s = np.cumprod(1.0 - d.astype(np.float64) / n_at_risk)
+    out = pd.DataFrame(
+        {
+            "dur_days": t["dur"].astype("int64"),
+            "d_i": d,
+            "n_i": n_at_risk.astype("int64"),
+            "survival": np.round(s, 6),
+        }
+    )
+    return out[out["d_i"] > 0].reset_index(drop=True)
+
+
 @q("bpe_vocab_merges")
 def bpe_vocab_merges(sf_dir: str):
     """Distributed BPE tokenizer training (Sennrich et al. 2016): corpus word
