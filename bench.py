@@ -186,6 +186,8 @@ SUITE = [
     "range_pruned_scan_revenue",
     "k_anonymity_report",
     "user_churn_km_curve",
+    "rfm_user_segments",
+    "view_to_purchase_latency",
 ]
 
 

@@ -7795,6 +7795,177 @@ def user_churn_km_curve(sf_dir: str):
     return out[out["d_i"] > 0].reset_index(drop=True)
 
 
+@q(
+    "rfm_user_segments",
+    sql="""
+    WITH u AS (
+      SELECT user_id,
+             (SELECT max(epoch_us(ts)) FROM events) - max(epoch_us(ts)) AS r,
+             CAST(count(*) AS BIGINT) AS f,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS m
+      FROM events GROUP BY user_id
+    ),
+    c AS (
+      SELECT quantile_disc(r, [0.25, 0.5, 0.75]) AS cr,
+             quantile_disc(f, [0.25, 0.5, 0.75]) AS cf,
+             quantile_disc(m, [0.25, 0.5, 0.75]) AS cm
+      FROM u
+    ),
+    seg AS (
+      SELECT CAST(1 + (r > cr[1])::INT + (r > cr[2])::INT + (r > cr[3])::INT AS BIGINT) AS r_bin,
+             CAST(1 + (f > cf[1])::INT + (f > cf[2])::INT + (f > cf[3])::INT AS BIGINT) AS f_bin,
+             CAST(1 + (m > cm[1])::INT + (m > cm[2])::INT + (m > cm[3])::INT AS BIGINT) AS m_bin
+      FROM u, c
+    )
+    SELECT r_bin, f_bin, m_bin, CAST(count(*) AS BIGINT) AS n_users
+    FROM seg GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+)
+def rfm_user_segments(sf_dir: str):
+    """RFM segmentation (recency / frequency / monetary quartiles): per-user
+    aggregates in one groupby — monetary in integer cents so every input
+    to the quartile cuts is exact across engines — then quartile-threshold
+    binning against exact quantile_disc cuts and a tiny segment count. The
+    marketing-segmentation staple with a bit-exact oracle."""
+    from perfect_bloomfilter_ray.stages.quantiles import exact_grouped_quantiles
+
+    ds = _t(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def per_user_partial(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        ts_us = pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64())
+        cents = pa.array(np.round(t.column("value").to_numpy(zero_copy_only=False) * 100).astype(np.int64))
+        df = pl.from_arrow(pa.table({"user_id": t.column("user_id"), "ts_us": ts_us, "cents": cents}))
+        return (
+            df.group_by("user_id")
+            .agg(
+                pl.col("ts_us").max().alias("mx"),
+                pl.len().cast(pl.Int64).alias("f"),
+                pl.col("cents").sum().alias("m"),
+            )
+            .to_arrow()
+        )
+
+    per_user = (
+        _t(sf_dir, "events", ["user_id", "ts", "value"])
+        .map_batches(per_user_partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Max("mx", alias_name="mx"), Sum("f", alias_name="f"), Sum("m", alias_name="m"))
+        .materialize()
+    )
+    horizon = int(per_user.max("mx"))
+
+    def add_r(t: pa.Table) -> pa.Table:
+        r = horizon - t.column("mx").to_numpy()
+        return t.append_column("r", pa.array(r)).append_column("_g", pa.array(np.zeros(len(t), np.int8)))
+
+    base = per_user.map_batches(add_r, batch_format="pyarrow").materialize()
+    cuts = {}
+    for col in ("r", "f", "m"):
+        qt = exact_grouped_quantiles(
+            base, "_g", col, [0.25, 0.5, 0.75], kind="disc", names=["c1", "c2", "c3"]
+        ).to_pandas()
+        cuts[col] = [float(qt.iloc[0][c]) for c in ("c1", "c2", "c3")]
+
+    def seg(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        out = {}
+        for col in ("r", "f", "m"):
+            v = t.column(col).to_numpy().astype(np.float64)
+            c1, c2, c3 = cuts[col]
+            out[f"{col}_bin"] = (1 + (v > c1).astype(np.int64) + (v > c2) + (v > c3)).astype(np.int64)
+        return (
+            pl.from_arrow(pa.table({k: pa.array(v) for k, v in out.items()}))
+            .group_by(["r_bin", "f_bin", "m_bin"])
+            .len(name="pn")
+            .with_columns(pl.col("pn").cast(pl.Int64))
+            .to_arrow()
+        )
+
+    out = (
+        base.map_batches(seg, batch_format="pyarrow")
+        .groupby(["r_bin", "f_bin", "m_bin"])
+        .aggregate(Sum("pn", alias_name="n_users"))
+        .to_pandas()
+        .sort_values(["r_bin", "f_bin", "m_bin"])
+        .reset_index(drop=True)
+    )
+    out["n_users"] = out["n_users"].astype("int64")
+    return out
+
+
+@q(
+    "view_to_purchase_latency",
+    sql="""
+    WITH v AS (SELECT user_id, min(epoch_us(ts)) AS t FROM events
+               WHERE event_type = 'view' GROUP BY 1),
+    p AS (SELECT user_id, min(epoch_us(ts)) AS t FROM events
+          WHERE event_type = 'purchase' GROUP BY 1),
+    lat AS (SELECT (p.t - v.t) // 1000000 AS lag_s FROM v JOIN p USING (user_id)
+            WHERE p.t > v.t)
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(quantile_disc(lag_s, 0.5) AS BIGINT) AS p50_s,
+           CAST(quantile_disc(lag_s, 0.9) AS BIGINT) AS p90_s,
+           CAST(quantile_disc(lag_s, 0.99) AS BIGINT) AS p99_s
+    FROM lat
+    """,
+)
+def view_to_purchase_latency(sf_dir: str):
+    """Conversion-latency quantiles: first view → first purchase per user,
+    exact p50/p90/p99 over the per-user lag. One conditional-min groupby
+    (both firsts in a single pass), integer-second lags, exact
+    quantile_disc — bit-identical to the oracle."""
+    from perfect_bloomfilter_ray.stages.quantiles import exact_grouped_quantiles
+    from ray.data.aggregate import Min
+
+    ds = _t(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def firsts(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        ts_us = pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64())
+        df = pl.from_arrow(
+            pa.table({"user_id": t.column("user_id"), "ts_us": ts_us, "et": t.column("event_type")})
+        ).filter(pl.col("et").is_in(["view", "purchase"]))
+        return (
+            df.group_by("user_id")
+            .agg(
+                pl.col("ts_us").filter(pl.col("et") == "view").min().alias("v_t"),
+                pl.col("ts_us").filter(pl.col("et") == "purchase").min().alias("p_t"),
+            )
+            .to_arrow()
+        )
+
+    per_user = (
+        ds.map_batches(firsts, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Min("v_t", alias_name="v_t"), Min("p_t", alias_name="p_t"))
+    )
+
+    def lag(t: pa.Table) -> pa.Table:
+        v = t.column("v_t").to_numpy(zero_copy_only=False)
+        p = t.column("p_t").to_numpy(zero_copy_only=False)
+        ok = ~(np.isnan(v) | np.isnan(p)) & (p > v)
+        lag_s = ((p[ok] - v[ok]) // 1_000_000).astype(np.int64)
+        return pa.table({"lag_s": pa.array(lag_s), "_g": pa.array(np.zeros(len(lag_s), np.int8))})
+
+    lags = per_user.map_batches(lag, batch_format="pyarrow").materialize()
+    n = lags.count()
+    qt = exact_grouped_quantiles(
+        lags, "_g", "lag_s", [0.5, 0.9, 0.99], kind="disc", names=["p50", "p90", "p99"]
+    ).to_pandas()
+    return pd.DataFrame(
+        {
+            "n_users": [n],
+            "p50_s": [int(qt.iloc[0]["p50"])],
+            "p90_s": [int(qt.iloc[0]["p90"])],
+            "p99_s": [int(qt.iloc[0]["p99"])],
+        }
+    )
+
+
 @q("bpe_vocab_merges")
 def bpe_vocab_merges(sf_dir: str):
     """Distributed BPE tokenizer training (Sennrich et al. 2016): corpus word
