@@ -188,6 +188,7 @@ SUITE = [
     "user_churn_km_curve",
     "rfm_user_segments",
     "view_to_purchase_latency",
+    "cdc_chunk_dedup_stats",
 ]
 
 

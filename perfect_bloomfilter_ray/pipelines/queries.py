@@ -7966,6 +7966,23 @@ def view_to_purchase_latency(sf_dir: str):
     )
 
 
+@q("cdc_chunk_dedup_stats")
+def cdc_chunk_dedup_stats(sf_dir: str):
+    """Content-defined chunking dedup report (LBFS rolling-hash boundaries):
+    how much of the corpus is redundant at the CHUNK level — the
+    shift-resistant storage-dedup measure that fixed-size blocks cannot
+    give (an insertion re-synchronizes boundaries). Per-batch chunk-hash
+    partials, one distinct-chunk exchange. Rows-only (boundaries are not
+    SQL-expressible); boundary determinism + shift resistance pinned in
+    tests/test_bpe.py."""
+    from perfect_bloomfilter_ray.stages.cdc import cdc_dedup_stats
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = cdc_dedup_stats(ds, "text", "doc_id", window=16, mask_bits=7, min_len=32, max_len=1024).to_pandas()
+    out["dedup_ratio"] = (out["bytes_distinct"] / out["bytes_total"]).round(6)
+    return out
+
+
 @q("bpe_vocab_merges")
 def bpe_vocab_merges(sf_dir: str):
     """Distributed BPE tokenizer training (Sennrich et al. 2016): corpus word

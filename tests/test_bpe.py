@@ -298,3 +298,39 @@ def test_logreg_matches_local_reference(ray_session):
     # deterministic rerun
     fit2 = logreg_fit(ds, feats, label, n_features=2, iters=50, lr=0.5, tag_col="i")
     assert np2.array_equal(fit["w"], fit2["w"])
+
+
+def test_cdc_chunking_properties():
+    import numpy as np2
+
+    from perfect_bloomfilter_ray.stages.cdc import _window_hashes, chunk_hashes
+
+    rng = np2.random.default_rng(3)
+    doc = bytes(rng.integers(0, 256, 20000, dtype=np2.uint8))
+    ch = chunk_hashes(doc)
+    assert sum(l for _, l in ch) == len(doc), "chunks must tile the document"
+    assert chunk_hashes(doc) == ch, "deterministic"
+    assert all(32 <= l <= 4096 or l == ch[-1][1] for _, l in ch)
+    # shift resistance: a 100-byte prepend keeps >80% of chunk hashes
+    doc2 = bytes(rng.integers(0, 256, 100, dtype=np2.uint8)) + doc
+    shared = len({h for h, _ in ch} & {h for h, _ in chunk_hashes(doc2)})
+    assert shared > 0.8 * len(ch), (shared, len(ch))
+    # identical windows hash identically regardless of position
+    a = np2.frombuffer(b"abcdefghij" * 3, dtype=np2.uint8)
+    h = _window_hashes(a, 10)
+    assert h[0] == h[10] == h[20]
+
+
+def test_cdc_dedup_counts_duplicates(ray_session):
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.cdc import cdc_dedup_stats
+
+    base = "the quick brown fox jumps over the lazy dog " * 40
+    rows = [{"doc_id": i, "text": base} for i in range(10)]  # 10 identical docs
+    ds = rd.from_items(rows)
+    out = cdc_dedup_stats(ds, "text", "doc_id", window=16, mask_bits=5, min_len=16, max_len=256)
+    ct = out.column("chunks_total")[0].as_py()
+    cd = out.column("chunks_distinct")[0].as_py()
+    assert ct == 10 * cd, "identical docs must share every chunk"
+    assert out.column("bytes_distinct")[0].as_py() * 10 == out.column("bytes_total")[0].as_py()
