@@ -189,6 +189,7 @@ SUITE = [
     "rfm_user_segments",
     "view_to_purchase_latency",
     "cdc_chunk_dedup_stats",
+    "weighted_median_nchars",
 ]
 
 

@@ -7983,6 +7983,153 @@ def cdc_chunk_dedup_stats(sf_dir: str):
     return out
 
 
+@q(
+    "weighted_median_nchars",
+    sql="""
+    WITH f AS (
+      SELECT CAST(n_chars AS BIGINT) AS v,
+             CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS w
+      FROM documents
+    ),
+    g AS (SELECT v, CAST(sum(w) AS BIGINT) AS w FROM f GROUP BY v),
+    c AS (SELECT v, w, sum(w) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+                 (SELECT sum(w) FROM g) AS tot
+          FROM g)
+    SELECT CAST(min(v) AS BIGINT) AS weighted_median,
+           CAST(max(tot) AS BIGINT) AS total_weight
+    FROM c WHERE cum * 2 >= tot
+    """,
+)
+def weighted_median_nchars(sf_dir: str):
+    """Exact WEIGHTED median (document length weighted by token count — the
+    'median experienced by a token, not by a document' statistic). The
+    value domain is bounded, so the exact answer comes from one
+    (value → weight-sum) groupby; the cumulative scan runs over the tiny
+    distinct-value table. Integer weights → bit-exact."""
+    ds = _t(sf_dir, "documents", ["text", "n_chars"])
+
+    def part(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        w = (
+            pl.from_arrow(pa.table({"t": t.column("text")}))["t"]
+            .str.count_matches(r"\S+")
+            .cast(pl.Int64)
+        )
+        return (
+            pl.from_arrow(pa.table({"v": t.column("n_chars"), "w": w.to_arrow()}))
+            .group_by("v")
+            .agg(pl.col("w").sum())
+            .to_arrow()
+        )
+
+    g = (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Sum("w", alias_name="w"))
+        .to_pandas()
+        .sort_values("v")
+        .reset_index(drop=True)
+    )
+    cum = g["w"].cumsum()
+    tot = int(g["w"].sum())
+    med = int(g.loc[cum * 2 >= tot, "v"].iloc[0])
+    return pd.DataFrame({"weighted_median": [med], "total_weight": [tot]})
+
+
+@q(
+    "token_cooccurrence_pmi",
+    sql="""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      FROM documents
+    ),
+    cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+    v AS (SELECT w FROM cnt ORDER BY c DESC, w LIMIT 100),
+    dt AS (SELECT DISTINCT doc_id, w FROM tok WHERE w IN (SELECT w FROM v)),
+    nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM documents),
+    df AS (SELECT w, CAST(count(*) AS BIGINT) AS d FROM dt GROUP BY w),
+    pairs AS (
+      SELECT a.w AS wa, b.w AS wb, CAST(count(*) AS BIGINT) AS n_ab
+      FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.w < b.w
+      GROUP BY 1, 2
+    )
+    SELECT wa, wb, n_ab,
+           round(ln(CAST(n_ab AS DOUBLE) * nd.n / (da.d * CAST(db.d AS DOUBLE))), 6) AS pmi
+    FROM pairs
+    JOIN df da ON da.w = pairs.wa
+    JOIN df db ON db.w = pairs.wb
+    CROSS JOIN nd
+    ORDER BY n_ab DESC, wa, wb LIMIT 20
+    """,
+)
+def token_cooccurrence_pmi(sf_dir: str):
+    """Token collocation mining over the top-100 vocabulary: doc-level
+    co-occurrence counts via MATRIX PARTIALS — each batch reduces to one
+    100×100 Xᵀ X partial (X = doc×token presence), merged by summation; no
+    pair explosion ever leaves a task. PMI from the exact integer counts.
+    The matrix-partial pattern is the scale shape for bounded-vocabulary
+    co-occurrence at any corpus size."""
+    import ray
+
+    from perfect_bloomfilter_ray.stages.bpe import word_frequencies
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    wf = word_frequencies(docs, "text", top_words=100)
+    vocab = wf.column("w").to_pylist()
+    vix = {w: i for i, w in enumerate(vocab)}
+    vref = ray.put(vix)
+
+    def xtx(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        vmap = ray.get(vref)
+        df = pl.from_arrow(pa.table({"doc_id": t.column("doc_id"), "text": t.column("text")}))
+        pairs = (
+            df.with_columns(
+                pl.col("text").str.to_lowercase().str.extract_all(r"[a-z0-9]+").alias("w")
+            )
+            .drop("text")
+            .explode("w")
+            .filter(pl.col("w").is_in(list(vmap)))
+            .unique()
+        )
+        did = pairs["doc_id"].to_numpy()
+        wid = np.array([vmap[w] for w in pairs["w"].to_list()], dtype=np.int64)
+        _, dix = np.unique(did, return_inverse=True)
+        x = np.zeros((dix.max() + 1 if len(dix) else 0, len(vmap)), dtype=np.int64)
+        if len(dix):
+            x[dix, wid] = 1
+        c = x.T @ x
+        return pa.table(
+            {
+                "c": pa.array([c.astype(np.int64).tobytes()], pa.binary()),
+                "nd": pa.array([int(x.shape[0])], pa.int64()),
+            }
+        )
+
+    parts = docs.map_batches(xtx, batch_format="pyarrow").to_pandas()
+    k = len(vocab)
+    C = np.zeros((k, k), dtype=np.int64)
+    for b in parts["c"]:
+        C += np.frombuffer(b, dtype=np.int64).reshape(k, k)
+    n_docs = docs.count()  # ALL docs (the oracle's denominator), not just vocab-hitting ones
+    d = np.diag(C).copy()
+    rows = []
+    for i in range(k):
+        for j in range(i + 1, k):
+            if C[i, j] > 0:
+                wa, wb = sorted((vocab[i], vocab[j]))
+                pmi = float(np.log(float(C[i, j]) * n_docs / (d[i] * float(d[j]))))
+                rows.append((wa, wb, int(C[i, j]), round(pmi, 6)))
+    out = pd.DataFrame(rows, columns=["wa", "wb", "n_ab", "pmi"])
+    return (
+        out.sort_values(["n_ab", "wa", "wb"], ascending=[False, True, True])
+        .head(20)
+        .reset_index(drop=True)
+    )
+
+
 @q("bpe_vocab_merges")
 def bpe_vocab_merges(sf_dir: str):
     """Distributed BPE tokenizer training (Sennrich et al. 2016): corpus word
