@@ -190,6 +190,7 @@ SUITE = [
     "view_to_purchase_latency",
     "cdc_chunk_dedup_stats",
     "weighted_median_nchars",
+    "bootstrap_mean_ci_value",
 ]
 
 

@@ -8130,6 +8130,63 @@ def token_cooccurrence_pmi(sf_dir: str):
     )
 
 
+@q("bootstrap_mean_ci_value")
+def bootstrap_mean_ci_value(sf_dir: str):
+    """Poisson-bootstrap confidence interval for the mean event value —
+    the map-reduce-native resampling trick (each row contributes an
+    INDEPENDENT Poisson(1) weight per replicate, so all B resamples run in
+    ONE streaming pass; no row ever needs to know the dataset size).
+    Deterministic: weights come from splitmix64(row-hash ^ replicate) via
+    inverse-CDF. Rows-only (seeded-RNG resampling is not SQL-expressible);
+    coverage pinned in tests/test_bpe.py."""
+    from perfect_bloomfilter_ray.functions.hashing import hash64, splitmix64
+
+    B = 64
+    # Poisson(1) inverse CDF table (k up to 8 covers 1-1e-9 of the mass)
+    from math import exp, factorial
+
+    pmf = [exp(-1.0) / factorial(k) for k in range(9)]
+    cdf = np.cumsum(pmf)
+
+    ds = _t(sf_dir, "events", ["event_id", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = hash64(t.column("event_id"), 0xB007)
+        x = t.column("value").to_numpy(zero_copy_only=False).astype(np.float64)
+        sw = np.empty(B, dtype=np.float64)
+        swx = np.empty(B, dtype=np.float64)
+        with np.errstate(over="ignore"):
+            for b in range(B):
+                u = splitmix64(h ^ np.uint64(0x9E3779B9 * (b + 1))).astype(np.float64) / 2**64
+                w = np.searchsorted(cdf, u).astype(np.float64)
+                sw[b] = w.sum()
+                swx[b] = (w * x).sum()
+        return pa.table(
+            {
+                "sw": pa.array([sw.tobytes()], pa.binary()),
+                "swx": pa.array([swx.tobytes()], pa.binary()),
+                "n": pa.array([len(x)], pa.int64()),
+                "sx": pa.array([float(x.sum())], pa.float64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    sw = np.sum([np.frombuffer(b, np.float64) for b in parts["sw"]], axis=0)
+    swx = np.sum([np.frombuffer(b, np.float64) for b in parts["swx"]], axis=0)
+    reps = swx / np.maximum(sw, 1.0)
+    mean = float(parts["sx"].sum() / parts["n"].sum())
+    lo, hi = np.quantile(reps, [0.025, 0.975])
+    return pd.DataFrame(
+        {
+            "n": [int(parts["n"].sum())],
+            "mean": [round(mean, 6)],
+            "ci_lo": [round(float(lo), 6)],
+            "ci_hi": [round(float(hi), 6)],
+            "replicates": [B],
+        }
+    )
+
+
 @q("bpe_vocab_merges")
 def bpe_vocab_merges(sf_dir: str):
     """Distributed BPE tokenizer training (Sennrich et al. 2016): corpus word

@@ -334,3 +334,43 @@ def test_cdc_dedup_counts_duplicates(ray_session):
     cd = out.column("chunks_distinct")[0].as_py()
     assert ct == 10 * cd, "identical docs must share every chunk"
     assert out.column("bytes_distinct")[0].as_py() * 10 == out.column("bytes_total")[0].as_py()
+
+
+def test_poisson_bootstrap_ci_covers_true_mean(ray_session):
+    import os
+    import tempfile
+
+    import numpy as np2
+    import pandas as pd2
+    import pyarrow as pa2
+    import pyarrow.parquet as pq
+
+    from perfect_bloomfilter_ray.pipelines.queries import QUERIES
+
+    rng = np2.random.default_rng(31)
+    n = 20_000
+    vals = rng.normal(50, 10, n)
+    df = pd2.DataFrame(
+        {
+            "event_id": np2.arange(n),
+            "ts": pd2.to_datetime(rng.integers(0, 10_000, n), unit="s"),
+            "user_id": rng.integers(0, 50, n),
+            "event_type": "view",
+            "value": vals,
+            "props": "{}",
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa2.Table.from_pandas(df, preserve_index=False), os.path.join(d, "events.parquet"))
+        out = QUERIES["bootstrap_mean_ci_value"](d)
+    m, lo, hi = out["mean"][0], out["ci_lo"][0], out["ci_hi"][0]
+    assert lo < m < hi
+    # CI width ~ 2*1.96*sigma/sqrt(n) ~ 0.28; allow generous band
+    assert 0.1 < hi - lo < 1.0, (lo, hi)
+    true_mean = vals.mean()
+    assert lo - 0.2 < true_mean < hi + 0.2
+    # determinism
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa2.Table.from_pandas(df, preserve_index=False), os.path.join(d, "events.parquet"))
+        out2 = QUERIES["bootstrap_mean_ci_value"](d)
+    pd2.testing.assert_frame_equal(out, out2)
