@@ -191,6 +191,7 @@ SUITE = [
     "cdc_chunk_dedup_stats",
     "weighted_median_nchars",
     "bootstrap_mean_ci_value",
+    "sketch_accuracy_report",
 ]
 
 

@@ -8187,6 +8187,67 @@ def bootstrap_mean_ci_value(sf_dir: str):
     )
 
 
+@q("sketch_accuracy_report")
+def sketch_accuracy_report(sf_dir: str):
+    """One-table accuracy audit of the sketch tier against exact answers on
+    the same column — the 'which sketch do I reach for' report: DDSketch /
+    KLL / t-digest on value quantiles (p50, p99) and HLL / Theta on distinct
+    users, each with its observed relative error. All sketches build in ONE
+    shared scan (multi-sketch partials); exact twins use the engine's exact
+    quantile and pair-distinct machinery. Rows-only by nature (estimates),
+    with every per-sketch error bound separately pinned in pytest."""
+    from perfect_bloomfilter_ray.stages.agg import multi_sketch_global
+    from perfect_bloomfilter_ray.stages.quantiles import exact_grouped_quantiles
+    from perfect_bloomfilter_ray.state.ddsketch import DDSketch
+    from perfect_bloomfilter_ray.state.hll import HyperLogLog
+    from perfect_bloomfilter_ray.state.kll import KLLSketch
+    from perfect_bloomfilter_ray.state.tdigest import TDigest
+    from perfect_bloomfilter_ray.state.theta import ThetaSketch
+
+    ds = _t(sf_dir, "events", ["user_id", "value"]).materialize()
+    sk = multi_sketch_global(
+        ds,
+        {
+            "dd": ("value", lambda: DDSketch(0.01)),
+            "kll": ("value", lambda: KLLSketch(256)),
+            "td": ("value", lambda: TDigest(200)),
+            "hll": ("user_id", lambda: HyperLogLog(14)),
+            "theta": ("user_id", lambda: ThetaSketch(4096)),
+        },
+    )
+
+    def add_g(t: pa.Table) -> pa.Table:
+        return t.append_column("_g", pa.array(np.zeros(len(t), np.int8)))
+
+    gds = ds.map_batches(add_g, batch_format="pyarrow")
+    qt = exact_grouped_quantiles(
+        gds, "_g", "value", [0.5, 0.99], kind="disc", names=["p50", "p99"]
+    ).to_pandas()
+    exact_p50, exact_p99 = float(qt.iloc[0]["p50"]), float(qt.iloc[0]["p99"])
+
+    def du(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return pl.from_arrow(t.select(["user_id"])).unique().to_arrow()
+
+    exact_users = float(gds.map_batches(du, batch_format="pyarrow").groupby("user_id").count().count())
+
+    rows = []
+    for metric, method, est, exact in (
+        ("p50_value", "ddsketch", sk["dd"].quantile(0.5), exact_p50),
+        ("p50_value", "kll", sk["kll"].quantile(0.5), exact_p50),
+        ("p50_value", "tdigest", sk["td"].quantile(0.5), exact_p50),
+        ("p99_value", "ddsketch", sk["dd"].quantile(0.99), exact_p99),
+        ("p99_value", "kll", sk["kll"].quantile(0.99), exact_p99),
+        ("p99_value", "tdigest", sk["td"].quantile(0.99), exact_p99),
+        ("distinct_users", "hll", sk["hll"].estimate(), exact_users),
+        ("distinct_users", "theta", sk["theta"].estimate(), exact_users),
+    ):
+        rel = abs(float(est) - exact) / max(abs(exact), 1e-12)
+        rows.append((metric, method, round(float(est), 4), round(exact, 4), round(rel, 6)))
+    return pd.DataFrame(rows, columns=["metric", "method", "estimate", "exact", "rel_error"])
+
+
 @q("bpe_vocab_merges")
 def bpe_vocab_merges(sf_dir: str):
     """Distributed BPE tokenizer training (Sennrich et al. 2016): corpus word
