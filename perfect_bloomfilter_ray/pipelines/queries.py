@@ -8248,6 +8248,46 @@ def sketch_accuracy_report(sf_dir: str):
     return pd.DataFrame(rows, columns=["metric", "method", "estimate", "exact", "rel_error"])
 
 
+@q("minhash_calibration_report")
+def minhash_calibration_report(sf_dir: str):
+    """MinHash estimator calibration on real candidates: every LSH candidate
+    pair's estimated Jaccard vs its EXACT n-gram Jaccard — mean absolute
+    error, signed bias, fraction within ±0.1, and the precision of the
+    est≥0.5 decision against exact≥0.5 truth. The 'can I trust the sketch
+    threshold' tuning artifact (recall is a blocking-scheme property,
+    measured separately by the LSH parameter tests). Deterministic."""
+    from perfect_bloomfilter_ray.stages.dedup import minhash_lsh_pairs, ngram_jaccard
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    cand = minhash_lsh_pairs(ds, "text", "doc_id", threshold=0.3).to_pandas()
+    if not len(cand):
+        return pd.DataFrame(
+            {"n_pairs": [0], "mae": [0.0], "bias": [0.0], "within_0_1": [1.0], "precision_at_05": [1.0]}
+        )
+    need = set(cand["id_a"]) | set(cand["id_b"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t.column("doc_id"), value_set=pa.array(list(need))))
+
+    texts = {r["doc_id"]: r["text"] for r in ds.map_batches(keep, batch_format="pyarrow").take_all()}
+    exact = np.asarray(
+        ngram_jaccard([texts[i] for i in cand["id_a"]], [texts[i] for i in cand["id_b"]], n_words=5)
+    )
+    est = cand["est_jaccard"].to_numpy()
+    err = est - exact
+    decided = est >= 0.5
+    prec = float((exact[decided] >= 0.5).mean()) if decided.any() else 1.0
+    return pd.DataFrame(
+        {
+            "n_pairs": [len(cand)],
+            "mae": [round(float(np.abs(err).mean()), 6)],
+            "bias": [round(float(err.mean()), 6)],
+            "within_0_1": [round(float((np.abs(err) <= 0.1).mean()), 6)],
+            "precision_at_05": [round(prec, 6)],
+        }
+    )
+
+
 @q("bpe_vocab_merges")
 def bpe_vocab_merges(sf_dir: str):
     """Distributed BPE tokenizer training (Sennrich et al. 2016): corpus word
