@@ -192,6 +192,7 @@ SUITE = [
     "weighted_median_nchars",
     "bootstrap_mean_ci_value",
     "sketch_accuracy_report",
+    "theta_daily_new_users",
 ]
 
 
