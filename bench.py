@@ -193,6 +193,7 @@ SUITE = [
     "bootstrap_mean_ci_value",
     "sketch_accuracy_report",
     "theta_daily_new_users",
+    "dd_quantile_rollup",
 ]
 
 

@@ -8341,6 +8341,50 @@ def theta_daily_new_users(sf_dir: str):
     return pd.DataFrame(rows, columns=["day", "new_users_est"])
 
 
+@q("dd_quantile_rollup")
+def dd_quantile_rollup(sf_dir: str):
+    """THE mergeable-sketch selling point, as a pipeline: build per-HOUR
+    DDSketches in one scan, then derive per-day p50/p99 by MERGING the
+    hourly sketches — no second pass over the data, ever. (An OLAP cube of
+    quantiles from one scan; the reference's frozen-layer design exists for
+    exactly this mergeability.) Rows-only; the merge preserves the alpha
+    contract because DDSketch merge is exact bucket addition — asserted
+    against the exact per-day quantiles in tests/test_bpe.py."""
+    from perfect_bloomfilter_ray.stages.agg import sketch_grouped
+    from perfect_bloomfilter_ray.state.ddsketch import DDSketch
+
+    ds = _t(sf_dir, "events", ["ts", "value"])
+
+    def hour(t: pa.Table) -> pa.Table:
+        h = pc.cast(pc.cast(pc.floor_temporal(t.column("ts"), unit="hour"), pa.timestamp("us")), pa.int64())
+        return pa.table({"h": h, "value": t.column("value")})
+
+    hourly = sketch_grouped(
+        ds.map_batches(hour, batch_format="pyarrow"),
+        key="h",
+        col="value",
+        factory=lambda: DDSketch(0.01),
+        name="sk",
+    ).to_pandas()
+    DAY = 86_400_000_000
+    hourly["day"] = (hourly["h"] // DAY) * DAY
+    rows = []
+    for day_us, grp in hourly.groupby("day"):
+        merged = None
+        for b in grp.sort_values("h")["sk"]:
+            s = DDSketch.from_bytes(b)
+            merged = s if merged is None else merged.merge(s)
+        rows.append(
+            (
+                pd.to_datetime(day_us, unit="us").strftime("%Y-%m-%d"),
+                len(grp),
+                round(merged.quantile(0.5), 4),
+                round(merged.quantile(0.99), 4),
+            )
+        )
+    return pd.DataFrame(rows, columns=["day", "n_hours", "p50_est", "p99_est"]).sort_values("day").reset_index(drop=True)
+
+
 @q("bpe_vocab_merges")
 def bpe_vocab_merges(sf_dir: str):
     """Distributed BPE tokenizer training (Sennrich et al. 2016): corpus word

@@ -374,3 +374,40 @@ def test_poisson_bootstrap_ci_covers_true_mean(ray_session):
         pq.write_table(pa2.Table.from_pandas(df, preserve_index=False), os.path.join(d, "events.parquet"))
         out2 = QUERIES["bootstrap_mean_ci_value"](d)
     pd2.testing.assert_frame_equal(out, out2)
+
+
+def test_dd_rollup_keeps_alpha_contract(ray_session):
+    """Merged-from-hourly day quantiles must stay within alpha of the exact
+    per-day quantiles (merge is exact bucket addition)."""
+    import os
+    import tempfile
+
+    import numpy as np2
+    import pandas as pd2
+    import pyarrow as pa2
+    import pyarrow.parquet as pq
+
+    from perfect_bloomfilter_ray.pipelines.queries import QUERIES
+
+    rng = np2.random.default_rng(41)
+    n = 30_000
+    df = pd2.DataFrame(
+        {
+            "event_id": np2.arange(n),
+            "ts": pd2.to_datetime(rng.integers(0, 3 * 86400, n), unit="s"),
+            "user_id": rng.integers(0, 50, n),
+            "event_type": "view",
+            "value": rng.lognormal(3, 1, n),
+            "props": "{}",
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa2.Table.from_pandas(df, preserve_index=False), os.path.join(d, "events.parquet"))
+        out = QUERIES["dd_quantile_rollup"](d)
+    assert len(out) == 3
+    df["day"] = df["ts"].dt.strftime("%Y-%m-%d")
+    for row in out.itertuples():
+        vals = np2.sort(df.loc[df["day"] == row.day, "value"].to_numpy())
+        for q, est in ((0.5, row.p50_est), (0.99, row.p99_est)):
+            true = vals[int(q * (len(vals) - 1))]
+            assert abs(est - true) <= 0.0101 * abs(true) + 1e-6, (row.day, q, est, true)
