@@ -194,6 +194,7 @@ SUITE = [
     "sketch_accuracy_report",
     "theta_daily_new_users",
     "dd_quantile_rollup",
+    "filter_bakeoff_report",
 ]
 
 

@@ -8385,6 +8385,48 @@ def dd_quantile_rollup(sf_dir: str):
     return pd.DataFrame(rows, columns=["day", "n_hours", "p50_est", "p99_est"]).sort_values("day").reset_index(drop=True)
 
 
+@q("filter_bakeoff_report")
+def filter_bakeoff_report(sf_dir: str):
+    """Bloom cascade vs cuckoo filter on the same distinct-user key set:
+    serialized bytes, bits per key, and observed FPR over 100k fresh probes
+    — the capacity-planning table for choosing a membership structure
+    (Bloom: smaller + add-only; cuckoo: deletable + bounded 2·b/2^16 FPR).
+    Both build distributed from the same deduped Dataset; deterministic
+    seeds make the observed FPRs rerun-stable. Rows-only by nature."""
+    import ray
+
+    from perfect_bloomfilter_ray.stages.agg import sketch_global
+    from perfect_bloomfilter_ray.stages.membership import build_filter
+    from perfect_bloomfilter_ray.state.cuckoo import CuckooFilter
+
+    distinct = (
+        _t(sf_dir, "events", ["user_id"]).groupby("user_id").count().drop_columns(["count()"])
+    ).materialize()
+    n = distinct.count()
+    bloom = build_filter(distinct, "user_id", expected_keys=max(1024, n))
+    cuckoo = sketch_global(distinct, "user_id", lambda: CuckooFilter.for_capacity(max(1024, n)))
+    fresh = pa.array(np.arange(50_000_000, 50_100_000))
+    rows = []
+    for name, f in (("bloom_cascade", bloom), ("cuckoo", cuckoo)):
+        blob = f.to_bytes()
+        fp = int(f.contains_column(fresh).sum())
+        rows.append(
+            (
+                name,
+                n,
+                len(blob),
+                round(len(blob) * 8.0 / max(n, 1), 2),
+                100_000,
+                fp,
+                True if name == "cuckoo" else False,
+            )
+        )
+    return pd.DataFrame(
+        rows,
+        columns=["filter", "keys", "bytes", "bits_per_key", "fresh_probes", "false_positives", "supports_delete"],
+    )
+
+
 @q("bpe_vocab_merges")
 def bpe_vocab_merges(sf_dir: str):
     """Distributed BPE tokenizer training (Sennrich et al. 2016): corpus word
