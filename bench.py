@@ -195,6 +195,8 @@ SUITE = [
     "theta_daily_new_users",
     "dd_quantile_rollup",
     "filter_bakeoff_report",
+    "event_type_trigrams",
+    "view_purchase_crosscorr",
 ]
 
 

@@ -7057,6 +7057,8 @@ def nb_event_type_confusion(sf_dir: str):
             }
         )
 
+    # slim (label, hour, dow) projection materialized once: reused by the
+    # three training counts AND the inference pass; spillable, ~10 B/row
     fds = ds.map_batches(feats, batch_format="pyarrow").materialize()
     pri = fds.groupby("actual").count().to_pandas().rename(columns={"count()": "n"})
     ph = fds.groupby(["actual", "h"]).count().to_pandas().rename(columns={"count()": "n"})
@@ -7231,6 +7233,8 @@ def doc_rank_fusion(sf_dir: str):
             {"doc_id": t.column("doc_id"), "n_chars": t.column("n_chars"), "lw": lw.to_arrow()}
         )
 
+    # slim (id, 2 ints) projection materialized ONCE so both top-k trees
+    # reuse it without re-running the regex scan; spillable, 24 B/row
     sl = ds.map_batches(slim, batch_format="pyarrow").materialize()
     l1 = (
         global_top_k(sl, "n_chars", 200, descending=True, tie_cols=["doc_id"])
@@ -8425,6 +8429,145 @@ def filter_bakeoff_report(sf_dir: str):
         rows,
         columns=["filter", "keys", "bytes", "bits_per_key", "fresh_probes", "false_positives", "supports_delete"],
     )
+
+
+@q(
+    "event_type_trigrams",
+    sql="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p1,
+             lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p2
+      FROM events
+    )
+    SELECT p2 AS s1, p1 AS s2, event_type AS s3, CAST(count(*) AS BIGINT) AS n
+    FROM s WHERE p2 IS NOT NULL
+    GROUP BY 1, 2, 3 ORDER BY n DESC, s1, s2, s3 LIMIT 25
+    """,
+)
+def event_type_trigrams(sf_dir: str):
+    """Sequential-pattern mining one level up from the Markov transitions:
+    the top event-type TRIGRAMS per user ordering — funnel-discovery input.
+    Same keyed-window shape (coarse co-partition, one vectorized double
+    shift over contiguous key runs), tiny triple groupby, tree-reduce
+    top-k."""
+    from perfect_bloomfilter_ray.functions.hashing import hash64
+    from perfect_bloomfilter_ray.stages.partitioning import choose_num_blocks
+    from perfect_bloomfilter_ray.stages.topk import global_top_k
+
+    ds = _t(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    nb = np.uint64(choose_num_blocks(ds))
+
+    def tag(t: pa.Table) -> pa.Table:
+        h = hash64(t.column("user_id"), 0x5E55)
+        return t.append_column("_part", pa.array((h % nb).astype(np.int32)))
+
+    def per_part(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        if len(t) == 0:
+            return pa.table(
+                {"s1": pa.array([], pa.string()), "s2": pa.array([], pa.string()),
+                 "s3": pa.array([], pa.string()), "pn": pa.array([], pa.int64())}
+            )
+        df = (
+            pl.from_arrow(t.select(["user_id", "ts", "event_id", "event_type"]))
+            .sort(["user_id", "ts", "event_id"])
+            .with_columns(
+                pl.col("event_type").shift(1).over("user_id").alias("p1"),
+                pl.col("event_type").shift(2).over("user_id").alias("p2"),
+            )
+            .filter(pl.col("p2").is_not_null())
+        )
+        return (
+            df.group_by(["p2", "p1", "event_type"])
+            .len(name="pn")
+            .rename({"p2": "s1", "p1": "s2", "event_type": "s3"})
+            .with_columns(pl.col("pn").cast(pl.Int64))
+            .to_arrow()
+        )
+
+    counts = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(per_part, batch_format="pyarrow")
+        .groupby(["s1", "s2", "s3"])
+        .aggregate(Sum("pn", alias_name="n"))
+    )
+    out = (
+        global_top_k(counts, "n", 25, descending=True, tie_cols=["s1", "s2", "s3"])
+        .to_pandas()
+        .sort_values(["n", "s1", "s2", "s3"], ascending=[False, True, True, True])
+        .reset_index(drop=True)
+    )
+    out["n"] = out["n"].astype("int64")
+    return out[["s1", "s2", "s3", "n"]]
+
+
+@q(
+    "view_purchase_crosscorr",
+    sql="""
+    WITH h AS (
+      SELECT date_trunc('hour', ts) AS b,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS v,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS p
+      FROM events GROUP BY 1
+    ),
+    r AS (SELECT v, p, row_number() OVER (ORDER BY b) AS i FROM h),
+    pr AS (SELECT a.v AS x, b.p AS y FROM r a JOIN r b ON b.i = a.i + 1),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy,
+             CAST(sum(x*y) AS BIGINT) AS sxy
+      FROM pr
+    )
+    SELECT n AS n_pairs,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+               AS lag1_crosscorr
+    FROM s
+    """,
+)
+def view_purchase_crosscorr(sf_dir: str):
+    """Lagged cross-correlation between two event streams: do view spikes
+    this hour predict purchase volume next hour? One conditional hourly
+    count groupby (both series in a single pass), Pearson over the lagged
+    pairs from exact integer sums — the leading-indicator probe."""
+    ds = _t(sf_dir, "events", ["ts", "event_type"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        b = pc.cast(pc.cast(pc.floor_temporal(t.column("ts"), unit="hour"), pa.timestamp("us")), pa.int64())
+        df = pl.from_arrow(pa.table({"b": b, "et": t.column("event_type")}))
+        return (
+            df.group_by("b")
+            .agg(
+                (pl.col("et") == "view").sum().cast(pl.Int64).alias("v"),
+                (pl.col("et") == "purchase").sum().cast(pl.Int64).alias("p"),
+            )
+            .to_arrow()
+        )
+
+    h = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("b")
+        .aggregate(Sum("v", alias_name="v"), Sum("p", alias_name="p"))
+        .to_pandas()
+        .sort_values("b")
+        .reset_index(drop=True)
+    )
+    x = h["v"].to_numpy().astype(np.int64)[:-1]
+    y = h["p"].to_numpy().astype(np.int64)[1:]
+    n = len(x)
+    sx, sy = int(x.sum()), int(y.sum())
+    sxx, syy, sxy = int((x * x).sum()), int((y * y).sum()), int((x * y).sum())
+    r = (float(n) * sxy - float(sx) * sy) / (
+        np.sqrt(float(n) * sxx - float(sx) * sx) * np.sqrt(float(n) * syy - float(sy) * sy)
+    )
+    return pd.DataFrame({"n_pairs": [n], "lag1_crosscorr": [round(r, 6)]})
 
 
 @q("bpe_vocab_merges")
