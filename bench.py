@@ -197,6 +197,8 @@ SUITE = [
     "filter_bakeoff_report",
     "event_type_trigrams",
     "view_purchase_crosscorr",
+    "cohort_ltv_curve",
+    "timed_funnel_view_click_purchase",
 ]
 
 

@@ -8570,6 +8570,130 @@ def view_purchase_crosscorr(sf_dir: str):
     return pd.DataFrame({"n_pairs": [n], "lag1_crosscorr": [round(r, 6)]})
 
 
+@q(
+    "cohort_ltv_curve",
+    sql="""
+    WITH e AS (
+      SELECT user_id, date_trunc('week', ts) AS wk,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    f AS (SELECT user_id, min(wk) AS cohort FROM e GROUP BY user_id),
+    j AS (
+      SELECT f.cohort,
+             CAST(date_diff('week', f.cohort, e.wk) AS BIGINT) AS offset_w,
+             e.cents
+      FROM e JOIN f USING (user_id)
+    )
+    SELECT strftime(cohort, '%Y-%m-%d') AS cohort, offset_w,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents
+    FROM j GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def cohort_ltv_curve(sf_dir: str):
+    """Cohort lifetime-value curve: revenue per (signup-cohort, week-offset)
+    cell — the monetization twin of user_retention_cohorts, and the same
+    single-exchange shape: (user, week, cents) partials co-partition by
+    user, cohort resolves inside each block, only tiny per-partition cell
+    sums leave. Integer cents → bit-exact."""
+    from perfect_bloomfilter_ray.functions.hashing import hash64
+    from perfect_bloomfilter_ray.stages.partitioning import choose_num_blocks
+
+    WEEK_US = 7 * 86400 * 1_000_000
+    ds = _t(sf_dir, "events", ["user_id", "ts", "value"])
+    nb = np.uint64(choose_num_blocks(ds))
+
+    def wk(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        w = pc.cast(pc.cast(pc.floor_temporal(t.column("ts"), unit="week"), pa.timestamp("us")), pa.int64())
+        cents = np.round(t.column("value").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        tbl = (
+            pl.from_arrow(pa.table({"user_id": t.column("user_id"), "wk": w, "cents": pa.array(cents)}))
+            .group_by(["user_id", "wk"])
+            .agg(pl.col("cents").sum())
+            .to_arrow()
+        )
+        h = hash64(tbl.column("user_id"), 0x5E55)
+        return tbl.append_column("_part", pa.array((h % nb).astype(np.int32)))
+
+    def per_part(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = (
+            pl.from_arrow(t.select(["user_id", "wk", "cents"]))
+            .group_by(["user_id", "wk"])
+            .agg(pl.col("cents").sum())
+        )
+        df = df.with_columns(pl.col("wk").min().over("user_id").alias("cohort_us"))
+        df = df.with_columns(((pl.col("wk") - pl.col("cohort_us")) // WEEK_US).alias("offset_w"))
+        return (
+            df.group_by(["cohort_us", "offset_w"])
+            .agg(pl.col("cents").sum().alias("pc"))
+            .to_arrow()
+        )
+
+    out = (
+        ds.map_batches(wk, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(per_part, batch_format="pyarrow")
+        .groupby(["cohort_us", "offset_w"])
+        .aggregate(Sum("pc", alias_name="revenue_cents"))
+        .to_pandas()
+    )
+    out["cohort"] = pd.to_datetime(out["cohort_us"], unit="us").dt.strftime("%Y-%m-%d")
+    out["revenue_cents"] = out["revenue_cents"].astype("int64")
+    out["offset_w"] = out["offset_w"].astype("int64")
+    return (
+        out[["cohort", "offset_w", "revenue_cents"]]
+        .sort_values(["cohort", "offset_w"])
+        .reset_index(drop=True)
+    )
+
+
+@q(
+    "timed_funnel_view_click_purchase",
+    sql="""
+    WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t FROM events
+                WHERE event_type = 'view' GROUP BY 1),
+    s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t
+           FROM events e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t
+             AND epoch_us(e.ts) <= s1.t + 86400000000
+           GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t
+           FROM events e JOIN s2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t
+             AND epoch_us(e.ts) <= s2.t + 604800000000
+           GROUP BY e.user_id)
+    SELECT 0 AS stage_idx, 'view' AS stage, CAST((SELECT count(*) FROM s1) AS BIGINT) AS users
+    UNION ALL
+    SELECT 1, 'click', CAST((SELECT count(*) FROM s2) AS BIGINT)
+    UNION ALL
+    SELECT 2, 'purchase', CAST((SELECT count(*) FROM s3) AS BIGINT)
+    ORDER BY stage_idx
+    """,
+)
+def timed_funnel_view_click_purchase(sf_dir: str):
+    """Time-constrained conversion funnel: view → click within 24h →
+    purchase within 7d of the click. The deadline variant of
+    user_funnel_view_click_purchase (same vectorized segment-min kernel,
+    stages/windows.funnel_counts(max_gaps=), greedy earliest-pick stays
+    exact under deadlines)."""
+    from perfect_bloomfilter_ray.stages.windows import funnel_counts
+
+    ds = _t(sf_dir, "events", ["user_id", "ts", "event_type"])
+    HOUR = 3_600_000_000
+    return funnel_counts(
+        ds,
+        "user_id",
+        "ts",
+        "event_type",
+        ["view", "click", "purchase"],
+        max_gaps=[24 * HOUR, 7 * 24 * HOUR],
+    )
+
+
 @q("bpe_vocab_merges")
 def bpe_vocab_merges(sf_dir: str):
     """Distributed BPE tokenizer training (Sennrich et al. 2016): corpus word

@@ -455,12 +455,17 @@ def funnel_counts(
     ts_col: str,
     type_col: str,
     stages: list[str],
+    max_gaps: list[int] | None = None,
     num_blocks: int | None = None,
 ) -> "pd.DataFrame":
     """Ordered-sequence funnel: how many keys (users) reached each stage,
     where stage k requires an event of type ``stages[k]`` STRICTLY after
     the earliest qualifying stage-(k−1) event (the standard greedy funnel —
-    earliest A, then earliest B after it, …).
+    earliest A, then earliest B after it, …). With ``max_gaps`` (one
+    microsecond deadline per transition) stage k must ALSO occur within
+    ``max_gaps[k-1]`` of stage k−1 — the time-constrained conversion
+    funnel. Greedy earliest-pick stays exact under deadlines: an earlier
+    stage-k time never shrinks a later stage's window.
 
     Keys co-locate via the usual coarse hash partition; each partition
     resolves every stage with vectorized segment-min passes (masked
@@ -497,8 +502,14 @@ def funnel_counts(
         INF = np.iinfo(np.int64).max
         prev = np.full(len(starts), np.iinfo(np.int64).min, dtype=np.int64)  # stage 0: no lower bound
         counts = []
-        for s in stages:
-            cand = np.where((ty_s == s) & (ts_s > prev[seg]), ts_s, INF)
+        for si, s in enumerate(stages):
+            ok = (ty_s == s) & (ts_s > prev[seg])
+            if max_gaps is not None and si > 0:
+                # prev may hold INF for keys that missed a stage; the ts_s >
+                # prev check already excludes them, the deadline only tightens
+                with np.errstate(over="ignore"):
+                    ok &= ts_s <= prev[seg] + np.int64(max_gaps[si - 1])
+            cand = np.where(ok, ts_s, INF)
             cur = np.minimum.reduceat(cand, starts)
             counts.append(int((cur < INF).sum()))
             prev = cur  # keys that missed this stage hold INF → never match later
