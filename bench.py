@@ -199,6 +199,7 @@ SUITE = [
     "view_purchase_crosscorr",
     "cohort_ltv_curve",
     "timed_funnel_view_click_purchase",
+    "boolean_retrieval_hash_join",
 ]
 
 

@@ -8694,6 +8694,60 @@ def timed_funnel_view_click_purchase(sf_dir: str):
     )
 
 
+@q(
+    "boolean_retrieval_hash_join",
+    sql="""
+    WITH f AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(lower(text), '\\bhash\\b')) AS BIGINT) AS tf_a,
+             CAST(len(regexp_extract_all(lower(text), '\\bjoin\\b')) AS BIGINT) AS tf_b
+      FROM documents
+    )
+    SELECT doc_id, tf_a, tf_b, tf_a + tf_b AS score
+    FROM f WHERE tf_a > 0 AND tf_b > 0
+    ORDER BY score DESC, doc_id LIMIT 25
+    """,
+)
+def boolean_retrieval_hash_join(sf_dir: str):
+    """Boolean AND retrieval ranked by combined term frequency — the search
+    primitive over the same per-doc term counts that feed the inverted
+    index (token_posting_lists): one vectorized tf pass, stream filter,
+    tree-reduce top-k. No full sort, no posting-list materialization for a
+    2-term conjunctive query."""
+    from perfect_bloomfilter_ray.stages.topk import global_top_k
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def tf(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        txt = pl.from_arrow(pa.table({"t": t.column("text")}))["t"].str.to_lowercase()
+        a = txt.str.count_matches(r"\bhash\b").cast(pl.Int64)
+        b = txt.str.count_matches(r"\bjoin\b").cast(pl.Int64)
+        out = pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "tf_a": a.to_arrow(),
+                "tf_b": b.to_arrow(),
+            }
+        )
+        keep = pc.and_(pc.greater(out.column("tf_a"), 0), pc.greater(out.column("tf_b"), 0))
+        out = out.filter(keep)
+        score = pc.add(out.column("tf_a"), out.column("tf_b"))
+        return out.append_column("score", score)
+
+    hits = ds.map_batches(tf, batch_format="pyarrow")
+    out = (
+        global_top_k(hits, "score", 25, descending=True, tie_cols=["doc_id"])
+        .to_pandas()
+        .sort_values(["score", "doc_id"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    for c in ("tf_a", "tf_b", "score"):
+        out[c] = out[c].astype("int64")
+    return out[["doc_id", "tf_a", "tf_b", "score"]]
+
+
 @q("bpe_vocab_merges")
 def bpe_vocab_merges(sf_dir: str):
     """Distributed BPE tokenizer training (Sennrich et al. 2016): corpus word
