@@ -8748,6 +8748,56 @@ def boolean_retrieval_hash_join(sf_dir: str):
     return out[["doc_id", "tf_a", "tf_b", "score"]]
 
 
+@q("user_behavior_segments")
+def user_behavior_segments(sf_dir: str):
+    """Behavioral segmentation: k-means over per-user event-type count
+    vectors (log1p-scaled) — the 'persona clustering' step, showing the
+    k-means stage is feature-agnostic (same kernel as the embedding
+    clustering). One pivot groupby builds the feature vectors; per-cluster
+    sizes + inertia come back from the shared Lloyd loop. Rows-only
+    (iterative)."""
+    from perfect_bloomfilter_ray.stages.kmeans import kmeans_full
+
+    ds = _t(sf_dir, "events", ["user_id", "event_type"])
+    types = ["click", "error", "purchase", "signup", "view"]
+
+    def pivot(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(pa.table({"user_id": t.column("user_id"), "et": t.column("event_type")}))
+        agg = df.group_by("user_id").agg(
+            *[(pl.col("et") == ty).sum().cast(pl.Int64).alias(f"n_{ty}") for ty in types]
+        )
+        return agg.to_arrow()
+
+    per_user = (
+        ds.map_batches(pivot, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(*[Sum(f"n_{ty}", alias_name=f"n_{ty}") for ty in types])
+    )
+
+    def vecs(t: pa.Table) -> pa.Table:
+        m = np.stack(
+            [t.column(f"n_{ty}").to_numpy(zero_copy_only=False).astype(np.float64) for ty in types],
+            axis=1,
+        )
+        feat = np.log1p(m).astype(np.float32)
+        return pa.table(
+            {
+                "vec_id": t.column("user_id"),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(feat.reshape(-1)), len(types)
+                ),
+            }
+        )
+
+    fds = per_user.map_batches(vecs, batch_format="pyarrow").materialize()
+    _, stats = kmeans_full(fds, "embedding", "vec_id", k=5, iters=8, seed=19)
+    out = stats.to_pandas()
+    out["inertia"] = out["inertia"].round(4)
+    return out.sort_values("cluster").reset_index(drop=True)
+
+
 @q("bpe_vocab_merges")
 def bpe_vocab_merges(sf_dir: str):
     """Distributed BPE tokenizer training (Sennrich et al. 2016): corpus word
