@@ -200,6 +200,8 @@ SUITE = [
     "cohort_ltv_curve",
     "timed_funnel_view_click_purchase",
     "boolean_retrieval_hash_join",
+    "path_conversion_rates",
+    "char_entropy_per_lang",
 ]
 
 

@@ -8798,6 +8798,139 @@ def user_behavior_segments(sf_dir: str):
     return out.sort_values("cluster").reset_index(drop=True)
 
 
+@q(
+    "path_conversion_rates",
+    sql="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p1,
+             lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p2
+      FROM events
+    )
+    SELECT p2 AS s1, p1 AS s2,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_purchase,
+           round(CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS conv_rate
+    FROM s WHERE p2 IS NOT NULL
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def path_conversion_rates(sf_dir: str):
+    """Path-prefix attribution: for every observed 2-step path (s1, s2),
+    the probability the NEXT event is a purchase — the micro-conversion
+    table behind journey optimization. Same double-shift keyed-window
+    kernel as the trigram miner; conditional counts are exact integers."""
+    from perfect_bloomfilter_ray.functions.hashing import hash64
+    from perfect_bloomfilter_ray.stages.partitioning import choose_num_blocks
+
+    ds = _t(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    nb = np.uint64(choose_num_blocks(ds))
+
+    def tag(t: pa.Table) -> pa.Table:
+        h = hash64(t.column("user_id"), 0x5E55)
+        return t.append_column("_part", pa.array((h % nb).astype(np.int32)))
+
+    def per_part(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        if len(t) == 0:
+            return pa.table(
+                {"s1": pa.array([], pa.string()), "s2": pa.array([], pa.string()),
+                 "pn": pa.array([], pa.int64()), "pp": pa.array([], pa.int64())}
+            )
+        df = (
+            pl.from_arrow(t.select(["user_id", "ts", "event_id", "event_type"]))
+            .sort(["user_id", "ts", "event_id"])
+            .with_columns(
+                pl.col("event_type").shift(1).over("user_id").alias("p1"),
+                pl.col("event_type").shift(2).over("user_id").alias("p2"),
+            )
+            .filter(pl.col("p2").is_not_null())
+        )
+        return (
+            df.group_by(["p2", "p1"])
+            .agg(
+                pl.len().cast(pl.Int64).alias("pn"),
+                (pl.col("event_type") == "purchase").sum().cast(pl.Int64).alias("pp"),
+            )
+            .rename({"p2": "s1", "p1": "s2"})
+            .to_arrow()
+        )
+
+    out = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(per_part, batch_format="pyarrow")
+        .groupby(["s1", "s2"])
+        .aggregate(Sum("pn", alias_name="n_total"), Sum("pp", alias_name="n_purchase"))
+        .to_pandas()
+        .sort_values(["s1", "s2"])
+        .reset_index(drop=True)
+    )
+    out["n_total"] = out["n_total"].astype("int64")
+    out["n_purchase"] = out["n_purchase"].astype("int64")
+    out["conv_rate"] = (out["n_purchase"].astype(float) / out["n_total"]).round(6)
+    return out[["s1", "s2", "n_total", "n_purchase", "conv_rate"]]
+
+
+@q(
+    "char_entropy_per_lang",
+    sql="""
+    WITH ch AS (
+      SELECT lang, unnest(regexp_extract_all(text, '.')) AS c FROM documents
+    ),
+    cnt AS (SELECT lang, c, CAST(count(*) AS BIGINT) AS n FROM ch GROUP BY 1, 2),
+    tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS t FROM cnt GROUP BY 1)
+    SELECT cnt.lang,
+           CAST(max(tot.t) AS BIGINT) AS n_chars,
+           CAST(count(*) AS BIGINT) AS alphabet,
+           round(-sum((CAST(n AS DOUBLE) / tot.t) * ln(CAST(n AS DOUBLE) / tot.t))
+                 / ln(2), 6) AS entropy_bits
+    FROM cnt JOIN tot USING (lang)
+    GROUP BY cnt.lang ORDER BY cnt.lang
+    """,
+)
+def char_entropy_per_lang(sf_dir: str):
+    """Shannon character entropy per language — the compression lower bound
+    (bits/char) and a corpus-quality fingerprint (gibberish and boilerplate
+    both move it). Map-side per-batch character counts (vectorized polars
+    explode), one tiny (lang, char) groupby, entropy from exact integer
+    counts with the identical log expression as the oracle."""
+    ds = _t(sf_dir, "documents", ["lang", "text"])
+
+    def part(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(pa.table({"lang": t.column("lang"), "text": t.column("text")}))
+        return (
+            df.with_columns(pl.col("text").str.extract_all(r".").alias("c"))
+            .drop("text")
+            .explode("c")
+            .drop_nulls("c")
+            .group_by(["lang", "c"])
+            .len(name="pn")
+            .with_columns(pl.col("pn").cast(pl.Int64))
+            .to_arrow()
+        )
+
+    cnt = (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby(["lang", "c"])
+        .aggregate(Sum("pn", alias_name="n"))
+        .to_pandas()
+    )
+    rows = []
+    for lang, g in cnt.sort_values(["lang", "c"]).groupby("lang"):
+        n = g["n"].to_numpy().astype(np.float64)  # char-sorted: rerun-stable sum order
+        t = n.sum()
+        p = n / t
+        ent = float(-(p * np.log(p)).sum() / np.log(2))
+        rows.append((lang, int(t), len(g), round(ent, 6)))
+    return pd.DataFrame(rows, columns=["lang", "n_chars", "alphabet", "entropy_bits"]).sort_values("lang").reset_index(drop=True)
+
+
 @q("bpe_vocab_merges")
 def bpe_vocab_merges(sf_dir: str):
     """Distributed BPE tokenizer training (Sennrich et al. 2016): corpus word
