@@ -202,6 +202,7 @@ SUITE = [
     "boolean_retrieval_hash_join",
     "path_conversion_rates",
     "char_entropy_per_lang",
+    "referential_integrity_audit",
 ]
 
 

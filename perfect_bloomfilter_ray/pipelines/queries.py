@@ -8931,6 +8931,79 @@ def char_entropy_per_lang(sf_dir: str):
     return pd.DataFrame(rows, columns=["lang", "n_chars", "alphabet", "entropy_bits"]).sort_values("lang").reset_index(drop=True)
 
 
+@q("bpe_fertility_report")
+def bpe_fertility_report(sf_dir: str):
+    """Tokenizer fertility: average tokens per word (occurrence-weighted)
+    after applying the corpus-trained BPE merges — the tokenizer-quality
+    number LLM teams track (baseline = chars+1 per word with no merges).
+    Distributed train (bounded merge loop over map-side word counts) +
+    broadcast-rank encode pass. Rows-only (iterative); encoder exactness
+    pinned in tests/test_bpe.py."""
+    from perfect_bloomfilter_ray.stages.bpe import fertility_report
+
+    ds = _t(sf_dir, "documents", ["text"])
+    rep = fertility_report(ds, "text", num_merges=200, top_words=20_000)
+    return pd.DataFrame([rep])
+
+
+@q(
+    "referential_integrity_audit",
+    sql="""
+    SELECT 'orders.o_custkey->customer' AS fk_edge,
+           CAST((SELECT count(*) FROM orders) AS BIGINT) AS child_rows,
+           CAST((SELECT count(*) FROM orders o
+                 WHERE o.o_custkey NOT IN (SELECT c_custkey FROM customer)) AS BIGINT)
+               AS orphans
+    UNION ALL
+    SELECT 'lineitem.l_orderkey->orders',
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE l.l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS BIGINT)
+    ORDER BY fk_edge
+    """,
+)
+def referential_integrity_audit(sf_dir: str):
+    """Foreign-key orphan audit across two FK edges — the ingest sanity
+    check before any join-dependent pipeline runs. Each edge: the parent
+    key set builds the cascading Bloom filter by tree-reduce and children
+    probe it shuffle-free. A Bloom MISS is a true orphan with certainty
+    (no false negatives), so the orphan count is exact up to filter false
+    positives masking real orphans — ~3e-13/probe at the cascade bound,
+    the same contract class as bloom_membership_roundtrip (an orphan-rich
+    adversarial corpus should add the exact verify join from
+    stages/decontam.decontaminate_bloom)."""
+    import ray
+
+    from perfect_bloomfilter_ray.stages.membership import build_filter
+    from perfect_bloomfilter_ray.state.bloom import BloomCascade
+
+    rows = []
+    for edge, child, ckey, parent, pkey in (
+        ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ):
+        par = _t(sf_dir, parent, [pkey])
+        n_par = par.count()
+        filt = build_filter(par, pkey, expected_keys=max(1024, n_par))
+        ref = ray.put(filt.to_bytes())
+
+        def probe(t: pa.Table, _ref=ref, _ck=ckey) -> pa.Table:
+            f = BloomCascade.from_bytes(ray.get(_ref))
+            hit = f.contains_column(t.column(_ck))
+            return pa.table(
+                {
+                    "n": pa.array([len(t)], pa.int64()),
+                    # Bloom "not contained" is EXACT (no false negatives):
+                    # misses are true orphans with certainty
+                    "orphans": pa.array([int((~hit).sum())], pa.int64()),
+                }
+            )
+
+        p = _t(sf_dir, child, [ckey]).map_batches(probe, batch_format="pyarrow").to_pandas().sum()
+        rows.append((edge, int(p["n"]), int(p["orphans"])))
+    return pd.DataFrame(rows, columns=["fk_edge", "child_rows", "orphans"]).sort_values("fk_edge").reset_index(drop=True)
+
+
 @q("bpe_vocab_merges")
 def bpe_vocab_merges(sf_dir: str):
     """Distributed BPE tokenizer training (Sennrich et al. 2016): corpus word

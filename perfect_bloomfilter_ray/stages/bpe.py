@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from collections import Counter, defaultdict
 
+import numpy as np
 import pyarrow as pa
 
 from ray.data import Dataset
@@ -132,3 +133,71 @@ def bpe_merge_table(
             "support": pa.array([m[2] for m in merges], pa.int64()),
         }
     )
+
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Apply trained merges to one word (greedy lowest-rank-first, the
+    standard BPE encoder): repeatedly merge the adjacent pair with the
+    smallest merge rank until none applies."""
+    syms = list(word) + [_EOW]
+    while len(syms) > 1:
+        best_rank, best_i = None, None
+        for i, p in enumerate(zip(syms, syms[1:])):
+            r = ranks.get(p)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_i is None:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def fertility_report(ds: Dataset, text_col: str, num_merges: int = 200, top_words: int = 30_000) -> dict:
+    """Tokenizer fertility (tokens emitted per word, occurrence-weighted) of
+    a BPE vocabulary trained on the SAME corpus — the standard tokenizer-
+    quality number (lower = better compression; chars+1 baseline without
+    merges). Train once (bounded merge loop), broadcast the rank table,
+    encode per batch over batch-unique words only."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    wf = word_frequencies(ds, text_col, top_words)
+    merges = train_bpe(wf.column("w").to_pylist(), wf.column("cnt").to_pylist(), num_merges)
+    ranks = {(l, r): i for i, (l, r, _) in enumerate(merges)}
+    ranks_ref = ray.put(ranks)
+
+    import polars as pl
+
+    def part(t: pa.Table) -> pa.Table:
+        rk = ray.get(ranks_ref)
+        df = pl.from_arrow(pa.table({"text": t.column(text_col)}))
+        words = (
+            df.with_columns(pl.col("text").str.to_lowercase().str.extract_all(_WORD_RE).alias("w"))
+            .drop("text")
+            .explode("w")
+            .drop_nulls("w")
+            .group_by("w")
+            .len(name="n")
+        )
+        toks = np.array([len(encode_word(w, rk)) for w in words["w"].to_list()], dtype=np.int64)
+        n = words["n"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "words": pa.array([int(n.sum())], pa.int64()),
+                "tokens": pa.array([int((toks * n).sum())], pa.int64()),
+                "chars": pa.array(
+                    [int((np.array([len(w) + 1 for w in words["w"].to_list()], dtype=np.int64) * n).sum())],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    agg = ds.map_batches(part, batch_format="pyarrow").sum(["words", "tokens", "chars"])
+    words, tokens, chars = int(agg["sum(words)"]), int(agg["sum(tokens)"]), int(agg["sum(chars)"])
+    return {
+        "num_merges": len(merges),
+        "words": words,
+        "tokens": tokens,
+        "fertility": round(tokens / max(words, 1), 6),
+        "baseline_chars_per_word": round(chars / max(words, 1), 6),
+    }

@@ -411,3 +411,16 @@ def test_dd_rollup_keeps_alpha_contract(ray_session):
         for q, est in ((0.5, row.p50_est), (0.99, row.p99_est)):
             true = vals[int(q * (len(vals) - 1))]
             assert abs(est - true) <= 0.0101 * abs(true) + 1e-6, (row.day, q, est, true)
+
+
+def test_bpe_encoder_applies_merges_in_rank_order():
+    from perfect_bloomfilter_ray.stages.bpe import _EOW, encode_word, train_bpe
+
+    merges = train_bpe(["low", "lower", "newest", "widest"], [5, 2, 6, 3], 6)
+    ranks = {(l, r): i for i, (l, r, _) in enumerate(merges)}
+    # 'newest' fully merges through es -> est -> est</w> -> ...
+    enc = encode_word("newest", ranks)
+    assert "".join(enc) == "newest" + _EOW
+    assert len(enc) < len("newest") + 1, "merges must reduce token count"
+    # unknown word: no applicable merge pairs beyond trained ones
+    assert encode_word("zzz", ranks) == ["z", "z", "z", _EOW]
