@@ -203,6 +203,7 @@ SUITE = [
     "path_conversion_rates",
     "char_entropy_per_lang",
     "referential_integrity_audit",
+    "session_features_stats",
 ]
 
 

@@ -9004,6 +9004,117 @@ def referential_integrity_audit(sf_dir: str):
     return pd.DataFrame(rows, columns=["fk_edge", "child_rows", "orphans"]).sort_values("fk_edge").reset_index(drop=True)
 
 
+@q(
+    "session_features_stats",
+    sql="""
+    WITH s AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS t,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pt
+      FROM events
+    ),
+    f AS (
+      SELECT user_id, event_id, event_type, t,
+             CASE WHEN pt IS NULL OR t - pt > 1800000000 THEN 1 ELSE 0 END AS ns
+      FROM s
+    ),
+    g AS (
+      SELECT user_id, event_id, event_type, t,
+             sum(ns) OVER (PARTITION BY user_id ORDER BY t, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+      FROM f
+    ),
+    sess AS (
+      SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n_events,
+             CAST(max(t) - min(t) AS BIGINT) AS dur_us,
+             CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS converted
+      FROM g GROUP BY 1, 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+           round(CAST(sum(n_events) AS DOUBLE) / count(*), 6) AS avg_events,
+           CAST(sum(dur_us) // count(*) AS BIGINT) AS avg_dur_us,
+           round(CAST(sum(converted) AS DOUBLE) / count(*), 6) AS conversion_rate,
+           round(CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS bounce_rate
+    FROM sess
+    """,
+)
+def session_features_stats(sf_dir: str):
+    """Session-level product analytics from gap sessionization (30-min
+    gap): sessions, average events and duration, conversion rate (any
+    purchase in session) and bounce rate (single-event sessions). The
+    engine side reuses the event-level sessionizer (stages/windows.
+    sessionize(stats=False)) and reduces per-session rows with one
+    co-partitioned pass; every ratio derives from exact integer sums (the
+    avg duration is an integer floor-division, dodging the half-even
+    rounding trap)."""
+    from perfect_bloomfilter_ray.stages.windows import sessionize
+
+    ds = _t(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+    ev = sessionize(ds, "user_id", "ts", gap="30min", stats=False)
+
+    def per_sess_partial(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        ts_us = pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64())
+        df = pl.from_arrow(
+            pa.table(
+                {
+                    "user_id": t.column("user_id"),
+                    "sid": t.column("session_id"),
+                    "t": ts_us,
+                    "et": t.column("event_type"),
+                }
+            )
+        )
+        return (
+            df.group_by(["user_id", "sid"])
+            .agg(
+                pl.len().cast(pl.Int64).alias("n_events"),
+                pl.col("t").min().alias("tmin"),  # a session may span batches:
+                pl.col("t").max().alias("tmax"),  # merge extents, not durations
+                (pl.col("et") == "purchase").any().cast(pl.Int64).alias("converted"),
+            )
+            .to_arrow()
+        )
+
+    sess = (
+        ev.map_batches(per_sess_partial, batch_format="pyarrow")
+        .groupby(["user_id", "sid"])
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Min("tmin", alias_name="tmin"),
+            Max("tmax", alias_name="tmax"),
+            Max("converted", alias_name="converted"),
+        )
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        n = t.column("n_events").to_numpy()
+        dur = t.column("tmax").to_numpy() - t.column("tmin").to_numpy()
+        return pa.table(
+            {
+                "n_sessions": pa.array([len(t)], pa.int64()),
+                "events": pa.array([int(n.sum())], pa.int64()),
+                "dur": pa.array([int(dur.sum())], pa.int64()),
+                "conv": pa.array([int(t.column("converted").to_numpy().sum())], pa.int64()),
+                "bounce": pa.array([int((n == 1).sum())], pa.int64()),
+            }
+        )
+
+    p = sess.map_batches(fold, batch_format="pyarrow").to_pandas().sum()
+    ns = int(p["n_sessions"])
+    return pd.DataFrame(
+        {
+            "n_sessions": [ns],
+            "avg_events": [round(float(p["events"]) / ns, 6)],
+            "avg_dur_us": [int(p["dur"]) // ns],
+            "conversion_rate": [round(float(p["conv"]) / ns, 6)],
+            "bounce_rate": [round(float(p["bounce"]) / ns, 6)],
+        }
+    )
+
+
 @q("bpe_vocab_merges")
 def bpe_vocab_merges(sf_dir: str):
     """Distributed BPE tokenizer training (Sennrich et al. 2016): corpus word
