@@ -204,6 +204,7 @@ SUITE = [
     "char_entropy_per_lang",
     "referential_integrity_audit",
     "session_features_stats",
+    "value_seasonality_effects",
 ]
 
 

@@ -9115,6 +9115,70 @@ def session_features_stats(sf_dir: str):
     )
 
 
+@q(
+    "value_seasonality_effects",
+    sql="""
+    WITH f AS (
+      SELECT value,
+             CAST(extract(dow FROM ts) AS BIGINT) AS dw,
+             CAST(extract(hour FROM ts) AS BIGINT) AS hr
+      FROM events
+    ),
+    g AS (SELECT sum(value) AS s, CAST(count(*) AS BIGINT) AS n FROM f),
+    d AS (SELECT dw, sum(value) AS s, CAST(count(*) AS BIGINT) AS n FROM f GROUP BY 1),
+    h AS (SELECT hr, sum(value) AS s, CAST(count(*) AS BIGINT) AS n FROM f GROUP BY 1)
+    SELECT 'dow' AS dim, dw AS level, round(d.s / d.n - g.s / g.n, 4) AS effect
+    FROM d, g
+    UNION ALL
+    SELECT 'hour', hr, round(h.s / h.n - g.s / g.n, 4) FROM h, g
+    ORDER BY dim, level
+    """,
+)
+def value_seasonality_effects(sf_dir: str):
+    """Additive seasonality decomposition of event value: per-day-of-week
+    and per-hour effects (level mean minus grand mean) — the two marginal
+    profiles a forecasting pipeline detrends with. One (dow, hour)
+    contingency pass yields both marginals AND the grand mean; identical
+    mean-difference expression on both sides."""
+    ds = _t(sf_dir, "events", ["ts", "value"])
+
+    def part(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        ts = pc.cast(t.column("ts"), pa.timestamp("us"))
+        df = pl.from_arrow(
+            pa.table(
+                {
+                    "dw": pc.cast(pc.day_of_week(ts, count_from_zero=True, week_start=7), pa.int64()),
+                    "hr": pc.cast(pc.hour(ts), pa.int64()),
+                    "v": t.column("value"),
+                }
+            )
+        )
+        return (
+            df.group_by(["dw", "hr"])
+            .agg(pl.col("v").sum().alias("s"), pl.len().cast(pl.Int64).alias("n"))
+            .to_arrow()
+        )
+
+    cells = (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby(["dw", "hr"])
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values(["dw", "hr"])
+        .reset_index(drop=True)
+    )
+    gs, gn = float(cells["s"].sum()), int(cells["n"].sum())
+    grand = gs / gn
+    rows = []
+    for dim, col in (("dow", "dw"), ("hour", "hr")):
+        m = cells.groupby(col).agg(s=("s", "sum"), n=("n", "sum")).reset_index().sort_values(col)
+        for r in m.itertuples():
+            rows.append((dim, int(getattr(r, col)), round(float(r.s) / r.n - grand, 4)))
+    return pd.DataFrame(rows, columns=["dim", "level", "effect"]).sort_values(["dim", "level"]).reset_index(drop=True)
+
+
 @q("bpe_vocab_merges")
 def bpe_vocab_merges(sf_dir: str):
     """Distributed BPE tokenizer training (Sennrich et al. 2016): corpus word
