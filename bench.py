@@ -205,6 +205,8 @@ SUITE = [
     "referential_integrity_audit",
     "session_features_stats",
     "value_seasonality_effects",
+    "dup_rate_per_source",
+    "funnel_stage_latency",
 ]
 
 

@@ -9179,6 +9179,187 @@ def value_seasonality_effects(sf_dir: str):
     return pd.DataFrame(rows, columns=["dim", "level", "effect"]).sort_values(["dim", "level"]).reset_index(drop=True)
 
 
+@q(
+    "dup_rate_per_source",
+    sql="""
+    WITH f AS (
+      SELECT source,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9_ \t\n]', '', 'g'),
+                                 '[ \t\n]+', ' ', 'g')) AS norm
+      FROM documents
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT norm) AS BIGINT) AS n_distinct,
+           round(1.0 - CAST(count(DISTINCT norm) AS DOUBLE) / count(*), 6) AS dup_rate
+    FROM f GROUP BY source ORDER BY source
+    """,
+)
+def dup_rate_per_source(sf_dir: str):
+    """Duplicate rate per source on the normalized-text fingerprint — the
+    'which feeds are recycling content' curation metric that decides
+    per-source dedup budgets. Per-batch distinct (source, norm) partials,
+    one pair-distinct exchange, tiny per-source counts."""
+    from perfect_bloomfilter_ray.functions.text import normalize_text
+
+    ds = _t(sf_dir, "documents", ["source", "text"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(
+                pa.table({"source": t.column("source"), "norm": normalize_text(t.column("text"))})
+            )
+            .unique()
+            .to_arrow()
+        )
+
+    def totals(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(pa.table({"source": t.column("source")}))
+            .group_by("source")
+            .len(name="pn")
+            .with_columns(pl.col("pn").cast(pl.Int64))
+            .to_arrow()
+        )
+
+    tot = (
+        ds.map_batches(totals, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("pn", alias_name="n_docs"))
+        .to_pandas()
+    )
+    dist_pairs = (
+        ds.map_batches(pairs, batch_format="pyarrow").groupby(["source", "norm"]).count()
+    )
+
+    def dcount(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(t.select(["source"]))
+            .group_by("source")
+            .len(name="pd")
+            .with_columns(pl.col("pd").cast(pl.Int64))
+            .to_arrow()
+        )
+
+    dist = (
+        dist_pairs.map_batches(dcount, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("pd", alias_name="n_distinct"))
+        .to_pandas()
+    )
+    out = tot.merge(dist, on="source").sort_values("source").reset_index(drop=True)
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["n_distinct"] = out["n_distinct"].astype("int64")
+    out["dup_rate"] = (1.0 - out["n_distinct"].astype(float) / out["n_docs"]).round(6)
+    return out[["source", "n_docs", "n_distinct", "dup_rate"]]
+
+
+@q(
+    "funnel_stage_latency",
+    sql="""
+    WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t FROM events
+                WHERE event_type = 'view' GROUP BY 1),
+    s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t
+           FROM events e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t
+           FROM events e JOIN s2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t GROUP BY e.user_id)
+    SELECT 'view->click' AS transition,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(quantile_disc((s2.t - s1.t) // 1000000, 0.5) AS BIGINT) AS median_lag_s
+    FROM s1 JOIN s2 USING (user_id)
+    UNION ALL
+    SELECT 'click->purchase', CAST(count(*) AS BIGINT),
+           CAST(quantile_disc((s3.t - s2.t) // 1000000, 0.5) AS BIGINT)
+    FROM s2 JOIN s3 USING (user_id)
+    ORDER BY transition
+    """,
+)
+def funnel_stage_latency(sf_dir: str):
+    """Per-transition funnel latency: median seconds between the greedy
+    funnel's stage events (earliest view → earliest later click → earliest
+    later purchase). The same segment-min kernel as funnel_counts but
+    emitting per-user stage TIMES; exact integer-second medians via the
+    exact-quantile machinery."""
+    from perfect_bloomfilter_ray.functions.hashing import hash64
+    from perfect_bloomfilter_ray.stages.partitioning import choose_num_blocks
+    from perfect_bloomfilter_ray.stages.quantiles import exact_grouped_quantiles
+
+    ds = _t(sf_dir, "events", ["user_id", "ts", "event_type"])
+    nb = np.uint64(choose_num_blocks(ds))
+    stages = ["view", "click", "purchase"]
+
+    def tag(t: pa.Table) -> pa.Table:
+        h = hash64(t.column("user_id"), 0xF0E1)
+        return t.append_column("_part", pa.array((h % nb).astype(np.int32)))
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"transition": pa.array([], pa.string()), "lag_s": pa.array([], pa.int64())}
+            )
+        k = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]").view(np.int64)
+        ty = t.column("event_type").to_numpy(zero_copy_only=False)
+        order = np.argsort(k, kind="stable")
+        k_s, ts_s, ty_s = k[order], ts[order], ty[order]
+        new = np.ones(len(k_s), dtype=bool)
+        new[1:] = k_s[1:] != k_s[:-1]
+        starts = np.flatnonzero(new)
+        seg = np.repeat(np.arange(len(starts)), np.diff(np.append(starts, len(k_s))))
+        INF = np.iinfo(np.int64).max
+        prev = np.full(len(starts), np.iinfo(np.int64).min, dtype=np.int64)
+        stage_times = []
+        for s in stages:
+            cand = np.where((ty_s == s) & (ts_s > prev[seg]), ts_s, INF)
+            cur = np.minimum.reduceat(cand, starts)
+            stage_times.append(cur)
+            prev = cur
+        trans, lags = [], []
+        for i, name in enumerate(["view->click", "click->purchase"]):
+            a, b = stage_times[i], stage_times[i + 1]
+            ok = (a < INF) & (b < INF)
+            lag = (b[ok] - a[ok]) // 1_000_000
+            trans.extend([name] * int(ok.sum()))
+            lags.extend(lag.tolist())
+        return pa.table({"transition": pa.array(trans), "lag_s": pa.array(lags, pa.int64())})
+
+    lags = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(per_part, batch_format="pyarrow")
+    ).materialize()
+    qt = exact_grouped_quantiles(lags, "transition", "lag_s", [0.5], kind="disc", names=["median_lag_s"]).to_pandas()
+
+    def cnt(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(t.select(["transition"]))
+            .group_by("transition")
+            .len(name="pn")
+            .with_columns(pl.col("pn").cast(pl.Int64))
+            .to_arrow()
+        )
+
+    n = (
+        lags.map_batches(cnt, batch_format="pyarrow")
+        .groupby("transition")
+        .aggregate(Sum("pn", alias_name="n_users"))
+        .to_pandas()
+    )
+    out = n.merge(qt, on="transition").sort_values("transition").reset_index(drop=True)
+    out["n_users"] = out["n_users"].astype("int64")
+    out["median_lag_s"] = out["median_lag_s"].astype("int64")
+    return out[["transition", "n_users", "median_lag_s"]]
+
+
 @q("bpe_vocab_merges")
 def bpe_vocab_merges(sf_dir: str):
     """Distributed BPE tokenizer training (Sennrich et al. 2016): corpus word
