@@ -9374,6 +9374,68 @@ def bpe_vocab_merges(sf_dir: str):
     return bpe_merge_table(ds, "text", num_merges=60, top_words=20_000).to_pandas()
 
 
+@q(
+    "bm25_doc_ranking",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+      FROM documents
+    ),
+    n AS (SELECT count(*) AS n FROM documents),
+    tot AS (SELECT count(*) AS t FROM toks),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    qt AS (SELECT unnest(['join', 'filter', 'vector', 'stream']) AS token),
+    df AS (
+      SELECT token, count(DISTINCT doc_id) AS df
+      FROM toks JOIN qt USING (token) GROUP BY token
+    ),
+    tf AS (
+      SELECT doc_id, token, count(*) AS tf
+      FROM toks JOIN qt USING (token) GROUP BY doc_id, token
+    ),
+    sc AS (
+      SELECT tf.doc_id,
+             count(*) AS n_terms,
+             sum(ln(1 + (n.n - df.df + 0.5) / (df.df + 0.5))
+                 * tf.tf * 2.2
+                 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+                     / (tot.t / CAST(n.n AS DOUBLE))))) AS score
+      FROM tf JOIN df USING (token) JOIN dl USING (doc_id)
+      CROSS JOIN n CROSS JOIN tot
+      GROUP BY tf.doc_id
+    )
+    SELECT sc.doc_id, CAST(dl.dl AS BIGINT) AS dl,
+           CAST(sc.n_terms AS BIGINT) AS n_terms,
+           round(sc.score, 4) AS score
+    FROM sc JOIN dl USING (doc_id) ORDER BY sc.doc_id
+    """,
+)
+def bm25_doc_ranking(sf_dir: str):
+    """Okapi BM25 retrieval scoring (stages/vocab.py bm25_query_stats /
+    bm25_score): one constant-width corpus pass collects df per query term
+    + total token count (the shuffle carries |terms|+1 rows per batch), the
+    O(|terms|) stats ride the task closure, and scoring is a shuffle-free
+    vectorized map — tokenize, filter to the query terms, per-doc tf via one
+    bincount, Lucene-style idf. Emits every matching document keyed by
+    doc_id so the oracle compare needs no float-ordered top-k boundary."""
+    from perfect_bloomfilter_ray.stages.vocab import bm25_query_stats, bm25_score
+
+    terms = ["join", "filter", "vector", "stream"]
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = docs.count()  # parquet metadata, no scan
+    dfs, total_tokens = bm25_query_stats(docs, "text", terms)
+    avgdl = total_tokens / float(n_docs)
+    scored = bm25_score(docs, "text", terms, dfs, n_docs, avgdl)
+    out = (
+        scored.filter(expr="n_terms > 0")
+        .select_columns(["doc_id", "dl", "n_terms", "score"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return _round(out, {"score": 4})
+
+
 # ---------------------------------------------------------------------------
 # Registration order: the driver spends its correctness slots in this order,
 # so surface SQL-oracle-backed queries (exact hash-verifiable) before

@@ -429,3 +429,104 @@ def bigram_nll_score(
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def bm25_query_stats(
+    ds: Dataset, text_col: str, terms: list[str]
+) -> tuple[dict[str, int], int]:
+    """One corpus pass → (document frequency per query term, total token
+    count). The query-term set is tiny (a handful of strings), so the
+    per-batch partial is |terms|+1 rows — the shuffle is constant-width
+    regardless of corpus size. String equality (no hashing) keeps the df
+    counts exact.
+
+    Returns ``({term: df}, total_tokens)`` on the driver (O(|terms|) state).
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select([text_col]))
+        toks = _tokens(pl.col(text_col))
+        tmp = df.with_row_index("_doc").select("_doc", toks.alias("tok"))
+        total = int(tmp["tok"].list.len().fill_null(0).sum())
+        ex = tmp.explode("tok").drop_nulls("tok")
+        pdf = (
+            ex.filter(pl.col("tok").is_in(terms))
+            .unique(["_doc", "tok"])
+            .group_by("tok")
+            .len(name="pdf")
+            .with_columns(pl.col("pdf").cast(pl.Int64))
+            .rename({"tok": "term"})
+        )
+        tot = pl.DataFrame({"term": ["\x00total"], "pdf": [total]}).with_columns(
+            pl.col("pdf").cast(pl.Int64)
+        )
+        return pl.concat([pdf, tot]).to_arrow()
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("pdf", alias_name="df"))
+        .to_pandas()
+    )
+    stats = dict(zip(agg["term"], agg["df"].astype(int)))
+    total_tokens = stats.pop("\x00total", 0)
+    return {t: stats.get(t, 0) for t in terms}, int(total_tokens)
+
+
+def bm25_score(
+    ds: Dataset,
+    text_col: str,
+    terms: list[str],
+    dfs: dict[str, int],
+    n_docs: int,
+    avgdl: float,
+    k1: float = 1.2,
+    b: float = 0.75,
+    score_col: str = "score",
+    dl_col: str = "dl",
+    nmatch_col: str = "n_terms",
+) -> Dataset:
+    """Okapi BM25 scoring (Robertson/Sparck-Jones idf with Lucene's +1):
+    ``sum_t ln(1 + (N - df + .5)/(df + .5)) * tf*(k1+1) / (tf + k1*(1 - b +
+    b*dl/avgdl))``. The corpus-level stats (df per term, N, avgdl) are
+    O(|terms|) scalars passed by closure; scoring is one shuffle-free
+    ``map_batches`` pass — tokenize, filter to the query terms, per-doc tf
+    via a bincount over (doc, term) codes, vectorized score. Appends the
+    score, document token length, and matched-term count.
+    """
+    t_list = list(terms)
+    idf = np.array(
+        [np.log(1.0 + (n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5)) for t in t_list],
+        np.float64,
+    )
+    T = len(t_list)
+
+    def score(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select([text_col]))
+        toks = _tokens(pl.col(text_col))
+        tmp = df.with_row_index("_doc").select("_doc", toks.alias("tok"))
+        lens = tmp["tok"].list.len().fill_null(0).to_numpy().astype(np.int64)
+        ex = tmp.explode("tok").drop_nulls("tok").filter(pl.col("tok").is_in(t_list))
+        scores = np.zeros(len(t), np.float64)
+        nmatch = np.zeros(len(t), np.int64)
+        if len(ex):
+            doc = ex["_doc"].to_numpy().astype(np.int64)
+            tidx = (
+                ex["tok"]
+                .replace_strict(t_list, list(range(T)), return_dtype=pl.Int64)
+                .to_numpy()
+                .astype(np.int64)
+            )
+            tf = np.bincount(doc * T + tidx, minlength=len(t) * T).reshape(len(t), T)
+            norm = k1 * (1.0 - b + b * lens / avgdl)  # (docs,)
+            contrib = idf[None, :] * tf * (k1 + 1.0) / (tf + norm[:, None])
+            contrib[tf == 0] = 0.0
+            scores = contrib.sum(axis=1)
+            nmatch = (tf > 0).sum(axis=1).astype(np.int64)
+        return (
+            t.append_column(score_col, pa.array(scores))
+            .append_column(dl_col, pa.array(lens))
+            .append_column(nmatch_col, pa.array(nmatch))
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

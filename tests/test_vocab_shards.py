@@ -315,3 +315,47 @@ def test_select_within_budget_all_tied_scores(ray_session):
     ).to_pandas()
     # ties broken by id: first 100 ids fit (100*10 = 1000 <= 1005)
     assert sorted(out["id"]) == list(range(100))
+
+
+def test_bm25_matches_bruteforce(corpus):
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.vocab import bm25_query_stats, bm25_score
+
+    terms = ["w0", "w1", "w17", "zzz-absent"]
+    # zzz-absent never tokenizes to a match (df=0) — idf formula must not
+    # divide by zero thanks to the +0.5 smoothing.
+    tok = lambda s: re.findall(r"[a-z0-9]+", s.lower())
+    ds = rd.from_items([{"doc_id": i, "text": t} for i, t in enumerate(corpus)]).repartition(7)
+
+    dfs, total = bm25_query_stats(ds, "text", terms)
+    exp_df = Counter()
+    for t in corpus:
+        exp_df.update(set(tok(t)) & set(terms))
+    assert dfs == {t: exp_df.get(t, 0) for t in terms}
+    assert total == sum(len(tok(t)) for t in corpus)
+
+    n = len(corpus)
+    avgdl = total / n
+    k1, b = 1.2, 0.75
+    out = (
+        bm25_score(ds, "text", terms, dfs, n, avgdl, k1=k1, b=b)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    idf = {t: math.log(1 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5)) for t in terms}
+    for i, text in enumerate(corpus):
+        ws = tok(text)
+        dl = len(ws)
+        exp = 0.0
+        nm = 0
+        for t in terms:
+            tf = ws.count(t)
+            if tf:
+                nm += 1
+                exp += idf[t] * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+        row = out.iloc[i]
+        assert row["dl"] == dl
+        assert row["n_terms"] == nm
+        assert row["score"] == pytest.approx(exp, abs=1e-9)
