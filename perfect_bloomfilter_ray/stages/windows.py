@@ -755,3 +755,66 @@ def grouped_ffill(
         return t_out
 
     return _add_part(ds, key_col, choose_num_blocks(ds, num_blocks)).groupby("_part").map_groups(per_part, batch_format="pyarrow")
+
+
+def peak_concurrency(
+    intervals: Dataset,
+    start_col: str,
+    end_col: str,
+    bucket_us: int = 3_600_000_000,
+) -> pd.DataFrame:
+    """Per-time-bucket peak number of concurrently open intervals
+    (closed [start, end]; at equal timestamps opens are ordered before
+    closes), e.g. peak concurrent sessions per hour.
+
+    Scale shape — a segmented sweep, not a global sort: every interval
+    emits two boundary rows (+1/-1) tagged with its time bucket; one hash
+    exchange co-locates each bucket, whose boundaries reduce to ``(net
+    change, local max prefix)`` with a vectorized lexsort + cumsum. The
+    driver folds the O(#buckets) partials with a running carry — valid
+    because ``max prefix of (carry + local prefix) == carry + local max
+    prefix`` — so driver state is bucket-count-sized, never corpus-sized.
+    Buckets with no boundary are omitted (concurrency there is flat).
+
+    ``start_col`` / ``end_col`` must be int64 epoch-microseconds columns.
+    Returns a pandas frame ``(bucket_us, n_bound, peak)`` sorted by bucket.
+    """
+
+    def boundaries(t: pa.Table) -> pa.Table:
+        s = t.column(start_col).to_numpy().astype(np.int64)
+        e = t.column(end_col).to_numpy().astype(np.int64)
+        ts = np.concatenate([s, e])
+        d = np.concatenate([np.ones(len(s), np.int64), -np.ones(len(e), np.int64)])
+        return pa.table({"t": ts, "d": d, "bucket": (ts // bucket_us) * bucket_us})
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        ts = t.column("t").to_numpy().astype(np.int64)
+        d = t.column("d").to_numpy().astype(np.int64)
+        order = np.lexsort((-d, ts))  # time asc, opens (+1) before closes
+        run = np.cumsum(d[order])
+        return pa.table(
+            {
+                "bucket": t.column("bucket").slice(0, 1),
+                "n_bound": pa.array([len(ts)], pa.int64()),
+                "net": pa.array([int(run[-1])], pa.int64()),
+                "local_peak": pa.array([int(run.max())], pa.int64()),
+            }
+        )
+
+    parts = (
+        intervals.map_batches(boundaries, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    carry = parts["net"].cumsum().shift(1, fill_value=0)
+    out = pd.DataFrame(
+        {
+            "bucket_us": parts["bucket"].astype("int64"),
+            "n_bound": parts["n_bound"].astype("int64"),
+            "peak": (carry + parts["local_peak"]).astype("int64"),
+        }
+    )
+    return out

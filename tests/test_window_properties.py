@@ -245,3 +245,40 @@ def test_grouped_ffill_matches_pandas(ray_session, rows):
     exp["v"] = exp.groupby("k")["v"].ffill()
     exp = exp.sort_values("rid").reset_index(drop=True)
     pd.testing.assert_series_equal(out["v"], exp["v"], check_names=False)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 15)),  # (start, duration)
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_peak_concurrency_matches_bruteforce(ray_session, spans):
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.windows import peak_concurrency
+
+    df = pd.DataFrame(
+        {"t0": [s for s, _ in spans], "t1": [s + d for s, d in spans]}
+    ).astype("int64")
+    bucket = 10
+    out = peak_concurrency(rd.from_pandas(df).repartition(4), "t0", "t1", bucket_us=bucket)
+
+    # brute force: sweep every boundary in (t asc, opens-first) order
+    bounds = sorted(
+        [(r.t0, 1) for r in df.itertuples()] + [(r.t1, -1) for r in df.itertuples()],
+        key=lambda x: (x[0], -x[1]),
+    )
+    conc, per_bucket_peak, per_bucket_n = 0, {}, {}
+    for t, d in bounds:
+        conc += d
+        b = (t // bucket) * bucket
+        per_bucket_peak[b] = max(per_bucket_peak.get(b, -(10**9)), conc)
+        per_bucket_n[b] = per_bucket_n.get(b, 0) + 1
+    exp = pd.DataFrame(
+        sorted((b, per_bucket_n[b], per_bucket_peak[b]) for b in per_bucket_peak),
+        columns=["bucket_us", "n_bound", "peak"],
+    ).astype("int64")
+    pd.testing.assert_frame_equal(out.reset_index(drop=True), exp)
