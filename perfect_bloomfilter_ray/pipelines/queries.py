@@ -9513,6 +9513,54 @@ def hourly_peak_concurrent_sessions(sf_dir: str):
     return peak_concurrency(sess, "t0", "t1")
 
 
+@q(
+    "ks_view_click_value",
+    sql="""
+    WITH v AS (
+      SELECT value, CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS h
+      FROM events WHERE event_type IN ('view', 'click') AND value IS NOT NULL
+    ),
+    c AS (
+      SELECT value,
+             sum(CASE WHEN h = 0 THEN 1 ELSE 0 END) AS c0,
+             sum(h) AS c1
+      FROM v GROUP BY value
+    ),
+    n AS (SELECT sum(c0) AS n0, sum(c1) AS n1 FROM c),
+    r AS (
+      SELECT sum(c0) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS f0,
+             sum(c1) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS f1
+      FROM c
+    )
+    SELECT CAST(n.n0 AS BIGINT) AS n0, CAST(n.n1 AS BIGINT) AS n1,
+           CAST(max(abs(f0 * n.n1 - f1 * n.n0)) AS BIGINT) AS ks_num
+    FROM r CROSS JOIN n GROUP BY n.n0, n.n1
+    """,
+)
+def ks_view_click_value(sf_dir: str):
+    """Distributed EXACT two-sample Kolmogorov-Smirnov test (stages/
+    quantiles.ks_two_sample) between the view and click value
+    distributions — the distribution-drift check behind A/B guardrails and
+    data-freshness monitors. The global ordered ECDF scan is replaced by a
+    distinct-value collapse + per-range-bucket segmented scan with an
+    O(num_buckets) driver carry fold (same decomposition as windows.
+    peak_concurrency); the statistic is the exact integer numerator
+    ``max |cum0*n1 - cum1*n0|`` so the oracle hashes bit-identically
+    (D = ks_num / (n0*n1))."""
+    from perfect_bloomfilter_ray.stages.quantiles import ks_two_sample
+
+    ds = _t(sf_dir, "events", ["event_type", "value"]).filter(
+        expr="event_type == 'view' or event_type == 'click'"
+    )
+
+    def tag(t: pa.Table) -> pa.Table:
+        h = pc.if_else(pc.equal(t.column("event_type"), "view"), 0, 1)
+        return t.append_column("h", pc.cast(h, pa.int64()))
+
+    res = ks_two_sample(ds.map_batches(tag, batch_format="pyarrow"), "value", "h")
+    return pd.DataFrame([res])[["n0", "n1", "ks_num"]]
+
+
 # ---------------------------------------------------------------------------
 # Registration order: the driver spends its correctness slots in this order,
 # so surface SQL-oracle-backed queries (exact hash-verifiable) before

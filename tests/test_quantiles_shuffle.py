@@ -261,3 +261,46 @@ def test_quantile_bin_equi_depth(ray_session):
         # bins are monotone in value
         order = sub.sort_values("v")["bin"].to_numpy()
         assert (np.diff(order) >= 0).all()
+
+
+def test_ks_two_sample_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.quantiles import ks_two_sample
+
+    rng = np.random.default_rng(17)
+    # discretized values force heavy ties (the distinct-value collapse path)
+    v0 = np.round(rng.normal(0, 1, 400), 1)
+    v1 = np.round(rng.normal(0.5, 1.3, 300), 1)
+    df = pd.DataFrame(
+        {
+            "v": np.concatenate([v0, v1, [np.nan, np.nan]]),
+            "h": np.concatenate([np.zeros(400), np.ones(300), [0, 1]]).astype("int64"),
+        }
+    )
+    res = ks_two_sample(rd.from_pandas(df).repartition(6), "v", "h", num_buckets=16)
+    assert (res["n0"], res["n1"]) == (400, 300)
+
+    xs = np.unique(np.concatenate([v0, v1]))
+    f0 = np.searchsorted(np.sort(v0), xs, side="right")
+    f1 = np.searchsorted(np.sort(v1), xs, side="right")
+    exp_num = int(np.abs(f0 * 300 - f1 * 400).max())
+    assert res["ks_num"] == exp_num
+    # cross-check D against the classical definition
+    assert res["ks_num"] / (400 * 300) == pytest.approx(
+        np.abs(f0 / 400 - f1 / 300).max(), abs=1e-12
+    )
+
+
+def test_ks_two_sample_single_value_and_empty_side(ray_session):
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.quantiles import ks_two_sample
+
+    df = pd.DataFrame({"v": [3.0] * 10, "h": [0] * 10})
+    res = ks_two_sample(rd.from_pandas(df), "v", "h", num_buckets=8)
+    assert res == {"n0": 10, "n1": 0, "ks_num": 0}
+
+    empty = pd.DataFrame({"v": [np.nan], "h": [0]})
+    res = ks_two_sample(rd.from_pandas(empty), "v", "h")
+    assert res == {"n0": 0, "n1": 0, "ks_num": 0}
