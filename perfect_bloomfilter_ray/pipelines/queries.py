@@ -9561,6 +9561,55 @@ def ks_view_click_value(sf_dir: str):
     return pd.DataFrame([res])[["n0", "n1", "ks_num"]]
 
 
+@q(
+    "mw_view_click_value",
+    sql="""
+    WITH v AS (
+      SELECT value, CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS h
+      FROM events WHERE event_type IN ('view', 'click') AND value IS NOT NULL
+    ),
+    c AS (
+      SELECT value,
+             sum(CASE WHEN h = 0 THEN 1 ELSE 0 END) AS c0,
+             sum(h) AS c1
+      FROM v GROUP BY value
+    ),
+    n AS (SELECT sum(c0) AS n0, sum(c1) AS n1 FROM c),
+    r AS (
+      SELECT c0, c1, c0 + c1 AS m,
+             coalesce(sum(c0 + c1) OVER (ORDER BY value
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+      FROM c
+    )
+    SELECT CAST(n.n0 AS BIGINT) AS n0, CAST(n.n1 AS BIGINT) AS n1,
+           CAST(sum(c1 * (2 * before + m + 1)) - n.n1 * (n.n1 + 1) AS BIGINT) AS two_u1,
+           CAST(sum(m * (m * m - 1)) AS BIGINT) AS tie_sum
+    FROM r CROSS JOIN n GROUP BY n.n0, n.n1
+    """,
+)
+def mw_view_click_value(sf_dir: str):
+    """Distributed EXACT Mann-Whitney U (Wilcoxon rank-sum) between the
+    view and click value distributions (stages/quantiles.mannwhitney_u) —
+    the nonparametric location-shift twin of ks_view_click_value, sharing
+    the same distinct-value segmented scan (no global sort, O(buckets)
+    driver carries). Midrank tie handling; the doubled statistic two_u1
+    and the tie-correction term are exact integers, so the oracle hashes
+    bit-identically. U1 = two_u1/2; the z-score derives downstream from
+    tie_sum."""
+    from perfect_bloomfilter_ray.stages.quantiles import mannwhitney_u
+
+    ds = _t(sf_dir, "events", ["event_type", "value"]).filter(
+        expr="event_type == 'view' or event_type == 'click'"
+    )
+
+    def tag(t: pa.Table) -> pa.Table:
+        h = pc.if_else(pc.equal(t.column("event_type"), "view"), 0, 1)
+        return t.append_column("h", pc.cast(h, pa.int64()))
+
+    res = mannwhitney_u(ds.map_batches(tag, batch_format="pyarrow"), "value", "h")
+    return pd.DataFrame([res])[["n0", "n1", "two_u1", "tie_sum"]]
+
+
 # ---------------------------------------------------------------------------
 # Registration order: the driver spends its correctness slots in this order,
 # so surface SQL-oracle-backed queries (exact hash-verifiable) before

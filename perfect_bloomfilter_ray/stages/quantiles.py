@@ -324,32 +324,22 @@ def robust_zscore(
     return ds.map_batches(score, batch_format="pyarrow")
 
 
-def ks_two_sample(
+def _two_sample_scan(
     ds: Dataset,
     value_col: str,
     group_col: str,
-    num_buckets: int = 1024,
-) -> dict:
-    """Distributed EXACT two-sample Kolmogorov-Smirnov statistic between the
-    ``group_col == 0`` and ``group_col == 1`` value distributions.
+    num_buckets: int,
+    bucket_fn,
+):
+    """Shared scaffold for exact two-sample rank statistics (KS, Mann-
+    Whitney): collapse to distinct ``(value, c0, c1)`` counts (the only
+    corpus-sized exchange is distinct-value-wide), fold per-range-bucket
+    net counts into O(num_buckets) driver-side carries, then run
+    ``bucket_fn(v_sorted, c0_sorted, c1_sorted, carry0, carry1, n0, n1)``
+    per co-located bucket — it returns a dict of int64 scalars — and
+    collect the one-row-per-bucket partials. NULL values are dropped.
 
-    ``D = max_x |F0(x) - F1(x)|`` needs a global ordered ECDF scan — the
-    same shape as an all-to-one sort. Instead: (1) one map-side partial
-    collapse to distinct ``(value, c0, c1)`` counts (the only exchange is
-    distinct-value-sized); (2) a tiny per-range-bucket net-count pass whose
-    O(num_buckets) result folds into per-bucket carries on the driver;
-    (3) a per-bucket local scan (vectorized sort + cumsum, seeded by the
-    carry) whose per-bucket maxima reduce to the global max. Driver state
-    is O(num_buckets); the distinct-value table never leaves the cluster.
-
-    Exactness: the statistic is returned as the integer numerator
-    ``ks_num = max |cum0*n1 - cum1*n0|`` with denominators ``n0, n1``
-    (``D = ks_num / (n0*n1)``) — integer arithmetic end to end, so the SQL
-    oracle hashes bit-identically. int64-safe while ``n0*n1 < 2^63``
-    (~3e9 rows per side); beyond that, widen to the float path downstream.
-
-    NULL values are dropped. If either side is empty, ``ks_num`` degrades
-    to the one-sided max (D undefined statistically; documented, not hit).
+    Returns ``(n0, n1, per_bucket_partials: pd.DataFrame | None)``.
     """
     import ray
     from ray.data.aggregate import Max, Min, Sum
@@ -361,7 +351,7 @@ def ks_two_sample(
     mm = ds.aggregate(Min(value_col), Max(value_col))
     vmin, vmax = mm[f"min({value_col})"], mm[f"max({value_col})"]
     if vmin is None:
-        return {"n0": 0, "n1": 0, "ks_num": 0}
+        return 0, 0, None
     width = (float(vmax) - float(vmin)) / num_buckets or 1.0
 
     def partial(t: pa.Table) -> pa.Table:
@@ -400,24 +390,93 @@ def ks_two_sample(
     carry0 = nets["n0"].cumsum().shift(1, fill_value=0).astype("int64")
     carry1 = nets["n1"].cumsum().shift(1, fill_value=0).astype("int64")
     carries = ray.put(
-        {
-            int(b): (int(a), int(c))
-            for b, a, c in zip(nets["_bkt"], carry0, carry1)
-        }
+        {int(b): (int(a), int(c)) for b, a, c in zip(nets["_bkt"], carry0, carry1)}
     )
 
     def per_bucket(t: pa.Table) -> pa.Table:
         ca0, ca1 = ray.get(carries)[int(t.column("_bkt")[0].as_py())]
         v = t.column(value_col).to_numpy()
         order = np.argsort(v, kind="stable")
-        cum0 = ca0 + np.cumsum(t.column("c0").to_numpy().astype(np.int64)[order])
-        cum1 = ca1 + np.cumsum(t.column("c1").to_numpy().astype(np.int64)[order])
-        num = np.abs(cum0 * n1 - cum1 * n0).max()
-        return pa.table({"num": pa.array([int(num)], pa.int64())})
+        c0 = t.column("c0").to_numpy().astype(np.int64)[order]
+        c1 = t.column("c1").to_numpy().astype(np.int64)[order]
+        stats = bucket_fn(v[order], c0, c1, ca0, ca1, n0, n1)
+        return pa.table({k: pa.array([int(x)], pa.int64()) for k, x in stats.items()})
 
-    maxima = (
-        counts.groupby("_bkt")
-        .map_groups(per_bucket, batch_format="pyarrow")
-        .to_pandas()
+    parts = (
+        counts.groupby("_bkt").map_groups(per_bucket, batch_format="pyarrow").to_pandas()
     )
-    return {"n0": n0, "n1": n1, "ks_num": int(maxima["num"].max())}
+    return n0, n1, parts
+
+
+def ks_two_sample(
+    ds: Dataset,
+    value_col: str,
+    group_col: str,
+    num_buckets: int = 1024,
+) -> dict:
+    """Distributed EXACT two-sample Kolmogorov-Smirnov statistic between the
+    ``group_col == 0`` and ``group_col == 1`` value distributions.
+
+    ``D = max_x |F0(x) - F1(x)|`` needs a global ordered ECDF scan — the
+    same shape as an all-to-one sort. Instead (:func:`_two_sample_scan`):
+    a distinct-value collapse, an O(num_buckets) driver carry fold (the
+    same carry decomposition as ``windows.peak_concurrency``), and a
+    per-bucket vectorized scan whose maxima reduce to the global max.
+    Driver state is O(num_buckets); the distinct-value table never leaves
+    the cluster.
+
+    Exactness: the statistic is returned as the integer numerator
+    ``ks_num = max |cum0*n1 - cum1*n0|`` with denominators ``n0, n1``
+    (``D = ks_num / (n0*n1)``) — integer arithmetic end to end, so the SQL
+    oracle hashes bit-identically. int64-safe while ``n0*n1 < 2^63``
+    (~3e9 rows per side); beyond that, widen to the float path downstream.
+
+    NULL values are dropped. If either side is empty, ``ks_num`` degrades
+    to the one-sided max (D undefined statistically; documented, not hit).
+    """
+
+    def bucket_stats(v, c0, c1, ca0, ca1, n0, n1):
+        cum0 = ca0 + np.cumsum(c0)
+        cum1 = ca1 + np.cumsum(c1)
+        return {"num": np.abs(cum0 * n1 - cum1 * n0).max()}
+
+    n0, n1, parts = _two_sample_scan(ds, value_col, group_col, num_buckets, bucket_stats)
+    if parts is None:
+        return {"n0": 0, "n1": 0, "ks_num": 0}
+    return {"n0": n0, "n1": n1, "ks_num": int(parts["num"].max())}
+
+
+def mannwhitney_u(
+    ds: Dataset,
+    value_col: str,
+    group_col: str,
+    num_buckets: int = 1024,
+) -> dict:
+    """Distributed EXACT Mann-Whitney U (Wilcoxon rank-sum) statistic with
+    midrank tie handling, via the same distinct-value segmented scan as
+    :func:`ks_two_sample` — no global sort, O(num_buckets) driver state.
+
+    Integer arithmetic end to end: with ``before(x)`` = rows (either group)
+    strictly below x and ``m(x) = c0+c1`` the tie-group size, the doubled
+    rank sum of group 1 is ``2*R1 = sum_x c1 * (2*before + m + 1)`` and
+    ``two_u1 = 2*R1 - n1*(n1+1)`` (so ``U1 = two_u1 / 2``). ``tie_sum =
+    sum m*(m^2-1)`` feeds the normal-approximation variance downstream:
+    ``Var(U) = n0*n1/12 * ((n+1) - tie_sum/(n*(n-1)))``. int64-safe while
+    ``n0 * n1 < 2^62``.
+    """
+
+    def bucket_stats(v, c0, c1, ca0, ca1, n0, n1):
+        m = c0 + c1
+        before = (ca0 + ca1) + np.concatenate([[0], np.cumsum(m)[:-1]])
+        two_r1 = (c1 * (2 * before + m + 1)).sum()
+        return {"two_r1": two_r1, "tie_sum": (m * (m * m - 1)).sum()}
+
+    n0, n1, parts = _two_sample_scan(ds, value_col, group_col, num_buckets, bucket_stats)
+    if parts is None:
+        return {"n0": 0, "n1": 0, "two_u1": 0, "tie_sum": 0}
+    return {
+        "n0": n0,
+        "n1": n1,
+        "two_u1": int(parts["two_r1"].sum()) - n1 * (n1 + 1),
+        "tie_sum": int(parts["tie_sum"].sum()),
+    }

@@ -304,3 +304,42 @@ def test_ks_two_sample_single_value_and_empty_side(ray_session):
     empty = pd.DataFrame({"v": [np.nan], "h": [0]})
     res = ks_two_sample(rd.from_pandas(empty), "v", "h")
     assert res == {"n0": 0, "n1": 0, "ks_num": 0}
+
+
+def test_mannwhitney_matches_scipy_formula(ray_session):
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.quantiles import mannwhitney_u
+
+    rng = np.random.default_rng(23)
+    v0 = np.round(rng.normal(0, 1, 250), 1)
+    v1 = np.round(rng.normal(0.4, 1.1, 180), 1)
+    df = pd.DataFrame(
+        {
+            "v": np.concatenate([v0, v1]),
+            "h": np.concatenate([np.zeros(250), np.ones(180)]).astype("int64"),
+        }
+    )
+    res = mannwhitney_u(rd.from_pandas(df).repartition(5), "v", "h", num_buckets=8)
+    assert (res["n0"], res["n1"]) == (250, 180)
+
+    # brute force with midranks
+    allv = np.concatenate([v0, v1])
+    order = np.argsort(allv, kind="stable")
+    ranks = np.empty(len(allv), dtype=np.float64)
+    sv = allv[order]
+    i = 0
+    r = 1
+    while i < len(sv):
+        j = i
+        while j < len(sv) and sv[j] == sv[i]:
+            j += 1
+        ranks[order[i:j]] = (r + (r + (j - i) - 1)) / 2.0
+        r += j - i
+        i = j
+    r1 = ranks[250:].sum()
+    exp_two_u1 = int(round(2 * r1)) - 180 * 181
+    assert res["two_u1"] == exp_two_u1
+
+    _, cnt = np.unique(allv, return_counts=True)
+    assert res["tie_sum"] == int((cnt * (cnt * cnt - 1)).sum())
