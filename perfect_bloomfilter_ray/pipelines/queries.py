@@ -9610,6 +9610,92 @@ def mw_view_click_value(sf_dir: str):
     return pd.DataFrame([res])[["n0", "n1", "two_u1", "tie_sum"]]
 
 
+@q(
+    "embedding_cosine_histogram",
+    sql="""
+    WITH d AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                             CAST(embedding AS DOUBLE[])) > 0
+    ),
+    p AS (
+      SELECT list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+               AS cos
+      FROM d a JOIN d b ON b.vec_id = a.vec_id + 137
+    )
+    SELECT CAST(least(floor((cos + 1) / 0.1), 19) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM p GROUP BY 1 ORDER BY 1
+    """,
+)
+def embedding_cosine_histogram(sf_dir: str):
+    """Similarity-calibration report: the distribution of pairwise cosine
+    similarity over a deterministic O(n) pair sample (each vector paired
+    with vec_id+137 — a fixed-stride self-join, NOT an O(n^2) all-pairs
+    scan), binned into 20 fixed-width buckets. This is how a near-dup
+    cosine threshold (stages/dedup.embedding near-dup, stages/mmr) gets
+    picked from data. Scale shape: one co-partitioned hash self-join on
+    the shifted id, shuffle-free float64 cosine + bincount partials, one
+    20-row groupby. Zero-norm vectors are filtered on both sides."""
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def _pack(vecs: np.ndarray) -> pa.Array:
+        # Ray's hash join rejects list<double> payloads — carry the vector
+        # as fixed-size binary (contiguous, zero-copy repack on both ends)
+        nb = vecs.shape[1] * 8
+        return pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(nb), len(vecs), [None, pa.py_buffer(np.ascontiguousarray(vecs).tobytes())]
+        )
+
+    def _unpack(col) -> np.ndarray:
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        dim = arr.type.byte_width // 8
+        a = np.frombuffer(arr.buffers()[1], np.float64, count=(arr.offset + len(arr)) * dim)
+        return a.reshape(-1, dim)[arr.offset :]
+
+    def prep(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()), "v": pa.array([], pa.binary(8))}
+            )
+        vecs = np.stack(t.column("embedding").to_pandas().to_numpy()).astype(np.float64)
+        keep = (vecs * vecs).sum(axis=1) > 0
+        ids = t.column("vec_id").to_numpy().astype(np.int64)[keep]
+        return pa.table({"vec_id": pa.array(ids), "v": _pack(vecs[keep])})
+
+    def shift(t: pa.Table) -> pa.Table:
+        probe = t.column("vec_id").to_numpy().astype(np.int64) - 137
+        return pa.table({"probe_id": pa.array(probe), "w": t.column("v")})
+
+    left = emb.map_batches(prep, batch_format="pyarrow")
+    right = left.map_batches(shift, batch_format="pyarrow")
+    joined = left.join(right, "inner", num_partitions=8, on=("vec_id",), right_on=("probe_id",))
+
+    def cos_bins(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"bin": pa.array([], pa.int64()), "pcnt": pa.array([], pa.int64())})
+        a = _unpack(t.column("v"))
+        b = _unpack(t.column("w"))
+        cos = (a * b).sum(axis=1) / (
+            np.sqrt((a * a).sum(axis=1)) * np.sqrt((b * b).sum(axis=1))
+        )
+        bins = np.minimum(np.floor((cos + 1) / 0.1), 19).astype(np.int64)
+        cnt = np.bincount(bins, minlength=20)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"bin": pa.array(nz), "pcnt": pa.array(cnt[nz])})
+
+    out = (
+        joined.map_batches(cos_bins, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("pcnt", alias_name="n_pairs"))
+        .to_pandas()
+        .sort_values("bin")
+        .reset_index(drop=True)
+    )
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Registration order: the driver spends its correctness slots in this order,
 # so surface SQL-oracle-backed queries (exact hash-verifiable) before
