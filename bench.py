@@ -207,6 +207,12 @@ SUITE = [
     "value_seasonality_effects",
     "dup_rate_per_source",
     "funnel_stage_latency",
+    "bm25_doc_ranking",
+    "hourly_peak_concurrent_sessions",
+    "ks_view_click_value",
+    "mw_view_click_value",
+    "embedding_cosine_histogram",
+    "spearman_qty_price",
 ]
 
 

@@ -9696,6 +9696,62 @@ def embedding_cosine_histogram(sf_dir: str):
     return out
 
 
+@q(
+    "spearman_qty_price",
+    sql="""
+    WITH x AS (
+      SELECT l_quantity AS xv, l_extendedprice AS yv FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    ),
+    cx AS (SELECT xv, count(*) AS m FROM x GROUP BY xv),
+    rx AS (
+      SELECT xv, 2 * coalesce(sum(m) OVER (ORDER BY xv
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + m + 1 AS trx
+      FROM cx
+    ),
+    cy AS (SELECT yv, count(*) AS m FROM x GROUP BY yv),
+    ry AS (
+      SELECT yv, 2 * coalesce(sum(m) OVER (ORDER BY yv
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + m + 1 AS try_
+      FROM cy
+    ),
+    j AS (SELECT trx, try_ FROM x JOIN rx USING (xv) JOIN ry USING (yv)),
+    s AS (
+      SELECT count(*) AS n, sum(trx) AS s1, sum(try_) AS s2,
+             sum(trx * trx) AS s11, sum(try_ * try_) AS s22,
+             sum(trx * try_) AS s12
+      FROM j
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(s1 AS BIGINT) AS s1, CAST(s2 AS BIGINT) AS s2,
+           CAST(s11 AS BIGINT) AS s11, CAST(s22 AS BIGINT) AS s22,
+           CAST(s12 AS BIGINT) AS s12,
+           round((CAST(n AS DOUBLE) * CAST(s12 AS DOUBLE)
+                  - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE))
+                 / (sqrt(CAST(n AS DOUBLE) * CAST(s11 AS DOUBLE)
+                         - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                    * sqrt(CAST(n AS DOUBLE) * CAST(s22 AS DOUBLE)
+                           - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))), 6) AS rho
+    FROM s
+    """,
+)
+def spearman_qty_price(sf_dir: str):
+    """Distributed EXACT Spearman rank correlation (midrank ties) between
+    lineitem quantity and extended price (stages/quantiles.spearman_rho) —
+    the rank-based robust twin of corr_qty_price_per_flag. Doubled
+    midranks from two distinct-value segmented scans (O(buckets) driver
+    carries) join back to rows by value — the rank tables stay distributed,
+    no unbounded broadcast — then integer moment partials reduce once;
+    rho is one fixed float expression over the exact int64 sums, mirrored
+    term-for-term in the oracle."""
+    from perfect_bloomfilter_ray.stages.quantiles import spearman_rho
+
+    ds = _t(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
+    res = spearman_rho(ds, "l_quantity", "l_extendedprice")
+    out = pd.DataFrame([res])[["n", "s1", "s2", "s11", "s22", "s12", "rho"]]
+    return _round(out, {"rho": 6})
+
+
 # ---------------------------------------------------------------------------
 # Registration order: the driver spends its correctness slots in this order,
 # so surface SQL-oracle-backed queries (exact hash-verifiable) before

@@ -332,12 +332,17 @@ def _two_sample_scan(
     bucket_fn,
 ):
     """Shared scaffold for exact two-sample rank statistics (KS, Mann-
-    Whitney): collapse to distinct ``(value, c0, c1)`` counts (the only
-    corpus-sized exchange is distinct-value-wide), fold per-range-bucket
-    net counts into O(num_buckets) driver-side carries, then run
-    ``bucket_fn(v_sorted, c0_sorted, c1_sorted, carry0, carry1, n0, n1)``
-    per co-located bucket — it returns a dict of int64 scalars — and
-    collect the one-row-per-bucket partials. NULL values are dropped.
+    Whitney): collapse per batch to distinct ``(value, c0, c1)`` partial
+    counts (the only corpus-sized exchange is distinct-value-wide), fold
+    per-range-bucket net counts into O(num_buckets) driver-side carries,
+    then run ``bucket_fn(v_sorted, c0_sorted, c1_sorted, carry0, carry1,
+    n0, n1)`` per co-located bucket — it returns a dict of int64 scalars —
+    and collect the one-row-per-bucket partials. NULL values are dropped.
+
+    The only shuffles are keyed by the ~num_buckets int bucket ids — the
+    final distinct-value collapse happens vectorized INSIDE each bucket
+    group (a 600k-distinct-key hash groupby costs ~8s in Ray at sf0.1;
+    the bucket-keyed shuffle + in-group polars collapse is ~6x cheaper).
 
     Returns ``(n0, n1, per_bucket_partials: pd.DataFrame | None)``.
     """
@@ -372,12 +377,8 @@ def _two_sample_scan(
         )
         return out.to_arrow()
 
-    counts = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["_bkt", value_col])
-        .aggregate(Sum("c0", alias_name="c0"), Sum("c1", alias_name="c1"))
-        .materialize()  # distinct-value-sized, feeds both passes below
-    )
+    # per-batch distinct partials; feeds the net pass AND the bucket scan
+    counts = ds.map_batches(partial, batch_format="pyarrow").materialize()
 
     nets = (
         counts.groupby("_bkt")
@@ -395,11 +396,17 @@ def _two_sample_scan(
 
     def per_bucket(t: pa.Table) -> pa.Table:
         ca0, ca1 = ray.get(carries)[int(t.column("_bkt")[0].as_py())]
-        v = t.column(value_col).to_numpy()
-        order = np.argsort(v, kind="stable")
-        c0 = t.column("c0").to_numpy().astype(np.int64)[order]
-        c1 = t.column("c1").to_numpy().astype(np.int64)[order]
-        stats = bucket_fn(v[order], c0, c1, ca0, ca1, n0, n1)
+        # final distinct-value collapse, vectorized inside the bucket group
+        g = (
+            pl.from_arrow(t.select([value_col, "c0", "c1"]))
+            .group_by(value_col)
+            .agg(pl.col("c0").sum(), pl.col("c1").sum())
+            .sort(value_col)
+        )
+        v = g[value_col].to_numpy()
+        c0 = g["c0"].to_numpy().astype(np.int64)
+        c1 = g["c1"].to_numpy().astype(np.int64)
+        stats = bucket_fn(v, c0, c1, ca0, ca1, n0, n1)
         return pa.table({k: pa.array([int(x)], pa.int64()) for k, x in stats.items()})
 
     parts = (
@@ -480,3 +487,188 @@ def mannwhitney_u(
         "two_u1": int(parts["two_r1"].sum()) - n1 * (n1 + 1),
         "tie_sum": int(parts["tie_sum"].sum()),
     }
+
+
+def dense_midranks(
+    ds: Dataset,
+    value_col: str,
+    num_buckets: int = 1024,
+    out_col: str = "two_rank",
+    minmax: tuple | None = None,
+):
+    """Distributed midrank assignment: a ``(value, two_rank)`` Dataset where
+    ``two_rank = 2 * rank`` (doubled so tied midranks stay exact integers:
+    ``2*before + m + 1`` for a tie group of size ``m`` with ``before`` rows
+    strictly below). Same shape as :func:`_two_sample_scan`: distinct-value
+    collapse, O(num_buckets) driver carry fold, per-bucket vectorized scan.
+    The rank table stays distributed — join it back to rows by value.
+
+    ``minmax`` skips the min/max pass when the caller already knows the
+    value range (it only sizes range buckets — any superset works).
+
+    Returns ``(ranks_ds, n_rows, n_distinct)``. NULL values are dropped.
+    """
+    import ray
+    from ray.data.aggregate import Max, Min, Sum
+
+    def _drop_null(t: pa.Table) -> pa.Table:
+        return t.filter(t.column(value_col).is_valid())
+
+    ds = ds.map_batches(_drop_null, batch_format="pyarrow")
+    if minmax is None:
+        mm = ds.aggregate(Min(value_col), Max(value_col))
+        vmin, vmax = mm[f"min({value_col})"], mm[f"max({value_col})"]
+    else:
+        vmin, vmax = minmax
+    if vmin is None:
+        return None, 0, 0
+    width = (float(vmax) - float(vmin)) / num_buckets or 1.0
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select([value_col]))
+        return (
+            df.group_by(value_col)
+            .len(name="m")
+            .with_columns(
+                pl.col("m").cast(pl.Int64),
+                ((pl.col(value_col) - vmin) / width)
+                .floor()
+                .clip(0, num_buckets - 1)
+                .cast(pl.Int64)
+                .alias("_bkt"),
+            )
+            .to_arrow()
+        )
+
+    # per-batch distinct partials; the only shuffles key on the int bucket
+    # ids (same rationale as _two_sample_scan — a wide distinct-key groupby
+    # is ~6x dearer than a bucket-keyed shuffle + in-group collapse)
+    counts = ds.map_batches(partial, batch_format="pyarrow").materialize()
+    nets = (
+        counts.groupby("_bkt")
+        .aggregate(Sum("m", alias_name="m"))
+        .to_pandas()
+        .sort_values("_bkt")
+        .reset_index(drop=True)
+    )
+    n = int(nets["m"].sum())
+    carry = nets["m"].cumsum().shift(1, fill_value=0).astype("int64")
+    carries = ray.put({int(b): int(c) for b, c in zip(nets["_bkt"], carry)})
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        ca = ray.get(carries)[int(t.column("_bkt")[0].as_py())]
+        g = (
+            pl.from_arrow(t.select([value_col, "m"]))
+            .group_by(value_col)
+            .agg(pl.col("m").sum())
+            .sort(value_col)
+        )
+        v = g[value_col].to_numpy()
+        m = g["m"].to_numpy().astype(np.int64)
+        before = ca + np.concatenate([[0], np.cumsum(m)[:-1]])
+        two_rank = 2 * before + m + 1
+        return pa.table({value_col: pa.array(v), out_col: pa.array(two_rank)})
+
+    ranks = counts.groupby("_bkt").map_groups(per_bucket, batch_format="pyarrow")
+    # upper bound on distinct count (per-batch partial rows), cheap via
+    # materialized metadata — conservative for broadcast-vs-join gating
+    return ranks, n, counts.count()
+
+
+def spearman_rho(
+    ds: Dataset,
+    x_col: str,
+    y_col: str,
+    num_buckets: int = 1024,
+) -> dict:
+    """Distributed EXACT Spearman rank correlation (midrank ties) between
+    two columns: Pearson correlation of the doubled midranks, which are
+    exact integers (:func:`dense_midranks`), so every moment sum is integer
+    arithmetic and the final rho is one fixed float expression over exact
+    int64 sums — bit-reproducible against a SQL oracle.
+
+    Shape: two distinct-value rank scans, then the rank tables attach back
+    to rows by value — size-gated: a distinct-value set under
+    ``broadcast_max_distinct`` broadcasts as a sorted-LUT searchsorted map
+    (shuffle-free; the common case — quantity-like columns have tiny
+    cardinality), an unbounded one goes through a hash co-partitioned join
+    (never on the driver). Then map-side integer moment partials and one
+    tiny reduce. int64-exact while ``n * (2n)^2 < 2^63`` (n ≲ 1.2e6 rows);
+    beyond that use the float moment path (stages/agg.grouped_corr).
+
+    Rows with a NULL in either column are dropped (SQL corr semantics).
+    """
+    import ray
+
+    from perfect_bloomfilter_ray.stages.partitioning import choose_num_blocks
+
+    broadcast_max_distinct = 1 << 20
+
+    def _drop_null(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(
+            pc.and_(t.column(x_col).is_valid(), t.column(y_col).is_valid())
+        )
+
+    # two-column projection only; feeds two rank scans + the join (spillable)
+    rows = ds.select_columns([x_col, y_col]).map_batches(
+        _drop_null, batch_format="pyarrow"
+    ).materialize()
+    from ray.data.aggregate import Max, Min
+
+    mm = rows.aggregate(Min(x_col), Max(x_col), Min(y_col), Max(y_col))
+    rx, n, ndx = dense_midranks(
+        rows, x_col, num_buckets, out_col="trx",
+        minmax=(mm[f"min({x_col})"], mm[f"max({x_col})"]),
+    )
+    ry, _, ndy = dense_midranks(
+        rows, y_col, num_buckets, out_col="try_",
+        minmax=(mm[f"min({y_col})"], mm[f"max({y_col})"]),
+    )
+    if n == 0:
+        return {"n": 0, "s1": 0, "s2": 0, "s11": 0, "s22": 0, "s12": 0, "rho": 0.0}
+
+    def _attach(j: Dataset, ranks: Dataset, key: str, out_col: str, nd: int) -> Dataset:
+        if nd <= broadcast_max_distinct:
+            rt = ranks.to_pandas()
+            vals = rt[key].to_numpy()
+            order = np.argsort(vals)
+            lut = ray.put((vals[order], rt[out_col].to_numpy().astype(np.int64)[order]))
+
+            def mapfn(t: pa.Table) -> pa.Table:
+                v_sorted, r_sorted = ray.get(lut)
+                x = t.column(key).to_numpy()
+                idx = np.searchsorted(v_sorted, x)
+                return t.append_column(out_col, pa.array(r_sorted[idx]))
+
+            return j.map_batches(mapfn, batch_format="pyarrow")
+        nb = choose_num_blocks(j)
+        return j.join(ranks, "inner", num_partitions=nb, on=(key,))
+
+    j = _attach(rows, rx, x_col, "trx", ndx)
+    j = _attach(j, ry, y_col, "try_", ndy)
+
+    def moments(t: pa.Table) -> pa.Table:
+        a = t.column("trx").to_numpy().astype(np.int64)
+        b = t.column("try_").to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "pn": pa.array([len(a)], pa.int64()),
+                "s1": pa.array([int(a.sum())], pa.int64()),
+                "s2": pa.array([int(b.sum())], pa.int64()),
+                "s11": pa.array([int((a * a).sum())], pa.int64()),
+                "s22": pa.array([int((b * b).sum())], pa.int64()),
+                "s12": pa.array([int((a * b).sum())], pa.int64()),
+            }
+        )
+
+    s = j.map_batches(moments, batch_format="pyarrow").to_pandas().sum()
+    n_, s1, s2 = int(s["pn"]), int(s["s1"]), int(s["s2"])
+    s11, s22, s12 = int(s["s11"]), int(s["s22"]), int(s["s12"])
+    num = float(n_) * float(s12) - float(s1) * float(s2)
+    den = np.sqrt(float(n_) * float(s11) - float(s1) * float(s1)) * np.sqrt(
+        float(n_) * float(s22) - float(s2) * float(s2)
+    )
+    rho = num / den if den > 0 else 0.0
+    return {"n": n_, "s1": s1, "s2": s2, "s11": s11, "s22": s22, "s12": s12, "rho": rho}

@@ -343,3 +343,21 @@ def test_mannwhitney_matches_scipy_formula(ray_session):
 
     _, cnt = np.unique(allv, return_counts=True)
     assert res["tie_sum"] == int((cnt * (cnt * cnt - 1)).sum())
+
+
+def test_spearman_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.quantiles import spearman_rho
+
+    rng = np.random.default_rng(31)
+    x = rng.integers(0, 12, 400).astype("float64")  # heavy ties
+    y = x * 2 + np.round(rng.normal(0, 3, 400), 1)
+    y[5] = np.nan  # dropped pair
+    df = pd.DataFrame({"x": x, "y": y})
+    res = spearman_rho(rd.from_pandas(df).repartition(5), "x", "y", num_buckets=8)
+    assert res["n"] == 399
+
+    m = df.dropna()
+    exp = m["x"].rank().corr(m["y"].rank())  # pandas midranks Pearson
+    assert res["rho"] == pytest.approx(exp, abs=1e-12)
