@@ -9752,6 +9752,70 @@ def spearman_qty_price(sf_dir: str):
     return _round(out, {"rho": 6})
 
 
+@q(
+    "top_keyterms_per_doc",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+      FROM documents
+    ),
+    df AS (
+      SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY token
+      HAVING count(DISTINCT doc_id) >= 5
+    ),
+    n AS (SELECT count(*) AS n FROM documents),
+    idf AS (SELECT token, (n.n * 1000000) // df.df AS idf_i FROM df CROSS JOIN n),
+    st AS (
+      SELECT doc_id, token, count(*) AS tf FROM toks
+      WHERE doc_id % 97 = 0 GROUP BY doc_id, token
+    ),
+    sc AS (
+      SELECT st.doc_id, st.token, st.tf, st.tf * idf.idf_i AS score
+      FROM st JOIN idf USING (token)
+    ),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, token) AS rnk
+      FROM sc
+    )
+    SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, token,
+           CAST(tf AS BIGINT) AS tf, CAST(score AS BIGINT) AS score
+    FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk
+    """,
+)
+def top_keyterms_per_doc(sf_dir: str):
+    """Per-document keyword extraction (stages/vocab.top_keyterms): top-3
+    terms by tf*idf over a deterministic ~1% doc slice; df/N cover the FULL
+    corpus. The idf is the integer surrogate ``(N*1e6)//df``
+    (stages/vocab.int_idf_broadcast) — rank-equivalent to ln(N/df) with
+    zero cross-engine libm risk, so scores and the tie-broken top-k hash
+    exactly. Shape: one vocabulary-sized df groupby, a 16 B/term broadcast,
+    one shuffle-free scoring+topk pass (a doc never spans batches)."""
+    from perfect_bloomfilter_ray.stages.vocab import (
+        document_frequency,
+        int_idf_broadcast,
+        top_keyterms,
+    )
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = docs.count()  # parquet metadata, no scan
+    dfreq = document_frequency(docs, "text", min_df=5)
+    ref = int_idf_broadcast(dfreq, n_docs)
+
+    def slice97(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        return t.filter(pa.array(ids % 97 == 0))
+
+    sample = docs.map_batches(slice97, batch_format="pyarrow")
+    out = (
+        top_keyterms(sample, ref, "text", "doc_id", k=3)
+        .to_pandas()
+        .sort_values(["doc_id", "rnk"])
+        .reset_index(drop=True)
+    )
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Registration order: the driver spends its correctness slots in this order,
 # so surface SQL-oracle-backed queries (exact hash-verifiable) before

@@ -530,3 +530,99 @@ def bm25_score(
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def int_idf_broadcast(
+    df_ds: Dataset, n_docs: int, scale: int = 1_000_000, seed: int = 0x1DF
+) -> "ray.ObjectRef":  # noqa: F821
+    """Integer IDF surrogate lookup: ``idf_i = (n_docs * scale) // df`` —
+    rank-equivalent to ln(n/df) (both monotone decreasing in df) but exact
+    integer arithmetic, so scores built from it are engine-portable with no
+    libm ``ln`` cross-engine 1-ulp risk. Same bounded-vocabulary sorted-hash
+    broadcast contract as :func:`idf_broadcast` (16 B/term).
+    """
+    import ray
+
+    hs, vals = [], []
+    for t in df_ds.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
+        s = pl.from_arrow(t.column("token")).hash(seed=seed).to_numpy().astype(np.uint64, copy=True)
+        hs.append(s)
+        vals.append((n_docs * scale) // t.column("df").to_numpy().astype(np.int64))
+    h = np.concatenate(hs) if hs else np.empty(0, np.uint64)
+    v = np.concatenate(vals) if vals else np.empty(0, np.int64)
+    order = np.argsort(h, kind="stable")
+    return ray.put((h[order], v[order]))
+
+
+def top_keyterms(
+    ds: Dataset,
+    idf_ref,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    seed: int = 0x1DF,
+) -> Dataset:
+    """Per-document keyword extraction: the top-``k`` vocabulary terms by
+    ``tf * idf_i`` (integer TF-IDF, ties broken by token asc). One
+    shuffle-free ``map_batches`` pass — a document never spans batches, so
+    per-doc tf grouping and the top-k both resolve inside the batch against
+    the broadcast vocabulary. Out-of-vocabulary tokens are excluded (they
+    have no df), matching the SQL oracle's inner join against the df table.
+
+    Emits ``(id, rnk, token, tf, score)`` rows, ``rnk`` in 1..k.
+    """
+
+    def score(t: pa.Table) -> pa.Table:
+        import ray
+
+        vh, vi = ray.get(idf_ref)
+        df = pl.from_arrow(t.select([id_col, text_col]))
+        tf = (
+            df.with_columns(_tokens(pl.col(text_col)).alias("token"))
+            .drop(text_col)
+            .explode("token")
+            .drop_nulls("token")
+            .group_by([id_col, "token"])
+            .len(name="tf")
+            .with_columns(pl.col("tf").cast(pl.Int64))
+        )
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "rnk": pa.array([], pa.int64()),
+                "token": pa.array([], pa.string()),
+                "tf": pa.array([], pa.int64()),
+                "score": pa.array([], pa.int64()),
+            }
+        )
+        if len(tf) == 0:
+            return empty
+        h = tf["token"].hash(seed=seed).to_numpy().astype(np.uint64, copy=False)
+        if len(vh) == 0:
+            return empty
+        pos = np.searchsorted(vh, h)
+        pos[pos == len(vh)] = 0
+        hit = vh[pos] == h
+        tf = tf.with_columns(pl.Series("idf_i", np.where(hit, vi[pos], 0))).filter(
+            pl.Series(hit)
+        )
+        if len(tf) == 0:
+            return empty
+        pdf = (
+            tf.with_columns((pl.col("tf") * pl.col("idf_i")).alias("score"))
+            .sort([id_col, "score", "token"], descending=[False, True, False])
+            .to_pandas()
+        )
+        pdf["rnk"] = pdf.groupby(id_col).cumcount() + 1
+        pdf = pdf[pdf["rnk"] <= k]
+        return pa.table(
+            {
+                id_col: pa.array(pdf[id_col].to_numpy().astype(np.int64)),
+                "rnk": pa.array(pdf["rnk"].to_numpy().astype(np.int64)),
+                "token": pa.array(pdf["token"].astype(str).tolist(), pa.string()),
+                "tf": pa.array(pdf["tf"].to_numpy().astype(np.int64)),
+                "score": pa.array(pdf["score"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -359,3 +359,40 @@ def test_bm25_matches_bruteforce(corpus):
         assert row["dl"] == dl
         assert row["n_terms"] == nm
         assert row["score"] == pytest.approx(exp, abs=1e-9)
+
+
+def test_top_keyterms_matches_bruteforce(corpus):
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.vocab import (
+        document_frequency,
+        int_idf_broadcast,
+        top_keyterms,
+    )
+
+    tok = lambda s: re.findall(r"[a-z0-9]+", s.lower())
+    n = len(corpus)
+    ds = rd.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(corpus)]
+    ).repartition(6)
+    dfreq = document_frequency(ds, "text", min_df=3)
+    ref = int_idf_broadcast(dfreq, n)
+    out = (
+        top_keyterms(ds, ref, "text", "doc_id", k=2)
+        .to_pandas()
+        .sort_values(["doc_id", "rnk"])
+        .reset_index(drop=True)
+    )
+
+    df = Counter()
+    for t in corpus:
+        df.update(set(tok(t)))
+    idf_i = {w: (n * 1_000_000) // c for w, c in df.items() if c >= 3}
+    exp_rows = []
+    for i, text in enumerate(corpus):
+        tf = Counter(w for w in tok(text) if w in idf_i)
+        ranked = sorted(tf.items(), key=lambda kv: (-kv[1] * idf_i[kv[0]], kv[0]))[:2]
+        for r, (w, c) in enumerate(ranked, 1):
+            exp_rows.append((i, r, w, c, c * idf_i[w]))
+    exp = pd.DataFrame(exp_rows, columns=["doc_id", "rnk", "token", "tf", "score"])
+    pd.testing.assert_frame_equal(out, exp)
