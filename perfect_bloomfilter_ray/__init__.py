@@ -23,6 +23,7 @@ from perfect_bloomfilter_ray.state.bloom import BloomCascade
 from perfect_bloomfilter_ray.state.hll import HyperLogLog
 from perfect_bloomfilter_ray.state.cms import CountMinSketch
 from perfect_bloomfilter_ray.state.kll import KLLSketch
+from perfect_bloomfilter_ray.state.req import REQSketch
 from perfect_bloomfilter_ray.state.ddsketch import DDSketch
 from perfect_bloomfilter_ray.state.cuckoo import CuckooFilter
 from perfect_bloomfilter_ray.state.tdigest import TDigest
@@ -36,6 +37,7 @@ __all__ = [
     "HyperLogLog",
     "CountMinSketch",
     "KLLSketch",
+    "REQSketch",
     "DDSketch",
     "CuckooFilter",
     "TDigest",

@@ -8205,6 +8205,7 @@ def sketch_accuracy_report(sf_dir: str):
     from perfect_bloomfilter_ray.state.ddsketch import DDSketch
     from perfect_bloomfilter_ray.state.hll import HyperLogLog
     from perfect_bloomfilter_ray.state.kll import KLLSketch
+    from perfect_bloomfilter_ray.state.req import REQSketch
     from perfect_bloomfilter_ray.state.tdigest import TDigest
     from perfect_bloomfilter_ray.state.theta import ThetaSketch
 
@@ -8215,6 +8216,7 @@ def sketch_accuracy_report(sf_dir: str):
             "dd": ("value", lambda: DDSketch(0.01)),
             "kll": ("value", lambda: KLLSketch(256)),
             "td": ("value", lambda: TDigest(200)),
+            "req": ("value", lambda: REQSketch(64)),
             "hll": ("user_id", lambda: HyperLogLog(14)),
             "theta": ("user_id", lambda: ThetaSketch(4096)),
         },
@@ -8225,9 +8227,10 @@ def sketch_accuracy_report(sf_dir: str):
 
     gds = ds.map_batches(add_g, batch_format="pyarrow")
     qt = exact_grouped_quantiles(
-        gds, "_g", "value", [0.5, 0.99], kind="disc", names=["p50", "p99"]
+        gds, "_g", "value", [0.5, 0.99, 0.999], kind="disc", names=["p50", "p99", "p999"]
     ).to_pandas()
     exact_p50, exact_p99 = float(qt.iloc[0]["p50"]), float(qt.iloc[0]["p99"])
+    exact_p999 = float(qt.iloc[0]["p999"])
 
     def du(t: pa.Table) -> pa.Table:
         import polars as pl
@@ -8244,6 +8247,10 @@ def sketch_accuracy_report(sf_dir: str):
         ("p99_value", "ddsketch", sk["dd"].quantile(0.99), exact_p99),
         ("p99_value", "kll", sk["kll"].quantile(0.99), exact_p99),
         ("p99_value", "tdigest", sk["td"].quantile(0.99), exact_p99),
+        ("p99_value", "req", sk["req"].quantile(0.99), exact_p99),
+        ("p999_value", "ddsketch", sk["dd"].quantile(0.999), exact_p999),
+        ("p999_value", "kll", sk["kll"].quantile(0.999), exact_p999),
+        ("p999_value", "req", sk["req"].quantile(0.999), exact_p999),
         ("distinct_users", "hll", sk["hll"].estimate(), exact_users),
         ("distinct_users", "theta", sk["theta"].estimate(), exact_users),
     ):
@@ -9814,6 +9821,24 @@ def top_keyterms_per_doc(sf_dir: str):
         .reset_index(drop=True)
     )
     return out
+
+
+@q("req_value_tail_quantiles")
+def req_value_tail_quantiles(sf_dir: str):
+    """Tail quantiles (p90/p99/p999/max) of event value via the REQ sketch
+    (state/req.py) — relative rank error, so the p999 answer stays accurate
+    where a uniform-error sketch (KLL) needs k ∝ 1/(1-q). The max row is
+    EXACT by construction (the top item is never compacted). Rows-only
+    (estimate); the relative-error bound and merge associativity are pinned
+    in tests/test_sketches.py, and sketch_accuracy_report carries the
+    side-by-side exact comparison."""
+    from perfect_bloomfilter_ray.stages.agg import sketch_global
+    from perfect_bloomfilter_ray.state.req import REQSketch
+
+    ds = _t(sf_dir, "events", ["value"])
+    s = sketch_global(ds, "value", lambda: REQSketch(64), name="req")
+    qs = [0.9, 0.99, 0.999, 1.0]
+    return pd.DataFrame({"q": qs, "value_quantile": [s.quantile(x) for x in qs]})
 
 
 # ---------------------------------------------------------------------------

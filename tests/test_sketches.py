@@ -154,3 +154,53 @@ def test_sliding_distinct_theta_tracks_exact(ray_session):
     # k=4096 theta over <=150 users is exact (below sampling threshold)
     for b in exact.index:
         assert abs(int(est[b]) - int(exact[b])) <= max(1, 0.05 * exact[b])
+
+
+def test_req_relative_rank_error_at_tail():
+    from perfect_bloomfilter_ray.state.req import REQSketch
+
+    rng = np.random.default_rng(5)
+    data = rng.lognormal(0, 2, 200_000)
+    s = REQSketch(k=64)
+    for chunk in np.array_split(data, 40):
+        s.update_column(chunk)
+    srt = np.sort(data)
+    for q in (0.9, 0.99, 0.999, 0.9999):
+        v = s.quantile(q)
+        true_rank = np.searchsorted(srt, v, side="right") / len(srt)
+        # RELATIVE rank error: |rank - q| proportional to (1 - q)
+        assert abs(true_rank - q) <= 0.25 * (1 - q) + 1e-9, (q, true_rank)
+    # the maximum is exact by construction (top item never compacted)
+    assert s.quantile(1.0) == srt[-1]
+    assert s.max() == srt[-1]
+    # space stays sketch-sized
+    assert sum(len(c) for c in s.compactors) < 40 * s.k
+
+
+def test_req_merge_estimate_equivalence():
+    from perfect_bloomfilter_ray.state.req import REQSketch
+
+    rng = np.random.default_rng(7)
+    data = rng.exponential(5, 120_000)
+    parts = np.array_split(data, 8)
+
+    def build(p):
+        x = REQSketch(k=64)
+        x.update_column(p)
+        return x
+
+    fwd = build(parts[0])
+    for p in parts[1:]:
+        fwd.merge(build(p))
+    rev = build(parts[-1])
+    for p in parts[:-1][::-1]:
+        rev.merge(build(p))
+    assert fwd.n == rev.n == len(data)
+    srt = np.sort(data)
+    for q in (0.99, 0.999):
+        for sk in (fwd, rev):
+            r = np.searchsorted(srt, sk.quantile(q), side="right") / len(srt)
+            assert abs(r - q) <= 0.25 * (1 - q) + 1e-9
+    # byte round-trip
+    back = REQSketch.from_bytes(fwd.to_bytes())
+    assert back.quantile(0.999) == fwd.quantile(0.999)
