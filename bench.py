@@ -213,6 +213,9 @@ SUITE = [
     "mw_view_click_value",
     "embedding_cosine_histogram",
     "spearman_qty_price",
+    "top_keyterms_per_doc",
+    "req_value_tail_quantiles",
+    "ks_value_drift_per_type",
 ]
 
 

@@ -9675,9 +9675,17 @@ def embedding_cosine_histogram(sf_dir: str):
         probe = t.column("vec_id").to_numpy().astype(np.int64) - 137
         return pa.table({"probe_id": pa.array(probe), "w": t.column("v")})
 
+    from perfect_bloomfilter_ray.stages.partitioning import choose_join_partitions
+
     left = emb.map_batches(prep, batch_format="pyarrow")
     right = left.map_batches(shift, batch_format="pyarrow")
-    joined = left.join(right, "inner", num_partitions=8, on=("vec_id",), right_on=("probe_id",))
+    joined = left.join(
+        right,
+        "inner",
+        num_partitions=choose_join_partitions(),
+        on=("vec_id",),
+        right_on=("probe_id",),
+    )
 
     def cos_bins(t: pa.Table) -> pa.Table:
         if len(t) == 0:
@@ -9839,6 +9847,58 @@ def req_value_tail_quantiles(sf_dir: str):
     s = sketch_global(ds, "value", lambda: REQSketch(64), name="req")
     qs = [0.9, 0.99, 0.999, 1.0]
     return pd.DataFrame({"q": qs, "value_quantile": [s.quantile(x) for x in qs]})
+
+
+@q(
+    "ks_value_drift_per_type",
+    sql="""
+    WITH v AS (
+      SELECT event_type AS g, value FROM events WHERE value IS NOT NULL
+    ),
+    n AS (SELECT count(*) AS n FROM v),
+    c AS (SELECT g, value, count(*) AS c FROM v GROUP BY g, value),
+    ng AS (SELECT g, sum(c) AS ng FROM c GROUP BY g),
+    d AS (SELECT DISTINCT value FROM v),
+    gv AS (
+      SELECT ng.g, d.value, coalesce(c.c, 0) AS c
+      FROM ng CROSS JOIN d
+      LEFT JOIN c ON c.g = ng.g AND c.value = d.value
+    ),
+    r AS (
+      SELECT g, value,
+             sum(c) OVER (PARTITION BY g ORDER BY value
+                          ROWS UNBOUNDED PRECEDING) AS cg
+      FROM gv
+    ),
+    tot AS (SELECT value, sum(c) AS ct FROM c GROUP BY value),
+    rt AS (
+      SELECT value,
+             sum(ct) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS call
+      FROM tot
+    )
+    SELECT r.g AS event_type, CAST(ng.ng AS BIGINT) AS n_g,
+           CAST(max(abs(r.cg * (n.n - ng.ng) - (rt.call - r.cg) * ng.ng))
+                AS BIGINT) AS ks_num
+    FROM r JOIN rt USING (value) JOIN ng ON ng.g = r.g CROSS JOIN n
+    GROUP BY r.g, ng.ng ORDER BY r.g
+    """,
+)
+def ks_value_drift_per_type(sf_dir: str):
+    """Segment drift matrix (stages/quantiles.ks_group_vs_rest): for every
+    event type, the EXACT one-vs-rest two-sample KS statistic of its value
+    distribution against all other events, in ONE corpus scan — the "which
+    segment drifted" monitoring report. The per-bucket scan computes all G
+    statistics from one cumulative count matrix with per-group carries
+    (O(buckets x G) driver state); integer numerators
+    (D_g = ks_num / (n_g * (n - n_g))) hash bit-identically."""
+    from perfect_bloomfilter_ray.stages.quantiles import ks_group_vs_rest
+
+    ds = _t(sf_dir, "events", ["event_type", "value"])
+    out = ks_group_vs_rest(ds, "value", "event_type")
+    out = out.rename(columns={"group": "event_type"}).sort_values("event_type").reset_index(drop=True)
+    out["n_g"] = out["n_g"].astype("int64")
+    out["ks_num"] = out["ks_num"].astype("int64")
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -672,3 +672,124 @@ def spearman_rho(
     )
     rho = num / den if den > 0 else 0.0
     return {"n": n_, "s1": s1, "s2": s2, "s11": s11, "s22": s22, "s12": s12, "rho": rho}
+
+
+def ks_group_vs_rest(
+    ds: Dataset,
+    value_col: str,
+    group_col: str,
+    num_buckets: int = 1024,
+):
+    """Per-group distribution-drift matrix: for every category ``g`` of
+    ``group_col`` (bounded cardinality — event types, languages, sources),
+    the EXACT two-sample KS statistic of group-g values vs all other rows,
+    in ONE corpus scan — the "which segment drifted" monitoring report.
+
+    Same segmented machinery as :func:`ks_two_sample`, vectorized across
+    groups: per-batch distinct ``(value, group, c)`` partials, per-bucket
+    G-vector carries folded on the driver (O(num_buckets * G) state), and a
+    per-bucket scan computing all G one-vs-rest maxima from one cumulative
+    count matrix. Integer numerators: ``D_g = ks_num / (n_g * (n - n_g))``.
+
+    ONE corpus scan: the distinct-pair partial pass is the only
+    corpus-sized read; group list, n_g, value min/max and the bucket key
+    all derive from the (much smaller) materialized partials table.
+
+    Returns a pandas frame ``(group, n_g, ks_num)`` sorted by group.
+    """
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(t.column(value_col).is_valid())
+        if len(t) == 0:
+            return pa.table(
+                {
+                    value_col: pa.array([], t.schema.field(value_col).type),
+                    group_col: pa.array([], t.schema.field(group_col).type),
+                    "c": pa.array([], pa.int64()),
+                }
+            )
+        df = pl.from_arrow(t.select([value_col, group_col]))
+        return (
+            df.group_by([value_col, group_col])
+            .len(name="c")
+            .with_columns(pl.col("c").cast(pl.Int64))
+            .to_arrow()
+        )
+
+    # the ONLY corpus-sized pass; everything below reads the distinct table
+    pairs = ds.map_batches(partial, batch_format="pyarrow").materialize()
+    if pairs.count() == 0:
+        return pd.DataFrame({"group": [], "n_g": [], "ks_num": []})
+
+    sums = (
+        pairs.groupby(group_col)
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+        .dropna(subset=[group_col])
+    )
+    groups = sorted(sums[group_col])
+    gidx = {g: i for i, g in enumerate(groups)}
+    G = len(groups)
+    mm = pairs.aggregate(Min(value_col), Max(value_col))
+    vmin, vmax = mm[f"min({value_col})"], mm[f"max({value_col})"]
+    if vmin is None or G == 0:
+        return pd.DataFrame({"group": [], "n_g": [], "ks_num": []})
+    width = (float(vmax) - float(vmin)) / num_buckets or 1.0
+
+    def add_bkt(t: pa.Table) -> pa.Table:
+        v = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        bkt = np.clip(np.floor((v - vmin) / width), 0, num_buckets - 1).astype(np.int64)
+        return t.append_column("_bkt", pa.array(bkt))
+
+    counts = pairs.map_batches(add_bkt, batch_format="pyarrow")
+
+    nets = (
+        counts.groupby(["_bkt", group_col])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    n_g = np.zeros(G, np.int64)
+    for g, c in nets.groupby(group_col)["c"].sum().items():
+        n_g[gidx[g]] = int(c)
+    n = int(n_g.sum())
+    # per-bucket per-group carries: cumulative counts of all lower buckets
+    piv = (
+        nets.pivot_table(index="_bkt", columns=group_col, values="c", fill_value=0)
+        .reindex(columns=groups, fill_value=0)
+        .sort_index()
+    )
+    cum = piv.cumsum().shift(1, fill_value=0).to_numpy().astype(np.int64)
+    carries = ray.put({int(b): cum[i] for i, b in enumerate(piv.index)})
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        ca = ray.get(carries)[int(t.column("_bkt")[0].as_py())]
+        g = (
+            pl.from_arrow(t.select([value_col, group_col, "c"]))
+            .group_by([value_col, group_col])
+            .agg(pl.col("c").sum())
+            .sort(value_col)
+        )
+        v = g[value_col].to_numpy()
+        uniq, vcode = np.unique(v, return_inverse=True)
+        gc = np.array([gidx[x] for x in g[group_col].to_list()], np.int64)
+        M = np.zeros((len(uniq), G), np.int64)
+        np.add.at(M, (vcode, gc), g["c"].to_numpy().astype(np.int64))
+        cumg = ca[None, :] + np.cumsum(M, axis=0)
+        cumtot = cumg.sum(axis=1, keepdims=True)
+        num = np.abs(cumg * (n - n_g)[None, :] - (cumtot - cumg) * n_g[None, :])
+        best = num.max(axis=0)
+        return pa.table(
+            {f"g{i}": pa.array([int(best[i])], pa.int64()) for i in range(G)}
+        )
+
+    parts = counts.groupby("_bkt").map_groups(per_bucket, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame(
+        {
+            "group": groups,
+            "n_g": n_g,
+            "ks_num": [int(parts[f"g{i}"].max()) for i in range(G)],
+        }
+    )

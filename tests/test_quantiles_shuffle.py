@@ -306,6 +306,49 @@ def test_ks_two_sample_single_value_and_empty_side(ray_session):
     assert res == {"n0": 0, "n1": 0, "ks_num": 0}
 
 
+def test_ks_group_vs_rest_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.quantiles import ks_group_vs_rest
+
+    rng = np.random.default_rng(31)
+    groups = ["a", "b", "c"]
+    sizes = [300, 200, 250]
+    vals = [
+        np.round(rng.normal(0, 1, sizes[0]), 1),
+        np.round(rng.normal(0.4, 1.2, sizes[1]), 1),
+        np.round(rng.normal(-0.3, 0.8, sizes[2]), 1),
+    ]
+    df = pd.DataFrame(
+        {
+            "v": np.concatenate(vals + [[np.nan]]),
+            "g": np.concatenate([[g] * s for g, s in zip(groups, sizes)] + [["a"]]),
+        }
+    )
+    out = ks_group_vs_rest(rd.from_pandas(df).repartition(7), "v", "g", num_buckets=16)
+    assert list(out["group"]) == groups
+    assert list(out["n_g"]) == sizes
+
+    n = sum(sizes)
+    allv = np.concatenate(vals)
+    xs = np.unique(allv)
+    f_all = np.searchsorted(np.sort(allv), xs, side="right")
+    for i, g in enumerate(groups):
+        fg = np.searchsorted(np.sort(vals[i]), xs, side="right")
+        exp_num = int(np.abs(fg * (n - sizes[i]) - (f_all - fg) * sizes[i]).max())
+        assert int(out.loc[out["group"] == g, "ks_num"].iloc[0]) == exp_num
+
+
+def test_ks_group_vs_rest_empty(ray_session):
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.quantiles import ks_group_vs_rest
+
+    empty = pd.DataFrame({"v": [np.nan], "g": ["a"]})
+    out = ks_group_vs_rest(rd.from_pandas(empty), "v", "g")
+    assert len(out) == 0
+
+
 def test_mannwhitney_matches_scipy_formula(ray_session):
     import ray.data as rd
 
