@@ -23,6 +23,8 @@ import pyarrow.compute as pc
 
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
+from perfect_bloomfilter_ray.stages.partitioning import choose_join_partitions
+
 QUERIES: dict[str, Callable[[str], Any]] = {}
 ORACLE_SQL: dict[str, str] = {}
 
@@ -144,7 +146,7 @@ def order_priority_count(sf_dir: str):
 def nation_customer_balance(sf_dir: str):
     cust = _t(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
     nation = _t(sf_dir, "nation", ["n_nationkey", "n_name"])
-    joined = cust.join(nation, "inner", num_partitions=4, on=("c_nationkey",), right_on=("n_nationkey",))
+    joined = cust.join(nation, "inner", num_partitions=choose_join_partitions(min_partitions=4), on=("c_nationkey",), right_on=("n_nationkey",))
     out = (
         joined.groupby("n_name")
         .aggregate(Count(alias_name="n_customers"), Sum("c_acctbal", alias_name="total_acctbal"))
@@ -1062,7 +1064,7 @@ def q3_shipping_priority(sf_dir: str):
     joined = li.map_batches(li_rev, batch_format="pyarrow").join(
         bldg_orders.map_batches(lambda t: t.drop_columns(["o_custkey"]), batch_format="pyarrow"),
         "inner",
-        num_partitions=8,
+        num_partitions=choose_join_partitions(),
         on=("l_orderkey",),
         right_on=("o_orderkey",),
     )
@@ -1316,7 +1318,9 @@ def q5_local_supplier_volume(sf_dir: str):
         batch_format="pyarrow",
     )
 
-    joined = li.join(orders, "inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",))
+    joined = li.join(
+        orders, "inner", num_partitions=choose_join_partitions(), on=("l_orderkey",), right_on=("o_orderkey",)
+    )
     j1 = broadcast_lookup_join(
         joined, _t(sf_dir, "customer", ["c_custkey", "c_nationkey"]), on="o_custkey", right_on="c_custkey"
     )
@@ -1689,7 +1693,11 @@ def customers_order_counts_outer(sf_dir: str):
     cust = _t(sf_dir, "customer", ["c_custkey"])
     orders = _t(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
     joined = cust.join(
-        orders, "left_outer", num_partitions=8, on=("c_custkey",), right_on=("o_custkey",)
+        orders,
+        "left_outer",
+        num_partitions=choose_join_partitions(),
+        on=("c_custkey",),
+        right_on=("o_custkey",),
     )
 
     def widen(t: pa.Table) -> pa.Table:
@@ -2079,7 +2087,9 @@ def q10_returned_item_customers(sf_dir: str):
         batch_format="pyarrow",
     )
     orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    joined = li.join(orders, "inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",))
+    joined = li.join(
+        orders, "inner", num_partitions=choose_join_partitions(), on=("l_orderkey",), right_on=("o_orderkey",)
+    )
     j2 = broadcast_lookup_join(
         joined, _t(sf_dir, "customer", ["c_custkey", "c_name"]), on="o_custkey", right_on="c_custkey"
     )
@@ -3615,7 +3625,8 @@ def skew_join_event_order_revenue(sf_dir: str):
     orders = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     joined = skew_join(
         events, orders, on="user_id", right_on="o_custkey",
-        hot_count_threshold=80, hot_top_k=16, num_partitions=4,
+        hot_count_threshold=80, hot_top_k=16,
+        num_partitions=choose_join_partitions(min_partitions=4),
     )
     # map-side partial aggregation: the 1M-row join output collapses to a
     # few rows per block before the (tiny) groupby — without this the
@@ -4530,7 +4541,8 @@ def component_best_representatives(sf_dir: str):
     comp = connected_components_pairs(_user_event_chain_edges(ds))  # (node, root)
     scored = comp.join(
         ds.select_columns(["event_id", "value"]),
-        "inner", num_partitions=4, on=("node",), right_on=("event_id",),
+        "inner", num_partitions=choose_join_partitions(min_partitions=4),
+        on=("node",), right_on=("event_id",),
     )
     best = grouped_top_k(
         scored, "root", "value", k=1, descending=True, tie_cols=["node"]
