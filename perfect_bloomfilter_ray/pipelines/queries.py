@@ -9913,6 +9913,11 @@ def ks_value_drift_per_type(sf_dir: str):
     return out
 
 
+# Sibling query modules register into the same QUERIES/ORACLE_SQL dicts; the
+# import must precede the reorder below. (Deliberate tail import: by this
+# point every symbol tpch.py needs from this module exists.)
+from perfect_bloomfilter_ray.pipelines import tpch as _tpch  # noqa: E402,F401
+
 # ---------------------------------------------------------------------------
 # Registration order: the driver spends its correctness slots in this order,
 # so surface SQL-oracle-backed queries (exact hash-verifiable) before
