@@ -409,3 +409,464 @@ def q18_large_volume_orders(sf_dir: str):
     out = _round(out, {"o_totalprice": 2})
     out = out.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True]).reset_index(drop=True)
     return out[["c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty"]]
+
+
+@q(
+    "q2_min_unit_price_supplier",
+    sql="""
+    WITH f AS (SELECT p_partkey, p_name FROM part WHERE p_size = 10 AND p_type = 'STANDARD'),
+    m AS (SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS mp
+          FROM lineitem JOIN f ON l_partkey = p_partkey GROUP BY l_partkey, l_suppkey),
+    r AS (SELECT *, row_number() OVER (PARTITION BY l_partkey ORDER BY mp, l_suppkey) AS rn FROM m)
+    SELECT p_partkey, p_name, s_suppkey, s_name, mp AS min_unit_price
+    FROM r JOIN f ON l_partkey = p_partkey JOIN supplier ON l_suppkey = s_suppkey
+    WHERE rn = 1 ORDER BY p_partkey
+    """,
+)
+def q2_min_unit_price_supplier(sf_dir: str):
+    """TPC-H Q2 shape (no partsupp table, so "supply cost" = observed unit
+    price l_extendedprice / l_quantity): for each part in a size/type slice,
+    the supplier offering the minimum unit price, ties broken by suppkey.
+    The correlated min decorrelates into one distributed (part, supplier) Min
+    aggregate; the per-part argmin runs on that dimension-sized result. Unit
+    prices are single IEEE divisions (bit-identical across engines), so the
+    float min/tie compare is exact — and the output keeps the raw division
+    bits (no rounding: round(x, 4) of a division can land on a half-point
+    where numpy rounds half-even and DuckDB half-away)."""
+    part = _t(sf_dir, "part", ["p_partkey", "p_name", "p_size", "p_type"]).map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.equal(t.column("p_size"), pa.scalar(10)), pc.equal(t.column("p_type"), pa.scalar("STANDARD")))
+        ).drop_columns(["p_size", "p_type"]),
+        batch_format="pyarrow",
+    )
+    part_tbl = part.to_pandas()
+    li = _t(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"])
+    li = broadcast_semi_join(li, pa.table({"p_partkey": part_tbl["p_partkey"]}), on="l_partkey", right_on="p_partkey")
+
+    def unit(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_partkey": t.column("l_partkey"),
+                "l_suppkey": t.column("l_suppkey"),
+                "up": pc.divide(t.column("l_extendedprice"), t.column("l_quantity")),
+            }
+        )
+
+    m = (
+        li.map_batches(unit, batch_format="pyarrow")
+        .groupby(["l_partkey", "l_suppkey"])
+        .aggregate(Min("up", alias_name="mp"))
+        .to_pandas()
+    )
+    m = m.sort_values(["l_partkey", "mp", "l_suppkey"]).groupby("l_partkey", as_index=False).first()
+    supp = _t(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
+    out = m.merge(part_tbl, left_on="l_partkey", right_on="p_partkey").merge(
+        supp, left_on="l_suppkey", right_on="s_suppkey"
+    )
+    out["min_unit_price"] = out["mp"]
+    return out[["p_partkey", "p_name", "s_suppkey", "s_name", "min_unit_price"]].sort_values("p_partkey").reset_index(drop=True)
+
+
+@q(
+    "q9_product_type_profit",
+    sql="""
+    SELECT n_name AS supp_nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           round(sum(l_extendedprice * (1 - l_discount) - 0.8 * p_retailprice * l_quantity), 2) AS sum_profit
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN part     ON l_partkey  = p_partkey
+    JOIN supplier ON l_suppkey  = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY supp_nation, o_year ORDER BY supp_nation, o_year
+    """,
+)
+def q9_product_type_profit(sf_dir: str):
+    """TPC-H Q9 shape (supplycost := 0.8 x retail price): profit per supplier
+    nation per order year for one product family. The part filter+price ride
+    the broadcast lookup BEFORE the single big-big join, shrinking its build
+    side ~15x; supplier->nation is a second broadcast lookup."""
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_discount"])
+    part = _t(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"]).map_batches(
+        lambda t: t.filter(pc.match_substring(t.column("p_name"), "widget")).drop_columns(["p_name"]),
+        batch_format="pyarrow",
+    )
+    j = broadcast_lookup_join(li, part, on="l_partkey", right_on="p_partkey")
+
+    def amount(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        cost = pc.multiply(pc.multiply(pa.scalar(0.8), t.column("p_retailprice")), t.column("l_quantity"))
+        return pa.table(
+            {"l_orderkey": t.column("l_orderkey"), "l_suppkey": t.column("l_suppkey"), "amount": pc.subtract(rev, cost)}
+        )
+
+    j = j.map_batches(amount, batch_format="pyarrow")
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_orderdate"]).map_batches(
+        lambda t: pa.table(
+            {"o_orderkey": t.column("o_orderkey"), "o_year": pc.cast(pc.year(t.column("o_orderdate")), pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    j = j.join(orders, "inner", num_partitions=choose_join_partitions(), on=("l_orderkey",), right_on=("o_orderkey",))
+    j = broadcast_lookup_join(j, _t(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]), on="l_suppkey", right_on="s_suppkey")
+    nat = _t(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas().rename(columns={"n_name": "supp_nation"})
+    j = broadcast_lookup_join(j, pa.Table.from_pandas(nat), on="s_nationkey", right_on="n_nationkey")
+    out = (
+        j.groupby(["supp_nation", "o_year"])
+        .aggregate(Sum("amount", alias_name="sum_profit"))
+        .to_pandas()
+        .sort_values(["supp_nation", "o_year"])
+        .reset_index(drop=True)
+    )
+    return _round(out, {"sum_profit": 2})
+
+
+@q(
+    "q11_part_revenue_share",
+    sql="""
+    WITH pr AS (SELECT l_partkey,
+                       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS mc
+                FROM lineitem GROUP BY l_partkey),
+    t AS (SELECT sum(mc) AS tot, count(*) AS cnt FROM pr)
+    SELECT l_partkey, mc / 10000.0 AS part_revenue
+    FROM pr, t WHERE mc * cnt * 10 > tot * 13
+    ORDER BY part_revenue DESC, l_partkey
+    """,
+)
+def q11_part_revenue_share(sf_dir: str):
+    """TPC-H Q11 shape: parts whose revenue exceeds 1.3x the average part
+    revenue (HAVING against a scalar subquery; the multiplier form is
+    scale-free, unlike TPC-H's literal fraction). One distributed per-part
+    Sum; the global total folds from that part-cardinality result on the
+    driver — never a second corpus scan. Revenue is accumulated in integer
+    MICRO-CENTS (cent-exact prices x whole-percent discounts) so both the
+    threshold (mc*cnt*10 > tot*13) and the output value (one exact int->
+    double division) are bitwise-reproducible regardless of summation
+    order — float partial sums would drift at the 20k-part scale."""
+    li = _t(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
+
+    def microcents(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t.column("l_extendedprice"), pa.scalar(100.0))), pa.int64())
+        keep = pc.subtract(pa.scalar(100, pa.int64()), pc.cast(pc.round(pc.multiply(t.column("l_discount"), pa.scalar(100.0))), pa.int64()))
+        return pa.table({"l_partkey": t.column("l_partkey"), "mc": pc.multiply(cents, keep)})
+
+    pr = (
+        li.map_batches(microcents, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Sum("mc", alias_name="mc"))
+        .to_pandas()
+    )
+    tot, cnt = int(pr["mc"].sum()), len(pr)
+    # mc*cnt*10 > tot*13 restated as mc*10 > floor(tot*13/cnt): same integer
+    # predicate (strict > is preserved through the floor), but the per-row
+    # multiply stays within int64 at any corpus scale while tot*13 folds in
+    # Python bigints on the driver.
+    thr = (tot * 13) // cnt
+    out = pr[pr["mc"].to_numpy() * 10 > thr].copy()
+    out["part_revenue"] = out["mc"] / 10000.0
+    out = out[["l_partkey", "part_revenue"]].sort_values(["part_revenue", "l_partkey"], ascending=[False, True])
+    return out.reset_index(drop=True)
+
+
+@q(
+    "q15_top_supplier",
+    sql="""
+    WITH r AS (SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+               FROM lineitem
+               WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+               GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM r JOIN supplier ON l_suppkey = s_suppkey
+    WHERE total_revenue = (SELECT max(total_revenue) FROM r)
+    ORDER BY s_suppkey
+    """,
+)
+def q15_top_supplier(sf_dir: str):
+    """TPC-H Q15: the supplier(s) with maximum quarterly revenue. The view
+    materializes as one supplier-cardinality aggregate; the max-equality
+    compares ROUNDED revenue on both sides, making the float tie exact."""
+    lo, hi = pd.Timestamp("1997-01-01"), pd.Timestamp("1997-04-01")
+    li = _t(sf_dir, "lineitem", ["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"]).map_batches(
+        lambda t: (lambda f: pa.table(
+            {"l_suppkey": f.column("l_suppkey"),
+             "rev": pc.multiply(f.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), f.column("l_discount")))}
+        ))(t.filter(_between(t.column("l_shipdate"), lo, hi))),
+        batch_format="pyarrow",
+    )
+    r = li.groupby("l_suppkey").aggregate(Sum("rev", alias_name="total_revenue")).to_pandas()
+    r["total_revenue"] = r["total_revenue"].round(2)
+    best = r[r["total_revenue"] == r["total_revenue"].max()]
+    supp = _t(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
+    out = best.merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+    return out[["s_suppkey", "s_name", "total_revenue"]].sort_values("s_suppkey").reset_index(drop=True)
+
+
+@q(
+    "q16_brand_size_supplier_counts",
+    sql="""
+    SELECT p_brand, p_size, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 10, 15, 20, 25)
+    GROUP BY p_brand, p_size ORDER BY supplier_cnt DESC, p_brand, p_size
+    """,
+)
+def q16_brand_size_supplier_counts(sf_dir: str):
+    """TPC-H Q16 shape: distinct supplier counts per (brand, size) slice.
+    COUNT(DISTINCT) decomposes into a distinct-triple groupby (map-side
+    dedup inside each batch first) followed by a tiny pair-count — the
+    standard two-phase exact distinct at scale."""
+    part = _t(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]).map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.invert(pc.equal(t.column("p_brand"), pa.scalar("Brand#1"))),
+                pc.is_in(t.column("p_size"), value_set=pa.array([1, 5, 10, 15, 20, 25])),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    li = _t(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    j = broadcast_lookup_join(li, part, on="l_partkey", right_on="p_partkey")
+
+    def local_distinct(t: pa.Table) -> pa.Table:
+        return t.select(["p_brand", "p_size", "l_suppkey"]).group_by(["p_brand", "p_size", "l_suppkey"]).aggregate([])
+
+    triples = j.map_batches(local_distinct, batch_format="pyarrow").groupby(["p_brand", "p_size", "l_suppkey"]).aggregate(Count(alias_name="_n"))
+    out = (
+        triples.groupby(["p_brand", "p_size"])
+        .aggregate(Count(alias_name="supplier_cnt"))
+        .to_pandas()
+        .sort_values(["supplier_cnt", "p_brand", "p_size"], ascending=[False, True, True])
+        .reset_index(drop=True)
+    )
+    out["supplier_cnt"] = out["supplier_cnt"].astype("int64")
+    return out
+
+
+@q(
+    "q17_small_quantity_revenue",
+    sql="""
+    WITH a AS (SELECT l_partkey, count(*) AS cnt, sum(l_quantity) AS sq
+               FROM lineitem GROUP BY l_partkey)
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem JOIN part ON l_partkey = p_partkey JOIN a USING (l_partkey)
+    WHERE p_brand = 'Brand#13' AND l_quantity * 5 * cnt < sq
+    """,
+)
+def q17_small_quantity_revenue(sf_dir: str):
+    """TPC-H Q17: revenue lost to small-quantity orders. The correlated
+    "quantity < 0.2 * avg(quantity per part)" subquery decorrelates into a
+    per-part (count, sum) pass broadcast as an Arrow LUT — and the boundary
+    is restated in INTEGER arithmetic (qty * 5 * cnt < sum_qty; quantities
+    are integer-valued) so both engines agree bitwise at the threshold."""
+    import ray
+
+    a = (
+        _t(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+        .groupby("l_partkey")
+        .aggregate(Count(alias_name="cnt"), Sum("l_quantity", alias_name="sq"))
+        .to_pandas()
+    )
+    lut = pa.table({"l_partkey": a["l_partkey"], "cnt": a["cnt"].astype("float64"), "sq": a["sq"]})
+    brand_keys = _t(sf_dir, "part", ["p_partkey", "p_brand"]).map_batches(
+        lambda t: pa.table({"p_partkey": t.filter(pc.equal(t.column("p_brand"), pa.scalar("Brand#13"))).column("p_partkey")}),
+        batch_format="pyarrow",
+    )
+    li = _t(sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"])
+    li = broadcast_semi_join(li, brand_keys, on="l_partkey", right_on="p_partkey")
+    lut_ref = ray.put(lut)
+
+    def flt(t: pa.Table) -> pa.Table:
+        s: pa.Table = ray.get(lut_ref)
+        idx = pc.index_in(t.column("l_partkey"), value_set=s.column("l_partkey"))
+        cnt = pc.take(s.column("cnt"), idx)
+        sq = pc.take(s.column("sq"), idx)
+        lhs = pc.multiply(pc.multiply(t.column("l_quantity"), pa.scalar(5.0)), cnt)
+        return pa.table({"x": t.filter(pc.less(lhs, sq)).column("l_extendedprice")})
+
+    total = li.map_batches(flt, batch_format="pyarrow").sum("x")
+    return pd.DataFrame({"avg_yearly": [round(float(total) / 7.0, 2)]})
+
+
+@q(
+    "q19_disjunctive_revenue",
+    sql="""
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1  AND l_quantity <= 11)
+       OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 25 AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 35 AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+)
+def q19_disjunctive_revenue(sf_dir: str):
+    """TPC-H Q19: disjunctive multi-table predicate. The three brand clauses
+    evaluate as one vectorized OR after the part broadcast lookup — no
+    per-clause scans, no shuffle."""
+    li = _t(sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"])
+    j = broadcast_lookup_join(li, _t(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]), on="l_partkey", right_on="p_partkey")
+
+    def clause(t: pa.Table, brand: str, smax: int, qlo: float, qhi: float):
+        return pc.and_(
+            pc.and_(pc.equal(t.column("p_brand"), pa.scalar(brand)), pc.less_equal(t.column("p_size"), pa.scalar(smax))),
+            pc.and_(
+                pc.greater_equal(t.column("l_quantity"), pa.scalar(qlo)),
+                pc.less_equal(t.column("l_quantity"), pa.scalar(qhi)),
+            ),
+        )
+
+    def flt(t: pa.Table) -> pa.Table:
+        m = pc.or_(
+            pc.or_(clause(t, "Brand#3", 15, 1.0, 11.0), clause(t, "Brand#13", 25, 10.0, 20.0)),
+            clause(t, "Brand#23", 35, 20.0, 30.0),
+        )
+        f = t.filter(pc.and_(m, pc.greater_equal(t.column("p_size"), pa.scalar(1))))
+        return pa.table({"x": pc.multiply(f.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), f.column("l_discount")))})
+
+    total = j.map_batches(flt, batch_format="pyarrow").sum("x")
+    return pd.DataFrame({"revenue": [round(float(total), 2)]})
+
+
+@q(
+    "q20_promo_heavy_suppliers",
+    sql="""
+    SELECT s_suppkey, s_name, n_name, CAST(sum(l_quantity) AS BIGINT) AS promo_qty
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_type = 'PROMO'
+      AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY s_suppkey, s_name, n_name
+    HAVING sum(l_quantity) > 400 ORDER BY s_suppkey
+    """,
+)
+def q20_promo_heavy_suppliers(sf_dir: str):
+    """TPC-H Q20 shape: suppliers who moved a large volume of one product
+    family in a year. The part-type filter is an exact broadcast key set
+    before the scan-side groupby; quantity sums are integer-valued so the
+    HAVING boundary is exact."""
+    lo, hi = pd.Timestamp("1997-01-01"), pd.Timestamp("1998-01-01")
+    promo_keys = _t(sf_dir, "part", ["p_partkey", "p_type"]).map_batches(
+        lambda t: pa.table({"p_partkey": t.filter(pc.equal(t.column("p_type"), pa.scalar("PROMO"))).column("p_partkey")}),
+        batch_format="pyarrow",
+    )
+    li = _t(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_shipdate", "l_quantity"]).map_batches(
+        lambda t: t.filter(_between(t.column("l_shipdate"), lo, hi)).drop_columns(["l_shipdate"]),
+        batch_format="pyarrow",
+    )
+    li = broadcast_semi_join(li, promo_keys, on="l_partkey", right_on="p_partkey")
+    agg = li.groupby("l_suppkey").aggregate(Sum("l_quantity", alias_name="promo_qty")).to_pandas()
+    agg = agg[agg["promo_qty"] > 400.0].copy()
+    agg["promo_qty"] = agg["promo_qty"].astype("int64")
+    supp = _t(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"]).to_pandas()
+    nat = _t(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    out = agg.merge(supp, left_on="l_suppkey", right_on="s_suppkey").merge(nat, left_on="s_nationkey", right_on="n_nationkey")
+    return out[["s_suppkey", "s_name", "n_name", "promo_qty"]].sort_values("s_suppkey").reset_index(drop=True)
+
+
+@q(
+    "q21_sole_returned_supplier",
+    sql="""
+    WITH f AS (SELECT l_orderkey, l_suppkey,
+                      max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS has_r
+               FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+               WHERE o_orderstatus = 'F' GROUP BY l_orderkey, l_suppkey),
+    o AS (SELECT l_orderkey, count(*) AS n_supp, sum(has_r) AS n_r FROM f GROUP BY l_orderkey)
+    SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM f JOIN o USING (l_orderkey) JOIN supplier ON l_suppkey = s_suppkey
+    WHERE has_r = 1 AND n_supp > 1 AND n_r = 1
+    GROUP BY s_suppkey, s_name ORDER BY numwait DESC, s_suppkey
+    """,
+)
+def q21_sole_returned_supplier(sf_dir: str):
+    """TPC-H Q21 shape (EXISTS + NOT EXISTS over sibling lineitems): for
+    finished orders, count per supplier the orders where it is the ONLY
+    supplier with a returned line among several suppliers. Both correlated
+    quantifiers decorrelate into per-order aggregates: distinct
+    (order, supplier, has_r) -> per-order (n_supp, n_r) -> a co-partitioned
+    self-join on the order key (same key as the first shuffle, so blocks
+    land where they already live). Every count is integer-exact."""
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_returnflag"]).map_batches(
+        lambda t: pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "l_suppkey": t.column("l_suppkey"),
+                "has_r": pc.cast(pc.equal(t.column("l_returnflag"), pa.scalar("R")), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    forders = _t(sf_dir, "orders", ["o_orderkey", "o_orderstatus"]).map_batches(
+        lambda t: pa.table({"o_orderkey": t.filter(pc.equal(t.column("o_orderstatus"), pa.scalar("F"))).column("o_orderkey")}),
+        batch_format="pyarrow",
+    )
+    li = li.join(forders, "inner", num_partitions=choose_join_partitions(), on=("l_orderkey",), right_on=("o_orderkey",))
+    f = li.groupby(["l_orderkey", "l_suppkey"]).aggregate(Max("has_r", alias_name="has_r"))
+    o = f.groupby("l_orderkey").aggregate(Count(alias_name="n_supp"), Sum("has_r", alias_name="n_r")).map_batches(
+        lambda t: t.filter(pc.and_(pc.greater(t.column("n_supp"), pa.scalar(1)), pc.equal(pc.cast(t.column("n_r"), pa.int64()), pa.scalar(1, pa.int64())))).select(["l_orderkey"]),
+        batch_format="pyarrow",
+    )
+    fr = f.map_batches(lambda t: t.filter(pc.equal(t.column("has_r"), pa.scalar(1, pa.int64()))), batch_format="pyarrow")
+    hits = fr.join(o, "inner", num_partitions=choose_join_partitions(), on=("l_orderkey",), right_on=("l_orderkey",))
+    agg = hits.groupby("l_suppkey").aggregate(Count(alias_name="numwait")).to_pandas()
+    supp = _t(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
+    out = agg.merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+    out["numwait"] = out["numwait"].astype("int64")
+    return out[["s_suppkey", "s_name", "numwait"]].sort_values(["numwait", "s_suppkey"], ascending=[False, True]).reset_index(drop=True)
+
+
+@q(
+    "q22_lapsed_rich_customers",
+    sql="""
+    WITH pos AS (SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS sum_cents, count(*) AS n
+                 FROM customer WHERE c_acctbal > 0.0),
+    oc AS (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey)
+    SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+           round(sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0, 2) AS totacctbal
+    FROM customer LEFT JOIN oc ON c_custkey = o_custkey, pos
+    WHERE coalesce(n_orders, 0) < 8
+      AND CAST(round(c_acctbal * 100) AS BIGINT) * n > sum_cents
+    GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+)
+def q22_lapsed_rich_customers(sf_dir: str):
+    """TPC-H Q22 shape: customers with above-average positive balance and
+    little order activity (< 8 orders stands in for the missing "no orders
+    in 7 years" predicate — this corpus has no idle customers). The
+    average-balance scalar subquery is restated in integer CENTS
+    (cents * n > sum_cents) so the threshold is bitwise-exact; the order
+    count resolves as a broadcast left lookup of the per-customer aggregate."""
+    counts = _t(sf_dir, "orders", ["o_custkey"]).groupby("o_custkey").aggregate(Count(alias_name="n_orders"))
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+    j = broadcast_lookup_join(cust, counts, on="c_custkey", right_on="o_custkey", how="left")
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t.column("c_acctbal"), pa.scalar(100.0))), pa.int64())
+        n = pc.coalesce(pc.cast(t.column("n_orders"), pa.int64()), pa.scalar(0, pa.int64()))
+        return pa.table({"c_nationkey": t.column("c_nationkey"), "cents": cents, "n_orders": n})
+
+    base = j.map_batches(to_cents, batch_format="pyarrow")
+    pos = base.map_batches(
+        lambda t: pa.table({"c": t.filter(pc.greater(t.column("cents"), pa.scalar(0, pa.int64()))).column("cents")}),
+        batch_format="pyarrow",
+    ).aggregate(Sum("c"), Count(alias_name="n"))
+    sum_cents, n_pos = int(pos["sum(c)"]), int(pos["n"])
+
+    def flt(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.less(t.column("n_orders"), pa.scalar(8, pa.int64())),
+            pc.greater(pc.multiply(t.column("cents"), pa.scalar(n_pos, pa.int64())), pa.scalar(sum_cents, pa.int64())),
+        )
+        return t.filter(m)
+
+    out = (
+        base.map_batches(flt, batch_format="pyarrow")
+        .groupby("c_nationkey")
+        .aggregate(Count(alias_name="numcust"), Sum("cents", alias_name="cents"))
+        .to_pandas()
+        .sort_values("c_nationkey")
+        .reset_index(drop=True)
+    )
+    out["numcust"] = out["numcust"].astype("int64")
+    out["totacctbal"] = (out["cents"] / 100.0).round(2)
+    return out[["c_nationkey", "numcust", "totacctbal"]]
