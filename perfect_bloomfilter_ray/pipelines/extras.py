@@ -1,0 +1,218 @@
+"""Round-3 extras: record-linkage, monitoring and integrity queries.
+
+Registered into the same QUERIES/ORACLE_SQL dicts as pipelines/queries.py
+(imported at its tail, before the SQL-first registration reorder).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data.aggregate import Count, Sum
+
+from perfect_bloomfilter_ray.pipelines.queries import _t, q
+
+# modulus/multiplier for the table fingerprint: Mersenne prime 2^31-1 keeps
+# every per-row product below 2^62 (int64-safe in numpy), A is the classic
+# string-hash multiplier
+_FP_M = 2_147_483_647
+_FP_A = 1_000_003
+
+
+@q(
+    "sorted_neighborhood_pairs_docs",
+    sql="""
+    WITH k AS (
+      SELECT doc_id,
+             substr(array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), ' '), 1, 20) AS kk
+      FROM documents
+    ),
+    r AS (SELECT doc_id, row_number() OVER (ORDER BY kk, doc_id) AS rn FROM k)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(b.rn - a.rn AS BIGINT) AS rank_gap
+    FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn <= 4
+    ORDER BY id_a, id_b, rank_gap
+    """,
+)
+def sorted_neighborhood_pairs_docs(sf_dir: str):
+    """Sorted-neighborhood ER blocking over documents: candidate pairs are
+    docs within 5 positions of each other in the global order of an
+    ASCII-normalized 20-char sort key (Hernandez-Stolfo 1995). Exact twin of
+    the SQL rank-window self-join; the distributed path never sorts
+    globally — prefix-bucket offsets produce exact ranks, an overlapping
+    rank-bucket exchange emits each pair once
+    (stages/fuzzy.sorted_neighborhood_pairs)."""
+    import polars as pl
+
+    from perfect_bloomfilter_ray.stages.fuzzy import sorted_neighborhood_pairs
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def key(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        df = df.with_columns(
+            pl.col("text")
+            .fill_null("")
+            .str.to_lowercase()
+            .str.extract_all(r"[a-z0-9]+")
+            .list.join(" ")
+            .str.slice(0, 20)
+            .alias("kk")
+        ).drop("text")
+        return df.to_arrow()
+
+    pairs = sorted_neighborhood_pairs(docs.map_batches(key, batch_format="pyarrow"), "doc_id", "kk", window=5)
+    out = pairs.to_pandas().rename(columns={})
+    return out.sort_values(["id_a", "id_b", "rank_gap"]).reset_index(drop=True)
+
+
+@q(
+    "hourly_volume_cusum",
+    sql="""
+    WITH h AS (SELECT date_trunc('hour', ts) AS hour, CAST(count(*) AS BIGINT) AS c
+               FROM events GROUP BY 1),
+    s AS (SELECT hour, c,
+                 sum(c) OVER (ORDER BY hour ROWS UNBOUNDED PRECEDING) AS pref,
+                 row_number() OVER (ORDER BY hour) AS k
+          FROM h),
+    t AS (SELECT count(*) AS n, sum(c) AS tot FROM h)
+    SELECT s.hour AS change_hour,
+           CAST(abs(n * pref - k * tot) AS BIGINT) AS cusum_num,
+           CAST(n AS BIGINT) AS n_hours,
+           CAST(tot AS BIGINT) AS total_events
+    FROM s, t
+    ORDER BY abs(n * pref - k * tot) DESC, s.hour LIMIT 1
+    """,
+)
+def hourly_volume_cusum(sf_dir: str):
+    """CUSUM changepoint detection on the hourly event volume: the hour
+    maximizing |S_k|, S_k = sum_{i<=k}(c_i - mean). The statistic is kept as
+    the INTEGER numerator n*prefix_k - k*total (mean = total/n cleared of
+    division) so the argmax and the value are bitwise-exact. Heavy part is
+    one hourly groupby; the O(#hours) scan folds on the driver."""
+    import polars as pl
+
+    ds = _t(sf_dir, "events", ["ts"])
+
+    def part(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        return (
+            df.with_columns(pl.col("ts").dt.truncate("1h").alias("hour"))
+            .group_by("hour")
+            .len(name="pc")
+            .with_columns(pl.col("pc").cast(pl.Int64))
+            .to_arrow()
+        )
+
+    h = ds.map_batches(part, batch_format="pyarrow").groupby("hour").aggregate(Sum("pc", alias_name="c")).to_pandas()
+    h = h.sort_values("hour").reset_index(drop=True)
+    c = h["c"].to_numpy().astype(np.int64)
+    n, tot = len(c), int(c.sum())
+    pref = np.cumsum(c)
+    k = np.arange(1, n + 1, dtype=np.int64)
+    stat = np.abs(n * pref - k * tot)
+    i = int(np.argmax(stat))  # np.argmax returns the FIRST max: earliest hour on ties
+    return pd.DataFrame(
+        {
+            "change_hour": [h["hour"].iloc[i]],
+            "cusum_num": np.array([stat[i]], dtype="int64"),
+            "n_hours": np.array([n], dtype="int64"),
+            "total_events": np.array([tot], dtype="int64"),
+        }
+    )
+
+
+@q(
+    "orders_fingerprint_by_status",
+    sql="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(((o_orderkey % 2147483647) * 1000003
+                     + CAST(round(o_totalprice * 100) AS BIGINT)) % 2147483647)
+                % 2147483647 AS BIGINT) AS fingerprint
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def orders_fingerprint_by_status(sf_dir: str):
+    """Order-independent table fingerprint per status: sum of per-row
+    modular polynomial hashes over (key, cents) mod 2^31-1 — the
+    replication/migration integrity check that detects any changed, lost or
+    duplicated row without moving data (commutative, so partials merge in
+    any order). Per-batch residue partials keep every intermediate in
+    int64."""
+    ds = _t(sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_totalprice"])
+
+    def part(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(t)
+        df = df.with_columns(
+            (
+                ((pl.col("o_orderkey") % _FP_M) * _FP_A + (pl.col("o_totalprice") * 100).round(0).cast(pl.Int64))
+                % _FP_M
+            ).alias("h")
+        )
+        g = df.group_by("o_orderstatus").agg(pl.col("h").sum().alias("hs"), pl.len().alias("pn"))
+        return g.with_columns(pl.col("hs") % _FP_M, pl.col("pn").cast(pl.Int64)).to_arrow()
+
+    out = (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby("o_orderstatus")
+        .aggregate(Sum("hs", alias_name="hs"), Sum("pn", alias_name="n_rows"))
+        .to_pandas()
+        .sort_values("o_orderstatus")
+        .reset_index(drop=True)
+    )
+    out["fingerprint"] = (out["hs"] % _FP_M).astype("int64")
+    out["n_rows"] = out["n_rows"].astype("int64")
+    return out[["o_orderstatus", "n_rows", "fingerprint"]]
+
+
+@q(
+    "event_type_hour_mutual_info",
+    sql="""
+    WITH c AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr, CAST(count(*) AS BIGINT) AS n
+               FROM events GROUP BY event_type, hr),
+    m1 AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS a FROM c GROUP BY event_type),
+    m2 AS (SELECT hr, CAST(sum(n) AS BIGINT) AS b FROM c GROUP BY hr),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM c)
+    SELECT CAST(max(nn) AS BIGINT) AS n_events,
+           round(sum((CAST(n AS DOUBLE) / nn)
+                     * ln(CAST(nn AS DOUBLE) * n / (CAST(a AS DOUBLE) * b))), 6) AS mutual_info_nats
+    FROM c JOIN m1 USING (event_type) JOIN m2 USING (hr) CROSS JOIN t
+    """,
+)
+def event_type_hour_mutual_info(sf_dir: str):
+    """Mutual information between event type and hour-of-day — the
+    dependence/seasonality detector companion to the chi-squared test
+    (event_type_dow_chi2). One contingency pass (map-side partial counts,
+    tiny type x hour groupby); MI folds from exact integer counts with the
+    identical log expression as the oracle (house convention: round 6)."""
+    import polars as pl
+
+    ds = _t(sf_dir, "events", ["event_type", "ts"])
+
+    def part(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        return (
+            df.with_columns(pl.col("ts").dt.hour().cast(pl.Int64).alias("hr"))
+            .group_by(["event_type", "hr"])
+            .len(name="pn")
+            .with_columns(pl.col("pn").cast(pl.Int64))
+            .to_arrow()
+        )
+
+    c = (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby(["event_type", "hr"])
+        .aggregate(Sum("pn", alias_name="n"))
+        .to_pandas()
+    )
+    nn = float(c["n"].sum())
+    a = c.groupby("event_type")["n"].transform("sum").astype(float)
+    b = c.groupby("hr")["n"].transform("sum").astype(float)
+    n = c["n"].astype(float)
+    mi = float(((n / nn) * np.log(nn * n / (a * b))).sum())
+    return pd.DataFrame({"n_events": np.array([int(nn)], dtype="int64"), "mutual_info_nats": [round(mi, 6)]})

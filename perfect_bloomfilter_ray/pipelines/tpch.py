@@ -471,7 +471,10 @@ def q2_min_unit_price_supplier(sf_dir: str):
     "q9_product_type_profit",
     sql="""
     SELECT n_name AS supp_nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
-           round(sum(l_extendedprice * (1 - l_discount) - 0.8 * p_retailprice * l_quantity), 2) AS sum_profit
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT))
+               - 80 * CAST(round(p_retailprice * 100) AS BIGINT)
+                    * CAST(l_quantity AS BIGINT)) / 10000.0 AS sum_profit
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN part     ON l_partkey  = p_partkey
@@ -485,7 +488,11 @@ def q9_product_type_profit(sf_dir: str):
     """TPC-H Q9 shape (supplycost := 0.8 x retail price): profit per supplier
     nation per order year for one product family. The part filter+price ride
     the broadcast lookup BEFORE the single big-big join, shrinking its build
-    side ~15x; supplier->nation is a second broadcast lookup."""
+    side ~15x; supplier->nation is a second broadcast lookup. Profit is
+    accumulated in integer MICRO-CENTS (prices cent-exact, discounts whole
+    percents, quantities integers) — a round-2 float sum here proved FLAKY:
+    one of the 175 groups sits at a .005 boundary that flips with Ray's
+    block scheduling order. The output is one exact int->double division."""
     li = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_discount"])
     part = _t(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"]).map_batches(
         lambda t: t.filter(pc.match_substring(t.column("p_name"), "widget")).drop_columns(["p_name"]),
@@ -494,11 +501,15 @@ def q9_product_type_profit(sf_dir: str):
     j = broadcast_lookup_join(li, part, on="l_partkey", right_on="p_partkey")
 
     def amount(t: pa.Table) -> pa.Table:
-        rev = pc.multiply(t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount")))
-        cost = pc.multiply(pc.multiply(pa.scalar(0.8), t.column("p_retailprice")), t.column("l_quantity"))
-        return pa.table(
-            {"l_orderkey": t.column("l_orderkey"), "l_suppkey": t.column("l_suppkey"), "amount": pc.subtract(rev, cost)}
+        i64 = pa.int64()
+        cents = pc.cast(pc.round(pc.multiply(t.column("l_extendedprice"), pa.scalar(100.0))), i64)
+        keep = pc.subtract(
+            pa.scalar(100, i64), pc.cast(pc.round(pc.multiply(t.column("l_discount"), pa.scalar(100.0))), i64)
         )
+        rcents = pc.cast(pc.round(pc.multiply(t.column("p_retailprice"), pa.scalar(100.0))), i64)
+        qty = pc.cast(t.column("l_quantity"), i64)
+        mc = pc.subtract(pc.multiply(cents, keep), pc.multiply(pc.multiply(pa.scalar(80, i64), rcents), qty))
+        return pa.table({"l_orderkey": t.column("l_orderkey"), "l_suppkey": t.column("l_suppkey"), "amount_mc": mc})
 
     j = j.map_batches(amount, batch_format="pyarrow")
     orders = _t(sf_dir, "orders", ["o_orderkey", "o_orderdate"]).map_batches(
@@ -513,12 +524,13 @@ def q9_product_type_profit(sf_dir: str):
     j = broadcast_lookup_join(j, pa.Table.from_pandas(nat), on="s_nationkey", right_on="n_nationkey")
     out = (
         j.groupby(["supp_nation", "o_year"])
-        .aggregate(Sum("amount", alias_name="sum_profit"))
+        .aggregate(Sum("amount_mc", alias_name="mc"))
         .to_pandas()
         .sort_values(["supp_nation", "o_year"])
         .reset_index(drop=True)
     )
-    return _round(out, {"sum_profit": 2})
+    out["sum_profit"] = out["mc"] / 10000.0
+    return out[["supp_nation", "o_year", "sum_profit"]]
 
 
 @q(
