@@ -216,3 +216,40 @@ def event_type_hour_mutual_info(sf_dir: str):
     n = c["n"].astype(float)
     mi = float(((n / nn) * np.log(nn * n / (a * b))).sum())
     return pd.DataFrame({"n_events": np.array([int(nn)], dtype="int64"), "mutual_info_nats": [round(mi, 6)]})
+
+
+@q(
+    "ppjoin_word_jaccard_pairs",
+    sql="""
+    WITH d AS (SELECT doc_id,
+                      list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS words
+               FROM documents WHERE doc_id % 4 = 0),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(len(a.words) AS BIGINT) AS sz_a,
+                 CAST(len(b.words) AS BIGINT) AS sz_b,
+                 CAST(len(list_intersect(a.words, b.words)) AS BIGINT) AS inter
+          FROM d a JOIN d b ON a.doc_id < b.doc_id
+          WHERE len(a.words) > 0 AND len(b.words) > 0)
+    SELECT id_a, id_b, sz_a, sz_b, inter,
+           CAST(inter AS DOUBLE) / (sz_a + sz_b - inter) AS jaccard
+    FROM p WHERE CAST(inter AS DOUBLE) / (sz_a + sz_b - inter) >= 0.95
+    ORDER BY id_a, id_b
+    """,
+)
+def ppjoin_word_jaccard_pairs(sf_dir: str):
+    """GLOBAL exact set-similarity self-join (PPJoin prefix filtering,
+    Xiao et al. WWW'08) — no blocking key, no LSH tuning: any pair with
+    Jaccard >= t must share one of its ceil((1-t)|W|)+1 globally RAREST
+    tokens, so candidates form naturally small rare-token buckets and
+    verification happens inside the bucket (one shuffle, exact matmul
+    intersections). The deterministic doc_id%4 slice keeps the quadratic
+    SQL oracle feasible; the Ray path never goes quadratic outside a
+    bucket. stages/ppjoin.ppjoin_pairs."""
+    from perfect_bloomfilter_ray.stages.ppjoin import ppjoin_pairs
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(t.column("doc_id"), pa.scalar(3, pa.int64())), pa.scalar(0, pa.int64()))),
+        batch_format="pyarrow",
+    )
+    out = ppjoin_pairs(docs, "doc_id", "text", threshold=0.95).to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
