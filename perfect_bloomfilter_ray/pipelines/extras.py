@@ -253,3 +253,35 @@ def ppjoin_word_jaccard_pairs(sf_dir: str):
     )
     out = ppjoin_pairs(docs, "doc_id", "text", threshold=0.95).to_pandas()
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+@q(
+    "part_copurchase_triangles",
+    sql="""
+    WITH pl AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+          FROM pl a JOIN pl b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+    SELECT (SELECT CAST(count(DISTINCT node) AS BIGINT)
+            FROM (SELECT x AS node FROM e UNION ALL SELECT y FROM e)) AS n_nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM e e1 JOIN e e2 ON e2.x = e1.x AND e2.y > e1.y
+                      JOIN e e3 ON e3.x = e1.y AND e3.y = e2.y) AS n_triangles
+    """,
+)
+def part_copurchase_triangles(sf_dir: str):
+    """Exact triangle census of the part co-purchase graph (edge = two parts
+    sharing an order) — the classic clustering-coefficient numerator. Edges
+    come from the cooccur key-co-located self-join; triangles from the
+    degree-ordered forward algorithm (stages/graph.triangle_count): oriented
+    out-degrees are O(sqrt(m)) under any skew, wedges are id-only rows, and
+    closure is one tagged co-partitioned membership probe. The SQL oracle's
+    three-way self-join is the quadratic shape the distributed path avoids."""
+    from perfect_bloomfilter_ray.stages.cooccur import cooccurrence_counts
+    from perfect_bloomfilter_ray.stages.graph import triangle_count
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    edges = cooccurrence_counts(li, "l_orderkey", "l_partkey").map_batches(
+        lambda t: t.drop_columns(["n"]), batch_format="pyarrow"
+    )
+    return triangle_count(edges, "item_a", "item_b")

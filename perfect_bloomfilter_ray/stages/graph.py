@@ -312,3 +312,165 @@ def pagerank_dataset(
         return t.select(["node", "rank"])
 
     return state.map_batches(final, batch_format="pyarrow")
+
+
+def triangle_count(
+    edges: Dataset,
+    a_col: str = "item_a",
+    b_col: str = "item_b",
+    num_blocks: int | None = None,
+    broadcast_max_edges: int = 10_000_000,
+) -> pd.DataFrame:
+    """Exact triangle count over a distinct undirected edge list — the
+    degree-ordered "forward" algorithm (Schank-Wagner 2005 / Latapy 2008):
+
+    1. orient every edge from the lower to the higher (degree, node) rank —
+       each triangle then has exactly ONE apex with two outgoing edges, and
+       every out-degree is O(sqrt(m)) regardless of skew (a hub's edges
+       almost all point INTO it);
+    2. wedges = rank-ordered pairs of out-neighbors, generated by a polars
+       self-join inside hash(src) partitions (the cooccur.py shape);
+    3. closure, size-gated like every small-side resolve in this repo:
+       - m <= ``broadcast_max_edges`` and 32-bit-packable node ids → the
+         oriented edge set broadcasts ONCE as a sorted packed-uint64 array
+         (8 B/edge) and each wedge block probes it in place with
+         searchsorted — wedges NEVER leave their partition, the closure
+         costs zero shuffle rows;
+       - above the gate → a tagged co-partitioned membership probe of
+         wedge rows against edge rows on the (v, w) key (id-only rows,
+         integer count partials).
+
+    The degree table is the bounded-node-dimension contract (same gate
+    story as ``pagerank``; use ``pagerank_dataset``'s join shape for
+    corpus-cardinality node sets). Returns one row
+    (n_nodes, n_edges, n_triangles) — exact ints, algorithm-independent.
+    """
+    import polars as pl
+    import ray
+
+    from perfect_bloomfilter_ray.functions.hashing import hash64
+    from perfect_bloomfilter_ray.stages.partitioning import choose_num_blocks
+
+    nb = choose_num_blocks(edges, num_blocks)
+    # the edge list feeds the degree pass AND the orientation pass: pin the
+    # id-only rows in the (spillable) object store once, or each consumer
+    # re-executes the whole upstream lineage (pagerank:64 precedent)
+    edges = edges.materialize()
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select([a_col, b_col]))
+        return pl.concat(
+            [df.select(pl.col(a_col).alias("node")), df.select(pl.col(b_col).alias("node"))]
+        ).group_by("node").len(name="pd").with_columns(pl.col("pd").cast(pl.Int64)).to_arrow()
+
+    deg = (
+        edges.map_batches(endpoints, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("pd", alias_name="deg"))
+        .to_pandas()
+    )
+    n_nodes = len(deg)
+    n_edges = int(deg["deg"].sum()) // 2
+    nodes_np = deg["node"].to_numpy()
+    deg_ref = ray.put(pl.DataFrame({"node": nodes_np, "deg": deg["deg"].to_numpy().astype(np.int64)}))
+
+    def orient(t: pa.Table) -> pa.Table:
+        dl: pl.DataFrame = ray.get(deg_ref)
+        df = pl.from_arrow(t.select([a_col, b_col]))
+        df = (
+            df.join(dl.rename({"node": a_col, "deg": "_da"}), on=a_col, how="left")
+            .join(dl.rename({"node": b_col, "deg": "_db"}), on=b_col, how="left")
+        )
+        a_first = (pl.col("_da") < pl.col("_db")) | ((pl.col("_da") == pl.col("_db")) & (pl.col(a_col) < pl.col(b_col)))
+        df = df.select(
+            pl.when(a_first).then(pl.col(a_col)).otherwise(pl.col(b_col)).alias("src"),
+            pl.when(a_first).then(pl.col(b_col)).otherwise(pl.col(a_col)).alias("dst"),
+            pl.when(a_first).then(pl.col("_db")).otherwise(pl.col("_da")).alias("ddst"),
+        )
+        h = hash64(df["src"], 0x7A1)
+        return df.with_columns(pl.Series("_part", (h % np.uint64(nb)).astype(np.int32))).to_arrow()
+
+    # consumed twice on the broadcast path (pack + probe): pin it too
+    oriented = edges.map_batches(orient, batch_format="pyarrow").materialize()
+
+    packable = (
+        np.issubdtype(nodes_np.dtype, np.integer)
+        and n_nodes > 0
+        and int(nodes_np.min()) >= 0
+        and int(nodes_np.max()) < 2**32
+    )
+
+    def _wedge_pairs(df: "pl.DataFrame") -> "pl.DataFrame":
+        return (
+            df.join(df, on="src", suffix="_b")
+            .filter(
+                (pl.col("ddst") < pl.col("ddst_b"))
+                | ((pl.col("ddst") == pl.col("ddst_b")) & (pl.col("dst") < pl.col("dst_b")))
+            )
+            .select(pl.col("dst").alias("v"), pl.col("dst_b").alias("w"))
+        )
+
+    if packable and n_edges <= broadcast_max_edges:
+        # ---- broadcast closure: wedges probed in place, zero shuffle ----
+        def pack_block(t: pa.Table) -> pa.Table:
+            df = pl.from_arrow(t)
+            k = (df["src"].to_numpy().astype(np.uint64) << np.uint64(32)) | df["dst"].to_numpy().astype(np.uint64)
+            return pa.table({"k": pa.array(k)})
+
+        packed = np.sort(
+            oriented.map_batches(pack_block, batch_format="pyarrow").to_pandas()["k"].to_numpy().astype(np.uint64)
+        )
+        edge_ref = ray.put(packed)
+
+        def count_block(t: pa.Table) -> pa.Table:
+            es: np.ndarray = ray.get(edge_ref)
+            wd = _wedge_pairs(pl.from_arrow(t.drop_columns(["_part"])))
+            if len(wd) == 0:
+                return pa.table({"pt": pa.array([0], pa.int64())})
+            k = (wd["v"].to_numpy().astype(np.uint64) << np.uint64(32)) | wd["w"].to_numpy().astype(np.uint64)
+            idx = np.searchsorted(es, k)
+            idx[idx >= len(es)] = len(es) - 1
+            n = int((es[idx] == k).sum())
+            return pa.table({"pt": pa.array([n], pa.int64())})
+
+        tri = oriented.groupby("_part").map_groups(count_block, batch_format="pyarrow").sum("pt")
+    else:
+        # ---- co-partitioned closure: tagged membership probe ----
+        def wedges_block(t: pa.Table) -> pa.Table:
+            return _wedge_pairs(pl.from_arrow(t.drop_columns(["_part"]))).to_arrow()
+
+        wedges = oriented.groupby("_part").map_groups(wedges_block, batch_format="pyarrow")
+
+        def tag_edges(t: pa.Table) -> pa.Table:
+            df = (
+                pl.from_arrow(t.drop_columns(["_part", "ddst"]))
+                .select(pl.col("src").alias("v"), pl.col("dst").alias("w"))
+                .with_columns(pl.lit(1, pl.Int8).alias("_is_edge"))
+            )
+            h = hash64(df["v"], 0xC105) * np.uint64(0x9E3779B97F4A7C15) + hash64(df["w"], 0xC106)
+            return df.with_columns(pl.Series("_part", (h % np.uint64(nb)).astype(np.int32))).to_arrow()
+
+        def tag_wedges(t: pa.Table) -> pa.Table:
+            df = pl.from_arrow(t).with_columns(pl.lit(0, pl.Int8).alias("_is_edge"))
+            h = hash64(df["v"], 0xC105) * np.uint64(0x9E3779B97F4A7C15) + hash64(df["w"], 0xC106)
+            return df.with_columns(pl.Series("_part", (h % np.uint64(nb)).astype(np.int32))).to_arrow()
+
+        def close_block(t: pa.Table) -> pa.Table:
+            df = pl.from_arrow(t.drop_columns(["_part"]))
+            e = df.filter(pl.col("_is_edge") == 1).select(["v", "w"]).unique()
+            wd = df.filter(pl.col("_is_edge") == 0).select(["v", "w"])
+            n = len(wd.join(e, on=["v", "w"], how="semi"))
+            return pa.table({"pt": pa.array([n], pa.int64())})
+
+        tagged = oriented.map_batches(tag_edges, batch_format="pyarrow").union(
+            wedges.map_batches(tag_wedges, batch_format="pyarrow")
+        )
+        tri = tagged.groupby("_part").map_groups(close_block, batch_format="pyarrow").sum("pt")
+
+    return pd.DataFrame(
+        {
+            "n_nodes": np.array([n_nodes], dtype="int64"),
+            "n_edges": np.array([n_edges], dtype="int64"),
+            "n_triangles": np.array([int(tri or 0)], dtype="int64"),
+        }
+    )
