@@ -216,6 +216,30 @@ SUITE = [
     "top_keyterms_per_doc",
     "req_value_tail_quantiles",
     "ks_value_drift_per_type",
+    "q2_min_unit_price_supplier",
+    "q4_priority_exists",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q11_part_revenue_share",
+    "q12_priority_by_linestatus",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue_share",
+    "q15_top_supplier",
+    "q16_brand_size_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_orders",
+    "q19_disjunctive_revenue",
+    "q20_promo_heavy_suppliers",
+    "q21_sole_returned_supplier",
+    "q22_lapsed_rich_customers",
+    "sorted_neighborhood_pairs_docs",
+    "hourly_volume_cusum",
+    "orders_fingerprint_by_status",
+    "event_type_hour_mutual_info",
+    "ppjoin_word_jaccard_pairs",
+    "part_copurchase_triangles",
 ]
 
 

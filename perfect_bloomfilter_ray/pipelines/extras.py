@@ -285,3 +285,121 @@ def part_copurchase_triangles(sf_dir: str):
         lambda t: t.drop_columns(["n"]), batch_format="pyarrow"
     )
     return triangle_count(edges, "item_a", "item_b")
+
+
+@q(
+    "user_value_twap",
+    sql="""
+    WITH s AS (
+      SELECT user_id,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             epoch_us(ts) AS t,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS tn
+      FROM events
+    )
+    SELECT user_id,
+           CAST(sum(cents * (tn - t)) AS BIGINT) AS wsum,
+           CAST(sum(tn - t) AS BIGINT) AS dur_us,
+           CAST(sum(cents * (tn - t)) AS DOUBLE) / sum(tn - t) / 100.0 AS twap
+    FROM s WHERE tn IS NOT NULL
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def user_value_twap(sf_dir: str):
+    """Time-weighted average value per user (TWAP): each observation holds
+    until the next one, so its weight is that interval in MICROSECONDS
+    (int64-exact epoch_us) and values enter as integer cents — the weighted
+    sum and total duration are bitwise-exact ints, the final twap two IEEE
+    divisions of identical ints. Per-user rows co-locate via one coarse
+    hash(user) exchange; the lead() is a per-user shift inside the
+    partition (deterministic (ts, event_id) order)."""
+    import polars as pl
+    import ray
+
+    from perfect_bloomfilter_ray.functions.hashing import hash64
+    from perfect_bloomfilter_ray.stages.partitioning import choose_num_blocks
+
+    ds = _t(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    nb = choose_num_blocks(ds)
+
+    def route(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        h = hash64(df["user_id"], 0x73A9)
+        return df.with_columns(pl.Series("_part", (h % np.uint64(nb)).astype(np.int32))).to_arrow()
+
+    def twap_block(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.drop_columns(["_part"]))
+        df = (
+            df.sort(["user_id", "ts", "event_id"])
+            .with_columns(
+                (pl.col("value") * 100).round(0).cast(pl.Int64).alias("cents"),
+                pl.col("ts").dt.epoch("us").alias("t"),
+            )
+            .with_columns(pl.col("t").shift(-1).over("user_id").alias("tn"))
+            .drop_nulls("tn")
+            .with_columns((pl.col("tn") - pl.col("t")).alias("dt"))
+            .group_by("user_id")
+            .agg(
+                (pl.col("cents") * pl.col("dt")).sum().alias("wsum"),
+                pl.col("dt").sum().alias("dur_us"),
+            )
+        )
+        return df.to_arrow()
+
+    out = (
+        ds.map_batches(route, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(twap_block, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    out["twap"] = out["wsum"].astype("float64") / out["dur_us"].to_numpy() / 100.0
+    out["wsum"] = out["wsum"].astype("int64")
+    out["dur_us"] = out["dur_us"].astype("int64")
+    return out[["user_id", "wsum", "dur_us", "twap"]]
+
+
+@q(
+    "phrase_search_docs",
+    sql="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE ' ' || array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), ' ') || ' '
+          LIKE '% table hash %'
+    ORDER BY doc_id
+    """,
+)
+def phrase_search_docs(sf_dir: str):
+    """Exact phrase search ("table hash") via a POSITIONAL inverted index:
+    per-doc postings (token, doc, position) are built only for the phrase's
+    terms (term filter pushed into tokenization), then the phrase match is
+    an in-batch intersection of position+1 — the real IR shape that scales
+    to long phrases as a k-way positional join, degenerating to zero
+    shuffle here because postings never leave their source batch. Oracle:
+    the padded-LIKE equivalent over the same normalized token stream."""
+    import polars as pl
+
+    terms = ["table", "hash"]
+    docs = _t(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def match(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        toks = (
+            df.select(
+                "doc_id",
+                "lang",
+                pl.col("text").fill_null("").str.to_lowercase().str.extract_all(r"[a-z0-9]+").alias("w"),
+            )
+            .with_row_index("_r")
+            .explode("w")
+            .with_columns(pl.int_range(pl.len()).over("_r").alias("pos"))
+            .filter(pl.col("w").is_in(terms))
+        )
+        a = toks.filter(pl.col("w") == terms[0]).select("_r", "doc_id", "lang", "pos")
+        b = toks.filter(pl.col("w") == terms[1]).select("_r", (pl.col("pos") - 1).alias("pos"))
+        hit = a.join(b, on=["_r", "pos"], how="semi").unique(subset=["doc_id"]).select("doc_id", "lang")
+        return hit.to_arrow()
+
+    out = docs.map_batches(match, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
