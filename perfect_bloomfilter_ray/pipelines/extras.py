@@ -403,3 +403,34 @@ def phrase_search_docs(sf_dir: str):
 
     out = docs.map_batches(match, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+@q("embedding_fd_directions")
+def embedding_fd_directions(sf_dir: str):
+    """Frequent Directions matrix sketch over the embedding column
+    (state/fd.FrequentDirections via the shared sketch partial/tree-merge
+    path): the deterministic l x dim low-rank summary whose spectral error
+    is bounded by ||A||_F^2/(l-k) — the scale path for PCA once dim^2
+    moments partials stop being slim. Reports per top-direction singular
+    values and the captured-energy ratio vs the exact second moment
+    (moments twin) — rows-only (float sums are order-dependent); the bound
+    itself is pytest-enforced (test_fd)."""
+    from perfect_bloomfilter_ray.stages.agg import sketch_global
+    from perfect_bloomfilter_ray.state.fd import FrequentDirections
+    from perfect_bloomfilter_ray.state.moments import EmbeddingMoments
+
+    emb = _t(sf_dir, "embeddings", ["embedding"])
+    dim = len(emb.take(1)[0]["embedding"])
+    fd = sketch_global(emb, "embedding", lambda: FrequentDirections(dim, sketch_rows=16))
+    m = sketch_global(emb, "embedding", lambda: EmbeddingMoments(dim))
+    k = 4
+    _, s = fd.top_directions(k)
+    exact = np.linalg.eigvalsh(m.ss)[::-1][:k]
+    return pd.DataFrame(
+        {
+            "direction": np.arange(1, k + 1, dtype=np.int64),
+            "fd_singular_value_sq": s * s,
+            "exact_eigenvalue": exact,
+            "spectral_bound": np.full(k, fd.error_bound(k)),
+        }
+    )

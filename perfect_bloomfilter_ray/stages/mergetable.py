@@ -114,7 +114,7 @@ def merge_into_partitioned(
     if dels is not None and len(dels):
         touched |= set(_part_of(dels, n).tolist())
     if not touched:
-        return {"partitions_touched": 0, "rows_upserted": 0, "rows_deleted": 0}
+        return {"partitions_touched": 0, "touched_parts": [], "rows_upserted": 0, "rows_deleted": 0}
 
     up_ref = ray.put(upserts)
     del_ref = ray.put(dels)
@@ -167,6 +167,7 @@ def merge_into_partitioned(
     )
     return {
         "partitions_touched": len(stats),
+        "touched_parts": sorted(int(i) for i in stats["part"]),
         "rows_upserted": int(stats["upserted"].sum()),
         "rows_deleted": int(stats["deleted"].sum()),
     }

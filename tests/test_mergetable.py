@@ -81,5 +81,5 @@ def test_merge_touches_only_affected_partitions(ray_session, table_dir):
 
 def test_merge_noop_batch(ray_session, table_dir):
     m = merge_into_partitioned(table_dir, "k", upserts=None, delete_keys=[])
-    assert m == {"partitions_touched": 0, "rows_upserted": 0, "rows_deleted": 0}
+    assert m == {"partitions_touched": 0, "touched_parts": [], "rows_upserted": 0, "rows_deleted": 0}
     assert len(_read_all(table_dir)) == 100
