@@ -434,3 +434,220 @@ def embedding_fd_directions(sf_dir: str):
             "spectral_bound": np.full(k, fd.error_bound(k)),
         }
     )
+
+
+@q(
+    "salted_user_event_counts",
+    sql="""
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def salted_user_event_counts(sf_dir: str):
+    """Skew-proof grouped aggregation through an explicit SALT: stage 1
+    groups by (user, hash(event)%8) so one hot user's rows spread over 8
+    reducers, stage 2 folds the salted partials by user. Integer partials
+    make the two-stage result bitwise-equal to the direct GROUP BY — this
+    registers the skew machinery itself under the driver's exact-hash gate
+    (the sketch_grouped(salt=) path is otherwise pytest-only)."""
+    import polars as pl
+
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def stage1(t: pa.Table) -> pa.Table:
+        from perfect_bloomfilter_ray.functions.hashing import hash64
+
+        df = pl.from_arrow(t)
+        salt = (hash64(df["event_id"], 0x5A17) % np.uint64(8)).astype(np.int32)
+        return (
+            df.with_columns(
+                pl.Series("_salt", salt),
+                (pl.col("value") * 100).round(0).cast(pl.Int64).alias("cents"),
+            )
+            .group_by(["user_id", "_salt"])
+            .agg(pl.len().cast(pl.Int64).alias("pn"), pl.col("cents").sum().alias("pc"))
+            .to_arrow()
+        )
+
+    out = (
+        ds.map_batches(stage1, batch_format="pyarrow")
+        .groupby(["user_id", "_salt"])
+        .aggregate(Sum("pn", alias_name="sn"), Sum("pc", alias_name="sc"))
+        .groupby("user_id")
+        .aggregate(Sum("sn", alias_name="n"), Sum("sc", alias_name="value_cents"))
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    out["n"] = out["n"].astype("int64")
+    out["value_cents"] = out["value_cents"].astype("int64")
+    return out
+
+
+@q(
+    "hourly_dense_series_gapfilled",
+    sql="""
+    WITH b AS (SELECT min(date_trunc('hour', ts)) AS lo, max(date_trunc('hour', ts)) AS hi FROM events),
+    spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM b),
+    tp AS (SELECT DISTINCT event_type FROM events),
+    c AS (SELECT date_trunc('hour', ts) AS hour, event_type, CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2)
+    SELECT spine.hour, tp.event_type, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+    FROM spine CROSS JOIN tp
+    LEFT JOIN c ON c.hour = spine.hour AND c.event_type = tp.event_type
+    ORDER BY spine.hour, tp.event_type
+    """,
+)
+def hourly_dense_series_gapfilled(sf_dir: str):
+    """Calendar-spine gap filling: the DENSE (hour x type) grid with
+    zero-filled gaps that every downstream time-series model expects
+    (missing hours are data, not absence of data). Bounds come from two
+    scalar aggregates; the spine is generated, not scanned; observed counts
+    resolve as a broadcast LUT onto the grid (grid size = hours x types,
+    bounded by the calendar — never corpus-sized)."""
+    import polars as pl
+
+    ds = _t(sf_dir, "events", ["ts", "event_type"])
+
+    def part(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        return (
+            df.with_columns(pl.col("ts").dt.truncate("1h").alias("hour"))
+            .group_by(["hour", "event_type"])
+            .len(name="pn")
+            .with_columns(pl.col("pn").cast(pl.Int64))
+            .to_arrow()
+        )
+
+    c = (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby(["hour", "event_type"])
+        .aggregate(Sum("pn", alias_name="n"))
+        .to_pandas()
+    )
+    lo, hi = c["hour"].min(), c["hour"].max()
+    hours = pd.date_range(lo, hi, freq="1h")
+    types = np.sort(c["event_type"].unique())
+    grid = pd.MultiIndex.from_product([hours, types], names=["hour", "event_type"]).to_frame(index=False)
+    out = grid.merge(c, on=["hour", "event_type"], how="left")
+    out["n"] = out["n"].fillna(0).astype("int64")
+    return out.sort_values(["hour", "event_type"]).reset_index(drop=True)
+
+
+@q(
+    "orders_benford_digit_test",
+    sql="""
+    WITH d AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+               FROM orders WHERE o_totalprice > 0),
+    c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c)
+    SELECT digit, n,
+           round(CAST(n AS DOUBLE) / tot, 6) AS observed,
+           round(ln(1.0 + 1.0 / digit) / ln(10.0), 6) AS benford
+    FROM c, t ORDER BY digit
+    """,
+)
+def orders_benford_digit_test(sf_dir: str):
+    """Benford first-significant-digit audit on order totals — the classic
+    fabricated-data / unit-mixing detector. Digits come from the integer
+    CENTS representation (leading digit is scale-invariant), counted in one
+    streaming pass; expected frequencies are the identical log expression
+    both sides (round 6)."""
+    import polars as pl
+
+    ds = _t(sf_dir, "orders", ["o_totalprice"])
+
+    def part(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).filter(pl.col("o_totalprice") > 0)
+        df = df.with_columns(
+            (pl.col("o_totalprice") * 100)
+            .round(0)
+            .cast(pl.Int64)
+            .cast(pl.Utf8)
+            .str.slice(0, 1)
+            .cast(pl.Int64)
+            .alias("digit")
+        )
+        return df.group_by("digit").len(name="pn").with_columns(pl.col("pn").cast(pl.Int64)).to_arrow()
+
+    c = (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby("digit")
+        .aggregate(Sum("pn", alias_name="n"))
+        .to_pandas()
+        .sort_values("digit")
+        .reset_index(drop=True)
+    )
+    tot = float(c["n"].sum())
+    c["observed"] = (c["n"].astype(float) / tot).round(6)
+    c["benford"] = (np.log(1.0 + 1.0 / c["digit"].astype(float)) / np.log(10.0)).round(6)
+    c["n"] = c["n"].astype("int64")
+    c["digit"] = c["digit"].astype("int64")
+    return c
+
+
+@q(
+    "burst_deduped_events",
+    sql="""
+    WITH g AS (
+      SELECT event_id, user_id, ts, event_type,
+             coalesce(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                      > INTERVAL 10 MINUTE, TRUE) AS new_burst
+      FROM events
+    ),
+    s AS (
+      SELECT *, CAST(sum(CASE WHEN new_burst THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS burst
+      FROM g
+    ),
+    r AS (SELECT *, row_number() OVER (PARTITION BY user_id, burst ORDER BY ts, event_id) AS rn FROM s)
+    SELECT event_id, user_id, event_type, burst FROM r WHERE rn = 1
+    ORDER BY event_id
+    """,
+)
+def burst_deduped_events(sf_dir: str):
+    """Burst deduplication (retry/double-fire suppression): within each
+    user, events closer than 10 minutes to their predecessor form one
+    burst, and only the burst's FIRST event survives — the standard
+    at-least-once-delivery cleanup before sessionization or billing.
+    One hash(user) exchange; burst boundaries and the keep-first rule
+    resolve per partition in a single sorted polars pass (deterministic
+    (ts, event_id) order)."""
+    import polars as pl
+
+    from perfect_bloomfilter_ray.functions.hashing import hash64
+    from perfect_bloomfilter_ray.stages.partitioning import choose_num_blocks
+
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    nb = choose_num_blocks(ds)
+
+    def route(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        h = hash64(df["user_id"], 0xB57)
+        return df.with_columns(pl.Series("_part", (h % np.uint64(nb)).astype(np.int32))).to_arrow()
+
+    def keep_first(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.drop_columns(["_part"])).sort(["user_id", "ts", "event_id"])
+        df = df.with_columns(
+            ((pl.col("ts") - pl.col("ts").shift(1).over("user_id")) > pl.duration(minutes=10))
+            .fill_null(True)
+            .cast(pl.Int64)
+            .alias("_nb")
+        ).with_columns(pl.col("_nb").cum_sum().over("user_id").alias("burst"))
+        first = df.group_by(["user_id", "burst"]).agg(
+            pl.col("event_id").first().alias("event_id"), pl.col("event_type").first().alias("event_type")
+        )
+        return first.select(["event_id", "user_id", "event_type", "burst"]).to_arrow()
+
+    out = (
+        ds.map_batches(route, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(keep_first, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    out["burst"] = out["burst"].astype("int64")
+    return out
