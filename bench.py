@@ -240,6 +240,13 @@ SUITE = [
     "event_type_hour_mutual_info",
     "ppjoin_word_jaccard_pairs",
     "part_copurchase_triangles",
+    "user_value_twap",
+    "phrase_search_docs",
+    "embedding_fd_directions",
+    "salted_user_event_counts",
+    "hourly_dense_series_gapfilled",
+    "orders_benford_digit_test",
+    "burst_deduped_events",
 ]
 
 
