@@ -247,6 +247,9 @@ SUITE = [
     "hourly_dense_series_gapfilled",
     "orders_benford_digit_test",
     "burst_deduped_events",
+    "linear_multitouch_attribution",
+    "hourly_volume_theil_sen",
+    "lang_doc_quota_allocation",
 ]
 
 

@@ -651,3 +651,178 @@ def burst_deduped_events(sf_dir: str):
     )
     out["burst"] = out["burst"].astype("int64")
     return out
+
+
+@q(
+    "linear_multitouch_attribution",
+    sql="""
+    WITH t AS (SELECT user_id, event_type, ts FROM events WHERE event_type IN ('view','click')),
+    p AS (SELECT user_id, event_id AS pid, ts AS pts FROM events WHERE event_type = 'purchase'),
+    j AS (SELECT p.pid, t.event_type
+          FROM p JOIN t ON t.user_id = p.user_id
+                       AND t.ts <= p.pts AND t.ts > p.pts - INTERVAL 7 DAY),
+    c AS (SELECT pid, count(*) AS n FROM j GROUP BY pid)
+    SELECT j.event_type,
+           CAST(count(*) AS BIGINT) AS touches,
+           CAST(sum(1000000 // n) AS BIGINT) AS microcredit
+    FROM j JOIN c USING (pid)
+    GROUP BY j.event_type ORDER BY j.event_type
+    """,
+)
+def linear_multitouch_attribution(sf_dir: str):
+    """LINEAR multi-touch attribution (the equal-split counterpart of
+    last-touch ``purchase_attribution``): every view/click in the 7 days
+    before a purchase shares its credit equally — 1e6 // n integer
+    micro-credits per touch, so the split is exact and the totals hash
+    bitwise. One hash(user) exchange; inside each partition the per-user
+    pass is four searchsorteds per purchase (prefix counts per touch type
+    over the sorted touch timeline) — the purchase x touch band join never
+    materializes pair rows."""
+    import polars as pl
+
+    from perfect_bloomfilter_ray.functions.hashing import hash64
+    from perfect_bloomfilter_ray.stages.partitioning import choose_num_blocks
+
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    nb = choose_num_blocks(ds)
+    win_us = 7 * 24 * 3600 * 1_000_000
+
+    def route(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.is_in(t.column("event_type"), value_set=pa.array(["view", "click", "purchase"])))
+        df = pl.from_arrow(f)
+        h = hash64(df["user_id"], 0xA77B)
+        return df.with_columns(pl.Series("_part", (h % np.uint64(nb)).astype(np.int32))).to_arrow()
+
+    def attribute_block(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.drop_columns(["_part"])).with_columns(pl.col("ts").dt.epoch("us").alias("us"))
+        touches = {"view": 0, "click": 0}
+        credits = {"view": 0, "click": 0}
+        for (_u,), g in df.group_by(["user_id"]):
+            pts = np.sort(g.filter(pl.col("event_type") == "purchase")["us"].to_numpy())
+            if len(pts) == 0:
+                continue
+            per_type = {}
+            for et in ("view", "click"):
+                tu = np.sort(g.filter(pl.col("event_type") == et)["us"].to_numpy())
+                hi = np.searchsorted(tu, pts, side="right")
+                lo = np.searchsorted(tu, pts - win_us, side="right")
+                per_type[et] = hi - lo
+            n = per_type["view"] + per_type["click"]
+            m = n > 0
+            credit = np.zeros(len(pts), dtype=np.int64)
+            credit[m] = 1_000_000 // n[m]
+            for et in ("view", "click"):
+                touches[et] += int(per_type[et][m].sum())
+                credits[et] += int((per_type[et][m] * credit[m]).sum())
+        return pa.table(
+            {
+                "event_type": pa.array(["click", "view"]),
+                "pt": pa.array([touches["click"], touches["view"]], pa.int64()),
+                "pc": pa.array([credits["click"], credits["view"]], pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(route, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(attribute_block, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("pt", alias_name="touches"), Sum("pc", alias_name="microcredit"))
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    out = out[out["touches"] > 0].reset_index(drop=True)
+    out["touches"] = out["touches"].astype("int64")
+    out["microcredit"] = out["microcredit"].astype("int64")
+    return out
+
+
+@q(
+    "hourly_volume_theil_sen",
+    sql="""
+    WITH h AS (SELECT date_trunc('hour', ts) AS hour, CAST(count(*) AS BIGINT) AS c
+               FROM events GROUP BY 1),
+    r AS (SELECT c, row_number() OVER (ORDER BY hour) AS k FROM h),
+    p AS (SELECT CAST(b.c - a.c AS DOUBLE) / (b.k - a.k) AS s
+          FROM r a JOIN r b ON b.k > a.k)
+    SELECT CAST((SELECT count(*) FROM p) AS BIGINT) AS n_pairs,
+           (SELECT quantile_disc(s, 0.5) FROM p) AS theil_sen_slope
+    """,
+)
+def hourly_volume_theil_sen(sf_dir: str):
+    """Theil-Sen robust trend of the hourly event volume: the median of all
+    pairwise slopes — breakdown point 29%, immune to the outlier hours that
+    wreck OLS. Slopes are single IEEE divisions of exact integer counts and
+    the median is DISCRETE (index ceil(q*n)-1, the quantiles-stage
+    convention == DuckDB quantile_disc) so the statistic hashes bitwise.
+    The corpus-sized work is one hourly groupby; the O(#hours^2) pair
+    median folds on calendar-bounded data driver-side."""
+    import polars as pl
+
+    ds = _t(sf_dir, "events", ["ts"])
+
+    def part(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        return (
+            df.with_columns(pl.col("ts").dt.truncate("1h").alias("hour"))
+            .group_by("hour")
+            .len(name="pc")
+            .with_columns(pl.col("pc").cast(pl.Int64))
+            .to_arrow()
+        )
+
+    h = ds.map_batches(part, batch_format="pyarrow").groupby("hour").aggregate(Sum("pc", alias_name="c")).to_pandas()
+    h = h.sort_values("hour").reset_index(drop=True)
+    c = h["c"].to_numpy().astype(np.float64)
+    k = np.arange(1, len(c) + 1, dtype=np.float64)
+    iu, ju = np.triu_indices(len(c), k=1)
+    slopes = (c[ju] - c[iu]) / (k[ju] - k[iu])
+    slopes.sort()
+    n = len(slopes)
+    med = float(slopes[max(int(np.ceil(0.5 * n)) - 1, 0)])
+    return pd.DataFrame({"n_pairs": np.array([n], dtype="int64"), "theil_sen_slope": [med]})
+
+
+@q(
+    "lang_doc_quota_allocation",
+    sql="""
+    WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c),
+    base AS (SELECT lang, n, (n * 1000) // tot AS floor_q, (n * 1000) % tot AS rem
+             FROM c, t),
+    ranked AS (SELECT *, row_number() OVER (ORDER BY rem DESC, lang) AS rnk,
+                       CAST(1000 - sum(floor_q) OVER () AS BIGINT) AS leftover
+               FROM base)
+    SELECT lang, n, CAST(floor_q + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS quota
+    FROM ranked ORDER BY lang
+    """,
+)
+def lang_doc_quota_allocation(sf_dir: str):
+    """Largest-remainder (Hamilton) quota allocation: split a sampling
+    budget of 1000 docs across languages proportionally with an EXACT total
+    (floor quotas + leftover units to the largest remainders, ties by
+    lang) — the deterministic sampling-design step before stratified
+    collection. Pure integer arithmetic end to end; the corpus-sized work
+    is one groupby, the apportionment is group-cardinality driver math."""
+    from ray.data.aggregate import Count
+
+    budget = 1000
+    c = (
+        _t(sf_dir, "documents", ["lang"])
+        .groupby("lang")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    tot = int(c["n"].sum())
+    floor_q = (c["n"].to_numpy().astype(np.int64) * budget) // tot
+    rem = (c["n"].to_numpy().astype(np.int64) * budget) % tot
+    leftover = budget - int(floor_q.sum())
+    order = np.lexsort((c["lang"].to_numpy(), -rem))  # rem desc, lang asc
+    bonus = np.zeros(len(c), dtype=np.int64)
+    bonus[order[:leftover]] = 1
+    c["quota"] = floor_q + bonus
+    c["n"] = c["n"].astype("int64")
+    return c[["lang", "n", "quota"]]
