@@ -277,14 +277,11 @@ def part_copurchase_triangles(sf_dir: str):
     out-degrees are O(sqrt(m)) under any skew, wedges are id-only rows, and
     closure is one tagged co-partitioned membership probe. The SQL oracle's
     three-way self-join is the quadratic shape the distributed path avoids."""
-    from perfect_bloomfilter_ray.stages.cooccur import cooccurrence_counts
+    from perfect_bloomfilter_ray.stages.cooccur import distinct_pairs
     from perfect_bloomfilter_ray.stages.graph import triangle_count
 
     li = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
-    edges = cooccurrence_counts(li, "l_orderkey", "l_partkey").map_batches(
-        lambda t: t.drop_columns(["n"]), batch_format="pyarrow"
-    )
-    return triangle_count(edges, "item_a", "item_b")
+    return triangle_count(distinct_pairs(li, "l_orderkey", "l_partkey"), "item_a", "item_b")
 
 
 @q(

@@ -59,3 +59,23 @@ def test_triangle_count_degenerate(ray_session):
     got = triangle_count(rd.from_pandas(df), num_blocks=3)
     assert int(got["n_triangles"].iloc[0]) == 0
     assert int(got["n_nodes"].iloc[0]) == 3
+
+
+def test_distinct_pairs_matches_cooccurrence_keys(ray_session):
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.cooccur import cooccurrence_counts, distinct_pairs
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 40, size=600).astype(np.int64),
+            "item": rng.integers(0, 25, size=600).astype(np.int64),
+        }
+    )
+    a = cooccurrence_counts(rd.from_pandas(df), "k", "item", num_blocks=5).to_pandas()
+    b = distinct_pairs(rd.from_pandas(df), "k", "item", num_blocks=5).to_pandas()
+    sa = set(zip(a["item_a"].astype(int), a["item_b"].astype(int)))
+    sb = set(zip(b["item_a"].astype(int), b["item_b"].astype(int)))
+    assert sa == sb
+    assert len(b) == len(sb)  # truly distinct
