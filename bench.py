@@ -250,6 +250,8 @@ SUITE = [
     "linear_multitouch_attribution",
     "hourly_volume_theil_sen",
     "lang_doc_quota_allocation",
+    "ivm_orders_view_after_cdc",
+    "value_quantile_normalization_map",
 ]
 
 

@@ -823,3 +823,112 @@ def lang_doc_quota_allocation(sf_dir: str):
     c["quota"] = floor_q + bonus
     c["n"] = c["n"].astype("int64")
     return c[["lang", "n", "quota"]]
+
+
+@q(
+    "ivm_orders_view_after_cdc",
+    sql="""
+    WITH merged AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 97 = 0 THEN 'U' ELSE o_orderstatus END AS grp,
+             CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS val
+      FROM orders WHERE o_orderkey % 101 != 0
+    )
+    SELECT grp, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(val * 100) AS BIGINT)) AS BIGINT) AS msum
+    FROM merged GROUP BY grp ORDER BY grp
+    """,
+)
+def ivm_orders_view_after_cdc(sf_dir: str):
+    """Incrementally-maintained aggregate view, end to end under the exact
+    gate: orders materialize as a hash-partitioned table + per-partition
+    view partials (stages/ivm); one deterministic CDC batch applies
+    (re-status orders with key%97==0 at +1.0 price, delete key%101==0);
+    the refresh recomputes ONLY the touched partitions' partials and folds
+    — and must equal the oracle's CASE-rewritten full aggregate bitwise
+    (integer cents). Runs the real parquet I/O under /tmp."""
+    import shutil
+    import tempfile
+
+    from perfect_bloomfilter_ray.stages.ivm import build_view, refresh_view
+    from perfect_bloomfilter_ray.stages.mergetable import merge_into_partitioned, write_hash_partitioned
+
+    ds = _t(sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_totalprice"])
+    work = tempfile.mkdtemp(prefix="pbf_ivm_", dir="/tmp")
+    try:
+        root, view = f"{work}/tbl", f"{work}/view"
+        import os
+
+        os.makedirs(root)
+        write_hash_partitioned(ds, root, "o_orderkey", num_partitions=64)
+        build_view(root, view, "o_orderstatus", "o_totalprice")
+
+        base = ds.to_pandas()
+        upd = base[base["o_orderkey"] % 97 == 0].copy()
+        upd["o_orderstatus"] = "U"
+        upd["o_totalprice"] = upd["o_totalprice"] + 1.0
+        dels = base.loc[base["o_orderkey"] % 101 == 0, "o_orderkey"].tolist()
+        manifest = merge_into_partitioned(
+            root, "o_orderkey", upserts=pa.Table.from_pandas(upd, preserve_index=False), delete_keys=dels
+        )
+        out = refresh_view(root, view, "o_orderstatus", "o_totalprice", manifest["touched_parts"])
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out.rename(columns={"o_orderstatus": "grp"})
+
+
+@q(
+    "value_quantile_normalization_map",
+    sql="""
+    WITH g AS (
+      SELECT event_type,
+             quantile_disc(value, 0.1) AS d1, quantile_disc(value, 0.25) AS d2,
+             quantile_disc(value, 0.5) AS d3, quantile_disc(value, 0.75) AS d4,
+             quantile_disc(value, 0.9) AS d5
+      FROM events GROUP BY event_type
+    ),
+    p AS (
+      SELECT quantile_disc(value, 0.1) AS p1, quantile_disc(value, 0.25) AS p2,
+             quantile_disc(value, 0.5) AS p3, quantile_disc(value, 0.75) AS p4,
+             quantile_disc(value, 0.9) AS p5
+      FROM events
+    )
+    SELECT event_type, q,
+           CASE q WHEN 0.1 THEN d1 WHEN 0.25 THEN d2 WHEN 0.5 THEN d3 WHEN 0.75 THEN d4 ELSE d5 END AS source_value,
+           CASE q WHEN 0.1 THEN p1 WHEN 0.25 THEN p2 WHEN 0.5 THEN p3 WHEN 0.75 THEN p4 ELSE p5 END AS target_value
+    FROM g CROSS JOIN p CROSS JOIN (SELECT unnest([0.1, 0.25, 0.5, 0.75, 0.9]) AS q)
+    ORDER BY event_type, q
+    """,
+)
+def value_quantile_normalization_map(sf_dir: str):
+    """Quantile-normalization mapping table: for each event type, the
+    piecewise map from ITS value quantiles onto the POOLED distribution's
+    quantiles — the exact preprocessing step that aligns per-source
+    distributions before mixing (quantile normalization, cf. microarray/
+    feature alignment practice). Both quantile sets are exact DISCRETE
+    elements of the data (one bucket-keyed exchange each via
+    stages/quantiles.exact_grouped_quantiles), so every mapped value
+    hashes bitwise."""
+    from perfect_bloomfilter_ray.stages.quantiles import exact_grouped_quantiles
+
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9]
+    names = ["v1", "v2", "v3", "v4", "v5"]
+    ds = _t(sf_dir, "events", ["event_type", "value"])
+    g = exact_grouped_quantiles(ds, "event_type", "value", qs, kind="disc", names=names).to_pandas()
+    pooled_ds = ds.map_batches(
+        lambda t: pa.table({"_all": pa.array(np.zeros(len(t), np.int64)), "value": t.column("value")}),
+        batch_format="pyarrow",
+    )
+    p = exact_grouped_quantiles(pooled_ds, "_all", "value", qs, kind="disc", names=names).to_pandas()
+    rows = []
+    for _, r in g.sort_values("event_type").iterrows():
+        for i, qv in enumerate(qs):
+            rows.append(
+                {
+                    "event_type": r["event_type"],
+                    "q": qv,
+                    "source_value": r[names[i]],
+                    "target_value": p[names[i]].iloc[0],
+                }
+            )
+    return pd.DataFrame(rows)
