@@ -241,6 +241,12 @@ def sorted_neighborhood_pairs(
     from ray.data.aggregate import Count
 
     counts = slim.groupby("_bk").aggregate(Count(alias_name="n")).to_pandas()
+    if counts.empty:  # empty input: groupby yields a column-less frame
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()), "rank_gap": pa.array([], pa.int64())})
+        )
     counts = counts.sort_values("_bk").reset_index(drop=True)
     counts["off"] = counts["n"].cumsum().shift(1, fill_value=0).astype("int64")
     off_ref = ray.put(dict(zip(counts["_bk"], counts["off"])))

@@ -370,6 +370,10 @@ def triangle_count(
         .to_pandas()
     )
     n_nodes = len(deg)
+    if n_nodes == 0:
+        return pd.DataFrame(
+            {"n_nodes": np.array([0], dtype="int64"), "n_edges": np.array([0], dtype="int64"), "n_triangles": np.array([0], dtype="int64")}
+        )
     n_edges = int(deg["deg"].sum()) // 2
     nodes_np = deg["node"].to_numpy()
     deg_ref = ray.put(pl.DataFrame({"node": nodes_np, "deg": deg["deg"].to_numpy().astype(np.int64)}))

@@ -93,6 +93,10 @@ def ppjoin_pairs(
         .aggregate(Sum("pn", alias_name="df"))
         .to_pandas()
     )
+    if df_tbl.empty:  # empty / all-empty-text input
+        import ray.data as rd
+
+        return rd.from_arrow(_EMPTY)
     # global prefix order: (df asc, token asc) -> dense order index
     df_tbl = df_tbl.sort_values(["df", "tok"]).reset_index(drop=True)
     order_ref = ray.put(

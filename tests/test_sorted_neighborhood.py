@@ -48,3 +48,23 @@ def test_sorted_neighborhood_tiny_and_ties(ray_session):
     got = sorted_neighborhood_pairs(rd.from_pandas(df), "id", "kk", window=5, num_blocks=3).to_pandas()
     got_set = set(zip(got["id_a"].astype(int), got["id_b"].astype(int), got["rank_gap"].astype(int)))
     assert got_set == {(1, 2, 1), (2, 3, 1), (1, 3, 2)}
+
+
+def test_empty_inputs_all_new_stages(ray_session):
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.cooccur import distinct_pairs
+    from perfect_bloomfilter_ray.stages.fuzzy import sorted_neighborhood_pairs
+    from perfect_bloomfilter_ray.stages.graph import triangle_count
+    from perfect_bloomfilter_ray.stages.ppjoin import ppjoin_pairs
+
+    docs = rd.from_pandas(
+        pd.DataFrame({"doc_id": pd.Series([], dtype="int64"), "text": pd.Series([], dtype="object"), "kk": pd.Series([], dtype="object")})
+    )
+    assert len(sorted_neighborhood_pairs(docs, "doc_id", "kk", window=4, num_blocks=3).to_pandas()) == 0
+    assert len(ppjoin_pairs(docs, "doc_id", "text", threshold=0.8, num_blocks=3).to_pandas()) == 0
+    e = rd.from_pandas(pd.DataFrame({"item_a": pd.Series([], dtype="int64"), "item_b": pd.Series([], dtype="int64")}))
+    t = triangle_count(e, num_blocks=3)
+    assert t.iloc[0].tolist() == [0, 0, 0]
+    kv = rd.from_pandas(pd.DataFrame({"k": pd.Series([], dtype="int64"), "item": pd.Series([], dtype="int64")}))
+    assert len(distinct_pairs(kv, "k", "item", num_blocks=3).to_pandas()) == 0
