@@ -932,3 +932,46 @@ def value_quantile_normalization_map(sf_dir: str):
                 }
             )
     return pd.DataFrame(rows)
+
+
+@q(
+    "topk_similar_doc_pairs",
+    sql="""
+    WITH d AS (SELECT doc_id,
+                      list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS words
+               FROM documents WHERE doc_id % 4 = 0),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(len(list_intersect(a.words, b.words)) AS BIGINT) AS inter,
+                 CAST(len(a.words) AS BIGINT) AS sza, CAST(len(b.words) AS BIGINT) AS szb
+          FROM d a JOIN d b ON a.doc_id < b.doc_id
+          WHERE len(a.words) > 0 AND len(b.words) > 0)
+    SELECT id_a, id_b, CAST(inter AS DOUBLE) / (sza + szb - inter) AS jaccard
+    FROM p ORDER BY jaccard DESC, id_a, id_b LIMIT 25
+    """,
+)
+def topk_similar_doc_pairs(sf_dir: str):
+    """GLOBAL top-k most-similar pairs WITHOUT a threshold: adaptive PPJoin —
+    run the prefix-filtered join at a high threshold and lower it
+    geometrically until >= k pairs qualify; any pair ranked in the top k
+    has jaccard >= the final threshold, so the candidate set provably
+    contains the answer (the oracle's full ORDER BY ... LIMIT k is the
+    quadratic plan this avoids). Deterministic: the threshold ladder is
+    fixed, ties break on (id_a, id_b)."""
+    from perfect_bloomfilter_ray.stages.ppjoin import ppjoin_pairs
+
+    k = 25
+    docs = _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(t.column("doc_id"), pa.scalar(3, pa.int64())), pa.scalar(0, pa.int64()))),
+        batch_format="pyarrow",
+    ).materialize()  # reused per ladder rung: pin the slim slice once
+
+    out = None
+    for thr in (0.98, 0.95, 0.9, 0.8, 0.6, 0.3, 1e-9):
+        cand = ppjoin_pairs(docs, "doc_id", "text", threshold=thr).to_pandas()
+        if len(cand) >= k:
+            out = cand
+            break
+    if out is None:
+        out = cand
+    out = out.sort_values(["jaccard", "id_a", "id_b"], ascending=[False, True, True]).head(k)
+    return out[["id_a", "id_b", "jaccard"]].reset_index(drop=True)
