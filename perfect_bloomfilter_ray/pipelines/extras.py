@@ -975,3 +975,159 @@ def topk_similar_doc_pairs(sf_dir: str):
         out = cand
     out = out.sort_values(["jaccard", "id_a", "id_b"], ascending=[False, True, True]).head(k)
     return out[["id_a", "id_b", "jaccard"]].reset_index(drop=True)
+
+
+@q(
+    "part_clustering_coefficients",
+    sql="""
+    WITH pl AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+          FROM pl a JOIN pl b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    tr AS (SELECT e1.x AS a, e1.y AS b, e2.y AS c
+           FROM e e1 JOIN e e2 ON e2.x = e1.x AND e2.y > e1.y
+                     JOIN e e3 ON e3.x = e1.y AND e3.y = e2.y),
+    tc AS (SELECT node, CAST(count(*) AS BIGINT) AS tri FROM
+             (SELECT a AS node FROM tr UNION ALL SELECT b FROM tr UNION ALL SELECT c FROM tr)
+           GROUP BY node),
+    dg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
+             (SELECT x AS node FROM e UNION ALL SELECT y FROM e)
+           GROUP BY node)
+    SELECT dg.node AS node, dg.deg AS deg, COALESCE(tc.tri, 0) AS tri,
+           CAST(2 * COALESCE(tc.tri, 0) AS DOUBLE) / (dg.deg * (dg.deg - 1)) AS cc
+    FROM dg LEFT JOIN tc ON tc.node = dg.node
+    WHERE dg.deg >= 2
+    ORDER BY cc DESC, tri DESC, node LIMIT 25
+    """,
+)
+def part_clustering_coefficients(sf_dir: str):
+    """Local clustering coefficient per node of the part co-purchase graph:
+    cc(v) = 2*tri(v) / (deg(v)*(deg(v)-1)), the Watts-Strogatz local
+    coefficient. tri(v) is EXACT from the degree-ordered forward algorithm
+    run in per-node mode (stages/graph.triangle_count(per_node=True)): each
+    closed wedge credits all three corners, count partials are keyed by
+    node, and the node-dimension output obeys the same bounded-node
+    contract as the degree table. cc is one IEEE division of exact ints on
+    both sides; ties break (cc DESC, tri DESC, node)."""
+    from perfect_bloomfilter_ray.stages.cooccur import distinct_pairs
+    from perfect_bloomfilter_ray.stages.graph import triangle_count
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    pn = triangle_count(
+        distinct_pairs(li, "l_orderkey", "l_partkey"), "item_a", "item_b", per_node=True
+    )
+    pn = pn[pn["deg"] >= 2].copy()
+    pn["cc"] = (2.0 * pn["tri"]) / (pn["deg"] * (pn["deg"] - 1)).astype("float64")
+    out = (
+        pn.sort_values(["cc", "tri", "node"], ascending=[False, False, True])
+        .head(25)
+        .reset_index(drop=True)
+    )
+    return out[["node", "deg", "tri", "cc"]]
+
+
+@q(
+    "event_type_unpivot_totals",
+    sql="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def event_type_unpivot_totals(sf_dir: str):
+    """Unpivot (melt) operator roundtrip: events pivot to ONE wide row per
+    user (count column per event type, conditional-aggregation pivot), then
+    the wide table melts back to long (user_id, event_type, n) rows inside
+    map_batches (polars unpivot — the wide->long reshape Ray Data lacks
+    natively), and re-aggregating the long form must reproduce the direct
+    GROUP BY exactly. The type dimension is discovered from the data and is
+    bounded (the pivot contract); the melt itself is shuffle-free."""
+    import polars as pl
+
+    ds = _t(sf_dir, "events", ["user_id", "event_type"])
+    types = sorted(
+        ds.groupby("event_type").aggregate(Count(alias_name="_n")).to_pandas()["event_type"]
+    )
+
+    def widen(t: pa.Table) -> pa.Table:
+        et = t.column("event_type")
+        cols = {"user_id": t.column("user_id")}
+        for ty in types:
+            cols[f"n_{ty}"] = pc.cast(pc.equal(et, pa.scalar(ty)), pa.int64())
+        return pa.table(cols)
+
+    wide = (
+        ds.map_batches(widen, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(*[Sum(f"n_{ty}", alias_name=f"n_{ty}") for ty in types])
+    )
+
+    def melt(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        long = df.unpivot(
+            on=[f"n_{ty}" for ty in types],
+            index="user_id",
+            variable_name="event_type",
+            value_name="n",
+        ).filter(pl.col("n") > 0)
+        return long.with_columns(pl.col("event_type").str.strip_prefix("n_")).to_arrow()
+
+    out = (
+        wide.map_batches(melt, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("n", alias_name="n_events"), Count(alias_name="n_users"))
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    out["n_users"] = out["n_users"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    return out[["event_type", "n_users", "n_events"]]
+
+
+@q(
+    "docs_global_row_numbers",
+    sql="""
+    WITH r AS (SELECT doc_id,
+                      row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rn
+               FROM documents)
+    SELECT doc_id, CAST(rn AS BIGINT) AS rn FROM r WHERE rn % 7 = 1 ORDER BY rn
+    """,
+)
+def docs_global_row_numbers(sf_dir: str):
+    """Global deterministic row enumeration (zipWithIndex) WITHOUT a global
+    sort: the (n_chars DESC, doc_id) order packs into one int64 key
+    ((2^31-1-n_chars) << 32 | doc_id) and the distributed segmented rank
+    scan (stages/quantiles.dense_midranks) assigns every distinct key its
+    exact global position — unique keys make midrank == row_number. Rows
+    never leave their blocks; driver state is O(num_buckets) carries. The
+    oracle's window function is the single-node sort this avoids. Output is
+    every 7th row of the global order (id at position, position)."""
+    from perfect_bloomfilter_ray.stages.quantiles import dense_midranks
+
+    docs = _t(sf_dir, "documents", ["doc_id", "n_chars"])
+    maxc = np.int64((1 << 31) - 1)
+
+    def packkey(t: pa.Table) -> pa.Table:
+        nch = t.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        did = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        key = ((maxc - nch) << np.int64(32)) | did
+        return pa.table({"k": pa.array(key)})
+
+    ranks, _n, _nd = dense_midranks(
+        docs.map_batches(packkey, batch_format="pyarrow"), "k"
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        k = t.column("k").to_numpy(zero_copy_only=False)
+        rn = (t.column("two_rank").to_numpy(zero_copy_only=False) + 1) // 2
+        m = (rn % 7) == 1
+        return pa.table(
+            {
+                "doc_id": pa.array((k[m] & np.int64(0xFFFFFFFF)).astype(np.int64)),
+                "rn": pa.array(rn[m].astype(np.int64)),
+            }
+        )
+
+    out = ranks.map_batches(finish, batch_format="pyarrow").to_pandas()
+    return out.sort_values("rn").reset_index(drop=True)

@@ -320,6 +320,7 @@ def triangle_count(
     b_col: str = "item_b",
     num_blocks: int | None = None,
     broadcast_max_edges: int = 10_000_000,
+    per_node: bool = False,
 ) -> pd.DataFrame:
     """Exact triangle count over a distinct undirected edge list — the
     degree-ordered "forward" algorithm (Schank-Wagner 2005 / Latapy 2008):
@@ -344,6 +345,14 @@ def triangle_count(
     story as ``pagerank``; use ``pagerank_dataset``'s join shape for
     corpus-cardinality node sets). Returns one row
     (n_nodes, n_edges, n_triangles) — exact ints, algorithm-independent.
+
+    ``per_node=True`` instead returns the triangle census PER NODE —
+    ``(node, deg, tri)`` with ``tri`` the exact number of triangles the
+    node participates in (each closed wedge credits its apex and both
+    endpoints; sum(tri) == 3 * n_triangles) — the local-clustering-
+    coefficient numerator. Same two closure paths; the only extra cost is
+    the wedge rows carrying their apex id and the count partials being
+    keyed by node instead of scalar.
     """
     import polars as pl
     import ray
@@ -371,6 +380,10 @@ def triangle_count(
     )
     n_nodes = len(deg)
     if n_nodes == 0:
+        if per_node:
+            return pd.DataFrame(
+                {"node": np.array([], dtype="int64"), "deg": np.array([], dtype="int64"), "tri": np.array([], dtype="int64")}
+            )
         return pd.DataFrame(
             {"n_nodes": np.array([0], dtype="int64"), "n_edges": np.array([0], dtype="int64"), "n_triangles": np.array([0], dtype="int64")}
         )
@@ -405,14 +418,30 @@ def triangle_count(
     )
 
     def _wedge_pairs(df: "pl.DataFrame") -> "pl.DataFrame":
+        cols = [pl.col("dst").alias("v"), pl.col("dst_b").alias("w")]
+        if per_node:
+            # per-node census: the wedge carries its apex so a closed
+            # triangle can credit all three corners
+            cols = [pl.col("src").alias("u")] + cols
         return (
             df.join(df, on="src", suffix="_b")
             .filter(
                 (pl.col("ddst") < pl.col("ddst_b"))
                 | ((pl.col("ddst") == pl.col("ddst_b")) & (pl.col("dst") < pl.col("dst_b")))
             )
-            .select(pl.col("dst").alias("v"), pl.col("dst_b").alias("w"))
+            .select(cols)
         )
+
+    def _node_partials(u: np.ndarray, v: np.ndarray, w: np.ndarray) -> pa.Table:
+        un, cn = np.unique(np.concatenate([u, v, w]), return_counts=True)
+        return pa.table({"node": pa.array(un), "pt": pa.array(cn.astype(np.int64))})
+
+    def _per_node_result(parts) -> pd.DataFrame:
+        tri_pn = parts.groupby("node").aggregate(Sum("pt", alias_name="tri")).to_pandas()
+        out = deg.merge(tri_pn, on="node", how="left")
+        out["tri"] = out["tri"].fillna(0).astype("int64")
+        out["deg"] = out["deg"].astype("int64")
+        return out.sort_values("node").reset_index(drop=True)
 
     if packable and n_edges <= broadcast_max_edges:
         # ---- broadcast closure: wedges probed in place, zero shuffle ----
@@ -429,15 +458,22 @@ def triangle_count(
         def count_block(t: pa.Table) -> pa.Table:
             es: np.ndarray = ray.get(edge_ref)
             wd = _wedge_pairs(pl.from_arrow(t.drop_columns(["_part"])))
-            if len(wd) == 0:
+            if len(wd) == 0 and not per_node:
                 return pa.table({"pt": pa.array([0], pa.int64())})
             k = (wd["v"].to_numpy().astype(np.uint64) << np.uint64(32)) | wd["w"].to_numpy().astype(np.uint64)
             idx = np.searchsorted(es, k)
             idx[idx >= len(es)] = len(es) - 1
-            n = int((es[idx] == k).sum())
-            return pa.table({"pt": pa.array([n], pa.int64())})
+            m = es[idx] == k
+            if per_node:
+                return _node_partials(
+                    wd["u"].to_numpy()[m], wd["v"].to_numpy()[m], wd["w"].to_numpy()[m]
+                )
+            return pa.table({"pt": pa.array([int(m.sum())], pa.int64())})
 
-        tri = oriented.groupby("_part").map_groups(count_block, batch_format="pyarrow").sum("pt")
+        closed = oriented.groupby("_part").map_groups(count_block, batch_format="pyarrow")
+        if per_node:
+            return _per_node_result(closed)
+        tri = closed.sum("pt")
     else:
         # ---- co-partitioned closure: tagged membership probe ----
         def wedges_block(t: pa.Table) -> pa.Table:
@@ -445,31 +481,44 @@ def triangle_count(
 
         wedges = oriented.groupby("_part").map_groups(wedges_block, batch_format="pyarrow")
 
+        wedge_cols = (["u"] if per_node else []) + ["v", "w"]
+
         def tag_edges(t: pa.Table) -> pa.Table:
             df = (
                 pl.from_arrow(t.drop_columns(["_part", "ddst"]))
                 .select(pl.col("src").alias("v"), pl.col("dst").alias("w"))
                 .with_columns(pl.lit(1, pl.Int8).alias("_is_edge"))
             )
+            if per_node:
+                df = df.with_columns(pl.lit(None).cast(df.schema["v"]).alias("u"))
             h = hash64(df["v"], 0xC105) * np.uint64(0x9E3779B97F4A7C15) + hash64(df["w"], 0xC106)
-            return df.with_columns(pl.Series("_part", (h % np.uint64(nb)).astype(np.int32))).to_arrow()
+            return df.with_columns(
+                pl.Series("_part", (h % np.uint64(nb)).astype(np.int32))
+            ).select(wedge_cols + ["_is_edge", "_part"]).to_arrow()
 
         def tag_wedges(t: pa.Table) -> pa.Table:
             df = pl.from_arrow(t).with_columns(pl.lit(0, pl.Int8).alias("_is_edge"))
             h = hash64(df["v"], 0xC105) * np.uint64(0x9E3779B97F4A7C15) + hash64(df["w"], 0xC106)
-            return df.with_columns(pl.Series("_part", (h % np.uint64(nb)).astype(np.int32))).to_arrow()
+            return df.with_columns(
+                pl.Series("_part", (h % np.uint64(nb)).astype(np.int32))
+            ).select(wedge_cols + ["_is_edge", "_part"]).to_arrow()
 
         def close_block(t: pa.Table) -> pa.Table:
             df = pl.from_arrow(t.drop_columns(["_part"]))
             e = df.filter(pl.col("_is_edge") == 1).select(["v", "w"]).unique()
-            wd = df.filter(pl.col("_is_edge") == 0).select(["v", "w"])
-            n = len(wd.join(e, on=["v", "w"], how="semi"))
-            return pa.table({"pt": pa.array([n], pa.int64())})
+            wd = df.filter(pl.col("_is_edge") == 0).select(wedge_cols)
+            m = wd.join(e, on=["v", "w"], how="semi")
+            if per_node:
+                return _node_partials(m["u"].to_numpy(), m["v"].to_numpy(), m["w"].to_numpy())
+            return pa.table({"pt": pa.array([len(m)], pa.int64())})
 
         tagged = oriented.map_batches(tag_edges, batch_format="pyarrow").union(
             wedges.map_batches(tag_wedges, batch_format="pyarrow")
         )
-        tri = tagged.groupby("_part").map_groups(close_block, batch_format="pyarrow").sum("pt")
+        closed = tagged.groupby("_part").map_groups(close_block, batch_format="pyarrow")
+        if per_node:
+            return _per_node_result(closed)
+        tri = closed.sum("pt")
 
     return pd.DataFrame(
         {

@@ -79,3 +79,67 @@ def test_distinct_pairs_matches_cooccurrence_keys(ray_session):
     sb = set(zip(b["item_a"].astype(int), b["item_b"].astype(int)))
     assert sa == sb
     assert len(b) == len(sb)  # truly distinct
+
+
+def _brute_per_node(edges: set[tuple[int, int]]) -> dict[int, tuple[int, int]]:
+    """node -> (deg, tri) by explicit neighborhood intersection."""
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = {v: 0 for v in adj}
+    for a, b in edges:
+        for c in adj[a] & adj[b]:
+            tri[c] += 0  # counted below per corner
+    for v, nb in adj.items():
+        cnt = 0
+        for x, y in itertools.combinations(sorted(nb), 2):
+            if (min(x, y), max(x, y)) in edges:
+                cnt += 1
+        tri[v] = cnt
+    return {v: (len(adj[v]), tri[v]) for v in adj}
+
+
+@pytest.mark.parametrize("broadcast_max_edges", [10_000_000, 0])
+def test_triangle_count_per_node_matches_bruteforce(ray_session, broadcast_max_edges):
+    """per_node=True is exact on both closure paths: every node's triangle
+    participation count matches explicit neighborhood intersection, and
+    sum(tri) == 3 * n_triangles."""
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.graph import triangle_count
+
+    rng = np.random.default_rng(11)
+    edges = _rand_edges(rng, 40, 160)
+    # hub skew: star center 0 + a clique among its first neighbors
+    for v in range(1, 25):
+        edges.add((0, v))
+    for a in range(1, 8):
+        for b in range(a + 1, 8):
+            edges.add((a, b))
+
+    ds = rd.from_pandas(
+        pd.DataFrame(
+            {"item_a": [a for a, _ in edges], "item_b": [b for _, b in edges]}
+        )
+    )
+    got = triangle_count(
+        ds, "item_a", "item_b", broadcast_max_edges=broadcast_max_edges, per_node=True
+    )
+    want = _brute_per_node(edges)
+    assert len(got) == len(want)
+    for _, row in got.iterrows():
+        d, t = want[int(row["node"])]
+        assert (int(row["deg"]), int(row["tri"])) == (d, t), row["node"]
+    total = triangle_count(ds, "item_a", "item_b", broadcast_max_edges=broadcast_max_edges)
+    assert int(got["tri"].sum()) == 3 * int(total["n_triangles"].iloc[0])
+
+
+def test_triangle_count_per_node_empty(ray_session):
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.graph import triangle_count
+
+    ds = rd.from_pandas(pd.DataFrame({"item_a": pd.array([], dtype="int64"), "item_b": pd.array([], dtype="int64")}))
+    out = triangle_count(ds, "item_a", "item_b", per_node=True)
+    assert list(out.columns) == ["node", "deg", "tri"] and len(out) == 0
