@@ -1131,3 +1131,48 @@ def docs_global_row_numbers(sf_dir: str):
 
     out = ranks.map_batches(finish, batch_format="pyarrow").to_pandas()
     return out.sort_values("rn").reset_index(drop=True)
+
+
+@q(
+    "part_bfs_distances",
+    sql="""
+    WITH RECURSIVE pl AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                          WHERE l_partkey % 4 = 0),
+    e AS (SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+          FROM pl a JOIN pl b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    bfs AS (
+      SELECT (SELECT min(x) FROM e) AS node, 0 AS dist
+      UNION
+      SELECT CASE WHEN e.x = b.node THEN e.y ELSE e.x END, b.dist + 1
+      FROM bfs b JOIN e ON (e.x = b.node OR e.y = b.node)
+      WHERE b.dist < 6
+    )
+    SELECT node, CAST(min(dist) AS BIGINT) AS dist
+    FROM bfs GROUP BY node ORDER BY dist, node
+    """,
+)
+def part_bfs_distances(sf_dir: str):
+    """Single-source BFS shortest-path levels over the (restricted) part
+    co-purchase graph, source = smallest node in the edge set. The
+    distributed path (stages/graph.bfs_levels) runs ONE edge scan per
+    round with the frontier broadcast as a sorted array and candidates
+    collapsed by a node-keyed groupby — the oracle's recursive CTE is the
+    single-node working-table loop this replaces. Depth cap 6 on both
+    sides; every reachable node appears once with its exact distance."""
+    from ray.data.aggregate import Min
+
+    from perfect_bloomfilter_ray.stages.cooccur import distinct_pairs
+    from perfect_bloomfilter_ray.stages.graph import bfs_levels
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]).map_batches(
+        lambda t: t.filter(
+            pc.equal(
+                pc.bit_wise_and(t.column("l_partkey"), pa.scalar(3, pa.int64())),
+                pa.scalar(0, pa.int64()),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    edges = distinct_pairs(li, "l_orderkey", "l_partkey").materialize()
+    src = edges.aggregate(Min("item_a"))["min(item_a)"]
+    return bfs_levels(edges, int(src), "item_a", "item_b", max_depth=6)

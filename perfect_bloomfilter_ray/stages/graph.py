@@ -527,3 +527,73 @@ def triangle_count(
             "n_triangles": np.array([int(tri or 0)], dtype="int64"),
         }
     )
+
+
+def bfs_levels(
+    edges: Dataset,
+    src: int,
+    a_col: str = "item_a",
+    b_col: str = "item_b",
+    max_depth: int = 6,
+) -> pd.DataFrame:
+    """Single-source BFS levels (unweighted shortest paths) over an
+    undirected edge list: one distributed edge scan per round. The frontier
+    broadcasts once per round as a sorted array (``ray.put``), every edge
+    block emits its frontier-adjacent endpoints as distinct partials, and a
+    node-keyed groupby collapses them — rows never gather on the driver
+    beyond the node dimension. Frontier/visited are node-dimension state,
+    the same bounded-node contract as ``pagerank``'s default resolve; for
+    corpus-cardinality node sets swap in ``pagerank_dataset``'s tagged
+    co-partitioned join shape.
+
+    Returns ``(node, dist)`` for every node reachable within
+    ``max_depth`` (the source at dist 0), sorted by (dist, node).
+    """
+    import ray
+    from ray.data.aggregate import Count
+
+    edges = edges.materialize()
+
+    def _members(sorted_arr: np.ndarray, vals: np.ndarray) -> np.ndarray:
+        if len(sorted_arr) == 0 or len(vals) == 0:
+            return np.zeros(len(vals), dtype=bool)
+        idx = np.searchsorted(sorted_arr, vals)
+        idx[idx >= len(sorted_arr)] = len(sorted_arr) - 1
+        return sorted_arr[idx] == vals
+
+    visited = np.array([src], dtype=np.int64)
+    frontier = visited
+    nodes_out = [visited]
+    dist_out = [np.zeros(1, dtype=np.int64)]
+
+    for d in range(1, max_depth + 1):
+        f_ref = ray.put(np.sort(frontier))
+
+        def nbrs(t: pa.Table, _f=f_ref) -> pa.Table:
+            f: np.ndarray = ray.get(_f)
+            a = t.column(a_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            b = t.column(b_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            cand = np.unique(np.concatenate([b[_members(f, a)], a[_members(f, b)]]))
+            return pa.table({"node": pa.array(cand)})
+
+        cand = (
+            edges.map_batches(nbrs, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Count(alias_name="_c"))
+            .to_pandas()
+        )
+        if len(cand) == 0:
+            break
+        cand_nodes = cand["node"].to_numpy().astype(np.int64)
+        new = cand_nodes[~_members(visited, cand_nodes)]
+        if len(new) == 0:
+            break
+        new = np.sort(new)
+        nodes_out.append(new)
+        dist_out.append(np.full(len(new), d, dtype=np.int64))
+        visited = np.sort(np.concatenate([visited, new]))
+        frontier = new
+
+    return pd.DataFrame(
+        {"node": np.concatenate(nodes_out), "dist": np.concatenate(dist_out)}
+    ).sort_values(["dist", "node"]).reset_index(drop=True)

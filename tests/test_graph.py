@@ -88,3 +88,27 @@ def test_pagerank_gate_delegates_above_broadcast_budget(ray_session):
     gated = pagerank(rd.from_arrow(t), iters=3, broadcast_max_nodes=10)
     assert list(gated["node"]) == list(full["node"])
     np.testing.assert_allclose(gated["rank"].to_numpy(), full["rank"].to_numpy(), rtol=1e-9)
+
+
+def test_bfs_levels_chain_cycle_disconnected(ray_session):
+    """Exact BFS distances on a graph with a chain, a cycle shortcut, and a
+    disconnected island; depth cap honored."""
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.graph import bfs_levels
+
+    # chain 0-1-2-3-4-5-6-7 with shortcut 0-5; island 100-101
+    edges = [(i, i + 1) for i in range(7)] + [(0, 5), (100, 101)]
+    ds = rd.from_pandas(
+        pd.DataFrame({"item_a": [a for a, _ in edges], "item_b": [b for _, b in edges]})
+    )
+    out = bfs_levels(ds, 0, max_depth=6)
+    got = dict(zip(out["node"], out["dist"]))
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 2, 5: 1, 6: 2, 7: 3}
+
+    capped = bfs_levels(ds, 0, max_depth=1)
+    assert dict(zip(capped["node"], capped["dist"])) == {0: 0, 1: 1, 5: 1}
+
+    # source with no edges at all still returns itself at dist 0
+    lone = bfs_levels(ds, 42, max_depth=3)
+    assert dict(zip(lone["node"], lone["dist"])) == {42: 0}
