@@ -1176,3 +1176,63 @@ def part_bfs_distances(sf_dir: str):
     edges = distinct_pairs(li, "l_orderkey", "l_partkey").materialize()
     src = edges.aggregate(Min("item_a"))["min(item_a)"]
     return bfs_levels(edges, int(src), "item_a", "item_b", max_depth=6)
+
+
+@q(
+    "part_weighted_sssp",
+    sql="""
+    WITH RECURSIVE pl AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                          WHERE l_partkey % 4 = 0),
+    e AS (SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+          FROM pl a JOIN pl b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    ew AS (SELECT x, y, 1 + ((x + y) % 5) AS w FROM e),
+    sp AS (
+      SELECT (SELECT min(x) FROM e) AS node, 0 AS dist
+      UNION
+      SELECT CASE WHEN ew.x = s.node THEN ew.y ELSE ew.x END, s.dist + ew.w
+      FROM sp s JOIN ew ON (ew.x = s.node OR ew.y = s.node)
+      WHERE s.dist + ew.w <= 12
+    )
+    SELECT node, CAST(min(dist) AS BIGINT) AS dist
+    FROM sp GROUP BY node ORDER BY dist, node
+    """,
+)
+def part_weighted_sssp(sf_dir: str):
+    """Weighted single-source shortest paths (positive integer weights,
+    distance cap 12) over the restricted part co-purchase graph —
+    distributed Bellman-Ford frontier relaxation
+    (stages/graph.sssp_bellman_ford): each round broadcasts only the nodes
+    improved last round, one edge scan emits block-min relaxation
+    candidates, a node-keyed groupby-min collapses them. Edge weight is the
+    deterministic 1 + ((x+y) % 5); the oracle's recursive CTE enumerates
+    every capped path, so min(dist) is the same truncation contract."""
+    from ray.data.aggregate import Min
+
+    from perfect_bloomfilter_ray.stages.cooccur import distinct_pairs
+    from perfect_bloomfilter_ray.stages.graph import sssp_bellman_ford
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]).map_batches(
+        lambda t: t.filter(
+            pc.equal(
+                pc.bit_wise_and(t.column("l_partkey"), pa.scalar(3, pa.int64())),
+                pa.scalar(0, pa.int64()),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+
+    def weigh(t: pa.Table) -> pa.Table:
+        a = t.column("item_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column("item_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"item_a": t.column("item_a"), "item_b": t.column("item_b"),
+             "w": pa.array(1 + ((a + b) % 5))}
+        )
+
+    edges = (
+        distinct_pairs(li, "l_orderkey", "l_partkey")
+        .map_batches(weigh, batch_format="pyarrow")
+        .materialize()
+    )
+    src = edges.aggregate(Min("item_a"))["min(item_a)"]
+    return sssp_bellman_ford(edges, int(src), "item_a", "item_b", "w", max_dist=12)

@@ -597,3 +597,92 @@ def bfs_levels(
     return pd.DataFrame(
         {"node": np.concatenate(nodes_out), "dist": np.concatenate(dist_out)}
     ).sort_values(["dist", "node"]).reset_index(drop=True)
+
+
+def sssp_bellman_ford(
+    edges: Dataset,
+    src: int,
+    a_col: str = "item_a",
+    b_col: str = "item_b",
+    w_col: str = "w",
+    max_dist: int = 12,
+) -> pd.DataFrame:
+    """Single-source shortest paths with positive INTEGER edge weights
+    (undirected), by distributed Bellman-Ford frontier relaxation: each
+    round broadcasts only the nodes IMPROVED last round (sorted array +
+    their tentative distances), one edge scan emits per-block min-reduced
+    relaxation candidates, and a node-keyed groupby-min collapses them.
+    Positive weights bound the rounds at ``max_dist`` (a path of total
+    weight <= max_dist has <= max_dist edges); nodes whose true distance
+    exceeds ``max_dist`` are excluded — the same truncation contract as the
+    recursive-CTE oracle. Node-dimension driver state (bounded-node
+    contract, see ``bfs_levels``). Returns ``(node, dist)`` sorted by
+    (dist, node)."""
+    import polars as pl
+    import ray
+    from ray.data.aggregate import Min
+
+    edges = edges.materialize()
+
+    dist_nodes = np.array([src], dtype=np.int64)
+    dist_vals = np.array([0], dtype=np.int64)
+    frontier_nodes, frontier_vals = dist_nodes, dist_vals
+
+    for _ in range(max_dist):
+        order = np.argsort(frontier_nodes)
+        f_ref = ray.put((frontier_nodes[order], frontier_vals[order]))
+
+        def relax(t: pa.Table, _f=f_ref) -> pa.Table:
+            fn, fd = ray.get(_f)
+            a = t.column(a_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            b = t.column(b_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            w = t.column(w_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            outs = []
+            for u, v in ((a, b), (b, a)):
+                idx = np.searchsorted(fn, u)
+                idx[idx >= len(fn)] = len(fn) - 1
+                m = fn[idx] == u
+                outs.append((v[m], fd[idx[m]] + w[m]))
+            node = np.concatenate([o[0] for o in outs])
+            d = np.concatenate([o[1] for o in outs])
+            return (
+                pl.DataFrame({"node": node, "d": d})
+                .group_by("node")
+                .agg(pl.col("d").min())
+                .to_arrow()
+            )
+
+        cand = (
+            edges.map_batches(relax, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Min("d", alias_name="d"))
+            .to_pandas()
+        )
+        if len(cand) == 0:
+            break
+        cn = cand["node"].to_numpy().astype(np.int64)
+        cd = cand["d"].to_numpy().astype(np.int64)
+        keep = cd <= max_dist
+        cn, cd = cn[keep], cd[keep]
+        # merge: improved = candidate strictly better than current (or new)
+        idx = np.searchsorted(dist_nodes, cn)
+        idx_c = np.clip(idx, 0, len(dist_nodes) - 1)
+        known = dist_nodes[idx_c] == cn
+        better = ~known | (cd < np.where(known, dist_vals[idx_c], 0))
+        if not better.any():
+            break
+        imp_n, imp_d = cn[better], cd[better]
+        upd = known & better
+        dist_vals[idx_c[upd]] = cd[upd]
+        new_mask = better & ~known
+        dist_nodes = np.concatenate([dist_nodes, cn[new_mask]])
+        dist_vals = np.concatenate([dist_vals, cd[new_mask]])
+        order = np.argsort(dist_nodes)
+        dist_nodes, dist_vals = dist_nodes[order], dist_vals[order]
+        frontier_nodes, frontier_vals = imp_n, imp_d
+
+    return (
+        pd.DataFrame({"node": dist_nodes, "dist": dist_vals})
+        .sort_values(["dist", "node"])
+        .reset_index(drop=True)
+    )

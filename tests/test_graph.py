@@ -112,3 +112,43 @@ def test_bfs_levels_chain_cycle_disconnected(ray_session):
     # source with no edges at all still returns itself at dist 0
     lone = bfs_levels(ds, 42, max_depth=3)
     assert dict(zip(lone["node"], lone["dist"])) == {42: 0}
+
+
+def test_sssp_bellman_ford_exact(ray_session):
+    """Weighted SSSP matches a driver-side Dijkstra on a graph with a
+    tempting-but-heavier direct edge, and honors the distance cap."""
+    import heapq
+
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.graph import sssp_bellman_ford
+
+    edges = [(0, 1, 2), (1, 2, 2), (0, 2, 10), (2, 3, 1), (0, 4, 9), (4, 5, 9), (6, 7, 1)]
+    ds = rd.from_pandas(
+        pd.DataFrame(
+            {"item_a": [a for a, _, _ in edges],
+             "item_b": [b for _, b, _ in edges],
+             "w": [w for _, _, w in edges]}
+        )
+    )
+    got = sssp_bellman_ford(ds, 0, max_dist=12)
+    # reference Dijkstra
+    adj = {}
+    for a, b, w in edges:
+        adj.setdefault(a, []).append((b, w))
+        adj.setdefault(b, []).append((a, w))
+    dist = {0: 0}
+    pq = [(0, 0)]
+    while pq:
+        d, u = heapq.heappop(pq)
+        if d > dist.get(u, 1 << 60):
+            continue
+        for v, w in adj.get(u, []):
+            nd = d + w
+            if nd < dist.get(v, 1 << 60):
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+    want = {k: v for k, v in dist.items() if v <= 12}
+    assert dict(zip(got["node"], got["dist"])) == want
+    # node 4 reachable at 9 (direct), node 5 at 18 -> excluded by the cap
+    assert 5 not in set(got["node"])
