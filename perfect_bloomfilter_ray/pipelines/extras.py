@@ -1236,3 +1236,98 @@ def part_weighted_sssp(sf_dir: str):
     )
     src = edges.aggregate(Min("item_a"))["min(item_a)"]
     return sssp_bellman_ford(edges, int(src), "item_a", "item_b", "w", max_dist=12)
+
+
+@q(
+    "hourly_watermark_lateness",
+    sql="""
+    WITH a AS (SELECT event_id, ts,
+                      event_id + ((event_id * 2654435761) % 16) - 8 AS arrival
+               FROM events),
+    o AS (SELECT ts,
+                 max(ts) OVER (ORDER BY arrival, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+          FROM a)
+    SELECT date_trunc('hour', ts) AS hour,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(*) FILTER (WHERE wm > ts) AS BIGINT) AS n_out_of_order,
+           CAST(count(*) FILTER (WHERE wm - ts > INTERVAL 10 MINUTE) AS BIGINT) AS n_late
+    FROM o GROUP BY 1 ORDER BY 1
+    """,
+)
+def hourly_watermark_lateness(sf_dir: str):
+    """Streaming watermark / late-data audit: replay events in a
+    deterministic jittered ARRIVAL order (event_id +/- a hashed shuffle of
+    up to 8 positions — the ingestion disorder real pipelines see), track
+    the running high watermark max(ts of everything already arrived), and
+    count per event-time hour how many events arrived behind the watermark
+    at all and behind it by >10 min. The watermark is the EXCLUSIVE global
+    running max over (arrival, event_id) — stages/windows.ordered_running_max,
+    a segmented scan (one value-range bucket exchange + O(buckets) driver
+    carries), never a global sort; the oracle's window function is the
+    single-node plan it replaces."""
+    ds = _t(sf_dir, "events", ["event_id", "ts"])
+
+    def arrive(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts_us = t.column("ts").cast(pa.int64())
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "ts_us": ts_us,
+                "arrival": pa.array(eid + (eid * 2654435761) % 16 - 8),
+            }
+        )
+
+    from perfect_bloomfilter_ray.stages.windows import ordered_running_max
+
+    wm = ordered_running_max(
+        ds.map_batches(arrive, batch_format="pyarrow"),
+        "arrival",
+        "event_id",
+        "ts_us",
+        out_col="wm",
+    )
+
+    hour_us = np.int64(3_600_000_000)
+    late_us = np.int64(600_000_000)
+
+    def partial(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        ts_us = t.column("ts_us").to_numpy(zero_copy_only=False)
+        w = t.column("wm").to_numpy(zero_copy_only=False)  # NaN where null
+        wv = np.nan_to_num(w.astype(np.float64), nan=-np.inf)
+        return (
+            pl.DataFrame(
+                {
+                    "hour_us": (ts_us // hour_us) * hour_us,
+                    "ooo": (wv > ts_us).astype(np.int64),
+                    "late": (wv - ts_us > float(late_us)).astype(np.int64),
+                }
+            )
+            .group_by("hour_us")
+            .agg(
+                pl.len().cast(pl.Int64).alias("n_events"),
+                pl.col("ooo").sum().alias("n_out_of_order"),
+                pl.col("late").sum().alias("n_late"),
+            )
+            .to_arrow()
+        )
+
+    out = (
+        wm.map_batches(partial, batch_format="pyarrow")
+        .groupby("hour_us")
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("n_out_of_order", alias_name="n_out_of_order"),
+            Sum("n_late", alias_name="n_late"),
+        )
+        .to_pandas()
+        .sort_values("hour_us")
+        .reset_index(drop=True)
+    )
+    out["hour"] = pd.to_datetime(out.pop("hour_us"), unit="us")
+    for c in ("n_events", "n_out_of_order", "n_late"):
+        out[c] = out[c].astype("int64")
+    return out[["hour", "n_events", "n_out_of_order", "n_late"]]

@@ -818,3 +818,89 @@ def peak_concurrency(
         }
     )
     return out
+
+
+def ordered_running_max(
+    ds: Dataset,
+    order_col: str,
+    tie_col: str,
+    value_col: str,
+    out_col: str = "running_max",
+    num_buckets: int | None = None,
+) -> Dataset:
+    """EXCLUSIVE global running maximum of ``value_col`` over the total
+    order ``(order_col, tie_col)`` — the streaming-watermark shape:
+    ``out_col[i] = max(value of every row strictly before i)``, null for
+    the global first row (SQL: ``max(v) OVER (ORDER BY o, t ROWS BETWEEN
+    UNBOUNDED PRECEDING AND 1 PRECEDING)``).
+
+    Scale shape — a segmented scan, not a global sort: rows route once by
+    ``order_col`` value-range bucket, per-bucket maxima fold into
+    O(num_buckets) exclusive-prefix carries on the driver, and each bucket
+    finishes independently (sort inside the bucket, shifted cummax seeded
+    with its carry). ``order_col``/``tie_col`` must be int64-castable;
+    ``value_col`` must be int64-castable (cast timestamps upstream).
+    Returns the input rows (original columns + ``out_col``); row order is
+    by bucket, sorted within each bucket.
+    """
+    import ray
+    from ray.data.aggregate import Max, Min
+
+    nb = num_buckets or choose_num_blocks(ds)
+    mm = ds.aggregate(Min(order_col), Max(order_col))
+    omin, omax = mm[f"min({order_col})"], mm[f"max({order_col})"]
+    if omin is None:
+        return ds  # empty input: nothing to annotate
+    omin, omax = int(omin), int(omax)
+    span = max(1, omax - omin + 1)
+    _sent = np.int64(np.iinfo(np.int64).min)
+
+    def route(t: pa.Table) -> pa.Table:
+        o = t.column(order_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        bkt = ((o - omin) * nb // span).astype(np.int32)
+        return t.append_column("_bkt", pa.array(bkt))
+
+    routed = ds.map_batches(route, batch_format="pyarrow").materialize()
+
+    partials = (
+        routed.map_batches(
+            lambda t: _bucket_maxima(t, value_col), batch_format="pyarrow"
+        )
+        .groupby("_bkt")
+        .aggregate(Max("_mx", alias_name="mx"))
+        .to_pandas()
+        .sort_values("_bkt")
+        .reset_index(drop=True)
+    )
+    carry_vals = np.concatenate(
+        [[_sent], np.maximum.accumulate(partials["mx"].to_numpy().astype(np.int64))[:-1]]
+    )
+    carries = ray.put(dict(zip(partials["_bkt"].astype(int), carry_vals)))
+
+    def finish(t: pa.Table) -> pa.Table:
+        carry = ray.get(carries)[int(t.column("_bkt")[0].as_py())]
+        o = t.column(order_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        ti = t.column(tie_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ti, o))
+        t = t.take(pa.array(order)).drop_columns(["_bkt"])
+        cm = np.maximum.accumulate(v[order])
+        wm = np.concatenate([[carry], cm[:-1]])
+        wm = np.maximum(wm, carry)
+        return t.append_column(
+            out_col, pa.array(wm, pa.int64(), mask=(wm == _sent))
+        )
+
+    return routed.groupby("_bkt").map_groups(finish, batch_format="pyarrow")
+
+
+def _bucket_maxima(t: pa.Table, value_col: str) -> pa.Table:
+    """Per-(batch, bucket) max partials when a batch spans buckets."""
+    import polars as pl
+
+    return (
+        pl.from_arrow(t.select(["_bkt", value_col]))
+        .group_by("_bkt")
+        .agg(pl.col(value_col).max().cast(pl.Int64).alias("_mx"))
+        .to_arrow()
+    )

@@ -282,3 +282,34 @@ def test_peak_concurrency_matches_bruteforce(ray_session, spans):
         columns=["bucket_us", "n_bound", "peak"],
     ).astype("int64")
     pd.testing.assert_frame_equal(out.reset_index(drop=True), exp)
+
+
+def test_ordered_running_max_matches_bruteforce(ray_session):
+    """Exclusive running max over a scrambled order equals the O(n) driver
+    scan, including null for the global first row and tie-breaking."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.windows import ordered_running_max
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "o": rng.integers(0, 800, n).astype("int64"),  # heavy ties
+            "t": np.arange(n, dtype="int64"),
+            "v": rng.integers(-1000, 1000, n).astype("int64"),
+        }
+    )
+    out = (
+        ordered_running_max(rd.from_pandas(df), "o", "t", "v", out_col="rm", num_buckets=7)
+        .to_pandas()
+        .sort_values(["o", "t"])
+        .reset_index(drop=True)
+    )
+    ref = df.sort_values(["o", "t"]).reset_index(drop=True)
+    want = ref["v"].cummax().shift(1)
+    got = out["rm"]
+    assert pd.isna(got.iloc[0]) and pd.isna(want.iloc[0])
+    assert np.array_equal(got.iloc[1:].to_numpy(dtype="int64"), want.iloc[1:].to_numpy(dtype="int64"))
