@@ -1331,3 +1331,72 @@ def hourly_watermark_lateness(sf_dir: str):
     for c in ("n_events", "n_out_of_order", "n_late"):
         out[c] = out[c].astype("int64")
     return out[["hour", "n_events", "n_out_of_order", "n_late"]]
+
+
+@q(
+    "part_subtree_totals",
+    sql="""
+    WITH RECURSIVE anc AS (
+      SELECT p_partkey AS node, p_partkey AS anc FROM part
+      UNION ALL
+      SELECT node, anc // 7 FROM anc WHERE anc > 0
+    ),
+    v AS (SELECT p_partkey, CAST(round(p_retailprice * 100) AS BIGINT) AS cents FROM part)
+    SELECT a.anc AS node,
+           CAST(count(*) AS BIGINT) AS n_desc,
+           CAST(sum(v.cents) AS BIGINT) AS subtree_cents
+    FROM anc a JOIN v ON v.p_partkey = a.node
+    WHERE a.anc <= 58
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def part_subtree_totals(sf_dir: str):
+    """Hierarchical (subtree) rollup: parts form a 7-ary tree via the
+    arithmetic parent function parent(k) = k // 7; every part's retail
+    price (integer cents) rolls up into ALL its ancestors' subtree totals.
+    The distributed shape is a bounded in-batch ancestor closure — each row
+    expands to its <= log7(maxkey)+1 ancestors VECTORIZED inside
+    map_batches (no iterative joins, no driver state), partials
+    pre-aggregate per batch, and one anc-keyed groupby finishes. The
+    oracle's recursive CTE materializes the same closure row set. Output
+    bounded to the top of the tree (anc <= 58)."""
+    import polars as pl
+
+    ds = _t(sf_dir, "part", ["p_partkey", "p_retailprice"])
+
+    def expand(t: pa.Table) -> pa.Table:
+        k = t.column("p_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.round(
+            t.column("p_retailprice").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        ancs, vals = [k], [cents]
+        cur, cv = k, cents
+        while (cur > 0).any():
+            m = cur > 0
+            cur, cv = cur[m] // 7, cv[m]
+            ancs.append(cur)
+            vals.append(cv)
+        anc = np.concatenate(ancs)
+        val = np.concatenate(vals)
+        keep = anc <= 58
+        return (
+            pl.DataFrame({"node": anc[keep], "pc": val[keep]})
+            .group_by("node")
+            .agg(
+                pl.len().cast(pl.Int64).alias("pn"),
+                pl.col("pc").sum().alias("ps"),
+            )
+            .to_arrow()
+        )
+
+    out = (
+        ds.map_batches(expand, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("pn", alias_name="n_desc"), Sum("ps", alias_name="subtree_cents"))
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    for c in ("n_desc", "subtree_cents"):
+        out[c] = out[c].astype("int64")
+    return out[["node", "n_desc", "subtree_cents"]]
