@@ -1400,3 +1400,50 @@ def part_subtree_totals(sf_dir: str):
     for c in ("n_desc", "subtree_cents"):
         out[c] = out[c].astype("int64")
     return out[["node", "n_desc", "subtree_cents"]]
+
+
+@q(
+    "ingest_similar_pairs_rs",
+    sql="""
+    WITH dr AS (SELECT doc_id,
+                       list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS words
+                FROM documents WHERE doc_id % 4 = 1),
+    dss AS (SELECT doc_id,
+                   list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS words
+            FROM documents WHERE doc_id % 4 = 0),
+    p AS (SELECT r.doc_id AS id_r, s.doc_id AS id_s,
+                 CAST(len(r.words) AS BIGINT) AS sz_r,
+                 CAST(len(s.words) AS BIGINT) AS sz_s,
+                 CAST(len(list_intersect(r.words, s.words)) AS BIGINT) AS inter
+          FROM dr r CROSS JOIN dss s
+          WHERE len(r.words) > 0 AND len(s.words) > 0)
+    SELECT id_r, id_s, sz_r, sz_s, inter,
+           CAST(inter AS DOUBLE) / (sz_r + sz_s - inter) AS jaccard
+    FROM p WHERE CAST(inter AS DOUBLE) / (sz_r + sz_s - inter) >= 0.9
+    ORDER BY id_r, id_s
+    """,
+)
+def ingest_similar_pairs_rs(sf_dir: str):
+    """Cross-collection (R-S) exact similarity join: a fresh-ingest slice
+    (doc_id%4==1) joined against the standing reference corpus
+    (doc_id%4==0) at Jaccard >= 0.9 — the similarity-ingest check that
+    containment/minhash approximations bound. One global df order over the
+    UNION drives both sides' prefixes, and the bucket verification matmul
+    is RECTANGULAR (R x S), so no same-side pair is ever scored
+    (stages/ppjoin.ppjoin_pairs_rs). The oracle is the quadratic CROSS
+    JOIN the prefix filter avoids."""
+    from perfect_bloomfilter_ray.stages.ppjoin import ppjoin_pairs_rs
+
+    def side(rem: int):
+        return lambda t: t.filter(
+            pc.equal(
+                pc.bit_wise_and(t.column("doc_id"), pa.scalar(3, pa.int64())),
+                pa.scalar(rem, pa.int64()),
+            )
+        )
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    r = docs.map_batches(side(1), batch_format="pyarrow")
+    s = docs.map_batches(side(0), batch_format="pyarrow")
+    out = ppjoin_pairs_rs(r, s, "doc_id", "text", threshold=0.9).to_pandas()
+    return out.sort_values(["id_r", "id_s"]).reset_index(drop=True)

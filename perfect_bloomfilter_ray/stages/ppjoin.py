@@ -204,3 +204,174 @@ __all__ = ["ppjoin_pairs"]
 def _prefix_len(n: int, t: float) -> int:
     """Reference prefix length (exposed for tests)."""
     return n - math.ceil(t * n) + 1
+
+
+def ppjoin_pairs_rs(
+    ds_r: Dataset,
+    ds_s: Dataset,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    num_blocks: int | None = None,
+) -> Dataset:
+    """R-S (cross-collection) prefix-filtered exact set-similarity join:
+    all pairs (id_r, id_s) with word-set Jaccard >= ``threshold`` where the
+    two sides come from DIFFERENT collections (e.g. a fresh crawl slice
+    joined against a reference corpus — the similarity-dedup shape that
+    containment/minhash ingest checks approximate).
+
+    Same three passes as :func:`ppjoin_pairs` — one global df order over
+    the UNION of both sides (the pigeonhole argument only needs one
+    consistent total order), prefix rows tagged with their side, and
+    bucket-local verification — but the incidence matmul is RECTANGULAR
+    (R-side rows x S-side rows), so no same-side pair is ever scored.
+    Output: (id_r, id_s, sz_r, sz_s, inter, jaccard)."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
+    import ray
+    import ray.data as rd
+
+    empty = pa.table(
+        {
+            "id_r": pa.array([], pa.int64()),
+            "id_s": pa.array([], pa.int64()),
+            "sz_r": pa.array([], pa.int64()),
+            "sz_s": pa.array([], pa.int64()),
+            "inter": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        }
+    )
+
+    def tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.select([id_col, text_col]).append_column(
+                "_side", pa.array(np.full(len(t), side, dtype=np.int8))
+            )
+
+        return fn
+
+    both = ds_r.map_batches(tag(0), batch_format="pyarrow").union(
+        ds_s.map_batches(tag(1), batch_format="pyarrow")
+    )
+    nb = choose_num_blocks(both, num_blocks)
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        g = _doc_tokens(t, id_col, text_col).group_by("tok").len(name="pn")
+        return g.with_columns(pl.col("pn").cast(pl.Int64)).to_arrow()
+
+    df_tbl = (
+        both.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("tok")
+        .aggregate(Sum("pn", alias_name="df"))
+        .to_pandas()
+    )
+    if df_tbl.empty:
+        return rd.from_arrow(empty)
+    df_tbl = df_tbl.sort_values(["df", "tok"]).reset_index(drop=True)
+    order_ref = ray.put(
+        pl.DataFrame(
+            {"tok": df_tbl["tok"].to_numpy(), "_ord": np.arange(len(df_tbl), dtype=np.int64)}
+        )
+    )
+
+    t_thr = float(threshold)
+
+    def emit_prefix(t: pa.Table) -> pa.Table:
+        order: pl.DataFrame = ray.get(order_ref)
+        side = pl.from_arrow(t.select([id_col, "_side"])).rename({id_col: "_id"})
+        toks = _doc_tokens(t, id_col, text_col).join(order, on="tok", how="inner")
+        if len(toks) == 0:
+            return pa.table(
+                {
+                    "_ptok": pa.array([], pa.int64()),
+                    "_id": pa.array([], pa.int64()),
+                    "_side": pa.array([], pa.int8()),
+                    "set": pa.array([], pa.list_(pa.int64())),
+                }
+            )
+        per_doc = (
+            toks.sort(["_id", "_ord"])
+            .group_by("_id", maintain_order=True)
+            .agg(pl.col("_ord").alias("set"))
+            .with_columns(pl.col("set").list.len().cast(pl.Int64).alias("_sz"))
+            .join(side.unique(subset=["_id"]), on="_id", how="left")
+        )
+        sz = per_doc["_sz"].to_numpy()
+        p = sz - np.ceil(t_thr * sz).astype(np.int64) + 1
+        ex = (
+            per_doc.with_columns(pl.Series("_p", p))
+            .with_columns(pl.col("set").list.head(pl.col("_p")).alias("_pfx"))
+            .explode("_pfx")
+            .select(pl.col("_pfx").alias("_ptok"), pl.col("_id"), pl.col("_side"), pl.col("set"))
+        )
+        return ex.to_arrow()
+
+    prefixed = both.map_batches(emit_prefix, batch_format="pyarrow")
+
+    def route(t: pa.Table) -> pa.Table:
+        k = t.column("_ptok").to_numpy().astype(np.int64, copy=False).view(_U64)
+        z = (k + _U64(0x9E3779B97F4A7C15)) * _U64(0xBF58476D1CE4E5B9)
+        return t.append_column("_part", pa.array((z % _U64(nb)).astype(np.int32)))
+
+    def verify_block(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.drop_columns(["_part"]))
+        outs = []
+        for (_ptok,), g in df.group_by(["_ptok"]):
+            g = g.unique(subset=["_id", "_side"], keep="first")
+            gr = g.filter(pl.col("_side") == 0).sort("_id")
+            gs = g.filter(pl.col("_side") == 1).sort("_id")
+            if len(gr) == 0 or len(gs) == 0:
+                continue
+            ids_r, ids_s = gr["_id"].to_numpy(), gs["_id"].to_numpy()
+            sets_r, sets_s = gr["set"].to_list(), gs["set"].to_list()
+            szr = np.array([len(s) for s in sets_r], dtype=np.int64)
+            szs = np.array([len(s) for s in sets_s], dtype=np.int64)
+            flat = np.concatenate(
+                [np.asarray(s, dtype=np.int64) for s in sets_r + sets_s]
+            )
+            uniq, inv = np.unique(flat, return_inverse=True)
+            kr, ks = len(ids_r), len(ids_s)
+            inc = np.zeros((kr + ks, len(uniq)), dtype=np.int32)
+            row = np.repeat(np.arange(kr + ks), np.concatenate([szr, szs]))
+            inc[row, inv] = 1
+            inter = inc[:kr] @ inc[kr:].T  # rectangular: R rows x S rows
+            iu, ju = np.nonzero(inter)
+            iv = inter[iu, ju].astype(np.int64)
+            union = szr[iu] + szs[ju] - iv
+            jac = iv / union
+            m = jac >= t_thr
+            if not m.any():
+                continue
+            outs.append(
+                pa.table(
+                    {
+                        "id_r": pa.array(ids_r[iu[m]]),
+                        "id_s": pa.array(ids_s[ju[m]]),
+                        "sz_r": pa.array(szr[iu[m]]),
+                        "sz_s": pa.array(szs[ju[m]]),
+                        "inter": pa.array(iv[m]),
+                        "jaccard": pa.array(jac[m]),
+                    }
+                )
+            )
+        if not outs:
+            return empty
+        return pa.concat_tables(outs)
+
+    verified = (
+        prefixed.map_batches(route, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(verify_block, batch_format="pyarrow")
+    )
+
+    def first_row(t: pa.Table) -> pa.Table:
+        return t.slice(0, 1)
+
+    out = verified.groupby(["id_r", "id_s"]).map_groups(
+        first_row, batch_format="pyarrow"
+    ).materialize()
+    if out.count() == 0:
+        # zero qualifying pairs: a grouped-empty Dataset loses its schema —
+        # hand back the typed empty table instead
+        return rd.from_arrow(empty)
+    return out
