@@ -1447,3 +1447,73 @@ def ingest_similar_pairs_rs(sf_dir: str):
     s = docs.map_batches(side(0), batch_format="pyarrow")
     out = ppjoin_pairs_rs(r, s, "doc_id", "text", threshold=0.9).to_pandas()
     return out.sort_values(["id_r", "id_s"]).reset_index(drop=True)
+
+
+@q(
+    "part_harmonic_centrality",
+    sql="""
+    WITH RECURSIVE pl AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                          WHERE l_partkey % 4 = 0),
+    e AS (SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+          FROM pl a JOIN pl b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    s AS (SELECT x AS src FROM (SELECT DISTINCT x FROM e) ORDER BY x LIMIT 8),
+    bfs AS (
+      SELECT src AS sv, src AS node, 0 AS dist FROM s
+      UNION
+      SELECT b.sv, CASE WHEN e.x = b.node THEN e.y ELSE e.x END, b.dist + 1
+      FROM bfs b JOIN e ON (e.x = b.node OR e.y = b.node)
+      WHERE b.dist < 6
+    ),
+    d AS (SELECT sv, node, min(dist) AS dist FROM bfs GROUP BY sv, node)
+    SELECT node,
+           CAST(count(*) AS BIGINT) AS n_reached,
+           CAST(sum(60 // dist) AS BIGINT) AS harmonic_x60
+    FROM d WHERE dist > 0
+    GROUP BY node ORDER BY harmonic_x60 DESC, node LIMIT 25
+    """,
+)
+def part_harmonic_centrality(sf_dir: str):
+    """Harmonic centrality over an 8-source sample (the standard sampled
+    estimator: Boldi-Vigna 2014), EXACT in integers: with depth cap 6 every
+    term 1/d has denominator dividing 60, so harmonic_x60 = sum(60/d) is a
+    pure int64 — no float summation order anywhere. The engine runs ALL 8
+    sources in one bitmask multi-source BFS (stages/graph.multi_source_bfs):
+    one edge scan + one node-keyed OR-groupby per round regardless of
+    source count; the oracle re-runs its recursive CTE once per source."""
+    from ray.data.aggregate import Count as _C
+
+    from perfect_bloomfilter_ray.stages.cooccur import distinct_pairs
+    from perfect_bloomfilter_ray.stages.graph import multi_source_bfs
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]).map_batches(
+        lambda t: t.filter(
+            pc.equal(
+                pc.bit_wise_and(t.column("l_partkey"), pa.scalar(3, pa.int64())),
+                pa.scalar(0, pa.int64()),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    edges = distinct_pairs(li, "l_orderkey", "l_partkey").materialize()
+    srcs = (
+        edges.groupby("item_a")
+        .aggregate(_C(alias_name="_n"))
+        .to_pandas()["item_a"]
+        .sort_values()
+        .head(8)
+        .tolist()
+    )
+    levels = multi_source_bfs(edges, srcs, "item_a", "item_b", max_depth=6)
+    levels = levels[levels["dist"] > 0]
+    g = (
+        levels.assign(h=(60 // levels["dist"]).astype("int64"))
+        .groupby("node", as_index=False)
+        .agg(n_reached=("h", "size"), harmonic_x60=("h", "sum"))
+    )
+    g["n_reached"] = g["n_reached"].astype("int64")
+    out = (
+        g.sort_values(["harmonic_x60", "node"], ascending=[False, True])
+        .head(25)
+        .reset_index(drop=True)
+    )
+    return out[["node", "n_reached", "harmonic_x60"]]

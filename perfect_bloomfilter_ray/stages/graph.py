@@ -686,3 +686,122 @@ def sssp_bellman_ford(
         .sort_values(["dist", "node"])
         .reset_index(drop=True)
     )
+
+
+def multi_source_bfs(
+    edges: Dataset,
+    sources: list[int],
+    a_col: str = "item_a",
+    b_col: str = "item_b",
+    max_depth: int = 6,
+) -> pd.DataFrame:
+    """BFS levels from up to 63 sources SIMULTANEOUSLY: each node's visited
+    set is one int64 bitmask, so every round is still ONE distributed edge
+    scan (per-block bitwise-OR partials by node, one node-keyed groupby-OR)
+    no matter how many sources — the shape that makes exact closeness /
+    harmonic centrality over a source sample affordable. Node-dimension
+    driver state (bounded-node contract, see ``bfs_levels``).
+
+    Returns long-form ``(source, node, dist)`` — one row per source that
+    reaches ``node`` within ``max_depth`` (dist 0 rows included), sorted.
+    """
+    import ray
+
+    if not 0 < len(sources) <= 63:
+        raise ValueError("multi_source_bfs supports 1..63 sources")
+    src_arr = np.array(sorted(set(int(s) for s in sources)), dtype=np.int64)
+    n_src = len(src_arr)
+
+    edges = edges.materialize()
+
+    def _or_reduce(nodes: np.ndarray, masks: np.ndarray):
+        order = np.argsort(nodes)
+        nn, mm = nodes[order], masks[order]
+        starts = np.flatnonzero(np.concatenate([[True], nn[1:] != nn[:-1]]))
+        return nn[starts], np.bitwise_or.reduceat(mm, starts)
+
+    # visited/frontier state: sorted node array + bitmask array
+    v_nodes = src_arr.copy()
+    v_mask = (np.int64(1) << np.arange(n_src, dtype=np.int64)).astype(np.int64)
+    v_nodes, v_mask = _or_reduce(v_nodes, v_mask)  # collapse duplicate sources
+    f_nodes, f_mask = v_nodes.copy(), v_mask.copy()
+
+    out_src = [src_arr.copy()]
+    out_node = [src_arr.copy()]
+    out_dist = [np.zeros(n_src, dtype=np.int64)]
+
+    for d in range(1, max_depth + 1):
+        ref = ray.put((f_nodes, f_mask))
+
+        def spread(t: pa.Table, _f=ref) -> pa.Table:
+            fn, fm = ray.get(_f)
+            a = t.column(a_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            b = t.column(b_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            tgt, msk = [], []
+            for u, v in ((a, b), (b, a)):
+                idx = np.searchsorted(fn, u)
+                idx[idx >= len(fn)] = len(fn) - 1
+                m = fn[idx] == u
+                tgt.append(v[m])
+                msk.append(fm[idx[m]])
+            nodes = np.concatenate(tgt)
+            masks = np.concatenate(msk)
+            if len(nodes) == 0:
+                return pa.table(
+                    {"node": pa.array([], pa.int64()), "m": pa.array([], pa.int64())}
+                )
+            nn, mm = _or_reduce(nodes, masks)
+            return pa.table({"node": pa.array(nn), "m": pa.array(mm)})
+
+        def or_group(t: pa.Table) -> pa.Table:
+            nn, mm = _or_reduce(
+                t.column("node").to_numpy(zero_copy_only=False),
+                t.column("m").to_numpy(zero_copy_only=False),
+            )
+            return pa.table({"node": pa.array(nn), "m": pa.array(mm)})
+
+        arrived = (
+            edges.map_batches(spread, batch_format="pyarrow")
+            .groupby("node")
+            .map_groups(or_group, batch_format="pyarrow")
+            .to_pandas()
+        )
+        if len(arrived) == 0:
+            break
+        an = arrived["node"].to_numpy().astype(np.int64)
+        am = arrived["m"].to_numpy().astype(np.int64)
+        idx = np.searchsorted(v_nodes, an)
+        idx_c = np.clip(idx, 0, len(v_nodes) - 1)
+        known = (len(v_nodes) > 0) & (v_nodes[idx_c] == an)
+        prev = np.where(known, v_mask[idx_c], 0)
+        new_bits = am & ~prev
+        has_new = new_bits != 0
+        if not has_new.any():
+            break
+        nn, nb = an[has_new], new_bits[has_new]
+        for bit in range(n_src):
+            hit = (nb >> bit) & 1 == 1
+            if hit.any():
+                out_src.append(np.full(int(hit.sum()), src_arr[bit], dtype=np.int64))
+                out_node.append(nn[hit])
+                out_dist.append(np.full(int(hit.sum()), d, dtype=np.int64))
+        # update visited: merge masks
+        v_mask[idx_c[known & has_new]] |= new_bits[known & has_new]
+        fresh = has_new & ~known
+        v_nodes = np.concatenate([v_nodes, an[fresh]])
+        v_mask = np.concatenate([v_mask, am[fresh]])
+        order = np.argsort(v_nodes)
+        v_nodes, v_mask = v_nodes[order], v_mask[order]
+        f_nodes, f_mask = nn, nb
+
+    return (
+        pd.DataFrame(
+            {
+                "source": np.concatenate(out_src),
+                "node": np.concatenate(out_node),
+                "dist": np.concatenate(out_dist),
+            }
+        )
+        .sort_values(["source", "dist", "node"])
+        .reset_index(drop=True)
+    )

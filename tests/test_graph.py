@@ -152,3 +152,22 @@ def test_sssp_bellman_ford_exact(ray_session):
     assert dict(zip(got["node"], got["dist"])) == want
     # node 4 reachable at 9 (direct), node 5 at 18 -> excluded by the cap
     assert 5 not in set(got["node"])
+
+
+def test_multi_source_bfs_matches_single_source(ray_session):
+    """The bitmask multi-source BFS agrees with per-source bfs_levels on a
+    graph with shortcuts, shared frontiers and an unreachable island."""
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.graph import bfs_levels, multi_source_bfs
+
+    edges = [(i, i + 1) for i in range(9)] + [(0, 5), (2, 7), (100, 101), (101, 102)]
+    ds = rd.from_pandas(
+        pd.DataFrame({"item_a": [a for a, _ in edges], "item_b": [b for _, b in edges]})
+    )
+    srcs = [0, 3, 100]
+    multi = multi_source_bfs(ds, srcs, max_depth=4)
+    for s in srcs:
+        single = bfs_levels(ds, s, max_depth=4)
+        got = multi[multi["source"] == s][["node", "dist"]].reset_index(drop=True)
+        assert got.equals(single[["node", "dist"]].sort_values(["dist", "node"]).reset_index(drop=True)), s
