@@ -1517,3 +1517,54 @@ def part_harmonic_centrality(sf_dir: str):
         .reset_index(drop=True)
     )
     return out[["node", "n_reached", "harmonic_x60"]]
+
+
+def _kcore_oracle_sql(k: int, rounds: int) -> str:
+    """Unrolled bounded-round peel: n_r = nodes with degree >= k inside the
+    subgraph induced by n_{r-1} (MATERIALIZED CTEs: each round evaluates
+    once — the naive inlined form re-expands the whole chain per
+    reference)."""
+    parts = [
+        "WITH pl AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 4 = 0),",
+        "e AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y FROM pl a JOIN pl b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),",
+        f"n1 AS MATERIALIZED (SELECT node, count(*) AS deg FROM (SELECT x AS node FROM e UNION ALL SELECT y FROM e) GROUP BY node HAVING count(*) >= {k})",
+    ]
+    for r in range(2, rounds + 1):
+        p = r - 1
+        parts.append(
+            f",n{r} AS MATERIALIZED (SELECT node, count(*) AS deg FROM ("
+            f"SELECT x AS node FROM e WHERE x IN (SELECT node FROM n{p}) AND y IN (SELECT node FROM n{p}) "
+            f"UNION ALL SELECT y FROM e WHERE x IN (SELECT node FROM n{p}) AND y IN (SELECT node FROM n{p})"
+            f") GROUP BY node HAVING count(*) >= {k})"
+        )
+    parts.append(
+        f"SELECT node, CAST(deg AS BIGINT) AS deg FROM n{rounds} ORDER BY node"
+    )
+    return "\n".join(parts)
+
+
+@q("part_kcore_members", sql=_kcore_oracle_sql(k=20, rounds=8))
+def part_kcore_members(sf_dir: str):
+    """Bounded-round k-core peel (k=20, 8 rounds) of the restricted part
+    co-purchase graph: every round drops nodes whose degree within the
+    surviving subgraph is < k and recomputes degrees — one distributed edge
+    scan + node-keyed sum per round (stages/graph.kcore_peel). The fixed
+    round budget is the determinism contract shared with the oracle's
+    unrolled MATERIALIZED CTE chain (k=20 is still actively peeling at
+    round 8 here, so the budget — not the fixpoint — is what both sides
+    compute); graphs that converge earlier hit the identical fixpoint.
+    Output: surviving (node, deg-within-round-7-subgraph)."""
+    from perfect_bloomfilter_ray.stages.cooccur import distinct_pairs
+    from perfect_bloomfilter_ray.stages.graph import kcore_peel
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]).map_batches(
+        lambda t: t.filter(
+            pc.equal(
+                pc.bit_wise_and(t.column("l_partkey"), pa.scalar(3, pa.int64())),
+                pa.scalar(0, pa.int64()),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    edges = distinct_pairs(li, "l_orderkey", "l_partkey")
+    return kcore_peel(edges, k=20, rounds=8)

@@ -805,3 +805,79 @@ def multi_source_bfs(
         .sort_values(["source", "dist", "node"])
         .reset_index(drop=True)
     )
+
+
+def kcore_peel(
+    edges: Dataset,
+    k: int,
+    a_col: str = "item_a",
+    b_col: str = "item_b",
+    rounds: int = 8,
+) -> pd.DataFrame:
+    """Bounded-round k-core peel over an undirected distinct edge list:
+    every round keeps the nodes whose degree WITHIN the surviving subgraph
+    is >= k, for exactly ``rounds`` rounds (or until the set stabilizes —
+    whichever comes first). With enough rounds this is the true k-core
+    fixpoint (each round strictly shrinks the set or stops); the fixed
+    round budget is the determinism contract shared with the unrolled SQL
+    oracle. One distributed edge scan per round (alive set broadcast as a
+    sorted array, per-block degree partials, node-keyed sum). Returns
+    ``(node, deg)`` — the surviving nodes and their within-subgraph
+    degrees, sorted by node."""
+    import polars as pl
+    import ray
+    from ray.data.aggregate import Sum as _Sum
+
+    edges = edges.materialize()
+
+    def _members(sorted_arr: np.ndarray, vals: np.ndarray) -> np.ndarray:
+        if len(sorted_arr) == 0 or len(vals) == 0:
+            return np.zeros(len(vals), dtype=bool)
+        idx = np.searchsorted(sorted_arr, vals)
+        idx[idx >= len(sorted_arr)] = len(sorted_arr) - 1
+        return sorted_arr[idx] == vals
+
+    alive: np.ndarray | None = None  # None = all nodes alive (round 0)
+    deg = pd.DataFrame({"node": np.array([], dtype=np.int64), "deg": np.array([], dtype=np.int64)})
+
+    for _ in range(rounds):
+        ref = ray.put(alive)
+
+        def degrees(t: pa.Table, _a=ref) -> pa.Table:
+            al = ray.get(_a)
+            a = t.column(a_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            b = t.column(b_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            if al is not None:
+                m = _members(al, a) & _members(al, b)
+                a, b = a[m], b[m]
+            return (
+                pl.DataFrame({"node": np.concatenate([a, b])})
+                .group_by("node")
+                .len(name="pd")
+                .with_columns(pl.col("pd").cast(pl.Int64))
+                .to_arrow()
+            )
+
+        deg = (
+            edges.map_batches(degrees, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(_Sum("pd", alias_name="deg"))
+            .to_pandas()
+        )
+        keep = deg[deg["deg"] >= k]
+        new_alive = np.sort(keep["node"].to_numpy().astype(np.int64))
+        if alive is not None and len(new_alive) == len(alive):
+            # degree filtering can only shrink the set: equal size = fixpoint
+            alive = new_alive
+            break
+        alive = new_alive
+        if len(alive) == 0:
+            break
+
+    if alive is None or len(alive) == 0:
+        return pd.DataFrame(
+            {"node": np.array([], dtype=np.int64), "deg": np.array([], dtype=np.int64)}
+        )
+    out = deg[deg["node"].isin(alive)].copy()
+    out["deg"] = out["deg"].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)

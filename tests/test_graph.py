@@ -171,3 +171,41 @@ def test_multi_source_bfs_matches_single_source(ray_session):
         single = bfs_levels(ds, s, max_depth=4)
         got = multi[multi["source"] == s][["node", "dist"]].reset_index(drop=True)
         assert got.equals(single[["node", "dist"]].sort_values(["dist", "node"]).reset_index(drop=True)), s
+
+
+def test_kcore_peel_matches_brute_fixpoint(ray_session):
+    """When the peel converges within the round budget it equals the true
+    k-core: parity with an explicit sequential peel."""
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.graph import kcore_peel
+
+    rng = np.random.default_rng(7)
+    edges = set()
+    while len(edges) < 300:
+        a, b = rng.integers(0, 60, size=2)
+        if a != b:
+            edges.add((int(min(a, b)), int(max(a, b))))
+    # brute sequential peel to the true 4-core
+    alive = {v for e in edges for v in e}
+    while True:
+        deg = {}
+        for a, b in edges:
+            if a in alive and b in alive:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+        nxt = {v for v in alive if deg.get(v, 0) >= 4}
+        if nxt == alive:
+            break
+        alive = nxt
+    want = {v: deg[v] for v in alive}
+
+    ds = rd.from_pandas(
+        pd.DataFrame({"item_a": [a for a, _ in edges], "item_b": [b for _, b in edges]})
+    )
+    got = kcore_peel(ds, k=4, rounds=64)
+    assert dict(zip(got["node"], got["deg"])) == want
+
+    # k larger than any degree: empty core, stable schema
+    empty = kcore_peel(ds, k=1000, rounds=8)
+    assert len(empty) == 0 and list(empty.columns) == ["node", "deg"]
