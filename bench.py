@@ -252,6 +252,17 @@ SUITE = [
     "lang_doc_quota_allocation",
     "ivm_orders_view_after_cdc",
     "value_quantile_normalization_map",
+    "topk_similar_doc_pairs",
+    "part_clustering_coefficients",
+    "event_type_unpivot_totals",
+    "docs_global_row_numbers",
+    "part_bfs_distances",
+    "part_weighted_sssp",
+    "hourly_watermark_lateness",
+    "part_subtree_totals",
+    "ingest_similar_pairs_rs",
+    "part_harmonic_centrality",
+    "part_kcore_members",
 ]
 
 
