@@ -1568,3 +1568,55 @@ def part_kcore_members(sf_dir: str):
     )
     edges = distinct_pairs(li, "l_orderkey", "l_partkey")
     return kcore_peel(edges, k=20, rounds=8)
+
+
+@q(
+    "weighted_value_quantiles_per_type",
+    sql="""
+    WITH w AS (SELECT event_type, value, CAST((user_id % 7) + 1 AS BIGINT) AS wt
+               FROM events WHERE value IS NOT NULL),
+    g AS (SELECT event_type, value, CAST(sum(wt) AS BIGINT) AS w
+          FROM w GROUP BY event_type, value),
+    c AS (SELECT event_type, value, w,
+                 sum(w) OVER (PARTITION BY event_type ORDER BY value
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+                 sum(w) OVER (PARTITION BY event_type) AS tot
+          FROM g)
+    SELECT event_type, CAST(qn AS BIGINT) AS q_num, CAST(qd AS BIGINT) AS q_den,
+           min(value) AS wq
+    FROM c CROSS JOIN (VALUES (1, 4), (1, 2), (3, 4), (9, 10)) AS qq(qn, qd)
+    WHERE cum * qd >= qn * tot
+    GROUP BY event_type, qn, qd ORDER BY event_type, q_den, q_num
+    """,
+)
+def weighted_value_quantiles_per_type(sf_dir: str):
+    """Exact GROUPED weighted quantiles (q in {1/4, 1/2, 3/4, 9/10}) of
+    event value per type, weight = (user_id % 7) + 1 — the
+    importance-weighted percentile a sampling-weighted corpus needs. Lower
+    weighted quantile rule as pure int64 comparisons (cum*den >= num*tot),
+    the returned value is a data value: bitwise-exact vs the cumulative-
+    window oracle. Distributed via distinct-(key,value) weight partials +
+    one key-keyed groupby scan (stages/quantiles.weighted_grouped_quantiles)."""
+    import polars as pl
+
+    from perfect_bloomfilter_ray.stages.quantiles import weighted_grouped_quantiles
+
+    ds = _t(sf_dir, "events", ["event_type", "user_id", "value"])
+
+    def add_weight(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "value": t.column("value"),
+                "wt": pa.array((uid % 7) + 1),
+            }
+        )
+
+    return weighted_grouped_quantiles(
+        ds.map_batches(add_weight, batch_format="pyarrow"),
+        "event_type",
+        "value",
+        "wt",
+        qs=[(1, 4), (1, 2), (3, 4), (9, 10)],
+    )

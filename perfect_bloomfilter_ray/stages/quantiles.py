@@ -793,3 +793,79 @@ def ks_group_vs_rest(
             "ks_num": [int(parts[f"g{i}"].max()) for i in range(G)],
         }
     )
+
+
+def weighted_grouped_quantiles(
+    ds: Dataset,
+    key_col: str,
+    value_col: str,
+    weight_col: str,
+    qs: list[tuple[int, int]],
+) -> pd.DataFrame:
+    """EXACT weighted lower quantiles per group, for integer weights:
+    wq(q) = min{ v : cumweight(<= v) * q_den >= q_num * totalweight } —
+    every comparison is pure int64, the returned value is a data value, so
+    the result is bitwise reproducible and matches a SQL cumulative-window
+    oracle exactly.
+
+    Scale shape: each batch collapses to distinct ``(key, value) -> weight
+    sum`` partials (the only corpus-sized exchange is distinct-pair wide),
+    one key-keyed groupby co-locates a group's distinct values, and the
+    cumulative scan is a vectorized sort+cumsum+searchsorted inside the
+    group. ``qs`` are exact rationals (num, den).
+    """
+    import polars as pl
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t.select([key_col, value_col, weight_col]))
+            .drop_nulls([value_col])
+            .group_by([key_col, value_col])
+            .agg(pl.col(weight_col).sum().cast(pl.Int64).alias("_w"))
+            .to_arrow()
+        )
+
+    def per_key(t: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(t.select([key_col, value_col, "_w"]))
+            .group_by(value_col)
+            .agg(pl.col("_w").sum())
+            .sort(value_col)
+        )
+        v = df[value_col].to_numpy()
+        cum = np.cumsum(df["_w"].to_numpy().astype(np.int64))
+        tot = int(cum[-1]) if len(cum) else 0
+        if tot == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], t.schema.field(key_col).type),
+                    "q_num": pa.array([], pa.int64()),
+                    "q_den": pa.array([], pa.int64()),
+                    "wq": pa.array([], t.schema.field(value_col).type),
+                }
+            )
+        keys, nums, dens, vals = [], [], [], []
+        for qn, qd in qs:
+            # first index where cum * qd >= qn * tot (int64-exact)
+            pos = int(np.searchsorted(cum * qd, qn * tot, side="left"))
+            pos = min(pos, len(v) - 1)
+            keys.append(t.column(key_col)[0].as_py())
+            nums.append(qn)
+            dens.append(qd)
+            vals.append(v[pos])
+        return pa.table(
+            {
+                key_col: pa.array(keys, t.schema.field(key_col).type),
+                "q_num": pa.array(nums, pa.int64()),
+                "q_den": pa.array(dens, pa.int64()),
+                "wq": pa.array(np.array(vals)),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .map_groups(per_key, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values([key_col, "q_den", "q_num"]).reset_index(drop=True)

@@ -404,3 +404,38 @@ def test_spearman_matches_bruteforce(ray_session):
     m = df.dropna()
     exp = m["x"].rank().corr(m["y"].rank())  # pandas midranks Pearson
     assert res["rho"] == pytest.approx(exp, abs=1e-12)
+
+
+def test_weighted_grouped_quantiles_bruteforce(ray_session):
+    """Exact weighted lower quantiles per group vs an O(n log n) driver
+    reference, including duplicate values and single-row groups."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.quantiles import weighted_grouped_quantiles
+
+    rng = np.random.default_rng(17)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b", "c"], n),
+            "v": rng.integers(0, 50, n).astype("float64"),  # heavy ties
+            "w": rng.integers(1, 9, n).astype("int64"),
+        }
+    )
+    df = pd.concat(
+        [df, pd.DataFrame({"k": ["solo"], "v": [3.5], "w": [2]})], ignore_index=True
+    )
+    qs = [(1, 4), (1, 2), (9, 10)]
+    got = weighted_grouped_quantiles(rd.from_pandas(df), "k", "v", "w", qs)
+
+    for k, grp in df.groupby("k"):
+        g = grp.groupby("v", as_index=False)["w"].sum().sort_values("v")
+        cum = g["w"].cumsum().to_numpy()
+        tot = int(cum[-1])
+        for qn, qd in qs:
+            pos = int(np.searchsorted(cum * qd, qn * tot, side="left"))
+            want = float(g["v"].to_numpy()[min(pos, len(g) - 1)])
+            row = got[(got["k"] == k) & (got["q_num"] == qn) & (got["q_den"] == qd)]
+            assert len(row) == 1 and float(row["wq"].iloc[0]) == want, (k, qn, qd)
