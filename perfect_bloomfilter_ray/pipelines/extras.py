@@ -1620,3 +1620,87 @@ def weighted_value_quantiles_per_type(sf_dir: str):
         "wt",
         qs=[(1, 4), (1, 2), (3, 4), (9, 10)],
     )
+
+
+@q(
+    "value_gini_per_type",
+    sql="""
+    WITH w AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+               FROM events WHERE value IS NOT NULL),
+    r AS (SELECT event_type, cents,
+                 row_number() OVER (PARTITION BY event_type ORDER BY cents) AS i,
+                 count(*) OVER (PARTITION BY event_type) AS n,
+                 sum(cents) OVER (PARTITION BY event_type) AS tot
+          FROM w)
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n,
+           CAST(max(tot) AS BIGINT) AS total_cents,
+           CAST(2 * sum(i * cents) - (max(n) + 1) * max(tot) AS BIGINT) AS gini_num,
+           CAST(max(n) * max(tot) AS BIGINT) AS gini_den,
+           CAST(2 * sum(i * cents) - (max(n) + 1) * max(tot) AS DOUBLE)
+             / (max(n) * max(tot)) AS gini
+    FROM r GROUP BY event_type ORDER BY event_type
+    """,
+)
+def value_gini_per_type(sf_dir: str):
+    """Exact grouped Gini coefficient of event value (integer cents) — the
+    inequality/concentration audit for spend or token-budget distributions.
+    G = (2*Σ i*w_i - (n+1)*Σw) / (n*Σw) over ascending-sorted values; ties
+    make the rank-weighted sum permutation-invariant, so the statistic is
+    an exact int64 numerator/denominator. Distributed: distinct
+    (type, cents) count partials (the only corpus-wide exchange), then one
+    type-keyed scan turns each distinct value's rank BLOCK into a closed
+    form (cents * (cnt*before + cnt*(cnt+1)/2)) — no per-row ranks, no
+    global sort. The final gini is one IEEE division of the exact ints."""
+    import polars as pl
+
+    ds = _t(sf_dir, "events", ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select(["event_type", "value"])).drop_nulls("value")
+        return (
+            df.with_columns(
+                (pl.col("value") * 100).round(0).cast(pl.Int64).alias("cents")
+            )
+            .group_by(["event_type", "cents"])
+            .len(name="cnt")
+            .with_columns(pl.col("cnt").cast(pl.Int64))
+            .select(["event_type", "cents", "cnt"])
+            .to_arrow()
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(t.select(["event_type", "cents", "cnt"]))
+            .group_by("cents")
+            .agg(pl.col("cnt").sum())
+            .sort("cents")
+        )
+        cents = df["cents"].to_numpy().astype(np.int64)
+        cnt = df["cnt"].to_numpy().astype(np.int64)
+        n = int(cnt.sum())
+        tot = int((cents * cnt).sum())
+        before = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+        s = int((cents * (cnt * before + cnt * (cnt + 1) // 2)).sum())
+        num = 2 * s - (n + 1) * tot
+        den = n * tot
+        return pa.table(
+            {
+                "event_type": t.column("event_type").slice(0, 1),
+                "n": pa.array([n], pa.int64()),
+                "total_cents": pa.array([tot], pa.int64()),
+                "gini_num": pa.array([num], pa.int64()),
+                "gini_den": pa.array([den], pa.int64()),
+                "gini": pa.array([num / den], pa.float64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(finish, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    return out
