@@ -191,19 +191,45 @@ def ppjoin_pairs(
     )
 
     # a pair sharing several prefix tokens verifies in several buckets with
-    # identical numbers — collapse to one row
-    def first_row(t: pa.Table) -> pa.Table:
-        return t.slice(0, 1)
+    # identical numbers — collapse to one row. Coarse hash(pair) partitions +
+    # per-partition unique, NOT a per-pair groupby (the distinct_pairs
+    # 3x lesson: Ray's sort-based aggregate pays for ordering a pair space
+    # that a set union never needs).
+    return _dedup_pair_rows(verified, "id_a", "id_b", nb)
 
-    return verified.groupby(["id_a", "id_b"]).map_groups(first_row, batch_format="pyarrow")
 
-
-__all__ = ["ppjoin_pairs"]
+__all__ = ["ppjoin_pairs", "ppjoin_pairs_rs"]
 
 
 def _prefix_len(n: int, t: float) -> int:
     """Reference prefix length (exposed for tests)."""
     return n - math.ceil(t * n) + 1
+
+
+def _dedup_pair_rows(verified: Dataset, a_col: str, b_col: str, nb: int) -> Dataset:
+    """Collapse duplicate pair rows (identical across every column) via a
+    coarse hash(pair) partition + per-partition ``unique``."""
+    from perfect_bloomfilter_ray.functions.hashing import hash64
+
+    def route_pair(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        h = hash64(df[a_col], 0xE1A) * _U64(0x9E3779B97F4A7C15) + hash64(df[b_col], 0xE2B)
+        return df.with_columns(
+            pl.Series("_part", (h % _U64(nb)).astype(np.int32))
+        ).to_arrow()
+
+    def uniq(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t.drop_columns(["_part"]))
+            .unique(subset=[a_col, b_col])
+            .to_arrow()
+        )
+
+    return (
+        verified.map_batches(route_pair, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(uniq, batch_format="pyarrow")
+    )
 
 
 def ppjoin_pairs_rs(
@@ -364,12 +390,7 @@ def ppjoin_pairs_rs(
         .map_groups(verify_block, batch_format="pyarrow")
     )
 
-    def first_row(t: pa.Table) -> pa.Table:
-        return t.slice(0, 1)
-
-    out = verified.groupby(["id_r", "id_s"]).map_groups(
-        first_row, batch_format="pyarrow"
-    ).materialize()
+    out = _dedup_pair_rows(verified, "id_r", "id_s", nb).materialize()
     if out.count() == 0:
         # zero qualifying pairs: a grouped-empty Dataset loses its schema —
         # hand back the typed empty table instead
