@@ -285,6 +285,7 @@ def quantize_embeddings(
     dim: int,
     code_col: str = "qvec",
     scale_col: str = "qscale",
+    precision: str = "f32",
 ) -> Dataset:
     """Per-vector symmetric int8 scalar quantization: ``code = round(v /
     scale)`` with ``scale = max|v| / 127``, appended as a
@@ -293,13 +294,28 @@ def quantize_embeddings(
     storage/shuffle cost, and int8 codes keep brute-force scans
     memory-bandwidth-bound instead of capacity-bound. Zero vectors quantize
     to all-zero codes with scale 0.
+
+    ``precision="f64"`` computes scale and ratio in float64 and rounds
+    HALF-AWAY-FROM-ZERO — bit-identical to SQL ``round(x / s)``, the mode
+    the exact oracle twin uses (f32 + numpy half-even is the bandwidth
+    mode; the codes differ only where a ratio lands within one ulp of a
+    .5 boundary).
     """
 
     def q(t: pa.Table) -> pa.Table:
         v = _vecs_of(t, vec_col, dim)
+        if precision == "f64":
+            v = v.astype(np.float64)
         scale = np.abs(v).max(axis=1) / 127.0 if len(v) else np.empty(0, np.float32)
         safe = np.where(scale > 0, scale, 1.0)
-        codes = np.clip(np.round(v / safe[:, None]), -127, 127).astype(np.int8) if len(v) else np.empty((0, dim), np.int8)
+        if len(v) == 0:
+            codes = np.empty((0, dim), np.int8)
+        elif precision == "f64":
+            z = v / safe[:, None]
+            away = np.where(z >= 0, np.floor(z + 0.5), np.ceil(z - 0.5))
+            codes = np.clip(away, -127, 127).astype(np.int8)
+        else:
+            codes = np.clip(np.round(v / safe[:, None]), -127, 127).astype(np.int8)
         arr = pa.FixedSizeListArray.from_arrays(pa.array(codes.ravel(), pa.int8()), dim)
         return t.append_column(code_col, arr).append_column(
             scale_col, pa.array(scale.astype(np.float32))
