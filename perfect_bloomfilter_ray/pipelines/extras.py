@@ -1776,3 +1776,56 @@ def ann_topk_quantized_exact(sf_dir: str):
         .head(10)
         .reset_index(drop=True)
     )
+
+
+@q("compression_filter_stats")
+def compression_filter_stats(sf_dir: str):
+    """Compression-ratio quality filter (RefinedWeb/Gopher family): zlib
+    ratio per document, keep if >= 0.25 — repetitive boilerplate compresses
+    far below natural text. No SQL oracle (zlib is not SQL-expressible);
+    the contract is pinned by an exact pytest that recomputes every byte
+    count driver-side, and all outputs are pure int64 byte/count sums.
+    stages/quality.compression_filter."""
+    import polars as pl
+    import zlib
+
+    from perfect_bloomfilter_ray.stages.quality import compression_filter
+
+    ds = compression_filter(_t(sf_dir, "documents", ["doc_id", "text", "lang"]))
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select(["lang", "text", "comp_keep"]))
+        texts = df["text"].fill_null("").to_list()
+        raw = np.array([len(s.encode("utf-8")) for s in texts], dtype=np.int64)
+        comp = np.array(
+            [len(zlib.compress(s.encode("utf-8"), 6)) if s else 0 for s in texts],
+            dtype=np.int64,
+        )
+        return (
+            df.with_columns(pl.Series("raw", raw), pl.Series("comp", comp))
+            .group_by("lang")
+            .agg(
+                pl.len().cast(pl.Int64).alias("n_docs"),
+                pl.col("comp_keep").sum().cast(pl.Int64).alias("n_kept"),
+                pl.col("raw").sum().alias("raw_bytes"),
+                pl.col("comp").sum().alias("comp_bytes"),
+            )
+            .to_arrow()
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_kept", alias_name="n_kept"),
+            Sum("raw_bytes", alias_name="raw_bytes"),
+            Sum("comp_bytes", alias_name="comp_bytes"),
+        )
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    for c in ("n_docs", "n_kept", "raw_bytes", "comp_bytes"):
+        out[c] = out[c].astype("int64")
+    return out

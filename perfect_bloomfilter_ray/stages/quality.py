@@ -131,3 +131,43 @@ def gopher_filter(
         return t
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def compression_ratio(texts, level: int = 6) -> np.ndarray:
+    """zlib-compressed length / raw utf-8 length per text (the
+    RefinedWeb/Gopher-family repetitiveness signal: boilerplate and
+    near-duplicate padding compress far below natural prose). Deterministic
+    for a fixed zlib version + level. Returns float64; empty/null texts
+    get ratio 1.0."""
+    import zlib
+
+    out = np.ones(len(texts), dtype=np.float64)
+    for i, s in enumerate(texts):
+        if s:
+            raw = s.encode("utf-8")
+            if raw:
+                out[i] = len(zlib.compress(raw, level)) / len(raw)
+    return out
+
+
+def compression_filter(
+    ds,
+    text_col: str = "text",
+    min_ratio: float = 0.25,
+    level: int = 6,
+    out_col: str = "comp_ratio",
+):
+    """Append the per-doc compression ratio and a keep flag (ratio >=
+    min_ratio drops pathologically repetitive documents). Shuffle-free
+    map_batches; the zlib loop is per-string C work, the same altitude as
+    the PII regex chain."""
+    import polars as pl
+
+    def fn(t: pa.Table) -> pa.Table:
+        texts = pl.from_arrow(t.select([text_col]))[text_col].fill_null("").to_list()
+        r = compression_ratio(texts, level)
+        return t.append_column(out_col, pa.array(r)).append_column(
+            "comp_keep", pa.array(r >= min_ratio)
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -142,3 +142,44 @@ def test_validate_rules_bruteforce(ray_session):
     df2 = pd.DataFrame({"id": [1.0, None, None, 2.0]})
     out2 = validate_rules(rd.from_pandas(df2), [{"rule": "unique", "col": "id"}])
     assert out2["n_violations"][0] == 2
+
+
+def test_compression_filter_stats_exact(ray_session):
+    """Rows-only query contract: every byte count and keep decision equals
+    a driver-side zlib recompute at sf0.01."""
+    import zlib
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from perfect_bloomfilter_ray.pipelines.extras import compression_filter_stats
+
+    got = compression_filter_stats("/root/testdata/sf0.01")
+    src = pq.read_table(
+        "/root/testdata/sf0.01/documents.parquet", columns=["text", "lang"]
+    ).to_pandas()
+    rows = []
+    for lang, grp in src.groupby("lang"):
+        raws = [(s or "").encode("utf-8") for s in grp["text"]]
+        comps = [len(zlib.compress(r, 6)) if r else 0 for r in raws]
+        ratios = [c / len(r) if r else 1.0 for c, r in zip(comps, raws)]
+        rows.append(
+            {
+                "lang": lang,
+                "n_docs": len(grp),
+                "n_kept": sum(x >= 0.25 for x in ratios),
+                "raw_bytes": sum(len(r) for r in raws),
+                "comp_bytes": sum(comps),
+            }
+        )
+    want = pd.DataFrame(rows).sort_values("lang").reset_index(drop=True)
+    assert got.astype("object").equals(want.astype("object")), (got, want)
+
+
+def test_compression_ratio_discriminates(ray_session):
+    from perfect_bloomfilter_ray.stages.quality import compression_ratio
+
+    natural = "the quick brown fox jumps over the lazy dog and keeps running far"
+    repetitive = "spam " * 200
+    r = compression_ratio([natural * 3, repetitive, "", None])
+    assert r[0] > 0.3 and r[1] < 0.1 and r[2] == 1.0 and r[3] == 1.0
