@@ -1829,3 +1829,72 @@ def compression_filter_stats(sf_dir: str):
     for c in ("n_docs", "n_kept", "raw_bytes", "comp_bytes"):
         out[c] = out[c].astype("int64")
     return out
+
+
+@q(
+    "nullable_key_group_counts",
+    sql="""
+    WITH b AS (SELECT COALESCE(CAST(NULLIF(CAST(json_extract_string(props, '$.k') AS BIGINT) % 7, 0) AS VARCHAR), 'NULL') AS bucket,
+                      user_id
+               FROM events)
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+)
+def nullable_key_group_counts(sf_dir: str):
+    """NULL-key grouping semantics: a derived nullable bucket (NULLIF makes
+    k%7==0 a NULL group) grouped WITH its null group — SQL's GROUP BY
+    treats all NULLs as one group and the engine must agree. Exercised via
+    per-batch polars partials (polars keeps null groups) + pair-distinct
+    user counts; the null group stringifies to 'NULL' on both sides so the
+    comparison dtype stays stable."""
+    import polars as pl
+
+    ds = _t(sf_dir, "events", ["props", "user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select(["props", "user_id"]))
+        k = df["props"].str.json_path_match(r"$.k").cast(pl.Int64)
+        bucket = (k % 7).replace(0, None)
+        return (
+            df.with_columns(
+                bucket.cast(pl.Utf8).fill_null("NULL").alias("bucket")
+            )
+            .group_by(["bucket", "user_id"])
+            .len(name="pc")
+            .with_columns(pl.col("pc").cast(pl.Int64))
+            .to_arrow()
+        )
+
+    pairs = (
+        _t(sf_dir, "events", ["props", "user_id"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["bucket", "user_id"])
+        .aggregate(Sum("pc", alias_name="cnt"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(t.select(["bucket", "cnt"]))
+        return (
+            df.group_by("bucket")
+            .agg(
+                pl.col("cnt").sum().alias("n"),
+                pl.len().cast(pl.Int64).alias("n_users"),
+            )
+            .to_arrow()
+        )
+
+    out = (
+        pairs.groupby("bucket")
+        .map_groups(finish, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    out["n"] = out["n"].astype("int64")
+    out["n_users"] = out["n_users"].astype("int64")
+    return out[["bucket", "n", "n_users"]]
