@@ -535,6 +535,7 @@ def bfs_levels(
     a_col: str = "item_a",
     b_col: str = "item_b",
     max_depth: int = 6,
+    local_max_edges: int = 2_000_000,
 ) -> pd.DataFrame:
     """Single-source BFS levels (unweighted shortest paths) over an
     undirected edge list: one distributed edge scan per round. The frontier
@@ -546,6 +547,11 @@ def bfs_levels(
     corpus-cardinality node sets swap in ``pagerank_dataset``'s tagged
     co-partitioned join shape.
 
+    Edge lists at or below ``local_max_edges`` take a LOCAL fast path —
+    the identical round logic over driver-held arrays (a tiny graph pays
+    more in per-round scheduling than in compute; the same size-gated
+    small-side rule as every broadcast join here). Results are identical.
+
     Returns ``(node, dist)`` for every node reachable within
     ``max_depth`` (the source at dist 0), sorted by (dist, node).
     """
@@ -553,6 +559,11 @@ def bfs_levels(
     from ray.data.aggregate import Count
 
     edges = edges.materialize()
+    local = edges.count() <= local_max_edges
+    if local:
+        _df = edges.to_pandas()
+        la = _df[a_col].to_numpy().astype(np.int64)
+        lb = _df[b_col].to_numpy().astype(np.int64)
 
     def _members(sorted_arr: np.ndarray, vals: np.ndarray) -> np.ndarray:
         if len(sorted_arr) == 0 or len(vals) == 0:
@@ -567,24 +578,32 @@ def bfs_levels(
     dist_out = [np.zeros(1, dtype=np.int64)]
 
     for d in range(1, max_depth + 1):
-        f_ref = ray.put(np.sort(frontier))
+        f_sorted = np.sort(frontier)
+        if local:
+            cand_nodes = np.unique(
+                np.concatenate([lb[_members(f_sorted, la)], la[_members(f_sorted, lb)]])
+            )
+        else:
+            f_ref = ray.put(f_sorted)
 
-        def nbrs(t: pa.Table, _f=f_ref) -> pa.Table:
-            f: np.ndarray = ray.get(_f)
-            a = t.column(a_col).to_numpy(zero_copy_only=False).astype(np.int64)
-            b = t.column(b_col).to_numpy(zero_copy_only=False).astype(np.int64)
-            cand = np.unique(np.concatenate([b[_members(f, a)], a[_members(f, b)]]))
-            return pa.table({"node": pa.array(cand)})
+            def nbrs(t: pa.Table, _f=f_ref) -> pa.Table:
+                f: np.ndarray = ray.get(_f)
+                a = t.column(a_col).to_numpy(zero_copy_only=False).astype(np.int64)
+                b = t.column(b_col).to_numpy(zero_copy_only=False).astype(np.int64)
+                cand = np.unique(np.concatenate([b[_members(f, a)], a[_members(f, b)]]))
+                return pa.table({"node": pa.array(cand)})
 
-        cand = (
-            edges.map_batches(nbrs, batch_format="pyarrow")
-            .groupby("node")
-            .aggregate(Count(alias_name="_c"))
-            .to_pandas()
-        )
-        if len(cand) == 0:
+            cand = (
+                edges.map_batches(nbrs, batch_format="pyarrow")
+                .groupby("node")
+                .aggregate(Count(alias_name="_c"))
+                .to_pandas()
+            )
+            if len(cand) == 0:
+                break
+            cand_nodes = cand["node"].to_numpy().astype(np.int64)
+        if len(cand_nodes) == 0:
             break
-        cand_nodes = cand["node"].to_numpy().astype(np.int64)
         new = cand_nodes[~_members(visited, cand_nodes)]
         if len(new) == 0:
             break
@@ -606,6 +625,7 @@ def sssp_bellman_ford(
     b_col: str = "item_b",
     w_col: str = "w",
     max_dist: int = 12,
+    local_max_edges: int = 2_000_000,
 ) -> pd.DataFrame:
     """Single-source shortest paths with positive INTEGER edge weights
     (undirected), by distributed Bellman-Ford frontier relaxation: each
@@ -616,13 +636,32 @@ def sssp_bellman_ford(
     weight <= max_dist has <= max_dist edges); nodes whose true distance
     exceeds ``max_dist`` are excluded — the same truncation contract as the
     recursive-CTE oracle. Node-dimension driver state (bounded-node
-    contract, see ``bfs_levels``). Returns ``(node, dist)`` sorted by
-    (dist, node)."""
+    contract, see ``bfs_levels``); edge lists at or below
+    ``local_max_edges`` run the identical rounds over driver-held arrays
+    (see ``bfs_levels``). Returns ``(node, dist)`` sorted by (dist, node)."""
     import polars as pl
     import ray
     from ray.data.aggregate import Min
 
     edges = edges.materialize()
+    local = edges.count() <= local_max_edges
+    if local:
+        _df = edges.to_pandas()
+        la = _df[a_col].to_numpy().astype(np.int64)
+        lb = _df[b_col].to_numpy().astype(np.int64)
+        lw = _df[w_col].to_numpy().astype(np.int64)
+
+    def _relax_arrays(fn, fd, a, b, w):
+        outs = []
+        for u, v in ((a, b), (b, a)):
+            idx = np.searchsorted(fn, u)
+            idx[idx >= len(fn)] = len(fn) - 1
+            m = fn[idx] == u
+            outs.append((v[m], fd[idx[m]] + w[m]))
+        return (
+            np.concatenate([o[0] for o in outs]),
+            np.concatenate([o[1] for o in outs]),
+        )
 
     dist_nodes = np.array([src], dtype=np.int64)
     dist_vals = np.array([0], dtype=np.int64)
@@ -630,38 +669,44 @@ def sssp_bellman_ford(
 
     for _ in range(max_dist):
         order = np.argsort(frontier_nodes)
-        f_ref = ray.put((frontier_nodes[order], frontier_vals[order]))
-
-        def relax(t: pa.Table, _f=f_ref) -> pa.Table:
-            fn, fd = ray.get(_f)
-            a = t.column(a_col).to_numpy(zero_copy_only=False).astype(np.int64)
-            b = t.column(b_col).to_numpy(zero_copy_only=False).astype(np.int64)
-            w = t.column(w_col).to_numpy(zero_copy_only=False).astype(np.int64)
-            outs = []
-            for u, v in ((a, b), (b, a)):
-                idx = np.searchsorted(fn, u)
-                idx[idx >= len(fn)] = len(fn) - 1
-                m = fn[idx] == u
-                outs.append((v[m], fd[idx[m]] + w[m]))
-            node = np.concatenate([o[0] for o in outs])
-            d = np.concatenate([o[1] for o in outs])
-            return (
-                pl.DataFrame({"node": node, "d": d})
-                .group_by("node")
-                .agg(pl.col("d").min())
-                .to_arrow()
+        fn_s, fd_s = frontier_nodes[order], frontier_vals[order]
+        if local:
+            node, dv = _relax_arrays(fn_s, fd_s, la, lb, lw)
+            if len(node) == 0:
+                break
+            so = np.argsort(node)
+            node, dv = node[so], dv[so]
+            starts = np.flatnonzero(
+                np.concatenate([[True], node[1:] != node[:-1]])
             )
+            cn = node[starts]
+            cd = np.minimum.reduceat(dv, starts)
+        else:
+            f_ref = ray.put((fn_s, fd_s))
 
-        cand = (
-            edges.map_batches(relax, batch_format="pyarrow")
-            .groupby("node")
-            .aggregate(Min("d", alias_name="d"))
-            .to_pandas()
-        )
-        if len(cand) == 0:
-            break
-        cn = cand["node"].to_numpy().astype(np.int64)
-        cd = cand["d"].to_numpy().astype(np.int64)
+            def relax(t: pa.Table, _f=f_ref) -> pa.Table:
+                fn, fd = ray.get(_f)
+                a = t.column(a_col).to_numpy(zero_copy_only=False).astype(np.int64)
+                b = t.column(b_col).to_numpy(zero_copy_only=False).astype(np.int64)
+                w = t.column(w_col).to_numpy(zero_copy_only=False).astype(np.int64)
+                node, d = _relax_arrays(fn, fd, a, b, w)
+                return (
+                    pl.DataFrame({"node": node, "d": d})
+                    .group_by("node")
+                    .agg(pl.col("d").min())
+                    .to_arrow()
+                )
+
+            cand = (
+                edges.map_batches(relax, batch_format="pyarrow")
+                .groupby("node")
+                .aggregate(Min("d", alias_name="d"))
+                .to_pandas()
+            )
+            if len(cand) == 0:
+                break
+            cn = cand["node"].to_numpy().astype(np.int64)
+            cd = cand["d"].to_numpy().astype(np.int64)
         keep = cd <= max_dist
         cn, cd = cn[keep], cd[keep]
         # merge: improved = candidate strictly better than current (or new)
@@ -694,13 +739,16 @@ def multi_source_bfs(
     a_col: str = "item_a",
     b_col: str = "item_b",
     max_depth: int = 6,
+    local_max_edges: int = 2_000_000,
 ) -> pd.DataFrame:
     """BFS levels from up to 63 sources SIMULTANEOUSLY: each node's visited
     set is one int64 bitmask, so every round is still ONE distributed edge
     scan (per-block bitwise-OR partials by node, one node-keyed groupby-OR)
     no matter how many sources — the shape that makes exact closeness /
     harmonic centrality over a source sample affordable. Node-dimension
-    driver state (bounded-node contract, see ``bfs_levels``).
+    driver state (bounded-node contract, see ``bfs_levels``); edge lists
+    at or below ``local_max_edges`` run the identical rounds over
+    driver-held arrays (see ``bfs_levels``).
 
     Returns long-form ``(source, node, dist)`` — one row per source that
     reaches ``node`` within ``max_depth`` (dist 0 rows included), sorted.
@@ -713,6 +761,11 @@ def multi_source_bfs(
     n_src = len(src_arr)
 
     edges = edges.materialize()
+    local = edges.count() <= local_max_edges
+    if local:
+        _df = edges.to_pandas()
+        la = _df[a_col].to_numpy().astype(np.int64)
+        lb = _df[b_col].to_numpy().astype(np.int64)
 
     def _or_reduce(nodes: np.ndarray, masks: np.ndarray):
         order = np.argsort(nodes)
@@ -730,46 +783,54 @@ def multi_source_bfs(
     out_node = [src_arr.copy()]
     out_dist = [np.zeros(n_src, dtype=np.int64)]
 
+    def _spread_arrays(fn, fm, a, b):
+        tgt, msk = [], []
+        for u, v in ((a, b), (b, a)):
+            idx = np.searchsorted(fn, u)
+            idx[idx >= len(fn)] = len(fn) - 1
+            m = fn[idx] == u
+            tgt.append(v[m])
+            msk.append(fm[idx[m]])
+        return np.concatenate(tgt), np.concatenate(msk)
+
     for d in range(1, max_depth + 1):
-        ref = ray.put((f_nodes, f_mask))
-
-        def spread(t: pa.Table, _f=ref) -> pa.Table:
-            fn, fm = ray.get(_f)
-            a = t.column(a_col).to_numpy(zero_copy_only=False).astype(np.int64)
-            b = t.column(b_col).to_numpy(zero_copy_only=False).astype(np.int64)
-            tgt, msk = [], []
-            for u, v in ((a, b), (b, a)):
-                idx = np.searchsorted(fn, u)
-                idx[idx >= len(fn)] = len(fn) - 1
-                m = fn[idx] == u
-                tgt.append(v[m])
-                msk.append(fm[idx[m]])
-            nodes = np.concatenate(tgt)
-            masks = np.concatenate(msk)
+        if local:
+            nodes, masks = _spread_arrays(f_nodes, f_mask, la, lb)
             if len(nodes) == 0:
-                return pa.table(
-                    {"node": pa.array([], pa.int64()), "m": pa.array([], pa.int64())}
+                break
+            an, am = _or_reduce(nodes, masks)
+        else:
+            ref = ray.put((f_nodes, f_mask))
+
+            def spread(t: pa.Table, _f=ref) -> pa.Table:
+                fn, fm = ray.get(_f)
+                a = t.column(a_col).to_numpy(zero_copy_only=False).astype(np.int64)
+                b = t.column(b_col).to_numpy(zero_copy_only=False).astype(np.int64)
+                nodes, masks = _spread_arrays(fn, fm, a, b)
+                if len(nodes) == 0:
+                    return pa.table(
+                        {"node": pa.array([], pa.int64()), "m": pa.array([], pa.int64())}
+                    )
+                nn, mm = _or_reduce(nodes, masks)
+                return pa.table({"node": pa.array(nn), "m": pa.array(mm)})
+
+            def or_group(t: pa.Table) -> pa.Table:
+                nn, mm = _or_reduce(
+                    t.column("node").to_numpy(zero_copy_only=False),
+                    t.column("m").to_numpy(zero_copy_only=False),
                 )
-            nn, mm = _or_reduce(nodes, masks)
-            return pa.table({"node": pa.array(nn), "m": pa.array(mm)})
+                return pa.table({"node": pa.array(nn), "m": pa.array(mm)})
 
-        def or_group(t: pa.Table) -> pa.Table:
-            nn, mm = _or_reduce(
-                t.column("node").to_numpy(zero_copy_only=False),
-                t.column("m").to_numpy(zero_copy_only=False),
+            arrived = (
+                edges.map_batches(spread, batch_format="pyarrow")
+                .groupby("node")
+                .map_groups(or_group, batch_format="pyarrow")
+                .to_pandas()
             )
-            return pa.table({"node": pa.array(nn), "m": pa.array(mm)})
-
-        arrived = (
-            edges.map_batches(spread, batch_format="pyarrow")
-            .groupby("node")
-            .map_groups(or_group, batch_format="pyarrow")
-            .to_pandas()
-        )
-        if len(arrived) == 0:
-            break
-        an = arrived["node"].to_numpy().astype(np.int64)
-        am = arrived["m"].to_numpy().astype(np.int64)
+            if len(arrived) == 0:
+                break
+            an = arrived["node"].to_numpy().astype(np.int64)
+            am = arrived["m"].to_numpy().astype(np.int64)
         idx = np.searchsorted(v_nodes, an)
         idx_c = np.clip(idx, 0, len(v_nodes) - 1)
         known = (len(v_nodes) > 0) & (v_nodes[idx_c] == an)
@@ -813,6 +874,7 @@ def kcore_peel(
     a_col: str = "item_a",
     b_col: str = "item_b",
     rounds: int = 8,
+    local_max_edges: int = 2_000_000,
 ) -> pd.DataFrame:
     """Bounded-round k-core peel over an undirected distinct edge list:
     every round keeps the nodes whose degree WITHIN the surviving subgraph
@@ -821,7 +883,9 @@ def kcore_peel(
     fixpoint (each round strictly shrinks the set or stops); the fixed
     round budget is the determinism contract shared with the unrolled SQL
     oracle. One distributed edge scan per round (alive set broadcast as a
-    sorted array, per-block degree partials, node-keyed sum). Returns
+    sorted array, per-block degree partials, node-keyed sum); edge lists
+    at or below ``local_max_edges`` run the identical rounds over
+    driver-held arrays (see ``bfs_levels``). Returns
     ``(node, deg)`` — the surviving nodes and their within-subgraph
     degrees, sorted by node."""
     import polars as pl
@@ -829,6 +893,11 @@ def kcore_peel(
     from ray.data.aggregate import Sum as _Sum
 
     edges = edges.materialize()
+    local = edges.count() <= local_max_edges
+    if local:
+        _df = edges.to_pandas()
+        la = _df[a_col].to_numpy().astype(np.int64)
+        lb = _df[b_col].to_numpy().astype(np.int64)
 
     def _members(sorted_arr: np.ndarray, vals: np.ndarray) -> np.ndarray:
         if len(sorted_arr) == 0 or len(vals) == 0:
@@ -841,29 +910,38 @@ def kcore_peel(
     deg = pd.DataFrame({"node": np.array([], dtype=np.int64), "deg": np.array([], dtype=np.int64)})
 
     for _ in range(rounds):
-        ref = ray.put(alive)
+        if local:
+            if alive is not None:
+                m = _members(alive, la) & _members(alive, lb)
+                aa, bb = la[m], lb[m]
+            else:
+                aa, bb = la, lb
+            nodes, cnts = np.unique(np.concatenate([aa, bb]), return_counts=True)
+            deg = pd.DataFrame({"node": nodes, "deg": cnts.astype(np.int64)})
+        else:
+            ref = ray.put(alive)
 
-        def degrees(t: pa.Table, _a=ref) -> pa.Table:
-            al = ray.get(_a)
-            a = t.column(a_col).to_numpy(zero_copy_only=False).astype(np.int64)
-            b = t.column(b_col).to_numpy(zero_copy_only=False).astype(np.int64)
-            if al is not None:
-                m = _members(al, a) & _members(al, b)
-                a, b = a[m], b[m]
-            return (
-                pl.DataFrame({"node": np.concatenate([a, b])})
-                .group_by("node")
-                .len(name="pd")
-                .with_columns(pl.col("pd").cast(pl.Int64))
-                .to_arrow()
+            def degrees(t: pa.Table, _a=ref) -> pa.Table:
+                al = ray.get(_a)
+                a = t.column(a_col).to_numpy(zero_copy_only=False).astype(np.int64)
+                b = t.column(b_col).to_numpy(zero_copy_only=False).astype(np.int64)
+                if al is not None:
+                    m = _members(al, a) & _members(al, b)
+                    a, b = a[m], b[m]
+                return (
+                    pl.DataFrame({"node": np.concatenate([a, b])})
+                    .group_by("node")
+                    .len(name="pd")
+                    .with_columns(pl.col("pd").cast(pl.Int64))
+                    .to_arrow()
+                )
+
+            deg = (
+                edges.map_batches(degrees, batch_format="pyarrow")
+                .groupby("node")
+                .aggregate(_Sum("pd", alias_name="deg"))
+                .to_pandas()
             )
-
-        deg = (
-            edges.map_batches(degrees, batch_format="pyarrow")
-            .groupby("node")
-            .aggregate(_Sum("pd", alias_name="deg"))
-            .to_pandas()
-        )
         keep = deg[deg["deg"] >= k]
         new_alive = np.sort(keep["node"].to_numpy().astype(np.int64))
         if alive is not None and len(new_alive) == len(alive):

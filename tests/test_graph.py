@@ -2,6 +2,7 @@
 
 import numpy as np
 import pandas as pd
+import pytest
 import pyarrow as pa
 
 
@@ -90,7 +91,8 @@ def test_pagerank_gate_delegates_above_broadcast_budget(ray_session):
     np.testing.assert_allclose(gated["rank"].to_numpy(), full["rank"].to_numpy(), rtol=1e-9)
 
 
-def test_bfs_levels_chain_cycle_disconnected(ray_session):
+@pytest.mark.parametrize("lme", [2_000_000, 0])
+def test_bfs_levels_chain_cycle_disconnected(ray_session, lme):
     """Exact BFS distances on a graph with a chain, a cycle shortcut, and a
     disconnected island; depth cap honored."""
     import ray.data as rd
@@ -102,19 +104,20 @@ def test_bfs_levels_chain_cycle_disconnected(ray_session):
     ds = rd.from_pandas(
         pd.DataFrame({"item_a": [a for a, _ in edges], "item_b": [b for _, b in edges]})
     )
-    out = bfs_levels(ds, 0, max_depth=6)
+    out = bfs_levels(ds, 0, max_depth=6, local_max_edges=lme)
     got = dict(zip(out["node"], out["dist"]))
     assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 2, 5: 1, 6: 2, 7: 3}
 
-    capped = bfs_levels(ds, 0, max_depth=1)
+    capped = bfs_levels(ds, 0, max_depth=1, local_max_edges=lme)
     assert dict(zip(capped["node"], capped["dist"])) == {0: 0, 1: 1, 5: 1}
 
     # source with no edges at all still returns itself at dist 0
-    lone = bfs_levels(ds, 42, max_depth=3)
+    lone = bfs_levels(ds, 42, max_depth=3, local_max_edges=lme)
     assert dict(zip(lone["node"], lone["dist"])) == {42: 0}
 
 
-def test_sssp_bellman_ford_exact(ray_session):
+@pytest.mark.parametrize("lme", [2_000_000, 0])
+def test_sssp_bellman_ford_exact(ray_session, lme):
     """Weighted SSSP matches a driver-side Dijkstra on a graph with a
     tempting-but-heavier direct edge, and honors the distance cap."""
     import heapq
@@ -131,7 +134,7 @@ def test_sssp_bellman_ford_exact(ray_session):
              "w": [w for _, _, w in edges]}
         )
     )
-    got = sssp_bellman_ford(ds, 0, max_dist=12)
+    got = sssp_bellman_ford(ds, 0, max_dist=12, local_max_edges=lme)
     # reference Dijkstra
     adj = {}
     for a, b, w in edges:
@@ -154,7 +157,8 @@ def test_sssp_bellman_ford_exact(ray_session):
     assert 5 not in set(got["node"])
 
 
-def test_multi_source_bfs_matches_single_source(ray_session):
+@pytest.mark.parametrize("lme", [2_000_000, 0])
+def test_multi_source_bfs_matches_single_source(ray_session, lme):
     """The bitmask multi-source BFS agrees with per-source bfs_levels on a
     graph with shortcuts, shared frontiers and an unreachable island."""
     import ray.data as rd
@@ -166,14 +170,15 @@ def test_multi_source_bfs_matches_single_source(ray_session):
         pd.DataFrame({"item_a": [a for a, _ in edges], "item_b": [b for _, b in edges]})
     )
     srcs = [0, 3, 100]
-    multi = multi_source_bfs(ds, srcs, max_depth=4)
+    multi = multi_source_bfs(ds, srcs, max_depth=4, local_max_edges=lme)
     for s in srcs:
         single = bfs_levels(ds, s, max_depth=4)
         got = multi[multi["source"] == s][["node", "dist"]].reset_index(drop=True)
         assert got.equals(single[["node", "dist"]].sort_values(["dist", "node"]).reset_index(drop=True)), s
 
 
-def test_kcore_peel_matches_brute_fixpoint(ray_session):
+@pytest.mark.parametrize("lme", [2_000_000, 0])
+def test_kcore_peel_matches_brute_fixpoint(ray_session, lme):
     """When the peel converges within the round budget it equals the true
     k-core: parity with an explicit sequential peel."""
     import ray.data as rd
@@ -203,9 +208,9 @@ def test_kcore_peel_matches_brute_fixpoint(ray_session):
     ds = rd.from_pandas(
         pd.DataFrame({"item_a": [a for a, _ in edges], "item_b": [b for _, b in edges]})
     )
-    got = kcore_peel(ds, k=4, rounds=64)
+    got = kcore_peel(ds, k=4, rounds=64, local_max_edges=lme)
     assert dict(zip(got["node"], got["deg"])) == want
 
     # k larger than any degree: empty core, stable schema
-    empty = kcore_peel(ds, k=1000, rounds=8)
+    empty = kcore_peel(ds, k=1000, rounds=8, local_max_edges=lme)
     assert len(empty) == 0 and list(empty.columns) == ["node", "deg"]
