@@ -83,3 +83,46 @@ def test_orc_roundtrip_stripe_parallel(ray_session, tmp_path):
     assert back.equals(src.to_pandas().sort_values("doc_id").reset_index(drop=True))
     # rerun overwrites the same shard names (atomic publish, no duplicates)
     assert sorted(write_orc_shards(rd.read_parquet("/root/testdata/sf0.01/documents.parquet"), str(out))) == paths
+
+
+def test_read_text_source_parity(ray_session, tmp_path):
+    """Line-delimited text source: ray.data.read_text over sharded .txt
+    files parses back to the same (doc_id, text) rows as the parquet
+    original (tab-framed, texts contain no tabs/newlines in this corpus)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    src = pq.read_table(
+        "/root/testdata/sf0.01/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    assert not src["text"].str.contains("[\t\n]", regex=True).any()
+    d = tmp_path / "txt"
+    d.mkdir()
+    for i in range(4):  # several shards: the read fans out per file
+        part = src.iloc[i::4]
+        (d / f"part-{i}.txt").write_text(
+            "".join(f"{r.doc_id}\t{r.text}\n" for r in part.itertuples())
+        )
+
+    def parse(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(t)
+        sp = df["text"].str.split_exact("\t", 1).struct.rename_fields(["id", "body"])
+        out = df.with_columns(sp.alias("s")).unnest("s")
+        return pa.table(
+            {
+                "doc_id": out["id"].cast(pl.Int64).to_arrow(),
+                "text": out["body"].to_arrow(),
+            }
+        )
+
+    got = (
+        rd.read_text(str(d))
+        .map_batches(parse, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.equals(src.sort_values("doc_id").reset_index(drop=True))
