@@ -263,6 +263,11 @@ SUITE = [
     "ingest_similar_pairs_rs",
     "part_harmonic_centrality",
     "part_kcore_members",
+    "weighted_value_quantiles_per_type",
+    "value_gini_per_type",
+    "ann_topk_quantized_exact",
+    "nullable_key_group_counts",
+    "compression_filter_stats",
 ]
 
 
