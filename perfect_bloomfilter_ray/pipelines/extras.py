@@ -1898,3 +1898,42 @@ def nullable_key_group_counts(sf_dir: str):
     out["n"] = out["n"].astype("int64")
     out["n_users"] = out["n_users"].astype("int64")
     return out[["bucket", "n", "n_users"]]
+
+
+@q(
+    "orc_roundtrip_doc_stats",
+    sql="""
+    SELECT lang, CAST(count(*) AS BIGINT) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def orc_roundtrip_doc_stats(sf_dir: str):
+    """ORC sink -> stripe-parallel ORC source under the exact-hash gate:
+    documents are written to per-block ORC shards (atomic tmp+rename, so a
+    rerun overwrites deterministically), read back with column pruning at
+    the stripe read, and aggregated — the oracle reads the parquet
+    original, so any byte lost or duplicated in the ORC path flips the
+    hash. sources/orc.py."""
+    import hashlib
+    import os
+
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.sources.orc import read_orc, write_orc_shards
+
+    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    out_dir = f"/tmp/pbr_orc_roundtrip_{tag}"
+    write_orc_shards(
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet")), out_dir
+    )
+    ds = read_orc(out_dir, columns=["lang", "n_chars"])
+    out = (
+        ds.groupby("lang")
+        .aggregate(Count(alias_name="n"), Sum("n_chars", alias_name="total_chars"))
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    out["n"] = out["n"].astype("int64")
+    out["total_chars"] = out["total_chars"].astype("int64")
+    return out[["lang", "n", "total_chars"]]
