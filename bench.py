@@ -268,6 +268,7 @@ SUITE = [
     "ann_topk_quantized_exact",
     "nullable_key_group_counts",
     "compression_filter_stats",
+    "orc_roundtrip_doc_stats",
 ]
 
 
