@@ -855,9 +855,21 @@ def ordered_running_max(
     span = max(1, omax - omin + 1)
     _sent = np.int64(np.iinfo(np.int64).min)
 
+    # width-first bucketing: (o-omin)*nb overflows int64 when the order key
+    # spans most of the int64 range (packed keys do), // width does not;
+    # above 2^62 even the subtraction can wrap, so route through float64
+    # (monotonic, and equal values always land in the same bucket — bucket
+    # BOUNDARIES only affect balance, never correctness of the scan)
+    width = max(1, span // nb)
+    huge = span > (1 << 62)
+
     def route(t: pa.Table) -> pa.Table:
         o = t.column(order_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        bkt = ((o - omin) * nb // span).astype(np.int32)
+        if huge:
+            rel = (o.astype(np.float64) - float(omin)) / float(width)
+            bkt = np.minimum(np.floor(rel), nb - 1).astype(np.int32)
+        else:
+            bkt = np.minimum((o - omin) // width, nb - 1).astype(np.int32)
         return t.append_column("_bkt", pa.array(bkt))
 
     routed = ds.map_batches(route, batch_format="pyarrow").materialize()

@@ -313,3 +313,36 @@ def test_ordered_running_max_matches_bruteforce(ray_session):
     got = out["rm"]
     assert pd.isna(got.iloc[0]) and pd.isna(want.iloc[0])
     assert np.array_equal(got.iloc[1:].to_numpy(dtype="int64"), want.iloc[1:].to_numpy(dtype="int64"))
+
+
+def test_ordered_running_max_extreme_order_range(ray_session):
+    """Order keys spanning nearly the whole int64 range must not overflow
+    the bucket routing (division-first + float fallback)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.windows import ordered_running_max
+
+    rng = np.random.default_rng(9)
+    o = np.concatenate(
+        [
+            rng.integers(-(1 << 62), -(1 << 40), 200),
+            rng.integers(1 << 40, (1 << 62) + (1 << 61), 200).astype(np.uint64).astype(np.int64),
+        ]
+    ).astype("int64")
+    df = pd.DataFrame(
+        {"o": o, "t": np.arange(len(o), dtype="int64"),
+         "v": rng.integers(-5000, 5000, len(o)).astype("int64")}
+    )
+    out = (
+        ordered_running_max(rd.from_pandas(df), "o", "t", "v", out_col="rm", num_buckets=11)
+        .to_pandas()
+        .sort_values(["o", "t"])
+        .reset_index(drop=True)
+    )
+    want = df.sort_values(["o", "t"]).reset_index(drop=True)["v"].cummax().shift(1)
+    assert pd.isna(out["rm"].iloc[0])
+    assert np.array_equal(
+        out["rm"].iloc[1:].to_numpy(dtype="int64"), want.iloc[1:].to_numpy(dtype="int64")
+    )
