@@ -269,6 +269,7 @@ SUITE = [
     "nullable_key_group_counts",
     "compression_filter_stats",
     "orc_roundtrip_doc_stats",
+    "part_ktruss_edges",
 ]
 
 

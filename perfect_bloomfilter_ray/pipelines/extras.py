@@ -1937,3 +1937,58 @@ def orc_roundtrip_doc_stats(sf_dir: str):
     out["n"] = out["n"].astype("int64")
     out["total_chars"] = out["total_chars"].astype("int64")
     return out[["lang", "n", "total_chars"]]
+
+
+def _ktruss_oracle_sql(k: int, rounds: int) -> str:
+    """Unrolled bounded-round k-truss peel: round r recomputes every
+    surviving edge's triangle support inside the surviving subgraph
+    (three-way self-join + corner-credited counts) and keeps
+    support >= k-2. MATERIALIZED CTEs — the inlined form re-expands the
+    whole chain per reference."""
+    parts = [
+        "WITH pl AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 4 = 0),",
+        "e0 AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y FROM pl a JOIN pl b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)",
+    ]
+    prev = "e0"
+    for r in range(1, rounds + 1):
+        parts.append(
+            f",t{r} AS MATERIALIZED (SELECT e1.x AS a, e1.y AS b, e2.y AS c FROM {prev} e1 "
+            f"JOIN {prev} e2 ON e2.x = e1.x AND e2.y > e1.y JOIN {prev} e3 ON e3.x = e1.y AND e3.y = e2.y)"
+        )
+        parts.append(
+            f",s{r} AS MATERIALIZED (SELECT x, y, CAST(count(*) AS BIGINT) AS sup FROM ("
+            f"SELECT a AS x, b AS y FROM t{r} UNION ALL SELECT a, c FROM t{r} UNION ALL SELECT b, c FROM t{r}) GROUP BY x, y)"
+        )
+        parts.append(
+            f",e{r} AS MATERIALIZED (SELECT s.x, s.y, s.sup FROM s{r} s JOIN {prev} p ON p.x = s.x AND p.y = s.y WHERE s.sup >= {k - 2})"
+        )
+        prev = f"e{r}"
+    parts.append(f"SELECT x, y, sup AS support FROM e{rounds} ORDER BY x, y")
+    return "\n".join(parts)
+
+
+@q("part_ktruss_edges", sql=_ktruss_oracle_sql(k=4, rounds=8))
+def part_ktruss_edges(sf_dir: str):
+    """Bounded-round 4-truss of the restricted part co-purchase graph —
+    the edge-level cohesion analogue of the k-core (Cohen 2008): every
+    round keeps edges in >= k-2 triangles WITHIN the surviving subgraph.
+    One triangle pass per round (stages/graph.ktruss_peel: degree-ordered
+    wedges by direct triangular indexing, packed-edge-key probe, per-edge
+    support partials). Same bounded-round determinism contract as
+    part_kcore_members — at sf0.01 the graph is still peeling at the
+    8-round budget, so the budget is the contract; at sf0.1 it reaches the
+    true fixpoint inside it."""
+    from perfect_bloomfilter_ray.stages.cooccur import distinct_pairs
+    from perfect_bloomfilter_ray.stages.graph import ktruss_peel
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]).map_batches(
+        lambda t: t.filter(
+            pc.equal(
+                pc.bit_wise_and(t.column("l_partkey"), pa.scalar(3, pa.int64())),
+                pa.scalar(0, pa.int64()),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    edges = distinct_pairs(li, "l_orderkey", "l_partkey")
+    return ktruss_peel(edges, k=4, rounds=8)

@@ -992,3 +992,237 @@ def kcore_peel(
     out = deg[deg["node"].isin(alive)].copy()
     out["deg"] = out["deg"].astype("int64")
     return out.sort_values("node").reset_index(drop=True)
+
+
+def ktruss_peel(
+    edges: Dataset,
+    k: int,
+    a_col: str = "item_a",
+    b_col: str = "item_b",
+    rounds: int = 8,
+    local_max_edges: int = 2_000_000,
+) -> pd.DataFrame:
+    """Bounded-round k-truss peel over an undirected distinct edge list:
+    every round keeps the edges that participate in >= k-2 triangles WITHIN
+    the surviving subgraph, for ``rounds`` rounds or until stable — the
+    edge-level analogue of ``kcore_peel`` (Cohen 2008). Node ids must be
+    non-negative and < 2^32 (edges pack into one uint64 key).
+
+    Each round is one triangle pass crediting the three EDGES of every
+    closed wedge (the degree-ordered forward algorithm of
+    ``triangle_count``): oriented wedges probe the packed edge set and emit
+    per-edge support partials; an edge-keyed sum + filter keeps
+    support >= k-2. Edge lists at or below ``local_max_edges`` run the
+    identical rounds over driver-held arrays (the same small-side gate as
+    ``bfs_levels``); above it, wedges stay in their hash(src) partitions
+    and the support table stays a Dataset until the (bounded) survivor set
+    is resolved. Returns the surviving ``(x, y, support)`` rows (x < y by
+    node id), sorted — support measured within the PREVIOUS round's
+    subgraph, the same convention as ``kcore_peel``'s degrees.
+    """
+    import polars as pl
+    import ray
+    from ray.data.aggregate import Sum as _Sum
+
+    _u64 = np.uint64
+
+    edges = edges.materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return pd.DataFrame(
+            {"x": np.array([], dtype=np.int64), "y": np.array([], dtype=np.int64),
+             "support": np.array([], dtype=np.int64)}
+        )
+    local = n_edges <= local_max_edges
+
+    def _norm(t: pa.Table) -> pa.Table:
+        a = t.column(a_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column(b_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        x, y = np.minimum(a, b), np.maximum(a, b)
+        return pa.table({"x": pa.array(x), "y": pa.array(y)})
+
+    # NOTE: both paths hold the PACKED edge keys on the driver per round
+    # (8 B/edge — the triangle_count broadcast-closure contract); on the
+    # distributed path the wedge rows never leave their partitions.
+    cur = edges.map_batches(_norm, batch_format="pyarrow").to_pandas()
+    x = cur["x"].to_numpy().astype(np.int64)
+    y = cur["y"].to_numpy().astype(np.int64)
+    if (x < 0).any() or (y >= 2**32).any():
+        raise ValueError("ktruss_peel needs node ids in [0, 2^32)")
+
+    def _support_local(xe: np.ndarray, ye: np.ndarray) -> np.ndarray:
+        """Per-edge triangle support via the forward algorithm, locally."""
+        m = len(xe)
+        if m == 0:
+            return np.zeros(0, dtype=np.int64)
+        nodes, deg = np.unique(np.concatenate([xe, ye]), return_counts=True)
+        pos_x = np.searchsorted(nodes, xe)
+        pos_y = np.searchsorted(nodes, ye)
+        dx, dy = deg[pos_x], deg[pos_y]
+        a_first = (dx < dy) | ((dx == dy) & (xe < ye))
+        src = np.where(a_first, xe, ye)
+        dst = np.where(a_first, ye, xe)
+        ddst = np.where(a_first, dy, dx)
+        # wedges: rank-ordered out-neighbor pairs per src (triangular gen)
+        order = np.lexsort((dst, ddst, src))
+        s, d = src[order], dst[order]
+        starts = np.flatnonzero(np.concatenate([[True], s[1:] != s[:-1]]))
+        sizes = np.diff(np.append(starts, len(s)))
+        pc = sizes * (sizes - 1) // 2
+        tot = int(pc.sum())
+        packed = np.sort((xe.astype(_u64) << _u64(32)) | ye.astype(_u64))
+        sup = np.zeros(m, dtype=np.int64)
+        if tot == 0:
+            return sup
+        grp = np.repeat(np.arange(len(sizes)), pc)
+        p = np.arange(tot, dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(pc)[:-1]]), pc
+        )
+        ng = sizes[grp]
+        tmp = (2 * ng - 1).astype(np.float64)
+        i = ((tmp - np.sqrt(tmp * tmp - 8.0 * p)) // 2).astype(np.int64)
+        i = np.clip(i, 0, ng - 2)
+        for _ in range(3):
+            base = i * (2 * ng - i - 1) // 2
+            over = base > p
+            under = (i + 1) * (2 * ng - i - 2) // 2 <= p
+            if not (over.any() or under.any()):
+                break
+            i = i - over.astype(np.int64) + under.astype(np.int64)
+        j = p - i * (2 * ng - i - 1) // 2 + i + 1
+        off = starts[grp]
+        u, v, w = s[off], d[off + i], d[off + j]
+        vv, ww = np.minimum(v, w), np.maximum(v, w)
+        key = (vv.astype(_u64) << _u64(32)) | ww.astype(_u64)
+        idx = np.searchsorted(packed, key)
+        idx[idx >= len(packed)] = len(packed) - 1
+        closed = packed[idx] == key
+        if not closed.any():
+            return sup
+        # credit the three edges of each closed triangle
+        eu, ev, ew = u[closed], vv[closed], ww[closed]
+        ekeys = np.concatenate(
+            [
+                (np.minimum(eu, ev).astype(_u64) << _u64(32)) | np.maximum(eu, ev).astype(_u64),
+                (np.minimum(eu, ew).astype(_u64) << _u64(32)) | np.maximum(eu, ew).astype(_u64),
+                key[closed],
+            ]
+        )
+        uk, cnt = np.unique(ekeys, return_counts=True)
+        my = (xe.astype(_u64) << _u64(32)) | ye.astype(_u64)
+        pos = np.searchsorted(uk, my)
+        pos_c = np.clip(pos, 0, len(uk) - 1)
+        hit = (len(uk) > 0) & (uk[pos_c] == my)
+        sup[hit] = cnt[pos_c[hit]]
+        return sup
+
+    def _support_distributed(xe: np.ndarray, ye: np.ndarray) -> np.ndarray:
+        """Same support, with the wedge pass distributed: the current edge
+        set ships once as a packed sorted array; every partition generates
+        its wedges and emits per-edge-key count partials."""
+        import ray.data as rd
+
+        from perfect_bloomfilter_ray.functions.hashing import hash64
+        from perfect_bloomfilter_ray.stages.partitioning import choose_num_blocks
+
+        nodes, deg = np.unique(np.concatenate([xe, ye]), return_counts=True)
+        pos_x = np.searchsorted(nodes, xe)
+        pos_y = np.searchsorted(nodes, ye)
+        dx, dy = deg[pos_x], deg[pos_y]
+        a_first = (dx < dy) | ((dx == dy) & (xe < ye))
+        src = np.where(a_first, xe, ye)
+        dst = np.where(a_first, ye, xe)
+        ddst = np.where(a_first, dy, dx)
+        packed = np.sort((xe.astype(_u64) << _u64(32)) | ye.astype(_u64))
+        pref = ray.put(packed)
+        oriented = rd.from_arrow(
+            pa.table({"src": pa.array(src), "dst": pa.array(dst), "ddst": pa.array(ddst)})
+        )
+        nb = choose_num_blocks(oriented)
+
+        def route(t: pa.Table) -> pa.Table:
+            h = hash64(pl.from_arrow(t)["src"], 0x7B2)
+            return t.append_column("_part", pa.array((h % _u64(nb)).astype(np.int32)))
+
+        def credit(t: pa.Table) -> pa.Table:
+            es: np.ndarray = ray.get(pref)
+            df = pl.from_arrow(t.drop_columns(["_part"]))
+            s = df["src"].to_numpy()
+            d = df["dst"].to_numpy()
+            dd = df["ddst"].to_numpy()
+            order = np.lexsort((d, dd, s))
+            s, d = s[order], d[order]
+            starts = np.flatnonzero(np.concatenate([[True], s[1:] != s[:-1]]))
+            sizes = np.diff(np.append(starts, len(s)))
+            pc2 = sizes * (sizes - 1) // 2
+            tot = int(pc2.sum())
+            if tot == 0:
+                return pa.table({"ek": pa.array([], pa.uint64()), "pt": pa.array([], pa.int64())})
+            grp = np.repeat(np.arange(len(sizes)), pc2)
+            p = np.arange(tot, dtype=np.int64) - np.repeat(
+                np.concatenate([[0], np.cumsum(pc2)[:-1]]), pc2
+            )
+            ng = sizes[grp]
+            tmp = (2 * ng - 1).astype(np.float64)
+            i = ((tmp - np.sqrt(tmp * tmp - 8.0 * p)) // 2).astype(np.int64)
+            i = np.clip(i, 0, ng - 2)
+            for _ in range(3):
+                base = i * (2 * ng - i - 1) // 2
+                over = base > p
+                under = (i + 1) * (2 * ng - i - 2) // 2 <= p
+                if not (over.any() or under.any()):
+                    break
+                i = i - over.astype(np.int64) + under.astype(np.int64)
+            j = p - i * (2 * ng - i - 1) // 2 + i + 1
+            off = starts[grp]
+            u, v, w = s[off], d[off + i], d[off + j]
+            vv, ww = np.minimum(v, w), np.maximum(v, w)
+            key = (vv.astype(_u64) << _u64(32)) | ww.astype(_u64)
+            idx = np.searchsorted(es, key)
+            idx[idx >= len(es)] = len(es) - 1
+            closed = es[idx] == key
+            if not closed.any():
+                return pa.table({"ek": pa.array([], pa.uint64()), "pt": pa.array([], pa.int64())})
+            eu, ev, ew = u[closed], vv[closed], ww[closed]
+            ekeys = np.concatenate(
+                [
+                    (np.minimum(eu, ev).astype(_u64) << _u64(32)) | np.maximum(eu, ev).astype(_u64),
+                    (np.minimum(eu, ew).astype(_u64) << _u64(32)) | np.maximum(eu, ew).astype(_u64),
+                    key[closed],
+                ]
+            )
+            uk, cnt = np.unique(ekeys, return_counts=True)
+            return pa.table({"ek": pa.array(uk), "pt": pa.array(cnt.astype(np.int64))})
+
+        sup_tbl = (
+            oriented.map_batches(route, batch_format="pyarrow")
+            .groupby("_part")
+            .map_groups(credit, batch_format="pyarrow")
+            .groupby("ek")
+            .aggregate(_Sum("pt", alias_name="sup"))
+            .to_pandas()
+        )
+        sup = np.zeros(len(xe), dtype=np.int64)
+        if len(sup_tbl):
+            uk = sup_tbl["ek"].to_numpy().astype(_u64)
+            cnt = sup_tbl["sup"].to_numpy().astype(np.int64)
+            order = np.argsort(uk)
+            uk, cnt = uk[order], cnt[order]
+            my = (xe.astype(_u64) << _u64(32)) | ye.astype(_u64)
+            pos = np.clip(np.searchsorted(uk, my), 0, len(uk) - 1)
+            hit = uk[pos] == my
+            sup[hit] = cnt[pos[hit]]
+        return sup
+
+    support = np.zeros(len(x), dtype=np.int64)
+    for _ in range(rounds):
+        support = _support_local(x, y) if local else _support_distributed(x, y)
+        keep = support >= (k - 2)
+        if keep.all():
+            break
+        x, y, support = x[keep], y[keep], support[keep]
+        if len(x) == 0:
+            break
+
+    out = pd.DataFrame({"x": x, "y": y, "support": support})
+    return out.sort_values(["x", "y"]).reset_index(drop=True)

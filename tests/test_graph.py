@@ -214,3 +214,50 @@ def test_kcore_peel_matches_brute_fixpoint(ray_session, lme):
     # k larger than any degree: empty core, stable schema
     empty = kcore_peel(ds, k=1000, rounds=8, local_max_edges=lme)
     assert len(empty) == 0 and list(empty.columns) == ["node", "deg"]
+
+
+@pytest.mark.parametrize("lme", [2_000_000, 0])
+def test_ktruss_peel_matches_brute(ray_session, lme):
+    """Bounded-round k-truss equals an explicit sequential peel when it
+    converges within the budget; both closure paths agree."""
+    import itertools as it
+
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.graph import ktruss_peel
+
+    rng = np.random.default_rng(23)
+    edges = set()
+    while len(edges) < 260:
+        a, b = rng.integers(0, 45, size=2)
+        if a != b:
+            edges.add((int(min(a, b)), int(max(a, b))))
+    # plant a clique so a nontrivial truss survives
+    for a, b in it.combinations(range(100, 108), 2):
+        edges.add((a, b))
+
+    k = 4
+
+    def brute(es: set) -> dict:
+        es = set(es)
+        while True:
+            adj = {}
+            for a, b in es:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+            sup = {e: len(adj[e[0]] & adj[e[1]]) for e in es}
+            nxt = {e for e in es if sup[e] >= k - 2}
+            if nxt == es:
+                return {e: sup[e] for e in es}
+            es = nxt
+
+    want = brute(edges)
+    ds = rd.from_pandas(
+        pd.DataFrame({"item_a": [a for a, _ in edges], "item_b": [b for _, b in edges]})
+    )
+    got = ktruss_peel(ds, k=k, rounds=64, local_max_edges=lme)
+    got_map = {(int(r.x), int(r.y)): int(r.support) for r in got.itertuples()}
+    assert got_map == want
+    # clique of 8: every clique edge survives with support 6
+    for a, b in it.combinations(range(100, 108), 2):
+        assert got_map[(a, b)] >= 6
