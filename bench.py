@@ -270,6 +270,7 @@ SUITE = [
     "compression_filter_stats",
     "orc_roundtrip_doc_stats",
     "part_ktruss_edges",
+    "event_type_weighted_pagerank",
 ]
 
 

@@ -1992,3 +1992,67 @@ def part_ktruss_edges(sf_dir: str):
     )
     edges = distinct_pairs(li, "l_orderkey", "l_partkey")
     return ktruss_peel(edges, k=4, rounds=8)
+
+
+@q(
+    "event_type_weighted_pagerank",
+    sql="""
+    WITH raw AS (
+      SELECT event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      FROM events
+    ),
+    e AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+          FROM raw WHERE dst IS NOT NULL GROUP BY src, dst),
+    deg AS (SELECT src, CAST(sum(n) AS DOUBLE) AS w FROM e GROUP BY src),
+    nodes AS (SELECT DISTINCT node FROM
+              (SELECT src AS node FROM e UNION SELECT dst FROM e)),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    r0 AS (SELECT node, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),
+    r1 AS (
+      SELECT nd.node, (1 - 0.85) / nn.n + 0.85 * coalesce(s.w, 0) AS r
+      FROM nodes nd CROSS JOIN nn LEFT JOIN (
+        SELECT e.dst AS node, sum(r0.r / deg.w * e.n) AS w
+        FROM e JOIN r0 ON e.src = r0.node JOIN deg ON e.src = deg.src
+        GROUP BY e.dst) s USING (node)
+    ),
+    r2 AS (
+      SELECT nd.node, (1 - 0.85) / nn.n + 0.85 * coalesce(s.w, 0) AS r
+      FROM nodes nd CROSS JOIN nn LEFT JOIN (
+        SELECT e.dst AS node, sum(r1.r / deg.w * e.n) AS w
+        FROM e JOIN r1 ON e.src = r1.node JOIN deg ON e.src = deg.src
+        GROUP BY e.dst) s USING (node)
+    ),
+    r3 AS (
+      SELECT nd.node, (1 - 0.85) / nn.n + 0.85 * coalesce(s.w, 0) AS r
+      FROM nodes nd CROSS JOIN nn LEFT JOIN (
+        SELECT e.dst AS node, sum(r2.r / deg.w * e.n) AS w
+        FROM e JOIN r2 ON e.src = r2.node JOIN deg ON e.src = deg.src
+        GROUP BY e.dst) s USING (node)
+    )
+    SELECT node, round(r, 6) AS rank FROM r3 ORDER BY node
+    """,
+)
+def event_type_weighted_pagerank(sf_dir: str):
+    """WEIGHTED PageRank over the event-type transition graph: rank flows
+    out of a node proportionally to the transition COUNT — share(u->v) =
+    r(u) / W(u) * n(u,v) with W the weighted out-degree
+    (stages/graph.pagerank(weight_col=...)). Same 3-iteration recurrence,
+    damping and rounding as the unweighted twin; the engine computes
+    (r/W)*n in that exact order and the oracle states sum(r / w * n), so
+    the IEEE ops match term-for-term."""
+    from perfect_bloomfilter_ray.stages.graph import pagerank
+    from perfect_bloomfilter_ray.stages.windows import transition_counts
+
+    ds = _t(sf_dir, "events", ["user_id", "ts", "event_type", "event_id"])
+    edges = transition_counts(
+        ds, "user_id", "ts", "event_type", tie_cols=["event_id"]
+    ).map_batches(
+        lambda t: pa.table(
+            {"src": t.column("state_from"), "dst": t.column("state_to"), "n": t.column("n")}
+        ),
+        batch_format="pyarrow",
+    )
+    out = pagerank(edges, iters=3, damping=0.85, weight_col="n")
+    out["rank"] = np.round(out["rank"].to_numpy(dtype=np.float64), 6)
+    return out

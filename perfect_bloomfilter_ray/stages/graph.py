@@ -41,10 +41,18 @@ def pagerank(
     iters: int = 3,
     damping: float = 0.85,
     broadcast_max_nodes: int = 5_000_000,
+    weight_col: str | None = None,
 ) -> pd.DataFrame:
     """PageRank after ``iters`` power iterations. Returns a small pandas
     frame ``(node, rank)`` (node-cardinality — the documented driver
     altitude). Edges are directed and deduplicated before use.
+
+    ``weight_col`` switches to WEIGHTED PageRank: rank flows out of a node
+    proportionally to edge weight — share(u→v) = r(u) · w(u,v) / W(u) with
+    W(u) the weighted out-degree (duplicate (src, dst) rows sum their
+    weights). The weighted mode is broadcast-resolve only (node-bounded
+    contract); extend ``pagerank_dataset``'s tagged join with a weight
+    column for corpus-cardinality weighted graphs.
 
     Node counts above ``broadcast_max_nodes`` switch to the fully
     distributed ``pagerank_dataset`` resolve (the caller still asked for a
@@ -54,6 +62,13 @@ def pagerank(
     import ray
 
     def dedup(t: pa.Table) -> pa.Table:
+        if weight_col is not None:
+            return (
+                pl.from_arrow(t.select([src_col, dst_col, weight_col]))
+                .group_by([src_col, dst_col])
+                .agg(pl.col(weight_col).sum())
+                .to_arrow()
+            )
         return (
             pl.from_arrow(t.select([src_col, dst_col])).unique().to_arrow()
         )
@@ -64,6 +79,13 @@ def pagerank(
     e = edges.map_batches(dedup, batch_format="pyarrow").materialize()
 
     def deg_partial(t: pa.Table) -> pa.Table:
+        if weight_col is not None:
+            return (
+                pl.from_arrow(t.select([src_col, weight_col]))
+                .group_by(src_col)
+                .agg(pl.col(weight_col).sum().cast(pl.Float64).alias("pd"))
+                .to_arrow()
+            )
         return (
             pl.from_arrow(t.select([src_col]))
             .group_by(src_col)
@@ -94,7 +116,7 @@ def pagerank(
     n = len(nodes)
     if n == 0:
         return pd.DataFrame({"node": [], "rank": []})
-    if n > broadcast_max_nodes and nodes.dtype.kind in "iu":
+    if weight_col is None and n > broadcast_max_nodes and nodes.dtype.kind in "iu":
         # string ids above the gate would need an upstream hash64 — a graph
         # that big is always hashed-id in this repo's pipelines
         out = pagerank_dataset(
@@ -115,6 +137,10 @@ def pagerank(
             s = t.column(src_col).to_numpy(zero_copy_only=False)
             pos = np.clip(np.searchsorted(ks, s), 0, len(ks) - 1)
             w = np.where(ks[pos] == s, vs[pos], 0.0)
+            if weight_col is not None:
+                w = w * t.column(weight_col).to_numpy(zero_copy_only=False).astype(
+                    np.float64
+                )
             return (
                 pl.from_arrow(t.select([dst_col]))
                 .with_columns(pl.Series("w", w))
