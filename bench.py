@@ -271,6 +271,7 @@ SUITE = [
     "orc_roundtrip_doc_stats",
     "part_ktruss_edges",
     "event_type_weighted_pagerank",
+    "event_type_hits",
 ]
 
 

@@ -2056,3 +2056,60 @@ def event_type_weighted_pagerank(sf_dir: str):
     out = pagerank(edges, iters=3, damping=0.85, weight_col="n")
     out["rank"] = np.round(out["rank"].to_numpy(dtype=np.float64), 6)
     return out
+
+
+@q(
+    "event_type_hits",
+    sql="""
+    WITH raw AS (
+      SELECT event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      FROM events
+    ),
+    e AS (SELECT DISTINCT src, dst FROM raw WHERE dst IS NOT NULL),
+    nodes AS (SELECT DISTINCT node FROM
+              (SELECT src AS node FROM e UNION SELECT dst FROM e)),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    h0 AS (SELECT node, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),
+    a1 AS (SELECT nd.node, coalesce(s.w, 0) AS v FROM nodes nd LEFT JOIN (
+             SELECT e.dst AS node, sum(h0.r) AS w
+             FROM e JOIN h0 ON e.src = h0.node GROUP BY e.dst) s USING (node)),
+    a1n AS (SELECT node, v / (SELECT sum(v) FROM a1) AS r FROM a1),
+    h1 AS (SELECT nd.node, coalesce(s.w, 0) AS v FROM nodes nd LEFT JOIN (
+             SELECT e.src AS node, sum(a1n.r) AS w
+             FROM e JOIN a1n ON e.dst = a1n.node GROUP BY e.src) s USING (node)),
+    h1n AS (SELECT node, v / (SELECT sum(v) FROM h1) AS r FROM h1),
+    a2 AS (SELECT nd.node, coalesce(s.w, 0) AS v FROM nodes nd LEFT JOIN (
+             SELECT e.dst AS node, sum(h1n.r) AS w
+             FROM e JOIN h1n ON e.src = h1n.node GROUP BY e.dst) s USING (node)),
+    a2n AS (SELECT node, v / (SELECT sum(v) FROM a2) AS r FROM a2),
+    h2 AS (SELECT nd.node, coalesce(s.w, 0) AS v FROM nodes nd LEFT JOIN (
+             SELECT e.src AS node, sum(a2n.r) AS w
+             FROM e JOIN a2n ON e.dst = a2n.node GROUP BY e.src) s USING (node)),
+    h2n AS (SELECT node, v / (SELECT sum(v) FROM h2) AS r FROM h2)
+    SELECT h2n.node AS node, round(h2n.r, 6) AS hub, round(a2n.r, 6) AS authority
+    FROM h2n JOIN a2n ON a2n.node = h2n.node ORDER BY node
+    """,
+)
+def event_type_hits(sf_dir: str):
+    """HITS hubs/authorities (Kleinberg 1999) over the event-type
+    transition graph, two sum-normalized mutual-recursion rounds —
+    stages/graph.hits: each half-step streams the edge list through one
+    pre-aggregated map_batches + groupby while the node-cardinality
+    vectors broadcast (the pagerank shape). Sum normalization keeps every
+    op an add/divide the unrolled SQL oracle states verbatim; round(6) on
+    both sides absorbs summation-order ulps."""
+    from perfect_bloomfilter_ray.stages.graph import hits
+    from perfect_bloomfilter_ray.stages.windows import transition_counts
+
+    ds = _t(sf_dir, "events", ["user_id", "ts", "event_type", "event_id"])
+    edges = transition_counts(
+        ds, "user_id", "ts", "event_type", tie_cols=["event_id"]
+    ).map_batches(
+        lambda t: pa.table({"src": t.column("state_from"), "dst": t.column("state_to")}),
+        batch_format="pyarrow",
+    )
+    out = hits(edges, iters=2)
+    out["hub"] = np.round(out["hub"].to_numpy(dtype=np.float64), 6)
+    out["authority"] = np.round(out["authority"].to_numpy(dtype=np.float64), 6)
+    return out.sort_values("node").reset_index(drop=True)

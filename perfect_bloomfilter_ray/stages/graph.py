@@ -1252,3 +1252,95 @@ def ktruss_peel(
 
     out = pd.DataFrame({"x": x, "y": y, "support": support})
     return out.sort_values(["x", "y"]).reset_index(drop=True)
+
+
+def hits(
+    edges: Dataset,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 2,
+) -> pd.DataFrame:
+    """HITS hubs/authorities (Kleinberg 1999) after ``iters`` mutual-
+    recursion rounds, SUM-normalized (each vector divides by its sum —
+    no sqrt, so an unrolled SQL oracle states the identical IEEE ops):
+    a'(v) = Σ_{u→v} h(u), normalize; then h'(u) = Σ_{u→v} a(v), normalize.
+    Same scale shape as ``pagerank``'s broadcast resolve: the edge list
+    streams through one pre-aggregated ``map_batches`` + groupby per
+    half-step while the node-cardinality vectors broadcast (bounded-node
+    contract). Returns ``(node, hub, authority)`` sorted by node."""
+    import polars as pl
+    import ray
+
+    def dedup(t: pa.Table) -> pa.Table:
+        return pl.from_arrow(t.select([src_col, dst_col])).unique().to_arrow()
+
+    e = edges.map_batches(dedup, batch_format="pyarrow").materialize()
+
+    def nodes_partial(t: pa.Table) -> pa.Table:
+        a = pl.from_arrow(t.select([src_col])).rename({src_col: "node"})
+        b = pl.from_arrow(t.select([dst_col])).rename({dst_col: "node"})
+        return pl.concat([a, b]).unique().to_arrow()
+
+    nodes = (
+        e.map_batches(nodes_partial, batch_format="pyarrow")
+        .groupby("node")
+        .count()
+        .to_pandas()["node"]
+        .to_numpy()
+    )
+    n = len(nodes)
+    if n == 0:
+        return pd.DataFrame({"node": [], "hub": [], "authority": []})
+    order = np.argsort(nodes)
+    nodes = nodes[order]
+    hub = np.full(n, 1.0 / n)
+    auth = np.full(n, 1.0 / n)
+
+    def _push(vec: np.ndarray, key_col: str, out_col: str) -> np.ndarray:
+        """One half-step: out(x) = Σ over edges keyed by key_col of
+        vec[other end]; returns the new node-aligned vector (unnormalized)."""
+        from ray.data.aggregate import Sum as _Sum
+
+        lut = ray.put((nodes, vec))
+        src_is_key = key_col == src_col
+        val_col = dst_col if src_is_key else src_col
+
+        def contrib(t: pa.Table) -> pa.Table:
+            ks, vs = ray.get(lut)
+            v = t.column(val_col).to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(ks, v), 0, len(ks) - 1)
+            w = np.where(ks[pos] == v, vs[pos], 0.0)
+            return (
+                pl.from_arrow(t.select([key_col]))
+                .with_columns(pl.Series("w", w))
+                .group_by(key_col)
+                .agg(pl.col("w").sum().alias("pw"))
+                .to_arrow()
+            )
+
+        sums = (
+            e.map_batches(contrib, batch_format="pyarrow")
+            .groupby(key_col)
+            .aggregate(_Sum("pw", alias_name="w"))
+            .to_pandas()
+        )
+        out = np.zeros(n)
+        if len(sums):
+            kk = sums[key_col].to_numpy()
+            ww = sums["w"].to_numpy()
+            pos = np.clip(np.searchsorted(nodes, kk), 0, n - 1)
+            hit = nodes[pos] == kk
+            out[pos[hit]] = ww[hit]
+        return out
+
+    for _ in range(iters):
+        auth = _push(hub, dst_col, "authority")  # a'(v) = sum_{u->v} h(u)
+        s = auth.sum()
+        if s > 0:
+            auth = auth / s
+        hub = _push(auth, src_col, "hub")  # h'(u) = sum_{u->v} a(v)
+        s = hub.sum()
+        if s > 0:
+            hub = hub / s
+
+    return pd.DataFrame({"node": nodes, "hub": hub, "authority": auth})

@@ -261,3 +261,33 @@ def test_ktruss_peel_matches_brute(ray_session, lme):
     # clique of 8: every clique edge survives with support 6
     for a, b in it.combinations(range(100, 108), 2):
         assert got_map[(a, b)] >= 6
+
+
+def test_hits_matches_numpy_power(ray_session):
+    """HITS sum-normalized rounds equal an explicit numpy adjacency-matrix
+    computation on a directed graph with a clear hub and authority."""
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.graph import hits
+
+    edges = [(0, 3), (1, 3), (2, 3), (0, 4), (3, 5), (0, 5)]
+    nodes = sorted({v for e in edges for v in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)))
+    for a, b in edges:
+        A[idx[a], idx[b]] = 1.0
+    h = np.full(len(nodes), 1.0 / len(nodes))
+    for _ in range(2):
+        a = A.T @ h
+        a = a / a.sum()
+        h = A @ a
+        h = h / h.sum()
+    got = hits(
+        rd.from_pandas(pd.DataFrame({"src": [a for a, _ in edges], "dst": [b for _, b in edges]})),
+        iters=2,
+    )
+    assert np.allclose(got["hub"].to_numpy(), h, atol=1e-12)
+    assert np.allclose(got["authority"].to_numpy(), a, atol=1e-12)
+    # node 0 links to the most authorities: top hub; node 3 is top authority
+    assert int(got.loc[got["hub"].idxmax(), "node"]) == 0
+    assert int(got.loc[got["authority"].idxmax(), "node"]) == 3
