@@ -1914,15 +1914,18 @@ def orc_roundtrip_doc_stats(sf_dir: str):
     the stripe read, and aggregated — the oracle reads the parquet
     original, so any byte lost or duplicated in the ORC path flips the
     hash. sources/orc.py."""
-    import hashlib
     import os
+    import shutil
+    import tempfile
 
     import ray.data as rd
 
     from perfect_bloomfilter_ray.sources.orc import read_orc, write_orc_shards
 
-    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    out_dir = f"/tmp/pbr_orc_roundtrip_{tag}"
+    # fresh dir per invocation: shard names derive from BLOCK content, and a
+    # different block layout on a rerun would leave stale shards behind
+    # (caught by the full sf0.1 sweep — duplicated rows from a prior run)
+    out_dir = tempfile.mkdtemp(prefix="pbr_orc_roundtrip_")
     write_orc_shards(
         rd.read_parquet(os.path.join(sf_dir, "documents.parquet")), out_dir
     )
@@ -1936,6 +1939,7 @@ def orc_roundtrip_doc_stats(sf_dir: str):
     )
     out["n"] = out["n"].astype("int64")
     out["total_chars"] = out["total_chars"].astype("int64")
+    shutil.rmtree(out_dir, ignore_errors=True)
     return out[["lang", "n", "total_chars"]]
 
 

@@ -3452,7 +3452,12 @@ def lang_source_except(sf_dir: str):
 
     a = _docs_parity_slice(sf_dir, True)
     b = _docs_parity_slice(sf_dir, False)
-    return except_distinct(a, b, ["lang", "source"]).sort(["lang", "source"])
+    out = except_distinct(a, b, ["lang", "source"]).sort(["lang", "source"]).to_pandas()
+    if out.empty:
+        # Ray's to_pandas drops columns on an empty Dataset — at sf0.1 the
+        # difference IS empty; hand back the typed empty frame
+        out = pd.DataFrame({"lang": pd.Series(dtype=object), "source": pd.Series(dtype=object)})
+    return out
 
 
 @q(
@@ -3677,8 +3682,8 @@ def skew_join_event_order_revenue(sf_dir: str):
     )
     SELECT cg.doc_id,
            count(*) AS n_grams,
-           round(CAST(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-                 / count(*), 4) AS contam_frac
+           CAST(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*) AS contam_frac
     FROM cg LEFT JOIN bgrams b ON cg.g = b.g
     GROUP BY cg.doc_id ORDER BY cg.doc_id
     """,
@@ -3711,12 +3716,14 @@ def contamination_fraction_docs(sf_dir: str):
     def fin(t: pa.Table) -> pa.Table:
         keep = pc.greater(t.column("n_grams"), 0)
         t = t.filter(keep)
-        frac = np.round(t.column("contam_frac").to_numpy(zero_copy_only=False), 4)
+        # exact hits/n_grams division of ints — NO rounding: round(x, 4)
+        # flips between numpy half-even and SQL half-away exactly at the
+        # .00005 boundaries a big corpus eventually hits (sf0.1 did)
         return pa.table(
             {
                 "doc_id": t.column("doc_id"),
                 "n_grams": t.column("n_grams"),
-                "contam_frac": pa.array(frac),
+                "contam_frac": t.column("contam_frac"),
             }
         )
 
