@@ -2117,3 +2117,122 @@ def event_type_hits(sf_dir: str):
     out["hub"] = np.round(out["hub"].to_numpy(dtype=np.float64), 6)
     out["authority"] = np.round(out["authority"].to_numpy(dtype=np.float64), 6)
     return out.sort_values("node").reset_index(drop=True)
+
+
+@q(
+    "part_copurchase_cosine",
+    sql="""
+    WITH oi AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS item FROM lineitem),
+    pairs AS (
+      SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS n
+      FROM oi a JOIN oi b ON a.k = b.k AND a.item < b.item
+      GROUP BY 1, 2
+    ),
+    marg AS (SELECT item, COUNT(*) AS nk FROM oi GROUP BY 1)
+    SELECT item_a, item_b, n, CAST(n AS DOUBLE) / sqrt(ma.nk * mb.nk) AS cosine
+    FROM pairs
+    JOIN marg ma ON ma.item = item_a
+    JOIN marg mb ON mb.item = item_b
+    WHERE n >= 2
+    ORDER BY cosine DESC, item_a, item_b
+    LIMIT 50
+    """,
+)
+def part_copurchase_cosine(sf_dir: str):
+    """Item-item collaborative-filtering similarity: cosine between parts'
+    order-membership vectors (binary basket model — Sarwar et al. 2001),
+    cos(a,b) = |orders with both| / sqrt(|orders with a| * |orders with b|).
+    Pair supports come from the co-located basket pass
+    (stages/cooccur.cooccurrence_counts); per-item marginals are bounded by
+    the part vocabulary, so they broadcast as a sorted searchsorted LUT and
+    scoring is shuffle-free. The global top-50 never sorts the pair table:
+    each block emits its own top-50 partial and a driver fold of
+    O(blocks x 50) rows picks the final set. Integer counts -> exactly
+    representable products (< 2^53) -> sqrt/divide are IEEE-identical to
+    the DuckDB oracle, no rounding needed."""
+    import ray
+
+    from perfect_bloomfilter_ray.stages.cooccur import cooccurrence_counts, item_marginals
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    pairs = cooccurrence_counts(li, "l_orderkey", "l_partkey")
+
+    marg = item_marginals(li, "l_orderkey", "l_partkey").to_pandas()
+    items = marg["item"].to_numpy(dtype=np.int64)
+    order = np.argsort(items)
+    lut_ref = ray.put((items[order], marg["nk"].to_numpy(dtype=np.int64)[order]))
+
+    def score_top(t: pa.Table) -> pa.Table:
+        it, nkv = ray.get(lut_ref)
+        a = t.column("item_a").to_numpy(zero_copy_only=False)
+        b = t.column("item_b").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        keep = n >= 2
+        a, b, n = a[keep], b[keep], n[keep]
+        na = nkv[np.searchsorted(it, a)]
+        nb = nkv[np.searchsorted(it, b)]
+        cos = n.astype(np.float64) / np.sqrt((na * nb).astype(np.float64))
+        sel = np.lexsort((b, a, -cos))[:50]
+        return pa.table(
+            {
+                "item_a": pa.array(a[sel]),
+                "item_b": pa.array(b[sel]),
+                "n": pa.array(n[sel]),
+                "cosine": pa.array(cos[sel]),
+            }
+        )
+
+    parts = pairs.map_batches(score_top, batch_format="pyarrow").to_pandas()
+    sel = np.lexsort(
+        (parts["item_b"].to_numpy(), parts["item_a"].to_numpy(), -parts["cosine"].to_numpy())
+    )[:50]
+    return parts.iloc[sel].reset_index(drop=True)
+
+
+def _lpa_oracle_sql(iters: int) -> str:
+    """Unrolled bounded-round synchronous LPA: l_r(v) = argmax-count (tie:
+    min) of neighbor labels under l_{r-1}, seeded l_0(v) = v, over the
+    same co-purchase subgraph as the k-core oracle."""
+    parts = [
+        "WITH pl AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 4 = 0),",
+        "e AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y FROM pl a JOIN pl b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),",
+        "ed AS MATERIALIZED (SELECT x AS s, y AS d FROM e UNION ALL SELECT y, x FROM e),",
+        "l0 AS MATERIALIZED (SELECT DISTINCT s AS node, s AS label FROM ed)",
+    ]
+    for r in range(1, iters + 1):
+        p = r - 1
+        parts.append(
+            f""",l{r} AS MATERIALIZED (SELECT node, label FROM (
+   SELECT node, label, row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+   FROM (SELECT ed.d AS node, l.label AS label, count(*) AS c FROM ed JOIN l{p} l ON ed.s = l.node GROUP BY 1, 2)
+ ) WHERE rn = 1)"""
+        )
+    parts.append(f"SELECT node, CAST(label AS BIGINT) AS label FROM l{iters} ORDER BY node")
+    return "\n".join(parts)
+
+
+@q("part_label_communities", sql=_lpa_oracle_sql(iters=4))
+def part_label_communities(sf_dir: str):
+    """Community detection by synchronous label propagation (Raghavan et
+    al. 2007), 4 rounds, over the part co-purchase graph (subgraph
+    l_partkey % 4 = 0, the k-core oracle's graph). Distributed rounds are
+    two co-partitioning exchanges each — label state co-located with
+    out-edges by hash(src), then a hash(dst) partial-count exchange with a
+    vectorized in-partition argmax (stages/graph.label_propagation); the
+    sf-scale graph takes the size-gated local fast path running the
+    identical rounds. Bounded rounds + min-label ties make the answer
+    exact — the unrolled SQL oracle states the same recurrence."""
+    from perfect_bloomfilter_ray.stages.cooccur import distinct_pairs
+    from perfect_bloomfilter_ray.stages.graph import label_propagation
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]).map_batches(
+        lambda t: t.filter(
+            pc.equal(
+                pc.bit_wise_and(t.column("l_partkey"), pa.scalar(3, pa.int64())),
+                pa.scalar(0, pa.int64()),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    edges = distinct_pairs(li, "l_orderkey", "l_partkey")
+    return label_propagation(edges, iters=4)

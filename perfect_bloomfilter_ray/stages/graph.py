@@ -1344,3 +1344,176 @@ def hits(
             hub = hub / s
 
     return pd.DataFrame({"node": nodes, "hub": hub, "authority": auth})
+
+
+def label_propagation(
+    edges: Dataset,
+    iters: int = 4,
+    a_col: str = "item_a",
+    b_col: str = "item_b",
+    local_max_edges: int = 2_000_000,
+    num_blocks: int | None = None,
+) -> pd.DataFrame:
+    """Synchronous label-propagation communities (Raghavan et al. 2007)
+    over an undirected distinct edge list: label_0(v) = v; every round each
+    node adopts the most frequent label among its neighbors, ties broken by
+    the smallest label. Runs EXACTLY ``iters`` rounds — synchronous LPA can
+    oscillate on bipartite-ish structure, so the fixed round budget (not a
+    convergence heuristic) is the determinism contract the unrolled SQL
+    oracle states verbatim.
+
+    Scale shape: two co-partitioning exchanges per round, never a
+    node-keyed fine groupby and never a driver-held label vector on the
+    distributed path — (1) a tagged union co-locates each node's current
+    label with the edges leaving it (hash(src) partitions; per-partition
+    searchsorted LUT emits pre-aggregated (dst, label) partial counts),
+    (2) a hash(dst) exchange sums partials and takes the per-node argmax
+    vectorized inside each coarse partition (sort + keep-first, the
+    repo-standard skew-safe argmax). Edge lists at or below
+    ``local_max_edges`` run the IDENTICAL rounds on driver arrays (the
+    round-dominated-op gate shared with ``kcore_peel``/``bfs_levels``).
+    Returns ``(node, label)`` sorted by node."""
+    import polars as pl
+    import ray
+
+    from perfect_bloomfilter_ray.functions.hashing import hash64
+    from perfect_bloomfilter_ray.stages.partitioning import choose_num_blocks
+
+    edges = edges.materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return pd.DataFrame(
+            {"node": np.array([], dtype=np.int64), "label": np.array([], dtype=np.int64)}
+        )
+    local = n_edges <= local_max_edges
+
+    def _argmax_block(df: pl.DataFrame) -> pl.DataFrame:
+        return (
+            df.sort(["node", "c", "label"], descending=[False, True, False])
+            .unique(subset=["node"], keep="first", maintain_order=True)
+            .select(["node", "label"])
+        )
+
+    if local:
+        _df = edges.to_pandas()
+        a = _df[a_col].to_numpy().astype(np.int64)
+        b = _df[b_col].to_numpy().astype(np.int64)
+        src = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        nodes = np.unique(src)
+        lab = nodes.copy()
+        for _ in range(iters):
+            contrib = (
+                pl.DataFrame({"node": dst, "label": lab[np.searchsorted(nodes, src)]})
+                .group_by(["node", "label"])
+                .len(name="c")
+            )
+            upd = _argmax_block(contrib)
+            # every node has >=1 neighbor, so upd covers all of `nodes`
+            lab = upd.sort("node")["label"].to_numpy().astype(np.int64)
+        return pd.DataFrame({"node": nodes, "label": lab})
+
+    nb = choose_num_blocks(edges, num_blocks)
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a = t.column(a_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column(b_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        part = (hash64(src, 0x19A7) % np.uint64(nb)).astype(np.int32)
+        lab = np.zeros(len(src), dtype=np.int64)
+        return pa.table(
+            {
+                "src": pa.array(src),
+                "dst": pa.array(dst),
+                "label": pa.array(lab),
+                "_side": pa.array(np.zeros(len(src), dtype=np.int8)),
+                "_part": pa.array(part),
+            }
+        )
+
+    ed = edges.map_batches(both_dirs, batch_format="pyarrow").materialize()
+
+    def seed_labels(t: pa.Table) -> pa.Table:
+        # side-1 label state seeded from the edge endpoints themselves
+        src = t.column("src").to_numpy(zero_copy_only=False)
+        u = np.unique(src)
+        part = (hash64(u, 0x19A7) % np.uint64(nb)).astype(np.int32)
+        return pa.table(
+            {
+                "src": pa.array(u),
+                "dst": pa.array(np.zeros(len(u), dtype=np.int64)),
+                "label": pa.array(u.copy()),
+                "_side": pa.array(np.ones(len(u), dtype=np.int8)),
+                "_part": pa.array(part),
+            }
+        )
+
+    # distinct nodes as the initial label state (node, label=node)
+    lab_ds = (
+        ed.map_batches(seed_labels, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(
+            lambda t: pl.from_arrow(t).unique(subset=["src"]).to_arrow(),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    def resolve(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        st = df.filter(pl.col("_side") == 1).sort("src")
+        eg = df.filter(pl.col("_side") == 0)
+        keys = st["src"].to_numpy()
+        vals = st["label"].to_numpy()
+        s = eg["src"].to_numpy()
+        d = eg["dst"].to_numpy()
+        l = vals[np.searchsorted(keys, s)]
+        out = (
+            pl.DataFrame({"dst": d, "label": l})
+            .group_by(["dst", "label"])
+            .len(name="c")
+            .with_columns(pl.col("c").cast(pl.Int64))
+            .select(["dst", "label", "c"])
+        )
+        d2 = out["dst"].to_numpy()
+        p2 = (hash64(d2, 0x19A8) % np.uint64(nb)).astype(np.int32)
+        return out.with_columns(pl.Series("_p2", p2)).to_arrow()
+
+    def argmax_part(t: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(t)
+            .group_by(["dst", "label"])
+            .agg(pl.col("c").sum())
+            .rename({"dst": "node"})
+        )
+        upd = _argmax_block(df)
+        u = upd["node"].to_numpy()
+        part = (hash64(u, 0x19A7) % np.uint64(nb)).astype(np.int32)
+        n = len(u)
+        return pa.table(
+            {
+                "src": pa.array(u),
+                "dst": pa.array(np.zeros(n, dtype=np.int64)),
+                "label": pa.array(upd["label"].to_numpy().astype(np.int64)),
+                "_side": pa.array(np.ones(n, dtype=np.int8)),
+                "_part": pa.array(part),
+            }
+        )
+
+    for _ in range(iters):
+        lab_ds = (
+            ed.union(lab_ds)
+            .groupby("_part")
+            .map_groups(resolve, batch_format="pyarrow")
+            .groupby("_p2")
+            .map_groups(argmax_part, batch_format="pyarrow")
+            .materialize()
+        )
+
+    out = lab_ds.to_pandas()
+    return (
+        pd.DataFrame({"node": out["src"].astype("int64"), "label": out["label"].astype("int64")})
+        .sort_values("node")
+        .reset_index(drop=True)
+    )

@@ -291,3 +291,42 @@ def test_hits_matches_numpy_power(ray_session):
     # node 0 links to the most authorities: top hub; node 3 is top authority
     assert int(got.loc[got["hub"].idxmax(), "node"]) == 0
     assert int(got.loc[got["authority"].idxmax(), "node"]) == 3
+
+
+@pytest.mark.parametrize("lme", [2_000_000, 0])
+def test_label_propagation_matches_brute_rounds(ray_session, lme):
+    """4 synchronous LPA rounds (min-label ties) on two triangles joined by
+    a bridge equal a brute-force per-node simulation, on both the local and
+    the fully distributed (local_max_edges=0) paths."""
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.graph import label_propagation
+
+    edges = [(0, 1), (1, 2), (0, 2), (10, 11), (11, 12), (10, 12), (2, 10), (20, 21)]
+
+    def brute(iters: int) -> dict[int, int]:
+        nbrs: dict[int, list[int]] = {}
+        for a, b in edges:
+            nbrs.setdefault(a, []).append(b)
+            nbrs.setdefault(b, []).append(a)
+        lab = {v: v for v in nbrs}
+        for _ in range(iters):
+            new = {}
+            for v, ns in nbrs.items():
+                cnt: dict[int, int] = {}
+                for u in ns:
+                    cnt[lab[u]] = cnt.get(lab[u], 0) + 1
+                best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+                new[v] = best[0]
+            lab = new
+        return lab
+
+    ds = rd.from_pandas(
+        pd.DataFrame({"item_a": [a for a, _ in edges], "item_b": [b for _, b in edges]})
+    )
+    got = label_propagation(ds, iters=4, local_max_edges=lme)
+    want = brute(4)
+    assert {int(r.node): int(r.label) for r in got.itertuples()} == want
+    # the two triangles each collapse onto their own min label
+    got_map = {int(r.node): int(r.label) for r in got.itertuples()}
+    assert len({got_map[0], got_map[10]}) == 2
