@@ -2236,3 +2236,54 @@ def part_label_communities(sf_dir: str):
     )
     edges = distinct_pairs(li, "l_orderkey", "l_partkey")
     return label_propagation(edges, iters=4)
+
+
+def _maxcover_oracle_sql(k: int) -> str:
+    """Unrolled greedy max-coverage: round r picks the doc with the most
+    word 5-grams outside the covered set c_{r-1} (tie: min doc_id), then
+    folds its grams into c_r. Same 5-gram construct as dup_ngram_doc_stats."""
+    parts = [
+        """WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS words FROM documents),
+dt AS MATERIALIZED (SELECT DISTINCT doc_id, gram FROM (
+  SELECT doc_id, array_to_string(words[i:i+4], ' ') AS gram
+  FROM w, UNNEST(range(1, len(words) - 3)) AS t(i)))"""
+    ]
+    sel = []
+    for r in range(1, k + 1):
+        notin = f" WHERE gram NOT IN (SELECT gram FROM c{r - 1})" if r > 1 else ""
+        parts.append(
+            f",w{r} AS MATERIALIZED (SELECT doc_id, count(*) AS gain FROM dt{notin} GROUP BY doc_id)"
+        )
+        parts.append(
+            f",p{r} AS MATERIALIZED (SELECT doc_id, gain FROM w{r} ORDER BY gain DESC, doc_id LIMIT 1)"
+        )
+        if r > 1:
+            parts.append(
+                f",c{r} AS MATERIALIZED (SELECT gram FROM c{r - 1} UNION SELECT gram FROM dt JOIN p{r} USING (doc_id))"
+            )
+        else:
+            parts.append(
+                f",c{r} AS MATERIALIZED (SELECT DISTINCT gram FROM dt JOIN p{r} USING (doc_id))"
+            )
+        sel.append(
+            f"SELECT {r} AS step, doc_id, CAST(gain AS BIGINT) AS gain,"
+            f" (SELECT count(*) FROM c{r}) AS covered_total FROM p{r}"
+        )
+    return "\n".join(parts) + "\n" + "\nUNION ALL\n".join(sel) + "\nORDER BY step"
+
+
+@q("max_coverage_selected_docs", sql=_maxcover_oracle_sql(k=5))
+def max_coverage_selected_docs(sf_dir: str):
+    """Greedy maximum-coverage corpus selection: 5 rounds of the classic
+    (1-1/e) submodular greedy over word 5-grams — pick the doc covering
+    the most uncovered grams, fold its grams into the covered set, repeat
+    (stages/shards.greedy_max_coverage). Each round is one shuffle-free
+    scan of the materialized distinct (doc, gram-hash) pairs with the
+    covered set broadcast and per-block top-1 partials folded on the
+    driver. The unrolled SQL oracle states the same greedy verbatim."""
+    from perfect_bloomfilter_ray.stages.shards import greedy_max_coverage
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = greedy_max_coverage(docs, k=5, n=5)
+    out["step"] = out["step"].astype("int32")
+    return out

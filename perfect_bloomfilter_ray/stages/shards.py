@@ -373,3 +373,110 @@ def select_within_budget(
         return t.filter(pa.array(m))
 
     return ds.map_batches(final, batch_format="pyarrow")
+
+
+def greedy_max_coverage(
+    docs: Dataset,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+):
+    """Greedy maximum-coverage corpus selection (Nemhauser et al. 1978 —
+    the classic (1-1/e)-approximation submodular greedy): ``k`` rounds,
+    each picking the document whose word ``n``-grams cover the most
+    not-yet-covered grams (tie: smallest id). The dual of token-budget
+    selection: pick a FIXED NUMBER of documents maximizing coverage,
+    the diversity criterion in data-pruning / active-learning curation.
+
+    Scale shape: the distinct (doc, gram-hash) pair set is built in ONE
+    ``map_batches`` pass (a document's text lives in exactly one row, so a
+    per-batch lexsort-dedup IS the global distinct set — no shuffle) and
+    materialized once, ~16 B/row in the object store. Every round is one
+    SHUFFLE-FREE scan of those pairs: the covered set broadcasts as a
+    sorted int64 array (bounded by k x max-doc-vocab), each block emits a
+    per-block top-1 partial (complete per doc — a doc's pairs never span
+    blocks), and an O(blocks) driver fold picks the winner; one
+    winner-filtered scan then collects its grams into the covered set.
+    Gram identity is the 64-bit rolling hash shared with
+    decontam/ngramdup (collisions ~2e-19/pair — the repo-standard
+    contract). Returns a pandas frame (step, doc_id, gain, covered_total);
+    stops early when no document adds coverage.
+    """
+    import pandas as pd
+    import polars as pl
+    import pyarrow.compute as pc
+    import ray
+
+    from perfect_bloomfilter_ray.stages.decontam import _ngram_hashes
+
+    def pairs_batch(t: pa.Table) -> pa.Table:
+        texts = pl.from_arrow(t.column(text_col))
+        if isinstance(texts, pl.DataFrame):
+            texts = texts.to_series()
+        hs, di = _ngram_hashes(texts, n)
+        if len(hs) == 0:
+            return pa.table(
+                {"_id64": pa.array([], pa.int64()), "g": pa.array([], pa.int64())}
+            )
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        o = np.lexsort((hs.view(np.int64), di))
+        d_s, h_s = di[o], hs[o]
+        new = np.ones(len(o), dtype=bool)
+        new[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+        return pa.table(
+            {
+                "_id64": pa.array(ids[d_s[new]].astype(np.int64)),
+                "g": pa.array(h_s[new].view(np.int64)),
+            }
+        )
+
+    pairs = (
+        docs.select_columns([id_col, text_col])
+        .map_batches(pairs_batch, batch_format="pyarrow")
+        .materialize()
+    )
+
+    covered = np.empty(0, dtype=np.int64)
+    rows: list[tuple[int, int, int, int]] = []
+    for step in range(1, k + 1):
+        cov_ref = ray.put(np.sort(covered))
+
+        def block_top1(t: pa.Table, _c=cov_ref) -> pa.Table:
+            cov = ray.get(_c)
+            ids = t.column("_id64").to_numpy(zero_copy_only=False)
+            g = t.column("g").to_numpy(zero_copy_only=False)
+            if len(cov):
+                idx = np.searchsorted(cov, g)
+                idx[idx >= len(cov)] = len(cov) - 1
+                m = cov[idx] != g
+                ids, g = ids[m], g[m]
+            if len(ids) == 0:
+                return pa.table(
+                    {"doc": pa.array([], pa.int64()), "gain": pa.array([], pa.int64())}
+                )
+            gains = pl.DataFrame({"doc": ids}).group_by("doc").len(name="gain")
+            d = gains["doc"].to_numpy()
+            gn = gains["gain"].to_numpy().astype(np.int64)
+            best = np.lexsort((d, -gn))[0]
+            return pa.table({"doc": pa.array(d[best : best + 1]), "gain": pa.array(gn[best : best + 1])})
+
+        tops = pairs.map_batches(block_top1, batch_format="pyarrow", batch_size=None).to_pandas()
+        if "gain" not in tops.columns:  # all blocks empty: to_pandas drops columns
+            break
+        tops = tops[tops["gain"] > 0]
+        if len(tops) == 0:
+            break
+        sel = np.lexsort((tops["doc"].to_numpy(), -tops["gain"].to_numpy()))[0]
+        win = int(tops["doc"].iloc[sel])
+        gain = int(tops["gain"].iloc[sel])
+
+        def winner_grams(t: pa.Table, _w=win) -> pa.Table:
+            m = pc.equal(t.column("_id64"), pa.scalar(_w, pa.int64()))
+            return t.filter(m).select(["g"])
+
+        wg = pairs.map_batches(winner_grams, batch_format="pyarrow").to_pandas()["g"].to_numpy()
+        covered = np.union1d(covered, wg)
+        rows.append((step, win, gain, len(covered)))
+
+    return pd.DataFrame(rows, columns=["step", "doc_id", "gain", "covered_total"])

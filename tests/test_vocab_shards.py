@@ -396,3 +396,40 @@ def test_top_keyterms_matches_bruteforce(corpus):
             exp_rows.append((i, r, w, c, c * idf_i[w]))
     exp = pd.DataFrame(exp_rows, columns=["doc_id", "rnk", "token", "tf", "score"])
     pd.testing.assert_frame_equal(out, exp)
+
+
+def test_greedy_max_coverage_matches_brute(ray_session):
+    """5-round greedy over word 5-grams equals a brute-force set greedy,
+    including min-id ties and early stop once everything is covered."""
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.shards import greedy_max_coverage
+
+    texts = {
+        1: "a b c d e f g h i j",          # grams: 6 distinct
+        2: "a b c d e f g h i j",          # duplicate of 1 -> 0 marginal gain
+        3: "k l m n o p q r",              # 4 distinct, disjoint
+        4: "a b c d e k l m n o",          # overlaps both
+        5: "z z z z",                      # shorter than n -> no grams
+    }
+    docs = rd.from_pandas(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    )
+    got = greedy_max_coverage(docs, k=5, n=5)
+
+    def gramset(s):
+        w = s.split()
+        return {" ".join(w[i : i + 5]) for i in range(len(w) - 4)}
+
+    sets = {d: gramset(s) for d, s in texts.items()}
+    covered: set[str] = set()
+    want = []
+    for step in range(1, 6):
+        gains = {d: len(g - covered) for d, g in sets.items()}
+        best = min((d for d in gains), key=lambda d: (-gains[d], d))
+        if gains[best] == 0:
+            break
+        covered |= sets[best]
+        want.append((step, best, gains[best], len(covered)))
+    assert [tuple(int(v) for v in r) for r in got.itertuples(index=False)] == want
+    assert len(got) < 5  # early stop: coverage exhausted before k rounds
