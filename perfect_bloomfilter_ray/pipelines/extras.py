@@ -2287,3 +2287,130 @@ def max_coverage_selected_docs(sf_dir: str):
     out = greedy_max_coverage(docs, k=5, n=5)
     out["step"] = out["step"].astype("int32")
     return out
+
+
+@q(
+    "sliding_heavy_users_exact",
+    sql="""
+    WITH c AS (
+      SELECT date_trunc('hour', ts) AS b, user_id, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    x AS (
+      SELECT b + to_hours(o) AS bucket, user_id, sum(n) AS n
+      FROM c, UNNEST([0, 1, 2]) AS t(o) GROUP BY 1, 2
+    ),
+    hours AS (SELECT DISTINCT date_trunc('hour', ts) AS bucket FROM events),
+    r AS (
+      SELECT bucket, user_id, n,
+             row_number() OVER (PARTITION BY bucket ORDER BY n DESC, user_id) AS rnk
+      FROM x JOIN hours USING (bucket)
+    )
+    SELECT bucket, CAST(rnk AS BIGINT) AS rnk, user_id, CAST(n AS BIGINT) AS n
+    FROM r WHERE rnk <= 3 ORDER BY bucket, rnk
+    """,
+)
+def sliding_heavy_users_exact(sf_dir: str):
+    """Trailing 3-hour sliding heavy hitters per hour, exact: top-3 users
+    by event count within each hour's trailing window (tie: min user_id).
+    The sliding_distinct fan-out shape, but weighted: per-batch (hour,
+    user) partial COUNTS fan out to the 3 buckets they cover (carrying the
+    fan-out offset), one pair groupby sums counts + keeps min offset, then
+    the repo's partial-top-k combiner (stages/topk.grouped_top_k) takes
+    the per-bucket top-3 without a global sort; buckets that never really
+    occur (no offset-0 pair) are dropped by a tiny per-bucket min. Output
+    is O(hours x 3)."""
+    import polars as pl
+
+    from ray.data.aggregate import Min as _Min
+    from ray.data.aggregate import Sum as _Sum
+
+    from perfect_bloomfilter_ray.stages.topk import grouped_top_k
+    from perfect_bloomfilter_ray.stages.windows import time_bucket
+
+    ds = time_bucket(_t(sf_dir, "events", ["ts", "user_id"]), "ts", "hour", out_col="b")
+    HOUR_US = 3_600_000_000
+
+    def expand(t: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(t.select(["b", "user_id"]))
+            .with_columns(pl.col("b").cast(pl.Int64).alias("bus"))
+            .group_by(["bus", "user_id"])
+            .len(name="pc")
+        )
+        return (
+            df.join(pl.DataFrame({"o": [0, 1, 2]}), how="cross")
+            .with_columns((pl.col("bus") + pl.col("o") * HOUR_US).alias("bucket_us"))
+            .select(
+                "bucket_us",
+                "user_id",
+                pl.col("pc").cast(pl.Int64),
+                pl.col("o").cast(pl.Int64),
+            )
+            .to_arrow()
+        )
+
+    pairs = (
+        ds.map_batches(expand, batch_format="pyarrow")
+        .groupby(["bucket_us", "user_id"])
+        .aggregate(_Sum("pc", alias_name="n"), _Min("o", alias_name="mo"))
+        .materialize()
+    )
+
+    occ = (
+        pairs.groupby("bucket_us").aggregate(_Min("mo", alias_name="m0")).to_pandas()
+    )
+    real = occ.loc[occ["m0"] == 0, "bucket_us"].to_numpy(dtype=np.int64)
+
+    top = grouped_top_k(pairs, "bucket_us", "n", k=3, tie_cols=["user_id"]).to_pandas()
+    top = top[top["bucket_us"].isin(real)].copy()
+    top = top.sort_values(["bucket_us", "n", "user_id"], ascending=[True, False, True])
+    top["rnk"] = top.groupby("bucket_us").cumcount() + 1
+    top["bucket"] = pd.to_datetime(top["bucket_us"], unit="us")
+    top["n"] = top["n"].astype("int64")
+    return top[["bucket", "rnk", "user_id", "n"]].reset_index(drop=True)
+
+
+@q("sliding_heavy_users_mg")
+def sliding_heavy_users_mg(sf_dir: str):
+    """Misra-Gries twin of `sliding_heavy_users_exact`: ONE mergeable MG
+    summary per hour (two-phase partial/merge via the sketch groupby), then
+    each hour's trailing 3-hour top-3 is a driver-side merge of 3 tiny
+    summaries — per-bucket sketches built once, reused by every
+    overlapping window (the sliding-sketch shape shared with the theta
+    twin). Rows-only: MG counts are exact-within-bound (error <= n/m with
+    m=256 >> the 3-bucket key cardinality here, so in practice exact);
+    the pytest suite asserts the bound, the driver checks rows>0."""
+    import polars as pl
+
+    from perfect_bloomfilter_ray.stages.agg import sketch_grouped
+    from perfect_bloomfilter_ray.stages.windows import time_bucket
+    from perfect_bloomfilter_ray.state.spacesaving import MisraGries
+
+    ds = time_bucket(_t(sf_dir, "events", ["ts", "user_id"]), "ts", "hour", out_col="b")
+
+    def to_i64(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "b": pc.cast(t.column("b"), pa.int64()),
+                "user_id": t.column("user_id"),
+            }
+        )
+
+    per_hour = sketch_grouped(
+        ds.map_batches(to_i64, batch_format="pyarrow"),
+        "b", "user_id", lambda: MisraGries(256),
+        name="skb", finalize_fn=lambda s: s.to_bytes(),
+    ).to_pandas()
+    HOUR_US = 3_600_000_000
+    sk = {int(r.b): MisraGries.from_bytes(r.skb) for r in per_hour.itertuples()}
+    rows = []
+    for b in sorted(sk):
+        m = MisraGries(256)
+        for o in (0, 1, 2):
+            prev = b - o * HOUR_US
+            if prev in sk:
+                m.merge(MisraGries.from_bytes(sk[prev].to_bytes()))  # merge mutates: feed copies
+        for rnk, (uid, est) in enumerate(m.top_k(3), start=1):
+            rows.append((pd.to_datetime(b, unit="us"), rnk, int(uid), int(est)))
+    return pd.DataFrame(rows, columns=["bucket", "rnk", "user_id", "n_est"])

@@ -226,3 +226,20 @@ def test_curate_pipeline(ray_session, sf_dir):
         ).fetchall()
     ]
     assert got == want
+
+
+def test_sliding_heavy_users_mg_matches_exact_at_low_cardinality(ray_session):
+    """With window user-cardinality far below the MG summary width (m=256),
+    Misra-Gries keeps every key with its exact count, so the sketch twin's
+    trailing top-3 equals the exact fan-out query bucket-for-bucket
+    (identical tie rule: count desc, user asc)."""
+    from perfect_bloomfilter_ray.pipelines.extras import (
+        sliding_heavy_users_exact,
+        sliding_heavy_users_mg,
+    )
+
+    ex = sliding_heavy_users_exact("/root/testdata/sf0.001")
+    mg = sliding_heavy_users_mg("/root/testdata/sf0.001")
+    assert len(ex) == len(mg) > 0
+    assert ex[["bucket", "rnk", "user_id"]].values.tolist() == mg[["bucket", "rnk", "user_id"]].values.tolist()
+    assert ex["n"].values.tolist() == mg["n_est"].values.tolist()
