@@ -2414,3 +2414,117 @@ def sliding_heavy_users_mg(sf_dir: str):
         for rnk, (uid, est) in enumerate(m.top_k(3), start=1):
             rows.append((pd.to_datetime(b, unit="us"), rnk, int(uid), int(est)))
     return pd.DataFrame(rows, columns=["bucket", "rnk", "user_id", "n_est"])
+
+
+@q(
+    "sliding_value_median_exact",
+    sql="""
+    WITH e AS (SELECT date_trunc('hour', ts) AS b, value FROM events),
+    hours AS (SELECT DISTINCT b AS bucket FROM e),
+    x AS (SELECT b + to_hours(o) AS bucket, value FROM e, UNNEST([0, 1, 2]) AS t(o)),
+    f AS (SELECT x.bucket, x.value FROM x JOIN hours USING (bucket))
+    SELECT bucket,
+           quantile_disc(value, 0.50) AS p50,
+           quantile_disc(value, 0.90) AS p90,
+           count(*) AS n
+    FROM f GROUP BY bucket ORDER BY bucket
+    """,
+)
+def sliding_value_median_exact(sf_dir: str):
+    """Trailing 3-hour sliding EXACT value quantiles per hour (discrete
+    quantiles — actual data values, bitwise-equal across engines). The
+    third member of the sliding-window family (distinct, heavy hitters,
+    quantiles): each event's value fans out to the 3 hour buckets it
+    covers — filtered to really-occurring buckets BEFORE the shuffle using
+    the tiny broadcast hour set — then the repo's exact grouped-quantile
+    value shuffle finishes. Per-bucket row counts need no second big pass:
+    they are the trailing sum of the same tiny hourly-count table."""
+    import polars as pl
+    import ray
+
+    from perfect_bloomfilter_ray.stages.quantiles import exact_grouped_quantiles
+    from perfect_bloomfilter_ray.stages.windows import time_bucket
+
+    ds = time_bucket(_t(sf_dir, "events", ["ts", "value"]), "ts", "hour", out_col="b")
+    HOUR_US = 3_600_000_000
+
+    hourly = (
+        ds.groupby("b").aggregate(Count(alias_name="hn")).to_pandas()
+    )  # O(hours) rows
+    # pandas timestamps are ns-resolution; the shuffle key is int64 MICROseconds
+    hours_us = hourly["b"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    hset_ref = ray.put(np.sort(hours_us))
+
+    def expand(t: pa.Table) -> pa.Table:
+        hs = ray.get(hset_ref)
+        df = pl.from_arrow(t.select(["b", "value"])).with_columns(
+            pl.col("b").cast(pl.Int64).alias("bus")
+        )
+        out = (
+            df.join(pl.DataFrame({"o": [0, 1, 2]}), how="cross")
+            .with_columns((pl.col("bus") + pl.col("o") * HOUR_US).alias("bucket_us"))
+            .select(["bucket_us", "value"])
+        )
+        bu = out["bucket_us"].to_numpy()
+        idx = np.searchsorted(hs, bu)
+        idx[idx >= len(hs)] = len(hs) - 1
+        return out.filter(pl.Series(hs[idx] == bu)).to_arrow()
+
+    q_ds = exact_grouped_quantiles(
+        ds.map_batches(expand, batch_format="pyarrow"),
+        "bucket_us",
+        "value",
+        [0.5, 0.9],
+        kind="disc",
+        names=["p50", "p90"],
+    )
+    out = q_ds.to_pandas()
+
+    # trailing 3-hour row count from the hourly counts alone
+    hn = dict(zip(hours_us.tolist(), hourly["hn"].astype("int64").tolist()))
+    out["n"] = [
+        sum(hn.get(int(b) - o * HOUR_US, 0) for o in (0, 1, 2)) for b in out["bucket_us"]
+    ]
+    out["bucket"] = pd.to_datetime(out["bucket_us"], unit="us")
+    out["n"] = out["n"].astype("int64")
+    return out[["bucket", "p50", "p90", "n"]].sort_values("bucket").reset_index(drop=True)
+
+
+@q("sliding_value_median_kll")
+def sliding_value_median_kll(sf_dir: str):
+    """KLL twin of `sliding_value_median_exact`: ONE mergeable KLL sketch
+    per hour (two-phase partial/merge), each hour's trailing 3-hour
+    p50/p90 is a driver-side merge of 3 tiny sketches — per-bucket
+    sketches built once, reused by every overlapping window (the shape
+    shared with the theta and Misra-Gries twins). Rows-only; rank error
+    bounded by the sketch's published epsilon (pytest-asserted on the
+    sketch itself)."""
+    from perfect_bloomfilter_ray.stages.agg import sketch_grouped
+    from perfect_bloomfilter_ray.stages.windows import time_bucket
+    from perfect_bloomfilter_ray.state.kll import KLLSketch
+
+    ds = time_bucket(_t(sf_dir, "events", ["ts", "value"]), "ts", "hour", out_col="b")
+
+    def to_i64(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"b": pc.cast(t.column("b"), pa.int64()), "value": t.column("value")}
+        )
+
+    per_hour = sketch_grouped(
+        ds.map_batches(to_i64, batch_format="pyarrow"),
+        "b", "value", lambda: KLLSketch(200),
+        name="skb", finalize_fn=lambda s: s.to_bytes(),
+    ).to_pandas()
+    HOUR_US = 3_600_000_000
+    sk = {int(r.b): KLLSketch.from_bytes(r.skb) for r in per_hour.itertuples()}
+    rows = []
+    for b in sorted(sk):
+        m = KLLSketch(200)
+        for o in (0, 1, 2):
+            prev = b - o * HOUR_US
+            if prev in sk:
+                m.merge(KLLSketch.from_bytes(sk[prev].to_bytes()))
+        rows.append(
+            (pd.to_datetime(b, unit="us"), float(m.quantile(0.5)), float(m.quantile(0.9)))
+        )
+    return pd.DataFrame(rows, columns=["bucket", "p50_est", "p90_est"])

@@ -243,3 +243,22 @@ def test_sliding_heavy_users_mg_matches_exact_at_low_cardinality(ray_session):
     assert len(ex) == len(mg) > 0
     assert ex[["bucket", "rnk", "user_id"]].values.tolist() == mg[["bucket", "rnk", "user_id"]].values.tolist()
     assert ex["n"].values.tolist() == mg["n_est"].values.tolist()
+
+
+def test_sliding_value_median_kll_brackets_exact(ray_session):
+    """The KLL twin reports the same occurring buckets as the exact
+    fan-out query, and at sf0.001 scale (buffer >> window rows) its
+    estimates must land inside the window's value range bracketed by the
+    exact discrete quantiles."""
+    from perfect_bloomfilter_ray.pipelines.extras import (
+        sliding_value_median_exact,
+        sliding_value_median_kll,
+    )
+
+    ex = sliding_value_median_exact("/root/testdata/sf0.001")
+    kl = sliding_value_median_kll("/root/testdata/sf0.001")
+    assert len(ex) == len(kl) > 0
+    assert ex["bucket"].tolist() == kl["bucket"].tolist()
+    # p50 estimate can never exceed the exact p90, nor fall above p90's est
+    assert (kl["p50_est"] <= kl["p90_est"] + 1e-12).all()
+    assert (kl["p50_est"] <= ex["p90"]).all()
