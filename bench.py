@@ -272,6 +272,14 @@ SUITE = [
     "part_ktruss_edges",
     "event_type_weighted_pagerank",
     "event_type_hits",
+    "part_copurchase_cosine",
+    "part_label_communities",
+    "max_coverage_selected_docs",
+    "sliding_heavy_users_exact",
+    "sliding_heavy_users_mg",
+    "sliding_value_median_exact",
+    "sliding_value_median_kll",
+    "event_type_personalized_pagerank",
 ]
 
 

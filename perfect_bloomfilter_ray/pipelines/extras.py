@@ -2528,3 +2528,64 @@ def sliding_value_median_kll(sf_dir: str):
             (pd.to_datetime(b, unit="us"), float(m.quantile(0.5)), float(m.quantile(0.9)))
         )
     return pd.DataFrame(rows, columns=["bucket", "p50_est", "p90_est"])
+
+
+@q(
+    "event_type_personalized_pagerank",
+    sql="""
+    WITH raw AS (
+      SELECT event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      FROM events
+    ),
+    e AS (SELECT DISTINCT src, dst FROM raw WHERE dst IS NOT NULL),
+    deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+    nodes AS (SELECT DISTINCT node FROM
+              (SELECT src AS node FROM e UNION SELECT dst FROM e)),
+    sv AS (SELECT node, CASE WHEN node = 'purchase' THEN 1.0 ELSE 0.0 END AS s FROM nodes),
+    r0 AS (SELECT node, s AS r FROM sv),
+    r1 AS (
+      SELECT sv.node, (1 - 0.85) * sv.s + 0.85 * coalesce(w.w, 0) AS r
+      FROM sv LEFT JOIN (
+        SELECT e.dst AS node, sum(r0.r / deg.outdeg) AS w
+        FROM e JOIN r0 ON e.src = r0.node JOIN deg ON e.src = deg.src
+        GROUP BY e.dst) w USING (node)
+    ),
+    r2 AS (
+      SELECT sv.node, (1 - 0.85) * sv.s + 0.85 * coalesce(w.w, 0) AS r
+      FROM sv LEFT JOIN (
+        SELECT e.dst AS node, sum(r1.r / deg.outdeg) AS w
+        FROM e JOIN r1 ON e.src = r1.node JOIN deg ON e.src = deg.src
+        GROUP BY e.dst) w USING (node)
+    ),
+    r3 AS (
+      SELECT sv.node, (1 - 0.85) * sv.s + 0.85 * coalesce(w.w, 0) AS r
+      FROM sv LEFT JOIN (
+        SELECT e.dst AS node, sum(r2.r / deg.outdeg) AS w
+        FROM e JOIN r2 ON e.src = r2.node JOIN deg ON e.src = deg.src
+        GROUP BY e.dst) w USING (node)
+    )
+    SELECT node, round(r, 6) AS rank FROM r3 ORDER BY node
+    """,
+)
+def event_type_personalized_pagerank(sf_dir: str):
+    """Personalized PageRank (Haveliwala 2002) seeded at 'purchase' over
+    the event-type transition graph: teleport mass lands on the seed set
+    instead of uniformly — r_{k+1}(v) = (1-d)*s_v + d * sum(shares), s =
+    indicator/|S| (stages/graph.pagerank(seeds=...)). Same 3-iteration
+    unrolled recurrence, edge-stream contribution passes and round(6)
+    convention as the global-pagerank twins; ranks measure proximity TO
+    the conversion event rather than global centrality."""
+    from perfect_bloomfilter_ray.stages.graph import pagerank
+    from perfect_bloomfilter_ray.stages.windows import transition_counts
+
+    ds = _t(sf_dir, "events", ["user_id", "ts", "event_type", "event_id"])
+    edges = transition_counts(
+        ds, "user_id", "ts", "event_type", tie_cols=["event_id"]
+    ).map_batches(
+        lambda t: pa.table({"src": t.column("state_from"), "dst": t.column("state_to")}),
+        batch_format="pyarrow",
+    )
+    out = pagerank(edges, iters=3, damping=0.85, seeds=["purchase"])
+    out["rank"] = np.round(out["rank"].to_numpy(dtype=np.float64), 6)
+    return out

@@ -42,6 +42,7 @@ def pagerank(
     damping: float = 0.85,
     broadcast_max_nodes: int = 5_000_000,
     weight_col: str | None = None,
+    seeds: "list | None" = None,
 ) -> pd.DataFrame:
     """PageRank after ``iters`` power iterations. Returns a small pandas
     frame ``(node, rank)`` (node-cardinality — the documented driver
@@ -53,6 +54,12 @@ def pagerank(
     weights). The weighted mode is broadcast-resolve only (node-bounded
     contract); extend ``pagerank_dataset``'s tagged join with a weight
     column for corpus-cardinality weighted graphs.
+
+    ``seeds`` switches to PERSONALIZED PageRank (Page et al. 1999 §6 /
+    Haveliwala 2002): the teleport mass lands uniformly on the seed set
+    instead of all nodes — r_0 = s, r_{k+1}(v) = (1-d)·s_v + d·Σ shares,
+    with s_v = 1/|S| on seeds, 0 elsewhere. Broadcast-resolve only (the
+    seed vector is node-bounded by definition of the mode).
 
     Node counts above ``broadcast_max_nodes`` switch to the fully
     distributed ``pagerank_dataset`` resolve (the caller still asked for a
@@ -116,14 +123,22 @@ def pagerank(
     n = len(nodes)
     if n == 0:
         return pd.DataFrame({"node": [], "rank": []})
-    if weight_col is None and n > broadcast_max_nodes and nodes.dtype.kind in "iu":
+    if seeds is not None:
+        s_on = np.isin(nodes, np.asarray(list(seeds)))
+        n_seed = int(s_on.sum())
+        if n_seed == 0:
+            raise ValueError("no seed appears in the graph")
+        s_vec = np.where(s_on, 1.0 / n_seed, 0.0)
+        ranks = pd.Series(s_vec.copy(), index=nodes)
+    elif weight_col is None and n > broadcast_max_nodes and nodes.dtype.kind in "iu":
         # string ids above the gate would need an upstream hash64 — a graph
         # that big is always hashed-id in this repo's pipelines
         out = pagerank_dataset(
             e, src_col=src_col, dst_col=dst_col, iters=iters, damping=damping, _deduped=True
         ).to_pandas()
         return out.sort_values("node").reset_index(drop=True)
-    ranks = pd.Series(np.full(n, 1.0 / n), index=nodes)
+    if seeds is None:
+        ranks = pd.Series(np.full(n, 1.0 / n), index=nodes)
     outdeg = pd.Series(deg["outdeg"].to_numpy(), index=deg[src_col].to_numpy())
 
     for _ in range(iters):
@@ -156,10 +171,13 @@ def pagerank(
             .to_pandas()
         )
         incoming = pd.Series(sums["w"].to_numpy(), index=sums[dst_col].to_numpy())
-        ranks = pd.Series(
-            (1.0 - damping) / n + damping * incoming.reindex(ranks.index).fillna(0.0).to_numpy(),
-            index=ranks.index,
-        )
+        inc = incoming.reindex(ranks.index).fillna(0.0).to_numpy()
+        if seeds is not None:
+            # teleport mass lands on the seed vector, term-for-term with the
+            # oracle's (1-d)*s_v + d*w
+            ranks = pd.Series((1.0 - damping) * s_vec + damping * inc, index=ranks.index)
+        else:
+            ranks = pd.Series((1.0 - damping) / n + damping * inc, index=ranks.index)
 
     out = pd.DataFrame({"node": ranks.index, "rank": ranks.to_numpy()})
     return out.sort_values("node").reset_index(drop=True)

@@ -330,3 +330,37 @@ def test_label_propagation_matches_brute_rounds(ray_session, lme):
     # the two triangles each collapse onto their own min label
     got_map = {int(r.node): int(r.label) for r in got.itertuples()}
     assert len({got_map[0], got_map[10]}) == 2
+
+
+def test_personalized_pagerank_matches_numpy(ray_session):
+    """Seeded-teleport PPR equals an explicit numpy recurrence, seeds
+    normalized 1/|S|, and differs from global PR in favoring the seeds'
+    neighborhood."""
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.graph import pagerank
+
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 3)]
+    nodes = sorted({v for e in edges for v in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    outdeg = np.zeros(n)
+    for a, _ in edges:
+        outdeg[idx[a]] += 1
+    s = np.zeros(n)
+    for v in (3, 4):
+        s[idx[v]] = 1 / 2
+    r = s.copy()
+    d = 0.85
+    for _ in range(3):
+        inc = np.zeros(n)
+        for a, b in edges:
+            inc[idx[b]] += r[idx[a]] / outdeg[idx[a]]
+        r = (1 - d) * s + d * inc
+    got = pagerank(
+        rd.from_pandas(pd.DataFrame({"src": [a for a, _ in edges], "dst": [b for _, b in edges]})),
+        iters=3,
+        seeds=[3, 4],
+    )
+    assert np.allclose(got["rank"].to_numpy(), r, atol=1e-15)
+    assert got.loc[got["node"] == 3, "rank"].iloc[0] > got.loc[got["node"] == 0, "rank"].iloc[0]
