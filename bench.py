@@ -280,6 +280,7 @@ SUITE = [
     "sliding_value_median_exact",
     "sliding_value_median_kll",
     "event_type_personalized_pagerank",
+    "ann_topk_pq",
 ]
 
 

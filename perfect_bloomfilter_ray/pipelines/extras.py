@@ -2589,3 +2589,34 @@ def event_type_personalized_pagerank(sf_dir: str):
     out = pagerank(edges, iters=3, damping=0.85, seeds=["purchase"])
     out["rank"] = np.round(out["rank"].to_numpy(dtype=np.float64), 6)
     return out
+
+
+@q("ann_topk_pq")
+def ann_topk_pq(sf_dir: str):
+    """Product-quantization ANN (Jegou et al. 2011): per-subspace k-means
+    codebooks trained on a deterministic unbiased sample, vectors encoded
+    to m=8 uint8 codes (32x smaller scan column than float32 at dim=64),
+    queries scored by asymmetric-distance lookup tables — m adds per
+    vector, no float vector read (stages/ann.pq_train_codebooks /
+    pq_encode / pq_topk). Rows-only like the LSH/IVF/int8 variants;
+    recall vs the float brute force is property-tested."""
+    from perfect_bloomfilter_ray.stages.ann import pq_encode, pq_topk, pq_train_codebooks
+
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrows = emb.filter(expr="vec_id < 4").take_all()
+    dim = len(qrows[0]["embedding"])
+    queries = np.stack(
+        [
+            np.asarray(r["embedding"], dtype=np.float64)
+            for r in sorted(qrows, key=lambda r: r["vec_id"])
+        ]
+    )
+    cb = pq_train_codebooks(emb, "embedding", "vec_id", dim, m=8, ksub=256)
+    codes = pq_encode(emb, cb, "embedding", "vec_id", dim)
+    df = pq_topk(codes, cb, queries, "pqcode", "vec_id", k=10)
+    return (
+        df[["query_id", "vec_id"]]
+        .astype({"query_id": "int64", "vec_id": "int64"})
+        .sort_values(["query_id", "vec_id"])
+        .reset_index(drop=True)
+    )

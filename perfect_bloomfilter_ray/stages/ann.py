@@ -174,6 +174,13 @@ def _train_centroids(
     (``limit()`` alone would take the first rows — biased whenever storage
     order correlates with content, e.g. time- or crawl-ordered corpora),
     cap at ``train_sample``, fit spherical k-means."""
+    sample = _unbiased_sample(ds, vec_col, id_col, train_sample)
+    return _kmeans_fit(sample, nlist, kmeans_iters, seed)
+
+
+def _unbiased_sample(ds: Dataset, vec_col: str, id_col: str, train_sample: int) -> np.ndarray:
+    """Deterministic hash-filtered vector sample, L2-normalized (see
+    ``_train_centroids`` for why ``limit()`` alone would be biased)."""
     from perfect_bloomfilter_ray.functions.hashing import hash64
 
     total = ds.count()
@@ -188,8 +195,7 @@ def _train_centroids(
     else:
         sample_ds = ds
     sample_tbl = sample_ds.to_pandas()
-    sample = _normalize(np.stack([np.asarray(v, dtype=np.float32) for v in sample_tbl[vec_col]]))
-    return _kmeans_fit(sample, nlist, kmeans_iters, seed)
+    return _normalize(np.stack([np.asarray(v, dtype=np.float32) for v in sample_tbl[vec_col]]))
 
 
 def _kmeans_fit(sample: np.ndarray, nlist: int, iters: int, seed: int) -> np.ndarray:
@@ -479,5 +485,141 @@ def ivf_query_index(
         _topk_scorer(ref, vec_col, id_col, dim, k), batch_format="pyarrow"
     )
     df = partials.to_pandas()
+    df = df.sort_values(["query_id", "cos", id_col], ascending=[True, False, True])
+    return df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+
+
+def _kmeans_euclid(x: np.ndarray, k: int, iters: int, rng) -> np.ndarray:
+    """Plain Euclidean Lloyd k-means (PQ codebooks live in subspace
+    coordinates, where the inner-product decomposition needs Euclidean —
+    not spherical — cells). Deterministic for a given sample and rng."""
+    cents = x[rng.choice(len(x), size=min(k, len(x)), replace=False)].copy()
+    xx = (x * x).sum(axis=1)
+    for _ in range(iters):
+        d2 = xx[:, None] - 2.0 * (x @ cents.T) + (cents * cents).sum(axis=1)[None, :]
+        a = d2.argmin(axis=1)
+        for c in range(len(cents)):
+            members = x[a == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def pq_train_codebooks(
+    ds: Dataset,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    m: int = 8,
+    ksub: int = 256,
+    train_sample: int = 20_000,
+    kmeans_iters: int = 10,
+    seed: int = 11,
+) -> np.ndarray:
+    """Product-quantization codebooks (Jégou, Douze & Schmid 2011): split
+    the (L2-normalized) vector into ``m`` contiguous subspaces of dim/m
+    dims and fit an independent ``ksub``-centroid Euclidean k-means per
+    subspace on one deterministic unbiased sample. Returns
+    ``(m, ksub, dim//m)`` float32. Codebooks are O(m*ksub*dsub) — trivially
+    broadcastable regardless of corpus size."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    sample = _unbiased_sample(ds, vec_col, id_col, train_sample)
+    rng = np.random.default_rng(seed)
+    return np.stack(
+        [
+            _kmeans_euclid(sample[:, j * dsub : (j + 1) * dsub], ksub, kmeans_iters, rng)
+            for j in range(m)
+        ]
+    )
+
+
+def pq_encode(
+    ds: Dataset,
+    codebooks: np.ndarray,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    code_col: str = "pqcode",
+) -> Dataset:
+    """Encode every vector to ``m`` uint8 subspace code ids (nearest
+    Euclidean codebook entry per subspace, first-index ties) — for
+    dim=64 float32 → m=8 bytes that is a 32× compression of the scan
+    column. One ``map_batches`` with the tiny codebook broadcast."""
+    m, ksub, dsub = codebooks.shape
+    cb_ref = ray.put(codebooks.astype(np.float32))
+
+    def enc(t: pa.Table) -> pa.Table:
+        cb = np.asarray(ray.get(cb_ref))
+        n = len(t)
+        if n == 0:
+            codes = np.empty((0, m), np.uint8)
+        else:
+            v = _normalize(_vecs_of(t, vec_col, dim))
+            codes = np.empty((n, m), np.uint8)
+            for j in range(m):
+                x = v[:, j * dsub : (j + 1) * dsub]
+                d2 = (
+                    (x * x).sum(axis=1)[:, None]
+                    - 2.0 * (x @ cb[j].T)
+                    + (cb[j] * cb[j]).sum(axis=1)[None, :]
+                )
+                codes[:, j] = d2.argmin(axis=1).astype(np.uint8)
+        arr = pa.FixedSizeListArray.from_arrays(pa.array(codes.ravel(), pa.uint8()), m)
+        return pa.table({id_col: t.column(id_col), code_col: arr})
+
+    return ds.map_batches(enc, batch_format="pyarrow")
+
+
+def pq_topk(
+    codes_ds: Dataset,
+    codebooks: np.ndarray,
+    queries: np.ndarray,
+    code_col: str,
+    id_col: str,
+    k: int = 10,
+    rescore: int = 4,
+):
+    """Asymmetric-distance (ADC) cosine top-k over PQ codes: queries stay
+    full-precision; per query one (m, ksub) inner-product lookup table is
+    precomputed against the codebooks, so scoring a vector is ``m`` table
+    lookups + adds — no float vector is ever read. Each block keeps
+    ``rescore*k`` candidates (quantization-rank jitter near the cut
+    survives to the exact driver merge), same output shape as
+    :func:`brute_force_topk`; recall vs the float baseline is
+    property-tested (the PQ pipelines' standard contract)."""
+    import pandas as pd
+
+    m, ksub, dsub = codebooks.shape
+    qn = _normalize(np.asarray(queries, dtype=np.float32))
+    # luts[j]: (Q, ksub) — <q_j, c_{j,code}> for every code
+    luts = np.stack([qn[:, j * dsub : (j + 1) * dsub] @ codebooks[j].T for j in range(m)])
+    lut_ref = ray.put(luts.astype(np.float32))
+
+    def score(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _empty_topk_table(t, id_col)
+        lt = np.asarray(ray.get(lut_ref))  # (m, Q, ksub)
+        codes = _vecs_of(t, code_col, m).astype(np.int64)
+        n = len(codes)
+        Q = lt.shape[1]
+        sims = np.zeros((n, Q), dtype=np.float32)
+        for j in range(m):
+            sims += lt[j][:, codes[:, j]].T
+        kk = min(rescore * k, n)
+        part = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+        ids = t.column(id_col).to_numpy()
+        out_q = np.repeat(np.arange(Q, dtype=np.int32), kk)
+        out_idx = part.T.ravel()
+        return pa.table(
+            {
+                "query_id": pa.array(out_q),
+                id_col: pa.array(ids[out_idx]),
+                "cos": pa.array(sims[out_idx, out_q].astype(np.float64)),
+            }
+        )
+
+    df = codes_ds.map_batches(score, batch_format="pyarrow").to_pandas()
     df = df.sort_values(["query_id", "cos", id_col], ascending=[True, False, True])
     return df.groupby("query_id", sort=True).head(k).reset_index(drop=True)

@@ -469,3 +469,39 @@ def test_ivf_persisted_rebuild_overwrites(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         out1.reset_index(drop=True), out2.reset_index(drop=True)
     )
+
+
+def test_pq_topk_recall_and_roundtrip(ray_session, sf01_dir):
+    """PQ-ADC top-10 recall vs float brute force on the sf0.01 embeddings,
+    plus encode determinism: same codebooks -> identical codes across runs."""
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.ann import (
+        brute_force_topk,
+        pq_encode,
+        pq_topk,
+        pq_train_codebooks,
+    )
+
+    emb = rd.read_parquet(f"{sf01_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qrows = emb.filter(expr="vec_id < 5").take_all()
+    dim = len(qrows[0]["embedding"])
+    queries = np.stack(
+        [np.asarray(r["embedding"]) for r in sorted(qrows, key=lambda r: r["vec_id"])]
+    )
+    cb = pq_train_codebooks(emb, "embedding", "vec_id", dim, m=8, ksub=256)
+    assert cb.shape == (8, 256, dim // 8)
+    codes = pq_encode(emb, cb, "embedding", "vec_id", dim).materialize()
+    c1 = codes.to_pandas().sort_values("vec_id")
+    c2 = pq_encode(emb, cb, "embedding", "vec_id", dim).to_pandas().sort_values("vec_id")
+    assert [list(x) for x in c1["pqcode"]] == [list(x) for x in c2["pqcode"]]
+
+    k = 10
+    exact = brute_force_topk(emb, queries, "embedding", "vec_id", dim, k=k)
+    approx = pq_topk(codes, cb, queries, "pqcode", "vec_id", k=k, rescore=8)
+    recalls = []
+    for qid in range(len(queries)):
+        e = set(exact.loc[exact["query_id"] == qid, "vec_id"])
+        a = set(approx.loc[approx["query_id"] == qid, "vec_id"])
+        recalls.append(len(a & e) / k)
+    assert np.mean(recalls) >= 0.5, recalls  # 8-byte codes: coarse but must rank
