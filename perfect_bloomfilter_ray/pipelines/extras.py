@@ -2620,3 +2620,111 @@ def ann_topk_pq(sf_dir: str):
         .sort_values(["query_id", "vec_id"])
         .reset_index(drop=True)
     )
+
+
+@q(
+    "frequent_event_type_triples",
+    sql="""
+    WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+    SELECT a.event_type AS item_a, b.event_type AS item_b,
+           c.event_type AS item_c, count(*) AS n
+    FROM d a
+    JOIN d b ON b.user_id = a.user_id AND b.event_type > a.event_type
+    JOIN d c ON c.user_id = a.user_id AND c.event_type > b.event_type
+    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+)
+def frequent_event_type_triples(sf_dir: str):
+    """Frequent 3-itemsets (the Apriori level above event_type_cooccurrence):
+    for each unordered event-type triple, how many distinct users exhibit all
+    three. Batch-side dedup, key-co-located double self-join per coarse
+    partition (each triple emitted once, a < b < c), tiny count merge
+    (stages/cooccur.triple_support_counts)."""
+    from perfect_bloomfilter_ray.stages.cooccur import triple_support_counts
+
+    ds = _t(sf_dir, "events", ["user_id", "event_type"])
+    out = (
+        triple_support_counts(ds, "user_id", "event_type")
+        .to_pandas()
+        .sort_values(["item_a", "item_b", "item_c"])
+        .reset_index(drop=True)
+    )
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+@q(
+    "event_type_rule_confidence",
+    sql="""
+    WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
+    p AS (
+      SELECT a.event_type AS x, b.event_type AS y, count(*) AS s
+      FROM d a JOIN d b ON b.user_id = a.user_id AND b.event_type > a.event_type
+      GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT a.event_type AS t1, b.event_type AS t2, c.event_type AS t3,
+             count(*) AS s3
+      FROM d a
+      JOIN d b ON b.user_id = a.user_id AND b.event_type > a.event_type
+      JOIN d c ON c.user_id = a.user_id AND c.event_type > b.event_type
+      GROUP BY 1, 2, 3
+    ),
+    r AS (
+      SELECT t1 AS ante_a, t2 AS ante_b, t3 AS consequent, s3 FROM t
+      UNION ALL SELECT t1, t3, t2, s3 FROM t
+      UNION ALL SELECT t2, t3, t1, s3 FROM t
+    )
+    SELECT r.ante_a, r.ante_b, r.consequent,
+           r.s3 AS support_abc, p.s AS support_ab,
+           CAST(r.s3 AS DOUBLE) / CAST(p.s AS DOUBLE) AS confidence
+    FROM r JOIN p ON p.x = r.ante_a AND p.y = r.ante_b
+    ORDER BY ante_a, ante_b, consequent
+    """,
+)
+def event_type_rule_confidence(sf_dir: str):
+    """Association rules {a,b} -> c from the 3-itemset support table: every
+    unordered triple yields its 3 antecedent-pair rules; confidence =
+    support(abc)/support(ab), ONE division of two exact BIGINT counts ->
+    bitwise-deterministic double (no rounding step). Pair and triple support
+    come from the two key-co-located support scans
+    (stages/cooccur.cooccurrence_counts / triple_support_counts); the rule
+    join runs on the driver over the itemset-cardinality-bounded outputs."""
+    from perfect_bloomfilter_ray.stages.cooccur import (
+        cooccurrence_counts,
+        triple_support_counts,
+    )
+
+    ds = _t(sf_dir, "events", ["user_id", "event_type"])
+    pairs = cooccurrence_counts(ds, "user_id", "event_type").to_pandas()
+    triples = triple_support_counts(ds, "user_id", "event_type").to_pandas()
+    rules = pd.concat(
+        [
+            triples.rename(
+                columns={"item_a": "ante_a", "item_b": "ante_b", "item_c": "consequent"}
+            ),
+            triples.rename(
+                columns={"item_a": "ante_a", "item_c": "ante_b", "item_b": "consequent"}
+            ),
+            triples.rename(
+                columns={"item_b": "ante_a", "item_c": "ante_b", "item_a": "consequent"}
+            ),
+        ],
+        ignore_index=True,
+    ).rename(columns={"n": "support_abc"})
+    out = rules.merge(
+        pairs.rename(columns={"item_a": "ante_a", "item_b": "ante_b", "n": "support_ab"}),
+        on=["ante_a", "ante_b"],
+        how="inner",
+    )
+    out["support_abc"] = out["support_abc"].astype("int64")
+    out["support_ab"] = out["support_ab"].astype("int64")
+    out["confidence"] = np.array(
+        [float(a) / float(b) for a, b in zip(out["support_abc"], out["support_ab"])],
+        dtype=np.float64,
+    )
+    return (
+        out[["ante_a", "ante_b", "consequent", "support_abc", "support_ab", "confidence"]]
+        .sort_values(["ante_a", "ante_b", "consequent"])
+        .reset_index(drop=True)
+    )

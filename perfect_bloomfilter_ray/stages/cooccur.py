@@ -76,6 +76,73 @@ def cooccurrence_counts(
     )
 
 
+def triple_support_counts(
+    ds: Dataset,
+    key: str,
+    item_col: str,
+    max_items: int | None = None,
+    num_blocks: int | None = None,
+) -> Dataset:
+    """Support counts for unordered item TRIPLES: ``(item_a, item_b, item_c,
+    n)`` with ``item_a < item_b < item_c`` and ``n`` = number of distinct
+    keys exhibiting all three — the 3-itemset level of Apriori-style
+    frequent-itemset mining (pairs are :func:`cooccurrence_counts`).
+
+    Same shape as the pair level: batch-side dedup of (key, item), coarse
+    hash partition on key (all of a key's items co-locate, so per-partition
+    counts are exact partials), ONE vectorized partition pass — a polars
+    double self-join on key ordered ``a < b < c`` emits each triple once —
+    and a final small groupby sums partials. The exchange is
+    O(keys × k³/6); ``max_items`` drops keys with more distinct items than
+    that (deterministically, by distinct-item count) — the standard
+    support-mining guard against power keys.
+    """
+    nb = choose_num_blocks(ds, num_blocks)
+
+    def dedup_route(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select([key, item_col])).unique()
+        h = hash64(df[key], 0xC00C)
+        return df.with_columns(
+            pl.Series("_part", (h % np.uint64(nb)).astype(np.int32))
+        ).to_arrow()
+
+    def triples_block(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.drop_columns(["_part"])).unique()
+        if max_items is not None:
+            small = (
+                df.group_by(key).len(name="_k").filter(pl.col("_k") <= max_items)
+            ).select(key)
+            df = df.join(small, on=key, how="semi")
+        p = (
+            df.join(df, on=key, suffix="_b")
+            .filter(pl.col(item_col) < pl.col(f"{item_col}_b"))
+            .join(df, on=key, suffix="_c")
+            .filter(pl.col(f"{item_col}_b") < pl.col(f"{item_col}_c"))
+            .group_by([item_col, f"{item_col}_b", f"{item_col}_c"])
+            .len(name="pn")
+        )
+        return (
+            p.rename(
+                {
+                    item_col: "item_a",
+                    f"{item_col}_b": "item_b",
+                    f"{item_col}_c": "item_c",
+                }
+            )
+            .with_columns(pl.col("pn").cast(pl.Int64))
+            .to_arrow()
+        )
+
+    return (
+        ds.select_columns([key, item_col])
+        .map_batches(dedup_route, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(triples_block, batch_format="pyarrow")
+        .groupby(["item_a", "item_b", "item_c"])
+        .aggregate(Sum("pn", alias_name="n"))
+    )
+
+
 def item_marginals(
     ds: Dataset,
     key: str,

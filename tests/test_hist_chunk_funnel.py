@@ -234,3 +234,46 @@ def test_cooccurrence_counts_matches_brute(ray_session):
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(got, ref_df, check_dtype=False)
+
+
+def test_triple_support_counts_matches_brute(ray_session):
+    from collections import Counter
+    from itertools import combinations
+
+    from perfect_bloomfilter_ray.stages.cooccur import triple_support_counts
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 300, n),
+            "it": np.array([f"i{j}" for j in range(8)])[rng.integers(0, 8, n)],
+        }
+    )
+    for cap in (None, 4):
+        got = (
+            triple_support_counts(
+                rd.from_pandas(df).repartition(6), "k", "it", max_items=cap, num_blocks=4
+            )
+            .to_pandas()
+            .sort_values(["item_a", "item_b", "item_c"])
+            .reset_index(drop=True)
+        )
+        ref = Counter()
+        for _, g in df.groupby("k"):
+            items = sorted(set(g["it"]))
+            if cap is not None and len(items) > cap:
+                continue
+            for a, b, c in combinations(items, 3):
+                ref[(a, b, c)] += 1
+        ref_df = (
+            pd.DataFrame(
+                [
+                    {"item_a": a, "item_b": b, "item_c": c, "n": cnt}
+                    for (a, b, c), cnt in sorted(ref.items())
+                ]
+            )
+            .sort_values(["item_a", "item_b", "item_c"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, ref_df, check_dtype=False)
