@@ -2728,3 +2728,57 @@ def event_type_rule_confidence(sf_dir: str):
         .sort_values(["ante_a", "ante_b", "consequent"])
         .reset_index(drop=True)
     )
+
+
+@q(
+    "kendall_qty_discount",
+    sql="""
+    WITH c AS (
+      SELECT CAST(round(l_quantity) AS BIGINT) AS x,
+             CAST(round(l_discount * 100) AS BIGINT) AS y, count(*) AS m
+      FROM lineitem GROUP BY 1, 2
+    ),
+    nc_ AS (SELECT coalesce(sum(a.m * b.m), 0) AS nc
+            FROM c a JOIN c b ON b.x > a.x AND b.y > a.y),
+    nd_ AS (SELECT coalesce(sum(a.m * b.m), 0) AS nd
+            FROM c a JOIN c b ON b.x > a.x AND b.y < a.y),
+    n_ AS (SELECT sum(m) AS n FROM c),
+    t1 AS (SELECT sum(r * (r - 1) // 2) AS n1
+           FROM (SELECT sum(m) AS r FROM c GROUP BY x)),
+    t2 AS (SELECT sum(r * (r - 1) // 2) AS n2
+           FROM (SELECT sum(m) AS r FROM c GROUP BY y))
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(nc - nd AS BIGINT) AS s,
+           CAST(n * (n - 1) // 2 AS BIGINT) AS n0,
+           CAST(n1 AS BIGINT) AS n1,
+           CAST(n2 AS BIGINT) AS n2,
+           CAST(nc - nd AS DOUBLE)
+             / sqrt(CAST(n * (n - 1) // 2 - n1 AS DOUBLE)
+                    * CAST(n * (n - 1) // 2 - n2 AS DOUBLE)) AS tau_b
+    FROM nc_, nd_, n_, t1, t2
+    """,
+)
+def kendall_qty_discount(sf_dir: str):
+    """EXACT full-corpus Kendall tau-b between quantity and discount step —
+    the tie-corrected concordance twin of spearman_qty_price. One
+    distributed contingency count (50 x 11 cells), driver-side 2-D prefix
+    sums over the cell matrix, tau-b as one fixed float expression over
+    exact int64 counts, mirrored term-for-term by the SQL cell self-join
+    oracle (stages/quantiles.kendall_tau_b)."""
+    from perfect_bloomfilter_ray.stages.quantiles import kendall_tau_b
+
+    ds = _t(sf_dir, "lineitem", ["l_quantity", "l_discount"])
+
+    def to_ordinal(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "x": pc.cast(pc.round(t.column("l_quantity")), pa.int64()),
+                "y": pc.cast(
+                    pc.round(pc.multiply(t.column("l_discount"), pa.scalar(100.0))),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    res = kendall_tau_b(ds.map_batches(to_ordinal, batch_format="pyarrow"), "x", "y")
+    return pd.DataFrame([res])[["n", "s", "n0", "n1", "n2", "tau_b"]]

@@ -439,3 +439,31 @@ def test_weighted_grouped_quantiles_bruteforce(ray_session):
             want = float(g["v"].to_numpy()[min(pos, len(g) - 1)])
             row = got[(got["k"] == k) & (got["q_num"] == qn) & (got["q_den"] == qd)]
             assert len(row) == 1 and float(row["wq"].iloc[0]) == want, (k, qn, qd)
+
+
+def test_kendall_tau_b_matches_bruteforce(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.quantiles import kendall_tau_b
+
+    rng = np.random.default_rng(17)
+    n = 800
+    x = rng.integers(0, 12, n)
+    y = np.clip(x + rng.integers(-4, 5, n), 0, 15)  # correlated, heavy ties
+    df = pd.DataFrame({"x": x.astype("int64"), "y": y.astype("int64")})
+    res = kendall_tau_b(rd.from_pandas(df).repartition(5), "x", "y")
+
+    dx = np.sign(x[:, None] - x[None, :])
+    dy = np.sign(y[:, None] - y[None, :])
+    iu = np.triu_indices(n, k=1)
+    prod = dx[iu] * dy[iu]
+    nc, nd = int((prod > 0).sum()), int((prod < 0).sum())
+    n0 = n * (n - 1) // 2
+    n1 = int((dx[iu] == 0).sum())
+    n2 = int((dy[iu] == 0).sum())
+    assert res["n"] == n and res["s"] == nc - nd
+    assert res["n0"] == n0 and res["n1"] == n1 and res["n2"] == n2
+    want = (nc - nd) / math.sqrt(float(n0 - n1) * float(n0 - n2))
+    assert res["tau_b"] == want
