@@ -2782,3 +2782,72 @@ def kendall_qty_discount(sf_dir: str):
 
     res = kendall_tau_b(ds.map_batches(to_ordinal, batch_format="pyarrow"), "x", "y")
     return pd.DataFrame([res])[["n", "s", "n0", "n1", "n2", "tau_b"]]
+
+
+@q(
+    "ann_quantized_eval_vs_exact",
+    sql="""
+    WITH c AS (
+      SELECT vec_id, embedding,
+             list_transform(embedding, x -> greatest(-127.0, least(127.0,
+               round(CAST(x AS DOUBLE) /
+                 (CASE WHEN list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) / 127.0 > 0
+                       THEN list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) / 127.0
+                       ELSE 1 END))))) AS code
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qe, code AS qcode FROM c WHERE vec_id < 4),
+    e AS (SELECT query_id, vec_id, rk FROM (
+           SELECT q.query_id, c.vec_id,
+                  row_number() OVER (PARTITION BY q.query_id
+                    ORDER BY list_cosine_similarity(c.embedding, q.qe) DESC, c.vec_id) AS rk
+           FROM q JOIN c ON c.vec_id <> q.query_id) WHERE rk <= 10),
+    a AS (SELECT query_id, vec_id, rk FROM (
+           SELECT q.query_id, c.vec_id,
+                  row_number() OVER (PARTITION BY q.query_id
+                    ORDER BY CAST(list_dot_product(c.code, q.qcode) AS BIGINT) DESC, c.vec_id) AS rk
+           FROM q JOIN c ON c.vec_id <> q.query_id) WHERE rk <= 10),
+    j AS (SELECT e.query_id, e.rk, a.rk AS rk_b
+          FROM e LEFT JOIN a ON a.query_id = e.query_id AND a.vec_id = e.vec_id)
+    SELECT query_id,
+           count(rk_b) AS overlap,
+           CAST(count(rk_b) AS DOUBLE) / CAST(20 - count(rk_b) AS DOUBLE) AS jaccard,
+           coalesce(max(CASE WHEN rk = 1
+                             THEN CAST(1 AS DOUBLE) / CAST(rk_b AS DOUBLE) END), 0.0) AS mrr,
+           coalesce(CAST(sum(abs(rk - rk_b)) AS BIGINT), 0) AS displacement
+    FROM j GROUP BY query_id ORDER BY query_id
+    """,
+)
+def ann_quantized_eval_vs_exact(sf_dir: str):
+    """Retrieval-eval report card (stages/ann.ranking_eval) — the int8
+    scalar-quantized ranking graded against the exact float cosine ranking,
+    per query: top-10 overlap, jaccard, MRR of the exact top-1, total rank
+    displacement. The approx side is the f64/half-away quantization whose
+    integer dot products are bit-deterministic (ann_topk_quantized_exact
+    pins that contract); the exact side is float64 cosine with id
+    tiebreaks. Every reported float is one exact-int division, so the whole
+    report sits under the exact-hash gate."""
+    from perfect_bloomfilter_ray.stages.ann import (
+        exact_topk_ranked,
+        quantize_embeddings,
+        quantized_exact_topk_ranked,
+        ranking_eval,
+    )
+
+    dim = 64
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrows = sorted(emb.filter(expr="vec_id < 4").take_all(), key=lambda r: r["vec_id"])
+    queries = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in qrows])
+    query_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+
+    exact = exact_topk_ranked(
+        emb, queries, "embedding", "vec_id", dim, k=10, query_ids=query_ids
+    )
+
+    qds = quantize_embeddings(emb, "embedding", dim, precision="f64").materialize()
+    qcrows = sorted(qds.filter(expr="vec_id < 4").take_all(), key=lambda r: r["vec_id"])
+    qcodes = np.stack([np.asarray(r["qvec"], dtype=np.int32) for r in qcrows])
+    approx = quantized_exact_topk_ranked(
+        qds, qcodes, "qvec", "vec_id", dim, k=10, query_ids=query_ids
+    )
+    return ranking_eval(exact, approx, "vec_id", k=10)

@@ -623,3 +623,154 @@ def pq_topk(
     df = codes_ds.map_batches(score, batch_format="pyarrow").to_pandas()
     df = df.sort_values(["query_id", "cos", id_col], ascending=[True, False, True])
     return df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+
+
+def exact_topk_ranked(
+    ds: Dataset,
+    queries: np.ndarray,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    k: int = 10,
+    query_ids: np.ndarray | None = None,
+) -> pd.DataFrame:
+    """Float64 cosine top-k WITH explicit rank positions — the reference
+    ranking for :func:`ranking_eval`. Same distributed shape as
+    :func:`brute_force_topk` (per-block partial top-k, tiny driver merge)
+    but all arithmetic in float64 to mirror the SQL oracle's
+    ``list_cosine_similarity``, ties broken by id ascending, and each
+    query's own vector excluded when ``query_ids`` is given. Returns
+    (query_id, id, rk) with rk 1..k.
+    """
+    qm = np.asarray(queries, dtype=np.float64)
+    qm = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-300)
+    ref = ray.put(qm)
+    qids = None if query_ids is None else np.asarray(query_ids, dtype=np.int64)
+
+    def score(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _empty_topk_table(t, id_col)
+        q = np.asarray(ray.get(ref))
+        v = _vecs_of(t, vec_col, dim).astype(np.float64)
+        v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-300)
+        sims = v @ q.T
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        qs, out_ids, out_cos = [], [], []
+        for qi in range(sims.shape[1]):
+            m = np.ones(len(ids), dtype=bool) if qids is None else ids != qids[qi]
+            mi, ms = ids[m], sims[m, qi]
+            order = np.lexsort((mi, -ms))[: min(k, len(mi))]
+            qs.append(np.full(len(order), qi, dtype=np.int32))
+            out_ids.append(mi[order])
+            out_cos.append(ms[order])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(qs) if qs else np.array([], np.int32)),
+                id_col: pa.array(np.concatenate(out_ids) if out_ids else np.array([], np.int64)),
+                "cos": pa.array(np.concatenate(out_cos) if out_cos else np.array([], np.float64)),
+            }
+        )
+
+    df = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    df = df.sort_values(["query_id", "cos", id_col], ascending=[True, False, True])
+    df = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    df["rk"] = df.groupby("query_id").cumcount().astype("int64") + 1
+    return df[["query_id", id_col, "rk"]]
+
+
+def quantized_exact_topk_ranked(
+    ds: Dataset,
+    query_codes: np.ndarray,
+    code_col: str,
+    id_col: str,
+    dim: int,
+    k: int = 10,
+    query_ids: np.ndarray | None = None,
+) -> pd.DataFrame:
+    """Multi-query EXACT ranking over int8 codes: scores are PURE INTEGER
+    code dot products (every term ≤ 127², exact in any summation order —
+    no float anywhere), so the ranking is bit-deterministic across engines
+    and block layouts. Per-block partial top-k (dot desc, id asc), tiny
+    driver merge. Returns (query_id, id, rk) with rk 1..k.
+    """
+    qc = np.asarray(query_codes, dtype=np.int32)
+    ref = ray.put(qc)
+    qids = None if query_ids is None else np.asarray(query_ids, dtype=np.int64)
+
+    def score(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int32()),
+                    id_col: pa.array([], pa.int64()),
+                    "qdot": pa.array([], pa.int64()),
+                }
+            )
+        q = np.asarray(ray.get(ref))
+        codes = _vecs_of(t, code_col, dim).astype(np.int32)
+        dots = (codes @ q.T).astype(np.int64)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        qs, out_ids, out_dot = [], [], []
+        for qi in range(dots.shape[1]):
+            m = np.ones(len(ids), dtype=bool) if qids is None else ids != qids[qi]
+            mi, md = ids[m], dots[m, qi]
+            order = np.lexsort((mi, -md))[: min(k, len(mi))]
+            qs.append(np.full(len(order), qi, dtype=np.int32))
+            out_ids.append(mi[order])
+            out_dot.append(md[order])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(qs) if qs else np.array([], np.int32)),
+                id_col: pa.array(np.concatenate(out_ids) if out_ids else np.array([], np.int64)),
+                "qdot": pa.array(np.concatenate(out_dot) if out_dot else np.array([], np.int64)),
+            }
+        )
+
+    df = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    df = df.sort_values(["query_id", "qdot", id_col], ascending=[True, False, True])
+    df = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    df["rk"] = df.groupby("query_id").cumcount().astype("int64") + 1
+    return df[["query_id", id_col, "rk"]]
+
+
+def ranking_eval(
+    exact: pd.DataFrame,
+    approx: pd.DataFrame,
+    id_col: str,
+    k: int,
+) -> pd.DataFrame:
+    """Retrieval-quality report card between two (query_id, id, rk) rankings
+    — the eval harness for every ANN variant against its exact reference.
+    Per query: ``overlap`` (|exact∩approx| in the top-k, BIGINT),
+    ``jaccard`` (= overlap / (2k − overlap), ONE exact-int division),
+    ``mrr`` (reciprocal of the approx rank of the exact top-1 item; 0.0 if
+    absent — again one exact-int division), ``displacement``
+    (Σ |rk_exact − rk_approx| over common items, BIGINT). Driver-side over
+    rank-cardinality-bounded frames; every float is a single int/int
+    division, so the report hashes bit-identically against a SQL join of
+    the two rankings.
+    """
+    j = exact.merge(
+        approx.rename(columns={"rk": "rk_b"}), on=["query_id", id_col], how="left"
+    )
+    rows = []
+    for qid, g in j.groupby("query_id", sort=True):
+        hit = g["rk_b"].notna()
+        overlap = int(hit.sum())
+        top1 = g[g["rk"] == 1]
+        rk_b1 = top1["rk_b"].iloc[0] if len(top1) else np.nan
+        mrr = float(1.0) / float(int(rk_b1)) if pd.notna(rk_b1) else 0.0
+        disp = int((g.loc[hit, "rk"] - g.loc[hit, "rk_b"]).abs().sum())
+        rows.append(
+            {
+                "query_id": int(qid),
+                "overlap": overlap,
+                "jaccard": float(overlap) / float(2 * k - overlap),
+                "mrr": mrr,
+                "displacement": disp,
+            }
+        )
+    out = pd.DataFrame(rows)
+    return out.astype(
+        {"query_id": "int64", "overlap": "int64", "displacement": "int64"}
+    )

@@ -505,3 +505,71 @@ def test_pq_topk_recall_and_roundtrip(ray_session, sf01_dir):
         a = set(approx.loc[approx["query_id"] == qid, "vec_id"])
         recalls.append(len(a & e) / k)
     assert np.mean(recalls) >= 0.5, recalls  # 8-byte codes: coarse but must rank
+
+
+def test_ranking_eval_hand_case():
+    import pandas as pd
+
+    from perfect_bloomfilter_ray.stages.ann import ranking_eval
+
+    k = 4
+    exact = pd.DataFrame(
+        {"query_id": [0] * 4 + [1] * 4, "vec_id": [10, 11, 12, 13, 20, 21, 22, 23],
+         "rk": [1, 2, 3, 4] * 2}
+    )
+    # q0: perfect but ranks 1/2 swapped; q1: top-1 missing, one stranger
+    approx = pd.DataFrame(
+        {"query_id": [0] * 4 + [1] * 4, "vec_id": [11, 10, 12, 13, 21, 22, 23, 99],
+         "rk": [1, 2, 3, 4] * 2}
+    )
+    out = ranking_eval(exact, approx, "vec_id", k=k)
+    q0, q1 = out[out["query_id"] == 0].iloc[0], out[out["query_id"] == 1].iloc[0]
+    assert q0["overlap"] == 4 and q0["jaccard"] == 1.0
+    assert q0["mrr"] == 0.5 and q0["displacement"] == 2
+    assert q1["overlap"] == 3 and q1["jaccard"] == 3.0 / 5.0
+    assert q1["mrr"] == 0.0 and q1["displacement"] == 3
+
+
+def test_exact_and_quantized_ranked_consistent(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.ann import (
+        exact_topk_ranked,
+        quantize_embeddings,
+        quantized_exact_topk_ranked,
+        ranking_eval,
+    )
+
+    rng = np.random.default_rng(5)
+    dim, n = 16, 400
+    vecs = rng.standard_normal((n, dim))
+    import pandas as pd
+
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype="int64"), "embedding": vecs.tolist()})
+    ds = rd.from_pandas(df).repartition(4)
+    queries, qids = vecs[:3], np.arange(3, dtype=np.int64)
+
+    exact = exact_topk_ranked(ds, queries, "embedding", "vec_id", dim, k=8, query_ids=qids)
+    # ranks are 1..8 per query, self excluded
+    assert all(
+        list(g) == list(range(1, 9))
+        for _, g in exact.sort_values("rk").groupby("query_id")["rk"]
+    )
+    assert not exact.apply(lambda r: r["vec_id"] == qids[int(r["query_id"])], axis=1).any()
+
+    # brute-force float64 reference for query 0
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = vn @ vn[0]
+    sims[0] = -np.inf
+    want = np.lexsort((np.arange(n), -sims))[:8]
+    got = exact[exact["query_id"] == 0].sort_values("rk")["vec_id"].to_numpy()
+    assert list(got) == list(want)
+
+    qds = quantize_embeddings(ds, "embedding", dim, precision="f64").materialize()
+    qc = np.stack(
+        [r["qvec"] for r in sorted(qds.filter(expr="vec_id < 3").take_all(), key=lambda r: r["vec_id"])]
+    ).astype(np.int32)
+    approx = quantized_exact_topk_ranked(qds, qc, "qvec", "vec_id", dim, k=8, query_ids=qids)
+    rep = ranking_eval(exact, approx, "vec_id", k=8)
+    assert len(rep) == 3 and (rep["overlap"] >= 5).all()  # int8 keeps most of top-8
