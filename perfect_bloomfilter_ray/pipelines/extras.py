@@ -2851,3 +2851,41 @@ def ann_quantized_eval_vs_exact(sf_dir: str):
         qds, qcodes, "qvec", "vec_id", dim, k=10, query_ids=query_ids
     )
     return ranking_eval(exact, approx, "vec_id", k=10)
+
+
+@q(
+    "word_containment_source_pairs",
+    sql="""
+    WITH w AS (
+      SELECT doc_id, source,
+             list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS words
+      FROM documents
+    ), p AS (
+      SELECT a.source, a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.words, b.words)) AS BIGINT) AS inter,
+             CAST(len(a.words) AS BIGINT) AS n_a,
+             CAST(len(b.words) AS BIGINT) AS n_b,
+             CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+               / CAST(least(len(a.words), len(b.words)) AS DOUBLE) AS containment
+      FROM w a JOIN w b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE least(len(a.words), len(b.words)) > 0
+    )
+    SELECT source, id_a, id_b, inter, n_a, n_b, containment
+    FROM p WHERE containment >= 1.0
+    ORDER BY source, id_a, id_b
+    """,
+)
+def word_containment_source_pairs(sf_dir: str):
+    """Asymmetric containment near-dup (Broder 1997): intra-source pairs
+    whose word-set containment |A∩B|/min(|A|,|B|) = 1 (full subset) — a short
+    doc quoted inside a long one, which symmetric Jaccard scores near 0.
+    Exact set sizes as int64 + one float division, under the exact-hash
+    gate (stages/dedup.word_containment_pairs_grouped)."""
+    from perfect_bloomfilter_ray.stages.dedup import word_containment_pairs_grouped
+
+    docs = _t(sf_dir, "documents", ["doc_id", "source", "text"])
+    out = (
+        word_containment_pairs_grouped(docs, "source", "text", "doc_id", threshold=1.0)
+        .to_pandas()
+    )
+    return out.sort_values(["source", "id_a", "id_b"]).reset_index(drop=True)

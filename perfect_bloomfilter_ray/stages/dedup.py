@@ -1451,3 +1451,89 @@ def word_jaccard_pairs_grouped(
         )
 
     return ds.groupby(group_col).map_groups(block, batch_format="pyarrow")
+
+
+def word_containment_pairs_grouped(
+    ds: Dataset,
+    group_col: str,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+) -> Dataset:
+    """All intra-group pairs with exact word-set CONTAINMENT ≥ ``threshold``
+    — the asymmetric twin of :func:`word_jaccard_pairs_grouped` for the
+    quote/subset near-dup class symmetric Jaccard misses: a short document
+    fully contained in a long one scores ``|A∩B|/min(|A|,|B|) = 1`` while
+    its Jaccard is tiny (Broder 1997's containment measure).
+
+    Same one-matmul incidence-matrix pass per co-located group; output
+    columns ``[group_col, id_a, id_b, inter, n_a, n_b, containment]`` with
+    ``id_a < id_b``, the three set sizes as exact int64 and containment as
+    ONE float64 division of exact ints (÷ the smaller set size), so the
+    emitted table hashes bit-identically against a SQL ``list_intersect``
+    oracle. Pairs where the smaller word set is empty are excluded.
+    """
+    empty = pa.table(
+        {
+            group_col: pa.array([], pa.string()),
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "inter": pa.array([], pa.int64()),
+            "n_a": pa.array([], pa.int64()),
+            "n_b": pa.array([], pa.int64()),
+            "containment": pa.array([], pa.float64()),
+        }
+    )
+
+    def block(t: pa.Table) -> pa.Table:
+        n = len(t)
+        if n < 2:
+            return empty
+        df = pl.from_arrow(t.select([group_col, id_col, text_col]))
+        ids = df[id_col].to_numpy().astype(np.int64)
+        toks = (
+            df.select(
+                pl.int_range(pl.len()).alias("_i"),
+                pl.col(text_col).str.to_lowercase().str.extract_all(r"[a-z0-9]+").alias("_w"),
+            )
+            .explode("_w")
+            .drop_nulls("_w")
+            .unique()
+        )
+        rows = toks["_i"].to_numpy()
+        words = toks["_w"].to_numpy()
+        if len(words) == 0:
+            return empty
+        _, codes = np.unique(words, return_inverse=True)
+        m = np.zeros((n, codes.max() + 1), dtype=np.int64)
+        m[rows, codes] = 1
+        sizes = m.sum(axis=1)
+        inter = m @ m.T
+        ii, jj = np.triu_indices(n, k=1)
+        small = np.minimum(sizes[ii], sizes[jj])
+        ok = small > 0
+        ii, jj, small = ii[ok], jj[ok], small[ok]
+        cont = inter[ii, jj].astype(np.float64) / small.astype(np.float64)
+        keep = cont >= threshold
+        ii, jj, cont = ii[keep], jj[keep], cont[keep]
+        iv = inter[ii, jj]
+        a, b = ids[ii], ids[jj]
+        swap = a > b
+        a2 = np.where(swap, b, a)
+        b2 = np.where(swap, a, b)
+        na = np.where(swap, sizes[jj], sizes[ii])
+        nb = np.where(swap, sizes[ii], sizes[jj])
+        o = np.lexsort((b2, a2))
+        return pa.table(
+            {
+                group_col: pa.array(np.asarray(df[group_col].to_numpy())[ii[o]]),
+                "id_a": pa.array(a2[o]),
+                "id_b": pa.array(b2[o]),
+                "inter": pa.array(iv[o]),
+                "n_a": pa.array(na[o]),
+                "n_b": pa.array(nb[o]),
+                "containment": pa.array(cont[o]),
+            }
+        )
+
+    return ds.groupby(group_col).map_groups(block, batch_format="pyarrow")

@@ -262,3 +262,36 @@ def test_sliding_value_median_kll_brackets_exact(ray_session):
     # p50 estimate can never exceed the exact p90, nor fall above p90's est
     assert (kl["p50_est"] <= kl["p90_est"] + 1e-12).all()
     assert (kl["p50_est"] <= ex["p90"]).all()
+
+
+def test_word_containment_pairs_grouped(ray_session):
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.dedup import word_containment_pairs_grouped
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "g": ["s1"] * 4 + ["s2"],
+            "text": [
+                "alpha beta gamma delta",     # superset of doc 2
+                "beta gamma",                  # contained in 1 (cont=1.0)
+                "beta gamma epsilon",          # 2/2 of doc2 -> contained pair (2,3)? inter={beta,gamma}=2, min=2 -> 1.0
+                "zeta eta",                    # disjoint
+                "beta gamma",                  # different group: no cross-group pair
+            ],
+        }
+    )
+    out = (
+        word_containment_pairs_grouped(
+            rd.from_pandas(df).repartition(3), "g", "text", "doc_id", threshold=1.0
+        )
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    got = set(zip(out["id_a"], out["id_b"]))
+    assert got == {(1, 2), (2, 3)}
+    r12 = out[(out["id_a"] == 1) & (out["id_b"] == 2)].iloc[0]
+    assert r12["inter"] == 2 and r12["n_a"] == 4 and r12["n_b"] == 2
+    assert r12["containment"] == 1.0
