@@ -2889,3 +2889,61 @@ def word_containment_source_pairs(sf_dir: str):
         .to_pandas()
     )
     return out.sort_values(["source", "id_a", "id_b"]).reset_index(drop=True)
+
+
+@q(
+    "ols_jackknife_price_qty",
+    sql="""
+    WITH b AS (
+      SELECT CAST(l_orderkey % 5 AS BIGINT) AS fold,
+             count(*) AS n,
+             sum(CAST(round(l_quantity) AS BIGINT)) AS sx,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sy,
+             sum(CAST(round(l_quantity) AS BIGINT)
+                 * CAST(round(l_quantity) AS BIGINT)) AS sxx,
+             sum(CAST(round(l_quantity) AS BIGINT)
+                 * CAST(round(l_extendedprice * 100) AS BIGINT)) AS sxy
+      FROM lineitem GROUP BY 1
+    ),
+    g AS (SELECT sum(n) AS n, sum(sx) AS sx, sum(sy) AS sy,
+                 sum(sxx) AS sxx, sum(sxy) AS sxy FROM b)
+    SELECT b.fold,
+           CAST(g.n - b.n AS BIGINT) AS train_n,
+           CAST(CAST(g.n - b.n AS HUGEINT) * (g.sxy - b.sxy)
+                - CAST(g.sx - b.sx AS HUGEINT) * (g.sy - b.sy) AS DOUBLE)
+           / CAST(CAST(g.n - b.n AS HUGEINT) * (g.sxx - b.sxx)
+                  - CAST(g.sx - b.sx AS HUGEINT) * (g.sx - b.sx) AS DOUBLE) AS slope,
+           CAST(CAST(g.sy - b.sy AS HUGEINT) * (g.sxx - b.sxx)
+                - CAST(g.sx - b.sx AS HUGEINT) * (g.sxy - b.sxy) AS DOUBLE)
+           / CAST(CAST(g.n - b.n AS HUGEINT) * (g.sxx - b.sxx)
+                  - CAST(g.sx - b.sx AS HUGEINT) * (g.sx - b.sx) AS DOUBLE) AS intercept
+    FROM b CROSS JOIN g ORDER BY b.fold
+    """,
+)
+def ols_jackknife_price_qty(sf_dir: str):
+    """Leave-one-fold-out OLS stability (delete-d jackknife, 5 deterministic
+    orderkey-residue folds): the price~quantity line refit with each fold
+    held out — the influence/stability diagnostic behind cross-fitting. One
+    scan of integer sufficient statistics, k fits by global-minus-fold
+    subtraction, coefficients as exact-int ratios
+    (stages/agg.jackknife_ols)."""
+    from perfect_bloomfilter_ray.stages.agg import jackknife_ols
+
+    ds = _t(sf_dir, "lineitem", ["l_orderkey", "l_quantity", "l_extendedprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        ok = t.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "fold": pa.array(ok % 5, pa.int64()),
+                "x": pc.cast(pc.round(t.column("l_quantity")), pa.int64()),
+                "y": pc.cast(
+                    pc.round(pc.multiply(t.column("l_extendedprice"), pa.scalar(100.0))),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    out = jackknife_ols(ds.map_batches(prep, batch_format="pyarrow"), "fold", "x", "y")
+    out["fold"] = out["fold"].astype("int64")
+    return out[["fold", "train_n", "slope", "intercept"]]

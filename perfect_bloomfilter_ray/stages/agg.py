@@ -559,3 +559,67 @@ def ols_finalize(sums: "pd.DataFrame", ndigits: int | None = 6) -> "pd.DataFrame
         for c in ("slope", "intercept", "r2"):
             out[c] = out[c].round(ndigits)
     return out
+
+
+def jackknife_ols(ds: Dataset, fold_col: str, x_col: str, y_col: str) -> "pd.DataFrame":
+    """Leave-one-fold-out OLS stability report (the delete-d jackknife /
+    k-fold cross-fit): for every fold, the slope/intercept of the line fit
+    on ALL OTHER folds. One corpus scan builds per-fold INTEGER sufficient
+    statistics (n, Σx, Σy, Σx², Σxy — inputs must already be integer-valued
+    int64, e.g. cents); the leave-out fit for fold f is just global−fold on
+    each sum, so k fits cost one pass. Arbitrary-precision Python ints do
+    the normal-equation cross products (n·Σxy overflows int64 at corpus
+    scale; the SQL oracle mirrors with HUGEINT casts), and each coefficient
+    is ONE exact-int ratio → double, bit-stable under the exact-hash gate.
+
+    Returns a pandas frame (fold, train_n, slope, intercept) sorted by fold
+    — fold-cardinality-bounded, so driver-side finalize is free.
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select([fold_col, x_col, y_col]))
+        x, y = pl.col(x_col), pl.col(y_col)
+        return (
+            df.group_by(fold_col)
+            .agg(
+                pl.len().cast(pl.Int64).alias("pn"),
+                x.sum().alias("sx"),
+                y.sum().alias("sy"),
+                (x * x).sum().alias("sxx"),
+                (x * y).sum().alias("sxy"),
+            )
+            .to_arrow()
+        )
+
+    sums = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(fold_col)
+        .aggregate(
+            Sum("pn", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"),
+            Sum("sxx", alias_name="sxx"),
+            Sum("sxy", alias_name="sxy"),
+        )
+        .to_pandas()
+        .sort_values(fold_col)
+        .reset_index(drop=True)
+    )
+    tot = {c: int(sums[c].sum()) for c in ("n", "sx", "sy", "sxx", "sxy")}
+    rows = []
+    for _, r in sums.iterrows():
+        n = tot["n"] - int(r["n"])
+        sx, sy = tot["sx"] - int(r["sx"]), tot["sy"] - int(r["sy"])
+        sxx, sxy = tot["sxx"] - int(r["sxx"]), tot["sxy"] - int(r["sxy"])
+        den = n * sxx - sx * sx
+        slope = float(n * sxy - sx * sy) / float(den) if den != 0 else float("nan")
+        intercept = float(sy * sxx - sx * sxy) / float(den) if den != 0 else float("nan")
+        rows.append(
+            {"fold": r[fold_col], "train_n": n, "slope": slope, "intercept": intercept}
+        )
+    out = pd.DataFrame(rows)
+    out["train_n"] = out["train_n"].astype("int64")
+    return out

@@ -187,3 +187,29 @@ def test_zscore_normalize_matches_pandas(ray_session):
     mask = df["k"].isin([77, 3]).to_numpy()
     assert np.isnan(out["z"].to_numpy()[mask]).all()
     np.testing.assert_allclose(out["z"].to_numpy()[~mask], ref.to_numpy()[~mask], rtol=1e-9)
+
+
+def test_jackknife_ols_matches_per_fold_refit(ray_session):
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.agg import jackknife_ols
+
+    rng = np.random.default_rng(23)
+    n = 4000
+    x = rng.integers(1, 60, n).astype("int64")
+    y = (3 * x + 17 + rng.integers(-40, 41, n)).astype("int64")
+    fold = (np.arange(n) % 4).astype("int64")
+    df = pd.DataFrame({"fold": fold, "x": x, "y": y})
+    got = jackknife_ols(rd.from_pandas(df).repartition(7), "fold", "x", "y")
+    assert list(got["fold"]) == [0, 1, 2, 3]
+    for _, r in got.iterrows():
+        m = fold != int(r["fold"])
+        xt, yt = x[m].astype(float), y[m].astype(float)
+        nn = int(m.sum())
+        sx, sy = xt.sum(), yt.sum()
+        sxx, sxy = (xt * xt).sum(), (xt * yt).sum()
+        slope = (nn * sxy - sx * sy) / (nn * sxx - sx * sx)
+        intercept = (sy * sxx - sx * sxy) / (nn * sxx - sx * sx)
+        assert r["train_n"] == nn
+        assert abs(r["slope"] - slope) < 1e-9
+        assert abs(r["intercept"] - intercept) < 1e-6
