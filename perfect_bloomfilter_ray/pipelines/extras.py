@@ -2947,3 +2947,67 @@ def ols_jackknife_price_qty(sf_dir: str):
     out = jackknife_ols(ds.map_batches(prep, batch_format="pyarrow"), "fold", "x", "y")
     out["fold"] = out["fold"].astype("int64")
     return out[["fold", "train_n", "slope", "intercept"]]
+
+
+_SIMRANK_ROUND = """
+    s{K} AS (
+      SELECT na.node AS a, nb.node AS b,
+             CASE WHEN na.node = nb.node THEN CAST(1 AS DOUBLE)
+                  ELSE coalesce(CAST(0.8 AS DOUBLE) / (ia.d * ib.d) * w.s,
+                                CAST(0 AS DOUBLE)) END AS s
+      FROM nodes na CROSS JOIN nodes nb
+      LEFT JOIN ind ia ON ia.node = na.node
+      LEFT JOIN ind ib ON ib.node = nb.node
+      LEFT JOIN (
+        SELECT e1.dst AS a, e2.dst AS b, sum(p.s) AS s
+        FROM e e1 CROSS JOIN e e2
+        JOIN s{P} p ON p.a = e1.src AND p.b = e2.src
+        GROUP BY 1, 2) w ON w.a = na.node AND w.b = nb.node
+    )"""
+
+
+@q(
+    "event_type_simrank",
+    sql="""
+    WITH raw AS (
+      SELECT event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      FROM events
+    ),
+    e AS (SELECT DISTINCT src, dst FROM raw WHERE dst IS NOT NULL),
+    nodes AS (SELECT DISTINCT node FROM
+              (SELECT src AS node FROM e UNION SELECT dst FROM e)),
+    ind AS (SELECT dst AS node, count(*) AS d FROM e GROUP BY dst),
+    s0 AS (SELECT a.node AS a, b.node AS b,
+                  CASE WHEN a.node = b.node THEN CAST(1 AS DOUBLE)
+                       ELSE CAST(0 AS DOUBLE) END AS s
+           FROM nodes a CROSS JOIN nodes b),"""
+    + _SIMRANK_ROUND.format(K=1, P=0) + ","
+    + _SIMRANK_ROUND.format(K=2, P=1) + ","
+    + _SIMRANK_ROUND.format(K=3, P=2) + """
+    SELECT a AS node_a, b AS node_b, round(s, 6) AS sim
+    FROM s3 WHERE a < b ORDER BY a, b
+    """,
+)
+def event_type_simrank(sf_dir: str):
+    """SimRank structural similarity (Jeh & Widom 2002) over the directed
+    event-type transition graph — "two states are similar if they are
+    reached from similar states": 3 iterations, C=0.8, in-neighbor
+    normalization, SQL NULL→0 for in-degree-0 nodes. The distinct edge
+    list reduces distributedly; the node²-state iterations are
+    label-cardinality by contract (stages/graph.simrank); the oracle
+    unrolls the same recurrence through 3 CTE join rounds, rounded to 6
+    like the pagerank family."""
+    from perfect_bloomfilter_ray.stages.graph import simrank
+    from perfect_bloomfilter_ray.stages.windows import transition_counts
+
+    ds = _t(sf_dir, "events", ["user_id", "ts", "event_type", "event_id"])
+    edges = transition_counts(
+        ds, "user_id", "ts", "event_type", tie_cols=["event_id"]
+    ).map_batches(
+        lambda t: pa.table({"src": t.column("state_from"), "dst": t.column("state_to")}),
+        batch_format="pyarrow",
+    )
+    out = simrank(edges, c=0.8, iters=3)
+    out["sim"] = np.round(out["sim"].to_numpy(dtype=np.float64), 6)
+    return out.sort_values(["node_a", "node_b"]).reset_index(drop=True)

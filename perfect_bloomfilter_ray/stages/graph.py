@@ -1535,3 +1535,60 @@ def label_propagation(
         .sort_values("node")
         .reset_index(drop=True)
     )
+
+
+def simrank(
+    edges: Dataset,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    c: float = 0.8,
+    iters: int = 3,
+    max_nodes: int = 10_000,
+) -> pd.DataFrame:
+    """All-pairs SimRank (Jeh & Widom 2002) over a directed edge list:
+    s(a,b) = c/(|I(a)|·|I(b)|) · Σ_{u∈I(a), v∈I(b)} s(u,v), s(a,a)=1 —
+    "two nodes are similar if their in-neighbors are similar", the
+    structural-similarity companion to PageRank's importance.
+
+    Node-pair similarity is inherently node²-state, so this operator is
+    LABEL-cardinality altitude by contract (event types, categories, hosts
+    — never document/user ids; ``max_nodes`` enforces it). The big side —
+    reducing the corpus to the distinct edge list — happens upstream /
+    per-batch; the k iterations are dense (nodes²) matrix products on the
+    driver, matching the unrolled SQL-join recurrence term-for-term.
+
+    Returns pandas (node_a, node_b, sim) for node_a < node_b (diagonal is
+    identically 1). Nodes with no in-neighbors have similarity 0 to every
+    other node, SQL NULL→0 semantics.
+    """
+    import polars as pl
+
+    def _uniq(t: pa.Table) -> pa.Table:
+        return pl.from_arrow(t).unique().to_arrow()
+
+    dist = (
+        edges.select_columns([src_col, dst_col])
+        .map_batches(_uniq, batch_format="pyarrow")
+        .to_pandas()
+        .drop_duplicates()
+    )
+    nodes = np.unique(np.concatenate([dist[src_col].to_numpy(), dist[dst_col].to_numpy()]))
+    n = len(nodes)
+    if n > max_nodes:
+        raise ValueError(f"simrank is label-cardinality only: {n} nodes > {max_nodes}")
+    si = np.searchsorted(nodes, dist[src_col].to_numpy())
+    di = np.searchsorted(nodes, dist[dst_col].to_numpy())
+    A = np.zeros((n, n), dtype=np.float64)
+    A[si, di] = 1.0
+    din = A.sum(axis=0)
+    denom = np.outer(din, din)
+    S = np.eye(n)
+    for _ in range(iters):
+        W = A.T @ S @ A
+        with np.errstate(invalid="ignore", divide="ignore"):
+            S = np.where(denom > 0, (c / denom) * W, 0.0)
+        np.fill_diagonal(S, 1.0)
+    ia, ib = np.triu_indices(n, k=1)
+    return pd.DataFrame(
+        {"node_a": nodes[ia], "node_b": nodes[ib], "sim": S[ia, ib]}
+    )

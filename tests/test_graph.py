@@ -364,3 +364,42 @@ def test_personalized_pagerank_matches_numpy(ray_session):
     )
     assert np.allclose(got["rank"].to_numpy(), r, atol=1e-15)
     assert got.loc[got["node"] == 3, "rank"].iloc[0] > got.loc[got["node"] == 0, "rank"].iloc[0]
+
+
+def test_simrank_matches_brute_reference(ray_session):
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.graph import simrank
+
+    # small directed graph with shared in-neighbors and a source node (no in-edges)
+    edges = pd.DataFrame(
+        {"src": ["a", "a", "b", "b", "c", "d"], "dst": ["b", "c", "c", "d", "d", "b"]}
+    )
+    got = simrank(rd.from_pandas(edges).repartition(2), c=0.8, iters=4)
+
+    nodes = sorted(set(edges["src"]) | set(edges["dst"]))
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    A = np.zeros((n, n))
+    for s, d in zip(edges["src"], edges["dst"]):
+        A[idx[s], idx[d]] = 1.0
+    S = np.eye(n)
+    for _ in range(4):
+        new = np.zeros((n, n))
+        for a in range(n):
+            for b in range(n):
+                if a == b:
+                    new[a, b] = 1.0
+                    continue
+                ia = np.flatnonzero(A[:, a])
+                ib = np.flatnonzero(A[:, b])
+                if len(ia) == 0 or len(ib) == 0:
+                    continue
+                acc = sum(S[u, v] for u in ia for v in ib)
+                new[a, b] = 0.8 / (len(ia) * len(ib)) * acc
+        S = new
+    for _, r in got.iterrows():
+        want = S[idx[r["node_a"]], idx[r["node_b"]]]
+        assert abs(r["sim"] - want) < 1e-12, (r["node_a"], r["node_b"])
+    # 'a' has no in-neighbors: similarity 0 to everything
+    assert (got[(got["node_a"] == "a")]["sim"] == 0.0).all()
