@@ -281,6 +281,13 @@ SUITE = [
     "sliding_value_median_kll",
     "event_type_personalized_pagerank",
     "ann_topk_pq",
+    "frequent_event_type_triples",
+    "event_type_rule_confidence",
+    "kendall_qty_discount",
+    "ann_quantized_eval_vs_exact",
+    "word_containment_source_pairs",
+    "ols_jackknife_price_qty",
+    "event_type_simrank",
 ]
 
 
