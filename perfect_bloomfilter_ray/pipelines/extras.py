@@ -3011,3 +3011,212 @@ def event_type_simrank(sf_dir: str):
     out = simrank(edges, c=0.8, iters=3)
     out["sim"] = np.round(out["sim"].to_numpy(dtype=np.float64), 6)
     return out.sort_values(["node_a", "node_b"]).reset_index(drop=True)
+
+
+@q(
+    "value_imputed_stats_per_type",
+    sql="""
+    WITH base AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+                  FROM events),
+    s AS (
+      SELECT event_type, count(*) AS n,
+             sum(CASE WHEN cents < 100 THEN 1 ELSE 0 END) AS n_imputed,
+             sum(CASE WHEN cents >= 100 THEN cents ELSE 0 END) AS sum_ok,
+             quantile_disc(CASE WHEN cents >= 100 THEN cents END, 0.5) AS med
+      FROM base GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           CAST(n_imputed AS BIGINT) AS n_imputed,
+           CAST(med AS BIGINT) AS median_cents,
+           CAST(sum_ok + n_imputed * med AS DOUBLE) / CAST(n AS DOUBLE)
+             AS mean_after_cents
+    FROM s ORDER BY event_type
+    """,
+)
+def value_imputed_stats_per_type(sf_dir: str):
+    """Grouped-median imputation audit: sub-dollar readings (< 100 cents)
+    are treated as missing and filled with their event type's EXACT
+    discrete median of the valid readings — the standard robust-imputation
+    pipeline step. One stats scan (count / missing / valid-sum integer
+    partials) + one exact grouped-quantile pass over the valid rows
+    (stages/quantiles.exact_grouped_quantiles, == quantile_disc bitwise);
+    post-imputation mean is ONE exact-int division."""
+    import polars as pl
+
+    from perfect_bloomfilter_ray.stages.quantiles import exact_grouped_quantiles
+
+    ds = _t(sf_dir, "events", ["event_type", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(t.column("value"), pa.scalar(100.0))), pa.int64())
+        return pa.table({"event_type": t.column("event_type"), "cents": c})
+
+    cds = ds.map_batches(cents, batch_format="pyarrow")
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        return (
+            df.group_by("event_type")
+            .agg(
+                pl.len().cast(pl.Int64).alias("pn"),
+                (pl.col("cents") < 100).sum().cast(pl.Int64).alias("pimp"),
+                pl.col("cents").filter(pl.col("cents") >= 100).sum().alias("psum"),
+            )
+            .to_arrow()
+        )
+
+    stats = (
+        cds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("pn", alias_name="n"),
+            Sum("pimp", alias_name="n_imputed"),
+            Sum("psum", alias_name="sum_ok"),
+        )
+        .to_pandas()
+    )
+    med = (
+        exact_grouped_quantiles(
+            cds.filter(expr="cents >= 100"), "event_type", "cents", [0.5],
+            kind="disc", names=["median_cents"],
+        )
+        .to_pandas()
+    )
+    out = stats.merge(med, on="event_type", how="left").sort_values("event_type")
+    out["mean_after_cents"] = np.array(
+        [
+            float(int(s) + int(ni) * int(m)) / float(int(n))
+            for s, ni, m, n in zip(
+                out["sum_ok"], out["n_imputed"], out["median_cents"], out["n"]
+            )
+        ],
+        dtype=np.float64,
+    )
+    out = out.astype({"n": "int64", "n_imputed": "int64", "median_cents": "int64"})
+    return out[["event_type", "n", "n_imputed", "median_cents", "mean_after_cents"]].reset_index(drop=True)
+
+
+@q(
+    "part_abc_classification",
+    sql="""
+    WITH r AS (
+      SELECT l_partkey,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * CAST(100 - round(l_discount * 100) AS BIGINT)) AS rev_mc
+      FROM lineitem GROUP BY l_partkey
+    ),
+    t AS (SELECT sum(rev_mc) AS tot FROM r),
+    c AS (SELECT l_partkey, rev_mc,
+                 sum(rev_mc) OVER (ORDER BY rev_mc DESC, l_partkey) AS cum
+          FROM r)
+    SELECT c.l_partkey, CAST(c.rev_mc AS BIGINT) AS rev_microcents,
+           CASE WHEN c.cum * 100 <= t.tot * 80 THEN 'A'
+                WHEN c.cum * 100 <= t.tot * 95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM c CROSS JOIN t ORDER BY c.l_partkey
+    """,
+)
+def part_abc_classification(sf_dir: str):
+    """Pareto / ABC inventory classification: parts ranked by discounted
+    revenue, class A = first 80% of cumulative revenue, B = next 15%, C =
+    tail. Revenue in exact integer MICRO-CENTS (cents x (100 - disc_pct),
+    the q9 pattern) so the cumulative thresholds are pure integer
+    comparisons (cum*100 <= tot*80) — no float anywhere. The corpus scan
+    is the distributed per-part Sum; ranking+cumsum run over the
+    dimension-cardinality part table on the driver (Python-int cumsum,
+    overflow-free)."""
+    import polars as pl
+
+    ds = _t(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
+
+    def mc(t: pa.Table) -> pa.Table:
+        cents = np.rint(
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        dpct = np.rint(
+            t.column("l_discount").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        df = pl.from_arrow(
+            pa.table(
+                {
+                    "l_partkey": t.column("l_partkey"),
+                    "mc": pa.array(cents * (100 - dpct)),
+                }
+            )
+        )
+        return df.group_by("l_partkey").agg(pl.col("mc").sum().alias("pmc")).to_arrow()
+
+    rev = (
+        ds.map_batches(mc, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Sum("pmc", alias_name="rev_microcents"))
+        .to_pandas()
+        .sort_values(["rev_microcents", "l_partkey"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    rev["rev_microcents"] = rev["rev_microcents"].astype("int64")
+    tot = int(rev["rev_microcents"].sum())
+    cum = rev["rev_microcents"].cumsum().astype("int64")
+    # cum*100 <= tot*80  ⟺  cum <= tot*80//100 for integer cum — the Python-int
+    # thresholds keep the comparison exact where cum*100 would overflow int64
+    th_a, th_b = tot * 80 // 100, tot * 95 // 100
+    cls = np.where(cum <= th_a, "A", np.where(cum <= th_b, "B", "C"))
+    rev["abc_class"] = cls
+    return (
+        rev[["l_partkey", "rev_microcents", "abc_class"]]
+        .sort_values("l_partkey")
+        .reset_index(drop=True)
+    )
+
+
+@q(
+    "ipc_roundtrip_event_stats",
+    sql="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def ipc_roundtrip_event_stats(sf_dir: str):
+    """Arrow IPC (Feather v2) sink -> record-batch-parallel IPC source under
+    the exact-hash gate: events written to per-block IPC shards (atomic
+    tmp+rename), read back memory-mapped with physical column pruning, and
+    aggregated in exact integer cents — the oracle reads the parquet
+    original, so any byte lost or duplicated in the IPC path flips the
+    hash. sources/ipc.py."""
+    import os
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.sources.ipc import read_ipc, write_ipc_shards
+
+    out_dir = tempfile.mkdtemp(prefix="pbr_ipc_roundtrip_")
+    write_ipc_shards(
+        rd.read_parquet(os.path.join(sf_dir, "events.parquet")), out_dir
+    )
+    ds = read_ipc(out_dir, columns=["event_type", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "cents": pc.cast(
+                    pc.round(pc.multiply(t.column("value"), pa.scalar(100.0))), pa.int64()
+                ),
+            }
+        )
+
+    out = (
+        ds.map_batches(cents, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"), Sum("cents", alias_name="total_cents"))
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    out["n"] = out["n"].astype("int64")
+    out["total_cents"] = out["total_cents"].astype("int64")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return out[["event_type", "n", "total_cents"]]

@@ -126,3 +126,33 @@ def test_read_text_source_parity(ray_session, tmp_path):
         .reset_index(drop=True)
     )
     assert got.equals(src.sort_values("doc_id").reset_index(drop=True))
+
+
+def test_ipc_shard_roundtrip_and_pruning(ray_session, tmp_path):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.sources.ipc import read_ipc, write_ipc_shards
+
+    df = pd.DataFrame(
+        {
+            "k": np.arange(1000, dtype="int64"),
+            "v": np.arange(1000, dtype="int64") * 3,
+            "s": [f"row{i}" for i in range(1000)],
+        }
+    )
+    out = str(tmp_path / "ipc")
+    paths = write_ipc_shards(rd.from_pandas(df).repartition(4), out)
+    assert len(paths) >= 1 and all(p.endswith(".arrow") for p in paths)
+
+    back = read_ipc(out).to_pandas().sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(back[["k", "v", "s"]], df)
+
+    pruned = read_ipc(out, columns=["k", "v"])
+    assert set(pruned.schema().names) == {"k", "v"}
+    assert int(pruned.to_pandas()["v"].sum()) == int(df["v"].sum())
+
+    # rerun over the same block layout overwrites the same shard names
+    paths2 = write_ipc_shards(rd.from_pandas(df).repartition(4), out)
+    assert paths2 == paths
