@@ -6,6 +6,8 @@ Registered into the same QUERIES/ORACLE_SQL dicts as pipelines/queries.py
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -3220,3 +3222,194 @@ def ipc_roundtrip_event_stats(sf_dir: str):
     out["total_cents"] = out["total_cents"].astype("int64")
     shutil.rmtree(out_dir, ignore_errors=True)
     return out[["event_type", "n", "total_cents"]]
+
+
+@q(
+    "mutual_nn_pairs",
+    sql="""
+    WITH r AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             row_number() OVER (PARTITION BY a.vec_id
+               ORDER BY list_cosine_similarity(b.embedding, a.embedding) DESC,
+                        b.vec_id) AS rk
+      FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+    ),
+    nn AS (SELECT src, dst FROM r WHERE rk = 1)
+    SELECT n1.src AS id_a, n1.dst AS id_b
+    FROM nn n1 JOIN nn n2 ON n2.src = n1.dst AND n2.dst = n1.src
+    WHERE n1.src < n1.dst ORDER BY id_a, id_b
+    """,
+)
+def mutual_nn_pairs(sf_dir: str):
+    """Mutual nearest-neighbor pairs (reciprocal top-1 by cosine) — the
+    high-precision seed set for embedding dedup/alignment: (a,b) kept only
+    when each is the other's single nearest neighbor. The top-1 scan is
+    distributed (per-block float64 matmul against the broadcast normalized
+    matrix — bounded eval-scale twin; the web-scale path swaps in the
+    LSH/IVF/PQ top-1 from the rows-only ANN family); the reciprocal join
+    runs on the N-row top-1 table."""
+    import ray
+
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"]).to_pandas()
+    emb = emb.sort_values("vec_id").reset_index(drop=True)
+    ids = emb["vec_id"].to_numpy().astype(np.int64)
+    m = np.stack([np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
+    m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+    ref = ray.put((ids, m))
+
+    import ray.data as rd
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def top1(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+            )
+        all_ids, mat = ray.get(ref)
+        col = t.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        v = np.asarray(col.flatten()).reshape(len(t), -1).astype(np.float64)
+        v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-300)
+        sims = v @ mat.T
+        row_ids = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        # mask self-similarity; argmax picks the FIRST max = smallest vec_id
+        # among ties because the broadcast matrix is vec_id-sorted
+        self_pos = np.searchsorted(all_ids, row_ids)
+        sims[np.arange(len(t)), self_pos] = -np.inf
+        best = np.argmax(sims, axis=1)
+        return pa.table({"src": pa.array(row_ids), "dst": pa.array(all_ids[best])})
+
+    nn = ds.map_batches(top1, batch_format="pyarrow").to_pandas()
+    lut = dict(zip(nn["src"], nn["dst"]))
+    keep = [
+        (int(s), int(d))
+        for s, d in zip(nn["src"], nn["dst"])
+        if s < d and lut.get(int(d)) == int(s)
+    ]
+    out = pd.DataFrame(keep, columns=["id_a", "id_b"]).astype("int64")
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+@q(
+    "event_type_hourly_profile_cosine",
+    sql="""
+    WITH h AS (
+      SELECT event_type, CAST(extract(hour FROM ts) AS BIGINT) AS hr, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    d AS (SELECT a.event_type AS type_a, b.event_type AS type_b, sum(a.n * b.n) AS dot
+          FROM h a JOIN h b ON a.hr = b.hr AND a.event_type < b.event_type
+          GROUP BY 1, 2),
+    m AS (SELECT event_type, sum(n * n) AS nn FROM h GROUP BY 1)
+    SELECT d.type_a, d.type_b, CAST(d.dot AS BIGINT) AS dot,
+           CAST(d.dot AS DOUBLE)
+             / (sqrt(CAST(ma.nn AS DOUBLE)) * sqrt(CAST(mb.nn AS DOUBLE))) AS cosine
+    FROM d JOIN m ma ON ma.event_type = d.type_a
+           JOIN m mb ON mb.event_type = d.type_b
+    ORDER BY type_a, type_b
+    """,
+)
+def event_type_hourly_profile_cosine(sf_dir: str):
+    """Temporal-shape similarity between event types: cosine between their
+    24-hour activity-count vectors — 'do these two event streams follow the
+    same daily rhythm'. One distributed (type, hour) count; the 5x24
+    profile matrix finishes on the driver with EXACT integer dot products
+    and IEEE sqrt/divide, hash-identical to the SQL join oracle."""
+    from ray.data.aggregate import Count as _Count
+
+    ds = _t(sf_dir, "events", ["event_type", "ts"])
+
+    def hr(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "hr": pc.cast(pc.hour(t.column("ts")), pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(hr, batch_format="pyarrow")
+        .groupby(["event_type", "hr"])
+        .aggregate(_Count(alias_name="n"))
+        .to_pandas()
+    )
+    types = sorted(counts["event_type"].unique())
+    prof = {
+        t: np.zeros(24, dtype=np.int64) for t in types
+    }
+    for _, r in counts.iterrows():
+        prof[r["event_type"]][int(r["hr"])] = int(r["n"])
+    rows = []
+    for i, a in enumerate(types):
+        for b in types[i + 1 :]:
+            dot = int(prof[a] @ prof[b])
+            na, nb = int(prof[a] @ prof[a]), int(prof[b] @ prof[b])
+            rows.append(
+                {
+                    "type_a": a,
+                    "type_b": b,
+                    "dot": dot,
+                    "cosine": float(dot) / (math.sqrt(float(na)) * math.sqrt(float(nb))),
+                }
+            )
+    out = pd.DataFrame(rows)
+    out["dot"] = out["dot"].astype("int64")
+    return out
+
+
+@q(
+    "cluster_sampled_event_stats",
+    sql="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM events
+    WHERE (user_id * 2654435761) % 5 = 0
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def cluster_sampled_event_stats(sf_dir: str):
+    """Two-stage CLUSTER sampling (sample whole users, keep all their
+    events): the deterministic Knuth-residue selection on the cluster key
+    preserves every sampled user's complete event sequence — session,
+    funnel and interarrival statistics stay valid inside the sample, which
+    row-level sampling destroys. Same engine-portable hash-residue rule as
+    docs_hash_sample_stats, applied at the cluster grain."""
+    from ray.data.aggregate import Count as _Count
+
+    ds = _t(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def sample(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (uid * 2654435761) % 5 == 0
+        t = t.filter(pa.array(keep))
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "event_type": t.column("event_type"),
+                "cents": pc.cast(
+                    pc.round(pc.multiply(t.column("value"), pa.scalar(100.0))), pa.int64()
+                ),
+            }
+        )
+
+    sampled = ds.map_batches(sample, batch_format="pyarrow")
+    base = (
+        sampled.groupby("event_type")
+        .aggregate(_Count(alias_name="n"), Sum("cents", alias_name="total_cents"))
+        .to_pandas()
+    )
+    users = (
+        sampled.select_columns(["event_type", "user_id"])
+        .groupby(["event_type", "user_id"])
+        .aggregate(_Count(alias_name="_c"))
+        .groupby("event_type")
+        .aggregate(_Count(alias_name="n_users"))
+        .to_pandas()
+    )
+    out = base.merge(users, on="event_type").sort_values("event_type").reset_index(drop=True)
+    for c in ("n", "n_users", "total_cents"):
+        out[c] = out[c].astype("int64")
+    return out[["event_type", "n", "n_users", "total_cents"]]

@@ -315,3 +315,36 @@ def test_decayed_cms_tracks_exact(ray_session, sf01_dir):
         if uid in est.index:
             assert est.loc[uid] >= score - 1e-3  # CMS never underestimates (mod rounding)
             assert est.loc[uid] <= score + bound
+
+
+def test_mutual_nn_pairs_reciprocal_sf0001(ray_session):
+    from perfect_bloomfilter_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["mutual_nn_pairs"]("/root/testdata/sf0.001")
+    # pairs are ordered, unique, and by construction reciprocal top-1s
+    assert (out["id_a"] < out["id_b"]).all()
+    assert not out.duplicated().any()
+
+
+def test_hourly_profile_cosine_bounds_sf0001(ray_session):
+    from perfect_bloomfilter_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["event_type_hourly_profile_cosine"]("/root/testdata/sf0.001")
+    assert len(out) == 10  # C(5,2) type pairs
+    assert ((out["cosine"] >= 0) & (out["cosine"] <= 1.0000000001)).all()
+    assert (out["dot"] >= 0).all()
+
+
+def test_cluster_sample_keeps_whole_users_sf0001(ray_session):
+    import duckdb
+
+    from perfect_bloomfilter_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["cluster_sampled_event_stats"]("/root/testdata/sf0.001")
+    # totals equal a whole-user slice of the corpus: per-user event counts in
+    # the sample match the full corpus for every sampled user
+    full = duckdb.sql("""
+        SELECT CAST(count(*) AS BIGINT) n FROM read_parquet('/root/testdata/sf0.001/events.parquet')
+        WHERE (user_id * 2654435761) % 5 = 0
+    """).fetchone()[0]
+    assert int(out["n"].sum()) == int(full)
