@@ -288,6 +288,12 @@ SUITE = [
     "word_containment_source_pairs",
     "ols_jackknife_price_qty",
     "event_type_simrank",
+    "value_imputed_stats_per_type",
+    "part_abc_classification",
+    "ipc_roundtrip_event_stats",
+    "mutual_nn_pairs",
+    "event_type_hourly_profile_cosine",
+    "cluster_sampled_event_stats",
 ]
 
 
