@@ -294,6 +294,9 @@ SUITE = [
     "mutual_nn_pairs",
     "event_type_hourly_profile_cosine",
     "cluster_sampled_event_stats",
+    "part_degree_assortativity",
+    "event_type_reciprocity",
+    "lang_lexical_diversity",
 ]
 
 

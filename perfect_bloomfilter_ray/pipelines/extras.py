@@ -3413,3 +3413,183 @@ def cluster_sampled_event_stats(sf_dir: str):
     for c in ("n", "n_users", "total_cents"):
         out[c] = out[c].astype("int64")
     return out[["event_type", "n", "n_users", "total_cents"]]
+
+
+@q(
+    "part_degree_assortativity",
+    sql="""
+    WITH pl AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                WHERE l_partkey % 4 = 0),
+    e AS (SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+          FROM pl a JOIN pl b ON a.l_orderkey = b.l_orderkey
+                              AND a.l_partkey < b.l_partkey),
+    deg AS (SELECT node, count(*) AS d FROM
+            (SELECT x AS node FROM e UNION ALL SELECT y FROM e) GROUP BY node),
+    j AS (SELECT da.d AS dx, db.d AS dy
+          FROM e JOIN deg da ON da.node = e.x JOIN deg db ON db.node = e.y),
+    s AS (SELECT 2 * count(*) AS n, sum(dx + dy) AS sx,
+                 sum(CAST(dx AS HUGEINT) * dx + CAST(dy AS HUGEINT) * dy) AS sxx,
+                 sum(2 * CAST(dx AS HUGEINT) * dy) AS sxy
+          FROM j)
+    SELECT CAST(n AS BIGINT) AS n, CAST(sx AS BIGINT) AS sx,
+           CAST(sxx AS BIGINT) AS sxx, CAST(sxy AS BIGINT) AS sxy,
+           CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+           / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+             AS assortativity
+    FROM s
+    """,
+)
+def part_degree_assortativity(sf_dir: str):
+    """Degree assortativity (Newman 2002) of the restricted part
+    co-purchase graph — do popular parts co-occur with popular parts? One
+    distributed distinct-pair reduce, one endpoint-degree groupby, one
+    moment scan with the degree LUT broadcast; r is a single float
+    expression over exact integer sums (stages/graph.degree_assortativity)."""
+    from perfect_bloomfilter_ray.stages.cooccur import distinct_pairs
+    from perfect_bloomfilter_ray.stages.graph import degree_assortativity
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]).map_batches(
+        lambda t: t.filter(
+            pc.equal(
+                pc.bit_wise_and(t.column("l_partkey"), pa.scalar(3, pa.int64())),
+                pa.scalar(0, pa.int64()),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    edges = distinct_pairs(li, "l_orderkey", "l_partkey").materialize()
+    res = degree_assortativity(edges, "item_a", "item_b")
+    return pd.DataFrame([res])[["n", "sx", "sxx", "sxy", "assortativity"]]
+
+
+@q(
+    "event_type_reciprocity",
+    sql="""
+    WITH raw AS (
+      SELECT event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      FROM events
+    ),
+    e AS (SELECT DISTINCT src, dst FROM raw WHERE dst IS NOT NULL AND src <> dst),
+    r AS (SELECT count(*) AS n_edges,
+                 sum(CASE WHEN EXISTS (SELECT 1 FROM e e2
+                                       WHERE e2.src = e.dst AND e2.dst = e.src)
+                          THEN 1 ELSE 0 END) AS n_recip
+          FROM e)
+    SELECT CAST(n_edges AS BIGINT) AS n_edges,
+           CAST(n_recip AS BIGINT) AS n_reciprocal,
+           CAST(n_recip AS DOUBLE) / CAST(n_edges AS DOUBLE) AS reciprocity
+    FROM r
+    """,
+)
+def event_type_reciprocity(sf_dir: str):
+    """Directed-graph reciprocity of the event-type transition graph
+    (self-loops excluded): the fraction of distinct edges whose reverse
+    also occurs — the classic 'mutual link' census. Distinct edges reduce
+    distributedly; the reciprocal membership check runs over the
+    label-cardinality edge set; ratio is one exact-int division."""
+    from perfect_bloomfilter_ray.stages.windows import transition_counts
+
+    ds = _t(sf_dir, "events", ["user_id", "ts", "event_type", "event_id"])
+    edges = (
+        transition_counts(ds, "user_id", "ts", "event_type", tie_cols=["event_id"])
+        .to_pandas()
+    )
+    edges = edges[edges["state_from"] != edges["state_to"]]
+    es = set(zip(edges["state_from"], edges["state_to"]))
+    n_edges = len(es)
+    n_recip = sum(1 for a, b in es if (b, a) in es)
+    return pd.DataFrame(
+        [
+            {
+                "n_edges": n_edges,
+                "n_reciprocal": n_recip,
+                "reciprocity": float(n_recip) / float(n_edges) if n_edges else 0.0,
+            }
+        ]
+    ).astype({"n_edges": "int64", "n_reciprocal": "int64"})
+
+
+@q(
+    "lang_lexical_diversity",
+    sql="""
+    WITH toks AS (
+      SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      FROM documents
+    ),
+    tc AS (SELECT lang, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+    s AS (SELECT lang, sum(c) AS n_tokens, count(*) AS n_types,
+                 sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n_hapax
+          FROM tc GROUP BY lang)
+    SELECT lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_types AS BIGINT) AS n_types,
+           CAST(n_hapax AS BIGINT) AS n_hapax,
+           CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
+           CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE) AS hapax_ratio
+    FROM s ORDER BY lang
+    """,
+)
+def lang_lexical_diversity(sf_dir: str):
+    """Lexical-diversity profile per language: type-token ratio and hapax
+    (frequency-1) fraction — the corpus-linguistics health check for
+    generated/templated text (low TTR = boilerplate). One tokenize pass
+    with per-batch partial token counts, one (lang, token) groupby, one
+    tiny per-lang reduce; ratios are exact-int divisions."""
+    import polars as pl
+
+    docs = _t(sf_dir, "documents", ["lang", "text"])
+
+    def tok_partial(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        return (
+            df.select(
+                pl.col("lang"),
+                pl.col("text").fill_null("").str.to_lowercase()
+                .str.extract_all(r"[a-z0-9]+").alias("tok"),
+            )
+            .explode("tok")
+            .drop_nulls("tok")
+            .group_by(["lang", "tok"])
+            .agg(pl.len().cast(pl.Int64).alias("pc"))
+            .to_arrow()
+        )
+
+    counts = (
+        docs.map_batches(tok_partial, batch_format="pyarrow")
+        .groupby(["lang", "tok"])
+        .aggregate(Sum("pc", alias_name="c"))
+    )
+
+    def lang_partial(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        return (
+            df.group_by("lang")
+            .agg(
+                pl.col("c").sum().alias("pn_tokens"),
+                pl.len().cast(pl.Int64).alias("pn_types"),
+                (pl.col("c") == 1).sum().cast(pl.Int64).alias("pn_hapax"),
+            )
+            .to_arrow()
+        )
+
+    out = (
+        counts.map_batches(lang_partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("pn_tokens", alias_name="n_tokens"),
+            Sum("pn_types", alias_name="n_types"),
+            Sum("pn_hapax", alias_name="n_hapax"),
+        )
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    for c in ("n_tokens", "n_types", "n_hapax"):
+        out[c] = out[c].astype("int64")
+    out["ttr"] = np.array(
+        [float(a) / float(b) for a, b in zip(out["n_types"], out["n_tokens"])]
+    )
+    out["hapax_ratio"] = np.array(
+        [float(a) / float(b) for a, b in zip(out["n_hapax"], out["n_types"])]
+    )
+    return out[["lang", "n_tokens", "n_types", "n_hapax", "ttr", "hapax_ratio"]]

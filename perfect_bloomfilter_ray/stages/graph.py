@@ -1592,3 +1592,85 @@ def simrank(
     return pd.DataFrame(
         {"node_a": nodes[ia], "node_b": nodes[ib], "sim": S[ia, ib]}
     )
+
+
+def degree_assortativity(
+    edges: Dataset,
+    x_col: str = "x",
+    y_col: str = "y",
+    max_nodes: int = 5_000_000,
+) -> dict:
+    """Degree-assortativity coefficient of an undirected edge list (Newman
+    2002): the Pearson correlation of (deg(u), deg(v)) over all ORIENTED
+    edge incidences — positive means hubs link to hubs. Degrees are exact
+    integer counts (one distributed endpoint groupby, per-batch partials);
+    a second edge scan accumulates int64 moment partials with the degree
+    LUT broadcast (node-cardinality side, gated by ``max_nodes`` — the
+    co-partitioned join shape of pagerank_dataset is the web-scale escape
+    hatch). By x/y symmetry only (n, Σdx, Σdx², Σdx·dy) are needed and r
+    is ONE fixed float expression over exact Python ints, mirrored with
+    HUGEINT casts in SQL.
+
+    Returns ``{n, sx, sxx, sxy, assortativity}``.
+    """
+    import polars as pl
+    import ray
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        df = pl.concat(
+            [
+                pl.from_arrow(t.select([x_col])).rename({x_col: "node"}),
+                pl.from_arrow(t.select([y_col])).rename({y_col: "node"}),
+            ]
+        )
+        return df.group_by("node").agg(pl.len().cast(pl.Int64).alias("pd")).to_arrow()
+
+    deg = (
+        edges.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("pd", alias_name="d"))
+        .to_pandas()
+    )
+    if len(deg) > max_nodes:
+        raise ValueError(
+            f"degree_assortativity broadcast gate: {len(deg)} nodes > {max_nodes}"
+        )
+    nodes = deg["node"].to_numpy().astype(np.int64)
+    order = np.argsort(nodes)
+    ref = ray.put((nodes[order], deg["d"].to_numpy().astype(np.int64)[order]))
+
+    def moments(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "pn": pa.array([], pa.int64()),
+                    "psx": pa.array([], pa.int64()),
+                    "psxx": pa.array([], pa.int64()),
+                    "psxy": pa.array([], pa.int64()),
+                }
+            )
+        lut_nodes, lut_deg = ray.get(ref)
+        xs = t.column(x_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        ys = t.column(y_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        dx = lut_deg[np.searchsorted(lut_nodes, xs)]
+        dy = lut_deg[np.searchsorted(lut_nodes, ys)]
+        # both orientations: Σ over (dx,dy) and (dy,dx)
+        n = 2 * len(xs)
+        sx = int(dx.sum() + dy.sum())
+        sxx = int((dx * dx).sum() + (dy * dy).sum())
+        sxy = int(2 * (dx * dy).sum())
+        return pa.table(
+            {
+                "pn": pa.array([n], pa.int64()),
+                "psx": pa.array([sx], pa.int64()),
+                "psxx": pa.array([sxx], pa.int64()),
+                "psxy": pa.array([sxy], pa.int64()),
+            }
+        )
+
+    s = edges.map_batches(moments, batch_format="pyarrow").to_pandas().sum()
+    n, sx = int(s["pn"]), int(s["psx"])
+    sxx, sxy = int(s["psxx"]), int(s["psxy"])
+    den = n * sxx - sx * sx
+    r = float(n * sxy - sx * sx) / float(den) if den != 0 else float("nan")
+    return {"n": n, "sx": sx, "sxx": sxx, "sxy": sxy, "assortativity": r}

@@ -348,3 +348,74 @@ def test_cluster_sample_keeps_whole_users_sf0001(ray_session):
         WHERE (user_id * 2654435761) % 5 = 0
     """).fetchone()[0]
     assert int(out["n"].sum()) == int(full)
+
+
+def test_degree_assortativity_matches_numpy_pearson(ray_session):
+    """Stage moments equal brute-force Pearson over oriented incidences."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from perfect_bloomfilter_ray.stages.graph import degree_assortativity
+
+    rng = np.random.default_rng(7)
+    x = rng.integers(0, 40, 300)
+    y = rng.integers(0, 40, 300)
+    keep = x != y
+    a, b = np.minimum(x, y)[keep], np.maximum(x, y)[keep]
+    edges = pd.DataFrame({"x": a, "y": b}).drop_duplicates()
+    res = degree_assortativity(ray.data.from_pandas(edges), "x", "y")
+    # brute force: degree map, oriented incidence pairs, numpy corrcoef
+    deg = {}
+    for u, v in zip(edges["x"], edges["y"]):
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    dx = np.array(
+        [deg[u] for u, v in zip(edges["x"], edges["y"])]
+        + [deg[v] for u, v in zip(edges["x"], edges["y"])],
+        dtype=np.float64,
+    )
+    dy = np.array(
+        [deg[v] for u, v in zip(edges["x"], edges["y"])]
+        + [deg[u] for u, v in zip(edges["x"], edges["y"])],
+        dtype=np.float64,
+    )
+    assert res["n"] == 2 * len(edges)
+    assert res["sx"] == int(dx.sum())
+    assert res["sxx"] == int((dx * dx).sum())
+    assert res["sxy"] == int(2 * (dx[: len(edges)] * dy[: len(edges)]).sum())
+    r_np = np.corrcoef(dx, dy)[0, 1]
+    assert abs(res["assortativity"] - r_np) < 1e-9
+
+
+def test_degree_assortativity_star_is_minus_one(ray_session):
+    """A star graph is perfectly disassortative (r = -1)."""
+    import pandas as pd
+    import ray
+
+    from perfect_bloomfilter_ray.stages.graph import degree_assortativity
+
+    edges = pd.DataFrame({"x": [0, 0, 0, 0], "y": [1, 2, 3, 4]})
+    res = degree_assortativity(ray.data.from_pandas(edges), "x", "y")
+    assert abs(res["assortativity"] - (-1.0)) < 1e-12
+
+
+def test_event_type_reciprocity_bounds_sf0001(ray_session):
+    from perfect_bloomfilter_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["event_type_reciprocity"]("/root/testdata/sf0.001")
+    row = out.iloc[0]
+    # reciprocal edges come in (a,b)/(b,a) pairs, so the count is even
+    assert int(row["n_reciprocal"]) % 2 == 0
+    assert 0 <= int(row["n_reciprocal"]) <= int(row["n_edges"])
+    assert 0.0 <= float(row["reciprocity"]) <= 1.0
+
+
+def test_lang_lexical_diversity_invariants_sf0001(ray_session):
+    from perfect_bloomfilter_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["lang_lexical_diversity"]("/root/testdata/sf0.001")
+    assert len(out) == 5  # one row per language
+    assert (out["n_hapax"] <= out["n_types"]).all()
+    assert (out["n_types"] <= out["n_tokens"]).all()
+    assert ((out["ttr"] > 0) & (out["ttr"] <= 1)).all()
