@@ -297,6 +297,9 @@ SUITE = [
     "part_degree_assortativity",
     "event_type_reciprocity",
     "lang_lexical_diversity",
+    "part_link_prediction",
+    "value_purchase_stump",
+    "bm25_doc_search",
 ]
 
 

@@ -3593,3 +3593,234 @@ def lang_lexical_diversity(sf_dir: str):
         [float(a) / float(b) for a, b in zip(out["n_hapax"], out["n_types"])]
     )
     return out[["lang", "n_tokens", "n_types", "n_hapax", "ttr", "hapax_ratio"]]
+
+
+@q(
+    "part_link_prediction",
+    sql="""
+    WITH pl AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                WHERE l_partkey % 4 = 0),
+    e AS (SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+          FROM pl a JOIN pl b ON a.l_orderkey = b.l_orderkey
+                              AND a.l_partkey < b.l_partkey),
+    adj AS (SELECT x AS z, y AS n FROM e UNION ALL SELECT y, x FROM e),
+    cnp AS (SELECT a1.n AS a, a2.n AS b, CAST(count(*) AS BIGINT) AS cn
+            FROM adj a1 JOIN adj a2 ON a1.z = a2.z AND a1.n < a2.n
+            GROUP BY 1, 2),
+    ne AS (SELECT cnp.a, cnp.b, cnp.cn FROM cnp
+           LEFT JOIN e ON e.x = cnp.a AND e.y = cnp.b
+           WHERE e.x IS NULL),
+    deg AS (SELECT z AS node, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY z)
+    SELECT ne.a AS node_a, ne.b AS node_b, ne.cn,
+           da.d AS deg_a, db.d AS deg_b,
+           CAST(da.d * db.d AS BIGINT) AS pref_attach,
+           CAST(ne.cn AS DOUBLE) / (da.d + db.d - ne.cn) AS jaccard
+    FROM ne JOIN deg da ON da.node = ne.a JOIN deg db ON db.node = ne.b
+    ORDER BY ne.cn DESC, node_a, node_b LIMIT 25
+    """,
+)
+def part_link_prediction(sf_dir: str):
+    """Missing-link prediction on the restricted part co-purchase graph
+    (Liben-Nowell & Kleinberg 2003): top-25 unconnected 2-hop pairs by
+    common-neighbor count, with exact-int Jaccard and preferential-
+    attachment scores (stages/graph.link_prediction_scores — apex-
+    partitioned triangular wedge generation, edge removal folded into the
+    SAME pair groupby via union markers, per-block partial top-k)."""
+    from perfect_bloomfilter_ray.stages.cooccur import distinct_pairs
+    from perfect_bloomfilter_ray.stages.graph import link_prediction_scores
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]).map_batches(
+        lambda t: t.filter(
+            pc.equal(
+                pc.bit_wise_and(t.column("l_partkey"), pa.scalar(3, pa.int64())),
+                pa.scalar(0, pa.int64()),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    edges = distinct_pairs(li, "l_orderkey", "l_partkey")
+    out = link_prediction_scores(edges, "item_a", "item_b", k=25)
+    return out
+
+
+@q(
+    "value_purchase_stump",
+    sql="""
+    WITH lab AS (SELECT value AS v,
+                        CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p
+                 FROM events WHERE value IS NOT NULL),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(p) AS BIGINT) AS pos FROM lab),
+    vc AS (SELECT v, CAST(count(*) AS BIGINT) AS c, CAST(sum(p) AS BIGINT) AS cp
+           FROM lab GROUP BY v),
+    cum AS (SELECT v, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS nl,
+                   CAST(sum(cp) OVER (ORDER BY v) AS BIGINT) AS pl
+            FROM vc),
+    cand AS (SELECT v, nl, pl, t.n - nl AS nr, t.pos - pl AS pr
+             FROM cum, tot t WHERE nl < t.n),
+    scored AS (SELECT v, nl, pl, nr, pr,
+        CAST(nl * nl - pl * pl - (nl - pl) * (nl - pl) AS DOUBLE) / nl
+      + CAST(nr * nr - pr * pr - (nr - pr) * (nr - pr) AS DOUBLE) / nr AS gini
+      FROM cand)
+    SELECT v AS threshold, nl AS n_left, pl AS pos_left,
+           nr AS n_right, pr AS pos_right, gini
+    FROM scored ORDER BY gini ASC, v ASC LIMIT 1
+    """,
+)
+def value_purchase_stump(sf_dir: str):
+    """Decision stump (1-D CART split): the value threshold that best
+    separates purchase events from the rest by weighted Gini impurity.
+    Impurity is computed from EXACT integer cumulative counts — the
+    weighted Gini of a split is (nl² - pl² - ql²)/nl + (nr² - pr² - qr²)/nr
+    up to the constant 1/n factor, two IEEE divisions of exact int64s
+    summed left-to-right on both sides, argmin tie-broken by threshold.
+    Distributed shape: one (value → count, positives) groupby; the cumsum
+    finish is value-cardinality (bounded like every histogram finish)."""
+    import polars as pl
+
+    ds = _t(sf_dir, "events", ["event_type", "value"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).drop_nulls("value")
+        return (
+            df.group_by("value")
+            .agg(
+                pl.len().cast(pl.Int64).alias("pc"),
+                (pl.col("event_type") == "purchase").sum().cast(pl.Int64).alias("pp"),
+            )
+            .to_arrow()
+        )
+
+    vc = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("value")
+        .aggregate(Sum("pc", alias_name="c"), Sum("pp", alias_name="cp"))
+        .to_pandas()
+        .sort_values("value")
+        .reset_index(drop=True)
+    )
+    v = vc["value"].to_numpy()
+    nl = vc["c"].to_numpy().astype(np.int64).cumsum()
+    plc = vc["cp"].to_numpy().astype(np.int64).cumsum()
+    n, pos = int(nl[-1]), int(plc[-1])
+    keep = nl < n
+    v, nl, plc = v[keep], nl[keep], plc[keep]
+    nr, pr = n - nl, pos - plc
+    gini = (
+        (nl * nl - plc * plc - (nl - plc) * (nl - plc)).astype(np.float64) / nl
+        + (nr * nr - pr * pr - (nr - pr) * (nr - pr)).astype(np.float64) / nr
+    )
+    best = np.lexsort((v, gini))[0]
+    return pd.DataFrame(
+        [
+            {
+                "threshold": float(v[best]),
+                "n_left": int(nl[best]),
+                "pos_left": int(plc[best]),
+                "n_right": int(nr[best]),
+                "pos_right": int(pr[best]),
+                "gini": float(gini[best]),
+            }
+        ]
+    )
+
+
+@q(
+    "bm25_doc_search",
+    sql="""
+    WITH toks AS (SELECT doc_id,
+                         regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+                  FROM documents),
+    f AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl,
+                 CAST(len(list_filter(tk, x -> x = 'hash')) AS BIGINT) AS tf_hash,
+                 CAST(len(list_filter(tk, x -> x = 'join')) AS BIGINT) AS tf_join,
+                 CAST(len(list_filter(tk, x -> x = 'scan')) AS BIGINT) AS tf_scan
+          FROM toks),
+    st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sumdl,
+                  CAST(sum(CASE WHEN tf_hash > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+                  CAST(sum(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2,
+                  CAST(sum(CASE WHEN tf_scan > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df3
+           FROM f)
+    SELECT doc_id, dl, tf_hash, tf_join, tf_scan,
+        ln(1 + (CAST(st.n - st.df1 AS DOUBLE) + 0.5) / (CAST(st.df1 AS DOUBLE) + 0.5))
+          * ((CAST(tf_hash AS DOUBLE) * 2.2)
+             / (CAST(tf_hash AS DOUBLE)
+                + 1.2 * ((1.0 - 0.75)
+                         + 0.75 * (CAST(dl AS DOUBLE) / (CAST(st.sumdl AS DOUBLE) / st.n)))))
+      + ln(1 + (CAST(st.n - st.df2 AS DOUBLE) + 0.5) / (CAST(st.df2 AS DOUBLE) + 0.5))
+          * ((CAST(tf_join AS DOUBLE) * 2.2)
+             / (CAST(tf_join AS DOUBLE)
+                + 1.2 * ((1.0 - 0.75)
+                         + 0.75 * (CAST(dl AS DOUBLE) / (CAST(st.sumdl AS DOUBLE) / st.n)))))
+      + ln(1 + (CAST(st.n - st.df3 AS DOUBLE) + 0.5) / (CAST(st.df3 AS DOUBLE) + 0.5))
+          * ((CAST(tf_scan AS DOUBLE) * 2.2)
+             / (CAST(tf_scan AS DOUBLE)
+                + 1.2 * ((1.0 - 0.75)
+                         + 0.75 * (CAST(dl AS DOUBLE) / (CAST(st.sumdl AS DOUBLE) / st.n)))))
+      AS score
+    FROM f, st
+    ORDER BY score DESC, doc_id LIMIT 25
+    """,
+)
+def bm25_doc_search(sf_dir: str):
+    """BM25 ranked retrieval (Robertson-Walker; Lucene's non-negative
+    ln(1 + ...) idf) for the fixed query {hash, join, scan}: k1=1.2,
+    b=0.75, top-25 docs by score. Exactness: tf/dl/df/N are exact integers
+    from ONE tokenize pass over a slim materialized feature table (5 int
+    columns — the budget-selection precedent); idf uses the driver's libm
+    ln (same libm as the oracle); per-term scores follow ONE fixed
+    float expression and sum in fixed term order, so both sides agree
+    bitwise. Top-k is per-block partial top-25 + driver finish — no global
+    sort."""
+    import math
+
+    import polars as pl
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    K1, B = 1.2, 0.75
+    TERMS = ["hash", "join", "scan"]
+
+    def featurize(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        tk = pl.col("text").fill_null("").str.to_lowercase().str.extract_all(r"[a-z0-9]+")
+        return df.select(
+            pl.col("doc_id"),
+            tk.list.len().cast(pl.Int64).alias("dl"),
+            *[tk.list.count_matches(w).cast(pl.Int64).alias(f"tf_{w}") for w in TERMS],
+        ).to_arrow()
+
+    feats = docs.map_batches(featurize, batch_format="pyarrow").materialize()
+
+    def stat_partials(t: pa.Table) -> pa.Table:
+        cols = {"pn": [len(t)], "psumdl": [int(pc.sum(t.column("dl")).as_py() or 0)]}
+        for w in TERMS:
+            tf = t.column(f"tf_{w}").to_numpy(zero_copy_only=False)
+            cols[f"pdf_{w}"] = [int((tf > 0).sum())]
+        return pa.table({k: pa.array(vv, pa.int64()) for k, vv in cols.items()})
+
+    st = feats.map_batches(stat_partials, batch_format="pyarrow").to_pandas().sum()
+    n, sumdl = int(st["pn"]), int(st["psumdl"])
+    avgdl = float(sumdl) / n
+    idf = {
+        w: math.log(1.0 + (float(n - int(st[f"pdf_{w}"])) + 0.5) / (float(int(st[f"pdf_{w}"])) + 0.5))
+        for w in TERMS
+    }
+
+    def score_topk(t: pa.Table) -> pa.Table:
+        dl = t.column("dl").to_numpy(zero_copy_only=False).astype(np.float64)
+        norm = 1.2 * ((1.0 - 0.75) + 0.75 * (dl / avgdl))
+        score = np.zeros(len(t), dtype=np.float64)
+        for w in TERMS:
+            tf = t.column(f"tf_{w}").to_numpy(zero_copy_only=False).astype(np.float64)
+            score = score + idf[w] * ((tf * 2.2) / (tf + norm))
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        sel = np.lexsort((ids, -score))[:25]
+        keep = t.take(pa.array(sel))
+        return keep.append_column("score", pa.array(score[sel]))
+
+    out = feats.map_batches(score_topk, batch_format="pyarrow").to_pandas()
+    out = (
+        out.sort_values(["score", "doc_id"], ascending=[False, True])
+        .head(25)
+        .reset_index(drop=True)
+    )
+    return out[["doc_id", "dl", "tf_hash", "tf_join", "tf_scan", "score"]]

@@ -1674,3 +1674,226 @@ def degree_assortativity(
     den = n * sxx - sx * sx
     r = float(n * sxy - sx * sx) / float(den) if den != 0 else float("nan")
     return {"n": n, "sx": sx, "sxx": sxx, "sxy": sxy, "assortativity": r}
+
+
+def link_prediction_scores(
+    edges: Dataset,
+    a_col: str = "item_a",
+    b_col: str = "item_b",
+    k: int = 25,
+    num_blocks: int | None = None,
+    max_nodes: int = 5_000_000,
+) -> pd.DataFrame:
+    """Common-neighbor link prediction over a distinct undirected edge list
+    (Liben-Nowell & Kleinberg 2003): for every 2-hop pair (a, b) NOT already
+    connected, score the missing link by
+
+    - ``cn``          = |N(a) ∩ N(b)| (exact integer),
+    - ``jaccard``     = cn / (deg(a) + deg(b) - cn) (one IEEE division of
+      exact ints),
+    - ``pref_attach`` = deg(a) · deg(b) (exact integer),
+
+    and return the top ``k`` by (cn DESC, node_a, node_b).
+
+    Scale shape: candidate pairs come from apex-partitioned wedge
+    generation — the adjacency (both directions) hash-partitions by apex,
+    each partition emits its neighbor pairs by direct triangular indexing
+    (no self-join blowup), and per-partition polars partials feed ONE
+    global (a, b) groupby. Existing edges are removed in the SAME groupby:
+    edge rows union in carrying an ``is_edge`` marker, so the anti-filter
+    costs zero extra shuffles and no broadcast of the edge set. Only the
+    degree LUT broadcasts (node-cardinality, gated by ``max_nodes`` — the
+    co-partitioned join shape of ``pagerank_dataset`` is the web-scale
+    escape hatch), and the top-k resolve is per-block partial top-k with a
+    k·num_blocks driver finish.
+    """
+    import polars as pl
+    import ray
+
+    from perfect_bloomfilter_ray.functions.hashing import hash64
+    from perfect_bloomfilter_ray.stages.partitioning import choose_num_blocks
+
+    nb = choose_num_blocks(edges, num_blocks)
+    edges = edges.materialize()  # consumed by degree, adjacency, and marker passes
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select([a_col, b_col]))
+        return (
+            pl.concat(
+                [df.select(pl.col(a_col).alias("node")), df.select(pl.col(b_col).alias("node"))]
+            )
+            .group_by("node")
+            .len(name="pd")
+            .with_columns(pl.col("pd").cast(pl.Int64))
+            .to_arrow()
+        )
+
+    deg = (
+        edges.map_batches(endpoints, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("pd", alias_name="deg"))
+        .to_pandas()
+    )
+    if len(deg) == 0:
+        return pd.DataFrame(
+            {
+                "node_a": np.array([], dtype="int64"),
+                "node_b": np.array([], dtype="int64"),
+                "cn": np.array([], dtype="int64"),
+                "deg_a": np.array([], dtype="int64"),
+                "deg_b": np.array([], dtype="int64"),
+                "pref_attach": np.array([], dtype="int64"),
+                "jaccard": np.array([], dtype="float64"),
+            }
+        )
+    if len(deg) > max_nodes:
+        raise ValueError(
+            f"link_prediction_scores degree-LUT gate: {len(deg)} nodes > {max_nodes}"
+        )
+
+    def adjacency(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select([a_col, b_col]))
+        adj = pl.concat(
+            [
+                df.select(pl.col(a_col).alias("z"), pl.col(b_col).alias("n")),
+                df.select(pl.col(b_col).alias("z"), pl.col(a_col).alias("n")),
+            ]
+        )
+        h = hash64(adj["z"], 0x2B7)
+        return adj.with_columns(
+            pl.Series("_part", (h % np.uint64(nb)).astype(np.int32))
+        ).to_arrow()
+
+    def wedge_partials(t: pa.Table) -> pa.Table:
+        """Per-apex neighbor pairs by direct triangular indexing, partial-
+        counted inside the partition before the global (a, b) groupby."""
+        z = t.column("z").to_numpy(zero_copy_only=False)
+        d = t.column("n").to_numpy(zero_copy_only=False)
+        empty = pa.table(
+            {
+                "pa_": pa.array([], pa.int64()),
+                "pb_": pa.array([], pa.int64()),
+                "pcn": pa.array([], pa.int64()),
+                "pedge": pa.array([], pa.int64()),
+            }
+        )
+        if len(z) == 0:
+            return empty
+        order = np.lexsort((d, z))
+        z, d = z[order], d[order]
+        starts = np.flatnonzero(np.concatenate([[True], z[1:] != z[:-1]]))
+        sizes = np.diff(np.append(starts, len(z)))
+        pcnt = sizes * (sizes - 1) // 2
+        tot = int(pcnt.sum())
+        if tot == 0:
+            return empty
+        grp = np.repeat(np.arange(len(sizes)), pcnt)
+        p = np.arange(tot, dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(pcnt)[:-1]]), pcnt
+        )
+        ng = sizes[grp]
+        tmp = (2 * ng - 1).astype(np.float64)
+        i = ((tmp - np.sqrt(tmp * tmp - 8.0 * p)) // 2).astype(np.int64)
+        i = np.clip(i, 0, ng - 2)
+        for _ in range(3):  # float sqrt can land one row off at boundaries
+            base = i * (2 * ng - i - 1) // 2
+            over = base > p
+            under = (i + 1) * (2 * ng - i - 2) // 2 <= p
+            if not (over.any() or under.any()):
+                break
+            i = i - over.astype(np.int64) + under.astype(np.int64)
+        base = i * (2 * ng - i - 1) // 2
+        j = p - base + i + 1
+        off = starts[grp]
+        pairs = pl.DataFrame({"pa_": d[off + i], "pb_": d[off + j]})
+        out = (
+            pairs.group_by(["pa_", "pb_"])
+            .len(name="pcn")
+            .with_columns(
+                pl.col("pcn").cast(pl.Int64),
+                pl.lit(0, dtype=pl.Int64).alias("pedge"),
+            )
+        )
+        h = hash64(out["pa_"], 0x3C9) ^ hash64(out["pb_"], 0x5E3)
+        return out.with_columns(
+            pl.Series("_p2", (h % np.uint64(nb)).astype(np.int32))
+        ).to_arrow()
+
+    def edge_markers(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select([a_col, b_col]))
+        out = df.select(
+            pl.col(a_col).alias("pa_"),
+            pl.col(b_col).alias("pb_"),
+            pl.lit(0, dtype=pl.Int64).alias("pcn"),
+            pl.lit(1, dtype=pl.Int64).alias("pedge"),
+        )
+        h = hash64(out["pa_"], 0x3C9) ^ hash64(out["pb_"], 0x5E3)
+        return out.with_columns(
+            pl.Series("_p2", (h % np.uint64(nb)).astype(np.int32))
+        ).to_arrow()
+
+    def reduce_topk(t: pa.Table) -> pa.Table:
+        """All partials for a pair land in ONE coarse partition: sum the
+        counts, drop existing edges, take the partition-local top-k — one
+        shuffle instead of a fine-key aggregate plus a second pass."""
+        df = (
+            pl.from_arrow(t.drop_columns(["_p2"]))
+            .group_by(["pa_", "pb_"])
+            .agg(pl.col("pcn").sum().alias("cn"), pl.col("pedge").sum().alias("is_edge"))
+            .filter((pl.col("is_edge") == 0) & (pl.col("cn") > 0))
+        )
+        if len(df) == 0:
+            return pa.table(
+                {
+                    "node_a": pa.array([], pa.int64()),
+                    "node_b": pa.array([], pa.int64()),
+                    "cn": pa.array([], pa.int64()),
+                }
+            )
+        cn = df["cn"].to_numpy().astype(np.int64)
+        a = df["pa_"].to_numpy().astype(np.int64)
+        b = df["pb_"].to_numpy().astype(np.int64)
+        sel = np.lexsort((b, a, -cn))[:k]
+        return pa.table(
+            {"node_a": pa.array(a[sel]), "node_b": pa.array(b[sel]), "cn": pa.array(cn[sel])}
+        )
+
+    cand = (
+        edges.map_batches(adjacency, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(wedge_partials, batch_format="pyarrow")
+        .union(edges.map_batches(edge_markers, batch_format="pyarrow"))
+        .groupby("_p2")
+        .map_groups(reduce_topk, batch_format="pyarrow")
+        .to_pandas()
+    )
+
+    nodes = deg["node"].to_numpy().astype(np.int64)
+    order = np.argsort(nodes)
+    deg_ref = ray.put((nodes[order], deg["deg"].to_numpy().astype(np.int64)[order]))
+    if len(cand) == 0:
+        return pd.DataFrame(
+            {
+                "node_a": np.array([], dtype="int64"),
+                "node_b": np.array([], dtype="int64"),
+                "cn": np.array([], dtype="int64"),
+                "deg_a": np.array([], dtype="int64"),
+                "deg_b": np.array([], dtype="int64"),
+                "pref_attach": np.array([], dtype="int64"),
+                "jaccard": np.array([], dtype="float64"),
+            }
+        )
+    cand = (
+        cand.sort_values(["cn", "node_a", "node_b"], ascending=[False, True, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    lut_nodes, lut_deg = ray.get(deg_ref)
+    da = lut_deg[np.searchsorted(lut_nodes, cand["node_a"].to_numpy())]
+    db = lut_deg[np.searchsorted(lut_nodes, cand["node_b"].to_numpy())]
+    cn = cand["cn"].to_numpy()
+    cand["deg_a"] = da
+    cand["deg_b"] = db
+    cand["pref_attach"] = da * db
+    cand["jaccard"] = cn.astype(np.float64) / (da + db - cn).astype(np.float64)
+    return cand[["node_a", "node_b", "cn", "deg_a", "deg_b", "pref_attach", "jaccard"]]

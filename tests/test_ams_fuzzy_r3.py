@@ -419,3 +419,68 @@ def test_lang_lexical_diversity_invariants_sf0001(ray_session):
     assert (out["n_hapax"] <= out["n_types"]).all()
     assert (out["n_types"] <= out["n_tokens"]).all()
     assert ((out["ttr"] > 0) & (out["ttr"] <= 1)).all()
+
+
+def test_link_prediction_matches_bruteforce(ray_session):
+    """Stage top-k equals a brute-force common-neighbor census."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from perfect_bloomfilter_ray.stages.graph import link_prediction_scores
+
+    rng = np.random.default_rng(11)
+    x = rng.integers(0, 30, 150)
+    y = rng.integers(0, 30, 150)
+    keep = x != y
+    a, b = np.minimum(x, y)[keep], np.maximum(x, y)[keep]
+    edges = pd.DataFrame({"x": a, "y": b}).drop_duplicates().reset_index(drop=True)
+    out = link_prediction_scores(ray.data.from_pandas(edges), "x", "y", k=10)
+
+    nbrs: dict[int, set] = {}
+    for u, v in zip(edges["x"], edges["y"]):
+        nbrs.setdefault(int(u), set()).add(int(v))
+        nbrs.setdefault(int(v), set()).add(int(u))
+    eset = set(zip(edges["x"].astype(int), edges["y"].astype(int)))
+    rows = []
+    nodes = sorted(nbrs)
+    for i, u in enumerate(nodes):
+        for v in nodes[i + 1 :]:
+            if (u, v) in eset:
+                continue
+            cn = len(nbrs[u] & nbrs[v])
+            if cn > 0:
+                rows.append((u, v, cn, len(nbrs[u]), len(nbrs[v])))
+    brute = pd.DataFrame(rows, columns=["node_a", "node_b", "cn", "deg_a", "deg_b"])
+    brute = brute.sort_values(
+        ["cn", "node_a", "node_b"], ascending=[False, True, True]
+    ).head(10).reset_index(drop=True)
+    assert out[["node_a", "node_b", "cn", "deg_a", "deg_b"]].equals(brute)
+    exp_j = brute["cn"] / (brute["deg_a"] + brute["deg_b"] - brute["cn"])
+    assert np.allclose(out["jaccard"], exp_j)
+
+
+def test_value_purchase_stump_counts_consistent(ray_session):
+    import duckdb
+
+    from perfect_bloomfilter_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["value_purchase_stump"]("/root/testdata/sf0.001").iloc[0]
+    tot = duckdb.sql(
+        "SELECT count(*) n, sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) p "
+        "FROM read_parquet('/root/testdata/sf0.001/events.parquet') WHERE value IS NOT NULL"
+    ).fetchone()
+    assert int(out["n_left"]) + int(out["n_right"]) == int(tot[0])
+    assert int(out["pos_left"]) + int(out["pos_right"]) == int(tot[1])
+    assert int(out["n_left"]) > 0 and int(out["n_right"]) > 0
+
+
+def test_bm25_scores_ranked_and_positive_tf(ray_session):
+    from perfect_bloomfilter_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["bm25_doc_search"]("/root/testdata/sf0.001")
+    assert len(out) == 25
+    s = out["score"].to_numpy()
+    assert (s[:-1] >= s[1:]).all()  # non-increasing
+    # every retrieved doc matches at least one query term
+    assert ((out["tf_hash"] + out["tf_join"] + out["tf_scan"]) > 0).all()
