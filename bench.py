@@ -300,6 +300,9 @@ SUITE = [
     "part_link_prediction",
     "value_purchase_stump",
     "bm25_doc_search",
+    "part_graph_eccentricity",
+    "lang_id_classifier_report",
+    "dgim_sliding_event_counts",
 ]
 
 

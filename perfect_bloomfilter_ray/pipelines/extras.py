@@ -3824,3 +3824,207 @@ def bm25_doc_search(sf_dir: str):
         .reset_index(drop=True)
     )
     return out[["doc_id", "dl", "tf_hash", "tf_join", "tf_scan", "score"]]
+
+
+@q(
+    "part_graph_eccentricity",
+    sql="""
+    WITH RECURSIVE pl AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                          WHERE l_partkey % 4 = 0),
+    e AS (SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+          FROM pl a JOIN pl b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    b1 AS (
+      SELECT (SELECT min(x) FROM e) AS node, 0 AS dist
+      UNION
+      SELECT CASE WHEN e.x = b.node THEN e.y ELSE e.x END, b.dist + 1
+      FROM b1 b JOIN e ON (e.x = b.node OR e.y = b.node)
+      WHERE b.dist < 6
+    ),
+    d1 AS (SELECT node, min(dist) AS dist FROM b1 GROUP BY node),
+    far AS (SELECT node FROM d1 ORDER BY dist DESC, node LIMIT 1),
+    b2 AS (
+      SELECT (SELECT node FROM far) AS node, 0 AS dist
+      UNION
+      SELECT CASE WHEN e.x = b.node THEN e.y ELSE e.x END, b.dist + 1
+      FROM b2 b JOIN e ON (e.x = b.node OR e.y = b.node)
+      WHERE b.dist < 6
+    ),
+    d2 AS (SELECT node, min(dist) AS dist FROM b2 GROUP BY node)
+    SELECT CAST((SELECT min(x) FROM e) AS BIGINT) AS src_node,
+           CAST((SELECT max(dist) FROM d1) AS BIGINT) AS ecc_src,
+           CAST((SELECT node FROM far) AS BIGINT) AS far_node,
+           CAST((SELECT max(dist) FROM d2) AS BIGINT) AS diameter_lb,
+           CAST((SELECT count(*) FROM d2) AS BIGINT) AS n_reached
+    """,
+)
+def part_graph_eccentricity(sf_dir: str):
+    """Graph diameter lower bound by the classic double-BFS sweep
+    (Magnien-Latapy-Habib): BFS from the smallest node, hop to the
+    farthest node found (ties: smallest id), BFS again — the second
+    eccentricity lower-bounds the true diameter and is exact on trees.
+    Both sweeps are the distributed stages/graph.bfs_levels rounds (depth
+    cap 6 on both sides, same cap as part_bfs_distances); the oracle runs
+    the identical two sweeps as chained recursive CTEs."""
+    from ray.data.aggregate import Min
+
+    from perfect_bloomfilter_ray.stages.cooccur import distinct_pairs
+    from perfect_bloomfilter_ray.stages.graph import bfs_levels
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]).map_batches(
+        lambda t: t.filter(
+            pc.equal(
+                pc.bit_wise_and(t.column("l_partkey"), pa.scalar(3, pa.int64())),
+                pa.scalar(0, pa.int64()),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    edges = distinct_pairs(li, "l_orderkey", "l_partkey").materialize()
+    src = int(edges.aggregate(Min("item_a"))["min(item_a)"])
+    d1 = bfs_levels(edges, src, "item_a", "item_b", max_depth=6)
+    far = int(d1.sort_values(["dist", "node"], ascending=[False, True]).iloc[0]["node"])
+    d2 = bfs_levels(edges, far, "item_a", "item_b", max_depth=6)
+    return pd.DataFrame(
+        [
+            {
+                "src_node": src,
+                "ecc_src": int(d1["dist"].max()),
+                "far_node": far,
+                "diameter_lb": int(d2["dist"].max()),
+                "n_reached": int(len(d2)),
+            }
+        ]
+    )
+
+
+@q(
+    "lang_id_classifier_report",
+    sql="""
+    WITH s AS (
+        SELECT lang,
+            len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is)\\b')) AS s_en,
+            len(regexp_extract_all(lower(text), '\\b(der|und|die|nicht|ist)\\b')) AS s_de,
+            len(regexp_extract_all(lower(text), '\\b(le|et|les|des|est)\\b')) AS s_fr,
+            len(regexp_extract_all(lower(text), '\\b(el|los|que|es|una)\\b')) AS s_es,
+            len(regexp_extract_all(lower(text), '\\b(il|che|di|per|una)\\b')) AS s_it,
+            len(regexp_extract_all(lower(text), '\\b(o|que|um|para|com)\\b')) AS s_pt,
+            len(regexp_extract_all(lower(text), '\\b(de|het|een|niet|van)\\b')) AS s_nl,
+            len(regexp_extract_all(lower(text), '\\b(i|v|ne|na|chto)\\b')) AS s_ru,
+            len(regexp_extract_all(lower(text), '\\b(de|shi|le|zai|you)\\b')) AS s_zh,
+            len(regexp_extract_all(lower(text), '\\b(no|ni|wa|wo|ga)\\b')) AS s_ja
+        FROM documents
+    ), p AS (
+        SELECT lang,
+            CASE WHEN greatest(s_en,s_de,s_fr,s_es,s_it,s_pt,s_nl,s_ru,s_zh,s_ja) = 0 THEN 'und'
+                 WHEN s_en = greatest(s_en,s_de,s_fr,s_es,s_it,s_pt,s_nl,s_ru,s_zh,s_ja) THEN 'en'
+                 WHEN s_de = greatest(s_de,s_fr,s_es,s_it,s_pt,s_nl,s_ru,s_zh,s_ja) THEN 'de'
+                 WHEN s_fr = greatest(s_fr,s_es,s_it,s_pt,s_nl,s_ru,s_zh,s_ja) THEN 'fr'
+                 WHEN s_es = greatest(s_es,s_it,s_pt,s_nl,s_ru,s_zh,s_ja) THEN 'es'
+                 WHEN s_it = greatest(s_it,s_pt,s_nl,s_ru,s_zh,s_ja) THEN 'it'
+                 WHEN s_pt = greatest(s_pt,s_nl,s_ru,s_zh,s_ja) THEN 'pt'
+                 WHEN s_nl = greatest(s_nl,s_ru,s_zh,s_ja) THEN 'nl'
+                 WHEN s_ru = greatest(s_ru,s_zh,s_ja) THEN 'ru'
+                 WHEN s_zh = greatest(s_zh,s_ja) THEN 'zh'
+                 ELSE 'ja' END AS pred
+        FROM s
+    ),
+    conf AS (SELECT lang, pred, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1, 2),
+    cls AS (SELECT DISTINCT lang FROM documents),
+    m AS (SELECT cls.lang AS lang,
+            CAST(COALESCE((SELECT sum(n) FROM conf
+                           WHERE conf.lang = cls.lang AND conf.pred = cls.lang), 0) AS BIGINT) AS tp,
+            CAST(COALESCE((SELECT sum(n) FROM conf WHERE conf.pred = cls.lang), 0) AS BIGINT) AS pred_n,
+            CAST(COALESCE((SELECT sum(n) FROM conf WHERE conf.lang = cls.lang), 0) AS BIGINT) AS true_n
+          FROM cls),
+    pr AS (SELECT lang, tp, pred_n - tp AS fp, true_n - tp AS fn,
+             CASE WHEN pred_n > 0 THEN CAST(tp AS DOUBLE) / pred_n ELSE 0.0 END AS prec,
+             CASE WHEN true_n > 0 THEN CAST(tp AS DOUBLE) / true_n ELSE 0.0 END AS rec
+           FROM m)
+    SELECT lang, tp, fp, fn, prec, rec,
+           CASE WHEN prec + rec > 0 THEN 2.0 * prec * rec / (prec + rec) ELSE 0.0 END AS f1
+    FROM pr ORDER BY lang
+    """,
+)
+def lang_id_classifier_report(sf_dir: str):
+    """Per-class precision / recall / F1 of the heuristic language
+    identifier against the labeled lang column — the standard classifier
+    report built from exact confusion-matrix integers. One distributed
+    scoring pass + a (lang, pred) groupby; the metric finish is
+    class-cardinality. prec/rec are exact-int divisions and f1 one fixed
+    float expression (2·p·r/(p+r)), so both sides agree bitwise."""
+    from perfect_bloomfilter_ray.functions.text import lang_id
+
+    ds = _t(sf_dir, "documents", ["lang", "text"])
+
+    def ident(t: pa.Table) -> pa.Table:
+        return pa.table({"lang": t.column("lang"), "pred": lang_id(t.column("text"))})
+
+    conf = (
+        ds.map_batches(ident, batch_format="pyarrow")
+        .groupby(["lang", "pred"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    classes = sorted(conf["lang"].unique())
+    rows = []
+    for c in classes:
+        tp = int(conf.loc[(conf["lang"] == c) & (conf["pred"] == c), "n"].sum())
+        pred_n = int(conf.loc[conf["pred"] == c, "n"].sum())
+        true_n = int(conf.loc[conf["lang"] == c, "n"].sum())
+        prec = float(tp) / pred_n if pred_n > 0 else 0.0
+        rec = float(tp) / true_n if true_n > 0 else 0.0
+        f1 = 2.0 * prec * rec / (prec + rec) if prec + rec > 0 else 0.0
+        rows.append(
+            {
+                "lang": c,
+                "tp": tp,
+                "fp": pred_n - tp,
+                "fn": true_n - tp,
+                "prec": prec,
+                "rec": rec,
+                "f1": f1,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+@q("dgim_sliding_event_counts")
+def dgim_sliding_event_counts(sf_dir: str):
+    """DGIM exponential-histogram sliding-window counts (state/dgim.py):
+    per event type, replay the type's event stream in timestamp order
+    through a DGIM(k=4) counter and estimate how many events fall in the
+    last hour of that stream. The one inherently-sequential sketch in the
+    library — parallelism is the key dimension (each type's stream replays
+    inside its own map_groups task), the per-entity streaming-monitor
+    deployment shape. Rows-only: the ≤ 1/(2(k-1)) relative-error contract
+    is pytest-verified against the exact window count."""
+    from perfect_bloomfilter_ray.state.dgim import DGIM
+
+    ds = _t(sf_dir, "events", ["event_type", "ts"])
+
+    def replay(t: pa.Table) -> pa.Table:
+        et = t.column("event_type")[0].as_py()
+        ts = np.sort(t.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[s]").astype(np.int64))
+        d = DGIM(k=4)
+        for x in ts:
+            d.insert(int(x))
+        since = int(ts[-1]) - 3600
+        exact = int((ts >= since).sum())
+        return pa.table(
+            {
+                "event_type": pa.array([et]),
+                "est_last_hour": pa.array([d.query(since)], pa.int64()),
+                "exact_last_hour": pa.array([exact], pa.int64()),
+                "n_buckets": pa.array([d.n_buckets()], pa.int64()),
+                "n_total": pa.array([d.total], pa.int64()),
+            }
+        )
+
+    out = (
+        ds.groupby("event_type")
+        .map_groups(replay, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    return out

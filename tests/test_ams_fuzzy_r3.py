@@ -484,3 +484,53 @@ def test_bm25_scores_ranked_and_positive_tf(ray_session):
     assert (s[:-1] >= s[1:]).all()  # non-increasing
     # every retrieved doc matches at least one query term
     assert ((out["tf_hash"] + out["tf_join"] + out["tf_scan"]) > 0).all()
+
+
+def test_dgim_error_bound_and_exact_cover():
+    """DGIM(k) window estimates stay within the 1/(2(k-1)) relative bound
+    and are exact when the window covers the whole stream."""
+    import numpy as np
+
+    from perfect_bloomfilter_ray.state.dgim import DGIM
+
+    rng = np.random.default_rng(3)
+    ts = np.cumsum(rng.integers(1, 20, 5000)).astype(np.int64)
+    for k in (4, 8):
+        d = DGIM(k=k)
+        for x in ts:
+            d.insert(int(x))
+        for since in [int(ts[-1]) - w for w in (50, 500, 5000, 50000)]:
+            exact = int((ts >= since).sum())
+            est = d.query(since)
+            if exact > 0:
+                assert abs(est - exact) <= max(1, exact / (2 * (k - 1)) + 1), (k, since)
+        assert d.query(int(ts[0])) == len(ts)  # full-cover: exact
+        # O(k log n) buckets, not O(n)
+        assert d.n_buckets() <= (k + 1) * (int(np.log2(len(ts))) + 2)
+
+
+def test_dgim_query_est_close_to_exact(ray_session):
+    from perfect_bloomfilter_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["dgim_sliding_event_counts"]("/root/testdata/sf0.001")
+    assert len(out) == 5
+    for _, r in out.iterrows():
+        exact = int(r["exact_last_hour"])
+        assert abs(int(r["est_last_hour"]) - exact) <= max(1, exact / 6 + 1)
+        assert int(r["n_buckets"]) <= 5 * 64  # log-scale state
+
+
+def test_graph_eccentricity_sweep_property(ray_session):
+    """2-sweep on a path graph finds the exact diameter; far ecc >= src ecc."""
+    import pandas as pd
+    import ray
+
+    from perfect_bloomfilter_ray.stages.graph import bfs_levels
+
+    edges = pd.DataFrame({"x": [1, 2, 3, 4], "y": [2, 3, 4, 5]})
+    eds = ray.data.from_pandas(edges)
+    d1 = bfs_levels(eds, 3, "x", "y", max_depth=6)  # middle: ecc 2
+    far = int(d1.sort_values(["dist", "node"], ascending=[False, True]).iloc[0]["node"])
+    d2 = bfs_levels(eds, far, "x", "y", max_depth=6)
+    assert int(d1["dist"].max()) == 2
+    assert int(d2["dist"].max()) == 4  # exact diameter of P5
