@@ -303,6 +303,9 @@ SUITE = [
     "part_graph_eccentricity",
     "lang_id_classifier_report",
     "dgim_sliding_event_counts",
+    "orders_pps_sample",
+    "view_click_lag_correlation",
+    "hourly_value_isotonic",
 ]
 
 

@@ -4028,3 +4028,182 @@ def dgim_sliding_event_counts(sf_dir: str):
         .reset_index(drop=True)
     )
     return out
+
+
+@q(
+    "orders_pps_sample",
+    sql="""
+    WITH w AS (SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS w
+               FROM orders),
+    c AS (SELECT o_orderkey, w,
+                 CAST(sum(w) OVER (ORDER BY o_orderkey) AS BIGINT) AS cum
+          FROM w),
+    t AS (SELECT CAST(sum(w) AS BIGINT) AS tot FROM w)
+    SELECT o_orderkey, w, cum
+    FROM c, t
+    WHERE (cum * 100) // tot > ((cum - w) * 100) // tot
+    ORDER BY o_orderkey
+    """,
+)
+def orders_pps_sample(sf_dir: str):
+    """Probability-proportional-to-size systematic sample of orders,
+    weighted by integer order cents (Madow 1949; m=100 strata) — the
+    deterministic PPS design for revenue-weighted audits. The stage
+    (stages/topk.pps_systematic_sample) computes the global ORDERED prefix
+    sum without a global sort: order-preserving range buckets, one
+    bucket-subtotal groupby, exclusive offsets broadcast back, selection
+    rule evaluated in place with exact int64 floor divisions (the oracle's
+    window cumsum is the single-node loop this replaces)."""
+    from perfect_bloomfilter_ray.stages.topk import pps_systematic_sample
+
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_totalprice"]).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "w": pc.cast(
+                    pc.round(pc.multiply(t.column("o_totalprice"), pa.scalar(100.0))),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = pps_systematic_sample(orders, "o_orderkey", "w", m=100)
+    out = out.rename(columns={"k": "o_orderkey"})
+    return out[["o_orderkey", "w", "cum"]]
+
+
+@q(
+    "view_click_lag_correlation",
+    sql="""
+    WITH v AS (SELECT date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS x
+               FROM events WHERE event_type = 'view' GROUP BY 1),
+    c AS (SELECT date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS y
+          FROM events WHERE event_type = 'click' GROUP BY 1),
+    l AS (SELECT * FROM (VALUES (0), (1), (2), (3)) AS t(lag)),
+    j AS (SELECT l.lag, v.x, c.y
+          FROM l JOIN v ON TRUE
+                 JOIN c ON c.h = v.h + l.lag * INTERVAL 1 HOUR),
+    s AS (SELECT lag, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx,
+                 CAST(sum(y * y) AS BIGINT) AS syy
+          FROM j GROUP BY lag)
+    SELECT CAST(lag AS BIGINT) AS lag, n, sx, sy, sxy,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+           / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+              * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr
+    FROM s ORDER BY lag
+    """,
+)
+def view_click_lag_correlation(sf_dir: str):
+    """Lead-lag analysis: Pearson cross-correlation between the hourly
+    view series and the click series shifted 0-3 hours later — do views
+    predict clicks? Moments are exact int64 sums over hour-matched pairs
+    (hours missing from either series drop out, inner-join semantics on
+    both sides); corr is ONE fixed float expression with IEEE sqrt, so
+    both sides agree bitwise. One distributed (type, hour) count groupby;
+    the lag joins run on hour-cardinality driver arrays."""
+    import polars as pl
+
+    ds = _t(sf_dir, "events", ["event_type", "ts"])
+
+    def hour_partials(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).filter(pl.col("event_type").is_in(["view", "click"]))
+        return (
+            df.with_columns(pl.col("ts").dt.truncate("1h").alias("h"))
+            .group_by(["event_type", "h"])
+            .agg(pl.len().cast(pl.Int64).alias("pn"))
+            .to_arrow()
+        )
+
+    hc = (
+        ds.map_batches(hour_partials, batch_format="pyarrow")
+        .groupby(["event_type", "h"])
+        .aggregate(Sum("pn", alias_name="n"))
+        .to_pandas()
+    )
+    v = hc[hc["event_type"] == "view"].set_index("h")["n"]
+    c = hc[hc["event_type"] == "click"].set_index("h")["n"]
+    rows = []
+    for lag in range(4):
+        shifted = c.copy()
+        shifted.index = shifted.index - pd.Timedelta(hours=lag)
+        j = pd.concat([v, shifted], axis=1, join="inner", keys=["x", "y"])
+        x = j["x"].to_numpy().astype(np.int64)
+        y = j["y"].to_numpy().astype(np.int64)
+        n = len(j)
+        sx, sy = int(x.sum()), int(y.sum())
+        sxy = int((x * y).sum())
+        sxx, syy = int((x * x).sum()), int((y * y).sum())
+        corr = float(n * sxy - sx * sy) / (
+            math.sqrt(float(n * sxx - sx * sx)) * math.sqrt(float(n * syy - sy * sy))
+        )
+        rows.append(
+            {"lag": lag, "n": n, "sx": sx, "sy": sy, "sxy": sxy, "corr": corr}
+        )
+    return pd.DataFrame(rows)
+
+
+@q("hourly_value_isotonic")
+def hourly_value_isotonic(sf_dir: str):
+    """Isotonic regression (PAVA — pool adjacent violators) of mean event
+    value vs hour-of-day, weighted by event counts: the monotone
+    calibration fit. Pooling decisions compare group means EXACTLY via
+    integer cross-multiplication (s_i·n_j vs s_j·n_i — no float drift can
+    flip a pool), and fitted values are one exact-int division per final
+    pool. Distributed shape: one (hour → count, cents-sum) groupby; PAVA
+    runs on the 24-element driver array. Rows-only: monotonicity,
+    weighted-sum preservation and brute-force-PAVA equality are
+    pytest-verified."""
+    import polars as pl
+
+    ds = _t(sf_dir, "events", ["ts", "value"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).drop_nulls("value")
+        return (
+            df.with_columns(
+                pl.col("ts").dt.hour().cast(pl.Int64).alias("hod"),
+                (pl.col("value") * 100).round(0).cast(pl.Int64).alias("cents"),
+            )
+            .group_by("hod")
+            .agg(pl.len().cast(pl.Int64).alias("pn"), pl.col("cents").sum().alias("ps"))
+            .to_arrow()
+        )
+
+    hs = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("hod")
+        .aggregate(Sum("pn", alias_name="n"), Sum("ps", alias_name="s"))
+        .to_pandas()
+        .sort_values("hod")
+        .reset_index(drop=True)
+    )
+    hod = hs["hod"].to_numpy().astype(np.int64)
+    n = hs["n"].to_numpy().astype(np.int64)
+    s = hs["s"].to_numpy().astype(np.int64)
+    # PAVA with exact integer mean comparisons: pool stack of (sum, cnt)
+    pools: list[list[int]] = []  # [sum, cnt, n_points]
+    for i in range(len(hod)):
+        pools.append([int(s[i]), int(n[i]), 1])
+        # merge while mean(prev) > mean(last): s1/n1 > s2/n2 <=> s1*n2 > s2*n1
+        while len(pools) >= 2 and pools[-2][0] * pools[-1][1] > pools[-1][0] * pools[-2][1]:
+            b = pools.pop()
+            pools[-1][0] += b[0]
+            pools[-1][1] += b[1]
+            pools[-1][2] += b[2]
+    fitted = np.empty(len(hod), dtype=np.float64)
+    pos = 0
+    for psum, pcnt, npts in pools:
+        fitted[pos : pos + npts] = float(psum) / float(pcnt)
+        pos += npts
+    return pd.DataFrame(
+        {
+            "hod": hod,
+            "n": n,
+            "cents_sum": s,
+            "fitted_mean_cents": fitted,
+        }
+    )

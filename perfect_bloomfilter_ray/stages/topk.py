@@ -29,6 +29,7 @@ from __future__ import annotations
 import numpy as np
 import polars as pl
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ray.data import Dataset
 
@@ -257,3 +258,91 @@ def global_top_k(
         .repartition(1)
         .map_batches(head, batch_format="pyarrow", batch_size=None)
     )
+
+
+def pps_systematic_sample(
+    ds,
+    key_col: str,
+    weight_col: str,
+    m: int,
+    num_blocks: int | None = None,
+):
+    """Probability-proportional-to-size SYSTEMATIC sampling (the classic
+    survey-sampling PPS design, Madow 1949) — deterministic, rerun-stable,
+    and integer-exact: order the population by ``key_col``, take the
+    running weight total ``cum``, and select every row whose weight span
+    crosses one of ``m`` equally spaced strata of the total weight:
+
+        selected  ⟺  (cum · m) // W  >  ((cum − w) · m) // W
+
+    (integer floor divisions; a row heavier than one stratum is selected
+    once, so the sample size is ≤ m). Heavier rows are proportionally more
+    likely to cross a boundary — PPS without any randomness, the sampling
+    twin of the hash-residue designs in this module.
+
+    Distributed shape — a global ORDERED prefix sum WITHOUT a global sort:
+    rows route to order-PRESERVING range buckets (``key · nb // (max+1)``),
+    one bucket-keyed groupby computes per-bucket weight subtotals
+    (bucket-cardinality driver state), exclusive bucket offsets broadcast
+    back, and each bucket finishes its own exact cumsum + selection rule
+    in place. Keys must be unique non-negative integers; weights positive
+    int64 (use the micro-cents idiom for money).
+
+    Returns a pandas DataFrame (key, w, cum) of the selected rows, ordered
+    by key.
+    """
+    import ray
+    from ray.data.aggregate import Max, Sum
+
+    nb = choose_num_blocks(ds, num_blocks)
+
+    def slim(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": pc.cast(t.column(key_col), pa.int64()),
+                "w": pc.cast(t.column(weight_col), pa.int64()),
+            }
+        )
+
+    kw = ds.map_batches(slim, batch_format="pyarrow").materialize()
+    kmax = int(kw.aggregate(Max("k"))["max(k)"])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        k = t.column("k").to_numpy(zero_copy_only=False)
+        b = (k * nb) // (kmax + 1)
+        return t.append_column("_b", pa.array(b.astype(np.int32)))
+
+    bk = kw.map_batches(bucketize, batch_format="pyarrow")
+    subs = (
+        bk.groupby("_b")
+        .aggregate(Sum("w", alias_name="bw"))
+        .to_pandas()
+        .sort_values("_b")
+        .reset_index(drop=True)
+    )
+    total = int(subs["bw"].sum())
+    offs = np.concatenate([[0], subs["bw"].to_numpy().astype(np.int64).cumsum()[:-1]])
+    off_ref = ray.put(
+        (subs["_b"].to_numpy().astype(np.int64), offs.astype(np.int64), total)
+    )
+
+    def select(t: pa.Table) -> pa.Table:
+        bs, os_, tot = ray.get(off_ref)
+        b = int(t.column("_b")[0].as_py())
+        off = int(os_[np.searchsorted(bs, b)])
+        k = t.column("k").to_numpy(zero_copy_only=False).astype(np.int64)
+        w = t.column("w").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(k)
+        k, w = k[order], w[order]
+        cum = off + w.cumsum()
+        sel = (cum * m) // tot > ((cum - w) * m) // tot
+        return pa.table(
+            {
+                "k": pa.array(k[sel]),
+                "w": pa.array(w[sel]),
+                "cum": pa.array(cum[sel]),
+            }
+        )
+
+    out = bk.groupby("_b").map_groups(select, batch_format="pyarrow").to_pandas()
+    return out.sort_values("k").reset_index(drop=True)

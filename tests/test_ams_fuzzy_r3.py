@@ -534,3 +534,73 @@ def test_graph_eccentricity_sweep_property(ray_session):
     d2 = bfs_levels(eds, far, "x", "y", max_depth=6)
     assert int(d1["dist"].max()) == 2
     assert int(d2["dist"].max()) == 4  # exact diameter of P5
+
+
+def test_pps_sample_matches_bruteforce(ray_session):
+    """Distributed bucket prefix-sum selection equals the single-array rule."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from perfect_bloomfilter_ray.stages.topk import pps_systematic_sample
+
+    rng = np.random.default_rng(5)
+    k = np.sort(rng.choice(100000, 3000, replace=False)).astype(np.int64)
+    w = rng.integers(1, 10000, 3000).astype(np.int64)
+    ds = ray.data.from_pandas(pd.DataFrame({"key": k, "wt": w})).repartition(8)
+    out = pps_systematic_sample(ds, "key", "wt", m=50)
+    cum = w.cumsum()
+    tot = int(cum[-1])
+    sel = (cum * 50) // tot > ((cum - w) * 50) // tot
+    assert out["k"].tolist() == k[sel].tolist()
+    assert out["w"].tolist() == w[sel].tolist()
+    assert len(out) <= 50
+    # any row heavier than one stratum is always selected
+    heavy = w > tot // 50
+    assert set(k[heavy]).issubset(set(out["k"]))
+
+
+def test_lag_correlation_bounds(ray_session):
+    from perfect_bloomfilter_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["view_click_lag_correlation"]("/root/testdata/sf0.001")
+    assert out["lag"].tolist() == [0, 1, 2, 3]
+    assert (out["corr"].abs() <= 1.0 + 1e-12).all()
+    assert (out["n"] > 0).all()
+
+
+def test_isotonic_fit_matches_bruteforce_pava(ray_session):
+    import numpy as np
+
+    from perfect_bloomfilter_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["hourly_value_isotonic"]("/root/testdata/sf0.001")
+    f = out["fitted_mean_cents"].to_numpy()
+    n = out["n"].to_numpy().astype(np.float64)
+    s = out["cents_sum"].to_numpy().astype(np.float64)
+    # monotone nondecreasing and weighted-mean preserving
+    assert (np.diff(f) >= -1e-12).all()
+    assert abs((f * n).sum() - s.sum()) < 1e-6 * max(1.0, abs(s.sum()))
+    # brute-force PAVA (repeated full scans until no violators)
+    fs = s / n
+    ws = n.copy()
+    groups = [[i] for i in range(len(fs))]
+    vals = list(fs)
+    wts = list(ws)
+    changed = True
+    while changed:
+        changed = False
+        for i in range(len(vals) - 1):
+            if vals[i] > vals[i + 1] + 0:
+                tw = wts[i] + wts[i + 1]
+                tv = (vals[i] * wts[i] + vals[i + 1] * wts[i + 1]) / tw
+                vals[i : i + 2] = [tv]
+                wts[i : i + 2] = [tw]
+                groups[i : i + 2] = [groups[i] + groups[i + 1]]
+                changed = True
+                break
+    brute = np.empty(len(fs))
+    for g, v in zip(groups, vals):
+        for idx in g:
+            brute[idx] = v
+    assert np.allclose(f, brute, rtol=1e-9)
