@@ -306,6 +306,8 @@ SUITE = [
     "orders_pps_sample",
     "view_click_lag_correlation",
     "hourly_value_isotonic",
+    "xor_membership_roundtrip",
+    "part_community_modularity",
 ]
 
 

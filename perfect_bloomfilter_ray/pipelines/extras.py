@@ -4207,3 +4207,204 @@ def hourly_value_isotonic(sf_dir: str):
             "fitted_mean_cents": fitted,
         }
     )
+
+
+@q(
+    "xor_membership_roundtrip",
+    # CONTRACT oracle (the bloom_membership_roundtrip convention): an xor
+    # filter admits no false negatives by construction, so members ==
+    # inserted and fn == 0 are exact constants; the ~1/256 FP rate on fresh
+    # probes is pytest-verified (it is not a constant).
+    sql="""
+    SELECT CAST(count(*) AS BIGINT) AS inserted,
+           CAST(count(*) AS BIGINT) AS members,
+           CAST(0 AS BIGINT) AS false_negatives
+    FROM events
+    """,
+)
+def xor_membership_roundtrip(sf_dir: str):
+    """Sharded Xor8 static-filter roundtrip (state/xorfilter.py): hash the
+    event-id key space, route keys to hash shards, build one immutable
+    xor filter per shard inside its own map_groups task, broadcast the
+    per-shard fingerprint arrays ONCE (~1.23 bytes/key total), and probe
+    every key distributedly — 0 false negatives is the construction
+    contract. The build-once trade vs the Bloom cascade (rollover rule,
+    reference README.md:19-23) is documented in the state module; sharding
+    is the jump-hash-style distribution mechanism."""
+    import ray
+
+    from perfect_bloomfilter_ray.functions.hashing import hash64
+    from perfect_bloomfilter_ray.stages.partitioning import choose_num_blocks
+    from perfect_bloomfilter_ray.state.xorfilter import Xor8
+
+    ds = _t(sf_dir, "events", ["event_id"]).materialize()
+    n_total = ds.count()
+    nsh = choose_num_blocks(ds)
+
+    def hsh(t: pa.Table) -> pa.Table:
+        h = hash64(t.column("event_id"), 0x70F)
+        return pa.table(
+            {
+                "h": pa.array(h.view(np.int64)),
+                "sh": pa.array((h % np.uint64(nsh)).astype(np.int32)),
+            }
+        )
+
+    hashed = ds.map_batches(hsh, batch_format="pyarrow").materialize()
+
+    def build(t: pa.Table) -> pa.Table:
+        sh = int(t.column("sh")[0].as_py())
+        f = Xor8(t.column("h").to_numpy(zero_copy_only=False).view(np.uint64))
+        seed, bl, n, cells = f.to_state()
+        return pa.table(
+            {
+                "sh": pa.array([sh], pa.int32()),
+                "seed": pa.array([seed], pa.int64()),
+                "bl": pa.array([bl], pa.int64()),
+                "n": pa.array([n], pa.int64()),
+                "cells": pa.array([cells], pa.binary()),
+            }
+        )
+
+    shards = hashed.groupby("sh").map_groups(build, batch_format="pyarrow").to_pandas()
+    states = {
+        int(r["sh"]): (int(r["seed"]), int(r["bl"]), int(r["n"]), r["cells"])
+        for _, r in shards.iterrows()
+    }
+    ref = ray.put(states)
+
+    def probe(t: pa.Table) -> pa.Table:
+        st = ray.get(ref)
+        h = t.column("h").to_numpy(zero_copy_only=False).view(np.uint64)
+        sh = t.column("sh").to_numpy(zero_copy_only=False)
+        m = 0
+        for s in np.unique(sh):
+            f = Xor8.from_state(st[int(s)])
+            m += int(f.contains(h[sh == s]).sum())
+        return pa.table({"m": pa.array([m], pa.int64())})
+
+    members = int(hashed.map_batches(probe, batch_format="pyarrow").sum("m"))
+    return pd.DataFrame(
+        {
+            "inserted": [n_total],
+            "members": [members],
+            "false_negatives": [n_total - members],
+        }
+    )
+
+
+@q(
+    "part_community_modularity",
+    sql="""
+    WITH pl AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 4 = 0),
+    e AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y FROM pl a JOIN pl b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    ed AS MATERIALIZED (SELECT x AS s, y AS d FROM e UNION ALL SELECT y, x FROM e),
+    l0 AS MATERIALIZED (SELECT DISTINCT s AS node, s AS label FROM ed)
+    ,l1 AS MATERIALIZED (SELECT node, label FROM (
+       SELECT node, label, row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+       FROM (SELECT ed.d AS node, l.label AS label, count(*) AS c FROM ed JOIN l0 l ON ed.s = l.node GROUP BY 1, 2)
+     ) WHERE rn = 1)
+    ,l2 AS MATERIALIZED (SELECT node, label FROM (
+       SELECT node, label, row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+       FROM (SELECT ed.d AS node, l.label AS label, count(*) AS c FROM ed JOIN l1 l ON ed.s = l.node GROUP BY 1, 2)
+     ) WHERE rn = 1)
+    ,l3 AS MATERIALIZED (SELECT node, label FROM (
+       SELECT node, label, row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+       FROM (SELECT ed.d AS node, l.label AS label, count(*) AS c FROM ed JOIN l2 l ON ed.s = l.node GROUP BY 1, 2)
+     ) WHERE rn = 1)
+    ,l4 AS MATERIALIZED (SELECT node, label FROM (
+       SELECT node, label, row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+       FROM (SELECT ed.d AS node, l.label AS label, count(*) AS c FROM ed JOIN l3 l ON ed.s = l.node GROUP BY 1, 2)
+     ) WHERE rn = 1)
+    ,mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e)
+    ,ein AS (SELECT CAST(count(*) AS BIGINT) AS ein
+             FROM e JOIN l4 la ON la.node = e.x JOIN l4 lb ON lb.node = e.y
+             WHERE la.label = lb.label)
+    ,degc AS (SELECT l.label AS label, CAST(count(*) AS BIGINT) AS dc
+              FROM ed JOIN l4 l ON ed.s = l.node GROUP BY 1)
+    ,sd AS (SELECT CAST(sum(CAST(dc AS HUGEINT) * dc) AS HUGEINT) AS sd2,
+                   CAST(count(*) AS BIGINT) AS n_comm
+            FROM degc)
+    SELECT mm.m AS m, ein.ein AS intra_edges, sd.n_comm AS n_communities,
+           CAST(4 * CAST(mm.m AS HUGEINT) * ein.ein - sd.sd2 AS BIGINT) AS q_num,
+           CAST(CAST(4 * CAST(mm.m AS HUGEINT) * ein.ein - sd.sd2 AS HUGEINT) AS DOUBLE)
+             / (4.0 * mm.m * mm.m) AS modularity
+    FROM mm, ein, sd
+    """,
+)
+def part_community_modularity(sf_dir: str):
+    """Newman modularity Q of the label-propagation communities on the
+    restricted part co-purchase graph: Q = (4m·e_in − Σ_c d_c²) / 4m² —
+    the single-fraction integer form, so the numerator is EXACT (Python
+    ints / HUGEINT) and Q is one IEEE division. Labels come from the same
+    deterministic 4-round LPA as part_label_communities; intra-edge and
+    community-degree counts are one edge scan with the node-label LUT
+    broadcast (node-cardinality gate, pagerank contract)."""
+    import ray
+
+    from perfect_bloomfilter_ray.stages.cooccur import distinct_pairs
+    from perfect_bloomfilter_ray.stages.graph import label_propagation
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]).map_batches(
+        lambda t: t.filter(
+            pc.equal(
+                pc.bit_wise_and(t.column("l_partkey"), pa.scalar(3, pa.int64())),
+                pa.scalar(0, pa.int64()),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    edges = distinct_pairs(li, "l_orderkey", "l_partkey").materialize()
+    m = edges.count()
+    labels = label_propagation(edges, iters=4, a_col="item_a", b_col="item_b")
+    nodes = labels["node"].to_numpy().astype(np.int64)
+    labs = labels["label"].to_numpy().astype(np.int64)
+    order = np.argsort(nodes)
+    ref = ray.put((nodes[order], labs[order]))
+
+    def edge_partials(t: pa.Table) -> pa.Table:
+        """One edge scan emits per-batch (label → endpoint-count) partials
+        plus the batch's intra-community edge count on a sentinel label
+        (-1 never collides: real labels are node ids ≥ 0), so ein and the
+        community degrees share a single shuffle."""
+        import polars as pl
+
+        ln, ll = ray.get(ref)
+        a = t.column("item_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column("item_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        la = ll[np.searchsorted(ln, a)]
+        lb = ll[np.searchsorted(ln, b)]
+        ein = int((la == lb).sum())
+        dd = (
+            pl.DataFrame({"label": np.concatenate([la, lb])})
+            .group_by("label")
+            .len(name="pdc")
+            .with_columns(pl.col("pdc").cast(pl.Int64), pl.lit(0, dtype=pl.Int64).alias("pein"))
+        )
+        dd = pl.concat(
+            [dd, pl.DataFrame({"label": [-1], "pdc": [0], "pein": [ein]}).cast(dd.schema)]
+        )
+        return dd.to_arrow()
+
+    parts = (
+        edges.map_batches(edge_partials, batch_format="pyarrow")
+        .groupby("label")
+        .aggregate(Sum("pdc", alias_name="dc"), Sum("pein", alias_name="pe"))
+        .to_pandas()
+    )
+    ein = int(parts.loc[parts["label"] == -1, "pe"].sum())
+    parts = parts[parts["label"] != -1]
+    dcs = parts["dc"].to_numpy().astype(np.int64)
+    sd2 = int(sum(int(x) * int(x) for x in dcs))
+    q_num = 4 * m * ein - sd2
+    return pd.DataFrame(
+        [
+            {
+                "m": m,
+                "intra_edges": ein,
+                "n_communities": int(len(dcs)),
+                "q_num": q_num,
+                "modularity": float(q_num) / (4.0 * m * m),
+            }
+        ]
+    )

@@ -604,3 +604,66 @@ def test_isotonic_fit_matches_bruteforce_pava(ray_session):
         for idx in g:
             brute[idx] = v
     assert np.allclose(f, brute, rtol=1e-9)
+
+
+def test_xor8_contract_and_fp_rate():
+    import numpy as np
+
+    from perfect_bloomfilter_ray.state.xorfilter import Xor8
+
+    rng = np.random.default_rng(2)
+    keys = np.unique(rng.integers(0, 2**63, 50000, dtype=np.int64).astype(np.uint64))
+    f = Xor8(keys)
+    assert f.contains(keys).all()  # zero false negatives, always
+    fresh = rng.integers(2**63, 2**64 - 1, 100000, dtype=np.uint64)
+    fresh = fresh[~np.isin(fresh, keys)]
+    fp = f.contains(fresh).mean()
+    assert fp < 3.0 / 256  # ~1/256 expected
+    # serialization roundtrip and build determinism
+    g = Xor8.from_state(f.to_state())
+    assert g.contains(keys).all()
+    h = Xor8(keys)
+    assert h.seed == f.seed and (h.cells == f.cells).all()
+    # space: ~9.84 bits/key
+    assert 8 * len(f.cells) <= 11 * len(keys)
+
+
+def test_xor8_tiny_sets():
+    import numpy as np
+
+    from perfect_bloomfilter_ray.state.xorfilter import Xor8
+
+    for n in (0, 1, 2, 3, 7):
+        keys = (np.arange(n, dtype=np.uint64) + 17) * np.uint64(0x9E3779B97F4A7C15)
+        f = Xor8(keys)
+        if n:
+            assert f.contains(keys).all()
+        assert not Xor8.from_state(f.to_state()).contains(
+            np.array([0xDEAD], dtype=np.uint64)
+        ).any() or n > 0  # empty filter rejects everything
+
+
+def test_modularity_matches_bruteforce_formula(ray_session):
+    """Q from the query's integer numerator equals the textbook float sum."""
+    import duckdb
+
+    from perfect_bloomfilter_ray.pipelines.queries import QUERIES, ORACLE_SQL
+
+    out = QUERIES["part_community_modularity"]("/root/testdata/sf0.001").iloc[0]
+    assert -0.5 <= float(out["modularity"]) <= 1.0
+    # recompute Q = ein/m - sum((dc/2m)^2) from the oracle's own CTEs
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM read_parquet('/root/testdata/sf0.001/lineitem.parquet')"
+    )
+    q = con.execute(ORACLE_SQL["part_community_modularity"]).fetchdf().iloc[0]
+    assert int(q["q_num"]) == int(out["q_num"])
+    m = int(out["m"])
+    assert float(out["modularity"]) == float(int(out["q_num"])) / (4.0 * m * m)
+    # textbook per-community sum agrees with the single-fraction form
+    con.execute(
+        "CREATE VIEW l2 AS SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 4 = 0"
+    )
+    ein = int(out["intra_edges"])
+    sd2 = 4 * m * ein - int(out["q_num"])
+    assert abs(float(out["modularity"]) - (ein / m - sd2 / (4.0 * m * m))) < 1e-12
