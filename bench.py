@@ -308,6 +308,9 @@ SUITE = [
     "hourly_value_isotonic",
     "xor_membership_roundtrip",
     "part_community_modularity",
+    "csv_roundtrip_order_stats",
+    "hourly_changepoint",
+    "knn_loo_label_accuracy",
 ]
 
 

@@ -4408,3 +4408,236 @@ def part_community_modularity(sf_dir: str):
             }
         ]
     )
+
+
+@q(
+    "csv_roundtrip_order_stats",
+    sql="""
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def csv_roundtrip_order_stats(sf_dir: str):
+    """CSV sink -> CSV source parity under the exact-hash gate (the
+    orc/ipc roundtrip convention): a slim integer+string projection of
+    orders is written to sharded CSV with Ray's native write_csv, read
+    back with read_csv, and aggregated — the oracle reads the parquet
+    original, so any row lost, duplicated or mis-parsed in the CSV path
+    flips the hash. Integer/string columns only: CSV is a textual format
+    and float round-tripping is NOT bit-stable by contract (that parity
+    lives with the binary formats: parquet/orc/ipc)."""
+    import os
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    out_dir = tempfile.mkdtemp(prefix="pbr_csv_roundtrip_")
+    _t(sf_dir, "orders", ["o_orderstatus", "o_orderkey"]).write_csv(out_dir)
+    ds = rd.read_csv(out_dir)
+    out = (
+        ds.groupby("o_orderstatus")
+        .aggregate(Count(alias_name="n"), Sum("o_orderkey", alias_name="key_sum"))
+        .to_pandas()
+        .sort_values("o_orderstatus")
+        .reset_index(drop=True)
+    )
+    out["n"] = out["n"].astype("int64")
+    out["key_sum"] = out["key_sum"].astype("int64")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return out[["o_orderstatus", "n", "key_sum"]]
+
+
+@q(
+    "hourly_changepoint",
+    sql="""
+    WITH hc AS (SELECT date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS x
+                FROM events GROUP BY 1),
+    c AS (SELECT h, x,
+                 CAST(sum(x) OVER (ORDER BY h) AS BIGINT) AS cx,
+                 CAST(sum(x * x) OVER (ORDER BY h) AS BIGINT) AS cxx,
+                 CAST(row_number() OVER (ORDER BY h) AS BIGINT) AS i,
+                 CAST(count(*) OVER () AS BIGINT) AS n,
+                 CAST(sum(x) OVER () AS BIGINT) AS tx,
+                 CAST(sum(x * x) OVER () AS BIGINT) AS txx
+          FROM hc),
+    cand AS (SELECT h, i AS nl, cx AS sxl, cxx AS sxxl,
+                    n - i AS nr, tx - cx AS sxr, txx - cxx AS sxxr
+             FROM c WHERE i < n),
+    scored AS (SELECT h, nl, sxl, nr, sxr,
+        (CAST(sxxl AS DOUBLE) - CAST(sxl * sxl AS DOUBLE) / nl)
+      + (CAST(sxxr AS DOUBLE) - CAST(sxr * sxr AS DOUBLE) / nr) AS sse
+      FROM cand)
+    SELECT h AS split_hour, nl AS n_left, sxl AS sum_left,
+           nr AS n_right, sxr AS sum_right, sse
+    FROM scored ORDER BY sse ASC, split_hour ASC LIMIT 1
+    """,
+)
+def hourly_changepoint(sf_dir: str):
+    """Single change-point detection by binary segmentation (the CART /
+    Scott-Knott least-squares split, the time-series twin of
+    value_purchase_stump): the hour boundary minimizing SSE_left +
+    SSE_right of the hourly event-count series. Costs come from EXACT
+    int64 cumulative (count, sum, sum-of-squares) prefixes; the split
+    argmin is the same fixed two-division float expression on both sides,
+    tie-broken by hour. One distributed hourly-count groupby; the scan
+    over candidate splits is hour-cardinality driver work."""
+    import polars as pl
+
+    ds = _t(sf_dir, "events", ["ts"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        return (
+            df.with_columns(pl.col("ts").dt.truncate("1h").alias("h"))
+            .group_by("h")
+            .agg(pl.len().cast(pl.Int64).alias("pn"))
+            .to_arrow()
+        )
+
+    hc = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Sum("pn", alias_name="x"))
+        .to_pandas()
+        .sort_values("h")
+        .reset_index(drop=True)
+    )
+    x = hc["x"].to_numpy().astype(np.int64)
+    cx = x.cumsum()
+    cxx = (x * x).cumsum()
+    n, tx, txx = len(x), int(cx[-1]), int(cxx[-1])
+    nl = np.arange(1, n, dtype=np.int64)
+    sxl, sxxl = cx[:-1], cxx[:-1]
+    nr = n - nl
+    sxr, sxxr = tx - sxl, txx - sxxl
+    sse = (sxxl.astype(np.float64) - (sxl * sxl).astype(np.float64) / nl) + (
+        sxxr.astype(np.float64) - (sxr * sxr).astype(np.float64) / nr
+    )
+    best = np.lexsort((nl, sse))[0]
+    return pd.DataFrame(
+        [
+            {
+                "split_hour": hc["h"].iloc[best],
+                "n_left": int(nl[best]),
+                "sum_left": int(sxl[best]),
+                "n_right": int(nr[best]),
+                "sum_right": int(sxr[best]),
+                "sse": float(sse[best]),
+            }
+        ]
+    )
+
+
+@q(
+    "knn_loo_label_accuracy",
+    sql="""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS qlabel
+               FROM embeddings WHERE vec_id % 5 = 0),
+    p AS (SELECT q.qid, e.vec_id, e.label AS nlabel, q.qe, e.embedding AS ee
+          FROM q, embeddings e WHERE e.vec_id <> q.qid),
+    t AS (SELECT qid, vec_id, nlabel,
+                 list_sum(list_transform(list_zip(qe, ee),
+                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS dot,
+                 list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS qq,
+                 list_sum(list_transform(ee, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS cc
+          FROM p),
+    r AS (SELECT qid, nlabel,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY round(dot / (sqrt(qq) * sqrt(cc)), 6) DESC, vec_id) AS rnk
+          FROM t WHERE qq > 0 AND cc > 0),
+    v AS (SELECT qid, nlabel, count(*) AS c FROM r WHERE rnk <= 5 GROUP BY 1, 2),
+    pick AS (SELECT qid, nlabel FROM (
+        SELECT qid, nlabel, row_number() OVER (PARTITION BY qid ORDER BY c DESC, nlabel) AS rn
+        FROM v) WHERE rn = 1),
+    acc AS (SELECT q2.label AS label, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN p2.nlabel = q2.label THEN 1 ELSE 0 END) AS BIGINT) AS correct
+            FROM pick p2 JOIN embeddings q2 ON q2.vec_id = p2.qid GROUP BY 1)
+    SELECT CAST(label AS BIGINT) AS label, n, correct,
+           CAST(correct AS DOUBLE) / n AS acc
+    FROM acc ORDER BY label
+    """,
+)
+def knn_loo_label_accuracy(sf_dir: str):
+    """Leave-one-out 5-NN classifier evaluation over the embedding table:
+    every 5th vector is classified by the majority label of its 5 nearest
+    cosine neighbors (self excluded; rank = rounded cos 6dp + vec_id, the
+    knn_join_sampled ulp armor; vote tie-break = count DESC, label ASC)
+    and per-class accuracy is reported with exact integer counts. The
+    corpus streams once against the broadcast query matrix with per-block
+    partial top-5; votes and the accuracy finish are query-cardinality
+    driver work."""
+    import ray
+
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding", "label"]).materialize()
+
+    def is_q(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id").to_numpy()
+        return t.filter(pa.array(ids % 5 == 0))
+
+    qt = pa.concat_tables(
+        emb.map_batches(is_q, batch_format="pyarrow").iter_batches(batch_format="pyarrow")
+    )
+    q_ids = qt.column("vec_id").to_numpy()
+    q_labels = qt.column("label").to_numpy()
+    q_mat = np.array(qt.column("embedding").to_pylist(), dtype=np.float64)
+    q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+    ref = ray.put((q_ids, q_mat, q_norm))
+    k = 5
+
+    def score(t: pa.Table) -> pa.Table:
+        qi, qm, qn = ray.get(ref)
+        ids = t.column("vec_id").to_numpy()
+        labs = t.column("label").to_numpy()
+        emb_col = t.column("embedding")
+        if isinstance(emb_col, pa.ChunkedArray):
+            emb_col = emb_col.combine_chunks()
+        v = emb_col.values.to_numpy(zero_copy_only=False).astype(np.float64).reshape(len(t), -1)
+        vn = np.sqrt((v * v).sum(axis=1))
+        ok = vn > 0
+        cos = np.round((v @ qm.T) / (vn[:, None] * qn[None, :]), 6)
+        rq, rid, rcos, rlab = [], [], [], []
+        for j in range(len(qi)):
+            c = np.where(ok & (ids != qi[j]), cos[:, j], -np.inf)
+            order = np.lexsort((ids, -c))[: min(k, len(ids))]
+            order = order[np.isfinite(c[order])]
+            rq.append(np.full(len(order), qi[j], dtype=np.int64))
+            rid.append(ids[order])
+            rcos.append(c[order])
+            rlab.append(labs[order])
+        return pa.table(
+            {
+                "qid": pa.array(np.concatenate(rq)),
+                "vec_id": pa.array(np.concatenate(rid)),
+                "cos": pa.array(np.concatenate(rcos)),
+                "nlabel": pa.array(np.concatenate(rlab)),
+            }
+        )
+
+    df = emb.map_batches(score, batch_format="pyarrow").to_pandas()
+    df = df.sort_values(["qid", "cos", "vec_id"], ascending=[True, False, True])
+    top = df.groupby("qid", sort=True).head(k)
+    votes = (
+        top.groupby(["qid", "nlabel"], sort=True)
+        .size()
+        .reset_index(name="c")
+        .sort_values(["qid", "c", "nlabel"], ascending=[True, False, True])
+        .groupby("qid", sort=True)
+        .head(1)
+    )
+    truth = pd.DataFrame({"qid": q_ids, "label": q_labels})
+    j = votes.merge(truth, on="qid")
+    agg = (
+        j.assign(correct=(j["nlabel"] == j["label"]).astype("int64"))
+        .groupby("label", sort=True)
+        .agg(n=("qid", "size"), correct=("correct", "sum"))
+        .reset_index()
+    )
+    agg["label"] = agg["label"].astype("int64")
+    agg["n"] = agg["n"].astype("int64")
+    agg["correct"] = agg["correct"].astype("int64")
+    agg["acc"] = np.array(
+        [float(c) / float(n) for c, n in zip(agg["correct"], agg["n"])]
+    )
+    return agg[["label", "n", "correct", "acc"]]

@@ -667,3 +667,42 @@ def test_modularity_matches_bruteforce_formula(ray_session):
     ein = int(out["intra_edges"])
     sd2 = 4 * m * ein - int(out["q_num"])
     assert abs(float(out["modularity"]) - (ein / m - sd2 / (4.0 * m * m))) < 1e-12
+
+
+def test_changepoint_is_global_sse_argmin(ray_session):
+    """The reported split beats every other split's SSE (brute force)."""
+    import duckdb
+    import numpy as np
+
+    from perfect_bloomfilter_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["hourly_changepoint"]("/root/testdata/sf0.001").iloc[0]
+    hc = duckdb.sql(
+        "SELECT date_trunc('hour', ts) h, count(*) x FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet') GROUP BY 1 ORDER BY 1"
+    ).fetchdf()
+    x = hc["x"].to_numpy().astype(np.int64)
+    best = None
+    for i in range(1, len(x)):
+        l, r = x[:i].astype(np.float64), x[i:].astype(np.float64)
+        sse = (l * l).sum() - l.sum() ** 2 / len(l) + (r * r).sum() - r.sum() ** 2 / len(r)
+        if best is None or sse < best - 1e-9:
+            best = sse
+    assert abs(float(out["sse"]) - best) < 1e-6 * max(1.0, abs(best))
+    assert int(out["n_left"]) + int(out["n_right"]) == len(x)
+
+
+def test_knn_loo_counts_consistent(ray_session):
+    from perfect_bloomfilter_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["knn_loo_label_accuracy"]("/root/testdata/sf0.001")
+    assert (out["correct"] <= out["n"]).all()
+    assert ((out["acc"] >= 0) & (out["acc"] <= 1)).all()
+    # every 5th vec_id is classified exactly once
+    import duckdb
+
+    nq = duckdb.sql(
+        "SELECT count(*) FROM read_parquet('/root/testdata/sf0.001/embeddings.parquet') "
+        "WHERE vec_id % 5 = 0"
+    ).fetchone()[0]
+    assert int(out["n"].sum()) == int(nq)
