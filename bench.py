@@ -311,6 +311,9 @@ SUITE = [
     "csv_roundtrip_order_stats",
     "hourly_changepoint",
     "knn_loo_label_accuracy",
+    "l_diversity_report",
+    "orders_sequential_poisson_sample",
+    "dp_noisy_event_counts",
 ]
 
 

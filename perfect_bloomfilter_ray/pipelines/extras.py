@@ -4641,3 +4641,179 @@ def knn_loo_label_accuracy(sf_dir: str):
         [float(c) / float(n) for c, n in zip(agg["correct"], agg["n"])]
     )
     return agg[["label", "n", "correct", "acc"]]
+
+
+@q(
+    "l_diversity_report",
+    sql="""
+    WITH g AS (
+      SELECT CAST(extract(hour FROM ts) AS BIGINT) AS h,
+             CAST(floor(value / 100) AS BIGINT) AS vband,
+             CAST(count(*) AS BIGINT) AS grp,
+             CAST(count(DISTINCT event_type) AS BIGINT) AS l
+      FROM events GROUP BY 1, 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(min(l) AS BIGINT) AS min_l,
+           CAST(sum(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT) AS groups_below_l,
+           CAST(sum(CASE WHEN l < 3 THEN grp ELSE 0 END) AS BIGINT) AS rows_below_l,
+           CAST(sum(grp) AS BIGINT) AS total_rows
+    FROM g
+    """,
+)
+def l_diversity_report(sf_dir: str):
+    """Distinct l-diversity audit (Machanavajjhala et al. 2007 — the
+    k-anonymity_report's sequel): within each quasi-identifier group
+    (hour-of-day, value band), how many DISTINCT sensitive values
+    (event_type) appear? Groups with l < 3 let an attacker who locates a
+    row's group infer its sensitive value. One distributed pass emits
+    per-batch distinct (QI, sensitive) pairs, a pair groupby dedups
+    corpus-wide, and the per-group distinct count + row count reduce to
+    the audit scalars — all exact integers."""
+    import polars as pl
+
+    ds = _t(sf_dir, "events", ["ts", "value", "event_type"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        return (
+            df.with_columns(
+                pl.col("ts").dt.hour().cast(pl.Int64).alias("h"),
+                (pl.col("value") / 100).floor().cast(pl.Int64).alias("vband"),
+            )
+            .group_by(["h", "vband", "event_type"])
+            .agg(pl.len().cast(pl.Int64).alias("pn"))
+            .to_arrow()
+        )
+
+    trip = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["h", "vband", "event_type"])
+        .aggregate(Sum("pn", alias_name="n"))
+    )
+
+    def group_partials(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        return (
+            df.group_by(["h", "vband"])
+            .agg(
+                pl.len().cast(pl.Int64).alias("pl_"),
+                pl.col("n").sum().alias("pgrp"),
+            )
+            .to_arrow()
+        )
+
+    g = (
+        trip.map_batches(group_partials, batch_format="pyarrow")
+        .groupby(["h", "vband"])
+        .aggregate(Sum("pl_", alias_name="l"), Sum("pgrp", alias_name="grp"))
+        .to_pandas()
+    )
+    l = g["l"].to_numpy().astype(np.int64)
+    grp = g["grp"].to_numpy().astype(np.int64)
+    below = l < 3
+    return pd.DataFrame(
+        [
+            {
+                "n_groups": int(len(g)),
+                "min_l": int(l.min()),
+                "groups_below_l": int(below.sum()),
+                "rows_below_l": int(grp[below].sum()),
+                "total_rows": int(grp.sum()),
+            }
+        ]
+    )
+
+
+@q(
+    "orders_sequential_poisson_sample",
+    sql="""
+    WITH w AS (SELECT o_orderkey,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS w,
+                      CAST((o_orderkey * 2654435761) % 1000003 AS BIGINT) AS uh
+               FROM orders),
+    r AS (SELECT o_orderkey, w,
+                 (CAST(uh AS DOUBLE) / 1000003.0) / w AS xi
+          FROM w WHERE w > 0)
+    SELECT o_orderkey, w, xi
+    FROM r ORDER BY xi ASC, o_orderkey ASC LIMIT 100
+    """,
+)
+def orders_sequential_poisson_sample(sf_dir: str):
+    """Sequential Poisson sampling (Ohlsson 1998) — the approximate
+    PPS-without-replacement design used by national statistics offices:
+    rank every row by xi = u/w (u a deterministic Knuth-residue uniform,
+    w the integer-cents size) and keep the 100 smallest. xi is ONE IEEE
+    division of exact rationals — no transcendentals — so Ray and SQL
+    rank identically bitwise. Heavier rows get smaller xi: weighted
+    inclusion without replacement and without a shuffle: per-block
+    partial top-k ascending, k·blocks driver merge (the repo's standard
+    top-k resolve)."""
+    ds = _t(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def score_topk(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        w = (
+            pc.cast(
+                pc.round(pc.multiply(t.column("o_totalprice"), pa.scalar(100.0))),
+                pa.int64(),
+            )
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        keep = w > 0
+        k, w = k[keep], w[keep]
+        uh = (k * 2654435761) % 1000003
+        xi = (uh.astype(np.float64) / 1000003.0) / w.astype(np.float64)
+        sel = np.lexsort((k, xi))[:100]
+        return pa.table(
+            {
+                "o_orderkey": pa.array(k[sel]),
+                "w": pa.array(w[sel]),
+                "xi": pa.array(xi[sel]),
+            }
+        )
+
+    out = ds.map_batches(score_topk, batch_format="pyarrow").to_pandas()
+    out = (
+        out.sort_values(["xi", "o_orderkey"], ascending=[True, True])
+        .head(100)
+        .reset_index(drop=True)
+    )
+    return out[["o_orderkey", "w", "xi"]]
+
+
+@q("dp_noisy_event_counts")
+def dp_noisy_event_counts(sf_dir: str):
+    """Differentially-private count release (ε = 0.5 per count, Laplace
+    mechanism) for the per-type event histogram, with DETERMINISTIC
+    seeded noise: u derives from splitmix64(type-hash), the Laplace
+    inverse-CDF maps it to noise b·sign·ln(1−2|u−½|) with b = Δf/ε = 2.
+    Deterministic noise makes the release rerun-stable (the repo-wide
+    reproducibility contract) while the calibration stays the textbook
+    Laplace scale — pytest checks |noisy − exact| against the CDF bound
+    and that re-running reproduces the identical release. Rows-only: the
+    seeded-hash noise is not SQL-expressible."""
+    from perfect_bloomfilter_ray.functions.hashing import hash64, splitmix64
+
+    ds = _t(sf_dir, "events", ["event_type"])
+    exact = (
+        ds.groupby("event_type")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    eps = 0.5
+    b = 1.0 / eps  # Laplace scale Δf/ε with count sensitivity Δf = 1
+    h = splitmix64(hash64(pa.array(exact["event_type"].astype(str)), 0xD9))
+    u = (h / np.float64(2**64)).astype(np.float64)
+    centered = u - 0.5
+    noise = -b * np.sign(centered) * np.log1p(-2.0 * np.abs(centered))
+    noisy = exact["n"].to_numpy().astype(np.float64) + noise
+    out = exact.copy()
+    out["n_exact"] = out["n"].astype("int64")
+    out["noise"] = noise
+    out["n_noisy"] = noisy
+    out["epsilon"] = eps
+    return out[["event_type", "n_exact", "noise", "n_noisy", "epsilon"]]

@@ -706,3 +706,45 @@ def test_knn_loo_counts_consistent(ray_session):
         "WHERE vec_id % 5 = 0"
     ).fetchone()[0]
     assert int(out["n"].sum()) == int(nq)
+
+
+def test_sequential_poisson_weighted_inclusion(ray_session):
+    """Heavier rows are overrepresented vs their population share."""
+    import duckdb
+
+    from perfect_bloomfilter_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["orders_sequential_poisson_sample"]("/root/testdata/sf0.001")
+    assert len(out) == 100
+    assert not out["o_orderkey"].duplicated().any()
+    pop = duckdb.sql(
+        "SELECT avg(o_totalprice) FROM read_parquet('/root/testdata/sf0.001/orders.parquet')"
+    ).fetchone()[0]
+    # PPS: the sample's mean weight exceeds the population mean price
+    assert out["w"].mean() / 100.0 > pop
+
+
+def test_dp_noisy_counts_calibrated_and_rerun_stable(ray_session):
+    import numpy as np
+
+    from perfect_bloomfilter_ray.pipelines.queries import QUERIES
+
+    a = QUERIES["dp_noisy_event_counts"]("/root/testdata/sf0.001")
+    b = QUERIES["dp_noisy_event_counts"]("/root/testdata/sf0.001")
+    assert np.array_equal(a["n_noisy"].to_numpy(), b["n_noisy"].to_numpy())
+    # Laplace(b=2): P(|noise| > 20) = exp(-10) ~ 4.5e-5 — never for 5 draws
+    assert (a["noise"].abs() < 20).all()
+    assert np.allclose(a["n_noisy"], a["n_exact"] + a["noise"])
+
+
+def test_l_diversity_consistent_with_duckdb(ray_session):
+    import duckdb
+
+    from perfect_bloomfilter_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["l_diversity_report"]("/root/testdata/sf0.001").iloc[0]
+    tot = duckdb.sql(
+        "SELECT count(*) FROM read_parquet('/root/testdata/sf0.001/events.parquet')"
+    ).fetchone()[0]
+    assert int(out["total_rows"]) == int(tot)
+    assert 1 <= int(out["min_l"]) <= 5
