@@ -314,6 +314,9 @@ SUITE = [
     "l_diversity_report",
     "orders_sequential_poisson_sample",
     "dp_noisy_event_counts",
+    "hopping_window_event_totals",
+    "ensemble_er_pair_census",
+    "time_decay_attribution",
 ]
 
 

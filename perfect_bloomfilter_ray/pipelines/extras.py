@@ -4817,3 +4817,276 @@ def dp_noisy_event_counts(sf_dir: str):
     out["n_noisy"] = noisy
     out["epsilon"] = eps
     return out[["event_type", "n_exact", "noise", "n_noisy", "epsilon"]]
+
+
+@q(
+    "hopping_window_event_totals",
+    sql="""
+    WITH hc AS (SELECT date_trunc('hour', ts) AS h,
+                       CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+                FROM events GROUP BY 1),
+    o AS (SELECT * FROM (VALUES (0), (1), (2)) AS t(k)),
+    w AS (SELECT h - k * INTERVAL 1 HOUR AS ws, n, cents FROM hc, o)
+    SELECT ws AS window_start, CAST(sum(n) AS BIGINT) AS n_events,
+           CAST(sum(cents) AS BIGINT) AS cents
+    FROM w GROUP BY 1 ORDER BY 1
+    """,
+)
+def hopping_window_event_totals(sf_dir: str):
+    """Hopping (overlapping) window aggregates: 3-hour windows advancing
+    every hour — each hour belongs to three windows, the standard
+    stream-analytics HOP/SLIDE shape. The fan-out happens AFTER hourly
+    pre-aggregation (3 tiny rows per hour, never 3× the event stream), so
+    the overlap costs one hour-keyed groupby; counts and micro-cents sums
+    are exact int64."""
+    import polars as pl
+
+    ds = _t(sf_dir, "events", ["ts", "value"])
+
+    def hour_partials(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        return (
+            df.with_columns(
+                pl.col("ts").dt.truncate("1h").alias("h"),
+                (pl.col("value") * 100).round(0).cast(pl.Int64).alias("c"),
+            )
+            .group_by("h")
+            .agg(pl.len().cast(pl.Int64).alias("pn"), pl.col("c").sum().alias("pc"))
+            .to_arrow()
+        )
+
+    hourly = (
+        ds.map_batches(hour_partials, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Sum("pn", alias_name="n"), Sum("pc", alias_name="cents"))
+    )
+
+    def fan_out(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        outs = [
+            df.select(
+                (pl.col("h") - pl.duration(hours=k)).alias("window_start"),
+                pl.col("n").alias("pn"),
+                pl.col("cents").alias("pc"),
+            )
+            for k in (0, 1, 2)
+        ]
+        return pl.concat(outs).to_arrow()
+
+    out = (
+        hourly.map_batches(fan_out, batch_format="pyarrow")
+        .groupby("window_start")
+        .aggregate(Sum("pn", alias_name="n_events"), Sum("pc", alias_name="cents"))
+        .to_pandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    out["n_events"] = out["n_events"].astype("int64")
+    out["cents"] = out["cents"].astype("int64")
+    return out[["window_start", "n_events", "cents"]]
+
+
+@q(
+    "ensemble_er_pair_census",
+    sql="""
+    WITH sl AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
+    k AS (SELECT doc_id,
+                 substr(array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), ' '), 1, 20) AS kk
+          FROM sl),
+    r AS (SELECT doc_id, row_number() OVER (ORDER BY kk, doc_id) AS rn FROM k),
+    sn AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn <= 4),
+    d AS (SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS words
+          FROM sl),
+    pp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM d a JOIN d b ON a.doc_id < b.doc_id
+           WHERE len(a.words) > 0 AND len(b.words) > 0
+             AND CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+                 / (len(a.words) + len(b.words) - len(list_intersect(a.words, b.words))) >= 0.95),
+    u AS (SELECT id_a, id_b FROM sn UNION SELECT id_a, id_b FROM pp),
+    bth AS (SELECT id_a, id_b FROM sn INTERSECT SELECT id_a, id_b FROM pp)
+    SELECT CAST((SELECT count(*) FROM sn) AS BIGINT) AS n_sorted_neighborhood,
+           CAST((SELECT count(*) FROM pp) AS BIGINT) AS n_ppjoin,
+           CAST((SELECT count(*) FROM bth) AS BIGINT) AS n_both,
+           CAST((SELECT count(*) FROM u) AS BIGINT) AS n_union
+    """,
+)
+def ensemble_er_pair_census(sf_dir: str):
+    """Ensemble blocking for entity resolution (the multi-blocker recall
+    trick: no single blocker catches every duplicate): run BOTH the
+    sorted-neighborhood window blocker and the PPJoin exact-Jaccard
+    blocker over the same document slice and report each pair set, their
+    overlap and their union — all exact integers from the two existing
+    distributed pair stages plus one driver set-merge of the (small)
+    candidate sets."""
+    import polars as pl
+
+    from perfect_bloomfilter_ray.stages.fuzzy import sorted_neighborhood_pairs
+    from perfect_bloomfilter_ray.stages.ppjoin import ppjoin_pairs
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda t: t.filter(
+            pc.equal(
+                pc.bit_wise_and(t.column("doc_id"), pa.scalar(3, pa.int64())),
+                pa.scalar(0, pa.int64()),
+            )
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def key(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        return (
+            df.with_columns(
+                pl.col("text")
+                .fill_null("")
+                .str.to_lowercase()
+                .str.extract_all(r"[a-z0-9]+")
+                .list.join(" ")
+                .str.slice(0, 20)
+                .alias("kk")
+            )
+            .drop("text")
+            .to_arrow()
+        )
+
+    sn = sorted_neighborhood_pairs(
+        docs.map_batches(key, batch_format="pyarrow"), "doc_id", "kk", window=5
+    ).to_pandas()
+    pp = ppjoin_pairs(docs, "doc_id", "text", threshold=0.95).to_pandas()
+    # empty-Dataset to_pandas drops columns (ray quirk): guard both sets
+    sn_set = set(zip(sn["id_a"], sn["id_b"])) if len(sn) else set()
+    pp_set = set(zip(pp["id_a"], pp["id_b"])) if len(pp) else set()
+    return pd.DataFrame(
+        [
+            {
+                "n_sorted_neighborhood": len(sn_set),
+                "n_ppjoin": len(pp_set),
+                "n_both": len(sn_set & pp_set),
+                "n_union": len(sn_set | pp_set),
+            }
+        ]
+    )
+
+
+@q(
+    "time_decay_attribution",
+    sql="""
+    WITH conv AS (SELECT user_id, ts AS ct FROM events WHERE event_type = 'purchase'),
+    touch AS (SELECT user_id, ts AS tt, event_type AS ttype FROM events
+              WHERE event_type IN ('view', 'click')),
+    pairs AS (SELECT t.ttype,
+                     CAST(date_diff('microsecond', t.tt, c.ct) // 3600000000 AS INTEGER) AS k
+              FROM conv c JOIN touch t ON t.user_id = c.user_id
+                   AND t.tt < c.ct AND t.tt >= c.ct - INTERVAL 24 HOUR),
+    s AS (SELECT ttype, CAST(count(*) AS BIGINT) AS touches,
+                 CAST(sum(CAST(1 AS BIGINT) << (23 - k)) AS BIGINT) AS credit
+          FROM pairs GROUP BY 1),
+    t2 AS (SELECT CAST(sum(credit) AS BIGINT) AS tot FROM s)
+    SELECT ttype AS event_type, touches, credit,
+           CAST(credit AS DOUBLE) / tot AS share
+    FROM s, t2 ORDER BY ttype
+    """,
+)
+def time_decay_attribution(sf_dir: str):
+    """Time-decay multi-touch attribution with EXACT dyadic weights: a
+    view/click k whole hours before a purchase of the same user (24 h
+    lookback) earns weight 2^(23−k) — halving per hour, but as an int64
+    power of two, so credits SUM exactly in any order (the float-decay
+    formulation is shuffle-order-dependent; the dyadic one is not). One
+    user-co-partitioned exchange; per-partition pairing is a vectorized
+    searchsorted range expansion (no per-purchase Python loop); shares
+    are one exact-int division per type."""
+    import polars as pl
+    import ray
+
+    from perfect_bloomfilter_ray.functions.hashing import hash64
+    from perfect_bloomfilter_ray.stages.partitioning import choose_num_blocks
+
+    ds = _t(sf_dir, "events", ["user_id", "ts", "event_type"])
+    nb = choose_num_blocks(ds)
+
+    def route(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).filter(
+            pl.col("event_type").is_in(["view", "click", "purchase"])
+        )
+        h = hash64(df["user_id"], 0x47D)
+        return df.with_columns(
+            pl.Series("_p", (h % np.uint64(nb)).astype(np.int32))
+        ).to_arrow()
+
+    def attribute(t: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(t.drop_columns(["_p"]))
+            .sort(["user_id", "ts"])
+            .with_columns(pl.col("ts").dt.epoch("us").alias("us"))
+        )
+        uid = df["user_id"].to_numpy()
+        us = df["us"].to_numpy().astype(np.int64)
+        et = df["event_type"].to_numpy()
+        out = {"view": [0, 0], "click": [0, 0]}  # [touches, credit]
+        if len(uid) == 0:
+            return pa.table(
+                {
+                    "event_type": pa.array(["click", "view"]),
+                    "pt": pa.array([0, 0], pa.int64()),
+                    "pc": pa.array([0, 0], pa.int64()),
+                }
+            )
+        is_conv = et == "purchase"
+        is_view = et == "view"
+        is_touch = is_view | (et == "click")
+        # pack (user, time) into one sortable key: relative µs fit in 2^43,
+        # so a user index shifted above that makes all windows intra-user
+        # and ONE searchsorted serves every user in the partition at once
+        _, uidx = np.unique(uid, return_inverse=True)
+        rel = us - us.min()
+        key = uidx.astype(np.int64) * np.int64(1 << 43) + rel
+        tkey = key[is_touch]
+        tv = is_view[is_touch]
+        tus = us[is_touch]
+        ckey = key[is_conv]
+        cus = us[is_conv]
+        if len(tkey) and len(ckey):
+            day_us = np.int64(86_400_000_000)
+            lo = np.searchsorted(tkey, ckey - day_us, side="left")
+            hi = np.searchsorted(tkey, ckey, side="left")
+            cnt = hi - lo
+            tot = int(cnt.sum())
+            if tot:
+                # flat [lo_i, hi_i) range expansion without a Python loop
+                idx = (
+                    np.arange(tot)
+                    - np.repeat(np.concatenate([[0], cnt.cumsum()[:-1]]), cnt)
+                    + np.repeat(lo, cnt)
+                )
+                k = (np.repeat(cus, cnt) - tus[idx]) // np.int64(3_600_000_000)
+                w = np.int64(1) << (23 - k)
+                vmask = tv[idx]
+                out["view"] = [int(vmask.sum()), int(w[vmask].sum())]
+                out["click"] = [int((~vmask).sum()), int(w[~vmask].sum())]
+        return pa.table(
+            {
+                "event_type": pa.array(["click", "view"]),
+                "pt": pa.array([out["click"][0], out["view"][0]], pa.int64()),
+                "pc": pa.array([out["click"][1], out["view"][1]], pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(route, batch_format="pyarrow")
+        .groupby("_p")
+        .map_groups(attribute, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("pt", alias_name="touches"), Sum("pc", alias_name="credit"))
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    agg = agg[agg["touches"] > 0]
+    tot = int(agg["credit"].sum())
+    agg["touches"] = agg["touches"].astype("int64")
+    agg["credit"] = agg["credit"].astype("int64")
+    agg["share"] = np.array([float(c) / float(tot) for c in agg["credit"]])
+    return agg[["event_type", "touches", "credit", "share"]].reset_index(drop=True)

@@ -748,3 +748,33 @@ def test_l_diversity_consistent_with_duckdb(ray_session):
     ).fetchone()[0]
     assert int(out["total_rows"]) == int(tot)
     assert 1 <= int(out["min_l"]) <= 5
+
+
+def test_hopping_windows_sum_to_triple_total(ray_session):
+    """Every hour lands in exactly 3 windows, so window totals sum to 3x."""
+    import duckdb
+
+    from perfect_bloomfilter_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["hopping_window_event_totals"]("/root/testdata/sf0.001")
+    tot = duckdb.sql(
+        "SELECT count(*) FROM read_parquet('/root/testdata/sf0.001/events.parquet')"
+    ).fetchone()[0]
+    assert int(out["n_events"].sum()) == 3 * int(tot)
+
+
+def test_ensemble_census_set_algebra(ray_session):
+    from perfect_bloomfilter_ray.pipelines.queries import QUERIES
+
+    r = QUERIES["ensemble_er_pair_census"]("/root/testdata/sf0.001").iloc[0]
+    assert int(r["n_union"]) == int(r["n_sorted_neighborhood"]) + int(r["n_ppjoin"]) - int(r["n_both"])
+    assert int(r["n_both"]) <= min(int(r["n_sorted_neighborhood"]), int(r["n_ppjoin"]))
+
+
+def test_time_decay_shares_sum_to_one(ray_session):
+    from perfect_bloomfilter_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["time_decay_attribution"]("/root/testdata/sf0.001")
+    assert set(out["event_type"]) <= {"view", "click"}
+    assert abs(out["share"].sum() - 1.0) < 1e-12
+    assert (out["credit"] > 0).all()
