@@ -317,6 +317,8 @@ SUITE = [
     "hopping_window_event_totals",
     "ensemble_er_pair_census",
     "time_decay_attribution",
+    "image_phash_dedup_pairs",
+    "cuped_ab_analysis",
 ]
 
 

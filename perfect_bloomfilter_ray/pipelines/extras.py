@@ -5090,3 +5090,216 @@ def time_decay_attribution(sf_dir: str):
     agg["credit"] = agg["credit"].astype("int64")
     agg["share"] = np.array([float(c) / float(tot) for c in agg["credit"]])
     return agg[["event_type", "touches", "credit", "share"]].reset_index(drop=True)
+
+
+@q("image_phash_dedup_pairs")
+def image_phash_dedup_pairs(sf_dir: str):
+    """Perceptual-hash image near-dup pairs: payloads decode through the
+    actor-pool (stub) codec, ImageFeatureStage emits each image's 64-bit
+    dHash, and the SAME pigeonhole banding engine as simhash text dedup
+    (stages/dedup.hamming_pairs_u64) surfaces pairs within Hamming ≤ 6 —
+    the multimodal member of the dedup family. The fake codec is
+    deterministic in the payload, so byte-identical images MUST surface at
+    Hamming 0 (pytest contract); rows-only (no SQL can run the codec)."""
+    from perfect_bloomfilter_ray.stages.dedup import hamming_pairs_u64
+    from perfect_bloomfilter_ray.stages.multimodal import (
+        ImageDecodeStage,
+        ImageFeatureStage,
+    )
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_media(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "media_id": t.column("doc_id"),
+                "payload": pc.cast(t.column("text"), pa.large_binary()),
+            }
+        )
+
+    def dup_slice(t: pa.Table) -> pa.Table:
+        """Re-ingested snapshot slice (doc_id % 50 == 0, shifted ids): byte-
+        identical payloads under new ids — the cross-snapshot image-dedup
+        shape, and a deterministic guarantee of Hamming-0 pairs."""
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = t.filter(pa.array(ids % 50 == 0))
+        return pa.table(
+            {
+                "media_id": pc.add(keep.column("doc_id"), pa.scalar(1_000_000, pa.int64())),
+                "payload": pc.cast(keep.column("text"), pa.large_binary()),
+            }
+        )
+
+    media = ds.map_batches(to_media, batch_format="pyarrow").union(
+        ds.map_batches(dup_slice, batch_format="pyarrow")
+    )
+    # actor pools: CLASS + constructor kwargs (state once per actor)
+    decoded = media.map_batches(
+        ImageDecodeStage,
+        fn_constructor_kwargs={"height": 32, "width": 32},
+        batch_size=128,
+        concurrency=(1, 4),
+        batch_format="pyarrow",
+    )
+    feats = decoded.map_batches(
+        ImageFeatureStage, batch_size=128, concurrency=(1, 4), batch_format="pyarrow"
+    )
+
+    def sig(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("media_id"),
+                "sig64": pa.array(
+                    t.column("dhash").to_numpy(zero_copy_only=False).view(np.int64)
+                ),
+            }
+        )
+
+    pairs = hamming_pairs_u64(
+        feats.map_batches(sig, batch_format="pyarrow"),
+        "sig64",
+        "doc_id",
+        max_hamming=6,
+        bands=8,
+    )
+    out = pairs.to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame(
+            {
+                "id_a": np.array([], dtype="int64"),
+                "id_b": np.array([], dtype="int64"),
+                "hamming": np.array([], dtype="int64"),
+            }
+        )
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+@q(
+    "cuped_ab_analysis",
+    sql="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                           THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+             CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' AND event_type = 'purchase'
+                           THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+      FROM events WHERE value IS NOT NULL GROUP BY user_id
+    ),
+    g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+                 CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+          FROM u),
+    th AS (SELECT n, sx,
+                  CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                  / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS theta
+           FROM g),
+    v AS (SELECT CAST((user_id * 2654435761) % 2 AS BIGINT) AS variant,
+                 CAST(count(*) AS BIGINT) AS n_users,
+                 CAST(sum(x) AS BIGINT) AS sxv, CAST(sum(y) AS BIGINT) AS syv
+          FROM u GROUP BY 1)
+    SELECT v.variant, v.n_users, v.sxv AS pre_cents, v.syv AS post_purchase_cents,
+           CAST(v.syv AS DOUBLE) / v.n_users AS mean_y,
+           th.theta AS theta,
+           CAST(v.syv AS DOUBLE) / v.n_users
+             - th.theta * (CAST(v.sxv AS DOUBLE) / v.n_users
+                           - CAST(th.sx AS DOUBLE) / th.n) AS mean_y_cuped
+    FROM v, th ORDER BY v.variant
+    """,
+)
+def cuped_ab_analysis(sf_dir: str):
+    """CUPED variance reduction for A/B readouts (Deng et al. WSDM'13):
+    users hash-split into two variants; the post-period purchase metric is
+    adjusted by the pre-period covariate, y_adj = ȳ_v − θ(x̄_v − x̄), with
+    θ = cov(x,y)/var(x) pooled. Every moment is an EXACT integer (int64
+    block partials; the θ numerator crosses 2^63, so the final ratio is
+    Python-int / HUGEINT on the two sides); θ and the adjusted means are
+    the same fixed float expressions bitwise. One per-user groupby + a
+    user-cardinality moment pass — no extra shuffle for the variant split
+    (it is a residue of the user key)."""
+    import polars as pl
+
+    ds = _t(sf_dir, "events", ["user_id", "ts", "event_type", "value"])
+    cutoff = pd.Timestamp("2024-01-16")
+
+    def user_partials(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).drop_nulls("value")
+        return (
+            df.with_columns(
+                ((pl.col("value") * 100).round(0).cast(pl.Int64)).alias("cents"),
+                (pl.col("ts") < cutoff).alias("pre"),
+            )
+            .group_by("user_id")
+            .agg(
+                (pl.col("cents") * pl.col("pre").cast(pl.Int64)).sum().alias("px"),
+                (
+                    pl.col("cents")
+                    * ((~pl.col("pre")) & (pl.col("event_type") == "purchase")).cast(pl.Int64)
+                )
+                .sum()
+                .alias("py"),
+            )
+            .to_arrow()
+        )
+
+    users = (
+        ds.map_batches(user_partials, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("px", alias_name="x"), Sum("py", alias_name="y"))
+        .materialize()
+    )
+
+    def moments(t: pa.Table) -> pa.Table:
+        x = t.column("x").to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t.column("y").to_numpy(zero_copy_only=False).astype(np.int64)
+        uid = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = (uid * 2654435761) % 2
+        rows = {
+            "variant": [], "pn": [], "psx": [], "psy": [], "psxy": [], "psxx": []
+        }
+        for var in (0, 1):
+            m = v == var
+            rows["variant"].append(var)
+            rows["pn"].append(int(m.sum()))
+            rows["psx"].append(int(x[m].sum()))
+            rows["psy"].append(int(y[m].sum()))
+            rows["psxy"].append(int((x[m] * y[m]).sum()))
+            rows["psxx"].append(int((x[m] * x[m]).sum()))
+        return pa.table({k: pa.array(vv, pa.int64()) for k, vv in rows.items()})
+
+    mm = (
+        users.map_batches(moments, batch_format="pyarrow")
+        .groupby("variant")
+        .aggregate(
+            Sum("pn", alias_name="n_users"),
+            Sum("psx", alias_name="sxv"),
+            Sum("psy", alias_name="syv"),
+            Sum("psxy", alias_name="sxyv"),
+            Sum("psxx", alias_name="sxxv"),
+        )
+        .to_pandas()
+        .sort_values("variant")
+        .reset_index(drop=True)
+    )
+    n = int(mm["n_users"].sum())
+    sx, sy = int(mm["sxv"].sum()), int(mm["syv"].sum())
+    sxy, sxx = int(mm["sxyv"].sum()), int(mm["sxxv"].sum())
+    theta = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
+    gx = float(sx) / n
+    out = []
+    for _, r in mm.iterrows():
+        nv = int(r["n_users"])
+        mean_y = float(int(r["syv"])) / nv
+        mean_x = float(int(r["sxv"])) / nv
+        out.append(
+            {
+                "variant": int(r["variant"]),
+                "n_users": nv,
+                "pre_cents": int(r["sxv"]),
+                "post_purchase_cents": int(r["syv"]),
+                "mean_y": mean_y,
+                "theta": theta,
+                "mean_y_cuped": mean_y - theta * (mean_x - gx),
+            }
+        )
+    return pd.DataFrame(out)

@@ -805,20 +805,57 @@ def simhash_pairs(
 ) -> Dataset:
     """Near-dup pairs by simhash Hamming distance ≤ max_hamming.
 
-    Pigeonhole: split 64 bits into ``bands`` bands (must be > max_hamming);
-    any pair within distance shares at least one exact band. Buckets are
-    routed by a coarse partition of the (band, band-bits) key and verified
-    with one vectorized Hamming pass per partition — per-group Python calls
-    on millions of tiny buckets would dominate otherwise.
+    Signature pass here; banding + bucket verification are the shared
+    ``hamming_pairs_u64`` machinery (also used by the perceptual-hash
+    image dedup in stages/multimodal.py).
     Output: (id_a, id_b, hamming).
+    """
+
+    def sig(t: pa.Table) -> pa.Table:
+        s = simhash64(pl.from_arrow(t.column(text_col).combine_chunks() if isinstance(t.column(text_col), pa.ChunkedArray) else t.column(text_col)))
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "sig64": pa.array(s.view(np.int64)),
+            }
+        )
+
+    return hamming_pairs_u64(
+        ds.map_batches(sig, batch_format="pyarrow"),
+        "sig64",
+        id_col,
+        max_hamming=max_hamming,
+        bands=bands,
+        max_bucket=max_bucket,
+        num_blocks=num_blocks,
+    )
+
+
+def hamming_pairs_u64(
+    ds: Dataset,
+    hash_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_bucket: int = 256,
+    num_blocks: int | None = None,
+) -> Dataset:
+    """All id pairs whose precomputed 64-bit signatures are within
+    ``max_hamming`` bits — the pigeonhole banding engine behind both
+    simhash text dedup and perceptual-hash image dedup: split 64 bits into
+    ``bands`` bands (must be > max_hamming); any pair within distance
+    shares at least one exact band. Buckets are routed by a coarse
+    partition of the (band, band-bits) key and verified with one
+    vectorized Hamming pass per partition — per-group Python calls on
+    millions of tiny buckets would dominate otherwise. ``hash_col`` is an
+    int64 bit-view of the uint64 signature. Output: (id_a, id_b, hamming).
     """
     assert bands > max_hamming
     width = 64 // bands
     num_blocks = choose_num_blocks(ds, num_blocks)
 
-    def sig(t: pa.Table) -> pa.Table:
-        s = simhash64(pl.from_arrow(t.column(text_col).combine_chunks() if isinstance(t.column(text_col), pa.ChunkedArray) else t.column(text_col)))
-        n = len(s)
+    def band(t: pa.Table) -> pa.Table:
+        s = t.column(hash_col).to_numpy(zero_copy_only=False).view(_U64)
         mask = _U64((1 << width) - 1)
         with np.errstate(over="ignore"):
             bkey = np.concatenate(
@@ -836,7 +873,7 @@ def simhash_pairs(
             }
         )
 
-    banded = ds.map_batches(sig, batch_format="pyarrow")
+    banded = ds.map_batches(band, batch_format="pyarrow")
 
     def verify_part(t: pa.Table) -> pa.Table:
         id_type = t.schema.field(id_col).type

@@ -778,3 +778,37 @@ def test_time_decay_shares_sum_to_one(ray_session):
     assert set(out["event_type"]) <= {"view", "click"}
     assert abs(out["share"].sum() - 1.0) < 1e-12
     assert (out["credit"] > 0).all()
+
+
+def test_phash_dedup_finds_every_identical_payload(ray_session):
+    """Byte-identical payloads MUST pair at Hamming 0 (stub codec is
+    deterministic in the payload)."""
+    import duckdb
+
+    from perfect_bloomfilter_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["image_phash_dedup_pairs"]("/root/testdata/sf0.001")
+    zero = out[out["hamming"] == 0]
+    pairs = set(zip(zero["id_a"], zero["id_b"]))
+    exp = duckdb.sql(
+        "SELECT doc_id FROM read_parquet('/root/testdata/sf0.001/documents.parquet') "
+        "WHERE doc_id % 50 = 0 ORDER BY doc_id"
+    ).fetchdf()["doc_id"]
+    for d in exp:
+        assert (int(d), int(d) + 1_000_000) in pairs, d
+    assert (out["hamming"] <= 6).all()
+
+
+def test_cuped_reduces_to_plain_means_at_theta_terms(ray_session):
+    """Adjusted means recombine exactly: Σ_v n_v·(mean_adj_v) folds back to
+    the pooled mean of y (CUPED preserves the overall average)."""
+    from perfect_bloomfilter_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["cuped_ab_analysis"]("/root/testdata/sf0.001")
+    assert len(out) == 2 and set(out["variant"]) == {0, 1}
+    n = out["n_users"].to_numpy().astype(float)
+    # pooled adjusted mean equals pooled raw mean (Σ n_v θ (x̄_v - x̄) = 0)
+    pooled_adj = (out["mean_y_cuped"].to_numpy() * n).sum() / n.sum()
+    pooled_raw = out["post_purchase_cents"].sum() / n.sum()
+    assert abs(pooled_adj - pooled_raw) < 1e-6 * max(1.0, abs(pooled_raw))
+    assert out["theta"].nunique() == 1
