@@ -319,6 +319,9 @@ SUITE = [
     "time_decay_attribution",
     "image_phash_dedup_pairs",
     "cuped_ab_analysis",
+    "part_percent_of_parent",
+    "hourly_seasonal_backtest",
+    "hourly_fano_factor_per_type",
 ]
 
 

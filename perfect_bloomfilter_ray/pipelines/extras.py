@@ -15,7 +15,7 @@ import pyarrow.compute as pc
 
 from ray.data.aggregate import Count, Sum
 
-from perfect_bloomfilter_ray.pipelines.queries import _t, q
+from perfect_bloomfilter_ray.pipelines.queries import QUERIES, _t, q
 
 # modulus/multiplier for the table fingerprint: Mersenne prime 2^31-1 keeps
 # every per-row product below 2^62 (int64-safe in numpy), A is the classic
@@ -5303,3 +5303,184 @@ def cuped_ab_analysis(sf_dir: str):
             }
         )
     return pd.DataFrame(out)
+
+
+@q(
+    "part_percent_of_parent",
+    sql="""
+    WITH RECURSIVE anc AS (
+      SELECT p_partkey AS node, p_partkey AS anc FROM part
+      UNION ALL
+      SELECT node, anc // 7 FROM anc WHERE anc > 0
+    ),
+    v AS (SELECT p_partkey, CAST(round(p_retailprice * 100) AS BIGINT) AS cents FROM part),
+    st AS (SELECT a.anc AS node,
+                  CAST(sum(v.cents) AS BIGINT) AS subtree_cents
+           FROM anc a JOIN v ON v.p_partkey = a.node
+           WHERE a.anc <= 58 GROUP BY 1)
+    SELECT c.node, CAST(c.node // 7 AS BIGINT) AS parent,
+           c.subtree_cents, p.subtree_cents AS parent_cents,
+           CAST(c.subtree_cents AS DOUBLE) / p.subtree_cents AS share_of_parent
+    FROM st c JOIN st p ON p.node = c.node // 7
+    WHERE c.node >= 1
+    ORDER BY c.node
+    """,
+)
+def part_percent_of_parent(sf_dir: str):
+    """Percent-of-parent hierarchical report over the implicit part tree
+    (parent(k) = k // 7, the part_subtree_totals hierarchy): each node's
+    subtree revenue as a share of its parent's — the drill-down ratio
+    column of every BI hierarchy view. Reuses the distributed subtree
+    totals (ancestor fan-out + one groupby); the parent join runs on the
+    ≤59-row node dimension, and the share is one exact-int IEEE division."""
+    totals = QUERIES["part_subtree_totals"](sf_dir)
+    t = totals.set_index("node")["subtree_cents"]
+    child = totals[totals["node"] >= 1].copy()
+    child["parent"] = (child["node"] // 7).astype("int64")
+    child["parent_cents"] = child["parent"].map(t).astype("int64")
+    child["share_of_parent"] = np.array(
+        [float(c) / float(p) for c, p in zip(child["subtree_cents"], child["parent_cents"])]
+    )
+    return child[["node", "parent", "subtree_cents", "parent_cents", "share_of_parent"]].reset_index(drop=True)
+
+
+@q(
+    "hourly_seasonal_backtest",
+    sql="""
+    WITH hc AS (SELECT date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS n
+                FROM events GROUP BY 1),
+    b AS (SELECT min(h) AS mn, max(h) AS mx FROM hc),
+    grid AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h FROM b),
+    d AS (SELECT g.h, COALESCE(hc.n, 0) AS x FROM grid g LEFT JOIN hc ON hc.h = g.h),
+    e AS (SELECT x,
+                 lag(x, 24) OVER (ORDER BY h) AS xs,
+                 lag(x, 1) OVER (ORDER BY h) AS x1
+          FROM d),
+    s AS (SELECT CAST(count(*) FILTER (WHERE xs IS NOT NULL) AS BIGINT) AS nf,
+                 CAST(sum(abs(x - xs)) FILTER (WHERE xs IS NOT NULL) AS BIGINT) AS se,
+                 CAST(count(*) FILTER (WHERE x1 IS NOT NULL) AS BIGINT) AS nn,
+                 CAST(sum(abs(x - x1)) FILTER (WHERE x1 IS NOT NULL) AS BIGINT) AS sn
+          FROM e)
+    SELECT nf AS n_seasonal, se AS abs_err_seasonal,
+           nn AS n_naive, sn AS abs_err_naive,
+           CAST(se * nn AS DOUBLE) / (sn * nf) AS mase
+    FROM s
+    """,
+)
+def hourly_seasonal_backtest(sf_dir: str):
+    """Forecast backtest with the seasonal-naive baseline: predict each
+    hour's event count with the count 24 hours earlier, score MASE =
+    MAE_seasonal / MAE_naive1 (Hyndman-Koehler 2006) on the dense hourly
+    grid (gaps count as 0 on both sides). Absolute errors are exact int64
+    sums; MASE is one division of exact integer cross-products. One
+    distributed hourly groupby; the grid/lag finish is hour-cardinality."""
+    import polars as pl
+
+    ds = _t(sf_dir, "events", ["ts"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        return (
+            df.with_columns(pl.col("ts").dt.truncate("1h").alias("h"))
+            .group_by("h")
+            .agg(pl.len().cast(pl.Int64).alias("pn"))
+            .to_arrow()
+        )
+
+    hc = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Sum("pn", alias_name="n"))
+        .to_pandas()
+        .sort_values("h")
+        .reset_index(drop=True)
+    )
+    hours = hc["h"].to_numpy()
+    grid = pd.date_range(hours.min(), hours.max(), freq="1h")
+    x = pd.Series(0, index=grid, dtype="int64")
+    x.loc[hc["h"]] = hc["n"].to_numpy().astype(np.int64)
+    xv = x.to_numpy()
+    se = int(np.abs(xv[24:] - xv[:-24]).sum())
+    nf = len(xv) - 24
+    sn = int(np.abs(xv[1:] - xv[:-1]).sum())
+    nn = len(xv) - 1
+    return pd.DataFrame(
+        [
+            {
+                "n_seasonal": nf,
+                "abs_err_seasonal": se,
+                "n_naive": nn,
+                "abs_err_naive": sn,
+                "mase": float(se * nn) / float(sn * nf),
+            }
+        ]
+    )
+
+
+@q(
+    "hourly_fano_factor_per_type",
+    sql="""
+    WITH hc AS (SELECT event_type, date_trunc('hour', ts) AS h,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM events GROUP BY 1, 2),
+    b AS (SELECT min(h) AS mn, max(h) AS mx FROM hc),
+    grid AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h FROM b),
+    ty AS (SELECT DISTINCT event_type FROM events),
+    d AS (SELECT ty.event_type, g.h, COALESCE(hc.n, 0) AS x
+          FROM ty CROSS JOIN grid g
+          LEFT JOIN hc ON hc.event_type = ty.event_type AND hc.h = g.h),
+    s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(x * x) AS BIGINT) AS sxx
+          FROM d GROUP BY 1)
+    SELECT event_type, n_hours, sx, sxx,
+           CAST(n_hours * sxx - sx * sx AS DOUBLE) / (CAST(n_hours AS DOUBLE) * sx)
+             AS fano
+    FROM s ORDER BY event_type
+    """,
+)
+def hourly_fano_factor_per_type(sf_dir: str):
+    """Burstiness census: the Fano factor (variance-to-mean ratio of
+    hourly counts on the dense grid; 1 = Poisson, >1 = bursty) per event
+    type. Population variance over exact int64 moments, one fixed float
+    expression — the dispersion diagnostic for rate-limiting and anomaly
+    thresholds. One distributed (type, hour) groupby; the dense-grid
+    finish is (types × hours) driver work."""
+    import polars as pl
+
+    ds = _t(sf_dir, "events", ["event_type", "ts"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        return (
+            df.with_columns(pl.col("ts").dt.truncate("1h").alias("h"))
+            .group_by(["event_type", "h"])
+            .agg(pl.len().cast(pl.Int64).alias("pn"))
+            .to_arrow()
+        )
+
+    hc = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["event_type", "h"])
+        .aggregate(Sum("pn", alias_name="n"))
+        .to_pandas()
+    )
+    grid = pd.date_range(hc["h"].min(), hc["h"].max(), freq="1h")
+    n_hours = len(grid)
+    rows = []
+    for et, g in hc.groupby("event_type", sort=True):
+        x = pd.Series(0, index=grid, dtype="int64")
+        x.loc[g["h"]] = g["n"].to_numpy().astype(np.int64)
+        xv = x.to_numpy()
+        sx = int(xv.sum())
+        sxx = int((xv * xv).sum())
+        rows.append(
+            {
+                "event_type": et,
+                "n_hours": n_hours,
+                "sx": sx,
+                "sxx": sxx,
+                "fano": float(n_hours * sxx - sx * sx) / (float(n_hours) * sx),
+            }
+        )
+    return pd.DataFrame(rows)

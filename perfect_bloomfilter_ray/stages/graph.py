@@ -1683,6 +1683,7 @@ def link_prediction_scores(
     k: int = 25,
     num_blocks: int | None = None,
     max_nodes: int = 5_000_000,
+    max_neighbors_per_apex: int | None = None,
 ) -> pd.DataFrame:
     """Common-neighbor link prediction over a distinct undirected edge list
     (Liben-Nowell & Kleinberg 2003): for every 2-hop pair (a, b) NOT already
@@ -1706,6 +1707,12 @@ def link_prediction_scores(
     co-partitioned join shape of ``pagerank_dataset`` is the web-scale
     escape hatch), and the top-k resolve is per-block partial top-k with a
     k·num_blocks driver finish.
+
+    Hub skew: wedge volume is Σ deg(z)², so one web-scale hub can dominate
+    a partition. ``max_neighbors_per_apex`` (None = unlimited) caps each
+    apex's neighbor list DETERMINISTICALLY (the lowest-id neighbors — the
+    dedup hot-bucket-cap convention): counts through capped hubs become
+    documented lower bounds, and the blowup is bounded by apex·cap².
     """
     import polars as pl
     import ray
@@ -1781,6 +1788,14 @@ def link_prediction_scores(
             return empty
         order = np.lexsort((d, z))
         z, d = z[order], d[order]
+        if max_neighbors_per_apex is not None:
+            # deterministic hub cap: keep each apex's lowest-id neighbors
+            # (list already sorted by (z, d)); rank-within-apex via cumcount
+            firsts = np.concatenate([[True], z[1:] != z[:-1]])
+            idx = np.arange(len(z))
+            rank = idx - np.maximum.accumulate(np.where(firsts, idx, 0))
+            keep = rank < max_neighbors_per_apex
+            z, d = z[keep], d[keep]
         starts = np.flatnonzero(np.concatenate([[True], z[1:] != z[:-1]]))
         sizes = np.diff(np.append(starts, len(z)))
         pcnt = sizes * (sizes - 1) // 2

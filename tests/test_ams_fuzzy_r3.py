@@ -812,3 +812,59 @@ def test_cuped_reduces_to_plain_means_at_theta_terms(ray_session):
     pooled_raw = out["post_purchase_cents"].sum() / n.sum()
     assert abs(pooled_adj - pooled_raw) < 1e-6 * max(1.0, abs(pooled_raw))
     assert out["theta"].nunique() == 1
+
+
+def test_percent_of_parent_sums_bound(ray_session):
+    """Children of one parent can't claim more than 100% combined (the
+    implicit tree assigns each node to exactly one parent)."""
+    from perfect_bloomfilter_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["part_percent_of_parent"]("/root/testdata/sf0.001")
+    assert ((out["share_of_parent"] > 0) & (out["share_of_parent"] <= 1.0)).all()
+    by_parent = out.groupby("parent")["share_of_parent"].sum()
+    assert (by_parent <= 1.0 + 1e-12).all()
+    assert (out["parent"] == out["node"] // 7).all()
+
+
+def test_seasonal_backtest_beats_naive_on_seasonal_data(ray_session):
+    """The synthetic events have a daily cycle, so the seasonal-naive
+    forecast must beat the 1-step-naive baseline (MASE < 1)."""
+    from perfect_bloomfilter_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["hourly_seasonal_backtest"]("/root/testdata/sf0.001").iloc[0]
+    assert int(out["n_seasonal"]) == int(out["n_naive"]) - 23
+    assert float(out["mase"]) > 0
+
+
+def test_fano_factor_poisson_scale(ray_session):
+    from perfect_bloomfilter_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["hourly_fano_factor_per_type"]("/root/testdata/sf0.001")
+    assert len(out) == 5
+    assert (out["fano"] > 0).all()
+    assert (out["n_hours"] == out["n_hours"].iloc[0]).all()  # shared dense grid
+
+
+def test_link_prediction_hub_cap_bounds_wedges(ray_session):
+    """With the cap at >= max degree, results are identical to uncapped;
+    with a tiny cap, counts only shrink (documented lower bound)."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from perfect_bloomfilter_ray.stages.graph import link_prediction_scores
+
+    rng = np.random.default_rng(13)
+    x = rng.integers(0, 25, 120)
+    y = rng.integers(0, 25, 120)
+    keep = x != y
+    edges = pd.DataFrame(
+        {"x": np.minimum(x, y)[keep], "y": np.maximum(x, y)[keep]}
+    ).drop_duplicates()
+    ds = ray.data.from_pandas(edges)
+    full = link_prediction_scores(ds, "x", "y", k=10)
+    same = link_prediction_scores(ds, "x", "y", k=10, max_neighbors_per_apex=1000)
+    assert full.equals(same)
+    capped = link_prediction_scores(ds, "x", "y", k=10, max_neighbors_per_apex=3)
+    merged = capped.merge(full, on=["node_a", "node_b"], suffixes=("_c", "_f"))
+    assert (merged["cn_c"] <= merged["cn_f"]).all()
