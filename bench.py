@@ -322,6 +322,8 @@ SUITE = [
     "part_percent_of_parent",
     "hourly_seasonal_backtest",
     "hourly_fano_factor_per_type",
+    "event_type_jsd_drift",
+    "conformal_value_intervals",
 ]
 
 

@@ -5484,3 +5484,190 @@ def hourly_fano_factor_per_type(sf_dir: str):
             }
         )
     return pd.DataFrame(rows)
+
+
+@q(
+    "event_type_jsd_drift",
+    sql="""
+    WITH h AS (SELECT CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END AS half,
+                      event_type, CAST(count(*) AS BIGINT) AS c
+               FROM events GROUP BY 1, 2),
+    n AS (SELECT CAST(sum(CASE WHEN half = 0 THEN c ELSE 0 END) AS BIGINT) AS n1,
+                 CAST(sum(CASE WHEN half = 1 THEN c ELSE 0 END) AS BIGINT) AS n2
+          FROM h),
+    t AS (SELECT et.event_type,
+                 CAST(COALESCE((SELECT c FROM h WHERE half = 0 AND h.event_type = et.event_type), 0) AS DOUBLE) / n.n1 AS p,
+                 CAST(COALESCE((SELECT c FROM h WHERE half = 1 AND h.event_type = et.event_type), 0) AS DOUBLE) / n.n2 AS q
+          FROM (SELECT DISTINCT event_type FROM events) et, n),
+    terms AS (SELECT event_type,
+                     0.5 * (p * ln(p / ((p + q) / 2))) + 0.5 * (q * ln(q / ((p + q) / 2))) AS term
+              FROM t),
+    piv AS (SELECT
+        (SELECT term FROM terms WHERE event_type = 'click') AS t_click,
+        (SELECT term FROM terms WHERE event_type = 'error') AS t_error,
+        (SELECT term FROM terms WHERE event_type = 'purchase') AS t_purchase,
+        (SELECT term FROM terms WHERE event_type = 'signup') AS t_signup,
+        (SELECT term FROM terms WHERE event_type = 'view') AS t_view)
+    SELECT n.n1 AS n_first_half, n.n2 AS n_second_half,
+           t_click + t_error + t_purchase + t_signup + t_view AS jsd
+    FROM piv, n
+    """,
+)
+def event_type_jsd_drift(sf_dir: str):
+    """Jensen-Shannon divergence between the event-type mix of the first
+    and second half of the month — the bounded symmetric drift score
+    (0 = identical mixes, ln 2 = disjoint). Probabilities are exact-int
+    ratios; each type's term is ONE fixed float expression and the five
+    terms add in fixed alphabetical order (the BM25 pivot trick — SQL SUM
+    order is nondeterministic, a fixed-order addition chain is not), so
+    both sides agree bitwise. Assumes every type occurs in both halves
+    (true by construction of the synthetic stream; a vanished type would
+    need the 0·ln0 := 0 convention on both sides)."""
+    import polars as pl
+
+    ds = _t(sf_dir, "events", ["ts", "event_type"])
+    cutoff = pd.Timestamp("2024-01-16")
+
+    def partials(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        return (
+            df.with_columns((pl.col("ts") >= cutoff).cast(pl.Int64).alias("half"))
+            .group_by(["half", "event_type"])
+            .agg(pl.len().cast(pl.Int64).alias("pc"))
+            .to_arrow()
+        )
+
+    h = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["half", "event_type"])
+        .aggregate(Sum("pc", alias_name="c"))
+        .to_pandas()
+    )
+    n1 = int(h.loc[h["half"] == 0, "c"].sum())
+    n2 = int(h.loc[h["half"] == 1, "c"].sum())
+    c1 = h[h["half"] == 0].set_index("event_type")["c"]
+    c2 = h[h["half"] == 1].set_index("event_type")["c"]
+    jsd = 0.0
+    for et in sorted(set(h["event_type"])):
+        p = float(int(c1.get(et, 0))) / n1
+        q = float(int(c2.get(et, 0))) / n2
+        m = (p + q) / 2
+        jsd = jsd + (0.5 * (p * math.log(p / m)) + 0.5 * (q * math.log(q / m)))
+    return pd.DataFrame(
+        [{"n_first_half": n1, "n_second_half": n2, "jsd": jsd}]
+    )
+
+
+@q(
+    "conformal_value_intervals",
+    sql="""
+    WITH lab AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+                        CAST(user_id % 4 AS BIGINT) AS fold
+                 FROM events WHERE value IS NOT NULL),
+    mu AS (SELECT event_type,
+                  CAST(sum(cents) AS DOUBLE) / count(*) AS mu
+           FROM lab WHERE fold IN (0, 1) GROUP BY event_type),
+    cal AS (SELECT abs(CAST(l.cents AS DOUBLE) - mu.mu) AS r
+            FROM lab l JOIN mu ON mu.event_type = l.event_type WHERE l.fold = 2),
+    nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cal FROM cal),
+    qh AS (SELECT r AS qhat FROM cal, nc
+           ORDER BY r ASC LIMIT 1 OFFSET (SELECT (9 * (n_cal + 1) + 9) // 10 - 1 FROM nc)),
+    tst AS (SELECT CAST(count(*) AS BIGINT) AS n_test,
+                   CAST(sum(CASE WHEN abs(CAST(l.cents AS DOUBLE) - mu.mu) <= qh.qhat
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS covered
+            FROM lab l JOIN mu ON mu.event_type = l.event_type, qh
+            WHERE l.fold = 3)
+    SELECT nc.n_cal, qh.qhat, tst.n_test, tst.covered,
+           CAST(tst.covered AS DOUBLE) / tst.n_test AS coverage
+    FROM nc, qh, tst
+    """,
+)
+def conformal_value_intervals(sf_dir: str):
+    """Split-conformal prediction intervals (Vovk; Lei et al. 2018) for
+    event value with 90% target coverage: a per-type mean model fits on
+    folds {0,1} (user-hash folds — leakage-free by construction), the
+    calibration fold's |residual| order statistic at rank
+    ⌈0.9(n+1)⌉ (computed with EXACT integer arithmetic, not float ceil)
+    becomes the interval half-width, and the held-out fold reports
+    empirical coverage — the distribution-free uncertainty wrapper for
+    any point model. μ is an exact-int division; residuals, the rank
+    selection and the coverage comparison are identical IEEE expressions
+    on both sides. Distributed shape: one groupby for μ, one residual
+    pass with μ broadcast, one coverage scan. The calibration fold's
+    residuals gather to the driver for the order statistic (8 B/row);
+    at web scale the DESIGN is to calibrate on a deterministic hash
+    sample — split-conformal validity needs only an i.i.d. calibration
+    subset, so a 10^7-row sample of a 10^12-row corpus gives the same
+    guarantee with a bounded driver footprint."""
+    import polars as pl
+    import ray
+
+    ds = _t(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def fold_partials(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).drop_nulls("value")
+        return df.select(
+            pl.col("event_type"),
+            (pl.col("value") * 100).round(0).cast(pl.Int64).alias("cents"),
+            (pl.col("user_id") % 4).cast(pl.Int64).alias("fold"),
+        ).to_arrow()
+
+    lab = ds.map_batches(fold_partials, batch_format="pyarrow").materialize()
+
+    def mu_partials(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).filter(pl.col("fold") < 2)
+        return (
+            df.group_by("event_type")
+            .agg(pl.col("cents").sum().alias("ps"), pl.len().cast(pl.Int64).alias("pn"))
+            .to_arrow()
+        )
+
+    mu_df = (
+        lab.map_batches(mu_partials, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("ps", alias_name="s"), Sum("pn", alias_name="n"))
+        .to_pandas()
+    )
+    mu = {
+        r["event_type"]: float(int(r["s"])) / int(r["n"]) for _, r in mu_df.iterrows()
+    }
+    mu_ref = ray.put(mu)
+
+    def residuals(t: pa.Table, fold: int) -> np.ndarray:
+        m = ray.get(mu_ref)
+        df = pl.from_arrow(t).filter(pl.col("fold") == fold)
+        if len(df) == 0:
+            return np.array([], dtype=np.float64)
+        mus = np.array([m[e] for e in df["event_type"]], dtype=np.float64)
+        return np.abs(df["cents"].to_numpy().astype(np.float64) - mus)
+
+    def cal_pass(t: pa.Table) -> pa.Table:
+        return pa.table({"r": pa.array(residuals(t, 2))})
+
+    cal = lab.map_batches(cal_pass, batch_format="pyarrow").to_pandas()["r"].to_numpy()
+    n_cal = len(cal)
+    k = (9 * (n_cal + 1) + 9) // 10  # exact-int ceil(0.9 * (n_cal + 1))
+    qhat = float(np.partition(cal, k - 1)[k - 1])
+
+    def test_pass(t: pa.Table) -> pa.Table:
+        r = residuals(t, 3)
+        return pa.table(
+            {
+                "pn": pa.array([len(r)], pa.int64()),
+                "pc": pa.array([int((r <= qhat).sum())], pa.int64()),
+            }
+        )
+
+    ts = lab.map_batches(test_pass, batch_format="pyarrow").to_pandas()
+    n_test, covered = int(ts["pn"].sum()), int(ts["pc"].sum())
+    return pd.DataFrame(
+        [
+            {
+                "n_cal": n_cal,
+                "qhat": qhat,
+                "n_test": n_test,
+                "covered": covered,
+                "coverage": float(covered) / n_test,
+            }
+        ]
+    )

@@ -868,3 +868,23 @@ def test_link_prediction_hub_cap_bounds_wedges(ray_session):
     capped = link_prediction_scores(ds, "x", "y", k=10, max_neighbors_per_apex=3)
     merged = capped.merge(full, on=["node_a", "node_b"], suffixes=("_c", "_f"))
     assert (merged["cn_c"] <= merged["cn_f"]).all()
+
+
+def test_jsd_bounds(ray_session):
+    import math
+
+    from perfect_bloomfilter_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["event_type_jsd_drift"]("/root/testdata/sf0.001").iloc[0]
+    assert 0.0 <= float(out["jsd"]) <= math.log(2) + 1e-12
+
+
+def test_conformal_coverage_near_target(ray_session):
+    """Split conformal guarantees coverage >= 1 - alpha in expectation;
+    on a 25k-row test fold the empirical value stays in a wide band."""
+    from perfect_bloomfilter_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["conformal_value_intervals"]("/root/testdata/sf0.001").iloc[0]
+    assert 0.8 <= float(out["coverage"]) <= 1.0
+    assert float(out["qhat"]) > 0
+    assert int(out["covered"]) <= int(out["n_test"])
