@@ -324,6 +324,9 @@ SUITE = [
     "hourly_fano_factor_per_type",
     "event_type_jsd_drift",
     "conformal_value_intervals",
+    "ab_conversion_ztest",
+    "fellegi_sunter_linkage",
+    "zipf_rank_frequency_profile",
 ]
 
 

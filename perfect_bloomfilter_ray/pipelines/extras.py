@@ -5671,3 +5671,284 @@ def conformal_value_intervals(sf_dir: str):
             }
         ]
     )
+
+
+@q(
+    "ab_conversion_ztest",
+    sql="""
+    WITH u AS (SELECT user_id,
+                      CAST((user_id * 2654435761) % 2 AS BIGINT) AS variant,
+                      CAST(max(CASE WHEN event_type = 'purchase' AND value >= 150
+                               THEN 1 ELSE 0 END) AS BIGINT) AS conv
+               FROM events GROUP BY user_id),
+    s AS (SELECT variant, CAST(count(*) AS BIGINT) AS n, CAST(sum(conv) AS BIGINT) AS x
+          FROM u GROUP BY variant),
+    w AS (SELECT
+            (SELECT n FROM s WHERE variant = 0) AS n0,
+            (SELECT x FROM s WHERE variant = 0) AS x0,
+            (SELECT n FROM s WHERE variant = 1) AS n1,
+            (SELECT x FROM s WHERE variant = 1) AS x1)
+    SELECT n0, x0, n1, x1,
+           CAST(x0 AS DOUBLE) / n0 AS p0,
+           CAST(x1 AS DOUBLE) / n1 AS p1,
+           (CAST(x1 AS DOUBLE) / n1 - CAST(x0 AS DOUBLE) / n0)
+             / sqrt((CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
+                    * (1.0 - CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
+                    * (1.0 / n0 + 1.0 / n1)) AS z
+    FROM w
+    """,
+)
+def ab_conversion_ztest(sf_dir: str):
+    """Two-proportion z-test on user conversion (did the user ever make a
+    high-value purchase, value >= 150?) between the hash-split variants — the classic A/B readout next
+    to the CUPED one. Counts are exact ints from one per-user groupby +
+    variant reduce; p0/p1/z follow ONE fixed pooled-variance float
+    expression (divisions, one sqrt) so both sides agree bitwise."""
+    import math as _math
+
+    import polars as pl
+    from ray.data.aggregate import Max
+
+    ds = _t(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        return (
+            df.group_by("user_id")
+            .agg(
+                (
+                    (pl.col("event_type") == "purchase")
+                    & (pl.col("value").fill_null(-1.0) >= 150)
+                )
+                .any()
+                .cast(pl.Int64)
+                .alias("pconv")
+            )
+            .to_arrow()
+        )
+
+    users = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Max("pconv", alias_name="conv"))
+    )
+
+    def var_partials(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        conv = t.column("conv").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = (uid * 2654435761) % 2
+        return pa.table(
+            {
+                "variant": pa.array([0, 1], pa.int64()),
+                "pn": pa.array([int((v == 0).sum()), int((v == 1).sum())], pa.int64()),
+                "px": pa.array(
+                    [int(conv[v == 0].sum()), int(conv[v == 1].sum())], pa.int64()
+                ),
+            }
+        )
+
+    s = (
+        users.map_batches(var_partials, batch_format="pyarrow")
+        .groupby("variant")
+        .aggregate(Sum("pn", alias_name="n"), Sum("px", alias_name="x"))
+        .to_pandas()
+        .set_index("variant")
+    )
+    n0, x0 = int(s.loc[0, "n"]), int(s.loc[0, "x"])
+    n1, x1 = int(s.loc[1, "n"]), int(s.loc[1, "x"])
+    p0, p1 = float(x0) / n0, float(x1) / n1
+    pp = float(x0 + x1) / (n0 + n1)
+    z = (float(x1) / n1 - float(x0) / n0) / _math.sqrt(
+        pp * (1.0 - pp) * (1.0 / n0 + 1.0 / n1)
+    )
+    return pd.DataFrame(
+        [{"n0": n0, "x0": x0, "n1": n1, "x1": x1, "p0": p0, "p1": p1, "z": z}]
+    )
+
+
+@q(
+    "fellegi_sunter_linkage",
+    sql="""
+    WITH snap AS (
+      SELECT doc_id, lang, source, n_chars,
+             substr(lower(text), 1, 8) AS pfx,
+             n_chars // 16 AS band
+      FROM documents
+    ),
+    b AS (SELECT doc_id + 1000000 AS doc_id, lang, source,
+                 CAST(n_chars + CAST((doc_id * 2654435761) % 3 AS BIGINT) - 1 AS BIGINT) AS n_chars,
+                 pfx, (n_chars + CAST((doc_id * 2654435761) % 3 AS BIGINT) - 1) // 16 AS band
+          FROM snap WHERE doc_id % 25 = 0),
+    cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                    CASE WHEN a.lang = b.lang THEN 1 ELSE 0 END AS g_lang,
+                    CASE WHEN a.source = b.source THEN 1 ELSE 0 END AS g_source,
+                    CASE WHEN a.n_chars = b.n_chars THEN 1 ELSE 0 END AS g_len,
+                    CASE WHEN a.pfx = b.pfx THEN 1 ELSE 0 END AS g_pfx
+             FROM snap a JOIN b ON a.lang = b.lang AND a.band = b.band),
+    scored AS (SELECT id_a, id_b, g_lang, g_source, g_len, g_pfx,
+        (CASE WHEN g_lang = 1 THEN CAST(0.7472144018302211 AS DOUBLE) ELSE CAST(-2.2512917986064953 AS DOUBLE) END)
+      + (CASE WHEN g_source = 1 THEN CAST(2.07944154167984 AS DOUBLE) ELSE CAST(-1.5141277326297755 AS DOUBLE) END)
+      + (CASE WHEN g_len = 1 THEN CAST(3.506557897319982 AS DOUBLE) ELSE CAST(-0.35667494393873245 AS DOUBLE) END)
+      + (CASE WHEN g_pfx = 1 THEN CAST(4.199705077879927 AS DOUBLE) ELSE CAST(-0.5108256237659907 AS DOUBLE) END) AS score
+      FROM cand)
+    SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+           CAST(sum(CASE WHEN score >= 6.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_links,
+           CAST(sum(CASE WHEN score >= 0.0 AND score < 6.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_possible,
+           CAST(sum(CASE WHEN score < 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonlinks,
+           CAST(sum(CASE WHEN score >= 6.0 AND id_b - 1000000 = id_a THEN 1 ELSE 0 END) AS BIGINT) AS true_links_found
+    FROM scored
+    """,
+)
+def fellegi_sunter_linkage(sf_dir: str):
+    """Probabilistic record linkage (Fellegi-Sunter 1969): a re-ingested
+    snapshot slice (every 25th doc, ids shifted, length perturbed ±1 by a
+    deterministic residue — the dirty-copy model) links back against the
+    corpus through (lang, length-band) blocking; each candidate pair's
+    agreement pattern over four fields scores fixed ln(m/u) weights that
+    add in ONE fixed order (the pivot-chain trick), and the score
+    thresholds split link / possible / non-link. The blocking join is the
+    broadcast-small-side shape (the snapshot slice is 4% of the corpus);
+    weights are compile-time constants so both sides agree bitwise."""
+    import ray
+
+    docs = _t(sf_dir, "documents", ["doc_id", "lang", "source", "n_chars", "text"]).materialize()
+
+    W = {
+        "lang": (0.7472144018302211, -2.2512917986064953),
+        "source": (2.07944154167984, -1.5141277326297755),
+        "len": (3.506557897319982, -0.35667494393873245),
+        "pfx": (4.199705077879927, -0.5108256237659907),
+    }
+
+    def snap_b(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ids % 25 == 0
+        kt = t.filter(pa.array(keep))
+        kid = kt.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        nch = kt.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        nch2 = nch + (kid * 2654435761) % 3 - 1
+        txt = pc.utf8_slice_codeunits(pc.utf8_lower(kt.column("text")), 0, 8)
+        return pa.table(
+            {
+                "doc_id": pa.array(kid + 1_000_000),
+                "lang": kt.column("lang"),
+                "source": kt.column("source"),
+                "n_chars": pa.array(nch2),
+                "pfx": txt,
+                "band": pa.array(nch2 // 16),
+            }
+        )
+
+    bt = pa.concat_tables(
+        docs.map_batches(snap_b, batch_format="pyarrow").iter_batches(batch_format="pyarrow")
+    )
+    b_ref = ray.put(bt)
+
+    def score_block(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        b = pl.from_arrow(ray.get(b_ref))
+        a = pl.from_arrow(t).with_columns(
+            pl.col("text").fill_null("").str.to_lowercase().str.slice(0, 8).alias("pfx"),
+            (pl.col("n_chars") // 16).alias("band"),
+        )
+        j = a.join(
+            b,
+            left_on=["lang", "band"],
+            right_on=["lang", "band"],
+            how="inner",
+            suffix="_b",
+        )
+        if len(j) == 0:
+            return pa.table(
+                {k: pa.array([0], pa.int64()) for k in
+                 ("pn", "plinks", "pposs", "pnon", "ptrue")}
+            )
+        g_lang = np.ones(len(j), dtype=bool)  # blocked on lang: always agrees
+        g_source = (j["source"] == j["source_b"]).to_numpy()
+        g_len = (j["n_chars"] == j["n_chars_b"]).to_numpy()
+        g_pfx = (j["pfx"] == j["pfx_b"]).to_numpy()
+        score = (
+            np.where(g_lang, W["lang"][0], W["lang"][1])
+            + np.where(g_source, W["source"][0], W["source"][1])
+            + np.where(g_len, W["len"][0], W["len"][1])
+            + np.where(g_pfx, W["pfx"][0], W["pfx"][1])
+        )
+        ida = j["doc_id"].to_numpy()
+        idb = j["doc_id_b"].to_numpy()
+        links = score >= 6.0
+        return pa.table(
+            {
+                "pn": pa.array([len(j)], pa.int64()),
+                "plinks": pa.array([int(links.sum())], pa.int64()),
+                "pposs": pa.array([int(((score >= 0.0) & (score < 6.0)).sum())], pa.int64()),
+                "pnon": pa.array([int((score < 0.0).sum())], pa.int64()),
+                "ptrue": pa.array([int((links & (idb - 1_000_000 == ida)).sum())], pa.int64()),
+            }
+        )
+
+    s = docs.map_batches(score_block, batch_format="pyarrow").to_pandas().sum()
+    return pd.DataFrame(
+        [
+            {
+                "n_candidates": int(s["pn"]),
+                "n_links": int(s["plinks"]),
+                "n_possible": int(s["pposs"]),
+                "n_nonlinks": int(s["pnon"]),
+                "true_links_found": int(s["ptrue"]),
+            }
+        ]
+    )
+
+
+@q("zipf_rank_frequency_profile")
+def zipf_rank_frequency_profile(sf_dir: str):
+    """Zipf rank-frequency profile of the corpus vocabulary: global token
+    counts (one (token) groupby with per-batch partials), exact integer
+    ranks by (count DESC, token), and the log-log OLS slope over the top
+    1000 ranks — the corpus-health number (natural text ≈ −1; templated
+    corpora flatten). Rows-only: the slope is a float regression over
+    ln(rank)/ln(count) sums whose addition order is pinned only on the
+    driver (vocab-cardinality), not SQL-reproducible; pytest checks the
+    slope sign, the rank-1 token, and count monotonicity."""
+    import math as _math
+
+    import polars as pl
+
+    docs = _t(sf_dir, "documents", ["text"])
+
+    def tok_partials(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        return (
+            df.select(
+                pl.col("text").fill_null("").str.to_lowercase()
+                .str.extract_all(r"[a-z0-9]+").alias("tok")
+            )
+            .explode("tok")
+            .drop_nulls("tok")
+            .group_by("tok")
+            .agg(pl.len().cast(pl.Int64).alias("pc"))
+            .to_arrow()
+        )
+
+    vc = (
+        docs.map_batches(tok_partials, batch_format="pyarrow")
+        .groupby("tok")
+        .aggregate(Sum("pc", alias_name="c"))
+        .to_pandas()
+        .sort_values(["c", "tok"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    top = vc.head(1000)
+    ranks = np.arange(1, len(top) + 1, dtype=np.float64)
+    lx = np.log(ranks)
+    ly = np.log(top["c"].to_numpy().astype(np.float64))
+    n = len(lx)
+    sx, sy = lx.sum(), ly.sum()
+    sxx, sxy = (lx * lx).sum(), (lx * ly).sum()
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    out = top.head(20).copy()
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    out["zipf_slope_top1000"] = slope
+    out["n_types"] = int(len(vc))
+    return out[["rank", "tok", "c", "zipf_slope_top1000", "n_types"]]

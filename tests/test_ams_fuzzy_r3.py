@@ -888,3 +888,46 @@ def test_conformal_coverage_near_target(ray_session):
     assert 0.8 <= float(out["coverage"]) <= 1.0
     assert float(out["qhat"]) > 0
     assert int(out["covered"]) <= int(out["n_test"])
+
+
+def test_ztest_consistency(ray_session):
+    from perfect_bloomfilter_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["ab_conversion_ztest"]("/root/testdata/sf0.001").iloc[0]
+    assert int(out["x0"]) <= int(out["n0"]) and int(out["x1"]) <= int(out["n1"])
+    assert 0 < float(out["p0"]) < 1 and 0 < float(out["p1"]) < 1
+    # hash split is not a real treatment: |z| should not be astronomical
+    assert abs(float(out["z"])) < 10
+
+
+def test_fellegi_sunter_finds_reingested_slice(ray_session):
+    """Every re-ingested dirty copy must surface as a link (its agreement
+    pattern scores at least lang+source+pfx which clears the threshold)."""
+    import duckdb
+
+    from perfect_bloomfilter_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["fellegi_sunter_linkage"]("/root/testdata/sf0.001").iloc[0]
+    # blocking recall is exact and computable: a dirty copy is reachable
+    # unless its ±1 length perturbation crosses a //16 band boundary
+    n_reachable = duckdb.sql(
+        "SELECT count(*) FROM read_parquet('/root/testdata/sf0.001/documents.parquet') "
+        "WHERE doc_id % 25 = 0 "
+        "AND (n_chars + (doc_id * 2654435761) % 3 - 1) // 16 = n_chars // 16"
+    ).fetchone()[0]
+    assert int(out["true_links_found"]) == int(n_reachable)
+    assert int(out["n_links"]) >= int(out["true_links_found"])
+    assert (
+        int(out["n_links"]) + int(out["n_possible"]) + int(out["n_nonlinks"])
+        == int(out["n_candidates"])
+    )
+
+
+def test_zipf_profile_shape(ray_session):
+    from perfect_bloomfilter_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["zipf_rank_frequency_profile"]("/root/testdata/sf0.001")
+    assert len(out) == 20
+    c = out["c"].to_numpy()
+    assert (c[:-1] >= c[1:]).all()  # counts non-increasing by rank
+    assert float(out["zipf_slope_top1000"].iloc[0]) < 0
