@@ -327,6 +327,8 @@ SUITE = [
     "ab_conversion_ztest",
     "fellegi_sunter_linkage",
     "zipf_rank_frequency_profile",
+    "fk_integrity_audit",
+    "lang_purity_margin_census",
 ]
 
 

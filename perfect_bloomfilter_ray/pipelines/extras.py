@@ -5952,3 +5952,157 @@ def zipf_rank_frequency_profile(sf_dir: str):
     out["zipf_slope_top1000"] = slope
     out["n_types"] = int(len(vc))
     return out[["rank", "tok", "c", "zipf_slope_top1000", "n_types"]]
+
+
+@q(
+    "fk_integrity_audit",
+    sql="""
+    SELECT
+      CAST((SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+           AS BIGINT) AS lineitem_orphan_orders,
+      CAST((SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+           AS BIGINT) AS lineitem_orphan_parts,
+      CAST((SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+           AS BIGINT) AS order_orphan_customers,
+      CAST((SELECT count(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+           AS BIGINT) AS customer_orphan_nations,
+      CAST((SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey))
+           AS BIGINT) AS childless_orders
+    """,
+)
+def fk_integrity_audit(sf_dir: str):
+    """Referential-integrity audit across the star schema: orphan counts
+    for every FK edge (lineitem→orders, lineitem→part, orders→customer,
+    customer→nation) plus childless orders — the ingest-health check that
+    gates every warehouse load. Each edge is ONE Bloom-style anti-probe:
+    the key side builds a broadcast exact set (dimension keys are the
+    bounded side; the lineitem→orders direction uses the semi-join
+    machinery's sorted-array probe), fact rows stream once per edge."""
+    import ray
+
+    def key_set(table: str, col: str) -> "np.ndarray":
+        ds = _t(sf_dir, table, [col])
+        vals = (
+            ds.groupby(col).aggregate(Count(alias_name="_c")).to_pandas()[col].to_numpy()
+        )
+        return np.sort(vals.astype(np.int64))
+
+    def orphan_count(fact: str, fk: str, keys: np.ndarray) -> int:
+        ref = ray.put(keys)
+
+        def probe(t: pa.Table) -> pa.Table:
+            ks: np.ndarray = ray.get(ref)
+            v = t.column(fk).to_numpy(zero_copy_only=False).astype(np.int64)
+            idx = np.searchsorted(ks, v)
+            idx[idx >= len(ks)] = len(ks) - 1 if len(ks) else 0
+            miss = (len(ks) == 0) | (ks[idx] != v)
+            return pa.table({"pm": pa.array([int(np.asarray(miss).sum())], pa.int64())})
+
+        return int(_t(sf_dir, fact, [fk]).map_batches(probe, batch_format="pyarrow").sum("pm"))
+
+    orders_keys = key_set("orders", "o_orderkey")
+    li_keys = key_set("lineitem", "l_orderkey")
+    return pd.DataFrame(
+        [
+            {
+                "lineitem_orphan_orders": orphan_count("lineitem", "l_orderkey", orders_keys),
+                "lineitem_orphan_parts": orphan_count(
+                    "lineitem", "l_partkey", key_set("part", "p_partkey")
+                ),
+                "order_orphan_customers": orphan_count(
+                    "orders", "o_custkey", key_set("customer", "c_custkey")
+                ),
+                "customer_orphan_nations": orphan_count(
+                    "customer", "c_nationkey", key_set("nation", "n_nationkey")
+                ),
+                "childless_orders": orphan_count("orders", "o_orderkey", li_keys),
+            }
+        ]
+    )
+
+
+@q(
+    "lang_purity_margin_census",
+    sql="""
+    WITH s AS (
+        SELECT lang,
+            len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is)\\b')) AS s_en,
+            len(regexp_extract_all(lower(text), '\\b(der|und|die|nicht|ist)\\b')) AS s_de,
+            len(regexp_extract_all(lower(text), '\\b(le|et|les|des|est)\\b')) AS s_fr,
+            len(regexp_extract_all(lower(text), '\\b(el|los|que|es|una)\\b')) AS s_es,
+            len(regexp_extract_all(lower(text), '\\b(il|che|di|per|una)\\b')) AS s_it
+        FROM documents
+    ),
+    m AS (SELECT lang,
+                 greatest(s_en, s_de, s_fr, s_es, s_it) AS top1,
+                 CAST(s_en + s_de + s_fr + s_es + s_it
+                      - greatest(s_en, s_de, s_fr, s_es, s_it)
+                      - least(s_en, s_de, s_fr, s_es, s_it) AS BIGINT) AS mid3,
+                 least(s_en, s_de, s_fr, s_es, s_it) AS bot
+          FROM s)
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN top1 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_no_signal,
+           CAST(sum(top1) AS BIGINT) AS sum_top1,
+           CAST(sum(mid3) AS BIGINT) AS sum_mid3
+    FROM m GROUP BY lang ORDER BY lang
+    """,
+)
+def lang_purity_margin_census(sf_dir: str):
+    """Language-purity census: per labeled language, how concentrated is
+    the stopword evidence? sum_top1 vs sum_mid3 (everything between the
+    max and min scores) measures code-mixing — a corpus whose middle mass
+    rivals its top mass has blended or mislabeled documents. Pure integer
+    stopword counts from one scoring pass (the lang-id machinery's score
+    table), exact aggregation."""
+    from perfect_bloomfilter_ray.functions.text import lang_scores
+
+    ds = _t(sf_dir, "documents", ["lang", "text"])
+    LANGS = ["en", "de", "fr", "es", "it"]
+
+    def census(t: pa.Table) -> pa.Table:
+        sc = lang_scores(t.column("text"), langs=LANGS)
+        mat = np.stack([sc[lg].astype(np.int64) for lg in LANGS], axis=1)
+        top1 = mat.max(axis=1)
+        bot = mat.min(axis=1)
+        mid3 = mat.sum(axis=1) - top1 - bot
+        import polars as pl
+
+        df = pl.DataFrame(
+            {
+                "lang": t.column("lang").to_pylist(),
+                "top1": top1,
+                "mid3": mid3,
+            }
+        )
+        return (
+            df.group_by("lang")
+            .agg(
+                pl.len().cast(pl.Int64).alias("pn"),
+                (pl.col("top1") == 0).sum().cast(pl.Int64).alias("pz"),
+                pl.col("top1").sum().alias("pt"),
+                pl.col("mid3").sum().alias("pm"),
+            )
+            .to_arrow()
+        )
+
+    out = (
+        ds.map_batches(census, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("pn", alias_name="n_docs"),
+            Sum("pz", alias_name="n_no_signal"),
+            Sum("pt", alias_name="sum_top1"),
+            Sum("pm", alias_name="sum_mid3"),
+        )
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    for c in ("n_docs", "n_no_signal", "sum_top1", "sum_mid3"):
+        out[c] = out[c].astype("int64")
+    return out[["lang", "n_docs", "n_no_signal", "sum_top1", "sum_mid3"]]

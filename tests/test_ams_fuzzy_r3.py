@@ -931,3 +931,27 @@ def test_zipf_profile_shape(ray_session):
     c = out["c"].to_numpy()
     assert (c[:-1] >= c[1:]).all()  # counts non-increasing by rank
     assert float(out["zipf_slope_top1000"].iloc[0]) < 0
+
+
+def test_fk_integrity_clean_schema(ray_session):
+    """The synthetic star schema is referentially clean by construction."""
+    from perfect_bloomfilter_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["fk_integrity_audit"]("/root/testdata/sf0.001").iloc[0]
+    assert int(out["lineitem_orphan_orders"]) == 0
+    assert int(out["order_orphan_customers"]) == 0
+    assert int(out["customer_orphan_nations"]) == 0
+    assert int(out["childless_orders"]) >= 0
+
+
+def test_lang_purity_counts_conserve(ray_session):
+    import duckdb
+
+    from perfect_bloomfilter_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["lang_purity_margin_census"]("/root/testdata/sf0.001")
+    tot = duckdb.sql(
+        "SELECT count(*) FROM read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    ).fetchone()[0]
+    assert int(out["n_docs"].sum()) == int(tot)
+    assert (out["n_no_signal"] <= out["n_docs"]).all()
