@@ -329,6 +329,8 @@ SUITE = [
     "zipf_rank_frequency_profile",
     "fk_integrity_audit",
     "lang_purity_margin_census",
+    "contrastive_training_triplets",
+    "user_peak_minute_rate",
 ]
 
 

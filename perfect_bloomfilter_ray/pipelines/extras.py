@@ -6106,3 +6106,198 @@ def lang_purity_margin_census(sf_dir: str):
     for c in ("n_docs", "n_no_signal", "sum_top1", "sum_mid3"):
         out[c] = out[c].astype("int64")
     return out[["lang", "n_docs", "n_no_signal", "sum_top1", "sum_mid3"]]
+
+
+@q(
+    "contrastive_training_triplets",
+    sql="""
+    WITH pl AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                WHERE l_partkey % 4 = 0),
+    e AS (SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+          FROM pl a JOIN pl b ON a.l_orderkey = b.l_orderkey
+                              AND a.l_partkey < b.l_partkey),
+    nodes AS (SELECT DISTINCT node FROM
+              (SELECT x AS node FROM e UNION ALL SELECT y FROM e)),
+    idx AS (SELECT node, CAST(row_number() OVER (ORDER BY node) - 1 AS BIGINT) AS i
+            FROM nodes),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS c FROM nodes),
+    anch AS (SELECT node AS a,
+                    (SELECT min(CASE WHEN e.x = node THEN e.y ELSE e.x END)
+                     FROM e WHERE e.x = node OR e.y = node) AS pos
+             FROM idx),
+    cand AS (SELECT a, pos,
+        (SELECT node FROM idx, nn WHERE i = (a * 40503 + 0 * 9176) % nn.c) AS c0,
+        (SELECT node FROM idx, nn WHERE i = (a * 40503 + 1 * 9176) % nn.c) AS c1,
+        (SELECT node FROM idx, nn WHERE i = (a * 40503 + 2 * 9176) % nn.c) AS c2
+      FROM anch),
+    trip AS (SELECT a, pos,
+        CASE
+          WHEN c0 <> a AND NOT EXISTS (SELECT 1 FROM e WHERE (e.x = a AND e.y = c0)
+                                                          OR (e.x = c0 AND e.y = a)) THEN c0
+          WHEN c1 <> a AND NOT EXISTS (SELECT 1 FROM e WHERE (e.x = a AND e.y = c1)
+                                                          OR (e.x = c1 AND e.y = a)) THEN c1
+          WHEN c2 <> a AND NOT EXISTS (SELECT 1 FROM e WHERE (e.x = a AND e.y = c2)
+                                                          OR (e.x = c2 AND e.y = a)) THEN c2
+          ELSE NULL END AS neg
+      FROM cand)
+    SELECT a AS anchor, pos AS positive, neg AS negative
+    FROM trip WHERE neg IS NOT NULL
+    ORDER BY a LIMIT 25
+    """,
+)
+def contrastive_training_triplets(sf_dir: str):
+    """Contrastive training-pair generation over the co-purchase graph:
+    for every anchor node, positive = its smallest co-purchased neighbor
+    and negative = the FIRST of three deterministic probe candidates
+    (index (a·40503 + k·9176) mod |V| into the sorted node list) that is
+    neither the anchor nor a neighbor — the in-batch negative-sampling
+    recipe of every embedding trainer, made rerun-stable. Edge membership
+    probes the packed sorted edge set broadcast once (the triangle-closure
+    gate shape); the node list is node-cardinality state. Returns the
+    first 25 triplets by anchor."""
+    from ray.data.aggregate import Min
+
+    from perfect_bloomfilter_ray.stages.cooccur import distinct_pairs
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]).map_batches(
+        lambda t: t.filter(
+            pc.equal(
+                pc.bit_wise_and(t.column("l_partkey"), pa.scalar(3, pa.int64())),
+                pa.scalar(0, pa.int64()),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    edges = distinct_pairs(li, "l_orderkey", "l_partkey").materialize()
+
+    import polars as pl
+
+    def adj_min(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        adj = pl.concat(
+            [
+                df.select(pl.col("item_a").alias("node"), pl.col("item_b").alias("nb")),
+                df.select(pl.col("item_b").alias("node"), pl.col("item_a").alias("nb")),
+            ]
+        )
+        return adj.group_by("node").agg(pl.col("nb").min().alias("pmin")).to_arrow()
+
+    pos = (
+        edges.map_batches(adj_min, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Min("pmin", alias_name="pos"))
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    nodes = pos["node"].to_numpy().astype(np.int64)  # sorted
+    n = len(nodes)
+
+    def pack(t: pa.Table) -> pa.Table:
+        a = t.column("item_a").to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t.column("item_b").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table({"k": pa.array((a << np.uint64(32)) | b)})
+
+    packed = np.sort(
+        pa.concat_tables(
+            edges.map_batches(pack, batch_format="pyarrow").iter_batches(batch_format="pyarrow")
+        ).column("k").to_numpy(zero_copy_only=False)
+    )
+
+    def is_edge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        lo = np.minimum(a, b).astype(np.uint64)
+        hi = np.maximum(a, b).astype(np.uint64)
+        k = (lo << np.uint64(32)) | hi
+        idx = np.searchsorted(packed, k)
+        idx[idx >= len(packed)] = len(packed) - 1
+        return packed[idx] == k
+
+    a = nodes
+    neg = np.full(n, -1, dtype=np.int64)
+    unresolved = np.ones(n, dtype=bool)
+    for k in range(3):
+        cand = nodes[(a * 40503 + k * 9176) % n]
+        ok = unresolved & (cand != a) & ~is_edge(a, cand)
+        neg[ok] = cand[ok]
+        unresolved &= ~ok
+    out = pd.DataFrame(
+        {"anchor": a, "positive": pos["pos"].to_numpy().astype(np.int64), "negative": neg}
+    )
+    out = out[out["negative"] >= 0].sort_values("anchor").head(25).reset_index(drop=True)
+    return out[["anchor", "positive", "negative"]]
+
+
+@q(
+    "user_peak_minute_rate",
+    sql="""
+    WITH r AS (SELECT user_id,
+                      count(*) OVER (PARTITION BY user_id ORDER BY ts
+                                     RANGE BETWEEN INTERVAL 60 SECONDS PRECEDING
+                                               AND CURRENT ROW) AS c
+               FROM events),
+    p AS (SELECT user_id, CAST(max(c) AS BIGINT) AS peak FROM r GROUP BY user_id)
+    SELECT user_id, peak FROM p
+    ORDER BY peak DESC, user_id LIMIT 20
+    """,
+)
+def user_peak_minute_rate(sf_dir: str):
+    """Rate-limit audit: each user's PEAK events-per-minute (sliding
+    event-time window, RANGE semantics — equal timestamps are peers on
+    both sides) and the top-20 offenders. One user-co-partitioned
+    exchange; inside a partition the packed (user, µs) key makes the
+    whole window census two searchsorteds over the partition — no
+    per-user loop. Counts are exact ints."""
+    import polars as pl
+    import ray
+
+    from perfect_bloomfilter_ray.functions.hashing import hash64
+    from perfect_bloomfilter_ray.stages.partitioning import choose_num_blocks
+
+    ds = _t(sf_dir, "events", ["user_id", "ts"])
+    nb = choose_num_blocks(ds)
+
+    def route(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        h = hash64(df["user_id"], 0x5A1)
+        return df.with_columns(
+            pl.Series("_p", (h % np.uint64(nb)).astype(np.int32))
+        ).to_arrow()
+
+    def peaks(t: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(t.drop_columns(["_p"]))
+            .sort(["user_id", "ts"])
+            .with_columns(pl.col("ts").dt.epoch("us").alias("us"))
+        )
+        if len(df) == 0:
+            return pa.table(
+                {"user_id": pa.array([], pa.int64()), "peak": pa.array([], pa.int64())}
+            )
+        uid = df["user_id"].to_numpy()
+        us = df["us"].to_numpy().astype(np.int64)
+        _, uidx = np.unique(uid, return_inverse=True)
+        rel = us - us.min()
+        key = uidx.astype(np.int64) * np.int64(1 << 43) + rel
+        lo = np.searchsorted(key, key - np.int64(60_000_000), side="left")
+        hi = np.searchsorted(key, key, side="right")  # RANGE: peers included
+        cnt = hi - lo
+        out = (
+            pl.DataFrame({"user_id": uid, "c": cnt})
+            .group_by("user_id")
+            .agg(pl.col("c").max().alias("peak"))
+        )
+        return out.to_arrow()
+
+    out = (
+        ds.map_batches(route, batch_format="pyarrow")
+        .groupby("_p")
+        .map_groups(peaks, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = (
+        out.sort_values(["peak", "user_id"], ascending=[False, True])
+        .head(20)
+        .reset_index(drop=True)
+    )
+    out["peak"] = out["peak"].astype("int64")
+    return out[["user_id", "peak"]]

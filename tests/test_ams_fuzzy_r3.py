@@ -955,3 +955,34 @@ def test_lang_purity_counts_conserve(ray_session):
     ).fetchone()[0]
     assert int(out["n_docs"].sum()) == int(tot)
     assert (out["n_no_signal"] <= out["n_docs"]).all()
+
+
+def test_contrastive_triplets_contract(ray_session):
+    """Positives are edges, negatives never are, anchors never self-pair."""
+    import duckdb
+
+    from perfect_bloomfilter_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["contrastive_training_triplets"]("/root/testdata/sf0.001")
+    edges = duckdb.sql("""
+        WITH pl AS (SELECT DISTINCT l_orderkey, l_partkey
+                    FROM read_parquet('/root/testdata/sf0.001/lineitem.parquet')
+                    WHERE l_partkey % 4 = 0)
+        SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+        FROM pl a JOIN pl b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    """).fetchdf()
+    eset = set(zip(edges["x"], edges["y"]))
+    for _, r in out.iterrows():
+        a, p, ng = int(r["anchor"]), int(r["positive"]), int(r["negative"])
+        assert (min(a, p), max(a, p)) in eset
+        assert (min(a, ng), max(a, ng)) not in eset
+        assert ng != a
+
+
+def test_peak_rate_sane(ray_session):
+    from perfect_bloomfilter_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["user_peak_minute_rate"]("/root/testdata/sf0.001")
+    assert 1 <= len(out) <= 20  # sf0.001 has only 15 users
+    p = out["peak"].to_numpy()
+    assert (p >= 1).all() and (p[:-1] >= p[1:]).all()
