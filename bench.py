@@ -331,6 +331,7 @@ SUITE = [
     "lang_purity_margin_census",
     "contrastive_training_triplets",
     "user_peak_minute_rate",
+    "peak_concurrent_sessions",
 ]
 
 

@@ -6301,3 +6301,158 @@ def user_peak_minute_rate(sf_dir: str):
     )
     out["peak"] = out["peak"].astype("int64")
     return out[["user_id", "peak"]]
+
+
+@q(
+    "peak_concurrent_sessions",
+    sql="""
+    WITH d AS (SELECT user_id, ts,
+                      CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+               FROM events),
+    s AS (SELECT user_id, ts,
+                 sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+          FROM d),
+    iv AS (SELECT user_id, sid, min(ts) AS st, max(ts) AS en FROM s GROUP BY 1, 2),
+    pts AS (SELECT st AS t, 1 AS delta FROM iv
+            UNION ALL SELECT en, -1 FROM iv),
+    run AS (SELECT t, CAST(sum(delta) OVER (ORDER BY t, delta DESC) AS BIGINT) AS running
+            FROM pts)
+    SELECT CAST((SELECT count(*) FROM iv) AS BIGINT) AS n_sessions,
+           CAST((SELECT max(running) FROM run) AS BIGINT) AS peak_concurrent,
+           (SELECT t FROM run ORDER BY running DESC, t LIMIT 1) AS peak_at
+    """,
+)
+def peak_concurrent_sessions(sf_dir: str):
+    """Peak concurrency: the maximum number of simultaneously active
+    sessions (30-min-gap sessionization, sessions inclusive of their
+    endpoints) and the earliest instant it occurs — the capacity-planning
+    number. The sweep is the classic +1/−1 boundary census made
+    distributed: session intervals come from one user-co-partitioned
+    sessionization pass; boundary points collapse by (µs, kind) in one
+    groupby; and the GLOBAL running sum runs WITHOUT a global sort via
+    order-preserving range buckets over the packed (2·µs + is_end) key —
+    per-bucket delta subtotals broadcast back as exclusive offsets, each
+    bucket finishes its own cumsum and reports its local (max, argmax)
+    (the pps_systematic_sample prefix machinery). Tie rule both sides:
+    starts sweep before ends at equal time (RANGE peers collapse
+    identically). Exact ints end to end."""
+    import polars as pl
+    import ray
+
+    from perfect_bloomfilter_ray.functions.hashing import hash64
+    from perfect_bloomfilter_ray.stages.partitioning import choose_num_blocks
+
+    ds = _t(sf_dir, "events", ["user_id", "ts"])
+    nb = choose_num_blocks(ds)
+
+    def route(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        h = hash64(df["user_id"], 0x61B)
+        return df.with_columns(
+            pl.Series("_p", (h % np.uint64(nb)).astype(np.int32))
+        ).to_arrow()
+
+    def sessions(t: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(t.drop_columns(["_p"]))
+            .sort(["user_id", "ts"])
+            .with_columns(pl.col("ts").dt.epoch("us").alias("us"))
+        )
+        gap = np.int64(30 * 60 * 1_000_000)
+        uid = df["user_id"].to_numpy()
+        us = df["us"].to_numpy().astype(np.int64)
+        if len(uid) == 0:
+            return pa.table(
+                {"st": pa.array([], pa.int64()), "en": pa.array([], pa.int64())}
+            )
+        new_user = np.concatenate([[True], uid[1:] != uid[:-1]])
+        # a user's first row always opens a session, whatever the time delta
+        # vs the previous user's last row
+        new_sess = new_user | (np.concatenate([[gap + 1], np.diff(us)]) > gap)
+        starts = np.flatnonzero(new_sess)
+        ends = np.append(starts[1:], len(us)) - 1
+        return pa.table({"st": pa.array(us[starts]), "en": pa.array(us[ends])})
+
+    iv = (
+        ds.map_batches(route, batch_format="pyarrow")
+        .groupby("_p")
+        .map_groups(sessions, batch_format="pyarrow")
+        .materialize()
+    )
+    n_sessions = iv.count()
+
+    def points(t: pa.Table) -> pa.Table:
+        st = t.column("st").to_numpy(zero_copy_only=False)
+        en = t.column("en").to_numpy(zero_copy_only=False)
+        # packed sweep key: starts (even) sort before ends (odd) at equal µs
+        k = np.concatenate([st * 2, en * 2 + 1])
+        d = np.concatenate(
+            [np.ones(len(st), np.int64), -np.ones(len(en), np.int64)]
+        )
+        return (
+            pl.DataFrame({"k": k, "pd": d})
+            .group_by("k")
+            .agg(pl.col("pd").sum())
+            .to_arrow()
+        )
+
+    pts = (
+        iv.map_batches(points, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("pd", alias_name="d"))
+        .materialize()
+    )
+    from ray.data.aggregate import Max, Min
+
+    kmin = int(pts.aggregate(Min("k"))["min(k)"])
+    kmax = int(pts.aggregate(Max("k"))["max(k)"])
+    span = max(1, kmax - kmin + 1)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        k = t.column("k").to_numpy(zero_copy_only=False)
+        b = ((k - kmin) * nb) // span
+        return t.append_column("_b", pa.array(b.astype(np.int32)))
+
+    bk = pts.map_batches(bucketize, batch_format="pyarrow").materialize()
+    subs = (
+        bk.groupby("_b")
+        .aggregate(Sum("d", alias_name="bd"))
+        .to_pandas()
+        .sort_values("_b")
+        .reset_index(drop=True)
+    )
+    offs = np.concatenate([[0], subs["bd"].to_numpy().astype(np.int64).cumsum()[:-1]])
+    off_ref = ray.put((subs["_b"].to_numpy().astype(np.int64), offs.astype(np.int64)))
+
+    def bucket_peak(t: pa.Table) -> pa.Table:
+        bs, os_ = ray.get(off_ref)
+        b = int(t.column("_b")[0].as_py())
+        off = int(os_[np.searchsorted(bs, b)])
+        k = t.column("k").to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t.column("d").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(k)
+        k, d = k[order], d[order]
+        run = off + d.cumsum()
+        best = np.lexsort((k, -run))[0]
+        return pa.table(
+            {
+                "peak": pa.array([int(run[best])], pa.int64()),
+                "at_k": pa.array([int(k[best])], pa.int64()),
+            }
+        )
+
+    peaks = (
+        bk.groupby("_b").map_groups(bucket_peak, batch_format="pyarrow").to_pandas()
+    )
+    best = peaks.sort_values(["peak", "at_k"], ascending=[False, True]).iloc[0]
+    peak_at = pd.Timestamp(int(best["at_k"]) // 2, unit="us")
+    return pd.DataFrame(
+        [
+            {
+                "n_sessions": int(n_sessions),
+                "peak_concurrent": int(best["peak"]),
+                "peak_at": peak_at,
+            }
+        ]
+    )

@@ -986,3 +986,26 @@ def test_peak_rate_sane(ray_session):
     assert 1 <= len(out) <= 20  # sf0.001 has only 15 users
     p = out["peak"].to_numpy()
     assert (p >= 1).all() and (p[:-1] >= p[1:]).all()
+
+
+def test_peak_concurrency_brute_force(ray_session):
+    """Sweep result equals a brute-force interval-overlap maximum."""
+    import duckdb
+
+    from perfect_bloomfilter_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["peak_concurrent_sessions"]("/root/testdata/sf0.001").iloc[0]
+    iv = duckdb.sql("""
+        WITH d AS (SELECT user_id, ts,
+                          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                    > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+                   FROM read_parquet('/root/testdata/sf0.001/events.parquet')),
+        s AS (SELECT user_id, ts, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts) AS sid FROM d)
+        SELECT min(ts) st, max(ts) en FROM s GROUP BY user_id, sid
+    """).fetchdf()
+    assert int(out["n_sessions"]) == len(iv)
+    # brute force: concurrency at every session start
+    st = iv["st"].to_numpy()
+    en = iv["en"].to_numpy()
+    peak = max(int(((st <= t) & (en >= t)).sum()) for t in st)
+    assert int(out["peak_concurrent"]) == peak
