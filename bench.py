@@ -332,6 +332,10 @@ SUITE = [
     "contrastive_training_triplets",
     "user_peak_minute_rate",
     "peak_concurrent_sessions",
+    "rank1_als_scores",
+    "ips_policy_value",
+    "did_value_estimate",
+    "counting_bloom_delete_roundtrip",
 ]
 
 

@@ -16,6 +16,7 @@ import pyarrow.compute as pc
 from ray.data.aggregate import Count, Sum
 
 from perfect_bloomfilter_ray.pipelines.queries import QUERIES, _t, q
+from perfect_bloomfilter_ray.stages.partitioning import choose_join_partitions
 
 # modulus/multiplier for the table fingerprint: Mersenne prime 2^31-1 keeps
 # every per-row product below 2^62 (int64-safe in numpy), A is the classic
@@ -6453,6 +6454,312 @@ def peak_concurrent_sessions(sf_dir: str):
                 "n_sessions": int(n_sessions),
                 "peak_concurrent": int(best["peak"]),
                 "peak_at": peak_at,
+            }
+        ]
+    )
+
+
+@q(
+    "rank1_als_scores",
+    sql="""
+    WITH r AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+               FROM events GROUP BY 1, 2),
+    n AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n_i FROM r GROUP BY 1),
+    a AS (SELECT r.event_type, CAST(sum(r.c * n.n_i) AS BIGINT) AS a_j
+          FROM r JOIN n USING (user_id) GROUP BY 1),
+    b AS (SELECT CAST(sum(n_i * n_i) AS BIGINT) AS bb FROM n)
+    SELECT n.user_id, a.event_type,
+           CAST(n.n_i * a.a_j AS DOUBLE) / b.bb AS als_score
+    FROM n CROSS JOIN a CROSS JOIN b
+    ORDER BY user_id, event_type
+    """,
+)
+def rank1_als_scores(sf_dir: str):
+    """Rank-1 ALS matrix factorization (Hu/Koren/Volinsky 2008 shape, k=1)
+    over the implicit user x event-type count matrix — scores EVERY
+    (user, type) pair including unseen ones, the recommendation use case.
+    One alternating sweep from v=1 is EXACT INTEGER arithmetic: u_i = n_i/J
+    and v_j = J*A_j/B with A_j = sum_i c_ij*n_i, B = sum_i n_i^2, so the
+    predicted score u_i*v_j = n_i*A_j/B is ONE int->double division —
+    bit-identical to the SQL oracle. Distribution: counts and n_i are two
+    pre-aggregated groupbys, A_j folds through a Ray-native hash join (one
+    co-partitioning shuffle), B is a tree-summed scalar, and scoring is a
+    shuffle-free flat map over the user table with the 5-row (a_j) vector
+    broadcast — no stage ever holds the user set in one process."""
+    r = (
+        _t(sf_dir, "events", ["user_id", "event_type"])
+        .groupby(["user_id", "event_type"])
+        .aggregate(Count(alias_name="c"))
+    ).materialize()
+    n = r.groupby("user_id").aggregate(Sum("c", alias_name="n_i")).materialize()
+
+    def sq(t: pa.Table) -> pa.Table:
+        v = t.column("n_i").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"s": pa.array([int((v * v).sum())], pa.int64())})
+
+    bb = int(n.map_batches(sq, batch_format="pyarrow").sum("s"))
+
+    rn = r.join(n, "inner", num_partitions=choose_join_partitions(), on=("user_id",))
+
+    def prod(t: pa.Table) -> pa.Table:
+        c = t.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        ni = t.column("n_i").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"event_type": t.column("event_type"), "p": pa.array(c * ni)})
+
+    a = (
+        rn.map_batches(prod, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("p", alias_name="a_j"))
+        .to_pandas()
+        .sort_values("event_type")
+    )
+    types = a["event_type"].tolist()
+    a_j = a["a_j"].to_numpy(dtype=np.int64)
+    jn = len(types)
+
+    def score(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        ni = t.column("n_i").to_numpy(zero_copy_only=False).astype(np.int64)
+        num = np.repeat(ni, jn) * np.tile(a_j, len(ni))
+        return pa.table(
+            {
+                "user_id": pa.array(np.repeat(uid, jn)),
+                "event_type": pa.array(types * len(ni), pa.string()),
+                "als_score": pa.array(num.astype(np.float64) / float(bb)),
+            }
+        )
+
+    out = n.map_batches(score, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["user_id", "event_type"]).reset_index(drop=True)
+
+
+@q(
+    "ips_policy_value",
+    sql="""
+    WITH e AS (SELECT user_id % 4 AS segment, event_type,
+                      CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+    cell AS (SELECT segment, event_type, CAST(count(*) AS BIGINT) AS c,
+                    CAST(sum(cents) AS BIGINT) AS s
+             FROM e GROUP BY 1, 2),
+    j AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS jj FROM events),
+    seg AS (SELECT segment, CAST(sum(c) AS BIGINT) AS n_events,
+                   CAST(sum(s) AS BIGINT) AS tot FROM cell GROUP BY 1),
+    p AS (SELECT segment,
+            max(CASE WHEN event_type = 'click'    THEN CAST(s AS DOUBLE) / (jj * c * 100.0) END) AS t1,
+            max(CASE WHEN event_type = 'error'    THEN CAST(s AS DOUBLE) / (jj * c * 100.0) END) AS t2,
+            max(CASE WHEN event_type = 'purchase' THEN CAST(s AS DOUBLE) / (jj * c * 100.0) END) AS t3,
+            max(CASE WHEN event_type = 'signup'   THEN CAST(s AS DOUBLE) / (jj * c * 100.0) END) AS t4,
+            max(CASE WHEN event_type = 'view'     THEN CAST(s AS DOUBLE) / (jj * c * 100.0) END) AS t5
+          FROM cell CROSS JOIN j GROUP BY segment)
+    SELECT seg.segment, seg.n_events,
+           COALESCE(t1, 0) + COALESCE(t2, 0) + COALESCE(t3, 0)
+             + COALESCE(t4, 0) + COALESCE(t5, 0) AS ips_value,
+           CAST(tot AS DOUBLE) / (n_events * 100.0) AS behavior_value
+    FROM seg JOIN p USING (segment) ORDER BY segment
+    """,
+)
+def ips_policy_value(sf_dir: str):
+    """Inverse-propensity-scoring off-policy evaluation (Horvitz-Thompson /
+    Li et al. 2011 replay shape): estimate what a UNIFORM target policy over
+    the J event types would earn per user segment, from logged traffic whose
+    empirical behavior propensities p(a|s) = c_sa/N_s differ per segment.
+    V_IPS(s) = (1/N_s) * sum_e value_e * pi(a_e)/p(a_e|s) collapses to
+    sum_a S_sa / (J * c_sa) — one distributed (segment, action) cell groupby
+    in integer cents, then J exact divisions added in FIXED lexicographic
+    action order on both engines (the pivot trick), so the estimate hashes
+    bit-identically. behavior_value is the logged policy's observed mean."""
+    ds = _t(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def cellify(t: pa.Table) -> pa.Table:
+        cents = np.round(t.column("value").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        seg = t.column("user_id").to_numpy(zero_copy_only=False) % 4
+        return pa.table(
+            {"segment": pa.array(seg.astype(np.int64)), "event_type": t.column("event_type"), "cents": pa.array(cents)}
+        )
+
+    cells = (
+        ds.map_batches(cellify, batch_format="pyarrow")
+        .groupby(["segment", "event_type"])
+        .aggregate(Count(alias_name="c"), Sum("cents", alias_name="s"))
+        .to_pandas()
+    )
+    jn = cells["event_type"].nunique()
+    rows = []
+    for seg, g in cells.groupby("segment"):
+        g = g.sort_values("event_type")
+        v = 0.0
+        for c, s in zip(g["c"], g["s"]):
+            v += float(s) / (jn * int(c) * 100.0)
+        tot, n_ev = int(g["s"].sum()), int(g["c"].sum())
+        rows.append(
+            {
+                "segment": int(seg),
+                "n_events": n_ev,
+                "ips_value": v,
+                "behavior_value": float(tot) / (n_ev * 100.0),
+            }
+        )
+    return pd.DataFrame(rows).sort_values("segment").reset_index(drop=True)
+
+
+@q(
+    "did_value_estimate",
+    sql="""
+    WITH b AS (SELECT CAST(min(epoch_us(ts)) + (max(epoch_us(ts)) - min(epoch_us(ts))) // 2
+                          AS BIGINT) AS mid FROM events),
+    e AS (SELECT CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS treated,
+                 CASE WHEN epoch_us(ts) >= b.mid THEN 1 ELSE 0 END AS post,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events CROSS JOIN b),
+    cell AS (SELECT treated, post, CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(cents) AS BIGINT) AS s
+             FROM e GROUP BY 1, 2),
+    p AS (SELECT
+            max(CASE WHEN treated = 0 AND post = 0 THEN n END) AS n00,
+            max(CASE WHEN treated = 0 AND post = 1 THEN n END) AS n01,
+            max(CASE WHEN treated = 1 AND post = 0 THEN n END) AS n10,
+            max(CASE WHEN treated = 1 AND post = 1 THEN n END) AS n11,
+            max(CASE WHEN treated = 0 AND post = 0 THEN CAST(s AS DOUBLE) / (n * 100.0) END) AS m00,
+            max(CASE WHEN treated = 0 AND post = 1 THEN CAST(s AS DOUBLE) / (n * 100.0) END) AS m01,
+            max(CASE WHEN treated = 1 AND post = 0 THEN CAST(s AS DOUBLE) / (n * 100.0) END) AS m10,
+            max(CASE WHEN treated = 1 AND post = 1 THEN CAST(s AS DOUBLE) / (n * 100.0) END) AS m11
+          FROM cell)
+    SELECT n00, n01, n10, n11, m00, m01, m10, m11,
+           (m11 - m10) - (m01 - m00) AS did_estimate
+    FROM p
+    """,
+)
+def did_value_estimate(sf_dir: str):
+    """Difference-in-differences (Card & Krueger shape): treatment = odd
+    user_id, post-period = second half of the observed time range (integer-µs
+    midpoint, floor division on both engines). The four (treated, post) cell
+    sums run as ONE distributed groupby in integer cents; the estimate
+    (m11-m10)-(m01-m00) combines four exact int->double divisions in a fixed
+    expression, so it hashes bit-identically against the SQL oracle. The
+    causal-inference companion to cuped_ab_analysis (which adjusts variance;
+    DiD removes time-invariant group differences)."""
+    ds = _t(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def bounds(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"mn": pa.array([int(us.min())]), "mx": pa.array([int(us.max())])})
+
+    br = ds.map_batches(bounds, batch_format="pyarrow")
+    mn, mx = int(br.min("mn")), int(br.max("mx"))
+    mid = mn + (mx - mn) // 2
+
+    def cellify(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        cents = np.round(t.column("value").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table(
+            {
+                "treated": pa.array((uid % 2 == 1).astype(np.int64)),
+                "post": pa.array((us >= mid).astype(np.int64)),
+                "cents": pa.array(cents),
+            }
+        )
+
+    cells = (
+        ds.map_batches(cellify, batch_format="pyarrow")
+        .groupby(["treated", "post"])
+        .aggregate(Count(alias_name="n"), Sum("cents", alias_name="s"))
+        .to_pandas()
+    )
+    g = {(int(r["treated"]), int(r["post"])): (int(r["n"]), int(r["s"])) for _, r in cells.iterrows()}
+    m = {k: float(s) / (n * 100.0) for k, (n, s) in g.items()}
+    return pd.DataFrame(
+        [
+            {
+                "n00": g[(0, 0)][0], "n01": g[(0, 1)][0], "n10": g[(1, 0)][0], "n11": g[(1, 1)][0],
+                "m00": m[(0, 0)], "m01": m[(0, 1)], "m10": m[(1, 0)], "m11": m[(1, 1)],
+                "did_estimate": (m[(1, 1)] - m[(1, 0)]) - (m[(0, 1)] - m[(0, 0)]),
+            }
+        ]
+    )
+
+
+@q(
+    "counting_bloom_delete_roundtrip",
+    sql="""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    d AS (SELECT DISTINCT user_id FROM events WHERE user_id % 5 = 2)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM u) AS inserted,
+           (SELECT CAST(count(*) AS BIGINT) FROM d) AS deleted,
+           CAST(0 AS BIGINT) AS false_negatives,
+           CAST(0 AS BIGINT) AS deleted_still_present,
+           CAST(0 AS BIGINT) AS fresh_false_positives
+    """,
+)
+def counting_bloom_delete_roundtrip(sf_dir: str):
+    """Counting Bloom filter conformance (Fan et al. 2000): DISTRIBUTED
+    insert AND distributed delete. Unlike the cuckoo roundtrip (whose delete
+    streams through one mutable object), both the insert filter and the
+    deletion filter are independent tree-merged sketch builds (counter
+    addition is exactly associative/commutative); applying the deletions is
+    ONE counter subtraction on the driver. Contract encoded in the oracle:
+    remaining keys keep the no-false-negative guarantee (counters never drop
+    below their own contributions), and at the planned geometry
+    (48 counters/key, k=32 -> FPR ~9e-11) deleted keys and fresh keys
+    observe 0 residual positives at test scales."""
+    import ray
+
+    from perfect_bloomfilter_ray.stages.agg import sketch_global
+    from perfect_bloomfilter_ray.state.countingbloom import CountingBloomFilter
+
+    users = (
+        _t(sf_dir, "events", ["user_id"]).groupby("user_id").count().drop_columns(["count()"])
+    ).materialize()
+    n = users.count()
+    cap = max(1024, n)
+
+    def residue2(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(uid % 5 == 2))
+
+    purchasers = (
+        _t(sf_dir, "events", ["user_id"])
+        .map_batches(residue2, batch_format="pyarrow")
+        .groupby("user_id")
+        .count()
+        .drop_columns(["count()"])
+    ).materialize()
+    n_del = purchasers.count()
+
+    filt = sketch_global(users, "user_id", lambda: CountingBloomFilter(cap))
+    dels = sketch_global(purchasers, "user_id", lambda: CountingBloomFilter(cap))
+    filt.subtract(dels)
+    ref = ray.put(filt.to_bytes())
+
+    def probe(col_off: int):
+        def check(t: pa.Table) -> pa.Table:
+            f = CountingBloomFilter.from_bytes(ray.get(ref))
+            keys = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64) + col_off
+            return pa.table({"m": pa.array([int(f.contains_column(keys).sum())], pa.int64())})
+
+        return check
+
+    # remaining = users minus purchasers, vectorized against one broadcast id
+    # array (bounded small side here; the distributed twin is bloom_antijoin)
+    del_ref = ray.put(purchasers.to_pandas()["user_id"].to_numpy(dtype=np.int64))
+
+    def not_deleted(t: pa.Table) -> pa.Table:
+        keys = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array(~np.isin(keys, ray.get(del_ref))))
+
+    remaining = users.map_batches(not_deleted, batch_format="pyarrow").materialize()
+    n_rem = remaining.count()
+    rem_members = int(remaining.map_batches(probe(0), batch_format="pyarrow").sum("m") or 0)
+    del_members = int(purchasers.map_batches(probe(0), batch_format="pyarrow").sum("m") or 0)
+    fresh_members = int(users.map_batches(probe(1_000_000_000), batch_format="pyarrow").sum("m") or 0)
+    return pd.DataFrame(
+        [
+            {
+                "inserted": n,
+                "deleted": n_del,
+                "false_negatives": n_rem - rem_members,
+                "deleted_still_present": del_members,
+                "fresh_false_positives": fresh_members,
             }
         ]
     )
