@@ -336,6 +336,9 @@ SUITE = [
     "ips_policy_value",
     "did_value_estimate",
     "counting_bloom_delete_roundtrip",
+    "part_stress_centrality",
+    "fd_discovery_docs",
+    "bigram_llr_collocations",
 ]
 
 

@@ -6763,3 +6763,284 @@ def counting_bloom_delete_roundtrip(sf_dir: str):
             }
         ]
     )
+
+
+@q(
+    "part_stress_centrality",
+    sql="""
+    WITH pl AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                             WHERE l_partkey % 4 = 0),
+    e AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+         FROM pl a JOIN pl b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    eu AS MATERIALIZED (SELECT x AS u, y AS v FROM e UNION ALL SELECT y, x FROM e),
+    s AS MATERIALIZED (SELECT x AS src FROM (SELECT DISTINCT x FROM e) ORDER BY x LIMIT 8),
+    l1 AS MATERIALIZED (
+      SELECT s.src, eu.v AS node, CAST(count(*) AS BIGINT) AS sig
+      FROM s JOIN eu ON eu.u = s.src WHERE eu.v <> s.src GROUP BY 1, 2),
+    l2 AS MATERIALIZED (
+      SELECT l1.src, eu.v AS node, CAST(sum(l1.sig) AS BIGINT) AS sig
+      FROM l1 JOIN eu ON eu.u = l1.node
+      WHERE eu.v <> l1.src
+        AND NOT EXISTS (SELECT 1 FROM l1 x WHERE x.src = l1.src AND x.node = eu.v)
+      GROUP BY 1, 2),
+    l3 AS MATERIALIZED (
+      SELECT l2.src, eu.v AS node, CAST(sum(l2.sig) AS BIGINT) AS sig
+      FROM l2 JOIN eu ON eu.u = l2.node
+      WHERE eu.v <> l2.src
+        AND NOT EXISTS (SELECT 1 FROM l1 x WHERE x.src = l2.src AND x.node = eu.v)
+        AND NOT EXISTS (SELECT 1 FROM l2 x WHERE x.src = l2.src AND x.node = eu.v)
+      GROUP BY 1, 2),
+    p2 AS MATERIALIZED (
+      SELECT l2.src, l2.node, CAST(count(l3.node) AS BIGINT) AS p
+      FROM l2
+      LEFT JOIN eu ON eu.u = l2.node
+      LEFT JOIN l3 ON l3.src = l2.src AND l3.node = eu.v
+      GROUP BY 1, 2),
+    p1 AS MATERIALIZED (
+      SELECT l1.src, l1.node, CAST(coalesce(sum(1 + p2.p), 0) AS BIGINT) AS p
+      FROM l1
+      LEFT JOIN eu ON eu.u = l1.node
+      LEFT JOIN p2 ON p2.src = l1.src AND p2.node = eu.v
+      GROUP BY 1, 2),
+    c AS (
+      SELECT l1.node, l1.sig * p1.p AS c
+      FROM l1 JOIN p1 ON p1.src = l1.src AND p1.node = l1.node
+      UNION ALL
+      SELECT l2.node, l2.sig * p2.p AS c
+      FROM l2 JOIN p2 ON p2.src = l2.src AND p2.node = l2.node)
+    SELECT node, CAST(sum(c) AS BIGINT) AS stress
+    FROM c GROUP BY node HAVING sum(c) > 0
+    ORDER BY stress DESC, node LIMIT 25
+    """,
+)
+def part_stress_centrality(sf_dir: str):
+    """Depth-3-bounded stress centrality (Shimbel 1953) over the part
+    co-purchase graph from an 8-source sample — betweenness's exact-INTEGER
+    sibling: stress(v) counts the shortest s-t paths THROUGH v (sigma_sv *
+    sigma_vt by the Brandes decomposition) instead of summing their float
+    ratios, so the distributed sum is shuffle-order-proof. The engine
+    (stages/graph.stress_centrality) runs ONE forward path-counting BFS and
+    ONE backward DAG-accumulation for all 8 sources together — per round a
+    single edge scan + (node, source)-keyed integer sum; the oracle unrolls
+    the same three levels as materialized CTEs."""
+    from ray.data.aggregate import Count as _C
+
+    from perfect_bloomfilter_ray.stages.cooccur import distinct_pairs
+    from perfect_bloomfilter_ray.stages.graph import stress_centrality
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]).map_batches(
+        lambda t: t.filter(
+            pc.equal(
+                pc.bit_wise_and(t.column("l_partkey"), pa.scalar(3, pa.int64())),
+                pa.scalar(0, pa.int64()),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    edges = distinct_pairs(li, "l_orderkey", "l_partkey").materialize()
+    srcs = (
+        edges.groupby("item_a")
+        .aggregate(_C(alias_name="_n"))
+        .to_pandas()["item_a"]
+        .sort_values()
+        .head(8)
+        .tolist()
+    )
+    out = stress_centrality(edges, srcs, max_depth=3)
+    return out.head(25).reset_index(drop=True)
+
+
+@q(
+    "fd_discovery_docs",
+    sql="""
+    WITH c AS (SELECT DISTINCT lang, source, n_chars // 500 AS len_bucket FROM documents),
+    pairs AS (
+      SELECT 'lang' AS lhs, 'source' AS rhs,
+             (SELECT count(DISTINCT lang) FROM c) AS n_lhs,
+             (SELECT count(*) FROM (SELECT lang FROM (SELECT DISTINCT lang, source FROM c)
+               GROUP BY lang HAVING count(*) > 1)) AS n_violating,
+             (SELECT max(n) FROM (SELECT count(*) AS n FROM (SELECT DISTINCT lang, source FROM c)
+               GROUP BY lang)) AS max_rhs
+      UNION ALL
+      SELECT 'lang', 'len_bucket',
+             (SELECT count(DISTINCT lang) FROM c),
+             (SELECT count(*) FROM (SELECT lang FROM (SELECT DISTINCT lang, len_bucket FROM c)
+               GROUP BY lang HAVING count(*) > 1)),
+             (SELECT max(n) FROM (SELECT count(*) AS n FROM (SELECT DISTINCT lang, len_bucket FROM c)
+               GROUP BY lang))
+      UNION ALL
+      SELECT 'source', 'lang',
+             (SELECT count(DISTINCT source) FROM c),
+             (SELECT count(*) FROM (SELECT source FROM (SELECT DISTINCT source, lang FROM c)
+               GROUP BY source HAVING count(*) > 1)),
+             (SELECT max(n) FROM (SELECT count(*) AS n FROM (SELECT DISTINCT source, lang FROM c)
+               GROUP BY source))
+      UNION ALL
+      SELECT 'source', 'len_bucket',
+             (SELECT count(DISTINCT source) FROM c),
+             (SELECT count(*) FROM (SELECT source FROM (SELECT DISTINCT source, len_bucket FROM c)
+               GROUP BY source HAVING count(*) > 1)),
+             (SELECT max(n) FROM (SELECT count(*) AS n FROM (SELECT DISTINCT source, len_bucket FROM c)
+               GROUP BY source))
+      UNION ALL
+      SELECT 'len_bucket', 'lang',
+             (SELECT count(DISTINCT len_bucket) FROM c),
+             (SELECT count(*) FROM (SELECT len_bucket FROM (SELECT DISTINCT len_bucket, lang FROM c)
+               GROUP BY len_bucket HAVING count(*) > 1)),
+             (SELECT max(n) FROM (SELECT count(*) AS n FROM (SELECT DISTINCT len_bucket, lang FROM c)
+               GROUP BY len_bucket))
+      UNION ALL
+      SELECT 'len_bucket', 'source',
+             (SELECT count(DISTINCT len_bucket) FROM c),
+             (SELECT count(*) FROM (SELECT len_bucket FROM (SELECT DISTINCT len_bucket, source FROM c)
+               GROUP BY len_bucket HAVING count(*) > 1)),
+             (SELECT max(n) FROM (SELECT count(*) AS n FROM (SELECT DISTINCT len_bucket, source FROM c)
+               GROUP BY len_bucket))
+    )
+    SELECT lhs, rhs, CAST(n_lhs AS BIGINT) AS n_lhs,
+           CAST(n_violating AS BIGINT) AS n_violating,
+           CAST(max_rhs AS BIGINT) AS max_rhs_per_lhs,
+           n_violating = 0 AS fd_holds
+    FROM pairs ORDER BY lhs, rhs
+    """,
+)
+def fd_discovery_docs(sf_dir: str):
+    """Functional-dependency discovery (the pairwise core of
+    Papenbrock et al. VLDB'15 profiling): for every directed pair among
+    (lang, source, len_bucket), does LHS -> RHS hold, how many LHS values
+    violate it, and the worst fan-out. ONE distributed distinct-combination
+    groupby reduces the corpus to the (bounded) combination table; the 6-row
+    dependency report derives from that table on the driver — the same
+    altitude as documents_profile."""
+    ds = _t(sf_dir, "documents", ["lang", "source", "n_chars"])
+
+    def trip(t: pa.Table) -> pa.Table:
+        lb = pc.divide(t.column("n_chars"), pa.scalar(500, pa.int64()))
+        return pa.table(
+            {"lang": t.column("lang"), "source": t.column("source"), "len_bucket": lb}
+        )
+
+    combos = (
+        ds.map_batches(trip, batch_format="pyarrow")
+        .groupby(["lang", "source", "len_bucket"])
+        .count()
+        .to_pandas()[["lang", "source", "len_bucket"]]
+    )
+    cols = ["lang", "source", "len_bucket"]
+    rows = []
+    for lhs in cols:
+        for rhs in cols:
+            if lhs == rhs:
+                continue
+            pair = combos[[lhs, rhs]].drop_duplicates()
+            fanout = pair.groupby(lhs).size()
+            rows.append(
+                {
+                    "lhs": lhs,
+                    "rhs": rhs,
+                    "n_lhs": int(combos[lhs].nunique()),
+                    "n_violating": int((fanout > 1).sum()),
+                    "max_rhs_per_lhs": int(fanout.max()),
+                    "fd_holds": bool((fanout > 1).sum() == 0),
+                }
+            )
+    return pd.DataFrame(rows).sort_values(["lhs", "rhs"]).reset_index(drop=True)
+
+
+@q(
+    "bigram_llr_collocations",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+    ),
+    bg AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2
+      FROM toks, UNNEST(range(1, len(t))) AS r(i)
+      WHERE len(t) >= 2
+    ),
+    bgc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS k11 FROM bg GROUP BY 1, 2),
+    f1 AS (SELECT w1, CAST(sum(k11) AS BIGINT) AS f FROM bgc GROUP BY 1),
+    f2 AS (SELECT w2, CAST(sum(k11) AS BIGINT) AS f FROM bgc GROUP BY 1),
+    n AS (SELECT CAST(sum(k11) AS BIGINT) AS n FROM bgc),
+    top AS (
+      SELECT bgc.w1, bgc.w2, bgc.k11, f1.f AS c1, f2.f AS c2, n.n AS n
+      FROM bgc JOIN f1 USING (w1) JOIN f2 USING (w2) CROSS JOIN n
+      ORDER BY bgc.k11 DESC, bgc.w1, bgc.w2 LIMIT 20
+    )
+    SELECT w1, w2, k11, c1, c2,
+           2.0 * (
+             (CASE WHEN k11 > 0 THEN k11 * ln(CAST(k11 AS DOUBLE) * n / (c1 * CAST(c2 AS DOUBLE))) ELSE 0 END)
+           + (CASE WHEN c1 - k11 > 0 THEN (c1 - k11) * ln(CAST(c1 - k11 AS DOUBLE) * n / (c1 * CAST(n - c2 AS DOUBLE))) ELSE 0 END)
+           + (CASE WHEN c2 - k11 > 0 THEN (c2 - k11) * ln(CAST(c2 - k11 AS DOUBLE) * n / (CAST(n - c1 AS DOUBLE) * c2)) ELSE 0 END)
+           + (CASE WHEN n - c1 - c2 + k11 > 0 THEN (n - c1 - c2 + k11) * ln(CAST(n - c1 - c2 + k11 AS DOUBLE) * n / (CAST(n - c1 AS DOUBLE) * (n - c2))) ELSE 0 END)
+           ) AS g2
+    FROM top ORDER BY k11 DESC, w1, w2
+    """,
+)
+def bigram_llr_collocations(sf_dir: str):
+    """Dunning log-likelihood-ratio collocation mining (Dunning 1993): G^2
+    significance of the top-20 adjacent bigrams against the
+    independence-of-margins null. Bigram counts are map-side partials (one
+    polars pass per batch) merged by ONE distributed groupby; margins and N
+    derive from the bounded bigram-count table; the 20 G^2 statistics are
+    computed DRIVER-side with math.log over exact integer contingency cells
+    in a fixed expression order (libm ln == DuckDB ln on this host — the
+    BM25/JSD precedent), so the floats hash bit-identically."""
+    import polars as pl
+
+    ds = _t(sf_dir, "documents", ["text"])
+
+    def bg_partial(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(pa.table({"text": t.column("text")}))
+        out = (
+            df.with_columns(
+                pl.col("text").str.to_lowercase().str.extract_all(r"[a-z0-9]+").alias("t")
+            )
+            .filter(pl.col("t").list.len() >= 2)
+            .with_columns(
+                pl.col("t").list.slice(0, pl.col("t").list.len() - 1).alias("w1"),
+                pl.col("t").list.slice(1).alias("w2"),
+            )
+            .select("w1", "w2")
+            .explode(["w1", "w2"])
+            .group_by(["w1", "w2"])
+            .len()
+        )
+        return out.to_arrow().cast(
+            pa.schema([("w1", pa.string()), ("w2", pa.string()), ("len", pa.uint32())])
+        )
+
+    def to64(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"w1": t.column("w1"), "w2": t.column("w2"), "c": t.column("len").cast(pa.int64())}
+        )
+
+    bgc = (
+        ds.map_batches(bg_partial, batch_format="pyarrow")
+        .map_batches(to64, batch_format="pyarrow")
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("c", alias_name="k11"))
+        .to_pandas()
+    )  # bounded: <= vocab^2 rows (256-word synthetic vocab); global_top_k for open vocabularies
+    f1 = bgc.groupby("w1")["k11"].sum()
+    f2 = bgc.groupby("w2")["k11"].sum()
+    n = int(bgc["k11"].sum())
+    top = bgc.sort_values(["k11", "w1", "w2"], ascending=[False, True, True]).head(20)
+    rows = []
+    for _, r in top.iterrows():
+        k11, c1, c2 = int(r["k11"]), int(f1[r["w1"]]), int(f2[r["w2"]])
+        g2 = 0.0
+        if k11 > 0:
+            g2 += k11 * math.log(float(k11 * n) / (c1 * float(c2)))
+        if c1 - k11 > 0:
+            g2 += (c1 - k11) * math.log(float((c1 - k11) * n) / (c1 * float(n - c2)))
+        if c2 - k11 > 0:
+            g2 += (c2 - k11) * math.log(float((c2 - k11) * n) / (float(n - c1) * c2))
+        if n - c1 - c2 + k11 > 0:
+            g2 += (n - c1 - c2 + k11) * math.log(
+                float((n - c1 - c2 + k11) * n) / (float(n - c1) * (n - c2))
+            )
+        rows.append(
+            {"w1": r["w1"], "w2": r["w2"], "k11": k11, "c1": c1, "c2": c2, "g2": 2.0 * g2}
+        )
+    return pd.DataFrame(rows).reset_index(drop=True)

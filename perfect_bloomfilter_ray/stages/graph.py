@@ -1912,3 +1912,184 @@ def link_prediction_scores(
     cand["pref_attach"] = da * db
     cand["jaccard"] = cn.astype(np.float64) / (da + db - cn).astype(np.float64)
     return cand[["node_a", "node_b", "cn", "deg_a", "deg_b", "pref_attach", "jaccard"]]
+
+
+def stress_centrality(
+    edges: Dataset,
+    sources: "list[int]",
+    a_col: str = "item_a",
+    b_col: str = "item_b",
+    max_depth: int = 3,
+    local_max_edges: int = 2_000_000,
+) -> pd.DataFrame:
+    """K-bounded stress centrality (Shimbel 1953; the exact-INTEGER cousin of
+    betweenness) from a source sample: for every node v,
+
+        stress(v) = sum over s in sources, targets t with
+                    d(s,t) = d(s,v) + d(v,t) <= max_depth, v != s, t
+                    of sigma_st(v)   (the NUMBER of shortest s-t paths via v)
+
+    By the Brandes decomposition sigma_st(v) = sigma_sv * sigma_vt, so two
+    passes suffice, both in pure int64 (no float summation order anywhere,
+    unlike betweenness's sigma ratios):
+
+      1. forward BFS with path counting: per round, every frontier node u
+         at depth d-1 sends sigma(u) along its edges; arrivals NOT yet
+         visited get dist d and sigma(v) = sum of incoming sigma — one
+         edge scan + one (node, source)-keyed sum per round for ALL
+         sources together;
+      2. backward DAG accumulation: P(v) = sum over DAG-successors w
+         (dist(w) = dist(v)+1) of (1 + P(w)) = number of shortest-path
+         continuations from v to any deeper target; stress contribution is
+         sigma(v) * P(v).
+
+    Frontier/visited/level state is (node x sources)-dimension driver state
+    (the bounded-node contract of ``bfs_levels``/``pagerank``); edge lists
+    at or below ``local_max_edges`` run identical rounds over driver arrays.
+    ``max_depth`` defaults to 3: path counts grow with the graph's branching
+    factor ^ depth, and depth 3 keeps sigma * P products far inside int64 on
+    dense co-occurrence graphs (asserted at runtime).
+
+    Returns ``(node, stress)`` for nodes with stress > 0, sorted by
+    (-stress, node).
+    """
+    import ray
+    from ray.data.aggregate import Sum as _Sum
+
+    src_arr = np.array(sorted(set(int(s) for s in sources)), dtype=np.int64)
+    n_src = len(src_arr)
+    if not 0 < n_src <= 64:
+        raise ValueError("stress_centrality supports 1..64 sources")
+
+    edges = edges.materialize()
+    local = edges.count() <= local_max_edges
+    if local:
+        _df = edges.to_pandas()
+        la = _df[a_col].to_numpy().astype(np.int64)
+        lb = _df[b_col].to_numpy().astype(np.int64)
+
+    def _expand(f_nodes, f_src, f_val, u, v):
+        """Join frontier rows (node,src,val) against edge endpoints u -> v:
+        emits (v, src, val) for every (frontier row, incident edge)."""
+        order = np.argsort(f_nodes, kind="stable")
+        fn, fs, fv = f_nodes[order], f_src[order], f_val[order]
+        lo = np.searchsorted(fn, u, side="left")
+        hi = np.searchsorted(fn, u, side="right")
+        cnt = hi - lo
+        keep = cnt > 0
+        if not keep.any():
+            return (np.empty(0, np.int64),) * 3
+        lo, cnt, vv = lo[keep], cnt[keep], v[keep]
+        total = int(cnt.sum())
+        idx = np.repeat(lo, cnt) + (np.arange(total) - np.repeat(cnt.cumsum() - cnt, cnt))
+        return np.repeat(vv, cnt), fs[idx], fv[idx]
+
+    def _spread_local(f_nodes, f_src, f_val):
+        outs = [_expand(f_nodes, f_src, f_val, la, lb), _expand(f_nodes, f_src, f_val, lb, la)]
+        return tuple(np.concatenate(parts) for parts in zip(*outs))
+
+    def _spread_dist(f_nodes, f_src, f_val):
+        ref = ray.put((f_nodes, f_src, f_val))
+
+        def spread(t: pa.Table, _f=ref) -> pa.Table:
+            fn, fs, fv = ray.get(_f)
+            a = t.column(a_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            b = t.column(b_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            outs = [_expand(fn, fs, fv, a, b), _expand(fn, fs, fv, b, a)]
+            node, s, val = (np.concatenate(parts) for parts in zip(*outs))
+            # per-block partial: pre-sum by (node, src) before the shuffle
+            pk = node * np.int64(64) + s
+            uk, inv = np.unique(pk, return_inverse=True)
+            sums = np.bincount(inv, weights=val.astype(np.float64)).astype(np.int64)
+            return pa.table({"k": pa.array(uk), "v": pa.array(sums)})
+
+        out = (
+            edges.map_batches(spread, batch_format="pyarrow")
+            .groupby("k")
+            .aggregate(_Sum("v", alias_name="v"))
+            .to_pandas()
+        )
+        k = out["k"].to_numpy().astype(np.int64)
+        v = out["v"].to_numpy().astype(np.int64)
+        return k // 64, k % 64, v
+
+    def _agg(node, s, val):
+        pk = node * np.int64(64) + s
+        uk, inv = np.unique(pk, return_inverse=True)
+        sums = np.bincount(inv, weights=val.astype(np.float64))
+        assert sums.max(initial=0) < 2**53, "path counts exceed exact-integer range"
+        return uk // 64, uk % 64, sums.astype(np.int64)
+
+    # ---- forward: per-(node, src) dist + sigma ---------------------------
+    lv_node = [src_arr.copy()]
+    lv_src = [np.arange(n_src, dtype=np.int64)]
+    lv_dist = [np.zeros(n_src, dtype=np.int64)]
+    lv_sig = [np.ones(n_src, dtype=np.int64)]
+    visited_pk = np.sort(src_arr * np.int64(64) + np.arange(n_src, dtype=np.int64))
+    f_nodes, f_src, f_sig = lv_node[0], lv_src[0], lv_sig[0]
+
+    for d in range(1, max_depth + 1):
+        if local:
+            node, s, val = _spread_local(f_nodes, f_src, f_sig)
+            if len(node) == 0:
+                break
+            node, s, val = _agg(node, s, val)
+        else:
+            node, s, val = _spread_dist(f_nodes, f_src, f_sig)
+            if len(node) == 0:
+                break
+        pk = node * np.int64(64) + s
+        idx = np.searchsorted(visited_pk, pk)
+        idx[idx >= len(visited_pk)] = max(len(visited_pk) - 1, 0)
+        fresh = visited_pk[idx] != pk if len(visited_pk) else np.ones(len(pk), bool)
+        if not fresh.any():
+            break
+        node, s, val = node[fresh], s[fresh], val[fresh]
+        lv_node.append(node)
+        lv_src.append(s)
+        lv_dist.append(np.full(len(node), d, dtype=np.int64))
+        lv_sig.append(val)
+        visited_pk = np.sort(np.concatenate([visited_pk, node * np.int64(64) + s]))
+        f_nodes, f_src, f_sig = node, s, val
+
+    depth_reached = len(lv_node) - 1
+
+    # ---- backward: P(v) = sum over DAG successors (1 + P(w)) -------------
+    p_by_level: list[np.ndarray] = [np.zeros(len(lv_node[i]), np.int64) for i in range(depth_reached + 1)]
+    for d in range(depth_reached - 1, 0, -1):
+        wn, ws = lv_node[d + 1], lv_src[d + 1]
+        wval = 1 + p_by_level[d + 1]
+        if local:
+            node, s, val = _spread_local(wn, ws, wval)
+        else:
+            node, s, val = _spread_dist(wn, ws, wval)
+        if len(node) == 0:
+            continue
+        node, s, val = _agg(node, s, val)
+        # keep only arrivals that are level-d nodes for that source
+        tgt_pk = lv_node[d] * np.int64(64) + lv_src[d]
+        order = np.argsort(tgt_pk)
+        tgt_sorted = tgt_pk[order]
+        pk = node * np.int64(64) + s
+        idx = np.searchsorted(tgt_sorted, pk)
+        idx[idx >= len(tgt_sorted)] = max(len(tgt_sorted) - 1, 0)
+        m = tgt_sorted[idx] == pk
+        p = np.zeros(len(tgt_pk), np.int64)
+        p[order[idx[m]]] = val[m]
+        p_by_level[d] = p
+
+    # ---- combine: stress(v) = sum_s sigma * P --------------------------
+    nodes = np.concatenate(lv_node[1:depth_reached + 1]) if depth_reached else np.empty(0, np.int64)
+    contrib = (
+        np.concatenate([lv_sig[i] * p_by_level[i] for i in range(1, depth_reached + 1)])
+        if depth_reached
+        else np.empty(0, np.int64)
+    )
+    assert (contrib >= 0).all()
+    if len(nodes) == 0:
+        return pd.DataFrame({"node": np.empty(0, np.int64), "stress": np.empty(0, np.int64)})
+    un, inv = np.unique(nodes, return_inverse=True)
+    stress = np.bincount(inv, weights=contrib.astype(np.float64)).astype(np.int64)
+    keep = stress > 0
+    out = pd.DataFrame({"node": un[keep], "stress": stress[keep]})
+    return out.sort_values(["stress", "node"], ascending=[False, True]).reset_index(drop=True)

@@ -403,3 +403,69 @@ def test_simrank_matches_brute_reference(ray_session):
         assert abs(r["sim"] - want) < 1e-12, (r["node_a"], r["node_b"])
     # 'a' has no in-neighbors: similarity 0 to everything
     assert (got[(got["node_a"] == "a")]["sim"] == 0.0).all()
+
+
+@pytest.mark.parametrize("gate", [2_000_000, 0])
+def test_stress_centrality_matches_bruteforce(ray_session, gate):
+    """Forward sigma-BFS + backward DAG accumulation == per-source
+    enumeration of shortest-path-through-v counts; local and distributed
+    paths byte-identical."""
+    import collections
+
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.graph import stress_centrality
+
+    rng = np.random.RandomState(11)
+    edges = set()
+    while len(edges) < 80:
+        a, b = rng.randint(0, 40, 2)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    edges = sorted(edges)
+    adj = collections.defaultdict(list)
+    for a, b in edges:
+        adj[a].append(b)
+        adj[b].append(a)
+
+    K = 3
+    sources = sorted({a for a, _ in edges})[:6]
+    stress = collections.defaultdict(int)
+    for s in sources:
+        dist, sig = {s: 0}, {s: 1}
+        frontier = [s]
+        for d in range(1, K + 1):
+            nxt = collections.defaultdict(int)
+            for u in frontier:
+                for w in adj[u]:
+                    if w not in dist:
+                        nxt[w] += sig[u]
+            frontier = []
+            for w, c in nxt.items():
+                dist[w], sig[w] = d, c
+                frontier.append(w)
+        levels = collections.defaultdict(list)
+        for v, dd in dist.items():
+            levels[dd].append(v)
+        P = {v: 0 for v in dist}
+        for d in range(max(levels) - 1, 0, -1):
+            for v in levels[d]:
+                P[v] = sum(1 + P[w] for w in adj[v] if dist.get(w) == d + 1)
+        for v, dd in dist.items():
+            if dd >= 1:
+                stress[v] += sig[v] * P[v]
+    want = (
+        pd.DataFrame(
+            [(v, c) for v, c in stress.items() if c > 0], columns=["node", "stress"]
+        )
+        .sort_values(["stress", "node"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+
+    ds = rd.from_pandas(
+        pd.DataFrame(
+            {"item_a": [a for a, _ in edges], "item_b": [b for _, b in edges]}
+        )
+    ).repartition(3)
+    got = stress_centrality(ds, sources, max_depth=K, local_max_edges=gate)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
