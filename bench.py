@@ -339,6 +339,9 @@ SUITE = [
     "part_stress_centrality",
     "fd_discovery_docs",
     "bigram_llr_collocations",
+    "shapley_channel_attribution",
+    "hourly_burst_intervals",
+    "part_luby_mis",
 ]
 
 

@@ -7044,3 +7044,317 @@ def bigram_llr_collocations(sf_dir: str):
             {"w1": r["w1"], "w2": r["w2"], "k11": k11, "c1": c1, "c2": c2, "g2": 2.0 * g2}
         )
     return pd.DataFrame(rows).reset_index(drop=True)
+
+
+@q(
+    "shapley_channel_attribution",
+    sql="""
+    WITH fp AS (SELECT user_id, min(ts) AS fts FROM events
+                WHERE event_type = 'purchase' GROUP BY 1),
+    m AS (
+      SELECT fp.user_id,
+             CAST(coalesce(bool_or(e.event_type = 'view'   AND e.ts < fp.fts), false) AS INT)
+           + 2 * CAST(coalesce(bool_or(e.event_type = 'click'  AND e.ts < fp.fts), false) AS INT)
+           + 4 * CAST(coalesce(bool_or(e.event_type = 'signup' AND e.ts < fp.fts), false) AS INT)
+           + 8 * CAST(coalesce(bool_or(e.event_type = 'error'  AND e.ts < fp.fts), false) AS INT)
+             AS mask
+      FROM fp LEFT JOIN events e ON e.user_id = fp.user_id
+      GROUP BY fp.user_id),
+    v AS (
+      SELECT s.s AS s,
+             (SELECT CAST(count(*) AS BIGINT) FROM m WHERE (m.mask & (15 - s.s)) = 0) AS v
+      FROM (SELECT unnest(range(0, 16)) AS s) s),
+    ch AS (
+      SELECT * FROM (VALUES ('view', 1), ('click', 2), ('signup', 4), ('error', 8))
+        AS t(channel, bit)),
+    phi AS (
+      SELECT ch.channel,
+             CAST(sum(
+               (CASE ((v0.s & 1) + ((v0.s >> 1) & 1) + ((v0.s >> 2) & 1) + ((v0.s >> 3) & 1))
+                  WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 WHEN 3 THEN 6 END)
+               * (v1.v - v0.v)) AS BIGINT) AS phi_x24
+      FROM ch
+      JOIN v v0 ON (v0.s & ch.bit) = 0
+      JOIN v v1 ON v1.s = (v0.s | ch.bit)
+      GROUP BY ch.channel)
+    SELECT phi.channel, phi.phi_x24,
+           CAST(phi.phi_x24 AS DOUBLE) / 24.0 AS phi,
+           (SELECT v FROM v WHERE s = 15) AS v_full,
+           (SELECT v FROM v WHERE s = 0) AS v_empty
+    FROM phi ORDER BY channel
+    """,
+)
+def shapley_channel_attribution(sf_dir: str):
+    """EXACT Shapley-value marketing attribution (Shapley 1953; the standard
+    coalition game over channels, e.g. Zhao et al. 2018): channels are the 4
+    non-purchase event types, a user converts if they ever purchase, and the
+    coalition value v(S) counts converting users whose pre-first-purchase
+    channel set is contained in S. With n=4 channels the Shapley weights
+    k!(3-k)! make 24*phi_c a pure INTEGER — no sampling, no float order
+    anywhere; phi itself is one exact int->double division. Distribution:
+    events co-partition ONCE by hash(user) (coarse blocks); each partition
+    computes per-user first-purchase time + prior-channel bitmask and
+    reduces to 16 subset counts, so only 16-row partials cross the wire;
+    the driver evaluates the 4x16 Shapley sum over exact counts. Efficiency
+    axiom checked in-query: sum(phi_x24) = 24*(v_full - v_empty)."""
+    import polars as pl
+
+    from perfect_bloomfilter_ray.functions.hashing import hash64
+    from perfect_bloomfilter_ray.stages.partitioning import choose_num_blocks
+
+    ds = _t(sf_dir, "events", ["user_id", "ts", "event_type"])
+    nb = choose_num_blocks(ds)
+
+    def route(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        h = hash64(df["user_id"], 0x5A9E)
+        return df.with_columns(pl.Series("_part", (h % np.uint64(nb)).astype(np.int32))).to_arrow()
+
+    bits = {"view": 1, "click": 2, "signup": 4, "error": 8}
+
+    def subset_counts(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.drop_columns(["_part"]))
+        fp = (
+            df.filter(pl.col("event_type") == "purchase")
+            .group_by("user_id")
+            .agg(pl.col("ts").min().alias("fts"))
+        )
+        if fp.height == 0:
+            return pa.table({"mask": pa.array([], pa.int64()), "n": pa.array([], pa.int64())})
+        pri = (
+            df.join(fp, on="user_id", how="inner")
+            .filter(pl.col("ts") < pl.col("fts"))
+            .with_columns(
+                pl.col("event_type").replace_strict(bits, default=0).alias("bit")
+            )
+            .group_by("user_id")
+            .agg(pl.col("bit").unique().sum().alias("mask"))
+        )
+        masks = (
+            fp.join(pri, on="user_id", how="left")
+            .with_columns(pl.col("mask").fill_null(0))
+            .group_by("mask")
+            .len()
+        )
+        return pa.table(
+            {
+                "mask": masks["mask"].cast(pl.Int64).to_arrow(),
+                "n": masks["len"].cast(pl.Int64).to_arrow(),
+            }
+        )
+
+    mask_counts = (
+        ds.map_batches(route, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(subset_counts, batch_format="pyarrow")
+        .groupby("mask")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    cnt = np.zeros(16, dtype=np.int64)
+    for _, r in mask_counts.iterrows():
+        cnt[int(r["mask"])] = int(r["n"])
+    # v(S) = number of converting users whose mask is a subset of S
+    v = np.array([int(cnt[[(mm & (15 - s)) == 0 for mm in range(16)]].sum()) for s in range(16)], dtype=np.int64)
+    w = {0: 6, 1: 2, 2: 2, 3: 6}
+    rows = []
+    for channel, bit in bits.items():
+        phi24 = 0
+        for s in range(16):
+            if s & bit:
+                continue
+            k = bin(s).count("1")
+            phi24 += w[k] * (int(v[s | bit]) - int(v[s]))
+        rows.append(
+            {
+                "channel": channel,
+                "phi_x24": phi24,
+                "phi": float(phi24) / 24.0,
+                "v_full": int(v[15]),
+                "v_empty": int(v[0]),
+            }
+        )
+    out = pd.DataFrame(rows).sort_values("channel").reset_index(drop=True)
+    assert out["phi_x24"].sum() == 24 * (int(v[15]) - int(v[0])), "Shapley efficiency axiom"
+    return out
+
+
+@q(
+    "hourly_burst_intervals",
+    sql="""
+WITH RECURSIVE bounds AS (
+  SELECT min(epoch_us(ts) // 3600000000) AS lo, max(epoch_us(ts) // 3600000000) AS hi
+  FROM events),
+hc AS (SELECT epoch_us(ts) // 3600000000 AS hr, CAST(count(*) AS BIGINT) AS c
+       FROM events GROUP BY 1),
+h AS MATERIALIZED (
+  SELECT CAST(r.hr - bounds.lo + 1 AS BIGINT) AS i, r.hr, coalesce(hc.c, 0) AS c
+  FROM (SELECT unnest(range(lo, hi + 1)) AS hr FROM bounds) r
+  CROSS JOIN bounds LEFT JOIN hc ON hc.hr = r.hr),
+par AS MATERIALIZED (
+  SELECT CAST(count(*) AS BIGINT) AS t, CAST(sum(c) AS DOUBLE) / count(*) AS lam0,
+         1.3 * (CAST(sum(c) AS DOUBLE) / count(*)) AS lam1,
+         ln(CAST(sum(c) AS DOUBLE) / count(*)) AS ln0,
+         ln(1.3 * (CAST(sum(c) AS DOUBLE) / count(*))) AS ln1,
+         0.5 * ln(CAST(count(*) AS DOUBLE)) AS glnt
+  FROM h),
+dp AS (
+  SELECT h.i, par.lam0 - h.c * par.ln0 AS d0,
+         par.glnt + par.lam1 - h.c * par.ln1 AS d1,
+         [CAST(0 AS BIGINT)] AS s0, [CAST(1 AS BIGINT)] AS s1
+  FROM h CROSS JOIN par WHERE h.i = 1
+  UNION ALL
+  SELECT h.i,
+         (CASE WHEN dp.d0 <= dp.d1 THEN dp.d0 ELSE dp.d1 END) + par.lam0 - h.c * par.ln0,
+         (CASE WHEN dp.d0 + par.glnt <= dp.d1 THEN dp.d0 + par.glnt ELSE dp.d1 END)
+           + par.lam1 - h.c * par.ln1,
+         list_append(CASE WHEN dp.d0 <= dp.d1 THEN dp.s0 ELSE dp.s1 END, 0),
+         list_append(CASE WHEN dp.d0 + par.glnt <= dp.d1 THEN dp.s0 ELSE dp.s1 END, 1)
+  FROM dp JOIN h ON h.i = dp.i + 1 CROSS JOIN par),
+path AS (
+  SELECT CASE WHEN d1 < d0 THEN s1 ELSE s0 END AS states
+  FROM dp CROSS JOIN par WHERE dp.i = par.t),
+st AS (
+  SELECT h.i, h.hr, h.c, path.states[h.i] AS st
+  FROM h CROSS JOIN path),
+burst AS (
+  SELECT i, hr, c, i - row_number() OVER (ORDER BY i) AS grp
+  FROM st WHERE st = 1)
+SELECT make_timestamp(min(hr) * 3600000000) AS start_ts,
+       make_timestamp(max(hr) * 3600000000) AS end_ts,
+       CAST(count(*) AS BIGINT) AS n_hours,
+       CAST(sum(c) AS BIGINT) AS n_events
+FROM burst GROUP BY grp ORDER BY start_ts
+    """,
+)
+def hourly_burst_intervals(sf_dir: str):
+    """Kleinberg burst detection (Kleinberg KDD'02, two-state batched
+    variant): a Viterbi decode over the dense hourly event-count series with
+    Poisson emission costs (base rate lam0 = total/T, burst rate
+    lam1 = 1.3*lam0) and an entry penalty 0.5*ln(T); reported as burst
+    INTERVALS (start, end, hours, events). The corpus reduces to the
+    720-point hourly series in ONE distributed groupby; the DP runs
+    driver-side over that bounded series (time-dimension state, the
+    peak-concurrency altitude) with libm ln — every cost, comparison and
+    backtrack decision is bit-identical to the oracle's recursive-CTE
+    forward pass + pointer backtrack."""
+    ds = _t(sf_dir, "events", ["ts"])
+
+    def hours(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hr = us // 3_600_000_000
+        u, n = np.unique(hr, return_counts=True)
+        return pa.table({"hr": pa.array(u), "c": pa.array(n.astype(np.int64))})
+
+    hc = (
+        ds.map_batches(hours, batch_format="pyarrow")
+        .groupby("hr")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    lo, hi = int(hc["hr"].min()), int(hc["hr"].max())
+    c = np.zeros(hi - lo + 1, dtype=np.int64)
+    c[hc["hr"].to_numpy(dtype=np.int64) - lo] = hc["c"].to_numpy(dtype=np.int64)
+    t_n = len(c)
+    total = int(c.sum())
+    lam0 = total / t_n
+    lam1 = 1.3 * lam0
+    ln0, ln1 = math.log(lam0), math.log(1.3 * lam0)
+    glnt = 0.5 * math.log(float(t_n))
+
+    d0 = lam0 - int(c[0]) * ln0
+    d1 = glnt + lam1 - int(c[0]) * ln1
+    p0s, p1s = [0], [0]
+    for i in range(1, t_n):
+        p0 = 0 if d0 <= d1 else 1
+        p1 = 0 if d0 + glnt <= d1 else 1
+        nd0 = (d0 if p0 == 0 else d1) + lam0 - int(c[i]) * ln0
+        nd1 = ((d0 + glnt) if p1 == 0 else d1) + lam1 - int(c[i]) * ln1
+        d0, d1 = nd0, nd1
+        p0s.append(p0)
+        p1s.append(p1)
+    st = 1 if d1 < d0 else 0
+    states = np.empty(t_n, dtype=np.int64)
+    states[t_n - 1] = st
+    for i in range(t_n - 1, 0, -1):
+        st = p1s[i] if st == 1 else p0s[i]
+        states[i - 1] = st
+
+    rows = []
+    i = 0
+    while i < t_n:
+        if states[i] == 1:
+            j = i
+            while j + 1 < t_n and states[j + 1] == 1:
+                j += 1
+            rows.append(
+                {
+                    "start_ts": pd.Timestamp((lo + i) * 3_600_000_000, unit="us"),
+                    "end_ts": pd.Timestamp((lo + j) * 3_600_000_000, unit="us"),
+                    "n_hours": j - i + 1,
+                    "n_events": int(c[i : j + 1].sum()),
+                }
+            )
+            i = j + 1
+        else:
+            i += 1
+    out = pd.DataFrame(rows, columns=["start_ts", "end_ts", "n_hours", "n_events"])
+    if len(out):
+        out["n_hours"] = out["n_hours"].astype("int64")
+        out["n_events"] = out["n_events"].astype("int64")
+    return out.sort_values("start_ts").reset_index(drop=True)
+
+
+def _luby_oracle_sql(rounds: int) -> str:
+    """Unrolled fixed-round Luby MIS: per round, winners = active nodes
+    whose (pri, id) beats every active neighbor; next active set drops
+    winners and their neighbors (MATERIALIZED per round, the kcore
+    pattern). pri(v) = (v * 2654435761) % 2^32 — Knuth multiplicative,
+    identical in the engine."""
+    parts = [
+        "WITH pl AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 4 = 0),",
+        "e AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y FROM pl a JOIN pl b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),",
+        "eu AS MATERIALIZED (SELECT x AS u, y AS v FROM e UNION ALL SELECT y, x FROM e),",
+        "a0 AS MATERIALIZED (SELECT DISTINCT u AS node, (u * 2654435761) % 4294967296 AS pri FROM eu),",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f"w{r} AS MATERIALIZED (SELECT n.node FROM a{p} n WHERE NOT EXISTS ("
+            f"SELECT 1 FROM eu JOIN a{p} m ON m.node = eu.v WHERE eu.u = n.node "
+            f"AND (m.pri < n.pri OR (m.pri = n.pri AND m.node < n.node)))),"
+        )
+        parts.append(
+            f"a{r} AS MATERIALIZED (SELECT node, pri FROM a{p} WHERE node NOT IN (SELECT node FROM w{r}) "
+            f"AND node NOT IN (SELECT eu.v FROM eu JOIN w{r} ON w{r}.node = eu.u)),"
+        )
+    sel = [f"SELECT node, CAST({r} AS BIGINT) AS round FROM w{r}" for r in range(1, rounds + 1)]
+    sel.append(f"SELECT node, CAST(-1 AS BIGINT) AS round FROM a{rounds}")
+    return "\n".join(parts)[:-1] + "\n" + "\nUNION ALL\n".join(sel) + "\nORDER BY round, node"
+
+
+@q("part_luby_mis", sql=_luby_oracle_sql(6))
+def part_luby_mis(sf_dir: str):
+    """Fixed-round Luby maximal independent set (Luby 1986) over the part
+    co-purchase graph — the foundational symmetry-breaking primitive of
+    distributed graph computing (coloring, scheduling, matching all reduce
+    to it). Deterministic multiplicative-hash priorities make the fixpoint
+    the unique greedy-by-priority MIS and every round exactly mirrorable by
+    the oracle's unrolled materialized CTEs; still-active nodes after round
+    6 are reported as round = -1 (none at test scales — the graph decides in
+    2-3 rounds, Luby's O(log n) bound). Engine: one edge scan + one
+    node-keyed min-groupby per round (stages/graph.luby_mis)."""
+    from perfect_bloomfilter_ray.stages.cooccur import distinct_pairs
+    from perfect_bloomfilter_ray.stages.graph import luby_mis
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]).map_batches(
+        lambda t: t.filter(
+            pc.equal(
+                pc.bit_wise_and(t.column("l_partkey"), pa.scalar(3, pa.int64())),
+                pa.scalar(3 & 0, pa.int64()),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    edges = distinct_pairs(li, "l_orderkey", "l_partkey").materialize()
+    return luby_mis(edges, rounds=6)

@@ -2093,3 +2093,163 @@ def stress_centrality(
     keep = stress > 0
     out = pd.DataFrame({"node": un[keep], "stress": stress[keep]})
     return out.sort_values(["stress", "node"], ascending=[False, True]).reset_index(drop=True)
+
+
+def luby_mis(
+    edges: Dataset,
+    rounds: int = 6,
+    a_col: str = "item_a",
+    b_col: str = "item_b",
+    local_max_edges: int = 2_000_000,
+) -> pd.DataFrame:
+    """Fixed-round Luby maximal-independent-set (Luby 1986) with
+    DETERMINISTIC priorities: pri(v) = (v * 2654435761) mod 2^32 (Knuth's
+    multiplicative hash — reproducible in ANSI SQL, unlike a seeded
+    process-local hash), ties broken by node id. Per round, every ACTIVE
+    node with a strictly smaller (pri, id) than all its active neighbors
+    joins the MIS; winners and their neighbors deactivate. With fixed
+    priorities the fixpoint is the unique greedy-by-priority MIS; a bounded
+    ``rounds`` keeps the computation exactly mirrorable by an unrolled SQL
+    oracle — nodes still active after the last round are reported as
+    undecided (round = -1).
+
+    Per round: ONE edge scan emitting (node, min active-neighbor priority)
+    partials + one node-keyed min-groupby. Active/priority state is
+    node-dimension driver state (the ``bfs_levels`` bounded-node contract);
+    edge lists <= ``local_max_edges`` run identical rounds on driver arrays.
+
+    Returns ``(node, round)``: MIS members with the 1-based round they were
+    decided in, then undecided nodes with round -1; sorted by (round, node).
+    """
+    import ray
+    from ray.data.aggregate import Min as _Min
+
+    edges = edges.materialize()
+    local = edges.count() <= local_max_edges
+    if local:
+        _df = edges.to_pandas()
+        la = _df[a_col].to_numpy().astype(np.int64)
+        lb = _df[b_col].to_numpy().astype(np.int64)
+    else:
+        la = lb = None
+
+    def pri_of(v: np.ndarray) -> np.ndarray:
+        return (v.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(4294967296)
+
+    if local:
+        all_nodes = np.unique(np.concatenate([la, lb]))
+    else:
+        from ray.data.aggregate import Count as _Count
+
+        def ends(t: pa.Table) -> pa.Table:
+            a = t.column(a_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            b = t.column(b_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({"node": pa.array(np.unique(np.concatenate([a, b])))})
+
+        all_nodes = np.sort(
+            edges.map_batches(ends, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(_Count(alias_name="_c"))
+            .to_pandas()["node"]
+            .to_numpy()
+            .astype(np.int64)
+        )
+
+    # packed comparable priority key: (pri << 21 | rank) fits int64 for
+    # node ranks < 2^21; fall back to lexicographic pairs beyond that
+    pri = pri_of(all_nodes)
+    rank = np.arange(len(all_nodes), dtype=np.uint64)
+    if len(all_nodes) >= (1 << 21):
+        raise ValueError("luby_mis node set exceeds the packed-key budget")
+    key = ((pri << np.uint64(21)) | rank).astype(np.int64)
+
+    active = np.ones(len(all_nodes), dtype=bool)
+    decided = np.full(len(all_nodes), -1, dtype=np.int64)
+
+    def _min_nbr_local(act_key: np.ndarray) -> np.ndarray:
+        """act_key: per-node packed key, +inf-sentinel where inactive."""
+        ia = np.searchsorted(all_nodes, la)
+        ib = np.searchsorted(all_nodes, lb)
+        both = active[ia] & active[ib]
+        u = np.concatenate([ia[both], ib[both]])
+        w = np.concatenate([act_key[ib[both]], act_key[ia[both]]])
+        out = np.full(len(all_nodes), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(out, u, w)
+        return out
+
+    for r in range(1, rounds + 1):
+        if not active.any():
+            break
+        act_key = key.copy()
+        if local:
+            min_nbr = _min_nbr_local(act_key)
+        else:
+            ref = ray.put((all_nodes, active, key))
+
+            def nbr_min(t: pa.Table, _f=ref) -> pa.Table:
+                nodes, act, k = ray.get(_f)
+                a = t.column(a_col).to_numpy(zero_copy_only=False).astype(np.int64)
+                b = t.column(b_col).to_numpy(zero_copy_only=False).astype(np.int64)
+                ia = np.searchsorted(nodes, a)
+                ib = np.searchsorted(nodes, b)
+                both = act[ia] & act[ib]
+                u = np.concatenate([a[both], b[both]])
+                w = np.concatenate([k[ib[both]], k[ia[both]]])
+                if len(u) == 0:
+                    return pa.table({"node": pa.array([], pa.int64()), "m": pa.array([], pa.int64())})
+                un, inv = np.unique(u, return_inverse=True)
+                mins = np.full(len(un), np.iinfo(np.int64).max, dtype=np.int64)
+                np.minimum.at(mins, inv, w)
+                return pa.table({"node": pa.array(un), "m": pa.array(mins)})
+
+            got = (
+                edges.map_batches(nbr_min, batch_format="pyarrow")
+                .groupby("node")
+                .aggregate(_Min("m", alias_name="m"))
+                .to_pandas()
+            )
+            min_nbr = np.full(len(all_nodes), np.iinfo(np.int64).max, dtype=np.int64)
+            if len(got):
+                idx = np.searchsorted(all_nodes, got["node"].to_numpy().astype(np.int64))
+                min_nbr[idx] = got["m"].to_numpy().astype(np.int64)
+
+        winners = active & (key < min_nbr)
+        if not winners.any():
+            break
+        decided[winners] = r
+        # deactivate winners and their neighbors
+        if local:
+            ia = np.searchsorted(all_nodes, la)
+            ib = np.searchsorted(all_nodes, lb)
+            nbr_of_win = np.zeros(len(all_nodes), dtype=bool)
+            wa = winners[ia]
+            wb = winners[ib]
+            nbr_of_win[ib[wa]] = True
+            nbr_of_win[ia[wb]] = True
+        else:
+            wref = ray.put((all_nodes, winners))
+
+            def win_nbrs(t: pa.Table, _f=wref) -> pa.Table:
+                nodes, win = ray.get(_f)
+                a = t.column(a_col).to_numpy(zero_copy_only=False).astype(np.int64)
+                b = t.column(b_col).to_numpy(zero_copy_only=False).astype(np.int64)
+                ia = np.searchsorted(nodes, a)
+                ib = np.searchsorted(nodes, b)
+                out = np.unique(np.concatenate([b[win[ia]], a[win[ib]]]))
+                return pa.table({"node": pa.array(out)})
+
+            got = (
+                edges.map_batches(win_nbrs, batch_format="pyarrow")
+                .groupby("node")
+                .aggregate(_Count(alias_name="_c"))
+                .to_pandas()
+            )
+            nbr_of_win = np.zeros(len(all_nodes), dtype=bool)
+            if len(got):
+                nbr_of_win[np.searchsorted(all_nodes, got["node"].to_numpy().astype(np.int64))] = True
+        active &= ~(winners | nbr_of_win)
+
+    out = pd.DataFrame({"node": all_nodes, "round": decided})
+    out.loc[active, "round"] = -1  # still-active nodes are undecided
+    out = out[(out["round"] > 0) | active]
+    return out.sort_values(["round", "node"]).reset_index(drop=True)

@@ -469,3 +469,62 @@ def test_stress_centrality_matches_bruteforce(ray_session, gate):
     ).repartition(3)
     got = stress_centrality(ds, sources, max_depth=K, local_max_edges=gate)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.mark.parametrize("gate", [2_000_000, 0])
+def test_luby_mis_matches_bruteforce_and_is_valid(ray_session, gate):
+    import collections
+
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.graph import luby_mis
+
+    rng = np.random.RandomState(3)
+    edges = set()
+    while len(edges) < 120:
+        a, b = rng.randint(0, 50, 2)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    edges = sorted(edges)
+
+    def pri(v):
+        return (v * 2654435761) % 4294967296
+
+    nodes = sorted({x for e in edges for x in e})
+    adj = collections.defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    active, decided = set(nodes), {}
+    for r in range(1, 7):
+        winners = [
+            v
+            for v in active
+            if all((pri(u), u) > (pri(v), v) for u in adj[v] if u in active)
+        ]
+        if not winners:
+            break
+        for v in winners:
+            decided[v] = r
+        drop = set(winners) | {u for v in winners for u in adj[v] if u in active}
+        active -= drop
+    want = (
+        pd.DataFrame(
+            [(v, decided[v]) for v in decided] + [(v, -1) for v in active],
+            columns=["node", "round"],
+        )
+        .sort_values(["round", "node"])
+        .reset_index(drop=True)
+    )
+
+    ds = rd.from_pandas(
+        pd.DataFrame({"item_a": [a for a, _ in edges], "item_b": [b for _, b in edges]})
+    ).repartition(3)
+    got = luby_mis(ds, rounds=6, local_max_edges=gate)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    mis = set(got[got["round"] > 0]["node"])
+    assert not any(a in mis and b in mis for a, b in edges), "independence violated"
+    # maximality: every non-member is adjacent to a member (when fully decided)
+    if (got["round"] == -1).sum() == 0:
+        for v in nodes:
+            assert v in mis or any(u in mis for u in adj[v]), v
