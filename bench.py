@@ -342,6 +342,8 @@ SUITE = [
     "shapley_channel_attribution",
     "hourly_burst_intervals",
     "part_luby_mis",
+    "dr_policy_value",
+    "ridge_cv_value_hour",
 ]
 
 

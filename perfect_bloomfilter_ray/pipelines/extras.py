@@ -7358,3 +7358,253 @@ def part_luby_mis(sf_dir: str):
     )
     edges = distinct_pairs(li, "l_orderkey", "l_partkey").materialize()
     return luby_mis(edges, rounds=6)
+
+
+@q(
+    "dr_policy_value",
+    sql="""
+    WITH e AS (SELECT user_id % 4 AS segment, event_type,
+                      event_id % 2 AS split,
+                      CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+    j AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS jj FROM events),
+    cell AS (SELECT segment, event_type,
+                    CAST(count(*) FILTER (split = 0) AS BIGINT) AS ca,
+                    CAST(coalesce(sum(cents) FILTER (split = 0), 0) AS BIGINT) AS sa,
+                    CAST(count(*) FILTER (split = 1) AS BIGINT) AS cb,
+                    CAST(coalesce(sum(cents) FILTER (split = 1), 0) AS BIGINT) AS sb
+             FROM e GROUP BY 1, 2),
+    q AS (SELECT segment, event_type, ca, sa, cb, sb,
+                 CASE WHEN ca > 0 THEN CAST(sa AS DOUBLE) / (100.0 * ca) ELSE 0.0 END AS qhat
+          FROM cell),
+    p AS (SELECT segment,
+            max(CASE WHEN event_type = 'click'    THEN qhat END) AS q1,
+            max(CASE WHEN event_type = 'error'    THEN qhat END) AS q2,
+            max(CASE WHEN event_type = 'purchase' THEN qhat END) AS q3,
+            max(CASE WHEN event_type = 'signup'   THEN qhat END) AS q4,
+            max(CASE WHEN event_type = 'view'     THEN qhat END) AS q5,
+            max(CASE WHEN event_type = 'click'    AND cb > 0 THEN (CAST(sb AS DOUBLE) / 100.0 - cb * qhat) / (jj * cb) END) AS t1,
+            max(CASE WHEN event_type = 'error'    AND cb > 0 THEN (CAST(sb AS DOUBLE) / 100.0 - cb * qhat) / (jj * cb) END) AS t2,
+            max(CASE WHEN event_type = 'purchase' AND cb > 0 THEN (CAST(sb AS DOUBLE) / 100.0 - cb * qhat) / (jj * cb) END) AS t3,
+            max(CASE WHEN event_type = 'signup'   AND cb > 0 THEN (CAST(sb AS DOUBLE) / 100.0 - cb * qhat) / (jj * cb) END) AS t4,
+            max(CASE WHEN event_type = 'view'     AND cb > 0 THEN (CAST(sb AS DOUBLE) / 100.0 - cb * qhat) / (jj * cb) END) AS t5,
+            CAST(sum(ca) AS BIGINT) AS n_model, CAST(sum(cb) AS BIGINT) AS n_eval
+          FROM q CROSS JOIN j GROUP BY segment),
+    f AS (SELECT segment, n_model, n_eval,
+            (coalesce(q1, 0) + coalesce(q2, 0) + coalesce(q3, 0)
+              + coalesce(q4, 0) + coalesce(q5, 0)) / CAST(j.jj AS DOUBLE) AS direct_value,
+            coalesce(t1, 0) + coalesce(t2, 0) + coalesce(t3, 0)
+              + coalesce(t4, 0) + coalesce(t5, 0) AS corr
+          FROM p CROSS JOIN j)
+    SELECT segment, n_model, n_eval, direct_value,
+           direct_value + corr AS dr_value
+    FROM f ORDER BY segment
+    """,
+)
+def dr_policy_value(sf_dir: str):
+    """Doubly-robust off-policy evaluation (Dudik, Langford & Li ICML'11)
+    with an honest SPLIT-SAMPLE design: the outcome model Qhat(s,a) is the
+    per-(segment, action) mean reward on even event_ids, and the DR
+    estimate combines the direct model value with the IPS-weighted residual
+    correction on the odd-event_id eval split — so the correction is not
+    identically zero (the single-sample degeneracy) and DR's bias-robustness
+    is actually exercised. Same uniform target policy and pivot-trick fixed
+    summation order as ips_policy_value; every term is an exact division of
+    integer-cent sums, so the estimates hash bit-identically. One
+    distributed (segment, action, split) cell groupby carries everything."""
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "event_type", "value"])
+
+    def cellify(t: pa.Table) -> pa.Table:
+        cents = np.round(t.column("value").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        seg = (t.column("user_id").to_numpy(zero_copy_only=False) % 4).astype(np.int64)
+        split = (t.column("event_id").to_numpy(zero_copy_only=False) % 2).astype(np.int64)
+        return pa.table(
+            {
+                "segment": pa.array(seg),
+                "event_type": t.column("event_type"),
+                "ca": pa.array((split == 0).astype(np.int64)),
+                "sa": pa.array(np.where(split == 0, cents, 0)),
+                "cb": pa.array((split == 1).astype(np.int64)),
+                "sb": pa.array(np.where(split == 1, cents, 0)),
+            }
+        )
+
+    cells = (
+        ds.map_batches(cellify, batch_format="pyarrow")
+        .groupby(["segment", "event_type"])
+        .aggregate(
+            Sum("ca", alias_name="ca"),
+            Sum("sa", alias_name="sa"),
+            Sum("cb", alias_name="cb"),
+            Sum("sb", alias_name="sb"),
+        )
+        .to_pandas()
+    )
+    jn = cells["event_type"].nunique()
+    rows = []
+    for seg, g in cells.groupby("segment"):
+        g = g.sort_values("event_type")
+        direct = 0.0
+        corr = 0.0
+        for _, r in g.iterrows():
+            ca, sa, cb, sb = int(r["ca"]), int(r["sa"]), int(r["cb"]), int(r["sb"])
+            qhat = float(sa) / (100.0 * ca) if ca > 0 else 0.0
+            direct += qhat
+            if cb > 0:
+                corr += (float(sb) / 100.0 - cb * qhat) / (jn * cb)
+        direct /= float(jn)
+        rows.append(
+            {
+                "segment": int(seg),
+                "n_model": int(g["ca"].sum()),
+                "n_eval": int(g["cb"].sum()),
+                "direct_value": direct,
+                "dr_value": direct + corr,
+            }
+        )
+    return pd.DataFrame(rows).sort_values("segment").reset_index(drop=True)
+
+
+@q(
+    "ridge_cv_value_hour",
+    sql="""
+    WITH pt AS (SELECT event_id % 5 AS fold,
+                       CAST(extract(hour FROM ts) AS BIGINT) AS x,
+                       CAST(round(value * 100) AS BIGINT) AS y
+                FROM events),
+    fs AS (SELECT fold, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                  CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy,
+                  CAST(sum(y * y) AS BIGINT) AS syy
+           FROM pt GROUP BY 1),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS n, CAST(sum(sx) AS BIGINT) AS sx,
+                   CAST(sum(sy) AS BIGINT) AS sy, CAST(sum(sxx) AS BIGINT) AS sxx,
+                   CAST(sum(sxy) AS BIGINT) AS sxy, CAST(sum(syy) AS BIGINT) AS syy
+            FROM fs),
+    lam AS (SELECT unnest([0, 10, 100, 1000]) AS lambda),
+    per AS (
+      SELECT lam.lambda, fs.fold,
+             CAST(fs.n AS DOUBLE) AS tn, fs.n AS n_test,
+             CAST((tot.n - fs.n) * (tot.sxy - fs.sxy) - (tot.sx - fs.sx) * (tot.sy - fs.sy) AS DOUBLE)
+               / ((tot.n - fs.n) * (tot.sxx - fs.sxx) - (tot.sx - fs.sx) * (tot.sx - fs.sx)
+                  + lam.lambda * (tot.n - fs.n) * (tot.n - fs.n)) AS b,
+             tot.n - fs.n AS ntr, tot.sx - fs.sx AS sxtr, tot.sy - fs.sy AS sytr
+      FROM lam CROSS JOIN fs CROSS JOIN tot),
+    sse AS (
+      SELECT per.lambda, per.fold, per.n_test,
+             (SELECT ((((fs.syy - 2.0 * ((per.sytr - per.b * per.sxtr) / per.ntr) * fs.sy
+                - 2.0 * per.b * fs.sxy)
+                + fs.n * ((per.sytr - per.b * per.sxtr) / per.ntr) * ((per.sytr - per.b * per.sxtr) / per.ntr))
+                + 2.0 * ((per.sytr - per.b * per.sxtr) / per.ntr) * per.b * fs.sx)
+                + per.b * per.b * fs.sxx)
+              FROM fs WHERE fs.fold = per.fold) AS sse
+      FROM per),
+    cv AS (
+      SELECT lambda,
+             (max(CASE WHEN fold = 0 THEN sse END)
+              + max(CASE WHEN fold = 1 THEN sse END)
+              + max(CASE WHEN fold = 2 THEN sse END)
+              + max(CASE WHEN fold = 3 THEN sse END)
+              + max(CASE WHEN fold = 4 THEN sse END))
+             / CAST(sum(n_test) AS DOUBLE) / 10000.0 AS cv_mse
+      FROM sse GROUP BY lambda),
+    fl AS (
+      SELECT lam.lambda,
+             CAST(tot.n * tot.sxy - tot.sx * tot.sy AS DOUBLE)
+               / (tot.n * tot.sxx - tot.sx * tot.sx + lam.lambda * tot.n * tot.n) AS b_full,
+             tot.sy, tot.sx, tot.n
+      FROM lam CROSS JOIN tot)
+    SELECT cv.lambda AS lambda, cv.cv_mse,
+           fl.b_full / 100.0 AS slope_full,
+           ((fl.sy - fl.b_full * fl.sx) / fl.n) / 100.0 AS intercept_full,
+           cv.cv_mse = (SELECT min(cv_mse) FROM cv) AS is_best
+    FROM cv JOIN fl ON fl.lambda = cv.lambda
+    ORDER BY lambda
+    """,
+)
+def ridge_cv_value_hour(sf_dir: str):
+    """Ridge-regression model selection by 5-fold cross-validation, EXACT:
+    folds are event_id residues, every fold's sufficient statistics
+    (n, Sx, Sy, Sxx, Sxy, Syy) are pure int64 sums from ONE distributed
+    groupby, training stats are total-minus-fold integer subtraction (no
+    second pass), and the held-out SSE expands through the sufficient
+    statistics — so each (lambda, fold) evaluation is a fixed-order double
+    expression over exact integers and the CV curve hashes bit-identically.
+    Ridge slope in centered per-point form: b = Ncxy / (Ncxx + lambda*n^2).
+    The model-selection companion to doc_length_ols_coeffs / ols_jackknife
+    (which fit; this CHOOSES the regularizer)."""
+    ds = _t(sf_dir, "events", ["event_id", "ts", "value"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        x = (us // 3_600_000_000) % 24
+        y = np.round(t.column("value").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        fold = (t.column("event_id").to_numpy(zero_copy_only=False) % 5).astype(np.int64)
+        out = {"fold": [], "n": [], "sx": [], "sy": [], "sxx": [], "sxy": [], "syy": []}
+        for f in np.unique(fold):
+            m = fold == f
+            xf, yf = x[m], y[m]
+            out["fold"].append(int(f))
+            out["n"].append(int(m.sum()))
+            out["sx"].append(int(xf.sum()))
+            out["sy"].append(int(yf.sum()))
+            out["sxx"].append(int((xf * xf).sum()))
+            out["sxy"].append(int((xf * yf).sum()))
+            out["syy"].append(int((yf * yf).sum()))
+        return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
+
+    fs = (
+        ds.map_batches(stats, batch_format="pyarrow")
+        .groupby("fold")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"),
+            Sum("sxx", alias_name="sxx"),
+            Sum("sxy", alias_name="sxy"),
+            Sum("syy", alias_name="syy"),
+        )
+        .to_pandas()
+        .sort_values("fold")
+        .reset_index(drop=True)
+    )
+    tot = {c: int(fs[c].sum()) for c in ["n", "sx", "sy", "sxx", "sxy", "syy"]}
+    lambdas = [0, 10, 100, 1000]
+    rows = []
+    for lam in lambdas:
+        sse_tot = 0.0
+        n_tot = 0
+        for _, f in fs.iterrows():
+            ntr = tot["n"] - int(f["n"])
+            sxtr, sytr = tot["sx"] - int(f["sx"]), tot["sy"] - int(f["sy"])
+            sxxtr, sxytr = tot["sxx"] - int(f["sxx"]), tot["sxy"] - int(f["sxy"])
+            b = float(ntr * sxytr - sxtr * sytr) / (
+                ntr * sxxtr - sxtr * sxtr + lam * ntr * ntr
+            )
+            a = (sytr - b * sxtr) / ntr
+            sse = (
+                (
+                    (
+                        (int(f["syy"]) - 2.0 * a * int(f["sy"]) - 2.0 * b * int(f["sxy"]))
+                        + int(f["n"]) * a * a
+                    )
+                    + 2.0 * a * b * int(f["sx"])
+                )
+                + b * b * int(f["sxx"])
+            )
+            sse_tot += sse
+            n_tot += int(f["n"])
+        b_full = float(tot["n"] * tot["sxy"] - tot["sx"] * tot["sy"]) / (
+            tot["n"] * tot["sxx"] - tot["sx"] * tot["sx"] + lam * tot["n"] * tot["n"]
+        )
+        rows.append(
+            {
+                "lambda": lam,
+                "cv_mse": sse_tot / float(n_tot) / 10000.0,
+                "slope_full": b_full / 100.0,
+                "intercept_full": ((tot["sy"] - b_full * tot["sx"]) / tot["n"]) / 100.0,
+            }
+        )
+    out = pd.DataFrame(rows)
+    best = out["cv_mse"].min()
+    out["is_best"] = out["cv_mse"] == best
+    return out.sort_values("lambda").reset_index(drop=True)
