@@ -344,6 +344,8 @@ SUITE = [
     "part_luby_mis",
     "dr_policy_value",
     "ridge_cv_value_hour",
+    "join_order_planned_audit",
+    "bm25_ndcg_eval",
 ]
 
 

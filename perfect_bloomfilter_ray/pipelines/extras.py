@@ -7608,3 +7608,216 @@ def ridge_cv_value_hour(sf_dir: str):
     best = out["cv_mse"].min()
     out["is_best"] = out["cv_mse"] == best
     return out.sort_values("lambda").reset_index(drop=True)
+
+
+def _join_order_plan(sf_dir: str):
+    """Shared planner core: sketch-estimate the two candidate first joins of
+    customer |><| orders(F) |><| lineitem, choose the smaller, and return
+    (estimates, actuals, chosen, final_rows). The sketch builds and both
+    joins are distributed; only O(1) planner state touches the driver."""
+    from perfect_bloomfilter_ray.stages.agg import sketch_global
+    from perfect_bloomfilter_ray.state.cms import CountMinSketch
+
+    cust = _t(sf_dir, "customer", ["c_custkey"])
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderstatus"]).filter(
+        expr="o_orderstatus == 'F'"
+    ).materialize()
+    li = _t(sf_dir, "lineitem", ["l_orderkey"])
+
+    mk = lambda: CountMinSketch(eps=3e-5, delta=0.01)  # noqa: E731
+    est_co = sketch_global(cust, "c_custkey", mk).inner_product(
+        sketch_global(orders, "o_custkey", mk)
+    )
+    est_ol = sketch_global(orders, "o_orderkey", mk).inner_product(
+        sketch_global(li, "l_orderkey", mk)
+    )
+    chosen = "customer_first" if est_co <= est_ol else "lineitem_first"
+
+    co = cust.join(
+        orders, "inner", num_partitions=choose_join_partitions(), on=("c_custkey",), right_on=("o_custkey",)
+    ).materialize()
+    actual_co = co.count()
+    ol = orders.join(
+        li, "inner", num_partitions=choose_join_partitions(), on=("o_orderkey",), right_on=("l_orderkey",)
+    ).materialize()
+    actual_ol = ol.count()
+    # execute the chosen order's second join for the final row count
+    if chosen == "customer_first":
+        final = co.join(
+            li, "inner", num_partitions=choose_join_partitions(), on=("o_orderkey",), right_on=("l_orderkey",)
+        ).count()
+    else:
+        final = ol.join(
+            cust, "inner", num_partitions=choose_join_partitions(), on=("o_custkey",), right_on=("c_custkey",)
+        ).count()
+    return est_co, est_ol, chosen, actual_co, actual_ol, final
+
+
+@q(
+    "join_order_planned_audit",
+    sql="""
+    WITH f AS (SELECT o_orderkey, o_custkey FROM orders WHERE o_orderstatus = 'F')
+    SELECT 'customer_first' AS chosen_order,
+           (SELECT CAST(count(*) AS BIGINT) FROM customer c JOIN f ON f.o_custkey = c.c_custkey)
+             AS actual_cust_orders,
+           (SELECT CAST(count(*) AS BIGINT) FROM f JOIN lineitem l ON l.l_orderkey = f.o_orderkey)
+             AS actual_orders_lineitem,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM customer c JOIN f ON f.o_custkey = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey = f.o_orderkey) AS final_rows
+    """,
+)
+def join_order_planned_audit(sf_dir: str):
+    """Sketch-driven join-order selection — the query-optimizer use case a
+    distributed sketch library exists for (Cormode & Garofalakis survey §5):
+    two independently-built CMS pairs estimate the candidate first-join
+    sizes of customer |><| orders(F) |><| lineitem WITHOUT running them; the
+    engine executes the chosen order and audits both actual intermediate
+    sizes. The oracle pins the choice ('customer_first': the customer-side
+    intermediate is ~4x smaller, far outside CMS error at every scale) and
+    verifies the exact counts; the raw estimates live in the rows-only twin
+    join_order_sketch_estimates."""
+    _, _, chosen, actual_co, actual_ol, final = _join_order_plan(sf_dir)
+    return pd.DataFrame(
+        [
+            {
+                "chosen_order": chosen,
+                "actual_cust_orders": actual_co,
+                "actual_orders_lineitem": actual_ol,
+                "final_rows": final,
+            }
+        ]
+    )
+
+
+@q("join_order_sketch_estimates")
+def join_order_sketch_estimates(sf_dir: str):
+    """Rows-only twin of join_order_planned_audit: the CMS inner-product
+    estimates themselves plus their relative errors against the exact
+    intermediate sizes (error bound eps*N_A*N_B, pytest-checked for the
+    underlying sketches in test_sketches.py)."""
+    est_co, est_ol, chosen, actual_co, actual_ol, _ = _join_order_plan(sf_dir)
+    return pd.DataFrame(
+        [
+            {
+                "chosen_order": chosen,
+                "est_cust_orders": float(est_co),
+                "est_orders_lineitem": float(est_ol),
+                "actual_cust_orders": actual_co,
+                "actual_orders_lineitem": actual_ol,
+                "rel_err_co": abs(est_co - actual_co) / actual_co,
+                "rel_err_ol": abs(est_ol - actual_ol) / actual_ol,
+            }
+        ]
+    )
+
+
+@q(
+    "bm25_ndcg_eval",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+      FROM documents),
+    n AS (SELECT count(*) AS n FROM documents),
+    tot AS (SELECT count(*) AS t FROM toks),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    qt AS (SELECT unnest(['join', 'filter', 'vector', 'stream']) AS token),
+    df AS (SELECT token, count(DISTINCT doc_id) AS df
+           FROM toks JOIN qt USING (token) GROUP BY token),
+    tf AS (SELECT doc_id, token, count(*) AS tf
+           FROM toks JOIN qt USING (token) GROUP BY doc_id, token),
+    sc AS (
+      SELECT tf.doc_id,
+             round(sum(ln(1 + (n.n - df.df + 0.5) / (df.df + 0.5))
+                 * tf.tf * 2.2
+                 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+                     / (tot.t / CAST(n.n AS DOUBLE))))), 4) AS score,
+             least(3, CAST(sum(tf.tf) AS BIGINT)) AS rel
+      FROM tf JOIN df USING (token) JOIN dl USING (doc_id)
+      CROSS JOIN n CROSS JOIN tot
+      GROUP BY tf.doc_id),
+    rk AS (SELECT doc_id, rel, (1::BIGINT << rel) - 1 AS g,
+                  row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+           FROM sc),
+    ideal AS (SELECT (1::BIGINT << rel) - 1 AS g,
+                     row_number() OVER (ORDER BY rel DESC, doc_id) AS rn
+              FROM sc),
+    dcg AS (
+      SELECT coalesce(max(CASE WHEN rn = 1  THEN g END) / ln(2.0),  0)
+            + coalesce(max(CASE WHEN rn = 2  THEN g END) / ln(3.0),  0)
+            + coalesce(max(CASE WHEN rn = 3  THEN g END) / ln(4.0),  0)
+            + coalesce(max(CASE WHEN rn = 4  THEN g END) / ln(5.0),  0)
+            + coalesce(max(CASE WHEN rn = 5  THEN g END) / ln(6.0),  0)
+            + coalesce(max(CASE WHEN rn = 6  THEN g END) / ln(7.0),  0)
+            + coalesce(max(CASE WHEN rn = 7  THEN g END) / ln(8.0),  0)
+            + coalesce(max(CASE WHEN rn = 8  THEN g END) / ln(9.0),  0)
+            + coalesce(max(CASE WHEN rn = 9  THEN g END) / ln(10.0), 0)
+            + coalesce(max(CASE WHEN rn = 10 THEN g END) / ln(11.0), 0) AS v
+      FROM rk),
+    idcg AS (
+      SELECT coalesce(max(CASE WHEN rn = 1  THEN g END) / ln(2.0),  0)
+            + coalesce(max(CASE WHEN rn = 2  THEN g END) / ln(3.0),  0)
+            + coalesce(max(CASE WHEN rn = 3  THEN g END) / ln(4.0),  0)
+            + coalesce(max(CASE WHEN rn = 4  THEN g END) / ln(5.0),  0)
+            + coalesce(max(CASE WHEN rn = 5  THEN g END) / ln(6.0),  0)
+            + coalesce(max(CASE WHEN rn = 6  THEN g END) / ln(7.0),  0)
+            + coalesce(max(CASE WHEN rn = 7  THEN g END) / ln(8.0),  0)
+            + coalesce(max(CASE WHEN rn = 8  THEN g END) / ln(9.0),  0)
+            + coalesce(max(CASE WHEN rn = 9  THEN g END) / ln(10.0), 0)
+            + coalesce(max(CASE WHEN rn = 10 THEN g END) / ln(11.0), 0) AS v
+      FROM ideal)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM sc) AS n_matched,
+           (SELECT doc_id FROM rk WHERE rn = 1) AS top_doc_id,
+           dcg.v AS dcg, idcg.v AS idcg, dcg.v / idcg.v AS ndcg
+    FROM dcg CROSS JOIN idcg
+    """,
+)
+def bm25_ndcg_eval(sf_dir: str):
+    """nDCG@10 ranking-quality evaluation (Jarvelin & Kekalainen 2002) of
+    the BM25 ranking against graded relevance labels rel = min(3, total
+    query-term occurrences): gain (2^rel - 1)/ln(rank+1), ideal ranking by
+    relevance. Ranks are taken over the ROUNDED (4 dp) BM25 scores with
+    doc_id tie-break — the same canonical scores bm25_doc_ranking verifies —
+    so the ordering, the ten per-rank divisions and their fixed-order sum
+    hash bit-identically. The distributed parts (df stats pass, shuffle-free
+    scoring map) are shared with bm25_doc_ranking; the rank fold is a
+    bounded top-10 driver step (global_top_k shape for open corpora)."""
+    from perfect_bloomfilter_ray.stages.vocab import bm25_query_stats, bm25_score
+
+    terms = ["join", "filter", "vector", "stream"]
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = docs.count()
+    dfs, total_tokens = bm25_query_stats(docs, "text", terms)
+    avgdl = total_tokens / float(n_docs)
+    scored = bm25_score(docs, "text", terms, dfs, n_docs, avgdl, tfsum_col="tfsum")
+    m = (
+        scored.filter(expr="n_terms > 0")
+        .select_columns(["doc_id", "score", "tfsum"])
+        .to_pandas()
+    )
+    m["score"] = m["score"].astype(float).round(4)
+    m["rel"] = np.minimum(3, m["tfsum"].to_numpy(dtype=np.int64))
+    m["g"] = (1 << m["rel"].to_numpy(dtype=np.int64)) - 1
+
+    ranked = m.sort_values(["score", "doc_id"], ascending=[False, True]).head(10)
+    ideal = m.sort_values(["rel", "doc_id"], ascending=[False, True]).head(10)
+
+    def fold(gains: np.ndarray) -> float:
+        v = 0.0
+        for i, g in enumerate(gains):
+            v += float(g) / math.log(float(i + 2))
+        return v
+
+    dcg = fold(ranked["g"].to_numpy())
+    idcg = fold(ideal["g"].to_numpy())
+    return pd.DataFrame(
+        [
+            {
+                "n_matched": len(m),
+                "top_doc_id": int(ranked["doc_id"].iloc[0]),
+                "dcg": dcg,
+                "idcg": idcg,
+                "ndcg": dcg / idcg,
+            }
+        ]
+    )

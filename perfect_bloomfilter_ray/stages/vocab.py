@@ -485,6 +485,7 @@ def bm25_score(
     score_col: str = "score",
     dl_col: str = "dl",
     nmatch_col: str = "n_terms",
+    tfsum_col: str | None = None,
 ) -> Dataset:
     """Okapi BM25 scoring (Robertson/Sparck-Jones idf with Lucene's +1):
     ``sum_t ln(1 + (N - df + .5)/(df + .5)) * tf*(k1+1) / (tf + k1*(1 - b +
@@ -509,6 +510,7 @@ def bm25_score(
         ex = tmp.explode("tok").drop_nulls("tok").filter(pl.col("tok").is_in(t_list))
         scores = np.zeros(len(t), np.float64)
         nmatch = np.zeros(len(t), np.int64)
+        tfsum = np.zeros(len(t), np.int64)
         if len(ex):
             doc = ex["_doc"].to_numpy().astype(np.int64)
             tidx = (
@@ -523,11 +525,15 @@ def bm25_score(
             contrib[tf == 0] = 0.0
             scores = contrib.sum(axis=1)
             nmatch = (tf > 0).sum(axis=1).astype(np.int64)
-        return (
+            tfsum = tf.sum(axis=1).astype(np.int64)
+        out = (
             t.append_column(score_col, pa.array(scores))
             .append_column(dl_col, pa.array(lens))
             .append_column(nmatch_col, pa.array(nmatch))
         )
+        if tfsum_col is not None:
+            out = out.append_column(tfsum_col, pa.array(tfsum))
+        return out
 
     return ds.map_batches(score, batch_format="pyarrow")
 
