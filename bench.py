@@ -346,6 +346,8 @@ SUITE = [
     "ridge_cv_value_hour",
     "join_order_planned_audit",
     "bm25_ndcg_eval",
+    "hourly_haar_synopsis",
+    "neyman_stratified_sample",
 ]
 
 

@@ -7821,3 +7821,202 @@ def bm25_ndcg_eval(sf_dir: str):
             }
         ]
     )
+
+
+def _haar_oracle_sql(levels: int = 10, top_k: int = 16) -> str:
+    """Unrolled Haar pyramid: level l pairs level l-1 via i//2 groupby
+    (even+odd sums / differences, MATERIALIZED per level). Coefficients are
+    compared by the EXACT integer d^2 * 2^(levels-l) (the squared normalized
+    magnitude scaled by 2^levels), so top-k selection never touches a
+    float."""
+    n = 1 << levels
+    parts = [
+        "WITH b AS MATERIALIZED (SELECT min(epoch_us(ts) // 3600000000) AS lo FROM events),",
+        "hc AS MATERIALIZED (SELECT epoch_us(ts) // 3600000000 AS hr, CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1),",
+        f"lvl0 AS MATERIALIZED (SELECT r.i, coalesce(hc.c, 0) AS v FROM (SELECT unnest(range(0, {n})) AS i) r CROSS JOIN b LEFT JOIN hc ON hc.hr = b.lo + r.i),",
+    ]
+    for l in range(1, levels + 1):
+        parts.append(
+            f"lvl{l} AS MATERIALIZED (SELECT i // 2 AS i, "
+            f"max(CASE WHEN i % 2 = 0 THEN v END) + max(CASE WHEN i % 2 = 1 THEN v END) AS v, "
+            f"max(CASE WHEN i % 2 = 0 THEN v END) - max(CASE WHEN i % 2 = 1 THEN v END) AS d "
+            f"FROM lvl{l - 1} GROUP BY i // 2),"
+        )
+    sel = [
+        f"SELECT CAST({l} AS BIGINT) AS level, CAST(i AS BIGINT) AS idx, d AS coeff, "
+        f"d * d * {1 << (levels - l)} AS score_scaled FROM lvl{l}"
+        for l in range(1, levels + 1)
+    ]
+    return (
+        "\n".join(parts)[:-1]
+        + ",\nco AS (\n"
+        + "\nUNION ALL\n".join(sel)
+        + f")\nSELECT level, idx, coeff, score_scaled FROM co\n"
+        f"ORDER BY score_scaled DESC, level, idx LIMIT {top_k}"
+    )
+
+
+@q("hourly_haar_synopsis", sql=_haar_oracle_sql(10, 16))
+def hourly_haar_synopsis(sf_dir: str):
+    """Haar wavelet synopsis of the hourly event-count series (Matias,
+    Vitter & Wang SIGMOD'98 — the classic range-sum synopsis structure): the
+    top-16 UNNORMALIZED detail coefficients of the zero-padded 1024-point
+    series, selected by exact integer energy d^2 * 2^(L-l) (= the squared
+    normalized coefficient scaled by 2^L), so selection and tie-breaks are
+    float-free and hash bit-identically against the oracle's unrolled
+    pairing pyramid. One distributed hourly groupby feeds the bounded
+    driver-side transform (time-dimension state, the burst-detection
+    altitude); on a real deployment each day/shard contributes its pyramid
+    independently and coefficients merge by linearity."""
+    ds = _t(sf_dir, "events", ["ts"])
+
+    def hours(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hr = us // 3_600_000_000
+        u, n = np.unique(hr, return_counts=True)
+        return pa.table({"hr": pa.array(u), "c": pa.array(n.astype(np.int64))})
+
+    hc = (
+        ds.map_batches(hours, batch_format="pyarrow")
+        .groupby("hr")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    lo = int(hc["hr"].min())
+    levels, n = 10, 1 << 10
+    c = np.zeros(n, dtype=np.int64)
+    off = hc["hr"].to_numpy(dtype=np.int64) - lo
+    keep = off < n
+    c[off[keep]] = hc["c"].to_numpy(dtype=np.int64)[keep]
+
+    rows = []
+    s = c
+    for l in range(1, levels + 1):
+        even, odd = s[0::2], s[1::2]
+        d = even - odd
+        s = even + odd
+        score = d.astype(np.int64) ** 2 * (1 << (levels - l))
+        for i in range(len(d)):
+            rows.append((l, i, int(d[i]), int(score[i])))
+    out = pd.DataFrame(rows, columns=["level", "idx", "coeff", "score_scaled"])
+    out = out.sort_values(
+        ["score_scaled", "level", "idx"], ascending=[False, True, True]
+    ).head(16)
+    return out.reset_index(drop=True).astype("int64")
+
+
+@q(
+    "neyman_stratified_sample",
+    sql="""
+    WITH e AS (SELECT event_type, event_id,
+                      CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+    st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(cents) AS BIGINT) AS sy,
+                  CAST(sum(cents * cents) AS BIGINT) AS syy
+           FROM e GROUP BY 1),
+    v AS (SELECT event_type, n, CAST(n * syy - sy * sy AS BIGINT) AS vnum FROM st),
+    p AS (SELECT
+            max(CASE WHEN event_type = 'click'    THEN sqrt(CAST(vnum AS DOUBLE)) END) AS w1,
+            max(CASE WHEN event_type = 'error'    THEN sqrt(CAST(vnum AS DOUBLE)) END) AS w2,
+            max(CASE WHEN event_type = 'purchase' THEN sqrt(CAST(vnum AS DOUBLE)) END) AS w3,
+            max(CASE WHEN event_type = 'signup'   THEN sqrt(CAST(vnum AS DOUBLE)) END) AS w4,
+            max(CASE WHEN event_type = 'view'     THEN sqrt(CAST(vnum AS DOUBLE)) END) AS w5
+          FROM v),
+    sh AS (SELECT v.event_type, v.n, v.vnum,
+                  sqrt(CAST(v.vnum AS DOUBLE)) / (p.w1 + p.w2 + p.w3 + p.w4 + p.w5) AS share
+           FROM v CROSS JOIN p),
+    ba AS (SELECT event_type, n, vnum, share,
+                  CAST(floor(1000 * share) AS BIGINT) AS base,
+                  1000 * share - floor(1000 * share) AS rem
+           FROM sh),
+    lo AS (SELECT 1000 - sum(base) AS leftover FROM ba),
+    al AS (SELECT event_type, n, vnum,
+                  base + CASE WHEN row_number() OVER (ORDER BY rem DESC, event_type)
+                               <= (SELECT leftover FROM lo) THEN 1 ELSE 0 END AS allocated
+           FROM ba),
+    rk AS (SELECT event_type, cents,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY (event_id * 2654435761) % 4294967296, event_id) AS rn
+           FROM e),
+    smp AS (SELECT rk.event_type, CAST(count(*) AS BIGINT) AS sampled_n,
+                   CAST(sum(rk.cents) AS BIGINT) AS sampled_sum_cents
+            FROM rk JOIN al USING (event_type) WHERE rk.rn <= al.allocated
+            GROUP BY rk.event_type)
+    SELECT al.event_type, al.n AS n_stratum, al.vnum AS var_numerator,
+           al.allocated, smp.sampled_n, smp.sampled_sum_cents,
+           CAST(smp.sampled_sum_cents AS DOUBLE) / (100.0 * smp.sampled_n) AS sampled_mean
+    FROM al JOIN smp USING (event_type) ORDER BY al.event_type
+    """,
+)
+def neyman_stratified_sample(sf_dir: str):
+    """Neyman-optimal stratified sampling (Neyman 1934): a 1000-row budget
+    allocated across event-type strata proportionally to N_h * sigma_h
+    (exact integer variance numerators n*Syy - Sy^2; sqrt driver-side,
+    bitwise with the oracle), integerized by the largest-remainder method
+    (deterministic float comparisons), then drawn per stratum as the
+    allocated prefix of the multiplicative-hash order — the same
+    SQL-reproducible (event_id * 2654435761) % 2^32 key as part_luby_mis, so
+    the SAMPLE ITSELF (not just its size) is verified. Stats are one
+    distributed groupby; selection is the grouped-top-k combiner (per-block
+    partial top-k, nothing near the full strata ever gathers)."""
+    ds = _t(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = np.round(t.column("value").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (eid * np.uint64(2654435761)) % np.uint64(4294967296)
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "event_id": t.column("event_id"),
+                "cents": pa.array(cents),
+                "h": pa.array(h.astype(np.int64)),
+                "c2": pa.array(cents * cents),
+            }
+        )
+
+    pds = ds.map_batches(prep, batch_format="pyarrow").materialize()
+    st = (
+        pds.groupby("event_type")
+        .aggregate(Count(alias_name="n"), Sum("cents", alias_name="sy"), Sum("c2", alias_name="syy"))
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    st["vnum"] = st["n"].astype("int64") * st["syy"].astype("int64") - st["sy"].astype("int64") ** 2
+    w = np.sqrt(st["vnum"].to_numpy(dtype=np.int64).astype(np.float64))
+    tot_w = 0.0
+    for x in w:
+        tot_w += float(x)
+    share = w / tot_w
+    base = np.floor(1000 * share).astype(np.int64)
+    rem = 1000 * share - np.floor(1000 * share)
+    leftover = 1000 - int(base.sum())
+    order = np.lexsort((st["event_type"].to_numpy(), -rem))
+    alloc = base.copy()
+    alloc[order[:leftover]] += 1
+    alloc_map = dict(zip(st["event_type"], alloc))
+
+    from perfect_bloomfilter_ray.stages.topk import grouped_top_k
+
+    top = grouped_top_k(
+        pds, "event_type", "h", k=int(alloc.max()), descending=False, tie_cols=["event_id"]
+    ).to_pandas()
+    rows = []
+    for et, g in top.groupby("event_type"):
+        k = int(alloc_map[et])
+        g = g.sort_values(["h", "event_id"]).head(k)
+        srow = st[st["event_type"] == et].iloc[0]
+        ssum = int(g["cents"].sum())
+        rows.append(
+            {
+                "event_type": et,
+                "n_stratum": int(srow["n"]),
+                "var_numerator": int(srow["vnum"]),
+                "allocated": k,
+                "sampled_n": len(g),
+                "sampled_sum_cents": ssum,
+                "sampled_mean": float(ssum) / (100.0 * len(g)),
+            }
+        )
+    return pd.DataFrame(rows).sort_values("event_type").reset_index(drop=True)
