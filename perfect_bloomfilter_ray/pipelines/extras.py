@@ -8020,3 +8020,81 @@ def neyman_stratified_sample(sf_dir: str):
             }
         )
     return pd.DataFrame(rows).sort_values("event_type").reset_index(drop=True)
+
+
+def _densest_oracle_sql(rounds: int = 8, eps_num: int = 3) -> str:
+    """Unrolled Bahmani peel rounds (MATERIALIZED per round, the kcore
+    pattern): g{r} = edges induced by a{r}, d{r} = degrees, s{r} = (v, e,
+    id checksums); a{r+1} peels deg*V <= eps_num*E. Rounds equal to their
+    predecessor are suppressed (the engine stops at the fixpoint)."""
+    parts = [
+        "WITH pl AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 4 = 0),",
+        "e AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y FROM pl a JOIN pl b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),",
+        "g0 AS MATERIALIZED (SELECT x, y FROM e),",
+    ]
+    for r in range(rounds + 1):
+        parts.append(
+            f"d{r} AS MATERIALIZED (SELECT node, CAST(count(*) AS BIGINT) AS d FROM "
+            f"(SELECT x AS node FROM g{r} UNION ALL SELECT y FROM g{r}) GROUP BY node),"
+        )
+        parts.append(
+            f"s{r} AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS v, "
+            f"(SELECT CAST(count(*) AS BIGINT) FROM g{r}) AS e, "
+            f"CAST(coalesce(sum(node), 0) AS BIGINT) AS ids, "
+            f"CAST(coalesce(min(node), 0) AS BIGINT) AS idmin, "
+            f"CAST(coalesce(max(node), 0) AS BIGINT) AS idmax FROM d{r}),"
+        )
+        if r < rounds:
+            parts.append(
+                f"a{r + 1} AS MATERIALIZED (SELECT d{r}.node FROM d{r} CROSS JOIN s{r} "
+                f"WHERE d{r}.d * s{r}.v > {eps_num} * s{r}.e),"
+            )
+            parts.append(
+                f"g{r + 1} AS MATERIALIZED (SELECT g{r}.x, g{r}.y FROM g{r} "
+                f"JOIN a{r + 1} pa ON pa.node = g{r}.x JOIN a{r + 1} pb ON pb.node = g{r}.y),"
+            )
+    sel = [
+        "SELECT CAST(0 AS BIGINT) AS round, v AS n_nodes, e AS n_edges, "
+        "CAST(e AS DOUBLE) / v AS density, ids AS id_sum, idmin AS id_min, idmax AS id_max "
+        "FROM s0 WHERE v > 0"
+    ]
+    for r in range(1, rounds + 1):
+        sel.append(
+            f"SELECT CAST({r} AS BIGINT), s{r}.v, s{r}.e, CAST(s{r}.e AS DOUBLE) / s{r}.v, "
+            f"s{r}.ids, s{r}.idmin, s{r}.idmax FROM s{r} CROSS JOIN s{r - 1} p "
+            f"WHERE s{r}.v > 0 AND NOT (s{r}.v = p.v AND s{r}.e = p.e AND s{r}.ids = p.ids)"
+        )
+    body = "\n".join(parts)[:-1] + ",\nsm AS (\n" + "\nUNION ALL\n".join(sel) + ")\n"
+    return (
+        body
+        + "SELECT round, n_nodes, n_edges, density, id_sum, id_min, id_max,\n"
+        "       density = (SELECT max(density) FROM sm)\n"
+        "       AND round = (SELECT min(round) FROM sm WHERE density = (SELECT max(density) FROM sm))\n"
+        "       AS is_best\nFROM sm ORDER BY round"
+    )
+
+
+@q("part_densest_subgraph", sql=_densest_oracle_sql(8, 3))
+def part_densest_subgraph(sf_dir: str):
+    """Parallel densest-subgraph extraction (Bahmani, Kumar & Vassilvitskii
+    VLDB'12 — the canonical MapReduce graph-mining algorithm,
+    2(1+eps)-approx at eps = 0.5) over the part co-purchase graph: batch-
+    peel rounds with the EXACT integer threshold deg*V <= 3*E, density
+    audited per round, best round flagged (argmax density, earliest tie).
+    Engine: stages/graph.densest_subgraph_peel — one edge scan + node-keyed
+    degree sum per round; the oracle unrolls the same rounds and suppresses
+    post-fixpoint repeats, so row sets match exactly."""
+    from perfect_bloomfilter_ray.stages.cooccur import distinct_pairs
+    from perfect_bloomfilter_ray.stages.graph import densest_subgraph_peel
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]).map_batches(
+        lambda t: t.filter(
+            pc.equal(
+                pc.bit_wise_and(t.column("l_partkey"), pa.scalar(3, pa.int64())),
+                pa.scalar(0, pa.int64()),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    edges = distinct_pairs(li, "l_orderkey", "l_partkey").materialize()
+    return densest_subgraph_peel(edges, rounds=8, eps_num=3)

@@ -2253,3 +2253,122 @@ def luby_mis(
     out.loc[active, "round"] = -1  # still-active nodes are undecided
     out = out[(out["round"] > 0) | active]
     return out.sort_values(["round", "node"]).reset_index(drop=True)
+
+
+def densest_subgraph_peel(
+    edges: Dataset,
+    rounds: int = 8,
+    eps_num: int = 3,
+    a_col: str = "item_a",
+    b_col: str = "item_b",
+    local_max_edges: int = 2_000_000,
+) -> pd.DataFrame:
+    """Parallel densest-subgraph peel (Bahmani, Kumar & Vassilvitskii
+    VLDB'12, the canonical MapReduce algorithm; 2(1+eps)-approximation):
+    each round computes the surviving subgraph's (V, E, degrees) and peels
+    every node with deg * V <= eps_num * E (eps_num = 2(1+eps); 3 = eps 0.5
+    — EXACT integer comparison, no float threshold), guaranteeing
+    O(log V) rounds. The answer is the densest ROUND: density E/V is one
+    exact int->double division per round and the argmax tie-breaks to the
+    earliest round.
+
+    One distributed edge scan per round (alive set broadcast sorted,
+    per-block degree partials, node-keyed sum — the ``kcore_peel`` shape);
+    edge lists at or below ``local_max_edges`` run identical rounds on
+    driver arrays. Returns one row PER ROUND while the subgraph is
+    non-empty: (round, n_nodes, n_edges, density, id_sum, id_min, id_max,
+    is_best) — the id columns are the surviving-node checksum the oracle
+    verifies in place of materializing members.
+    """
+    import ray
+    from ray.data.aggregate import Sum as _Sum
+
+    edges = edges.materialize()
+    local = edges.count() <= local_max_edges
+    if local:
+        _df = edges.to_pandas()
+        la = _df[a_col].to_numpy().astype(np.int64)
+        lb = _df[b_col].to_numpy().astype(np.int64)
+
+    def _members(sorted_arr: np.ndarray, vals: np.ndarray) -> np.ndarray:
+        if len(sorted_arr) == 0 or len(vals) == 0:
+            return np.zeros(len(vals), dtype=bool)
+        idx = np.searchsorted(sorted_arr, vals)
+        idx[idx >= len(sorted_arr)] = len(sorted_arr) - 1
+        return sorted_arr[idx] == vals
+
+    def _round_stats(alive):
+        """(nodes, degs, n_edges) of the subgraph induced by ``alive``."""
+        if local:
+            if alive is not None:
+                m = _members(alive, la) & _members(alive, lb)
+                aa, bb = la[m], lb[m]
+            else:
+                aa, bb = la, lb
+            nodes, cnts = np.unique(np.concatenate([aa, bb]), return_counts=True)
+            return nodes, cnts.astype(np.int64), int(len(aa))
+        ref = ray.put(alive)
+
+        def degrees(t: pa.Table, _a=ref) -> pa.Table:
+            al = ray.get(_a)
+            a = t.column(a_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            b = t.column(b_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            if al is not None:
+                m = _members(al, a) & _members(al, b)
+                a, b = a[m], b[m]
+            nodes, cnts = np.unique(np.concatenate([a, b]), return_counts=True)
+            out = pa.table(
+                {
+                    "node": pa.array(np.concatenate([nodes, [-1]])),
+                    "d": pa.array(np.concatenate([cnts.astype(np.int64), [len(a)]])),
+                }
+            )
+            return out
+
+        got = (
+            edges.map_batches(degrees, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(_Sum("d", alias_name="d"))
+            .to_pandas()
+        )
+        e_row = got[got["node"] == -1]
+        n_edges = int(e_row["d"].iloc[0]) if len(e_row) else 0
+        got = got[got["node"] != -1]
+        return (
+            got["node"].to_numpy().astype(np.int64),
+            got["d"].to_numpy().astype(np.int64),
+            n_edges,
+        )
+
+    alive = None
+    rows = []
+    for r in range(rounds + 1):
+        nodes, degs, n_edges = _round_stats(alive)
+        if len(nodes) == 0:
+            break
+        v = int(len(nodes))
+        rows.append(
+            {
+                "round": r,
+                "n_nodes": v,
+                "n_edges": n_edges,
+                "density": float(n_edges) / v,
+                "id_sum": int(nodes.sum()),
+                "id_min": int(nodes.min()),
+                "id_max": int(nodes.max()),
+            }
+        )
+        if r == rounds:
+            break
+        keep = degs * np.int64(v) > np.int64(eps_num) * np.int64(n_edges)
+        alive = np.sort(nodes[keep])
+        if len(alive) == len(nodes):
+            break  # stable: no node peels, later rounds are identical
+
+    out = pd.DataFrame(rows)
+    if len(out):
+        best = out["density"].max()
+        out["is_best"] = (out["density"] == best) & (
+            out[out["density"] == best]["round"].min() == out["round"]
+        )
+    return out

@@ -528,3 +528,70 @@ def test_luby_mis_matches_bruteforce_and_is_valid(ray_session, gate):
     if (got["round"] == -1).sum() == 0:
         for v in nodes:
             assert v in mis or any(u in mis for u in adj[v]), v
+
+
+@pytest.mark.parametrize("lme", [2_000_000, 0])
+def test_densest_subgraph_peel_matches_brute(ray_session, lme):
+    """Bahmani batch-peel parity with an explicit sequential implementation
+    of the same rounds (deg*V <= eps_num*E peels), on both closure paths."""
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.graph import densest_subgraph_peel
+
+    rng = np.random.default_rng(11)
+    edges = set()
+    # planted dense core (clique on 0..9) + sparse periphery
+    for a in range(10):
+        for b in range(a + 1, 10):
+            edges.add((a, b))
+    while len(edges) < 120:
+        a, b = rng.integers(0, 80, size=2)
+        if a != b:
+            edges.add((int(min(a, b)), int(max(a, b))))
+
+    # brute sequential rounds
+    want_rows = []
+    alive = None
+    for r in range(9):
+        if alive is None:
+            sub = list(edges)
+        else:
+            sub = [(a, b) for a, b in edges if a in alive and b in alive]
+        deg = {}
+        for a, b in sub:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        nodes = sorted(deg)
+        if not nodes:
+            break
+        v, e = len(nodes), len(sub)
+        want_rows.append(
+            {
+                "round": r,
+                "n_nodes": v,
+                "n_edges": e,
+                "density": e / v,
+                "id_sum": sum(nodes),
+                "id_min": nodes[0],
+                "id_max": nodes[-1],
+            }
+        )
+        if r == 8:
+            break
+        nxt = {n for n in nodes if deg[n] * v > 3 * e}
+        if len(nxt) == len(nodes):
+            break
+        alive = nxt
+    want = pd.DataFrame(want_rows)
+    best = want["density"].max()
+    want["is_best"] = (want["density"] == best) & (
+        want[want["density"] == best]["round"].min() == want["round"]
+    )
+
+    ds = rd.from_pandas(
+        pd.DataFrame({"item_a": [a for a, _ in edges], "item_b": [b for _, b in edges]})
+    ).repartition(3)
+    got = densest_subgraph_peel(ds, rounds=8, eps_num=3, local_max_edges=lme)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # the planted clique must survive to the best round's subgraph
+    assert got[got["is_best"]]["density"].iloc[0] >= 4.0
