@@ -348,6 +348,9 @@ SUITE = [
     "bm25_ndcg_eval",
     "hourly_haar_synopsis",
     "neyman_stratified_sample",
+    "part_densest_subgraph",
+    "universe_sampled_join_revenue",
+    "winnowed_fingerprints_per_lang",
 ]
 
 

@@ -8098,3 +8098,226 @@ def part_densest_subgraph(sf_dir: str):
     )
     edges = distinct_pairs(li, "l_orderkey", "l_partkey").materialize()
     return densest_subgraph_peel(edges, rounds=8, eps_num=3)
+
+
+@q(
+    "universe_sampled_join_revenue",
+    sql="""
+    WITH li AS (
+      SELECT l_orderkey,
+             CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS mc
+      FROM lineitem),
+    tru AS (
+      SELECT o_orderpriority, CAST(sum(mc) AS BIGINT) AS true_rev_mc
+      FROM orders JOIN li ON l_orderkey = o_orderkey GROUP BY 1),
+    smp AS (
+      SELECT o_orderpriority, count(*) AS n_sample_rows,
+             CAST(sum(mc) AS BIGINT) AS sample_rev_mc
+      FROM orders JOIN li ON l_orderkey = o_orderkey
+      WHERE (o_orderkey * 2654435761) % 16 = 0
+      GROUP BY 1)
+    SELECT t.o_orderpriority,
+           coalesce(n_sample_rows, 0) AS n_sample_rows,
+           coalesce(sample_rev_mc, 0) AS sample_rev_mc,
+           16 * coalesce(sample_rev_mc, 0) AS est_rev_mc,
+           true_rev_mc,
+           CAST(16 * coalesce(sample_rev_mc, 0) - true_rev_mc AS DOUBLE) / true_rev_mc
+             AS rel_err
+    FROM tru t LEFT JOIN smp s USING (o_orderpriority)
+    ORDER BY o_orderpriority
+    """,
+)
+def universe_sampled_join_revenue(sf_dir: str):
+    """Universe (correlated) join sampling (Kandula et al. "Quickr"
+    SIGMOD'16): sample the JOIN KEY universe once — keep orderkeys with
+    Knuth-hash residue 0 mod 16 on BOTH join inputs BEFORE the join — so
+    the join of the two 1/16 samples is exactly the join restricted to
+    sampled keys (no quadratic p² row-sample loss), and SUM-by-group
+    scales unbiasedly by 16. The engine joins the pre-filtered inputs
+    (both exchanges 16x smaller — the scale win); the audit also runs the
+    full join and reports the exact relative error per group in integer
+    micro-cents, with the one int->double division shared with the
+    oracle."""
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def to_mc(t: pa.Table) -> pa.Table:
+        i64 = pa.int64()
+        cents = pc.cast(pc.round(pc.multiply(t.column("l_extendedprice"), pa.scalar(100.0))), i64)
+        disc = pc.cast(pc.round(pc.multiply(t.column("l_discount"), pa.scalar(100.0))), i64)
+        mc = pc.multiply(cents, pc.subtract(pa.scalar(100, i64), disc))
+        return pa.table({"l_orderkey": t.column("l_orderkey"), "mc": mc})
+
+    def keep_universe(col: str):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
+            return t.filter(pa.array((ids * 2654435761) % 16 == 0))
+
+        return f
+
+    li_mc = li.map_batches(to_mc, batch_format="pyarrow")
+
+    def joined_sums(o, l, n_col):
+        j = l.join(
+            o,
+            "inner",
+            num_partitions=choose_join_partitions(min_partitions=4),
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        )
+        aggs = [Sum("mc", alias_name="rev_mc")]
+        if n_col:
+            aggs.append(Count(alias_name=n_col))
+        return j.groupby("o_orderpriority").aggregate(*aggs).to_pandas()
+
+    true_df = joined_sums(orders, li_mc, None).rename(columns={"rev_mc": "true_rev_mc"})
+    smp_df = joined_sums(
+        orders.map_batches(keep_universe("o_orderkey"), batch_format="pyarrow"),
+        li_mc.map_batches(keep_universe("l_orderkey"), batch_format="pyarrow"),
+        "n_sample_rows",
+    ).rename(columns={"rev_mc": "sample_rev_mc"})
+
+    out = true_df.merge(smp_df, on="o_orderpriority", how="left")
+    for c in ("n_sample_rows", "sample_rev_mc"):
+        out[c] = out[c].fillna(0).astype(np.int64)
+    out["est_rev_mc"] = 16 * out["sample_rev_mc"]
+    out["rel_err"] = (out["est_rev_mc"] - out["true_rev_mc"]).astype(np.float64) / out[
+        "true_rev_mc"
+    ].astype(np.float64)
+    return (
+        out[
+            [
+                "o_orderpriority",
+                "n_sample_rows",
+                "sample_rev_mc",
+                "est_rev_mc",
+                "true_rev_mc",
+                "rel_err",
+            ]
+        ]
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+
+
+_WINNOW_GRAM_SQL = (
+    "(CAST(unicode(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT)*27512614111"
+    " + CAST(unicode(substr(text, CAST(i+1 AS INTEGER), 1)) AS BIGINT)*887503681"
+    " + CAST(unicode(substr(text, CAST(i+2 AS INTEGER), 1)) AS BIGINT)*28629151"
+    " + CAST(unicode(substr(text, CAST(i+3 AS INTEGER), 1)) AS BIGINT)*923521"
+    " + CAST(unicode(substr(text, CAST(i+4 AS INTEGER), 1)) AS BIGINT)*29791"
+    " + CAST(unicode(substr(text, CAST(i+5 AS INTEGER), 1)) AS BIGINT)*961"
+    " + CAST(unicode(substr(text, CAST(i+6 AS INTEGER), 1)) AS BIGINT)*31"
+    " + CAST(unicode(substr(text, CAST(i+7 AS INTEGER), 1)) AS BIGINT)) % 1099511627776 + 1"
+)
+
+
+@q(
+    "winnowed_fingerprints_per_lang",
+    sql=f"""
+    WITH ppos AS (
+      SELECT doc_id, lang, text,
+             unnest(range(1, greatest(length(text) - 6, 1))) AS i
+      FROM documents),
+    grams AS (
+      SELECT doc_id, lang, CAST(i AS BIGINT) AS pos, {_WINNOW_GRAM_SQL} AS h
+      FROM ppos),
+    win AS (
+      SELECT doc_id, lang,
+             min(h * 1048576 - pos) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mnkey
+      FROM grams),
+    sel AS (SELECT DISTINCT doc_id, lang, mnkey FROM win),
+    gl AS (SELECT lang, count(*) AS n_grams FROM grams GROUP BY lang),
+    sl AS (
+      SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             count(*) AS n_fp,
+             CAST(sum(mnkey // 1048576 + 1) AS BIGINT) AS fp_hash_sum
+      FROM sel GROUP BY lang)
+    SELECT lang, n_docs, n_grams, n_fp, fp_hash_sum,
+           CAST(n_fp AS DOUBLE) / n_grams AS fp_density
+    FROM gl JOIN sl USING (lang)
+    ORDER BY lang
+    """,
+)
+def winnowed_fingerprints_per_lang(sf_dir: str):
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    SIGMOD'03 — the MOSS local fingerprinting algorithm): 8-char k-gram
+    base-31 codepoint hashes, window w=4, select the RIGHTMOST minimum of
+    each window (min of h*2^20 - pos packs both rules into one integer
+    min), dedupe selections per doc. Guarantees every >= w+k-1 char match
+    shares a fingerprint while keeping density ~2/(w+1) — the
+    scale-robust alternative to full-shingle dedup. Prefix windows are
+    clamped (ROWS 3 PRECEDING semantics) identically on both sides.
+    Shuffle-free: a doc lives in one row, so selection + per-doc dedup
+    complete inside map_batches; only tiny per-lang partials aggregate."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    K, W, C, M = 8, 4, 1 << 20, 1 << 40
+    coeffs = (31 ** np.arange(K - 1, -1, -1, dtype=np.int64))
+
+    def winnow(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        langs = t.column("lang").to_pylist()
+        out = {"lang": [], "n_grams": [], "n_fp": [], "fp_hash_sum": []}
+        if texts:
+            lens = np.fromiter((len(s) for s in texts), np.int64, len(texts))
+            joined = "".join(texts)
+            cp = np.frombuffer(joined.encode("utf-32-le"), "<u4").astype(np.int64)
+            offs = np.zeros(len(texts) + 1, np.int64)
+            np.cumsum(lens, out=offs[1:])
+            gcnt = np.maximum(lens - (K - 1), 0)
+            if len(cp) >= K and gcnt.sum() > 0:
+                h = (sliding_window_view(cp, K) @ coeffs) % M + 1
+                docrep = np.repeat(np.arange(len(texts)), gcnt)
+                within = np.arange(int(gcnt.sum())) - np.repeat(
+                    np.cumsum(gcnt) - gcnt, gcnt
+                )
+                keys = h[offs[docrep] + within] * C - (within + 1)
+                # pad W-1 +inf sentinels before each doc's key run so one
+                # global sliding-min never crosses a doc boundary
+                pstart = np.cumsum((W - 1) + gcnt) - gcnt
+                padded = np.full(int(((W - 1) + gcnt).sum()), np.iinfo(np.int64).max)
+                pads = pstart[docrep] + within
+                padded[pads] = keys
+                mn = sliding_window_view(padded, W).min(axis=1)
+                mnkeys = mn[pads - (W - 1)]
+                uniq = np.unique(np.stack([docrep, mnkeys], axis=1), axis=0)
+                udoc, ukey = uniq[:, 0], uniq[:, 1]
+                n_fp = np.bincount(udoc, minlength=len(texts)).astype(np.int64)
+                # int64 scatter-add: hashes exceed float64's 2^53 exactness
+                fp_sum = np.zeros(len(texts), np.int64)
+                np.add.at(fp_sum, udoc, ukey // C + 1)
+                keep = gcnt > 0
+                out["lang"] = [l for l, k in zip(langs, keep) if k]
+                out["n_grams"] = gcnt[keep]
+                out["n_fp"] = n_fp[keep]
+                out["fp_hash_sum"] = fp_sum[keep]
+        return pa.table(
+            {
+                "lang": pa.array(out["lang"], pa.string()),
+                "n_grams": pa.array(np.asarray(out["n_grams"], np.int64)),
+                "n_fp": pa.array(np.asarray(out["n_fp"], np.int64)),
+                "fp_hash_sum": pa.array(np.asarray(out["fp_hash_sum"], np.int64)),
+            }
+        )
+
+    ds = _t(sf_dir, "documents", ["doc_id", "lang", "text"])
+    agg = (
+        ds.map_batches(winnow, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_grams", alias_name="n_grams"),
+            Sum("n_fp", alias_name="n_fp"),
+            Sum("fp_hash_sum", alias_name="fp_hash_sum"),
+        )
+        .to_pandas()
+    )
+    agg["fp_density"] = agg["n_fp"].astype(np.float64) / agg["n_grams"].astype(np.float64)
+    return (
+        agg[["lang", "n_docs", "n_grams", "n_fp", "fp_hash_sum", "fp_density"]]
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
