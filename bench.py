@@ -351,6 +351,7 @@ SUITE = [
     "part_densest_subgraph",
     "universe_sampled_join_revenue",
     "winnowed_fingerprints_per_lang",
+    "part_maximal_matching",
 ]
 
 

@@ -8321,3 +8321,73 @@ def winnowed_fingerprints_per_lang(sf_dir: str):
         .sort_values("lang")
         .reset_index(drop=True)
     )
+
+
+def _matching_oracle_sql(rounds: int) -> str:
+    """Unrolled locally-lightest greedy matching: per round, winners =
+    active edges whose (pri, u, v) beats every other active edge at BOTH
+    endpoints (two equi-join NOT EXISTS over the incidence expansion);
+    the next active edge set drops everything touching a matched node.
+    pri(e) = (u*2654435761 + v*40503) % 2^20 — identical in the engine."""
+    lt = (
+        "(f.pri < e.pri OR (f.pri = e.pri AND (f.u < e.u OR (f.u = e.u AND f.v < e.v))))"
+    )
+    parts = [
+        "WITH pl AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 4 = 1),",
+        "e0 AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v, "
+        "(a.l_partkey * 2654435761 + b.l_partkey * 40503) % 1048576 AS pri "
+        "FROM pl a JOIN pl b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f"i{p} AS MATERIALIZED (SELECT u AS node, u, v, pri FROM e{p} "
+            f"UNION ALL SELECT v, u, v, pri FROM e{p}),"
+        )
+        parts.append(
+            f"w{r} AS MATERIALIZED (SELECT e.u, e.v FROM e{p} e "
+            f"WHERE NOT EXISTS (SELECT 1 FROM i{p} f WHERE f.node = e.u AND {lt}) "
+            f"AND NOT EXISTS (SELECT 1 FROM i{p} f WHERE f.node = e.v AND {lt})),"
+        )
+        parts.append(
+            f"m{r} AS MATERIALIZED (SELECT u AS node FROM w{r} UNION ALL SELECT v FROM w{r}),"
+        )
+        parts.append(
+            f"e{r} AS MATERIALIZED (SELECT u, v, pri FROM e{p} "
+            f"WHERE u NOT IN (SELECT node FROM m{r}) AND v NOT IN (SELECT node FROM m{r})),"
+        )
+    sel = [
+        f"SELECT u AS node_u, v AS node_v, CAST({r} AS BIGINT) AS round FROM w{r}"
+        for r in range(1, rounds + 1)
+    ]
+    sel.append(f"SELECT u, v, CAST(-1 AS BIGINT) FROM e{rounds}")
+    return "\n".join(parts)[:-1] + "\n" + "\nUNION ALL\n".join(sel) + "\nORDER BY round, node_u, node_v"
+
+
+@q("part_maximal_matching", sql=_matching_oracle_sql(8))
+def part_maximal_matching(sf_dir: str):
+    """Greedy maximal matching by locally-lightest edges (deterministic
+    Israeli-Itai/Preis rounds) over the part co-purchase graph (residue
+    class l_partkey % 4 = 1 — disjoint from the MIS/densest graphs). Every
+    round matches each active edge that holds the strict minimum
+    (pri, u, v) at both endpoints and removes its endpoints — the matched
+    node set is Gavril's 2-approximate minimum vertex cover, the
+    workhorse bound for covering/blocking problems at corpus scale. Fixed
+    priorities make the fixpoint the unique greedy-by-priority matching;
+    8 rounds decide these graphs fully (leftover edges would report round
+    -1 identically on both sides). Engine: one edge scan + node-keyed
+    min-groupby + winner scan per round (stages/graph.greedy_maximal_matching)."""
+    from perfect_bloomfilter_ray.stages.cooccur import distinct_pairs
+    from perfect_bloomfilter_ray.stages.graph import greedy_maximal_matching
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]).map_batches(
+        lambda t: t.filter(
+            pc.equal(
+                pc.bit_wise_and(t.column("l_partkey"), pa.scalar(3, pa.int64())),
+                pa.scalar(1, pa.int64()),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    edges = distinct_pairs(li, "l_orderkey", "l_partkey").materialize()
+    return greedy_maximal_matching(edges, rounds=8)

@@ -2372,3 +2372,180 @@ def densest_subgraph_peel(
             out[out["density"] == best]["round"].min() == out["round"]
         )
     return out
+
+
+def greedy_maximal_matching(
+    edges: Dataset,
+    rounds: int = 8,
+    a_col: str = "item_a",
+    b_col: str = "item_b",
+    local_max_edges: int = 2_000_000,
+) -> pd.DataFrame:
+    """Distributed greedy maximal matching by LOCALLY-LIGHTEST edges
+    (the deterministic Israeli-Itai / Preis scheme, the symmetric dual of
+    ``luby_mis``): give every edge the unique priority tuple
+    ``(pri, u, v)`` with pri(e) = (u*2654435761 + v*40503) mod 2^20
+    (Knuth multiplicative — ANSI-SQL-reproducible); per round every ACTIVE
+    edge (both endpoints unmatched) that is the strict minimum among
+    active edges at BOTH its endpoints joins the matching, and its
+    endpoints leave the graph. With fixed priorities the fixpoint is the
+    unique greedy-by-priority maximal matching; a bounded ``rounds`` keeps
+    every round exactly mirrorable by an unrolled SQL oracle (leftover
+    active edges are reported with round = -1). The matched-endpoint set
+    is the classic 2-approximate minimum VERTEX COVER (Gavril): it covers
+    every edge once the matching is maximal, and any cover needs one
+    endpoint per matched edge.
+
+    Scale shape: matched flags are node-dimension driver state (the
+    ``luby_mis``/``bfs_levels`` bounded-node contract); each round is ONE
+    distributed edge scan emitting per-batch (node, min active-edge key)
+    partials + a node-keyed min-groupby, then one winner-marking edge scan
+    against the broadcast per-node minima (winners <= V/2 rows). Edge
+    lists at or below ``local_max_edges`` run identical rounds on driver
+    arrays. Edge keys pack (pri << 42 | rank_u << 21 | rank_v) into one
+    int64 — node ranks share the 2^21 budget with luby_mis, and rank order
+    equals id order so the packed comparison matches the oracle's
+    (pri, u, v) tuple comparison.
+
+    Returns ``(node_u, node_v, round)``: matched edges with the 1-based
+    round they were decided in, then still-active edges with round -1;
+    sorted by (round, node_u, node_v).
+    """
+    import ray
+    from ray.data.aggregate import Min as _Min
+
+    edges = edges.materialize()
+    local = edges.count() <= local_max_edges
+    if local:
+        _df = edges.to_pandas()
+        la = _df[a_col].to_numpy().astype(np.int64)
+        lb = _df[b_col].to_numpy().astype(np.int64)
+        all_nodes = np.unique(np.concatenate([la, lb]))
+    else:
+        la = lb = None
+        from ray.data.aggregate import Count as _Count
+
+        def ends(t: pa.Table) -> pa.Table:
+            a = t.column(a_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            b = t.column(b_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({"node": pa.array(np.unique(np.concatenate([a, b])))})
+
+        all_nodes = np.sort(
+            edges.map_batches(ends, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(_Count(alias_name="_c"))
+            .to_pandas()["node"]
+            .to_numpy()
+            .astype(np.int64)
+        )
+    if len(all_nodes) >= (1 << 21):
+        raise ValueError("greedy_maximal_matching node set exceeds the packed-key budget")
+
+    def edge_keys(a: np.ndarray, b: np.ndarray, nodes: np.ndarray) -> tuple:
+        """(packed int64 key, rank_a, rank_b) for canonical a<b edges."""
+        ia = np.searchsorted(nodes, a)
+        ib = np.searchsorted(nodes, b)
+        pri = (
+            a.astype(np.uint64) * np.uint64(2654435761)
+            + b.astype(np.uint64) * np.uint64(40503)
+        ) % np.uint64(1 << 20)
+        key = ((pri << np.uint64(42)) | (ia.astype(np.uint64) << np.uint64(21)) | ib.astype(np.uint64)).astype(np.int64)
+        return key, ia, ib
+
+    matched = np.zeros(len(all_nodes), dtype=bool)
+    sent = np.iinfo(np.int64).max
+    rows: list[pd.DataFrame] = []
+    if local:
+        key, ia, ib = edge_keys(la, lb, all_nodes)
+        decided_round = np.zeros(len(la), dtype=np.int64)
+        for r in range(1, rounds + 1):
+            act = ~matched[ia] & ~matched[ib]
+            if not act.any():
+                break
+            node_min = np.full(len(all_nodes), sent, dtype=np.int64)
+            np.minimum.at(node_min, ia[act], key[act])
+            np.minimum.at(node_min, ib[act], key[act])
+            win = act & (key == node_min[ia]) & (key == node_min[ib])
+            if not win.any():
+                break
+            matched[ia[win]] = True
+            matched[ib[win]] = True
+            decided_round[win] = r
+        act = ~matched[ia] & ~matched[ib]
+        keep = (decided_round > 0) | act
+        out = pd.DataFrame(
+            {
+                "node_u": la[keep],
+                "node_v": lb[keep],
+                "round": np.where(act[keep], np.int64(-1), decided_round[keep]),
+            }
+        )
+    else:
+        undecided: pd.DataFrame | None = None
+        parts: list[pd.DataFrame] = []
+        for r in range(1, rounds + 1):
+            ref = ray.put((all_nodes, matched))
+
+            def nbr_min(t: pa.Table, _f=ref) -> pa.Table:
+                nodes, m = ray.get(_f)
+                a = t.column(a_col).to_numpy(zero_copy_only=False).astype(np.int64)
+                b = t.column(b_col).to_numpy(zero_copy_only=False).astype(np.int64)
+                k, ja, jb = edge_keys(a, b, nodes)
+                act_ = ~m[ja] & ~m[jb]
+                if not act_.any():
+                    return pa.table({"node": pa.array([], pa.int64()), "m": pa.array([], pa.int64())})
+                u = np.concatenate([a[act_], b[act_]])
+                w = np.concatenate([k[act_], k[act_]])
+                un, inv = np.unique(u, return_inverse=True)
+                mins = np.full(len(un), np.iinfo(np.int64).max, dtype=np.int64)
+                np.minimum.at(mins, inv, w)
+                return pa.table({"node": pa.array(un), "m": pa.array(mins)})
+
+            got = (
+                edges.map_batches(nbr_min, batch_format="pyarrow")
+                .groupby("node")
+                .aggregate(_Min("m", alias_name="m"))
+                .to_pandas()
+            )
+            if not len(got):
+                break
+            node_min = np.full(len(all_nodes), sent, dtype=np.int64)
+            idx = np.searchsorted(all_nodes, got["node"].to_numpy().astype(np.int64))
+            node_min[idx] = got["m"].to_numpy().astype(np.int64)
+            wref = ray.put((all_nodes, matched, node_min))
+
+            def winners(t: pa.Table, _f=wref) -> pa.Table:
+                nodes, m, nm = ray.get(_f)
+                a = t.column(a_col).to_numpy(zero_copy_only=False).astype(np.int64)
+                b = t.column(b_col).to_numpy(zero_copy_only=False).astype(np.int64)
+                k, ja, jb = edge_keys(a, b, nodes)
+                win_ = ~m[ja] & ~m[jb] & (k == nm[ja]) & (k == nm[jb])
+                return pa.table({"node_u": pa.array(a[win_]), "node_v": pa.array(b[win_])})
+
+            wdf = edges.map_batches(winners, batch_format="pyarrow").to_pandas()
+            if not len(wdf):
+                break
+            matched[np.searchsorted(all_nodes, wdf["node_u"].to_numpy().astype(np.int64))] = True
+            matched[np.searchsorted(all_nodes, wdf["node_v"].to_numpy().astype(np.int64))] = True
+            wdf["round"] = np.int64(r)
+            parts.append(wdf)
+        mref = ray.put((all_nodes, matched))
+
+        def leftovers(t: pa.Table, _f=mref) -> pa.Table:
+            nodes, m = ray.get(_f)
+            a = t.column(a_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            b = t.column(b_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            act_ = ~m[np.searchsorted(nodes, a)] & ~m[np.searchsorted(nodes, b)]
+            return pa.table({"node_u": pa.array(a[act_]), "node_v": pa.array(b[act_])})
+
+        undecided = edges.map_batches(leftovers, batch_format="pyarrow").to_pandas()
+        if len(undecided):
+            undecided["round"] = np.int64(-1)
+            parts.append(undecided)
+        out = (
+            pd.concat(parts, ignore_index=True)
+            if parts
+            else pd.DataFrame({"node_u": np.empty(0, np.int64), "node_v": np.empty(0, np.int64), "round": np.empty(0, np.int64)})
+        )
+    out["round"] = out["round"].astype(np.int64)
+    return out.sort_values(["round", "node_u", "node_v"]).reset_index(drop=True)

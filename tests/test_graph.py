@@ -595,3 +595,93 @@ def test_densest_subgraph_peel_matches_brute(ray_session, lme):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     # the planted clique must survive to the best round's subgraph
     assert got[got["is_best"]]["density"].iloc[0] >= 4.0
+
+
+@pytest.mark.parametrize("gate", [2_000_000, 0])
+def test_greedy_maximal_matching_brute_and_cover(ray_session, gate):
+    """Locally-lightest matching parity with a sequential implementation of
+    the same rounds, on both closure paths; plus matching validity,
+    maximality, and the Gavril 2-approx vertex-cover audit against the
+    brute-force optimum cover."""
+    import itertools
+
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.graph import greedy_maximal_matching
+
+    rng = np.random.RandomState(7)
+    edges = set()
+    while len(edges) < 90:
+        a, b = rng.randint(0, 40, 2)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    edges = sorted(edges)
+
+    def pri(u, v):
+        return (u * 2654435761 + v * 40503) % (1 << 20)
+
+    matched_nodes: set = set()
+    decided = {}
+    for r in range(1, 9):
+        act = [(u, v) for u, v in edges if u not in matched_nodes and v not in matched_nodes]
+        if not act:
+            break
+        best = {}
+        for u, v in act:
+            k = (pri(u, v), u, v)
+            for n in (u, v):
+                if n not in best or k < best[n]:
+                    best[n] = k
+        winners = [
+            (u, v) for u, v in act if best[u] == (pri(u, v), u, v) == best[v]
+        ]
+        if not winners:
+            break
+        for u, v in winners:
+            decided[(u, v)] = r
+            matched_nodes |= {u, v}
+    leftovers = [
+        (u, v) for u, v in edges if u not in matched_nodes and v not in matched_nodes
+    ]
+    want = (
+        pd.DataFrame(
+            [(u, v, r) for (u, v), r in decided.items()]
+            + [(u, v, -1) for u, v in leftovers],
+            columns=["node_u", "node_v", "round"],
+        )
+        .sort_values(["round", "node_u", "node_v"])
+        .reset_index(drop=True)
+    )
+
+    ds = rd.from_pandas(
+        pd.DataFrame({"item_a": [a for a, _ in edges], "item_b": [b for _, b in edges]})
+    ).repartition(3)
+    got = greedy_maximal_matching(ds, rounds=8, local_max_edges=gate)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    m = got[got["round"] > 0]
+    # validity: no two matched edges share a node
+    ends = list(m["node_u"]) + list(m["node_v"])
+    assert len(ends) == len(set(ends)), "matching shares a node"
+    assert (got["round"] == -1).sum() == 0, "8 rounds must decide this graph"
+    # maximality == the matched-node set is a vertex cover
+    cover = set(ends)
+    assert all(u in cover or v in cover for u, v in edges), "cover misses an edge"
+    # Gavril: |cover| = 2|M| <= 2 * optimum cover. Brute-forcing the
+    # optimum on the 40-node graph is infeasible; audit the bound on a
+    # small graph where exhaustive search is cheap.
+    small = [(0, 1), (0, 2), (1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (4, 6), (6, 7)]
+    sds = rd.from_pandas(
+        pd.DataFrame({"item_a": [a for a, _ in small], "item_b": [b for _, b in small]})
+    )
+    sm = greedy_maximal_matching(sds, rounds=8, local_max_edges=gate)
+    scover = set(sm[sm["round"] > 0]["node_u"]) | set(sm[sm["round"] > 0]["node_v"])
+    assert all(u in scover or v in scover for u, v in small)
+    snodes = sorted({x for e in small for x in e})
+    opt = next(
+        k
+        for k in range(1, len(snodes) + 1)
+        for cand in itertools.combinations(snodes, k)
+        if all(u in set(cand) or v in set(cand) for u, v in small)
+    )
+    assert len(scover) <= 2 * opt
