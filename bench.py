@@ -352,6 +352,8 @@ SUITE = [
     "universe_sampled_join_revenue",
     "winnowed_fingerprints_per_lang",
     "part_maximal_matching",
+    "t_closeness_report",
+    "part_graph_coloring",
 ]
 
 

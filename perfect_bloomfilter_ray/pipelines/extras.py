@@ -8391,3 +8391,180 @@ def part_maximal_matching(sf_dir: str):
     )
     edges = distinct_pairs(li, "l_orderkey", "l_partkey").materialize()
     return greedy_maximal_matching(edges, rounds=8)
+
+
+@q(
+    "t_closeness_report",
+    sql="""
+    WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS gc
+               FROM documents GROUP BY source),
+    gt AS (SELECT CAST(sum(gc) AS BIGINT) AS n,
+                  CAST(count(*) AS BIGINT) AS m FROM g),
+    cls AS (SELECT lang, n_chars // 512 AS bucket, source,
+                   CAST(count(*) AS BIGINT) AS cc
+            FROM documents GROUP BY 1, 2, 3),
+    cn AS (SELECT lang, bucket, CAST(sum(cc) AS BIGINT) AS nc
+           FROM cls GROUP BY 1, 2),
+    grid AS (SELECT cn.lang, cn.bucket, cn.nc, g.source, g.gc,
+                    coalesce(cls.cc, 0) AS cc
+             FROM cn CROSS JOIN g
+             LEFT JOIN cls ON cls.lang = cn.lang AND cls.bucket = cn.bucket
+                          AND cls.source = g.source),
+    cum AS (SELECT lang, bucket, nc,
+                   sum(cc) OVER (PARTITION BY lang, bucket ORDER BY source) AS cumc,
+                   sum(gc) OVER (PARTITION BY lang, bucket ORDER BY source) AS cumg,
+                   row_number() OVER (PARTITION BY lang, bucket ORDER BY source) AS rn
+            FROM grid),
+    e AS (SELECT lang, bucket, nc,
+                 CAST(sum(CASE WHEN rn < gt.m
+                          THEN abs(cumc * gt.n - cumg * nc) ELSE 0 END) AS BIGINT)
+                   AS emd_num
+          FROM cum CROSS JOIN gt GROUP BY 1, 2, 3)
+    SELECT e.lang, e.bucket, e.nc AS class_n, e.emd_num,
+           CAST(e.emd_num AS DOUBLE) / (CAST(gt.m - 1 AS DOUBLE) * e.nc * gt.n) AS emd,
+           CAST(CASE WHEN 5 * e.emd_num > (gt.m - 1) * e.nc * gt.n
+                THEN 1 ELSE 0 END AS BIGINT) AS violates_t
+    FROM e CROSS JOIN gt
+    ORDER BY lang, bucket
+    """,
+)
+def t_closeness_report(sf_dir: str):
+    """t-closeness audit (Li, Li & Venkatasubramanian ICDE'07) — the third
+    leg of the release-readiness triad next to k_anonymity_report and
+    l_diversity_report: for every quasi-identifier equivalence class
+    (lang, 512-char length band), the Earth Mover's Distance between the
+    class's SENSITIVE-attribute distribution (source, ordered domain) and
+    the corpus-global one, flagged against t = 0.2. Ordered-domain EMD is
+    the mean absolute cumulative-share gap; shares are rationals, so the
+    statistic carries an EXACT BIGINT numerator sum_i |cumc_i*N - cumg_i*nc|
+    (both engines agree bit-for-bit), the float emd is ONE fixed division,
+    and the t-flag is the integer comparison 5*num > (m-1)*nc*N — no float
+    threshold. Engine shape: one distributed (lang,bucket,source) crosstab
+    groupby; the dense class x source cumulative fold runs on the driver
+    over that bounded table (classes x |sources|, both domain-bounded)."""
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = _t(sf_dir, "documents", ["lang", "n_chars", "source"])
+
+    def qi(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(t)
+        return (
+            df.with_columns((pl.col("n_chars") // 512).alias("bucket"))
+            .group_by(["lang", "bucket", "source"])
+            .agg(pl.len().cast(pl.Int64).alias("cc"))
+            .to_arrow()
+        )
+
+    cells = (
+        ds.map_batches(qi, batch_format="pyarrow")
+        .groupby(["lang", "bucket", "source"])
+        .aggregate(_Sum("cc", alias_name="cc"))
+        .to_pandas()
+    )
+    piv = (
+        cells.pivot_table(
+            index=["lang", "bucket"], columns="source", values="cc", fill_value=0
+        )
+        .sort_index(axis=1)
+        .sort_index()
+    )
+    counts = piv.to_numpy().astype(np.int64)
+    gc = counts.sum(axis=0)
+    n = int(gc.sum())
+    m = counts.shape[1]
+    nc = counts.sum(axis=1)
+    cumc = counts.cumsum(axis=1)[:, :-1]
+    cumg = gc.cumsum()[:-1]
+    emd_num = np.abs(cumc * n - cumg[None, :] * nc[:, None]).sum(axis=1)
+    out = piv.index.to_frame(index=False)
+    out["class_n"] = nc
+    out["emd_num"] = emd_num
+    out["emd"] = emd_num.astype(np.float64) / (float(m - 1) * nc * n)
+    out["violates_t"] = (5 * emd_num > (m - 1) * nc * n).astype(np.int64)
+    return out.sort_values(["lang", "bucket"]).reset_index(drop=True)
+
+
+def _coloring_oracle_sql(rounds: int) -> str:
+    """Unrolled Jones-Plassmann rounds: winners = uncolored nodes with no
+    uncolored neighbor of smaller (pri, id); each winner's color is the
+    trailing-ones count of the bit-OR mask of its already-colored
+    neighbors' colors — bit_count(xor(mask, mask+1)) - 1, identical to
+    the engine's branch-free smallest-missing-color."""
+    pri = "((%s * 2654435761) %% 4294967296)"
+    pu, po = pri % "u.node", pri % "i.other"
+    parts = [
+        "WITH pl AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey "
+        "FROM lineitem WHERE l_partkey % 8 = 2),",
+        "e AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v "
+        "FROM pl a JOIN pl b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),",
+        "inc AS MATERIALIZED (SELECT u AS node, v AS other FROM e "
+        "UNION ALL SELECT v, u FROM e),",
+        "col0 AS MATERIALIZED (SELECT CAST(NULL AS BIGINT) AS node, "
+        "CAST(NULL AS BIGINT) AS color WHERE 1 = 0),",
+        "unc0 AS MATERIALIZED (SELECT DISTINCT node FROM inc),",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f"w{r} AS MATERIALIZED (SELECT u.node FROM unc{p} u "
+            f"WHERE NOT EXISTS (SELECT 1 FROM inc i JOIN unc{p} o ON o.node = i.other "
+            f"WHERE i.node = u.node AND ({po} < {pu} "
+            f"OR ({po} = {pu} AND i.other < u.node)))),"
+        )
+        parts.append(
+            f"c{r} AS MATERIALIZED (SELECT w.node, "
+            f"CAST(bit_count(xor(coalesce(m.mask, 0), coalesce(m.mask, 0) + 1)) - 1 AS BIGINT) AS color "
+            f"FROM w{r} w LEFT JOIN (SELECT i.node, bit_or(1::BIGINT << c.color) AS mask "
+            f"FROM inc i JOIN col{p} c ON c.node = i.other GROUP BY i.node) m "
+            f"ON m.node = w.node),"
+        )
+        parts.append(
+            f"col{r} AS MATERIALIZED (SELECT node, color FROM col{p} "
+            f"UNION ALL SELECT node, color FROM c{r}),"
+        )
+        parts.append(
+            f"unc{r} AS MATERIALIZED (SELECT node FROM unc{p} "
+            f"WHERE node NOT IN (SELECT node FROM w{r})),"
+        )
+    sel = [
+        f"SELECT node, color, CAST({r} AS BIGINT) AS round FROM c{r}"
+        for r in range(1, rounds + 1)
+    ]
+    sel.append(
+        f"SELECT node, CAST(-1 AS BIGINT), CAST(-1 AS BIGINT) FROM unc{rounds}"
+    )
+    return "\n".join(parts)[:-1] + "\n" + "\nUNION ALL\n".join(sel) + "\nORDER BY node"
+
+
+@q("part_graph_coloring", sql=_coloring_oracle_sql(10))
+def part_graph_coloring(sf_dir: str):
+    """Jones-Plassmann greedy graph coloring over the part co-purchase
+    graph (residue class l_partkey % 8 = 2 — disjoint from the MIS /
+    matching / densest graphs): the classic distributed scheduling /
+    conflict-partitioning primitive (color classes = batches of parts
+    whose pages can be rewritten concurrently). Deterministic Knuth-hash
+    priorities make the fixpoint the unique sequential greedy coloring;
+    each round's winners are an independent set so parallel color
+    assignment is race-free, and the smallest-missing-color is computed
+    branch-free from ONE int64 used-color bitmask per node on both
+    engines (bit_count(mask XOR mask+1) - 1). 10 rounds decide these
+    graphs fully — leftovers would report -1 identically on both sides.
+    Engine: one edge scan + node-keyed min-groupby + one winner-adjacent
+    distinct-(node,color) scan per round (stages/graph.
+    jones_plassmann_coloring)."""
+    from perfect_bloomfilter_ray.stages.cooccur import distinct_pairs
+    from perfect_bloomfilter_ray.stages.graph import jones_plassmann_coloring
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]).map_batches(
+        lambda t: t.filter(
+            pc.equal(
+                pc.bit_wise_and(t.column("l_partkey"), pa.scalar(7, pa.int64())),
+                pa.scalar(2, pa.int64()),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    edges = distinct_pairs(li, "l_orderkey", "l_partkey").materialize()
+    return jones_plassmann_coloring(edges, rounds=10)

@@ -2549,3 +2549,182 @@ def greedy_maximal_matching(
         )
     out["round"] = out["round"].astype(np.int64)
     return out.sort_values(["round", "node_u", "node_v"]).reset_index(drop=True)
+
+
+def jones_plassmann_coloring(
+    edges: Dataset,
+    rounds: int = 10,
+    a_col: str = "item_a",
+    b_col: str = "item_b",
+    local_max_edges: int = 2_000_000,
+    max_colors: int = 62,
+) -> pd.DataFrame:
+    """Distributed greedy graph coloring by Jones-Plassmann rounds (Jones
+    & Plassmann 1993) with DETERMINISTIC priorities: pri(v) =
+    (v * 2654435761) mod 2^32, ties by node id — the same ANSI-SQL-
+    reproducible total order as ``luby_mis``. Per round every UNCOLORED
+    node whose (pri, id) is strictly smallest among its uncolored
+    neighbors takes the SMALLEST color not used by its already-colored
+    neighbors; same-round winners are an independent set (two adjacent
+    local minima are impossible), so parallel assignment is race-free and
+    the fixpoint is the unique sequential greedy-by-priority coloring.
+    Bounded ``rounds`` keeps every round mirrorable by an unrolled SQL
+    oracle (still-uncolored nodes report color = round = -1).
+
+    The used-color set rides in ONE int64 bitmask per node (colors are
+    bounded by max degree + 1; raises beyond ``max_colors`` — re-bucket
+    the graph rather than widening the mask); smallest-missing-color is
+    the trailing-ones count, computed branch-free as
+    ``bit_count(mask XOR (mask+1)) - 1`` on both engines.
+
+    Per round: one edge scan + node-keyed min-groupby for the local-min
+    test, then one winner-adjacent scan emitting DISTINCT (node, color)
+    pairs OR-folded on the driver. Colors/priorities are node-dimension
+    driver state (the ``bfs_levels`` bounded-node contract); edge lists
+    at or below ``local_max_edges`` run identical rounds on driver
+    arrays.
+
+    Returns ``(node, color, round)`` for every node, colored ones with
+    their 1-based decision round, sorted by node.
+    """
+    import ray
+    from ray.data.aggregate import Count as _Count, Min as _Min
+
+    edges = edges.materialize()
+    local = edges.count() <= local_max_edges
+    if local:
+        _df = edges.to_pandas()
+        la = _df[a_col].to_numpy().astype(np.int64)
+        lb = _df[b_col].to_numpy().astype(np.int64)
+        all_nodes = np.unique(np.concatenate([la, lb]))
+    else:
+        la = lb = None
+
+        def ends(t: pa.Table) -> pa.Table:
+            a = t.column(a_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            b = t.column(b_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({"node": pa.array(np.unique(np.concatenate([a, b])))})
+
+        all_nodes = np.sort(
+            edges.map_batches(ends, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(_Count(alias_name="_c"))
+            .to_pandas()["node"]
+            .to_numpy()
+            .astype(np.int64)
+        )
+
+    if len(all_nodes) >= (1 << 21):
+        raise ValueError("jones_plassmann_coloring node set exceeds the packed-key budget")
+    pri = (all_nodes.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(4294967296)
+    key = ((pri << np.uint64(21)) | np.arange(len(all_nodes), dtype=np.uint64)).astype(
+        np.int64
+    )
+    sent = np.iinfo(np.int64).max
+    color = np.full(len(all_nodes), -1, dtype=np.int64)
+    dec_round = np.full(len(all_nodes), -1, dtype=np.int64)
+
+    def smallest_missing(mask: np.ndarray) -> np.ndarray:
+        m = mask.astype(np.uint64)
+        t = (m ^ (m + np.uint64(1))) + np.uint64(1)  # 2^(trailing_ones+1), a power of two
+        c = np.rint(np.log2(t.astype(np.float64))).astype(np.int64) - 1
+        if (c >= max_colors).any():
+            raise ValueError("color bitmask budget exceeded; re-bucket the graph")
+        return c
+
+    if local:
+        ia = np.searchsorted(all_nodes, la)
+        ib = np.searchsorted(all_nodes, lb)
+        for r in range(1, rounds + 1):
+            unc = color < 0
+            if not unc.any():
+                break
+            both = unc[ia] & unc[ib]
+            node_min = np.full(len(all_nodes), sent, dtype=np.int64)
+            np.minimum.at(node_min, ia[both], key[ib[both]])
+            np.minimum.at(node_min, ib[both], key[ia[both]])
+            win = unc & (key < node_min)
+            if not win.any():
+                break
+            mask = np.zeros(len(all_nodes), dtype=np.int64)
+            s1 = win[ia] & (color[ib] >= 0)
+            np.bitwise_or.at(mask, ia[s1], np.int64(1) << color[ib[s1]])
+            s2 = win[ib] & (color[ia] >= 0)
+            np.bitwise_or.at(mask, ib[s2], np.int64(1) << color[ia[s2]])
+            color[win] = smallest_missing(mask[win])
+            dec_round[win] = r
+    else:
+        for r in range(1, rounds + 1):
+            unc = color < 0
+            if not unc.any():
+                break
+            ref = ray.put((all_nodes, unc, key))
+
+            def nbr_min(t: pa.Table, _f=ref) -> pa.Table:
+                nodes, u_, k = ray.get(_f)
+                a = t.column(a_col).to_numpy(zero_copy_only=False).astype(np.int64)
+                b = t.column(b_col).to_numpy(zero_copy_only=False).astype(np.int64)
+                ja = np.searchsorted(nodes, a)
+                jb = np.searchsorted(nodes, b)
+                both = u_[ja] & u_[jb]
+                if not both.any():
+                    return pa.table(
+                        {"node": pa.array([], pa.int64()), "m": pa.array([], pa.int64())}
+                    )
+                u = np.concatenate([a[both], b[both]])
+                w = np.concatenate([k[jb[both]], k[ja[both]]])
+                un, inv = np.unique(u, return_inverse=True)
+                mins = np.full(len(un), np.iinfo(np.int64).max, dtype=np.int64)
+                np.minimum.at(mins, inv, w)
+                return pa.table({"node": pa.array(un), "m": pa.array(mins)})
+
+            got = (
+                edges.map_batches(nbr_min, batch_format="pyarrow")
+                .groupby("node")
+                .aggregate(_Min("m", alias_name="m"))
+                .to_pandas()
+            )
+            node_min = np.full(len(all_nodes), sent, dtype=np.int64)
+            if len(got):
+                idx = np.searchsorted(all_nodes, got["node"].to_numpy().astype(np.int64))
+                node_min[idx] = got["m"].to_numpy().astype(np.int64)
+            win = unc & (key < node_min)
+            if not win.any():
+                break
+            wref = ray.put((all_nodes, win, color))
+
+            def used_colors(t: pa.Table, _f=wref) -> pa.Table:
+                nodes, w_, col = ray.get(_f)
+                a = t.column(a_col).to_numpy(zero_copy_only=False).astype(np.int64)
+                b = t.column(b_col).to_numpy(zero_copy_only=False).astype(np.int64)
+                ja = np.searchsorted(nodes, a)
+                jb = np.searchsorted(nodes, b)
+                s1 = w_[ja] & (col[jb] >= 0)
+                s2 = w_[jb] & (col[ja] >= 0)
+                node = np.concatenate([a[s1], b[s2]])
+                c = np.concatenate([col[jb[s1]], col[ja[s2]]])
+                pairs = np.unique(np.stack([node, c], axis=1), axis=0)
+                return pa.table(
+                    {"node": pa.array(pairs[:, 0]), "c": pa.array(pairs[:, 1])}
+                )
+
+            up = (
+                edges.map_batches(used_colors, batch_format="pyarrow")
+                .groupby(["node", "c"])
+                .aggregate(_Count(alias_name="_n"))
+                .to_pandas()
+            )
+            mask = np.zeros(len(all_nodes), dtype=np.int64)
+            if len(up):
+                idx = np.searchsorted(all_nodes, up["node"].to_numpy().astype(np.int64))
+                np.bitwise_or.at(
+                    mask, idx, np.int64(1) << up["c"].to_numpy().astype(np.int64)
+                )
+            color[win] = smallest_missing(mask[win])
+            dec_round[win] = r
+
+    return (
+        pd.DataFrame({"node": all_nodes, "color": color, "round": dec_round})
+        .sort_values("node")
+        .reset_index(drop=True)
+    )

@@ -685,3 +685,68 @@ def test_greedy_maximal_matching_brute_and_cover(ray_session, gate):
         if all(u in set(cand) or v in set(cand) for u, v in small)
     )
     assert len(scover) <= 2 * opt
+
+
+@pytest.mark.parametrize("gate", [2_000_000, 0])
+def test_jones_plassmann_coloring_brute(ray_session, gate):
+    """Round-for-round parity with a sequential implementation of the same
+    Jones-Plassmann schedule, plus proper-coloring validity and the
+    greedy bound colors <= maxdeg + 1, on both closure paths."""
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.graph import jones_plassmann_coloring
+
+    rng = np.random.RandomState(11)
+    edges = set()
+    while len(edges) < 120:
+        a, b = rng.randint(0, 45, 2)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    edges = sorted(edges)
+
+    def pri(v):
+        return (v * 2654435761) % (1 << 32)
+
+    nbrs: dict = {}
+    for u, v in edges:
+        nbrs.setdefault(u, set()).add(v)
+        nbrs.setdefault(v, set()).add(u)
+    color = {n: -1 for n in nbrs}
+    rnd = {n: -1 for n in nbrs}
+    for r in range(1, 11):
+        unc = [n for n in nbrs if color[n] < 0]
+        if not unc:
+            break
+        winners = [
+            n
+            for n in unc
+            if all(
+                color[o] >= 0 or (pri(n), n) < (pri(o), o) for o in nbrs[n]
+            )
+        ]
+        for n in winners:  # winners are independent: assignment order irrelevant
+            used = {color[o] for o in nbrs[n] if color[o] >= 0}
+            c = 0
+            while c in used:
+                c += 1
+            color[n] = c
+            rnd[n] = r
+    want = (
+        pd.DataFrame(
+            {"node": list(nbrs), "color": [color[n] for n in nbrs], "round": [rnd[n] for n in nbrs]}
+        )
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+
+    ds = rd.from_pandas(
+        pd.DataFrame({"item_a": [a for a, _ in edges], "item_b": [b for _, b in edges]})
+    ).repartition(3)
+    got = jones_plassmann_coloring(ds, rounds=10, local_max_edges=gate)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    cmap = dict(zip(got["node"], got["color"]))
+    assert all(v >= 0 for v in cmap.values()), "10 rounds must color this graph"
+    assert all(cmap[u] != cmap[v] for u, v in edges), "improper coloring"
+    maxdeg = max(len(s) for s in nbrs.values())
+    assert got["color"].max() <= maxdeg
