@@ -354,6 +354,7 @@ SUITE = [
     "part_maximal_matching",
     "t_closeness_report",
     "part_graph_coloring",
+    "part_wl_colors",
 ]
 
 

@@ -8568,3 +8568,60 @@ def part_graph_coloring(sf_dir: str):
     )
     edges = distinct_pairs(li, "l_orderkey", "l_partkey").materialize()
     return jones_plassmann_coloring(edges, rounds=10)
+
+
+def _wl_oracle_sql(rounds: int) -> str:
+    """WL refinement rounds as joins over the incidence expansion: each
+    round's color is the same order-independent multiset-hash sum the
+    engine computes — sums commute, so SQL aggregation order is free."""
+    parts = [
+        "WITH pl AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey "
+        "FROM lineitem WHERE l_partkey % 8 = 6),",
+        "e AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v "
+        "FROM pl a JOIN pl b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),",
+        "inc AS MATERIALIZED (SELECT u AS node, v AS other FROM e "
+        "UNION ALL SELECT v, u FROM e),",
+        "w0 AS MATERIALIZED (SELECT node, CAST(count(*) % 1048573 AS BIGINT) AS c "
+        "FROM inc GROUP BY node),",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f"w{r} AS MATERIALIZED (SELECT i.node, "
+            f"CAST((d.c * 2654435761 + sum(o.c * 40503 + 2246822519)) % 1048573 AS BIGINT) AS c "
+            f"FROM inc i JOIN w{p} d ON d.node = i.node "
+            f"JOIN w{p} o ON o.node = i.other GROUP BY i.node, d.c),"
+        )
+    cols = ", ".join(f"w{r}.c AS c{r}" for r in range(rounds + 1))
+    joins = " ".join(f"JOIN w{r} USING (node)" for r in range(1, rounds + 1))
+    return (
+        "\n".join(parts)[:-1]
+        + f"\nSELECT node, {cols} FROM w0 {joins} ORDER BY node"
+    )
+
+
+@q("part_wl_colors", sql=_wl_oracle_sql(3))
+def part_wl_colors(sf_dir: str):
+    """Weisfeiler-Lehman color refinement (1-WL) over the part co-purchase
+    graph (residue class l_partkey % 8 = 6 — disjoint from the MIS /
+    matching / coloring graphs): 3 rounds of rehashing each node's color
+    with the multiset of neighbor colors, starting from degree classes.
+    The per-node color trajectory is the role-equivalence fingerprint
+    behind WL graph kernels; equal rows = 1-WL-indistinguishable parts.
+    The multiset hash is an order-independent integer sum mod 1048573, so
+    both engines agree bit-for-bit under any shuffle order (stages/graph.
+    wl_refinement)."""
+    from perfect_bloomfilter_ray.stages.cooccur import distinct_pairs
+    from perfect_bloomfilter_ray.stages.graph import wl_refinement
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]).map_batches(
+        lambda t: t.filter(
+            pc.equal(
+                pc.bit_wise_and(t.column("l_partkey"), pa.scalar(7, pa.int64())),
+                pa.scalar(6, pa.int64()),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    edges = distinct_pairs(li, "l_orderkey", "l_partkey").materialize()
+    return wl_refinement(edges, rounds=3)

@@ -2728,3 +2728,109 @@ def jones_plassmann_coloring(
         .sort_values("node")
         .reset_index(drop=True)
     )
+
+
+def wl_refinement(
+    edges: Dataset,
+    rounds: int = 3,
+    a_col: str = "item_a",
+    b_col: str = "item_b",
+    local_max_edges: int = 2_000_000,
+) -> pd.DataFrame:
+    """Weisfeiler-Lehman color refinement (1-WL, the graph-isomorphism /
+    role-equivalence workhorse behind WL graph kernels and GNN expressivity
+    bounds): every node starts at its degree class and each round rehashes
+    its own color together with the MULTISET of neighbor colors. The
+    multiset hash is order-independent integer arithmetic both engines
+    reproduce exactly —
+
+        c_{r+1}(v) = (c_r(v) * 2654435761 + sum_{o in N(v)} (c_r(o) * 40503
+                      + 2246822519)) mod 1048573
+
+    (sum commutes across any shuffle order; all intermediates < 2^52, so
+    int64/BIGINT-safe; hash collisions are deterministic and identical on
+    both sides — the refinement is the standard hashed-WL approximation).
+    Two nodes keeping equal colors across rounds are 1-WL-indistinguishable;
+    the per-round distinct-color count is the refinement profile.
+
+    Per round: ONE edge scan emitting per-batch (node, partial contribution
+    sum) + a node-keyed sum-groupby. Colors are node-dimension driver state
+    (the ``bfs_levels`` bounded-node contract); edge lists at or below
+    ``local_max_edges`` run identical rounds on driver arrays.
+
+    Returns ``(node, c0, c1, ..., c<rounds>)`` sorted by node, c0 = degree
+    mod 1048573.
+    """
+    import ray
+    from ray.data.aggregate import Count as _Count, Sum as _Sum
+
+    M = np.int64(1048573)
+    A = np.int64(2654435761)
+    B = np.int64(40503)
+    C = np.int64(2246822519)
+
+    edges = edges.materialize()
+    local = edges.count() <= local_max_edges
+    if local:
+        _df = edges.to_pandas()
+        la = _df[a_col].to_numpy().astype(np.int64)
+        lb = _df[b_col].to_numpy().astype(np.int64)
+        all_nodes = np.unique(np.concatenate([la, lb]))
+        ia = np.searchsorted(all_nodes, la)
+        ib = np.searchsorted(all_nodes, lb)
+        deg = np.zeros(len(all_nodes), dtype=np.int64)
+        np.add.at(deg, ia, 1)
+        np.add.at(deg, ib, 1)
+    else:
+        la = lb = ia = ib = None
+
+        def degs(t: pa.Table) -> pa.Table:
+            a = t.column(a_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            b = t.column(b_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            u, cnt = np.unique(np.concatenate([a, b]), return_counts=True)
+            return pa.table({"node": pa.array(u), "d": pa.array(cnt.astype(np.int64))})
+
+        got = (
+            edges.map_batches(degs, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(_Sum("d", alias_name="d"))
+            .to_pandas()
+            .sort_values("node")
+        )
+        all_nodes = got["node"].to_numpy().astype(np.int64)
+        deg = got["d"].to_numpy().astype(np.int64)
+
+    cols = {"node": all_nodes, "c0": deg % M}
+    c = deg % M
+    for r in range(1, rounds + 1):
+        if local:
+            s = np.zeros(len(all_nodes), dtype=np.int64)
+            np.add.at(s, ia, c[ib] * B + C)
+            np.add.at(s, ib, c[ia] * B + C)
+        else:
+            ref = ray.put((all_nodes, c))
+
+            def contrib(t: pa.Table, _f=ref) -> pa.Table:
+                nodes, col = ray.get(_f)
+                a = t.column(a_col).to_numpy(zero_copy_only=False).astype(np.int64)
+                b = t.column(b_col).to_numpy(zero_copy_only=False).astype(np.int64)
+                ja = np.searchsorted(nodes, a)
+                jb = np.searchsorted(nodes, b)
+                u = np.concatenate([a, b])
+                w = np.concatenate([col[jb] * B + C, col[ja] * B + C])
+                un, inv = np.unique(u, return_inverse=True)
+                sums = np.zeros(len(un), dtype=np.int64)
+                np.add.at(sums, inv, w)
+                return pa.table({"node": pa.array(un), "s": pa.array(sums)})
+
+            got = (
+                edges.map_batches(contrib, batch_format="pyarrow")
+                .groupby("node")
+                .aggregate(_Sum("s", alias_name="s"))
+                .to_pandas()
+                .sort_values("node")
+            )
+            s = got["s"].to_numpy().astype(np.int64)
+        c = (c * A + s) % M
+        cols[f"c{r}"] = c
+    return pd.DataFrame(cols).sort_values("node").reset_index(drop=True)

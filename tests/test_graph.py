@@ -750,3 +750,58 @@ def test_jones_plassmann_coloring_brute(ray_session, gate):
     assert all(cmap[u] != cmap[v] for u, v in edges), "improper coloring"
     maxdeg = max(len(s) for s in nbrs.values())
     assert got["color"].max() <= maxdeg
+
+
+@pytest.mark.parametrize("gate", [2_000_000, 0])
+def test_wl_refinement_properties(ray_session, gate):
+    """WL invariants: parity with a sequential multiset-hash refinement,
+    automorphic nodes keep equal colors forever, refinement is monotone
+    (distinct-color count never decreases), both closure paths agree."""
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.graph import wl_refinement
+
+    # two disjoint 4-cycles (every node automorphic) + a path P4 glued to
+    # one cycle via node 0 to break symmetry there
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0), (10, 11), (11, 12), (12, 13), (13, 10),
+             (0, 20), (20, 21), (21, 22)]
+    M, A, B, C = 1048573, 2654435761, 40503, 2246822519
+    nbrs: dict = {}
+    for u, v in edges:
+        nbrs.setdefault(u, []).append(v)
+        nbrs.setdefault(v, []).append(u)
+    c = {n: len(v) % M for n, v in nbrs.items()}
+    hist = {n: [c[n]] for n in nbrs}
+    for _ in range(3):
+        c = {
+            n: (c[n] * A + sum(c[o] * B + C for o in nbrs[n])) % M
+            for n in nbrs
+        }
+        for n in nbrs:
+            hist[n].append(c[n])
+
+    ds = rd.from_pandas(
+        pd.DataFrame({"item_a": [a for a, _ in edges], "item_b": [b for _, b in edges]})
+    ).repartition(2)
+    got = wl_refinement(ds, rounds=3, local_max_edges=gate)
+    want = (
+        pd.DataFrame(
+            [{"node": n, **{f"c{i}": hist[n][i] for i in range(4)}} for n in nbrs]
+        )
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    g = got.set_index("node")
+    # the pristine 4-cycle stays monochromatic across all rounds
+    for col in ["c0", "c1", "c2", "c3"]:
+        assert len({g.loc[n, col] for n in (10, 11, 12, 13)}) == 1
+    # symmetric pair (1, 3) adjacent to the glued node 0 stays equal
+    for col in ["c0", "c1", "c2", "c3"]:
+        assert g.loc[1, col] == g.loc[3, col]
+    # refinement monotonicity
+    ncolors = [got[c].nunique() for c in ["c0", "c1", "c2", "c3"]]
+    assert all(a <= b for a, b in zip(ncolors, ncolors[1:]))
+    # the glued cycle must separate from the pristine one by round 1
+    assert g.loc[1, "c1"] != g.loc[11, "c1"]
