@@ -355,6 +355,7 @@ SUITE = [
     "t_closeness_report",
     "part_graph_coloring",
     "part_wl_colors",
+    "part_neighborhood_function",
 ]
 
 

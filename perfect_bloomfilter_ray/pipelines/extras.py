@@ -8625,3 +8625,62 @@ def part_wl_colors(sf_dir: str):
     )
     edges = distinct_pairs(li, "l_orderkey", "l_partkey").materialize()
     return wl_refinement(edges, rounds=3)
+
+
+def _anf_oracle_sql(max_h: int) -> str:
+    """Unrolled exact neighborhood function: p{h} = distinct closure of
+    p{h-1} through the incidence expansion; one count per hop."""
+    parts = [
+        "WITH pl AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey "
+        "FROM lineitem WHERE l_partkey % 8 = 3),",
+        "e AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v "
+        "FROM pl a JOIN pl b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),",
+        "inc AS MATERIALIZED (SELECT u AS node, v AS other FROM e "
+        "UNION ALL SELECT v, u FROM e),",
+        "n0 AS MATERIALIZED (SELECT DISTINCT node FROM inc),",
+        "p0 AS MATERIALIZED (SELECT node AS s, node AS d FROM n0),",
+    ]
+    for h in range(1, max_h + 1):
+        parts.append(
+            f"p{h} AS MATERIALIZED (SELECT DISTINCT s, d FROM ("
+            f"SELECT s, d FROM p{h - 1} "
+            f"UNION ALL SELECT p.s, i.other FROM p{h - 1} p JOIN inc i ON i.node = p.d)),"
+        )
+    parts.append("v AS (SELECT CAST(count(*) AS BIGINT) AS nv FROM n0)")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT CAST({h} AS BIGINT) AS h, (SELECT CAST(count(*) AS BIGINT) FROM p{h}) AS pairs"
+        for h in range(max_h + 1)
+    )
+    return (
+        "\n".join(parts)
+        + f"\nSELECT h, pairs, nv AS n_nodes, "
+        f"CAST(pairs AS DOUBLE) / (CAST(nv AS DOUBLE) * nv) AS ratio "
+        f"FROM ({sel}) CROSS JOIN v ORDER BY h"
+    )
+
+
+@q("part_neighborhood_function", sql=_anf_oracle_sql(3))
+def part_neighborhood_function(sf_dir: str):
+    """EXACT neighborhood function of the part co-purchase graph (residue
+    class l_partkey % 8 = 3 — disjoint from every other part graph):
+    ordered pairs within h hops for h = 0..3, the cumulative distance
+    distribution whose 90th percentile is the effective diameter. This is
+    the exactly-hashable twin of HyperANF (Boldi/Rosa/Vigna WWW'11) — at
+    corpus scale the pair set is replaced by per-node HLL counters; here
+    the pair frontier stays EXACT and lives in the cluster as a packed
+    int64 Dataset, one broadcast-CSR expansion + one distinct shuffle per
+    hop (stages/graph.neighborhood_function)."""
+    from perfect_bloomfilter_ray.stages.cooccur import distinct_pairs
+    from perfect_bloomfilter_ray.stages.graph import neighborhood_function
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]).map_batches(
+        lambda t: t.filter(
+            pc.equal(
+                pc.bit_wise_and(t.column("l_partkey"), pa.scalar(7, pa.int64())),
+                pa.scalar(3, pa.int64()),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    edges = distinct_pairs(li, "l_orderkey", "l_partkey").materialize()
+    return neighborhood_function(edges, max_h=3)

@@ -805,3 +805,50 @@ def test_wl_refinement_properties(ray_session, gate):
     assert all(a <= b for a, b in zip(ncolors, ncolors[1:]))
     # the glued cycle must separate from the pristine one by round 1
     assert g.loc[1, "c1"] != g.loc[11, "c1"]
+
+
+@pytest.mark.parametrize("lme", [2_000_000, 0])
+def test_neighborhood_function_matches_bfs(ray_session, lme):
+    """N(h) parity with all-pairs BFS on a graph with a chain (diameter >
+    max_h), a clique, and a disconnected island; matmul and distributed
+    pair-Dataset paths must agree."""
+    import collections
+
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.graph import neighborhood_function
+
+    edges = (
+        [(i, i + 1) for i in range(8)]                     # chain 0..8
+        + [(a, b) for a in range(20, 25) for b in range(a + 1, 25)]  # K5
+        + [(100, 101)]                                     # island
+    )
+    nbrs: dict = {}
+    for u, v in edges:
+        nbrs.setdefault(u, set()).add(v)
+        nbrs.setdefault(v, set()).add(u)
+
+    def bfs_ball(src, h):
+        seen = {src}
+        frontier = {src}
+        for _ in range(h):
+            frontier = {o for n in frontier for o in nbrs[n]} - seen
+            seen |= frontier
+        return len(seen)
+
+    want = []
+    for h in range(4):
+        want.append(sum(bfs_ball(s, h) for s in nbrs))
+
+    ds = rd.from_pandas(
+        pd.DataFrame({"item_a": [a for a, _ in edges], "item_b": [b for _, b in edges]})
+    ).repartition(3)
+    got = neighborhood_function(ds, max_h=3, local_max_edges=lme)
+    assert list(got["pairs"]) == want
+    assert list(got["h"]) == [0, 1, 2, 3]
+    nv = len(nbrs)
+    assert (got["n_nodes"] == nv).all()
+    assert got["ratio"].iloc[0] == 1.0 / nv
+    # monotone, bounded by V^2
+    p = list(got["pairs"])
+    assert all(a <= b for a, b in zip(p, p[1:])) and p[-1] <= nv * nv
