@@ -356,6 +356,7 @@ SUITE = [
     "part_graph_coloring",
     "part_wl_colors",
     "part_neighborhood_function",
+    "stable_user_type_assignment",
 ]
 
 

@@ -8684,3 +8684,70 @@ def part_neighborhood_function(sf_dir: str):
     )
     edges = distinct_pairs(li, "l_orderkey", "l_partkey").materialize()
     return neighborhood_function(edges, max_h=3)
+
+
+def _stable_assignment_oracle_sql(rounds: int) -> str:
+    """Unrolled batch deferred-acceptance: per round, unmatched users with
+    preferences left propose to their next-ranked type (pr), candidates =
+    holders + proposers (cd), each type keeps its top-q by (count DESC,
+    user ASC) (kp), and exhausted unmatched users carry over unchanged."""
+    parts = [
+        "WITH cnt AS MATERIALIZED (SELECT user_id AS usr, event_type AS typ, "
+        "CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),",
+        "prefs AS MATERIALIZED (SELECT usr, typ, c, "
+        "CAST(row_number() OVER (PARTITION BY usr ORDER BY c DESC, typ) AS BIGINT) AS rnk "
+        "FROM cnt),",
+        "qv AS MATERIALIZED (SELECT CAST(count(DISTINCT usr) // 7 AS BIGINT) AS q FROM cnt),",
+        "s0 AS MATERIALIZED (SELECT DISTINCT usr, CAST(0 AS BIGINT) AS ptr, "
+        "CAST(NULL AS VARCHAR) AS held FROM cnt),",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f"pr{r} AS MATERIALIZED (SELECT s.usr, s.ptr + 1 AS ptr, p.typ, p.c "
+            f"FROM s{p} s JOIN prefs p ON p.usr = s.usr AND p.rnk = s.ptr + 1 "
+            f"WHERE s.held IS NULL),"
+        )
+        parts.append(
+            f"cd{r} AS MATERIALIZED (SELECT s.usr, s.ptr, s.held AS typ, p.c "
+            f"FROM s{p} s JOIN prefs p ON p.usr = s.usr AND p.typ = s.held "
+            f"WHERE s.held IS NOT NULL "
+            f"UNION ALL SELECT usr, ptr, typ, c FROM pr{r}),"
+        )
+        parts.append(
+            f"kp{r} AS MATERIALIZED (SELECT usr FROM ("
+            f"SELECT usr, row_number() OVER (PARTITION BY typ ORDER BY c DESC, usr) AS rn "
+            f"FROM cd{r}) x, qv WHERE x.rn <= qv.q),"
+        )
+        parts.append(
+            f"s{r} AS MATERIALIZED ("
+            f"SELECT c.usr, c.ptr, CASE WHEN k.usr IS NULL THEN NULL ELSE c.typ END AS held "
+            f"FROM cd{r} c LEFT JOIN kp{r} k ON k.usr = c.usr "
+            f"UNION ALL SELECT s.usr, s.ptr, s.held FROM s{p} s "
+            f"WHERE s.held IS NULL AND NOT EXISTS "
+            f"(SELECT 1 FROM prefs p WHERE p.usr = s.usr AND p.rnk = s.ptr + 1)),"
+        )
+    return (
+        "\n".join(parts)[:-1]
+        + f"\nSELECT usr AS user_id, coalesce(held, '-') AS matched_type, "
+        f"ptr AS proposals_made FROM s{rounds} ORDER BY usr"
+    )
+
+
+@q("stable_user_type_assignment", sql=_stable_assignment_oracle_sql(10))
+def stable_user_type_assignment(sf_dir: str):
+    """Gale-Shapley stable assignment with quotas (hospitals-residents,
+    Gale & Shapley 1962 / Roth 1984): users propose down their event-type
+    preference list (interaction count DESC, type ASC); each type keeps
+    its top n_users//7 proposers by the same affinity key — total capacity
+    deliberately below demand, so the contention is real and some users
+    exhaust their lists. Batch deferred-acceptance rounds settle these
+    inputs in <= 7 rounds to the unique proposer-optimal stable matching;
+    10 unrolled rounds make the oracle exact regardless. The only corpus-
+    dimension pass is the distributed (user, type) count groupby; rounds
+    are vectorized driver folds over proposer-dimension state x 5 types
+    (stages/assignment.stable_assignment)."""
+    from perfect_bloomfilter_ray.stages.assignment import stable_assignment
+
+    ds = _t(sf_dir, "events", ["user_id", "event_type"])
+    return stable_assignment(ds, "user_id", "event_type", quota_div=7, rounds=10)
