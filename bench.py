@@ -357,6 +357,7 @@ SUITE = [
     "part_wl_colors",
     "part_neighborhood_function",
     "stable_user_type_assignment",
+    "part_min_spanning_forest",
 ]
 
 

@@ -8751,3 +8751,99 @@ def stable_user_type_assignment(sf_dir: str):
 
     ds = _t(sf_dir, "events", ["user_id", "event_type"])
     return stable_assignment(ds, "user_id", "event_type", quota_div=7, rounds=10)
+
+
+def _boruvka_oracle_sql(rounds: int, steps: int) -> str:
+    """Unrolled Boruvka: per round, min-key outgoing edge per label group
+    (gm), winner edges (w), first-round-deduplicated accumulation (acc),
+    then exactly ``steps`` min-over-forest-neighbor label folds — the
+    bounded contraction the engine mirrors."""
+    parts = [
+        "WITH pl AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey "
+        "FROM lineitem WHERE l_partkey % 8 = 7),",
+        "e AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v "
+        "FROM pl a JOIN pl b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),",
+        "n0 AS MATERIALIZED (SELECT DISTINCT node FROM "
+        "(SELECT u AS node FROM e UNION ALL SELECT v FROM e)),",
+        "rk AS MATERIALIZED (SELECT node, "
+        "CAST(row_number() OVER (ORDER BY node) - 1 AS BIGINT) AS r FROM n0),",
+        "ek AS MATERIALIZED (SELECT e.u, e.v, "
+        "((((e.u * 2654435761 + e.v * 40503) % 1048576)) << 42) "
+        "| (ru.r << 21) | rv.r AS key "
+        "FROM e JOIN rk ru ON ru.node = e.u JOIN rk rv ON rv.node = e.v),",
+        "acc0 AS MATERIALIZED (SELECT CAST(NULL AS BIGINT) AS u, "
+        "CAST(NULL AS BIGINT) AS v, CAST(NULL AS BIGINT) AS round WHERE 1 = 0),",
+        "lb0 AS MATERIALIZED (SELECT node, node AS lab FROM n0),",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f"gm{r} AS MATERIALIZED (SELECT g, min(key) AS m FROM ("
+            f"SELECT la.lab AS g, k.key FROM ek k "
+            f"JOIN lb{p} la ON la.node = k.u JOIN lb{p} lv ON lv.node = k.v "
+            f"WHERE la.lab <> lv.lab "
+            f"UNION ALL SELECT lv.lab, k.key FROM ek k "
+            f"JOIN lb{p} la ON la.node = k.u JOIN lb{p} lv ON lv.node = k.v "
+            f"WHERE la.lab <> lv.lab) GROUP BY g),"
+        )
+        parts.append(
+            f"w{r} AS MATERIALIZED (SELECT k.u, k.v FROM ek k "
+            f"JOIN lb{p} la ON la.node = k.u JOIN lb{p} lv ON lv.node = k.v "
+            f"LEFT JOIN gm{r} ga ON ga.g = la.lab "
+            f"LEFT JOIN gm{r} gb ON gb.g = lv.lab "
+            f"WHERE la.lab <> lv.lab AND (k.key = ga.m OR k.key = gb.m)),"
+        )
+        parts.append(
+            f"acc{r} AS MATERIALIZED (SELECT u, v, round FROM acc{p} "
+            f"UNION ALL SELECT w.u, w.v, CAST({r} AS BIGINT) FROM w{r} w "
+            f"WHERE NOT EXISTS (SELECT 1 FROM acc{p} a WHERE a.u = w.u AND a.v = w.v)),"
+        )
+        prev = f"lb{p}"
+        for k in range(1, steps + 1):
+            name = f"lb{r}" if k == steps else f"lb{r}_{k}"
+            parts.append(
+                f"{name} AS MATERIALIZED (SELECT n.node, "
+                f"least(n.lab, coalesce(m.ml, n.lab)) AS lab "
+                f"FROM {prev} n LEFT JOIN ("
+                f"SELECT f.x AS node, min(l2.lab) AS ml FROM "
+                f"(SELECT u AS x, v AS y FROM acc{r} "
+                f"UNION ALL SELECT v, u FROM acc{r}) f "
+                f"JOIN {prev} l2 ON l2.node = f.y GROUP BY f.x) m "
+                f"ON m.node = n.node),"
+            )
+            prev = name
+    return (
+        "\n".join(parts)[:-1]
+        + f"\nSELECT u AS node_u, v AS node_v, round FROM acc{rounds} "
+        f"ORDER BY round, node_u, node_v"
+    )
+
+
+@q("part_min_spanning_forest", sql=_boruvka_oracle_sql(12, 8))
+def part_min_spanning_forest(sf_dir: str):
+    """Boruvka minimum spanning forest over the part co-purchase graph
+    (residue class l_partkey % 8 = 7 — the last free residue): THE parallel
+    MST algorithm, and the backbone of single-linkage clustering at corpus
+    scale. Deterministic unique edge keys (Knuth-hash priority, id-rank
+    tie-break) make the MSF unique; every label group adopts its min-key
+    outgoing edge per round (cut property => always a true-MSF edge, even
+    under stale labels), labels contract by a FIXED 8 min-folds per round
+    so each of the 12 rounds is exactly mirrorable by the unrolled SQL
+    oracle; 12x8 completes these graphs (a larger graph would report the
+    identical partial sub-forest on both sides). Engine: one edge scan +
+    label-keyed min-groupby + winner scan per round (stages/graph.
+    boruvka_msf)."""
+    from perfect_bloomfilter_ray.stages.cooccur import distinct_pairs
+    from perfect_bloomfilter_ray.stages.graph import boruvka_msf
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]).map_batches(
+        lambda t: t.filter(
+            pc.equal(
+                pc.bit_wise_and(t.column("l_partkey"), pa.scalar(7, pa.int64())),
+                pa.scalar(7, pa.int64()),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    edges = distinct_pairs(li, "l_orderkey", "l_partkey").materialize()
+    return boruvka_msf(edges, rounds=12, contract_steps=8)

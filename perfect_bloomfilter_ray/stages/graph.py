@@ -2957,3 +2957,177 @@ def neighborhood_function(
     )
     out["ratio"] = out["pairs"].to_numpy().astype(np.float64) / (float(nv) * nv)
     return out
+
+
+def boruvka_msf(
+    edges: Dataset,
+    rounds: int = 12,
+    contract_steps: int = 8,
+    a_col: str = "item_a",
+    b_col: str = "item_b",
+    local_max_edges: int = 2_000_000,
+) -> pd.DataFrame:
+    """Distributed minimum spanning forest by Boruvka rounds (Boruvka 1926
+    — the canonical parallel MST / single-linkage-clustering algorithm)
+    with DETERMINISTIC unique edge weights: key(e) = (pri << 42 | ru << 21
+    | rv), pri = (u*2654435761 + v*40503) mod 2^20, ranks in id order —
+    the same ANSI-SQL-reproducible packing as ``greedy_maximal_matching``.
+    Per round every label group adopts its minimum-key OUTGOING edge, then
+    labels contract by exactly ``contract_steps`` min-over-forest-neighbor
+    folds (NOT to fixpoint — bounded steps keep each round mirrorable by
+    an unrolled SQL oracle). Stale labels are safe: a label group S is
+    always a vertex subset, so its min outgoing edge is the minimum of the
+    cut (S, V \\ S) and belongs to the unique MSF by the cut property —
+    re-chosen edges are deduplicated by first round, and the accumulated
+    set is ALWAYS a sub-forest of the true MSF; rounds=12 x steps=8
+    completes graphs with contraction chains up to these bounds (larger
+    inputs report the identical partial forest on both sides).
+
+    Per round: ONE edge scan emitting (label, min outgoing key) partials +
+    a label-keyed min-groupby, then one winner-marking scan. Labels and
+    the (<= V-1)-edge forest are node-dimension driver state (the
+    ``bfs_levels`` bounded-node contract); contraction folds run on driver
+    arrays. Edge lists at or below ``local_max_edges`` run identical
+    rounds locally.
+
+    Returns ``(node_u, node_v, round)`` — MSF edges with the 1-based round
+    they were first chosen, sorted by (round, node_u, node_v).
+    """
+    import ray
+    from ray.data.aggregate import Count as _Count, Min as _Min
+
+    edges = edges.materialize()
+    local = edges.count() <= local_max_edges
+    if local:
+        _df = edges.to_pandas()
+        la = _df[a_col].to_numpy().astype(np.int64)
+        lb = _df[b_col].to_numpy().astype(np.int64)
+        all_nodes = np.unique(np.concatenate([la, lb]))
+    else:
+        la = lb = None
+
+        def ends(t: pa.Table) -> pa.Table:
+            a = t.column(a_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            b = t.column(b_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({"node": pa.array(np.unique(np.concatenate([a, b])))})
+
+        all_nodes = np.sort(
+            edges.map_batches(ends, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(_Count(alias_name="_c"))
+            .to_pandas()["node"]
+            .to_numpy()
+            .astype(np.int64)
+        )
+    V = len(all_nodes)
+    if V >= (1 << 21):
+        raise ValueError("boruvka_msf node set exceeds the packed-key budget")
+    sent = np.iinfo(np.int64).max
+
+    def edge_key(u: np.ndarray, v: np.ndarray, ru: np.ndarray, rv: np.ndarray) -> np.ndarray:
+        pri = (u * 2654435761 + v * 40503) % (1 << 20)
+        return (pri << 42) | (ru.astype(np.int64) << 21) | rv.astype(np.int64)
+
+    lab = np.arange(V, dtype=np.int64)
+    fu = np.empty(0, dtype=np.int64)  # forest, as node ranks
+    fv = np.empty(0, dtype=np.int64)
+    first_round = np.full(0, 0, dtype=np.int64)
+    chosen_keys: set = set()
+    out_u: list = []
+    out_v: list = []
+    out_r: list = []
+
+    if local:
+        iu = np.searchsorted(all_nodes, la)
+        iv = np.searchsorted(all_nodes, lb)
+        key = edge_key(la, lb, iu, iv)
+
+    for r in range(1, rounds + 1):
+        if local:
+            ga, gb = lab[iu], lab[iv]
+            outm = ga != gb
+            if not outm.any():
+                break
+            gm = np.full(V, sent, dtype=np.int64)
+            np.minimum.at(gm, ga[outm], key[outm])
+            np.minimum.at(gm, gb[outm], key[outm])
+            win = outm & ((key == gm[ga]) | (key == gm[gb]))
+            wu, wv = iu[win], iv[win]
+        else:
+            ref = ray.put((all_nodes, lab))
+
+            def grp_min(t: pa.Table, _f=ref) -> pa.Table:
+                nodes, l_ = ray.get(_f)
+                a = t.column(a_col).to_numpy(zero_copy_only=False).astype(np.int64)
+                b = t.column(b_col).to_numpy(zero_copy_only=False).astype(np.int64)
+                ja = np.searchsorted(nodes, a)
+                jb = np.searchsorted(nodes, b)
+                k = edge_key(a, b, ja, jb)
+                o = l_[ja] != l_[jb]
+                if not o.any():
+                    return pa.table(
+                        {"g": pa.array([], pa.int64()), "m": pa.array([], pa.int64())}
+                    )
+                g = np.concatenate([l_[ja[o]], l_[jb[o]]])
+                w = np.concatenate([k[o], k[o]])
+                un, inv = np.unique(g, return_inverse=True)
+                mins = np.full(len(un), np.iinfo(np.int64).max, dtype=np.int64)
+                np.minimum.at(mins, inv, w)
+                return pa.table({"g": pa.array(un), "m": pa.array(mins)})
+
+            got = (
+                edges.map_batches(grp_min, batch_format="pyarrow")
+                .groupby("g")
+                .aggregate(_Min("m", alias_name="m"))
+                .to_pandas()
+            )
+            if not len(got):
+                break
+            gm = np.full(V, sent, dtype=np.int64)
+            gm[got["g"].to_numpy().astype(np.int64)] = got["m"].to_numpy().astype(np.int64)
+            wref = ray.put((all_nodes, lab, gm))
+
+            def winners(t: pa.Table, _f=wref) -> pa.Table:
+                nodes, l_, g_ = ray.get(_f)
+                a = t.column(a_col).to_numpy(zero_copy_only=False).astype(np.int64)
+                b = t.column(b_col).to_numpy(zero_copy_only=False).astype(np.int64)
+                ja = np.searchsorted(nodes, a)
+                jb = np.searchsorted(nodes, b)
+                k = edge_key(a, b, ja, jb)
+                o = l_[ja] != l_[jb]
+                w_ = o & ((k == g_[l_[ja]]) | (k == g_[l_[jb]]))
+                return pa.table({"ju": pa.array(ja[w_]), "jv": pa.array(jb[w_])})
+
+            wdf = edges.map_batches(winners, batch_format="pyarrow").to_pandas()
+            if not len(wdf):
+                break
+            wu = wdf["ju"].to_numpy().astype(np.int64)
+            wv = wdf["jv"].to_numpy().astype(np.int64)
+
+        fresh = [
+            i for i in range(len(wu)) if (int(wu[i]), int(wv[i])) not in chosen_keys
+        ]
+        for i in fresh:
+            chosen_keys.add((int(wu[i]), int(wv[i])))
+            out_u.append(all_nodes[wu[i]])
+            out_v.append(all_nodes[wv[i]])
+            out_r.append(r)
+        fu = np.concatenate([fu, wu[fresh]])
+        fv = np.concatenate([fv, wv[fresh]])
+        for _ in range(contract_steps):
+            nl = lab.copy()
+            np.minimum.at(nl, fu, lab[fv])
+            np.minimum.at(nl, fv, lab[fu])
+            lab = nl
+
+    return (
+        pd.DataFrame(
+            {
+                "node_u": np.array(out_u, dtype=np.int64),
+                "node_v": np.array(out_v, dtype=np.int64),
+                "round": np.array(out_r, dtype=np.int64),
+            }
+        )
+        .sort_values(["round", "node_u", "node_v"])
+        .reset_index(drop=True)
+    )

@@ -852,3 +852,58 @@ def test_neighborhood_function_matches_bfs(ray_session, lme):
     # monotone, bounded by V^2
     p = list(got["pairs"])
     assert all(a <= b for a, b in zip(p, p[1:])) and p[-1] <= nv * nv
+
+
+@pytest.mark.parametrize("gate", [2_000_000, 0])
+def test_boruvka_msf_matches_kruskal(ray_session, gate):
+    """The bounded-contraction Boruvka forest equals the unique Kruskal
+    MSF on a multi-component graph, on both closure paths; spanning and
+    acyclicity audited."""
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.graph import boruvka_msf
+
+    rng = np.random.RandomState(31)
+    edges = set()
+    while len(edges) < 140:
+        a, b = rng.randint(0, 50, 2)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    edges |= {(100, 101), (101, 102), (100, 102)}  # second component w/ cycle
+    edges = sorted(edges)
+    nodes = sorted({x for e in edges for x in e})
+    ranks = {n: i for i, n in enumerate(nodes)}
+
+    def key(u, v):
+        return (
+            (((u * 2654435761 + v * 40503) % (1 << 20)) << 42)
+            | (ranks[u] << 21)
+            | ranks[v]
+        )
+
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    mst = set()
+    for u, v in sorted(edges, key=lambda e: key(*e)):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+            mst.add((u, v))
+
+    ds = rd.from_pandas(
+        pd.DataFrame({"item_a": [a for a, _ in edges], "item_b": [b for _, b in edges]})
+    ).repartition(3)
+    got = boruvka_msf(ds, rounds=12, contract_steps=8, local_max_edges=gate)
+    got_edges = set(zip(got["node_u"], got["node_v"]))
+    assert got_edges == mst
+    # forest size = V - #components (2 components here)
+    assert len(got_edges) == len(nodes) - 2
+    # acyclic by construction of the Kruskal reference; spanning audit:
+    roots = {find(n) for n in nodes}
+    assert len(roots) == 2
