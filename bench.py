@@ -358,6 +358,7 @@ SUITE = [
     "part_neighborhood_function",
     "stable_user_type_assignment",
     "part_min_spanning_forest",
+    "countsketch_net_user_frequencies",
 ]
 
 

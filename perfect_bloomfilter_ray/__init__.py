@@ -22,6 +22,7 @@ from perfect_bloomfilter_ray.facade import PerfectBloomFilter
 from perfect_bloomfilter_ray.state.bloom import BloomCascade
 from perfect_bloomfilter_ray.state.hll import HyperLogLog
 from perfect_bloomfilter_ray.state.cms import CountMinSketch
+from perfect_bloomfilter_ray.state.countsketch import CountSketch
 from perfect_bloomfilter_ray.state.kll import KLLSketch
 from perfect_bloomfilter_ray.state.req import REQSketch
 from perfect_bloomfilter_ray.state.ddsketch import DDSketch
@@ -36,6 +37,7 @@ __all__ = [
     "BloomCascade",
     "HyperLogLog",
     "CountMinSketch",
+    "CountSketch",
     "KLLSketch",
     "REQSketch",
     "DDSketch",

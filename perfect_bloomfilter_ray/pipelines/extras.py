@@ -8847,3 +8847,51 @@ def part_min_spanning_forest(sf_dir: str):
     )
     edges = distinct_pairs(li, "l_orderkey", "l_partkey").materialize()
     return boruvka_msf(edges, rounds=12, contract_steps=8)
+
+
+@q("countsketch_net_user_frequencies")
+def countsketch_net_user_frequencies(sf_dir: str):
+    """Count-Sketch (Charikar/Chen/Farach-Colton 2002) net per-user event
+    counts EXCLUDING views, computed as a turnstile retraction: one
+    distributed build over all events MERGED with the negation of a second
+    build over view events only — the signed-linear composition count-min
+    cannot express (CMS counters only grow). Estimates are UNBIASED
+    medians over 5 signed rows; the top-20 exact net users are probed and
+    the absolute error reported next to the per-row L2 bound
+    3*sqrt(F2/width) (bound-audited in tests/test_sketches.py; no SQL
+    oracle by design — sketch output)."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from perfect_bloomfilter_ray.stages.agg import sketch_global
+    from perfect_bloomfilter_ray.state.countsketch import CountSketch
+
+    ds = _t(sf_dir, "events", ["user_id", "event_type"])
+    cs_all = sketch_global(ds, "user_id", lambda: CountSketch(width=4096, depth=5), name="cs")
+    views = ds.filter(lambda r: r["event_type"] == "view")
+    cs_views = sketch_global(views, "user_id", lambda: CountSketch(width=4096, depth=5), name="cs")
+    net = cs_all.merge(cs_views.negated())
+
+    def flags(t: pa.Table) -> pa.Table:
+        nv = pc.cast(
+            pc.not_equal(t.column("event_type"), pa.scalar("view")), pa.int64()
+        )
+        return pa.table({"user_id": t.column("user_id"), "nv": nv})
+
+    exact = (
+        ds.map_batches(flags, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(_Sum("nv", alias_name="n"))
+        .to_pandas()
+        .sort_values(["n", "user_id"], ascending=[False, True])
+        .head(20)
+    )
+    probes = pa.array(exact["user_id"].to_numpy())
+    est = net.estimate_column(probes)
+    return pd.DataFrame(
+        {
+            "user_id": exact["user_id"].to_numpy(),
+            "exact_net": exact["n"].to_numpy().astype(np.int64),
+            "est_net": est.astype(np.int64),
+            "abs_err": np.abs(est.astype(np.int64) - exact["n"].to_numpy().astype(np.int64)),
+        }
+    ).reset_index(drop=True)

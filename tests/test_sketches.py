@@ -204,3 +204,63 @@ def test_req_merge_estimate_equivalence():
     # byte round-trip
     back = REQSketch.from_bytes(fwd.to_bytes())
     assert back.quantile(0.999) == fwd.quantile(0.999)
+
+
+def test_countsketch_unbiased_median_error_bound():
+    """Estimates over a Zipf stream stay within 3*sqrt(F2/width) of exact
+    (the CCF'02 single-row bound; the 5-row median only tightens it), and
+    the heavy head is recovered near-exactly."""
+    from perfect_bloomfilter_ray.state.countsketch import CountSketch
+
+    rng = np.random.default_rng(17)
+    keys = rng.zipf(1.3, size=60_000) % 5_000
+    cs = CountSketch(width=4096, depth=5)
+    cs.update_column(pa.array(keys.astype(np.int64)))
+    cs._densify()
+
+    exact = np.bincount(keys, minlength=5_000).astype(np.int64)
+    probe = np.arange(5_000, dtype=np.int64)
+    est = cs.estimate_column(pa.array(probe))
+    f2 = float((exact.astype(np.float64) ** 2).sum())
+    bound = 3.0 * np.sqrt(f2 / 4096)
+    frac_ok = (np.abs(est - exact) <= bound).mean()
+    assert frac_ok > 0.99, frac_ok
+    top = np.argsort(-exact)[:10]
+    assert np.all(np.abs(est[top] - exact[top]) <= bound)
+
+
+def test_countsketch_turnstile_delete_and_merge_associativity():
+    """Insert-then-delete nets to the sparse-exact zero; dense merges are
+    associative and equal the single-sketch build (linearity)."""
+    from perfect_bloomfilter_ray.state.countsketch import CountSketch
+
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 1000, 20_000).astype(np.int64)
+    b = rng.integers(0, 1000, 20_000).astype(np.int64)
+    c = rng.integers(0, 1000, 20_000).astype(np.int64)
+
+    def build(arrs, dels=()):
+        s = CountSketch(width=512, depth=5)
+        for x in arrs:
+            s.update_column(pa.array(x))
+        for x in dels:
+            s.delete_column(pa.array(x))
+        s._densify()
+        return s
+
+    one = build([a, b, c])
+    m1 = build([a]).merge(build([b]).merge(build([c])))
+    m2 = build([a]).merge(build([b])).merge(build([c]))
+    assert one.state_equal(m1) and one.state_equal(m2)
+    assert one.total == m1.total == 60_000
+
+    net = build([a, b], dels=[b])
+    only_a = build([a])
+    assert net.state_equal(only_a)
+    assert net.total == 20_000
+
+    # serialization roundtrip, both phases
+    sp = CountSketch(width=4096, depth=5)
+    sp.update_column(pa.array(a[:100]))
+    assert CountSketch.from_bytes(sp.to_bytes()).state_equal(sp)
+    assert CountSketch.from_bytes(one.to_bytes()).state_equal(one)
