@@ -359,6 +359,7 @@ SUITE = [
     "stable_user_type_assignment",
     "part_min_spanning_forest",
     "countsketch_net_user_frequencies",
+    "url_canonical_domain_census",
 ]
 
 

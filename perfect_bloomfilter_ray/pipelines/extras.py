@@ -8895,3 +8895,180 @@ def countsketch_net_user_frequencies(sf_dir: str):
             "abs_err": np.abs(est.astype(np.int64) - exact["n"].to_numpy().astype(np.int64)),
         }
     ).reset_index(drop=True)
+
+
+@q(
+    "url_canonical_domain_census",
+    sql="""
+    WITH u0 AS (
+      SELECT doc_id, source, lang,
+             CASE WHEN doc_id % 5 = 0 THEN 'HTTP' ELSE 'https' END AS sch,
+             CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk' ELSE 'org' END AS tld
+      FROM documents),
+    u1 AS (
+      SELECT doc_id, source,
+             sch || '://'
+             || (CASE WHEN doc_id % 2 = 0
+                 THEN upper(CASE WHEN doc_id % 11 = 0 THEN 'www.' ELSE '' END || source || '.' || tld)
+                 ELSE (CASE WHEN doc_id % 11 = 0 THEN 'www.' ELSE '' END || source || '.' || tld) END)
+             || (CASE WHEN doc_id % 7 = 0
+                 THEN (CASE WHEN lower(sch) = 'https' THEN ':443' ELSE ':80' END) ELSE '' END)
+             || (CASE WHEN doc_id % 13 = 0 THEN '' ELSE '/' || lang || '/p/' || doc_id END)
+             || (CASE doc_id % 4 WHEN 0 THEN '?b=2&utm_source=x&a=1'
+                                 WHEN 1 THEN '?a=1&b=2'
+                                 WHEN 2 THEN '?' ELSE '' END)
+             || (CASE WHEN doc_id % 9 = 0 THEN '#sec' ELSE '' END) AS url
+      FROM u0),
+    c0 AS (
+      SELECT doc_id, source,
+             lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS sch,
+             lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)) AS hostport,
+             regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path,
+             regexp_extract(url, '\\?([^#]*)', 1) AS q
+      FROM u1),
+    c1 AS (
+      SELECT doc_id, source, sch,
+             CASE WHEN sch = 'https' AND hostport LIKE '%:443'
+                  THEN regexp_replace(hostport, ':443$', '')
+                  WHEN sch = 'http' AND hostport LIKE '%:80'
+                  THEN regexp_replace(hostport, ':80$', '')
+                  ELSE hostport END AS host,
+             CASE WHEN path = '' THEN '/' ELSE path END AS path,
+             coalesce(array_to_string(list_sort(list_filter(string_split(q, '&'),
+                 x -> x <> '' AND NOT starts_with(x, 'utm_'))), '&'), '') AS qs
+      FROM c0),
+    c2 AS (
+      SELECT doc_id, source, host,
+             sch || '://' || host || path
+             || CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS canon,
+             CASE WHEN host LIKE '%.co.uk'
+                  THEN regexp_extract(host, '([^.]+)\\.co\\.uk$', 1) || '.co.uk'
+                  WHEN host LIKE '%.com' THEN regexp_extract(host, '([^.]+\\.com)$', 1)
+                  WHEN host LIKE '%.org' THEN regexp_extract(host, '([^.]+\\.org)$', 1)
+                  ELSE host END AS rd
+      FROM c1)
+    SELECT source, rd,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+           min(canon) AS sample_canon
+    FROM c2 GROUP BY source, rd ORDER BY source, rd
+    """,
+)
+def url_canonical_domain_census(sf_dir: str):
+    """URL canonicalization + registered-domain census — the crawl-side
+    normalization every web pipeline runs before URL-keyed dedup: messy
+    deterministic URLs (mixed-case hosts, default ports, empty paths,
+    utm_* tracking params, unsorted query strings, fragments, optional
+    www.) are synthesized per document IDENTICALLY on both engines, then
+    canonicalized by the RFC-3986-core rules of functions/urls.
+    canonicalize_urls and grouped by (source, eTLD+1) via longest-suffix
+    match (functions/urls.registered_domain, PSL-lite bounded list). The
+    canonical strings themselves flow into the hash via min(canon), so the
+    oracle verifies every rule bytewise. Engine: one vectorized polars
+    string pass + a distinct-host shuffle + bounded-group partial folds."""
+    import polars as pl
+
+    from ray.data.aggregate import Count as _Count
+    from perfect_bloomfilter_ray.functions.urls import canonicalize_urls, registered_domain
+
+    ds = _t(sf_dir, "documents", ["doc_id", "source", "lang"])
+
+    def build(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        d = pl.col("doc_id")
+        host0 = (
+            pl.when(d % 11 == 0).then(pl.lit("www.")).otherwise(pl.lit(""))
+            + pl.col("source")
+            + pl.lit(".")
+            + pl.when(d % 3 == 0)
+            .then(pl.lit("com"))
+            .when(d % 3 == 1)
+            .then(pl.lit("co.uk"))
+            .otherwise(pl.lit("org"))
+        )
+        sch = pl.when(d % 5 == 0).then(pl.lit("HTTP")).otherwise(pl.lit("https"))
+        url = (
+            sch
+            + pl.lit("://")
+            + pl.when(d % 2 == 0).then(host0.str.to_uppercase()).otherwise(host0)
+            + pl.when(d % 7 == 0)
+            .then(
+                pl.when(sch.str.to_lowercase() == "https")
+                .then(pl.lit(":443"))
+                .otherwise(pl.lit(":80"))
+            )
+            .otherwise(pl.lit(""))
+            + pl.when(d % 13 == 0)
+            .then(pl.lit(""))
+            .otherwise(
+                pl.lit("/") + pl.col("lang") + pl.lit("/p/") + d.cast(pl.String)
+            )
+            + pl.when(d % 4 == 0)
+            .then(pl.lit("?b=2&utm_source=x&a=1"))
+            .when(d % 4 == 1)
+            .then(pl.lit("?a=1&b=2"))
+            .when(d % 4 == 2)
+            .then(pl.lit("?"))
+            .otherwise(pl.lit(""))
+            + pl.when(d % 9 == 0).then(pl.lit("#sec")).otherwise(pl.lit(""))
+        )
+        out = df.select(pl.col("source"), url.alias("url")).to_arrow()
+        canon = canonicalize_urls(out.column("url"))
+        import pyarrow.compute as _pc
+
+        host = pl.from_arrow(canon).str.extract(r"^[a-z]+://([^/?#]+)", 1).to_arrow()
+        rd_col = registered_domain(host, ["com", "co.uk", "org"])
+        return pa.table(
+            {
+                "source": out.column("source"),
+                "host": host,
+                "rd": rd_col,
+                "canon": canon,
+            }
+        )
+
+    rows = ds.map_batches(build, batch_format="pyarrow").materialize()
+
+    def partials(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .group_by(["source", "rd"])
+            .agg(
+                pl.len().cast(pl.Int64).alias("n"),
+                pl.col("canon").min().alias("minc"),
+            )
+            .to_arrow()
+        )
+
+    base = (
+        rows.map_batches(partials, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["source", "rd"], as_index=False)
+        .agg(n_docs=("n", "sum"), sample_canon=("minc", "min"))
+    )
+
+    def hosts(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .select(["source", "rd", "host"])
+            .unique()
+            .to_arrow()
+        )
+
+    nh = (
+        rows.map_batches(hosts, batch_format="pyarrow")
+        .groupby(["source", "rd", "host"])
+        .aggregate(_Count(alias_name="_c"))
+        .to_pandas()
+        .groupby(["source", "rd"], as_index=False)
+        .size()
+        .rename(columns={"size": "n_hosts"})
+    )
+    out = base.merge(nh, on=["source", "rd"])
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["n_hosts"] = out["n_hosts"].astype(np.int64)
+    return (
+        out[["source", "rd", "n_docs", "n_hosts", "sample_canon"]]
+        .sort_values(["source", "rd"])
+        .reset_index(drop=True)
+    )

@@ -68,3 +68,41 @@ def test_quality_and_fingerprint():
     fp = fingerprint64(pa.array(["Hello,   World!", "hello world", "different"]))
     assert fp[0].as_py() == fp[1].as_py()  # normalization collapses formatting
     assert fp[0].as_py() != fp[2].as_py()
+
+
+def test_canonicalize_urls_rules():
+    """Every canonicalization rule, one assertion each; idempotence on the
+    already-canonical output."""
+    import pyarrow as pa
+
+    from perfect_bloomfilter_ray.functions.urls import (
+        canonicalize_urls,
+        registered_domain,
+    )
+
+    urls = pa.array(
+        [
+            "HTTPS://WWW.Example.COM:443/a/b?b=2&utm_source=x&a=1#frag",
+            "http://site.co.uk:80",                      # default port + empty path
+            "https://x.org/p?",                          # empty query keeps no '?'
+            "http://a.b.co.uk/q?z=1&y=2",                # param sort
+            "https://h.com:8443/x",                      # NON-default port kept
+            "https://h.com/x?utm_source=a&utm_medium=b", # all params tracking
+        ]
+    )
+    got = canonicalize_urls(urls).to_pylist()
+    assert got == [
+        "https://www.example.com/a/b?a=1&b=2",
+        "http://site.co.uk/",
+        "https://x.org/p",
+        "http://a.b.co.uk/q?y=2&z=1",
+        "https://h.com:8443/x",
+        "https://h.com/x",
+    ]
+    assert canonicalize_urls(pa.array(got)).to_pylist() == got  # idempotent
+
+    rd = registered_domain(
+        pa.array(["www.example.com", "a.b.co.uk", "co.uk", "localhost", "x.ac.uk"]),
+        ["com", "co.uk", "org"],
+    ).to_pylist()
+    assert rd == ["example.com", "b.co.uk", "co.uk", "localhost", "x.ac.uk"]
