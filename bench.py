@@ -360,6 +360,7 @@ SUITE = [
     "part_min_spanning_forest",
     "countsketch_net_user_frequencies",
     "url_canonical_domain_census",
+    "kneser_ney_bigram_probs",
 ]
 
 

@@ -9072,3 +9072,109 @@ def url_canonical_domain_census(sf_dir: str):
         .sort_values(["source", "rd"])
         .reset_index(drop=True)
     )
+
+
+@q(
+    "kneser_ney_bigram_probs",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+    ),
+    bg AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2
+      FROM toks, UNNEST(range(1, len(t))) AS r(i)
+      WHERE len(t) >= 2
+    ),
+    bgc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2),
+    m1 AS (SELECT w1, CAST(sum(c) AS BIGINT) AS cv,
+                  CAST(count(*) AS BIGINT) AS nv FROM bgc GROUP BY 1),
+    m2 AS (SELECT w2, CAST(count(*) AS BIGINT) AS nw FROM bgc GROUP BY 1),
+    b AS (SELECT CAST(count(*) AS BIGINT) AS b FROM bgc),
+    top AS (
+      SELECT bgc.w1, bgc.w2, bgc.c, m1.cv, m1.nv, m2.nw, b.b
+      FROM bgc JOIN m1 USING (w1) JOIN m2 USING (w2) CROSS JOIN b
+      ORDER BY bgc.c DESC, bgc.w1, bgc.w2 LIMIT 20
+    )
+    SELECT w1, w2, c, cv, nv, nw, b,
+           (CAST(c AS DOUBLE) - 0.75) / cv
+             + 0.75 * nv / cv * (CAST(nw AS DOUBLE) / b) AS pkn
+    FROM top ORDER BY c DESC, w1, w2
+    """,
+)
+def kneser_ney_bigram_probs(sf_dir: str):
+    """Interpolated Kneser-Ney smoothed bigram probabilities (Kneser & Ney
+    1995; Chen & Goodman 1998) for the top-20 corpus bigrams — the
+    canonical n-gram LM smoother, whose continuation probability
+    N1+(.w)/N1+(..) famously fixes the 'san francisco' unigram pathology
+    that the repo's add-k bigram LM (bigram_perplexity_scores) inherits.
+    Discount d = 0.75; observed bigrams have c >= 1 so max(c-d, 0) = c-d
+    exactly. Counts, history margins cv, and continuation fan-ins/outs
+    nv/nw/B are all exact BIGINTs from ONE distributed bigram groupby +
+    margin folds; pkn is ONE fixed float expression per row. Vocab-
+    dimension margins follow the bounded-vocab broadcast contract of the
+    other LM queries."""
+    import polars as pl
+
+    from ray.data.aggregate import Count as _Count, Sum as _Sum
+
+    ds = _t(sf_dir, "documents", ["text"])
+
+    def bg_partial(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(pa.table({"text": t.column("text")}))
+        out = (
+            df.with_columns(
+                pl.col("text").str.to_lowercase().str.extract_all(r"[a-z0-9]+").alias("t")
+            )
+            .filter(pl.col("t").list.len() >= 2)
+            .with_columns(
+                pl.col("t").list.slice(0, pl.col("t").list.len() - 1).alias("w1"),
+                pl.col("t").list.slice(1).alias("w2"),
+            )
+            .select("w1", "w2")
+            .explode(["w1", "w2"])
+            .group_by(["w1", "w2"])
+            .agg(pl.len().cast(pl.Int64).alias("c"))
+        )
+        return out.to_arrow()
+
+    bgc = (
+        ds.map_batches(bg_partial, batch_format="pyarrow")
+        .groupby(["w1", "w2"])
+        .aggregate(_Sum("c", alias_name="c"))
+        .materialize()
+    )
+    B = bgc.count()
+    top = (
+        bgc.sort(["c", "w1", "w2"], descending=[True, False, False])
+        .limit(20)
+        .to_pandas()
+    )
+    m1 = (
+        bgc.groupby("w1")
+        .aggregate(_Sum("c", alias_name="cv"), _Count(alias_name="nv"))
+        .to_pandas()
+        .set_index("w1")
+    )
+    m2 = (
+        bgc.groupby("w2")
+        .aggregate(_Count(alias_name="nw"))
+        .to_pandas()
+        .set_index("w2")
+    )
+    c = top["c"].to_numpy().astype(np.int64)
+    cv = m1.loc[top["w1"], "cv"].to_numpy().astype(np.int64)
+    nv = m1.loc[top["w1"], "nv"].to_numpy().astype(np.int64)
+    nw = m2.loc[top["w2"], "nw"].to_numpy().astype(np.int64)
+    pkn = (c - 0.75) / cv + 0.75 * nv / cv * (nw / float(B))
+    return pd.DataFrame(
+        {
+            "w1": top["w1"].to_numpy(),
+            "w2": top["w2"].to_numpy(),
+            "c": c,
+            "cv": cv,
+            "nv": nv,
+            "nw": nw,
+            "b": np.full(len(c), B, dtype=np.int64),
+            "pkn": pkn,
+        }
+    )

@@ -433,3 +433,43 @@ def test_greedy_max_coverage_matches_brute(ray_session):
         want.append((step, best, gains[best], len(covered)))
     assert [tuple(int(v) for v in r) for r in got.itertuples(index=False)] == want
     assert len(got) < 5  # early stop: coverage exhausted before k rounds
+
+
+def test_kneser_ney_distribution_normalizes(ray_session):
+    """Interpolated KN with d=0.75 must yield sum_w P(w|v) == 1 for every
+    history v when extended over the full continuation vocabulary — the
+    smoothing invariant the pkn formula implements; checked on a toy
+    corpus plus the query's own top-20 output at sf0.001."""
+    import collections
+
+    from perfect_bloomfilter_ray.pipelines.extras import kneser_ney_bigram_probs
+
+    text = "the cat sat on the mat the cat ran to the mat".split()
+    bg = collections.Counter(zip(text, text[1:]))
+    cv = collections.Counter()
+    nv = collections.Counter()
+    nw = collections.Counter()
+    for (a, b), c in bg.items():
+        cv[a] += c
+        nv[a] += 1
+        nw[b] += 1
+    B = len(bg)
+    d = 0.75
+    vocab = set(nw)
+    for v in cv:
+        s = sum(
+            max(bg.get((v, w), 0) - d, 0) / cv[v] + d * nv[v] / cv[v] * (nw[w] / B)
+            for w in vocab
+        )
+        assert abs(s - 1.0) < 1e-12, (v, s)
+
+    out = kneser_ney_bigram_probs("/root/testdata/sf0.001")
+    assert len(out) == 20
+    # each pkn matches its own row's closed form and is a probability
+    import numpy as np
+
+    expect = (out["c"] - 0.75) / out["cv"] + 0.75 * out["nv"] / out["cv"] * (
+        out["nw"] / out["b"].astype(float)
+    )
+    assert np.allclose(out["pkn"], expect)
+    assert ((out["pkn"] > 0) & (out["pkn"] <= 1)).all()
