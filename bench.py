@@ -361,6 +361,7 @@ SUITE = [
     "countsketch_net_user_frequencies",
     "url_canonical_domain_census",
     "kneser_ney_bigram_probs",
+    "good_turing_token_estimates",
 ]
 
 

@@ -9178,3 +9178,100 @@ def kneser_ney_bigram_probs(sf_dir: str):
             "pkn": pkn,
         }
     )
+
+
+@q(
+    "good_turing_token_estimates",
+    sql="""
+    WITH toks AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w FROM documents
+    ),
+    wc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY w),
+    coc AS (SELECT c AS r, CAST(count(*) AS BIGINT) AS n_r FROM wc GROUP BY c),
+    tot AS (SELECT CAST(sum(r * n_r) AS BIGINT) AS n,
+                   CAST(sum(n_r) AS BIGINT) AS vocab FROM coc)
+    SELECT g.r, g.n_r, coalesce(h.n_r, 0) AS n_next, tot.n, tot.vocab,
+           (g.r + 1.0) * coalesce(h.n_r, 0) / g.n_r AS r_star,
+           (g.r + 1.0) * coalesce(h.n_r, 0) / g.n_r / tot.n AS p_gt,
+           CAST((SELECT n_r FROM coc WHERE r = 1) AS DOUBLE) / tot.n AS p0_unseen
+    FROM coc g LEFT JOIN coc h ON h.r = g.r + 1 CROSS JOIN tot
+    WHERE g.r <= 10
+    ORDER BY g.r
+    """,
+)
+def good_turing_token_estimates(sf_dir: str):
+    """Good-Turing frequency re-estimation (Good 1953) over the token
+    vocabulary: the count-of-counts table N_r, the adjusted counts
+    r* = (r+1) N_{r+1}/N_r for r <= 10, the re-estimated probabilities
+    p_gt = r*/N, and the famous unseen-mass estimate p0 = N_1/N — the
+    smoothing primitive under Katz backoff and the sanity check run on any
+    corpus before trusting rare-token statistics. Exact BIGINT N_r from
+    TWO distributed groupbys (token counts, then count-of-counts — the
+    second over the tiny distinct-count domain); the three floats are each
+    ONE fixed division chain."""
+    import polars as pl
+
+    from ray.data.aggregate import Count as _Count, Sum as _Sum
+
+    ds = _t(sf_dir, "documents", ["text"])
+
+    def tok_partial(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(pa.table({"text": t.column("text")}))
+            .select(
+                pl.col("text").str.to_lowercase().str.extract_all(r"[a-z0-9]+").alias("w")
+            )
+            .explode("w")
+            .drop_nulls()
+            .group_by("w")
+            .agg(pl.len().cast(pl.Int64).alias("c"))
+            .to_arrow()
+        )
+
+    wc = (
+        ds.map_batches(tok_partial, batch_format="pyarrow")
+        .groupby("w")
+        .aggregate(_Sum("c", alias_name="c"))
+    )
+
+    def coc_partial(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t.select(["c"]))
+            .group_by("c")
+            .agg(pl.len().cast(pl.Int64).alias("m"))
+            .rename({"c": "r"})
+            .to_arrow()
+        )
+
+    coc = (
+        wc.map_batches(coc_partial, batch_format="pyarrow")
+        .groupby("r")
+        .aggregate(_Sum("m", alias_name="n_r"))
+        .to_pandas()
+        .sort_values("r")
+        .reset_index(drop=True)
+    )
+    r = coc["r"].to_numpy().astype(np.int64)
+    n_r = coc["n_r"].to_numpy().astype(np.int64)
+    n = int((r * n_r).sum())
+    vocab = int(n_r.sum())
+    nxt = dict(zip(r, n_r))
+    keep = r <= 10
+    rr = r[keep]
+    nn = n_r[keep]
+    n_next = np.array([nxt.get(x + 1, 0) for x in rr], dtype=np.int64)
+    r_star = (rr + 1.0) * n_next / nn
+    p_gt = (rr + 1.0) * n_next / nn / n
+    p0 = float(nxt.get(1, 0)) / n
+    return pd.DataFrame(
+        {
+            "r": rr,
+            "n_r": nn,
+            "n_next": n_next,
+            "n": np.full(len(rr), n, dtype=np.int64),
+            "vocab": np.full(len(rr), vocab, dtype=np.int64),
+            "r_star": r_star,
+            "p_gt": p_gt,
+            "p0_unseen": np.full(len(rr), p0),
+        }
+    )
