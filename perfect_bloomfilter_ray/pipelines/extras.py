@@ -9275,3 +9275,48 @@ def good_turing_token_estimates(sf_dir: str):
             "p0_unseen": np.full(len(rr), p0),
         }
     )
+
+
+@q(
+    "bloom_index_pruned_lookup",
+    sql="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderkey IN (1, 2, 3, 4, 5, 6, 7, 32, 33, 1000000007)
+    ORDER BY o_orderkey
+    """,
+)
+def bloom_index_pruned_lookup(sf_dir: str):
+    """Per-file Bloom data-skipping index (stages/skipindex.py): orders is
+    re-written as 16 key-partitioned files, a sidecar cascade+zone index is
+    built (one Ray task per file, key column only), and the point lookup
+    reads ONLY the files whose bloom admits a probed key. The exact IN
+    filter on the survivors makes the result byte-equal to the full-scan
+    SQL; the index prunes the rest of the files (asserted in pytest). The
+    reference's check-before-storage idiom (sync_test.rs:49-66) applied at
+    the storage layer."""
+    import glob
+    import tempfile
+
+    from perfect_bloomfilter_ray.stages.skipindex import (
+        build_bloom_skip_index,
+        pruned_point_lookup,
+    )
+
+    keys = [1, 2, 3, 4, 5, 6, 7, 32, 33, 1000000007]
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def add_part(t: pa.Table) -> pa.Table:
+        part = pc.cast(pc.bit_wise_and(t.column("o_orderkey"), 15), pa.int32())
+        return t.append_column("part", part)
+
+    scratch = tempfile.mkdtemp(prefix="pbf_skipidx_", dir="/tmp")
+    orders.map_batches(add_part, batch_format="pyarrow").write_parquet(
+        scratch, partition_cols=["part"]
+    )
+    files = sorted(glob.glob(f"{scratch}/**/*.parquet", recursive=True))
+    manifest = build_bloom_skip_index(files, "o_orderkey", scratch + "_idx")
+    ds, _stats = pruned_point_lookup(
+        manifest, keys, columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    return ds.sort("o_orderkey")
