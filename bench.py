@@ -362,6 +362,8 @@ SUITE = [
     "url_canonical_domain_census",
     "kneser_ney_bigram_probs",
     "good_turing_token_estimates",
+    "bloom_index_pruned_lookup",
+    "user_running_distinct_types",
 ]
 
 

@@ -9320,3 +9320,45 @@ def bloom_index_pruned_lookup(sf_dir: str):
         manifest, keys, columns=["o_orderkey", "o_custkey", "o_totalprice"]
     )
     return ds.sort("o_orderkey")
+
+
+@q(
+    "user_running_distinct_types",
+    sql="""
+    WITH f AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN row_number() OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id
+             ) = 1 THEN 1 ELSE 0 END AS flag
+      FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(sum(flag) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING
+           ) AS BIGINT) AS running_distinct_types
+    FROM f ORDER BY event_id
+    """,
+)
+def user_running_distinct_types(sf_dir: str):
+    """Running COUNT(DISTINCT event_type) per user in event-time order —
+    the "how many behaviors has this user exhibited so far" feature SQL
+    has no direct window for (count(DISTINCT) OVER is unsupported; the
+    oracle uses the standard first-occurrence-flag rewrite). One hash
+    exchange on user_id, then a single vectorized pass per partition
+    (stages/windows.running_distinct): packed (user, type) codes +
+    np.unique mark first occurrences, a segmented cumsum yields the
+    running count. Deterministic (ts, event_id) order makes the result
+    hash bit-exactly against the oracle."""
+    from perfect_bloomfilter_ray.stages.windows import running_distinct
+
+    ds = _t(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    out = running_distinct(
+        ds, "user_id", "ts", "event_type", "event_id",
+        out_col="running_distinct_types",
+    )
+
+    def proj(t: pa.Table) -> pa.Table:
+        return t.select(["event_id", "user_id", "running_distinct_types"])
+
+    return out.map_batches(proj, batch_format="pyarrow").sort("event_id")

@@ -916,3 +916,69 @@ def _bucket_maxima(t: pa.Table, value_col: str) -> pa.Table:
         .agg(pl.col(value_col).max().cast(pl.Int64).alias("_mx"))
         .to_arrow()
     )
+
+
+def running_distinct(
+    ds: Dataset,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    out_col: str = "running_distinct",
+    num_blocks: int | None = None,
+) -> Dataset:
+    """Per-key running COUNT(DISTINCT ``value_col``) in event-time order —
+    the windowed form SQL cannot express directly (``count(DISTINCT) OVER``
+    is unsupported); the standard rewrite is a first-occurrence flag
+    (``row_number() OVER (PARTITION BY key, value ORDER BY ts, id) = 1``)
+    summed with a running window, and this operator reproduces that exact
+    arithmetic. Deterministic total order within a key: ``(ts, id)``.
+
+    Scale shape: one hash exchange on ``key_col`` (each key's history lands
+    in one partition — the same co-location every keyed window op here
+    uses), then a single vectorized pass per partition: factorize key and
+    value, ``np.unique`` over packed (key, value) codes in time order marks
+    first occurrences, and a segmented cumsum (global cumsum minus per-key
+    base) yields the running count. No per-key Python, no global sort.
+    """
+
+    def per_part(t: pa.Table) -> pa.Table:
+        t_out = t.drop_columns(["_part"])
+        if len(t) == 0:
+            return t_out.append_column(out_col, pa.array([], pa.int64()))
+        keys = t.column(key_col)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        vals = t.column(value_col)
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        kc = pc.index_in(keys, value_set=pc.unique(keys)).to_numpy(zero_copy_only=False).astype(np.int64)
+        vc = pc.index_in(vals, value_set=pc.unique(vals)).to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = _ts_i64(t.column(ts_col))
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, ts, kc))
+        n = len(order)
+        kc_s = kc[order]
+        # packed (key, value) code — nv = #distinct values in this partition,
+        # so kc*nv+vc < n*nv fits int64 for any realistic partition
+        nv = np.int64(vc.max()) + 1
+        pair = kc_s * nv + vc[order]
+        flag = np.zeros(n, dtype=np.int64)
+        _, first_idx = np.unique(pair, return_index=True)
+        flag[first_idx] = 1
+        csum = np.cumsum(flag)
+        first = np.zeros(n, dtype=bool)
+        first[0] = True
+        first[1:] = kc_s[1:] != kc_s[:-1]
+        starts = np.nonzero(first)[0]
+        base = np.repeat(csum[starts] - flag[starts], np.diff(np.concatenate([starts, [n]])))
+        run = csum - base
+        inv = np.empty(n, dtype=np.int64)
+        inv[order] = np.arange(n)
+        return t_out.append_column(out_col, pa.array(run[inv]))
+
+    return (
+        _add_part(ds, key_col, choose_num_blocks(ds, num_blocks))
+        .groupby("_part")
+        .map_groups(per_part, batch_format="pyarrow")
+    )

@@ -346,3 +346,39 @@ def test_ordered_running_max_extreme_order_range(ray_session):
     assert np.array_equal(
         out["rm"].iloc[1:].to_numpy(dtype="int64"), want.iloc[1:].to_numpy(dtype="int64")
     )
+
+
+@st.composite
+def _rd_rows(draw):
+    n = draw(st.integers(1, 40))
+    rows = []
+    for i in range(n):
+        rows.append((draw(_keys), draw(_ts), draw(st.integers(0, 3)), i))
+    return rows
+
+
+@settings(max_examples=30, deadline=None)
+@given(_rd_rows())
+def test_running_distinct_matches_bruteforce(ray_session, rows):
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.windows import running_distinct
+
+    df = pd.DataFrame(rows, columns=["k", "ts", "v", "id"])
+    df["ts"] = pd.to_datetime(df["ts"], unit="s")
+    ds = rd.from_pandas(df)
+    got = (
+        running_distinct(ds, "k", "ts", "v", "id", out_col="rd")
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+
+    want = {}
+    for k in df["k"].unique():
+        sub = df[df["k"] == k].sort_values(["ts", "id"])
+        seen = set()
+        for _, r in sub.iterrows():
+            seen.add(r["v"])
+            want[r["id"]] = len(seen)
+    assert got.set_index("id")["rd"].to_dict() == want
