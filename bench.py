@@ -364,6 +364,7 @@ SUITE = [
     "good_turing_token_estimates",
     "bloom_index_pruned_lookup",
     "user_running_distinct_types",
+    "pcsa_distinct_docs_per_lang",
 ]
 
 

@@ -9362,3 +9362,29 @@ def user_running_distinct_types(sf_dir: str):
         return t.select(["event_id", "user_id", "running_distinct_types"])
 
     return out.map_batches(proj, batch_format="pyarrow").sort("event_id")
+
+
+@q("pcsa_distinct_docs_per_lang")
+def pcsa_distinct_docs_per_lang(sf_dir: str):
+    """Flajolet-Martin PCSA distinct count per lang (state/pcsa.py) — the
+    1985 bitmap-OR ancestor of HLL, kept as an independent estimator
+    cross-check (different estimator family, same two-phase partial/merge
+    shuffle tree). rows-only by design: the exact COUNT(DISTINCT) twin is
+    carried in-row (`distinct_docs_exact`) so the output itself evidences
+    the 0.78/sqrt(m) bound, asserted in pytest."""
+    from perfect_bloomfilter_ray.state.pcsa import PCSA
+    from perfect_bloomfilter_ray.stages.agg import sketch_grouped
+
+    ds = _t(sf_dir, "documents", ["lang", "doc_id"])
+    est = sketch_grouped(
+        ds, "lang", "doc_id", lambda: PCSA(10),
+        name="distinct_docs_pcsa", finalize_fn=lambda s: float(s.estimate()),
+    ).to_pandas()
+    exact = (
+        ds.groupby("lang")
+        .aggregate(Count("doc_id", alias_name="distinct_docs_exact"))
+        .to_pandas()
+    )
+    out = est.merge(exact, on="lang").sort_values("lang").reset_index(drop=True)
+    out["distinct_docs_exact"] = out["distinct_docs_exact"].astype("int64")
+    return out[["lang", "distinct_docs_pcsa", "distinct_docs_exact"]]
