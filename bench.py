@@ -365,6 +365,7 @@ SUITE = [
     "bloom_index_pruned_lookup",
     "user_running_distinct_types",
     "pcsa_distinct_docs_per_lang",
+    "bloom_cardinality_estimate",
 ]
 
 

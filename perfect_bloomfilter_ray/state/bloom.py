@@ -279,6 +279,25 @@ class BloomCascade:
             total += float(np.prod(fills**layer.k))
         return total
 
+    def cardinality_estimate(self) -> float:
+        """Distinct-key estimate from the filter's own bit fill — Swamidass &
+        Baldi 2007: per view, n̂ = −(m/k)·ln(1 − fill). The views of one
+        layer saw the same key stream, so their estimates AVERAGE (variance
+        reduction); layers saw disjoint slices of the insert stream, so the
+        per-layer estimates SUM. Exact semantics: Σ_layers (distinct keys
+        inserted into that layer) — equal to the global distinct count when
+        each key is inserted once (the deduplicated-pipeline shape); a key
+        re-inserted after a rollover counts once per layer it landed in,
+        the same caveat `key_count` already carries for duplicates."""
+        self._densify()
+        total = 0.0
+        for layer in self.layers:
+            if layer.key_count == 0:
+                continue
+            fills = np.minimum(layer.fill_ratios(), 1.0 - 1.0 / layer.m)
+            total += float(np.mean(-(layer.m / layer.k) * np.log1p(-fills)))
+        return total
+
     def stats(self) -> dict:
         return {
             "num_layers": len(self.layers),

@@ -173,3 +173,40 @@ def test_sparse_serialization_roundtrip():
     rt = BloomCascade.from_bytes(blob)
     assert rt._sparse_count == 300
     assert bool(rt.contains_column(pa.array(["u5", "u299", "nope"])).tolist() == [True, True, False])
+
+
+def test_cardinality_estimate_accuracy():
+    import pyarrow as pa
+
+    from perfect_bloomfilter_ray.state.bloom import BloomCascade
+
+    c = BloomCascade()
+    assert c.cardinality_estimate() == 0.0
+    n = 200_000
+    c.update_column(pa.array(np.arange(n).astype(str)))
+    est = c.cardinality_estimate()
+    assert abs(est - n) / n < 0.01
+
+
+def test_cardinality_estimate_distributed_matches(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.agg import sketch_global
+    from perfect_bloomfilter_ray.state.bloom import BloomCascade
+
+    n = 60_000
+    ds = rd.from_arrow(pa.table({"k": np.arange(n).astype(str)})).repartition(8)
+    c = sketch_global(ds, "k", BloomCascade, name="bloom")
+    est = c.cardinality_estimate()
+    assert abs(est - n) / n < 0.01
+
+
+def test_query_bloom_cardinality(ray_session):
+    from perfect_bloomfilter_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["bloom_cardinality_estimate"]("/root/testdata/sf0.001")
+    assert out.shape[0] == 1
+    exact = int(out["distinct_docs_exact"].iloc[0])
+    est = float(out["distinct_docs_bloom_fill"].iloc[0])
+    assert abs(est - exact) / exact < 0.02
