@@ -366,6 +366,7 @@ SUITE = [
     "user_running_distinct_types",
     "pcsa_distinct_docs_per_lang",
     "bloom_cardinality_estimate",
+    "jaro_winkler_part_pairs",
 ]
 
 

@@ -9412,3 +9412,30 @@ def bloom_cardinality_estimate(sf_dir: str):
             "num_layers": [np.int64(len(cascade.layers))],
         }
     )
+
+
+@q(
+    "jaro_winkler_part_pairs",
+    sql="""
+    WITH n AS (SELECT DISTINCT p_brand, p_name FROM part)
+    SELECT a.p_brand, a.p_name AS name_a, b.p_name AS name_b
+    FROM n a JOIN n b
+      ON a.p_brand = b.p_brand AND a.p_name < b.p_name
+    WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.75
+    ORDER BY a.p_brand, name_a, name_b
+    """,
+)
+def jaro_winkler_part_pairs(sf_dir: str):
+    """Jaro-Winkler record linkage under standard blocking (Winkler 1990):
+    within each p_brand block, every distinct-name pair scoring >= 0.75.
+    The scorer (stages/fuzzy.jaro_winkler) is bit-identical to DuckDB's
+    jaro_winkler_similarity — floored transpositions, 0.7 boost threshold,
+    4-char prefix cap — so even threshold-boundary pairs agree and the
+    ids-only output hashes exactly. One blocking exchange; the pairwise
+    loop runs over the bounded per-block name vocabulary."""
+    from perfect_bloomfilter_ray.stages.fuzzy import blocked_jaro_winkler_pairs
+
+    ds = _t(sf_dir, "part", ["p_brand", "p_name"])
+    return blocked_jaro_winkler_pairs(ds, "p_brand", "p_name", threshold=0.75).sort(
+        ["p_brand", "name_a", "name_b"]
+    )
