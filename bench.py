@@ -367,6 +367,7 @@ SUITE = [
     "pcsa_distinct_docs_per_lang",
     "bloom_cardinality_estimate",
     "jaro_winkler_part_pairs",
+    "events_nearest_order",
 ]
 
 

@@ -9439,3 +9439,60 @@ def jaro_winkler_part_pairs(sf_dir: str):
     return blocked_jaro_winkler_pairs(ds, "p_brand", "p_name", threshold=0.75).sort(
         ["p_brand", "name_a", "name_b"]
     )
+
+
+@q(
+    "events_nearest_order",
+    sql="""
+    WITH ded AS (
+        SELECT o_custkey, o_orderdate, max(o_orderkey) AS orderkey
+        FROM orders GROUP BY o_custkey, o_orderdate
+    ),
+    b AS (
+        SELECT e.event_id, e.user_id, e.ts, d.orderkey AS bk, d.o_orderdate AS bd
+        FROM events e
+        ASOF LEFT JOIN ded d ON e.user_id = d.o_custkey AND e.ts >= d.o_orderdate
+    ),
+    f AS (
+        SELECT e.event_id, d2.orderkey AS fk, d2.o_orderdate AS fd
+        FROM events e
+        ASOF LEFT JOIN ded d2 ON e.user_id = d2.o_custkey AND e.ts < d2.o_orderdate
+    )
+    SELECT b.event_id, b.user_id,
+           CASE WHEN bk IS NULL THEN fk
+                WHEN fk IS NULL THEN bk
+                WHEN (b.ts - bd) <= (fd - b.ts) THEN bk ELSE fk END
+             AS nearest_orderkey,
+           CASE WHEN bk IS NULL THEN fd
+                WHEN fk IS NULL THEN bd
+                WHEN (b.ts - bd) <= (fd - b.ts) THEN bd ELSE fd END
+             AS nearest_orderdate
+    FROM b JOIN f USING (event_id)
+    ORDER BY b.event_id
+    """,
+)
+def events_nearest_order(sf_dir: str):
+    """Nearest-in-time join (stages/joins.asof_join_nearest): each event
+    matched to the user's order CLOSEST in time — before or after —
+    equidistant ties to the earlier order; the entity-timeline alignment
+    backward-only as-of can't express. One broadcast pack, two binary
+    searches per probe batch, no probe shuffle. The oracle composes
+    DuckDB's backward + forward ASOF joins with the same tiebreak."""
+    from perfect_bloomfilter_ray.stages.joins import asof_join_nearest
+
+    events = _t(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_orderkey"])
+    from ray.data.aggregate import Max
+
+    ded = orders.groupby(["o_custkey", "o_orderdate"]).aggregate(
+        Max("o_orderkey", alias_name="orderkey")
+    )
+    joined = asof_join_nearest(
+        events, ded, on="user_id", big_ts="ts",
+        right_on="o_custkey", small_ts="o_orderdate", prefix="",
+    )
+    out = joined.to_pandas().rename(
+        columns={"orderkey": "nearest_orderkey", "o_orderdate": "nearest_orderdate"}
+    )
+    out = out[["event_id", "user_id", "nearest_orderkey", "nearest_orderdate"]]
+    return out.sort_values("event_id").reset_index(drop=True)

@@ -680,3 +680,73 @@ def cross_join_broadcast(
         return pa.table(cols)
 
     return big.map_batches(expand, batch_format="pyarrow")
+
+
+def asof_join_nearest(
+    big: Dataset,
+    small: Dataset | pa.Table,
+    on: str,
+    big_ts: str,
+    right_on: str | None = None,
+    small_ts: str | None = None,
+    tie_col: str | None = None,
+    prefix: str = "nearest_",
+) -> Dataset:
+    """Nearest-in-time join: for each ``big`` row, the ``small`` row with
+    equal key minimizing ``|small_ts − big_ts|``; an equidistant tie goes to
+    the EARLIER build row (the backward candidate), matching the SQL
+    ``(big_ts − back_ts) <= (fwd_ts − big_ts)`` tiebreak. Left semantics:
+    unmatched keys null-fill.
+
+    Same broadcast packed-searchsorted machinery as
+    :func:`asof_join_broadcast` — ONE pack, TWO binary searches per probe
+    batch (backward: rightmost composite ≤, forward: leftmost composite >),
+    then a vectorized distance compare picks the side. No probe shuffle; the
+    build side must be dimension-scale (broadcast budget), same assumption
+    as the backward variant.
+    """
+    import ray
+
+    right_on = right_on or on
+    small_ts = small_ts or big_ts
+    t_small = _small_side_table(small)
+    bundle = ray.put(_asof_pack_build(t_small, right_on, small_ts, tie_col))
+
+    def probe(t: pa.Table) -> pa.Table:
+        u, comp, payload, tbits, tmin = ray.get(bundle)
+        bcodes = pc.index_in(t.column(on), value_set=u).to_numpy(zero_copy_only=False)
+        valid_key = ~pd.isna(bcodes)
+        bcodes_i = np.where(valid_key, bcodes, 0).astype(np.int64)
+        bts = _asof_ts_i64(t.column(big_ts))
+        max_off = (1 << tbits) - 1
+        off = np.minimum(np.maximum(bts - tmin, -1), max_off)
+        key_base = bcodes_i << tbits
+
+        # backward: rightmost build composite ≤ (key, off)
+        b_idx = np.searchsorted(comp, key_base | np.maximum(off, 0), side="right") - 1
+        b_ok = valid_key & (off >= 0) & (b_idx >= 0)
+        b_safe = np.where(b_ok, b_idx, 0)
+        b_ok &= (comp[b_safe] >> tbits) == bcodes_i
+
+        # forward: leftmost build composite > (key, off); off = −1 (probe
+        # before the span) arithmetically lands just below the key's first
+        # composite, so side="right" finds exactly that first row
+        f_idx = np.searchsorted(comp, key_base + off, side="right")
+        f_ok = valid_key & (f_idx < len(comp))
+        f_safe = np.where(f_ok, f_idx, 0)
+        f_ok &= (comp[f_safe] >> tbits) == bcodes_i
+
+        b_ts = (comp[b_safe] & np.int64(max_off)) + tmin
+        f_ts = (comp[f_safe] & np.int64(max_off)) + tmin
+        take_back = b_ok & (~f_ok | ((bts - b_ts) <= (f_ts - bts)))
+        matched = b_ok | f_ok
+        idx = np.where(take_back, b_safe, f_safe)
+        take_idx = pa.array(np.where(matched, idx, -1), type=pa.int64())
+        take_idx = pc.if_else(
+            pc.greater_equal(take_idx, 0), take_idx, pa.scalar(None, type=pa.int64())
+        )
+        for c in payload.column_names:
+            t = t.append_column(prefix + c, pc.take(payload.column(c), take_idx))
+        return t
+
+    return big.map_batches(probe, batch_format="pyarrow")

@@ -382,3 +382,51 @@ def test_running_distinct_matches_bruteforce(ray_session, rows):
             seen.add(r["v"])
             want[r["id"]] = len(seen)
     assert got.set_index("id")["rd"].to_dict() == want
+
+
+@settings(max_examples=30, deadline=None)
+@given(events_and_build())
+def test_asof_nearest_matches_bruteforce(ray_session, data):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.joins import asof_join_nearest
+
+    events, build = data
+    edf = pd.DataFrame(
+        {
+            "k": [k for k, _ in events],
+            "t": pd.to_datetime([t for _, t in events], unit="s"),
+            "eid": range(len(events)),
+        }
+    )
+    if not build:
+        build = [(99, 0)]
+    bdf = pd.DataFrame(
+        {
+            "bk": [k for k, _ in build],
+            "bt": pd.to_datetime([t for _, t in build], unit="s"),
+            "payload": range(len(build)),
+        }
+    )
+    got = (
+        asof_join_nearest(
+            rd.from_pandas(edf).repartition(2), pa.Table.from_pandas(bdf),
+            on="k", big_ts="t", right_on="bk", small_ts="bt",
+        )
+        .to_pandas()
+        .sort_values("eid")
+        .reset_index(drop=True)
+    )
+    for _, row in got.iterrows():
+        cand = bdf[bdf["bk"] == row["k"]]
+        if len(cand) == 0:
+            assert pd.isna(row["nearest_payload"]), row.to_dict()
+            continue
+        # nearest |bt - t|, equidistant tie -> earlier bt; within equal bt
+        # the build dedup convention is last payload wins (sorted order)
+        cand = cand.assign(dist=(cand["bt"] - row["t"]).abs())
+        best = cand.sort_values(["dist", "bt", "payload"]).iloc[0]
+        same = cand[(cand["dist"] == best["dist"]) & (cand["bt"] == best["bt"])]
+        want = same["payload"].max()
+        assert row["nearest_payload"] == want, (row.to_dict(), want)
