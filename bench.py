@@ -368,6 +368,7 @@ SUITE = [
     "bloom_cardinality_estimate",
     "jaro_winkler_part_pairs",
     "events_nearest_order",
+    "wasserstein_value_drift_per_type",
 ]
 
 

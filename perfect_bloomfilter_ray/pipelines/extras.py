@@ -9496,3 +9496,55 @@ def events_nearest_order(sf_dir: str):
     )
     out = out[["event_id", "user_id", "nearest_orderkey", "nearest_orderdate"]]
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+@q(
+    "wasserstein_value_drift_per_type",
+    sql="""
+    WITH v AS (
+      SELECT event_type AS g, CAST(floor(value * 100) AS BIGINT) AS x
+      FROM events WHERE value IS NOT NULL
+    ),
+    ng AS (SELECT g, count(*) AS n_g FROM v GROUP BY g),
+    tot AS (SELECT count(*) AS n FROM v),
+    xs AS (SELECT DISTINCT x FROM v),
+    cnt AS (SELECT g, x, count(*) AS c FROM v GROUP BY g, x),
+    grid AS (SELECT ng.g, ng.n_g, xs.x FROM ng CROSS JOIN xs),
+    cum AS (
+      SELECT grid.g, grid.n_g, grid.x,
+             sum(COALESCE(cnt.c, 0)) OVER (
+               PARTITION BY grid.g ORDER BY grid.x
+               ROWS UNBOUNDED PRECEDING
+             ) AS cg,
+             lead(grid.x) OVER (PARTITION BY grid.g ORDER BY grid.x) AS nx
+      FROM grid LEFT JOIN cnt ON cnt.g = grid.g AND cnt.x = grid.x
+    ),
+    ct AS (
+      SELECT x, sum(c) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS ctot
+      FROM (SELECT x, count(*) AS c FROM v GROUP BY x)
+    )
+    SELECT cum.g AS event_type, CAST(cum.n_g AS BIGINT) AS n_g,
+           CAST(sum(CASE WHEN nx IS NULL THEN 0 ELSE
+             abs(cg * (tot.n - cum.n_g) - (ct.ctot - cg) * cum.n_g) * (nx - cum.x)
+           END) AS BIGINT) AS w1_num
+    FROM cum JOIN ct ON ct.x = cum.x CROSS JOIN tot
+    GROUP BY cum.g, cum.n_g ORDER BY event_type
+    """,
+)
+def wasserstein_value_drift_per_type(sf_dir: str):
+    """Segment drift, earth-mover edition: for every event type the EXACT
+    1-Wasserstein distance numerator of its value distribution vs all
+    other events (stages/quantiles.wasserstein_group_vs_rest) — the
+    magnitude-weighted complement of the KS max statistic
+    (W1_g = w1_num / (100 * n_g * (n - n_g))). Values fixed-pointed at
+    cents with floor (identical IEEE op both sides); all terms int64, so
+    the report hashes bit-exactly. One corpus scan; O(buckets x G) driver
+    state."""
+    from perfect_bloomfilter_ray.stages.quantiles import wasserstein_group_vs_rest
+
+    ds = _t(sf_dir, "events", ["event_type", "value"])
+    out = wasserstein_group_vs_rest(ds, "value", "event_type")
+    out = out.rename(columns={"group": "event_type"}).sort_values("event_type").reset_index(drop=True)
+    out["n_g"] = out["n_g"].astype("int64")
+    out["w1_num"] = out["w1_num"].astype("int64")
+    return out

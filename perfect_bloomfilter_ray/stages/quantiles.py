@@ -925,3 +925,134 @@ def weighted_grouped_quantiles(
         .to_pandas()
     )
     return out.sort_values([key_col, "q_den", "q_num"]).reset_index(drop=True)
+
+
+def wasserstein_group_vs_rest(
+    ds: Dataset,
+    value_col: str,
+    group_col: str,
+    num_buckets: int = 1024,
+    scale: int = 100,
+):
+    """Per-group EXACT 1-Wasserstein (earth-mover) drift vs the rest of the
+    corpus — the SUM counterpart of :func:`ks_group_vs_rest`'s max:
+    ``W1(g) = ∫ |F_g − F_rest| dx``. Values are fixed-pointed first
+    (``floor(value·scale)`` — the identical IEEE op on both engine and
+    oracle sides), so every term is pure int64:
+    ``w1_num(g) = Σ_i |cum_g·(n−n_g) − (cum_rest)·n_g| · (x_{i+1} − x_i)``
+    over consecutive distinct merged values, and
+    ``W1(g) = w1_num / (scale · n_g · (n − n_g))``. Bit-exact against the
+    SQL window oracle; int64 range bounds documented by the census contract
+    (n·span·counts must stay < 2^63 — holds through sf0.1 with margin).
+
+    Same ONE-corpus-scan shape as the KS matrix: distinct ``(value, group,
+    c)`` partials, per-bucket cumulative-carry vectors folded on the driver
+    (O(num_buckets·G)), per-bucket internal gap sums computed
+    independently, and the BETWEEN-bucket gap terms resolved on the driver
+    from each bucket's (first_x, last_x) and the entry carries.
+
+    Returns a pandas frame ``(group, n_g, w1_num)`` sorted by group.
+    """
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(t.column(value_col).is_valid())
+        v = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        x = np.floor(v * scale).astype(np.int64)
+        tt = pa.table({"_x": pa.array(x), group_col: t.column(group_col)})
+        return (
+            pl.from_arrow(tt)
+            .group_by(["_x", group_col])
+            .len(name="c")
+            .with_columns(pl.col("c").cast(pl.Int64))
+            .to_arrow()
+        )
+
+    pairs = ds.map_batches(partial, batch_format="pyarrow").materialize()
+    if pairs.count() == 0:
+        return pd.DataFrame({"group": [], "n_g": [], "w1_num": []})
+
+    sums = (
+        pairs.groupby(group_col)
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+        .dropna(subset=[group_col])
+    )
+    groups = sorted(sums[group_col])
+    gidx = {g: i for i, g in enumerate(groups)}
+    G = len(groups)
+    mm = pairs.aggregate(Min("_x"), Max("_x"))
+    vmin, vmax = mm["min(_x)"], mm["max(_x)"]
+    if vmin is None or G == 0:
+        return pd.DataFrame({"group": [], "n_g": [], "w1_num": []})
+    width = max(1, (int(vmax) - int(vmin) + 1) // num_buckets)
+
+    def add_bkt(t: pa.Table) -> pa.Table:
+        x = t.column("_x").to_numpy(zero_copy_only=False)
+        bkt = np.minimum((x - int(vmin)) // width, num_buckets - 1).astype(np.int64)
+        return t.append_column("_bkt", pa.array(bkt))
+
+    counts = pairs.map_batches(add_bkt, batch_format="pyarrow")
+
+    nets = (
+        counts.groupby(["_bkt", group_col])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    n_g = np.zeros(G, np.int64)
+    for g, c in nets.groupby(group_col)["c"].sum().items():
+        n_g[gidx[g]] = int(c)
+    n = int(n_g.sum())
+    piv = (
+        nets.pivot_table(index="_bkt", columns=group_col, values="c", fill_value=0)
+        .reindex(columns=groups, fill_value=0)
+        .sort_index()
+    )
+    cum = piv.cumsum().shift(1, fill_value=0).to_numpy().astype(np.int64)
+    carries = ray.put({int(b): cum[i] for i, b in enumerate(piv.index)})
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        ca = ray.get(carries)[int(t.column("_bkt")[0].as_py())]
+        g = (
+            pl.from_arrow(t.select(["_x", group_col, "c"]))
+            .group_by(["_x", group_col])
+            .agg(pl.col("c").sum())
+            .sort("_x")
+        )
+        x = g["_x"].to_numpy()
+        uniq, vcode = np.unique(x, return_inverse=True)
+        gc = np.array([gidx[v] for v in g[group_col].to_list()], np.int64)
+        M = np.zeros((len(uniq), G), np.int64)
+        np.add.at(M, (vcode, gc), g["c"].to_numpy().astype(np.int64))
+        cumg = ca[None, :] + np.cumsum(M, axis=0)
+        cumtot = cumg.sum(axis=1, keepdims=True)
+        num = np.abs(cumg * (n - n_g)[None, :] - (cumtot - cumg) * n_g[None, :])
+        gaps = np.diff(uniq)  # internal gaps only; boundary gaps fold on driver
+        seg = (num[:-1] * gaps[:, None]).sum(axis=0) if len(uniq) > 1 else np.zeros(G, np.int64)
+        cols = {f"g{i}": pa.array([int(seg[i])], pa.int64()) for i in range(G)}
+        cols["_first_x"] = pa.array([int(uniq[0])], pa.int64())
+        cols["_last_x"] = pa.array([int(uniq[-1])], pa.int64())
+        cols["_b"] = pa.array([int(t.column("_bkt")[0].as_py())], pa.int64())
+        return pa.table(cols)
+
+    parts = (
+        counts.groupby("_bkt")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("_b")
+        .reset_index(drop=True)
+    )
+    w1 = parts[[f"g{i}" for i in range(G)]].to_numpy().astype(np.int64).sum(axis=0)
+    # between-bucket segments: |F diff| is constant across the gap and equals
+    # the entry-carry numerator of the LATER bucket
+    carry_map = {int(b): cum[i] for i, b in enumerate(piv.index)}
+    for j in range(1, len(parts)):
+        b = int(parts.loc[j, "_b"])
+        ca = carry_map[b]
+        ct = int(ca.sum())
+        num = np.abs(ca * (n - n_g) - (ct - ca) * n_g)
+        gap = int(parts.loc[j, "_first_x"]) - int(parts.loc[j - 1, "_last_x"])
+        w1 += num * gap
+    return pd.DataFrame({"group": groups, "n_g": n_g, "w1_num": w1})

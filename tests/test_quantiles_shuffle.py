@@ -467,3 +467,38 @@ def test_kendall_tau_b_matches_bruteforce(ray_session):
     assert res["n0"] == n0 and res["n1"] == n1 and res["n2"] == n2
     want = (nc - nd) / math.sqrt(float(n0 - n1) * float(n0 - n2))
     assert res["tau_b"] == want
+
+
+def test_wasserstein_group_vs_rest_bruteforce(ray_session):
+    """W1 numerators vs a brute-force scipy-free oracle on random data."""
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.quantiles import wasserstein_group_vs_rest
+
+    rng = np.random.RandomState(3)
+    n = 2000
+    g = rng.choice(["a", "b", "c"], n)
+    v = np.round(rng.normal(50, 20, n), 2)
+    v[g == "c"] += 30  # drifted segment
+    df = pd.DataFrame({"g": g, "v": v})
+    got = wasserstein_group_vs_rest(
+        rd.from_pandas(df).repartition(4), "v", "g", num_buckets=16
+    ).set_index("group")
+
+    x = np.floor(v * 100).astype(np.int64)
+    for grp in ["a", "b", "c"]:
+        sel = g == grp
+        n_g, n_r = int(sel.sum()), int((~sel).sum())
+        uniq = np.unique(x)
+        cg = np.searchsorted(np.sort(x[sel]), uniq, side="right")
+        cr = np.searchsorted(np.sort(x[~sel]), uniq, side="right")
+        num = np.abs(cg * n_r - cr * n_g)
+        want = int((num[:-1] * np.diff(uniq)).sum())
+        assert int(got.loc[grp, "w1_num"]) == want
+        assert int(got.loc[grp, "n_g"]) == n_g
+    # the drifted segment must dominate the normalized distance
+    w1 = {
+        grp: got.loc[grp, "w1_num"] / (100.0 * got.loc[grp, "n_g"] * (n - got.loc[grp, "n_g"]))
+        for grp in ["a", "b", "c"]
+    }
+    assert w1["c"] > w1["a"] and w1["c"] > w1["b"]
