@@ -369,6 +369,7 @@ SUITE = [
     "jaro_winkler_part_pairs",
     "events_nearest_order",
     "wasserstein_value_drift_per_type",
+    "vocab_damerau_pairs",
 ]
 
 

@@ -9548,3 +9548,35 @@ def wasserstein_value_drift_per_type(sf_dir: str):
     out["n_g"] = out["n_g"].astype("int64")
     out["w1_num"] = out["w1_num"].astype("int64")
     return out
+
+
+@q(
+    "vocab_damerau_pairs",
+    sql="""
+    WITH tok AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w FROM documents
+    ),
+    cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+    v AS (SELECT w FROM cnt ORDER BY c DESC, w LIMIT 5000)
+    SELECT a.w AS wa, b.w AS wb,
+           CAST(damerau_levenshtein(a.w, b.w) AS BIGINT) AS dist
+    FROM v a, v b
+    WHERE a.w < b.w AND damerau_levenshtein(a.w, b.w) <= 2
+    ORDER BY wa, wb
+    """,
+)
+def vocab_damerau_pairs(sf_dir: str):
+    """Transposition-aware spell-correction mining: UNRESTRICTED
+    Damerau-Levenshtein <= 2 pairs within the top-5000 vocabulary
+    (stages/fuzzy.damerau_levenshtein, Lowrance-Wagner DP, bit-parity
+    with DuckDB's damerau_levenshtein fuzz-verified). Same SymSpell
+    deletion-neighborhood blocking as the Levenshtein query — the
+    superset property holds for Damerau (a transposition is covered by
+    one deletion on each side) — so only the bounded candidate set is
+    DP-verified, never V^2."""
+    from perfect_bloomfilter_ray.stages.fuzzy import edit_vocab_pairs
+
+    ds = _t(sf_dir, "documents", ["text"])
+    return edit_vocab_pairs(
+        ds, "text", top_words=5000, max_distance=2, metric="damerau"
+    ).to_pandas()

@@ -129,8 +129,52 @@ def levenshtein(a: str, b: str, cap: int | None = None) -> int:
     return prev[lb]
 
 
+def damerau_levenshtein(a: str, b: str) -> int:
+    """UNRESTRICTED Damerau-Levenshtein (Lowrance & Wagner 1975) — adjacent
+    transpositions may interleave with other edits; matches DuckDB's
+    ``damerau_levenshtein`` (e.g. 'ca' vs 'abc' = 2, where the restricted
+    OSA variant gives 3)."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return max(la, lb)
+    maxdist = la + lb
+    da: dict[str, int] = {}
+    d = [[0] * (lb + 2) for _ in range(la + 2)]
+    d[0][0] = maxdist
+    for i in range(la + 1):
+        d[i + 1][0] = maxdist
+        d[i + 1][1] = i
+    for j in range(lb + 1):
+        d[0][j + 1] = maxdist
+        d[1][j + 1] = j
+    for i in range(1, la + 1):
+        db = 0
+        for j in range(1, lb + 1):
+            k = da.get(b[j - 1], 0)
+            l = db
+            if a[i - 1] == b[j - 1]:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost,
+                d[i + 1][j] + 1,
+                d[i][j + 1] + 1,
+                d[k][l] + (i - k - 1) + 1 + (j - l - 1),
+            )
+        da[a[i - 1]] = i
+    return d[la + 1][lb + 1]
+
+
 def edit_vocab_pairs(
-    ds: Dataset, text_col: str = "text", top_words: int = 5000, max_distance: int = 2
+    ds: Dataset,
+    text_col: str = "text",
+    top_words: int = 5000,
+    max_distance: int = 2,
+    metric: str = "levenshtein",
 ) -> pa.Table:
     """Edit-distance-≤``max_distance`` pairs within the corpus vocabulary —
     SymSpell deletion-neighborhood blocking (Garbe 2012), the
@@ -184,7 +228,10 @@ def edit_vocab_pairs(
                         cand.add((min(a, b), max(a, b)))
     verified = []
     for a, b in sorted(cand):
-        d = levenshtein(a, b, cap=max_distance)
+        if metric == "damerau":
+            d = damerau_levenshtein(a, b)
+        else:
+            d = levenshtein(a, b, cap=max_distance)
         if d <= max_distance:
             verified.append((a, b, d))
     return pa.table(

@@ -59,3 +59,27 @@ def test_blocked_pairs_stage(ray_session):
         ("x", "marhta", "martha"),
         ("y", "duane", "dwayne"),
     ]
+
+
+def test_damerau_known_values():
+    from perfect_bloomfilter_ray.stages.fuzzy import damerau_levenshtein
+
+    assert damerau_levenshtein("ca", "abc") == 2  # unrestricted, not OSA's 3
+    assert damerau_levenshtein("ab", "ba") == 1
+    assert damerau_levenshtein("abcd", "acbd") == 1
+    assert damerau_levenshtein("", "xyz") == 3
+    assert damerau_levenshtein("same", "same") == 0
+
+
+def test_damerau_duckdb_bit_parity_fuzz():
+    from perfect_bloomfilter_ray.stages.fuzzy import damerau_levenshtein
+
+    con = duckdb.connect()
+    rng = random.Random(99)
+    for _ in range(1500):
+        a = "".join(rng.choice("abcd") for _ in range(rng.randint(0, 9)))
+        b = "".join(rng.choice("abcd") for _ in range(rng.randint(0, 9)))
+        assert (
+            damerau_levenshtein(a, b)
+            == con.execute("select damerau_levenshtein(?, ?)", [a, b]).fetchone()[0]
+        ), (a, b)
