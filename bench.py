@@ -370,6 +370,7 @@ SUITE = [
     "events_nearest_order",
     "wasserstein_value_drift_per_type",
     "vocab_damerau_pairs",
+    "chow_break_value_per_type",
 ]
 
 

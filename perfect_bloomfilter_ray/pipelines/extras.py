@@ -9580,3 +9580,148 @@ def vocab_damerau_pairs(sf_dir: str):
     return edit_vocab_pairs(
         ds, "text", top_words=5000, max_distance=2, metric="damerau"
     ).to_pandas()
+
+
+def _chow_ssr(n, sx, sy, sxx, sxy, syy):
+    """OLS residual sum of squares from integer sufficient statistics —
+    ONE fixed float expression, mirrored verbatim in the SQL oracle
+    (BIGINT products stay exact; each division converts to double the
+    same way DuckDB's BIGINT/BIGINT does)."""
+    if n < 3:
+        return None
+    den = float(sxx) - float(sx * sx) / float(n)
+    if den == 0.0:
+        return None
+    return (
+        float(syy)
+        - float(sy * sy) / float(n)
+        - (float(sxy) - float(sx * sy) / float(n)) ** 2 / den
+    )
+
+
+@q(
+    "chow_break_value_per_type",
+    sql="""
+    WITH base AS (
+      SELECT event_type,
+             epoch_us(ts) // 3600000000 AS h,
+             CAST(floor(value * 100) AS BIGINT) AS y
+      FROM events WHERE value IS NOT NULL
+    ),
+    mm AS (SELECT min(h) AS hmin, max(h) AS hmax FROM base),
+    b AS (
+      SELECT event_type, h - mm.hmin AS x, y,
+             CASE WHEN h - mm.hmin >= (mm.hmax - mm.hmin + 1) // 2
+                  THEN 1 ELSE 0 END AS seg
+      FROM base, mm
+    ),
+    s AS (
+      SELECT event_type, seg, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x*x) AS sxx, sum(x*y) AS sxy, sum(y*y) AS syy
+      FROM b GROUP BY event_type, seg
+    ),
+    p AS (
+      SELECT event_type, sum(n) AS n, sum(sx) AS sx, sum(sy) AS sy,
+             sum(sxx) AS sxx, sum(sxy) AS sxy, sum(syy) AS syy
+      FROM s GROUP BY event_type
+    ),
+    ssr AS (
+      SELECT event_type, seg, n,
+             CASE WHEN n < 3 OR sxx - sx*sx/n = 0 THEN NULL ELSE
+               syy - sy*sy/n - pow(sxy - sx*sy/n, 2) / (sxx - sx*sx/n)
+             END AS r
+      FROM s
+    ),
+    ssrp AS (
+      SELECT event_type,
+             CASE WHEN n < 3 OR sxx - sx*sx/n = 0 THEN NULL ELSE
+               syy - sy*sy/n - pow(sxy - sx*sy/n, 2) / (sxx - sx*sx/n)
+             END AS rp
+      FROM p
+    )
+    SELECT a.event_type,
+           CAST(a.n AS BIGINT) AS n1, CAST(c.n AS BIGINT) AS n2,
+           round(((ssrp.rp - a.r - c.r) / 2.0)
+                 / ((a.r + c.r) / (a.n + c.n - 4.0)), 6) AS f_stat
+    FROM ssr a JOIN ssr c ON a.event_type = c.event_type
+       AND a.seg = 0 AND c.seg = 1
+    JOIN ssrp ON ssrp.event_type = a.event_type
+    ORDER BY a.event_type
+    """,
+)
+def chow_break_value_per_type(sf_dir: str):
+    """Chow structural-break test (Chow 1960) per event type: does the OLS
+    fit of value-cents on hour-index differ before vs after the corpus
+    midpoint? F = ((SSR_p - SSR_1 - SSR_2)/k) / ((SSR_1+SSR_2)/(n-2k)),
+    k=2. The parametric complement of the CUSUM/binary-segmentation
+    detectors already in the suite. All sufficient statistics are exact
+    BIGINTs from ONE distributed groupby (value fixed-pointed at cents,
+    hour re-based to the corpus min so products stay in int64 through
+    sf0.1); only the final F is float, computed by the SAME fixed
+    expression on both sides."""
+    import polars as pl
+
+    from ray.data.aggregate import Max, Min
+
+    ds = _t(sf_dir, "events", ["event_type", "ts", "value"])
+    ds = ds.filter(lambda r: r["value"] is not None)
+
+    def to_h(t: pa.Table) -> pa.Table:
+        ts = t.column("ts")
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        h = pc.cast(ts, pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False) // 3_600_000_000
+        return pa.table({"event_type": t.column("event_type"), "h": pa.array(h),
+                         "value": t.column("value")})
+
+    hd = ds.map_batches(to_h, batch_format="pyarrow")
+    mm = hd.aggregate(Min("h"), Max("h"))
+    hmin, hmax = int(mm["min(h)"]), int(mm["max(h)"])
+    brk = (hmax - hmin + 1) // 2
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t.column("h").to_numpy(zero_copy_only=False) - hmin
+        y = np.floor(t.column("value").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        seg = (x >= brk).astype(np.int64)
+        tt = pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "seg": pa.array(seg),
+                "n": pa.array(np.ones(len(t), np.int64)),
+                "sx": pa.array(x),
+                "sy": pa.array(y),
+                "sxx": pa.array(x * x),
+                "sxy": pa.array(x * y),
+                "syy": pa.array(y * y),
+            }
+        )
+        return (
+            pl.from_arrow(tt)
+            .group_by(["event_type", "seg"])
+            .agg([pl.col(c).sum() for c in ("n", "sx", "sy", "sxx", "sxy", "syy")])
+            .to_arrow()
+        )
+
+    stats = (
+        hd.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "seg"])
+        .aggregate(*[Sum(c, alias_name=c) for c in ("n", "sx", "sy", "sxx", "sxy", "syy")])
+        .to_pandas()
+    )
+    rows = []
+    for et, g in stats.groupby("event_type"):
+        g = g.set_index("seg")
+        if 0 not in g.index or 1 not in g.index:
+            continue
+        s1 = {c: int(g.loc[0, c]) for c in ("n", "sx", "sy", "sxx", "sxy", "syy")}
+        s2 = {c: int(g.loc[1, c]) for c in ("n", "sx", "sy", "sxx", "sxy", "syy")}
+        sp = {c: s1[c] + s2[c] for c in s1}
+        r1, r2, rp = (_chow_ssr(**s1), _chow_ssr(**s2), _chow_ssr(**sp))
+        f = None
+        if r1 is not None and r2 is not None and rp is not None:
+            f = round(((rp - r1 - r2) / 2.0) / ((r1 + r2) / (s1["n"] + s2["n"] - 4.0)), 6)
+        rows.append({"event_type": et, "n1": s1["n"], "n2": s2["n"], "f_stat": f})
+    out = pd.DataFrame(rows).sort_values("event_type").reset_index(drop=True)
+    out["n1"] = out["n1"].astype("int64")
+    out["n2"] = out["n2"].astype("int64")
+    return out
