@@ -371,6 +371,7 @@ SUITE = [
     "wasserstein_value_drift_per_type",
     "vocab_damerau_pairs",
     "chow_break_value_per_type",
+    "hourly_value_interpolated",
 ]
 
 

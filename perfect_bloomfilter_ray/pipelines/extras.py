@@ -9725,3 +9725,55 @@ def chow_break_value_per_type(sf_dir: str):
     out["n1"] = out["n1"].astype("int64")
     out["n2"] = out["n2"].astype("int64")
     return out
+
+
+@q(
+    "hourly_value_interpolated",
+    sql="""
+    WITH base AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+             CAST(floor(value * 100) AS BIGINT) AS y
+      FROM events WHERE value IS NOT NULL
+    ),
+    hs AS (SELECT event_type, h, sum(y) AS sy, count(*) AS c FROM base GROUP BY 1, 2),
+    mm AS (SELECT min(h) AS hmin, max(h) AS hmax FROM base),
+    grid AS (
+      SELECT t.event_type, g.h
+      FROM (SELECT DISTINCT event_type FROM base) t,
+           (SELECT unnest(generate_series(mm.hmin, mm.hmax)) AS h FROM mm) g
+    ),
+    b AS (
+      SELECT grid.event_type, grid.h, hb.h AS hb, hb.sy AS syb, hb.c AS cb
+      FROM grid ASOF LEFT JOIN hs hb
+        ON grid.event_type = hb.event_type AND grid.h >= hb.h
+    ),
+    f AS (
+      SELECT grid.event_type, grid.h, hf.h AS hf, hf.sy AS syf, hf.c AS cf
+      FROM grid ASOF LEFT JOIN hs hf
+        ON grid.event_type = hf.event_type AND grid.h <= hf.h
+    )
+    SELECT b.event_type, CAST(b.h AS BIGINT) AS h,
+           CASE WHEN hb IS NULL OR hf IS NULL THEN NULL
+                WHEN hb = hf THEN syb / (cb * 100.0)
+                ELSE syb / (cb * 100.0)
+                     + (syf / (cf * 100.0) - syb / (cb * 100.0))
+                       * (b.h - hb) / (hf - hb)
+           END AS value_interp
+    FROM b JOIN f ON b.event_type = f.event_type AND b.h = f.h
+    ORDER BY b.event_type, h
+    """,
+)
+def hourly_value_interpolated(sf_dir: str):
+    """Dense hourly resampling with linear interpolation per event type
+    (stages/windows.resample_linear_hourly): hourly mean where observed,
+    lerp between nearest observed hours elsewhere, null outside a type's
+    range — the gap-fill variant models expect before training on
+    time-series features. Hourly means from BIGINT cent sums (one
+    corpus-sized groupby); the spine is generated, never scanned; the
+    per-type fill is calendar-bounded. Oracle: dual ASOF joins + the same
+    fixed lerp expression."""
+    from perfect_bloomfilter_ray.stages.windows import resample_linear_hourly
+
+    ds = _t(sf_dir, "events", ["event_type", "ts", "value"])
+    out = resample_linear_hourly(ds, "event_type", "ts", "value")
+    return out.to_pandas().sort_values(["event_type", "h"]).reset_index(drop=True)

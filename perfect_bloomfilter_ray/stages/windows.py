@@ -982,3 +982,95 @@ def running_distinct(
         .groupby("_part")
         .map_groups(per_part, batch_format="pyarrow")
     )
+
+
+def resample_linear_hourly(
+    ds: Dataset,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    cents: int = 100,
+    out_col: str = "value_interp",
+) -> Dataset:
+    """Hourly time-grid resampling with linear interpolation per key: the
+    dense hour spine (corpus min..max hour — GENERATED, never scanned)
+    carries each key's hourly mean where observations exist, and the
+    linear interpolation between the nearest observed hours elsewhere;
+    hours outside a key's observed range stay null.
+
+    Exactness contract: hourly means come from BIGINT cent sums + counts
+    (one corpus-sized groupby — the only big exchange), so the lerp
+    ``yb + (yf − yb)·(h − hb)/(hf − hb)`` is ONE fixed float expression
+    over integers, mirrored verbatim by the dual-ASOF SQL oracle. The
+    per-key fill runs on the BOUNDED hourly domain (calendar-bounded, same
+    contract as the gap-fill and Theil-Sen queries).
+    """
+    import polars as pl
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    def to_hour(t: pa.Table) -> pa.Table:
+        ts = t.column(ts_col)
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        h = pc.cast(ts, pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False) // 3_600_000_000
+        v = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        y = np.floor(v * cents).astype(np.int64)
+        keep = ~np.isnan(v)
+        return pa.table(
+            {
+                key_col: t.column(key_col).filter(pa.array(keep)),
+                "h": pa.array(h[keep]),
+                "sy": pa.array(y[keep]),
+                "c": pa.array(np.ones(int(keep.sum()), np.int64)),
+            }
+        )
+
+    hourly = (
+        ds.map_batches(to_hour, batch_format="pyarrow")
+        .groupby([key_col, "h"])
+        .aggregate(Sum("sy", alias_name="sy"), Sum("c", alias_name="c"))
+        .materialize()
+    )
+    mm = hourly.aggregate(Min("h"), Max("h"))
+    if mm["min(h)"] is None:
+        return hourly.map_batches(
+            lambda t: pa.table(
+                {key_col: t.column(key_col), "h": t.column("h"),
+                 out_col: pa.array([], pa.float64())}
+            ),
+            batch_format="pyarrow",
+        )
+    hmin, hmax = int(mm["min(h)"]), int(mm["max(h)"])
+    grid = np.arange(hmin, hmax + 1, dtype=np.int64)
+
+    def per_key(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).sort("h")
+        key = t.column(key_col)[0].as_py()
+        hs = df["h"].to_numpy()
+        sy = df["sy"].to_numpy().astype(np.int64)
+        c = df["c"].to_numpy().astype(np.int64)
+        ymean = sy / (c * float(cents))
+        # back/forward nearest observed hour per grid point
+        bi = np.searchsorted(hs, grid, side="right") - 1
+        fi = np.searchsorted(hs, grid, side="left")
+        out = np.full(len(grid), np.nan)
+        inside = (bi >= 0) & (fi < len(hs))
+        same = inside & (bi >= 0) & (fi < len(hs)) & (np.where(inside, hs[np.clip(bi, 0, None)] == hs[np.clip(fi, None, len(hs) - 1)], False))
+        b = np.clip(bi, 0, len(hs) - 1)
+        f = np.clip(fi, 0, len(hs) - 1)
+        out[same] = ymean[b[same]]
+        lerp = inside & ~same
+        hb, hf = hs[b[lerp]], hs[f[lerp]]
+        yb, yf = ymean[b[lerp]], ymean[f[lerp]]
+        out[lerp] = yb + (yf - yb) * (grid[lerp] - hb) / (hf - hb)
+        kt = t.schema.field(key_col).type
+        return pa.table(
+            {
+                key_col: pa.array([key] * len(grid), type=kt),
+                "h": pa.array(grid),
+                out_col: pa.array(out, mask=np.isnan(out)),
+            }
+        )
+
+    return hourly.groupby(key_col).map_groups(per_key, batch_format="pyarrow")

@@ -430,3 +430,33 @@ def test_asof_nearest_matches_bruteforce(ray_session, data):
         same = cand[(cand["dist"] == best["dist"]) & (cand["bt"] == best["bt"])]
         want = same["payload"].max()
         assert row["nearest_payload"] == want, (row.to_dict(), want)
+
+
+def test_resample_linear_hourly_bruteforce(ray_session):
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.windows import resample_linear_hourly
+
+    # key "a": observations at hours 0 and 3 -> lerp at 1, 2
+    # key "b": only hour 2 -> null everywhere else
+    base = pd.Timestamp("2025-01-01")
+    df = pd.DataFrame(
+        {
+            "k": ["a", "a", "a", "b"],
+            "ts": [base, base, base + pd.Timedelta(hours=3), base + pd.Timedelta(hours=2)],
+            "v": [1.0, 3.0, 8.0, 5.0],
+        }
+    )
+    out = (
+        resample_linear_hourly(rd.from_pandas(df), "k", "ts", "v")
+        .to_pandas()
+        .sort_values(["k", "h"])
+        .reset_index(drop=True)
+    )
+    a = out[out["k"] == "a"]["value_interp"].tolist()
+    # hour0 mean = 2.0, hour3 = 8.0, lerp -> 4.0, 6.0
+    assert a == [2.0, 4.0, 6.0, 8.0]
+    b = out[out["k"] == "b"].set_index("h")["value_interp"]
+    hmin = int(out["h"].min())
+    assert pd.isna(b.loc[hmin]) and pd.isna(b.loc[hmin + 1])
+    assert b.loc[hmin + 2] == 5.0 and pd.isna(b.loc[hmin + 3])
