@@ -372,6 +372,7 @@ SUITE = [
     "vocab_damerau_pairs",
     "chow_break_value_per_type",
     "hourly_value_interpolated",
+    "zone_pruned_range_scan",
 ]
 
 

@@ -9777,3 +9777,49 @@ def hourly_value_interpolated(sf_dir: str):
     ds = _t(sf_dir, "events", ["event_type", "ts", "value"])
     out = resample_linear_hourly(ds, "event_type", "ts", "value")
     return out.to_pandas().sort_values(["event_type", "h"]).reset_index(drop=True)
+
+
+@q(
+    "zone_pruned_range_scan",
+    sql="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_orderkey BETWEEN 200 AND 449
+    ORDER BY o_orderkey
+    """,
+)
+def zone_pruned_range_scan(sf_dir: str):
+    """Min/max zone-map data skipping for RANGE predicates
+    (stages/skipindex.pruned_range_scan): orders re-written as 16
+    key-RANGE-partitioned files (so zones are disjoint), the sidecar
+    index built per file, and the BETWEEN scan reads only files whose
+    zone overlaps [200, 449] — the complement of the Bloom index's
+    point-lookup pruning. Exact BETWEEN on survivors makes the result
+    byte-equal to the full-scan oracle; pruning asserted in pytest."""
+    import glob
+    import tempfile
+
+    from perfect_bloomfilter_ray.stages.skipindex import (
+        build_bloom_skip_index,
+        pruned_range_scan,
+    )
+
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    n = orders.count()
+    width = max(1, (n + 15) // 16)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        part = pc.cast(
+            pc.divide(pc.cast(t.column("o_orderkey"), pa.int64()), width), pa.int32()
+        )
+        return t.append_column("part", part)
+
+    scratch = tempfile.mkdtemp(prefix="pbf_zoneidx_", dir="/tmp")
+    orders.map_batches(add_part, batch_format="pyarrow").write_parquet(
+        scratch, partition_cols=["part"]
+    )
+    files = sorted(glob.glob(f"{scratch}/**/*.parquet", recursive=True))
+    manifest = build_bloom_skip_index(files, "o_orderkey", scratch + "_idx")
+    ds, _stats = pruned_range_scan(
+        manifest, 200, 449, columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    return ds.sort("o_orderkey")

@@ -175,3 +175,52 @@ def pruned_point_lookup(
 
     ds = rd.read_parquet(survivors, columns=columns).map_batches(exact, batch_format="pyarrow")
     return ds, stats
+
+
+def prune_files_range(manifest: dict, lo, hi) -> tuple[list[str], dict]:
+    """Zone-map pruning for a range predicate: a file survives iff its
+    [vmin, vmax] zone overlaps [lo, hi]. The bloom cannot help a range —
+    this is the min/max half of the sidecar doing the work."""
+    survivors, checked = [], 0
+    for f in manifest["files"]:
+        checked += 1
+        vmin, vmax = f["vmin"], f["vmax"]
+        if vmin is not None and vmax is not None:
+            try:
+                if vmax < lo or vmin > hi:
+                    continue
+            except TypeError:
+                pass
+        survivors.append(f["path"])
+    return survivors, {
+        "files_total": checked,
+        "files_read": len(survivors),
+        "files_pruned": checked - len(survivors),
+    }
+
+
+def pruned_range_scan(
+    manifest: dict,
+    lo,
+    hi,
+    columns: list[str] | None = None,
+) -> tuple[Any, dict]:
+    """Index-pruned exact range scan: read only files whose zone overlaps
+    [lo, hi], then apply the exact BETWEEN filter (zones over-admit at
+    file granularity, never under-admit). Returns ``(Dataset, stats)``."""
+    import ray.data as rd
+
+    key_col = manifest["key_col"]
+    survivors, stats = prune_files_range(manifest, lo, hi)
+    if not survivors:
+        empty = pa.table({c: pa.array([]) for c in (columns or [key_col])})
+        return rd.from_arrow(empty), stats
+
+    def exact(t: pa.Table) -> pa.Table:
+        k = t.column(key_col)
+        return t.filter(
+            pc.and_(pc.greater_equal(k, pa.scalar(lo)), pc.less_equal(k, pa.scalar(hi)))
+        )
+
+    ds = rd.read_parquet(survivors, columns=columns).map_batches(exact, batch_format="pyarrow")
+    return ds, stats

@@ -93,3 +93,54 @@ def test_bloom_prunes_within_range(indexed_orders):
     assert survivors, "present key must survive"
     assert all("part=1" in p for p in survivors)
     assert stats["files_read"] < len([p for p in files if "part=1" in p]) + 1
+
+
+def test_range_scan_exact_and_pruned(indexed_orders):
+    import duckdb
+
+    from perfect_bloomfilter_ray.stages.skipindex import pruned_range_scan
+
+    manifest, files = indexed_orders
+    # the fixture partitions by o_orderkey & 7 (hash-ish), so zones are wide;
+    # a range covering few keys still reads all files whose zone overlaps —
+    # correctness first, pruning asserted on the range-partitioned layout below
+    ds, stats = pruned_range_scan(manifest, 100, 199, columns=["o_orderkey", "o_custkey"])
+    got = ds.to_pandas().sort_values("o_orderkey").reset_index(drop=True)
+    want = duckdb.sql(
+        f"SELECT o_orderkey, o_custkey FROM '{SF}/orders.parquet' "
+        "WHERE o_orderkey BETWEEN 100 AND 199 ORDER BY o_orderkey"
+    ).df()
+    assert got["o_orderkey"].tolist() == want["o_orderkey"].tolist()
+    assert stats["files_total"] == len(files)
+
+
+def test_range_scan_prunes_on_range_partitioned_layout(ray_session, tmp_path):
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.skipindex import (
+        build_bloom_skip_index,
+        pruned_range_scan,
+    )
+
+    orders = rd.read_parquet(f"{SF}/orders.parquet", columns=["o_orderkey"])
+
+    def add_part(t: pa.Table) -> pa.Table:
+        part = pc.cast(pc.divide(pc.cast(t.column("o_orderkey"), pa.int64()), 200), pa.int32())
+        return t.append_column("part", part)
+
+    scratch = str(tmp_path / "ranged")
+    orders.map_batches(add_part, batch_format="pyarrow").write_parquet(
+        scratch, partition_cols=["part"]
+    )
+    files = sorted(glob.glob(f"{scratch}/**/*.parquet", recursive=True))
+    manifest = build_bloom_skip_index(files, "o_orderkey", str(tmp_path / "idx"))
+    ds, stats = pruned_range_scan(manifest, 250, 349, columns=["o_orderkey"])
+    got = sorted(ds.to_pandas()["o_orderkey"].tolist())
+    assert got == list(range(250, 350))
+    # keys 250-349 live in range-partitions 1 (200-399) only
+    assert stats["files_read"] < stats["files_total"]
+    assert stats["files_pruned"] >= stats["files_total"] - 2
