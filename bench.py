@@ -373,6 +373,7 @@ SUITE = [
     "chow_break_value_per_type",
     "hourly_value_interpolated",
     "zone_pruned_range_scan",
+    "kuiper_value_drift_per_type",
 ]
 
 

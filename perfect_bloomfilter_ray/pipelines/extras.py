@@ -9823,3 +9823,56 @@ def zone_pruned_range_scan(sf_dir: str):
         manifest, 200, 449, columns=["o_orderkey", "o_custkey", "o_totalprice"]
     )
     return ds.sort("o_orderkey")
+
+
+@q(
+    "kuiper_value_drift_per_type",
+    sql="""
+    WITH v AS (
+      SELECT event_type AS g, value FROM events WHERE value IS NOT NULL
+    ),
+    n AS (SELECT count(*) AS n FROM v),
+    c AS (SELECT g, value, count(*) AS c FROM v GROUP BY g, value),
+    ng AS (SELECT g, sum(c) AS ng FROM c GROUP BY g),
+    d AS (SELECT DISTINCT value FROM v),
+    gv AS (
+      SELECT ng.g, d.value, coalesce(c.c, 0) AS c
+      FROM ng CROSS JOIN d
+      LEFT JOIN c ON c.g = ng.g AND c.value = d.value
+    ),
+    r AS (
+      SELECT g, value,
+             sum(c) OVER (PARTITION BY g ORDER BY value
+                          ROWS UNBOUNDED PRECEDING) AS cg
+      FROM gv
+    ),
+    tot AS (SELECT value, sum(c) AS ct FROM c GROUP BY value),
+    rt AS (
+      SELECT value,
+             sum(ct) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS call
+      FROM tot
+    )
+    SELECT r.g AS event_type, CAST(ng.ng AS BIGINT) AS n_g,
+           CAST(greatest(0, max(r.cg * (n.n - ng.ng) - (rt.call - r.cg) * ng.ng))
+              + greatest(0, max((rt.call - r.cg) * ng.ng - r.cg * (n.n - ng.ng)))
+                AS BIGINT) AS v_num
+    FROM r JOIN rt USING (value) JOIN ng ON ng.g = r.g CROSS JOIN n
+    GROUP BY r.g, ng.ng ORDER BY r.g
+    """,
+)
+def kuiper_value_drift_per_type(sf_dir: str):
+    """Kuiper drift matrix (stages/quantiles.kuiper_group_vs_rest): for
+    every event type the EXACT one-vs-rest Kuiper statistic V = D+ + D-
+    of its value distribution vs all other events — equal-tail-weighted
+    where KS over-weights the median, the standard pairing for drift
+    monitoring. Same one-scan bucket-carry machinery, per-bucket SIGNED
+    maxima; integer numerators (V_g = v_num / (n_g*(n-n_g))) hash
+    bit-identically."""
+    from perfect_bloomfilter_ray.stages.quantiles import kuiper_group_vs_rest
+
+    ds = _t(sf_dir, "events", ["event_type", "value"])
+    out = kuiper_group_vs_rest(ds, "value", "event_type")
+    out = out.rename(columns={"group": "event_type"}).sort_values("event_type").reset_index(drop=True)
+    out["n_g"] = out["n_g"].astype("int64")
+    out["v_num"] = out["v_num"].astype("int64")
+    return out

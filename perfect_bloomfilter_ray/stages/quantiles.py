@@ -1056,3 +1056,116 @@ def wasserstein_group_vs_rest(
         gap = int(parts.loc[j, "_first_x"]) - int(parts.loc[j - 1, "_last_x"])
         w1 += num * gap
     return pd.DataFrame({"group": groups, "n_g": n_g, "w1_num": w1})
+
+
+def kuiper_group_vs_rest(
+    ds: Dataset,
+    value_col: str,
+    group_col: str,
+    num_buckets: int = 1024,
+):
+    """Per-group Kuiper drift statistic vs the rest: ``V = D+ + D−`` where
+    ``D+ = sup(F_g − F_rest)`` and ``D− = sup(F_rest − F_g)`` — unlike the
+    KS max it weighs both tails equally (and is rotation-invariant on
+    circular domains), the classic complement for detecting median-shift
+    vs tail-shift drift. Integer numerators like the KS matrix:
+    ``v_num = max(0, max(cum_g·(n−n_g) − cum_rest·n_g)) +
+    max(0, max(cum_rest·n_g − cum_g·(n−n_g)))`` and
+    ``V_g = v_num / (n_g·(n−n_g))``. Same ONE-corpus-scan bucket-carry
+    machinery as :func:`ks_group_vs_rest`; per-bucket SIGNED maxima fold
+    on the driver.
+
+    Returns a pandas frame ``(group, n_g, v_num)`` sorted by group.
+    """
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(t.column(value_col).is_valid())
+        if len(t) == 0:
+            return pa.table(
+                {
+                    value_col: pa.array([], t.schema.field(value_col).type),
+                    group_col: pa.array([], t.schema.field(group_col).type),
+                    "c": pa.array([], pa.int64()),
+                }
+            )
+        df = pl.from_arrow(t.select([value_col, group_col]))
+        return (
+            df.group_by([value_col, group_col])
+            .len(name="c")
+            .with_columns(pl.col("c").cast(pl.Int64))
+            .to_arrow()
+        )
+
+    pairs = ds.map_batches(partial, batch_format="pyarrow").materialize()
+    if pairs.count() == 0:
+        return pd.DataFrame({"group": [], "n_g": [], "v_num": []})
+
+    sums = (
+        pairs.groupby(group_col)
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+        .dropna(subset=[group_col])
+    )
+    groups = sorted(sums[group_col])
+    gidx = {g: i for i, g in enumerate(groups)}
+    G = len(groups)
+    mm = pairs.aggregate(Min(value_col), Max(value_col))
+    vmin, vmax = mm[f"min({value_col})"], mm[f"max({value_col})"]
+    if vmin is None or G == 0:
+        return pd.DataFrame({"group": [], "n_g": [], "v_num": []})
+    width = (float(vmax) - float(vmin)) / num_buckets or 1.0
+
+    def add_bkt(t: pa.Table) -> pa.Table:
+        v = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        bkt = np.clip(np.floor((v - vmin) / width), 0, num_buckets - 1).astype(np.int64)
+        return t.append_column("_bkt", pa.array(bkt))
+
+    counts = pairs.map_batches(add_bkt, batch_format="pyarrow")
+    nets = (
+        counts.groupby(["_bkt", group_col])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    n_g = np.zeros(G, np.int64)
+    for g, c in nets.groupby(group_col)["c"].sum().items():
+        n_g[gidx[g]] = int(c)
+    n = int(n_g.sum())
+    piv = (
+        nets.pivot_table(index="_bkt", columns=group_col, values="c", fill_value=0)
+        .reindex(columns=groups, fill_value=0)
+        .sort_index()
+    )
+    cum = piv.cumsum().shift(1, fill_value=0).to_numpy().astype(np.int64)
+    carries = ray.put({int(b): cum[i] for i, b in enumerate(piv.index)})
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        ca = ray.get(carries)[int(t.column("_bkt")[0].as_py())]
+        g = (
+            pl.from_arrow(t.select([value_col, group_col, "c"]))
+            .group_by([value_col, group_col])
+            .agg(pl.col("c").sum())
+            .sort(value_col)
+        )
+        v = g[value_col].to_numpy()
+        uniq, vcode = np.unique(v, return_inverse=True)
+        gc = np.array([gidx[x] for x in g[group_col].to_list()], np.int64)
+        M = np.zeros((len(uniq), G), np.int64)
+        np.add.at(M, (vcode, gc), g["c"].to_numpy().astype(np.int64))
+        cumg = ca[None, :] + np.cumsum(M, axis=0)
+        cumtot = cumg.sum(axis=1, keepdims=True)
+        signed = cumg * (n - n_g)[None, :] - (cumtot - cumg) * n_g[None, :]
+        dpos = signed.max(axis=0)
+        dneg = (-signed).max(axis=0)
+        cols = {f"p{i}": pa.array([int(dpos[i])], pa.int64()) for i in range(G)}
+        cols.update({f"m{i}": pa.array([int(dneg[i])], pa.int64()) for i in range(G)})
+        return pa.table(cols)
+
+    parts = counts.groupby("_bkt").map_groups(per_bucket, batch_format="pyarrow").to_pandas()
+    v_num = [
+        max(0, int(parts[f"p{i}"].max())) + max(0, int(parts[f"m{i}"].max()))
+        for i in range(G)
+    ]
+    return pd.DataFrame({"group": groups, "n_g": n_g, "v_num": v_num})

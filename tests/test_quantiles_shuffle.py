@@ -502,3 +502,30 @@ def test_wasserstein_group_vs_rest_bruteforce(ray_session):
         for grp in ["a", "b", "c"]
     }
     assert w1["c"] > w1["a"] and w1["c"] > w1["b"]
+
+
+def test_kuiper_group_vs_rest_bruteforce(ray_session):
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.quantiles import kuiper_group_vs_rest
+
+    rng = np.random.RandomState(11)
+    n = 1500
+    g = rng.choice(["a", "b"], n)
+    v = np.round(rng.normal(0, 10, n), 2)
+    v[g == "b"] = np.abs(v[g == "b"])  # tail-asymmetric drift
+    df = pd.DataFrame({"g": g, "v": v})
+    got = kuiper_group_vs_rest(
+        rd.from_pandas(df).repartition(3), "v", "g", num_buckets=8
+    ).set_index("group")
+
+    uniq = np.unique(v)
+    for grp in ["a", "b"]:
+        sel = g == grp
+        n_g, n_r = int(sel.sum()), int((~sel).sum())
+        cg = np.searchsorted(np.sort(v[sel]), uniq, side="right")
+        cr = np.searchsorted(np.sort(v[~sel]), uniq, side="right")
+        signed = cg * n_r - cr * n_g
+        want = max(0, int(signed.max())) + max(0, int((-signed).max()))
+        assert int(got.loc[grp, "v_num"]) == want
+        assert int(got.loc[grp, "n_g"]) == n_g
