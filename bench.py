@@ -374,6 +374,7 @@ SUITE = [
     "hourly_value_interpolated",
     "zone_pruned_range_scan",
     "kuiper_value_drift_per_type",
+    "proximity_hash_join_docs",
 ]
 
 

@@ -9876,3 +9876,80 @@ def kuiper_value_drift_per_type(sf_dir: str):
     out["n_g"] = out["n_g"].astype("int64")
     out["v_num"] = out["v_num"].astype("int64")
     return out
+
+
+@q(
+    "proximity_hash_join_docs",
+    sql="""
+    WITH tok AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS pos
+      FROM tok
+    ),
+    a AS (SELECT doc_id, pos FROM p WHERE w = 'hash'),
+    b AS (SELECT doc_id, pos FROM p WHERE w = 'join')
+    SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_matches
+    FROM a JOIN b ON a.doc_id = b.doc_id
+       AND b.pos > a.pos AND b.pos - a.pos <= 3
+    GROUP BY a.doc_id ORDER BY a.doc_id
+    """,
+)
+def proximity_hash_join_docs(sf_dir: str):
+    """Positional proximity search: docs where 'hash' is followed by
+    'join' within <=2 intervening tokens, with the exact ordered-pair
+    match count — the phrase-search generalization an inverted index with
+    positions answers (Manning et al. IR ch.2 positional postings). The
+    engine never materializes the token explosion the oracle pays:
+    per-doc token positions for the two terms only, counts via two
+    vectorized searchsorted calls per doc batch — shuffle-free, one
+    corpus scan."""
+    import polars as pl
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    gap = 3
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        # vectorized: tokenize, attach 0-based positions, keep the two terms
+        pos = (
+            df.with_columns(
+                pl.col("text").fill_null("").str.to_lowercase()
+                .str.extract_all(r"[a-z0-9]+").alias("w")
+            )
+            .with_columns(pl.int_ranges(0, pl.col("w").list.len()).alias("pos"))
+            .explode(["w", "pos"])
+            .filter(pl.col("w").is_in(["hash", "join"]))
+            .sort(["doc_id", "pos"])
+        )
+        if len(pos) == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "n_matches": pa.array([], pa.int64())}
+            )
+        ids = pos["doc_id"].to_numpy()
+        ps = pos["pos"].to_numpy().astype(np.int64)
+        is_a = (pos["w"] == "hash").to_numpy()
+        # segment per doc: searchsorted over the doc's own term-2 positions,
+        # packed as (doc_code << 32 | pos) so one global searchsorted serves
+        # every doc in the batch (positions < 2^32 by the 1 MB text cap)
+        uniq, code = np.unique(ids, return_inverse=True)
+        comp = (code.astype(np.int64) << 32) | ps
+        comp_b = comp[~is_a]
+        a_comp = comp[is_a]
+        cnt = np.searchsorted(comp_b, a_comp + gap, side="right") - np.searchsorted(
+            comp_b, a_comp, side="right"
+        )
+        # a+gap stays within the same doc's code block: gap << 2^32
+        out = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(out, code[is_a], cnt)
+        keep = out > 0
+        return pa.table(
+            {
+                "doc_id": pa.array(uniq[keep].astype(np.int64)),
+                "n_matches": pa.array(out[keep]),
+            }
+        )
+
+    return ds.map_batches(per_batch, batch_format="pyarrow").sort("doc_id")

@@ -106,3 +106,35 @@ def test_canonicalize_urls_rules():
         ["com", "co.uk", "org"],
     ).to_pylist()
     assert rd == ["example.com", "b.co.uk", "co.uk", "localhost", "x.ac.uk"]
+
+
+def test_proximity_search_edge_cases(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.pipelines.queries import QUERIES
+
+    # direct kernel check through the registered query on a tiny synthetic set
+    import perfect_bloomfilter_ray.pipelines.extras as ex
+
+    t = pa.table(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [
+                "hash join",                     # adjacent -> 1
+                "hash x y join",                 # gap 2 -> 1
+                "hash x y z join",               # gap 3 -> 0 (beyond window)
+                "join hash",                     # wrong order -> 0
+                "hash a join hash join",         # pairs: (0,2),(2? no) -> count
+            ],
+        }
+    )
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    import pyarrow.parquet as pq
+    pq.write_table(t, os.path.join(d, "documents.parquet"))
+    # satisfy _t's read of the documents table only
+    out = ex.proximity_hash_join_docs(d)
+    got = dict(zip(out.to_pandas()["doc_id"], out.to_pandas()["n_matches"])) if hasattr(out, "to_pandas") else dict(zip(out["doc_id"], out["n_matches"]))
+    # doc5 tokens: hash(0) a(1) join(2) hash(3) join(4): pairs (0,2),(0?4 gap4 no),(3,4) -> 2
+    assert got == {1: 1, 2: 1, 5: 2}
