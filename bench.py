@@ -375,6 +375,7 @@ SUITE = [
     "zone_pruned_range_scan",
     "kuiper_value_drift_per_type",
     "proximity_hash_join_docs",
+    "gcs_membership_roundtrip",
 ]
 
 

@@ -9953,3 +9953,87 @@ def proximity_hash_join_docs(sf_dir: str):
         )
 
     return ds.map_batches(per_batch, batch_format="pyarrow").sort("doc_id")
+
+
+@q(
+    "gcs_membership_roundtrip",
+    # CONTRACT oracle (bloom/xor roundtrip convention): a Golomb set admits
+    # no false negatives by construction, so members == inserted and fn == 0
+    # are exact constants; FPR ~2^-p and the ~(p+1.6) bits/key size are
+    # pytest-verified (not constants).
+    sql="""
+    SELECT CAST(count(*) AS BIGINT) AS inserted,
+           CAST(count(*) AS BIGINT) AS members,
+           CAST(0 AS BIGINT) AS false_negatives
+    FROM events
+    """,
+)
+def gcs_membership_roundtrip(sf_dir: str):
+    """Sharded Golomb-compressed-set roundtrip (state/gcs.py): route keys
+    to hash shards, Rice-encode each shard's sorted mapped values inside
+    its own map_groups task (~p+1.6 bits/key — near the n*p entropy bound,
+    where the Bloom cascade pays 1.44*p), broadcast the compressed streams
+    ONCE, decode once per probe task, and probe every key distributedly.
+    The static build-once contract vs the reference's dynamic rollover
+    cascade is the documented trade (same as Xor8)."""
+    import ray
+
+    from perfect_bloomfilter_ray.functions.hashing import hash64
+    from perfect_bloomfilter_ray.stages.partitioning import choose_num_blocks
+    from perfect_bloomfilter_ray.state.gcs import GolombSet
+
+    ds = _t(sf_dir, "events", ["event_id"]).materialize()
+    n_total = ds.count()
+    nsh = choose_num_blocks(ds)
+
+    def hsh(t: pa.Table) -> pa.Table:
+        h = hash64(t.column("event_id"), 0x6C5)
+        return pa.table(
+            {
+                "h": pa.array(h.view(np.int64)),
+                "sh": pa.array((h % np.uint64(nsh)).astype(np.int32)),
+            }
+        )
+
+    hashed = ds.map_batches(hsh, batch_format="pyarrow").materialize()
+
+    def build(t: pa.Table) -> pa.Table:
+        sh = int(t.column("sh")[0].as_py())
+        g = GolombSet(t.column("h").to_numpy(zero_copy_only=False).view(np.uint64), p=12)
+        p, n, n_range, sa, sb = g.to_state()
+        return pa.table(
+            {
+                "sh": pa.array([sh], pa.int32()),
+                "p": pa.array([p], pa.int64()),
+                "n": pa.array([n], pa.int64()),
+                "n_range": pa.array([n_range], pa.int64()),
+                "sa": pa.array([sa], pa.binary()),
+                "sb": pa.array([sb], pa.binary()),
+            }
+        )
+
+    shards = hashed.groupby("sh").map_groups(build, batch_format="pyarrow").to_pandas()
+    states = {
+        int(r["sh"]): (int(r["p"]), int(r["n"]), int(r["n_range"]), r["sa"], r["sb"])
+        for _, r in shards.iterrows()
+    }
+    ref = ray.put(states)
+
+    def probe(t: pa.Table) -> pa.Table:
+        st = ray.get(ref)
+        h = t.column("h").to_numpy(zero_copy_only=False).view(np.uint64)
+        sh = t.column("sh").to_numpy(zero_copy_only=False)
+        m = 0
+        for s in np.unique(sh):
+            g = GolombSet.from_state(st[int(s)])
+            m += int(g.contains(h[sh == s]).sum())
+        return pa.table({"m": pa.array([m], pa.int64())})
+
+    members = int(hashed.map_batches(probe, batch_format="pyarrow").sum("m"))
+    return pd.DataFrame(
+        {
+            "inserted": [np.int64(n_total)],
+            "members": [np.int64(members)],
+            "false_negatives": [np.int64(n_total - members)],
+        }
+    )
