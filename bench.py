@@ -376,6 +376,7 @@ SUITE = [
     "kuiper_value_drift_per_type",
     "proximity_hash_join_docs",
     "gcs_membership_roundtrip",
+    "user_longest_type_streak",
 ]
 
 

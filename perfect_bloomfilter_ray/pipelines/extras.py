@@ -10037,3 +10037,44 @@ def gcs_membership_roundtrip(sf_dir: str):
             "false_negatives": [np.int64(n_total - members)],
         }
     )
+
+
+@q(
+    "user_longest_type_streak",
+    sql="""
+    WITH e AS (
+      SELECT user_id, event_type, ts, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn2
+      FROM events
+    ),
+    isl AS (
+      SELECT user_id, event_type, count(*) AS len,
+             min(ts) AS start_ts,
+             first(event_id ORDER BY ts, event_id) AS start_id
+      FROM e GROUP BY user_id, event_type, rn - rn2
+    ),
+    r AS (
+      SELECT user_id, event_type, len,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY len DESC, start_ts, start_id) AS rk
+      FROM isl
+    )
+    SELECT user_id, CAST(len AS BIGINT) AS streak_len,
+           event_type AS streak_value
+    FROM r WHERE rk = 1 ORDER BY user_id
+    """,
+)
+def user_longest_type_streak(sf_dir: str):
+    """Longest consecutive-identical-event-type streak per user
+    (stages/windows.longest_value_streak) — the gaps-and-islands MAX the
+    oracle needs two row_number ladders for; the engine does it with
+    boundary flags + segmented run lengths in one vectorized pass per
+    partition, one hash exchange total. Ties (equal length) go to the
+    earliest-starting streak in (ts, event_id) order on both sides."""
+    from perfect_bloomfilter_ray.stages.windows import longest_value_streak
+
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    out = longest_value_streak(ds, "user_id", "ts", "event_type", "event_id")
+    return out.to_pandas().sort_values("user_id").reset_index(drop=True)

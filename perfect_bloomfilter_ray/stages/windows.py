@@ -1074,3 +1074,81 @@ def resample_linear_hourly(
         )
 
     return hourly.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
+
+
+def longest_value_streak(
+    ds: Dataset,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    num_blocks: int | None = None,
+) -> Dataset:
+    """Longest run of consecutive identical ``value_col`` per key in
+    (ts, id) order — the gaps-and-islands MAX the SQL oracle computes with
+    the row_number-difference trick. Tie between equal-length streaks →
+    the one that STARTS earliest (smallest (ts, id) of its first row);
+    output one row per key: ``(key, streak_len, streak_value)``.
+
+    Same one-exchange shape as the other keyed window ops: coarse hash
+    partition on the key, one vectorized pass per partition (boundary
+    flags + segmented run lengths via np.diff over run starts — no per-key
+    Python)."""
+
+    def per_part(t: pa.Table) -> pa.Table:
+        kt = t.schema.field(key_col).type
+        vt = t.schema.field(value_col).type
+        if len(t) == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], kt),
+                    "streak_len": pa.array([], pa.int64()),
+                    "streak_value": pa.array([], vt),
+                }
+            )
+        keys = t.column(key_col)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        vals = t.column(value_col)
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        kc = pc.index_in(keys, value_set=pc.unique(keys)).to_numpy(zero_copy_only=False).astype(np.int64)
+        vc = pc.index_in(vals, value_set=pc.unique(vals)).to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = _ts_i64(t.column(ts_col))
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, ts, kc))
+        kc_s, vc_s = kc[order], vc[order]
+        n = len(order)
+        # streak boundaries: new key OR value change
+        brk = np.zeros(n, dtype=bool)
+        brk[0] = True
+        brk[1:] = (kc_s[1:] != kc_s[:-1]) | (vc_s[1:] != vc_s[:-1])
+        starts = np.nonzero(brk)[0]
+        lens = np.diff(np.concatenate([starts, [n]]))
+        run_key = kc_s[starts]
+        # per key: argmax run length; first (earliest-start) wins ties since
+        # runs are already in (ts, id) order within each key
+        best: dict[int, int] = {}
+        # vectorized per-key argmax: sort runs by (key, -len, start) and
+        # take the first run of each key
+        rorder = np.lexsort((starts, -lens, run_key))
+        rk = run_key[rorder]
+        first = np.zeros(len(rorder), dtype=bool)
+        if len(rorder):
+            first[0] = True
+            first[1:] = rk[1:] != rk[:-1]
+        sel = rorder[first]
+        key_take = pa.array(order[starts[sel]], pa.int64())
+        return pa.table(
+            {
+                key_col: pc.take(keys, key_take),
+                "streak_len": pa.array(lens[sel]),
+                "streak_value": pc.take(vals, key_take),
+            }
+        )
+
+    return (
+        _add_part(ds, key_col, choose_num_blocks(ds, num_blocks))
+        .groupby("_part")
+        .map_groups(per_part, batch_format="pyarrow")
+    )

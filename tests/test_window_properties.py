@@ -460,3 +460,34 @@ def test_resample_linear_hourly_bruteforce(ray_session):
     hmin = int(out["h"].min())
     assert pd.isna(b.loc[hmin]) and pd.isna(b.loc[hmin + 1])
     assert b.loc[hmin + 2] == 5.0 and pd.isna(b.loc[hmin + 3])
+
+
+@settings(max_examples=30, deadline=None)
+@given(_rd_rows())
+def test_longest_streak_matches_bruteforce(ray_session, rows):
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.windows import longest_value_streak
+
+    df = pd.DataFrame(rows, columns=["k", "ts", "v", "id"])
+    df["ts"] = pd.to_datetime(df["ts"], unit="s")
+    got = (
+        longest_value_streak(rd.from_pandas(df), "k", "ts", "v", "id")
+        .to_pandas()
+        .set_index("k")
+    )
+    for k in df["k"].unique():
+        sub = df[df["k"] == k].sort_values(["ts", "id"])
+        runs = []  # (len, start_pos, value)
+        prev_v, run_len, start = None, 0, 0
+        for pos, (_, r) in enumerate(sub.iterrows()):
+            if prev_v is not None and r["v"] == prev_v:
+                run_len += 1
+            else:
+                if prev_v is not None:
+                    runs.append((run_len, start, prev_v))
+                prev_v, run_len, start = r["v"], 1, pos
+        runs.append((run_len, start, prev_v))
+        best = sorted(runs, key=lambda x: (-x[0], x[1]))[0]
+        assert int(got.loc[k, "streak_len"]) == best[0], (k, runs)
+        assert got.loc[k, "streak_value"] == best[2]
