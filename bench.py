@@ -377,6 +377,7 @@ SUITE = [
     "proximity_hash_join_docs",
     "gcs_membership_roundtrip",
     "user_longest_type_streak",
+    "vocab_growth_curve",
 ]
 
 

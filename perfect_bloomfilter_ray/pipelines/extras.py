@@ -10078,3 +10078,122 @@ def user_longest_type_streak(sf_dir: str):
     ds = _t(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
     out = longest_value_streak(ds, "user_id", "ts", "event_type", "event_id")
     return out.to_pandas().sort_values("user_id").reset_index(drop=True)
+
+
+@q(
+    "vocab_growth_curve",
+    sql="""
+    WITH mm AS (
+      SELECT min(doc_id) AS dmin, max(doc_id) AS dmax FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      FROM documents
+    ),
+    tb AS (
+      SELECT tok.doc_id, tok.w,
+             least(((tok.doc_id - mm.dmin) * 10) // (mm.dmax - mm.dmin + 1), 9) AS b
+      FROM tok, mm
+    ),
+    fw AS (SELECT w, min(b) AS fb FROM tb GROUP BY w),
+    nw AS (SELECT fb AS b, count(*) AS new_words FROM fw GROUP BY fb),
+    tk AS (SELECT b, count(*) AS tokens_in_bucket FROM tb GROUP BY b),
+    g AS (
+      SELECT tk.b, COALESCE(nw.new_words, 0) AS new_words, tk.tokens_in_bucket
+      FROM tk LEFT JOIN nw ON nw.b = tk.b
+    )
+    SELECT CAST(b AS BIGINT) AS bucket,
+           CAST(new_words AS BIGINT) AS new_words,
+           CAST(sum(new_words) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_words,
+           CAST(tokens_in_bucket AS BIGINT) AS bucket_tokens,
+           CAST(sum(tokens_in_bucket) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+    FROM g ORDER BY bucket
+    """,
+)
+def vocab_growth_curve(sf_dir: str):
+    """Heaps'-law vocabulary growth curve (Heaps 1978): distinct-word count
+    vs tokens processed in doc_id order, at 10 equal-width doc-id
+    checkpoints — the V = K·N^beta diagnostic every corpus build sanity-
+    checks tokenizer + dedup against. Fully distributed despite the
+    inherently sequential definition: a word's contribution reduces to its
+    FIRST bucket (one (word -> min bucket) groupby), token volume to a
+    per-bucket count; the 10-row cumsum folds on the driver."""
+    import polars as pl
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    mm = docs.aggregate(Min("doc_id"), Max("doc_id"))
+    dmin, dmax = int(mm["min(doc_id)"]), int(mm["max(doc_id)"])
+    span = dmax - dmin + 1
+
+    def tok(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        df = (
+            df.with_columns(
+                pl.col("text").fill_null("").str.to_lowercase()
+                .str.extract_all(r"[a-z0-9]+").alias("w")
+            )
+            .select(["doc_id", "w"])
+            .explode("w")
+            .drop_nulls("w")
+            .with_columns(
+                pl.min_horizontal(
+                    (pl.col("doc_id") - dmin) * 10 // span, pl.lit(9)
+                ).cast(pl.Int64).alias("b")
+            )
+        )
+        # batch-local partials: (word, min bucket) + per-bucket token counts
+        fw = df.group_by("w").agg(pl.col("b").min().alias("fb"))
+        tk = df.group_by("b").len(name="c").with_columns(pl.col("c").cast(pl.Int64))
+        wt = pa.large_string()
+        return pa.concat_tables([
+            pa.table({"w": fw["w"].to_arrow().cast(wt),
+                      "fb": fw["fb"].to_arrow().cast(pa.int64()),
+                      "b": pa.nulls(len(fw), pa.int64()),
+                      "c": pa.nulls(len(fw), pa.int64())}),
+            pa.table({"w": pa.nulls(len(tk), wt),
+                      "fb": pa.nulls(len(tk), pa.int64()),
+                      "b": tk["b"].to_arrow().cast(pa.int64()),
+                      "c": tk["c"].to_arrow()}),
+        ])
+
+    parts = docs.map_batches(tok, batch_format="pyarrow").materialize()
+    from ray.data.aggregate import Min as _Min
+
+    fw = (
+        parts.filter(lambda r: r["w"] is not None)
+        .groupby("w")
+        .aggregate(_Min("fb", alias_name="fb"))
+    )
+
+    def nw_partial(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t.select(["fb"]))
+            .group_by("fb")
+            .len(name="nw")
+            .with_columns(pl.col("nw").cast(pl.Int64))
+            .to_arrow()
+        )
+
+    nw = (
+        fw.map_batches(nw_partial, batch_format="pyarrow")
+        .groupby("fb")
+        .aggregate(Sum("nw", alias_name="new_words"))
+        .to_pandas()
+        .rename(columns={"fb": "bucket"})
+    )
+    tk = (
+        parts.filter(lambda r: r["b"] is not None)
+        .groupby("b")
+        .aggregate(Sum("c", alias_name="bucket_tokens"))
+        .to_pandas()
+        .rename(columns={"b": "bucket"})
+    )
+    out = tk.merge(nw, on="bucket", how="left").fillna({"new_words": 0}).sort_values("bucket")
+    out["new_words"] = out["new_words"].astype("int64")
+    out["bucket_tokens"] = out["bucket_tokens"].astype("int64")
+    out["cum_words"] = out["new_words"].cumsum().astype("int64")
+    out["cum_tokens"] = out["bucket_tokens"].cumsum().astype("int64")
+    out["bucket"] = out["bucket"].astype("int64")
+    return out[["bucket", "new_words", "cum_words", "bucket_tokens", "cum_tokens"]].reset_index(drop=True)

@@ -138,3 +138,19 @@ def test_proximity_search_edge_cases(ray_session):
     got = dict(zip(out.to_pandas()["doc_id"], out.to_pandas()["n_matches"])) if hasattr(out, "to_pandas") else dict(zip(out["doc_id"], out["n_matches"]))
     # doc5 tokens: hash(0) a(1) join(2) hash(3) join(4): pairs (0,2),(0?4 gap4 no),(3,4) -> 2
     assert got == {1: 1, 2: 1, 5: 2}
+
+
+def test_vocab_growth_curve_invariants(ray_session):
+    import perfect_bloomfilter_ray.pipelines.extras as ex
+
+    out = ex.vocab_growth_curve("/root/testdata/sf0.001")
+    # monotone cumulative curves; totals consistent
+    assert (out["cum_words"].diff().dropna() >= 0).all()
+    assert (out["cum_tokens"].diff().dropna() >= 0).all()
+    assert out["cum_words"].iloc[-1] == out["new_words"].sum()
+    assert out["cum_tokens"].iloc[-1] == out["bucket_tokens"].sum()
+    # Heaps: vocabulary grows sublinearly in tokens — later buckets add
+    # fewer new words per token than the first bucket
+    first_rate = out["new_words"].iloc[0] / out["bucket_tokens"].iloc[0]
+    last_rate = out["new_words"].iloc[-1] / out["bucket_tokens"].iloc[-1]
+    assert last_rate <= first_rate
