@@ -378,6 +378,7 @@ SUITE = [
     "gcs_membership_roundtrip",
     "user_longest_type_streak",
     "vocab_growth_curve",
+    "kruskal_rank_sums_per_type",
 ]
 
 

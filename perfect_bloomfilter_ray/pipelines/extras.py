@@ -10197,3 +10197,125 @@ def vocab_growth_curve(sf_dir: str):
     out["cum_tokens"] = out["bucket_tokens"].cumsum().astype("int64")
     out["bucket"] = out["bucket"].astype("int64")
     return out[["bucket", "new_words", "cum_words", "bucket_tokens", "cum_tokens"]].reset_index(drop=True)
+
+
+@q(
+    "kruskal_rank_sums_per_type",
+    sql="""
+    WITH v AS (
+      SELECT event_type AS g, value FROM events WHERE value IS NOT NULL
+    ),
+    c AS (SELECT g, value, count(*) AS c FROM v GROUP BY g, value),
+    tot AS (SELECT value, sum(c) AS ct FROM c GROUP BY value),
+    rt AS (
+      SELECT value, ct,
+             sum(ct) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS call
+      FROM tot
+    ),
+    r2 AS (
+      SELECT c.g,
+             CAST(sum(c.c) AS BIGINT) AS n_g,
+             CAST(sum(c.c * (2 * (rt.call - rt.ct) + rt.ct + 1)) AS BIGINT) AS r2g
+      FROM c JOIN rt USING (value) GROUP BY c.g
+    ),
+    tie AS (SELECT CAST(sum(ct*ct*ct - ct) AS BIGINT) AS tie3 FROM tot)
+    SELECT g AS event_type, n_g, r2g, tie.tie3
+    FROM r2 CROSS JOIN tie ORDER BY event_type
+    """,
+)
+def kruskal_rank_sums_per_type(sf_dir: str):
+    """Kruskal-Wallis k-sample rank statistics (Kruskal & Wallis 1952) —
+    the k-group extension of the Mann-Whitney pair test already in the
+    suite. Midrank arithmetic kept EXACT by doubling: 2*R_g = sum_v
+    c_gv*(2*cum_before(v) + c_v + 1); the tie-correction term
+    sum(t^3 - t) rides along. H = (12/(n(n+1)))*sum R_g^2/n_g - 3(n+1),
+    tie-corrected by 1 - tie3/(n^3-n), is assembled from these BIGINTs
+    (pytest asserts it against a brute-force rank computation; the floats
+    stay out of the hash-compared output). Same distinct-(value,group)
+    one-scan machinery as the KS/Kuiper/W1 drift family, bucket carries
+    for the cumulative totals."""
+    import ray
+
+    import polars as pl
+    from ray.data.aggregate import Sum
+
+    ds = _t(sf_dir, "events", ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(t.column("value").is_valid())
+        return (
+            pl.from_arrow(t.select(["value", "event_type"]))
+            .group_by(["value", "event_type"])
+            .len(name="c")
+            .with_columns(pl.col("c").cast(pl.Int64))
+            .to_arrow()
+        )
+
+    pairs = ds.map_batches(partial, batch_format="pyarrow").materialize()
+    # bucket-carry machinery (drift-family shape): only the per-bucket
+    # cumulative TOTAL (one int per bucket) touches the driver — the
+    # distinct-value table itself never does
+    from ray.data.aggregate import Max, Min
+
+    mm = pairs.aggregate(Min("value"), Max("value"))
+    vmin, vmax = mm["min(value)"], mm["max(value)"]
+    num_buckets = 1024
+    width = (float(vmax) - float(vmin)) / num_buckets or 1.0
+
+    def add_bkt(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False).astype(np.float64)
+        bkt = np.clip(np.floor((v - vmin) / width), 0, num_buckets - 1).astype(np.int64)
+        return t.append_column("_bkt", pa.array(bkt))
+
+    counts = pairs.map_batches(add_bkt, batch_format="pyarrow")
+    per_bkt = (
+        counts.groupby("_bkt").aggregate(Sum("c", alias_name="c")).to_pandas().sort_values("_bkt")
+    )
+    cumtot = per_bkt["c"].cumsum().shift(1, fill_value=0).to_numpy().astype(np.int64)
+    carries = ray.put(dict(zip(per_bkt["_bkt"].astype(int), cumtot)))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        carry = ray.get(carries)[int(t.column("_bkt")[0].as_py())]
+        g = (
+            pl.from_arrow(t.select(["value", "event_type", "c"]))
+            .group_by(["value", "event_type"])
+            .agg(pl.col("c").sum())
+            .sort("value")
+        )
+        v = g["value"].to_numpy()
+        uniq, vcode = np.unique(v, return_inverse=True)
+        c = g["c"].to_numpy().astype(np.int64)
+        ct = np.zeros(len(uniq), np.int64)
+        np.add.at(ct, vcode, c)
+        before = carry + np.concatenate([[0], np.cumsum(ct)[:-1]])
+        term = c * (2 * before[vcode] + ct[vcode] + 1)
+        tie3 = int((ct.astype(object) ** 3 - ct).sum())
+        bkt = int(t.column("_bkt")[0].as_py())
+        return (
+            pl.DataFrame({"event_type": g["event_type"], "n_g": c, "r2g": term})
+            .group_by("event_type")
+            .agg(pl.col("n_g").sum(), pl.col("r2g").sum())
+            .with_columns(
+                pl.lit(bkt, dtype=pl.Int64).alias("_bkt"),
+                pl.lit(tie3, dtype=pl.Int64).alias("tie3"),
+            )
+            .to_arrow()
+        )
+
+    # per-(bucket, group) partials: <= num_buckets x G rows — driver-safe
+    bstats = (
+        counts.groupby("_bkt")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = (
+        bstats.groupby("event_type", as_index=False)[["n_g", "r2g"]]
+        .sum()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    tie3_total = int(bstats.drop_duplicates("_bkt")["tie3"].sum())
+    out["n_g"] = out["n_g"].astype("int64")
+    out["r2g"] = out["r2g"].astype("int64")
+    out["tie3"] = np.int64(tie3_total)
+    return out

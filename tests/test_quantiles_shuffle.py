@@ -529,3 +529,51 @@ def test_kuiper_group_vs_rest_bruteforce(ray_session):
         want = max(0, int(signed.max())) + max(0, int((-signed).max()))
         assert int(got.loc[grp, "v_num"]) == want
         assert int(got.loc[grp, "n_g"]) == n_g
+
+
+def test_kruskal_rank_sums_vs_bruteforce(ray_session):
+    """2*R_g + tie3 from the distributed path == brute-force midranks, and
+    the assembled H statistic matches a direct computation."""
+    import perfect_bloomfilter_ray.pipelines.extras as ex
+
+    out = ex.kruskal_rank_sums_per_type("/root/testdata/sf0.001").set_index("event_type")
+
+    import duckdb
+
+    df = duckdb.sql(
+        "SELECT event_type, value FROM '/root/testdata/sf0.001/events.parquet' "
+        "WHERE value IS NOT NULL"
+    ).df()
+    v = df["value"].to_numpy()
+    order = np.argsort(v, kind="mergesort")
+    ranks = np.empty(len(v))
+    # midranks
+    sv = v[order]
+    i = 0
+    while i < len(sv):
+        j = i
+        while j < len(sv) and sv[j] == sv[i]:
+            j += 1
+        ranks[order[i:j]] = (i + j + 1) / 2.0
+        i = j
+    n = len(v)
+    tie3 = 0
+    for _, c in pd.Series(v).value_counts().items():
+        tie3 += c**3 - c
+    h = 0.0
+    for g, sub in df.groupby("event_type"):
+        rg = ranks[df["event_type"].to_numpy() == g].sum()
+        n_g = len(sub)
+        assert int(out.loc[g, "r2g"]) == int(round(2 * rg))
+        assert int(out.loc[g, "n_g"]) == n_g
+        h += rg * rg / n_g
+    assert int(out["tie3"].iloc[0]) == tie3
+    h = 12.0 / (n * (n + 1.0)) * h - 3.0 * (n + 1.0)
+    h_corr = h / (1.0 - tie3 / float(n**3 - n))
+    # assemble H from the query's integers the documented way
+    r2g = out["r2g"].to_numpy().astype(float)
+    n_gs = out["n_g"].to_numpy().astype(float)
+    h2 = 12.0 / (n * (n + 1.0)) * ((r2g / 2.0) ** 2 / n_gs).sum() - 3.0 * (n + 1.0)
+    h2_corr = h2 / (1.0 - int(out["tie3"].iloc[0]) / float(n**3 - n))
+    assert abs(h2_corr - h_corr) < 1e-9
+    assert h2_corr > 0
