@@ -391,6 +391,10 @@ def _init_ray(num_cpus: int) -> None:
             num_cpus=num_cpus,
             include_dashboard=False,
             logging_level="ERROR",
+            # keep worker stdout/stderr off the driver's stdout entirely —
+            # the driver contract is ONE parseable JSON line, and async
+            # worker log lines can land after the final print
+            log_to_driver=False,
         )
     from ray.data import DataContext
 
