@@ -379,6 +379,7 @@ SUITE = [
     "user_longest_type_streak",
     "vocab_growth_curve",
     "kruskal_rank_sums_per_type",
+    "bbit_minhash_calibration",
 ]
 
 

@@ -10319,3 +10319,66 @@ def kruskal_rank_sums_per_type(sf_dir: str):
     out["r2g"] = out["r2g"].astype("int64")
     out["tie3"] = np.int64(tie3_total)
     return out
+
+
+@q("bbit_minhash_calibration")
+def bbit_minhash_calibration(sf_dir: str):
+    """b-bit minhash calibration (Li-Koenig 2010, stages/dedup.
+    bbit_jaccard_estimate): on the SAME LSH candidate pairs the full
+    128x64-bit estimator scores, compare the 1-bit and 2-bit compressed
+    estimators against the exact n-gram Jaccard — MAE and decision
+    precision at 0.5 for each, plus the storage ratio (1-bit stores
+    1/64th of the signature bytes). The 'how much sketch can I afford to
+    throw away' tuning artifact; rows-only by design (estimator outputs),
+    error-bounded in pytest."""
+    from perfect_bloomfilter_ray.stages.dedup import (
+        bbit_jaccard_estimate,
+        minhash_lsh_pairs,
+        minhash_signatures,
+        ngram_jaccard,
+    )
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    cand = minhash_lsh_pairs(ds, "text", "doc_id", threshold=0.3).to_pandas()
+    if not len(cand):
+        return pd.DataFrame(
+            {"estimator": ["full64", "b2", "b1"], "n_pairs": [0] * 3,
+             "mae": [0.0] * 3, "precision_at_05": [1.0] * 3, "bits_per_perm": [64, 2, 1]}
+        )
+    need = set(cand["id_a"]) | set(cand["id_b"])
+    sigs = minhash_signatures(ds, "text", "doc_id")
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t.column("doc_id"), value_set=pa.array(list(need))))
+
+    sig_map = {
+        r["doc_id"]: np.asarray(r["sig"], dtype=np.uint64)
+        for r in sigs.map_batches(keep, batch_format="pyarrow").take_all()
+    }
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in ds.map_batches(keep, batch_format="pyarrow").take_all()
+    }
+    sa = np.stack([sig_map[i] for i in cand["id_a"]])
+    sb = np.stack([sig_map[i] for i in cand["id_b"]])
+    exact = np.asarray(
+        ngram_jaccard([texts[i] for i in cand["id_a"]], [texts[i] for i in cand["id_b"]], n_words=5)
+    )
+    rows = []
+    for name, est, bits in (
+        ("full64", cand["est_jaccard"].to_numpy(), 64),
+        ("b2", bbit_jaccard_estimate(sa, sb, 2), 2),
+        ("b1", bbit_jaccard_estimate(sa, sb, 1), 1),
+    ):
+        decided = est >= 0.5
+        prec = float((exact[decided] >= 0.5).mean()) if decided.any() else 1.0
+        rows.append(
+            {
+                "estimator": name,
+                "n_pairs": len(cand),
+                "mae": round(float(np.abs(est - exact).mean()), 6),
+                "precision_at_05": round(prec, 6),
+                "bits_per_perm": bits,
+            }
+        )
+    return pd.DataFrame(rows)

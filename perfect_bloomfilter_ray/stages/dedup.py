@@ -1574,3 +1574,18 @@ def word_containment_pairs_grouped(
         )
 
     return ds.groupby(group_col).map_groups(block, batch_format="pyarrow")
+
+
+def bbit_jaccard_estimate(sig_a: np.ndarray, sig_b: np.ndarray, b: int = 1) -> np.ndarray:
+    """b-bit minhash Jaccard estimator (Li & König, WWW 2010): keep only the
+    low ``b`` bits of each minhash value; Ĵ = (P̂ − C)/(1 − C) where P̂ is
+    the observed b-bit collision fraction and C = 2^−b is the chance
+    collision rate (the large-domain simplification of Li-König's r-terms —
+    exact here because shingle hashes live in 2^64 ≫ set sizes). Storage is
+    b/64 of the full signature; variance grows by roughly 1/(1−C)², the
+    documented trade. Inputs are (n_pairs, P) uint64 matrices; clipped to
+    [0, 1]."""
+    mask = np.uint64((1 << b) - 1)
+    coll = ((sig_a & mask) == (sig_b & mask)).mean(axis=1)
+    c = 1.0 / (1 << b)
+    return np.clip((coll - c) / (1.0 - c), 0.0, 1.0)

@@ -295,3 +295,38 @@ def test_word_containment_pairs_grouped(ray_session):
     r12 = out[(out["id_a"] == 1) & (out["id_b"] == 2)].iloc[0]
     assert r12["inter"] == 2 and r12["n_a"] == 4 and r12["n_b"] == 2
     assert r12["containment"] == 1.0
+
+
+def test_bbit_jaccard_estimator_bound():
+    """b-bit collision estimator within theory on synthetic known-J pairs."""
+    import numpy as np
+
+    from perfect_bloomfilter_ray.stages.dedup import bbit_jaccard_estimate
+
+    rng = np.random.RandomState(0)
+    P = 4096  # large so the sampling error is tiny and the bound is sharp
+    for j_true in (0.0, 0.3, 0.7, 1.0):
+        # simulate minhash agreement: with prob J signatures agree, else
+        # independent uniform values
+        agree = rng.rand(200, P) < j_true
+        a = rng.randint(0, 1 << 62, (200, P)).astype(np.uint64)
+        b = np.where(agree, a, rng.randint(0, 1 << 62, (200, P)).astype(np.uint64))
+        for bbits in (1, 2):
+            est = bbit_jaccard_estimate(a, b, bbits)
+            se = 3.0 / np.sqrt(P) / (1 - 2.0**-bbits)
+            assert np.abs(est - j_true).mean() < max(2 * se, 0.05), (j_true, bbits)
+
+
+def test_bbit_more_bits_less_error():
+    import numpy as np
+
+    from perfect_bloomfilter_ray.stages.dedup import bbit_jaccard_estimate
+
+    rng = np.random.RandomState(1)
+    P = 256
+    agree = rng.rand(500, P) < 0.5
+    a = rng.randint(0, 1 << 62, (500, P)).astype(np.uint64)
+    b = np.where(agree, a, rng.randint(0, 1 << 62, (500, P)).astype(np.uint64))
+    e1 = np.abs(bbit_jaccard_estimate(a, b, 1) - 0.5).mean()
+    e4 = np.abs(bbit_jaccard_estimate(a, b, 4) - 0.5).mean()
+    assert e4 < e1
