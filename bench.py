@@ -380,6 +380,7 @@ SUITE = [
     "vocab_growth_curve",
     "kruskal_rank_sums_per_type",
     "bbit_minhash_calibration",
+    "event_type_subsequence_support",
 ]
 
 

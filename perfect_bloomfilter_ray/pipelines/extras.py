@@ -10382,3 +10382,35 @@ def bbit_minhash_calibration(sf_dir: str):
             }
         )
     return pd.DataFrame(rows)
+
+
+@q(
+    "event_type_subsequence_support",
+    sql="""
+    WITH e AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           c.event_type AS type_c,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_keys
+    FROM e a
+    JOIN e b ON a.user_id = b.user_id AND b.rn > a.rn
+    JOIN e c ON b.user_id = c.user_id AND c.rn > b.rn
+    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+)
+def event_type_subsequence_support(sf_dir: str):
+    """Sequential-pattern support (stages/seqpat.subsequence_triple_support):
+    for every ordered event-type triple, how many users contain it as a
+    gap-tolerant SUBSEQUENCE of their timeline — PrefixSpan's length-3
+    support table (Pei et al. 2001), the question funnel trigrams (strictly
+    contiguous) cannot answer. The engine replaces the oracle's O(m^3)
+    per-user triple self-join with three segmented bitmask OR-scans
+    (log2(n) vectorized doubling passes, T^3<=343-bit per-user state) —
+    one hash exchange, zero per-event Python."""
+    from perfect_bloomfilter_ray.stages.seqpat import subsequence_triple_support
+
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    return subsequence_triple_support(ds, "user_id", "ts", "event_type", "event_id")
