@@ -381,6 +381,7 @@ SUITE = [
     "kruskal_rank_sums_per_type",
     "bbit_minhash_calibration",
     "event_type_subsequence_support",
+    "mann_kendall_hourly_trend",
 ]
 
 

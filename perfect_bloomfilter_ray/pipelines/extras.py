@@ -10414,3 +10414,77 @@ def event_type_subsequence_support(sf_dir: str):
 
     ds = _t(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
     return subsequence_triple_support(ds, "user_id", "ts", "event_type", "event_id")
+
+
+@q(
+    "mann_kendall_hourly_trend",
+    sql="""
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (SELECT event_type, c,
+                 row_number() OVER (PARTITION BY event_type ORDER BY hour) AS k
+          FROM h),
+    p AS (
+      SELECT a.event_type,
+             CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1 ELSE 0 END AS sg
+      FROM r a JOIN r b ON a.event_type = b.event_type AND b.k > a.k
+    ),
+    t AS (SELECT event_type, c AS v, count(*) AS tc FROM h GROUP BY 1, 2)
+    SELECT p.event_type,
+           CAST((SELECT count(*) FROM r WHERE r.event_type = p.event_type) AS BIGINT) AS n_hours,
+           CAST(sum(sg) AS BIGINT) AS s_stat,
+           CAST((SELECT sum(tc * (tc - 1) * (2 * tc + 5)) FROM t
+                 WHERE t.event_type = p.event_type) AS BIGINT) AS tie_term
+    FROM p GROUP BY p.event_type ORDER BY p.event_type
+    """,
+)
+def mann_kendall_hourly_trend(sf_dir: str):
+    """Mann-Kendall monotone-trend test per event type (Mann 1945, Kendall
+    1975): S = sum of sign(c_j - c_i) over hour pairs i<j of the hourly
+    volume series — the nonparametric 'is traffic trending' companion to
+    the Theil-Sen slope already in the suite, sharing its calendar-bounded
+    pair-domain contract. The variance's tie correction
+    sum t(t-1)(2t+5) rides along as exact BIGINTs (Var(S) =
+    (n(n-1)(2n+5) - tie_term)/18; Z assembled clientside). One corpus
+    groupby; the O(hours^2) sign fold is vectorized on the bounded hourly
+    domain."""
+    import polars as pl
+
+    ds = _t(sf_dir, "events", ["event_type", "ts"])
+
+    def hours(t: pa.Table) -> pa.Table:
+        ts = t.column("ts")
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        h = pc.floor_temporal(pc.cast(ts, pa.timestamp("us")), unit="hour")
+        return (
+            pl.from_arrow(pa.table({"event_type": t.column("event_type"), "hour": h}))
+            .group_by(["event_type", "hour"])
+            .len(name="c")
+            .with_columns(pl.col("c").cast(pl.Int64))
+            .to_arrow()
+        )
+
+    hourly = (
+        ds.map_batches(hours, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    rows = []
+    for et, g in hourly.groupby("event_type"):
+        g = g.sort_values("hour")
+        c = g["c"].to_numpy().astype(np.int64)
+        n = len(c)
+        diff = np.sign(c[None, :] - c[:, None])
+        s = int(np.triu(diff, k=1).sum())
+        _, tc = np.unique(c, return_counts=True)
+        tie = int((tc.astype(np.int64) * (tc - 1) * (2 * tc + 5)).sum())
+        rows.append({"event_type": et, "n_hours": n, "s_stat": s, "tie_term": tie})
+    out = pd.DataFrame(rows).sort_values("event_type").reset_index(drop=True)
+    for col in ("n_hours", "s_stat", "tie_term"):
+        out[col] = out[col].astype("int64")
+    return out

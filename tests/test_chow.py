@@ -38,3 +38,38 @@ def test_degenerate_segment_returns_none():
     assert _chow_ssr(n=2, sx=1, sy=1, sxx=1, sxy=1, syy=1) is None
     # zero x-variance within a segment
     assert _chow_ssr(n=5, sx=10, sy=7, sxx=20, sxy=14, syy=11) is None
+
+
+def test_mann_kendall_known_trends(ray_session):
+    """S > 0 on a rising series, ~0 on noise, tie term exact."""
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+    import tempfile, os
+    import pandas as pd
+
+    import perfect_bloomfilter_ray.pipelines.extras as ex
+
+    base = pd.Timestamp("2025-03-01")
+    rows = []
+    eid = 0
+    # 'up' fires k times in hour k (monotone rise); 'flat' fires twice/hour
+    for k in range(6):
+        for _ in range(k + 1):
+            rows.append(("up", base + pd.Timedelta(hours=k)))
+            eid += 1
+        for _ in range(2):
+            rows.append(("flat", base + pd.Timedelta(hours=k)))
+            eid += 1
+    df = pd.DataFrame(rows, columns=["event_type", "ts"])
+    df["event_id"] = range(len(df))
+    df["user_id"] = 1
+    df["value"] = 1.0
+    df["props"] = "{}"
+    d = tempfile.mkdtemp()
+    pq.write_table(pa.Table.from_pandas(df[["event_id", "ts", "user_id", "event_type", "value", "props"]]), os.path.join(d, "events.parquet"))
+    out = ex.mann_kendall_hourly_trend(d).set_index("event_type")
+    n = 6
+    assert int(out.loc["up", "s_stat"]) == n * (n - 1) // 2  # all pairs rising
+    assert int(out.loc["flat", "s_stat"]) == 0
+    # flat: one tie group of 6 equal counts -> 6*5*17
+    assert int(out.loc["flat", "tie_term"]) == 6 * 5 * 17
