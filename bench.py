@@ -382,6 +382,7 @@ SUITE = [
     "bbit_minhash_calibration",
     "event_type_subsequence_support",
     "mann_kendall_hourly_trend",
+    "kll_range_count_calibration",
 ]
 
 

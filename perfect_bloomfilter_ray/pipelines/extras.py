@@ -10488,3 +10488,49 @@ def mann_kendall_hourly_trend(sf_dir: str):
     for col in ("n_hours", "s_stat", "tie_term"):
         out[col] = out[col].astype("int64")
     return out
+
+
+@q("kll_range_count_calibration")
+def kll_range_count_calibration(sf_dir: str):
+    """Approximate range-COUNT from the KLL quantile sketch: for a set of
+    value BETWEEN predicates, est = (rank(hi) - rank(lo)) * n from ONE
+    global sketch vs the exact filtered counts — the 'answer range
+    predicates without rescanning' use of a rank sketch (selectivity
+    estimation). rows-only by design (estimates); the exact twin rides
+    in-row and pytest pins the KLL rank-error bound (~1.65/k uniform)."""
+    from perfect_bloomfilter_ray.stages.agg import sketch_global
+    from perfect_bloomfilter_ray.state.kll import KLLSketch
+
+    ds = _t(sf_dir, "events", ["value"]).filter(lambda r: r["value"] is not None)
+    n = ds.count()
+    s = sketch_global(ds, "value", lambda: KLLSketch(200), name="kll")
+    bands = [(0.0, 10.0), (10.0, 50.0), (50.0, 100.0), (100.0, 1e18)]
+
+    def exact_counts(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "band": pa.array(np.arange(len(bands))),
+                "c": pa.array(
+                    np.array(
+                        [int(((v >= lo) & (v < hi)).sum()) for lo, hi in bands],
+                        dtype=np.int64,
+                    )
+                ),
+            }
+        )
+
+    exact = (
+        ds.map_batches(exact_counts, batch_format="pyarrow")
+        .groupby("band")
+        .aggregate(Sum("c", alias_name="exact_count"))
+        .to_pandas()
+        .sort_values("band")
+        .reset_index(drop=True)
+    )
+    est = [round((s.rank(hi) - s.rank(lo)) * n, 2) for lo, hi in bands]
+    exact["band_lo"] = [b[0] for b in bands]
+    exact["est_count"] = est
+    exact["exact_count"] = exact["exact_count"].astype("int64")
+    exact["band"] = exact["band"].astype("int64")
+    return exact[["band", "band_lo", "est_count", "exact_count"]]

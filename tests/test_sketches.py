@@ -264,3 +264,14 @@ def test_countsketch_turnstile_delete_and_merge_associativity():
     sp.update_column(pa.array(a[:100]))
     assert CountSketch.from_bytes(sp.to_bytes()).state_equal(sp)
     assert CountSketch.from_bytes(one.to_bytes()).state_equal(one)
+
+
+def test_kll_range_count_calibration_bound(ray_session):
+    from perfect_bloomfilter_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["kll_range_count_calibration"]("/root/testdata/sf0.001")
+    n = int(out["exact_count"].sum())
+    # KLL uniform rank error ~1.65/k per endpoint; band = two endpoints
+    bound = 2 * 2 * 1.65 / 200
+    assert ((out["est_count"] - out["exact_count"]).abs() / n <= bound).all()
+    assert (out["exact_count"] >= 0).all() and n > 0
