@@ -10019,17 +10019,27 @@ def gcs_membership_roundtrip(sf_dir: str):
     }
     ref = ray.put(states)
 
-    def probe(t: pa.Table) -> pa.Table:
-        st = ray.get(ref)
-        h = t.column("h").to_numpy(zero_copy_only=False).view(np.uint64)
-        sh = t.column("sh").to_numpy(zero_copy_only=False)
-        m = 0
-        for s in np.unique(sh):
-            g = GolombSet.from_state(st[int(s)])
-            m += int(g.contains(h[sh == s]).sum())
-        return pa.table({"m": pa.array([m], pa.int64())})
+    class GcsProbe:
+        """Actor-pool probe: Rice streams decode ONCE per actor in
+        __init__ (the setup-in-init contract), not once per batch — at
+        shard sizes worth compressing, per-batch decode would dominate."""
 
-    members = int(hashed.map_batches(probe, batch_format="pyarrow").sum("m"))
+        def __init__(self):
+            self.sets = {
+                k: GolombSet.from_state(v) for k, v in ray.get(ref).items()
+            }
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            h = t.column("h").to_numpy(zero_copy_only=False).view(np.uint64)
+            sh = t.column("sh").to_numpy(zero_copy_only=False)
+            m = 0
+            for s in np.unique(sh):
+                m += int(self.sets[int(s)].contains(h[sh == s]).sum())
+            return pa.table({"m": pa.array([m], pa.int64())})
+
+    members = int(
+        hashed.map_batches(GcsProbe, batch_format="pyarrow", concurrency=2).sum("m")
+    )
     return pd.DataFrame(
         {
             "inserted": [np.int64(n_total)],
