@@ -383,6 +383,7 @@ SUITE = [
     "event_type_subsequence_support",
     "mann_kendall_hourly_trend",
     "kll_range_count_calibration",
+    "seasonal_mann_kendall_trend",
 ]
 
 

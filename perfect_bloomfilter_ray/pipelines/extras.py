@@ -10544,3 +10544,78 @@ def kll_range_count_calibration(sf_dir: str):
     exact["exact_count"] = exact["exact_count"].astype("int64")
     exact["band"] = exact["band"].astype("int64")
     return exact[["band", "band_lo", "est_count", "exact_count"]]
+
+
+@q(
+    "seasonal_mann_kendall_trend",
+    sql="""
+    WITH h AS (
+      SELECT event_type,
+             CAST(extract(hour FROM ts) AS BIGINT) AS hod,
+             date_trunc('day', ts) AS d,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2, 3
+    ),
+    r AS (SELECT event_type, hod, c,
+                 row_number() OVER (PARTITION BY event_type, hod ORDER BY d) AS k
+          FROM h),
+    p AS (
+      SELECT a.event_type,
+             CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1 ELSE 0 END AS sg
+      FROM r a JOIN r b
+        ON a.event_type = b.event_type AND a.hod = b.hod AND b.k > a.k
+    )
+    SELECT p.event_type,
+           CAST((SELECT count(DISTINCT hod) FROM h WHERE h.event_type = p.event_type) AS BIGINT) AS n_seasons,
+           CAST(sum(sg) AS BIGINT) AS s_seasonal
+    FROM p GROUP BY p.event_type ORDER BY p.event_type
+    """,
+)
+def seasonal_mann_kendall_trend(sf_dir: str):
+    """Seasonal Mann-Kendall (Hirsch & Slack 1984): the trend S statistic
+    summed WITHIN each hour-of-day stratum of the daily volume series —
+    day-over-day trend detection that diurnal cycles cannot fake, the
+    standard upgrade when the plain MK test fires on seasonality. Exact
+    BIGINT sign sums; one corpus groupby to (type, hod, day) counts, then
+    a vectorized per-stratum sign fold on the calendar-bounded domain
+    (24 x days)."""
+    import polars as pl
+
+    ds = _t(sf_dir, "events", ["event_type", "ts"])
+
+    def buckets(t: pa.Table) -> pa.Table:
+        ts = t.column("ts")
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        ts = pc.cast(ts, pa.timestamp("us"))
+        hod = pc.hour(ts)
+        d = pc.floor_temporal(ts, unit="day")
+        return (
+            pl.from_arrow(
+                pa.table({"event_type": t.column("event_type"), "hod": hod, "d": d})
+            )
+            .group_by(["event_type", "hod", "d"])
+            .len(name="c")
+            .with_columns(pl.col("c").cast(pl.Int64))
+            .to_arrow()
+        )
+
+    daily = (
+        ds.map_batches(buckets, batch_format="pyarrow")
+        .groupby(["event_type", "hod", "d"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    rows = []
+    for et, g in daily.groupby("event_type"):
+        s_tot = 0
+        for _, gs in g.groupby("hod"):
+            c = gs.sort_values("d")["c"].to_numpy().astype(np.int64)
+            s_tot += int(np.triu(np.sign(c[None, :] - c[:, None]), k=1).sum())
+        rows.append(
+            {"event_type": et, "n_seasons": g["hod"].nunique(), "s_seasonal": s_tot}
+        )
+    out = pd.DataFrame(rows).sort_values("event_type").reset_index(drop=True)
+    out["n_seasons"] = out["n_seasons"].astype("int64")
+    out["s_seasonal"] = out["s_seasonal"].astype("int64")
+    return out

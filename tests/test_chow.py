@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 from perfect_bloomfilter_ray.pipelines.extras import _chow_ssr
 
@@ -73,3 +74,41 @@ def test_mann_kendall_known_trends(ray_session):
     assert int(out.loc["flat", "s_stat"]) == 0
     # flat: one tie group of 6 equal counts -> 6*5*17
     assert int(out.loc["flat", "tie_term"]) == 6 * 5 * 17
+
+
+def test_seasonal_mann_kendall_ignores_diurnal_cycle(ray_session):
+    """A pure diurnal cycle (no day-over-day trend) must give S_seasonal=0;
+    a day-over-day rise must give the maximal positive S."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import perfect_bloomfilter_ray.pipelines.extras as ex
+
+    base = pd.Timestamp("2025-03-01")
+    rows = []
+    for day in range(4):
+        for hod in (6, 18):
+            # 'cycle': hod-dependent volume, identical every day
+            for _ in range(3 if hod == 6 else 9):
+                rows.append(("cycle", base + pd.Timedelta(days=day, hours=hod)))
+            # 'rise': volume grows with the day within every hod stratum
+            for _ in range(day + 1):
+                rows.append(("rise", base + pd.Timedelta(days=day, hours=hod)))
+    df = pd.DataFrame(rows, columns=["event_type", "ts"])
+    df["event_id"] = range(len(df))
+    df["user_id"] = 1
+    df["value"] = 1.0
+    df["props"] = "{}"
+    d = tempfile.mkdtemp()
+    pq.write_table(
+        pa.Table.from_pandas(df[["event_id", "ts", "user_id", "event_type", "value", "props"]]),
+        os.path.join(d, "events.parquet"),
+    )
+    out = ex.seasonal_mann_kendall_trend(d).set_index("event_type")
+    assert int(out.loc["cycle", "s_seasonal"]) == 0
+    # 2 strata x C(4,2)=6 rising pairs each
+    assert int(out.loc["rise", "s_seasonal"]) == 12
+    assert int(out.loc["rise", "n_seasons"]) == 2
