@@ -384,6 +384,7 @@ SUITE = [
     "mann_kendall_hourly_trend",
     "kll_range_count_calibration",
     "seasonal_mann_kendall_trend",
+    "event_value_minmax_scaled",
 ]
 
 

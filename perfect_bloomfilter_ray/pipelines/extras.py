@@ -10619,3 +10619,35 @@ def seasonal_mann_kendall_trend(sf_dir: str):
     out["n_seasons"] = out["n_seasons"].astype("int64")
     out["s_seasonal"] = out["s_seasonal"].astype("int64")
     return out
+
+
+@q(
+    "event_value_minmax_scaled",
+    sql="""
+    SELECT event_id,
+           CASE WHEN max(value) OVER w = min(value) OVER w THEN NULL
+                ELSE (value - min(value) OVER w)
+                     / (max(value) OVER w - min(value) OVER w) END AS scaled
+    FROM events
+    WHERE value IS NOT NULL
+    WINDOW w AS (PARTITION BY event_type)
+    ORDER BY event_id
+    """,
+)
+def event_value_minmax_scaled(sf_dir: str):
+    """Per-type min-max feature scaling (stages/agg.minmax_normalize) —
+    the [0,1]-range member of the normalization family (zscore, robust-z,
+    quantile-norm, quantile-bins already in the suite). Grouped min/max
+    reduce → broadcast LUT → shuffle-free apply; one raw IEEE division
+    over data values hashes bit-exactly against the window oracle."""
+    from perfect_bloomfilter_ray.stages.agg import minmax_normalize
+
+    ds = _t(sf_dir, "events", ["event_id", "event_type", "value"]).filter(
+        lambda r: r["value"] is not None
+    )
+    out = minmax_normalize(ds, "event_type", "value")
+
+    def proj(t: pa.Table) -> pa.Table:
+        return t.select(["event_id", "scaled"])
+
+    return out.map_batches(proj, batch_format="pyarrow").sort("event_id")

@@ -623,3 +623,48 @@ def jackknife_ols(ds: Dataset, fold_col: str, x_col: str, y_col: str) -> "pd.Dat
     out = pd.DataFrame(rows)
     out["train_n"] = out["train_n"].astype("int64")
     return out
+
+
+def minmax_normalize(
+    ds: Dataset,
+    key: str,
+    col: str,
+    out_col: str = "scaled",
+    num_blocks: int | None = None,
+) -> Dataset:
+    """Per-key min-max scaling: ``(x − min_key) / (max_key − min_key)`` —
+    the bounded-range [0, 1] companion of :func:`zscore_normalize`, same
+    two-pass shape: one grouped min/max reduce (bounded key domain →
+    broadcast LUT via ``ray.put``), one shuffle-free ``map_batches`` apply.
+    Keys with max == min (or a single row) get null. The division is one
+    raw IEEE op over data values, so results hash bit-exactly against the
+    SQL window oracle."""
+    import ray
+    from ray.data.aggregate import Max, Min
+
+    stats = (
+        ds.groupby(key)
+        .aggregate(Min(col, alias_name="mn"), Max(col, alias_name="mx"))
+        .to_pandas()
+    )
+    keys = stats[key].to_numpy()
+    order = np.argsort(keys)
+    lut_ref = ray.put(
+        (keys[order], stats["mn"].to_numpy()[order], stats["mx"].to_numpy()[order])
+    )
+
+    def apply(t: pa.Table) -> pa.Table:
+        k_sorted, mn, mx = ray.get(lut_ref)
+        kv = t.column(key)
+        if isinstance(kv, pa.ChunkedArray):
+            kv = kv.combine_chunks()
+        idx = np.searchsorted(k_sorted, kv.to_numpy(zero_copy_only=False))
+        idx = np.clip(idx, 0, len(k_sorted) - 1)
+        x = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        span = mx[idx] - mn[idx]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            scaled = (x - mn[idx]) / span
+        bad = ~np.isfinite(scaled)
+        return t.append_column(out_col, pa.array(scaled, mask=bad))
+
+    return ds.map_batches(apply, batch_format="pyarrow")

@@ -577,3 +577,19 @@ def test_kruskal_rank_sums_vs_bruteforce(ray_session):
     h2_corr = h2 / (1.0 - int(out["tie3"].iloc[0]) / float(n**3 - n))
     assert abs(h2_corr - h_corr) < 1e-9
     assert h2_corr > 0
+
+
+def test_minmax_normalize_bounds_and_nulls(ray_session):
+    import ray.data as rd
+
+    from perfect_bloomfilter_ray.stages.agg import minmax_normalize
+
+    df = pd.DataFrame(
+        {"k": ["a"] * 4 + ["b"] * 2 + ["c"], "v": [1.0, 3.0, 2.0, 5.0, 7.0, 7.0, 9.0]}
+    )
+    out = minmax_normalize(rd.from_pandas(df), "k", "v").to_pandas()
+    a = out[out["k"] == "a"].sort_values("v")["scaled"].tolist()
+    assert a == [0.0, 0.25, 0.5, 1.0]
+    # zero-span group and singleton group -> null
+    assert out[out["k"] == "b"]["scaled"].isna().all()
+    assert out[out["k"] == "c"]["scaled"].isna().all()
