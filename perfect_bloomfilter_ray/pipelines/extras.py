@@ -10262,6 +10262,8 @@ def kruskal_rank_sums_per_type(sf_dir: str):
         )
 
     pairs = ds.map_batches(partial, batch_format="pyarrow").materialize()
+    if pairs.count() == 0:
+        return pd.DataFrame({"event_type": [], "n_g": [], "r2g": [], "tie3": []})
     # bucket-carry machinery (drift-family shape): only the per-bucket
     # cumulative TOTAL (one int per bucket) touches the driver — the
     # distinct-value table itself never does
@@ -10489,12 +10491,19 @@ def mann_kendall_hourly_trend(sf_dir: str):
         g = g.sort_values("hour")
         c = g["c"].to_numpy().astype(np.int64)
         n = len(c)
+        if n < 2:
+            # no pairs -> the oracle's self-join emits no row for this type
+            continue
         diff = np.sign(c[None, :] - c[:, None])
         s = int(np.triu(diff, k=1).sum())
         _, tc = np.unique(c, return_counts=True)
         tie = int((tc.astype(np.int64) * (tc - 1) * (2 * tc + 5)).sum())
         rows.append({"event_type": et, "n_hours": n, "s_stat": s, "tie_term": tie})
-    out = pd.DataFrame(rows).sort_values("event_type").reset_index(drop=True)
+    out = (
+        pd.DataFrame(rows, columns=["event_type", "n_hours", "s_stat", "tie_term"])
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
     for col in ("n_hours", "s_stat", "tie_term"):
         out[col] = out[col].astype("int64")
     return out
@@ -10609,13 +10618,23 @@ def seasonal_mann_kendall_trend(sf_dir: str):
     rows = []
     for et, g in daily.groupby("event_type"):
         s_tot = 0
+        has_pairs = False
         for _, gs in g.groupby("hod"):
             c = gs.sort_values("d")["c"].to_numpy().astype(np.int64)
+            if len(c) >= 2:
+                has_pairs = True
             s_tot += int(np.triu(np.sign(c[None, :] - c[:, None]), k=1).sum())
+        if not has_pairs:
+            # every stratum is a single day -> oracle pair join emits no row
+            continue
         rows.append(
             {"event_type": et, "n_seasons": g["hod"].nunique(), "s_seasonal": s_tot}
         )
-    out = pd.DataFrame(rows).sort_values("event_type").reset_index(drop=True)
+    out = (
+        pd.DataFrame(rows, columns=["event_type", "n_seasons", "s_seasonal"])
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
     out["n_seasons"] = out["n_seasons"].astype("int64")
     out["s_seasonal"] = out["s_seasonal"].astype("int64")
     return out

@@ -32,15 +32,25 @@ _U64 = np.uint64
 
 def _map_to_range(h: np.ndarray, n_range: int) -> np.ndarray:
     """Fast-range map of uniform 64-bit hashes into [0, n_range): the high
-    64 bits of h * n_range — order-preserving per hash, uniform."""
+    64 bits of h * n_range — order-preserving per hash, uniform.
+
+    Full 64x64 -> high-64 multiply (no uint128 in numpy): split BOTH
+    operands into 32-bit halves and sum the four partial products. The
+    two-halves-of-h-only shortcut overflows once n_range >= 2^32 (a*m
+    wraps), silently collapsing mapped values into [0, 2^32) — i.e. any
+    shard over 2^(32-p) keys — so the general form is required here.
+    The cross term fits uint64: (2^32-1)^2 + 2*(2^32-1) < 2^64."""
     h = np.asarray(h, dtype=_U64)
-    # split 64x64 -> high 64 multiply in numpy (no uint128): h = a·2^32 + b
     a = h >> _U64(32)
     b = h & _U64(0xFFFFFFFF)
-    m = _U64(n_range)
-    hi = a * m
-    lo = b * m
-    return (hi + (lo >> _U64(32))) >> _U64(32)
+    m = int(n_range)
+    if m >= 1 << 64:
+        raise ValueError("n_range must fit in 64 bits")
+    c = _U64(m >> 32)
+    d = _U64(m & 0xFFFFFFFF)
+    bd = b * d
+    cross = (bd >> _U64(32)) + (a * d & _U64(0xFFFFFFFF)) + b * c
+    return a * c + (a * d >> _U64(32)) + (cross >> _U64(32))
 
 
 class GolombSet:

@@ -64,7 +64,8 @@ class PCSA:
         idx = (h >> _U64(64 - self.p)).astype(np.int64)
         w = h << _U64(self.p)  # remaining 64-p bits, left-aligned
         # trailing-zero count of the ORIGINAL low bits == ctz of w minus p;
-        # w == 0 (all-zero suffix) saturates at bit 63
+        # w == 0 (all-zero suffix, prob 2^-(64-p)) lands at bit 64-p (the
+        # max observable rank); the min-63 clamp only guards p < 1
         pos = np.minimum(_ctz64(w) - self.p + np.int64(0), 63)
         pos = np.minimum(np.maximum(pos, 0), 63)
         np.bitwise_or.at(self.bitmaps, idx, _U64(1) << pos.astype(_U64))

@@ -67,3 +67,18 @@ def test_map_to_range_bounds():
 def test_invalid_p():
     with pytest.raises(ValueError):
         GolombSet(np.empty(0, np.uint64), p=1)
+
+
+def test_map_to_range_wide_range_exact():
+    # n_range >= 2^32 needs the full 64x64->high-64 multiply: the
+    # two-halves-of-h shortcut wraps a*m and collapses values into
+    # [0, 2^32). Compare against Python bignum ground truth.
+    rng = np.random.RandomState(11)
+    h = _u64(rng, 2_000)
+    for n_range in (2**33, (1 << 40) + 12345, (1 << 63) + 7):
+        got = _map_to_range(h, n_range)
+        exp = np.array([(int(x) * n_range) >> 64 for x in h], np.uint64)
+        assert (got == exp).all()
+    # advisor's concrete case: h=2^63, n_range=2^33 -> exactly 2^32
+    one = _map_to_range(np.array([2**63], np.uint64), 2**33)
+    assert int(one[0]) == 2**32
