@@ -385,6 +385,10 @@ SUITE = [
     "kll_range_count_calibration",
     "seasonal_mann_kendall_trend",
     "event_value_minmax_scaled",
+    "cochran_armitage_purchase_trend",
+    "brown_forsythe_value_by_type",
+    "moods_median_value_by_type",
+    "cohens_kappa_langid",
 ]
 
 

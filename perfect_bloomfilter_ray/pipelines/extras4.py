@@ -1,0 +1,322 @@
+"""Round-4 extras: inference-statistics, storage-layout and retrieval queries.
+
+Registered into the same QUERIES/ORACLE_SQL dicts as pipelines/queries.py
+(imported at its tail, before the SQL-first registration reorder).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data.aggregate import Count, Sum
+
+from perfect_bloomfilter_ray.pipelines.queries import QUERIES, _t, q
+
+
+@q(
+    "cochran_armitage_purchase_trend",
+    sql="""
+    WITH b AS (
+      SELECT CAST(extract(hour FROM ts) AS BIGINT) // 6 AS w,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS r
+      FROM events
+    ),
+    g AS (SELECT w, CAST(count(*) AS BIGINT) AS n_g, CAST(sum(r) AS BIGINT) AS r_g
+          FROM b GROUP BY w),
+    t AS (SELECT CAST(sum(n_g) AS BIGINT) AS n, CAST(sum(r_g) AS BIGINT) AS r FROM g)
+    SELECT t.n AS n, t.r AS r_tot,
+           CAST(sum(w * (t.n * r_g - t.r * n_g)) AS BIGINT) AS t_num,
+           CAST(t.n * sum(w * w * n_g) - sum(w * n_g) * sum(w * n_g) AS BIGINT)
+               AS var_piece
+    FROM g, t GROUP BY t.n, t.r
+    """,
+)
+def cochran_armitage_purchase_trend(sf_dir: str):
+    """Cochran-Armitage trend test (Cochran 1954, Armitage 1955): does the
+    purchase rate trend monotonically across ordered dose groups (six-hour
+    day quarters, w = hour//6)?  The statistic and its variance stay EXACT
+    int64: T = Σ_g w·(N·r_g − R·n_g) and the dose spread
+    V = N·Σw²n_g − (Σw·n_g)²; z = T / sqrt(R·(N−R)·V/N) is assembled
+    clientside (the R(N−R)·V product needs 128 bits).  One tiny
+    (dose → count, positives) groupby — the contingency shape every
+    drift/χ² query in the suite shares."""
+    ds = _t(sf_dir, "events", ["event_type", "ts"])
+
+    def part(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        ts = t.column("ts")
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        w = pc.divide(pc.hour(pc.cast(ts, pa.timestamp("us"))), 6)
+        r = pc.cast(pc.equal(t.column("event_type"), "purchase"), pa.int64())
+        return (
+            pl.from_arrow(pa.table({"w": pc.cast(w, pa.int64()), "r": r}))
+            .group_by("w")
+            .agg(pl.len().cast(pl.Int64).alias("n_g"), pl.col("r").sum().alias("r_g"))
+            .to_arrow()
+        )
+
+    g = (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby("w")
+        .aggregate(Sum("n_g", alias_name="n_g"), Sum("r_g", alias_name="r_g"))
+        .to_pandas()
+        .sort_values("w")
+    )
+    w = g["w"].to_numpy().astype(np.int64)
+    n_g = g["n_g"].to_numpy().astype(np.int64)
+    r_g = g["r_g"].to_numpy().astype(np.int64)
+    n, r = int(n_g.sum()), int(r_g.sum())
+    t_num = int((w * (n * r_g - r * n_g)).sum())
+    var_piece = int(n * (w * w * n_g).sum() - int((w * n_g).sum()) ** 2)
+    return pd.DataFrame(
+        {"n": [n], "r_tot": [r], "t_num": [t_num], "var_piece": [var_piece]}
+    ).astype("int64")
+
+
+@q(
+    "brown_forsythe_value_by_type",
+    sql="""
+    WITH v AS (
+      SELECT event_type AS g, CAST(floor(value * 100) AS BIGINT) AS x
+      FROM events WHERE value IS NOT NULL
+    ),
+    med AS (SELECT g, quantile_disc(x, 0.5) AS m FROM v GROUP BY g),
+    z AS (SELECT v.g, abs(v.x - med.m) AS z FROM v JOIN med USING (g))
+    SELECT g AS event_type, CAST(count(*) AS BIGINT) AS n_g,
+           CAST(sum(z) AS BIGINT) AS sz, CAST(sum(z * z) AS BIGINT) AS szz
+    FROM z GROUP BY g ORDER BY event_type
+    """,
+)
+def brown_forsythe_value_by_type(sf_dir: str):
+    """Brown-Forsythe variance-homogeneity test (1974; the median-anchored
+    Levene): per-group absolute deviations z = |x − median_g| over
+    integer-cent values, reported as EXACT int64 sufficient statistics
+    (n_g, Σz, Σz²).  W = ((N−k)/(k−1)) · Σn_g(z̄_g−z̄)² / Σ(z_ig−z̄_g)²
+    is assembled clientside (pytest pins it against a brute-force
+    computation).  Two passes: the suite's exact grouped disc-median
+    (stages/quantiles.exact_grouped_quantiles) → broadcast LUT → one
+    shuffle-free deviation scan with per-batch partial sums."""
+    import polars as pl
+
+    from perfect_bloomfilter_ray.stages.quantiles import exact_grouped_quantiles
+
+    ds = _t(sf_dir, "events", ["event_type", "value"]).filter(
+        lambda r: r["value"] is not None
+    )
+
+    def cents(t: pa.Table) -> pa.Table:
+        x = pc.cast(pc.floor(pc.multiply(t.column("value"), 100.0)), pa.int64())
+        return pa.table({"event_type": t.column("event_type"), "x": x})
+
+    cx = ds.map_batches(cents, batch_format="pyarrow")
+    med = exact_grouped_quantiles(cx, "event_type", "x", [0.5], kind="disc", names=["m"])
+    lut = {
+        r["event_type"]: int(r["m"]) for r in med.to_pandas().to_dict("records")
+    }
+
+    def dev(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        m = pl.col("event_type").replace_strict(lut, default=0, return_dtype=pl.Int64)
+        z = (pl.col("x") - m).abs()
+        return (
+            df.with_columns(z.alias("z"))
+            .group_by("event_type")
+            .agg(
+                pl.len().cast(pl.Int64).alias("n_g"),
+                pl.col("z").sum().alias("sz"),
+                (pl.col("z") * pl.col("z")).sum().alias("szz"),
+            )
+            .to_arrow()
+        )
+
+    out = (
+        cx.map_batches(dev, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n_g", alias_name="n_g"),
+            Sum("sz", alias_name="sz"),
+            Sum("szz", alias_name="szz"),
+        )
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    for c in ("n_g", "sz", "szz"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+@q(
+    "moods_median_value_by_type",
+    sql="""
+    WITH v AS (
+      SELECT event_type AS g, CAST(floor(value * 100) AS BIGINT) AS x
+      FROM events WHERE value IS NOT NULL
+    ),
+    m AS (SELECT quantile_disc(x, 0.5) AS gm FROM v),
+    c AS (SELECT g,
+                 CAST(sum(CASE WHEN x > m.gm THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                 CAST(sum(CASE WHEN x <= m.gm THEN 1 ELSE 0 END) AS BIGINT) AS b
+          FROM v, m GROUP BY g),
+    tot AS (SELECT CAST(sum(a) AS BIGINT) AS ta, CAST(sum(b) AS BIGINT) AS tb,
+                   CAST(sum(a + b) AS BIGINT) AS n FROM c)
+    SELECT g AS event_type, a AS n_above, b AS n_le,
+           pow(CAST(a AS DOUBLE) - CAST((a + b) * ta AS DOUBLE) / CAST(n AS DOUBLE), 2)
+             / (CAST((a + b) * ta AS DOUBLE) / CAST(n AS DOUBLE))
+         + pow(CAST(b AS DOUBLE) - CAST((a + b) * tb AS DOUBLE) / CAST(n AS DOUBLE), 2)
+             / (CAST((a + b) * tb AS DOUBLE) / CAST(n AS DOUBLE)) AS chi2_part
+    FROM c, tot ORDER BY event_type
+    """,
+)
+def moods_median_value_by_type(sf_dir: str):
+    """Mood's median test (1950): 2×k contingency of per-type value counts
+    above vs at-or-below the GRAND median (exact disc median of integer
+    cents), with each group's χ² contribution as one fixed float
+    expression over the exact counts — identical IEEE tree both sides, so
+    the report hashes bit-exactly.  One global exact-quantile reduce →
+    scalar broadcast → one contingency scan (no row shuffle)."""
+    import polars as pl
+
+    from perfect_bloomfilter_ray.stages.quantiles import exact_grouped_quantiles
+
+    ds = _t(sf_dir, "events", ["event_type", "value"]).filter(
+        lambda r: r["value"] is not None
+    )
+
+    def cents(t: pa.Table) -> pa.Table:
+        x = pc.cast(pc.floor(pc.multiply(t.column("value"), 100.0)), pa.int64())
+        return pa.table(
+            {"event_type": t.column("event_type"), "x": x, "_one": pa.nulls(len(t), pa.int8())}
+        )
+
+    cx = ds.map_batches(cents, batch_format="pyarrow")
+
+    def const_key(t: pa.Table) -> pa.Table:
+        return t.set_column(t.schema.get_field_index("_one"), "_one", pa.array([0] * len(t), pa.int8()))
+
+    gm_ds = exact_grouped_quantiles(
+        cx.map_batches(const_key, batch_format="pyarrow"), "_one", "x", [0.5],
+        kind="disc", names=["gm"],
+    )
+    gm = int(gm_ds.to_pandas()["gm"].iloc[0])
+
+    def contingency(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        return (
+            df.group_by("event_type")
+            .agg(
+                (pl.col("x") > gm).sum().cast(pl.Int64).alias("a"),
+                (pl.col("x") <= gm).sum().cast(pl.Int64).alias("b"),
+            )
+            .to_arrow()
+        )
+
+    c = (
+        cx.map_batches(contingency, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("a", alias_name="a"), Sum("b", alias_name="b"))
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    a = c["a"].to_numpy().astype(np.int64)
+    b = c["b"].to_numpy().astype(np.int64)
+    ta, tb = int(a.sum()), int(b.sum())
+    n = ta + tb
+    ea = ((a + b) * ta).astype(np.float64) / np.float64(n)
+    eb = ((a + b) * tb).astype(np.float64) / np.float64(n)
+    chi2 = (a.astype(np.float64) - ea) ** 2 / ea + (b.astype(np.float64) - eb) ** 2 / eb
+    return pd.DataFrame(
+        {
+            "event_type": c["event_type"],
+            "n_above": a,
+            "n_le": b,
+            "chi2_part": chi2,
+        }
+    )
+
+
+@q(
+    "cohens_kappa_langid",
+    sql="""
+    WITH s AS (
+        SELECT lang,
+            len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is)\\b')) AS s_en,
+            len(regexp_extract_all(lower(text), '\\b(der|und|die|nicht|ist)\\b')) AS s_de,
+            len(regexp_extract_all(lower(text), '\\b(le|et|les|des|est)\\b')) AS s_fr,
+            len(regexp_extract_all(lower(text), '\\b(el|los|que|es|una)\\b')) AS s_es,
+            len(regexp_extract_all(lower(text), '\\b(il|che|di|per|una)\\b')) AS s_it,
+            len(regexp_extract_all(lower(text), '\\b(o|que|um|para|com)\\b')) AS s_pt,
+            len(regexp_extract_all(lower(text), '\\b(de|het|een|niet|van)\\b')) AS s_nl,
+            len(regexp_extract_all(lower(text), '\\b(i|v|ne|na|chto)\\b')) AS s_ru,
+            len(regexp_extract_all(lower(text), '\\b(de|shi|le|zai|you)\\b')) AS s_zh,
+            len(regexp_extract_all(lower(text), '\\b(no|ni|wa|wo|ga)\\b')) AS s_ja
+        FROM documents
+    ), p AS (
+        SELECT lang,
+            CASE WHEN greatest(s_en,s_de,s_fr,s_es,s_it,s_pt,s_nl,s_ru,s_zh,s_ja) = 0 THEN 'und'
+                 WHEN s_en = greatest(s_en,s_de,s_fr,s_es,s_it,s_pt,s_nl,s_ru,s_zh,s_ja) THEN 'en'
+                 WHEN s_de = greatest(s_de,s_fr,s_es,s_it,s_pt,s_nl,s_ru,s_zh,s_ja) THEN 'de'
+                 WHEN s_fr = greatest(s_fr,s_es,s_it,s_pt,s_nl,s_ru,s_zh,s_ja) THEN 'fr'
+                 WHEN s_es = greatest(s_es,s_it,s_pt,s_nl,s_ru,s_zh,s_ja) THEN 'es'
+                 WHEN s_it = greatest(s_it,s_pt,s_nl,s_ru,s_zh,s_ja) THEN 'it'
+                 WHEN s_pt = greatest(s_pt,s_nl,s_ru,s_zh,s_ja) THEN 'pt'
+                 WHEN s_nl = greatest(s_nl,s_ru,s_zh,s_ja) THEN 'nl'
+                 WHEN s_ru = greatest(s_ru,s_zh,s_ja) THEN 'ru'
+                 WHEN s_zh = greatest(s_zh,s_ja) THEN 'zh'
+                 ELSE 'ja' END AS pred
+        FROM s
+    ),
+    conf AS (SELECT lang, pred, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY lang, pred),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS n FROM conf),
+    agr AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS agree FROM conf WHERE lang = pred),
+    rm AS (SELECT lang AS lab, CAST(sum(n) AS BIGINT) AS r FROM conf GROUP BY lang),
+    cm AS (SELECT pred AS lab, CAST(sum(n) AS BIGINT) AS c FROM conf GROUP BY pred),
+    pe AS (SELECT CAST(coalesce(sum(rm.r * cm.c), 0) AS BIGINT) AS pe_num
+           FROM rm JOIN cm USING (lab))
+    SELECT tot.n AS n, agr.agree AS agree, pe.pe_num AS pe_num,
+           CAST(tot.n * agr.agree - pe.pe_num AS DOUBLE)
+             / CAST(tot.n * tot.n - pe.pe_num AS DOUBLE) AS kappa
+    FROM tot, agr, pe
+    """,
+)
+def cohens_kappa_langid(sf_dir: str):
+    """Cohen's kappa (1960) between the declared ``lang`` column and the
+    heuristic language-ID labeler — chance-corrected annotator agreement,
+    the standard labeling-quality audit for weak labelers.  Built entirely
+    from the lang_id confusion matrix the suite already verifies:
+    κ = (N·agree − Σ_l row_l·col_l) / (N² − Σ_l row_l·col_l), every term
+    exact int64 (N ≤ 2^31 keeps N² in range), κ itself ONE float division
+    evaluated identically both sides.  One confusion groupby; the kappa
+    fold touches only the k×k matrix."""
+    from perfect_bloomfilter_ray.functions.text import lang_id
+
+    ds = _t(sf_dir, "documents", ["lang", "text"])
+
+    def ident(t: pa.Table) -> pa.Table:
+        return pa.table({"lang": t.column("lang"), "pred": lang_id(t.column("text"))})
+
+    conf = (
+        ds.map_batches(ident, batch_format="pyarrow")
+        .groupby(["lang", "pred"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    n = int(conf["n"].sum())
+    agree = int(conf.loc[conf["lang"] == conf["pred"], "n"].sum())
+    row = conf.groupby("lang")["n"].sum()
+    col = conf.groupby("pred")["n"].sum()
+    labs = row.index.intersection(col.index)
+    pe_num = int((row.loc[labs].to_numpy().astype(np.int64)
+                  * col.loc[labs].to_numpy().astype(np.int64)).sum())
+    kappa = float(n * agree - pe_num) / float(n * n - pe_num)
+    return pd.DataFrame(
+        {"n": [n], "agree": [agree], "pe_num": [pe_num], "kappa": [kappa]}
+    )

@@ -9925,6 +9925,7 @@ def ks_value_drift_per_type(sf_dir: str):
 # point every symbol tpch.py needs from this module exists.)
 from perfect_bloomfilter_ray.pipelines import tpch as _tpch  # noqa: E402,F401
 from perfect_bloomfilter_ray.pipelines import extras as _extras  # noqa: E402,F401
+from perfect_bloomfilter_ray.pipelines import extras4 as _extras4  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registration order: the driver spends its correctness slots in this order,

@@ -1,0 +1,125 @@
+"""Brute-force verification of the round-4 inference-statistics queries."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_cochran_armitage_vs_bruteforce(ray_session):
+    """T and the dose-spread piece match a direct per-row computation, and
+    the assembled z is finite and matches the classic formula."""
+    import perfect_bloomfilter_ray.pipelines.extras4 as e4
+
+    out = e4.cochran_armitage_purchase_trend(SF).iloc[0]
+    df = duckdb.sql(
+        f"SELECT CAST(extract(hour FROM ts) AS BIGINT) // 6 AS w, "
+        f"CASE WHEN event_type='purchase' THEN 1 ELSE 0 END AS r "
+        f"FROM '{SF}/events.parquet'"
+    ).df()
+    n, r_tot = len(df), int(df["r"].sum())
+    t_num = 0
+    sw_n = sww_n = 0
+    for w, g in df.groupby("w"):
+        n_g, r_g = len(g), int(g["r"].sum())
+        t_num += int(w) * (n * r_g - r_tot * n_g)
+        sw_n += int(w) * n_g
+        sww_n += int(w) ** 2 * n_g
+    var_piece = n * sww_n - sw_n**2
+    assert int(out["n"]) == n and int(out["r_tot"]) == r_tot
+    assert int(out["t_num"]) == t_num
+    assert int(out["var_piece"]) == var_piece
+    # classic z = T / sqrt(R(N-R)*V/N), assembled with Python ints (128-bit safe)
+    z = t_num / math.sqrt(r_tot * (n - r_tot) * var_piece / n)
+    assert math.isfinite(z)
+
+
+def test_brown_forsythe_vs_bruteforce(ray_session):
+    """Per-group (n, Σz, Σz²) match numpy medians, and the assembled W
+    statistic equals a direct Brown-Forsythe computation."""
+    import perfect_bloomfilter_ray.pipelines.extras4 as e4
+
+    out = e4.brown_forsythe_value_by_type(SF).set_index("event_type")
+    df = duckdb.sql(
+        f"SELECT event_type, CAST(floor(value*100) AS BIGINT) AS x "
+        f"FROM '{SF}/events.parquet' WHERE value IS NOT NULL"
+    ).df()
+    groups = {}
+    for g, sub in df.groupby("event_type"):
+        x = np.sort(sub["x"].to_numpy().astype(np.int64))
+        med = x[max(int(np.ceil(0.5 * len(x))) - 1, 0)]  # disc convention
+        z = np.abs(x - med)
+        groups[g] = z
+        assert int(out.loc[g, "n_g"]) == len(z)
+        assert int(out.loc[g, "sz"]) == int(z.sum())
+        assert int(out.loc[g, "szz"]) == int((z * z).sum())
+    # assemble W from the query's integers and compare to direct form
+    n_g = out["n_g"].to_numpy().astype(float)
+    sz = out["sz"].to_numpy().astype(float)
+    szz = out["szz"].to_numpy().astype(float)
+    n, k = n_g.sum(), len(n_g)
+    zbar_g = sz / n_g
+    zbar = sz.sum() / n
+    between = (n_g * (zbar_g - zbar) ** 2).sum()
+    within = (szz - sz * sz / n_g).sum()
+    w_stat = ((n - k) / (k - 1)) * between / within
+    allz = np.concatenate(list(groups.values()))
+    d_between = sum(
+        len(z) * (z.mean() - allz.mean()) ** 2 for z in groups.values()
+    )
+    d_within = sum(((z - z.mean()) ** 2).sum() for z in groups.values())
+    w_direct = ((n - k) / (k - 1)) * d_between / d_within
+    assert abs(w_stat - w_direct) < 1e-8
+    assert w_stat >= 0
+
+
+def test_moods_median_vs_bruteforce(ray_session):
+    """Contingency counts match the disc grand median split; χ²
+    contributions sum to the classic statistic."""
+    import perfect_bloomfilter_ray.pipelines.extras4 as e4
+
+    out = e4.moods_median_value_by_type(SF).set_index("event_type")
+    df = duckdb.sql(
+        f"SELECT event_type, CAST(floor(value*100) AS BIGINT) AS x "
+        f"FROM '{SF}/events.parquet' WHERE value IS NOT NULL"
+    ).df()
+    x = np.sort(df["x"].to_numpy().astype(np.int64))
+    gm = x[max(int(np.ceil(0.5 * len(x))) - 1, 0)]
+    for g, sub in df.groupby("event_type"):
+        above = int((sub["x"] > gm).sum())
+        le = int((sub["x"] <= gm).sum())
+        assert int(out.loc[g, "n_above"]) == above
+        assert int(out.loc[g, "n_le"]) == le
+    a = out["n_above"].to_numpy().astype(float)
+    b = out["n_le"].to_numpy().astype(float)
+    n, ta, tb = (a + b).sum(), a.sum(), b.sum()
+    ea, eb = (a + b) * ta / n, (a + b) * tb / n
+    chi2 = ((a - ea) ** 2 / ea + (b - eb) ** 2 / eb)
+    assert np.allclose(out["chi2_part"].to_numpy(), chi2, rtol=1e-12)
+    assert (chi2 >= 0).all()
+
+
+def test_cohens_kappa_identities(ray_session):
+    """κ from the query's integers matches the po/pe definition and the
+    confusion matrix the lang_id query reports."""
+    import perfect_bloomfilter_ray.pipelines.extras4 as e4
+    import perfect_bloomfilter_ray.pipelines.queries as qs
+
+    out = e4.cohens_kappa_langid(SF).iloc[0]
+    conf = qs.lang_id_documents(SF)
+    n = int(conf["n"].sum())
+    agree = int(conf.loc[conf["lang"] == conf["pred"], "n"].sum())
+    row = conf.groupby("lang")["n"].sum()
+    col = conf.groupby("pred")["n"].sum()
+    labs = row.index.intersection(col.index)
+    pe_num = int((row.loc[labs] * col.loc[labs]).sum())
+    assert int(out["n"]) == n and int(out["agree"]) == agree
+    assert int(out["pe_num"]) == pe_num
+    po, pe = agree / n, pe_num / (n * n)
+    assert abs(out["kappa"] - (po - pe) / (1 - pe)) < 1e-12
+    assert -1.0 <= out["kappa"] <= 1.0
