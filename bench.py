@@ -389,6 +389,8 @@ SUITE = [
     "brown_forsythe_value_by_type",
     "moods_median_value_by_type",
     "cohens_kappa_langid",
+    "bitmap_semijoin_active_orders",
+    "bitmap_user_type_intersections",
 ]
 
 

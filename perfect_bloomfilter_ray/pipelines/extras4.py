@@ -320,3 +320,101 @@ def cohens_kappa_langid(sf_dir: str):
     return pd.DataFrame(
         {"n": [n], "agree": [agree], "pe_num": [pe_num], "kappa": [kappa]}
     )
+
+
+@q(
+    "bitmap_semijoin_active_orders",
+    sql="""
+    WITH act AS (SELECT DISTINCT c_custkey FROM customer WHERE c_acctbal > 0)
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM orders JOIN act ON o_custkey = act.c_custkey
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def bitmap_semijoin_active_orders(sf_dir: str):
+    """EXACT semi-join through the Roaring bitmap index
+    (state/roaring.RoaringBitmap): the positive-balance customer keys build
+    one compressed bitmap via the standard partial/tree-merge shuffle
+    (stages/agg.sketch_global — the same shape as every sketch build), the
+    merged bitmap broadcasts once, and the orders scan filters against it
+    shuffle-free.  Same pipeline geometry as the Bloom semi-join family but
+    with NO false-positive term — the bitmap is exact, so the revenue
+    report needs no verify pass and hashes bit-identically."""
+    import polars as pl
+    import ray
+
+    from perfect_bloomfilter_ray.stages.agg import sketch_global
+    from perfect_bloomfilter_ray.state.roaring import RoaringBitmap
+
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_acctbal"]).filter(
+        lambda r: r["c_acctbal"] > 0
+    )
+    bm = sketch_global(cust, "c_custkey", RoaringBitmap, name="bm")
+    ref = ray.put(bm.to_bytes())
+
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_orderstatus", "o_totalprice"])
+
+    def semi(t: pa.Table) -> pa.Table:
+        b = RoaringBitmap.from_bytes(ray.get(ref))
+        keep = b.contains(t.column("o_custkey"))
+        t = t.filter(pa.array(keep))
+        cents = pc.cast(pc.floor(pc.multiply(t.column("o_totalprice"), 100.0)), pa.int64())
+        return (
+            pl.from_arrow(pa.table({"o_orderstatus": t.column("o_orderstatus"), "c": cents}))
+            .group_by("o_orderstatus")
+            .agg(pl.len().cast(pl.Int64).alias("n_orders"), pl.col("c").sum().alias("revenue_cents"))
+            .to_arrow()
+        )
+
+    out = (
+        orders.map_batches(semi, batch_format="pyarrow")
+        .groupby("o_orderstatus")
+        .aggregate(Sum("n_orders", alias_name="n_orders"), Sum("revenue_cents", alias_name="revenue_cents"))
+        .to_pandas()
+        .sort_values("o_orderstatus")
+        .reset_index(drop=True)
+    )
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["revenue_cents"] = out["revenue_cents"].astype("int64")
+    return out
+
+
+@q(
+    "bitmap_user_type_intersections",
+    sql="""
+    WITH u AS (SELECT DISTINCT event_type, user_id FROM events)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(count(*) AS BIGINT) AS n_both
+    FROM u a JOIN u b ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2 ORDER BY type_a, type_b
+    """,
+)
+def bitmap_user_type_intersections(sf_dir: str):
+    """Exact audience-overlap matrix from per-type Roaring bitmaps: each
+    event type's distinct user set becomes one compressed bitmap
+    (stages/agg.sketch_grouped two-phase partial/merge tree), and every
+    pairwise intersection cardinality is an exact chunked AND-popcount on
+    the driver (k bitmaps, k·(k−1)/2 container intersections — never a row
+    self-join).  The exact twin of the theta-sketch overlap family: same
+    build shape, zero estimation error."""
+    from perfect_bloomfilter_ray.stages.agg import sketch_grouped
+    from perfect_bloomfilter_ray.state.roaring import RoaringBitmap
+
+    ds = _t(sf_dir, "events", ["event_type", "user_id"])
+    per_type = sketch_grouped(ds, "event_type", "user_id", RoaringBitmap, name="bm").to_pandas()
+    bms = {
+        r["event_type"]: RoaringBitmap.from_bytes(r["bm"])
+        for r in per_type.to_dict("records")
+    }
+    rows = []
+    types = sorted(bms)
+    for i, ta in enumerate(types):
+        for tb in types[i + 1 :]:
+            n = bms[ta].and_cardinality(bms[tb])
+            if n:
+                rows.append({"type_a": ta, "type_b": tb, "n_both": n})
+    out = pd.DataFrame(rows, columns=["type_a", "type_b", "n_both"])
+    out["n_both"] = out["n_both"].astype("int64")
+    return out.sort_values(["type_a", "type_b"]).reset_index(drop=True)
