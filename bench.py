@@ -391,6 +391,7 @@ SUITE = [
     "cohens_kappa_langid",
     "bitmap_semijoin_active_orders",
     "bitmap_user_type_intersections",
+    "fuse_membership_roundtrip",
 ]
 
 
