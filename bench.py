@@ -392,6 +392,7 @@ SUITE = [
     "bitmap_semijoin_active_orders",
     "bitmap_user_type_intersections",
     "fuse_membership_roundtrip",
+    "bucketed_join_order_customer_revenue",
 ]
 
 

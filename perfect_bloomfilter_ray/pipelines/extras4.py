@@ -504,3 +504,93 @@ def fuse_membership_roundtrip(sf_dir: str):
             "false_negatives": [n_total - members],
         }
     )
+
+
+@q(
+    "bucketed_join_order_customer_revenue",
+    sql="""
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def bucketed_join_order_customer_revenue(sf_dir: str):
+    """Shuffle-free join through the hash-bucketed storage layout
+    (stages/bucketed.py — the Hive/Spark bucketed-table pattern): both
+    sides are written once as one Parquet file per hash bucket of the
+    join key, then the join runs ONE task per bucket reading exactly two
+    co-partitioned files — at query time there is no hash exchange at
+    all; the all-to-all was paid at write time and amortizes over every
+    later join on the key.  Writes are atomic and per-bucket resumable
+    (reruns skip finished buckets).  Revenue stays integer cents so the
+    report hashes bit-exactly against the plain-join oracle."""
+    import os
+    import tempfile
+
+    import polars as pl
+
+    from perfect_bloomfilter_ray.stages.bucketed import bucketed_join, write_bucketed
+    from perfect_bloomfilter_ray.stages.partitioning import choose_num_blocks
+
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.multiply(t.column("o_totalprice"), 100.0)), pa.int64())
+        return pa.table({"custkey": t.column("o_custkey"), "cents": cents})
+
+    def c_prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"custkey": t.column("c_custkey"), "c_mktsegment": t.column("c_mktsegment")}
+        )
+
+    base = os.path.join(
+        tempfile.gettempdir(), "pbf_bucketed", os.path.basename(os.path.normpath(sf_dir))
+    )
+    po, pc_dir = os.path.join(base, "orders"), os.path.join(base, "customer")
+    o_ds = orders.map_batches(o_prep, batch_format="pyarrow")
+    c_ds = cust.map_batches(c_prep, batch_format="pyarrow")
+    nb = choose_num_blocks(orders)
+    for ds_, path in ((o_ds, po), (c_ds, pc_dir)):
+        try:
+            write_bucketed(ds_, "custkey", path, nb)
+        except ValueError:  # stale layout from a run with different width
+            write_bucketed(ds_, "custkey", path, nb, overwrite=True)
+
+    joined = bucketed_join(po, pc_dir, "custkey", how="inner")
+
+    def agg(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "c_mktsegment": pa.array([], pa.string()),
+                    "n_orders": pa.array([], pa.int64()),
+                    "revenue_cents": pa.array([], pa.int64()),
+                }
+            )
+        return (
+            pl.from_arrow(t)
+            .group_by("c_mktsegment")
+            .agg(
+                pl.len().cast(pl.Int64).alias("n_orders"),
+                pl.col("cents").sum().alias("revenue_cents"),
+            )
+            .to_arrow()
+        )
+
+    out = (
+        joined.map_batches(agg, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("revenue_cents", alias_name="revenue_cents"),
+        )
+        .to_pandas()
+        .sort_values("c_mktsegment")
+        .reset_index(drop=True)
+    )
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["revenue_cents"] = out["revenue_cents"].astype("int64")
+    return out
