@@ -393,6 +393,9 @@ SUITE = [
     "bitmap_user_type_intersections",
     "fuse_membership_roundtrip",
     "bucketed_join_order_customer_revenue",
+    "hourly_volume_acf",
+    "sax_hourly_motifs",
+    "dirichlet_ql_doc_search",
 ]
 
 

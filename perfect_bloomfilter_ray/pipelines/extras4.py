@@ -594,3 +594,244 @@ def bucketed_join_order_customer_revenue(sf_dir: str):
     out["n_orders"] = out["n_orders"].astype("int64")
     out["revenue_cents"] = out["revenue_cents"].astype("int64")
     return out
+
+
+@q(
+    "hourly_volume_acf",
+    sql="""
+    WITH h AS (
+      SELECT date_trunc('hour', ts) AS b, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ),
+    mm AS (SELECT CAST(min(epoch_us(b)) // 3600000000 AS BIGINT) AS h0,
+                  CAST(max(epoch_us(b)) // 3600000000 AS BIGINT) AS h1 FROM h),
+    spine AS (SELECT unnest(generate_series(mm.h0, mm.h1)) AS hb FROM mm),
+    d AS (SELECT spine.hb, coalesce(hh.c, 0) AS c
+          FROM spine
+          LEFT JOIN (SELECT CAST(epoch_us(b) // 3600000000 AS BIGINT) AS hb, c FROM h) hh
+            ON hh.hb = spine.hb),
+    l AS (SELECT CAST(g AS BIGINT) AS lag FROM generate_series(1, 12) AS t(g)),
+    p AS (SELECT l.lag, a.c AS x, b.c AS y
+          FROM l CROSS JOIN d a JOIN d b ON b.hb = a.hb + l.lag),
+    s AS (SELECT lag, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy,
+                 CAST(sum(x*y) AS BIGINT) AS sxy
+          FROM p GROUP BY lag)
+    SELECT lag, n AS n_pairs, sx, sy, sxx, syy, sxy,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6) AS acf
+    FROM s ORDER BY lag
+    """,
+)
+def hourly_volume_acf(sf_dir: str):
+    """Autocorrelation function to lag 12 over the DENSE zero-filled hourly
+    volume series — the periodicity spectrum generalizing the suite's
+    lag-1 autocorr (a diurnal corpus shows the ACF ringing at its cycle).
+    All lag moments are exact int64 over the calendar spine (missing hours
+    count 0, so both sides pair identical series); each r is the one fixed
+    Pearson expression rounded to 6.  Corpus-sized work is ONE hour-bucket
+    groupby; the 12-lag fold runs on the bounded hourly series (the
+    calendar-bounded driver contract shared by the changepoint/forecast
+    family)."""
+    ds = _t(sf_dir, "events", ["ts"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"b": pc.floor_temporal(pc.cast(t.column("ts"), pa.timestamp("us")), unit="hour")}
+        )
+
+    h = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("b")
+        .count()
+        .to_pandas()
+        .sort_values("b")
+        .reset_index(drop=True)
+    )
+    hb = (
+        h["b"].astype("datetime64[us]").astype("int64").to_numpy() // 3_600_000_000
+    ).astype(np.int64)
+    dense = np.zeros(int(hb[-1] - hb[0]) + 1, dtype=np.int64)
+    dense[hb - hb[0]] = h["count()"].to_numpy().astype(np.int64)
+    rows = []
+    for lag in range(1, 13):
+        x, y = dense[:-lag], dense[lag:]
+        n = len(x)
+        sx, sy = int(x.sum()), int(y.sum())
+        sxx, syy, sxy = int((x * x).sum()), int((y * y).sum()), int((x * y).sum())
+        r = (float(n) * sxy - float(sx) * sy) / (
+            np.sqrt(float(n) * sxx - float(sx) * sx)
+            * np.sqrt(float(n) * syy - float(sy) * sy)
+        )
+        rows.append(
+            {"lag": lag, "n_pairs": n, "sx": sx, "sy": sy, "sxx": sxx,
+             "syy": syy, "sxy": sxy, "acf": round(r, 6)}
+        )
+    out = pd.DataFrame(rows)
+    for c in ("lag", "n_pairs", "sx", "sy", "sxx", "syy", "sxy"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+@q(
+    "sax_hourly_motifs",
+    sql="""
+    WITH h AS (
+      SELECT date_trunc('hour', ts) AS b, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ),
+    mm AS (SELECT CAST(min(epoch_us(b)) // 3600000000 AS BIGINT) AS h0,
+                  CAST(max(epoch_us(b)) // 3600000000 AS BIGINT) AS h1 FROM h),
+    spine AS (SELECT unnest(generate_series(mm.h0, mm.h1)) AS hb FROM mm),
+    d AS (SELECT spine.hb, coalesce(hh.c, 0) AS c
+          FROM spine
+          LEFT JOIN (SELECT CAST(epoch_us(b) // 3600000000 AS BIGINT) AS hb, c FROM h) hh
+            ON hh.hb = spine.hb),
+    qs AS (SELECT quantile_disc(c, 0.25) AS q1, quantile_disc(c, 0.5) AS q2,
+                  quantile_disc(c, 0.75) AS q3 FROM d),
+    sym AS (SELECT hb,
+                   CASE WHEN c <= qs.q1 THEN 0 WHEN c <= qs.q2 THEN 1
+                        WHEN c <= qs.q3 THEN 2 ELSE 3 END AS s
+            FROM d, qs),
+    w AS (SELECT s AS s1,
+                 lead(s, 1) OVER (ORDER BY hb) AS s2,
+                 lead(s, 2) OVER (ORDER BY hb) AS s3
+          FROM sym),
+    m AS (SELECT s1, s2, s3, CAST(count(*) AS BIGINT) AS n_occ
+          FROM w WHERE s3 IS NOT NULL GROUP BY 1, 2, 3)
+    SELECT CAST(s1 AS BIGINT) AS s1, CAST(s2 AS BIGINT) AS s2,
+           CAST(s3 AS BIGINT) AS s3, n_occ
+    FROM m WHERE n_occ >= 2 ORDER BY n_occ DESC, s1, s2, s3 LIMIT 20
+    """,
+)
+def sax_hourly_motifs(sf_dir: str):
+    """SAX motif discovery (Lin, Keogh, Lonardi & Chiu 2003 symbolic
+    aggregate approximation): the dense hourly volume series is
+    discretized into a 4-symbol alphabet at its EXACT disc quartiles (data
+    values, engine-portable — not the Gaussian breakpoints, which would
+    hash-drift), and repeated length-3 words are the motifs.  All counts
+    int64; ties broken by word.  One hour groupby; the symbolization and
+    word count fold over the bounded calendar series."""
+    ds = _t(sf_dir, "events", ["ts"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"b": pc.floor_temporal(pc.cast(t.column("ts"), pa.timestamp("us")), unit="hour")}
+        )
+
+    h = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("b")
+        .count()
+        .to_pandas()
+        .sort_values("b")
+        .reset_index(drop=True)
+    )
+    hb = (
+        h["b"].astype("datetime64[us]").astype("int64").to_numpy() // 3_600_000_000
+    ).astype(np.int64)
+    dense = np.zeros(int(hb[-1] - hb[0]) + 1, dtype=np.int64)
+    dense[hb - hb[0]] = h["count()"].to_numpy().astype(np.int64)
+    srt = np.sort(dense)
+    cuts = [srt[max(int(np.ceil(q * len(srt))) - 1, 0)] for q in (0.25, 0.5, 0.75)]
+    sym = np.searchsorted(np.array(cuts), dense, side="left")
+    words = np.stack([sym[:-2], sym[1:-1], sym[2:]], axis=1)
+    uniq, cnt = np.unique(words, axis=0, return_counts=True)
+    keep = cnt >= 2
+    out = pd.DataFrame(
+        {"s1": uniq[keep, 0], "s2": uniq[keep, 1], "s3": uniq[keep, 2], "n_occ": cnt[keep]}
+    )
+    out = out.sort_values(
+        ["n_occ", "s1", "s2", "s3"], ascending=[False, True, True, True]
+    ).head(20).reset_index(drop=True)
+    return out.astype("int64")
+
+
+@q(
+    "dirichlet_ql_doc_search",
+    sql="""
+    WITH toks AS (SELECT doc_id,
+                         regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+                  FROM documents),
+    f AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl,
+                 CAST(len(list_filter(tk, x -> x = 'hash')) AS BIGINT) AS tf_hash,
+                 CAST(len(list_filter(tk, x -> x = 'join')) AS BIGINT) AS tf_join,
+                 CAST(len(list_filter(tk, x -> x = 'scan')) AS BIGINT) AS tf_scan
+          FROM toks),
+    st AS (SELECT CAST(sum(dl) AS BIGINT) AS clen,
+                  CAST(sum(tf_hash) AS BIGINT) AS cf1,
+                  CAST(sum(tf_join) AS BIGINT) AS cf2,
+                  CAST(sum(tf_scan) AS BIGINT) AS cf3
+           FROM f)
+    SELECT doc_id, dl, tf_hash, tf_join, tf_scan,
+        ln((CAST(tf_hash AS DOUBLE)
+            + 2000.0 * (CAST(st.cf1 AS DOUBLE) / CAST(st.clen AS DOUBLE)))
+           / (CAST(dl AS DOUBLE) + 2000.0))
+      + ln((CAST(tf_join AS DOUBLE)
+            + 2000.0 * (CAST(st.cf2 AS DOUBLE) / CAST(st.clen AS DOUBLE)))
+           / (CAST(dl AS DOUBLE) + 2000.0))
+      + ln((CAST(tf_scan AS DOUBLE)
+            + 2000.0 * (CAST(st.cf3 AS DOUBLE) / CAST(st.clen AS DOUBLE)))
+           / (CAST(dl AS DOUBLE) + 2000.0)) AS ql_score
+    FROM f, st
+    WHERE tf_hash + tf_join + tf_scan > 0
+    ORDER BY doc_id
+    """,
+)
+def dirichlet_ql_doc_search(sf_dir: str):
+    """Query-likelihood retrieval with Dirichlet-prior smoothing (Zhai &
+    Lafferty SIGIR 2001, μ=2000) — the language-modeling counterpart of
+    the suite's BM25: score(d) = Σ_q ln((tf + μ·cf_q/|C|)/(dl + μ)).
+    Same constant-width stats pass as bm25_doc_search (per-doc tf/dl in
+    one tokenize scan, corpus cf/|C| as four BIGINTs broadcast back),
+    shuffle-free scoring, identical IEEE expression tree both sides so
+    the raw doubles hash bit-exactly."""
+    import polars as pl
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    terms = ["hash", "join", "scan"]
+
+    def tf(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        toks = pl.col("text").fill_null("").str.to_lowercase().str.extract_all(r"[a-z0-9]+")
+        cols = [toks.list.len().cast(pl.Int64).alias("dl")]
+        for w in terms:
+            cols.append(
+                toks.list.eval(pl.element().filter(pl.element() == w))
+                .list.len()
+                .cast(pl.Int64)
+                .alias(f"tf_{w}")
+            )
+        return df.select("doc_id", *cols).to_arrow()
+
+    f = ds.map_batches(tf, batch_format="pyarrow").materialize()
+    tot = f.aggregate(
+        Sum("dl", alias_name="clen"),
+        *[Sum(f"tf_{w}", alias_name=f"cf_{w}") for w in terms],
+    )
+    clen = float(tot["clen"])
+    cf = {w: float(tot[f"cf_{w}"]) for w in terms}
+    mu = 2000.0
+
+    def score(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        any_tf = sum(pl.col(f"tf_{w}") for w in terms) > 0
+        df = df.filter(any_tf)
+        if df.height == 0:
+            return df.with_columns(pl.lit(0.0).alias("ql_score")).to_arrow()
+        dl = df["dl"].to_numpy().astype(np.float64)
+        s = np.zeros(len(df), dtype=np.float64)
+        for w in terms:
+            tfv = df[f"tf_{w}"].to_numpy().astype(np.float64)
+            arg = (tfv + mu * (cf[w] / clen)) / (dl + mu)
+            # math.log, not np.log: numpy's SIMD log drifts 1 ulp from the
+            # system libm DuckDB calls; this loop runs over MATCHED docs
+            # only (the filtered slice), not the corpus
+            s = s + np.array([math.log(v) for v in arg], dtype=np.float64)
+        return df.with_columns(pl.Series("ql_score", s)).to_arrow()
+
+    out = f.map_batches(score, batch_format="pyarrow").to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    return out[["doc_id", "dl", "tf_hash", "tf_join", "tf_scan", "ql_score"]]

@@ -1,0 +1,74 @@
+"""Round-4 time-series / retrieval queries — brute-force verification."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+def _dense_hourly():
+    df = duckdb.sql(
+        f"SELECT date_trunc('hour', ts) AS b, CAST(count(*) AS BIGINT) AS c "
+        f"FROM '{SF}/events.parquet' GROUP BY 1 ORDER BY 1"
+    ).df()
+    hb = df["b"].astype("datetime64[us]").astype("int64").to_numpy() // 3_600_000_000
+    dense = np.zeros(int(hb[-1] - hb[0]) + 1, dtype=np.int64)
+    dense[hb - hb[0]] = df["c"].to_numpy()
+    return dense
+
+
+def test_acf_vs_numpy_corrcoef(ray_session):
+    import perfect_bloomfilter_ray.pipelines.extras4 as e4
+
+    out = e4.hourly_volume_acf(SF)
+    dense = _dense_hourly()
+    assert len(out) == 12
+    for _, row in out.iterrows():
+        lag = int(row["lag"])
+        x, y = dense[:-lag].astype(float), dense[lag:].astype(float)
+        assert int(row["n_pairs"]) == len(x)
+        ref = np.corrcoef(x, y)[0, 1]
+        assert abs(row["acf"] - ref) < 1e-5
+        assert -1.0 <= row["acf"] <= 1.0
+
+
+def test_sax_motifs_vs_bruteforce(ray_session):
+    import perfect_bloomfilter_ray.pipelines.extras4 as e4
+
+    out = e4.sax_hourly_motifs(SF)
+    dense = _dense_hourly()
+    srt = np.sort(dense)
+    cuts = [srt[max(int(np.ceil(q * len(srt))) - 1, 0)] for q in (0.25, 0.5, 0.75)]
+    sym = np.searchsorted(np.array(cuts), dense, side="left")
+    words = {}
+    for i in range(len(sym) - 2):
+        w = (sym[i], sym[i + 1], sym[i + 2])
+        words[w] = words.get(w, 0) + 1
+    exp = sorted(
+        ((n, w) for w, n in words.items() if n >= 2),
+        key=lambda t: (-t[0], t[1]),
+    )[:20]
+    got = list(zip(out["n_occ"], zip(out["s1"], out["s2"], out["s3"])))
+    assert [(int(n), tuple(int(x) for x in w)) for n, w in got] == [
+        (n, tuple(int(x) for x in w)) for n, w in exp
+    ]
+    assert (out["s1"].between(0, 3)).all()
+
+
+def test_dirichlet_ql_properties(ray_session):
+    import perfect_bloomfilter_ray.pipelines.extras4 as e4
+
+    out = e4.dirichlet_ql_doc_search(SF)
+    assert (out[["tf_hash", "tf_join", "tf_scan"]].sum(axis=1) > 0).all()
+    assert (out["ql_score"] < 0).all()  # log-probabilities
+    # smoothing sanity: within equal dl, more matched occurrences never hurts
+    g = out.groupby("dl")
+    for _, sub in g:
+        if len(sub) < 2:
+            continue
+        sub = sub.assign(tot=sub[["tf_hash", "tf_join", "tf_scan"]].sum(axis=1))
+        top = sub.sort_values(["tot", "ql_score"]).iloc[-1]
+        assert top["ql_score"] == sub["ql_score"].max() or top["tot"] != sub["tot"].max()
