@@ -396,6 +396,7 @@ SUITE = [
     "hourly_volume_acf",
     "sax_hourly_motifs",
     "dirichlet_ql_doc_search",
+    "interval_overlap_user_type_windows",
 ]
 
 

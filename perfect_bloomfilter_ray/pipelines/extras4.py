@@ -835,3 +835,106 @@ def dirichlet_ql_doc_search(sf_dir: str):
     out = f.map_batches(score, batch_format="pyarrow").to_pandas()
     out = out.sort_values("doc_id").reset_index(drop=True)
     return out[["doc_id", "dl", "tf_hash", "tf_join", "tf_scan", "ql_score"]]
+
+
+@q(
+    "interval_overlap_user_type_windows",
+    sql="""
+    WITH l AS (
+      SELECT user_id, date_trunc('day', ts) AS d,
+             CAST(min(epoch_us(ts)) AS BIGINT) AS ls,
+             CAST(max(epoch_us(ts)) AS BIGINT) AS le
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT event_type, date_trunc('hour', ts) AS hh,
+             CAST(min(epoch_us(ts)) AS BIGINT) AS rs,
+             CAST(max(epoch_us(ts)) AS BIGINT) AS re
+      FROM events GROUP BY 1, 2
+    )
+    SELECT r.event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT l.user_id) AS BIGINT) AS n_users
+    FROM l JOIN r ON l.ls <= r.re AND r.rs <= l.le
+    GROUP BY r.event_type ORDER BY r.event_type
+    """,
+)
+def interval_overlap_user_type_windows(sf_dir: str):
+    """Pure interval-overlap join with NO equi-key
+    (stages/intervaljoin.interval_overlap_join): per-(user, day) activity
+    spans × per-(type, hour) activity spans, all pairs whose time
+    intervals intersect — the chunk-replicated plan (day-width time
+    chunks, intervals copied to each touched chunk, pair emitted ONLY by
+    the chunk holding max(l.start, r.start), so no dedup shuffle).  The
+    oracle is DuckDB's IEJoin over the same inequality predicate; counts
+    are exact ints."""
+    import polars as pl
+
+    from perfect_bloomfilter_ray.stages.intervaljoin import interval_overlap_join
+
+    ds = _t(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def spans(keys: list[str], unit: str, s_name: str, e_name: str):
+        def fn(t: pa.Table) -> pa.Table:
+            ts = pc.cast(t.column("ts"), pa.timestamp("us"))
+            b = pc.floor_temporal(ts, unit=unit)
+            cols = {k: t.column(k) for k in keys}
+            cols["_b"] = b
+            cols["_us"] = pc.cast(ts, pa.int64())
+            df = pl.from_arrow(pa.table(cols))
+            return (
+                df.group_by([*keys, "_b"])
+                .agg(
+                    pl.col("_us").min().alias(s_name),
+                    pl.col("_us").max().alias(e_name),
+                )
+                .to_arrow()
+            )
+
+        return fn
+
+    day_us = 86_400_000_000
+    # two-phase exact extents: per-batch partial min/max, then global
+    from ray.data.aggregate import Max, Min
+
+    left = (
+        ds.map_batches(spans(["user_id"], "day", "pls", "ple"), batch_format="pyarrow")
+        .groupby(["user_id", "_b"])
+        .aggregate(Min("pls", alias_name="ls"), Max("ple", alias_name="le"))
+        .drop_columns(["_b"])
+    )
+    right = (
+        ds.map_batches(spans(["event_type"], "hour", "prs", "pre"), batch_format="pyarrow")
+        .groupby(["event_type", "_b"])
+        .aggregate(Min("prs", alias_name="rs"), Max("pre", alias_name="re"))
+        .drop_columns(["_b"])
+    )
+    pairs = interval_overlap_join(
+        left, right, "ls", "le", "rs", "re",
+        l_cols=["user_id"], r_cols=["event_type"], chunk_us=day_us,
+    )
+
+    def agg(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        return (
+            df.group_by(["event_type", "user_id"])
+            .len(name="c")
+            .with_columns(pl.col("c").cast(pl.Int64))
+            .to_arrow()
+        )
+
+    per_user = (
+        pairs.map_batches(agg, batch_format="pyarrow")
+        .groupby(["event_type", "user_id"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    out = (
+        per_user.groupby("event_type")
+        .agg(n_pairs=("c", "sum"), n_users=("user_id", "nunique"))
+        .reset_index()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    out["n_pairs"] = out["n_pairs"].astype("int64")
+    out["n_users"] = out["n_users"].astype("int64")
+    return out
