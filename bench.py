@@ -397,6 +397,8 @@ SUITE = [
     "sax_hourly_motifs",
     "dirichlet_ql_doc_search",
     "interval_overlap_user_type_windows",
+    "sstemmer_vocab_top20",
+    "dtw_type_profile_distances",
 ]
 
 

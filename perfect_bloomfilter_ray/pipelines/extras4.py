@@ -938,3 +938,148 @@ def interval_overlap_user_type_windows(sf_dir: str):
     out["n_pairs"] = out["n_pairs"].astype("int64")
     out["n_users"] = out["n_users"].astype("int64")
     return out
+
+
+@q(
+    "sstemmer_vocab_top20",
+    sql="""
+    WITH tok AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents
+    ),
+    st AS (
+      SELECT w,
+             CASE
+               WHEN w LIKE '%ies' AND NOT (w LIKE '%eies' OR w LIKE '%aies')
+                 THEN substr(w, 1, length(w) - 3) || 'y'
+               WHEN w LIKE '%es' AND NOT (w LIKE '%aes' OR w LIKE '%ees' OR w LIKE '%oes')
+                 THEN substr(w, 1, length(w) - 1)
+               WHEN w LIKE '%s' AND NOT (w LIKE '%us' OR w LIKE '%ss')
+                 THEN substr(w, 1, length(w) - 1)
+               ELSE w
+             END AS stem
+      FROM tok
+    )
+    SELECT stem, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT w) AS BIGINT) AS n_forms
+    FROM st GROUP BY stem ORDER BY n_tokens DESC, stem LIMIT 20
+    """,
+)
+def sstemmer_vocab_top20(sf_dir: str):
+    """Harman S-stemmer (1991 'How effective is suffixing?'): the
+    three-rule plural conflator (ies→y unless -eies/-aies; -es→-e unless
+    -aes/-ees/-oes; -s→ unless -us/-ss) — deliberately rule-exact so the
+    SQL CASE ladder is the bitwise oracle (a Porter stemmer cannot be
+    oracle-checked).  Distributed shape: map-side partial word counts →
+    ONE bounded-vocab groupby; stemming and the stem-level fold
+    (n_tokens, distinct surface forms) run on the distinct-word table,
+    never on rows.  Top-20 with deterministic ties."""
+    import polars as pl
+
+    ds = _t(sf_dir, "documents", ["text"])
+
+    def wc(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        return (
+            df.select(
+                pl.col("text").fill_null("").str.to_lowercase().str.extract_all(r"[a-z]+").alias("w")
+            )
+            .explode("w")
+            .drop_nulls("w")
+            .group_by("w")
+            .len(name="c")
+            .with_columns(pl.col("c").cast(pl.Int64))
+            .to_arrow()
+        )
+
+    vocab = (
+        ds.map_batches(wc, batch_format="pyarrow")
+        .groupby("w")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    w = vocab["w"]
+    stem = w.copy()
+    ies = w.str.endswith("ies") & ~(w.str.endswith("eies") | w.str.endswith("aies"))
+    es = (
+        ~ies
+        & w.str.endswith("es")
+        & ~(w.str.endswith("aes") | w.str.endswith("ees") | w.str.endswith("oes"))
+    )
+    s = (
+        ~ies & ~es
+        & w.str.endswith("s")
+        & ~(w.str.endswith("us") | w.str.endswith("ss"))
+    )
+    stem[ies] = w[ies].str.slice(0, -3) + "y"
+    stem[es] = w[es].str.slice(0, -1)
+    stem[s] = w[s].str.slice(0, -1)
+    vocab["stem"] = stem
+    out = (
+        vocab.groupby("stem")
+        .agg(n_tokens=("c", "sum"), n_forms=("w", "nunique"))
+        .reset_index()
+        .sort_values(["n_tokens", "stem"], ascending=[False, True])
+        .head(20)
+        .reset_index(drop=True)
+    )
+    out["n_tokens"] = out["n_tokens"].astype("int64")
+    out["n_forms"] = out["n_forms"].astype("int64")
+    return out
+
+
+@q("dtw_type_profile_distances")
+def dtw_type_profile_distances(sf_dir: str):
+    """Dynamic-time-warping distance between the 24-hour-of-day activity
+    profiles of every event-type pair (Sakoe-Chiba 1978, full window,
+    |x−y| cost over EXACT integer hourly counts — the alignment-tolerant
+    companion of the suite's temporal-shape cosine, which DTW beats when
+    one type's cycle is phase-shifted).  The corpus-sized step is one
+    (type, hour-of-day) contingency groupby; the 24×24 integer DP runs
+    per pair on the k² driver grid.  rows-only by design (a DP recurrence
+    has no SQL twin); pytest pins the exact costs against an independent
+    brute-force DP and the metric's identity/symmetry properties."""
+    ds = _t(sf_dir, "events", ["event_type", "ts"])
+
+    def feats(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t.column("ts"), pa.timestamp("us"))
+        return pa.table(
+            {"t": t.column("event_type"), "h": pc.cast(pc.hour(ts), pa.int64())}
+        )
+
+    cnt = (
+        ds.map_batches(feats, batch_format="pyarrow")
+        .groupby(["t", "h"])
+        .count()
+        .to_pandas()
+        .rename(columns={"count()": "c"})
+    )
+    prof = {
+        t: np.zeros(24, dtype=np.int64) for t in cnt["t"].unique()
+    }
+    for _, r in cnt.iterrows():
+        prof[r["t"]][int(r["h"])] = int(r["c"])
+    types = sorted(prof)
+    rows = []
+    for i, ta in enumerate(types):
+        for tb in types[i + 1 :]:
+            rows.append(
+                {"type_a": ta, "type_b": tb, "dtw_cost": dtw_int(prof[ta], prof[tb])}
+            )
+    out = pd.DataFrame(rows, columns=["type_a", "type_b", "dtw_cost"])
+    out["dtw_cost"] = out["dtw_cost"].astype("int64")
+    return out.sort_values(["type_a", "type_b"]).reset_index(drop=True)
+
+
+def dtw_int(x: np.ndarray, y: np.ndarray) -> int:
+    """Exact integer DTW with |x−y| cost, full window — vectorized over
+    anti-diagonals is unnecessary at profile length 24; the loop is over
+    the bounded grid, never over corpus rows."""
+    n, m = len(x), len(y)
+    INF = np.iinfo(np.int64).max // 4
+    d = np.full((n + 1, m + 1), INF, dtype=np.int64)
+    d[0, 0] = 0
+    for i in range(1, n + 1):
+        cost = np.abs(x[i - 1] - y).astype(np.int64)
+        for j in range(1, m + 1):
+            d[i, j] = cost[j - 1] + min(d[i - 1, j], d[i, j - 1], d[i - 1, j - 1])
+    return int(d[n, m])

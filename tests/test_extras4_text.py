@@ -1,0 +1,99 @@
+"""Round-4 text / DTW queries — brute-force and property verification."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+def _sstem(w: str) -> str:
+    if w.endswith("ies") and not (w.endswith("eies") or w.endswith("aies")):
+        return w[:-3] + "y"
+    if w.endswith("es") and not (
+        w.endswith("aes") or w.endswith("ees") or w.endswith("oes")
+    ):
+        return w[:-1]
+    if w.endswith("s") and not (w.endswith("us") or w.endswith("ss")):
+        return w[:-1]
+    return w
+
+
+def test_sstemmer_rules():
+    # Terrier-consistent ladder: a failed exception falls through to the
+    # next rule (so "trees" strips the bare -s), matching the SQL CASE
+    cases = {
+        "studies": "study", "babies": "baby",
+        "churches": "churche", "cats": "cat",
+        "bus": "bus", "class": "class", "dog": "dog",
+        "eies": "eie", "aies": "aie", "goes": "goe", "trees": "tree",
+        "es": "e",
+    }
+    for w, exp in cases.items():
+        assert _sstem(w) == exp, (w, _sstem(w), exp)
+
+
+def test_sstemmer_query_vs_bruteforce(ray_session):
+    import re
+
+    import duckdb
+
+    import perfect_bloomfilter_ray.pipelines.extras4 as e4
+
+    out = e4.sstemmer_vocab_top20(SF)
+    texts = duckdb.sql(f"SELECT text FROM '{SF}/documents.parquet'").df()["text"]
+    counts: dict = {}
+    forms: dict = {}
+    for txt in texts:
+        for w in re.findall(r"[a-z]+", (txt or "").lower()):
+            s = _sstem(w)
+            counts[s] = counts.get(s, 0) + 1
+            forms.setdefault(s, set()).add(w)
+    exp = sorted(
+        ((n, s) for s, n in counts.items()), key=lambda t: (-t[0], t[1])
+    )[:20]
+    assert list(zip(out["n_tokens"], out["stem"])) == [(n, s) for n, s in exp]
+    for _, r in out.iterrows():
+        assert int(r["n_forms"]) == len(forms[r["stem"]])
+
+
+def _dtw_ref(x, y):
+    # independent reference DP (different traversal from the engine's)
+    n, m = len(x), len(y)
+    import itertools
+
+    best = {(0, 0): 0}
+    INF = float("inf")
+    for i, j in itertools.product(range(1, n + 1), range(1, m + 1)):
+        c = abs(int(x[i - 1]) - int(y[j - 1]))
+        best[(i, j)] = c + min(
+            best.get((i - 1, j), INF), best.get((i, j - 1), INF), best.get((i - 1, j - 1), INF)
+        )
+    return best[(n, m)]
+
+
+def test_dtw_kernel_properties():
+    from perfect_bloomfilter_ray.pipelines.extras4 import dtw_int
+
+    rng = np.random.RandomState(0)
+    for _ in range(20):
+        x = rng.randint(0, 100, 24).astype(np.int64)
+        y = rng.randint(0, 100, 24).astype(np.int64)
+        assert dtw_int(x, y) == _dtw_ref(x, y)
+        assert dtw_int(x, x) == 0  # identity
+        assert dtw_int(x, y) == dtw_int(y, x)  # symmetric
+    # phase shift: DTW of a rolled series is far below the L1 distance
+    base = (100 * (1 + np.sin(np.arange(24) / 24 * 2 * np.pi))).astype(np.int64)
+    rolled = np.roll(base, 3)
+    assert dtw_int(base, rolled) < int(np.abs(base - rolled).sum())
+
+
+def test_dtw_query_shape(ray_session):
+    import perfect_bloomfilter_ray.pipelines.extras4 as e4
+
+    out = e4.dtw_type_profile_distances(SF)
+    assert (out["type_a"] < out["type_b"]).all()
+    assert (out["dtw_cost"] >= 0).all()
+    k = pd.concat([out["type_a"], out["type_b"]]).nunique()
+    assert len(out) == k * (k - 1) // 2
