@@ -399,6 +399,8 @@ SUITE = [
     "interval_overlap_user_type_windows",
     "sstemmer_vocab_top20",
     "dtw_type_profile_distances",
+    "event_type_loo_target_encoding",
+    "seasonal_outlier_hours",
 ]
 
 

@@ -1083,3 +1083,152 @@ def dtw_int(x: np.ndarray, y: np.ndarray) -> int:
         for j in range(1, m + 1):
             d[i, j] = cost[j - 1] + min(d[i - 1, j], d[i, j - 1], d[i - 1, j - 1])
     return int(d[n, m])
+
+
+@q(
+    "event_type_loo_target_encoding",
+    sql="""
+    WITH v AS (
+      SELECT event_id, event_type, CAST(floor(value * 100) AS BIGINT) AS x
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_id,
+           CAST(sum(x) OVER (PARTITION BY event_type) - x AS BIGINT) AS loo_num,
+           CAST(count(*) OVER (PARTITION BY event_type) - 1 AS BIGINT) AS loo_den
+    FROM v ORDER BY event_id
+    """,
+)
+def event_type_loo_target_encoding(sf_dir: str):
+    """Leave-one-out target encoding of the categorical event type against
+    integer-cent value (the leakage-free supervised-ML categorical
+    encoder: each row's code excludes its own target).  Emitted as the
+    exact RATIONAL (Σx_g − x_i, n_g − 1) so the report hashes bit-exactly
+    — the division is the consumer's choice.  Grouped (n, Σ) reduce →
+    broadcast LUT → one shuffle-free scan; never a per-key window sort."""
+    import polars as pl
+
+    ds = _t(sf_dir, "events", ["event_id", "event_type", "value"]).filter(
+        lambda r: r["value"] is not None
+    )
+
+    def cents(t: pa.Table) -> pa.Table:
+        x = pc.cast(pc.floor(pc.multiply(t.column("value"), 100.0)), pa.int64())
+        return pa.table(
+            {"event_id": t.column("event_id"), "event_type": t.column("event_type"), "x": x}
+        )
+
+    cx = ds.map_batches(cents, batch_format="pyarrow")
+
+    def part(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .group_by("event_type")
+            .agg(pl.len().cast(pl.Int64).alias("n"), pl.col("x").sum().alias("sx"))
+            .to_arrow()
+        )
+
+    g = (
+        cx.map_batches(part, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("n", alias_name="n"), Sum("sx", alias_name="sx"))
+        .to_pandas()
+    )
+    n_lut = dict(zip(g["event_type"], g["n"].astype(int)))
+    sx_lut = dict(zip(g["event_type"], g["sx"].astype(int)))
+
+    def encode(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        return df.select(
+            "event_id",
+            (
+                pl.col("event_type").replace_strict(sx_lut, return_dtype=pl.Int64)
+                - pl.col("x")
+            ).alias("loo_num"),
+            (
+                pl.col("event_type").replace_strict(n_lut, return_dtype=pl.Int64) - 1
+            ).alias("loo_den"),
+        ).to_arrow()
+
+    return cx.map_batches(encode, batch_format="pyarrow").sort("event_id")
+
+
+@q(
+    "seasonal_outlier_hours",
+    sql="""
+    WITH h AS (
+      SELECT date_trunc('hour', ts) AS b, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ),
+    s AS (SELECT b, c, CAST(dayofweek(b) AS BIGINT) AS dow,
+                 CAST(extract(hour FROM b) AS BIGINT) AS hod
+          FROM h),
+    med AS (SELECT dow, hod, quantile_disc(c, 0.5) AS m FROM s GROUP BY 1, 2),
+    dev AS (SELECT s.b, s.c, s.dow, s.hod, med.m, abs(s.c - med.m) AS ad
+            FROM s JOIN med USING (dow, hod)),
+    mad AS (SELECT dow, hod, quantile_disc(ad, 0.5) AS mad FROM dev GROUP BY 1, 2)
+    SELECT dev.b AS hour_bucket, dev.c AS n_events, dev.m AS stratum_median,
+           mad.mad AS stratum_mad
+    FROM dev JOIN mad USING (dow, hod)
+    WHERE dev.ad > 3 * mad.mad
+    ORDER BY hour_bucket
+    """,
+)
+def seasonal_outlier_hours(sf_dir: str):
+    """Seasonal-stratified robust outlier hours (the S-H-ESD/robust-zscore
+    monitoring shape applied per (day-of-week, hour-of-day) stratum, so a
+    Saturday-3am lull is judged against other Saturday-3ams): an hour is
+    flagged when |count − stratum median| > 3 × stratum MAD, every term an
+    EXACT disc-quantile of integer counts — no float anywhere, so the
+    report hashes bit-identically.  One hour groupby; stratum medians and
+    the flag fold run on the bounded 7×24 calendar grid."""
+    ds = _t(sf_dir, "events", ["ts"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"b": pc.floor_temporal(pc.cast(t.column("ts"), pa.timestamp("us")), unit="hour")}
+        )
+
+    h = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("b")
+        .count()
+        .to_pandas()
+        .sort_values("b")
+        .reset_index(drop=True)
+    )
+    hb = (
+        h["b"].astype("datetime64[us]").astype("int64").to_numpy() // 3_600_000_000
+    ).astype(np.int64)
+    c = h["count()"].to_numpy().astype(np.int64)
+    dow = ((hb // 24) + 4) % 7  # epoch day 0 = Thursday = DuckDB dayofweek 4
+    hod = hb % 24
+
+    def disc_median(v: np.ndarray) -> int:
+        srt = np.sort(v)
+        return int(srt[max(int(np.ceil(0.5 * len(srt))) - 1, 0)])
+
+    rows = []
+    for d in range(7):
+        for hh in range(24):
+            m = (dow == d) & (hod == hh)
+            if not m.any():
+                continue
+            med = disc_median(c[m])
+            ad = np.abs(c[m] - med)
+            mad = disc_median(ad)
+            flag = ad > 3 * mad
+            for b_us, cv, adv in zip(
+                h["b"].to_numpy()[m][flag], c[m][flag], ad[flag]
+            ):
+                rows.append(
+                    {"hour_bucket": b_us, "n_events": int(cv),
+                     "stratum_median": med, "stratum_mad": mad}
+                )
+    out = pd.DataFrame(
+        rows, columns=["hour_bucket", "n_events", "stratum_median", "stratum_mad"]
+    )
+    if len(out):
+        out = out.sort_values("hour_bucket").reset_index(drop=True)
+    for col in ("n_events", "stratum_median", "stratum_mad"):
+        out[col] = out[col].astype("int64")
+    return out

@@ -123,3 +123,57 @@ def test_cohens_kappa_identities(ray_session):
     po, pe = agree / n, pe_num / (n * n)
     assert abs(out["kappa"] - (po - pe) / (1 - pe)) < 1e-12
     assert -1.0 <= out["kappa"] <= 1.0
+
+
+def test_loo_target_encoding_identities(ray_session):
+    """Each row's rational excludes its own target; group totals recover."""
+    import duckdb
+
+    import perfect_bloomfilter_ray.pipelines.extras4 as e4
+
+    out = e4.event_type_loo_target_encoding(SF).to_pandas()
+    ref = duckdb.sql(
+        f"SELECT event_id, event_type, CAST(floor(value*100) AS BIGINT) AS x "
+        f"FROM '{SF}/events.parquet' WHERE value IS NOT NULL"
+    ).df()
+    merged = out.merge(ref, on="event_id")
+    for g, sub in merged.groupby("event_type"):
+        sx, n = int(sub["x"].sum()), len(sub)
+        assert (sub["loo_num"] + sub["x"] == sx).all()
+        assert (sub["loo_den"] == n - 1).all()
+
+
+def test_seasonal_outlier_hours_flags(ray_session):
+    """Every flagged hour violates the 3-MAD rule within its stratum; no
+    unflagged hour does."""
+    import duckdb
+
+    import perfect_bloomfilter_ray.pipelines.extras4 as e4
+
+    out = e4.seasonal_outlier_hours(SF)
+    h = duckdb.sql(
+        f"SELECT date_trunc('hour', ts) AS b, CAST(count(*) AS BIGINT) AS c "
+        f"FROM '{SF}/events.parquet' GROUP BY 1 ORDER BY 1"
+    ).df()
+    hb = h["b"].astype("datetime64[us]").astype("int64").to_numpy() // 3_600_000_000
+    c = h["c"].to_numpy()
+    dow, hod = ((hb // 24) + 4) % 7, hb % 24
+
+    def dmed(v):
+        s = np.sort(v)
+        return int(s[max(int(np.ceil(0.5 * len(s))) - 1, 0)])
+
+    expected = set()
+    for d in range(7):
+        for hh in range(24):
+            m = (dow == d) & (hod == hh)
+            if not m.any():
+                continue
+            med = dmed(c[m])
+            ad = np.abs(c[m] - med)
+            mad = dmed(ad)
+            for b, flag in zip(h["b"].to_numpy()[m], ad > 3 * mad):
+                if flag:
+                    expected.add(pd.Timestamp(b))
+    got = set(pd.to_datetime(out["hour_bucket"]))
+    assert got == expected
