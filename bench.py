@@ -401,6 +401,8 @@ SUITE = [
     "dtw_type_profile_distances",
     "event_type_loo_target_encoding",
     "seasonal_outlier_hours",
+    "sentence_stats_per_lang",
+    "documents_profile_sketched",
 ]
 
 

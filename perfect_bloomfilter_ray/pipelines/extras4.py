@@ -1232,3 +1232,109 @@ def seasonal_outlier_hours(sf_dir: str):
     for col in ("n_events", "stratum_median", "stratum_mad"):
         out[col] = out[col].astype("int64")
     return out
+
+
+@q(
+    "sentence_stats_per_lang",
+    sql="""
+    WITH f AS (
+      SELECT lang,
+             CAST(len(list_filter(regexp_extract_all(text, '[^.!?]+'),
+                                  x -> trim(x) <> '')) AS BIGINT) AS n_sent,
+             CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tok
+      FROM documents
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_sent) AS BIGINT) AS n_sentences,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens
+    FROM f GROUP BY lang ORDER BY lang
+    """,
+)
+def sentence_stats_per_lang(sf_dir: str):
+    """Rule-based sentence segmentation census per language: sentences are
+    the non-whitespace segments between [.!?] terminator runs (the
+    pre-tokenizer sentence splitter of the CCNet/Gopher lineage), tokens
+    the \\S+ runs.  Both definitions are regex-identical across engines,
+    so the per-lang totals are exact ints; mean tokens/sentence is the
+    consumer's division of two reported BIGINTs.  One vectorized polars
+    string pass + a k-group fold."""
+    import polars as pl
+
+    ds = _t(sf_dir, "documents", ["lang", "text"])
+
+    def feats(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        txt = pl.col("text").fill_null("")
+        n_sent = (
+            txt.str.extract_all(r"[^.!?]+")
+            .list.eval(pl.element().filter(pl.element().str.strip_chars() != ""))
+            .list.len()
+            .cast(pl.Int64)
+        )
+        n_tok = txt.str.extract_all(r"\S+").list.len().cast(pl.Int64)
+        return (
+            df.select("lang", n_sent.alias("n_sent"), n_tok.alias("n_tok"))
+            .group_by("lang")
+            .agg(
+                pl.len().cast(pl.Int64).alias("n_docs"),
+                pl.col("n_sent").sum().alias("n_sentences"),
+                pl.col("n_tok").sum().alias("n_tokens"),
+            )
+            .to_arrow()
+        )
+
+    out = (
+        ds.map_batches(feats, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_sentences", alias_name="n_sentences"),
+            Sum("n_tokens", alias_name="n_tokens"),
+        )
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    for c in ("n_docs", "n_sentences", "n_tokens"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+@q("documents_profile_sketched")
+def documents_profile_sketched(sf_dir: str):
+    """Sketched table profile — the 100-TB-shaped twin of the exact
+    documents_profile: per-column distinct-count estimates from ONE
+    streaming pass building an HLL per column (stages/agg.
+    multi_sketch_global partial/merge tree), where the exact profile
+    needs a value shuffle per column.  rows-only by design (estimates);
+    pytest pins every column's estimate inside the ±1.04/√m HLL bound
+    against the exact NDV and checks the exact row/null counts carried
+    in-row."""
+    from perfect_bloomfilter_ray.stages.agg import multi_sketch_global
+    from perfect_bloomfilter_ray.state.hll import HyperLogLog
+
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    ds = _t(sf_dir, "documents", cols)
+
+    sketches = multi_sketch_global(
+        ds, {c: (c, lambda: HyperLogLog(12)) for c in cols}
+    )
+
+    def null_partials(t: pa.Table) -> pa.Table:
+        out = {"n": pa.array([len(t)], pa.int64())}
+        for c in cols:
+            out[f"null_{c}"] = pa.array([t.column(c).null_count], pa.int64())
+        return pa.table(out)
+
+    nulls = ds.map_batches(null_partials, batch_format="pyarrow").to_pandas().sum()
+    n = int(nulls["n"])
+    rows = [
+        {
+            "column": c,
+            "n_rows": n,
+            "n_nulls": int(nulls[f"null_{c}"]),
+            "ndv_est": int(round(sketches[c].estimate())),
+        }
+        for c in cols
+    ]
+    return pd.DataFrame(rows, columns=["column", "n_rows", "n_nulls", "ndv_est"])

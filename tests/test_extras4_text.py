@@ -97,3 +97,43 @@ def test_dtw_query_shape(ray_session):
     assert (out["dtw_cost"] >= 0).all()
     k = pd.concat([out["type_a"], out["type_b"]]).nunique()
     assert len(out) == k * (k - 1) // 2
+
+
+def test_sentence_stats_vs_bruteforce(ray_session):
+    import re
+
+    import duckdb
+
+    import perfect_bloomfilter_ray.pipelines.extras4 as e4
+
+    out = e4.sentence_stats_per_lang(SF).set_index("lang")
+    df = duckdb.sql(f"SELECT lang, text FROM '{SF}/documents.parquet'").df()
+    for lang, sub in df.groupby("lang"):
+        n_sent = n_tok = 0
+        for txt in sub["text"]:
+            txt = txt or ""
+            n_sent += sum(1 for s in re.findall(r"[^.!?]+", txt) if s.strip())
+            n_tok += len(re.findall(r"\S+", txt))
+        assert int(out.loc[lang, "n_docs"]) == len(sub)
+        assert int(out.loc[lang, "n_sentences"]) == n_sent
+        assert int(out.loc[lang, "n_tokens"]) == n_tok
+
+
+def test_sketched_profile_within_hll_bound(ray_session):
+    import duckdb
+
+    import perfect_bloomfilter_ray.pipelines.extras4 as e4
+
+    out = e4.documents_profile_sketched(SF).set_index("column")
+    for col in ("doc_id", "text", "lang", "source", "n_chars"):
+        exact = duckdb.sql(
+            f'SELECT count(DISTINCT "{col}") AS d, count(*) AS n, '
+            f'sum(CASE WHEN "{col}" IS NULL THEN 1 ELSE 0 END) AS z '
+            f"FROM '{SF}/documents.parquet'"
+        ).df().iloc[0]
+        est = int(out.loc[col, "ndv_est"])
+        d = int(exact["d"])
+        # HLL p=12 -> rel error ~1.04/sqrt(4096) = 1.6%; allow 5 sigma + slack for tiny d
+        assert abs(est - d) <= max(0.09 * d, 3), (col, est, d)
+        assert int(out.loc[col, "n_rows"]) == int(exact["n"])
+        assert int(out.loc[col, "n_nulls"]) == int(exact["z"] or 0)
