@@ -403,6 +403,7 @@ SUITE = [
     "seasonal_outlier_hours",
     "sentence_stats_per_lang",
     "documents_profile_sketched",
+    "event_hilbert_keys",
 ]
 
 

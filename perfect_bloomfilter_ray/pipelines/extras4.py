@@ -1338,3 +1338,59 @@ def documents_profile_sketched(sf_dir: str):
         for c in cols
     ]
     return pd.DataFrame(rows, columns=["column", "n_rows", "n_nulls", "ndv_est"])
+
+
+def _hilbert_oracle_sql(bits: int = 16) -> str:
+    """Unrolled vectorless twin of stages/partitioning.hilbert_key2: one
+    CTE per level carrying (x, y, d) through the rotate-and-accumulate
+    walk — the oracle spells out every CASE the numpy level performs."""
+    parts = [
+        "WITH t0 AS (SELECT event_id, user_id & 65535 AS x,",
+        "  CAST(floor(value) AS BIGINT) & 65535 AS y, CAST(0 AS BIGINT) AS d",
+        "  FROM events)",
+    ]
+    lvl = 0
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        p, c = lvl, lvl + 1
+        parts.append(
+            f""",t{c} AS (
+  SELECT event_id,
+    CASE WHEN (y & {s}) = 0
+         THEN (CASE WHEN (x & {s}) > 0 THEN {s} - 1 - y ELSE y END)
+         ELSE x END AS x,
+    CASE WHEN (y & {s}) = 0
+         THEN (CASE WHEN (x & {s}) > 0 THEN {s} - 1 - x ELSE x END)
+         ELSE y END AS y,
+    d + {s * s} * xor(3 * (CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END),
+                      (CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END)) AS d
+  FROM t{p})"""
+        )
+        lvl = c
+    parts.append(f"SELECT event_id, d AS hkey FROM t{lvl} ORDER BY event_id")
+    return "\n".join(parts)
+
+
+@q("event_hilbert_keys", sql=_hilbert_oracle_sql(16))
+def event_hilbert_keys(sf_dir: str):
+    """Hilbert-curve clustering keys (stages/partitioning.hilbert_key2)
+    over (user_id, floor(value)) — the locality upgrade of the z-order
+    keys already in the suite: consecutive Hilbert keys are ALWAYS
+    spatially adjacent (Morton order jumps diagonally at power-of-two
+    boundaries), so range-partitioned files get tighter per-file min/max
+    on both columns for the same write-time cost.  The SQL oracle unrolls
+    all 16 rotate-and-accumulate levels; pytest additionally pins the
+    bijection + unit-step curve properties and measures the locality win
+    over z-order."""
+    from perfect_bloomfilter_ray.stages.partitioning import hilbert_key2
+
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def hk(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = np.floor(t.column("value").to_numpy(zero_copy_only=False)).astype(np.int64)
+        return pa.table(
+            {"event_id": t.column("event_id"), "hkey": pa.array(hilbert_key2(u, v, 16))}
+        )
+
+    return ds.map_batches(hk, batch_format="pyarrow").sort("event_id")

@@ -109,3 +109,40 @@ def zorder_key2(a, b, bits: int = 16) -> "np.ndarray":
     a = np.asarray(a).astype(np.uint64) & mask
     b = np.asarray(b).astype(np.uint64) & mask
     return (_part1by1(a) | (_part1by1(b) << np.uint64(1))).astype(np.int64)
+
+
+def hilbert_key2(a, b, bits: int = 16) -> "np.ndarray":
+    """Hilbert-curve clustering key of two non-negative integer columns,
+    ``bits`` low bits each → one int64 key (the locality upgrade over
+    :func:`zorder_key2`: on the Hilbert curve EVERY consecutive key pair
+    is spatially adjacent, where Morton order takes long diagonal jumps at
+    power-of-two boundaries — measurably tighter file min/max ranges for
+    the same multi-column pruning trick).
+
+    Vectorized xy→d transform (the standard rotate-and-accumulate walk,
+    cf. Hamilton's compact Hilbert indices): the loop is over ``bits``
+    LEVELS, every level a few numpy ops over all rows — never per row.
+    Values are masked to ``bits`` low bits, like zorder_key2.
+    """
+    import numpy as np
+
+    if not 1 <= bits <= 31:
+        raise ValueError(f"hilbert_key2 supports 1..31 bits per column, got {bits}")
+    mask = np.int64((1 << bits) - 1)
+    x = (np.asarray(a).astype(np.int64) & mask).copy()
+    y = (np.asarray(b).astype(np.int64) & mask).copy()
+    d = np.zeros(len(x), dtype=np.int64)
+    for i in range(bits - 1, -1, -1):
+        s = np.int64(1 << i)
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        # rotate quadrant so the curve enters/exits correctly
+        swap = ry == 0
+        flip = swap & (rx == 1)
+        x_f = np.where(flip, s - 1 - x, x)
+        y_f = np.where(flip, s - 1 - y, y)
+        x_new = np.where(swap, y_f, x_f)
+        y_new = np.where(swap, x_f, y_f)
+        x, y = x_new, y_new
+    return d

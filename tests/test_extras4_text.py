@@ -137,3 +137,23 @@ def test_sketched_profile_within_hll_bound(ray_session):
         assert abs(est - d) <= max(0.09 * d, 3), (col, est, d)
         assert int(out.loc[col, "n_rows"]) == int(exact["n"])
         assert int(out.loc[col, "n_nulls"]) == int(exact["z"] or 0)
+
+
+def test_hilbert_curve_properties_and_locality(ray_session):
+    import numpy as np
+
+    from perfect_bloomfilter_ray.stages.partitioning import hilbert_key2, zorder_key2
+
+    bits = 5
+    n = 1 << bits
+    xs, ys = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    d = hilbert_key2(xs.ravel(), ys.ravel(), bits)
+    assert sorted(d) == list(range(n * n))  # bijection onto [0, 4^bits)
+    order = np.argsort(d)
+    px, py = xs.ravel()[order], ys.ravel()[order]
+    steps_h = np.abs(np.diff(px)) + np.abs(np.diff(py))
+    assert (steps_h == 1).all()  # every consecutive key pair is adjacent
+    z = zorder_key2(xs.ravel(), ys.ravel(), bits)
+    zo = np.argsort(z)
+    steps_z = np.abs(np.diff(xs.ravel()[zo])) + np.abs(np.diff(ys.ravel()[zo]))
+    assert steps_h.mean() < steps_z.mean()  # the locality win over Morton
