@@ -1,0 +1,56 @@
+"""Resumable pagerank_dataset — checkpoint publish + resume parity."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from perfect_bloomfilter_ray.stages.graph import pagerank_dataset
+
+
+def _edges():
+    import ray
+
+    rng = np.random.RandomState(0)
+    src = rng.randint(0, 40, 500).astype(np.int64)
+    dst = rng.randint(0, 40, 500).astype(np.int64)
+    keep = src != dst
+    return ray.data.from_pandas(pd.DataFrame({"src": src[keep], "dst": dst[keep]}))
+
+
+def _ranks(ds):
+    df = ds.to_pandas().sort_values("node").reset_index(drop=True)
+    return df
+
+
+def test_checkpoint_resume_matches_straight_run(ray_session, tmp_path):
+    ck = str(tmp_path / "pr")
+    straight = _ranks(pagerank_dataset(_edges(), iters=4))
+    # simulate an interrupted job: 2 iterations published...
+    _ranks(pagerank_dataset(_edges(), iters=2, checkpoint_dir=ck))
+    assert os.path.isdir(os.path.join(ck, "iter_2"))
+    # ...then the rerun resumes from iter_2 instead of restarting
+    resumed = _ranks(pagerank_dataset(_edges(), iters=4, checkpoint_dir=ck))
+    assert os.path.isdir(os.path.join(ck, "iter_4"))
+    pd.testing.assert_series_equal(straight["node"], resumed["node"])
+    assert np.allclose(straight["rank"], resumed["rank"], rtol=1e-12)
+
+
+def test_checkpoint_files_are_per_iteration(ray_session, tmp_path):
+    ck = str(tmp_path / "pr2")
+    _ranks(pagerank_dataset(_edges(), iters=3, checkpoint_dir=ck))
+    iters = sorted(d for d in os.listdir(ck) if d.startswith("iter_"))
+    assert iters == ["iter_1", "iter_2", "iter_3"]
+    assert not any(d.startswith(".tmp") for d in os.listdir(ck))
+
+
+def test_resume_ignores_iterations_beyond_request(ray_session, tmp_path):
+    ck = str(tmp_path / "pr3")
+    _ranks(pagerank_dataset(_edges(), iters=4, checkpoint_dir=ck))
+    # asking for FEWER iters than checkpointed: resumes from iter_2, runs none
+    two = _ranks(pagerank_dataset(_edges(), iters=2, checkpoint_dir=ck))
+    fresh = _ranks(pagerank_dataset(_edges(), iters=2))
+    assert np.allclose(two["rank"], fresh["rank"], rtol=1e-12)
