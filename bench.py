@@ -404,6 +404,7 @@ SUITE = [
     "sentence_stats_per_lang",
     "documents_profile_sketched",
     "event_hilbert_keys",
+    "iblt_snapshot_reconciliation",
 ]
 
 
