@@ -405,6 +405,8 @@ SUITE = [
     "documents_profile_sketched",
     "event_hilbert_keys",
     "iblt_snapshot_reconciliation",
+    "cms_cu_heavy_hitter_users",
+    "jl_projected_embeddings",
 ]
 
 

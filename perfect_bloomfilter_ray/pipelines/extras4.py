@@ -1453,3 +1453,97 @@ def iblt_snapshot_reconciliation(sf_dir: str):
             "decode_ok": [int(ok)],
         }
     ).astype("int64")
+
+
+@q("cms_cu_heavy_hitter_users")
+def cms_cu_heavy_hitter_users(sf_dir: str):
+    """Heavy-hitter estimates from the conservative-update count-min
+    (state/cms.ConservativeCMS — Estan & Varghese 2002): same probe set
+    as the plain-CMS heavy-hitter query, with the plain-CMS and EXACT
+    counts riding in-row so the tightening is visible per key.  rows-only
+    by design (estimates); pytest pins the sandwich exact ≤ CU ≤ CMS
+    pointwise.  Build shape identical to every sketch: partial tables per
+    block merged cellwise (merging forfeits some CU tightness — the
+    docstring contract — but never the upper bound)."""
+    import polars as pl
+
+    from perfect_bloomfilter_ray.stages.agg import sketch_global
+    from perfect_bloomfilter_ray.state.cms import ConservativeCMS, CountMinSketch
+
+    ds = _t(sf_dir, "events", ["user_id"]).materialize()
+    cu = sketch_global(ds, "user_id", lambda: ConservativeCMS(eps=1e-3, delta=1e-3))
+    cms = sketch_global(ds, "user_id", lambda: CountMinSketch(eps=1e-3, delta=1e-3))
+    exact = (
+        ds.groupby("user_id")
+        .count()
+        .to_pandas()
+        .rename(columns={"count()": "exact"})
+        .sort_values(["exact", "user_id"], ascending=[False, True])
+        .head(20)
+        .reset_index(drop=True)
+    )
+    keys = pa.array(exact["user_id"].to_numpy())
+    exact["est_cu"] = cu.estimate_column(keys).astype(np.int64)
+    exact["est_cms"] = cms.estimate_column(keys).astype(np.int64)
+    exact["exact"] = exact["exact"].astype("int64")
+    return exact[["user_id", "exact", "est_cu", "est_cms"]]
+
+
+def _jl_sign(i: int, j: int) -> int:
+    return 1 if (i * 31 + j * 17) % 2 == 0 else -1
+
+
+def _jl_oracle_sql(in_dim: int = 64, out_dim: int = 4) -> str:
+    cols = []
+    for j in range(out_dim):
+        terms = []
+        for i in range(in_dim):
+            s = "+" if _jl_sign(i, j) == 1 else "-"
+            terms.append(f"{s} CAST(embedding[{i + 1}] AS DOUBLE)")
+        expr = " ".join(terms).lstrip("+ ").strip()
+        first_sign = "-" if _jl_sign(0, j) == -1 else ""
+        terms2 = []
+        for i in range(in_dim):
+            sgn = _jl_sign(i, j)
+            t = f"CAST(embedding[{i + 1}] AS DOUBLE)"
+            if i == 0:
+                terms2.append(t if sgn == 1 else f"(0.0 - {t})")
+            else:
+                terms2.append(("+ " if sgn == 1 else "- ") + t)
+        cols.append("(" + " ".join(terms2) + f") AS p{j}")
+    return (
+        "SELECT vec_id, " + ", ".join(cols) + " FROM embeddings ORDER BY vec_id"
+    )
+
+
+@q("jl_projected_embeddings", sql=_jl_oracle_sql(64, 4))
+def jl_projected_embeddings(sf_dir: str):
+    """Johnson-Lindenstrauss random projection of the embedding column
+    (Achlioptas 2003 database-friendly ±1 variant): 64-dim vectors ×
+    a DETERMINISTIC Rademacher sign matrix s_ij = ±1 from (31i+17j) mod 2
+    → 4-dim sketch vectors.  The engine accumulates the signed terms in
+    the SAME left-to-right order as the unrolled SQL expression, so the
+    raw doubles hash bit-exactly.  Shuffle-free map over batches; the
+    projection matrix is compile-time constant (nothing broadcast).
+    pytest pins the JL property on real pairs (norm distortion bounded)."""
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        emb = t.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        # flatten() honors list-array slice offsets (.values would not)
+        mat = np.asarray(
+            emb.flatten().to_numpy(zero_copy_only=False), dtype=np.float64
+        ).reshape(len(t), -1)
+        cols = {"vec_id": t.column("vec_id")}
+        for j in range(4):
+            # 0.0 - x (not x * -1.0): keeps the zero sign identical to SQL
+            s = mat[:, 0].copy() if _jl_sign(0, j) == 1 else 0.0 - mat[:, 0]
+            for i in range(1, mat.shape[1]):
+                sgn = _jl_sign(i, j)
+                s = s + mat[:, i] if sgn == 1 else s - mat[:, i]
+            cols[f"p{j}"] = pa.array(s)
+        return pa.table(cols)
+
+    return ds.map_batches(proj, batch_format="pyarrow").sort("vec_id")

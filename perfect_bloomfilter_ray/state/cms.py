@@ -198,3 +198,32 @@ class CountMinSketch:
             out._sparse_h = None
             out.counts = d["counts"]
         return out
+
+
+class ConservativeCMS(CountMinSketch):
+    """Count-min with BATCHED conservative update (Estan & Varghese 2002
+    §4.2): a cell is raised only to ``min_rows(key) + increment``, never
+    blindly added to — pointwise ≤ the plain CMS table on the same stream
+    (proved by induction: max(cur, mn+w) ≤ cur+w since mn ≤ cur), while
+    the no-underestimate guarantee survives because mn ≥ true count
+    before the batch.
+
+    Batched semantics: each update_column aggregates its batch per
+    distinct key and applies one conservative raise per key (np.maximum.at
+    — order-independent, fully vectorized), which is slightly looser than
+    per-item CU but keeps the hot path loop-free.  MERGING partials adds
+    cellwise (inherited): still an upper bound (each row cell ≥ its
+    side's true count, sums preserve it) but merging forfeits part of
+    CU's tightness — the more of the stream each partial sees, the closer
+    to single-stream CU; the estimate never drops below plain-CMS
+    correctness either way."""
+
+    def _update_dense(self, h: np.ndarray, w: np.ndarray) -> None:
+        uh, inv = np.unique(h, return_inverse=True)
+        uw = np.zeros(len(uh), dtype=np.int64)
+        np.add.at(uw, inv, w)
+        idx = self._indices(uh)
+        cur = np.stack([self.counts[r][idx[r]] for r in range(self.depth)])
+        target = cur.min(axis=0) + uw
+        for r in range(self.depth):
+            np.maximum.at(self.counts[r], idx[r], target)

@@ -177,3 +177,72 @@ def test_seasonal_outlier_hours_flags(ray_session):
                     expected.add(pd.Timestamp(b))
     got = set(pd.to_datetime(out["hour_bucket"]))
     assert got == expected
+
+
+def test_conservative_cms_sandwich():
+    """exact <= CU estimate <= plain CMS estimate, same seeds/stream."""
+    from perfect_bloomfilter_ray.state.cms import ConservativeCMS, CountMinSketch
+
+    rng = np.random.RandomState(0)
+    keys = (rng.zipf(1.3, 100_000) % 3000).astype(np.int64)
+    cms = CountMinSketch(eps=1e-2, delta=1e-2)
+    cu = ConservativeCMS(eps=1e-2, delta=1e-2)
+    for i in range(0, len(keys), 8192):
+        cms.update_column(keys[i : i + 8192])
+        cu.update_column(keys[i : i + 8192])
+    uniq, true = np.unique(keys, return_counts=True)
+    e_cms = cms.estimate_column(uniq)
+    e_cu = cu.estimate_column(uniq)
+    assert (e_cu >= true).all()
+    assert (e_cu <= e_cms).all()
+    assert (e_cu - true).mean() < (e_cms - true).mean()  # strictly tighter on skew
+
+
+def test_conservative_cms_merge_keeps_upper_bound():
+    from perfect_bloomfilter_ray.state.cms import ConservativeCMS
+
+    rng = np.random.RandomState(1)
+    a_keys = (rng.zipf(1.3, 30_000) % 1000).astype(np.int64)
+    b_keys = (rng.zipf(1.3, 30_000) % 1000).astype(np.int64)
+    a = ConservativeCMS(eps=1e-2, delta=1e-2)
+    b = ConservativeCMS(eps=1e-2, delta=1e-2)
+    a.update_column(a_keys)
+    b.update_column(b_keys)
+    merged = ConservativeCMS.from_bytes(a.to_bytes()) if False else a.merge(b)
+    allk = np.concatenate([a_keys, b_keys])
+    uniq, true = np.unique(allk, return_counts=True)
+    assert (merged.estimate_column(uniq) >= true).all()
+
+
+def test_cu_query_sandwich(ray_session):
+    import perfect_bloomfilter_ray.pipelines.extras4 as e4
+
+    out = e4.cms_cu_heavy_hitter_users(SF)
+    assert (out["exact"] <= out["est_cu"]).all()
+    assert (out["est_cu"] <= out["est_cms"]).all()
+
+
+def test_jl_projection_distortion(ray_session):
+    """JL property: projected pairwise distances track the originals."""
+    import duckdb
+
+    import perfect_bloomfilter_ray.pipelines.extras4 as e4
+
+    out = e4.jl_projected_embeddings(SF).to_pandas().head(50)
+    ref = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{SF}/embeddings.parquet' ORDER BY vec_id LIMIT 50"
+    ).df()
+    orig = np.stack([np.asarray(v, dtype=np.float64) for v in ref["embedding"]])
+    proj = out[["p0", "p1", "p2", "p3"]].to_numpy() / 2.0  # 1/sqrt(k) scale
+    rng = np.random.RandomState(0)
+    ratios = []
+    for _ in range(200):
+        i, j = rng.randint(0, 50, 2)
+        if i == j:
+            continue
+        d0 = np.linalg.norm(orig[i] - orig[j])
+        d1 = np.linalg.norm(proj[i] - proj[j])
+        if d0 > 0:
+            ratios.append(d1 / d0)
+    r = np.array(ratios)
+    assert 0.5 < np.median(r) < 2.0  # k=4 is a coarse sketch; unbiased center
