@@ -407,6 +407,8 @@ SUITE = [
     "iblt_snapshot_reconciliation",
     "cms_cu_heavy_hitter_users",
     "jl_projected_embeddings",
+    "hill_tail_index_value",
+    "voptimal_histogram_value",
 ]
 
 

@@ -1547,3 +1547,166 @@ def jl_projected_embeddings(sf_dir: str):
         return pa.table(cols)
 
     return ds.map_batches(proj, batch_format="pyarrow").sort("vec_id")
+
+
+@q(
+    "hill_tail_index_value",
+    sql="""
+    WITH v AS (
+      SELECT CAST(floor(value * 100) AS BIGINT) AS x
+      FROM events WHERE value IS NOT NULL AND value > 0
+    ),
+    r AS (SELECT x, row_number() OVER (ORDER BY x DESC) AS rnk FROM v),
+    kx AS (SELECT x AS xk FROM r WHERE rnk = 101)
+    SELECT rnk AS rank, x AS cents,
+           ln(CAST(x AS DOUBLE) / CAST(kx.xk AS DOUBLE)) AS ln_ratio
+    FROM r, kx WHERE rnk <= 100 ORDER BY rnk
+    """,
+)
+def hill_tail_index_value(sf_dir: str):
+    """Hill estimator inputs for the value distribution's tail index (Hill
+    1975): the top-100 order statistics over integer cents with each
+    ln(x_(i)/x_(k)) as ONE per-row libm log of an exact integer ratio —
+    α̂ = k / Σ ln_ratio assembles clientside (pytest pins it and the
+    heavier-tail-⇒-smaller-α direction).  Distributed shape: per-block
+    partial top-101 + driver merge (the global_top_k pattern) — never a
+    global sort; the log fold touches 100 rows."""
+    from perfect_bloomfilter_ray.stages.topk import global_top_k
+
+    ds = _t(sf_dir, "events", ["value"]).filter(
+        lambda r: r["value"] is not None and r["value"] > 0
+    )
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"x": pc.cast(pc.floor(pc.multiply(t.column("value"), 100.0)), pa.int64())}
+        )
+
+    top = global_top_k(
+        ds.map_batches(cents, batch_format="pyarrow"), "x", k=101, descending=True
+    ).to_pandas()
+    x = np.sort(top["x"].to_numpy().astype(np.int64))[::-1]
+    xk = int(x[100])
+    rows = []
+    for i in range(100):
+        rows.append(
+            {
+                "rank": i + 1,
+                "cents": int(x[i]),
+                "ln_ratio": math.log(float(x[i]) / float(xk)),
+            }
+        )
+    return pd.DataFrame(rows, columns=["rank", "cents", "ln_ratio"]).astype(
+        {"rank": "int64", "cents": "int64"}
+    )
+
+
+@q("voptimal_histogram_value")
+def voptimal_histogram_value(sf_dir: str):
+    """V-optimal histogram synopsis (Jagadish et al. VLDB'98): the 8-bucket
+    piecewise-constant summary of the value distribution minimizing total
+    within-bucket SSE — the principled upgrade of the suite's equi-width /
+    equi-depth histograms and the partner of its Haar synopsis.  The
+    corpus-sized step is ONE fixed-width 1024-bin count/sum/sumsq
+    reduction (per-block bincount partials, no row shuffle); the O(bins²·B)
+    DP runs on the driver's bounded prefix sums with deterministic
+    smallest-boundary ties.  rows-only by design (a DP argmin has no SQL
+    twin); pytest pins the DP against an independent brute force and the
+    SSE-monotone-in-B property."""
+    from ray.data.aggregate import Max, Min
+
+    ds = _t(sf_dir, "events", ["value"]).filter(lambda r: r["value"] is not None)
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"x": pc.cast(pc.floor(pc.multiply(t.column("value"), 100.0)), pa.int64())}
+        )
+
+    cx = ds.map_batches(cents, batch_format="pyarrow").materialize()
+    mm = cx.aggregate(Min("x"), Max("x"))
+    lo, hi = int(mm["min(x)"]), int(mm["max(x)"])
+    bins = 1024
+    width = max(1, (hi - lo + bins) // bins)
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t.column("x").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = np.minimum((x - lo) // width, bins - 1)
+        n = np.bincount(b, minlength=bins).astype(np.int64)
+        sx = np.bincount(b, weights=x.astype(np.float64), minlength=bins).astype(np.int64)
+        sxx_f = np.bincount(b, weights=(x * x).astype(np.float64), minlength=bins)
+        return pa.table(
+            {
+                "bin": pa.array(np.arange(bins, dtype=np.int64)),
+                "n": pa.array(n),
+                "sx": pa.array(sx),
+                "sxx": pa.array(sxx_f),  # float64 carries ints < 2^53 exactly
+            }
+        )
+
+    agg = (
+        cx.map_batches(partial, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(
+            Sum("n", alias_name="n"), Sum("sx", alias_name="sx"), Sum("sxx", alias_name="sxx")
+        )
+        .to_pandas()
+        .sort_values("bin")
+        .reset_index(drop=True)
+    )
+    n = agg["n"].to_numpy().astype(np.int64)
+    sx = agg["sx"].to_numpy().astype(np.float64)
+    sxx = agg["sxx"].to_numpy().astype(np.float64)
+    segs = voptimal_segments(n, sx, sxx, n_buckets=8)
+    rows = [
+        {
+            "seg_id": i,
+            "lo_bucket": int(a),
+            "hi_bucket": int(b),
+            "n": int(n[a : b + 1].sum()),
+            "sx": int(sx[a : b + 1].sum()),
+        }
+        for i, (a, b) in enumerate(segs)
+    ]
+    return pd.DataFrame(rows, columns=["seg_id", "lo_bucket", "hi_bucket", "n", "sx"]).astype(
+        "int64"
+    )
+
+
+def voptimal_segments(n, sx, sxx, n_buckets: int):
+    """Exact DP over prefix sums: minimal-SSE partition of the bin index
+    range into ``n_buckets`` contiguous segments; ties broken toward the
+    SMALLEST boundary (deterministic).  O(bins² · n_buckets)."""
+    bins = len(n)
+    pn = np.concatenate([[0], np.cumsum(n)]).astype(np.float64)
+    px = np.concatenate([[0.0], np.cumsum(sx)])
+    pxx = np.concatenate([[0.0], np.cumsum(sxx)])
+
+    def sse(a, b):  # bins a..b inclusive
+        cnt = pn[b + 1] - pn[a]
+        if cnt == 0:
+            return 0.0
+        s = px[b + 1] - px[a]
+        return (pxx[b + 1] - pxx[a]) - s * s / cnt
+
+    INF = float("inf")
+    cost = np.full((n_buckets + 1, bins + 1), INF)
+    back = np.zeros((n_buckets + 1, bins + 1), dtype=np.int64)
+    cost[0, 0] = 0.0
+    for k in range(1, n_buckets + 1):
+        for b in range(k, bins + 1):
+            # vectorized over all split points a: SSE(a, b-1) from prefixes
+            a = np.arange(k - 1, b)
+            cnt = pn[b] - pn[a]
+            s = px[b] - px[a]
+            seg = (pxx[b] - pxx[a]) - np.where(cnt > 0, s * s / np.maximum(cnt, 1), 0.0)
+            c = cost[k - 1, a] + seg
+            i = int(np.argmin(c))  # first min == smallest boundary (deterministic)
+            cost[k, b] = c[i]
+            back[k, b] = a[i]
+    bounds = []
+    b = bins
+    for k in range(n_buckets, 0, -1):
+        a = int(back[k, b])
+        bounds.append((a, b - 1))
+        b = a
+    return list(reversed(bounds))

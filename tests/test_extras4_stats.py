@@ -246,3 +246,70 @@ def test_jl_projection_distortion(ray_session):
             ratios.append(d1 / d0)
     r = np.array(ratios)
     assert 0.5 < np.median(r) < 2.0  # k=4 is a coarse sketch; unbiased center
+
+
+def test_hill_estimator_assembly_and_direction(ray_session):
+    import perfect_bloomfilter_ray.pipelines.extras4 as e4
+
+    out = e4.hill_tail_index_value(SF)
+    assert len(out) == 100
+    assert (out["ln_ratio"] >= 0).all()  # top-100 all >= x_(101)
+    assert out["cents"].is_monotonic_decreasing
+    alpha = 100.0 / out["ln_ratio"].sum()
+    assert alpha > 0
+    # direction: a heavier tail (pareto a=1) gives smaller alpha than a=3
+    rng = np.random.RandomState(0)
+    for a_true, other in ((1.2, 3.0),):
+        xs1 = np.sort(rng.pareto(a_true, 20_000))[::-1]
+        xs2 = np.sort(rng.pareto(other, 20_000))[::-1]
+
+        def hill(xs):
+            return 100.0 / np.log(xs[:100] / xs[100]).sum()
+
+        assert hill(xs1) < hill(xs2)
+
+
+def test_voptimal_dp_vs_bruteforce():
+    from perfect_bloomfilter_ray.pipelines.extras4 import voptimal_segments
+
+    rng = np.random.RandomState(3)
+    bins = 24
+    n = rng.randint(0, 50, bins).astype(np.int64)
+    sx = (n * rng.randint(1, 20, bins)).astype(np.float64)
+    sxx = sx * rng.randint(1, 20, bins)
+    for B in (2, 3, 4):
+        segs = voptimal_segments(n, sx, sxx, B)
+        assert len(segs) == B
+        assert segs[0][0] == 0 and segs[-1][1] == bins - 1
+        for (a1, b1), (a2, b2) in zip(segs, segs[1:]):
+            assert a2 == b1 + 1
+
+        def seg_sse(a, b):
+            cnt = n[a : b + 1].sum()
+            if cnt == 0:
+                return 0.0
+            s = sx[a : b + 1].sum()
+            return sxx[a : b + 1].sum() - s * s / cnt
+
+        def brute(B):
+            import itertools
+
+            best = None
+            for cuts in itertools.combinations(range(1, bins), B - 1):
+                edges = [0, *cuts, bins]
+                c = sum(seg_sse(edges[i], edges[i + 1] - 1) for i in range(B))
+                if best is None or c < best - 1e-9:
+                    best = c
+            return best
+
+        got = sum(seg_sse(a, b) for a, b in segs)
+        assert abs(got - brute(B)) < 1e-6
+    # SSE monotone non-increasing in bucket count
+    sse_by_b = [
+        sum(
+            (lambda a, b: seg_sse(a, b))(a, b)
+            for a, b in voptimal_segments(n, sx, sxx, B)
+        )
+        for B in (2, 4, 8)
+    ]
+    assert sse_by_b[0] >= sse_by_b[1] >= sse_by_b[2]
