@@ -409,6 +409,8 @@ SUITE = [
     "jl_projected_embeddings",
     "hill_tail_index_value",
     "voptimal_histogram_value",
+    "user_max_nonoverlap_activity",
+    "huffman_code_lengths_per_lang",
 ]
 
 

@@ -1710,3 +1710,168 @@ def voptimal_segments(n, sx, sxx, n_buckets: int):
         bounds.append((a, b - 1))
         b = a
     return list(reversed(bounds))
+
+
+@q("user_max_nonoverlap_activity")
+def user_max_nonoverlap_activity(sf_dir: str):
+    """Weighted interval scheduling per user (the classic p(i)+DP over
+    intervals sorted by end time): each user's candidate intervals are
+    their per-(event-type, day) activity spans (which OVERLAP across
+    types), weighted by event count; the DP picks the max-weight
+    non-overlapping subset.  This is the suite's one PER-KEY DP — it runs
+    INSIDE a hash-co-partitioned map_groups (every user's DP is
+    independent; the sequential recurrence never crosses a partition),
+    where every other DP here is a bounded driver fold.  Exact integer
+    weights; rows-only by design (no SQL twin for the recurrence); pytest
+    pins per-user optima against a brute-force subset search."""
+    import polars as pl
+
+    ds = _t(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def spans(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t.column("ts"), pa.timestamp("us"))
+        d = pc.floor_temporal(ts, unit="day")
+        us = pc.cast(ts, pa.int64())
+        return (
+            pl.from_arrow(
+                pa.table(
+                    {
+                        "user_id": t.column("user_id"),
+                        "event_type": t.column("event_type"),
+                        "d": d,
+                        "us": us,
+                    }
+                )
+            )
+            .group_by(["user_id", "event_type", "d"])
+            .agg(
+                pl.col("us").min().alias("s"),
+                pl.col("us").max().alias("e"),
+                pl.len().cast(pl.Int64).alias("w"),
+            )
+            .to_arrow()
+        )
+
+    from ray.data.aggregate import Max, Min
+
+    ivs = (
+        ds.map_batches(spans, batch_format="pyarrow")
+        .groupby(["user_id", "event_type", "d"])
+        .aggregate(
+            Min("s", alias_name="s"), Max("e", alias_name="e"), Sum("w", alias_name="w")
+        )
+    )
+
+    def dp_group(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).sort(["user_id", "e", "s"])
+        out_u, out_best, out_n = [], [], []
+        for (u,), g in df.group_by(["user_id"], maintain_order=True):
+            s = g["s"].to_numpy()
+            e = g["e"].to_numpy()
+            w = g["w"].to_numpy().astype(np.int64)
+            n = len(s)
+            # p(i): rightmost interval ending strictly before s[i]
+            p = np.searchsorted(e, s, side="left")
+            best = np.zeros(n + 1, dtype=np.int64)
+            take = np.zeros(n + 1, dtype=bool)
+            for i in range(1, n + 1):
+                with_i = w[i - 1] + best[p[i - 1]]
+                if with_i > best[i - 1]:
+                    best[i] = with_i
+                    take[i] = True
+                else:
+                    best[i] = best[i - 1]
+            # count chosen intervals by backtracking
+            cnt, i = 0, n
+            while i > 0:
+                if take[i]:
+                    cnt += 1
+                    i = int(p[i - 1])
+                else:
+                    i -= 1
+            out_u.append(u)
+            out_best.append(int(best[n]))
+            out_n.append(cnt)
+        return pa.table(
+            {
+                "user_id": pa.array(out_u, pa.int64()),
+                "best_weight": pa.array(out_best, pa.int64()),
+                "n_chosen": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    out = (
+        ivs.groupby("user_id")
+        .map_groups(dp_group, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    return out.astype("int64")
+
+
+@q("huffman_code_lengths_per_lang")
+def huffman_code_lengths_per_lang(sf_dir: str):
+    """Optimal prefix-code length per language (Huffman 1952 over the
+    exact [a-z0-9 ] character frequencies): the achievable-compression
+    companion of the suite's Shannon char entropy and zlib ratio —
+    L_huff is the tightest integer-bit code, with H ≤ L < H+1 pinned in
+    pytest.  Deterministic tree: ties merge by (weight, min symbol id) so
+    reruns and engines agree.  One bounded-alphabet char-count groupby;
+    the tree build is 37 symbols on the driver.  rows-only by design
+    (greedy tree has no SQL twin); exact integer weighted code lengths."""
+    import heapq
+
+    import polars as pl
+
+    ds = _t(sf_dir, "documents", ["lang", "text"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        return (
+            df.select(
+                "lang",
+                pl.col("text").fill_null("").str.to_lowercase()
+                .str.extract_all(r"[a-z0-9 ]").alias("ch"),
+            )
+            .explode("ch")
+            .drop_nulls("ch")
+            .group_by(["lang", "ch"])
+            .len(name="c")
+            .with_columns(pl.col("c").cast(pl.Int64))
+            .to_arrow()
+        )
+
+    freq = (
+        ds.map_batches(counts, batch_format="pyarrow")
+        .groupby(["lang", "ch"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    rows = []
+    for lang, g in freq.groupby("lang"):
+        syms = list(zip(g["c"].astype(int), g["ch"]))
+        total = sum(c for c, _ in syms)
+        if len(syms) == 1:
+            wl = total  # single-symbol code: 1 bit by convention
+        else:
+            # deterministic heap: (weight, tie_id); code lengths via merge depth
+            heap = [(c, i, {ch: 0}) for i, (c, ch) in enumerate(sorted(syms, key=lambda t: t[1]))]
+            heapq.heapify(heap)
+            nxt = len(heap)
+            while len(heap) > 1:
+                c1, _, d1 = heapq.heappop(heap)
+                c2, _, d2 = heapq.heappop(heap)
+                merged = {k: v + 1 for k, v in d1.items()}
+                merged.update({k: v + 1 for k, v in d2.items()})
+                heapq.heappush(heap, (c1 + c2, nxt, merged))
+                nxt += 1
+            depths = heap[0][2]
+            cmap = dict(zip(g["ch"], g["c"].astype(int)))
+            wl = sum(cmap[ch] * d for ch, d in depths.items())
+        rows.append({"lang": lang, "n_chars": total, "weighted_code_bits": wl})
+    out = pd.DataFrame(rows, columns=["lang", "n_chars", "weighted_code_bits"])
+    out = out.sort_values("lang").reset_index(drop=True)
+    out["n_chars"] = out["n_chars"].astype("int64")
+    out["weighted_code_bits"] = out["weighted_code_bits"].astype("int64")
+    return out

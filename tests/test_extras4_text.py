@@ -157,3 +157,70 @@ def test_hilbert_curve_properties_and_locality(ray_session):
     zo = np.argsort(z)
     steps_z = np.abs(np.diff(xs.ravel()[zo])) + np.abs(np.diff(ys.ravel()[zo]))
     assert steps_h.mean() < steps_z.mean()  # the locality win over Morton
+
+
+def test_interval_scheduling_dp_vs_bruteforce(ray_session):
+    import itertools
+
+    import duckdb
+
+    import perfect_bloomfilter_ray.pipelines.extras4 as e4
+
+    out = e4.user_max_nonoverlap_activity(SF).set_index("user_id")
+    ivs = duckdb.sql(
+        f"""SELECT user_id, event_type, date_trunc('day', ts) AS d,
+                   CAST(min(epoch_us(ts)) AS BIGINT) AS s,
+                   CAST(max(epoch_us(ts)) AS BIGINT) AS e,
+                   CAST(count(*) AS BIGINT) AS w
+            FROM '{SF}/events.parquet' GROUP BY 1, 2, 3"""
+    ).df()
+    checked = 0
+    for u, g in ivs.groupby("user_id"):
+        rows = sorted(g[["s", "e", "w"]].itertuples(index=False), key=lambda r: r.e)
+        if len(rows) <= 12:
+            # exhaustive subset search for small users
+            best = 0
+            for r in range(len(rows) + 1):
+                for sub in itertools.combinations(rows, r):
+                    if all(
+                        a.e < b.s or b.e < a.s
+                        for a, b in itertools.combinations(sub, 2)
+                    ):
+                        best = max(best, sum(x.w for x in sub))
+        else:
+            # independent quadratic DP (different formulation from engine's
+            # searchsorted p(i) path): best ending AT interval i
+            n = len(rows)
+            endat = [0] * n
+            for i in range(n):
+                prev = 0
+                for j in range(i):
+                    if rows[j].e < rows[i].s:
+                        prev = max(prev, endat[j])
+                endat[i] = rows[i].w + prev
+            best = max(endat) if endat else 0
+        assert int(out.loc[u, "best_weight"]) == best, u
+        checked += 1
+        if checked >= 25:
+            break
+    assert checked >= 10
+
+
+def test_huffman_between_entropy_bounds(ray_session):
+    import duckdb
+
+    import perfect_bloomfilter_ray.pipelines.extras4 as e4
+
+    out = e4.huffman_code_lengths_per_lang(SF).set_index("lang")
+    freq = duckdb.sql(
+        f"""SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z0-9 ]')) AS ch
+            FROM '{SF}/documents.parquet'"""
+    ).df().groupby(["lang", "ch"]).size()
+    for lang in out.index:
+        f = freq[lang].to_numpy().astype(float)
+        p = f / f.sum()
+        h_bits = float(-(p * np.log2(p)).sum() * f.sum())
+        got = float(out.loc[lang, "weighted_code_bits"])
+        n = float(out.loc[lang, "n_chars"])
+        assert h_bits - 1e-6 <= got < h_bits + n  # H <= L < H+1 per char
+        assert int(out.loc[lang, "n_chars"]) == int(f.sum())
