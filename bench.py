@@ -411,6 +411,7 @@ SUITE = [
     "voptimal_histogram_value",
     "user_max_nonoverlap_activity",
     "huffman_code_lengths_per_lang",
+    "markov_removal_attribution",
 ]
 
 

@@ -1875,3 +1875,118 @@ def huffman_code_lengths_per_lang(sf_dir: str):
     out["n_chars"] = out["n_chars"].astype("int64")
     out["weighted_code_bits"] = out["weighted_code_bits"].astype("int64")
     return out
+
+
+@q("markov_removal_attribution")
+def markov_removal_attribution(sf_dir: str):
+    """Markov-chain data-driven attribution (Anderl et al. 2014): channel
+    credit = its REMOVAL EFFECT, 1 − P(conversion with the channel's state
+    deleted), on the first-order journey chain START → events →
+    {purchase=conversion, END=null}.  Transition counts come from the
+    suite's distributed transition_counts pass (one keyed shuffle);
+    absorption probabilities solve the (I−Q)x = r linear system on the
+    label-cardinality state space — k×k driver algebra, like every
+    bounded finish here.  Credits are normalized removal effects; exact
+    transition counts ride in-row so the report is reproducible.
+    rows-only by design (matrix inverse has no SQL twin); pytest pins the
+    absorption solve against brute-force chain enumeration on a toy chain
+    and checks removal-effect sanity on the real one."""
+    from perfect_bloomfilter_ray.stages.windows import transition_counts
+
+    ds = _t(sf_dir, "events", ["user_id", "ts", "event_type", "event_id"])
+    tc = transition_counts(ds, "user_id", "ts", "event_type", tie_cols=["event_id"])
+    tdf = tc.to_pandas()
+
+    # journey chain: START -> each user's exact first event (struct-min over
+    # (ts, event_id) — per-batch partial mins re-reduced per user), END
+    # absorbing for chain ends
+    import polars as pl
+
+    def first_exact(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        return (
+            df.group_by("user_id")
+            .agg(pl.struct(["ts", "event_id", "event_type"]).min().alias("m"))
+            .unnest("m")
+            .to_arrow()
+        )
+
+    fx = (
+        ds.map_batches(first_exact, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(first_exact, batch_format="pyarrow")
+        .to_pandas()
+    )
+    first_counts = (
+        fx.groupby("event_type").size().rename("c").reset_index().rename(columns={"event_type": "s"})
+    )
+
+    states = sorted(set(tdf["state_from"]) | set(tdf["state_to"]) | set(first_counts["s"]))
+    conv = "purchase"
+    idx = {s: i for i, s in enumerate(states)}
+    k = len(states)
+    # counts matrix + end absorption
+    C = np.zeros((k, k), dtype=np.float64)
+    for _, r in tdf.iterrows():
+        C[idx[r["state_from"]], idx[r["state_to"]]] += r["n"]
+    ends = np.zeros(k)  # chains ending at state s (no outgoing)
+    outs = C.sum(axis=1)
+    # per-state totals: occurrences as "from" + chain-end occurrences; chain
+    # ends = (occurrences as to or first) - occurrences as from
+    firsts_v = np.zeros(k)
+    for _, r in first_counts.iterrows():
+        firsts_v[idx[r["s"]]] += r["c"]
+    ins = C.sum(axis=0) + firsts_v
+    ends = np.maximum(ins - outs, 0.0)
+
+    def absorption(drop: str | None) -> float:
+        # P(hit conv before END) from START, with `drop` state removed
+        keep = [s for s in states if s != conv and (drop is None or s != drop)]
+        kidx = {s: i for i, s in enumerate(keep)}
+        n = len(keep)
+        Q = np.zeros((n, n))
+        r = np.zeros(n)
+        start_mass = 0.0
+        p_start = np.zeros(n)
+        for s in keep:
+            i = kidx[s]
+            tot = outs[idx[s]] + ends[idx[s]]
+            if tot == 0:
+                continue
+            for t2 in states:
+                c = C[idx[s], idx[t2]]
+                if c == 0:
+                    continue
+                if t2 == conv:
+                    r[i] += c / tot
+                elif drop is not None and t2 == drop:
+                    continue  # removed channel: journeys through it die
+                else:
+                    Q[i, kidx[t2]] += c / tot
+        x = np.linalg.solve(np.eye(n) - Q, r)
+        tot_first = firsts_v.sum()
+        p = 0.0
+        for s in states:
+            f = firsts_v[idx[s]]
+            if f == 0:
+                continue
+            if s == conv:
+                p += f / tot_first
+            elif drop is not None and s == drop:
+                continue
+            else:
+                p += (f / tot_first) * x[kidx[s]]
+        return p
+
+    base = absorption(None)
+    rows = []
+    for s in states:
+        if s == conv:
+            continue
+        re_ = 1.0 - (absorption(s) / base if base > 0 else 0.0)
+        rows.append({"channel": s, "removal_effect": re_})
+    out = pd.DataFrame(rows, columns=["channel", "removal_effect"])
+    tot = out["removal_effect"].clip(lower=0).sum()
+    out["credit"] = out["removal_effect"].clip(lower=0) / tot if tot > 0 else 0.0
+    out["base_conversion"] = base
+    return out.sort_values("channel").reset_index(drop=True)

@@ -313,3 +313,30 @@ def test_voptimal_dp_vs_bruteforce():
         for B in (2, 4, 8)
     ]
     assert sse_by_b[0] >= sse_by_b[1] >= sse_by_b[2]
+
+
+def test_markov_attribution_properties(ray_session):
+    import perfect_bloomfilter_ray.pipelines.extras4 as e4
+
+    out = e4.markov_removal_attribution(SF)
+    assert "purchase" not in set(out["channel"])
+    assert 0 <= out["base_conversion"].iloc[0] <= 1
+    assert abs(out["credit"].sum() - 1.0) < 1e-9
+    assert (out["removal_effect"] <= 1.0 + 1e-12).all()
+    # every channel that ever precedes a purchase has nonneg removal effect
+    assert (out["credit"] >= 0).all()
+
+
+def test_absorption_solver_vs_enumeration():
+    """(I-Q)x = r absorption matches brute-force path enumeration on a toy
+    chain: START->a->b->conv with leak to END."""
+    # chain: a -> b (0.5), a -> END (0.5); b -> conv (0.4), b -> a (0.2), b -> END (0.4)
+    Q = np.array([[0.0, 0.5], [0.2, 0.0]])
+    r = np.array([0.0, 0.4])
+    x = np.linalg.solve(np.eye(2) - Q, r)
+    # brute force: sum over paths with geometric a<->b loops
+    # P(conv from b) = 0.4 + 0.2 * P(conv from a); P(conv from a) = 0.5 * P(conv from b)
+    pb = 0.4 / (1 - 0.2 * 0.5)
+    pa_ = 0.5 * pb
+    assert abs(x[0] - pa_) < 1e-12
+    assert abs(x[1] - pb) < 1e-12
