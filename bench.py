@@ -412,6 +412,7 @@ SUITE = [
     "user_max_nonoverlap_activity",
     "huffman_code_lengths_per_lang",
     "markov_removal_attribution",
+    "embedding_coreset_kmeans",
 ]
 
 

@@ -1990,3 +1990,108 @@ def markov_removal_attribution(sf_dir: str):
     out["credit"] = out["removal_effect"].clip(lower=0) / tot if tot > 0 else 0.0
     out["base_conversion"] = base
     return out.sort_values("channel").reset_index(drop=True)
+
+
+@q("embedding_coreset_kmeans")
+def embedding_coreset_kmeans(sf_dir: str):
+    """Lightweight coreset k-means (Bachem, Lucic & Krause KDD'18): a
+    SUBLINEAR clustering path — importance q_i = ½/n + ½·d(x_i, μ)²/Σd²
+    from two cheap passes (mean, then distances), a DETERMINISTIC
+    hash-residue importance sample with weights 1/(m·q_i), and weighted
+    Lloyd on the ~m-point coreset.  At 100 TB the full-Lloyd path
+    (embedding_kmeans_clusters) pays k×iters corpus passes; the coreset
+    pays 2 passes + driver-side clustering, with the (1+ε) cost guarantee
+    of the paper.  rows-only by design (sampling + iteration); pytest
+    pins that coreset centroids cost ≤ 2× the full-data k-means cost on
+    the real embeddings."""
+    import ray
+
+    from perfect_bloomfilter_ray.functions.hashing import hash64
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    m_target = 256
+    k = 8
+
+    def mat_of(t: pa.Table) -> np.ndarray:
+        emb = t.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        return np.asarray(
+            emb.flatten().to_numpy(zero_copy_only=False), dtype=np.float64
+        ).reshape(len(t), -1)
+
+    def sum_partial(t: pa.Table) -> pa.Table:
+        m = mat_of(t)
+        return pa.table(
+            {
+                "n": pa.array([len(m)], pa.int64()),
+                "s": pa.array([m.sum(axis=0).tobytes()], pa.binary()),
+            }
+        )
+
+    parts = ds.map_batches(sum_partial, batch_format="pyarrow").to_pandas()
+    n = int(parts["n"].sum())
+    dim = len(np.frombuffer(parts["s"].iloc[0], dtype=np.float64))
+    mu = np.zeros(dim)
+    for b in parts["s"]:
+        mu += np.frombuffer(b, dtype=np.float64)
+    mu /= n
+    mu_ref = ray.put(mu)
+
+    def d2_partial(t: pa.Table) -> pa.Table:
+        m = mat_of(t)
+        d2 = ((m - ray.get(mu_ref)) ** 2).sum(axis=1)
+        return pa.table({"sd2": pa.array([float(d2.sum())], pa.float64())})
+
+    sum_d2 = float(ds.map_batches(d2_partial, batch_format="pyarrow").to_pandas()["sd2"].sum())
+
+    def sample(t: pa.Table) -> pa.Table:
+        m = mat_of(t)
+        d2 = ((m - ray.get(mu_ref)) ** 2).sum(axis=1)
+        q = 0.5 / n + 0.5 * d2 / sum_d2
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        u = hash64(t.column("vec_id"), 0xC0E5).astype(np.float64) / float(2**64)
+        keep = u < np.minimum(m_target * q, 1.0)
+        w = 1.0 / np.minimum(m_target * q, 1.0)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[keep]),
+                "w": pa.array(w[keep]),
+                "vec": pa.array([row.tobytes() for row in m[keep]], pa.binary()),
+            }
+        )
+
+    core = ds.map_batches(sample, batch_format="pyarrow").to_pandas()
+    vecs = np.stack([np.frombuffer(b, dtype=np.float64) for b in core["vec"]])
+    w = core["w"].to_numpy()
+    # weighted Lloyd, deterministic farthest-first init from the weighted mean
+    c = [vecs[np.argmax(((vecs - vecs.mean(axis=0)) ** 2).sum(axis=1))]]
+    for _ in range(k - 1):
+        d2c = np.min(
+            np.stack([((vecs - cc) ** 2).sum(axis=1) for cc in c]), axis=0
+        )
+        c.append(vecs[np.argmax(d2c * w)])
+    cent = np.stack(c)
+    for _ in range(15):
+        d = ((vecs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        for j in range(k):
+            mask = a == j
+            if mask.any():
+                cent[j] = np.average(vecs[mask], axis=0, weights=w[mask])
+    d = ((vecs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    a = d.argmin(axis=1)
+    rows = []
+    for j in range(k):
+        mask = a == j
+        rows.append(
+            {
+                "cluster": j,
+                "coreset_points": int(mask.sum()),
+                "weight_sum": float(w[mask].sum()),
+                "inertia_w": float((d[mask, j] * w[mask]).sum()),
+            }
+        )
+    out = pd.DataFrame(rows, columns=["cluster", "coreset_points", "weight_sum", "inertia_w"])
+    out.attrs["centroids"] = cent
+    return out

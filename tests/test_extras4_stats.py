@@ -340,3 +340,38 @@ def test_absorption_solver_vs_enumeration():
     pa_ = 0.5 * pb
     assert abs(x[0] - pa_) < 1e-12
     assert abs(x[1] - pb) < 1e-12
+
+
+def test_coreset_kmeans_cost_competitive(ray_session):
+    """Coreset centroids cost <= 2x a direct full-data k-means cost."""
+    import duckdb
+
+    import perfect_bloomfilter_ray.pipelines.extras4 as e4
+
+    out = e4.embedding_coreset_kmeans(SF)
+    cent = out.attrs["centroids"]
+    assert cent.shape[0] == 8
+    ref = duckdb.sql(
+        f"SELECT embedding FROM '{SF}/embeddings.parquet' ORDER BY vec_id"
+    ).df()
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in ref["embedding"]])
+
+    def cost(c):
+        d = ((X[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return d.min(axis=1).sum()
+
+    # direct full-data Lloyd with the same deterministic init scheme
+    c = [X[np.argmax(((X - X.mean(axis=0)) ** 2).sum(axis=1))]]
+    for _ in range(7):
+        d2c = np.min(np.stack([((X - cc) ** 2).sum(axis=1) for cc in c]), axis=0)
+        c.append(X[np.argmax(d2c)])
+    full = np.stack(c)
+    for _ in range(15):
+        d = ((X[:, None, :] - full[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        for j in range(8):
+            if (a == j).any():
+                full[j] = X[a == j].mean(axis=0)
+    assert cost(cent) <= 2.0 * cost(full)
+    # weights approximately reconstruct the corpus size
+    assert 0.5 * len(X) <= out["weight_sum"].sum() <= 2.0 * len(X)
