@@ -413,6 +413,7 @@ SUITE = [
     "huffman_code_lengths_per_lang",
     "markov_removal_attribution",
     "embedding_coreset_kmeans",
+    "vocab_js_drift_halves",
 ]
 
 

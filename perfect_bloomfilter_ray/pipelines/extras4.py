@@ -2095,3 +2095,89 @@ def embedding_coreset_kmeans(sf_dir: str):
     out = pd.DataFrame(rows, columns=["cluster", "coreset_points", "weight_sum", "inertia_w"])
     out.attrs["centroids"] = cent
     return out
+
+
+@q(
+    "vocab_js_drift_halves",
+    sql="""
+    WITH tok AS (
+      SELECT doc_id % 2 AS half,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      FROM documents
+    ),
+    c AS (SELECT w,
+                 CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+                 CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+          FROM tok GROUP BY w),
+    top AS (SELECT * FROM c ORDER BY c1 + c2 DESC, w LIMIT 1000),
+    tot AS (SELECT CAST(sum(c1) AS BIGINT) AS t1, CAST(sum(c2) AS BIGINT) AS t2 FROM top)
+    SELECT w AS token, c1, c2,
+           0.5 * ((CAST(c1 + 1 AS DOUBLE) / CAST(t1 + 1000 AS DOUBLE))
+                  * ln((CAST(c1 + 1 AS DOUBLE) / CAST(t1 + 1000 AS DOUBLE))
+                       / (0.5 * ((CAST(c1 + 1 AS DOUBLE) / CAST(t1 + 1000 AS DOUBLE))
+                                 + (CAST(c2 + 1 AS DOUBLE) / CAST(t2 + 1000 AS DOUBLE))))))
+         + 0.5 * ((CAST(c2 + 1 AS DOUBLE) / CAST(t2 + 1000 AS DOUBLE))
+                  * ln((CAST(c2 + 1 AS DOUBLE) / CAST(t2 + 1000 AS DOUBLE))
+                       / (0.5 * ((CAST(c1 + 1 AS DOUBLE) / CAST(t1 + 1000 AS DOUBLE))
+                                 + (CAST(c2 + 1 AS DOUBLE) / CAST(t2 + 1000 AS DOUBLE))))))
+           AS js_part
+    FROM top, tot ORDER BY token
+    """,
+)
+def vocab_js_drift_halves(sf_dir: str):
+    """Vocabulary-level Jensen-Shannon drift between the two doc-id-parity
+    corpus halves — the token-distribution twin of the suite's
+    type-mix JS drift and the standard "did my crawl's language shift"
+    monitor.  Per-token contributions over the deterministic top-1000
+    (add-one smoothed, exact int counts; each js_part ONE fixed IEEE
+    expression with per-row libm logs) so nothing depends on summation
+    order — JS(total) is the consumer's sum.  One token-count groupby +
+    partial-top-k; the drift fold touches 1000 rows."""
+    import polars as pl
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def wc(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        return (
+            df.select(
+                (pl.col("doc_id") % 2).alias("half"),
+                pl.col("text").fill_null("").str.to_lowercase()
+                .str.extract_all(r"[a-z0-9]+").alias("w"),
+            )
+            .explode("w")
+            .drop_nulls("w")
+            .group_by(["half", "w"])
+            .len(name="c")
+            .with_columns(pl.col("c").cast(pl.Int64))
+            .to_arrow()
+        )
+
+    counts = (
+        ds.map_batches(wc, batch_format="pyarrow")
+        .groupby(["half", "w"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    piv = counts.pivot_table(index="w", columns="half", values="c", fill_value=0, aggfunc="sum")
+    c1 = piv.get(0, pd.Series(0, index=piv.index)).astype(np.int64)
+    c2 = piv.get(1, pd.Series(0, index=piv.index)).astype(np.int64)
+    tot = (c1 + c2)
+    top = (
+        pd.DataFrame({"token": piv.index, "c1": c1.to_numpy(), "c2": c2.to_numpy(), "t": tot.to_numpy()})
+        .sort_values(["t", "token"], ascending=[False, True])
+        .head(1000)
+        .reset_index(drop=True)
+    )
+    t1, t2 = int(top["c1"].sum()), int(top["c2"].sum())
+    rows = []
+    for _, r in top.iterrows():
+        p = float(int(r["c1"]) + 1) / float(t1 + 1000)
+        q_ = float(int(r["c2"]) + 1) / float(t2 + 1000)
+        m_ = 0.5 * (p + q_)
+        js = 0.5 * (p * math.log(p / m_)) + 0.5 * (q_ * math.log(q_ / m_))
+        rows.append({"token": r["token"], "c1": int(r["c1"]), "c2": int(r["c2"]), "js_part": js})
+    out = pd.DataFrame(rows, columns=["token", "c1", "c2", "js_part"])
+    out["c1"] = out["c1"].astype("int64")
+    out["c2"] = out["c2"].astype("int64")
+    return out.sort_values("token").reset_index(drop=True)

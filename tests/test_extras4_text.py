@@ -224,3 +224,15 @@ def test_huffman_between_entropy_bounds(ray_session):
         n = float(out.loc[lang, "n_chars"])
         assert h_bits - 1e-6 <= got < h_bits + n  # H <= L < H+1 per char
         assert int(out.loc[lang, "n_chars"]) == int(f.sum())
+
+
+def test_vocab_js_drift_properties(ray_session):
+    import perfect_bloomfilter_ray.pipelines.extras4 as e4
+
+    out = e4.vocab_js_drift_halves(SF)
+    assert 1 <= len(out) <= 1000  # tiny synthetic vocab at sf0.001
+    js = out["js_part"].sum()
+    assert 0 <= js <= np.log(2) + 1e-9  # JS divergence bounds (nats)
+    # symmetric formula: swapping halves flips c1/c2 but not |js_part| total
+    sym = out.rename(columns={"c1": "c2", "c2": "c1"})
+    assert abs(js - sym["js_part"].sum()) < 1e-12
