@@ -414,6 +414,7 @@ SUITE = [
     "markov_removal_attribution",
     "embedding_coreset_kmeans",
     "vocab_js_drift_halves",
+    "adaptive_join_order_revenue",
 ]
 
 

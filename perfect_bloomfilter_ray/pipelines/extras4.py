@@ -2181,3 +2181,60 @@ def vocab_js_drift_halves(sf_dir: str):
     out["c1"] = out["c1"].astype("int64")
     out["c2"] = out["c2"].astype("int64")
     return out.sort_values("token").reset_index(drop=True)
+
+
+@q(
+    "adaptive_join_order_revenue",
+    sql="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_acctbal > 0
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def adaptive_join_order_revenue(sf_dir: str):
+    """The adaptive join planner end-to-end (stages/adaptive.adaptive_join
+    — the Spark-AQE-shaped broadcast / skew / hash dispatch decided from
+    cheap statistics, not a fixed plan): orders ⋈ positive-balance
+    customers, strategy chosen at run time (broadcast here — the dimension
+    side is small; the SAME call dispatches to the skew or hash legs as
+    inputs grow, pytest exercises all three).  Result rows are identical
+    across strategies, which is exactly what the SQL oracle certifies."""
+    import polars as pl
+
+    from perfect_bloomfilter_ray.stages.adaptive import adaptive_join
+
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_orderpriority", "o_totalprice"])
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_acctbal"]).filter(
+        lambda r: r["c_acctbal"] > 0
+    )
+    joined, strategy = adaptive_join(orders, cust, on="o_custkey", right_on="c_custkey")
+    assert strategy in ("broadcast", "skew", "hash")
+
+    def agg(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.multiply(t.column("o_totalprice"), 100.0)), pa.int64())
+        return (
+            pl.from_arrow(
+                pa.table({"o_orderpriority": t.column("o_orderpriority"), "c": cents})
+            )
+            .group_by("o_orderpriority")
+            .agg(pl.len().cast(pl.Int64).alias("n_orders"), pl.col("c").sum().alias("revenue_cents"))
+            .to_arrow()
+        )
+
+    out = (
+        joined.map_batches(agg, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("revenue_cents", alias_name="revenue_cents"),
+        )
+        .to_pandas()
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["revenue_cents"] = out["revenue_cents"].astype("int64")
+    return out

@@ -1,0 +1,145 @@
+"""Adaptive join planning + fingerprint-keyed result caching.
+
+Two engine-level conveniences that compose the operators the library
+already has — the point is the DISPATCH policy, not new join kernels:
+
+``adaptive_join``
+    The broadcast / skew / plain-hash decision every distributed engine
+    makes (Spark AQE's shape, decided from cheap statistics instead of a
+    fixed plan):
+
+    1. count the right side from parquet/aggregate metadata (O(1)-ish);
+       right ≤ ``broadcast_max_rows`` → **broadcast lookup join** — the
+       small side ships once via the object store, no shuffle at all;
+    2. else probe the LEFT side's key-frequency head with the map-side
+       pre-aggregated count the skew join already owns; a key above
+       ``hot_count_threshold`` → **skew-aware hybrid join** (hot keys
+       broadcast, cold remainder hash-joined);
+    3. else → plain ``Dataset.join`` hash join.
+
+    Returns ``(dataset, strategy)`` so pipelines can log the decision.
+    Result rows are IDENTICAL across strategies (each leg is an exact
+    inner join; the suite's oracle gate rides on that).
+
+``cached_result``
+    Content-addressed result reuse: a query's small result is stored as
+    parquet keyed by the INPUT FILES' (path, size, mtime_ns) stat
+    signature + the query name.  A rerun over unchanged inputs reads the
+    cached parquet instead of re-scanning the corpus; ANY input-file
+    change flips the key and recomputes.  Stat-based signatures are the
+    100-TB-honest choice (a content hash would re-read the corpus to
+    decide whether to re-read the corpus); the documented trade is that
+    a byte-identical rewrite with a new mtime misses.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from typing import Callable
+
+import pandas as pd
+import pyarrow as pa
+
+from ray.data import Dataset
+
+
+def adaptive_join(
+    left: Dataset,
+    right: Dataset,
+    on: str,
+    right_on: str | None = None,
+    broadcast_max_rows: int = 200_000,
+    hot_count_threshold: int = 100_000,
+) -> tuple[Dataset, str]:
+    """Inner join with a statistics-driven strategy choice (see module
+    docstring).  Right side must have unique keys for the broadcast path;
+    a duplicate-key right side falls through to the shuffle paths."""
+    import pyarrow.compute as pc
+
+    from perfect_bloomfilter_ray.stages.joins import broadcast_lookup_join, skew_join
+
+    right_on = right_on or on
+    n_right = right.count()
+    if n_right <= broadcast_max_rows:
+        t_small = pa.Table.from_pandas(right.to_pandas(), preserve_index=False)
+        if pc.count_distinct(t_small.column(right_on)).as_py() == len(t_small):
+            return (
+                broadcast_lookup_join(left, t_small, on=on, right_on=right_on, how="inner"),
+                "broadcast",
+            )
+    # cheap hot-key probe on the left: map-side pre-aggregated counts,
+    # keep only candidates above the threshold (vocabulary-sized shuffle)
+    from ray.data.aggregate import Sum
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        col = t.column(on)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        tv = pc.value_counts(col)
+        return pa.table({on: tv.field("values"), "pcnt": tv.field("counts").cast(pa.int64())})
+
+    hot = (
+        left.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby(on)
+        .aggregate(Sum("pcnt", alias_name="cnt"))
+        .filter(lambda r: r["cnt"] >= hot_count_threshold)
+        .limit(1)
+        .take_all()
+    )
+    if hot:
+        return (
+            skew_join(
+                left, right, on=on, right_on=right_on,
+                hot_count_threshold=hot_count_threshold,
+            ),
+            "skew",
+        )
+    from perfect_bloomfilter_ray.stages.partitioning import choose_join_partitions
+
+    return (
+        left.join(
+            right,
+            join_type="inner",
+            on=(on,),
+            right_on=(right_on,),
+            num_partitions=choose_join_partitions(),
+        ),
+        "hash",
+    )
+
+
+def _stat_signature(paths: list[str]) -> str:
+    h = hashlib.sha256()
+    for p in sorted(paths):
+        st = os.stat(p)
+        h.update(f"{p}|{st.st_size}|{st.st_mtime_ns}\n".encode())
+    return h.hexdigest()[:32]
+
+
+def cached_result(
+    cache_dir: str,
+    name: str,
+    input_paths: list[str],
+    compute: Callable[[], pd.DataFrame],
+) -> tuple[pd.DataFrame, bool]:
+    """Return ``(result, cache_hit)``; see module docstring for the key
+    contract.  Results must be driver-small (they are stored as one
+    parquet file — the same contract as every query() return here)."""
+    os.makedirs(cache_dir, exist_ok=True)
+    key = _stat_signature(input_paths)
+    base = os.path.join(cache_dir, f"{name}-{key}")
+    meta_p, data_p = base + ".json", base + ".parquet"
+    if os.path.exists(meta_p) and os.path.exists(data_p):
+        return pd.read_parquet(data_p), True
+    out = compute()
+    if not isinstance(out, pd.DataFrame):
+        out = out.to_pandas()
+    tmp = data_p + ".tmp"
+    out.to_parquet(tmp)
+    os.replace(tmp, data_p)  # atomic publish, like every sink here
+    with open(meta_p + ".tmp", "w") as f:
+        json.dump({"name": name, "inputs": sorted(input_paths), "key": key}, f)
+    os.replace(meta_p + ".tmp", meta_p)
+    return out, False
