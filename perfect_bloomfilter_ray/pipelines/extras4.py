@@ -1800,9 +1800,24 @@ def user_max_nonoverlap_activity(sf_dir: str):
             }
         )
 
+    # COARSE partition by hash(user) so one task runs the DP for MANY users
+    # (dp_group already iterates users inside the batch) — per-user
+    # map_groups would schedule one tiny task per key
+    from perfect_bloomfilter_ray.functions.hashing import hash64
+    from perfect_bloomfilter_ray.stages.partitioning import choose_num_blocks
+
+    nb = choose_num_blocks(ivs)
+
+    def route(t: pa.Table) -> pa.Table:
+        h = hash64(t.column("user_id"), 0xD9) % np.uint64(nb)
+        return t.append_column("_part", pa.array(h.astype(np.int32)))
+
     out = (
-        ivs.groupby("user_id")
-        .map_groups(dp_group, batch_format="pyarrow")
+        ivs.map_batches(route, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(
+            lambda t: dp_group(t.drop_columns(["_part"])), batch_format="pyarrow"
+        )
         .to_pandas()
         .sort_values("user_id")
         .reset_index(drop=True)
