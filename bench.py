@@ -415,6 +415,7 @@ SUITE = [
     "embedding_coreset_kmeans",
     "vocab_js_drift_halves",
     "adaptive_join_order_revenue",
+    "bounded_load_shard_report",
 ]
 
 

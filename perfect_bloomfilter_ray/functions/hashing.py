@@ -144,3 +144,57 @@ def route_shards(col, num_shards: int, tier_seed: int = SEED_ROUTE_A) -> tuple[n
     p1 = jump_hash(h, num_shards)
     p2 = (p1 + num_shards // 2) & (num_shards - 1)
     return p1, p2
+
+
+def bounded_load_assign(
+    keys: np.ndarray, num_buckets: int, load_factor: float = 1.25
+) -> np.ndarray:
+    """Consistent hashing with bounded loads (Mirrokni, Thorup & Zadimoghaddam
+    2018, the CH-BL policy behind Vimeo/HAProxy's `hash-balance-factor`):
+    each key starts at its jump-hash shard and LINEAR-PROBES to the next
+    shard whenever the current one is full, with per-shard capacity
+    ceil(load_factor · n / m).  Guarantees max load ≤ capacity by
+    construction while moving only O(1/ε)-ish keys off their home shard —
+    the fix for the hot-shard problem plain jump-hash has under skewed or
+    adversarial key multiplicities.
+
+    Deterministic and ORDER-SENSITIVE by contract: keys are processed in
+    ascending uint64 hash order (ties by position), so every caller —
+    any worker, any rerun — assigns identically.  Vectorized rounds: each
+    round places every key whose current candidate shard still has room
+    (one bincount + cumsum-within-shard per round), then advances the
+    spilled keys; ≤ m rounds, in practice 2-3.
+    """
+    import math as _math
+
+    key = np.asarray(keys, dtype=_U64)
+    m = int(num_buckets)
+    n = len(key)
+    cap = int(_math.ceil(load_factor * n / m)) if n else 0
+    order = np.argsort(key, kind="stable")
+    home = jump_hash(key[order], m).astype(np.int64)
+    assign = np.full(n, -1, dtype=np.int64)
+    load = np.zeros(m, dtype=np.int64)
+    cand = home.copy()
+    pending = np.arange(n)
+    for _ in range(m):
+        if len(pending) == 0:
+            break
+        c = cand[pending]
+        # rank of each pending key WITHIN its candidate shard this round
+        # (stable sort keeps ascending-hash priority)
+        srt = np.argsort(c, kind="stable")
+        cs = c[srt]
+        starts = np.flatnonzero(np.diff(cs, prepend=cs[0] - 1))
+        rank = np.arange(len(cs)) - np.repeat(starts, np.diff(np.append(starts, len(cs))))
+        room = cap - load[cs]
+        ok = rank < room
+        placed = pending[srt[ok]]
+        assign[placed] = cs[ok]
+        np.add.at(load, cs[ok], 1)
+        spilled = pending[srt[~ok]]
+        cand[spilled] = (cand[spilled] + 1) % m
+        pending = spilled
+    out = np.empty(n, dtype=np.int64)
+    out[order] = assign
+    return out

@@ -2253,3 +2253,55 @@ def adaptive_join_order_revenue(sf_dir: str):
     out["n_orders"] = out["n_orders"].astype("int64")
     out["revenue_cents"] = out["revenue_cents"].astype("int64")
     return out
+
+
+@q("bounded_load_shard_report")
+def bounded_load_shard_report(sf_dir: str):
+    """Consistent hashing with bounded loads (Mirrokni-Thorup-Zadimoghaddam
+    2018; functions/hashing.bounded_load_assign): the user-key VOCABULARY
+    is assigned to 16 shards at load factor 1.25 — per-shard capacity is
+    a GUARANTEE (ceil(1.25·n/m)), the fix for the hot shard plain
+    jump-hash grows under adversarial key sets, while only the overflow
+    slice moves off its home shard.  Shard planning runs over distinct
+    keys (one distributed distinct), the same bounded-small-side contract
+    as every code-book broadcast here — CH-BL assigns KEYS to servers;
+    rows then route by their key's shard.  Report: per-shard key counts,
+    the cap, and how many keys probed away from home; multiset-
+    deterministic (ascending-hash priority).  rows-only by design (the
+    probe loop has no SQL twin); capacity bound and determinism pinned in
+    pytest."""
+    import math as _math
+
+    from perfect_bloomfilter_ray.functions.hashing import (
+        bounded_load_assign,
+        hash64,
+        jump_hash,
+    )
+
+    ds = _t(sf_dir, "events", ["user_id"])
+    distinct = ds.groupby("user_id").count().drop_columns(["count()"])
+
+    def hashes(t: pa.Table) -> pa.Table:
+        return pa.table({"h": pa.array(hash64(t.column("user_id"), 0xB10C).view(np.int64))})
+
+    h = (
+        distinct.map_batches(hashes, batch_format="pyarrow")
+        .to_pandas()["h"]
+        .to_numpy()
+        .view(np.uint64)
+    )
+    m, lf = 16, 1.25
+    a = bounded_load_assign(h, m, lf)
+    home = jump_hash(h, m)
+    cap = int(_math.ceil(lf * len(h) / m))
+    load = np.bincount(a, minlength=m)
+    moved = int((a != home).sum())
+    out = pd.DataFrame(
+        {
+            "shard": np.arange(m, dtype=np.int64),
+            "n_keys": load.astype(np.int64),
+            "cap": np.int64(cap),
+            "moved_total": np.int64(moved),
+        }
+    )
+    return out.astype("int64")
