@@ -192,8 +192,15 @@ def pagerank_dataset(
     num_blocks: int | None = None,
     _deduped: bool = False,
     checkpoint_dir: str | None = None,
+    tol: float | None = None,
 ) -> Dataset:
     """Fully distributed PageRank: ranks stay a ``(node, rank)`` Dataset.
+
+    ``tol`` enables CONVERGENCE early stop: iteration ends when the L1
+    rank change Σ|PR_k − PR_{k−1}| drops below ``tol`` (each state row
+    carries its previous rank through the resolve, so the delta is one
+    cheap map-side partial sum over the already-materialized state — no
+    extra old-vs-new join or shuffle).  ``iters`` stays the hard cap.
 
     ``checkpoint_dir`` makes the iteration RESUMABLE: after every
     iteration the (node, outdeg, rank) state is published atomically as
@@ -332,12 +339,16 @@ def pagerank_dataset(
             w = np.zeros(len(src))
         ud, inv = np.unique(dst, return_inverse=True)
         pw = np.bincount(inv, weights=w) if len(dst) else np.zeros(0)
-        # contributions (od = -1 sentinel) + re-emitted state rows (pw = 0)
+        # contributions (od = -1 sentinel) + re-emitted state rows (pw = 0);
+        # state rows also carry the PREVIOUS rank so convergence |Δ| can be
+        # read off the next state without an extra old-vs-new join
+        prev = t.column("rank").to_numpy()[st][order]
         return pa.table(
             {
                 "node": pa.array(np.concatenate([ud, ks])),
                 "pw": pa.array(np.concatenate([pw, np.zeros(len(ks))])),
                 "od": pa.array(np.concatenate([np.full(len(ud), -1, np.int64), od])),
+                "prev": pa.array(np.concatenate([np.zeros(len(ud)), prev])),
             }
         )
 
@@ -347,6 +358,7 @@ def pagerank_dataset(
                 "node": t.column("node"),
                 "outdeg": t.column("outdeg").cast(pa.int64()),
                 "rank": pa.array(base + damping * t.column("pw").to_numpy(zero_copy_only=False)),
+                "prev": t.column("prev"),
             }
         )
 
@@ -377,10 +389,35 @@ def pagerank_dataset(
             .groupby("_part")
             .map_groups(resolve, batch_format="pyarrow")
             .groupby("node")
-            .aggregate(Sum("pw", alias_name="pw"), Max("od", alias_name="outdeg"))
+            .aggregate(
+                Sum("pw", alias_name="pw"),
+                Max("od", alias_name="outdeg"),
+                Max("prev", alias_name="prev"),
+            )
             .map_batches(new_rank, batch_format="pyarrow")
             .materialize()
         )
+        if tol is not None:
+            def l1_partial(t: pa.Table) -> pa.Table:
+                d = np.abs(
+                    t.column("rank").to_numpy(zero_copy_only=False)
+                    - t.column("prev").to_numpy(zero_copy_only=False)
+                )
+                return pa.table({"d": pa.array([float(d.sum())])})
+
+            delta = float(
+                state.map_batches(l1_partial, batch_format="pyarrow").sum("d")
+            )
+            if delta < tol:
+                if checkpoint_dir:
+                    import os
+
+                    final_dir = os.path.join(checkpoint_dir, f"iter_{it + 1}")
+                    if not os.path.exists(final_dir):
+                        tmp = os.path.join(checkpoint_dir, f".tmp_iter_{it + 1}")
+                        state.write_parquet(tmp)
+                        os.rename(tmp, final_dir)
+                break
         if checkpoint_dir:
             import os
 
