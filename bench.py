@@ -416,6 +416,7 @@ SUITE = [
     "vocab_js_drift_halves",
     "adaptive_join_order_revenue",
     "bounded_load_shard_report",
+    "late_event_census",
 ]
 
 

@@ -2305,3 +2305,84 @@ def bounded_load_shard_report(sf_dir: str):
         }
     )
     return out.astype("int64")
+
+
+@q(
+    "late_event_census",
+    sql="""
+    WITH w AS (
+      SELECT event_id, event_type, epoch_us(ts) AS us,
+             (event_id * 1103515245 + 12345) % 2147483648 AS arr,
+             max(epoch_us(ts)) OVER (
+               ORDER BY (event_id * 1103515245 + 12345) % 2147483648, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS wm
+      FROM events
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_late,
+           CAST(max(wm - us) AS BIGINT) AS max_lateness_us
+    FROM w WHERE wm - us > 3600000000
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def late_event_census(sf_dir: str):
+    """Streaming late-data audit in batch form: the WATERMARK is the
+    exclusive running max of event time over ARRIVAL order (the at-rest
+    table is time-sorted, so arrival is modeled by a deterministic LCG
+    scramble of event_id both engines compute identically — the standard
+    way to exercise watermark semantics on sorted data; the suite's
+    ordered_running_max segmented scan, no global sort), and
+    an event is LATE when it arrives more than 1 h behind it — exactly
+    the allowed-lateness drop rule of a streaming engine, made auditable
+    over the at-rest table.  Counts and max lateness are exact int64 µs."""
+    import polars as pl
+
+    from perfect_bloomfilter_ray.stages.windows import ordered_running_max
+
+    ds = _t(sf_dir, "events", ["event_id", "event_type", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        arr = (eid * 1103515245 + 12345) % 2147483648
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "arr": pa.array(arr),
+                "event_type": t.column("event_type"),
+                "us": pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64()),
+            }
+        )
+
+    wm = ordered_running_max(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "arr", "event_id", "us", out_col="wm",
+    )
+
+    def late(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        df = df.filter((pl.col("wm") - pl.col("us")) > 3_600_000_000)
+        return (
+            df.group_by("event_type")
+            .agg(
+                pl.len().cast(pl.Int64).alias("n_late"),
+                (pl.col("wm") - pl.col("us")).max().alias("max_lateness_us"),
+            )
+            .to_arrow()
+        )
+
+    from ray.data.aggregate import Max
+
+    out = (
+        wm.map_batches(late, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n_late", alias_name="n_late"),
+            Max("max_lateness_us", alias_name="max_lateness_us"),
+        )
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    out["n_late"] = out["n_late"].astype("int64")
+    out["max_lateness_us"] = out["max_lateness_us"].astype("int64")
+    return out

@@ -129,3 +129,71 @@ def validate_rules(ds: Dataset, rules: list[dict]) -> pd.DataFrame:
             "n_violations": np.array([out[i] for i in range(len(rules))], dtype=np.int64),
         }
     )
+
+
+def split_valid(ds: Dataset, rules: list[dict]) -> tuple[Dataset, Dataset]:
+    """Dead-letter routing: returns ``(good, bad)`` where ``bad`` holds every
+    row violating ANY scalar rule, annotated with a ``_violations``
+    comma-joined rule-id list, and ``good`` holds the rest — the
+    quarantine-sink pattern (bad rows land in a side table for triage
+    instead of poisoning the pipeline or being silently dropped).
+
+    Scalar rules only (``unique`` is a table-level property; use
+    :func:`validate_rules` for it).  One shared predicate evaluation per
+    branch; both branches stream — no materialization here, callers sink
+    each side wherever they need (the bad side is typically tiny).
+    """
+    scalar_rules = [(i, r) for i, r in enumerate(rules) if r["rule"] != "unique"]
+    if len(scalar_rules) != len(rules):
+        raise ValueError("split_valid handles scalar rules only (no 'unique')")
+
+    def viol_matrix(t: pa.Table):
+        import numpy as np
+
+        flags = []
+        for i, r in scalar_rules:
+            c = t.column(r["col"])
+            if r["rule"] == "not_null":
+                bad = pc.is_null(c)
+            elif r["rule"] == "in_range":
+                ok = pc.and_kleene(
+                    pc.greater_equal(c, pa.scalar(r["lo"])),
+                    pc.less_equal(c, pa.scalar(r["hi"])),
+                )
+                bad = pc.or_kleene(pc.invert(pc.fill_null(ok, False)), pc.is_null(c))
+            elif r["rule"] == "in_set":
+                ok = pc.is_in(c, value_set=pa.array(r["values"]))
+                bad = pc.invert(pc.fill_null(ok, False))
+            elif r["rule"] == "matches":
+                ok = pc.match_substring_regex(pc.cast(c, pa.string()), r["pattern"])
+                bad = pc.invert(pc.fill_null(ok, False))
+            else:
+                raise ValueError(f"unknown rule {r['rule']!r}")
+            flags.append((i, np.asarray(pc.fill_null(bad, True))))
+        any_bad = np.zeros(len(t), dtype=bool)
+        for _, f in flags:
+            any_bad |= f
+        return flags, any_bad
+
+    def good_fn(t: pa.Table) -> pa.Table:
+        _, any_bad = viol_matrix(t)
+        return t.filter(pa.array(~any_bad))
+
+    def bad_fn(t: pa.Table) -> pa.Table:
+        flags, any_bad = viol_matrix(t)
+        t2 = t.filter(pa.array(any_bad))
+        if len(t2) == 0:
+            return t2.append_column("_violations", pa.array([], pa.string()))
+        import numpy as np
+
+        labels = [[] for _ in range(len(t))]
+        for i, f in flags:
+            for idx in np.flatnonzero(f):
+                labels[idx].append(str(i))
+        kept = [",".join(labels[i]) for i in np.flatnonzero(any_bad)]
+        return t2.append_column("_violations", pa.array(kept, pa.string()))
+
+    return (
+        ds.map_batches(good_fn, batch_format="pyarrow"),
+        ds.map_batches(bad_fn, batch_format="pyarrow"),
+    )
