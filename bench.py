@@ -417,6 +417,7 @@ SUITE = [
     "adaptive_join_order_revenue",
     "bounded_load_shard_report",
     "late_event_census",
+    "crlite_customers_with_orders",
 ]
 
 

@@ -2386,3 +2386,85 @@ def late_event_census(sf_dir: str):
     out["n_late"] = out["n_late"].astype("int64")
     out["max_lateness_us"] = out["max_lateness_us"].astype("int64")
     return out
+
+
+@q(
+    "crlite_customers_with_orders",
+    sql="""
+    WITH act AS (SELECT DISTINCT o_custkey AS k FROM orders)
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS acctbal_cents
+    FROM customer JOIN act ON c_custkey = act.k
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def crlite_customers_with_orders(sf_dir: str):
+    """EXACT membership through a CRLite cascade (state/crlite.py —
+    Larisch et al. S&P'17, the construction Mozilla ships for certificate
+    revocation): customers-with-orders is encoded as a Bloom-filter
+    cascade whose error is driven to ZERO inside the known customer-key
+    universe (~15 bits/member here, independent of the 64-bit key space —
+    where a Roaring bitmap over hash-scattered keys degenerates to
+    array-container cost).  The cascade broadcasts once and the customer
+    scan marks membership shuffle-free; the SQL oracle is the plain exact
+    semi-join — any cascade error would hash-fail.  The thematic closer
+    of the reference's own cascade: theirs grows layers to BOUND the FPR
+    under inserts, CRLite's closes the loop to zero for a frozen
+    snapshot."""
+    import polars as pl
+    import ray
+
+    from perfect_bloomfilter_ray.functions.hashing import hash64
+    from perfect_bloomfilter_ray.state.crlite import CRLiteCascade
+
+    orders = _t(sf_dir, "orders", ["o_custkey"])
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment", "c_acctbal"]).materialize()
+
+    def keys(col):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({"h": pa.array(hash64(t.column(col), 0xC217).view(np.int64))})
+
+        return fn
+
+    mem = np.unique(
+        orders.map_batches(keys("o_custkey"), batch_format="pyarrow")
+        .to_pandas()["h"].to_numpy()
+    ).view(np.uint64)
+    uni = np.unique(
+        cust.map_batches(keys("c_custkey"), batch_format="pyarrow")
+        .to_pandas()["h"].to_numpy()
+    ).view(np.uint64)
+    # member hashes outside the universe would violate the CRLite contract;
+    # orders reference existing customers by FK so this is the clean subset
+    mem = np.intersect1d(mem, uni)
+    casc = CRLiteCascade(mem, uni)
+    ref = ray.put(casc.to_bytes())
+
+    def mark(t: pa.Table) -> pa.Table:
+        c = CRLiteCascade.from_bytes(ray.get(ref))
+        h = hash64(t.column("c_custkey"), 0xC217)
+        keep = c.contains(h)
+        t = t.filter(pa.array(keep))
+        cents = pc.cast(pc.floor(pc.multiply(t.column("c_acctbal"), 100.0)), pa.int64())
+        return (
+            pl.from_arrow(pa.table({"c_mktsegment": t.column("c_mktsegment"), "c": cents}))
+            .group_by("c_mktsegment")
+            .agg(pl.len().cast(pl.Int64).alias("n_customers"), pl.col("c").sum().alias("acctbal_cents"))
+            .to_arrow()
+        )
+
+    out = (
+        cust.map_batches(mark, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("n_customers", alias_name="n_customers"),
+            Sum("acctbal_cents", alias_name="acctbal_cents"),
+        )
+        .to_pandas()
+        .sort_values("c_mktsegment")
+        .reset_index(drop=True)
+    )
+    out["n_customers"] = out["n_customers"].astype("int64")
+    out["acctbal_cents"] = out["acctbal_cents"].astype("int64")
+    return out
