@@ -170,6 +170,10 @@ def bounded_load_assign(
     key = np.asarray(keys, dtype=_U64)
     m = int(num_buckets)
     n = len(key)
+    if load_factor < 1.0:
+        # m * cap < n would leave keys unplaceable; fail loudly instead of
+        # returning -1 shard ids
+        raise ValueError(f"load_factor must be >= 1.0, got {load_factor}")
     cap = int(_math.ceil(load_factor * n / m)) if n else 0
     order = np.argsort(key, kind="stable")
     home = jump_hash(key[order], m).astype(np.int64)

@@ -546,8 +546,17 @@ def bucketed_join_order_customer_revenue(sf_dir: str):
             {"custkey": t.column("c_custkey"), "c_mktsegment": t.column("c_mktsegment")}
         )
 
+    # scratch dir keyed by the INPUT FILES' stat signature: a regenerated
+    # corpus at the same path gets a fresh layout instead of a stale resume
+    from perfect_bloomfilter_ray.stages.adaptive import _stat_signature
+
+    sig = _stat_signature(
+        [os.path.join(sf_dir, "orders.parquet"), os.path.join(sf_dir, "customer.parquet")]
+    )
     base = os.path.join(
-        tempfile.gettempdir(), "pbf_bucketed", os.path.basename(os.path.normpath(sf_dir))
+        tempfile.gettempdir(),
+        "pbf_bucketed",
+        f"{os.path.basename(os.path.normpath(sf_dir))}-{sig[:12]}",
     )
     po, pc_dir = os.path.join(base, "orders"), os.path.join(base, "customer")
     o_ds = orders.map_batches(o_prep, batch_format="pyarrow")
@@ -1555,6 +1564,7 @@ def jl_projected_embeddings(sf_dir: str):
     WITH v AS (
       SELECT CAST(floor(value * 100) AS BIGINT) AS x
       FROM events WHERE value IS NOT NULL AND value > 0
+        AND CAST(floor(value * 100) AS BIGINT) > 0
     ),
     r AS (SELECT x, row_number() OVER (ORDER BY x DESC) AS rnk FROM v),
     kx AS (SELECT x AS xk FROM r WHERE rnk = 101)
@@ -1578,13 +1588,20 @@ def hill_tail_index_value(sf_dir: str):
     )
 
     def cents(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {"x": pc.cast(pc.floor(pc.multiply(t.column("value"), 100.0)), pa.int64())}
-        )
+        x = pc.cast(pc.floor(pc.multiply(t.column("value"), 100.0)), pa.int64())
+        t2 = pa.table({"x": x})
+        return t2.filter(pc.greater(t2.column("x"), 0))
 
     top = global_top_k(
         ds.map_batches(cents, batch_format="pyarrow"), "x", k=101, descending=True
     ).to_pandas()
+    empty = pd.DataFrame(
+        {"rank": pd.Series([], dtype="int64"), "cents": pd.Series([], dtype="int64"),
+         "ln_ratio": pd.Series([], dtype="float64")}
+    )
+    if len(top) < 101:
+        # mirrors the oracle: the rnk=101 CTE is empty, so zero rows
+        return empty
     x = np.sort(top["x"].to_numpy().astype(np.int64))[::-1]
     xk = int(x[100])
     rows = []
@@ -2312,9 +2329,9 @@ def bounded_load_shard_report(sf_dir: str):
     sql="""
     WITH w AS (
       SELECT event_id, event_type, epoch_us(ts) AS us,
-             (event_id * 1103515245 + 12345) % 2147483648 AS arr,
+             ((event_id & 2147483647) * 1103515245 + 12345) % 2147483648 AS arr,
              max(epoch_us(ts)) OVER (
-               ORDER BY (event_id * 1103515245 + 12345) % 2147483648, event_id
+               ORDER BY ((event_id & 2147483647) * 1103515245 + 12345) % 2147483648, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
              ) AS wm
       FROM events
@@ -2343,7 +2360,9 @@ def late_event_census(sf_dir: str):
 
     def prep(t: pa.Table) -> pa.Table:
         eid = t.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        arr = (eid * 1103515245 + 12345) % 2147483648
+        # mask to 31 bits BEFORE the multiply: the product then fits int64
+        # in both engines (numpy would wrap silently, DuckDB would raise)
+        arr = ((eid & 2147483647) * 1103515245 + 12345) % 2147483648
         return pa.table(
             {
                 "event_id": t.column("event_id"),

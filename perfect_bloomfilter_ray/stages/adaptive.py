@@ -69,8 +69,10 @@ def adaptive_join(
                 broadcast_lookup_join(left, t_small, on=on, right_on=right_on, how="inner"),
                 "broadcast",
             )
-    # cheap hot-key probe on the left: map-side pre-aggregated counts,
-    # keep only candidates above the threshold (vocabulary-sized shuffle)
+    # hot-key probe on the left: map-side pre-aggregated counts, kept only
+    # above the threshold (vocabulary-sized shuffle).  The FULL candidate
+    # frame is handed to skew_join so the detect scan is paid ONCE — the
+    # skew path does not rescan the left side.
     from ray.data.aggregate import Sum
 
     def partial_counts(t: pa.Table) -> pa.Table:
@@ -81,18 +83,21 @@ def adaptive_join(
         return pa.table({on: tv.field("values"), "pcnt": tv.field("counts").cast(pa.int64())})
 
     hot = (
-        left.map_batches(partial_counts, batch_format="pyarrow")
+        left.select_columns([on])
+        .map_batches(partial_counts, batch_format="pyarrow")
         .groupby(on)
         .aggregate(Sum("pcnt", alias_name="cnt"))
-        .filter(lambda r: r["cnt"] >= hot_count_threshold)
-        .limit(1)
-        .take_all()
+        .filter(expr=f"cnt >= {int(hot_count_threshold)}")
+        .sort("cnt", descending=True)
+        .limit(65)
+        .to_pandas()
     )
-    if hot:
+    if len(hot):
         return (
             skew_join(
                 left, right, on=on, right_on=right_on,
                 hot_count_threshold=hot_count_threshold,
+                precounted_hot=hot,
             ),
             "skew",
         )

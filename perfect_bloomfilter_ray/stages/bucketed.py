@@ -56,6 +56,13 @@ def write_bucketed(
                 f"existing layout at {path} is ({old['key']}, {old['num_buckets']}); "
                 f"requested ({key}, {num_buckets}) — use overwrite=True"
             )
+    if overwrite:
+        # clear EVERY old bucket file first: a rewrite that no longer
+        # populates some bucket would otherwise leave the stale file in
+        # place and bucketed_join would silently include its rows
+        for f in os.listdir(path):
+            if f.startswith("bucket=") and f.endswith(".parquet"):
+                os.remove(os.path.join(path, f))
 
     def add_bucket(t: pa.Table) -> pa.Table:
         t = t.filter(t.column(key).is_valid())
@@ -103,11 +110,13 @@ def bucketed_join(
         raise ValueError(
             f"bucket counts differ: {ma['num_buckets']} vs {mb['num_buckets']}"
         )
-    if ma["key"] != mb["key"] and how == "inner":
-        # different column NAMES are fine (o_custkey vs c_custkey) as long
-        # as the caller says which column joins; same hash seed + count is
-        # what guarantees co-partitioning
-        pass
+    if ma["key"] != key or mb["key"] != key:
+        # the join probes one column name in BOTH bucket files; rename the
+        # key to a common name at write time (the round's query does)
+        raise ValueError(
+            f"both layouts must be bucketed by {key!r}; "
+            f"found {ma['key']!r} and {mb['key']!r}"
+        )
     nb = ma["num_buckets"]
     import polars as pl
 

@@ -415,6 +415,10 @@ def pagerank_dataset(
                     final_dir = os.path.join(checkpoint_dir, f"iter_{it + 1}")
                     if not os.path.exists(final_dir):
                         tmp = os.path.join(checkpoint_dir, f".tmp_iter_{it + 1}")
+                        if os.path.exists(tmp):  # stale partial from a crash
+                            import shutil
+
+                            shutil.rmtree(tmp)
                         state.write_parquet(tmp)
                         os.rename(tmp, final_dir)
                 break

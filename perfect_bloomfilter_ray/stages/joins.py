@@ -424,8 +424,15 @@ def skew_join(
     hot_count_threshold: int = 100_000,
     hot_top_k: int = 64,
     num_partitions: int | None = None,
+    precounted_hot: "pd.DataFrame | None" = None,
 ) -> Dataset:
     """Skew-aware hybrid inner join of two large Datasets.
+
+    ``precounted_hot``: an already-computed hot-candidate frame with
+    columns ``(on, cnt)`` (every key with left count ≥ the threshold,
+    sorted descending, possibly with one overflow row past ``hot_top_k``)
+    — lets a caller that already paid the detect scan (stages/adaptive)
+    skip this function's own pass over the left side.
 
     A plain hash join routes every row of a hot key to ONE reducer; with a
     zipfian left side (a bot user, an empty-string key) that single task
@@ -467,16 +474,19 @@ def skew_join(
     # key vocabulary to just the hot candidates (at web scale: 10^9 distinct
     # keys → a handful of rows). limit(k+1): an overflow row proves keys
     # beyond the cap exist, so the cold leg is known-nonempty without a probe
-    counts = (
-        left.select_columns([on])
-        .map_batches(partial_counts, batch_format="pyarrow")
-        .groupby(on)
-        .aggregate(Sum("pcnt", alias_name="cnt"))
-        .filter(expr=f"cnt >= {int(hot_count_threshold)}")
-        .sort("cnt", descending=True)
-        .limit(hot_top_k + 1)
-        .to_pandas()
-    )
+    if precounted_hot is not None:
+        counts = precounted_hot.head(hot_top_k + 1)
+    else:
+        counts = (
+            left.select_columns([on])
+            .map_batches(partial_counts, batch_format="pyarrow")
+            .groupby(on)
+            .aggregate(Sum("pcnt", alias_name="cnt"))
+            .filter(expr=f"cnt >= {int(hot_count_threshold)}")
+            .sort("cnt", descending=True)
+            .limit(hot_top_k + 1)
+            .to_pandas()
+        )
     cold_known_nonempty = len(counts) > hot_top_k
     # an all-filtered Dataset comes back as a 0-column frame — treat as no hot keys
     base = getattr(right.schema(), "base_schema", None)

@@ -139,9 +139,12 @@ def split_valid(ds: Dataset, rules: list[dict]) -> tuple[Dataset, Dataset]:
     instead of poisoning the pipeline or being silently dropped).
 
     Scalar rules only (``unique`` is a table-level property; use
-    :func:`validate_rules` for it).  One shared predicate evaluation per
-    branch; both branches stream — no materialization here, callers sink
-    each side wherever they need (the bad side is typically tiny).
+    :func:`validate_rules` for it).  Null semantics MATCH validate_rules:
+    a null value violates only ``not_null`` — range/set/regex rules skip
+    nulls, so a row validate_rules declared clean is never quarantined.
+    One shared predicate evaluation per branch; both branches stream — no
+    materialization here, callers sink each side wherever they need (the
+    bad side is typically tiny).
     """
     scalar_rules = [(i, r) for i, r in enumerate(rules) if r["rule"] != "unique"]
     if len(scalar_rules) != len(rules):
@@ -155,21 +158,22 @@ def split_valid(ds: Dataset, rules: list[dict]) -> tuple[Dataset, Dataset]:
             c = t.column(r["col"])
             if r["rule"] == "not_null":
                 bad = pc.is_null(c)
-            elif r["rule"] == "in_range":
-                ok = pc.and_kleene(
-                    pc.greater_equal(c, pa.scalar(r["lo"])),
-                    pc.less_equal(c, pa.scalar(r["hi"])),
-                )
-                bad = pc.or_kleene(pc.invert(pc.fill_null(ok, False)), pc.is_null(c))
-            elif r["rule"] == "in_set":
-                ok = pc.is_in(c, value_set=pa.array(r["values"]))
-                bad = pc.invert(pc.fill_null(ok, False))
-            elif r["rule"] == "matches":
-                ok = pc.match_substring_regex(pc.cast(c, pa.string()), r["pattern"])
-                bad = pc.invert(pc.fill_null(ok, False))
             else:
-                raise ValueError(f"unknown rule {r['rule']!r}")
-            flags.append((i, np.asarray(pc.fill_null(bad, True))))
+                if r["rule"] == "in_range":
+                    ok = pc.and_(
+                        pc.greater_equal(c, pa.scalar(r["lo"])),
+                        pc.less_equal(c, pa.scalar(r["hi"])),
+                    )
+                elif r["rule"] == "in_set":
+                    ok = pc.is_in(c, value_set=pa.array(r["values"]))
+                elif r["rule"] == "matches":
+                    ok = pc.match_substring_regex(pc.cast(c, pa.string()), r["pattern"])
+                else:
+                    raise ValueError(f"unknown rule {r['rule']!r}")
+                # identical expression to validate_rules: violation = a
+                # NON-NULL value failing the predicate; nulls skip
+                bad = pc.and_(pc.is_valid(c), pc.invert(pc.fill_null(ok, False)))
+            flags.append((i, np.asarray(pc.fill_null(bad, False))))
         any_bad = np.zeros(len(t), dtype=bool)
         for _, f in flags:
             any_bad |= f

@@ -53,7 +53,10 @@ class _PlainBloom:
 
     def _pos(self, h: np.ndarray) -> np.ndarray:
         h1 = splitmix64(h ^ _U64(self.seed))
-        h2 = splitmix64(h1 ^ _U64(0x9E3779B97F4A7C15))
+        # h2 must be ODD for full period mod 2^t (km_positions contract,
+        # same convention as state/bloom.py) — an even h2 collapses the k
+        # probes onto a short cycle and inflates per-layer FPR
+        h2 = splitmix64(h1 ^ _U64(0x9E3779B97F4A7C15)) | _U64(1)
         return km_positions(h1, h2, self.k, self.m)
 
     def add(self, h: np.ndarray) -> None:

@@ -77,3 +77,29 @@ def test_left_join_with_missing_bucket_file(ray_session, tmp_path):
     assert len(got) == 1000
     assert got.loc[got["k"] == 3, "y"].iloc[0] == 30
     assert got.loc[got["k"] != 3, "y"].isna().all()
+
+
+def test_overwrite_clears_stale_buckets(ray_session, tmp_path):
+    """The reviewer-reproduced corruption: a rewrite that no longer
+    populates some bucket must not leave the old file for joins to read."""
+    import ray
+
+    path = str(tmp_path / "t")
+    wide = pd.DataFrame({"k": np.arange(100), "v": np.arange(100)})
+    write_bucketed(ray.data.from_pandas(wide), "k", path, 4)
+    n_before = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert n_before == 4
+    narrow = pd.DataFrame({"k": [1], "v": [1]})  # lands in one bucket only
+    write_bucketed(ray.data.from_pandas(narrow), "k", path, 4, overwrite=True)
+    files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    total = sum(pq.read_table(os.path.join(path, f)).num_rows for f in files)
+    assert total == 1  # no stale rows survive
+
+
+def test_join_requires_matching_key_name(ray_session, tmp_path):
+    a = pd.DataFrame({"x": np.arange(10), "v": np.arange(10)})
+    b = pd.DataFrame({"k": np.arange(10), "w": np.arange(10)})
+    pa_ = _mk(tmp_path, "a", a, "x", 4)
+    pb_ = _mk(tmp_path, "b", b, "k", 4)
+    with pytest.raises(ValueError):
+        bucketed_join(pa_, pb_, "k")

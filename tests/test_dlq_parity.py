@@ -32,9 +32,9 @@ def test_split_valid_routes_and_annotates(ray_session):
     g, b = good.to_pandas(), bad.to_pandas()
     assert len(g) + len(b) == len(df)
     assert sorted(g["a"].tolist()) == [1, 3]
-    viol = dict(zip(b["lang"].where(b["lang"].notna(), ""), b["_violations"]))
-    # row with a=None violates rules 0 and 1 (null fails the range too)
-    assert "0" in b.loc[b["a"].isna(), "_violations"].iloc[0]
+    # row with a=None violates ONLY rule 0 — nulls skip the range rule,
+    # matching validate_rules semantics exactly
+    assert (b.loc[b["a"].isna(), "_violations"] == "0").all()
     assert (b.loc[b["lang"] == "xx", "_violations"] == "2").all()
     assert (b.loc[b["a"] == 200, "_violations"] == "1").all()
 
