@@ -418,6 +418,8 @@ SUITE = [
     "bounded_load_shard_report",
     "late_event_census",
     "crlite_customers_with_orders",
+    "boilerplate_line_filter_stats",
+    "mojibake_census",
 ]
 
 

@@ -2487,3 +2487,133 @@ def crlite_customers_with_orders(sf_dir: str):
     out["n_customers"] = out["n_customers"].astype("int64")
     out["acctbal_cents"] = out["acctbal_cents"].astype("int64")
     return out
+
+
+@q(
+    "boilerplate_line_filter_stats",
+    sql="""
+    WITH ln AS (
+      SELECT lang, unnest(string_split(text, chr(10))) AS line FROM documents
+    ),
+    f AS (
+      SELECT lang, line,
+             CAST(length(line) AS BIGINT) AS nc,
+             CAST(len(regexp_extract_all(line, '[a-zA-Z]')) AS BIGINT) AS na,
+             CAST(len(regexp_extract_all(line, '\\S+')) AS BIGINT) AS nw
+      FROM ln WHERE trim(line) <> ''
+    ),
+    cls AS (
+      SELECT lang, nc,
+             CASE WHEN nw >= 5 AND na * 2 >= nc THEN 1 ELSE 0 END AS keep
+      FROM f
+    )
+    SELECT lang,
+           CAST(sum(keep) AS BIGINT) AS kept_lines,
+           CAST(sum(1 - keep) AS BIGINT) AS dropped_lines,
+           CAST(sum(CASE WHEN keep = 1 THEN nc ELSE 0 END) AS BIGINT) AS kept_chars
+    FROM cls GROUP BY lang ORDER BY lang
+    """,
+)
+def boilerplate_line_filter_stats(sf_dir: str):
+    """Line-level boilerplate filtering (the jusText/Readability-lite
+    text-density rule: a content line has ≥5 words AND ≥50% alphabetic
+    characters; nav/footer/menu fragments fail both) — the extraction-side
+    quality gate every web corpus runs between HTML→text and tokenizing.
+    Rules are regex/arithmetic-identical across engines, so the per-lang
+    keep/drop census is exact ints.  One vectorized line-explode pass +
+    k-group fold; the filter itself composes with curate.py's chain."""
+    import polars as pl
+
+    ds = _t(sf_dir, "documents", ["lang", "text"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        lines = (
+            df.select("lang", pl.col("text").fill_null("").str.split("\n").alias("line"))
+            .explode("line")
+            .filter(pl.col("line").str.strip_chars() != "")
+        )
+        nc = pl.col("line").str.len_bytes().cast(pl.Int64)
+        na = pl.col("line").str.count_matches(r"[a-zA-Z]").cast(pl.Int64)
+        nw = pl.col("line").str.count_matches(r"\S+").cast(pl.Int64)
+        keep = ((nw >= 5) & (na * 2 >= nc)).cast(pl.Int64)
+        return (
+            lines.select("lang", nc.alias("nc"), keep.alias("keep"))
+            .group_by("lang")
+            .agg(
+                pl.col("keep").sum().alias("kept_lines"),
+                (1 - pl.col("keep")).sum().alias("dropped_lines"),
+                (pl.col("nc") * pl.col("keep")).sum().alias("kept_chars"),
+            )
+            .to_arrow()
+        )
+
+    out = (
+        ds.map_batches(stats, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("kept_lines", alias_name="kept_lines"),
+            Sum("dropped_lines", alias_name="dropped_lines"),
+            Sum("kept_chars", alias_name="kept_chars"),
+        )
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    for c in ("kept_lines", "dropped_lines", "kept_chars"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+@q(
+    "mojibake_census",
+    sql="""
+    WITH f AS (
+      SELECT source,
+             CASE WHEN regexp_matches(text, 'Ã[¡-¿]|â€|Â[ -¿]|ï¿½') THEN 1 ELSE 0 END AS bad
+      FROM documents
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(bad) AS BIGINT) AS n_mojibake
+    FROM f GROUP BY source ORDER BY source
+    """,
+)
+def mojibake_census(sf_dir: str):
+    """Encoding-damage (mojibake) census per source: documents matching
+    the classic UTF-8-decoded-as-Latin-1 artifacts (Ã©-family, â€œ smart
+    quotes, Â+space, the U+FFFD replacement char) — the crawl-hygiene
+    signal for double-encoded or mislabeled pages, per-source so a bad
+    upstream feed is attributable.  One identical RE2-portable regex on
+    both engines; exact ints."""
+    import polars as pl
+
+    ds = _t(sf_dir, "documents", ["source", "text"])
+
+    def flag(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        bad = (
+            pl.col("text").fill_null("")
+            .str.contains(r"Ã[¡-¿]|â€|Â[ -¿]|ï¿½")
+            .cast(pl.Int64)
+        )
+        return (
+            df.select("source", bad.alias("bad"))
+            .group_by("source")
+            .agg(pl.len().cast(pl.Int64).alias("n_docs"), pl.col("bad").sum().alias("n_mojibake"))
+            .to_arrow()
+        )
+
+    out = (
+        ds.map_batches(flag, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_mojibake", alias_name="n_mojibake"),
+        )
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["n_mojibake"] = out["n_mojibake"].astype("int64")
+    return out

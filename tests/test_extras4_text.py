@@ -236,3 +236,43 @@ def test_vocab_js_drift_properties(ray_session):
     # symmetric formula: swapping halves flips c1/c2 but not |js_part| total
     sym = out.rename(columns={"c1": "c2", "c2": "c1"})
     assert abs(js - sym["js_part"].sum()) < 1e-12
+
+
+def test_boilerplate_rule_vs_bruteforce(ray_session):
+    import re
+
+    import duckdb
+
+    import perfect_bloomfilter_ray.pipelines.extras4 as e4
+
+    out = e4.boilerplate_line_filter_stats(SF).set_index("lang")
+    df = duckdb.sql(f"SELECT lang, text FROM '{SF}/documents.parquet'").df()
+    for lang, sub in df.groupby("lang"):
+        kept = dropped = kept_chars = 0
+        for txt in sub["text"]:
+            for line in (txt or "").split("\n"):
+                if not line.strip():
+                    continue
+                nc = len(line.encode())  # len_bytes; ascii corpus -> == len
+                na = len(re.findall(r"[a-zA-Z]", line))
+                nw = len(re.findall(r"\S+", line))
+                if nw >= 5 and na * 2 >= nc:
+                    kept += 1
+                    kept_chars += nc
+                else:
+                    dropped += 1
+        assert int(out.loc[lang, "kept_lines"]) == kept
+        assert int(out.loc[lang, "dropped_lines"]) == dropped
+        assert int(out.loc[lang, "kept_chars"]) == kept_chars
+
+
+def test_mojibake_regex_detects_classic_artifacts():
+    import re
+
+    pat = re.compile("\u00c3[\u00a1-\u00bf]|\u00e2\u20ac|\u00c2[ -\u00bf]|\u00ef\u00bf\u00bd")
+    assert pat.search("caf\u00c3\u00a9")  # double-encoded e-acute
+    assert pat.search("\u00e2\u20ac\u0153quoted")
+    assert pat.search("nbsp artifact \u00c2 here")
+    assert pat.search("lost \u00ef\u00bf\u00bd char")
+    assert not pat.search("plain ascii text")
+    assert not pat.search("proper caf\u00e9 and na\u00efve UTF-8")
