@@ -330,7 +330,6 @@ SUITE = [
     "fk_integrity_audit",
     "lang_purity_margin_census",
     "contrastive_training_triplets",
-    "user_peak_minute_rate",
     "peak_concurrent_sessions",
     "rank1_als_scores",
     "ips_policy_value",
