@@ -419,6 +419,7 @@ SUITE = [
     "crlite_customers_with_orders",
     "boilerplate_line_filter_stats",
     "mojibake_census",
+    "plindex_orderkey_report",
 ]
 
 

@@ -2650,3 +2650,45 @@ def mojibake_census(sf_dir: str):
     out["n_docs"] = out["n_docs"].astype("int64")
     out["n_mojibake"] = out["n_mojibake"].astype("int64")
     return out
+
+
+@q("plindex_orderkey_report")
+def plindex_orderkey_report(sf_dir: str):
+    """Piecewise-linear learned index over the sorted order-key space
+    (state/plindex.py — the PGM/RMI-lite shrinking-cone fit, no ML
+    runtime): a few float triples per segment replace a full offsets
+    array, with the ε rank-error bound ENFORCED at build and lookups
+    exact (predict + ≤2ε window probe, binary-search fallback between
+    segments).  Report: key count, segment count, index bytes vs raw key
+    bytes, and an exact-lookup audit over present + absent probes — all
+    deterministic ints.  Cluster shape: fit per sorted shard beside the
+    zone-map sidecar (the data-skipping-index pattern); this query fits
+    the single-shard demo driver-side.  rows-only by design (an iterative
+    geometric fit has no SQL twin); invariants pinned in pytest."""
+    from perfect_bloomfilter_ray.state.plindex import PLIndex
+
+    orders = _t(sf_dir, "orders", ["o_orderkey"])
+    keys = np.sort(
+        orders.to_pandas()["o_orderkey"].to_numpy().astype(np.int64)
+    )
+    eps = 32
+    ix = PLIndex(keys, eps=eps)
+    rng_probe = keys[:: max(1, len(keys) // 1000)]
+    absent = rng_probe + 1  # orderkeys are sparse; +1 mostly absent
+    got_p = ix.lookup(rng_probe, keys)
+    got_a = ix.lookup(absent, keys)
+    exact = int(
+        (got_p == np.searchsorted(keys, rng_probe)).sum()
+        + (got_a == np.searchsorted(keys, absent)).sum()
+    )
+    return pd.DataFrame(
+        {
+            "n_keys": [len(keys)],
+            "n_segments": [ix.n_segments],
+            "eps": [eps],
+            "index_bytes": [ix.nbytes],
+            "raw_key_bytes": [keys.nbytes],
+            "probes": [len(rng_probe) + len(absent)],
+            "exact_lookups": [exact],
+        }
+    ).astype("int64")
