@@ -420,6 +420,7 @@ SUITE = [
     "boilerplate_line_filter_stats",
     "mojibake_census",
     "plindex_orderkey_report",
+    "word_burstiness_top200",
 ]
 
 

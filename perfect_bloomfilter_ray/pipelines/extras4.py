@@ -2692,3 +2692,66 @@ def plindex_orderkey_report(sf_dir: str):
             "exact_lookups": [exact],
         }
     ).astype("int64")
+
+
+@q(
+    "word_burstiness_top200",
+    sql="""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      FROM documents
+    ),
+    c AS (SELECT w, doc_id, count(*) AS k FROM tok GROUP BY 1, 2),
+    agg AS (SELECT w, CAST(count(*) AS BIGINT) AS df,
+                   CAST(sum(CASE WHEN k >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+            FROM c GROUP BY w)
+    SELECT w AS token, df, df2 FROM agg ORDER BY df DESC, w LIMIT 200
+    """,
+)
+def word_burstiness_top200(sf_dir: str):
+    """Word burstiness census (Church & Gale 1995 "Poisson mixtures"): for
+    the top-200 words by document frequency, how often a word RECURS in a
+    document that mentions it at all — df2/df is the adaptive-LM /
+    topicality signal (function words ~Poisson, content words bursty),
+    reported as the exact integer rational.  Documents are row-atomic, so
+    per-(doc, word) counts complete inside each batch and ONE
+    vocabulary-sized partial shuffle finishes the census."""
+    import polars as pl
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        per_doc = (
+            df.select(
+                "doc_id",
+                pl.col("text").fill_null("").str.to_lowercase()
+                .str.extract_all(r"[a-z]+").alias("w"),
+            )
+            .explode("w")
+            .drop_nulls("w")
+            .group_by(["doc_id", "w"])
+            .len(name="k")
+        )
+        return (
+            per_doc.group_by("w")
+            .agg(
+                pl.len().cast(pl.Int64).alias("df"),
+                (pl.col("k") >= 2).sum().cast(pl.Int64).alias("df2"),
+            )
+            .to_arrow()
+        )
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("w")
+        .aggregate(Sum("df", alias_name="df"), Sum("df2", alias_name="df2"))
+        .to_pandas()
+        .sort_values(["df", "w"], ascending=[False, True])
+        .head(200)
+        .reset_index(drop=True)
+        .rename(columns={"w": "token"})
+    )
+    agg["df"] = agg["df"].astype("int64")
+    agg["df2"] = agg["df2"].astype("int64")
+    return agg

@@ -276,3 +276,30 @@ def test_mojibake_regex_detects_classic_artifacts():
     assert pat.search("lost \u00ef\u00bf\u00bd char")
     assert not pat.search("plain ascii text")
     assert not pat.search("proper caf\u00e9 and na\u00efve UTF-8")
+
+
+def test_word_burstiness_identities(ray_session):
+    import re
+
+    import duckdb
+
+    import perfect_bloomfilter_ray.pipelines.extras4 as e4
+
+    out = e4.word_burstiness_top200(SF)
+    assert (out["df2"] <= out["df"]).all()  # recurrence can't beat presence
+    assert out["df"].is_monotonic_decreasing
+    # spot-check one token against brute force
+    tok = out["token"].iloc[0]
+    texts = duckdb.sql(f"SELECT text FROM '{SF}/documents.parquet'").df()["text"]
+    df_n = df2_n = 0
+    for txt in texts:
+        k = len(re.findall(r"(?<![a-z])" + re.escape(tok) + r"(?![a-z])", (txt or "").lower()))
+        k = (txt or "").lower()
+        words = re.findall(r"[a-z]+", k)
+        c = words.count(tok)
+        if c >= 1:
+            df_n += 1
+        if c >= 2:
+            df2_n += 1
+    assert int(out["df"].iloc[0]) == df_n
+    assert int(out["df2"].iloc[0]) == df2_n
