@@ -421,6 +421,8 @@ SUITE = [
     "mojibake_census",
     "plindex_orderkey_report",
     "word_burstiness_top200",
+    "merkle_bucket_diff",
+    "hash_avalanche_audit",
 ]
 
 

@@ -2755,3 +2755,130 @@ def word_burstiness_top200(sf_dir: str):
     agg["df"] = agg["df"].astype("int64")
     agg["df2"] = agg["df2"].astype("int64")
     return agg
+
+
+@q(
+    "merkle_bucket_diff",
+    sql="""
+    WITH a AS (SELECT o_orderkey AS k FROM orders),
+    b AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 97 <> 0
+          UNION ALL
+          SELECT o_orderkey + 100000000 FROM orders WHERE o_orderkey % 101 = 0),
+    ha AS (SELECT k % 64 AS bucket,
+                  CAST(sum((k % 2147483647) * 1000003 % 2147483647) % 2147483647 AS BIGINT) AS fp,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM a GROUP BY 1),
+    hb AS (SELECT k % 64 AS bucket,
+                  CAST(sum((k % 2147483647) * 1000003 % 2147483647) % 2147483647 AS BIGINT) AS fp,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM b GROUP BY 1)
+    SELECT coalesce(ha.bucket, hb.bucket) AS bucket,
+           coalesce(ha.n, 0) AS n_a, coalesce(hb.n, 0) AS n_b
+    FROM ha FULL OUTER JOIN hb ON ha.bucket = hb.bucket
+    WHERE ha.fp IS DISTINCT FROM hb.fp OR ha.n IS DISTINCT FROM hb.n
+    ORDER BY bucket
+    """,
+)
+def merkle_bucket_diff(sf_dir: str):
+    """Merkle-style diff LOCALIZATION between two table snapshots: each
+    snapshot folds into 64 per-bucket order-independent multiset
+    fingerprints (the suite's modular polynomial row hash — one int per
+    bucket leaves each task), and comparing the two fingerprint vectors
+    pinpoints WHICH key-range buckets changed without shuffling either
+    table — the tree level above the full-table fingerprint, and the
+    partner of the IBLT: Merkle narrows the diff to buckets, the IBLT
+    then recovers the exact keys inside them.  Deterministic exact ints;
+    the changed-bucket set is certified by the oracle's per-bucket
+    fingerprint comparison."""
+    import polars as pl
+
+    FP_M, FP_A = 2_147_483_647, 1_000_003
+    orders = _t(sf_dir, "orders", ["o_orderkey"])
+
+    def parts(side_b: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            k = t.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+            if side_b:
+                kept = k[k % 97 != 0]
+                added = k[k % 101 == 0] + 100_000_000
+                k = np.concatenate([kept, added])
+            df = pl.DataFrame({"k": k})
+            return (
+                df.with_columns(
+                    (pl.col("k") % 64).alias("bucket"),
+                    ((pl.col("k") % FP_M) * FP_A % FP_M).alias("h"),
+                )
+                .group_by("bucket")
+                .agg(pl.col("h").sum().alias("hs"), pl.len().cast(pl.Int64).alias("pn"))
+                .with_columns(pl.col("hs") % FP_M)
+                .to_arrow()
+            )
+
+        return fn
+
+    def fold(side_b: bool) -> pd.DataFrame:
+        out = (
+            orders.map_batches(parts(side_b), batch_format="pyarrow")
+            .groupby("bucket")
+            .aggregate(Sum("hs", alias_name="hs"), Sum("pn", alias_name="n"))
+            .to_pandas()
+        )
+        out["fp"] = (out["hs"] % FP_M).astype("int64")
+        return out[["bucket", "fp", "n"]]
+
+    a, b = fold(False), fold(True)
+    m = a.merge(b, on="bucket", how="outer", suffixes=("_a", "_b"))
+    m["n_a"] = m["n_a"].fillna(0).astype("int64")
+    m["n_b"] = m["n_b"].fillna(0).astype("int64")
+    changed = m[(m["fp_a"] != m["fp_b"]) | (m["n_a"] != m["n_b"])]
+    out = changed[["bucket", "n_a", "n_b"]].sort_values("bucket").reset_index(drop=True)
+    out["bucket"] = out["bucket"].astype("int64")
+    return out
+
+
+@q("hash_avalanche_audit")
+def hash_avalanche_audit(sf_dir: str):
+    """Hash-quality audit of the library's own seeded hash64 family — the
+    statistical foundation under EVERY sketch bound here (HLL/CMS/theta
+    accuracy all assume near-uniform bits): per-bit popcounts over the
+    order-key stream (each of the 64 output bits should flip ~n/2 times)
+    and the max absolute bias in parts-per-million.  Deterministic exact
+    ints from one map-side bit-matrix partial per batch (a 64-int row
+    leaves each task).  rows-only by design (splitmix has no SQL twin);
+    pytest pins every bit inside the 6σ binomial envelope and
+    cross-checks a brute-force popcount."""
+    from perfect_bloomfilter_ray.functions.hashing import hash64
+
+    ds = _t(sf_dir, "orders", ["o_orderkey"])
+
+    def bit_partials(t: pa.Table) -> pa.Table:
+        h = hash64(t.column("o_orderkey"), 0xA0D1)
+        bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+        counts = bits.sum(axis=0).astype(np.int64)  # 64 per-bit popcounts
+        return pa.table(
+            {
+                "bit": pa.array(np.arange(64, dtype=np.int64)),
+                "ones": pa.array(counts),
+                "n": pa.array(np.full(64, len(h), dtype=np.int64)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(bit_partials, batch_format="pyarrow")
+        .groupby("bit")
+        .aggregate(Sum("ones", alias_name="ones"), Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("bit")
+        .reset_index(drop=True)
+    )
+    n = int(agg["n"].iloc[0])
+    bias_ppm = ((agg["ones"] - n / 2.0).abs() / n * 1_000_000).astype(np.int64)
+    out = pd.DataFrame(
+        {
+            "bit": agg["bit"].astype("int64"),
+            "ones": agg["ones"].astype("int64"),
+            "n": np.int64(n),
+            "bias_ppm": bias_ppm,
+        }
+    )
+    return out

@@ -375,3 +375,43 @@ def test_coreset_kmeans_cost_competitive(ray_session):
     assert cost(cent) <= 2.0 * cost(full)
     # weights approximately reconstruct the corpus size
     assert 0.5 * len(X) <= out["weight_sum"].sum() <= 2.0 * len(X)
+
+
+def test_merkle_diff_localizes_known_changes(ray_session):
+    """Changed buckets = exactly those touched by the deterministic edits."""
+    import duckdb
+
+    import perfect_bloomfilter_ray.pipelines.extras4 as e4
+
+    out = e4.merkle_bucket_diff(SF)
+    keys = duckdb.sql(
+        f"SELECT o_orderkey AS k FROM '{SF}/orders.parquet'"
+    ).df()["k"].to_numpy().astype(np.int64)
+    removed = keys[keys % 97 == 0]
+    added = keys[keys % 101 == 0] + 100_000_000
+    touched = set((removed % 64).tolist()) | set((added % 64).tolist())
+    # fingerprint collisions could hide a touched bucket (prob ~2^-31 each);
+    # every REPORTED bucket must be genuinely touched, and the count deltas
+    # must reconcile with the edit sizes
+    got = set(out["bucket"].tolist())
+    assert got <= touched
+    assert len(got) >= len(touched) - 1  # allow at most one collision miss
+    assert int((out["n_a"] - out["n_b"]).sum()) == len(removed) - len(added)
+
+
+def test_hash_avalanche_within_binomial_envelope(ray_session):
+    import duckdb
+
+    import perfect_bloomfilter_ray.pipelines.extras4 as e4
+    from perfect_bloomfilter_ray.functions.hashing import hash64
+    import pyarrow as pa_
+
+    out = e4.hash_avalanche_audit(SF)
+    n = int(out["n"].iloc[0])
+    sigma = (n * 0.25) ** 0.5
+    assert ((out["ones"] - n / 2).abs() <= 6 * sigma).all()  # 6σ envelope
+    # brute-force popcount parity for one bit
+    keys = duckdb.sql(f"SELECT o_orderkey FROM '{SF}/orders.parquet'").df()["o_orderkey"]
+    h = hash64(pa_.array(keys.to_numpy().astype(np.int64)), 0xA0D1)
+    assert int(out.loc[out["bit"] == 0, "ones"].iloc[0]) == int((h & 1).sum())
+    assert int(out.loc[out["bit"] == 63, "ones"].iloc[0]) == int((h >> 63).sum())
