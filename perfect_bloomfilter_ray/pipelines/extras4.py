@@ -2564,9 +2564,10 @@ def boilerplate_line_filter_stats(sf_dir: str):
         lines = (
             df.select("lang", pl.col("text").fill_null("").str.split("\n").alias("line"))
             .explode("line")
-            .filter(pl.col("line").str.strip_chars() != "")
+            .filter(pl.col("line").str.strip_chars(" ") != "")  # DuckDB trim()
+            # strips SPACES only; a tab/CR-only line must count as dropped
         )
-        nc = pl.col("line").str.len_bytes().cast(pl.Int64)
+        nc = pl.col("line").str.len_chars().cast(pl.Int64)  # length() = chars
         na = pl.col("line").str.count_matches(r"[a-zA-Z]").cast(pl.Int64)
         nw = pl.col("line").str.count_matches(r"\S+").cast(pl.Int64)
         keep = ((nw >= 5) & (na * 2 >= nc)).cast(pl.Int64)
@@ -2792,7 +2793,10 @@ def merkle_bucket_diff(sf_dir: str):
     fingerprint comparison."""
     import polars as pl
 
-    FP_M, FP_A = 2_147_483_647, 1_000_003
+    # the suite's ONE row-fingerprint scheme — shared with the full-table
+    # fingerprint this diff is "the tree level above"
+    from perfect_bloomfilter_ray.pipelines.extras import _FP_A as FP_A, _FP_M as FP_M
+
     orders = _t(sf_dir, "orders", ["o_orderkey"])
 
     def parts(side_b: bool):

@@ -41,18 +41,23 @@ class PLIndex:
         self.keys_min, self.keys_max = int(k[0]), int(k[-1])
         # fit DISTINCT keys against their FIRST-occurrence rank (the
         # searchsorted-left position): duplicate runs share one (x, y)
-        # point, so any multiplicity is representable within eps
+        # point, so any multiplicity is representable within eps.
+        # All arithmetic is SEGMENT-RELATIVE (dx from an int64 subtraction,
+        # prediction slope·(x−x0)+y0): absolute-coordinate fits lose the
+        # eps bound to float64 rounding once |key| / gap exceeds ~2^52
+        # (snowflake-style IDs), and adjacent high keys can even collapse
+        # to dx == 0 in float
         uk, first = np.unique(k, return_index=True)
         y = first.astype(np.float64)
-        starts, slopes, intercepts = [], [], []
+        starts, slopes, y0s = [], [], []
         i = 0
         m = len(uk)
         while i < m:
-            x0, y0 = float(uk[i]), y[i]
+            y0 = y[i]
             lo, hi = -np.inf, np.inf  # feasible slope cone
             j = i + 1
             while j < m:
-                dx = float(uk[j]) - x0
+                dx = float(int(uk[j]) - int(uk[i]))  # exact: int64 gap
                 s_lo = (y[j] - y0 - self.eps) / dx
                 s_hi = (y[j] - y0 + self.eps) / dx
                 nlo, nhi = max(lo, s_lo), min(hi, s_hi)
@@ -63,11 +68,11 @@ class PLIndex:
             slope = (lo + hi) / 2.0 if np.isfinite(lo) and np.isfinite(hi) else 0.0
             starts.append(int(uk[i]))
             slopes.append(slope)
-            intercepts.append(y0 - slope * x0)
+            y0s.append(y0)
             i = j
         self.starts = np.asarray(starts, dtype=np.int64)
         self.slopes = np.asarray(slopes, dtype=np.float64)
-        self.intercepts = np.asarray(intercepts, dtype=np.float64)
+        self.intercepts = np.asarray(y0s, dtype=np.float64)  # y0 per segment
         # enforced invariant: every distinct key predicted within eps of its
         # left rank (clip to the left-rank range, matching _predict)
         pred = self._predict(uk)
@@ -85,7 +90,8 @@ class PLIndex:
 
     def _predict(self, keys: np.ndarray) -> np.ndarray:
         seg = np.clip(np.searchsorted(self.starts, keys, side="right") - 1, 0, None)
-        pred = self.slopes[seg] * keys.astype(np.float64) + self.intercepts[seg]
+        dx = (keys.astype(np.int64) - self.starts[seg]).astype(np.float64)
+        pred = self.slopes[seg] * dx + self.intercepts[seg]
         return np.clip(np.rint(pred), 0, self.n - 1).astype(np.int64)
 
     def lookup(self, keys: np.ndarray, sorted_keys: np.ndarray) -> np.ndarray:

@@ -58,3 +58,23 @@ def test_duplicates_and_validation():
         PLIndex(np.array([3, 1], dtype=np.int64))
     with pytest.raises(ValueError):
         PLIndex(np.empty(0, dtype=np.int64))
+
+
+def test_high_magnitude_and_tight_gap_keys():
+    """Reviewer-reproduced crashes: snowflake-style high-base dense keys
+    and adjacent huge keys must build and look up exactly (the fit is
+    segment-relative, so |key| magnitude cannot eat the eps bound)."""
+    rng = np.random.RandomState(7)
+    base = np.int64(1) << 60
+    k = np.sort(np.unique(base + rng.randint(0, 100_000, 20_000).astype(np.int64)))
+    ix = PLIndex(k, eps=16)
+    pred = ix._predict(k)
+    uk, first = np.unique(k, return_index=True)
+    assert int(np.abs(ix._predict(uk) - first).max()) <= 16
+    probes = np.concatenate([k[::97], k[::89] + 1])
+    assert (ix.lookup(probes, k) == np.searchsorted(k, probes)).all()
+    # adjacent int64 keys at huge magnitude (gap far below float64 ulp of the key)
+    k2 = base + np.arange(0, 5000, dtype=np.int64)
+    ix2 = PLIndex(k2, eps=4)
+    assert ix2.n_segments == 1
+    assert (ix2.lookup(k2[::37], k2) == np.searchsorted(k2, k2[::37])).all()
