@@ -423,6 +423,7 @@ SUITE = [
     "word_burstiness_top200",
     "merkle_bucket_diff",
     "hash_avalanche_audit",
+    "inclusion_dependency_discovery",
 ]
 
 

@@ -2886,3 +2886,91 @@ def hash_avalanche_audit(sf_dir: str):
         }
     )
     return out
+
+
+@q(
+    "inclusion_dependency_discovery",
+    sql="""
+    WITH vals AS (
+      SELECT DISTINCT 1 AS col, c_custkey AS v FROM customer
+      UNION ALL SELECT DISTINCT 2, o_custkey FROM orders
+      UNION ALL SELECT DISTINCT 4, o_orderkey FROM orders
+      UNION ALL SELECT DISTINCT 8, l_orderkey FROM lineitem
+      UNION ALL SELECT DISTINCT 16, user_id FROM events
+    ),
+    m AS (SELECT v, CAST(sum(col) AS BIGINT) AS mask FROM vals GROUP BY v),
+    c AS (SELECT mask, CAST(count(*) AS BIGINT) AS n FROM m GROUP BY mask),
+    cols(bit, name) AS (VALUES (1, 'c_custkey'), (2, 'o_custkey'),
+                               (4, 'o_orderkey'), (8, 'l_orderkey'), (16, 'user_id')),
+    pairs AS (SELECT a.bit AS ab, a.name AS lhs, b.bit AS bb, b.name AS rhs
+              FROM cols a CROSS JOIN cols b WHERE a.bit <> b.bit)
+    SELECT lhs, rhs,
+           CAST((SELECT coalesce(sum(n), 0) FROM c WHERE (mask & ab) > 0) AS BIGINT)
+               AS n_lhs,
+           CAST((SELECT coalesce(sum(n), 0) FROM c
+                 WHERE (mask & ab) > 0 AND (mask & bb) = 0) AS BIGINT) AS violations
+    FROM pairs ORDER BY lhs, rhs
+    """,
+)
+def inclusion_dependency_discovery(sf_dir: str):
+    """Inclusion-dependency (foreign-key candidate) discovery across five
+    key columns (Papenbrock et al.'s IND profiling task, the FD family's
+    completion): ALL 20 ordered containment checks lhs ⊆ rhs from ONE
+    value shuffle — every distinct (column, value) folds to a per-value
+    COLUMN BITMASK, the bitmask histogram (≤ 2^5 rows) broadcasts, and
+    violations(A ⊄ B) = Σ n[mask] with bit A set, bit B clear.  20 exact
+    anti-join counts for the price of one exchange; 0 violations ⇒ a
+    discovered IND (o_custkey ⊆ c_custkey is the schema's real FK)."""
+    import polars as pl
+
+    specs = [
+        ("customer", "c_custkey", 1),
+        ("orders", "o_custkey", 2),
+        ("orders", "o_orderkey", 4),
+        ("lineitem", "l_orderkey", 8),
+        ("events", "user_id", 16),
+    ]
+    parts = []
+    for table, col, bit in specs:
+        ds = _t(sf_dir, table, [col])
+
+        def mk(bit=bit, col=col):
+            def fn(t: pa.Table) -> pa.Table:
+                v = np.unique(t.column(col).to_numpy(zero_copy_only=False).astype(np.int64))
+                return pa.table(
+                    {"v": pa.array(v), "colbit": pa.array(np.full(len(v), bit, np.int64))}
+                )
+
+            return fn
+
+        parts.append(ds.map_batches(mk(), batch_format="pyarrow"))
+    union = parts[0]
+    for p_ in parts[1:]:
+        union = union.union(p_)
+    # dedupe (v, colbit) across batches, then fold bits per value
+    mask_hist = (
+        union.groupby(["v", "colbit"])
+        .count()
+        .drop_columns(["count()"])
+        .groupby("v")
+        .aggregate(Sum("colbit", alias_name="mask"))
+        .groupby("mask")
+        .count()
+        .to_pandas()
+        .rename(columns={"count()": "n"})
+    )
+    masks = mask_hist["mask"].to_numpy().astype(np.int64)
+    ns = mask_hist["n"].to_numpy().astype(np.int64)
+    names = {1: "c_custkey", 2: "o_custkey", 4: "o_orderkey", 8: "l_orderkey", 16: "user_id"}
+    rows = []
+    for ab, lhs in names.items():
+        for bb, rhs in names.items():
+            if ab == bb:
+                continue
+            n_lhs = int(ns[(masks & ab) > 0].sum())
+            viol = int(ns[((masks & ab) > 0) & ((masks & bb) == 0)].sum())
+            rows.append({"lhs": lhs, "rhs": rhs, "n_lhs": n_lhs, "violations": viol})
+    out = pd.DataFrame(rows).sort_values(["lhs", "rhs"]).reset_index(drop=True)
+    out["n_lhs"] = out["n_lhs"].astype("int64")
+    out["violations"] = out["violations"].astype("int64")
+    return out

@@ -415,3 +415,16 @@ def test_hash_avalanche_within_binomial_envelope(ray_session):
     h = hash64(pa_.array(keys.to_numpy().astype(np.int64)), 0xA0D1)
     assert int(out.loc[out["bit"] == 0, "ones"].iloc[0]) == int((h & 1).sum())
     assert int(out.loc[out["bit"] == 63, "ones"].iloc[0]) == int((h >> 63).sum())
+
+
+def test_ind_discovery_finds_real_fk(ray_session):
+    import perfect_bloomfilter_ray.pipelines.extras4 as e4
+
+    out = e4.inclusion_dependency_discovery(SF).set_index(["lhs", "rhs"])
+    # the schema's real FK: every order's custkey is a customer key
+    assert int(out.loc[("o_custkey", "c_custkey"), "violations"]) == 0
+    # and every lineitem's orderkey is an order key
+    assert int(out.loc[("l_orderkey", "o_orderkey"), "violations"]) == 0
+    # violations never exceed the lhs distinct count
+    assert (out["violations"] <= out["n_lhs"]).all()
+    assert len(out) == 20
