@@ -424,6 +424,7 @@ SUITE = [
     "merkle_bucket_diff",
     "hash_avalanche_audit",
     "inclusion_dependency_discovery",
+    "mph_static_dictionary_lookup",
 ]
 
 

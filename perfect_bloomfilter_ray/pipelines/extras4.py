@@ -2974,3 +2974,67 @@ def inclusion_dependency_discovery(sf_dir: str):
     out["n_lhs"] = out["n_lhs"].astype("int64")
     out["violations"] = out["violations"].astype("int64")
     return out
+
+
+@q(
+    "mph_static_dictionary_lookup",
+    sql="""
+    WITH d AS (SELECT DISTINCT user_id FROM events)
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(count(*) AS BIGINT) AS n_distinct_slots,
+           CAST(0 AS BIGINT) AS collisions,
+           CAST(sum(user_id) AS BIGINT) AS dict_value_checksum
+    FROM d
+    """,
+)
+def mph_static_dictionary_lookup(sf_dir: str):
+    """Minimal perfect hash as a collision-free static dictionary
+    (state/mph.py — BBHash, Limasset et al. 2017, ~3.3 bits/key, NO
+    stored keys): the distinct user-key set builds the MPH, a parallel
+    value array stores each key's payload at its unique slot, and a
+    distributed probe pass reads every key's value back through one
+    broadcast of the tiny bitmaps.  The CONTRACT oracle encodes the
+    perfect-hash laws: slots are a bijection onto [0, n) (n distinct
+    slots, 0 collisions) and the dictionary returns every payload
+    (checksum of values read back == checksum of keys, since value :=
+    key here).  The literal endpoint of the reference's name: the
+    cascade makes membership near-perfect, the MPH over the same keys
+    is perfect."""
+    import ray
+
+    from perfect_bloomfilter_ray.functions.hashing import hash64
+    from perfect_bloomfilter_ray.state.mph import MinimalPerfectHash
+
+    ds = _t(sf_dir, "events", ["user_id"])
+    distinct = (
+        ds.groupby("user_id").count().drop_columns(["count()"]).materialize()
+    )
+    keys_df = distinct.to_pandas()
+    uid = keys_df["user_id"].to_numpy().astype(np.int64)
+    h = hash64(pa.array(uid), 0x3F17)
+    mph = MinimalPerfectHash(h)
+    slots = mph.lookup(h)
+    n = len(uid)
+    n_slots = len(np.unique(slots))
+    table = np.empty(n, dtype=np.int64)
+    table[slots] = uid  # value := the key itself (checksum-verifiable)
+    ref = ray.put((mph.to_bytes(), table))
+
+    def probe(t: pa.Table) -> pa.Table:
+        mb, tab = ray.get(ref)
+        m = MinimalPerfectHash.from_bytes(mb)
+        hh = hash64(t.column("user_id"), 0x3F17)
+        got = tab[m.lookup(hh)]
+        return pa.table({"s": pa.array([int(got.sum())], pa.int64())})
+
+    checksum = int(
+        distinct.map_batches(probe, batch_format="pyarrow").sum("s")
+    )
+    return pd.DataFrame(
+        {
+            "n_keys": [n],
+            "n_distinct_slots": [n_slots],
+            "collisions": [n - n_slots],
+            "dict_value_checksum": [checksum],
+        }
+    ).astype("int64")
