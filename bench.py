@@ -425,6 +425,7 @@ SUITE = [
     "hash_avalanche_audit",
     "inclusion_dependency_discovery",
     "mph_static_dictionary_lookup",
+    "eliasfano_orderkey_roundtrip",
 ]
 
 

@@ -3038,3 +3038,42 @@ def mph_static_dictionary_lookup(sf_dir: str):
             "dict_value_checksum": [checksum],
         }
     ).astype("int64")
+
+
+@q(
+    "eliasfano_orderkey_roundtrip",
+    sql="""
+    WITH d AS (SELECT DISTINCT o_orderkey AS k FROM orders)
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(k) AS BIGINT) AS access_checksum,
+           CAST(sum(CASE WHEN k % 5 = 0 THEN k ELSE 0 END) AS BIGINT)
+               AS member_probe_checksum
+    FROM d
+    """,
+)
+def eliasfano_orderkey_roundtrip(sf_dir: str):
+    """Elias-Fano quasi-succinct encoding of the sorted order-key set
+    (state/eliasfano.py — Vigna WSDM'13, the posting-list representation
+    of modern search engines): n keys in ~(2 + log₂(u/n)) bits each with
+    O(1) random access and successor queries, NO decompression.  The
+    contract oracle certifies exactness: the checksum of every access(i)
+    equals the checksum of the real keys, and membership probes over the
+    k%5==0 slice return exactly those keys.  The EXACT sibling of the
+    hashed Golomb set — same bit-budget ballpark, but real keys, order
+    statistics and range scans survive."""
+    from perfect_bloomfilter_ray.state.eliasfano import EliasFano
+
+    orders = _t(sf_dir, "orders", ["o_orderkey"])
+    keys = np.unique(orders.to_pandas()["o_orderkey"].to_numpy().astype(np.int64))
+    ef = EliasFano(keys)
+    acc = ef.access(np.arange(ef.n))
+    probe = keys[keys % 5 == 0]
+    hits = ef.contains(probe)
+    member_checksum = int(probe[hits].sum())
+    return pd.DataFrame(
+        {
+            "n_keys": [ef.n],
+            "access_checksum": [int(acc.sum())],
+            "member_probe_checksum": [member_checksum],
+        }
+    ).astype("int64")
