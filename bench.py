@@ -426,6 +426,7 @@ SUITE = [
     "inclusion_dependency_discovery",
     "mph_static_dictionary_lookup",
     "eliasfano_orderkey_roundtrip",
+    "curation_waterfall",
 ]
 
 

@@ -3077,3 +3077,81 @@ def eliasfano_orderkey_roundtrip(sf_dir: str):
             "member_probe_checksum": [member_checksum],
         }
     ).astype("int64")
+
+
+@q(
+    "curation_waterfall",
+    sql="""
+    WITH f AS (
+      SELECT source,
+             CASE WHEN length(text) BETWEEN 200 AND 20000 THEN 1 ELSE 0 END AS p_len,
+             CASE WHEN NOT regexp_matches(text, 'Ã[¡-¿]|â€|Â[ -¿]|ï¿½')
+                  THEN 1 ELSE 0 END AS p_moji,
+             CASE WHEN len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is|in|a|for)\\b'))
+                       * 20 >= len(regexp_extract_all(text, '\\S+'))
+                  THEN 1 ELSE 0 END AS p_stop
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(p_len) AS BIGINT) AS pass_length,
+           CAST(sum(p_len * p_moji) AS BIGINT) AS pass_encoding,
+           CAST(sum(p_len * p_moji * p_stop) AS BIGINT) AS pass_all
+    FROM f GROUP BY source ORDER BY source
+    """,
+)
+def curation_waterfall(sf_dir: str):
+    """Curation WATERFALL census per source — the funnel view every corpus
+    report leads with: how many documents survive each successive gate
+    (length band → encoding-damage screen → stopword-density floor, the
+    Gopher/C4 ordering).  Each gate is the same regex/arithmetic
+    expression on both engines, gates compose by multiplication, and the
+    per-source attrition is exact ints — the pipeline-level summary tying
+    the suite's individual quality filters together."""
+    import polars as pl
+
+    ds = _t(sf_dir, "documents", ["source", "text"])
+
+    def gates(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        txt = pl.col("text").fill_null("")
+        p_len = txt.str.len_chars().is_between(200, 20000).cast(pl.Int64)
+        p_moji = (~txt.str.contains(r"Ã[¡-¿]|â€|Â[ -¿]|ï¿½")).cast(pl.Int64)
+        n_stop = txt.str.to_lowercase().str.count_matches(
+            r"\b(the|and|of|to|is|in|a|for)\b"
+        ).cast(pl.Int64)
+        n_tok = txt.str.count_matches(r"\S+").cast(pl.Int64)
+        p_stop = (n_stop * 20 >= n_tok).cast(pl.Int64)
+        return (
+            df.select(
+                "source",
+                p_len.alias("p_len"),
+                (p_len * p_moji).alias("p_enc"),
+                (p_len * p_moji * p_stop).alias("p_all"),
+            )
+            .group_by("source")
+            .agg(
+                pl.len().cast(pl.Int64).alias("n_docs"),
+                pl.col("p_len").sum().alias("pass_length"),
+                pl.col("p_enc").sum().alias("pass_encoding"),
+                pl.col("p_all").sum().alias("pass_all"),
+            )
+            .to_arrow()
+        )
+
+    out = (
+        ds.map_batches(gates, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("pass_length", alias_name="pass_length"),
+            Sum("pass_encoding", alias_name="pass_encoding"),
+            Sum("pass_all", alias_name="pass_all"),
+        )
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    for c in ("n_docs", "pass_length", "pass_encoding", "pass_all"):
+        out[c] = out[c].astype("int64")
+    return out

@@ -301,3 +301,13 @@ def test_word_burstiness_identities(ray_session):
             df2_n += 1
     assert int(out["df"].iloc[0]) == df_n
     assert int(out["df2"].iloc[0]) == df2_n
+
+
+def test_curation_waterfall_monotone(ray_session):
+    import perfect_bloomfilter_ray.pipelines.extras4 as e4
+
+    out = e4.curation_waterfall(SF)
+    assert (out["pass_length"] <= out["n_docs"]).all()
+    assert (out["pass_encoding"] <= out["pass_length"]).all()  # gates compose
+    assert (out["pass_all"] <= out["pass_encoding"]).all()
+    assert out["n_docs"].sum() > 0
