@@ -427,6 +427,7 @@ SUITE = [
     "mph_static_dictionary_lookup",
     "eliasfano_orderkey_roundtrip",
     "curation_waterfall",
+    "partial_corr_qty_price_given_discount",
 ]
 
 

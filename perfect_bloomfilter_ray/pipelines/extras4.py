@@ -3155,3 +3155,90 @@ def curation_waterfall(sf_dir: str):
     for c in ("n_docs", "pass_length", "pass_encoding", "pass_all"):
         out[c] = out[c].astype("int64")
     return out
+
+
+@q(
+    "partial_corr_qty_price_given_discount",
+    sql="""
+    WITH v AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x,
+             CAST(floor(l_extendedprice * 100) AS BIGINT) AS y,
+             CAST(floor(l_discount * 100) AS BIGINT) AS z
+      FROM lineitem
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(z) AS BIGINT) AS sz,
+             CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy,
+             CAST(sum(z*z) AS BIGINT) AS szz,
+             CAST(sum(x*y) AS BIGINT) AS sxy, CAST(sum(x*z) AS BIGINT) AS sxz,
+             CAST(sum(y*z) AS BIGINT) AS syz
+      FROM v
+    )
+    SELECT n, sx, sy, sz, sxy, sxz, syz,
+           round(
+             ((CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)
+              / (sqrt(CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx)
+                 * sqrt(CAST(n AS DOUBLE)*syy - CAST(sy AS DOUBLE)*sy))
+              - ((CAST(n AS DOUBLE)*sxz - CAST(sx AS DOUBLE)*sz)
+                 / (sqrt(CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx)
+                    * sqrt(CAST(n AS DOUBLE)*szz - CAST(sz AS DOUBLE)*sz)))
+                * ((CAST(n AS DOUBLE)*syz - CAST(sy AS DOUBLE)*sz)
+                   / (sqrt(CAST(n AS DOUBLE)*syy - CAST(sy AS DOUBLE)*sy)
+                      * sqrt(CAST(n AS DOUBLE)*szz - CAST(sz AS DOUBLE)*sz))))
+             / (sqrt(1.0 - pow((CAST(n AS DOUBLE)*sxz - CAST(sx AS DOUBLE)*sz)
+                   / (sqrt(CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx)
+                      * sqrt(CAST(n AS DOUBLE)*szz - CAST(sz AS DOUBLE)*sz)), 2))
+                * sqrt(1.0 - pow((CAST(n AS DOUBLE)*syz - CAST(sy AS DOUBLE)*sz)
+                   / (sqrt(CAST(n AS DOUBLE)*syy - CAST(sy AS DOUBLE)*sy)
+                      * sqrt(CAST(n AS DOUBLE)*szz - CAST(sz AS DOUBLE)*sz)), 2)))
+           , 6) AS partial_r
+    FROM s
+    """,
+)
+def partial_corr_qty_price_given_discount(sf_dir: str):
+    """First-order PARTIAL correlation r_xy·z (quantity vs price
+    controlling for discount): the confounder-adjusted association every
+    observational readout needs, r_xy·z = (r_xy − r_xz·r_yz) /
+    √(1−r_xz²)√(1−r_yz²), assembled from EXACT int64 three-column moment
+    sums (quantity integer, price/discount fixed-point cents) in one
+    corpus pass — the 3-variable extension of the suite's grouped
+    Pearson.  Same expression tree both sides, round(6) absorbing
+    division-chain ulps."""
+    import polars as pl
+
+    ds = _t(sf_dir, "lineitem", ["l_quantity", "l_extendedprice", "l_discount"])
+
+    def part(t: pa.Table) -> pa.Table:
+        x = t.column("l_quantity").to_numpy(zero_copy_only=False).astype(np.int64)
+        y = np.floor(
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        z = np.floor(
+            t.column("l_discount").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        vals = {
+            "n": len(x), "sx": x.sum(), "sy": y.sum(), "sz": z.sum(),
+            "sxx": (x * x).sum(), "syy": (y * y).sum(), "szz": (z * z).sum(),
+            "sxy": (x * y).sum(), "sxz": (x * z).sum(), "syz": (y * z).sum(),
+        }
+        return pa.table({k: pa.array([int(v)], pa.int64()) for k, v in vals.items()})
+
+    p = ds.map_batches(part, batch_format="pyarrow").to_pandas().sum()
+    n = float(p["n"])
+    def r(sab, sa, sb, saa, sbb):
+        return (n * sab - float(sa) * sb) / (
+            np.sqrt(n * saa - float(sa) * sa) * np.sqrt(n * sbb - float(sb) * sb)
+        )
+    r_xy = r(p["sxy"], p["sx"], p["sy"], p["sxx"], p["syy"])
+    r_xz = r(p["sxz"], p["sx"], p["sz"], p["sxx"], p["szz"])
+    r_yz = r(p["syz"], p["sy"], p["sz"], p["syy"], p["szz"])
+    pr = (r_xy - r_xz * r_yz) / (np.sqrt(1.0 - r_xz**2) * np.sqrt(1.0 - r_yz**2))
+    return pd.DataFrame(
+        {
+            "n": [int(p["n"])], "sx": [int(p["sx"])], "sy": [int(p["sy"])],
+            "sz": [int(p["sz"])], "sxy": [int(p["sxy"])], "sxz": [int(p["sxz"])],
+            "syz": [int(p["syz"])], "partial_r": [round(float(pr), 6)],
+        }
+    ).astype({c: "int64" for c in ("n", "sx", "sy", "sz", "sxy", "sxz", "syz")})

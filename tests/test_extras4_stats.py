@@ -428,3 +428,21 @@ def test_ind_discovery_finds_real_fk(ray_session):
     # violations never exceed the lhs distinct count
     assert (out["violations"] <= out["n_lhs"]).all()
     assert len(out) == 20
+
+
+def test_partial_corr_vs_numpy(ray_session):
+    import duckdb
+
+    import perfect_bloomfilter_ray.pipelines.extras4 as e4
+
+    out = e4.partial_corr_qty_price_given_discount(SF).iloc[0]
+    df = duckdb.sql(
+        f"SELECT CAST(l_quantity AS BIGINT) AS x, "
+        f"CAST(floor(l_extendedprice*100) AS BIGINT) AS y, "
+        f"CAST(floor(l_discount*100) AS BIGINT) AS z FROM '{SF}/lineitem.parquet'"
+    ).df()
+    c = np.corrcoef(np.stack([df["x"], df["y"], df["z"]]).astype(float))
+    r_xy, r_xz, r_yz = c[0, 1], c[0, 2], c[1, 2]
+    ref = (r_xy - r_xz * r_yz) / np.sqrt((1 - r_xz**2) * (1 - r_yz**2))
+    assert abs(out["partial_r"] - ref) < 1e-5
+    assert -1.0 <= out["partial_r"] <= 1.0
