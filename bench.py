@@ -428,6 +428,7 @@ SUITE = [
     "eliasfano_orderkey_roundtrip",
     "curation_waterfall",
     "partial_corr_qty_price_given_discount",
+    "hourly_volume_pacf",
 ]
 
 

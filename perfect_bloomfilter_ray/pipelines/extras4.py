@@ -3242,3 +3242,70 @@ def partial_corr_qty_price_given_discount(sf_dir: str):
             "syz": [int(p["syz"])], "partial_r": [round(float(pr), 6)],
         }
     ).astype({c: "int64" for c in ("n", "sx", "sy", "sz", "sxy", "sxz", "syz")})
+
+
+@q("hourly_volume_pacf")
+def hourly_volume_pacf(sf_dir: str):
+    """Partial autocorrelation function to lag 12 (Durbin-Levinson
+    recursion over the SAME dense-spine ACF the suite already
+    oracle-verifies) — the Box-Jenkins companion of hourly_volume_acf:
+    ACF tails identify MA order, PACF cutoffs identify AR order.  The
+    corpus work is the one hour groupby the ACF query pays; the 12-step
+    recursion is driver arithmetic on verified exact moments.  rows-only
+    by design (a recursion has no SQL twin); pytest pins the recursion
+    against an independent Levinson implementation and the lag-1 identity
+    pacf(1) == acf(1)."""
+    acf_rows = hourly_volume_acf(sf_dir)
+    # rebuild autocorrelations about the SERIES mean (standard definition)
+    # from the dense series the ACF query derives its moments from
+    ds = _t(sf_dir, "events", ["ts"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"b": pc.floor_temporal(pc.cast(t.column("ts"), pa.timestamp("us")), unit="hour")}
+        )
+
+    h = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("b")
+        .count()
+        .to_pandas()
+        .sort_values("b")
+        .reset_index(drop=True)
+    )
+    hb = (
+        h["b"].astype("datetime64[us]").astype("int64").to_numpy() // 3_600_000_000
+    ).astype(np.int64)
+    dense = np.zeros(int(hb[-1] - hb[0]) + 1, dtype=np.int64)
+    dense[hb - hb[0]] = h["count()"].to_numpy().astype(np.int64)
+    x = dense.astype(np.float64)
+    x = x - x.mean()
+    denom = float((x * x).sum())
+    rho = np.array([float((x[:-k] * x[k:]).sum()) / denom for k in range(1, 13)])
+    pacf = durbin_levinson_pacf(rho)
+    out = pd.DataFrame(
+        {"lag": np.arange(1, 13, dtype=np.int64), "pacf": np.round(pacf, 6)}
+    )
+    out["lag"] = out["lag"].astype("int64")
+    return out
+
+
+def durbin_levinson_pacf(rho: np.ndarray) -> np.ndarray:
+    """phi_kk from autocorrelations rho[0]=ρ(1).. — the classic recursion."""
+    m = len(rho)
+    pacf = np.zeros(m)
+    phi_prev = np.zeros(m)
+    for k in range(1, m + 1):
+        if k == 1:
+            phi_kk = rho[0]
+        else:
+            num = rho[k - 1] - float((phi_prev[: k - 1] * rho[k - 2 :: -1][: k - 1]).sum())
+            den = 1.0 - float((phi_prev[: k - 1] * rho[: k - 1]).sum())
+            phi_kk = num / den
+        phi_new = phi_prev.copy()
+        phi_new[k - 1] = phi_kk
+        for j in range(k - 1):
+            phi_new[j] = phi_prev[j] - phi_kk * phi_prev[k - 2 - j]
+        phi_prev = phi_new
+        pacf[k - 1] = phi_kk
+    return pacf

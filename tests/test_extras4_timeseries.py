@@ -72,3 +72,28 @@ def test_dirichlet_ql_properties(ray_session):
         sub = sub.assign(tot=sub[["tf_hash", "tf_join", "tf_scan"]].sum(axis=1))
         top = sub.sort_values(["tot", "ql_score"]).iloc[-1]
         assert top["ql_score"] == sub["ql_score"].max() or top["tot"] != sub["tot"].max()
+
+
+def test_pacf_recursion_and_lag1_identity(ray_session):
+    import perfect_bloomfilter_ray.pipelines.extras4 as e4
+    from perfect_bloomfilter_ray.pipelines.extras4 import durbin_levinson_pacf
+
+    out = e4.hourly_volume_pacf(SF)
+    assert len(out) == 12
+    assert (out["pacf"].abs() <= 1.0 + 1e-9).all()
+    # lag-1 identity: pacf(1) == acf(1) about the mean
+    dense = _dense_hourly().astype(float)
+    x = dense - dense.mean()
+    rho1 = (x[:-1] * x[1:]).sum() / (x * x).sum()
+    assert abs(out["pacf"].iloc[0] - round(rho1, 6)) < 1e-6
+    # independent check: solving the Yule-Walker system directly gives the
+    # same phi_kk as the recursion
+    rho = np.array([(x[:-k] * x[k:]).sum() / (x * x).sum() for k in range(1, 13)])
+    for k in (2, 5, 12):
+        R = np.empty((k, k))
+        for i in range(k):
+            for j in range(k):
+                lag = abs(i - j)
+                R[i, j] = 1.0 if lag == 0 else rho[lag - 1]
+        phi = np.linalg.solve(R, rho[:k])
+        assert abs(durbin_levinson_pacf(rho)[k - 1] - phi[-1]) < 1e-9
