@@ -429,6 +429,7 @@ SUITE = [
     "curation_waterfall",
     "partial_corr_qty_price_given_discount",
     "hourly_volume_pacf",
+    "median_polish_seasonality",
 ]
 
 

@@ -3309,3 +3309,85 @@ def durbin_levinson_pacf(rho: np.ndarray) -> np.ndarray:
         phi_prev = phi_new
         pacf[k - 1] = phi_kk
     return pacf
+
+
+@q("median_polish_seasonality")
+def median_polish_seasonality(sf_dir: str):
+    """Tukey median polish of the 7×24 (day-of-week × hour-of-day) volume
+    grid (Tukey 1977 EDA): robust additive decomposition count ≈ overall
+    + row effect + column effect, iterated disc-median sweeps — the
+    outlier-resistant twin of the suite's additive seasonality-effects
+    query (means move with one bot burst; medians do not).  Counts are
+    exact ints and every sweep subtracts an exact disc median, so effects
+    stay INTEGERS and the run is deterministic (4 fixed sweeps).  One
+    contingency groupby; the polish is 7×24 driver arithmetic.  rows-only
+    by design (iterative sweeps have no SQL twin); pytest pins the
+    decomposition identity and the residual-size reduction."""
+    ds = _t(sf_dir, "events", ["ts"])
+
+    def feats(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t.column("ts"), pa.timestamp("us"))
+        return pa.table(
+            {
+                "dow": pc.cast(
+                    pc.day_of_week(ts, count_from_zero=True, week_start=7), pa.int64()
+                ),
+                "hod": pc.cast(pc.hour(ts), pa.int64()),
+            }
+        )
+
+    cnt = (
+        ds.map_batches(feats, batch_format="pyarrow")
+        .groupby(["dow", "hod"])
+        .count()
+        .to_pandas()
+        .rename(columns={"count()": "c"})
+    )
+    grid = np.zeros((7, 24), dtype=np.int64)
+    for _, r in cnt.iterrows():
+        grid[int(r["dow"]), int(r["hod"])] = int(r["c"])
+    resid, overall, row_eff, col_eff = median_polish_int(grid, sweeps=4)
+    rows = [
+        {"component": "overall", "index": 0, "effect": int(overall)},
+    ]
+    for d in range(7):
+        rows.append({"component": "dow", "index": d, "effect": int(row_eff[d])})
+    for hh in range(24):
+        rows.append({"component": "hod", "index": hh, "effect": int(col_eff[hh])})
+    rows.append(
+        {"component": "resid_abs_sum", "index": 0, "effect": int(np.abs(resid).sum())}
+    )
+    out = pd.DataFrame(rows, columns=["component", "index", "effect"])
+    out["index"] = out["index"].astype("int64")
+    out["effect"] = out["effect"].astype("int64")
+    return out
+
+
+def median_polish_int(grid: np.ndarray, sweeps: int = 4):
+    """Integer median polish: alternate row/column disc-median sweeps;
+    returns (residuals, overall, row_effects, col_effects) with the exact
+    identity grid == overall + row[:,None] + col[None,:] + residuals."""
+
+    def dmed(a: np.ndarray, axis: int) -> np.ndarray:
+        s = np.sort(a, axis=axis)
+        idx = np.maximum(np.ceil(0.5 * a.shape[axis]).astype(int) - 1, 0)
+        return np.take(s, idx, axis=axis)
+
+    resid = grid.astype(np.int64).copy()
+    overall = np.int64(0)
+    row = np.zeros(grid.shape[0], dtype=np.int64)
+    col = np.zeros(grid.shape[1], dtype=np.int64)
+    for _ in range(sweeps):
+        rm = dmed(resid, 1)
+        resid -= rm[:, None]
+        row += rm
+        cm_of_row = dmed(row[None, :], 1)[0]
+        row -= cm_of_row
+        overall += cm_of_row
+        cm = dmed(resid, 0)
+        resid -= cm[None, :]
+        col += cm
+        rm_of_col = dmed(col[None, :], 1)[0]
+        col -= rm_of_col
+        overall += rm_of_col
+    return resid, overall, row, col

@@ -97,3 +97,36 @@ def test_pacf_recursion_and_lag1_identity(ray_session):
                 R[i, j] = 1.0 if lag == 0 else rho[lag - 1]
         phi = np.linalg.solve(R, rho[:k])
         assert abs(durbin_levinson_pacf(rho)[k - 1] - phi[-1]) < 1e-9
+
+
+def test_median_polish_identity_and_robustness(ray_session):
+    import duckdb
+
+    import perfect_bloomfilter_ray.pipelines.extras4 as e4
+    from perfect_bloomfilter_ray.pipelines.extras4 import median_polish_int
+
+    out = e4.median_polish_seasonality(SF)
+    overall = int(out.loc[out["component"] == "overall", "effect"].iloc[0])
+    row = out.loc[out["component"] == "dow"].sort_values("index")["effect"].to_numpy()
+    col = out.loc[out["component"] == "hod"].sort_values("index")["effect"].to_numpy()
+    # rebuild the grid and verify the exact additive identity
+    df = duckdb.sql(
+        f"SELECT CAST(dayofweek(ts) AS BIGINT) AS dow, "
+        f"CAST(extract(hour FROM ts) AS BIGINT) AS hod, count(*) AS c "
+        f"FROM '{SF}/events.parquet' GROUP BY 1, 2"
+    ).df()
+    grid = np.zeros((7, 24), dtype=np.int64)
+    for _, r in df.iterrows():
+        grid[int(r["dow"]), int(r["hod"])] = int(r["c"])
+    resid, ov2, row2, col2 = median_polish_int(grid)
+    assert ov2 == overall and (row2 == row).all() and (col2 == col).all()
+    recon = ov2 + row2[:, None] + col2[None, :] + resid
+    assert (recon == grid).all()  # exact decomposition identity
+    # the polish explains structure: residual mass < centered-grid mass
+    assert np.abs(resid).sum() < np.abs(grid - int(np.median(grid))).sum()
+    # robustness: one huge outlier cell barely moves the effects
+    g2 = grid.copy()
+    g2[3, 12] += 1_000_000
+    _, _, row3, col3 = median_polish_int(g2)
+    assert (np.abs(row3 - row2) < 1000).all()
+    assert (np.abs(col3 - col2) < 1000).all()
