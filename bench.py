@@ -430,6 +430,7 @@ SUITE = [
     "partial_corr_qty_price_given_discount",
     "hourly_volume_pacf",
     "median_polish_seasonality",
+    "grubbs_hourly_outlier",
 ]
 
 

@@ -3391,3 +3391,57 @@ def median_polish_int(grid: np.ndarray, sweeps: int = 4):
         col -= rm_of_col
         overall += rm_of_col
     return resid, overall, row, col
+
+
+@q(
+    "grubbs_hourly_outlier",
+    sql="""
+    WITH h AS (
+      SELECT date_trunc('hour', ts) AS b, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS sx,
+                 CAST(sum(c * c) AS BIGINT) AS sxx,
+                 CAST(max(c) AS BIGINT) AS cmax, CAST(min(c) AS BIGINT) AS cmin
+          FROM h)
+    SELECT n, sx, sxx, cmax, cmin,
+           round(greatest(CAST(cmax AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE),
+                          CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) - CAST(cmin AS DOUBLE))
+                 / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / CAST(n AS DOUBLE))
+                        / (CAST(n AS DOUBLE) - 1.0)), 6) AS g_stat
+    FROM s
+    """,
+)
+def grubbs_hourly_outlier(sf_dir: str):
+    """Grubbs' max-studentized-deviation test on hourly volume (Grubbs
+    1950): G = max(|c_max − mean|, |mean − c_min|)/s — the classic single-
+    outlier screen, the parametric sibling of the suite's MAD-based
+    seasonal outlier monitor.  All sufficient statistics exact int64 from
+    one hour groupby; G one fixed expression rounded to 6."""
+    import polars as pl
+
+    ds = _t(sf_dir, "events", ["ts"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"b": pc.floor_temporal(pc.cast(t.column("ts"), pa.timestamp("us")), unit="hour")}
+        )
+
+    h = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("b")
+        .count()
+        .to_pandas()["count()"]
+        .to_numpy()
+        .astype(np.int64)
+    )
+    n = len(h)
+    sx, sxx = int(h.sum()), int((h * h).sum())
+    cmax, cmin = int(h.max()), int(h.min())
+    mean = float(sx) / float(n)
+    sd = np.sqrt((float(sxx) - float(sx) * sx / float(n)) / (float(n) - 1.0))
+    g = max(float(cmax) - mean, mean - float(cmin)) / sd
+    return pd.DataFrame(
+        {"n": [n], "sx": [sx], "sxx": [sxx], "cmax": [cmax], "cmin": [cmin],
+         "g_stat": [round(g, 6)]}
+    ).astype({c: "int64" for c in ("n", "sx", "sxx", "cmax", "cmin")})

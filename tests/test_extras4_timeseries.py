@@ -130,3 +130,19 @@ def test_median_polish_identity_and_robustness(ray_session):
     _, _, row3, col3 = median_polish_int(g2)
     assert (np.abs(row3 - row2) < 1000).all()
     assert (np.abs(col3 - col2) < 1000).all()
+
+
+def test_grubbs_statistic_vs_numpy(ray_session):
+    import perfect_bloomfilter_ray.pipelines.extras4 as e4
+
+    out = e4.grubbs_hourly_outlier(SF).iloc[0]
+    dense = _dense_hourly()  # note: query uses OBSERVED hours, not the spine
+    import duckdb
+
+    h = duckdb.sql(
+        f"SELECT count(*) AS c FROM '{SF}/events.parquet' "
+        f"GROUP BY date_trunc('hour', ts)"
+    ).df()["c"].to_numpy().astype(float)
+    g_ref = max(h.max() - h.mean(), h.mean() - h.min()) / h.std(ddof=1)
+    assert abs(out["g_stat"] - g_ref) < 1e-5
+    assert out["g_stat"] > 0
