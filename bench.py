@@ -431,6 +431,7 @@ SUITE = [
     "hourly_volume_pacf",
     "median_polish_seasonality",
     "grubbs_hourly_outlier",
+    "page_trend_test_periods",
 ]
 
 

@@ -3445,3 +3445,77 @@ def grubbs_hourly_outlier(sf_dir: str):
         {"n": [n], "sx": [sx], "sxx": [sxx], "cmax": [cmax], "cmin": [cmin],
          "g_stat": [round(g, 6)]}
     ).astype({c: "int64" for c in ("n", "sx", "sxx", "cmax", "cmin")})
+
+
+@q(
+    "page_trend_test_periods",
+    sql="""
+    WITH b AS (
+      SELECT date_trunc('day', ts) AS d,
+             CAST(extract(hour FROM ts) AS BIGINT) // 6 AS p,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT d, p,
+             CAST(2 * rank() OVER (PARTITION BY d ORDER BY c)
+                  + count(*) OVER (PARTITION BY d, c) - 1 AS BIGINT) AS r2
+      FROM b
+    )
+    SELECT p AS period, CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(r2) AS BIGINT) AS r2_sum
+    FROM r GROUP BY p ORDER BY p
+    """,
+)
+def page_trend_test_periods(sf_dir: str):
+    """Page's test for ordered alternatives (Page 1963): within every DAY
+    the four six-hour periods are midranked by volume, and L = Σ_p p·R_p
+    detects a monotone across-period trend that repeated days cannot fake
+    — the ordinal companion of the suite's Cochran-Armitage (binary dose)
+    and Friedman-style designs.  Midranks ride DOUBLED (2R = 2·rank_min +
+    ties − 1) so every reported number is exact int64; L assembles
+    clientside.  One (day, period) contingency groupby; the rank fold
+    runs on the bounded days×4 grid."""
+    import polars as pl
+
+    ds = _t(sf_dir, "events", ["ts"])
+
+    def feats(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t.column("ts"), pa.timestamp("us"))
+        return pa.table(
+            {
+                "d": pc.cast(pc.floor_temporal(ts, unit="day"), pa.int64()),
+                "p": pc.cast(pc.divide(pc.hour(ts), 6), pa.int64()),
+            }
+        )
+
+    cnt = (
+        ds.map_batches(feats, batch_format="pyarrow")
+        .groupby(["d", "p"])
+        .count()
+        .to_pandas()
+        .rename(columns={"count()": "c"})
+    )
+    rows = {}
+    for d, g in cnt.groupby("d"):
+        c = g["c"].to_numpy().astype(np.int64)
+        p_ = g["p"].to_numpy().astype(np.int64)
+        order = np.argsort(c, kind="stable")
+        # doubled midranks with ties: 2*rank_min + ties - 1 per value
+        sorted_c = c[order]
+        r2 = np.empty(len(c), dtype=np.int64)
+        i = 0
+        while i < len(sorted_c):
+            j = i
+            while j < len(sorted_c) and sorted_c[j] == sorted_c[i]:
+                j += 1
+            r2[order[i:j]] = 2 * (i + 1) + (j - i) - 1
+            i = j
+        for pp, rr in zip(p_, r2):
+            n, s = rows.get(int(pp), (0, 0))
+            rows[int(pp)] = (n + 1, s + int(rr))
+    out = pd.DataFrame(
+        [{"period": p_, "n_days": n, "r2_sum": s} for p_, (n, s) in sorted(rows.items())],
+        columns=["period", "n_days", "r2_sum"],
+    )
+    return out.astype("int64")

@@ -446,3 +446,16 @@ def test_partial_corr_vs_numpy(ray_session):
     ref = (r_xy - r_xz * r_yz) / np.sqrt((1 - r_xz**2) * (1 - r_yz**2))
     assert abs(out["partial_r"] - ref) < 1e-5
     assert -1.0 <= out["partial_r"] <= 1.0
+
+
+def test_page_trend_midranks(ray_session):
+    import perfect_bloomfilter_ray.pipelines.extras4 as e4
+
+    out = e4.page_trend_test_periods(SF)
+    assert len(out) == 4
+    # doubled midranks per day sum to 2*(1+2+3+4) = 20 when all 4 periods
+    # present; total across periods = 20 * n_days
+    assert int(out["r2_sum"].sum()) == 20 * int(out["n_days"].iloc[0])
+    # the assembled Page L from doubled ranks: 2L = sum p * r2_sum
+    l2 = int((out["period"] * out["r2_sum"]).sum())
+    assert l2 > 0
