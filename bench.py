@@ -432,6 +432,7 @@ SUITE = [
     "median_polish_seasonality",
     "grubbs_hourly_outlier",
     "page_trend_test_periods",
+    "quartile_dispersion_per_type",
 ]
 
 

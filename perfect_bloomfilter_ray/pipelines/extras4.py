@@ -3519,3 +3519,53 @@ def page_trend_test_periods(sf_dir: str):
         columns=["period", "n_days", "r2_sum"],
     )
     return out.astype("int64")
+
+
+@q(
+    "quartile_dispersion_per_type",
+    sql="""
+    WITH v AS (
+      SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS x
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(quantile_disc(x, 0.25) AS BIGINT) AS q1,
+           CAST(quantile_disc(x, 0.75) AS BIGINT) AS q3,
+           round((CAST(quantile_disc(x, 0.75) AS DOUBLE) - CAST(quantile_disc(x, 0.25) AS DOUBLE))
+                 / (CAST(quantile_disc(x, 0.75) AS DOUBLE) + CAST(quantile_disc(x, 0.25) AS DOUBLE)), 6)
+               AS cqv
+    FROM v GROUP BY event_type ORDER BY event_type
+    """,
+)
+def quartile_dispersion_per_type(sf_dir: str):
+    """Coefficient of quartile variation per type — the scale-free ROBUST
+    dispersion measure (Q3−Q1)/(Q3+Q1) (Bonett 2006): where CV collapses
+    under heavy tails and zscore spread needs finite variance, the CQV is
+    rank-based and outlier-immune.  Quartiles are the suite's exact disc
+    quantiles over integer cents, so q1/q3 are exact ints and the ratio
+    ONE fixed expression rounded to 6."""
+    from perfect_bloomfilter_ray.stages.quantiles import exact_grouped_quantiles
+
+    ds = _t(sf_dir, "events", ["event_type", "value"]).filter(
+        lambda r: r["value"] is not None
+    )
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "x": pc.cast(pc.floor(pc.multiply(t.column("value"), 100.0)), pa.int64()),
+            }
+        )
+
+    cx = ds.map_batches(cents, batch_format="pyarrow")
+    q = exact_grouped_quantiles(
+        cx, "event_type", "x", [0.25, 0.75], kind="disc", names=["q1", "q3"]
+    ).to_pandas().sort_values("event_type").reset_index(drop=True)
+    q["q1"] = q["q1"].astype("int64")
+    q["q3"] = q["q3"].astype("int64")
+    q["cqv"] = [
+        round((float(a3) - float(a1)) / (float(a3) + float(a1)), 6)
+        for a1, a3 in zip(q["q1"], q["q3"])
+    ]
+    return q[["event_type", "q1", "q3", "cqv"]]

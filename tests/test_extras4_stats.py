@@ -459,3 +459,24 @@ def test_page_trend_midranks(ray_session):
     # the assembled Page L from doubled ranks: 2L = sum p * r2_sum
     l2 = int((out["period"] * out["r2_sum"]).sum())
     assert l2 > 0
+
+
+def test_cqv_identities(ray_session):
+    import duckdb
+
+    import perfect_bloomfilter_ray.pipelines.extras4 as e4
+
+    out = e4.quartile_dispersion_per_type(SF).set_index("event_type")
+    df = duckdb.sql(
+        f"SELECT event_type, CAST(floor(value*100) AS BIGINT) AS x "
+        f"FROM '{SF}/events.parquet' WHERE value IS NOT NULL"
+    ).df()
+    for g, sub in df.groupby("event_type"):
+        x = np.sort(sub["x"].to_numpy().astype(np.int64))
+        q1 = x[max(int(np.ceil(0.25 * len(x))) - 1, 0)]
+        q3 = x[max(int(np.ceil(0.75 * len(x))) - 1, 0)]
+        assert int(out.loc[g, "q1"]) == q1
+        assert int(out.loc[g, "q3"]) == q3
+        assert abs(out.loc[g, "cqv"] - round((q3 - q1) / (q3 + q1), 6)) < 1e-12
+    assert (out["q3"] >= out["q1"]).all()
+    assert out["cqv"].between(0, 1).all()
