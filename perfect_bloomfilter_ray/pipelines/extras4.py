@@ -232,7 +232,12 @@ def moods_median_value_by_type(sf_dir: str):
     n = ta + tb
     ea = ((a + b) * ta).astype(np.float64) / np.float64(n)
     eb = ((a + b) * tb).astype(np.float64) / np.float64(n)
-    chi2 = (a.astype(np.float64) - ea) ** 2 / ea + (b.astype(np.float64) - eb) ** 2 / eb
+    # DuckDB double x/0 yields NULL (not inf/nan) — mirror it: a degenerate
+    # table (ta==0: grand median is the max, so no group has values above)
+    # zeroes an expected count and the SQL chi2_part goes NULL row-wise.
+    with np.errstate(divide="ignore", invalid="ignore"):
+        chi2 = (a.astype(np.float64) - ea) ** 2 / ea + (b.astype(np.float64) - eb) ** 2 / eb
+    chi2 = np.where((ea == 0) | (eb == 0), np.nan, chi2)
     return pd.DataFrame(
         {
             "event_type": c["event_type"],
@@ -3440,10 +3445,12 @@ def grubbs_hourly_outlier(sf_dir: str):
     cmax, cmin = int(h.max()), int(h.min())
     mean = float(sx) / float(n)
     sd = np.sqrt((float(sxx) - float(sx) * sx / float(n)) / (float(n) - 1.0))
-    g = max(float(cmax) - mean, mean - float(cmin)) / sd
+    # DuckDB double x/0 -> NULL (-> NaN in pandas); mirror for a perfectly
+    # flat hourly series instead of raising/inf-diverging.
+    g = round(max(float(cmax) - mean, mean - float(cmin)) / sd, 6) if sd != 0.0 else np.nan
     return pd.DataFrame(
         {"n": [n], "sx": [sx], "sxx": [sxx], "cmax": [cmax], "cmin": [cmin],
-         "g_stat": [round(g, 6)]}
+         "g_stat": np.array([g], dtype=np.float64)}
     ).astype({c: "int64" for c in ("n", "sx", "sxx", "cmax", "cmin")})
 
 
@@ -3532,7 +3539,7 @@ def page_trend_test_periods(sf_dir: str):
            CAST(quantile_disc(x, 0.25) AS BIGINT) AS q1,
            CAST(quantile_disc(x, 0.75) AS BIGINT) AS q3,
            round((CAST(quantile_disc(x, 0.75) AS DOUBLE) - CAST(quantile_disc(x, 0.25) AS DOUBLE))
-                 / (CAST(quantile_disc(x, 0.75) AS DOUBLE) + CAST(quantile_disc(x, 0.25) AS DOUBLE)), 6)
+                 / NULLIF(CAST(quantile_disc(x, 0.75) AS DOUBLE) + CAST(quantile_disc(x, 0.25) AS DOUBLE), 0.0), 6)
                AS cqv
     FROM v GROUP BY event_type ORDER BY event_type
     """,
@@ -3564,8 +3571,11 @@ def quartile_dispersion_per_type(sf_dir: str):
     ).to_pandas().sort_values("event_type").reset_index(drop=True)
     q["q1"] = q["q1"].astype("int64")
     q["q3"] = q["q3"].astype("int64")
+    # NULLIF-mirrored zero guard: a type whose cent-quartiles sum to 0 (all
+    # |values| < 0.01, or symmetric negatives) yields NULL in both engines
+    # instead of a ZeroDivisionError here vs inf there.
     q["cqv"] = [
-        round((float(a3) - float(a1)) / (float(a3) + float(a1)), 6)
+        round((float(a3) - float(a1)) / (float(a3) + float(a1)), 6) if a1 + a3 != 0 else None
         for a1, a3 in zip(q["q1"], q["q3"])
     ]
     return q[["event_type", "q1", "q3", "cqv"]]

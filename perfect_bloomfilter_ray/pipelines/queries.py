@@ -422,14 +422,21 @@ def events_value_histogram(sf_dir: str):
     """,
 )
 def median_nchars_per_lang(sf_dir: str):
+    """Exact per-lang median via distinct-(lang, n_chars) count partials
+    (stages/quantiles.grouped_quantiles_from_counts): lang has ~5 values,
+    so the old whole-group map_groups shipped ~20% of the corpus into one
+    task. The count-partial shape is a NARROW groupby shuffle whose output
+    is bounded by |langs| x |char-count domain|, independent of row count;
+    the exact quantile_cont falls out of the weighted distribution."""
+    from perfect_bloomfilter_ray.stages.quantiles import grouped_quantiles_from_counts
+
     ds = _t(sf_dir, "documents", ["lang", "n_chars"])
-
-    def med(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"lang": [g["lang"].iloc[0]], "median_chars": [round(float(np.percentile(g["n_chars"], 50)), 4)]}
-        )
-
-    return ds.groupby("lang").map_groups(med, batch_format="pandas").sort("lang")
+    out = (
+        grouped_quantiles_from_counts(ds, "lang", "n_chars", [0.5], kind="cont", names=["median_chars"])
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    return _round(out[["lang", "median_chars"]], {"median_chars": 4})
 
 
 # ---------------------------------------------------------------------------

@@ -58,7 +58,11 @@ def adaptive_join(
     a duplicate-key right side falls through to the shuffle paths."""
     import pyarrow.compute as pc
 
-    from perfect_bloomfilter_ray.stages.joins import broadcast_lookup_join, skew_join
+    from perfect_bloomfilter_ray.stages.joins import (
+        DEFAULT_HOT_TOP_K,
+        broadcast_lookup_join,
+        skew_join,
+    )
 
     right_on = right_on or on
     n_right = right.count()
@@ -89,7 +93,7 @@ def adaptive_join(
         .aggregate(Sum("pcnt", alias_name="cnt"))
         .filter(expr=f"cnt >= {int(hot_count_threshold)}")
         .sort("cnt", descending=True)
-        .limit(65)
+        .limit(DEFAULT_HOT_TOP_K + 1)  # +1 = skew_join's overflow-row contract
         .to_pandas()
     )
     if len(hot):
@@ -97,6 +101,7 @@ def adaptive_join(
             skew_join(
                 left, right, on=on, right_on=right_on,
                 hot_count_threshold=hot_count_threshold,
+                hot_top_k=DEFAULT_HOT_TOP_K,
                 precounted_hot=hot,
             ),
             "skew",

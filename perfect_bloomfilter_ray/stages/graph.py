@@ -364,12 +364,51 @@ def pagerank_dataset(
 
     start_iter = 0
     if checkpoint_dir:
+        import json
         import os
         import re as _re
 
         import ray.data as _rd
 
         os.makedirs(checkpoint_dir, exist_ok=True)
+
+        # Manifest guard: iter_K state is only valid for the exact (edges,
+        # damping, nb) it was computed from — resuming a changed run from a
+        # stale directory would silently produce ranks of the OLD graph.
+        # Fingerprint = wrap-sum of per-edge mixed hashes (order-independent,
+        # one cheap pass over the already-materialized edge list).
+        def fp_partial(t: pa.Table) -> pa.Table:
+            s = t.column(src_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            d = t.column(dst_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            h = splitmix64(s.view(_u64) ^ splitmix64(d.view(_u64)))
+            with np.errstate(over="ignore"):
+                f = int(h.sum(dtype=np.uint64))
+            return pa.table({"f": pa.array([f], pa.uint64()), "m": pa.array([len(s)], pa.int64())})
+
+        fp = e.map_batches(fp_partial, batch_format="pyarrow").to_pandas()
+        with np.errstate(over="ignore"):
+            manifest = {
+                "edge_count": int(fp["m"].sum()),
+                "edge_fingerprint": int(fp["f"].to_numpy().astype(np.uint64).sum(dtype=np.uint64)),
+                "n_nodes": int(n),
+                "damping": float(damping),
+                "num_blocks": int(nb),
+            }
+        mpath = os.path.join(checkpoint_dir, "manifest.json")
+        if os.path.exists(mpath):
+            with open(mpath) as fh:
+                prev_manifest = json.load(fh)
+            if prev_manifest != manifest:
+                raise ValueError(
+                    f"pagerank checkpoint_dir {checkpoint_dir!r} holds state for "
+                    f"different inputs ({prev_manifest} != {manifest}); "
+                    "use a fresh directory or delete the stale checkpoints"
+                )
+        else:
+            with open(mpath + ".tmp", "w") as fh:
+                json.dump(manifest, fh)
+            os.rename(mpath + ".tmp", mpath)
+
         done = sorted(
             int(m.group(1))
             for d in os.listdir(checkpoint_dir)

@@ -416,13 +416,19 @@ def range_join_broadcast(
     return big.map_batches(probe, batch_format="pyarrow")
 
 
+# Default hot-key budget for skew_join. adaptive_join's precounted hot frame
+# is sized DEFAULT_HOT_TOP_K + 1 (the +1 row is the cold_known_nonempty
+# overflow signal) — share the constant so the two stay in sync.
+DEFAULT_HOT_TOP_K = 64
+
+
 def skew_join(
     left: Dataset,
     right: Dataset,
     on: str,
     right_on: str | None = None,
     hot_count_threshold: int = 100_000,
-    hot_top_k: int = 64,
+    hot_top_k: int = DEFAULT_HOT_TOP_K,
     num_partitions: int | None = None,
     precounted_hot: "pd.DataFrame | None" = None,
 ) -> Dataset:

@@ -127,6 +127,91 @@ def exact_grouped_quantiles(
     )
 
 
+def grouped_quantiles_from_counts(
+    ds: Dataset,
+    keys: list[str] | str,
+    value_col: str,
+    qs: list[float],
+    kind: str = "disc",
+    names: list[str] | None = None,
+):
+    """Exact grouped quantiles for BOUNDED-CARDINALITY value columns via
+    distinct-(keys, value) count partials.
+
+    :func:`exact_grouped_quantiles` co-locates each group's ROWS in one
+    task — the right shape when groups are numerous and individually small.
+    When the grouping key is LOW-cardinality (e.g. ~5 languages over a
+    10^12-row corpus) that contract breaks: one task would hold ~20% of the
+    corpus. This variant changes the reduction instead of the partitioning:
+    ``groupby(keys + [value]) → count`` is a NARROW shuffle whose output
+    size is the number of distinct (group, value) pairs — for integer
+    metrics (char counts, token counts) that is bounded by
+    ``|groups| × |value domain|``, independent of row count — and the exact
+    quantile falls out of the weighted distribution on the driver
+    (post-aggregation altitude, same contract as broadcast-join small
+    sides).
+
+    Quantile conventions match :func:`exact_grouped_quantiles` / DuckDB:
+    ``disc`` picks the element at rank ``ceil(q*n) - 1``; ``cont``
+    interpolates at position ``(n-1)*q``. Returns a pandas DataFrame with
+    one row per group (sorted by ``keys``), columns ``keys + names``.
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Count
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    if kind not in ("disc", "cont"):
+        raise ValueError(f"kind must be 'disc' or 'cont', got {kind!r}")
+    names = names or [f"q{str(q).replace('0.', '')}" for q in qs]
+    if len(names) != len(qs):
+        raise ValueError("names must match qs")
+
+    counts = (
+        ds.select_columns([*keys, value_col])
+        .groupby([*keys, value_col])
+        .aggregate(Count(alias_name="_n"))
+        .to_pandas()
+        .dropna(subset=[value_col])
+        .sort_values([*keys, value_col])
+        .reset_index(drop=True)
+    )
+    v = counts[value_col].to_numpy(dtype=np.float64)
+    c = counts["_n"].to_numpy(dtype=np.int64)
+    m = len(v)
+    change = np.zeros(m, dtype=bool)
+    if m:
+        change[0] = True
+    for k in keys:
+        a = counts[k].to_numpy()
+        change[1:] |= a[1:] != a[:-1]
+    starts = np.flatnonzero(change)
+    ends = np.append(starts[1:], m)
+    out_rows = {k: counts[k].to_numpy()[starts] for k in keys}
+    cum = np.cumsum(c)
+    # total rows per group and cumulative-count base per group
+    base = np.where(starts > 0, cum[starts - 1], 0)
+    totals = cum[ends - 1] - base if m else np.empty(0, dtype=np.int64)
+
+    def value_at_rank(r: np.ndarray) -> np.ndarray:
+        # r is a 0-based per-group rank; map to global cumulative position
+        pos = np.searchsorted(cum, base + r, side="right")
+        return v[pos] if m else np.empty(0, dtype=np.float64)
+
+    res = {}
+    for q, name in zip(qs, names):
+        if kind == "disc":
+            rank = np.maximum(np.ceil(q * totals).astype(np.int64) - 1, 0)
+            res[name] = value_at_rank(rank)
+        else:
+            p = (totals - 1) * q
+            lo = np.floor(p).astype(np.int64)
+            hi = np.ceil(p).astype(np.int64)
+            vlo, vhi = value_at_rank(lo), value_at_rank(hi)
+            res[name] = vlo + (vhi - vlo) * (p - lo)
+    return pd.DataFrame({**out_rows, **res})
+
+
 def quantile_trim(
     ds: Dataset,
     keys: list[str] | str,

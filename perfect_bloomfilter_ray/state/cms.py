@@ -222,8 +222,10 @@ class ConservativeCMS(CountMinSketch):
         uh, inv = np.unique(h, return_inverse=True)
         uw = np.zeros(len(uh), dtype=np.int64)
         np.add.at(uw, inv, w)
-        idx = self._indices(uh)
-        cur = np.stack([self.counts[r][idx[r]] for r in range(self.depth)])
-        target = cur.min(axis=0) + uw
-        for r in range(self.depth):
-            np.maximum.at(self.counts[r], idx[r], target)
+        idx = self._indices(uh)  # (depth, u)
+        # single 2-D fancy gather + one flat scatter — no per-row Python
+        # loop building depth×u stacked intermediates on the hot path
+        cur = self.counts[np.arange(self.depth)[:, None], idx]
+        target = np.broadcast_to(cur.min(axis=0) + uw, idx.shape)
+        flat = idx + (np.arange(self.depth, dtype=np.int64)[:, None] * self.width)
+        np.maximum.at(self.counts.reshape(-1), flat.reshape(-1), target.reshape(-1))

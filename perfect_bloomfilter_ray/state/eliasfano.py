@@ -85,16 +85,31 @@ class EliasFano:
             lows = (lows << 1) | bits[i * self.l + k]
         return (high << self.l) | lows
 
+    def _values(self) -> np.ndarray:
+        """Decoded value array, built ONCE on first probe and cached —
+        next_geq/contains are then O(log n) searchsorted per probe batch
+        with no per-call O(n·l) decode or 8n-byte allocation.  The cache is
+        an in-memory probe accelerator in the same class as ``_select``
+        (the serialized form stays quasi-succinct: ``to_bytes`` ships only
+        the high/low bit arrays); a fully in-place succinct successor
+        (rank on the high bitmap + bounded in-bucket low scan) would save
+        the 8n bytes at a large vectorized-probe throughput cost — the
+        wrong trade for this library's batch-probe usage, documented here
+        so a memory-bound deployment knows what to swap."""
+        v = getattr(self, "_vals", None)
+        if v is None:
+            v = self._vals = self.access(np.arange(self.n))
+        return v
+
     def next_geq(self, x: np.ndarray) -> np.ndarray:
-        """Smallest member >= x, or -1 when none (vectorized via the
-        decoded access path — a rank-based bounded scan in the succinct
-        deployment)."""
+        """Smallest member >= x, or -1 when none (vectorized searchsorted
+        over the once-decoded cached values)."""
         xs = np.asarray(x, dtype=np.int64)
-        all_vals = self.access(np.arange(self.n))
-        pos = np.searchsorted(all_vals, xs)
+        vals = self._values()
+        pos = np.searchsorted(vals, xs)
         out = np.full(len(xs), -1, dtype=np.int64)
         ok = pos < self.n
-        out[ok] = all_vals[np.minimum(pos[ok], self.n - 1)]
+        out[ok] = vals[pos[ok]]
         return out
 
     def contains(self, x: np.ndarray) -> np.ndarray:

@@ -68,6 +68,27 @@ def test_tol_early_stop_converges_and_matches(ray_session, tmp_path):
     assert np.allclose(long["rank"], early["rank"], atol=1e-8)
 
 
+def test_manifest_rejects_changed_inputs(ray_session, tmp_path):
+    """A checkpoint dir written for one (edges, damping) refuses a run with
+    different inputs instead of silently resuming stale state."""
+    import ray
+
+    ck = str(tmp_path / "pr4")
+    _ranks(pagerank_dataset(_edges(), iters=2, checkpoint_dir=ck))
+    assert os.path.isfile(os.path.join(ck, "manifest.json"))
+    # changed damping
+    with pytest.raises(ValueError, match="different inputs"):
+        pagerank_dataset(_edges(), iters=3, damping=0.5, checkpoint_dir=ck)
+    # changed edge set (same counts, different pairs -> fingerprint differs)
+    other = ray.data.from_pandas(
+        pd.DataFrame({"src": np.arange(20, dtype=np.int64), "dst": (np.arange(20, dtype=np.int64) + 1) % 20})
+    )
+    with pytest.raises(ValueError, match="different inputs"):
+        pagerank_dataset(other, iters=3, checkpoint_dir=ck)
+    # unchanged inputs still resume fine
+    _ranks(pagerank_dataset(_edges(), iters=3, checkpoint_dir=ck))
+
+
 def test_tol_none_runs_all_iterations(ray_session):
     a = _ranks(pagerank_dataset(_edges(), iters=2))
     b = _ranks(pagerank_dataset(_edges(), iters=2, tol=None))
