@@ -5095,17 +5095,21 @@ def time_decay_attribution(sf_dir: str):
 
 @q("image_phash_dedup_pairs")
 def image_phash_dedup_pairs(sf_dir: str):
-    """Perceptual-hash image near-dup pairs: payloads decode through the
-    actor-pool (stub) codec, ImageFeatureStage emits each image's 64-bit
-    dHash, and the SAME pigeonhole banding engine as simhash text dedup
-    (stages/dedup.hamming_pairs_u64) surfaces pairs within Hamming ≤ 6 —
-    the multimodal member of the dedup family. The fake codec is
-    deterministic in the payload, so byte-identical images MUST surface at
-    Hamming 0 (pytest contract); rows-only (no SQL can run the codec)."""
+    """Perceptual-hash image near-dup pairs on REAL pixels: each doc's text
+    renders to real PNG bytes, payloads decode through the actor-pool
+    stdlib PNG codec (functions/codecs.py), ImageFeatureStage emits each
+    image's 64-bit dHash, and the SAME pigeonhole banding engine as simhash
+    text dedup (stages/dedup.hamming_pairs_u64) surfaces pairs within
+    Hamming ≤ 6 — the multimodal member of the dedup family. The encode →
+    decode roundtrip is deterministic, so byte-identical images MUST
+    surface at Hamming 0 (pytest contract); rows-only (no SQL can run the
+    codec)."""
     from perfect_bloomfilter_ray.stages.dedup import hamming_pairs_u64
     from perfect_bloomfilter_ray.stages.multimodal import (
         ImageDecodeStage,
         ImageFeatureStage,
+        PngDecoder,
+        text_to_png_payload,
     )
 
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
@@ -5114,7 +5118,7 @@ def image_phash_dedup_pairs(sf_dir: str):
         return pa.table(
             {
                 "media_id": t.column("doc_id"),
-                "payload": pc.cast(t.column("text"), pa.large_binary()),
+                "payload": text_to_png_payload(t.column("text"), 32, 32),
             }
         )
 
@@ -5127,7 +5131,7 @@ def image_phash_dedup_pairs(sf_dir: str):
         return pa.table(
             {
                 "media_id": pc.add(keep.column("doc_id"), pa.scalar(1_000_000, pa.int64())),
-                "payload": pc.cast(keep.column("text"), pa.large_binary()),
+                "payload": text_to_png_payload(keep.column("text"), 32, 32),
             }
         )
 
@@ -5137,7 +5141,7 @@ def image_phash_dedup_pairs(sf_dir: str):
     # actor pools: CLASS + constructor kwargs (state once per actor)
     decoded = media.map_batches(
         ImageDecodeStage,
-        fn_constructor_kwargs={"height": 32, "width": 32},
+        fn_constructor_kwargs={"height": 32, "width": 32, "decoder_cls": PngDecoder},
         batch_size=128,
         concurrency=(1, 4),
         batch_format="pyarrow",

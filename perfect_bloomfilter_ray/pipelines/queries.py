@@ -990,17 +990,26 @@ def ngram_jaccard_verified_pairs(sf_dir: str):
 
 @q("image_feature_stats")
 def image_feature_stats(sf_dir: str):
-    """Multimodal pipeline smoke: binary payloads → actor-pool decode (fake)
-    → feature extraction → global stats. Rows-only (no SQL equivalent)."""
-    from perfect_bloomfilter_ray.stages.multimodal import image_pipeline
+    """Multimodal pipeline on REAL pixels: each doc's text renders to real
+    PNG bytes (stdlib encoder) → actor-pool stdlib PNG DECODE (zlib inflate
+    + unfilter) → feature extraction → global stats. Rows-only (no SQL can
+    run a codec)."""
+    from perfect_bloomfilter_ray.stages.multimodal import (
+        PngDecoder,
+        image_pipeline,
+        text_to_png_payload,
+    )
 
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
 
     def to_bin(t: pa.Table) -> pa.Table:
-        return pa.table({"blob": pc.cast(t.column("text"), pa.binary())})
+        return pa.table({"blob": text_to_png_payload(t.column("text"), 32, 32)})
 
     media = ds.map_batches(to_bin, batch_format="pyarrow")
-    feats = image_pipeline(media, "blob", decode_hw=(32, 32), concurrency=(1, 4), batch_size=128)
+    feats = image_pipeline(
+        media, "blob", decode_hw=(32, 32), concurrency=(1, 4), batch_size=128,
+        decoder_cls=PngDecoder,
+    )
     out = feats.aggregate(
         Count(alias_name="n_media"),
         Mean("px_mean", alias_name="avg_px_mean"),
@@ -2186,22 +2195,25 @@ def latest_event_per_user(sf_dir: str):
 
 @q("audio_frame_rms_stats")
 def audio_frame_rms_stats(sf_dir: str):
-    """Multimodal audio path: binary payloads → actor-pool frame sampling
-    (stub codec) → per-frame RMS → per-frame-index stats. Rows-only."""
+    """Multimodal audio path on REAL samples: each doc's text renders to a
+    real WAV clip (stdlib encoder) → actor-pool stdlib WAV DECODE → frame
+    sampling → per-frame RMS → per-frame-index stats. Rows-only."""
     from perfect_bloomfilter_ray.stages.multimodal import (
         AudioFrameSampleStage,
+        WavFrameDecoder,
         media_dataset_from_binary,
+        text_to_wav_payload,
     )
 
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
 
     def to_bin(t: pa.Table) -> pa.Table:
-        return pa.table({"blob": pc.cast(t.column("text"), pa.binary())})
+        return pa.table({"blob": text_to_wav_payload(t.column("text"), n_samples=2048)})
 
     media = media_dataset_from_binary(ds.map_batches(to_bin, batch_format="pyarrow"), "blob")
     frames = media.map_batches(
         AudioFrameSampleStage,
-        fn_constructor_kwargs={"frames": 4, "frame_samples": 128},
+        fn_constructor_kwargs={"frames": 4, "frame_samples": 128, "decoder_cls": WavFrameDecoder},
         batch_size=256,
         concurrency=(1, 4),
         batch_format="pyarrow",

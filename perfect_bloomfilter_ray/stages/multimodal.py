@@ -1,5 +1,7 @@
-"""Multimodal (image/audio/video) processing stages — Ray plumbing is real,
-codec decode is stubbed.
+"""Multimodal (image/audio/video) processing stages — Ray plumbing is real;
+PNG and WAV decode are REAL (pure-stdlib codecs, functions/codecs.py);
+other formats (JPEG/WebP/video containers) remain behind the
+``RealCodecDecoder`` swap point.
 
 Media payloads are opaque ``binary`` columns with typed metadata columns
 alongside (``media_type``, ``width``/``height``/``sample_rate``/...). All
@@ -62,18 +64,124 @@ def media_dataset_from_binary(
 
 
 class RealCodecDecoder:
-    """Placeholder for a real codec (PIL / libvips / ffmpeg). STUB.
+    """Placeholder for an external codec library (PIL / libvips / ffmpeg).
 
-    The container ships no codec libraries; at deployment, replace
-    ``DeterministicFakeDecoder`` with this class backed by the real library
-    loaded ONCE here in ``__init__`` (never per batch).
+    For PNG and WAV a real pure-stdlib codec EXISTS in this repo — use
+    :class:`PngDecoder` / the WAV path in :class:`WavFrameDecoder`
+    (functions/codecs.py, implemented from the public specs). This class
+    remains the swap point for formats that genuinely need an external
+    library (JPEG/WebP/ffmpeg video): load it ONCE here in ``__init__``
+    (never per batch).
     """
 
     def __init__(self) -> None:
         raise NotImplementedError(
-            "no image/audio codec libraries in this environment; "
-            "use DeterministicFakeDecoder for the pipeline plumbing"
+            "no external codec libraries in this environment; PNG/WAV have "
+            "real stdlib codecs (PngDecoder / WavFrameDecoder); other "
+            "formats need PIL/ffmpeg at deployment"
         )
+
+
+class PngDecoder:
+    """REAL image decoder: PNG bytes → fixed-size grayscale tensor, using
+    the pure-stdlib codec (functions/codecs.py: zlib inflate + scanline
+    unfilter + luma + nearest-resample). Drop-in for the ``decoder_cls``
+    seam of :class:`ImageDecodeStage`.
+
+    Decode is inherently per-item; the loop over a batch's payloads is the
+    actor-stage contract (everything within one image is vectorized)."""
+
+    def __init__(self, height: int, width: int) -> None:
+        from perfect_bloomfilter_ray.functions.codecs import (
+            decode_png,
+            resize_nearest,
+            to_gray,
+        )
+
+        self.height, self.width = height, width
+        self._decode, self._gray, self._resize = decode_png, to_gray, resize_nearest
+
+    def decode_batch(self, payload: pa.Array) -> np.ndarray:
+        out = np.zeros((len(payload), self.height, self.width), dtype=np.uint8)
+        for i, v in enumerate(payload):
+            b = v.as_py()
+            if b:
+                out[i] = self._resize(self._gray(self._decode(b)), self.height, self.width)
+        return out
+
+
+class WavFrameDecoder:
+    """REAL audio decoder for the frame-sampling seam: WAV bytes → K evenly
+    spaced frames of N samples each (uint8 center-128 layout, matching the
+    fake decoder's output contract so downstream RMS/features are unchanged).
+    Short clips zero-pad; sample positions are deterministic in the clip."""
+
+    def __init__(self, frames: int, frame_samples: int) -> None:
+        from perfect_bloomfilter_ray.functions.codecs import decode_wav
+
+        self.frames, self.frame_samples = frames, frame_samples
+        self._decode = decode_wav
+
+    def decode_batch(self, payload: pa.Array) -> np.ndarray:
+        k, m = self.frames, self.frame_samples
+        out = np.zeros((len(payload), k, m), dtype=np.uint8)
+        for i, v in enumerate(payload):
+            b = v.as_py()
+            if not b:
+                continue
+            s, _rate = self._decode(b)
+            starts = (np.arange(k) * max(len(s) - m, 0)) // max(k - 1, 1) if k > 1 else np.zeros(1, np.int64)
+            for j, st in enumerate(starts):
+                seg = s[int(st) : int(st) + m]
+                out[i, j, : len(seg)] = ((seg.astype(np.int32) >> 8) + 128).astype(np.uint8)
+        return out
+
+
+def text_to_wav_payload(col, n_samples: int = 4096, sample_rate: int = 16_000) -> pa.Array:
+    """Deterministic REAL WAV bytes from a string/binary column: row bytes
+    tile an ``n_samples``-long int16 PCM signal ((b − 128) << 8) which is
+    ACTUALLY WAV-encoded — downstream frame-sampling exercises the full
+    stdlib ``wave`` decode path. Byte-identical inputs → identical WAVs."""
+    from perfect_bloomfilter_ray.functions.codecs import encode_wav
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    out = []
+    for v in col:
+        b = v.as_py()
+        if b is None:
+            out.append(None)
+            continue
+        if isinstance(b, str):
+            b = b.encode("utf-8", "surrogatepass")
+        buf = np.frombuffer(b, np.uint8) if b else np.zeros(1, np.uint8)
+        s = ((np.resize(buf, n_samples).astype(np.int16) - 128) << 8).astype(np.int16)
+        out.append(encode_wav(s, sample_rate))
+    return pa.array(out, pa.large_binary())
+
+
+def text_to_png_payload(col, height: int = 32, width: int = 32) -> pa.Array:
+    """Deterministic REAL PNG bytes from a string/binary column: the row's
+    bytes tile a (height, width) grayscale raster which is then ACTUALLY
+    PNG-encoded (filter 0, fixed zlib level). Byte-identical inputs yield
+    byte-identical PNGs — the property the image-dedup contracts rely on —
+    and downstream stages exercise the full real decode path."""
+    from perfect_bloomfilter_ray.functions.codecs import encode_png
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n_px = height * width
+    out = []
+    for v in col:
+        b = v.as_py()
+        if b is None:
+            out.append(None)
+            continue
+        if isinstance(b, str):
+            b = b.encode("utf-8", "surrogatepass")
+        buf = np.frombuffer(b, np.uint8) if b else np.zeros(1, np.uint8)
+        out.append(encode_png(np.resize(buf, n_px).reshape(height, width)))
+    return pa.array(out, pa.large_binary())
 
 
 class DeterministicFakeDecoder:
@@ -269,15 +377,17 @@ def image_pipeline(
     decode_hw: tuple[int, int] = (64, 64),
     concurrency: tuple[int, int] = (2, 8),
     batch_size: int = 64,
+    decoder_cls=DeterministicFakeDecoder,
 ) -> Dataset:
     """tag → decode (actor pool) → features (actor pool). Small batches:
-    decoded tensors are ``batch × h × w`` bytes and must fit the heap."""
+    decoded tensors are ``batch × h × w`` bytes and must fit the heap.
+    ``decoder_cls=PngDecoder`` runs the REAL stdlib PNG codec."""
     tagged = media_dataset_from_binary(ds, payload_col)
     # actor pools: pass the CLASS + constructor args — state built once per
     # actor in __init__, not per batch (and not per task)
     decoded = tagged.map_batches(
         ImageDecodeStage,
-        fn_constructor_kwargs={"height": decode_hw[0], "width": decode_hw[1]},
+        fn_constructor_kwargs={"height": decode_hw[0], "width": decode_hw[1], "decoder_cls": decoder_cls},
         batch_size=batch_size,
         concurrency=concurrency,
         batch_format="pyarrow",

@@ -135,8 +135,11 @@ def _fake_decode(payloads, h, w):
 
 
 def test_image_feature_stats_expected_exact(ray_session):
-    """The stub codec is deterministic, so the query's aggregate has ONE
-    exact expected table — computed here driver-side in pure numpy."""
+    """The query renders text → REAL PNG → stdlib decode; the roundtrip is
+    lossless, so the ground-truth pixels are the tiled text bytes and the
+    aggregate has ONE exact expected table — computed here driver-side in
+    pure numpy WITHOUT the codec (independently verifying the encode →
+    decode path loses nothing)."""
     import numpy as np
     import pandas as pd
     import pyarrow.parquet as pq
@@ -145,7 +148,9 @@ def test_image_feature_stats_expected_exact(ray_session):
 
     sf = "/root/testdata/sf0.001"
     texts = pq.read_table(f"{sf}/documents.parquet", columns=["text"]).column("text").to_pylist()
-    px = _fake_decode([t.encode() for t in texts], 32, 32).astype(np.float64)
+    px = np.stack(
+        [np.resize(np.frombuffer(t.encode(), np.uint8), 32 * 32).reshape(32, 32) for t in texts]
+    ).astype(np.float64)
     exp = pd.DataFrame(
         [
             {
@@ -197,8 +202,22 @@ def test_audio_frame_rms_stats_expected_exact(ray_session):
 
     sf = "/root/testdata/sf0.001"
     texts = pq.read_table(f"{sf}/documents.parquet", columns=["text"]).column("text").to_pylist()
-    frames, n_samples = 4, 128
-    raw = _fake_decode([t.encode() for t in texts], frames, n_samples)
+    frames, frame_samples, clip_len = 4, 128, 2048
+    # ground truth WITHOUT the codec: the WAV roundtrip is lossless and the
+    # (b-128)<<8 → >>8 → +128 layout returns the original tiled bytes, so
+    # each frame is a slice of the tiled text bytes at the sampler's starts
+    starts = (np.arange(frames) * (clip_len - frame_samples)) // (frames - 1)
+    raw = np.stack(
+        [
+            np.stack(
+                [
+                    np.resize(np.frombuffer(t.encode(), np.uint8), clip_len)[s : s + frame_samples]
+                    for s in starts
+                ]
+            )
+            for t in texts
+        ]
+    )  # (n, frames, samples)
     x = raw.astype(np.float64) - 127.5
     rms = np.sqrt((x**2).mean(axis=2))  # (n, frames)
     exp = pd.DataFrame(

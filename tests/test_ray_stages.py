@@ -165,6 +165,40 @@ def test_flagship_pipeline_runs(ray_session):
     assert len(out) >= 5 and "distinct_urls_est" in out.columns
 
 
+def test_flagship_invariant_sample_matches_full(ray_session, tmp_path):
+    """Benchmark-mode sampled invariant: identical sketch results (the check
+    never alters data) and the file-sampled path still catches corruption."""
+    import glob
+    import os
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import pytest
+
+    from perfect_bloomfilter_ray.pipelines.flagship import flagship
+    from perfect_bloomfilter_ray.sources.corpus import pages_dataset, write_pages
+
+    corpus = write_pages(str(tmp_path / "corpus_inv"), 2000, seed=7, num_blocks=4)
+    full = flagship(corpus, expected_urls=2000)
+    sampled = flagship(corpus, expected_urls=2000, invariant_sample=2)
+    pd.testing.assert_frame_equal(full, sampled)
+    assert full.attrs["summary"] == sampled.attrs["summary"]
+
+    # Dataset input: row-level sampling also stays result-identical
+    row_sampled = flagship(pages_dataset(500, seed=1), expected_urls=500, invariant_sample=4)
+    full_ds = flagship(pages_dataset(500, seed=1), expected_urls=500)
+    pd.testing.assert_frame_equal(full_ds, row_sampled)
+
+    # corrupt the FIRST file (always in files[::k]) -> sampled path raises
+    files = sorted(glob.glob(os.path.join(corpus, "*.parquet")))
+    t = pq.read_table(files[0])
+    bad = t.set_column(t.schema.get_field_index("text"), "text",
+                       pa.array(["CORRUPTED"] * len(t), pa.string()))
+    pq.write_table(bad, files[0])
+    with pytest.raises(Exception, match="invariant violated"):
+        flagship(corpus, expected_urls=2000, invariant_sample=2)
+
+
 def test_resumable_etl_skips_done_shards(ray_session, tmp_path):
     import glob
     import json
