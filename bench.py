@@ -438,6 +438,8 @@ SUITE = [
     "grubbs_hourly_outlier",
     "page_trend_test_periods",
     "quartile_dispersion_per_type",
+    # round 5
+    "mlp_purchase_propensity",
 ]
 
 

@@ -53,3 +53,38 @@ def curate(
     if near_dup:
         deduped = drop_near_duplicates(deduped, text_col, id_col, threshold=near_dup_threshold)
     return deduped
+
+
+def model_quality_filter(
+    ds: Dataset,
+    fit: dict,
+    feature_fn,
+    threshold: float = 0.0,
+    text_col: str = "text",
+    score_col: str = "quality_logit",
+) -> Dataset:
+    """Learned quality gate for the curation waterfall: score every document
+    with TRAINED weights (a ``stages.logreg.logreg_fit`` result — the
+    fastText-classifier shape) through the broadcast-weights inference actor
+    pool (stages/inference.py: ``ray.put`` once, ``ray.get`` once per actor
+    in ``__init__``), keep rows with logit ≥ ``threshold`` (logit 0 ==
+    probability 0.5), and carry the score column for downstream
+    mixing/selection. One embarrassingly parallel pass — no shuffle."""
+    from perfect_bloomfilter_ray.stages.inference import NumpyModelScorer, logreg_to_mlp
+
+    import ray
+
+    ref = ray.put(logreg_to_mlp(fit))
+
+    class _ScoreAndFilter(NumpyModelScorer):
+        def __init__(self):
+            super().__init__(ref, feature_fn, id_cols=[], out_col=score_col)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            z = self._forward(self.feature_fn(t))
+            out = t.append_column(score_col, pa.array(z, pa.float64()))
+            return out.filter(pa.array(z >= threshold))
+
+    return ds.map_batches(
+        _ScoreAndFilter, batch_size=4096, concurrency=(1, 4), batch_format="pyarrow"
+    )

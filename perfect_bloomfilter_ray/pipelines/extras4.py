@@ -2952,18 +2952,21 @@ def inclusion_dependency_discovery(sf_dir: str):
     union = parts[0]
     for p_ in parts[1:]:
         union = union.union(p_)
-    # dedupe (v, colbit) across batches, then fold bits per value
-    mask_hist = (
-        union.groupby(["v", "colbit"])
-        .count()
-        .drop_columns(["count()"])
-        .groupby("v")
-        .aggregate(Sum("colbit", alias_name="mask"))
-        .groupby("mask")
-        .count()
-        .to_pandas()
-        .rename(columns={"count()": "n"})
-    )
+    # ONE all-to-all: per-value bitmask via the idempotent BitOr aggregate
+    # (cross-batch duplicate (v, colbit) rows OR to a no-op — no dedupe
+    # exchange needed), then the ≤2^5-row mask histogram folds map-side.
+    from perfect_bloomfilter_ray.stages.agg import BitOrAgg
+
+    masked = union.groupby("v").aggregate(BitOrAgg("colbit", name="mask"))
+
+    def hist_part(t: pa.Table) -> pa.Table:
+        m = t.column("mask").to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = np.bincount(m, minlength=32)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"mask": pa.array(nz.astype(np.int64)), "n": pa.array(cnt[nz].astype(np.int64))})
+
+    hp = masked.map_batches(hist_part, batch_format="pyarrow").to_pandas()
+    mask_hist = hp.groupby("mask", as_index=False)["n"].sum()
     masks = mask_hist["mask"].to_numpy().astype(np.int64)
     ns = mask_hist["n"].to_numpy().astype(np.int64)
     names = {1: "c_custkey", 2: "o_custkey", 4: "o_orderkey", 8: "l_orderkey", 16: "user_id"}

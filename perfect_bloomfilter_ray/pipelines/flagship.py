@@ -229,16 +229,27 @@ def flagship(
     ``entry()`` and pytest never set this."""
     import ray.data as rd
 
+    inv_future = None
     if isinstance(sf_dir_or_pages, str):
         if invariant_sample and invariant_sample > 1:
             import glob as _glob
             import os as _os
+            from concurrent.futures import ThreadPoolExecutor
 
             files = sorted(
                 _glob.glob(_os.path.join(sf_dir_or_pages, "**", "*.parquet"), recursive=True)
             ) or [sf_dir_or_pages]
             sampled = files[:: invariant_sample]
-            verify_text_invariant(rd.read_parquet(sampled, columns=["html", "text"]))
+            # run the html-heavy verify CONCURRENTLY with the sketch build:
+            # two streaming executions share the cluster under backpressure,
+            # so the verify hides inside the main scan's wall time instead
+            # of serializing in front of it (result() below re-raises any
+            # invariant violation before flagship returns).
+            pool = ThreadPoolExecutor(max_workers=1)
+            inv_future = pool.submit(
+                verify_text_invariant, rd.read_parquet(sampled, columns=["html", "text"])
+            )
+            pool.shutdown(wait=False)
             ds = rd.read_parquet(sf_dir_or_pages, columns=["url", "text", "lang"])
             invariant_sample = None  # already enforced at file level
         else:
@@ -249,6 +260,8 @@ def flagship(
     pages = prepare_pages(ds, invariant_sample=invariant_sample)
     sketches, per_lang_ds = build_flagship_combined(pages, n)
     per_lang = per_lang_ds.to_pandas().sort_values("lang").reset_index(drop=True)
+    if inv_future is not None:
+        inv_future.result()  # surface any invariant violation before returning
 
     bloom = sketches["bloom_url"]
     summary = {

@@ -9945,6 +9945,7 @@ def ks_value_drift_per_type(sf_dir: str):
 from perfect_bloomfilter_ray.pipelines import tpch as _tpch  # noqa: E402,F401
 from perfect_bloomfilter_ray.pipelines import extras as _extras  # noqa: E402,F401
 from perfect_bloomfilter_ray.pipelines import extras4 as _extras4  # noqa: E402,F401
+from perfect_bloomfilter_ray.pipelines import extras5 as _extras5  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registration order: the driver spends its correctness slots in this order,

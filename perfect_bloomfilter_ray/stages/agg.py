@@ -121,6 +121,34 @@ class SketchMergeAgg(AggregateFnV2):
         return self._finalize_fn(s) if self._finalize_fn is not None else s.to_bytes()
 
 
+class BitOrAgg(AggregateFnV2):
+    """Bitwise-OR aggregate over an int64 flag column — the set-union of
+    bit flags per group in ONE shuffle (vs the groupby-dedupe + Sum
+    two-exchange equivalent). Exactly associative/commutative/idempotent,
+    so Ray's pairwise combine tree needs no dedupe stage at all: OR-ing a
+    duplicate contribution is a no-op, which is the whole point (profiling
+    flows tag each value with a column bit possibly many times)."""
+
+    def __init__(self, on: str, name: str | None = None):
+        super().__init__(
+            name or f"bit_or({on})", zero_factory=lambda: 0, on=on, ignore_nulls=True
+        )
+
+    def aggregate_block(self, block: Block) -> int:
+        t = BlockAccessor.for_block(block).to_arrow()
+        col = t.column(self.get_target_column())
+        if col.null_count:
+            col = col.drop_null()
+        v = col.to_numpy(zero_copy_only=False).astype(np.int64)
+        return int(np.bitwise_or.reduce(v)) if len(v) else 0
+
+    def combine(self, current: int, new: int) -> int:
+        return int(current) | int(new)
+
+    def finalize(self, acc: int) -> int:
+        return int(acc)
+
+
 def multi_sketch_global(
     ds: Dataset,
     specs: dict[str, tuple[str, Callable[[], Any]]],
