@@ -565,6 +565,9 @@ def run_suite(num_cpus: int) -> dict:
     _init_ray(num_cpus)
     corpus = _ensure_corpus(PAGES_ROWS)
     _warmup()
+    # suite mode: materialize each distinct (table, columns) projection once
+    # and share the decoded blocks across the ~400 pipelines (see _t)
+    os.environ.setdefault("GRAFT_T_CACHE", "1")
 
     from perfect_bloomfilter_ray.pipelines.flagship import flagship
     from perfect_bloomfilter_ray.pipelines.queries import QUERIES

@@ -189,6 +189,52 @@ def build_sharded_filter(
     return ShardedBloomFilter(shards)
 
 
+def plan_sharded_filter(
+    expected_keys: int,
+    num_shards: int,
+    config: BloomConfig | None = None,
+    reduce_heap_bytes: int = 4 * 2**30,
+) -> dict:
+    """Capacity-plan arithmetic for :func:`build_sharded_filter` — the
+    10^12-key deployment math, computable with zero data.
+
+    Mirrors the build exactly: per-shard plan = ``max(64, 2·N/S)`` keys
+    (×2 headroom — jump-hash routing skew at trillion-key scale is
+    ≪ +2% at 6σ, so headroom dominates skew), layer-0 bits = next power
+    of two ≥ keys × threshold (bits/key lands in [threshold, 2·threshold)),
+    dense bytes = m0/8 × num_views. A reduce slot holds the shard
+    accumulator plus one incoming partial → peak 2× shard bytes; ``fits``
+    says whether that clears ``reduce_heap_bytes``. ``min_shards`` is the
+    smallest power-of-two S that fits — at Accuracy::Medium and a 4 GiB
+    reduce budget, 10^12 keys need S ≥ 8192 (2 GiB/shard at 8192, 1 GiB at
+    16384; ~16 TiB filter total across the cluster either way).
+    """
+    config = config or BloomConfig()
+    per_shard_keys = max(64, (2 * expected_keys) // num_shards)
+    m0 = 1 << max((int(per_shard_keys * config.threshold) - 1).bit_length(), 6)
+    shard_bytes = (m0 // 8) * config.num_views
+    peak = 2 * shard_bytes
+
+    min_shards = 1
+    while True:
+        pk = max(64, (2 * expected_keys) // min_shards)
+        m = 1 << max((int(pk * config.threshold) - 1).bit_length(), 6)
+        if 2 * (m // 8) * config.num_views <= reduce_heap_bytes or min_shards >= 1 << 30:
+            break
+        min_shards <<= 1
+
+    return {
+        "per_shard_keys": per_shard_keys,
+        "layer0_bits": m0,
+        "bits_per_key": m0 / per_shard_keys,
+        "shard_bytes": shard_bytes,
+        "reduce_peak_bytes": peak,
+        "fits": peak <= reduce_heap_bytes,
+        "min_shards": min_shards,
+        "total_filter_bytes": shard_bytes * num_shards,
+    }
+
+
 class ShardedBloomFilter:
     """S independent cascades + the jump-hash router; vectorized lookups."""
 
