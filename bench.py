@@ -440,6 +440,9 @@ SUITE = [
     "quartile_dispersion_per_type",
     # round 5
     "mlp_purchase_propensity",
+    "weighted_jaccard_lang_pairs",
+    "icws_lang_similarity",
+    "audio_fingerprint_dup_pairs",
 ]
 
 

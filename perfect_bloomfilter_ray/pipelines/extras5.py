@@ -114,3 +114,186 @@ def mlp_purchase_propensity(sf_dir: str):
             "n_pos": np.full(len(top), n_pos, dtype=np.int64),
         }
     ).reset_index(drop=True)
+
+
+def _lang_word_counts(sf_dir: str) -> pd.DataFrame:
+    """Distinct (lang, word, count) over documents — the bounded-vocabulary
+    narrow exchange (stages/vocab tokenization: lower + [a-z0-9]+)."""
+    import polars as pl
+
+    ds = _t(sf_dir, "documents", ["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        return (
+            df.with_columns(
+                pl.col("text").str.to_lowercase().str.extract_all(r"[a-z0-9]+").alias("word")
+            )
+            .drop("text")
+            .explode("word")
+            .drop_nulls("word")
+            .group_by(["lang", "word"])
+            .len(name="pc")
+            .with_columns(pl.col("pc").cast(pl.Int64))
+            .to_arrow()
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "word"])
+        .aggregate(Sum("pc", alias_name="c"))
+        .to_pandas()
+    )
+
+
+@q(
+    "weighted_jaccard_lang_pairs",
+    sql="""
+    WITH tok AS (
+      SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+      FROM documents
+    ),
+    w AS (SELECT lang, word, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY lang, word),
+    tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS t FROM w GROUP BY lang),
+    mn AS (
+      SELECT a.lang AS lang_a, b.lang AS lang_b,
+             CAST(sum(least(a.c, b.c)) AS BIGINT) AS s_min
+      FROM w a JOIN w b ON a.word = b.word AND a.lang < b.lang
+      GROUP BY a.lang, b.lang
+    )
+    SELECT m.lang_a, m.lang_b, m.s_min, ta.t AS tot_a, tb.t AS tot_b,
+           CAST(m.s_min AS DOUBLE) / CAST(ta.t + tb.t - m.s_min AS DOUBLE) AS jw
+    FROM mn m
+    JOIN tot ta ON ta.lang = m.lang_a
+    JOIN tot tb ON tb.lang = m.lang_b
+    ORDER BY lang_a, lang_b
+    """,
+)
+def weighted_jaccard_lang_pairs(sf_dir: str):
+    """EXACT pairwise weighted Jaccard between language term-frequency
+    profiles: J_w = Σ min(c_a, c_b) / (tot_a + tot_b − Σ min) — the
+    multiplicity-aware similarity that 0/1 shingle Jaccard throws away
+    (state/wminhash.py module docstring).  All sums exact int64 from one
+    bounded-vocabulary groupby; jw is ONE division, identical both sides.
+    The ICWS sketch twin (estimator) is icws_lang_similarity [rows]."""
+    w = _lang_word_counts(sf_dir)
+    tot = w.groupby("lang", as_index=False)["c"].sum().rename(columns={"c": "t"})
+    piv = w.pivot_table(index="word", columns="lang", values="c", fill_value=0)
+    langs = sorted(piv.columns)
+    rows = []
+    for i, la in enumerate(langs):
+        for lb in langs[i + 1 :]:
+            s_min = int(np.minimum(piv[la].to_numpy(), piv[lb].to_numpy()).sum())
+            if s_min == 0:
+                continue  # mirror the SQL inner join on shared words
+            ta = int(tot.loc[tot["lang"] == la, "t"].iloc[0])
+            tb = int(tot.loc[tot["lang"] == lb, "t"].iloc[0])
+            rows.append(
+                {
+                    "lang_a": la,
+                    "lang_b": lb,
+                    "s_min": s_min,
+                    "tot_a": ta,
+                    "tot_b": tb,
+                    "jw": float(s_min) / float(ta + tb - s_min),
+                }
+            )
+    out = pd.DataFrame(rows).sort_values(["lang_a", "lang_b"]).reset_index(drop=True)
+    return out.astype({"s_min": "int64", "tot_a": "int64", "tot_b": "int64"})
+
+
+@q("audio_fingerprint_dup_pairs")
+def audio_fingerprint_dup_pairs(sf_dir: str):
+    """Audio near-dup pairs on REAL signal processing: each doc's text
+    renders to a real WAV clip, the actor-pool spectral-fingerprint stage
+    (stdlib wave decode → rFFT → dominant-band landmarks → 64-bit word)
+    fingerprints every clip, and the shared pigeonhole banding engine
+    surfaces pairs within Hamming ≤ 7 bits (pigeonhole: 8 bands). A re-ingested snapshot slice
+    (doc_id % 50 == 0, shifted ids) guarantees byte-identical clips —
+    those MUST collide at Hamming 0 (pytest contract). Rows-only (no SQL
+    can run an FFT)."""
+    from perfect_bloomfilter_ray.stages.dedup import hamming_pairs_u64
+    from perfect_bloomfilter_ray.stages.multimodal import (
+        AudioSpectralFingerprintStage,
+        text_to_wav_payload,
+    )
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_media(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "media_id": t.column("doc_id"),
+                "payload": text_to_wav_payload(t.column("text"), n_samples=2048),
+            }
+        )
+
+    def dup_slice(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = t.filter(pa.array(ids % 50 == 0))
+        return pa.table(
+            {
+                "media_id": pc.add(keep.column("doc_id"), pa.scalar(1_000_000, pa.int64())),
+                "payload": text_to_wav_payload(keep.column("text"), n_samples=2048),
+            }
+        )
+
+    media = ds.map_batches(to_media, batch_format="pyarrow").union(
+        ds.map_batches(dup_slice, batch_format="pyarrow")
+    )
+    fps = media.map_batches(
+        AudioSpectralFingerprintStage,
+        batch_size=256,
+        concurrency=(1, 4),
+        batch_format="pyarrow",
+    )
+
+    def sig(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t.column("media_id"), "sig64": t.column("afp")})
+
+    pairs = hamming_pairs_u64(
+        fps.map_batches(sig, batch_format="pyarrow"), "sig64", "doc_id", max_hamming=7, bands=8
+    )
+    out = pairs.to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame(
+            {
+                "id_a": np.array([], dtype="int64"),
+                "id_b": np.array([], dtype="int64"),
+                "hamming": np.array([], dtype="int64"),
+            }
+        )
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+@q("icws_lang_similarity")
+def icws_lang_similarity(sf_dir: str):
+    """Weighted-MinHash (ICWS, Ioffe 2010) estimates of the lang-pair
+    weighted Jaccard, next to the exact value — the sketch-accuracy-audit
+    shape (sketch vs exact twin in one table). Rows-only (the sampler's
+    gamma streams are no SQL); calibration is pytest-pinned
+    (test_wminhash: |est − exact| bounded at K=256 over random sets)."""
+    from perfect_bloomfilter_ray.functions.hashing import hash64
+    from perfect_bloomfilter_ray.state.wminhash import icws_estimate, icws_signature
+
+    w = _lang_word_counts(sf_dir)
+    w["h"] = hash64(pa.array(w["word"].astype(str)), 0x1C55).astype(np.uint64)
+    sigs = {}
+    for lang, g in w.groupby("lang"):
+        sigs[lang] = icws_signature(g["h"].to_numpy(), g["c"].to_numpy(np.float64), num_perms=256)
+    piv = w.pivot_table(index="word", columns="lang", values="c", fill_value=0)
+    langs = sorted(sigs)
+    rows = []
+    for i, la in enumerate(langs):
+        for lb in langs[i + 1 :]:
+            a, b = piv[la].to_numpy(np.float64), piv[lb].to_numpy(np.float64)
+            exact = float(np.minimum(a, b).sum() / np.maximum(a, b).sum())
+            rows.append(
+                {
+                    "lang_a": la,
+                    "lang_b": lb,
+                    "jw_exact": round(exact, 4),
+                    "jw_icws": round(icws_estimate(sigs[la], sigs[lb]), 4),
+                }
+            )
+    return pd.DataFrame(rows).sort_values(["lang_a", "lang_b"]).reset_index(drop=True)

@@ -747,15 +747,18 @@ def order_rank_per_customer(sf_dir: str):
 def mg_heavy_hitter_users(sf_dir: str):
     """Heavy-hitter SET via the Misra-Gries mergeable summary — one pass,
     no groupby shuffle of the key space (CMS needs the candidate keys handed
-    to it; MG maintains them). m=4096 is the production sizing (recall
-    guaranteed above N/(m+1)); at these SFs it exceeds the distinct-user
-    count, so retained counts are exact and the DuckDB oracle applies. The
-    trim/merge error path is property-tested in tests/test_merge_properties."""
+    to it; MG maintains them). m=65536 keeps the 64k-counter summary tiny
+    while exceeding the distinct-user count through sf1.0 (sf0.1 has 1.5k
+    distinct users, sf1.0 15k — m=4096 silently went approximate at sf1.0,
+    caught by the 10x oracle sweep), so retained counts are exact and the
+    DuckDB oracle applies; beyond m distinct keys the summary degrades
+    gracefully to its guaranteed N/(m+1) error by design. The trim/merge
+    error path is property-tested in tests/test_merge_properties."""
     from perfect_bloomfilter_ray.state.spacesaving import MisraGries
     from perfect_bloomfilter_ray.stages.agg import sketch_global
 
     ds = _t(sf_dir, "events", ["user_id"])
-    mg = sketch_global(ds, "user_id", lambda: MisraGries(4096), name="mg")
+    mg = sketch_global(ds, "user_id", lambda: MisraGries(65536), name="mg")
     top = mg.top_k(20)
     return pd.DataFrame(
         {"user_id": [int(k) for k, _ in top], "n": [int(c) for _, c in top]}
@@ -1280,7 +1283,9 @@ def user_sliding_5min_activity(sf_dir: str):
         ('p50_150k',   50000.0, 150000.0),
         ('p150k_inf', 150000.0,      1e18)
     )
-    SELECT b.band, count(*) AS n_orders, round(sum(o.o_totalprice), 2) AS total
+    SELECT b.band, count(*) AS n_orders,
+           CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_cents
     FROM orders o JOIN bands b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
     GROUP BY b.band ORDER BY b.band
     """,
@@ -1288,7 +1293,10 @@ def user_sliding_5min_activity(sf_dir: str):
 def orders_price_band_totals(sf_dir: str):
     """Inequality (range) join: each order matched to its price band via the
     broadcast interval-lookup stage (a BETWEEN join hash engines can't do
-    without a cross product), then a tiny groupby."""
+    without a cross product), then a tiny groupby. Totals are integer CENTS
+    (floor(x*100 + 0.5), same tree both sides): a rounded float sum hashed
+    equal at sf0.1 by luck but diverged at sf1.0 — ordered float sums
+    across engines are never hash-stable (suite policy)."""
     from perfect_bloomfilter_ray.stages.joins import range_join_broadcast
 
     bands = pa.table(
@@ -1300,14 +1308,22 @@ def orders_price_band_totals(sf_dir: str):
     )
     ds = _t(sf_dir, "orders", ["o_totalprice"])
     joined = range_join_broadcast(ds, bands, "o_totalprice", "lo", "hi", how="inner")
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(
+            pc.floor(pc.add(pc.multiply(t.column("o_totalprice"), 100.0), 0.5)), pa.int64()
+        )
+        return pa.table({"band": t.column("band"), "cents": c})
+
     out = (
-        joined.groupby("band")
-        .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total"))
+        joined.map_batches(cents, batch_format="pyarrow")
+        .groupby("band")
+        .aggregate(Count(alias_name="n_orders"), Sum("cents", alias_name="total_cents"))
         .to_pandas()
         .sort_values("band")
         .reset_index(drop=True)
     )
-    return _round(out, {"total": 2})
+    return out.astype({"n_orders": "int64", "total_cents": "int64"})
 
 
 @q(
@@ -1830,7 +1846,12 @@ def sharded_bloom_roundtrip(sf_dir: str):
     from perfect_bloomfilter_ray.stages.membership import build_sharded_filter
 
     orders = _t(sf_dir, "orders", ["o_orderkey"])
-    filt = build_sharded_filter(orders, "o_orderkey", num_shards=16, expected_keys=20000)
+    # capacity from the data, not a constant: a hardcoded 20k plan was 75x
+    # under at sf1.0 (1.5M orders), starving bits/key and breaking the
+    # zero-FP contract — caught by the 10x oracle sweep
+    filt = build_sharded_filter(
+        orders, "o_orderkey", num_shards=16, expected_keys=max(1024, orders.count())
+    )
 
     import numpy as np_
 

@@ -170,8 +170,16 @@ def _asof_ts_i64(col) -> np.ndarray:
 
 
 def _asof_pack_build(t_small: pa.Table, right_on: str, small_ts: str, tie_col: str | None):
-    """Sort the build side by (key, ts, tie) and pack (key-code, ts-offset)
-    into one sorted int64 composite for the searchsorted probe."""
+    """Sort the build side by (key, ts, tie) and pack (key-code, DENSE ts
+    rank) into one sorted int64 composite for the searchsorted probe.
+
+    Ranks, not raw offsets: the composite needs ``log2(keys) +
+    log2(distinct ts)`` bits — bounded by 2·log2(build rows), so ANY
+    broadcastable build side fits (the earlier raw-offset packing ran out
+    of bits at ~150k keys × a multi-year µs span — an sf1.0 latent bug).
+    Probes map their ts to a rank with one searchsorted against the sorted
+    distinct-ts array (returned in the bundle), preserving exact ≤ / <
+    semantics."""
     import polars as pl
 
     sdf = pl.from_arrow(t_small)
@@ -186,19 +194,17 @@ def _asof_pack_build(t_small: pa.Table, right_on: str, small_ts: str, tie_col: s
     # by key so codes are non-decreasing
     scodes = pc.index_in(skeys, value_set=uniq).to_numpy(zero_copy_only=False).astype(np.int64)
     sts = _asof_ts_i64(t_small.column(small_ts))
-    ts_min = int(sts.min()) if len(sts) else 0
-    # pack (code, ts) into one int64: ts offset to min must fit the bits left
-    # under the key code
-    span = int(sts.max()) - ts_min + 1 if len(sts) else 1
+    uniq_ts = np.unique(sts)  # sorted distinct build timestamps
+    ranks = np.searchsorted(uniq_ts, sts)  # dense rank per build row
     code_bits = max(int(np.int64(len(uniq) - 1)).bit_length(), 1) if len(uniq) else 1
-    ts_bits = 63 - code_bits
-    if span >= (1 << ts_bits):
-        # packing would coarsen timestamps and break exact as-of semantics;
-        # only reachable with >2^52 µs span (~143 years) at 2^11 keys
-        raise ValueError("as-of ts span too large for packed search; coarsen ts upstream or reduce key cardinality")
-    s_comp = (scodes << ts_bits) | (sts - ts_min)
+    # rank values up to len(uniq_ts) (one-past-last is a valid probe rank)
+    rank_bits = max(int(np.int64(len(uniq_ts))).bit_length(), 1)
+    if code_bits + rank_bits > 63:
+        # needs keys × distinct-ts > 2^63 — unreachable for a broadcast side
+        raise ValueError("as-of build side too large to pack (keys x distinct ts)")
+    s_comp = (scodes << rank_bits) | ranks
     payload_cols = [c for c in t_small.column_names if c not in (right_on, small_ts)] + [small_ts]
-    return (uniq, s_comp, t_small.select(payload_cols), ts_bits, ts_min)
+    return (uniq, s_comp, t_small.select(payload_cols), rank_bits, uniq_ts)
 
 
 def _asof_probe(
@@ -206,24 +212,21 @@ def _asof_probe(
 ) -> pa.Table:
     """Resolve one probe batch against a packed build side (see
     ``_asof_pack_build``); shared by the broadcast and co-partitioned paths."""
-    u, comp, payload, tbits, tmin = packed
+    u, comp, payload, rbits, uniq_ts = packed
     bcodes = pc.index_in(t.column(on), value_set=u).to_numpy(zero_copy_only=False)
     valid_key = ~pd.isna(bcodes)
     bcodes_i = np.where(valid_key, bcodes, 0).astype(np.int64)
     bts = _asof_ts_i64(t.column(big_ts))
-    # clamp below (ts before every build ts → no match) AND above: a probe
-    # ts past the packed span must not overflow the OR into the key-code
-    # bits — clamping to the max packable offset makes it correctly match
-    # the key's last build row instead of corrupting the composite.
-    off = np.minimum(np.maximum(bts - tmin, -1), (1 << tbits) - 1)
-    b_comp = (bcodes_i << tbits) | np.maximum(off, 0)
-    side = "left" if strict else "right"
-    idx = np.searchsorted(comp, b_comp, side=side) - 1
-    matched = valid_key & (off >= 0) & (idx >= 0)
+    # probe ts → dense build-ts rank: strictness lives in this mapping
+    # (rank of last build ts ≤ / < probe ts; −1 = before every build ts)
+    pr = np.searchsorted(uniq_ts, bts, side="left" if strict else "right") - 1
+    b_comp = (bcodes_i << rbits) | np.maximum(pr, 0)
+    idx = np.searchsorted(comp, b_comp, side="right") - 1
+    matched = valid_key & (pr >= 0) & (idx >= 0)
     # the found row must belong to the same key (searchsorted may land in
     # the previous key's range when this key has no early-enough row)
     safe_idx = np.where(matched, idx, 0)
-    matched &= (comp[safe_idx] >> tbits) == bcodes_i
+    matched &= (comp[safe_idx] >> rbits) == bcodes_i
     if how == "inner":
         t = t.filter(pa.array(matched))
         safe_idx = safe_idx[matched]
@@ -634,7 +637,7 @@ def band_join_partitioned(
 
         if len(probe) == 0 or len(b_tbl) == 0:
             return empty()
-        uniq, s_comp, payload, ts_bits, ts_min = _asof_pack_build(b_tbl, right_on, small_ts, None)
+        uniq, s_comp, payload, rank_bits, uniq_ts = _asof_pack_build(b_tbl, right_on, small_ts, None)
         pcodes = pc.index_in(
             probe.column(on).combine_chunks()
             if isinstance(probe.column(on), pa.ChunkedArray)
@@ -644,13 +647,14 @@ def band_join_partitioned(
         known = ~np.isnan(pcodes.astype(np.float64)) if pcodes.dtype.kind == "f" else pcodes != None  # noqa: E711
         pcodes = np.where(known, pcodes, 0).astype(np.int64)
         bts = _asof_ts_i64(probe.column(big_ts))
-        max_off = (1 << ts_bits) - 1
-        off_hi = np.clip(bts - ts_min, -1, max_off)
-        off_lo = np.clip(bts - window_us - ts_min, 0, max_off)
-        base = pcodes << ts_bits
-        lo = np.searchsorted(s_comp, base | off_lo, side="left")
-        hi = np.searchsorted(s_comp, base | np.maximum(off_hi, 0), side="right")
-        hi = np.where(off_hi < 0, lo, hi)  # probe ts before every build ts
+        # window [bts − w, bts] in dense-rank space: lo = first rank with
+        # ts ≥ bts − w, hi_rank = last rank with ts ≤ bts (−1 = none)
+        rank_lo = np.searchsorted(uniq_ts, bts - window_us, side="left")
+        rank_hi = np.searchsorted(uniq_ts, bts, side="right") - 1
+        base = pcodes << rank_bits
+        lo = np.searchsorted(s_comp, base | rank_lo, side="left")
+        hi = np.searchsorted(s_comp, base | np.maximum(rank_hi, 0), side="right")
+        hi = np.where(rank_hi < 0, lo, hi)  # probe ts before every build ts
         cnt = np.where(known, hi - lo, 0)
         total = int(cnt.sum())
         li = np.repeat(np.arange(len(probe), dtype=np.int64), cnt)
@@ -729,31 +733,31 @@ def asof_join_nearest(
     bundle = ray.put(_asof_pack_build(t_small, right_on, small_ts, tie_col))
 
     def probe(t: pa.Table) -> pa.Table:
-        u, comp, payload, tbits, tmin = ray.get(bundle)
+        u, comp, payload, rbits, uniq_ts = ray.get(bundle)
         bcodes = pc.index_in(t.column(on), value_set=u).to_numpy(zero_copy_only=False)
         valid_key = ~pd.isna(bcodes)
         bcodes_i = np.where(valid_key, bcodes, 0).astype(np.int64)
         bts = _asof_ts_i64(t.column(big_ts))
-        max_off = (1 << tbits) - 1
-        off = np.minimum(np.maximum(bts - tmin, -1), max_off)
-        key_base = bcodes_i << tbits
+        rank_mask = np.int64((1 << rbits) - 1)
+        # rank of last build ts ≤ probe ts (−1 = before every build ts)
+        pr = np.searchsorted(uniq_ts, bts, side="right") - 1
+        key_base = bcodes_i << rbits
 
-        # backward: rightmost build composite ≤ (key, off)
-        b_idx = np.searchsorted(comp, key_base | np.maximum(off, 0), side="right") - 1
-        b_ok = valid_key & (off >= 0) & (b_idx >= 0)
+        # backward: rightmost build composite ≤ (key, pr)
+        b_idx = np.searchsorted(comp, key_base | np.maximum(pr, 0), side="right") - 1
+        b_ok = valid_key & (pr >= 0) & (b_idx >= 0)
         b_safe = np.where(b_ok, b_idx, 0)
-        b_ok &= (comp[b_safe] >> tbits) == bcodes_i
+        b_ok &= (comp[b_safe] >> rbits) == bcodes_i
 
-        # forward: leftmost build composite > (key, off); off = −1 (probe
-        # before the span) arithmetically lands just below the key's first
-        # composite, so side="right" finds exactly that first row
-        f_idx = np.searchsorted(comp, key_base + off, side="right")
+        # forward: leftmost build composite with rank > pr (strictly after
+        # the probe ts); pr = −1 naturally lands on the key's first row
+        f_idx = np.searchsorted(comp, key_base + pr + 1, side="left")
         f_ok = valid_key & (f_idx < len(comp))
         f_safe = np.where(f_ok, f_idx, 0)
-        f_ok &= (comp[f_safe] >> tbits) == bcodes_i
+        f_ok &= (comp[f_safe] >> rbits) == bcodes_i
 
-        b_ts = (comp[b_safe] & np.int64(max_off)) + tmin
-        f_ts = (comp[f_safe] & np.int64(max_off)) + tmin
+        b_ts = uniq_ts[comp[b_safe] & rank_mask] if len(uniq_ts) else np.zeros(len(b_safe), np.int64)
+        f_ts = uniq_ts[comp[f_safe] & rank_mask] if len(uniq_ts) else np.zeros(len(f_safe), np.int64)
         take_back = b_ok & (~f_ok | ((bts - b_ts) <= (f_ts - bts)))
         matched = b_ok | f_ok
         idx = np.where(take_back, b_safe, f_safe)

@@ -187,6 +187,57 @@ def test_wav_decoder_stage_seam(ray_session):
     np.testing.assert_array_equal(first, expected)
 
 
+def test_audio_spectral_fingerprint_contract(ray_session):
+    """A pure sine's dominant band lands where its frequency says; identical
+    clips collide exactly; distinct tones differ."""
+    from perfect_bloomfilter_ray.stages.multimodal import AudioSpectralFingerprintStage
+
+    stage = AudioSpectralFingerprintStage()
+    n = 4096
+    t_axis = np.arange(n)
+    # bin 20 of a 256-sample frame → band 20 // 8 = 2
+    tone = (np.sin(2 * np.pi * 20 / 256 * t_axis) * 20000).astype(np.int16)
+    fp = stage._fingerprint(tone)
+    assert all(((fp >> (4 * i)) & 0xF) == 2 for i in range(16))
+    # bin 100 → band 12
+    tone2 = (np.sin(2 * np.pi * 100 / 256 * t_axis) * 20000).astype(np.int16)
+    fp2 = stage._fingerprint(tone2)
+    assert all(((fp2 >> (4 * i)) & 0xF) == 12 for i in range(16))
+    assert fp != fp2
+
+    t = pa.table(
+        {
+            "media_id": pa.array([1, 2, 3], pa.int64()),
+            "payload": pa.array(
+                [encode_wav(tone), encode_wav(tone), encode_wav(tone2)], pa.large_binary()
+            ),
+        }
+    )
+    out = stage(t)
+    afp = out.column("afp").to_pylist()
+    assert afp[0] == afp[1] and afp[0] != afp[2]
+
+
+def test_audio_fingerprint_dup_pairs_hamming0_contract(ray_session):
+    """Every re-ingested byte-identical clip (doc_id % 50 == 0 under id+1e6)
+    MUST surface at Hamming 0 — the deterministic dedup guarantee."""
+    import duckdb
+
+    from perfect_bloomfilter_ray.pipelines.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["audio_fingerprint_dup_pairs"](sf)
+    expected_ids = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT doc_id FROM '{sf}/documents.parquet' WHERE doc_id % 50 = 0"
+        ).fetchall()
+    ]
+    got = {(a, b) for a, b, h in zip(out["id_a"], out["id_b"], out["hamming"]) if h == 0}
+    for d in expected_ids:
+        assert (d, d + 1_000_000) in got or (d + 1_000_000, d) in got, d
+
+
 def test_text_to_png_payload_real_roundtrip():
     from perfect_bloomfilter_ray.stages.multimodal import text_to_png_payload
 
