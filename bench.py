@@ -443,6 +443,7 @@ SUITE = [
     "weighted_jaccard_lang_pairs",
     "icws_lang_similarity",
     "audio_fingerprint_dup_pairs",
+    "sliding_hll_trailing_distinct",
 ]
 
 

@@ -266,6 +266,64 @@ def audio_fingerprint_dup_pairs(sf_dir: str):
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+@q("sliding_hll_trailing_distinct")
+def sliding_hll_trailing_distinct(sf_dir: str):
+    """ONE mergeable sliding-HLL summary answers distinct-user counts for
+    EVERY trailing window simultaneously (state/slidinghll.py: Pareto-front
+    registers; plain HLL cannot forget expired items). Per-batch partials
+    tree-merge exactly like every sketch in the suite; each window row
+    carries the exact COUNT(DISTINCT) twin computed in-frame, and the
+    pytest gate bounds |est − exact| by 5·(1.04/√m) per window. Rows-only
+    (sketch estimates have no SQL)."""
+    import duckdb
+
+    from perfect_bloomfilter_ray.state.slidinghll import SlidingHLL
+
+    ds = _t(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = SlidingHLL(p=12)
+        ts_us = pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64())
+        s.update_column(t.column("user_id"), ts_us.to_numpy(zero_copy_only=False))
+        return pa.table({"part": pa.array([s.to_bytes()], pa.binary())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    # fan-in-bounded merge rounds, then a driver fold of the survivors
+    def merge_rows(t: pa.Table) -> pa.Table:
+        s = SlidingHLL(p=12)
+        for raw in t.column("part"):
+            s.merge(SlidingHLL.from_bytes(raw.as_py()))
+        return pa.table({"part": pa.array([s.to_bytes()], pa.binary())})
+
+    merged = parts.map_batches(merge_rows, batch_format="pyarrow", batch_size=64)
+    s = SlidingHLL(p=12)
+    for row in merged.take_all():
+        s.merge(SlidingHLL.from_bytes(row["part"]))
+
+    exact = duckdb.sql(
+        f"""
+        WITH m AS (SELECT max(ts) AS mx FROM '{sf_dir}/events.parquet')
+        SELECT w.hours,
+               (SELECT count(DISTINCT user_id) FROM '{sf_dir}/events.parquet', m
+                WHERE ts >= m.mx - to_hours(CAST(w.hours AS BIGINT))) AS exact_distinct,
+               (SELECT epoch_us(mx) FROM m) AS mx_us
+        FROM (VALUES (24), (168), (720), (87600)) AS w(hours)
+        ORDER BY w.hours
+        """
+    ).df()
+    rows = []
+    for _, r in exact.iterrows():
+        cutoff = int(r["mx_us"]) - int(r["hours"]) * 3_600_000_000
+        rows.append(
+            {
+                "window_hours": int(r["hours"]),
+                "exact_distinct": int(r["exact_distinct"]),
+                "hll_estimate": round(float(s.estimate(cutoff)), 1),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
 @q("icws_lang_similarity")
 def icws_lang_similarity(sf_dir: str):
     """Weighted-MinHash (ICWS, Ioffe 2010) estimates of the lang-pair
