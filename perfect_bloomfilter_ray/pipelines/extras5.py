@@ -7,16 +7,14 @@ Registered into the same QUERIES/ORACLE_SQL dicts as pipelines/queries.py
 
 from __future__ import annotations
 
-import math
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Sum
 
-from perfect_bloomfilter_ray.pipelines.queries import QUERIES, _round, _t, q
+from perfect_bloomfilter_ray.pipelines.queries import _t, q
 
 # Fixed MLP weights for the oracle-backed inference query. Every constant is
 # an EXACT binary fraction (k/2^m), so the only rounding either engine ever
@@ -69,8 +67,11 @@ def mlp_purchase_propensity(sf_dir: str):
     (raw doubles — bit-identical expression trees both sides)."""
     from perfect_bloomfilter_ray.stages.inference import model_score_dataset
 
-    ds = _t(sf_dir, "events", ["event_id", "ts", "value"]).filter(
-        lambda r: r["value"] is not None
+    def drop_null(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_valid(t.column("value")))
+
+    ds = _t(sf_dir, "events", ["event_id", "ts", "value"]).map_batches(
+        drop_null, batch_format="pyarrow"
     )
 
     def feats(t: pa.Table) -> np.ndarray:

@@ -258,8 +258,19 @@ def flagship(
         ds = sf_dir_or_pages
     n = expected_urls or max(1024, ds.count())
     pages = prepare_pages(ds, invariant_sample=invariant_sample)
-    sketches, per_lang_ds = build_flagship_combined(pages, n)
-    per_lang = per_lang_ds.to_pandas().sort_values("lang").reset_index(drop=True)
+    try:
+        sketches, per_lang_ds = build_flagship_combined(pages, n)
+        per_lang = per_lang_ds.to_pandas().sort_values("lang").reset_index(drop=True)
+    except BaseException:
+        # join on the failure path too: the verify scan must not keep
+        # running unjoined (non-daemon thread blocks interpreter exit) and
+        # its exception must be retrieved — but the build error propagates
+        if inv_future is not None:
+            try:
+                inv_future.result()
+            except Exception:
+                pass
+        raise
     if inv_future is not None:
         inv_future.result()  # surface any invariant violation before returning
 

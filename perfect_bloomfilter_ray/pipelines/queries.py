@@ -57,6 +57,15 @@ def _t(sf_dir: str, name: str, columns: list[str] | None = None):
     import ray.data as rd
 
     if os.environ.get("GRAFT_T_CACHE") == "1":
+        # key on the Ray session: a MaterializedDataset's blocks die with
+        # the object store, so entries must not survive ray.shutdown()/init
+        import ray
+
+        ctx = ray.get_runtime_context() if ray.is_initialized() else None
+        session = getattr(ctx, "get_job_id", lambda: None)() if ctx else None
+        if _T_CACHE.get("_session") != session:
+            _T_CACHE.clear()  # blocks from a previous Ray session are dead
+            _T_CACHE["_session"] = session
         key = (sf_dir, name, tuple(columns) if columns else None)
         ds = _T_CACHE.get(key)
         if ds is None:

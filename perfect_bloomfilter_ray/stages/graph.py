@@ -405,6 +405,16 @@ def pagerank_dataset(
                     "use a fresh directory or delete the stale checkpoints"
                 )
         else:
+            # refuse orphan checkpoints: iter_K dirs with no manifest are
+            # from an unknown (possibly different) input — writing a fresh
+            # manifest and resuming them would bypass the guard entirely
+            orphans = [d for d in os.listdir(checkpoint_dir) if _re.fullmatch(r"iter_(\d+)", d)]
+            if orphans:
+                raise ValueError(
+                    f"pagerank checkpoint_dir {checkpoint_dir!r} holds checkpoints "
+                    f"({sorted(orphans)[:3]}...) but no manifest.json — provenance "
+                    "unknown; use a fresh directory or delete the stale checkpoints"
+                )
             with open(mpath + ".tmp", "w") as fh:
                 json.dump(manifest, fh)
             os.rename(mpath + ".tmp", mpath)

@@ -207,7 +207,9 @@ def plan_sharded_filter(
     says whether that clears ``reduce_heap_bytes``. ``min_shards`` is the
     smallest power-of-two S that fits — at Accuracy::Medium and a 4 GiB
     reduce budget, 10^12 keys need S ≥ 8192 (2 GiB/shard at 8192, 1 GiB at
-    16384; ~16 TiB filter total across the cluster either way).
+    16384; ~16 TiB filter total across the cluster either way). If no
+    power-of-two S up to 2^30 fits (per-shard floor of 64 keys still over
+    budget), ``min_shards`` is ``None``.
     """
     config = config or BloomConfig()
     per_shard_keys = max(64, (2 * expected_keys) // num_shards)
@@ -215,11 +217,14 @@ def plan_sharded_filter(
     shard_bytes = (m0 // 8) * config.num_views
     peak = 2 * shard_bytes
 
-    min_shards = 1
+    min_shards: int | None = 1
     while True:
         pk = max(64, (2 * expected_keys) // min_shards)
         m = 1 << max((int(pk * config.threshold) - 1).bit_length(), 6)
-        if 2 * (m // 8) * config.num_views <= reduce_heap_bytes or min_shards >= 1 << 30:
+        if 2 * (m // 8) * config.num_views <= reduce_heap_bytes:
+            break
+        if min_shards >= 1 << 30:
+            min_shards = None  # NOTHING fits the budget — say so, not 2^30
             break
         min_shards <<= 1
 

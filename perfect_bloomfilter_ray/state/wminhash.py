@@ -79,11 +79,15 @@ def icws_signature(
 
 
 def icws_estimate(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
-    """Estimated weighted Jaccard: fraction of (feature, t) collisions."""
+    """Estimated weighted Jaccard: fraction of (feature, t) collisions.
+    An empty-set sentinel signature (all −1) estimates 0.0 against anything
+    — J_w(∅, ·) = 0, matching :func:`exact_weighted_jaccard`."""
     if len(sig_a) != len(sig_b):
         raise ValueError("signatures must have equal length")
+    if len(sig_a) == 0 or (sig_a == -1).all() or (sig_b == -1).all():
+        return 0.0
     eq = (sig_a[:, 0] == sig_b[:, 0]) & (sig_a[:, 1] == sig_b[:, 1])
-    return float(eq.mean()) if len(eq) else 0.0
+    return float(eq.mean())
 
 
 def exact_weighted_jaccard(

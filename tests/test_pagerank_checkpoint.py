@@ -89,6 +89,16 @@ def test_manifest_rejects_changed_inputs(ray_session, tmp_path):
     _ranks(pagerank_dataset(_edges(), iters=3, checkpoint_dir=ck))
 
 
+def test_orphan_checkpoints_without_manifest_are_refused(ray_session, tmp_path):
+    """iter_K dirs with no manifest.json (pre-guard runs, or a deleted
+    manifest) must refuse resume — provenance unknown."""
+    ck = str(tmp_path / "pr5")
+    _ranks(pagerank_dataset(_edges(), iters=2, checkpoint_dir=ck))
+    os.remove(os.path.join(ck, "manifest.json"))
+    with pytest.raises(ValueError, match="no manifest"):
+        pagerank_dataset(_edges(), iters=3, checkpoint_dir=ck)
+
+
 def test_tol_none_runs_all_iterations(ray_session):
     a = _ranks(pagerank_dataset(_edges(), iters=2))
     b = _ranks(pagerank_dataset(_edges(), iters=2, tol=None))
