@@ -444,6 +444,8 @@ SUITE = [
     "icws_lang_similarity",
     "audio_fingerprint_dup_pairs",
     "sliding_hll_trailing_distinct",
+    "theil_sen_daily_trend",
+    "model_gated_curation_census",
 ]
 
 
