@@ -465,3 +465,23 @@ def model_gated_curation_census(sf_dir: str):
     out["n_kept"] = out["n_kept"].astype("int64")
     out["avg_logit"] = out["avg_logit"].round(4)
     return out[["lang", "n_total", "n_kept", "avg_logit"]]
+
+
+@q("weighted_minhash_dedup_pairs")
+def weighted_minhash_dedup_pairs(sf_dir: str):
+    """WEIGHTED near-dup pairs: per-doc term-frequency ICWS signatures
+    through the unchanged LSH banding/verify engine (stages/dedup
+    wminhash_lsh_pairs) — est_jaccard is the estimated weighted Jaccard,
+    the multiplicity-aware dedup lens (a template block repeated 50x vs
+    once is near-identical as a SET but far apart weighted; the smoke
+    contract in tests pins exactly that distinction). Rows-only (sampler
+    gamma streams have no SQL); calibration via test_wminhash."""
+    from perfect_bloomfilter_ray.stages.dedup import wminhash_lsh_pairs
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = wminhash_lsh_pairs(ds, "text", "doc_id", num_perms=64, bands=16, threshold=0.5)
+    df = out.to_pandas()
+    if len(df):
+        df = df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        df["est_jaccard"] = df["est_jaccard"].round(4)
+    return df

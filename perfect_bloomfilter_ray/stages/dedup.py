@@ -258,6 +258,80 @@ def minhash_signatures(
     return ds.map_batches(sig, batch_format="pyarrow")
 
 
+def wminhash_signatures(
+    ds: Dataset, text_col: str, id_col: str, num_perms: int = 64
+) -> Dataset:
+    """Dataset of (id, sig: list<uint64>[P]) ICWS WEIGHTED minhash
+    signatures: per-doc term-FREQUENCY vectors sampled with Ioffe's
+    consistent weighted sampling (state/wminhash.py), each (feature, t)
+    sample condensed to one u64 — two docs collide on a sample with
+    probability exactly their weighted Jaccard, so the unchanged LSH
+    banding + collision-fraction verify downstream estimate J_w instead of
+    set Jaccard. The right dedup lens when MULTIPLICITY matters (boilerplate
+    pages that repeat one template block 50× vs once are near-identical as
+    SETS but far apart weighted)."""
+    from perfect_bloomfilter_ray.state.wminhash import icws_signature
+
+    def sig(t: pa.Table) -> pa.Table:
+        texts = pl.from_arrow(
+            t.column(text_col).combine_chunks()
+            if isinstance(t.column(text_col), pa.ChunkedArray)
+            else t.column(text_col)
+        )
+        words = (
+            texts.str.to_lowercase().str.extract_all(r"[a-z0-9]+")
+        )
+        counts = words.list.len().to_numpy().astype(np.int64)
+        flat = words.explode().hash(seed=0x1C57).to_numpy().astype(_U64)
+        offsets = np.concatenate([[0], np.cumsum(counts)])
+        n = len(counts)
+        out = np.zeros((n, num_perms), dtype=_U64)
+        for i in range(n):  # per-doc sampler; within-doc fully vectorized
+            seg = flat[offsets[i] : offsets[i + 1]]
+            if len(seg) == 0:
+                continue
+            uh, uc = np.unique(seg, return_counts=True)
+            s = icws_signature(uh, uc.astype(np.float64), num_perms)
+            with np.errstate(over="ignore"):
+                out[i] = splitmix64(
+                    s[:, 0].view(_U64) ^ splitmix64(s[:, 1].view(_U64))
+                )
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "sig": pa.FixedSizeListArray.from_arrays(
+                    pa.array(out.ravel()), num_perms
+                ),
+            }
+        )
+
+    return ds.map_batches(sig, batch_format="pyarrow")
+
+
+def wminhash_lsh_pairs(
+    ds: Dataset,
+    text_col: str,
+    id_col: str,
+    num_perms: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    **kwargs,
+) -> Dataset:
+    """Weighted near-duplicate pairs: ICWS signatures through the UNCHANGED
+    LSH banding/bucketing/verify engine of :func:`minhash_lsh_pairs`
+    (``est_jaccard`` in the output is the estimated WEIGHTED Jaccard)."""
+    return minhash_lsh_pairs(
+        ds,
+        text_col,
+        id_col,
+        num_perms=num_perms,
+        bands=bands,
+        threshold=threshold,
+        signatures=wminhash_signatures(ds, text_col, id_col, num_perms),
+        **kwargs,
+    )
+
+
 def minhash_lsh_pairs(
     ds: Dataset,
     text_col: str,
@@ -269,6 +343,7 @@ def minhash_lsh_pairs(
     max_bucket: int = 64,
     num_blocks: int | None = None,
     broadcast_max_pairs: int = 500_000,
+    signatures: Dataset | None = None,
 ) -> Dataset:
     """Near-duplicate candidate pairs with minhash-estimated Jaccard ≥ threshold.
 
@@ -280,6 +355,13 @@ def minhash_lsh_pairs(
     driver footprint bounded by the threshold); larger sets stay Datasets
     end-to-end and resolve signatures with a distributed hash-join — at a
     web-corpus dup rate the pair set is O(corpus) and must never be collected.
+
+    ``signatures``: optionally a precomputed ``(id_col, sig:
+    fixed_size_list<uint64>[num_perms])`` Dataset — everything downstream
+    of signature computation (banding, bucketed pair generation, verify) is
+    signature-scheme-agnostic, so alternative samplers (ICWS weighted
+    minhash via :func:`wminhash_lsh_pairs`) reuse the whole engine; the
+    collision fraction then estimates THAT scheme's similarity.
     """
     assert num_perms % bands == 0
     import ray
@@ -290,7 +372,9 @@ def minhash_lsh_pairs(
     # verification later) — recomputing would shingle+hash every document
     # twice. The signature table is ~P·8 B/doc (~1 KB), ≈1% of corpus bytes;
     # it lives in the object store and spills, never the driver heap.
-    sigs = minhash_signatures(ds, text_col, id_col, num_perms, shingle_words).materialize()
+    if signatures is None:
+        signatures = minhash_signatures(ds, text_col, id_col, num_perms, shingle_words)
+    sigs = signatures.materialize()
 
     # Bucket with ID-ONLY rows: the shuffle moves 16 B/row, not the full
     # 128x8 B signature replicated per band (a 60x payload cut — at 100 TB

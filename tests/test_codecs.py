@@ -131,6 +131,41 @@ def test_png_rejects_out_of_scope():
         decode_png(bytes(bad_interlace))
 
 
+def test_png_truncation_fuzz_fails_cleanly():
+    """Every truncation/corruption of a valid PNG must raise a clean
+    ValueError/zlib.error — never an IndexError/segfault/garbage array
+    (the actor stage surfaces the row; undefined behavior would poison
+    the batch)."""
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    data = encode_png(img)
+    for cut in range(0, len(data), 7):
+        try:
+            out = decode_png(data[:cut])
+            # a prefix that still parses must yield the true pixels
+            np.testing.assert_array_equal(out, img)
+        except (ValueError, zlib.error, struct.error):
+            pass
+    rng = np.random.RandomState(9)
+    for _ in range(200):
+        b = bytearray(data)
+        i = rng.randint(8, len(b))  # keep the signature; corrupt the rest
+        b[i] ^= 1 << rng.randint(8)
+        try:
+            decode_png(bytes(b))
+        except (ValueError, zlib.error, struct.error):
+            pass
+
+
+def test_wav_garbage_fails_cleanly():
+    import wave
+
+    for payload in (b"", b"RIFF", b"RIFFxxxxWAVEfmt ", bytes(100)):
+        try:
+            decode_wav(payload)
+        except (ValueError, wave.Error, EOFError, struct.error):
+            pass
+
+
 def test_to_gray_and_resize():
     rgb = np.zeros((2, 2, 3), np.uint8)
     rgb[..., 0] = 255  # pure red

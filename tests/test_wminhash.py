@@ -66,3 +66,39 @@ def test_icws_empty_and_zero_weight():
     sig2 = icws_signature(h, np.array([0.0, 3.0]), 16)
     # the zero-weight feature must never be sampled: every sample picks h[1]
     assert (sig2[:, 0] == h[1:].view(np.int64)[0]).all()
+
+
+def test_wminhash_lsh_pairs_weighted_distinction(ray_session):
+    """Identical docs pair at 1.0; a small edit stays a near-dup; a doc
+    with the SAME word set but 60x-skewed multiplicities must NOT pair —
+    the exact distinction set-Jaccard LSH cannot make."""
+    import pandas as pd
+    import ray
+
+    from perfect_bloomfilter_ray.stages.dedup import wminhash_lsh_pairs
+
+    df = pd.DataFrame(
+        {
+            "doc_id": range(5),
+            "text": [
+                "the cat sat on the mat " * 5,
+                "the cat sat on the mat " * 5,
+                "the cat sat on the mat " + "spam " * 60,
+                "completely different words entirely here now",
+                "the cat sat on the mat " * 5 + "tiny tail",
+            ],
+        }
+    )
+    out = (
+        wminhash_lsh_pairs(
+            ray.data.from_pandas(df), "text", "doc_id", num_perms=64, bands=16, threshold=0.5
+        )
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    pairs = set(zip(out["id_a"], out["id_b"]))
+    assert (0, 1) in pairs
+    assert out.loc[(out["id_a"] == 0) & (out["id_b"] == 1), "est_jaccard"].iloc[0] == 1.0
+    assert (0, 4) in pairs and (1, 4) in pairs
+    assert not any(2 in p or 3 in p for p in pairs)
