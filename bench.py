@@ -446,6 +446,7 @@ SUITE = [
     "sliding_hll_trailing_distinct",
     "theil_sen_daily_trend",
     "model_gated_curation_census",
+    "weighted_minhash_dedup_pairs",
 ]
 
 

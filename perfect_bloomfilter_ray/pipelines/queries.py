@@ -2962,7 +2962,8 @@ def global_shuffle_head(sf_dir: str):
     "orders_cube",
     sql="""
     SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-           round(sum(o_totalprice), 2) AS total
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_cents
     FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
     ORDER BY o_orderstatus, o_orderpriority
     """,
@@ -2970,26 +2971,46 @@ def global_shuffle_head(sf_dir: str):
 def orders_cube(sf_dir: str):
     """CUBE grouping: ONE distributed pass computes the finest grouping;
     the three coarser levels aggregate that tiny result driver-side (the
-    standard cube optimization — never re-scan the fact table per level)."""
+    standard cube optimization — never re-scan the fact table per level).
+    Totals in integer CENTS (identical floor(x*100+0.5) tree both sides):
+    the rounded float sum matched through sf0.1 by accumulation-order luck
+    and diverged at sf1.0 — caught by the 10x oracle sweep."""
     ds = _t(sf_dir, "orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(
+            pc.floor(pc.add(pc.multiply(t.column("o_totalprice"), 100.0), 0.5)), pa.int64()
+        )
+        return pa.table(
+            {
+                "o_orderstatus": t.column("o_orderstatus"),
+                "o_orderpriority": t.column("o_orderpriority"),
+                "cents": c,
+            }
+        )
+
     finest = (
-        ds.groupby(["o_orderstatus", "o_orderpriority"])
-        .aggregate(Count(alias_name="n"), Sum("o_totalprice", alias_name="total"))
+        ds.map_batches(cents, batch_format="pyarrow")
+        .groupby(["o_orderstatus", "o_orderpriority"])
+        .aggregate(Count(alias_name="n"), Sum("cents", alias_name="total_cents"))
         .to_pandas()
     )
     levels = [finest.copy()]
     for keys in (["o_orderstatus"], ["o_orderpriority"], []):
         if keys:
-            g = finest.groupby(keys, as_index=False)[["n", "total"]].sum()
+            g = finest.groupby(keys, as_index=False)[["n", "total_cents"]].sum()
         else:
-            g = pd.DataFrame({"n": [finest["n"].sum()], "total": [finest["total"].sum()]})
+            g = pd.DataFrame(
+                {"n": [finest["n"].sum()], "total_cents": [finest["total_cents"].sum()]}
+            )
         for missing in ("o_orderstatus", "o_orderpriority"):
             if missing not in keys:
                 g[missing] = None
-        levels.append(g[["o_orderstatus", "o_orderpriority", "n", "total"]])
+        levels.append(g[["o_orderstatus", "o_orderpriority", "n", "total_cents"]])
     out = pd.concat(levels, ignore_index=True)
     out["n"] = out["n"].astype("int64")
-    return _round(out, {"total": 2})
+    out["total_cents"] = out["total_cents"].astype("int64")
+    return out
 
 
 @q(
