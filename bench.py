@@ -447,6 +447,7 @@ SUITE = [
     "theil_sen_daily_trend",
     "model_gated_curation_census",
     "weighted_minhash_dedup_pairs",
+    "qdigest_nchars_quantiles",
 ]
 
 

@@ -485,3 +485,27 @@ def weighted_minhash_dedup_pairs(sf_dir: str):
         df = df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
         df["est_jaccard"] = df["est_jaccard"].round(4)
     return df
+
+
+@q("qdigest_nchars_quantiles")
+def qdigest_nchars_quantiles(sf_dir: str):
+    """q-digest quantiles of document length (Shrivastava 2004,
+    state/qdigest.py) — the bounded-integer-universe member of the quantile
+    family (KLL/REQ: rank error over comparables; t-digest: relative rank;
+    DDSketch: relative value; q-digest: dyadic tree over [0, 2^L), size in
+    log(universe) not n). Built through the standard SketchAgg partial +
+    combine tree; each row carries the guaranteed rank-error bound.
+    Rows-only; error bound + merge laws pytest-pinned (test_qdigest)."""
+    from perfect_bloomfilter_ray.stages.agg import sketch_global
+    from perfect_bloomfilter_ray.state.qdigest import QDigest
+
+    ds = _t(sf_dir, "documents", ["n_chars"])
+    s = sketch_global(ds, "n_chars", lambda: QDigest(log_universe=20, k=512), name="qd")
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    return pd.DataFrame(
+        {
+            "q": qs,
+            "n_chars_quantile": [int(s.quantile(x)) for x in qs],
+            "rank_bound": [round(s.rank_bound(), 1)] * len(qs),
+        }
+    )
