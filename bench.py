@@ -448,6 +448,7 @@ SUITE = [
     "model_gated_curation_census",
     "weighted_minhash_dedup_pairs",
     "qdigest_nchars_quantiles",
+    "siegel_repeated_median_trend",
 ]
 
 
