@@ -3705,7 +3705,9 @@ def user_value_rolling_mean(sf_dir: str):
 @q(
     "skew_join_event_order_revenue",
     sql="""
-    SELECT e.event_type, count(*) AS n_pairs, round(sum(o.o_totalprice), 2) AS total
+    SELECT e.event_type, count(*) AS n_pairs,
+           CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_cents
     FROM events e JOIN orders o ON e.user_id = o.o_custkey
     GROUP BY e.event_type ORDER BY e.event_type
     """,
@@ -3731,12 +3733,17 @@ def skew_join_event_order_revenue(sf_dir: str):
     def partial(t: pa.Table) -> pa.Table:
         import polars as pl
 
+        # integer CENTS (identical floor(x*100+0.5) tree both sides): the
+        # rounded float sum diverged at sf1.0 — suite policy, see BASELINE
         return (
             pl.from_arrow(t.select(["event_type", "o_totalprice"]))
+            .with_columns(
+                (pl.col("o_totalprice") * 100.0 + 0.5).floor().cast(pl.Int64).alias("cents")
+            )
             .group_by("event_type")
             .agg(
                 pl.len().cast(pl.Int64).alias("pn"),
-                pl.col("o_totalprice").sum().alias("ps"),
+                pl.col("cents").sum().alias("ps"),
             )
             .to_arrow()
         )
@@ -3744,13 +3751,14 @@ def skew_join_event_order_revenue(sf_dir: str):
     out = (
         joined.map_batches(partial, batch_format="pyarrow")
         .groupby("event_type")
-        .aggregate(Sum("pn", alias_name="n_pairs"), Sum("ps", alias_name="total"))
+        .aggregate(Sum("pn", alias_name="n_pairs"), Sum("ps", alias_name="total_cents"))
         .to_pandas()
         .sort_values("event_type")
         .reset_index(drop=True)
     )
     out["n_pairs"] = out["n_pairs"].astype("int64")
-    return _round(out, {"total": 2})
+    out["total_cents"] = out["total_cents"].astype("int64")
+    return out
 
 
 @q(
