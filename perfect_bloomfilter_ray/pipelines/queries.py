@@ -7700,7 +7700,8 @@ def keyword_context_bigrams(sf_dir: str):
       FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01'
     )
     SELECT CAST(count(*) AS BIGINT) AS n_rows,
-           round(sum(l_extendedprice), 2) AS total_price
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_cents
     FROM lineitem, r WHERE l_orderkey BETWEEN r.lo AND r.hi
     """,
 )
@@ -7733,15 +7734,17 @@ def range_pruned_scan_revenue(sf_dir: str):
     )
 
     def part(t: pa.Table) -> pa.Table:
+        # integer cents — a rounded float sum diverged at sf1.0 (suite policy)
+        c = pc.cast(pc.floor(pc.add(pc.multiply(t.column("l_extendedprice"), 100.0), 0.5)), pa.int64())
         return pa.table(
             {
                 "n": pa.array([len(t)], pa.int64()),
-                "s": pa.array([pc.sum(t.column("l_extendedprice")).as_py() or 0.0], pa.float64()),
+                "s": pa.array([pc.sum(c).as_py() or 0], pa.int64()),
             }
         )
 
     p = li.map_batches(part, batch_format="pyarrow").to_pandas().sum()
-    return pd.DataFrame({"n_rows": [int(p["n"])], "total_price": [round(float(p["s"]), 2)]})
+    return pd.DataFrame({"n_rows": [int(p["n"])], "total_cents": [int(p["s"])]})
 
 
 @q("logreg_purchase_model")
@@ -8435,8 +8438,9 @@ def theta_daily_new_users(sf_dir: str):
     via the KMV set-difference — the sketch answer to 'how many users did we
     see for the first time today' WITHOUT a first-touch shuffle. The SQL
     oracle is a CONTRACT, not a recomputation: a KMV sketch whose retained
-    set never overflows (distinct users ≤ k=4096 at every test scale; the
-    driver runs sf0.01/0.1 with 150/1500 users) is EXACT — set ops included
+    set never overflows (distinct users ≤ k=65536 through sf1.0's 15k —
+    k=4096 silently went approximate at sf1.0, caught by the 10x sweep) is
+    EXACT — set ops included
     — so a hash mismatch here is a real sketch regression. At production
     cardinalities the same pipeline degrades gracefully to ±1/√k estimates.
     Day count is bounded, so the difference chain is driver-side tiny; the
@@ -8454,7 +8458,7 @@ def theta_daily_new_users(sf_dir: str):
         ds.map_batches(day, batch_format="pyarrow"),
         key="d",
         col="user_id",
-        factory=lambda: ThetaSketch(4096),
+        factory=lambda: ThetaSketch(65536),
         name="sk",
     ).to_pandas()
     per_day = per_day.sort_values("d").reset_index(drop=True)
